@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.GQuery
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates every implemented operator's named query (one per SURVEY.md §2
+  * inventory line) from the per-area modules under `graft.queries`.
+  */
 object SparkEntry {
+
+  /** Full declared surface. Order matters only for readability. */
+  def allQueries: Seq[GQuery] =
+    graft.queries.Registry.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    allQueries.head.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, Tables}
+
+/** Join surface (SURVEY.md §2.3) plus set operations (§2.7).
+  *
+  * The reference implements only INNER equi-joins (heterogeneous-source
+  * merge join in qlbridge, `backends/tests/multi_backend_test.go:168-200`);
+  * outer/semi/anti joins and set ops are declared beyond-reference, free
+  * from Catalyst.
+  *
+  * Scale notes: dimension tables (region 5 rows, nation 25 rows — fixed
+  * size at any SF) are explicitly `broadcast()` so the fact-side scan never
+  * shuffles for them; fact⋈fact joins (orders⋈lineitem) shuffle on the join
+  * key, which AQE converts to a broadcast join when the filtered side turns
+  * out small at runtime.
+  */
+object Joins {
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_join_inner",
+      """SELECT n.n_name, count(*) AS n_orders,
+        |       round(sum(o.o_totalprice), 1) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, d) =>
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      val c = Tables.load(s, d, "customer")
+      val n = Tables.load(s, d, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 1).as("revenue"))
+        .orderBy("n_name")
+    },
+
+    // TPC-H Q3 shape: two fact tables + dimension filter, top-k on an agg.
+    GQuery(
+      "q3_shipping",
+      """SELECT l.l_orderkey,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 1) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1997-03-15'
+        |  AND l.l_shipdate > TIMESTAMP '1997-03-15'
+        |GROUP BY l.l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1997-03-15").cast("timestamp"))
+      val l = Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    GQuery(
+      "q_join_left",
+      """SELECT n.n_name, count(s.s_suppkey) AS n_supp
+        |FROM nation n LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, d) =>
+      val n = Tables.load(s, d, "nation")
+      val su = Tables.load(s, d, "supplier")
+      n.join(su, n("n_nationkey") === su("s_nationkey"), "left")
+        .groupBy("n_name")
+        .agg(count(col("s_suppkey")).as("n_supp"))
+        .orderBy("n_name")
+    },
+
+    GQuery(
+      "q_join_right",
+      """SELECT n.n_name, s.s_suppkey
+        |FROM supplier s RIGHT JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_nationkey < 5
+        |ORDER BY n.n_name, s.s_suppkey NULLS FIRST""".stripMargin) { (s, d) =>
+      val n = Tables.load(s, d, "nation").filter(col("n_nationkey") < 5)
+      val su = Tables.load(s, d, "supplier")
+      su.join(n, n("n_nationkey") === su("s_nationkey"), "right")
+        .select(col("n_name"), col("s_suppkey"))
+        .orderBy(col("n_name"), col("s_suppkey").asc_nulls_first)
+    },
+
+    GQuery(
+      "q_join_full",
+      """WITH a AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 20),
+        |     b AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey >= 5)
+        |SELECT a.k AS left_key, b.k AS right_key
+        |FROM a FULL JOIN b ON a.k = b.k
+        |ORDER BY a.k NULLS FIRST, b.k NULLS FIRST""".stripMargin) { (s, d) =>
+      val n = Tables.load(s, d, "nation")
+      val a = n.filter(col("n_nationkey") < 20).select(col("n_nationkey").as("k"))
+      val b = n.filter(col("n_nationkey") >= 5).select(col("n_nationkey").as("k"))
+      a.join(b, a("k") === b("k"), "full")
+        .select(a("k").as("left_key"), b("k").as("right_key"))
+        .orderBy(col("left_key").asc_nulls_first, col("right_key").asc_nulls_first)
+    },
+
+    GQuery(
+      "q_join_semi",
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |              AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "customer")
+      val o = Tables.load(s, d, "orders").filter(col("o_totalprice") > 450000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    GQuery(
+      "q_join_anti",
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "customer")
+      val o = Tables.load(s, d, "orders").filter(col("o_totalprice") > 450000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    GQuery(
+      "q_cross",
+      """SELECT a.r_name AS r1, b.r_name AS r2
+        |FROM region a CROSS JOIN region b
+        |ORDER BY r1, r2""".stripMargin) { (s, d) =>
+      val r = Tables.load(s, d, "region")
+      val a = r.select(col("r_name").as("r1"))
+      val b = r.select(col("r_name").as("r2"))
+      a.crossJoin(b).orderBy("r1", "r2")
+    },
+
+    // --- set operations (§2.7, beyond-reference) --------------------------
+    GQuery(
+      "q_union",
+      """SELECT c_nationkey AS k FROM customer
+        |UNION
+        |SELECT s_nationkey AS k FROM supplier
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "customer").select(col("c_nationkey").as("k"))
+      val su = Tables.load(s, d, "supplier").select(col("s_nationkey").as("k"))
+      c.union(su).distinct().orderBy("k")
+    },
+
+    GQuery(
+      "q_union_all",
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS k FROM supplier) t
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "customer").select(col("c_nationkey").as("k"))
+      val su = Tables.load(s, d, "supplier").select(col("s_nationkey").as("k"))
+      c.union(su).groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+    },
+
+    GQuery(
+      "q_intersect",
+      """SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000
+        |INTERSECT
+        |SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val o = Tables.load(s, d, "orders").filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey").as("k"))
+      val c = Tables.load(s, d, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("k"))
+      o.intersect(c).orderBy("k")
+    },
+
+    GQuery(
+      "q_except",
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9500
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "customer").filter(col("c_acctbal") > 9500)
+        .select(col("c_custkey").as("k"))
+      val o = Tables.load(s, d, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("k"))
+      c.except(o).orderBy("k")
+    }
+  )
+}

@@ -1,0 +1,12 @@
+package graft.queries
+
+import graft.core.GQuery
+
+/** Central registry of the engine's declared query surface. */
+object Registry {
+  def all: Seq[GQuery] = {
+    val qs = Relational.queries ++ Joins.queries
+    require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
+    qs
+  }
+}

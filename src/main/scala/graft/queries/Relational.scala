@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, Tables}
+
+/** Scan / filter / aggregate operator surface (SURVEY.md §2.2, §2.4, §2.6).
+  *
+  * Mirrors the predicate + aggregation semantics the reference pushes to its
+  * backends (dataux backends/elasticsearch/sqltoes.go:487-586,
+  * backends/mongo/sql_to_mgo.go:437-655): =, !=, <, <=, >, >=, AND/OR
+  * nesting, BETWEEN, IN, LIKE, exists/missing, field-vs-field compare,
+  * count/min/max/avg/sum/distinct, GROUP BY, HAVING, ORDER BY/LIMIT/OFFSET.
+  * Here each is a declarative DataFrame plan so Catalyst pushes filters and
+  * projections into the parquet scan (verified via PushedFilters in explain).
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.load(s, d, "orders")
+  private def part(s: SparkSession, d: String) = Tables.load(s, d, "part")
+  private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
+
+  val queries: Seq[GQuery] = Seq(
+
+    // --- scans + predicate pushdown --------------------------------------
+    GQuery(
+      "q_scan_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      li(s, d)
+        .filter(col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    GQuery(
+      "q_filter_ops",
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem
+        |WHERE (l_returnflag <> 'N' AND l_discount >= 0.09)
+        |   OR (l_quantity <= 2.0 AND l_tax < 0.01)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      li(s, d)
+        .filter((col("l_returnflag") =!= "N" && col("l_discount") >= 0.09) ||
+                (col("l_quantity") <= 2.0 && col("l_tax") < 0.01))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    GQuery(
+      "q_between",
+      """SELECT l_returnflag,
+        |       count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    GQuery(
+      "q_in",
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice > 400000
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      ord(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+                col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+    },
+
+    GQuery(
+      "q_like",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name LIKE '%red%' OR p_name LIKE 'small%'
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      part(s, d)
+        .filter(col("p_name").like("%red%") || col("p_name").like("small%"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    },
+
+    GQuery(
+      "q_field_compare",
+      """SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem
+        |WHERE l_discount > l_tax AND l_quantity < 3
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      li(s, d)
+        .filter(col("l_discount") > col("l_tax") && col("l_quantity") < 3)
+        .select("l_orderkey", "l_linenumber", "l_discount", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // exists()/missing() polyfill semantics (null checks over a left join)
+    GQuery(
+      "q_missing",
+      """SELECT c.c_custkey, c.c_name
+        |FROM customer c LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+        |  ON c.c_custkey = o.o_custkey
+        |WHERE o.o_orderkey IS NULL
+        |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+      val c = cust(s, d)
+      val o = ord(s, d).filter(col("o_totalprice") > 450000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .filter(o("o_orderkey").isNull)
+        .select(c("c_custkey"), c("c_name"))
+        .orderBy("c_custkey")
+    },
+
+    // --- aggregates -------------------------------------------------------
+    GQuery(
+      "q_agg_global",
+      """SELECT count(*) AS n_rows,
+        |       count(l_quantity) AS n_qty,
+        |       round(sum(l_quantity), 1) AS sum_qty,
+        |       round(min(l_extendedprice), 2) AS min_price,
+        |       round(max(l_extendedprice), 2) AS max_price,
+        |       round(avg(l_discount), 5) AS avg_disc
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      li(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_quantity")).as("n_qty"),
+        round(sum("l_quantity"), 1).as("sum_qty"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"),
+        round(avg("l_discount"), 5).as("avg_disc"))
+    },
+
+    // TPC-H Q1 shape: the canonical partial/final hash aggregate.
+    GQuery(
+      "q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 1) AS sum_qty,
+        |       round(sum(l_extendedprice), 1) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 3) AS avg_price,
+        |       round(avg(l_discount), 5) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 1).as("sum_qty"),
+          round(sum("l_extendedprice"), 1).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 3).as("avg_price"),
+          round(avg("l_discount"), 5).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    GQuery(
+      "q_group_having",
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority HAVING count(*) > 100
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      ord(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 100)
+        .orderBy("o_orderpriority")
+    },
+
+    GQuery(
+      "q_distinct_count",
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin) {
+      (s, d) =>
+        li(s, d).agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    },
+
+    GQuery(
+      "q_distinct_rows",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      li(s, d)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // `cardinality(f)` (ES approximate distinct) — HLL++ sketches differ
+    // across engines, so no SQL oracle; driver records rows-only.
+    GQuery.noOracle("q_cardinality") { (s, d) =>
+      li(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    },
+
+    // `terms(field, n)` (ES top-N buckets): groupBy/count/orderBy/limit.
+    GQuery(
+      "q_terms",
+      """SELECT p_brand AS key, count(*) AS cnt FROM part
+        |GROUP BY p_brand ORDER BY cnt DESC, key LIMIT 5""".stripMargin) { (s, d) =>
+      part(s, d)
+        .groupBy(col("p_brand").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("key"))
+        .limit(5)
+    },
+
+    GQuery(
+      "q_agg_over_expr",
+      """SELECT p_brand, round(avg(length(CAST(p_name AS VARCHAR))), 6) AS avg_len
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      part(s, d)
+        .groupBy("p_brand")
+        .agg(round(avg(length(col("p_name").cast("string"))), 6).as("avg_len"))
+        .orderBy("p_brand")
+    },
+
+    // --- order / limit / offset -------------------------------------------
+    GQuery(
+      "q_topk",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      li(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(10)
+    },
+
+    GQuery(
+      "q_offset",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 20""".stripMargin) { (s, d) =>
+      ord(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(20)
+        .limit(10)
+    }
+  )
+}
