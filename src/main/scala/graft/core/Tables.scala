@@ -16,7 +16,21 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") loadEvents(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs and
+    * truncate to microseconds — the same ns→µs truncation DuckDB applies —
+    * so both engines see identical timestamps.
+    */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 
   /** Register every table as a temp view named after the table, so SQL-text
     * entry points (`spark.sql`) see the same catalog the DataFrame API uses.

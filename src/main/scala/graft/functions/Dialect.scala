@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{LongType, DoubleType}
+
+/** qlbridge/MySQL dialect function aliases (SURVEY.md §2.8).
+  *
+  * The reference loads qlbridge's builtin library wholesale
+  * (frontends/mysqlfe/testmysql/runtestserver.go:75); the subset its own
+  * tests exercise is registered here as thin aliases over native Catalyst
+  * expressions — no UDFs, so everything stays inside whole-stage codegen.
+  *
+  * Dotted reference names (hash.md5, json.jmespath) are exposed with
+  * underscores (hash_md5, json_jmespath): dots are not valid in Spark
+  * function identifiers.
+  *
+  * Note: registering `exists(col)` (reference: not-missing,
+  * backends/elasticsearch/sqltoes.go:557-586) shadows Spark's higher-order
+  * `exists(array, lambda)` for sessions that call register(); the engine's
+  * own surface does not use the array form.
+  */
+object Dialect {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def add(name: String)(b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+
+    // type coercions (sql_to_mgo.go / lytics_test.go:197 usage)
+    add("toint")(a => Cast(a.head, LongType))
+    add("tonumber")(a => Cast(a.head, DoubleType))
+    add("todate")(a => new ParseToDate(a.head))
+    add("todatein")(a => new ParseToTimestamp(a.head, a(1)))
+
+    // predicates (sqltoes.go:557-586, sql_to_mgo.go:612-655)
+    add("exists")(a => IsNotNull(a.head))
+    add("missing")(a => IsNull(a.head))
+    add("hasprefix")(a => StartsWith(a.head, a(1)))
+    add("hassuffix")(a => EndsWith(a.head, a(1)))
+    add("prefix")(a => StartsWith(a.head, a(1)))
+
+    // strings (qlbridge builtins: tolower, contains, join…)
+    add("tolower")(a => Lower(a.head))
+    add("toupper")(a => Upper(a.head))
+    add("charlength")(a => Length(a.head))
+
+    // dates (qlbridge yy/mm/dayofweek/hourofday)
+    add("yy")(a => Year(a.head))
+    add("mm")(a => Month(a.head))
+    add("dayofmonth_f")(a => DayOfMonth(a.head))
+    add("hourofday")(a => Hour(a.head))
+
+    // hashing / json
+    add("hash_md5")(a => Md5(Cast(a.head, org.apache.spark.sql.types.BinaryType)))
+    add("json_jmespath")(a => GetJsonObject(a.head, a(1)))
+  }
+}

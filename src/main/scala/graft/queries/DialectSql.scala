@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.core.{GQuery, Tables}
+import graft.engine.GraftEngine
+
+/** Queries routed through the SQL-text front door (GraftEngine.sql) rather
+  * than the DataFrame API — proving the dialect shims (qlbridge function
+  * aliases, @-variable substitution) resolve inside full Catalyst plans.
+  */
+object DialectSql {
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_dialect_funcs",
+      """SELECT p_partkey,
+        |       CAST(p_size AS BIGINT) AS psize,
+        |       upper(p_name) AS uname,
+        |       (p_name IS NOT NULL) AS has_name,
+        |       md5(p_brand) AS brand_md5
+        |FROM part
+        |WHERE p_name LIKE 'red%'
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      new GraftEngine(s).sql(
+        """SELECT p_partkey,
+          |       toint(p_size) AS psize,
+          |       toupper(p_name) AS uname,
+          |       exists(p_name) AS has_name,
+          |       hash_md5(p_brand) AS brand_md5
+          |FROM part
+          |WHERE hasprefix(p_name, 'red')
+          |ORDER BY p_partkey""".stripMargin)
+    },
+
+    GQuery(
+      "q_session_vars",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 495000
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      val eng = new GraftEngine(s)
+      eng.sql("SET @price_floor = 495000")
+      eng.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > @price_floor
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    GQuery(
+      "q_json_dialect",
+      """SELECT event_id, json_extract_string(props, '$.k') AS k
+        |FROM events WHERE event_id < 50
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      new GraftEngine(s).sql(
+        """SELECT event_id, json_jmespath(props, '$.k') AS k
+          |FROM events WHERE event_id < 50
+          |ORDER BY event_id""".stripMargin)
+    }
+  )
+}

@@ -5,7 +5,8 @@ import graft.core.GQuery
 /** Central registry of the engine's declared query surface. */
 object Registry {
   def all: Seq[GQuery] = {
-    val qs = Relational.queries ++ Joins.queries
+    val qs = Relational.queries ++ Joins.queries ++ Windows.queries ++
+      Scalars.queries ++ DialectSql.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, Tables}
+
+/** Window-function surface (SURVEY.md §2.5 — declared beyond-reference:
+  * the reference has no window functions; Spark gives rank/lag/frames free).
+  *
+  * Determinism: every window ORDER BY includes a unique key (o_orderkey) so
+  * rank == row_number and frame contents are identical across engines; the
+  * cumulative double sums are therefore summed in the same sequence in both
+  * Spark and DuckDB and match bit-for-bit before rounding.
+  *
+  * Scale: a window partitioned by o_custkey shuffles once on the partition
+  * key; no driver-side state. Frames are rows-bounded (no whole-partition
+  * buffering beyond the running aggregate).
+  */
+object Windows {
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_window_rank",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER w AS rn,
+        |         rank()       OVER w AS rk,
+        |         dense_rank() OVER w AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .filter(col("rn") <= 2)
+        .orderBy("o_custkey", "rn")
+    },
+
+    GQuery(
+      "q_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("running"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    GQuery(
+      "q_window_lag_lead",
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_totalprice)  OVER w AS prev_price,
+        |       lead(o_totalprice) OVER w AS next_price
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, d, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    GQuery(
+      "q_window_frame",
+      """SELECT o_custkey, o_orderkey,
+        |       round(avg(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.load(s, d, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(avg("o_totalprice").over(w), 4).as("mavg"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    GQuery(
+      "q_window_ntile",
+      """SELECT o_orderkey, nt,
+        |       round(pr, 6) AS prank, round(cd, 6) AS cdist FROM (
+        |  SELECT o_orderkey,
+        |         ntile(4)       OVER w AS nt,
+        |         percent_rank() OVER w AS pr,
+        |         cume_dist()    OVER w AS cd
+        |  FROM orders WHERE o_custkey < 20
+        |  WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)) t
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, d, "orders")
+        .filter(col("o_custkey") < 20)
+        .select(col("o_orderkey"),
+          ntile(4).over(w).as("nt"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .select(col("o_orderkey"), col("nt"),
+          round(col("pr"), 6).as("prank"), round(col("cd"), 6).as("cdist"))
+        .orderBy("o_orderkey")
+    },
+
+    // --- grouping sets (§2.4 beyond-reference) ----------------------------
+    GQuery(
+      "q_rollup",
+      """SELECT r_name, n_name, count(*) AS n_supp FROM (
+        |  SELECT r.r_name, n.n_name FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey) t
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+      // Dataset.rollup on a join-derived frame trips Spark's ambiguous-
+      // self-join detector (grouping attrs keep join lineage through
+      // Expand), so this one goes through the SQL front door — same
+      // Catalyst plan, same broadcast joins (nation/region are tiny dims).
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT r_name, n_name, count(*) AS n_supp
+          |FROM supplier s
+          |JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |JOIN region r ON n.n_regionkey = r.r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    },
+
+    GQuery(
+      "q_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        Tables.load(s, d, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+    }
+  )
+}

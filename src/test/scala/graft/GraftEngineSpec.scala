@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.engine.GraftEngine
+
+class GraftEngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val engine: GraftEngine = {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    new GraftEngine(spark)
+  }
+
+  test("SET @var then use in a query (mysql_session.go semantics)") {
+    engine.sql("SET @min_price = 400000")
+    val n = engine.sql(
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > @min_price")
+      .collect()(0).getLong(0)
+    val direct = spark.sql(
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > 400000")
+      .collect()(0).getLong(0)
+    assert(n == direct && n > 0)
+  }
+
+  test("SET @var evaluates expressions eagerly") {
+    engine.sql("SET @two = 1 + 1")
+    assert(engine.substitute("SELECT @two") == "SELECT 2")
+  }
+
+  test("@@system variables resolve") {
+    val v = engine.sql("SELECT @@max_allowed_packet AS v").collect()(0).getString(0)
+    assert(v == "67108864")
+  }
+
+  test("SHOW VARIABLES returns the sysvar table, LIKE filters") {
+    assert(engine.sql("SHOW VARIABLES").count() == engine.sysVars.size)
+    val rows = engine.sql("SHOW VARIABLES LIKE 'version%'").collect()
+    assert(rows.map(_.getString(0)).toSet == Set("version", "version_comment"))
+  }
+
+  test("BEGIN/COMMIT/ROLLBACK are accepted no-ops") {
+    Seq("BEGIN", "COMMIT", "ROLLBACK").foreach { stmt =>
+      assert(engine.sql(stmt).collect().isEmpty)
+    }
+  }
+
+  test("SHOW CREATE TABLE renders MySQL-style DDL (sql_writer.go:164-201)") {
+    val ddl = engine.sql("SHOW CREATE TABLE lineitem")
+      .collect()(0).getString(1)
+    assert(ddl.startsWith("CREATE TABLE `lineitem`"))
+    assert(ddl.contains("`l_orderkey` bigint"))
+    assert(ddl.contains("`l_returnflag` varchar(255)"))
+    assert(ddl.contains("`l_shipdate` datetime"))
+    assert(ddl.contains("`l_linenumber` int(11)"))
+  }
+
+  test("SHOW TABLES / DESCRIBE work natively") {
+    val tables = engine.sql("SHOW TABLES").collect().map(_.getString(1)).toSet
+    assert(Tables.all.toSet.subsetOf(tables))
+    val desc = engine.sql("DESCRIBE lineitem").collect()
+    assert(desc.exists(r => r.getString(0) == "l_orderkey"))
+  }
+
+  test("malformed SQL errors gracefully (mgo_test.go:111-121)") {
+    val e1 = intercept[Exception](engine.sql("SELEC 1 FORM dual"))
+    assert(e1.getMessage.nonEmpty)
+    val e2 = intercept[Exception](engine.sql("SELECT no_such_col FROM lineitem"))
+    assert(e2.getMessage.nonEmpty)
+    // the session survives a bad statement
+    assert(engine.sql("SELECT 1 AS ok").collect()(0).getInt(0) == 1)
+  }
+
+  test("dialect functions: toint/hasprefix/exists/json_jmespath") {
+    val r = engine.sql(
+      """SELECT toint('42') AS i, hasprefix('redcar', 'red') AS p,
+        |       exists('x') AS e, json_jmespath('{"a": 7}', '$.a') AS j
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 42L && r.getBoolean(1) && r.getBoolean(2) &&
+      r.getString(3) == "7")
+  }
+}
