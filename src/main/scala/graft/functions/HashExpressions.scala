@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the dedup/fingerprint operators.
+  *
+  * These are native expressions with `doGenCode` (not UDFs): the generated
+  * code is a single static call into TextHash, so projections using them
+  * stay inside whole-stage codegen with no boxing or Row materialization —
+  * the per-row hot path a 100 TB scan actually executes.
+  */
+
+/** polyHash(string) → BIGINT (see TextHash for the arithmetic). */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextHash.polyHashU(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.polyHashU($c)")
+  override protected def withNewChildInternal(c: Expression): PolyHash = copy(c)
+  override def prettyName: String = "poly_hash"
+}
+
+/** min_hash_sig(string, k, n) → ARRAY<BIGINT> of k minhash values over
+  * n-word shingles. */
+case class MinHashSig(child: Expression, k: Int, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextHash.minHashSigU(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minHashSigU($c, $k, $n)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+  override def prettyName: String = "min_hash_sig"
+}
+
+/** sim_hash64(string) → BIGINT (60-bit simhash over word unigrams). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextHash.simHash64U(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simHash64U($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  override def prettyName: String = "sim_hash64"
+}
+
+/** band_hash(sig_array, start, r) → BIGINT: fold of r signature values,
+  * used to key LSH band buckets. */
+case class BandHash(child: Expression, start: Int, r: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def nullSafeEval(v: Any): Any =
+    TextHash.bandHashU(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], start, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.bandHashU($c, $start, $r)")
+  override protected def withNewChildInternal(c: Expression): BandHash =
+    copy(child = c)
+  override def prettyName: String = "band_hash"
+}
+
+/** shingle_hashes(string, n) → ARRAY<BIGINT>: polyHash of every n-word
+  * shingle (not deduplicated; wrap in array_distinct for set semantics). */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextHash.shingleHashesU(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHashesU($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** Column-level API for the hash expressions. */
+object HashFunctions {
+  def poly_hash(c: Column): Column =
+    ExpressionUtils.column(PolyHash(ExpressionUtils.expression(c)))
+  def min_hash_sig(c: Column, k: Int, n: Int): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c), k, n))
+  def sim_hash64(c: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
+  def band_hash(c: Column, start: Int, r: Int): Column =
+    ExpressionUtils.column(BandHash(ExpressionUtils.expression(c), start, r))
+  def shingle_hashes(c: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(c), n))
+}

@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic, cross-engine-reproducible text hashing for the dedup /
+  * fingerprinting operators.
+  *
+  * Everything here is defined in plain modular arithmetic over Unicode code
+  * points so the DuckDB oracle can compute the *identical* value in SQL
+  * (list_reduce + unicode()), giving the sketch-based operators (minhash,
+  * simhash) full value-level oracles instead of rows-only checks:
+  *
+  *   polyHash(s)  = fold(a = 0; a = (a*31 + codepoint) mod P)        P = 1e9+7
+  *   perm_i(h)    = (A_i * h + B_i) mod P,
+  *                  A_i = (1 + i*2654435761) mod P, B_i = 7i + 3
+  *   minhash sig  = [ min over shingles of perm_i(polyHash(shingle)) ]_i<k
+  *   shingles     = n-word grams of lower(s).split(\s+), joined by ' '
+  *                  (whole token list joined if fewer than n tokens)
+  *   simhash64    = 60-bit: bits 0..29 from polyHash(mult 31),
+  *                  bits 30..59 from polyHash37(mult 37); bit j set iff
+  *                  2 * count(tokens with bit j) > n_tokens
+  *
+  * All intermediates stay below 2^63 (A_i < P ≤ 1e9+6, h < P, so
+  * A_i*h < ~1e18) — no silent overflow on either engine.
+  *
+  * Hot path notes: static methods over UTF8String/String, tight loops, no
+  * per-row allocation beyond the signature array. Called from codegen'd
+  * expressions (see HashExpressions.scala), so rows never leave Tungsten.
+  */
+object TextHash {
+
+  val P: Long = 1000000007L
+
+  def polyHash(s: String): Long = polyHashMult(s, 31L)
+
+  def polyHashMult(s: String, mult: Long): Long = {
+    var a = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      a = (a * mult + cp) % P
+      i += Character.charCount(cp)
+    }
+    a
+  }
+
+  @inline def permA(i: Int): Long = (1L + i.toLong * 2654435761L) % P
+  @inline def permB(i: Int): Long = 7L * i + 3L
+
+  def tokenize(s: String): Array[String] =
+    s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+
+  /** n-word shingles joined by single spaces; the whole token list as one
+    * shingle when there are fewer than n tokens. */
+  def shingles(tokens: Array[String], n: Int): Array[String] = {
+    if (tokens.length < n) Array(tokens.mkString(" "))
+    else Array.tabulate(tokens.length - n + 1) { i =>
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** k-permutation minhash signature over n-word shingles. */
+  def minHashSig(text: String, k: Int, n: Int): Array[Long] = {
+    val sh = shingles(tokenize(text), n)
+    val hs = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { hs(i) = polyHash(sh(i)); i += 1 }
+    val sig = Array.fill(k)(Long.MaxValue)
+    var p = 0
+    while (p < k) {
+      val a = permA(p)
+      val b = permB(p)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val v = (a * hs(j) + b) % P
+        if (v < m) m = v
+        j += 1
+      }
+      sig(p) = m
+      p += 1
+    }
+    sig
+  }
+
+  /** 60-bit simhash over word unigrams (bit j from the two poly hashes). */
+  def simHash64(text: String): Long = {
+    val toks = tokenize(text)
+    val counts = new Array[Int](60)
+    var t = 0
+    while (t < toks.length) {
+      val h1 = polyHashMult(toks(t), 31L)
+      val h2 = polyHashMult(toks(t), 37L)
+      var j = 0
+      while (j < 30) {
+        if (((h1 >> j) & 1L) == 1L) counts(j) += 1
+        if (((h2 >> j) & 1L) == 1L) counts(30 + j) += 1
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (2 * counts(j) > toks.length) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  // ---- UTF8String entry points used by codegen ---------------------------
+
+  def polyHashU(s: UTF8String): Long = polyHash(s.toString)
+
+  def minHashSigU(s: UTF8String, k: Int, n: Int): ArrayData =
+    new GenericArrayData(minHashSig(s.toString, k, n))
+
+  def shingleHashesU(s: UTF8String, n: Int): ArrayData = {
+    val sh = shingles(tokenize(s.toString), n)
+    val hs = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { hs(i) = polyHash(sh(i)); i += 1 }
+    new GenericArrayData(hs)
+  }
+
+  def simHash64U(s: UTF8String): Long = simHash64(s.toString)
+
+  /** Band hash for LSH banding: polyHash-style fold over r signature
+    * values — (acc*31 + v) mod P. */
+  def bandHash(sig: Array[Long], start: Int, r: Int): Long = {
+    var a = 0L
+    var i = start
+    while (i < start + r) {
+      a = (a * 31L + sig(i)) % P
+      i += 1
+    }
+    a
+  }
+
+  def bandHashU(sig: ArrayData, start: Int, r: Int): Long = {
+    var a = 0L
+    var i = start
+    while (i < start + r) {
+      a = (a * 31L + sig.getLong(i)) % P
+      i += 1
+    }
+    a
+  }
+}
