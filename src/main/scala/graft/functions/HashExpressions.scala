@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
 
 /** Custom Catalyst expressions for the dedup/fingerprint operators.
@@ -12,12 +12,16 @@ import org.apache.spark.sql.types._
   * code is a single static call into TextHash, so projections using them
   * stay inside whole-stage codegen with no boxing or Row materialization —
   * the per-row hot path a 100 TB scan actually executes.
+  *
+  * Column construction goes through the public FunctionRegistry +
+  * `functions.call_function` path (no `private[sql]` Spark internals); the
+  * constant k/n/band parameters arrive as foldable literal arguments and are
+  * evaluated once at registration-builder time.
   */
 
 /** polyHash(string) → BIGINT (see TextHash for the arithmetic). */
 case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def nullSafeEval(v: Any): Any =
     TextHash.polyHashU(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -31,7 +35,6 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 case class MinHashSig(child: Expression, k: Int, n: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def nullSafeEval(v: Any): Any =
     TextHash.minHashSigU(
       v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, n)
@@ -45,7 +48,6 @@ case class MinHashSig(child: Expression, k: Int, n: Int)
 /** sim_hash64(string) → BIGINT (60-bit simhash over word unigrams). */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def nullSafeEval(v: Any): Any =
     TextHash.simHash64U(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -59,7 +61,6 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 case class BandHash(child: Expression, start: Int, r: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def nullSafeEval(v: Any): Any =
     TextHash.bandHashU(
       v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], start, r)
@@ -74,7 +75,6 @@ case class BandHash(child: Expression, start: Int, r: Int)
   * shingle (not deduplicated; wrap in array_distinct for set semantics). */
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def nullSafeEval(v: Any): Any =
     TextHash.shingleHashesU(
       v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
@@ -85,16 +85,47 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_hashes"
 }
 
-/** Column-level API for the hash expressions. */
+/** Column-level API for the hash expressions.
+  *
+  * `ensure(spark)` registers the expressions in the session's
+  * FunctionRegistry (idempotent, cheap); the Column builders then resolve
+  * through `call_function`, the public analysis-time path.
+  */
 object HashFunctions {
-  def poly_hash(c: Column): Column =
-    ExpressionUtils.column(PolyHash(ExpressionUtils.expression(c)))
+
+  /** Evaluate a foldable literal argument to Int at builder time. */
+  private def intArg(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: parameter must be a literal, got $e")
+    e.eval(null) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => other.toString.toInt
+    }
+  }
+
+  private def str(e: Expression): Expression =
+    if (e.dataType == StringType) e else Cast(e, StringType)
+
+  def ensure(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def add(name: String)(b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    add("poly_hash")(a => PolyHash(str(a.head)))
+    add("min_hash_sig")(a =>
+      MinHashSig(str(a.head), intArg(a(1), "min_hash_sig"), intArg(a(2), "min_hash_sig")))
+    add("sim_hash64")(a => SimHash64(str(a.head)))
+    add("band_hash")(a =>
+      BandHash(a.head, intArg(a(1), "band_hash"), intArg(a(2), "band_hash")))
+    add("shingle_hashes")(a =>
+      ShingleHashes(str(a.head), intArg(a(1), "shingle_hashes")))
+  }
+
+  def poly_hash(c: Column): Column = call_function("poly_hash", c)
   def min_hash_sig(c: Column, k: Int, n: Int): Column =
-    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c), k, n))
-  def sim_hash64(c: Column): Column =
-    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
+    call_function("min_hash_sig", c, lit(k), lit(n))
+  def sim_hash64(c: Column): Column = call_function("sim_hash64", c)
   def band_hash(c: Column, start: Int, r: Int): Column =
-    ExpressionUtils.column(BandHash(ExpressionUtils.expression(c), start, r))
+    call_function("band_hash", c, lit(start), lit(r))
   def shingle_hashes(c: Column, n: Int): Column =
-    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(c), n))
+    call_function("shingle_hashes", c, lit(n))
 }

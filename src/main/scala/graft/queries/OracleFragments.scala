@@ -1,0 +1,208 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the sketch-based dedup operators.
+  *
+  * Every fragment re-implements the exact TextHash arithmetic
+  * (graft.functions.TextHash) in DuckDB SQL — polyHash as a
+  * list_reduce fold over unicode code points, minhash permutations as
+  * modular affine maps, simhash as per-bit majority votes — so the sketches
+  * get full value-level oracles, not rows-only checks.
+  *
+  * Layout notes:
+  *   - DuckDB lambdas cannot capture an outer lambda's variable, so every
+  *     per-token / per-shingle hash is computed after an `unnest` (the hash
+  *     lambda then only references columns, which is supported).
+  *   - All float outputs are dyadic (k/64) or single IEEE divisions of the
+  *     same integer operands both engines compute, so values match bit-wise
+  *     without rounding.
+  *   - The LSH hot-bucket cap (count <= CAP) is part of the operator's
+  *     semantics and appears identically here and in Dedup.scala.
+  */
+object OracleFragments {
+
+  val P = "1000000007"
+
+  /** tokenize: lower, split on \s+, drop empties (TextHash.tokenize). */
+  private val tok =
+    """tok AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  /** 3-word shingles joined by ' '; whole token list when < 3 tokens
+    * (TextHash.shingles, n = 3). */
+  private val shingle3 =
+    """sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |              ELSE list_transform(range(1, len(toks) - 1),
+      |                                  i -> array_to_string(toks[i:i+2], ' '))
+      |         END AS shingles
+      |  FROM tok
+      |)""".stripMargin
+
+  /** polyHash of every 3-shingle: fold a = (a*31 + codepoint) mod P. */
+  private val shingleHashes =
+    s"""shr AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hh AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS BIGINT))),
+       |           (a,cp) -> (a*31+cp) % $P) AS h
+       |  FROM shr
+       |)""".stripMargin
+
+  /** 64-permutation minhash signature (TextHash.minHashSig):
+    * sig[p] = min over shingle hashes h of ((1+p*2654435761)%P * h + 7p+3) % P. */
+  private val minhashSig =
+    s"""mh AS (
+       |  SELECT doc_id, p,
+       |         min(((1 + p*2654435761) % $P * h + 7*p + 3) % $P) AS v
+       |  FROM hh CROSS JOIN (SELECT unnest(range(0, 64)) AS p) pp
+       |  GROUP BY doc_id, p
+       |),
+       |sig AS (SELECT doc_id, list(v ORDER BY p) AS sig FROM mh GROUP BY doc_id)""".stripMargin
+
+  /** LSH banding: 16 bands of 4 rows, band hash = fold (a*31+v) mod P
+    * (TextHash.bandHash); hot buckets (> CAP docs) dropped — the skew guard. */
+  private def bands(cap: Int) =
+    s"""bandsraw AS (
+       |  SELECT doc_id, b,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+       |           (a,v) -> (a*31+v) % $P) AS bh
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb
+       |),
+       |okb AS (SELECT b, bh FROM bandsraw GROUP BY b, bh HAVING count(*) <= $cap),
+       |bands AS (SELECT r.doc_id, r.b, r.bh FROM bandsraw r JOIN okb USING (b, bh))""".stripMargin
+
+  /** Candidate pairs from shared LSH buckets + exact signature-agreement
+    * estimate est_j = |{i : sig_a[i] = sig_b[i]}| / 64. */
+  private val lshPairsBody =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+      |),
+      |est AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |         len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS est_j
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.doc_a
+      |  JOIN sig sb ON sb.doc_id = c.doc_b
+      |)""".stripMargin
+
+  private def lshCtes(cap: Int): String =
+    Seq(tok, shingle3, shingleHashes, minhashSig, bands(cap), lshPairsBody)
+      .mkString(",\n")
+
+  def minhashLshPairs(cap: Int): String =
+    s"""WITH
+       |${lshCtes(cap)}
+       |SELECT doc_a, doc_b, est_j FROM est WHERE est_j >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Connected components over the LSH pair graph (est_j >= 0.5):
+    * cluster_id = min doc_id reachable; singletons map to themselves.
+    * Recursive closure — fine at oracle scale; the Spark side uses
+    * iterated hash-to-min label propagation. */
+  def minhashLshClusters(cap: Int): String =
+    s"""WITH RECURSIVE
+       |${lshCtes(cap)},
+       |pairs AS (SELECT doc_a, doc_b FROM est WHERE est_j >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON e.src = reach.r
+       |)
+       |SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-token simhash inputs: h1 = polyHash mult 31, h2 = mult 37. */
+  private val tokenHashes =
+    s"""tw AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS w FROM tok),
+       |hw AS (
+       |  SELECT doc_id, n,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(w)+1), i -> CAST(unicode(w[i]) AS BIGINT))),
+       |      (a,cp) -> (a*31+cp) % $P) AS h1,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(w)+1), i -> CAST(unicode(w[i]) AS BIGINT))),
+       |      (a,cp) -> (a*37+cp) % $P) AS h2
+       |  FROM tw
+       |)""".stripMargin
+
+  /** 60-bit simhash: bit j set iff 2 * count(tokens with bit j set) > n
+    * (TextHash.simHash64); token-less docs get simhash 0. */
+  private val simhashValue =
+    """bitc AS (
+      |  SELECT doc_id, n, jj.j AS j,
+      |         sum(CASE WHEN jj.j < 30 THEN (h1 >> jj.j) & 1
+      |                  ELSE (h2 >> (jj.j - 30)) & 1 END) AS cnt
+      |  FROM hw CROSS JOIN (SELECT unnest(range(0, 60)) AS j) jj
+      |  GROUP BY doc_id, n, jj.j
+      |),
+      |simv AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN 2*cnt > n THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bitc GROUP BY doc_id
+      |),
+      |sim AS (
+      |  SELECT t.doc_id, COALESCE(s.simhash, CAST(0 AS BIGINT)) AS simhash
+      |  FROM tok t LEFT JOIN simv s USING (doc_id)
+      |)""".stripMargin
+
+  val simhashValues: String =
+    s"""WITH
+       |$tok,
+       |$tokenHashes,
+       |$simhashValue
+       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin
+
+  /** SimHash near-dup pairs: 4 bands of 15 bits (hamming <= 3 pigeonholes
+    * into >= 1 agreeing band), hot-bucket cap, exact hamming via bit_count. */
+  def simhashPairs(cap: Int): String =
+    s"""WITH
+       |$tok,
+       |$tokenHashes,
+       |$simhashValue,
+       |chunks AS (
+       |  SELECT doc_id, simhash, cc.c AS chunk, (simhash >> (cc.c*15)) & 32767 AS cv
+       |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cc
+       |),
+       |okc AS (SELECT chunk, cv FROM chunks GROUP BY chunk, cv HAVING count(*) <= $cap),
+       |chunks2 AS (SELECT ch.* FROM chunks ch JOIN okc USING (chunk, cv)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |  FROM chunks2 a JOIN chunks2 b
+       |    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact n-gram Jaccard with document-frequency cutoff (df <= maxDf):
+    * inverted-index self-join on rare shingle hashes. */
+  def ngramJaccardPairs(maxDf: Int): String =
+    s"""WITH
+       |$tok,
+       |$shingle3,
+       |$shingleHashes,
+       |inv AS (SELECT DISTINCT doc_id, h FROM hh),
+       |rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) <= $maxDf),
+       |inv2 AS (SELECT i.doc_id, i.h FROM inv i JOIN rare USING (h)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM inv2 GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM inv2 a JOIN inv2 b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.doc_a, i.doc_b,
+       |       CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+}

@@ -6,7 +6,7 @@ import graft.core.GQuery
 object Registry {
   def all: Seq[GQuery] = {
     val qs = Relational.queries ++ Joins.queries ++ Windows.queries ++
-      Scalars.queries ++ DialectSql.queries
+      Scalars.queries ++ DialectSql.queries ++ Dedup.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
