@@ -34,7 +34,14 @@ object Tables {
 
   /** Register every table as a temp view named after the table, so SQL-text
     * entry points (`spark.sql`) see the same catalog the DataFrame API uses.
+    * Idempotent per (session, sfDir): repeated calls from different query
+    * bodies cost one conf lookup, not a re-read of all ten tables.
     */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val key = "graft.registered.sfdir"
+    if (!spark.conf.getOption(key).contains(sfDir)) {
+      all.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+      spark.conf.set(key, sfDir)
+    }
+  }
 }

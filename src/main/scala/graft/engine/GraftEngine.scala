@@ -46,6 +46,10 @@ class GraftEngine(val spark: SparkSession) {
   private val TxnNoop = """(?is)\s*(BEGIN|COMMIT|ROLLBACK)\s*;?\s*""".r
   private val ShowVars = """(?is)\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'(.*)')?\s*;?\s*""".r
   private val ShowCreate = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?\s*;?\s*""".r
+  private val CreateSource = """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?SOURCE\s+(\w+)\s+WITH\s+(\{.*\})\s*;?\s*""".r
+  private val DropSource = """(?is)\s*DROP\s+SOURCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  private val ShowSources = """(?is)\s*SHOW\s+SOURCES\s*;?\s*""".r
+  private val UpdateStmt = """(?is)\s*UPDATE\s+([\w.`]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
 
   def sql(text: String): DataFrame = text match {
     case SetVar(name, value) =>
@@ -67,11 +71,116 @@ class GraftEngine(val spark: SparkSession) {
       import spark.implicits._
       Seq((t, showCreateTable(t))).toDF("Table", "Create Table")
 
+    // Runtime source registration (reference: `CREATE source ... WITH
+    // {json}`, README.md:64-76, dispatched mysql_handler.go:253-260).
+    // Accepted JSON keys: path (required), type ("csv"|"json", default csv).
+    case CreateSource(name, json) =>
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val path = Option(node.get("path")).map(_.asText())
+        .getOrElse(throw new IllegalArgumentException(
+          s"CREATE SOURCE $name: missing \"path\""))
+      val fmt = Option(node.get("type")).map(_.asText().toLowerCase).getOrElse("csv")
+      graft.sources.SourceRegistry.ensureCatalog(spark)
+      graft.sources.SourceRegistry.register(
+        graft.sources.SourceDef(name, path, fmt))
+      spark.emptyDataFrame
+
+    case DropSource(name) =>
+      graft.sources.SourceRegistry.drop(name)
+      spark.emptyDataFrame
+
+    case ShowSources() =>
+      import spark.implicits._
+      graft.sources.SourceRegistry.all
+        .map(s => (s.name, s.path, s.format))
+        .toDF("Source", "Location", "Format")
+
+    // UPDATE on a connector table: read-modify-write rewrite (reference:
+    // datastore read-modify-write UPDATE, backends/datastore/
+    // datastore_test.go:398-486). The updated frame is staged into a
+    // temp table through the connector's own append path, then swapped in
+    // — never an in-place mutation a concurrent reader could half-see.
+    case UpdateStmt(tbl, sets, cond) if tbl.startsWith("graft.") =>
+      updateRewrite(tbl, sets, substitute(cond))
+
     case other => spark.sql(substitute(other))
   }
 
-  /** Replace @@sysvars and @uservars with their literal values. */
+  private def updateRewrite(tbl: String, sets: String, cond: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, when}
+    val parts = tbl.replace("`", "").split('.')
+    require(parts.length == 3, s"UPDATE expects graft.<source>.<table>, got $tbl")
+    val src = graft.sources.SourceRegistry.get(parts(1))
+      .getOrElse(throw new IllegalArgumentException(s"unknown source ${parts(1)}"))
+    val table = graft.sources.FileTable.open(src, parts(2))
+      .getOrElse(throw new IllegalArgumentException(s"unknown table $tbl"))
+    val df = spark.table(tbl)
+    val affected = df.filter(expr(cond)).count()
+    var upd = df
+    // split assignments on top-level commas (quoted strings respected)
+    splitTopLevel(sets).foreach { assign =>
+      val Array(c, v) = assign.split("=", 2).map(_.trim)
+      upd = upd.withColumn(c.replace("`", ""),
+        when(expr(cond), expr(substitute(v))).otherwise(col(c)))
+    }
+    val tmpName = parts(2) + "_gupd"
+    val tmpDir = src.tableDir(tmpName)
+    if (tmpDir.isDirectory) spark.sql(s"DROP TABLE graft.${parts(1)}.$tmpName")
+    graft.sources.FileTable.create(src, tmpName, table.schema0, table.format)
+    upd.writeTo(s"graft.${parts(1)}.$tmpName").append()
+    // swap: the rewrite becomes visible atomically at the directory rename
+    val dir = table.dir
+    val old = new java.io.File(dir.getPath + ".old")
+    if (!dir.renameTo(old) || !tmpDir.renameTo(dir))
+      throw new IllegalStateException(s"UPDATE swap failed for $tbl")
+    delete(old)
+    import spark.implicits._
+    Seq(affected).toDF("affected_rows")
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(delete)
+    f.delete()
+  }
+
+  /** Split on commas not inside single-quoted strings or parens. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach { ch =>
+      if (inStr) { cur += ch; if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case other => cur += other
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim)
+  }
+
+  /** Replace @@sysvars and @uservars with their literal values — but never
+    * inside single-quoted string literals, so `'a@b.com'` survives
+    * (mysql frontends tokenize before variable expansion; a raw regex over
+    * the whole text would corrupt quoted emails). */
   def substitute(text: String): String = {
+    val quoted = "'(?:[^']|'')*'".r
+    val sb = new StringBuilder
+    var idx = 0
+    quoted.findAllMatchIn(text).foreach { m =>
+      sb.append(substituteVars(text.substring(idx, m.start)))
+      sb.append(m.matched)
+      idx = m.end
+    }
+    sb.append(substituteVars(text.substring(idx)))
+    sb.toString
+  }
+
+  private def substituteVars(text: String): String = {
     val s1 = "@@(?:session\\.|global\\.)?(\\w+)".r.replaceAllIn(text, m =>
       scala.util.matching.Regex.quoteReplacement(
         sysVars.get(m.group(1).toLowerCase)

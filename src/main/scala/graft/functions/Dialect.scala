@@ -54,5 +54,18 @@ object Dialect {
     // hashing / json
     add("hash_md5")(a => Md5(Cast(a.head, org.apache.spark.sql.types.BinaryType)))
     add("json_jmespath")(a => GetJsonObject(a.head, a(1)))
+
+    // MySQL session functions (frontends/mysqlfe/mysql_functions.go:20-34).
+    // current_user() is a Spark builtin already; the rest are registered as
+    // foldable literals — they evaluate once at plan time, never per row.
+    add("connection_id")(_ => Literal(connectionId(spark)))
+    add("database")(_ => Literal(spark.catalog.currentDatabase))
   }
+
+  /** Stable per-session connection id (reference: one id per MySQL
+    * connection; here one per SparkSession, as a session ≈ connection). */
+  private val ids = new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Long]()
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def connectionId(spark: SparkSession): Long =
+    ids.computeIfAbsent(spark, _ => nextId.incrementAndGet())
 }

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+import graft.engine.GraftEngine
+import graft.sources.{FedData, SourceRegistry}
+
+/** Federation surface: queries over the DSv2 file connector
+  * (graft.sources.*) — the Spark-native equivalent of the reference's
+  * multi-backend SQL layer (SURVEY.md §2.1/§2.9).
+  *
+  * Every query here reads CSV/JSONL staged *through the connector's own
+  * write path* from the driver parquet ([[graft.sources.FedData]]), so the
+  * DuckDB oracle runs the same logical query over the parquet originals:
+  * a value-exact round-trip proof of codec + pushdown + polyfill.
+  */
+object Federation {
+
+  private def fed(s: SparkSession, d: String): Unit = FedData.ensure(s, d)
+  private val C = SourceRegistry.CatalogName
+
+  val queries: Seq[GQuery] = Seq(
+
+    // Full accept-list pushdown: range + prefix predicates land in the
+    // scan (golden-plan asserted in FileSourceSpec); only pushed columns
+    // are parsed (column pruning reaches the CSV reader).
+    GQuery(
+      "q_src_csv_pushdown",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey >= 2 AND n_name LIKE 'NATION_1%'
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.SourceName}.nation_csv")
+        .filter(col("n_regionkey") >= 2 && col("n_name").startsWith("NATION_1"))
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+
+    // Residual polyfill: the OR tree is declined by the connector's
+    // accept-list (Cassandra-style AND-only conjunctions,
+    // sql_to_cql.go:441-468) and re-applied by Spark post-scan, while the
+    // range conjunct still pushes — the reference's partial-pushdown
+    // semantics (sql_to_cql.go:199-204).
+    GQuery(
+      "q_src_csv_residual",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE (n_regionkey = 0 OR n_name LIKE '%7') AND n_nationkey >= 5
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.SourceName}.nation_csv")
+        .filter((col("n_regionkey") === 0 || col("n_name").endsWith("7")) &&
+          col("n_nationkey") >= 5)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+
+    // JSONL scan with IN + range pushdown and double round-trip.
+    GQuery(
+      "q_src_json_filter",
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_acctbal > 9000.0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.SourceName}.customer_json")
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") &&
+          col("c_acctbal") > 9000.0)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // Timestamp round-trip through the text codec + range pushdown on a
+    // timestamp column (the reference pushes date BETWEEN to its backends,
+    // backends/mongo/mgo_test.go BETWEEN-dates cases).
+    GQuery(
+      "q_src_ts_roundtrip",
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-03-01'
+        |  AND o_orderkey < 50000
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      // NTZ literals keep the comparison cast-free, so the range pushes
+      // into the scan instead of becoming a residual around a Cast.
+      s.table(s"$C.${FedData.SourceName}.orders_csv")
+        .filter(col("o_orderdate") >= lit(java.time.LocalDateTime.parse("1997-01-01T00:00")) &&
+          col("o_orderdate") < lit(java.time.LocalDateTime.parse("1997-03-01T00:00")) &&
+          col("o_orderkey") < 50000)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // Heterogeneous-source federation join (reference:
+    // backends/tests/multi_backend_test.go:168-200, mongo ⨝ es): CSV
+    // nation ⨝ JSONL customer ⨝ parquet orders across two catalogs in one
+    // plan. The tiny CSV dimension is broadcast — no shuffle for it at any
+    // scale; the customer⨝orders equi-join shuffles on the key, the layout
+    // that survives 1000 executors.
+    GQuery(
+      "q_src_join_hetero",
+      """SELECT n.n_name, count(*) AS n_orders,
+        |       round(sum(o.o_totalprice), 1) AS revenue
+        |FROM nation n
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'F'
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin) { (s, d) =>
+      fed(s, d)
+      val nation = s.table(s"$C.${FedData.SourceName}.nation_csv")
+      val cust = s.table(s"$C.${FedData.SourceName}.customer_json")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.load(s, d, "orders")
+        .filter(col("o_orderstatus") === "F")
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 1).as("revenue"))
+        .orderBy("n_name")
+    },
+
+    // `_files` meta-table (reference: backends/files/filesource_test.go:
+    // 221-238): which tables exist in the source and in what format.
+    // File counts/sizes vary with write parallelism, so the stable
+    // projection is (table, format).
+    GQuery(
+      "q_src_files_meta",
+      """SELECT * FROM (VALUES ('customer_json', 'json'),
+        |                      ('nation_csv', 'csv'),
+        |                      ('orders_csv', 'csv')) AS t(table_name, format)
+        |ORDER BY table_name""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.SourceName}._files")
+        .filter(col("table_name").isin("customer_json", "nation_csv", "orders_csv"))
+        .select("table_name", "format").distinct()
+        .orderBy("table_name")
+    },
+
+    // Full DML lifecycle on a connector table (reference: cassandra
+    // INSERT/UPDATE/DELETE lifecycle, backends/cassandra/cass_test.go:
+    // 484-599): CREATE TABLE → INSERT VALUES (DSv2 append) → UPDATE
+    // (engine read-modify-write rewrite) → DELETE WHERE
+    // (SupportsDelete.deleteWhere) → final SELECT.
+    GQuery(
+      "q_dml_lifecycle",
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'alpha', CAST(10 AS BIGINT), CAST(1.5 AS DOUBLE)),
+        |  (CAST(3 AS BIGINT), 'gamma', CAST(99 AS BIGINT), CAST(3.5 AS DOUBLE)),
+        |  (CAST(5 AS BIGINT), 'epsilon', CAST(50 AS BIGINT), CAST(5.5 AS DOUBLE)))
+        |       AS t(item_id, name, qty, price)
+        |ORDER BY item_id""".stripMargin) { (s, d) =>
+      fed(s, d)
+      val eng = new GraftEngine(s)
+      val t = s"$C.${FedData.SourceName}.dml_items"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (item_id BIGINT, name STRING, qty BIGINT, price DOUBLE)")
+      s.sql(s"INSERT INTO $t VALUES (1, 'alpha', 10, 1.5), (2, 'beta', 20, 0.5), (3, 'gamma', 30, 3.5)")
+      s.sql(s"INSERT INTO $t VALUES (4, 'delta', 40, 0.25), (5, 'epsilon', 50, 5.5)")
+      eng.sql(s"UPDATE $t SET qty = 99 WHERE name = 'gamma'")
+      s.sql(s"DELETE FROM $t WHERE price < 2.0 AND item_id <> 1")
+      s.table(t).orderBy("item_id")
+    }
+  )
+}

@@ -6,7 +6,8 @@ import graft.core.GQuery
 object Registry {
   def all: Seq[GQuery] = {
     val qs = Relational.queries ++ Joins.queries ++ Windows.queries ++
-      Scalars.queries ++ DialectSql.queries ++ Dedup.queries
+      Scalars.queries ++ DialectSql.queries ++ Dedup.queries ++
+      Federation.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }

@@ -197,12 +197,30 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
-    // `cardinality(f)` (ES approximate distinct) — HLL++ sketches differ
-    // across engines, so no SQL oracle; driver records rows-only.
-    GQuery.noOracle("q_cardinality") { (s, d) =>
-      li(s, d).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    // `cardinality(f)` (ES approximate distinct). HLL++ sketch values differ
+    // across engines, so the oracle checks the *tolerance contract* instead:
+    // Spark emits the exact distinct counts (value-comparable) plus booleans
+    // asserting the sketch landed within 10% of exact; DuckDB computes the
+    // same exact counts and asserts the same booleans as TRUE.
+    GQuery(
+      "q_cardinality",
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |       TRUE AS parts_within_10pct,
+        |       TRUE AS orders_within_10pct
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      li(s, d)
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey")).as("ao"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(
+          col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.1).as("parts_within_10pct"),
+          (abs(col("ao") - col("exact_orders")) <=
+            col("exact_orders") * 0.1).as("orders_within_10pct"))
     },
 
     // `terms(field, n)` (ES top-N buckets): groupBy/count/orderBy/limit.

@@ -51,8 +51,8 @@ object Scalars {
       "q_math_funcs",
       """SELECT l_orderkey, l_linenumber,
         |       round(abs(l_discount - l_tax), 4) AS adiff,
-        |       floor(l_quantity) AS fq,
-        |       ceil(l_extendedprice / 1000) AS ck,
+        |       CAST(floor(l_quantity) AS BIGINT) AS fq,
+        |       CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS ck,
         |       l_partkey % 7 AS m7,
         |       round(sqrt(l_quantity), 6) AS sq,
         |       round(ln(l_extendedprice), 6) AS lnp,

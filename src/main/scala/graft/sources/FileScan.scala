@@ -1,0 +1,258 @@
+package graft.sources
+
+import java.io.{BufferedReader, File, FileReader}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+
+/** Predicate accept-list + evaluator for the file connector.
+  *
+  * The op set mirrors what the reference pushes to MongoDB (the fullest
+  * backend: =, !=, ranges, IN, exists/missing, LIKE-prefix/suffix/contains,
+  * dataux backends/mongo/sql_to_mgo.go:441-655) while the conjunction rule
+  * mirrors Cassandra's conservative AND-only acceptance
+  * (sql_to_cql.go:441-468): OR trees and anything else are *declined*, and
+  * Spark's `V2ScanRelationPushDown` re-applies them post-scan — the
+  * residual-polyfill semantics of the reference
+  * (sql_to_cql.go:199-204) for free.
+  *
+  * Evaluation happens source-side on the accepted set: a pushed filter is a
+  * contract that the scan output already satisfies it.
+  */
+object FilterEval {
+
+  private def top(schema: StructType, attr: String): Boolean =
+    schema.fieldNames.exists(_.equalsIgnoreCase(attr))
+
+  private def isString(schema: StructType, attr: String): Boolean =
+    schema.fields.find(_.name.equalsIgnoreCase(attr))
+      .exists(_.dataType == StringType)
+
+  /** Can this predicate be pushed into (and evaluated by) the source? */
+  def accepts(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(a, _) => top(schema, a)
+    case GreaterThan(a, _) => top(schema, a)
+    case GreaterThanOrEqual(a, _) => top(schema, a)
+    case LessThan(a, _) => top(schema, a)
+    case LessThanOrEqual(a, _) => top(schema, a)
+    case In(a, _) => top(schema, a)
+    case IsNull(a) => top(schema, a)
+    case IsNotNull(a) => top(schema, a)
+    case StringStartsWith(a, _) => isString(schema, a)
+    case StringEndsWith(a, _) => isString(schema, a)
+    case StringContains(a, _) => isString(schema, a)
+    case Not(EqualTo(a, _)) => top(schema, a)
+    case And(l, r) => accepts(l, schema) && accepts(r, schema)
+    case _ => false // Or, EqualNullSafe, nested Not, AlwaysTrue/False, ...
+  }
+
+  // ---- evaluation -------------------------------------------------------
+
+  /** Normalize row/literal values to a comparable domain. */
+  private def norm(v: Any): Any = v match {
+    case b: java.lang.Byte => java.lang.Long.valueOf(b.longValue())
+    case s: java.lang.Short => java.lang.Long.valueOf(s.longValue())
+    case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue())
+    case l: java.lang.Long => l
+    case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue())
+    case d: java.lang.Double => d
+    case d: java.math.BigDecimal => java.lang.Double.valueOf(d.doubleValue())
+    case d: scala.math.BigDecimal => java.lang.Double.valueOf(d.toDouble)
+    case t: java.sql.Timestamp =>
+      java.lang.Long.valueOf(t.getTime / 1000 * 1000000L + t.getNanos / 1000)
+    case i: java.time.Instant =>
+      java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000)
+    case dt: java.time.LocalDateTime => // NTZ: wall-clock micros
+      java.lang.Long.valueOf(
+        dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + dt.getNano / 1000)
+    case d: java.sql.Date => java.lang.Long.valueOf(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => java.lang.Long.valueOf(d.toEpochDay)
+    case other => other
+  }
+
+  /** Three-valued compare collapsed to Option (None = incomparable). */
+  private def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
+    case (x: java.lang.Long, y: java.lang.Long) => Some(x.compareTo(y))
+    case (x: java.lang.Long, y: java.lang.Double) =>
+      Some(java.lang.Double.compare(x.doubleValue(), y))
+    case (x: java.lang.Double, y: java.lang.Long) =>
+      Some(java.lang.Double.compare(x, y.doubleValue()))
+    case (x: java.lang.Double, y: java.lang.Double) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** Evaluate one filter on an external-typed row (unknown ⇒ false, the
+    * same collapse SQL applies to WHERE). */
+  def eval(f: Filter, schema: StructType, row: Array[Any]): Boolean = {
+    def v(attr: String): Any = {
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(attr))
+      if (i < 0) null else row(i)
+    }
+    def nn(attr: String)(p: Any => Boolean): Boolean = {
+      val x = v(attr); x != null && p(x)
+    }
+    f match {
+      case EqualTo(a, b) => nn(a)(x => cmp(x, b).contains(0))
+      case GreaterThan(a, b) => nn(a)(x => cmp(x, b).exists(_ > 0))
+      case GreaterThanOrEqual(a, b) => nn(a)(x => cmp(x, b).exists(_ >= 0))
+      case LessThan(a, b) => nn(a)(x => cmp(x, b).exists(_ < 0))
+      case LessThanOrEqual(a, b) => nn(a)(x => cmp(x, b).exists(_ <= 0))
+      case In(a, vs) => nn(a)(x => vs.exists(b => cmp(x, b).contains(0)))
+      case IsNull(a) => v(a) == null
+      case IsNotNull(a) => v(a) != null
+      case StringStartsWith(a, p) => nn(a)(_.toString.startsWith(p))
+      case StringEndsWith(a, s) => nn(a)(_.toString.endsWith(s))
+      case StringContains(a, s) => nn(a)(_.toString.contains(s))
+      case Not(EqualTo(a, b)) => nn(a)(x => cmp(x, b).exists(_ != 0))
+      case And(l, r) => eval(l, schema, row) && eval(r, schema, row)
+      case _: AlwaysTrue => true
+      case _: AlwaysFalse => false
+      case other => throw new IllegalStateException(s"unpushable filter evaluated: $other")
+    }
+  }
+}
+
+/** One scan partition = one data file (record formats with quoted embedded
+  * newlines cannot split at byte offsets; parallelism comes from the
+  * many-files layout the write side produces). */
+final case class FilePartition(
+    path: String,
+    format: String,
+    parseSchemaJson: String,
+    outputIndices: Array[Int],
+    filters: Array[Filter],
+    limit: Int) extends InputPartition
+
+class FileScanBuilder(table: FileTable) extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = table.schema0
+  private var limit: Int = -1
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, declined) = filters.partition(FilterEval.accepts(_, table.schema0))
+    pushed = ok
+    declined // Spark re-applies these post-scan (residual polyfill)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Per-partition limit; `isPartiallyPushed` (default true) keeps Spark's
+    * global limit on top — the over-read-then-trim semantics the reference
+    * applies when a limit can't be fully delegated (sql_to_cql.go:219-229). */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+
+  override def build(): Scan = {
+    // the reader must parse filter-only columns too: Spark prunes them out
+    // of the required schema once the filter is pushed
+    val filterRefs = pushed.flatMap(_.references).map(_.toLowerCase).toSet
+    val parseFields = table.schema0.fields.filter { f =>
+      required.fieldNames.exists(_.equalsIgnoreCase(f.name)) ||
+        filterRefs.contains(f.name.toLowerCase)
+    }
+    val parseSchema = StructType(parseFields)
+    val outIdx = required.fieldNames.map(n =>
+      parseSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n)))
+    val outSchema = StructType(required.fieldNames.map(n =>
+      table.schema0.fields.find(_.name.equalsIgnoreCase(n)).get))
+    new FileScanImpl(table.dataFiles().map(_.getPath), table.format,
+      parseSchema, outSchema, outIdx, pushed, limit)
+  }
+}
+
+class FileScanImpl(
+    files: Seq[String],
+    format: String,
+    parseSchema: StructType,
+    outputSchema: StructType,
+    outputIndices: Array[Int],
+    pushed: Array[Filter],
+    limit: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = outputSchema
+
+  override def description(): String =
+    s"GraftFileScan format=$format files=${files.size} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"PushedLimit: ${if (limit >= 0) limit.toString else "none"}, " +
+      s"ReadSchema: ${outputSchema.catalogString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => FilePartition(f, format, parseSchema.json,
+      outputIndices, pushed, limit): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FilePartitionReaderFactory
+}
+
+class FilePartitionReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FilePartition]
+    val parseSchema = DataType.fromJson(p.parseSchemaJson).asInstanceOf[StructType]
+    val outSchema = StructType(p.outputIndices.map(parseSchema.fields(_)))
+    val codec = FileCodec.forFormat(p.format)
+    val in = new BufferedReader(new FileReader(new File(p.path)))
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(outSchema)
+    val base = codec.reader(in, parseSchema)
+      .filter(row => p.filters.forall(FilterEval.eval(_, parseSchema, row)))
+    val limited = if (p.limit >= 0) base.take(p.limit) else base
+    val rows = limited.map { row =>
+      toCatalyst(Row.fromSeq(p.outputIndices.toSeq.map(row(_))))
+        .asInstanceOf[InternalRow]
+    }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+/** Scan for the `_files` meta-table: listing computed at plan time on the
+  * driver, shipped as one partition. No pushdown — every filter is declined
+  * so Spark polyfills all predicates. */
+class FilesMetaScanBuilder(source: SourceDef) extends ScanBuilder {
+  override def build(): Scan = new Scan with Batch {
+    private val rows = FilesMetaTable.listRows(source)
+    override def readSchema(): StructType = FilesMetaTable.Schema
+    override def description(): String = s"GraftFilesMeta source=${source.name}"
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(MetaRowsPartition(rows))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new MetaReaderFactory
+  }
+}
+
+final case class MetaRowsPartition(rows: Array[Array[Any]]) extends InputPartition
+
+class MetaReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[MetaRowsPartition].rows
+    val conv = CatalystTypeConverters.createToCatalystConverter(FilesMetaTable.Schema)
+    val it = rows.iterator.map(r => conv(Row.fromSeq(r.toSeq)).asInstanceOf[InternalRow])
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

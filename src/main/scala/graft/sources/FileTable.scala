@@ -1,0 +1,210 @@
+package graft.sources
+
+import java.io.{BufferedReader, File, FileReader}
+import java.util
+
+import scala.util.Using
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, Filter}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A file-backed table: one directory of CSV/JSONL part files plus a
+  * `_graft.json` sidecar recording format + schema.
+  *
+  * Spark-native counterpart of the reference's file-source tables
+  * (dataux backends/files/filesource_test.go:258-304). Reads are DSv2 scans
+  * with filter/column/limit pushdown ([[FileScanBuilder]]); writes are
+  * append batch writes with a task-temp + driver-rename commit protocol
+  * ([[FileWriteBuilder]]); `DELETE WHERE` is a distributed file rewrite
+  * (reference: delete-by-where, backends/cassandra/sql_to_cql.go:368-394).
+  *
+  * Table schema comes from the sidecar when present, otherwise it is
+  * inferred by sampling the head of the data files — the reference's
+  * sample-based schema discovery (backends/mongo/mgo_source.go:269-311).
+  *
+  * Scale notes: a table is a *directory of files*; scan parallelism is one
+  * partition per file, so large tables need many files (the file-sink
+  * writes one file per input partition, preserving upstream parallelism).
+  * Paths assume a shared filesystem (local/NFS/object-store mount); a
+  * production port swaps java.io for the Hadoop FileSystem API at the
+  * clearly-isolated open/list/rename call sites in this package.
+  */
+class FileTable(
+    val source: SourceDef,
+    val tableName: String,
+    val schema0: StructType,
+    val format: String)
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  val dir: File = source.tableDir(tableName)
+  def codec: FileCodec = FileCodec.forFormat(format)
+
+  override def name(): String =
+    s"${SourceRegistry.CatalogName}.${source.name}.$tableName"
+
+  override def schema(): StructType = schema0
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] =
+    util.Map.of("format", format, "location", dir.getPath)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FileScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new FileWriteBuilder(dir.getPath, format, schema0, info.queryId())
+
+  def dataFiles(): Seq[File] = FileTable.dataFiles(dir, codec.extension)
+
+  // ---- DELETE WHERE -----------------------------------------------------
+
+  /** Delete-by-where is accepted only when every predicate is inside the
+    * connector's accept-list (the reference refuses non-expressible
+    * deletes, sql_to_cql.go:376-394). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall {
+      case _: AlwaysTrue | _: AlwaysFalse => true
+      case f => FilterEval.accepts(f, schema0)
+    }
+
+  /** Distributed rewrite: each task streams one file, keeps the rows the
+    * conjunction does NOT match, and writes a replacement; the driver then
+    * swaps replacements in. RDD-over-files is the right tool here — this is
+    * genuinely per-file imperative IO, not a dataflow computation. */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (filters.exists(_.isInstanceOf[AlwaysFalse])) return
+    val files = dataFiles()
+    if (files.isEmpty) return
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) { // TRUNCATE
+      files.foreach(_.delete())
+      return
+    }
+    val spark = SparkSession.active
+    val fmt = format
+    val schemaJson = schema0.json
+    val conjuncts = filters
+    val results = spark.sparkContext
+      .parallelize(files.map(_.getPath), files.size)
+      .map { path =>
+        val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val cdc = FileCodec.forFormat(fmt)
+        val tmp = new File(path + ".rewrite")
+        var kept = 0L
+        Using.resource(new BufferedReader(new FileReader(path))) { in =>
+          Using.resource(new java.io.BufferedWriter(new java.io.FileWriter(tmp))) { out =>
+            cdc.writeHeader(out, sch)
+            cdc.reader(in, sch).foreach { row =>
+              val matched = conjuncts.forall(f => FilterEval.eval(f, sch, row))
+              if (!matched) { cdc.write(out, row, sch); kept += 1 }
+            }
+          }
+        }
+        (path, tmp.getPath, kept)
+      }
+      .collect() // tiny: one (path, path, count) triple per file
+    results.foreach { case (orig, tmp, kept) =>
+      new File(orig).delete()
+      if (kept > 0) new File(tmp).renameTo(new File(orig))
+      else new File(tmp).delete()
+    }
+  }
+}
+
+object FileTable {
+
+  val SidecarName = "_graft.json"
+  private val mapper = new ObjectMapper()
+
+  def dataFiles(dir: File, ext: String): Seq[File] =
+    Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.endsWith("." + ext) &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .sortBy(_.getName).toSeq
+
+  /** Create: directory + sidecar. */
+  def create(s: SourceDef, table: String, schema: StructType, format: String): FileTable = {
+    val dir = s.tableDir(table)
+    dir.mkdirs()
+    val obj = mapper.createObjectNode()
+    obj.put("format", format)
+    obj.set[com.fasterxml.jackson.databind.JsonNode](
+      "schema", mapper.readTree(schema.json))
+    val sidecar = new File(dir, SidecarName)
+    Using.resource(new java.io.FileWriter(sidecar))(
+      _.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(obj)))
+    new FileTable(s, table, schema, format)
+  }
+
+  /** Open: sidecar if present, else infer by sampling the first data file. */
+  def open(s: SourceDef, table: String): Option[FileTable] = {
+    val dir = s.tableDir(table)
+    val sidecar = new File(dir, SidecarName)
+    if (sidecar.isFile) {
+      val obj = mapper.readTree(sidecar)
+      val fmt = obj.get("format").asText()
+      val schema = DataType.fromJson(obj.get("schema").toString).asInstanceOf[StructType]
+      Some(new FileTable(s, table, schema, fmt))
+    } else {
+      // no sidecar: discover format from extensions, schema from sampling
+      Seq("csv", "json").view.flatMap { fmt =>
+        val cdc = FileCodec.forFormat(fmt)
+        dataFiles(dir, cdc.extension).headOption.map { f =>
+          val schema = Using.resource(new BufferedReader(new FileReader(f)))(
+            cdc.inferSchema)
+          new FileTable(s, table, schema, fmt)
+        }
+      }.headOption
+    }
+  }
+}
+
+/** Per-source `_files` meta-table (reference:
+  * backends/files/filesource_test.go:221-238): one row per data file of
+  * every table in the source. Read-only; no pushdown — every predicate is
+  * declined, so Spark polyfills all filtering (the residual path in its
+  * purest form). The listing is driver-side metadata, planned into a single
+  * input partition; a petabyte-scale source would chunk the listing across
+  * partitions, but the listing itself is always metadata-sized.
+  */
+class FilesMetaTable(source: SourceDef) extends Table with SupportsRead {
+
+  override def name(): String =
+    s"${SourceRegistry.CatalogName}.${source.name}.${FilesMetaTable.Name}"
+
+  override def schema(): StructType = FilesMetaTable.Schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.Set.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FilesMetaScanBuilder(source)
+}
+
+object FilesMetaTable {
+  val Name = "_files"
+  val Schema: StructType = StructType.fromDDL(
+    "file STRING, table_name STRING, format STRING, size_bytes BIGINT, updated TIMESTAMP")
+
+  def listRows(source: SourceDef): Array[Array[Any]] = {
+    val root = new File(source.path)
+    val tables = Option(root.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.isDirectory).sortBy(_.getName)
+    tables.flatMap { tdir =>
+      FileTable.open(source, tdir.getName).toSeq.flatMap { t =>
+        t.dataFiles().map { f =>
+          Array[Any](f.getName, tdir.getName, t.format, f.length(),
+            new java.sql.Timestamp(f.lastModified()))
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,104 @@
+package graft.sources
+
+import java.io.{BufferedWriter, File, FileWriter}
+
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Append write path for [[FileTable]] — the connector's insert sink
+  * (reference: per-backend `CreateMutator`/`Put` upserts,
+  * dataux backends/cassandra/sql_to_cql.go:246-361).
+  *
+  * Standard two-phase file commit: each task writes a hidden
+  * `.tmp-<query>-<partition>` file, the driver renames all temp files to
+  * visible `part-*` files in `commit()` and deletes them in `abort()`, so
+  * readers never observe a partial write. One output file per input
+  * partition preserves upstream parallelism — at cluster scale the table
+  * accumulates many part files, which is exactly what the one-partition-
+  * per-file scan side wants. Empty partitions produce no file.
+  */
+class FileWriteBuilder(
+    dirPath: String, format: String, schema: StructType, queryId: String)
+  extends WriteBuilder {
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new FileBatchWrite(dirPath, format, schema, queryId)
+    override def description(): String = s"GraftFileWrite format=$format dir=$dirPath"
+  }
+}
+
+final case class FileCommitMessage(tmpPath: String, finalName: String)
+  extends WriterCommitMessage
+
+class FileBatchWrite(
+    dirPath: String, format: String, schema: StructType, queryId: String)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new FileDataWriterFactory(dirPath, format, schema.json, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case FileCommitMessage(tmp, fin) =>
+        val t = new File(tmp)
+        if (t.isFile && !t.renameTo(new File(new File(dirPath), fin)))
+          throw new IllegalStateException(s"commit rename failed: $tmp -> $fin")
+      case null => // empty partition
+    }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case FileCommitMessage(tmp, _) => new File(tmp).delete()
+      case null =>
+    }
+}
+
+class FileDataWriterFactory(
+    dirPath: String, format: String, schemaJson: String, queryId: String)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new FileDataWriter(dirPath, format, schemaJson, queryId, partitionId, taskId)
+}
+
+class FileDataWriter(
+    dirPath: String, format: String, schemaJson: String,
+    queryId: String, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  private val codec = FileCodec.forFormat(format)
+  private val toScala = schema.fields.map(f =>
+    CatalystTypeConverters.createToScalaConverter(f.dataType))
+  private val tmp = new File(dirPath,
+    f".tmp-$queryId-$partitionId%05d-$taskId")
+  private val finalName = f"part-$queryId-$partitionId%05d.${codec.extension}"
+
+  private var out: BufferedWriter = _
+
+  override def write(record: InternalRow): Unit = {
+    if (out == null) { // lazily created: empty partitions write no file
+      tmp.getParentFile.mkdirs()
+      out = new BufferedWriter(new FileWriter(tmp))
+      codec.writeHeader(out, schema)
+    }
+    val ext = Array.tabulate[Any](schema.length) { i =>
+      if (record.isNullAt(i)) null
+      else toScala(i)(record.get(i, schema.fields(i).dataType))
+    }
+    codec.write(out, ext, schema)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out == null) null
+    else { out.close(); out = null; FileCommitMessage(tmp.getPath, finalName) }
+  }
+
+  override def abort(): Unit = close()
+
+  override def close(): Unit = {
+    if (out != null) { out.close(); out = null; tmp.delete() }
+  }
+}

@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 `TableCatalog` exposing every registered [[SourceDef]] as a
+  * namespace: `graft.<source>.<table>`.
+  *
+  * This is the Spark-native equivalent of the reference's virtual schema of
+  * heterogeneous sources (dataux schema registry + per-source schemas,
+  * SURVEY.md §2.1): Spark's `CatalogManager` plays the registry, and each
+  * namespace delegates to a file-backed source with its own pushdown
+  * accept-list. A multi-catalog query (`graft.a.x JOIN graft.b.y JOIN
+  * spark_catalog...`) is the heterogeneous-source federation join.
+  *
+  * Every namespace also exposes a `_files` meta-table listing the source's
+  * data files, mirroring the reference's file-source `_files` table
+  * (backends/files/filesource_test.go:221-238).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = SourceRegistry.CatalogName
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    // conf-declared sources: spark.sql.catalog.graft.source.<name> = <path>[|format]
+    options.entrySet().forEach { e =>
+      val k = e.getKey
+      if (k.startsWith("source.")) {
+        val src = k.stripPrefix("source.")
+        val (path, fmt) = e.getValue.split('|') match {
+          case Array(p, f) => (p, f)
+          case Array(p) => (p, "csv")
+        }
+        if (SourceRegistry.get(src).isEmpty)
+          SourceRegistry.register(SourceDef(src, path, fmt))
+      }
+    }
+  }
+
+  override def name(): String = catalogName
+
+  private def source(namespace: Array[String]): SourceDef = {
+    if (namespace.length != 1) throw new NoSuchNamespaceException(namespace)
+    SourceRegistry.get(namespace(0))
+      .getOrElse(throw new NoSuchNamespaceException(namespace))
+  }
+
+  // ---- namespaces -------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    SourceRegistry.all.map(s => Array(s.name)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else { source(namespace); Array.empty }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && SourceRegistry.get(namespace(0)).isDefined
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    val s = source(namespace)
+    util.Map.of("location", s.path, "format", s.format)
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1, "source namespaces are single-level")
+    val path = Option(metadata.get("location"))
+      .getOrElse(new java.io.File(
+        sys.props("user.dir"), s"target/graft-sources/${namespace(0)}").getPath)
+    val fmt = Option(metadata.get("format")).getOrElse("csv")
+    SourceRegistry.register(SourceDef(namespace(0), path, fmt))
+  }
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    source(namespace) // throws if absent
+    SourceRegistry.drop(namespace(0))
+  }
+
+  // ---- tables -----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val s = source(namespace)
+    val dirs = Option(new java.io.File(s.path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).sorted
+    (dirs :+ FilesMetaTable.Name).map(Identifier.of(namespace, _))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val s = source(ident.namespace())
+    if (ident.name() == FilesMetaTable.Name) new FilesMetaTable(s)
+    else {
+      val dir = s.tableDir(ident.name())
+      if (!dir.isDirectory) throw new NoSuchTableException(ident)
+      FileTable.open(s, ident.name())
+        .getOrElse(throw new NoSuchTableException(ident))
+    }
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val s = source(ident.namespace())
+    require(partitions.isEmpty, "partitioned file tables not supported")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val fmt = Option(properties.get(TableCatalog.PROP_PROVIDER))
+      .map(_.toLowerCase).filter(f => f == "csv" || f == "json")
+      .getOrElse(s.format)
+    FileTable.create(s, ident.name(), schema, fmt)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val s = source(ident.namespace())
+    val dir = s.tableDir(ident.name())
+    if (!dir.isDirectory) false
+    else {
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      dir.delete()
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val s = source(oldIdent.namespace())
+    require(newIdent.namespace().sameElements(oldIdent.namespace()),
+      "rename across sources not supported")
+    if (!s.tableDir(oldIdent.name()).renameTo(s.tableDir(newIdent.name())))
+      throw new NoSuchTableException(oldIdent)
+  }
+}
