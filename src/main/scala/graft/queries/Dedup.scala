@@ -1,7 +1,12 @@
 package graft.queries
 
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
 import graft.core.{GQuery, Tables}
 import graft.functions.HashFunctions
 
@@ -13,28 +18,34 @@ import graft.functions.HashFunctions
   * DuckDB value oracles. The oracle SQL lives in OracleFragments.
   *
   * Scale design (100 TB):
-  *   - signatures are computed per-row in one codegen'd pass (no shuffle);
+  *   - signatures are computed per-row in one codegen'd pass (no shuffle)
+  *     and persisted — the corpus-wide projection runs once, not once per
+  *     downstream consumer;
   *   - LSH banding turns the O(N²) pair space into an equi-join on
   *     (band, band_hash) — shuffle keyed by bucket, the standard scalable
   *     near-dup layout;
-  *   - skew guard: buckets larger than CAP docs are dropped before the pair
-  *     join (a degenerate bucket — e.g. empty documents — would otherwise
-  *     produce O(n²) pairs). The hot-bucket list is tiny, so the anti-join
-  *     broadcasts. The cap is part of the operator's semantics and is
+  *   - skew guard: buckets larger than CAP docs emit a *sorted consecutive
+  *     chain* of pairs (O(n) pairs, connectivity preserved) instead of all
+  *     O(n²) pairs. Dropping hot buckets outright would silently lose
+  *     exactly the duplicate families dedup exists for (boilerplate >CAP
+  *     copies); chaining keeps every family connected while bounding the
+  *     join blow-up. The rule is part of the operator's semantics and is
   *     mirrored in the oracle;
   *   - exact n-gram Jaccard uses an inverted-index join with a document-
   *     frequency cutoff so hyper-common shingles never quadratically blow
   *     up the join (also mirrored in the oracle);
-  *   - cluster resolution is iterated hash-to-min label propagation
-  *     (O(log diameter) rounds, each a shuffle-join), not a driver-side
-  *     graph walk; per-round lineage is cut with localCheckpoint.
+  *   - cluster resolution is an RDD loop of min-label propagation with
+  *     path-halving (label-of-label), co-partitioned by a fixed
+  *     HashPartitioner so the per-round joins never reshuffle; persist()
+  *     (lineage-backed, fault-tolerant — unlike localCheckpoint) caches
+  *     each round and unpersists the superseded one.
   */
 object Dedup {
 
   private val K = 64       // minhash permutations
   private val B = 16       // LSH bands
   private val R = 4        // rows per band (K = B * R)
-  private val CAP = 32     // hot-bucket cap (skew guard)
+  private val CAP = 32     // hot-bucket cap (skew guard -> chain pairs)
   private val MAX_DF = 100 // n-gram document-frequency cutoff
 
   /** doc_id + minhash signature, one codegen'd projection. */
@@ -43,30 +54,44 @@ object Dedup {
     docs.select(col("doc_id"), HashFunctions.min_hash_sig(col("text"), K, 3).as("sig"))
   }
 
-  /** (doc_id, band, bh) — B buckets per doc, hot buckets dropped (skew
-    * guard): bucket sizes via partial-agg groupBy, oversized keys removed
-    * with a broadcast anti-join. */
-  private def bandBuckets(sigs: DataFrame): DataFrame = {
-    val bandCols = (0 until B).map(b => HashFunctions.band_hash(col("sig"), b * R, R))
-    val raw = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bh")
-    val hot = raw.groupBy("band", "bh").count().filter(col("count") > CAP)
-      .select("band", "bh")
-    raw.join(broadcast(hot), Seq("band", "bh"), "left_anti")
-      .select("doc_id", "band", "bh")
+  /** Candidate pairs from bucketed co-occurrence with the hot-bucket chain
+    * rule: cold buckets (≤ cap) emit all pairs; hot buckets emit the
+    * consecutive chain of their doc_id-sorted members. `rows` must have
+    * columns (doc_id, k1, k2) where (k1, k2) is the bucket key. */
+  private[graft] def cappedBucketPairs(rows: DataFrame, cap: Int): DataFrame = {
+    val sized = rows.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy("k1", "k2")))
+    val cold = sized.filter(col("bn") <= cap)
+    val a = cold.select(col("k1"), col("k2"), col("doc_id").as("doc_a"))
+    val b = cold.select(col("k1").as("k1b"), col("k2").as("k2b"),
+      col("doc_id").as("doc_b"))
+    val coldPairs = a.join(b,
+        col("k1") === col("k1b") && col("k2") === col("k2b") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val chainPairs = sized.filter(col("bn") > cap)
+      .withColumn("doc_b", lead("doc_id", 1).over(
+        Window.partitionBy("k1", "k2").orderBy("doc_id")))
+      .filter(col("doc_b").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+    coldPairs.union(chainPairs).distinct()
   }
 
-  /** LSH candidate pairs with exact signature-agreement estimate. */
-  private def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = signatures(s, Tables.load(s, d, "documents"))
+  /** (doc_id, band, bh) exploded LSH buckets. */
+  private def bandBuckets(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until B).map(b => HashFunctions.band_hash(col("sig"), b * R, R))
+    sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bh")
+  }
+
+  /** LSH candidate pairs with exact signature-agreement estimate, over an
+    * arbitrary documents frame (exposed for the >CAP-family spec). */
+  private[graft] def lshPairsFor(s: SparkSession, docs: DataFrame): DataFrame = {
+    val sigs = signatures(s, docs).persist(StorageLevel.MEMORY_AND_DISK)
     val buckets = bandBuckets(sigs)
-    val a = buckets.toDF("doc_a", "band_a", "bh_a")
-    val b = buckets.toDF("doc_b", "band_b", "bh_b")
-    val cand = a.join(b,
-        col("band_a") === col("band_b") && col("bh_a") === col("bh_b") &&
-          col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select(col("doc_id"), col("band").as("k1"), col("bh").as("k2"))
+    val cand = cappedBucketPairs(buckets, CAP)
     val sa = sigs.toDF("doc_a", "sig_a")
     val sb = sigs.toDF("doc_b", "sig_b")
     cand.join(sa, "doc_a").join(sb, "doc_b")
@@ -77,34 +102,72 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_j"))
   }
 
-  /** Connected components over a pair list via hash-to-min label
-    * propagation: each round every node takes the min label in its
-    * neighborhood; converges in O(log diameter) rounds. The per-round
-    * count() is a scalar convergence check, not a data collect. */
-  private[queries] def connectedComponents(
+  private def lshPairs(s: SparkSession, d: String): DataFrame =
+    lshPairsFor(s, Tables.load(s, d, "documents"))
+
+  /** Connected components over a pair list: iterated min-label propagation
+    * with path-halving (each round also adopts the label of the current
+    * label), which converges in O(log diameter) rounds — plain
+    * neighborhood-min alone is O(diameter).
+    *
+    * Implemented as an RDD loop co-partitioned by a fixed HashPartitioner:
+    * every per-round join is narrow (no reshuffle), each round's labels are
+    * persisted and the superseded round unpersisted, and persist() is
+    * lineage-backed so executor loss recomputes instead of failing the job.
+    * Throws if maxIter rounds do not converge — a silent exit would return
+    * wrong clusters. */
+  private[graft] def connectedComponents(
       nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var lbl = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(true)
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val nPart = spark.sparkContext.defaultParallelism
+    val part = new HashPartitioner(nPart)
+
+    val edges: RDD[(Long, Long)] = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var lbl: RDD[(Long, Long)] = nodes
+      .select(col("doc_id").cast("long")).as[Long].rdd
+      .map(id => (id, id))
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = edges.join(lbl.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min("cluster_id").as("nbr_min"))
-      val next = lbl.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
-      converged = next.join(lbl.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev")).isEmpty
+      // min label over the neighborhood (map-side combine via reduceByKey)
+      val nbrMin = edges.join(lbl)
+        .map { case (_, (dst, c)) => (dst, c) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      val stepped = lbl.leftOuterJoin(nbrMin, part)
+        .mapValues { case (c, o) => math.min(c, o.getOrElse(c)) }
+      // path halving: follow the label pointer one hop (label of label)
+      val viaParent = stepped.map { case (d, c) => (c, d) }
+        .join(stepped, part)
+        .map { case (_, (d, cc)) => (d, cc) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      val next = stepped.leftOuterJoin(viaParent, part)
+        .mapValues { case (c, o) => math.min(c, o.getOrElse(c)) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(lbl, part)
+        .filter { case (_, (a, b)) => a != b }
+      converged = changed.isEmpty()
+      lbl.unpersist(blocking = false)
       lbl = next
       i += 1
     }
-    lbl
+    if (!converged) {
+      edges.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter; returning partial labels would be silently wrong")
+    }
+    edges.unpersist(blocking = false)
+    lbl.toDF("doc_id", "cluster_id")
   }
 
   val queries: Seq[GQuery] = Seq(
@@ -149,23 +212,20 @@ object Dedup {
       HashFunctions.ensure(s)
       val sims = Tables.load(s, d, "documents")
         .select(col("doc_id"), HashFunctions.sim_hash64(col("text")).as("simhash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // 4 bands of 15 bits: pairs within hamming 3 must agree on >= 1 band
       val chunks = sims.select(col("doc_id"), col("simhash"),
           posexplode(array((0 until 4).map(c =>
             shiftright(col("simhash"), c * 15).bitwiseAND(lit(32767L))): _*)))
-        .withColumnRenamed("pos", "chunk")
-        .withColumnRenamed("col", "cv")
-      val hot = chunks.groupBy("chunk", "cv").count().filter(col("count") > CAP)
-        .select("chunk", "cv")
-      val ok = chunks.join(broadcast(hot), Seq("chunk", "cv"), "left_anti")
-        .select("doc_id", "simhash", "chunk", "cv")
-      val a = ok.toDF("doc_a", "sim_a", "chunk_a", "cv_a")
-      val b = ok.toDF("doc_b", "sim_b", "chunk_b", "cv_b")
-      a.join(b, col("chunk_a") === col("chunk_b") &&
-          col("cv_a") === col("cv_b") && col("doc_a") < col("doc_b"))
+        .withColumnRenamed("pos", "k1")
+        .withColumnRenamed("col", "k2")
+        .select("doc_id", "k1", "k2")
+      val cand = cappedBucketPairs(chunks, CAP)
+      val sa = sims.toDF("doc_a", "sim_a")
+      val sb = sims.toDF("doc_b", "sim_b")
+      cand.join(sa, "doc_a").join(sb, "doc_b")
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-        .distinct()
         .filter(col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     },

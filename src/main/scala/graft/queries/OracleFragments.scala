@@ -65,7 +65,9 @@ object OracleFragments {
        |sig AS (SELECT doc_id, list(v ORDER BY p) AS sig FROM mh GROUP BY doc_id)""".stripMargin
 
   /** LSH banding: 16 bands of 4 rows, band hash = fold (a*31+v) mod P
-    * (TextHash.bandHash); hot buckets (> CAP docs) dropped — the skew guard. */
+    * (TextHash.bandHash); skew guard: cold buckets (<= CAP docs) emit all
+    * pairs, hot buckets emit the consecutive chain of their sorted members
+    * — O(n) pairs, family connectivity preserved (Dedup.cappedBucketPairs). */
   private def bands(cap: Int) =
     s"""bandsraw AS (
        |  SELECT doc_id, b,
@@ -73,15 +75,25 @@ object OracleFragments {
        |           (a,v) -> (a*31+v) % $P) AS bh
        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb
        |),
-       |okb AS (SELECT b, bh FROM bandsraw GROUP BY b, bh HAVING count(*) <= $cap),
-       |bands AS (SELECT r.doc_id, r.b, r.bh FROM bandsraw r JOIN okb USING (b, bh))""".stripMargin
+       |bsz AS (SELECT b, bh, count(*) AS n FROM bandsraw GROUP BY b, bh),
+       |coldb AS (SELECT r.doc_id, r.b, r.bh FROM bandsraw r JOIN bsz USING (b, bh) WHERE bsz.n <= $cap),
+       |hotb AS (SELECT r.doc_id, r.b, r.bh FROM bandsraw r JOIN bsz USING (b, bh) WHERE bsz.n > $cap)""".stripMargin
 
   /** Candidate pairs from shared LSH buckets + exact signature-agreement
     * estimate est_j = |{i : sig_a[i] = sig_b[i]}| / 64. */
   private val lshPairsBody =
-    """cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-      |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+    """chain AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_id AS doc_a,
+      |           lead(doc_id) OVER (PARTITION BY b, bh ORDER BY doc_id) AS doc_b
+      |    FROM hotb) ch WHERE doc_b IS NOT NULL
+      |),
+      |cand AS (
+      |  SELECT DISTINCT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |    FROM coldb a JOIN coldb b2
+      |      ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+      |    UNION ALL SELECT doc_a, doc_b FROM chain) u
       |),
       |est AS (
       |  SELECT c.doc_a, c.doc_b,
@@ -161,7 +173,8 @@ object OracleFragments {
        |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin
 
   /** SimHash near-dup pairs: 4 bands of 15 bits (hamming <= 3 pigeonholes
-    * into >= 1 agreeing band), hot-bucket cap, exact hamming via bit_count. */
+    * into >= 1 agreeing band), hot buckets chained (not dropped), exact
+    * hamming via bit_count. */
   def simhashPairs(cap: Int): String =
     s"""WITH
        |$tok,
@@ -171,13 +184,28 @@ object OracleFragments {
        |  SELECT doc_id, simhash, cc.c AS chunk, (simhash >> (cc.c*15)) & 32767 AS cv
        |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cc
        |),
-       |okc AS (SELECT chunk, cv FROM chunks GROUP BY chunk, cv HAVING count(*) <= $cap),
-       |chunks2 AS (SELECT ch.* FROM chunks ch JOIN okc USING (chunk, cv)),
+       |csz AS (SELECT chunk, cv, count(*) AS n FROM chunks GROUP BY chunk, cv),
+       |coldc AS (SELECT ch.doc_id, ch.chunk, ch.cv FROM chunks ch JOIN csz USING (chunk, cv) WHERE csz.n <= $cap),
+       |hotc AS (SELECT ch.doc_id, ch.chunk, ch.cv FROM chunks ch JOIN csz USING (chunk, cv) WHERE csz.n > $cap),
+       |chainc AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_id AS doc_a,
+       |           lead(doc_id) OVER (PARTITION BY chunk, cv ORDER BY doc_id) AS doc_b
+       |    FROM hotc) ch WHERE doc_b IS NOT NULL
+       |),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM coldc a JOIN coldc b
+       |      ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |    UNION ALL SELECT doc_a, doc_b FROM chainc) u
+       |),
        |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-       |  FROM chunks2 a JOIN chunks2 b
-       |    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+       |  FROM cand c
+       |  JOIN sim sa ON sa.doc_id = c.doc_a
+       |  JOIN sim sb ON sb.doc_id = c.doc_b
        |)
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
        |ORDER BY doc_a, doc_b""".stripMargin

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+
+/** Similarity search over the `embeddings` table (beyond-reference; the
+  * LLM-pipeline ANN surface): brute-force cosine top-k as the exactness
+  * baseline, and a sign-random-projection LSH bucketed variant as the
+  * scale path.
+  *
+  * Cross-engine determinism: cosine is computed as a left-to-right fold
+  * over the same double-cast values in both engines (Spark `aggregate`
+  * HOF ≍ DuckDB list functions), and displayed similarities are rounded
+  * to 4 decimals; ranking ties break on candidate id. The LSH hyperplanes
+  * are ±1 vectors derived from the same modular arithmetic family as
+  * [[graft.functions.TextHash]] (A(i) = (1 + i·2654435761) mod P), so the
+  * DuckDB oracle reproduces the exact bucket assignment.
+  *
+  * Scale design (100 TB):
+  *   - the query set is tiny and broadcast; the corpus scan stays fully
+  *     partitioned — no corpus shuffle in the scoring pass;
+  *   - brute force is O(|corpus|) per query — the honest baseline; the
+  *     bucketed variant prunes to one-bucket candidate sets via an
+  *     equi-join on bucket id, the standard ANN layout (more tables =
+  *     more hyperplane seeds, same plan shape);
+  *   - top-k uses a window partitioned by query id over the *scored
+  *     pairs* (|queries|·k rows dominate, not |corpus|).
+  */
+object Similarity {
+
+  private val P = 1000000007L
+  private val Dim = 64
+  private val H = 6 // hyperplanes -> 2^6 buckets
+
+  /** ±1 hyperplane component (h, j): parity of A(h·64+j). */
+  private def planeSign(h: Int, j: Int): Double = {
+    val i = h * Dim + j
+    if ((1L + i.toLong * 2654435761L) % P % 2 == 0) 1.0 else -1.0
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Bucket id = Σ_h 2^h · [v·plane_h ≥ 0]. */
+  private def bucketCol(v: Column): Column =
+    (0 until H).map { h =>
+      val plane = typedLit((0 until Dim).map(planeSign(h, _)))
+      when(dot(v, plane) >= 0, lit(1 << h)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** DuckDB SQL fragment: per-vector LSH bucket id (mirrors bucketCol). */
+  private val oracleBuckets =
+    s"""buckets AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN b = 1 THEN 1 << h ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT vec_id, h,
+       |           CASE WHEN sum(CASE WHEN ((1 + (h*$Dim + j - 1)*2654435761) % $P) % 2 = 0
+       |                              THEN x ELSE -x END) >= 0 THEN 1 ELSE 0 END AS b
+       |    FROM (SELECT vec_id, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS j,
+       |                 unnest(CAST(embedding AS DOUBLE[])) AS x
+       |          FROM embeddings) ux
+       |    CROSS JOIN range($H) r(h)
+       |    GROUP BY vec_id, h
+       |  ) signs
+       |  GROUP BY vec_id
+       |)""".stripMargin
+
+  val queries: Seq[GQuery] = Seq(
+
+    // Exact brute-force cosine top-k: 3 query vectors against the whole
+    // corpus. The oracle recomputes cosine explicitly in DuckDB.
+    GQuery(
+      "q_ann_cosine_topk",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         list_dot_product(q.v, c.v) /
+        |           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 3),
+        |ranked AS (
+        |  SELECT query_id, cand_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      val e = vecs(s, d)
+      val q = e.filter(col("vec_id") < 3).toDF("query_id", "qv")
+      val c = e.toDF("cand_id", "cv")
+      val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          cosine(col("qv"), col("cv")).as("sim"))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+          col("cand_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // LSH-bucketed ANN: sign-random-projection buckets; candidates are
+    // corpus vectors sharing the query's bucket — an equi-join on bucket
+    // id instead of a cross join. Exact cosine re-scoring inside buckets.
+    GQuery(
+      "q_ann_lsh_bucket",
+      s"""WITH $oracleBuckets,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qb AS (SELECT b.vec_id, b.bucket, e.v FROM buckets b JOIN e USING (vec_id) WHERE b.vec_id < 50),
+         |cb AS (SELECT b.vec_id, b.bucket, e.v FROM buckets b JOIN e USING (vec_id))
+         |SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket,
+         |       round(list_dot_product(q.v, c.v) /
+         |             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
+         |FROM qb q JOIN cb c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |ORDER BY query_id, cand_id""".stripMargin) { (s, d) =>
+      val e = vecs(s, d).withColumn("bucket", bucketCol(col("v")).cast("long"))
+      val q = e.filter(col("vec_id") < 50).toDF("query_id", "qv", "bucket")
+      val c = e.toDF("cand_id", "cv", "bucket_c")
+      c.join(broadcast(q),
+          col("bucket_c") === col("bucket") && col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"), col("bucket"),
+          round(cosine(col("qv"), col("cv")), 4).as("sim"))
+        .orderBy("query_id", "cand_id")
+    }
+  )
+}

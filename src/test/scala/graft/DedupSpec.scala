@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Dedup
+
+/** Unit coverage for the dedup machinery's scale-hazard fixes:
+  *   - a duplicate family larger than the hot-bucket CAP (32) must still
+  *     come out as one connected cluster (chain pairs, not bucket drop);
+  *   - connectedComponents must converge on a path graph much deeper than
+  *     the round budget would allow without path-halving (25-hop chain,
+  *     maxIter 20 — plain min-propagation would need 25 rounds).
+  */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("duplicate family larger than CAP clusters as one component") {
+    import spark.implicits._
+    val family = (0 until 40).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    val others = (100 until 110).map(i =>
+      (i.toLong, s"completely unrelated document number $i with unique words w$i x$i y$i z$i"))
+    val docs = (family ++ others).toDF("doc_id", "text")
+    val pairs = Dedup.lshPairsFor(spark, docs)
+    val clusters = Dedup.connectedComponents(docs.select("doc_id"), pairs)
+    val familyClusters = clusters.filter(col("doc_id") < 40)
+      .select("cluster_id").distinct().collect()
+    assert(familyClusters.length == 1, "40-doc family fragmented")
+    assert(familyClusters.head.getLong(0) == 0L)
+    // the distinct docs must NOT be absorbed into the family
+    val otherOwn = clusters.filter(col("doc_id") >= 100)
+      .filter(col("cluster_id") < 40).count()
+    assert(otherOwn == 0, "unrelated docs joined the family cluster")
+  }
+
+  test("connectedComponents converges on a 25-hop chain within maxIter=20") {
+    import spark.implicits._
+    val nodes = (0L to 25L).toDF("doc_id")
+    val pairs = (0L until 25L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall(_._2 == 0L), s"chain not fully labeled: ${out.mkString(",")}")
+  }
+
+  test("connectedComponents throws rather than returning wrong labels") {
+    import spark.implicits._
+    val nodes = (0L to 8L).toDF("doc_id")
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(nodes, pairs, maxIter = 1)
+    }
+  }
+}
