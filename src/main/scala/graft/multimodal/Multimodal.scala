@@ -1,0 +1,105 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed in batches inside
+  * `mapPartitions` (the Scala analogue of `mapInPandas`: per-partition
+  * batch iteration with a fixed batch size, so a real decoder amortizes
+  * model/codec setup across a batch instead of paying it per row).
+  *
+  * The decode itself is a clearly-marked DETERMINISTIC STUB — this
+  * container has no image/audio codecs — but everything around it is the
+  * real engineering surface: schema (typed case classes + Encoders),
+  * partition preservation (narrow mapPartitions, no shuffle), batch shape,
+  * null-payload handling, and a value-level oracle (the stub's arithmetic
+  * is the cross-engine TextHash fold, so DuckDB reproduces it exactly).
+  *
+  * Scale design (100 TB of media): decode/feature-extract are one-pass
+  * narrow transforms — parallelism is inherited from the scan; batches
+  * bound peak memory per task (BatchSize payloads, not a partition's
+  * worth); a real deployment swaps `stubDecode`/`stubFeatures` for codec
+  * calls without touching any plumbing.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + envelope metadata. */
+  final case class MediaRow(
+      media_id: Long, kind: String, mime: String, payload: Array[Byte])
+
+  /** Decoded metadata + a small feature vector. */
+  final case class DecodedMedia(
+      media_id: Long, kind: String, width: Int, height: Int,
+      n_frames: Int, features: Array[Double])
+
+  /** Batch size for per-partition processing (the `mapInPandas` batch
+    * analogue: a real decoder would decode these BatchSize payloads as one
+    * vectorized call). */
+  val BatchSize = 64
+
+  val FeatureDim = 4
+
+  /** STUB — deterministic fake decode. A real implementation parses the
+    * image/audio container here (payload headers → dimensions/frames).
+    * The fake derives everything from the TextHash fold of the payload
+    * bytes so the DuckDB oracle can recompute identical values. */
+  def stubDecode(m: MediaRow): DecodedMedia = {
+    val h = TextHash.polyHash(new String(m.payload, java.nio.charset.StandardCharsets.UTF_8))
+    val width = (h % 640 + 16).toInt
+    val height = (h / 640 % 480 + 16).toInt
+    val nFrames = if (m.kind == "image") 1 else (h % 24 + 1).toInt
+    DecodedMedia(m.media_id, m.kind, width, height, nFrames, stubFeatures(h))
+  }
+
+  /** STUB — deterministic fake feature extractor: byte-slices of the hash
+    * as dyadic rationals (exact in IEEE double on every engine). */
+  def stubFeatures(h: Long): Array[Double] =
+    Array.tabulate(FeatureDim)(j => ((h >> (8 * j)) & 255).toDouble / 256.0)
+
+  /** Wrap a documents frame as a media table: the text payload stands in
+    * for image bytes (same opaque-binary plumbing, deterministic). */
+  def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      lit("image/png").as("mime"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Batched decode: one narrow pass, `BatchSize` payloads per decode
+    * call, partitioning preserved. Null/empty payloads yield no row
+    * (decode failures drop, as a real pipeline would quarantine them). */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // real impl: one vectorized decoder call over `batch` here
+        batch.iterator
+          .filter(m => m.payload != null && m.payload.nonEmpty)
+          .map(stubDecode)
+      }
+    }
+  }
+
+  /** Resize: metadata transform, payload passthrough (a real impl
+    * re-encodes pixels here). */
+  def resize(decoded: Dataset[DecodedMedia], w: Int, h: Int): Dataset[DecodedMedia] = {
+    import decoded.sparkSession.implicits._
+    decoded.map(d => d.copy(width = w, height = h))
+  }
+
+  /** Deterministic frame sampling: k evenly-spaced frame indices. */
+  def frameSample(decoded: Dataset[DecodedMedia], k: Int): DataFrame = {
+    import decoded.sparkSession.implicits._
+    decoded.map { d =>
+      val idx = (0 until k).map(i => i.toLong * d.n_frames / k).distinct.toArray
+      (d.media_id, idx)
+    }.toDF("media_id", "frame_indices")
+  }
+}

@@ -23,7 +23,7 @@ object OracleFragments {
   val P = "1000000007"
 
   /** tokenize: lower, split on \s+, drop empties (TextHash.tokenize). */
-  private val tok =
+  private[queries] val tok =
     """tok AS (
       |  SELECT doc_id,
       |         list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
@@ -32,7 +32,7 @@ object OracleFragments {
 
   /** 3-word shingles joined by ' '; whole token list when < 3 tokens
     * (TextHash.shingles, n = 3). */
-  private val shingle3 =
+  private[queries] val shingle3 =
     """sh AS (
       |  SELECT doc_id,
       |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+import graft.functions.HashFunctions
+
+/** Text-analysis operators over the `documents` table (beyond-reference;
+  * the LLM-pipeline corpus-statistics surface): language identification,
+  * quality scoring, token counting, and winnowing fingerprints.
+  *
+  * Every operator is a deterministic closed-form function of the text, so
+  * each carries a full DuckDB value oracle that re-implements the same
+  * arithmetic (same tokenization as graft.functions.TextHash; ratios are
+  * single IEEE divisions of identical integer operands; composite scores
+  * are fixed-order double arithmetic rounded to 6 decimals).
+  *
+  * Scale design (100 TB): all four are embarrassingly parallel one-pass
+  * projections — no shuffle anywhere except the final presentation sort.
+  * Everything stays inside whole-stage codegen (builtin functions +
+  * higher-order array functions; the fingerprint hash is the codegen'd
+  * shingle_hashes expression).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Deliberately small: the heuristic IS the
+    * operator; the oracle mirrors the same profiles. */
+  private val Profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "un", "dans"))
+
+  private val W = 4 // winnowing window (shingle hashes per window)
+
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  private def profileSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val queries: Seq[GQuery] = Seq(
+
+    // Corpus quality statistics + a composite quality score: length,
+    // token counts, mean token length, stopword ratio, a bounded-length
+    // reward — the standard pre-training quality-filter features.
+    GQuery(
+      "q_text_quality",
+      s"""WITH
+         |${OracleFragments.tok},
+         |st AS (
+         |  SELECT d.doc_id,
+         |         length(d.text) AS n_chars_m,
+         |         CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |         CAST(list_sum(list_transform(t.toks, x -> length(x))) AS DOUBLE)
+         |           / len(t.toks) AS mean_tok_len,
+         |         CAST(len(list_filter(t.toks,
+         |           x -> list_contains(${profileSql(Profiles(1)._2)}, x))) AS DOUBLE)
+         |           / len(t.toks) AS stop_ratio
+         |  FROM documents d JOIN tok t USING (doc_id))
+         |SELECT doc_id, n_chars_m, n_tokens,
+         |       round(mean_tok_len, 6) AS mean_tok_len,
+         |       round(stop_ratio, 6) AS stop_ratio,
+         |       round(least(n_tokens / 50.0, 1.0) * 0.5 + stop_ratio * 0.3 +
+         |             least(mean_tok_len / 8.0, 1.0) * 0.2, 6) AS quality
+         |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      val en = typedLit(Profiles(1)._2)
+      docs(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_m"),
+          toks.as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("mean_tok_len",
+          aggregate(transform(col("toks"), t => length(t)), lit(0),
+            (acc, x) => acc + x).cast("double") / col("n_tokens"))
+        .withColumn("stop_ratio",
+          size(filter(col("toks"), t => array_contains(en, t))).cast("double") /
+            col("n_tokens"))
+        .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
+          round(col("mean_tok_len"), 6).as("mean_tok_len"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(least(col("n_tokens") / 50.0, lit(1.0)) * 0.5 +
+            col("stop_ratio") * 0.3 +
+            least(col("mean_tok_len") / 8.0, lit(1.0)) * 0.2, 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic: stopword-profile hit counts per language,
+    // argmax with alphabetical tiebreak. (The fixture's `lang` column is a
+    // label, not ground truth for this vocabulary; the operator contract
+    // is the deterministic heuristic itself, mirrored in the oracle.)
+    GQuery(
+      "q_text_langid", {
+        val scores = Profiles.map { case (l, ws) =>
+          s"CAST(len(list_filter(toks, x -> list_contains(${profileSql(ws)}, x))) AS BIGINT) AS s_$l"
+        }.mkString(",\n         |       ")
+        s"""WITH
+           |${OracleFragments.tok},
+           |sc AS (
+           |  SELECT doc_id,
+           |       $scores
+           |  FROM tok)
+           |SELECT doc_id, s_de, s_en, s_es, s_fr,
+           |       CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           |            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           |            WHEN s_es >= s_fr THEN 'es'
+           |            ELSE 'fr' END AS lang_pred
+           |FROM sc ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      var df = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+      Profiles.foreach { case (l, ws) =>
+        df = df.withColumn(s"s_$l",
+          size(filter(col("toks"), t => array_contains(typedLit(ws), t))).cast("long"))
+      }
+      df.select(col("doc_id"), col("s_de"), col("s_en"), col("s_es"), col("s_fr"),
+          when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+            col("s_de") >= col("s_fr"), "de")
+            .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr").as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    // (letter runs | digit runs | single punctuation marks).
+    GQuery(
+      "q_text_tokens",
+      s"""WITH
+         |${OracleFragments.tok}
+         |SELECT d.doc_id,
+         |       CAST(len(t.toks) AS BIGINT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+         |       round(CAST(length(d.text) AS DOUBLE) / len(t.toks), 4) AS chars_per_tok
+         |FROM documents d JOIN tok t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("ws_tokens"),
+          regexp_count(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe_tokens"),
+          round(length(col("text")).cast("double") /
+            size(tokens(col("text"))), 4).as("chars_per_tok"))
+        .orderBy("doc_id")
+    },
+
+    // Winnowing document fingerprints (rolling-hash family): the minimum
+    // shingle hash in each sliding window of W consecutive 3-gram hashes;
+    // summary = distinct-fingerprint count + min/max fingerprint.
+    GQuery(
+      "q_text_fingerprint",
+      s"""WITH
+         |${OracleFragments.tok},
+         |${OracleFragments.shingle3},
+         |shp AS (SELECT doc_id, generate_subscripts(shingles, 1) AS pos,
+         |               unnest(shingles) AS s FROM sh),
+         |hhp AS (
+         |  SELECT doc_id, pos,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS BIGINT))),
+         |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
+         |  FROM shp),
+         |hl AS (SELECT doc_id, list(h ORDER BY pos) AS hh FROM hhp GROUP BY doc_id),
+         |fp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(hh) <= $W THEN [list_min(hh)]
+         |              ELSE list_transform(range(1, len(hh) - $W + 2),
+         |                                  i -> list_min(hh[i:i+$W-1]))
+         |         END AS wins
+         |  FROM hl)
+         |SELECT doc_id,
+         |       CAST(len(list_distinct(wins)) AS BIGINT) AS n_fp,
+         |       list_min(wins) AS fp_min, list_max(wins) AS fp_max
+         |FROM fp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      HashFunctions.ensure(s)
+      docs(s, d)
+        .select(col("doc_id"),
+          HashFunctions.shingle_hashes(col("text"), 3).as("hh"))
+        .withColumn("wins",
+          when(size(col("hh")) <= W, array(array_min(col("hh"))))
+            .otherwise(transform(sequence(lit(1), size(col("hh")) - (W - 1)),
+              i => array_min(slice(col("hh"), i, lit(W))))))
+        .select(col("doc_id"),
+          size(array_distinct(col("wins"))).cast("long").as("n_fp"),
+          array_min(col("wins")).as("fp_min"),
+          array_max(col("wins")).as("fp_max"))
+        .orderBy("doc_id")
+    }
+  )
+}

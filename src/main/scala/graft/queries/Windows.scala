@@ -108,15 +108,36 @@ object Windows {
         |  FROM orders WHERE o_custkey < 20
         |  WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)) t
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      Tables.load(s, d, "orders")
+      // A bare `Window.orderBy` (no partitionBy) would move ALL rows into a
+      // single WindowExec partition — the classic global-order bottleneck.
+      // Instead: range-partition by the order key, take per-partition
+      // counts (metadata-sized), prefix-sum them on the driver, and add
+      // the offset to a per-partition row_number — a two-pass global rank
+      // that stays fully parallel. The ordering includes a unique
+      // tiebreaker, so rank = row_number and the rank-derived functions
+      // are closed-form: ntile(k) = floor((rn-1)·k/n)+1,
+      // percent_rank = (rn-1)/(n-1), cume_dist = rn/n.
+      val order = Seq(col("o_totalprice").desc, col("o_orderkey"))
+      val ranged = Tables.load(s, d, "orders")
         .filter(col("o_custkey") < 20)
+        .repartitionByRange(s.conf.get("spark.sql.shuffle.partitions").toInt, order: _*)
+        .withColumn("_pid", spark_partition_id())
+      val cnts = ranged.groupBy("_pid").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = cnts.map(_._2).sum
+      val offsets = {
+        var acc = 0L
+        cnts.map { case (p, c) => val o = acc; acc += c; (p, o) }.toSeq
+      }
+      import s.implicits._
+      val offDf = offsets.toDF("_pid", "_off")
+      val wLocal = Window.partitionBy("_pid").orderBy(order: _*)
+      ranged.join(broadcast(offDf), "_pid")
+        .withColumn("_rn", col("_off") + row_number().over(wLocal))
         .select(col("o_orderkey"),
-          ntile(4).over(w).as("nt"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
-        .select(col("o_orderkey"), col("nt"),
-          round(col("pr"), 6).as("prank"), round(col("cd"), 6).as("cdist"))
+          (floor((col("_rn") - 1) * 4 / n) + 1).cast("int").as("nt"),
+          round((col("_rn") - 1).cast("double") / math.max(n - 1, 1), 6).as("prank"),
+          round(col("_rn").cast("double") / n, 6).as("cdist"))
         .orderBy("o_orderkey")
     },
 

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaRow
+
+/** The multimodal plumbing contract: schema, batch shape, partition
+  * preservation, null handling, and stub determinism. */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def media(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i =>
+      MediaRow(i.toLong, "image", "image/png", s"payload-$i".getBytes("UTF-8")))
+      .toDS().repartition(3)
+  }
+
+  test("decode emits typed schema and deterministic values") {
+    val out = Multimodal.decode(media(10))
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "width", "height", "n_frames", "features"))
+    val rows = out.collect().sortBy(_.media_id)
+    assert(rows.length == 10)
+    assert(rows.forall(r => r.width >= 16 && r.height >= 16 && r.n_frames == 1))
+    assert(rows.forall(_.features.length == Multimodal.FeatureDim))
+    // determinism: second run bit-identical
+    val again = Multimodal.decode(media(10)).collect().sortBy(_.media_id)
+    assert(rows.zip(again).forall { case (a, b) =>
+      a.width == b.width && a.features.sameElements(b.features) })
+  }
+
+  test("decode is a narrow transform (partitioning preserved, no shuffle)") {
+    val ds = media(100)
+    val out = Multimodal.decode(ds)
+    assert(out.rdd.getNumPartitions == ds.rdd.getNumPartitions)
+    val shuffles = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    // the input repartition is the only exchange; decode adds none
+    assert(shuffles <= 1, out.queryExecution.executedPlan.toString)
+  }
+
+  test("null/empty payloads are dropped, not crashed") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRow(1L, "image", "image/png", "ok".getBytes),
+      MediaRow(2L, "image", "image/png", null),
+      MediaRow(3L, "image", "image/png", Array.empty[Byte])).toDS()
+    assert(Multimodal.decode(ds).collect().map(_.media_id).toSeq == Seq(1L))
+  }
+
+  test("batched processing sees BatchSize-bounded groups") {
+    // 100 rows in 1 partition -> ceil(100/64) = 2 decode batches
+    import spark.implicits._
+    val one = media(100).coalesce(1).as[MediaRow]
+    val batches = one.mapPartitions(it =>
+      it.grouped(Multimodal.BatchSize).map(_.size).toIterator).collect()
+    assert(batches.toSeq == Seq(64, 36))
+  }
+
+  test("resize rewrites metadata, frameSample yields k distinct indices") {
+    val dec = Multimodal.decode(media(5))
+    val rs = Multimodal.resize(dec, 224, 224).collect()
+    assert(rs.forall(d => d.width == 224 && d.height == 224))
+    val fs = Multimodal.frameSample(dec, 3).collect()
+    assert(fs.forall(_.getSeq[Long](1) == Seq(0L))) // images: 1 frame
+  }
+}
