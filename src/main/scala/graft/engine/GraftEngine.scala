@@ -29,6 +29,34 @@ class GraftEngine(val spark: SparkSession) {
   Dialect.register(spark)
 
   private val userVars = TrieMap.empty[String, String]
+  private val prepared = TrieMap.empty[String, String]
+
+  /** Replace positional `?` placeholders (outside quoted strings) with the
+    * given literal values; errors on arity mismatch as MySQL does. */
+  private def bindPositional(body: String, vals: Seq[String]): String = {
+    val sb = new StringBuilder
+    var inStr = false
+    var i = 0
+    var used = 0
+    while (i < body.length) {
+      val ch = body.charAt(i)
+      if (inStr) { sb.append(ch); if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true; sb.append(ch)
+        case '?' =>
+          if (used >= vals.length)
+            throw new IllegalArgumentException(
+              s"not enough EXECUTE arguments: statement needs more than ${vals.length}")
+          sb.append(vals(used)); used += 1
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    if (used != vals.length)
+      throw new IllegalArgumentException(
+        s"too many EXECUTE arguments: statement uses $used of ${vals.length}")
+    sb.toString
+  }
 
   /** MySQL-ish system variables the reference answers (@@max_allowed_packet
     * et al., mysql_session.go). Values are engine-appropriate defaults. */
@@ -46,6 +74,9 @@ class GraftEngine(val spark: SparkSession) {
   private val TxnNoop = """(?is)\s*(BEGIN|COMMIT|ROLLBACK)\s*;?\s*""".r
   private val ShowVars = """(?is)\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'(.*)')?\s*;?\s*""".r
   private val ShowCreate = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?\s*;?\s*""".r
+  private val PrepareStmt = """(?is)\s*PREPARE\s+(\w+)\s+FROM\s+'((?:[^']|'')*)'\s*;?\s*""".r
+  private val ExecuteStmt = """(?is)\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+?))?\s*;?\s*""".r
+  private val DeallocStmt = """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*;?\s*""".r
   private val CreateSource = """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?SOURCE\s+(\w+)\s+WITH\s+(\{.*\})\s*;?\s*""".r
   private val DropSource = """(?is)\s*DROP\s+SOURCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val ShowSources = """(?is)\s*SHOW\s+SOURCES\s*;?\s*""".r
@@ -71,6 +102,24 @@ class GraftEngine(val spark: SparkSession) {
       import spark.implicits._
       Seq((t, showCreateTable(t))).toDF("Table", "Create Table")
 
+    // Prepared statements (reference: COM_STMT_PREPARE dispatch,
+    // frontends/mysqlfe/mysql_handler.go:142): PREPARE name FROM '...?...';
+    // EXECUTE name USING <expr>, ... — positional ? binding, quote-safe.
+    case PrepareStmt(name, body) =>
+      prepared.put(name, body.replace("''", "'"))
+      spark.emptyDataFrame
+
+    case ExecuteStmt(name, args) =>
+      val body = prepared.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown prepared statement: $name"))
+      val vals = Option(args).map(a => splitTopLevel(substitute(a))).getOrElse(Seq.empty)
+        .map(v => literal(spark.sql(s"SELECT ($v) AS v").collect()(0).get(0)))
+      sql(bindPositional(body, vals))
+
+    case DeallocStmt(name) =>
+      prepared.remove(name)
+      spark.emptyDataFrame
+
     // Runtime source registration (reference: `CREATE source ... WITH
     // {json}`, README.md:64-76, dispatched mysql_handler.go:253-260).
     // Accepted JSON keys: path (required), type ("csv"|"json", default csv).
@@ -80,9 +129,10 @@ class GraftEngine(val spark: SparkSession) {
         .getOrElse(throw new IllegalArgumentException(
           s"CREATE SOURCE $name: missing \"path\""))
       val fmt = Option(node.get("type")).map(_.asText().toLowerCase).getOrElse("csv")
+      val pd = Option(node.get("pushdown")).map(_.asText().toLowerCase).getOrElse("full")
       graft.sources.SourceRegistry.ensureCatalog(spark)
       graft.sources.SourceRegistry.register(
-        graft.sources.SourceDef(name, path, fmt))
+        graft.sources.SourceDef(name, path, fmt, pd))
       spark.emptyDataFrame
 
     case DropSource(name) =>

@@ -138,6 +138,30 @@ object Federation {
         .orderBy("table_name")
     },
 
+    // Aggregate pushdown (reference: SQL→ES aggregations,
+    // backends/elasticsearch/sqltoes.go:285-365): the scan ships per-file
+    // partial count/min/max/sum per group, Spark merges — the raw rows
+    // never leave the source.
+    GQuery(
+      "q_src_agg_pushdown",
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |       CAST(min(c_custkey) AS BIGINT) AS min_key,
+        |       round(max(c_acctbal), 2) AS max_bal,
+        |       CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer WHERE c_acctbal > 0.0
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.SourceName}.customer_json")
+        .filter(col("c_acctbal") > 0.0)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          min("c_custkey").as("min_key"),
+          round(max("c_acctbal"), 2).as("max_bal"),
+          sum("c_custkey").as("sum_key"))
+        .orderBy("c_mktsegment")
+    },
+
     // Full DML lifecycle on a connector table (reference: cassandra
     // INSERT/UPDATE/DELETE lifecycle, backends/cassandra/cass_test.go:
     // 484-599): CREATE TABLE → INSERT VALUES (DSv2 append) → UPDATE

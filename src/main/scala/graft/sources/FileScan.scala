@@ -2,12 +2,16 @@ package graft.sources
 
 import java.io.{BufferedReader, File, FileReader}
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate._
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** Predicate accept-list + evaluator for the file connector.
   *
@@ -75,7 +79,7 @@ object FilterEval {
   }
 
   /** Three-valued compare collapsed to Option (None = incomparable). */
-  private def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
+  private[sources] def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
     case (x: java.lang.Long, y: java.lang.Long) => Some(x.compareTo(y))
     case (x: java.lang.Long, y: java.lang.Double) =>
       Some(java.lang.Double.compare(x.doubleValue(), y))
@@ -129,17 +133,24 @@ final case class FilePartition(
     filters: Array[Filter],
     limit: Int) extends InputPartition
 
+/** One pushed aggregate function, indexed into the scan's parse schema.
+  * kinds: count_star | count | min | max | sum_long | sum_double. */
+final case class AggDef(kind: String, colIdx: Int, resultType: DataType)
+
 class FileScanBuilder(table: FileTable) extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = table.schema0
   private var limit: Int = -1
+  // (group col indices into table schema, agg defs indexed into table schema)
+  private var aggregation: Option[(Seq[Int], Seq[AggDef])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, declined) = filters.partition(FilterEval.accepts(_, table.schema0))
+    val (ok, declined) = filters.partition(table.acceptsFilter)
     pushed = ok
     declined // Spark re-applies these post-scan (residual polyfill)
   }
@@ -154,21 +165,198 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
     * applies when a limit can't be fully delegated (sql_to_cql.go:219-229). */
   override def pushLimit(n: Int): Boolean = { limit = n; true }
 
-  override def build(): Scan = {
-    // the reader must parse filter-only columns too: Spark prunes them out
-    // of the required schema once the filter is pushed
-    val filterRefs = pushed.flatMap(_.references).map(_.toLowerCase).toSet
-    val parseFields = table.schema0.fields.filter { f =>
-      required.fieldNames.exists(_.equalsIgnoreCase(f.name)) ||
-        filterRefs.contains(f.name.toLowerCase)
+  /** ES-style aggregate pushdown (reference: SQL→ES aggs,
+    * backends/elasticsearch/sqltoes.go:285-365, and the `hits.total`
+    * count(*) short-circuit, esresults.go:152-156): each file computes its
+    * *partial* count/min/max/sum (optionally grouped), so the scan ships
+    * one row per (file × group) instead of the raw rows, and Spark's final
+    * aggregation merges partials — exactly the partial/final placement the
+    * reference distributes by hand (planner/executor.go:104-110). */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    def fieldIdx(e: Expression): Option[Int] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        val i = table.schema0.fieldNames.indexWhere(
+          _.equalsIgnoreCase(nr.fieldNames()(0)))
+        if (i >= 0) Some(i) else None
+      case _ => None
     }
-    val parseSchema = StructType(parseFields)
-    val outIdx = required.fieldNames.map(n =>
-      parseSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n)))
-    val outSchema = StructType(required.fieldNames.map(n =>
-      table.schema0.fields.find(_.name.equalsIgnoreCase(n)).get))
-    new FileScanImpl(table.dataFiles().map(_.getPath), table.format,
-      parseSchema, outSchema, outIdx, pushed, limit)
+    val groups = agg.groupByExpressions().toSeq.map(fieldIdx)
+    if (groups.exists(_.isEmpty)) return false
+    val aggs: Seq[Option[AggDef]] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(AggDef("count_star", -1, LongType))
+      case c: Count if !c.isDistinct =>
+        fieldIdx(c.column()).map(AggDef("count", _, LongType))
+      case m: Min =>
+        fieldIdx(m.column()).map(i => AggDef("min", i, table.schema0.fields(i).dataType))
+      case m: Max =>
+        fieldIdx(m.column()).map(i => AggDef("max", i, table.schema0.fields(i).dataType))
+      case s: Sum if !s.isDistinct =>
+        fieldIdx(s.column()).flatMap { i =>
+          table.schema0.fields(i).dataType match {
+            case org.apache.spark.sql.types.IntegerType | LongType |
+                 org.apache.spark.sql.types.ShortType =>
+              Some(AggDef("sum_long", i, LongType))
+            case DoubleType | org.apache.spark.sql.types.FloatType =>
+              Some(AggDef("sum_double", i, DoubleType))
+            case _ => None
+          }
+        }
+      case _ => None // avg/distinct/decimal sums: declined, Spark keeps its agg
+    }
+    if (aggs.exists(_.isEmpty)) false
+    else {
+      aggregation = Some((groups.map(_.get), aggs.map(_.get)))
+      true
+    }
+  }
+
+  override def build(): Scan = aggregation match {
+    case Some((groupIdx, aggs)) =>
+      // parse what the groups, agg inputs and pushed filters reference
+      val filterRefs = pushed.flatMap(_.references).map(_.toLowerCase).toSet
+      val needed = (groupIdx ++ aggs.map(_.colIdx).filter(_ >= 0)).toSet
+      val parseFields = table.schema0.fields.zipWithIndex.filter { case (f, i) =>
+        needed.contains(i) || filterRefs.contains(f.name.toLowerCase)
+      }
+      val parseSchema = StructType(parseFields.map(_._1))
+      def reIdx(i: Int): Int =
+        parseSchema.fieldNames.indexWhere(_.equalsIgnoreCase(table.schema0.fields(i).name))
+      val groups2 = groupIdx.map(reIdx)
+      val aggs2 = aggs.map(a =>
+        if (a.colIdx < 0) a else a.copy(colIdx = reIdx(a.colIdx)))
+      val outSchema = StructType(
+        groupIdx.map(i => table.schema0.fields(i)) ++
+          aggs2.zipWithIndex.map { case (a, i) =>
+            StructField(s"agg_$i", a.resultType, nullable = true) })
+      new FileAggScanImpl(table.dataFiles().map(_.getPath), table.format,
+        parseSchema, outSchema, groups2, aggs2, pushed)
+    case None =>
+      // the reader must parse filter-only columns too: Spark prunes them
+      // out of the required schema once the filter is pushed
+      val filterRefs = pushed.flatMap(_.references).map(_.toLowerCase).toSet
+      val parseFields = table.schema0.fields.filter { f =>
+        required.fieldNames.exists(_.equalsIgnoreCase(f.name)) ||
+          filterRefs.contains(f.name.toLowerCase)
+      }
+      val parseSchema = StructType(parseFields)
+      val outIdx = required.fieldNames.map(n =>
+        parseSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n)))
+      val outSchema = StructType(required.fieldNames.map(n =>
+        table.schema0.fields.find(_.name.equalsIgnoreCase(n)).get))
+      new FileScanImpl(table.dataFiles().map(_.getPath), table.format,
+        parseSchema, outSchema, outIdx, pushed, limit)
+  }
+}
+
+/** Scan emitting per-file *partial* aggregation results. */
+class FileAggScanImpl(
+    files: Seq[String],
+    format: String,
+    parseSchema: StructType,
+    outputSchema: StructType,
+    groupIdx: Seq[Int],
+    aggs: Seq[AggDef],
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = outputSchema
+
+  override def description(): String =
+    s"GraftFileAggScan format=$format files=${files.size} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"PushedAggregates: [${aggs.map(_.kind).mkString(", ")}], " +
+      s"PushedGroupBy: [${groupIdx.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => FileAggPartition(f, format, parseSchema.json,
+      outputSchema.json, groupIdx.toArray, aggs.toArray, pushed): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FileAggReaderFactory
+}
+
+final case class FileAggPartition(
+    path: String,
+    format: String,
+    parseSchemaJson: String,
+    outputSchemaJson: String,
+    groupIdx: Array[Int],
+    aggs: Array[AggDef],
+    filters: Array[Filter]) extends InputPartition
+
+class FileAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FileAggPartition]
+    val parseSchema = DataType.fromJson(p.parseSchemaJson).asInstanceOf[StructType]
+    val outSchema = DataType.fromJson(p.outputSchemaJson).asInstanceOf[StructType]
+    val codec = FileCodec.forFormat(p.format)
+
+    def newAcc(): Array[Any] = p.aggs.map {
+      case AggDef("count_star" | "count", _, _) => java.lang.Long.valueOf(0L)
+      case AggDef("sum_long", _, _) => null
+      case AggDef("sum_double", _, _) => null
+      case _ => null // min / max
+    }
+    def update(acc: Array[Any], row: Array[Any]): Unit = {
+      var i = 0
+      while (i < p.aggs.length) {
+        val a = p.aggs(i)
+        val v = if (a.colIdx >= 0) row(a.colIdx) else null
+        a.kind match {
+          case "count_star" =>
+            acc(i) = java.lang.Long.valueOf(acc(i).asInstanceOf[java.lang.Long] + 1L)
+          case "count" =>
+            if (v != null)
+              acc(i) = java.lang.Long.valueOf(acc(i).asInstanceOf[java.lang.Long] + 1L)
+          case "min" =>
+            if (v != null && (acc(i) == null || FilterEval.cmp(v, acc(i)).exists(_ < 0)))
+              acc(i) = v
+          case "max" =>
+            if (v != null && (acc(i) == null || FilterEval.cmp(v, acc(i)).exists(_ > 0)))
+              acc(i) = v
+          case "sum_long" =>
+            if (v != null) {
+              val add = v.asInstanceOf[Number].longValue()
+              acc(i) = java.lang.Long.valueOf(
+                (if (acc(i) == null) 0L else acc(i).asInstanceOf[java.lang.Long].longValue()) + add)
+            }
+          case "sum_double" =>
+            if (v != null) {
+              val add = v.asInstanceOf[Number].doubleValue()
+              acc(i) = java.lang.Double.valueOf(
+                (if (acc(i) == null) 0.0 else acc(i).asInstanceOf[java.lang.Double].doubleValue()) + add)
+            }
+        }
+        i += 1
+      }
+    }
+
+    val groups = mutable.LinkedHashMap.empty[List[Any], Array[Any]]
+    val in = new BufferedReader(new FileReader(new File(p.path)))
+    try {
+      codec.reader(in, parseSchema)
+        .filter(row => p.filters.forall(FilterEval.eval(_, parseSchema, row)))
+        .foreach { row =>
+          val key = p.groupIdx.map(row(_)).toList
+          update(groups.getOrElseUpdate(key, newAcc()), row)
+        }
+    } finally in.close()
+    if (p.groupIdx.isEmpty && groups.isEmpty)
+      groups.put(Nil, newAcc()) // neutral partial for a filtered-empty file
+
+    val conv = CatalystTypeConverters.createToCatalystConverter(outSchema)
+    val it = groups.iterator.map { case (key, acc) =>
+      conv(Row.fromSeq(key ++ acc.toSeq)).asInstanceOf[InternalRow]
+    }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
   }
 }
 

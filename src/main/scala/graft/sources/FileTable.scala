@@ -39,11 +39,30 @@ class FileTable(
     val source: SourceDef,
     val tableName: String,
     val schema0: StructType,
-    val format: String)
+    val format: String,
+    val keys: Seq[String] = Nil)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   val dir: File = source.tableDir(tableName)
   def codec: FileCodec = FileCodec.forFormat(format)
+
+  /** Per-source accept list (the reference's per-backend pushdown rules):
+    * "full" = Mongo-style op set; "keys" = Cassandra-style — equality/IN
+    * on declared key columns only, AND-combined; ranges, strings and
+    * non-key references are declined and polyfilled by Spark
+    * (sql_to_cql.go:441-468, 500-548). */
+  def acceptsFilter(f: Filter): Boolean = source.pushdown match {
+    case "keys" =>
+      import org.apache.spark.sql.sources.{And, EqualTo, In}
+      def key(a: String) = keys.exists(_.equalsIgnoreCase(a))
+      f match {
+        case EqualTo(a, _) => key(a)
+        case In(a, _) => key(a)
+        case And(l, r) => acceptsFilter(l) && acceptsFilter(r)
+        case _ => false
+      }
+    case _ => FilterEval.accepts(f, schema0)
+  }
 
   override def name(): String =
     s"${SourceRegistry.CatalogName}.${source.name}.$tableName"
@@ -73,7 +92,7 @@ class FileTable(
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall {
       case _: AlwaysTrue | _: AlwaysFalse => true
-      case f => FilterEval.accepts(f, schema0)
+      case f => acceptsFilter(f)
     }
 
   /** Distributed rewrite: each task streams one file, keeps the rows the
@@ -130,18 +149,23 @@ object FileTable {
         !f.getName.startsWith(".") && !f.getName.startsWith("_"))
       .sortBy(_.getName).toSeq
 
-  /** Create: directory + sidecar. */
-  def create(s: SourceDef, table: String, schema: StructType, format: String): FileTable = {
+  /** Create: directory + sidecar (format, schema, optional key columns). */
+  def create(s: SourceDef, table: String, schema: StructType, format: String,
+      keys: Seq[String] = Nil): FileTable = {
     val dir = s.tableDir(table)
     dir.mkdirs()
     val obj = mapper.createObjectNode()
     obj.put("format", format)
     obj.set[com.fasterxml.jackson.databind.JsonNode](
       "schema", mapper.readTree(schema.json))
+    if (keys.nonEmpty) {
+      val arr = obj.putArray("keys")
+      keys.foreach(arr.add)
+    }
     val sidecar = new File(dir, SidecarName)
     Using.resource(new java.io.FileWriter(sidecar))(
       _.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(obj)))
-    new FileTable(s, table, schema, format)
+    new FileTable(s, table, schema, format, keys)
   }
 
   /** Open: sidecar if present, else infer by sampling the first data file. */
@@ -152,7 +176,10 @@ object FileTable {
       val obj = mapper.readTree(sidecar)
       val fmt = obj.get("format").asText()
       val schema = DataType.fromJson(obj.get("schema").toString).asInstanceOf[StructType]
-      Some(new FileTable(s, table, schema, fmt))
+      val keys = Option(obj.get("keys")).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asText())
+      }.getOrElse(Seq.empty)
+      Some(new FileTable(s, table, schema, fmt, keys))
     } else {
       // no sidecar: discover format from extensions, schema from sampling
       Seq("csv", "json").view.flatMap { fmt =>

@@ -119,7 +119,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val fmt = Option(properties.get(TableCatalog.PROP_PROVIDER))
       .map(_.toLowerCase).filter(f => f == "csv" || f == "json")
       .getOrElse(s.format)
-    FileTable.create(s, ident.name(), schema, fmt)
+    // key columns for key-profile sources (Cassandra-style partition keys):
+    // CREATE TABLE ... TBLPROPERTIES ('keys' = 'col_a,col_b')
+    val keys = Option(properties.get("keys")).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    FileTable.create(s, ident.name(), schema, fmt, keys)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

@@ -14,11 +14,18 @@ import org.apache.spark.sql.SparkSession
   * are tables, with a default record format. Sources are created either at
   * session start or at runtime through `GraftEngine.sql("CREATE SOURCE …")`.
   *
-  * @param name    namespace under the `graft` catalog (graft.<name>.<table>)
-  * @param path    root directory; each table is `<path>/<table>/`
-  * @param format  default record format for new tables ("csv" | "json")
+  * @param name     namespace under the `graft` catalog (graft.<name>.<table>)
+  * @param path     root directory; each table is `<path>/<table>/`
+  * @param format   default record format for new tables ("csv" | "json")
+  * @param pushdown per-source pushdown profile, the reference's per-backend
+  *                 accept lists: "full" = the Mongo-style op set
+  *                 (sql_to_mgo.go:441-655); "keys" = Cassandra-style
+  *                 key-constrained predicates only (sql_to_cql.go:441-468) —
+  *                 equality/IN on a table's declared key columns; everything
+  *                 else is declined and polyfilled by Spark
   */
-final case class SourceDef(name: String, path: String, format: String) {
+final case class SourceDef(
+    name: String, path: String, format: String, pushdown: String = "full") {
   def tableDir(table: String): File = new File(path, table)
 }
 

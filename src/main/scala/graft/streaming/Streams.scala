@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props — TESTDATA.md).
+  *
+  * The reference is a batch federation engine; streams are the
+  * beyond-reference surface the builder prompt mandates, expressed in
+  * Spark's native streaming model: `readStream` → these transforms →
+  * `writeStream`, with event-time watermarks bounding state.
+  *
+  * Scale design: all operators below are keyed by event_type/user_id/
+  * event_id, so state is hash-partitioned across executors; watermarks
+  * evict window and dedup state, keeping the state store O(active keys in
+  * the watermark horizon) rather than O(stream history) — the property
+  * that decides whether a streaming job survives week-long uptimes.
+  */
+object Streams {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionSummary(
+      user_id: Long, n_events: Long, total_value: Double,
+      first_ts: Timestamp, last_ts: Timestamp, closed: Boolean)
+
+  /** Event-time tumbling-window counts per event type with a watermark:
+    * late events beyond the delay are dropped and window state is evicted
+    * once the watermark passes the window end. */
+  def windowedCounts(
+      events: DataFrame, windowDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Exact streaming dedup on event_id inside the watermark horizon:
+    * first occurrence wins, replays/retries within the delay are dropped.
+    * Built on dropDuplicates + watermark so Spark evicts ids older than
+    * the horizon (unbounded exact dedup would grow state forever). */
+  def dedupEvents(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("event_id")
+
+  /** Custom keyed state: per-user running session summary via
+    * flatMapGroupsWithState — the engine-level escape hatch for state
+    * machines the built-in aggregations can't express. A session closes
+    * (emits `closed = true`) after `gapMs` of event-time silence, enforced
+    * with an event-time timeout so state is reclaimed. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionSummary]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(s.copy(closed = true))
+          } else {
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            if (evs.isEmpty) Iterator.empty
+            else {
+              val prev = state.getOption
+              val first = prev.map(_.first_ts).getOrElse(evs.head.ts)
+              val summary = SessionSummary(
+                userId,
+                prev.map(_.n_events).getOrElse(0L) + evs.size,
+                prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
+                first, evs.last.ts, closed = false)
+              state.update(summary)
+              state.setTimeoutTimestamp(evs.last.ts.getTime + gapMs)
+              Iterator.single(summary)
+            }
+          }
+      }
+  }
+}

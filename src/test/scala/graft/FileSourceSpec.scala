@@ -85,6 +85,75 @@ class FileSourceSpec extends AnyFunSuite {
     assert(df.count() == 7)
   }
 
+  test("golden plan: aggregates are pushed as per-file partials") {
+    val df = fedTable("customer_json")
+      .filter(col("c_acctbal") > 0.0)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), min("c_custkey").as("mn"),
+        max("c_acctbal").as("mx"), sum("c_custkey").as("sm"))
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.get
+    assert(scan.isInstanceOf[FileAggScanImpl], scan.description())
+    assert(scan.description().contains(
+      "PushedAggregates: [count_star, min, max, sum_long]"), scan.description())
+    // values identical to the same aggregation over the parquet original
+    val viaParquet = graft.core.Tables.load(spark, sfDir, "customer")
+      .filter(col("c_acctbal") > 0.0)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), min("c_custkey").as("mn"),
+        max("c_acctbal").as("mx"), sum("c_custkey").as("sm"))
+    assert(df.orderBy("c_mktsegment").collect().toSeq ==
+      viaParquet.orderBy("c_mktsegment").collect().toSeq)
+  }
+
+  test("avg decomposes to pushed sum+count; distinct is declined") {
+    // Spark rewrites partial avg into sum+count before offering it to the
+    // source, so even avg rides the partial pushdown
+    val dfAvg = fedTable("customer_json")
+      .groupBy("c_mktsegment").agg(avg("c_acctbal"))
+    val scanAvg = dfAvg.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.get
+    assert(scanAvg.isInstanceOf[FileAggScanImpl], scanAvg.description())
+    assert(scanAvg.description().contains("sum_double"), scanAvg.description())
+    // count(DISTINCT) cannot be partial-pushed -> plain row scan
+    val dfDist = fedTable("customer_json")
+      .groupBy("c_mktsegment").agg(countDistinct("c_custkey"))
+    val scanDist = dfDist.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.get
+    assert(!scanDist.isInstanceOf[FileAggScanImpl], scanDist.description())
+  }
+
+  test("key-profile source pushes only key equality/IN (Cassandra accept list)") {
+    val eng = new GraftEngine(spark)
+    val p = new File(sys.props("user.dir"), "target/graft-test/kv-src").getPath
+    eng.sql(s"""CREATE SOURCE kvsrc WITH { "type": "csv", "path": "$p", "pushdown": "keys" }""")
+    spark.sql("DROP TABLE IF EXISTS graft.kvsrc.kv")
+    spark.sql("CREATE TABLE graft.kvsrc.kv (k BIGINT, v STRING, n BIGINT) " +
+      "TBLPROPERTIES ('keys' = 'k')")
+    spark.sql("INSERT INTO graft.kvsrc.kv VALUES (1,'a',10), (2,'b',20), (3,'c',30), (4,'d',40)")
+    // key equality: pushed
+    val byKey = spark.table("graft.kvsrc.kv").filter(col("k") === 2)
+    assert(scanOf(byKey).description().contains("EqualTo(k,2)"))
+    // range on the key + predicate on a non-key column: both declined,
+    // Spark polyfills (the reference's residual WHERE, sql_to_cql.go:199-204)
+    val byRange = spark.table("graft.kvsrc.kv")
+      .filter(col("k") > 1 && col("n") === 30)
+    val d = scanOf(byRange).description()
+    assert(d.contains("PushedFilters: []"), d)
+    assert(byRange.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // delete-by-where only accepted on keys
+    spark.sql("DELETE FROM graft.kvsrc.kv WHERE k IN (1, 4)")
+    assert(spark.table("graft.kvsrc.kv").count() == 2)
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft.kvsrc.kv WHERE n > 15")
+    }
+    spark.sql("DROP TABLE graft.kvsrc.kv")
+    eng.sql("DROP SOURCE kvsrc")
+  }
+
   test("pushed results match parquet originals (codec round-trip)") {
     val viaConnector = fedTable("customer_json")
       .filter(col("c_acctbal") > 9000.0)
@@ -163,6 +232,29 @@ class FileSourceSpec extends AnyFunSuite {
       "SELECT 'a@b.com' AS email WHERE x > 3")
     val r = eng.sql("SELECT 'a@b.com' AS email").collect()(0).getString(0)
     assert(r == "a@b.com")
+  }
+
+  test("prepared statements: PREPARE / EXECUTE USING / DEALLOCATE") {
+    val eng = new GraftEngine(spark)
+    graft.core.Tables.registerAll(spark, sfDir)
+    eng.sql("PREPARE get_nation FROM " +
+      "'SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = ? AND n_nationkey >= ? ORDER BY n_nationkey'")
+    val r1 = eng.sql("EXECUTE get_nation USING 2, 10")
+      .collect().map(_.getInt(0))
+    assert(r1.nonEmpty && r1.forall(k => k >= 10))
+    // @-variables as EXECUTE args, MySQL-style
+    eng.sql("SET @rk = 0")
+    val r2 = eng.sql("EXECUTE get_nation USING @rk, 0").collect()
+    assert(r2.nonEmpty)
+    // ? inside a quoted literal is data, not a placeholder
+    eng.sql("PREPARE q2 FROM 'SELECT ''a?b'' AS s, ? AS x'")
+    val row = eng.sql("EXECUTE q2 USING 7").collect()(0)
+    assert(row.getString(0) == "a?b" && row.get(1) == 7)
+    // arity errors
+    intercept[IllegalArgumentException] { eng.sql("EXECUTE q2 USING 1, 2") }
+    intercept[IllegalArgumentException] { eng.sql("EXECUTE get_nation USING 1") }
+    eng.sql("DEALLOCATE PREPARE get_nation")
+    intercept[IllegalArgumentException] { eng.sql("EXECUTE get_nation USING 1, 2") }
   }
 
   test("mysql session functions: connection_id, database, current_user") {
