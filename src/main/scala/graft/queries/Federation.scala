@@ -100,7 +100,7 @@ object Federation {
     GQuery(
       "q_src_join_hetero",
       """SELECT n.n_name, count(*) AS n_orders,
-        |       round(sum(o.o_totalprice), 1) AS revenue
+        |       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 1) AS DOUBLE) AS revenue
         |FROM nation n
         |JOIN customer c ON c.c_nationkey = n.n_nationkey
         |JOIN orders o ON o.o_custkey = c.c_custkey
@@ -117,7 +117,10 @@ object Federation {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 1).as("revenue"))
+          // decimal sum: order-insensitive exact addition, so partition
+          // ordering can never flip a rounding boundary vs the oracle
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 1)
+            .cast("double").as("revenue"))
         .orderBy("n_name")
     },
 

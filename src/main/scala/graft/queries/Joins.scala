@@ -23,7 +23,7 @@ object Joins {
     GQuery(
       "q_join_inner",
       """SELECT n.n_name, count(*) AS n_orders,
-        |       round(sum(o.o_totalprice), 1) AS revenue
+        |       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 1) AS DOUBLE) AS revenue
         |FROM orders o
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -37,7 +37,8 @@ object Joins {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 1).as("revenue"))
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 1)
+            .cast("double").as("revenue"))
         .orderBy("n_name")
     },
 
@@ -45,7 +46,8 @@ object Joins {
     GQuery(
       "q3_shipping",
       """SELECT l.l_orderkey,
-        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 1) AS revenue
+        |       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |                      (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 1) AS DOUBLE) AS revenue
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -62,8 +64,9 @@ object Joins {
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(l, l("l_orderkey") === o("o_orderkey"))
         .groupBy("l_orderkey")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1)
-          .as("revenue"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))), 1)
+          .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },

@@ -53,7 +53,7 @@ object Relational {
       "q_between",
       """SELECT l_returnflag,
         |       count(*) AS n,
-        |       round(sum(l_quantity), 2) AS sum_qty
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
@@ -62,7 +62,9 @@ object Relational {
           lit("1996-01-01").cast("timestamp"),
           lit("1996-12-31").cast("timestamp")))
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
     },
 
@@ -117,50 +119,61 @@ object Relational {
     },
 
     // --- aggregates -------------------------------------------------------
+    // Determinism: double sums/avgs are order-sensitive (partition order
+    // can flip a rounding boundary vs the oracle), so every SUM over the
+    // 2-decimal money/quantity columns goes through DECIMAL(18,2) — exact,
+    // order-insensitive addition in both engines — and AVG is the exact
+    // decimal sum over the count, one IEEE division in both engines.
     GQuery(
       "q_agg_global",
       """SELECT count(*) AS n_rows,
         |       count(l_quantity) AS n_qty,
-        |       round(sum(l_quantity), 1) AS sum_qty,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 1) AS DOUBLE) AS sum_qty,
         |       round(min(l_extendedprice), 2) AS min_price,
         |       round(max(l_extendedprice), 2) AS max_price,
-        |       round(avg(l_discount), 5) AS avg_disc
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |             / count(l_discount), 5) AS avg_disc
         |FROM lineitem""".stripMargin) { (s, d) =>
       li(s, d).agg(
         count(lit(1)).as("n_rows"),
         count(col("l_quantity")).as("n_qty"),
-        round(sum("l_quantity"), 1).as("sum_qty"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")), 1)
+          .cast("double").as("sum_qty"),
         round(min("l_extendedprice"), 2).as("min_price"),
         round(max("l_extendedprice"), 2).as("max_price"),
-        round(avg("l_discount"), 5).as("avg_disc"))
+        round(sum(col("l_discount").cast("decimal(18,2)")).cast("double") /
+          count(col("l_discount")), 5).as("avg_disc"))
     },
 
     // TPC-H Q1 shape: the canonical partial/final hash aggregate.
     GQuery(
       "q1_agg",
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 1) AS sum_qty,
-        |       round(sum(l_extendedprice), 1) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
-        |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_extendedprice), 3) AS avg_price,
-        |       round(avg(l_discount), 5) AS avg_disc,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 1) AS DOUBLE) AS sum_qty,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 1) AS DOUBLE) AS sum_base_price,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                      (1 - CAST(l_discount AS DECIMAL(18,2)))), 1) AS DOUBLE) AS sum_disc_price,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 3) AS avg_price,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 5) AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val dq = col("l_quantity").cast("decimal(18,2)")
+      val dp = col("l_extendedprice").cast("decimal(18,2)")
+      val dd = col("l_discount").cast("decimal(18,2)")
       li(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 1).as("sum_qty"),
-          round(sum("l_extendedprice"), 1).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1)
-            .as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 3).as("avg_price"),
-          round(avg("l_discount"), 5).as("avg_disc"),
+          round(sum(dq), 1).cast("double").as("sum_qty"),
+          round(sum(dp), 1).cast("double").as("sum_base_price"),
+          round(sum(dp * (lit(1) - dd)), 1).cast("double").as("sum_disc_price"),
+          round(sum(dq).cast("double") / count(col("l_quantity")), 4).as("avg_qty"),
+          round(sum(dp).cast("double") / count(col("l_extendedprice")), 3).as("avg_price"),
+          round(sum(dd).cast("double") / count(col("l_discount")), 5).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },

@@ -75,7 +75,8 @@ object Scalars {
 
     GQuery(
       "q_case_when",
-      """SELECT bucket, count(*) AS n, round(sum(o_totalprice), 1) AS total
+      """SELECT bucket, count(*) AS n,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 1) AS DOUBLE) AS total
         |FROM (SELECT CASE WHEN o_totalprice > 300000 THEN 'big'
         |                  WHEN o_totalprice > 100000 THEN 'mid'
         |                  ELSE 'small' END AS bucket, o_totalprice
@@ -88,7 +89,9 @@ object Scalars {
             .otherwise("small").as("bucket"),
           col("o_totalprice"))
         .groupBy("bucket")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 1).as("total"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 1)
+            .cast("double").as("total"))
         .orderBy("bucket")
     },
 
@@ -115,13 +118,16 @@ object Scalars {
     GQuery(
       "q_date_funcs",
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-        |       count(*) AS n, round(sum(o_totalprice), 1) AS total
+        |       count(*) AS n,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 1) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin) { (s, d) =>
       Tables.load(s, d, "orders")
         .groupBy(year(col("o_orderdate")).as("yr"),
           month(col("o_orderdate")).as("mo"))
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 1).as("total"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 1)
+            .cast("double").as("total"))
         .orderBy("yr", "mo")
     },
 

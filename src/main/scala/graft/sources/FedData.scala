@@ -24,11 +24,14 @@ object FedData {
 
   val SourceName = "fed"
 
-  /** Tables staged into the `fed` source: (catalog table, format, parquet). */
+  /** Tables staged into the `fed` source: (catalog table, format, parquet
+    * origin, part files). Multi-file tables are the connector's scan
+    * parallelism unit — one partition per file — so the fact-sized tables
+    * are staged as several part files. */
   private val Staged = Seq(
-    ("nation_csv", "csv", "nation"),
-    ("orders_csv", "csv", "orders"),
-    ("customer_json", "json", "customer"))
+    ("nation_csv", "csv", "nation", 1),
+    ("orders_csv", "csv", "orders", 8),
+    ("customer_json", "json", "customer", 4))
 
   private val lock = new Object
 
@@ -45,10 +48,11 @@ object FedData {
     if (!marker.isFile) {
       if (root.isDirectory) delete(root)
       root.mkdirs()
-      Staged.foreach { case (table, fmt, parquet) =>
+      Staged.foreach { case (table, fmt, parquet, nParts) =>
         val df = Tables.load(spark, sfDir, parquet)
         FileTable.create(src, table, df.schema, fmt)
-        df.writeTo(s"${SourceRegistry.CatalogName}.$SourceName.$table").append()
+        df.repartition(nParts)
+          .writeTo(s"${SourceRegistry.CatalogName}.$SourceName.$table").append()
       }
       marker.createNewFile()
     }
