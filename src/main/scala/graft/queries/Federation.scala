@@ -141,6 +141,56 @@ object Federation {
         .orderBy("table_name")
     },
 
+    // Top-N pushdown (reference: SQL ORDER BY/LIMIT → ES `sort`+`size`,
+    // backends/elasticsearch/sqltoes.go:239-259; Datastore Order,
+    // sql_to_datastore.go:118-133): each file ships only its local top-10
+    // via a bounded heap, Spark's global TopN merges the candidates. The
+    // sort carries a unique tiebreaker so the result is deterministic.
+    GQuery(
+      "q_src_topn_pushdown",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'O'
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.SourceName}.orders_csv")
+        .filter(col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // Cassandra-profile source: only equality/IN on the declared key
+    // column (c_custkey) pushes (sql_to_cql.go:441-468); the balance range
+    // is declined and polyfilled by Spark — the reference's key-constrained
+    // pushdown with engine-side residual (sql_to_cql.go:199-204).
+    GQuery(
+      "q_src_key_pushdown",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey IN (1, 7, 42, 99, 123, 456) AND c_acctbal > 1000.0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.KvSourceName}.customer_kv")
+        .filter(col("c_custkey").isin(1, 7, 42, 99, 123, 456) &&
+          col("c_acctbal") > 1000.0)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // BigTable-profile source: the row-key prefix predicate pushes as a
+    // row range (sql_to_bt.go:150-239 PrefixRange); the non-key p_size
+    // conjunct is declined and re-applied by Spark.
+    GQuery(
+      "q_src_prefix_scan",
+      """SELECT p_partkey, p_name, p_size FROM part
+        |WHERE p_name LIKE 'red%' AND p_size >= 25
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.BtSourceName}.part_bt")
+        .filter(col("p_name").startsWith("red") && col("p_size") >= 25)
+        .select("p_partkey", "p_name", "p_size")
+        .orderBy("p_partkey")
+    },
+
     // Aggregate pushdown (reference: SQL→ES aggregations,
     // backends/elasticsearch/sqltoes.go:285-365): the scan ships per-file
     // partial count/min/max/sum per group, Spark merges — the raw rows

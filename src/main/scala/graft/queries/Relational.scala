@@ -222,12 +222,17 @@ object Relational {
         |       TRUE AS parts_within_10pct,
         |       TRUE AS orders_within_10pct
         |FROM lineitem""".stripMargin) { (s, d) =>
-      li(s, d)
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("ap"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_orderkey")).as("ao"),
+      // One aggregation per column, cross-joined (both are single rows):
+      // two distinct-aggregate groups in one agg would make Spark Expand
+      // the scan ×3 through the shuffle; separately, each pass is a
+      // single-column pruned scan with partial-distinct combine.
+      val parts = li(s, d)
+        .agg(approx_count_distinct(col("l_partkey")).as("ap"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+      val orders = li(s, d)
+        .agg(approx_count_distinct(col("l_orderkey")).as("ao"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+      parts.crossJoin(orders)
         .select(
           col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) <=

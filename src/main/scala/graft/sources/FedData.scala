@@ -23,40 +23,61 @@ import graft.core.Tables
 object FedData {
 
   val SourceName = "fed"
+  /** Cassandra-profile source: only key-constrained predicates push. */
+  val KvSourceName = "kv"
+  /** BigTable-profile source: row-range (equality/prefix/range on key)
+    * predicates push. */
+  val BtSourceName = "bt"
 
-  /** Tables staged into the `fed` source: (catalog table, format, parquet
-    * origin, part files). Multi-file tables are the connector's scan
+  /** One staged table: (catalog table, format, parquet origin, part files,
+    * declared key columns). Multi-file tables are the connector's scan
     * parallelism unit — one partition per file — so the fact-sized tables
     * are staged as several part files. */
-  private val Staged = Seq(
-    ("nation_csv", "csv", "nation", 1),
-    ("orders_csv", "csv", "orders", 8),
-    ("customer_json", "json", "customer", 4))
+  private final case class Fixture(
+      table: String, fmt: String, parquet: String, nParts: Int,
+      keys: Seq[String] = Nil)
+
+  /** Sources staged per scale factor, each with the pushdown profile of the
+    * reference backend it stands in for (full=Mongo/ES, keys=Cassandra,
+    * prefix=BigTable). */
+  private val Staged: Seq[(String, String, Seq[Fixture])] = Seq(
+    (SourceName, "full", Seq(
+      Fixture("nation_csv", "csv", "nation", 1),
+      Fixture("orders_csv", "csv", "orders", 8),
+      Fixture("customer_json", "json", "customer", 4))),
+    (KvSourceName, "keys", Seq(
+      Fixture("customer_kv", "csv", "customer", 4, Seq("c_custkey")))),
+    (BtSourceName, "prefix", Seq(
+      Fixture("part_bt", "csv", "part", 4, Seq("p_name")))))
 
   private val lock = new Object
 
-  /** Ensure catalog + staged data for `sfDir`; returns the source root. */
+  /** Ensure catalog + staged data for `sfDir`; returns the `fed` source. */
   def ensure(spark: SparkSession, sfDir: String): SourceDef = lock.synchronized {
     SourceRegistry.ensureCatalog(spark)
     val sfName = new File(sfDir).getName
-    val root = new File(new File(sys.props("user.dir"), "target/graft-fed"), sfName)
-    val existing = SourceRegistry.get(SourceName)
-    val src =
-      if (existing.exists(_.path == root.getPath)) existing.get
-      else SourceRegistry.register(SourceDef(SourceName, root.getPath, "csv"))
-    val marker = new File(root, "_READY")
-    if (!marker.isFile) {
-      if (root.isDirectory) delete(root)
-      root.mkdirs()
-      Staged.foreach { case (table, fmt, parquet, nParts) =>
-        val df = Tables.load(spark, sfDir, parquet)
-        FileTable.create(src, table, df.schema, fmt)
-        df.repartition(nParts)
-          .writeTo(s"${SourceRegistry.CatalogName}.$SourceName.$table").append()
+    val base = new File(new File(sys.props("user.dir"), "target/graft-fed"), sfName)
+    Staged.map { case (srcName, profile, fixtures) =>
+      val root = new File(base, srcName)
+      val existing = SourceRegistry.get(srcName)
+      val src =
+        if (existing.exists(_.path == root.getPath)) existing.get
+        else SourceRegistry.register(
+          SourceDef(srcName, root.getPath, "csv", profile))
+      val marker = new File(root, "_READY")
+      if (!marker.isFile) {
+        if (root.isDirectory) delete(root)
+        root.mkdirs()
+        fixtures.foreach { fx =>
+          val df = Tables.load(spark, sfDir, fx.parquet)
+          FileTable.create(src, fx.table, df.schema, fx.fmt, fx.keys)
+          df.repartition(fx.nParts)
+            .writeTo(s"${SourceRegistry.CatalogName}.$srcName.${fx.table}").append()
+        }
+        marker.createNewFile()
       }
-      marker.createNewFile()
-    }
-    src
+      src
+    }.head
   }
 
   private def delete(f: File): Unit = {

@@ -7,7 +7,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate._
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -122,6 +122,9 @@ object FilterEval {
   }
 }
 
+/** One sort key of a pushed top-N, resolved to a parse-schema index. */
+final case class SortSpec(colIdx: Int, descending: Boolean, nullsFirst: Boolean)
+
 /** One scan partition = one data file (record formats with quoted embedded
   * newlines cannot split at byte offsets; parallelism comes from the
   * many-files layout the write side produces). */
@@ -131,7 +134,8 @@ final case class FilePartition(
     parseSchemaJson: String,
     outputIndices: Array[Int],
     filters: Array[Filter],
-    limit: Int) extends InputPartition
+    limit: Int,
+    topN: Array[SortSpec]) extends InputPartition
 
 /** One pushed aggregate function, indexed into the scan's parse schema.
   * kinds: count_star | count | min | max | sum_long | sum_double. */
@@ -141,11 +145,14 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
+  with SupportsPushDownTopN
   with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = table.schema0
   private var limit: Int = -1
+  // pushed ORDER BY keys as (column name, descending, nullsFirst)
+  private var sortKeys: Array[(String, Boolean, Boolean)] = Array.empty
   // (group col indices into table schema, agg defs indexed into table schema)
   private var aggregation: Option[(Seq[Int], Seq[AggDef])] = None
 
@@ -164,6 +171,37 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
     * global limit on top — the over-read-then-trim semantics the reference
     * applies when a limit can't be fully delegated (sql_to_cql.go:219-229). */
   override def pushLimit(n: Int): Boolean = { limit = n; true }
+
+  // both limit and top-N are partial: each file over-delivers its local
+  // best-N and Spark's global operator trims (diamond-inherited default)
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ES-style sort+size pushdown (reference: SQL ORDER BY → ES `sort` array
+    * + `size`, backends/elasticsearch/sqltoes.go:239-259; Datastore Order,
+    * sql_to_datastore.go:118-133): each file keeps only its local top-N via
+    * a bounded heap, and Spark's global TopN merges the per-partition
+    * candidates (`isPartiallyPushed` = true). At 100 TB this turns a
+    * full-scan + global sort into scan-side selection: the shuffle carries
+    * N rows per file instead of the table. Only top-level column sorts are
+    * accepted; expression sorts are declined and Spark keeps its full sort. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    val keys = orders.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 &&
+            table.schema0.fieldNames.exists(_.equalsIgnoreCase(nr.fieldNames()(0))) =>
+          Some((nr.fieldNames()(0),
+            so.direction() == SortDirection.DESCENDING,
+            so.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (keys.exists(_.isEmpty)) false
+    else {
+      sortKeys = keys.map(_.get)
+      limit = n
+      true
+    }
+  }
 
   /** ES-style aggregate pushdown (reference: SQL→ES aggs,
     * backends/elasticsearch/sqltoes.go:285-365, and the `hits.total`
@@ -231,9 +269,10 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
       new FileAggScanImpl(table.dataFiles().map(_.getPath), table.format,
         parseSchema, outSchema, groups2, aggs2, pushed)
     case None =>
-      // the reader must parse filter-only columns too: Spark prunes them
-      // out of the required schema once the filter is pushed
-      val filterRefs = pushed.flatMap(_.references).map(_.toLowerCase).toSet
+      // the reader must parse filter-only and sort-only columns too: Spark
+      // prunes them out of the required schema once the filter is pushed
+      val filterRefs = pushed.flatMap(_.references).map(_.toLowerCase).toSet ++
+        sortKeys.map(_._1.toLowerCase)
       val parseFields = table.schema0.fields.filter { f =>
         required.fieldNames.exists(_.equalsIgnoreCase(f.name)) ||
           filterRefs.contains(f.name.toLowerCase)
@@ -243,8 +282,11 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
         parseSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n)))
       val outSchema = StructType(required.fieldNames.map(n =>
         table.schema0.fields.find(_.name.equalsIgnoreCase(n)).get))
+      val topN = sortKeys.map { case (name, desc, nf) =>
+        SortSpec(parseSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name)), desc, nf)
+      }
       new FileScanImpl(table.dataFiles().map(_.getPath), table.format,
-        parseSchema, outSchema, outIdx, pushed, limit)
+        parseSchema, outSchema, outIdx, pushed, limit, topN)
   }
 }
 
@@ -367,7 +409,8 @@ class FileScanImpl(
     outputSchema: StructType,
     outputIndices: Array[Int],
     pushed: Array[Filter],
-    limit: Int) extends Scan with Batch {
+    limit: Int,
+    topN: Array[SortSpec] = Array.empty) extends Scan with Batch {
 
   override def readSchema(): StructType = outputSchema
 
@@ -375,19 +418,43 @@ class FileScanImpl(
     s"GraftFileScan format=$format files=${files.size} " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"PushedLimit: ${if (limit >= 0) limit.toString else "none"}, " +
+      s"PushedTopN: ${if (topN.nonEmpty) s"[${topN.mkString(", ")}] limit=$limit" else "none"}, " +
       s"ReadSchema: ${outputSchema.catalogString}"
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => FilePartition(f, format, parseSchema.json,
-      outputIndices, pushed, limit): InputPartition).toArray
+      outputIndices, pushed, limit, topN): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FilePartitionReaderFactory
 }
 
 class FilePartitionReaderFactory extends PartitionReaderFactory {
+
+  /** Row ordering for a pushed top-N: lexicographic over the sort keys with
+    * SQL null ordering; incomparable values tie (cmp = None ⇒ 0). */
+  private def rowOrdering(specs: Array[SortSpec]): Ordering[Array[Any]] =
+    (x: Array[Any], y: Array[Any]) => {
+      var i = 0
+      var r = 0
+      while (r == 0 && i < specs.length) {
+        val s = specs(i)
+        val (a, b) = (x(s.colIdx), y(s.colIdx))
+        r =
+          if (a == null && b == null) 0
+          else if (a == null) { if (s.nullsFirst) -1 else 1 }
+          else if (b == null) { if (s.nullsFirst) 1 else -1 }
+          else {
+            val c = FilterEval.cmp(a, b).getOrElse(0)
+            if (s.descending) -c else c
+          }
+        i += 1
+      }
+      r
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FilePartition]
     val parseSchema = DataType.fromJson(p.parseSchemaJson).asInstanceOf[StructType]
@@ -397,7 +464,19 @@ class FilePartitionReaderFactory extends PartitionReaderFactory {
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(outSchema)
     val base = codec.reader(in, parseSchema)
       .filter(row => p.filters.forall(FilterEval.eval(_, parseSchema, row)))
-    val limited = if (p.limit >= 0) base.take(p.limit) else base
+    val limited =
+      if (p.topN.nonEmpty && p.limit >= 0) {
+        // bounded selection: keep the file's N best rows in a max-heap of
+        // the current worst — O(rows·log N) time, O(N) memory per file
+        val ord = rowOrdering(p.topN)
+        val heap = new mutable.PriorityQueue[Array[Any]]()(ord)
+        base.foreach { row =>
+          if (heap.size < p.limit) heap.enqueue(row)
+          else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap.enqueue(row) }
+        }
+        heap.dequeueAll.reverseIterator
+      } else if (p.limit >= 0) base.take(p.limit)
+      else base
     val rows = limited.map { row =>
       toCatalyst(Row.fromSeq(p.outputIndices.toSeq.map(row(_))))
         .asInstanceOf[InternalRow]

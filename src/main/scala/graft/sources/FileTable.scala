@@ -50,18 +50,35 @@ class FileTable(
     * "full" = Mongo-style op set; "keys" = Cassandra-style — equality/IN
     * on declared key columns only, AND-combined; ranges, strings and
     * non-key references are declined and polyfilled by Spark
-    * (sql_to_cql.go:441-468, 500-548). */
-  def acceptsFilter(f: Filter): Boolean = source.pushdown match {
-    case "keys" =>
-      import org.apache.spark.sql.sources.{And, EqualTo, In}
-      def key(a: String) = keys.exists(_.equalsIgnoreCase(a))
-      f match {
-        case EqualTo(a, _) => key(a)
-        case In(a, _) => key(a)
-        case And(l, r) => acceptsFilter(l) && acceptsFilter(r)
-        case _ => false
-      }
-    case _ => FilterEval.accepts(f, schema0)
+    * (sql_to_cql.go:441-468, 500-548); "prefix" = BigTable-style — key
+    * predicates that translate to row ranges: equality, prefix match and
+    * bounded ranges on declared key columns (sql_to_bt.go:150-239,
+    * source.go:193-251 `bigtable.PrefixRange`/`RowFilter`); everything
+    * else (non-key columns, contains/suffix, OR) is declined. */
+  def acceptsFilter(f: Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def key(a: String) = keys.exists(_.equalsIgnoreCase(a))
+    source.pushdown match {
+      case "keys" =>
+        f match {
+          case EqualTo(a, _) => key(a)
+          case In(a, _) => key(a)
+          case And(l, r) => acceptsFilter(l) && acceptsFilter(r)
+          case _ => false
+        }
+      case "prefix" =>
+        f match {
+          case EqualTo(a, _) => key(a)
+          case StringStartsWith(a, _) => key(a)
+          case GreaterThan(a, _) => key(a)
+          case GreaterThanOrEqual(a, _) => key(a)
+          case LessThan(a, _) => key(a)
+          case LessThanOrEqual(a, _) => key(a)
+          case And(l, r) => acceptsFilter(l) && acceptsFilter(r)
+          case _ => false
+        }
+      case _ => FilterEval.accepts(f, schema0)
+    }
   }
 
   override def name(): String =

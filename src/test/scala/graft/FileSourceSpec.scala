@@ -85,6 +85,50 @@ class FileSourceSpec extends AnyFunSuite {
     assert(df.count() == 7)
   }
 
+  test("golden plan: ORDER BY + LIMIT pushes as per-file top-N") {
+    val df = fedTable("orders_csv")
+      .filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5)
+    val d = scanOf(df).description()
+    assert(d.contains("PushedTopN: [SortSpec("), d)
+    assert(d.contains("limit=5"), d)
+    // values match a full Spark-side sort over the parquet original
+    val expected = graft.core.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5).collect().toSeq
+    assert(df.collect().toSeq == expected)
+    // an expression sort cannot push: scan stays a plain row scan
+    val exprSort = fedTable("orders_csv")
+      .orderBy((col("o_totalprice") * -1).asc).limit(5)
+    assert(scanOf(exprSort).description().contains("PushedTopN: none"))
+  }
+
+  test("prefix-profile source pushes key ranges/prefixes only (BigTable accept list)") {
+    FedData.ensure(spark, sfDir)
+    // prefix + equality on the declared key column p_name: pushed
+    val byPrefix = spark.table("graft.bt.part_bt")
+      .filter(col("p_name").startsWith("red"))
+    assert(scanOf(byPrefix).description().contains("StringStartsWith(p_name,red)"))
+    // non-key predicate: declined, Spark polyfills
+    val mixed = spark.table("graft.bt.part_bt")
+      .filter(col("p_name").startsWith("red") && col("p_size") >= 25)
+    val d = scanOf(mixed).description()
+    assert(d.contains("StringStartsWith(p_name,red)"), d)
+    assert(!d.contains("GreaterThanOrEqual(p_size"), d)
+    val residual = mixed.queryExecution.optimizedPlan.collect {
+      case f: logical.Filter => f
+    }
+    assert(residual.nonEmpty, "expected Spark-side residual for non-key p_size")
+    // contains/suffix on the key is NOT a row range: declined
+    val contains = spark.table("graft.bt.part_bt")
+      .filter(col("p_name").contains("red"))
+    assert(scanOf(contains).description().contains("PushedFilters: []"))
+  }
+
   test("golden plan: aggregates are pushed as per-file partials") {
     val df = fedTable("customer_json")
       .filter(col("c_acctbal") > 0.0)
