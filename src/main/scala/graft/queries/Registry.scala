@@ -7,7 +7,8 @@ object Registry {
   def all: Seq[GQuery] = {
     val qs = Relational.queries ++ Joins.queries ++ Windows.queries ++
       Scalars.queries ++ DialectSql.queries ++ Dedup.queries ++
-      Federation.queries ++ Similarity.queries ++ TextAnalysis.queries ++ MediaQueries.queries
+      Federation.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      MediaQueries.queries ++ StreamQueries.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }

@@ -1,0 +1,106 @@
+package graft.queries
+
+import java.io.File
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.{GQuery, Tables}
+import graft.streaming.Streams
+
+/** Structured Streaming entries in the driver correctness gate: each query
+  * runs a real `readStream` → transform → `writeStream` pipeline to
+  * completion (Trigger.AvailableNow over a staged multi-file parquet
+  * directory, so the data arrives in genuine micro-batches), then returns
+  * the sink contents for the DuckDB oracle to check against the equivalent
+  * batch SQL — proving the streaming operators converge to batch semantics.
+  *
+  * The memory sink stands in for the production sink; everything upstream
+  * of the sink (source splits, watermarking, state store, output modes) is
+  * the same machinery a kafka→delta deployment would run.
+  */
+object StreamQueries {
+
+  private val runId = new AtomicInteger(0)
+  private val lock = new Object
+
+  /** Stage the events table as a multi-file parquet dir (micro-batch
+    * splits), plus a copy with injected duplicate rows for the dedup
+    * pipeline. Idempotent per scale factor via `_SUCCESS`. */
+  private def stage(s: SparkSession, sfDir: String): (String, String) =
+    lock.synchronized {
+      val sfName = new File(sfDir).getName
+      val base = new File(new File(sys.props("user.dir"), "target/graft-stream"), sfName)
+      val evDir = new File(base, "events")
+      val dupDir = new File(base, "events_dup")
+      if (!new File(evDir, "_SUCCESS").isFile) {
+        val ev = Tables.load(s, sfDir, "events")
+        ev.repartition(8).write.mode("overwrite").parquet(evDir.getPath)
+        // replays: every 97th event appears twice (deterministic, ~1%)
+        ev.union(ev.filter(col("event_id") % 97 === 0))
+          .repartition(8).write.mode("overwrite").parquet(dupDir.getPath)
+      }
+      (evDir.getPath, dupDir.getPath)
+    }
+
+  private def readEvents(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(dir).schema
+    s.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Drain a streaming DataFrame into a memory sink and return the sink
+    * table (AvailableNow processes every staged file, then terminates). */
+  private def drain(df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_sink_${runId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  val queries: Seq[GQuery] = Seq(
+
+    // Event-time tumbling windows through a real streaming pipeline; the
+    // oracle is the equivalent batch aggregation — window(ts,'1 hour')
+    // and date_trunc('hour', ts) align identically on epoch hours.
+    GQuery(
+      "q_stream_window",
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      val (evDir, _) = stage(s, d)
+      val agg = Streams.windowedCounts(readEvents(s, evDir), "1 hour", "10 minutes")
+      // Complete mode emits every window's final state once the last
+      // micro-batch lands — the convergence point a batch query computes.
+      drain(agg, "complete").orderBy("window_start", "event_type")
+    },
+
+    // Streaming dedup over a feed with ~1% injected replays: the pipeline
+    // must restore exactly the original events, so the oracle aggregates
+    // the clean batch table.
+    GQuery(
+      "q_stream_dedup",
+      """SELECT event_type, count(*) AS n,
+        |       CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val (_, dupDir) = stage(s, d)
+      // 366-day horizon >> the fixture's span: every replay lands inside
+      // the dedup state window, whichever micro-batch it arrives in.
+      val deduped = Streams.dedupEvents(readEvents(s, dupDir), "366 days")
+      drain(deduped, "append")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"),
+          round(sum(col("value").cast("decimal(18,2)")), 4)
+            .cast("double").as("total_value"))
+        .orderBy("event_type")
+    }
+  )
+}

@@ -38,8 +38,11 @@ object Streams {
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowDur), col("event_type"))
+      // decimal sum: exact order-insensitive addition, so micro-batch
+      // arrival order can never flip the rounding vs a batch oracle
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 4).as("total_value"))
+        round(sum(col("value").cast("decimal(18,2)")), 4)
+          .cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
