@@ -51,6 +51,28 @@ object Dialect {
     add("dayofmonth_f")(a => DayOfMonth(a.head))
     add("hourofday")(a => Hour(a.head))
 
+    // qlbridge builtin library (the reference loads it wholesale;
+    // these are the documented string/url/email builtins): every alias
+    // maps to a native codegen'd Catalyst expression.
+    add("oneof")(a => Coalesce(a))
+    add("len")(a => Length(a.head))
+    add("contains")(a => Contains(a.head, a(1)))
+    add("split")(a => StringSplit(a.head, a(1), Literal(-1)))
+    // join(v1, v2, ..., sep): last argument is the separator
+    add("join")(a => ConcatWs(a.last +: a.init))
+    add("replace")(a =>
+      StringReplace(a.head, a(1), if (a.size >= 3) a(2) else Literal("")))
+    add("strip")(a => StringTrim(a.head))
+    add("email")(a => Lower(StringTrim(a.head)))
+    add("emailname")(a => SubstringIndex(StringTrim(a.head), Literal("@"), Literal(1)))
+    add("emaildomain")(a =>
+      Lower(SubstringIndex(StringTrim(a.head), Literal("@"), Literal(-1))))
+    add("host")(a => ParseUrl(Seq(a.head, Literal("HOST"))))
+    add("path")(a => ParseUrl(Seq(a.head, Literal("PATH"))))
+    add("qs")(a => ParseUrl(Seq(a.head, Literal("QUERY"), a(1))))
+    add("urldecode")(a => UrlDecode(a.head))
+    add("totimestamp")(a => Cast(a.head, org.apache.spark.sql.types.TimestampType))
+
     // hashing / json
     add("hash_md5")(a => Md5(Cast(a.head, org.apache.spark.sql.types.BinaryType)))
     add("json_jmespath")(a => GetJsonObject(a.head, a(1)))

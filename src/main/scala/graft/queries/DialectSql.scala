@@ -33,6 +33,47 @@ object DialectSql {
           |ORDER BY p_partkey""".stripMargin)
     },
 
+    // qlbridge string/url/email builtin family over synthesized values
+    // (the fixtures carry no email/url columns, so the query builds them
+    // deterministically from documents and both engines parse them back).
+    GQuery(
+      "q_dialect_strings",
+      """SELECT doc_id,
+        |       split_part(em, '@', 1) AS uname,
+        |       lower(split_part(em, '@', 2)) AS dom,
+        |       regexp_extract(url, 'http://([^/]+)', 1) AS h,
+        |       regexp_extract(url, 'http://[^/]+(/[^?]*)', 1) AS p,
+        |       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q,
+        |       coalesce(NULL, lang, 'xx') AS l,
+        |       CAST(length(source) AS BIGINT) AS src_len,
+        |       replace(source, 'src', 'origin-') AS origin,
+        |       concat_ws('-', lang, source) AS tag
+        |FROM (SELECT doc_id, lang, source,
+        |             concat('User.', CAST(doc_id AS VARCHAR), '@', source, '.Example.COM') AS em,
+        |             concat('http://', source, '.example.com/docs/',
+        |                    CAST(doc_id AS VARCHAR), '?lang=', lang) AS url
+        |      FROM documents WHERE doc_id < 200) t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      new GraftEngine(s).sql(
+        """SELECT doc_id,
+          |       emailname(em) AS uname,
+          |       emaildomain(em) AS dom,
+          |       host(url) AS h,
+          |       path(url) AS p,
+          |       qs(url, 'lang') AS q,
+          |       oneof(NULL, lang, 'xx') AS l,
+          |       toint(len(source)) AS src_len,
+          |       replace(source, 'src', 'origin-') AS origin,
+          |       join(lang, source, '-') AS tag
+          |FROM (SELECT doc_id, lang, source,
+          |             concat('User.', doc_id, '@', source, '.Example.COM') AS em,
+          |             concat('http://', source, '.example.com/docs/',
+          |                    doc_id, '?lang=', lang) AS url
+          |      FROM documents WHERE doc_id < 200) t
+          |ORDER BY doc_id""".stripMargin)
+    },
+
     GQuery(
       "q_session_vars",
       """SELECT o_orderkey, o_totalprice FROM orders
