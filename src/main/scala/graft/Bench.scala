@@ -37,6 +37,7 @@ object Bench {
         .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
       graft.core.Tables.registerAll(spark, sfDir)
+      graft.queries.StreamQueries.prewarm(spark, sfDir)
     } catch { case _: Throwable => () }
 
     var errors = List.empty[(String, String)]

@@ -130,10 +130,15 @@ object Dedup {
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var lbl: RDD[(Long, Long)] = nodes
-      .select(col("doc_id").cast("long")).as[Long].rdd
-      .map(id => (id, id))
-      .partitionBy(part)
+    // Iterate only over the pair-connected subgraph: singletons (the vast
+    // majority of a corpus — they have no near-duplicate) can never change
+    // label, so they are joined back as their own cluster at the end
+    // instead of riding every round. Seed label = min(self, neighbors),
+    // which is round one for free.
+    var lbl: RDD[(Long, Long)] = edges
+      .reduceByKey(part, math.min(_: Long, _: Long))
+      .mapPartitions(_.map { case (k, v) => (k, math.min(k, v)) },
+        preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var converged = false
@@ -175,7 +180,11 @@ object Dedup {
           "raise maxIter; returning partial labels would be silently wrong")
     }
     edges.unpersist(blocking = false)
-    lbl.toDF("doc_id", "cluster_id")
+    val connected = lbl.toDF("doc_id", "cluster_id")
+    nodes.select(col("doc_id").cast("long").as("doc_id"))
+      .join(connected, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   val queries: Seq[GQuery] = Seq(
