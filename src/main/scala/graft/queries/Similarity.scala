@@ -54,6 +54,18 @@ object Similarity {
       when(dot(v, plane) >= 0, lit(1 << h)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  // near-dup LSH: T tables of HT planes each (OR-amplification), plane
+  // (t,h) = global plane index t*HT+h from the same modular family
+  private val T = 4
+  private val HT = 4
+
+  /** Bucket id in table `t`. */
+  private def bucketColT(t: Int, v: Column): Column =
+    (0 until HT).map { h =>
+      val plane = typedLit((0 until Dim).map(planeSign(t * HT + h, _)))
+      when(dot(v, plane) >= 0, lit(1 << h)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -132,6 +144,61 @@ object Similarity {
         .select(col("query_id"), col("cand_id"), col("bucket"),
           round(cosine(col("qv"), col("cv")), 4).as("sim"))
         .orderBy("query_id", "cand_id")
+    },
+
+    // Embedding-cosine near-duplicate pairs over the whole corpus:
+    // multi-table SRP-LSH (T tables of HT hyperplanes, OR-amplified so a
+    // near pair colliding in ANY table becomes a candidate), exact cosine
+    // re-score, threshold on the rounded similarity so a last-ulp fold
+    // difference can never flip membership. Candidate generation is an
+    // equi-join on (table, bucket) — never an all-pairs cross join — and
+    // pair dedup happens on ids before vectors are re-joined, so the wide
+    // embedding arrays travel only for surviving candidates.
+    GQuery(
+      "q_dedup_embedding",
+      s"""WITH ux AS (SELECT vec_id, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS j,
+         |                  unnest(CAST(embedding AS DOUBLE[])) AS x
+         |           FROM embeddings),
+         |tbuckets AS (
+         |  SELECT vec_id, t, CAST(sum(CASE WHEN b = 1 THEN 1 << h ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM (
+         |    SELECT vec_id, g // $HT AS t, g % $HT AS h,
+         |           CASE WHEN sum(CASE WHEN ((1 + (g*$Dim + j - 1)*2654435761) % $P) % 2 = 0
+         |                              THEN x ELSE -x END) >= 0 THEN 1 ELSE 0 END AS b
+         |    FROM ux CROSS JOIN range(${T * HT}) r(g)
+         |    GROUP BY vec_id, g
+         |  ) signs
+         |  GROUP BY vec_id, t
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM tbuckets a JOIN tbuckets b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (
+         |  SELECT vec_a, vec_b,
+         |         round(list_dot_product(ea.v, eb.v) /
+         |               (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) AS sim
+         |  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      val e = vecs(s, d)
+      val buckets = e.select(col("vec_id"),
+          posexplode(array((0 until T).map(t => bucketColT(t, col("v")).cast("long")): _*)))
+        .toDF("vec_id", "t", "bucket")
+      val a = buckets.toDF("vec_a", "t", "bucket")
+      val b = buckets.toDF("vec_b", "tb", "bucket_b")
+      val cand = a.join(b,
+          col("t") === col("tb") && col("bucket") === col("bucket_b") &&
+            col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      cand
+        .join(e.toDF("vec_a", "va"), "vec_a")
+        .join(e.toDF("vec_b", "vb"), "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          round(cosine(col("va"), col("vb")), 4).as("sim"))
+        .filter(col("sim") >= 0.45)
+        .orderBy("vec_a", "vec_b")
     }
   )
 }
