@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests for the headline queries: the shapes
+  * that decide 100 TB behavior (pushdown reaching the parquet scan,
+  * broadcast for dimensions, no accidental cartesian products, codegen
+  * coverage) are asserted here so a future edit can't silently regress
+  * them into a working-but-wrong-at-scale plan.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  /** Collect across AQE boundaries (AdaptiveSparkPlanExec and the
+    * QueryStageExec wrappers both hold their subtree out-of-band, not as
+    * children, so a plain collect stops at them). */
+  private def collectAll[A](p: SparkPlan)(pf: PartialFunction[SparkPlan, A]): Seq[A] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    val self = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+      case q: QueryStageExec => collectAll(q.plan)(pf)
+      case other => other.children.flatMap(collectAll(_)(pf))
+    }
+    self ++ below
+  }
+
+  test("q1_agg: filter is pushed to the parquet scan, not re-checked row-by-row") {
+    val f = formatted("q1_agg")
+    assert(f.contains("PushedFilters"), f)
+    assert(f.contains("LessThanOrEqual(l_shipdate"), f)
+    // partial aggregation before the exchange (map-side combine)
+    assert(f.contains("HashAggregate"), f)
+  }
+
+  test("q1_agg: column pruning — the scan reads only referenced columns") {
+    val f = formatted("q1_agg")
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity"), readSchema)
+    assert(!readSchema.contains("l_comment"), readSchema)
+    assert(!readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("q3_shipping: dimension joins broadcast; no cartesian product") {
+    val p = plan("q3_shipping")
+    assert(collectAll(p) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "expected at least one broadcast exchange for the filtered dimension side")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("headline queries avoid cartesian products (q_cross excepted)") {
+    for (name <- Seq("q1_agg", "q_join_inner", "q_src_join_hetero",
+        "q_dedup_minhash_lsh", "q_ann_lsh_bucket", "q_dedup_embedding")) {
+      val cart = collectAll(plan(name)) { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"$name has a cartesian product")
+    }
+  }
+
+  test("scan-heavy queries run inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    for (name <- Seq("q_scan_project", "q_filter_ops", "q1_agg")) {
+      // AQE finalizes stages (and codegen wrapping) only on execution —
+      // and only for the QueryExecution the action ran on
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val spans = collectAll(df.queryExecution.executedPlan) {
+        case w: WholeStageCodegenExec => w
+      }
+      assert(spans.nonEmpty, s"$name lost codegen:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("q_window_ntile: no single-partition global window exchange") {
+    val f = formatted("q_window_ntile")
+    // the two-pass global rank must not plan a SinglePartition exchange
+    // feeding a Window operator (the classic all-rows-to-one-task shape)
+    assert(!f.contains("Exchange SinglePartition"), f)
+  }
+
+  test("q_terms: top-N is a TakeOrderedAndProject, not a global sort") {
+    val f = formatted("q_terms")
+    assert(f.contains("TakeOrderedAndProject"), f)
+  }
+}
