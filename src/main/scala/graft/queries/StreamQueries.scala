@@ -117,6 +117,46 @@ object StreamQueries {
       drain(agg, "complete").orderBy("window_start", "event_type")
     },
 
+    // Sliding (hopping) windows: 1-hour windows every 30 minutes, so each
+    // event contributes to exactly two windows — which the oracle states
+    // literally by unnesting the two window starts per event.
+    GQuery(
+      "q_stream_sliding",
+      """SELECT w AS window_start, event_type, count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_value
+        |FROM (SELECT event_type, value,
+        |             unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS w
+        |      FROM events) t
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      val (evDir, _) = stage(s, d)
+      val agg = Streams.slidingCounts(
+        readEvents(s, evDir), "1 hour", "30 minutes", "10 minutes")
+      drain(agg, "complete").orderBy("window_start", "event_type")
+    },
+
+    // Stream-static enrichment: events stream ⨝ broadcast customer
+    // dimension (stateless per micro-batch), aggregated per market
+    // segment inside the stream so the sink holds the final rollup.
+    GQuery(
+      "q_stream_enrich",
+      """SELECT c.c_mktsegment, count(*) AS n_events,
+        |       CAST(round(sum(CAST(e.value AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin) { (s, d) =>
+      val (evDir, _) = stage(s, d)
+      val cust = Tables.load(s, d, "customer")
+      val joined = Streams.enrichWithDim(
+        readEvents(s, evDir), cust, col("user_id") === col("c_custkey"))
+      val agg = joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,2)")), 4)
+            .cast("double").as("total_value"))
+      drain(agg, "complete").orderBy("c_mktsegment")
+    },
+
     // Streaming dedup over a feed with ~1% injected replays: the pipeline
     // must restore exactly the original events, so the oracle aggregates
     // the clean batch table.

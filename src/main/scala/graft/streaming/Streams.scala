@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -45,6 +45,27 @@ object Streams {
           .cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  /** Sliding (hopping) windows: each event lands in size/hop overlapping
+    * windows; state per (window, event_type) is evicted once the watermark
+    * passes the window end, exactly as for tumbling windows. */
+  def slidingCounts(
+      events: DataFrame, size: String, hop: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), size, hop), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 4)
+          .cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Stream-static enrichment join: the static dimension is planned as a
+    * broadcast into every micro-batch — stateless (no join state store),
+    * the same dimension-broadcast shape the batch queries use. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, joinExpr: Column): DataFrame =
+    events.join(broadcast(dim), joinExpr)
 
   /** Exact streaming dedup on event_id inside the watermark horizon:
     * first occurrence wins, replays/retries within the delay are dropped.
