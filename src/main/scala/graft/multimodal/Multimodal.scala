@@ -60,14 +60,14 @@ object Multimodal {
     Array.tabulate(FeatureDim)(j => ((h >> (8 * j)) & 255).toDouble / 256.0)
 
   /** Wrap a documents frame as a media table: the text payload stands in
-    * for image bytes (same opaque-binary plumbing, deterministic). */
-  def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    * for image/video bytes (same opaque-binary plumbing, deterministic). */
+  def fromDocuments(docs: DataFrame, kind: String = "image"): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(
       col("doc_id").as("media_id"),
-      lit("image").as("kind"),
-      lit("image/png").as("mime"),
+      lit(kind).as("kind"),
+      lit(if (kind == "image") "image/png" else "video/mp4").as("mime"),
       encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
   }
