@@ -255,12 +255,16 @@ object Dedup {
       // distinct 3-gram shingle hashes per doc (compact long join keys)
       val sets = docs.select(col("doc_id"),
         array_distinct(HashFunctions.shingle_hashes(col("text"), 3)).as("hh"))
+      // the exploded index is consumed by the DF computation, the set
+      // sizes and both sides of the pair join — persist it so the
+      // corpus-wide shingle pass runs once, not four times
       val inv = sets.select(col("doc_id"), explode(col("hh")).as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // document-frequency cutoff: hyper-common shingles are dropped from
       // the index (and from set sizes) before the pair join
       val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") <= MAX_DF).select("h")
-      val inv2 = inv.join(rare, "h")
+      val inv2 = inv.join(rare, "h").persist(StorageLevel.MEMORY_AND_DISK)
       val sizes = inv2.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val ai = inv2.toDF("h", "doc_a")
       val bi = inv2.toDF("h2", "doc_b")

@@ -55,9 +55,12 @@ object Similarity {
     }.reduce(_ + _)
 
   // near-dup LSH: T tables of HT planes each (OR-amplification), plane
-  // (t,h) = global plane index t*HT+h from the same modular family
+  // (t,h) = global plane index t*HT+h from the same modular family.
+  // HT sets bucket granularity (2^HT buckets/table) — the pruning knob:
+  // more planes = fewer candidates per bucket but lower per-table recall,
+  // compensated by OR-ing across the T tables.
   private val T = 4
-  private val HT = 4
+  private val HT = 6
 
   /** Bucket id in table `t`. */
   private def bucketColT(t: Int, v: Column): Column =
@@ -182,10 +185,19 @@ object Similarity {
          |  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
          |SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      // Norms are computed once per vector, not once per candidate pair:
+      // sqrt(dot(v,v)) yields the identical double either way, so the
+      // oracle's per-pair formula still matches bit-for-bit, but the
+      // per-pair work drops from three array folds to one dot + one
+      // multiply. Both shared frames persist — the bucketing pass and the
+      // re-score pass each read them once.
       val e = vecs(s, d)
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val buckets = e.select(col("vec_id"),
           posexplode(array((0 until T).map(t => bucketColT(t, col("v")).cast("long")): _*)))
         .toDF("vec_id", "t", "bucket")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = buckets.toDF("vec_a", "t", "bucket")
       val b = buckets.toDF("vec_b", "tb", "bucket_b")
       val cand = a.join(b,
@@ -193,10 +205,10 @@ object Similarity {
             col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b").distinct()
       cand
-        .join(e.toDF("vec_a", "va"), "vec_a")
-        .join(e.toDF("vec_b", "vb"), "vec_b")
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
         .select(col("vec_a"), col("vec_b"),
-          round(cosine(col("va"), col("vb")), 4).as("sim"))
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
         .filter(col("sim") >= 0.45)
         .orderBy("vec_a", "vec_b")
     }
