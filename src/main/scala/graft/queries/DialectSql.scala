@@ -88,6 +88,22 @@ object DialectSql {
           |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // Statement surface: DESCRIBE through the engine front door
+    // (reference rewrites SHOW/DESCRIBE to schema-table selects,
+    // mysql_handler.go:239-240); the oracle states the expected schema
+    // literally. Sorted by column name for the determinism contract.
+    GQuery(
+      "q_describe",
+      """SELECT * FROM (VALUES
+        |  ('n_name',      'string', CAST(NULL AS VARCHAR)),
+        |  ('n_nationkey', 'int',    CAST(NULL AS VARCHAR)),
+        |  ('n_regionkey', 'int',    CAST(NULL AS VARCHAR)))
+        |       AS t(col_name, data_type, comment)
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      new GraftEngine(s).sql("DESCRIBE nation").orderBy("col_name")
+    },
+
     GQuery(
       "q_json_dialect",
       """SELECT event_id, json_extract_string(props, '$.k') AS k
