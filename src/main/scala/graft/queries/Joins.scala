@@ -197,6 +197,31 @@ object Joins {
       val o = Tables.load(s, d, "orders").filter(col("o_totalprice") > 400000)
         .select(col("o_custkey").as("k"))
       c.except(o).orderBy("k")
+    },
+
+    // As-of join (graft.operators.AsofJoin): each click is matched to the
+    // user's most recent prior-or-simultaneous view — the point-in-time
+    // feature lookup. The DuckDB oracle states the semantics as a LATERAL
+    // top-1 per left row with the same (ts DESC, event_id DESC) tie rule.
+    GQuery(
+      "q_asof_join",
+      """SELECT c.event_id, c.user_id, c.ts, c.value,
+        |       v.event_id AS asof_event_id, v.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id, value FROM events v
+        |  WHERE v.event_type = 'view' AND v.user_id = c.user_id AND v.ts <= c.ts
+        |  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) v ON TRUE
+        |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+      graft.operators.AsofJoin
+        .asof(clicks, views, "user_id", "ts", "ts",
+          rValues = Seq("event_id", "value"), tiebreak = "event_id")
+        .orderBy("event_id")
     }
   )
 }
