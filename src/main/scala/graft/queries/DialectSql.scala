@@ -104,6 +104,21 @@ object DialectSql {
       new GraftEngine(s).sql("DESCRIBE nation").orderBy("col_name")
     },
 
+    // SHOW CREATE TABLE renders MySQL-style DDL (reference:
+    // sql_writer.go:164-201); oracle states the rendering literally.
+    GQuery(
+      "q_show_create",
+      """SELECT * FROM (VALUES ('nation',
+        |  'CREATE TABLE `nation` (' || chr(10) ||
+        |  '  `n_nationkey` int(11),' || chr(10) ||
+        |  '  `n_name` varchar(255),' || chr(10) ||
+        |  '  `n_regionkey` int(11)' || chr(10) ||
+        |  ') ENGINE=InnoDB DEFAULT CHARSET=utf8;'))
+        |       AS t("Table", "Create Table")""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      new GraftEngine(s).sql("SHOW CREATE TABLE nation")
+    },
+
     GQuery(
       "q_json_dialect",
       """SELECT event_id, json_extract_string(props, '$.k') AS k

@@ -241,6 +241,32 @@ object Relational {
             col("exact_orders") * 0.1).as("orders_within_10pct"))
     },
 
+    // Quantile sketch (t-digest style percentile_approx) with the same
+    // tolerance-oracle pattern as q_cardinality: Spark checks its sketch
+    // against its own exact percentiles and emits the bounds-check; the
+    // oracle recomputes the row count and states the expected outcome.
+    GQuery(
+      "q_quantile_sketch",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       TRUE AS p50_within_1pct,
+        |       TRUE AS p90_within_1pct,
+        |       TRUE AS p99_within_1pct
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      li(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          expr("percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("ap"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ex"))
+        .select(
+          col("n_rows"),
+          (abs(col("ap").getItem(0) - col("ex").getItem(0)) <=
+            col("ex").getItem(0) * 0.01).as("p50_within_1pct"),
+          (abs(col("ap").getItem(1) - col("ex").getItem(1)) <=
+            col("ex").getItem(1) * 0.01).as("p90_within_1pct"),
+          (abs(col("ap").getItem(2) - col("ex").getItem(2)) <=
+            col("ex").getItem(2) * 0.01).as("p99_within_1pct"))
+    },
+
     // `terms(field, n)` (ES top-N buckets): groupBy/count/orderBy/limit.
     GQuery(
       "q_terms",
