@@ -199,6 +199,35 @@ object Joins {
       c.except(o).orderBy("k")
     },
 
+    // Range join (graft.operators.RangeJoin): orders banded into
+    // (overlapping) price intervals via the bucketized equi-join — the
+    // oracle runs the raw range predicate directly.
+    GQuery(
+      "q_range_join",
+      """SELECT b.band_id, count(*) AS n_orders,
+        |       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 1) AS DOUBLE) AS total
+        |FROM orders o
+        |JOIN (VALUES (1, 0.0, 50000.0), (2, 25000.0, 100000.0),
+        |             (3, 100000.0, 200000.0), (4, 150000.0, 300000.0),
+        |             (5, 300000.0, 700000.0)) AS b(band_id, lo, hi)
+        |  ON o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
+        |GROUP BY b.band_id
+        |ORDER BY b.band_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val bands = Seq(
+        (1, 0.0, 50000.0), (2, 25000.0, 100000.0), (3, 100000.0, 200000.0),
+        (4, 150000.0, 300000.0), (5, 300000.0, 700000.0))
+        .toDF("band_id", "lo", "hi")
+      val orders = Tables.load(s, d, "orders")
+      graft.operators.RangeJoin
+        .intervalJoin(orders, "o_totalprice", bands, "lo", "hi", 25000.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 1)
+            .cast("double").as("total"))
+        .orderBy("band_id")
+    },
+
     // As-of join (graft.operators.AsofJoin): each click is matched to the
     // user's most recent prior-or-simultaneous view — the point-in-time
     // feature lookup. The DuckDB oracle states the semantics as a LATERAL
