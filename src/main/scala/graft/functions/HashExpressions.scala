@@ -93,20 +93,33 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   */
 object HashFunctions {
 
-  /** Evaluate a foldable literal argument to Int at builder time. */
+  /** Evaluate a foldable literal argument to Int at builder time; raises
+    * an analysis-time error (not an executor NumberFormatException) for
+    * non-integral arguments like `min_hash_sig(text, 64.0, 3)`. */
   private def intArg(e: Expression, fn: String): Int = {
     require(e.foldable, s"$fn: parameter must be a literal, got $e")
     e.eval(null) match {
-      case i: Int  => i
-      case l: Long => l.toInt
-      case other   => other.toString.toInt
+      case i: Int    => i
+      case l: Long   => l.toInt
+      case s: Short  => s.toInt
+      case b: Byte   => b.toInt
+      case d: org.apache.spark.sql.types.Decimal if d.toBigDecimal.isWhole =>
+        d.toBigDecimal.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameter must be an integral literal, got " +
+          s"$other (${if (other == null) "NULL" else other.getClass.getSimpleName})")
     }
   }
 
   private def str(e: Expression): Expression =
     if (e.dataType == StringType) e else Cast(e, StringType)
 
-  def ensure(spark: SparkSession): Unit = {
+  // once per session: repeated ensure() calls are a set lookup, and the
+  // temp functions are only (re)registered a single time per session
+  private val ensured = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  def ensure(spark: SparkSession): Unit = if (ensured.add(spark)) {
     val reg = spark.sessionState.functionRegistry
     def add(name: String)(b: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, b, "built-in")
@@ -120,12 +133,20 @@ object HashFunctions {
       ShingleHashes(str(a.head), intArg(a(1), "shingle_hashes")))
   }
 
-  def poly_hash(c: Column): Column = call_function("poly_hash", c)
-  def min_hash_sig(c: Column, k: Int, n: Int): Column =
-    call_function("min_hash_sig", c, lit(k), lit(n))
-  def sim_hash64(c: Column): Column = call_function("sim_hash64", c)
-  def band_hash(c: Column, start: Int, r: Int): Column =
-    call_function("band_hash", c, lit(start), lit(r))
-  def shingle_hashes(c: Column, n: Int): Column =
-    call_function("shingle_hashes", c, lit(n))
+  /** Builders self-register in the active session, so callers that skip
+    * ensure() never hit an 'undefined function' analysis error. */
+  private def ready(): Unit =
+    SparkSession.getActiveSession.foreach(ensure)
+
+  def poly_hash(c: Column): Column = { ready(); call_function("poly_hash", c) }
+  def min_hash_sig(c: Column, k: Int, n: Int): Column = {
+    ready(); call_function("min_hash_sig", c, lit(k), lit(n))
+  }
+  def sim_hash64(c: Column): Column = { ready(); call_function("sim_hash64", c) }
+  def band_hash(c: Column, start: Int, r: Int): Column = {
+    ready(); call_function("band_hash", c, lit(start), lit(r))
+  }
+  def shingle_hashes(c: Column, n: Int): Column = {
+    ready(); call_function("shingle_hashes", c, lit(n))
+  }
 }
