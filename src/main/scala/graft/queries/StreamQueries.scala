@@ -157,6 +157,34 @@ object StreamQueries {
       drain(agg, "complete").orderBy("c_mktsegment")
     },
 
+    // Gap-based session windows (native session_window state merge); the
+    // oracle derives the same sessions with gaps-and-islands SQL: a break
+    // starts whenever the gap to the previous event is >= 30 minutes
+    // (session_window ends are exclusive at start + gap).
+    GQuery(
+      "q_stream_sessions",
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT min(ts) AS session_start, user_id,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_value
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY session_start, user_id""".stripMargin) { (s, d) =>
+      val (evDir, _) = stage(s, d)
+      val agg = Streams.sessionWindows(readEvents(s, evDir), "30 minutes", "10 minutes")
+      drain(agg, "complete").orderBy("session_start", "user_id")
+    },
+
     // Streaming dedup over a feed with ~1% injected replays: the pipeline
     // must restore exactly the original events, so the oracle aggregates
     // the clean batch table.

@@ -76,6 +76,19 @@ object Streams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates("event_id")
 
+  /** Gap-based session windows per user: consecutive events closer than
+    * `gap` merge into one session (native `session_window` state merge;
+    * watermark closes and evicts sessions whose end falls behind it). */
+  def sessionWindows(events: DataFrame, gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 4)
+          .cast("double").as("total_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("total_value"))
+
   /** Custom keyed state: per-user running session summary via
     * flatMapGroupsWithState — the engine-level escape hatch for state
     * machines the built-in aggregations can't express. A session closes
