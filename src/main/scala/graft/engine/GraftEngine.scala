@@ -81,6 +81,7 @@ class GraftEngine(val spark: SparkSession) {
   private val DropSource = """(?is)\s*DROP\s+SOURCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val ShowSources = """(?is)\s*SHOW\s+SOURCES\s*;?\s*""".r
   private val UpdateStmt = """(?is)\s*UPDATE\s+([\w.`]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val UpsertStmt = """(?is)\s*UPSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^)]*)\))?\s*VALUES\s+(.+?)\s*;?\s*""".r
 
   def sql(text: String): DataFrame = text match {
     case SetVar(name, value) =>
@@ -153,7 +154,53 @@ class GraftEngine(val spark: SparkSession) {
     case UpdateStmt(tbl, sets, cond) if tbl.startsWith("graft.") =>
       updateRewrite(tbl, sets, substitute(cond))
 
+    // UPSERT on a connector table with declared keys: rows whose key
+    // matches an existing row replace it, the rest append — the
+    // reference's per-backend `Put(key, vals)` upsert semantics
+    // (backends/cassandra/sql_to_cql.go:246-361, cass_test.go:484-599).
+    case UpsertStmt(tbl, cols, values) if tbl.startsWith("graft.") =>
+      upsertRewrite(tbl, Option(cols), substitute(values))
+
     case other => spark.sql(substitute(other))
+  }
+
+  private def upsertRewrite(tbl: String, cols: Option[String], values: String): DataFrame = {
+    val parts = tbl.replace("`", "").split('.')
+    require(parts.length == 3, s"UPSERT expects graft.<source>.<table>, got $tbl")
+    val src = graft.sources.SourceRegistry.get(parts(1))
+      .getOrElse(throw new IllegalArgumentException(s"unknown source ${parts(1)}"))
+    val table = graft.sources.FileTable.open(src, parts(2))
+      .getOrElse(throw new IllegalArgumentException(s"unknown table $tbl"))
+    require(table.keys.nonEmpty,
+      s"UPSERT needs declared key columns on $tbl (TBLPROPERTIES 'keys')")
+    val colNames = cols.map(_.split(',').map(_.trim.replace("`", "")).toSeq)
+      .getOrElse(table.schema0.fieldNames.toSeq)
+    val incoming = spark.sql(
+      s"SELECT * FROM (VALUES $values) AS t(${colNames.mkString(", ")})")
+    // delete existing rows matching any incoming key (key list is literal
+    // VALUES text — driver-side by construction, like the statement itself)
+    val keyRows = incoming.select(table.keys.map(
+      org.apache.spark.sql.functions.col): _*).collect()
+    if (keyRows.nonEmpty) {
+      if (table.keys.size == 1) {
+        // single key: one IN-list delete (valid under every accept
+        // profile, the key-constrained Cassandra one included)
+        val in = keyRows.map(r => literal(r.get(0))).distinct.mkString(", ")
+        spark.sql(s"DELETE FROM $tbl WHERE `${table.keys.head}` IN ($in)")
+      } else {
+        // composite key: per-row AND-conjunctions (the reference's
+        // row-at-a-time Put; OR trees would be declined by key profiles)
+        keyRows.foreach { r =>
+          val conj = table.keys.zipWithIndex.map { case (k, i) =>
+            s"`$k` = ${literal(r.get(i))}"
+          }.mkString(" AND ")
+          spark.sql(s"DELETE FROM $tbl WHERE $conj")
+        }
+      }
+    }
+    incoming.writeTo(tbl).append()
+    import spark.implicits._
+    Seq(keyRows.length.toLong).toDF("affected_rows")
   }
 
   private def updateRewrite(tbl: String, sets: String, cond: String): DataFrame = {
@@ -176,7 +223,9 @@ class GraftEngine(val spark: SparkSession) {
     val tmpName = parts(2) + "_gupd"
     val tmpDir = src.tableDir(tmpName)
     if (tmpDir.isDirectory) spark.sql(s"DROP TABLE graft.${parts(1)}.$tmpName")
-    graft.sources.FileTable.create(src, tmpName, table.schema0, table.format)
+    // carry the key metadata: the directory swap below replaces the
+    // sidecar, so omitting keys here would silently strip them
+    graft.sources.FileTable.create(src, tmpName, table.schema0, table.format, table.keys)
     upd.writeTo(s"graft.${parts(1)}.$tmpName").append()
     // swap: the rewrite becomes visible atomically at the directory rename
     val dir = table.dir

@@ -225,18 +225,22 @@ object Federation {
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), 'alpha', CAST(10 AS BIGINT), CAST(1.5 AS DOUBLE)),
         |  (CAST(3 AS BIGINT), 'gamma', CAST(99 AS BIGINT), CAST(3.5 AS DOUBLE)),
-        |  (CAST(5 AS BIGINT), 'epsilon', CAST(50 AS BIGINT), CAST(5.5 AS DOUBLE)))
+        |  (CAST(5 AS BIGINT), 'epsilon', CAST(55 AS BIGINT), CAST(5.5 AS DOUBLE)),
+        |  (CAST(6 AS BIGINT), 'zeta', CAST(60 AS BIGINT), CAST(6.5 AS DOUBLE)))
         |       AS t(item_id, name, qty, price)
         |ORDER BY item_id""".stripMargin) { (s, d) =>
       fed(s, d)
       val eng = new GraftEngine(s)
       val t = s"$C.${FedData.SourceName}.dml_items"
       s.sql(s"DROP TABLE IF EXISTS $t")
-      s.sql(s"CREATE TABLE $t (item_id BIGINT, name STRING, qty BIGINT, price DOUBLE)")
+      s.sql(s"CREATE TABLE $t (item_id BIGINT, name STRING, qty BIGINT, price DOUBLE) " +
+        "TBLPROPERTIES ('keys' = 'item_id')")
       s.sql(s"INSERT INTO $t VALUES (1, 'alpha', 10, 1.5), (2, 'beta', 20, 0.5), (3, 'gamma', 30, 3.5)")
       s.sql(s"INSERT INTO $t VALUES (4, 'delta', 40, 0.25), (5, 'epsilon', 50, 5.5)")
       eng.sql(s"UPDATE $t SET qty = 99 WHERE name = 'gamma'")
       s.sql(s"DELETE FROM $t WHERE price < 2.0 AND item_id <> 1")
+      // upsert: key 5 replaced, key 6 appended (Put semantics)
+      eng.sql(s"UPSERT INTO $t VALUES (5, 'epsilon', 55, 5.5), (6, 'zeta', 60, 6.5)")
       s.table(t).orderBy("item_id")
     }
   )

@@ -211,6 +211,10 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
     * aggregation merges partials — exactly the partial/final placement the
     * reference distributes by hand (planner/executor.go:104-110). */
   override def pushAggregation(agg: Aggregation): Boolean = {
+    // only the full (Mongo/ES-style) profile aggregates source-side; the
+    // keys/prefix backends this connector stands in for (Cassandra,
+    // BigTable) have no server-side aggregation — Spark keeps its agg
+    if (table.source.pushdown != "full") return false
     def fieldIdx(e: Expression): Option[Int] = e match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
         val i = table.schema0.fieldNames.indexWhere(

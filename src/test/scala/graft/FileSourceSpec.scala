@@ -198,6 +198,40 @@ class FileSourceSpec extends AnyFunSuite {
     eng.sql("DROP SOURCE kvsrc")
   }
 
+  test("UPSERT replaces by declared key, appends the rest (Put semantics)") {
+    val eng = new GraftEngine(spark)
+    val p = new File(sys.props("user.dir"), "target/graft-test/upsert-src").getPath
+    eng.sql(s"""CREATE SOURCE upsrc WITH { "type": "csv", "path": "$p", "pushdown": "keys" }""")
+    spark.sql("DROP TABLE IF EXISTS graft.upsrc.items")
+    spark.sql("CREATE TABLE graft.upsrc.items (k BIGINT, v STRING, n BIGINT) " +
+      "TBLPROPERTIES ('keys' = 'k')")
+    spark.sql("INSERT INTO graft.upsrc.items VALUES (1,'a',10), (2,'b',20)")
+    // regression: UPDATE's staged-table swap must carry the key metadata,
+    // or the upsert below would fail with "needs declared key columns"
+    eng.sql("UPDATE graft.upsrc.items SET n = 11 WHERE k = 1")
+    // k=2 replaced, k=3 appended
+    eng.sql("UPSERT INTO graft.upsrc.items VALUES (2,'B',200), (3,'c',30)")
+    val rows = spark.table("graft.upsrc.items").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a", 11L), (2L, "B", 200L), (3L, "c", 30L)))
+    // upsert with explicit column list
+    eng.sql("UPSERT INTO graft.upsrc.items (k, v, n) VALUES (1, 'A', 100)")
+    assert(spark.table("graft.upsrc.items").filter(col("k") === 1)
+      .collect()(0).getString(1) == "A")
+    spark.sql("DROP TABLE graft.upsrc.items")
+    eng.sql("DROP SOURCE upsrc")
+  }
+
+  test("key/prefix profiles decline aggregate pushdown (no server-side aggs)") {
+    FedData.ensure(spark, sfDir)
+    val df = spark.table("graft.kv.customer_kv")
+      .groupBy("c_mktsegment").agg(count(lit(1)))
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.get
+    assert(!scan.isInstanceOf[FileAggScanImpl], scan.description())
+  }
+
   test("pushed results match parquet originals (codec round-trip)") {
     val viaConnector = fedTable("customer_json")
       .filter(col("c_acctbal") > 9000.0)
