@@ -126,8 +126,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     FileTable.create(s, ident.name(), schema, fmt, keys)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** Schema evolution by sidecar rewrite (reference: ALTER jobs,
+    * mysql_handler.go:253-260). Both codecs resolve columns by NAME, so
+    * no data rewrite is needed: an added column reads null from old
+    * files, a dropped column's cells are simply ignored. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val s = source(ident.namespace())
+    val table = FileTable.open(s, ident.name())
+      .getOrElse(throw new NoSuchTableException(ident))
+    var schema = table.schema0
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "nested columns not supported by the file connector")
+        schema = schema.add(add.fieldNames()(0), add.dataType(), add.isNullable())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "nested columns not supported by the file connector")
+        val name = del.fieldNames()(0)
+        require(!table.keys.exists(_.equalsIgnoreCase(name)),
+          s"cannot drop key column $name")
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"no such column: $name")
+        schema = StructType(
+          schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
+      case other =>
+        throw new UnsupportedOperationException(s"ALTER TABLE: $other not supported")
+    }
+    FileTable.create(s, ident.name(), schema, table.format, table.keys)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val s = source(ident.namespace())

@@ -232,6 +232,26 @@ class FileSourceSpec extends AnyFunSuite {
     assert(!scan.isInstanceOf[FileAggScanImpl], scan.description())
   }
 
+  test("ALTER TABLE add/drop column evolves the schema without data rewrite") {
+    val eng = new GraftEngine(spark)
+    val p = new File(sys.props("user.dir"), "target/graft-test/alter-src").getPath
+    eng.sql(s"""CREATE SOURCE altsrc WITH { "type": "csv", "path": "$p" }""")
+    spark.sql("DROP TABLE IF EXISTS graft.altsrc.t")
+    spark.sql("CREATE TABLE graft.altsrc.t (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.altsrc.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE graft.altsrc.t ADD COLUMN note STRING")
+    // old files read null for the new column; new inserts carry it
+    spark.sql("INSERT INTO graft.altsrc.t VALUES (3, 'c', 'hello')")
+    val rows = spark.table("graft.altsrc.t").orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(rows == Seq((1L, null), (2L, null), (3L, "hello")))
+    spark.sql("ALTER TABLE graft.altsrc.t DROP COLUMN note")
+    assert(spark.table("graft.altsrc.t").columns.toSeq == Seq("id", "name"))
+    assert(spark.table("graft.altsrc.t").count() == 3)
+    spark.sql("DROP TABLE graft.altsrc.t")
+    eng.sql("DROP SOURCE altsrc")
+  }
+
   test("pushed results match parquet originals (codec round-trip)") {
     val viaConnector = fedTable("customer_json")
       .filter(col("c_acctbal") > 9000.0)
