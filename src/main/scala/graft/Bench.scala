@@ -38,6 +38,9 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       graft.core.Tables.registerAll(spark, sfDir)
       graft.queries.StreamQueries.prewarm(spark, sfDir)
+      // first spark.sql text parse initializes the ANTLR parser (~1s,
+      // once per JVM) — session setup, not the first SQL query's cost
+      spark.sql("SELECT md5('warmup') AS h, upper('x') AS u").collect()
     } catch { case _: Throwable => () }
 
     var errors = List.empty[(String, String)]
