@@ -49,6 +49,16 @@ object TextAnalysis {
     // Corpus quality statistics + a composite quality score: length,
     // token counts, mean token length, stopword ratio, a bounded-length
     // reward — the standard pre-training quality-filter features.
+    // Determinism: every displayed ratio here is integer/integer, so the
+    // rounding happens in INTEGER space — round(num·10^6 / den) with an
+    // exact-double numerator — instead of round(double, 6), whose decimal
+    // tie digit can straddle one ulp between engines (observed at sf0.1:
+    // a quality score landing exactly on a .xxxxxx5 boundary). The
+    // composite score is put over the common denominator 200·n_tokens:
+    //   quality = min(nt,50)/100 + 3·n_stop/(10·nt) + min(sum_len,8·nt)/(40·nt)
+    //           = (2·nt·min(nt,50) + 60·n_stop + 5·min(sum_len,8·nt)) / (200·nt)
+    // Numerators stay < 2^53, so num·10^6 is exact and both engines round
+    // the identical double to the identical integer.
     GQuery(
       "q_text_quality",
       s"""WITH
@@ -57,36 +67,38 @@ object TextAnalysis {
          |  SELECT d.doc_id,
          |         length(d.text) AS n_chars_m,
          |         CAST(len(t.toks) AS BIGINT) AS n_tokens,
-         |         CAST(list_sum(list_transform(t.toks, x -> length(x))) AS DOUBLE)
-         |           / len(t.toks) AS mean_tok_len,
+         |         CAST(list_sum(list_transform(t.toks, x -> length(x))) AS BIGINT) AS sum_len,
          |         CAST(len(list_filter(t.toks,
-         |           x -> list_contains(${profileSql(Profiles(1)._2)}, x))) AS DOUBLE)
-         |           / len(t.toks) AS stop_ratio
+         |           x -> list_contains(${profileSql(Profiles(1)._2)}, x))) AS BIGINT) AS n_stop
          |  FROM documents d JOIN tok t USING (doc_id))
          |SELECT doc_id, n_chars_m, n_tokens,
-         |       round(mean_tok_len, 6) AS mean_tok_len,
-         |       round(stop_ratio, 6) AS stop_ratio,
-         |       round(least(n_tokens / 50.0, 1.0) * 0.5 + stop_ratio * 0.3 +
-         |             least(mean_tok_len / 8.0, 1.0) * 0.2, 6) AS quality
+         |       CAST(round(sum_len * 1000000.0 / n_tokens) AS BIGINT) / 1000000.0 AS mean_tok_len,
+         |       CAST(round(n_stop * 1000000.0 / n_tokens) AS BIGINT) / 1000000.0 AS stop_ratio,
+         |       CAST(round((2*n_tokens*least(n_tokens, 50) + 60*n_stop +
+         |                   5*least(sum_len, 8*n_tokens)) * 1000000.0
+         |                  / (200*n_tokens)) AS BIGINT) / 1000000.0 AS quality
          |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
       val toks = tokens(col("text"))
       val en = typedLit(Profiles(1)._2)
+      val M = lit(1000000.0)
       docs(s, d)
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_m"),
           toks.as("toks"))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
-        .withColumn("mean_tok_len",
+        .withColumn("sum_len",
           aggregate(transform(col("toks"), t => length(t)), lit(0),
-            (acc, x) => acc + x).cast("double") / col("n_tokens"))
-        .withColumn("stop_ratio",
-          size(filter(col("toks"), t => array_contains(en, t))).cast("double") /
-            col("n_tokens"))
+            (acc, x) => acc + x).cast("long"))
+        .withColumn("n_stop",
+          size(filter(col("toks"), t => array_contains(en, t))).cast("long"))
         .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
-          round(col("mean_tok_len"), 6).as("mean_tok_len"),
-          round(col("stop_ratio"), 6).as("stop_ratio"),
-          round(least(col("n_tokens") / 50.0, lit(1.0)) * 0.5 +
-            col("stop_ratio") * 0.3 +
-            least(col("mean_tok_len") / 8.0, lit(1.0)) * 0.2, 6).as("quality"))
+          (round(col("sum_len") * M / col("n_tokens")).cast("long") / M)
+            .as("mean_tok_len"),
+          (round(col("n_stop") * M / col("n_tokens")).cast("long") / M)
+            .as("stop_ratio"),
+          (round((lit(2) * col("n_tokens") * least(col("n_tokens"), lit(50L)) +
+            lit(60) * col("n_stop") +
+            lit(5) * least(col("sum_len"), lit(8) * col("n_tokens"))) * M /
+            (lit(200) * col("n_tokens"))).cast("long") / M).as("quality"))
         .orderBy("doc_id")
     },
 
@@ -135,7 +147,7 @@ object TextAnalysis {
          |SELECT d.doc_id,
          |       CAST(len(t.toks) AS BIGINT) AS ws_tokens,
          |       CAST(len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
-         |       round(CAST(length(d.text) AS DOUBLE) / len(t.toks), 4) AS chars_per_tok
+         |       CAST(round(length(d.text) * 10000.0 / len(t.toks)) AS BIGINT) / 10000.0 AS chars_per_tok
          |FROM documents d JOIN tok t USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       docs(s, d)
@@ -143,8 +155,11 @@ object TextAnalysis {
           size(tokens(col("text"))).cast("long").as("ws_tokens"),
           regexp_count(lower(col("text")),
             lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe_tokens"),
-          round(length(col("text")).cast("double") /
-            size(tokens(col("text"))), 4).as("chars_per_tok"))
+          // integer-space rounding (see q_text_quality): int/int ratio,
+          // tie digits must not straddle an ulp between engines
+          (round(length(col("text")) * lit(10000.0) /
+            size(tokens(col("text")))).cast("long") / lit(10000.0))
+            .as("chars_per_tok"))
         .orderBy("doc_id")
     },
 
