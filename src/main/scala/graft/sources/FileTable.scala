@@ -97,7 +97,7 @@ class FileTable(
     new FileScanBuilder(this)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new FileWriteBuilder(dir.getPath, format, schema0, info.queryId())
+    new FileWriteBuilder(this, dir.getPath, format, schema0, info.queryId())
 
   def dataFiles(): Seq[File] = FileTable.dataFiles(dir, codec.extension)
 

@@ -5,6 +5,7 @@ import java.io.{BufferedWriter, File, FileWriter}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Append write path for [[FileTable]] — the connector's insert sink
@@ -20,11 +21,31 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * per-file scan side wants. Empty partitions produce no file.
   */
 class FileWriteBuilder(
-    dirPath: String, format: String, schema: StructType, queryId: String)
-  extends WriteBuilder {
+    table: FileTable, dirPath: String, format: String,
+    schema: StructType, queryId: String)
+  extends WriteBuilder with SupportsOverwrite {
+
+  private var overwriteFilters: Array[Filter] = Array.empty
+
+  /** INSERT OVERWRITE / REPLACE TABLE: matching rows are removed in the
+    * driver-side commit (before the new part files become visible), so a
+    * reader sees either the old or the new data, never a mix of halves.
+    * Truncate (`AlwaysTrue`) deletes the old part files outright. */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val unsupported = filters.filterNot {
+      case _: AlwaysTrue => true
+      case f => table.acceptsFilter(f)
+    }
+    if (unsupported.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"overwrite by ${unsupported.mkString(", ")} not supported")
+    overwriteFilters = filters
+    this
+  }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new FileBatchWrite(dirPath, format, schema, queryId)
+    override def toBatch: BatchWrite =
+      new FileBatchWrite(table, dirPath, format, schema, queryId, overwriteFilters)
     override def description(): String = s"GraftFileWrite format=$format dir=$dirPath"
   }
 }
@@ -33,13 +54,20 @@ final case class FileCommitMessage(tmpPath: String, finalName: String)
   extends WriterCommitMessage
 
 class FileBatchWrite(
-    dirPath: String, format: String, schema: StructType, queryId: String)
+    table: FileTable, dirPath: String, format: String,
+    schema: StructType, queryId: String,
+    overwriteFilters: Array[Filter] = Array.empty)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new FileDataWriterFactory(dirPath, format, schema.json, queryId)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (overwriteFilters.nonEmpty) {
+      if (overwriteFilters.forall(_.isInstanceOf[AlwaysTrue]))
+        table.dataFiles().foreach(_.delete())
+      else table.deleteWhere(overwriteFilters)
+    }
     messages.foreach {
       case FileCommitMessage(tmp, fin) =>
         val t = new File(tmp)
@@ -47,6 +75,7 @@ class FileBatchWrite(
           throw new IllegalStateException(s"commit rename failed: $tmp -> $fin")
       case null => // empty partition
     }
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {

@@ -232,6 +232,26 @@ class FileSourceSpec extends AnyFunSuite {
     assert(!scan.isInstanceOf[FileAggScanImpl], scan.description())
   }
 
+  test("CTAS, REPLACE TABLE AS SELECT, and INSERT OVERWRITE") {
+    FedData.ensure(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS graft.fed.ctas_t")
+    spark.sql("CREATE TABLE graft.fed.ctas_t AS " +
+      "SELECT n_nationkey, n_name FROM graft.fed.nation_csv WHERE n_regionkey = 2")
+    val n = spark.table("graft.fed.ctas_t").count()
+    assert(n > 0)
+    // RTAS: full replace via SupportsOverwrite(AlwaysTrue)
+    spark.sql("CREATE OR REPLACE TABLE graft.fed.ctas_t AS " +
+      "SELECT CAST(1 AS BIGINT) AS n_nationkey, 'only' AS n_name")
+    assert(spark.table("graft.fed.ctas_t").count() == 1)
+    // INSERT OVERWRITE replaces the table contents
+    spark.sql("INSERT OVERWRITE graft.fed.ctas_t " +
+      "VALUES (CAST(7 AS BIGINT), 'seven'), (CAST(8 AS BIGINT), 'eight')")
+    val rows = spark.table("graft.fed.ctas_t").orderBy("n_nationkey")
+      .collect().map(_.getString(1)).toSeq
+    assert(rows == Seq("seven", "eight"))
+    spark.sql("DROP TABLE graft.fed.ctas_t")
+  }
+
   test("ALTER TABLE add/drop column evolves the schema without data rewrite") {
     val eng = new GraftEngine(spark)
     val p = new File(sys.props("user.dir"), "target/graft-test/alter-src").getPath
