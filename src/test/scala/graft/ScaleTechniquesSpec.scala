@@ -1,0 +1,81 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewJoin
+
+/** The two shuffle-management techniques the 100 TB design leans on,
+  * proven executable: bucketed tables eliminate the join shuffle
+  * entirely, and salted joins split hot keys across reducers while
+  * returning exactly the plain join's rows.
+  */
+class ScaleTechniquesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      new File(sys.props("user.dir"), "target/graft-warehouse").getPath)
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def collectAll[A](p: SparkPlan)(pf: PartialFunction[SparkPlan, A]): Seq[A] = {
+    val self = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+      case q: QueryStageExec => collectAll(q.plan)(pf)
+      case other => other.children.flatMap(collectAll(_)(pf))
+    }
+    self ++ below
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    graft.core.Tables.load(spark, sfDir, "orders")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    graft.core.Tables.load(spark, sfDir, "lineitem")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus").count()
+    joined.collect()
+    val shuffles = collectAll(joined.queryExecution.executedPlan) {
+      case s: ShuffleExchangeExec => s
+    }
+    // the bucket layout co-locates both sides: the only exchange allowed
+    // is the one for the final single-key aggregation, never the join
+    assert(shuffles.size <= 1,
+      s"bucketed join still shuffles:\n${joined.queryExecution.executedPlan}")
+    spark.sql("DROP TABLE b_orders")
+    spark.sql("DROP TABLE b_lineitem")
+  }
+
+  test("salted join returns exactly the plain join's result") {
+    import spark.implicits._
+    // hot key: 90% of left rows share key 1
+    val left = ((1 to 900).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong % 7 + 2, 1000L + i))).toDF("k", "lid")
+    val right = (1L to 10L).map(k => (k, s"dim_$k")).toDF("k", "payload")
+    val salted = SkewJoin.saltedJoin(left, right, "k", "lid", 8)
+      .orderBy("lid").collect().map(r => (r.getLong(1), r.getString(2))).toSeq
+    val plain = left.join(right, "k")
+      .orderBy("lid").collect().map(r => (r.getLong(1), r.getString(2))).toSeq
+    assert(salted == plain)
+    assert(salted.size == 1000)
+  }
+}
