@@ -131,9 +131,11 @@ object Relational {
         |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 1) AS DOUBLE) AS sum_qty,
         |       round(min(l_extendedprice), 2) AS min_price,
         |       round(max(l_extendedprice), 2) AS max_price,
-        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-        |             / count(l_discount), 5) AS avg_disc
+        |       CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |                  * 1000.0 / count(l_discount)) AS BIGINT) / 100000.0 AS avg_disc
         |FROM lineitem""".stripMargin) { (s, d) =>
+      // avg at 5 decimals in INTEGER space (see q_text_quality): exact
+      // cents / count, so the decimal tie digit cannot straddle an ulp
       li(s, d).agg(
         count(lit(1)).as("n_rows"),
         count(col("l_quantity")).as("n_qty"),
@@ -141,8 +143,9 @@ object Relational {
           .cast("double").as("sum_qty"),
         round(min("l_extendedprice"), 2).as("min_price"),
         round(max("l_extendedprice"), 2).as("max_price"),
-        round(sum(col("l_discount").cast("decimal(18,2)")).cast("double") /
-          count(col("l_discount")), 5).as("avg_disc"))
+        (round((sum(col("l_discount").cast("decimal(18,2)")) * 100).cast("long") *
+          lit(1000.0) / count(col("l_discount"))).cast("long") / lit(100000.0))
+          .as("avg_disc"))
     },
 
     // TPC-H Q1 shape: the canonical partial/final hash aggregate.
@@ -153,9 +156,12 @@ object Relational {
         |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 1) AS DOUBLE) AS sum_base_price,
         |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |                      (1 - CAST(l_discount AS DECIMAL(18,2)))), 1) AS DOUBLE) AS sum_disc_price,
-        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
-        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 3) AS avg_price,
-        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 5) AS avg_disc,
+        |       CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |                  * 100.0 / count(l_quantity)) AS BIGINT) / 10000.0 AS avg_qty,
+        |       CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |                  * 10.0 / count(l_extendedprice)) AS BIGINT) / 1000.0 AS avg_price,
+        |       CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |                  * 1000.0 / count(l_discount)) AS BIGINT) / 100000.0 AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -171,9 +177,13 @@ object Relational {
           round(sum(dq), 1).cast("double").as("sum_qty"),
           round(sum(dp), 1).cast("double").as("sum_base_price"),
           round(sum(dp * (lit(1) - dd)), 1).cast("double").as("sum_disc_price"),
-          round(sum(dq).cast("double") / count(col("l_quantity")), 4).as("avg_qty"),
-          round(sum(dp).cast("double") / count(col("l_extendedprice")), 3).as("avg_price"),
-          round(sum(dd).cast("double") / count(col("l_discount")), 5).as("avg_disc"),
+          // integer-space avg rounding: exact cents over exact counts
+          (round((sum(dq) * 100).cast("long") * lit(100.0) /
+            count(col("l_quantity"))).cast("long") / lit(10000.0)).as("avg_qty"),
+          (round((sum(dp) * 100).cast("long") * lit(10.0) /
+            count(col("l_extendedprice"))).cast("long") / lit(1000.0)).as("avg_price"),
+          (round((sum(dd) * 100).cast("long") * lit(1000.0) /
+            count(col("l_discount"))).cast("long") / lit(100000.0)).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -281,11 +291,16 @@ object Relational {
 
     GQuery(
       "q_agg_over_expr",
-      """SELECT p_brand, round(avg(length(CAST(p_name AS VARCHAR))), 6) AS avg_len
+      """SELECT p_brand,
+        |       CAST(round(sum(length(CAST(p_name AS VARCHAR))) * 1000000.0
+        |                  / count(*)) AS BIGINT) / 1000000.0 AS avg_len
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      // integer-space avg rounding (see q_text_quality)
       part(s, d)
         .groupBy("p_brand")
-        .agg(round(avg(length(col("p_name").cast("string"))), 6).as("avg_len"))
+        .agg((round(sum(length(col("p_name").cast("string"))).cast("long") *
+          lit(1000000.0) / count(lit(1))).cast("long") / lit(1000000.0))
+          .as("avg_len"))
         .orderBy("p_brand")
     },
 

@@ -158,17 +158,20 @@ object Scalars {
       "q_json",
       """SELECT event_type,
         |       count(*) AS n,
-        |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        |       CAST(round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 10000.0
+        |                  / count(json_extract_string(props, '$.k'))) AS BIGINT) / 10000.0 AS avg_k,
         |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
       Tables.load(s, d, "events")
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
-          round(avg(get_json_object(col("props"), "$.k").cast("long")), 4)
+          // integer-space avg rounding (see q_text_quality)
+          (round(sum(k) * lit(10000.0) / count(k)).cast("long") / lit(10000.0))
             .as("avg_k"),
-          max(get_json_object(col("props"), "$.k").cast("long")).as("max_k"))
+          max(k).as("max_k"))
         .orderBy("event_type")
     },
 

@@ -82,29 +82,37 @@ object Windows {
     GQuery(
       "q_window_frame",
       """SELECT o_custkey, o_orderkey,
-        |       round(avg(o_totalprice) OVER (
-        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+        |       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w * 100 AS BIGINT)
+        |                  * 100.0 / count(*) OVER w) AS BIGINT) / 10000.0 AS mavg
         |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(-2, Window.currentRow)
+      // frame avg in integer space: exact decimal cents summed over the
+      // frame / frame count, so incremental-frame double drift and
+      // rounding ties are both impossible (see q_text_quality)
       Tables.load(s, d, "orders")
         .filter(col("o_custkey") < 100)
         .select(col("o_custkey"), col("o_orderkey"),
-          round(avg("o_totalprice").over(w), 4).as("mavg"))
+          (round((sum(col("o_totalprice").cast("decimal(18,2)")).over(w) * 100)
+            .cast("long") * lit(100.0) / count(lit(1)).over(w)).cast("long") /
+            lit(10000.0)).as("mavg"))
         .orderBy("o_custkey", "o_orderkey")
     },
 
     GQuery(
       "q_window_ntile",
       """SELECT o_orderkey, nt,
-        |       round(pr, 6) AS prank, round(cd, 6) AS cdist FROM (
+        |       CAST(round((rn - 1) * 1000000.0 / greatest(n - 1, 1)) AS BIGINT) / 1000000.0 AS prank,
+        |       CAST(round(rn * 1000000.0 / n) AS BIGINT) / 1000000.0 AS cdist
+        |FROM (
         |  SELECT o_orderkey,
         |         ntile(4)       OVER w AS nt,
-        |         percent_rank() OVER w AS pr,
-        |         cume_dist()    OVER w AS cd
+        |         row_number()   OVER w AS rn,
+        |         count(*)       OVER () AS n
         |  FROM orders WHERE o_custkey < 20
         |  WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)) t
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
@@ -136,8 +144,11 @@ object Windows {
         .withColumn("_rn", col("_off") + row_number().over(wLocal))
         .select(col("o_orderkey"),
           (floor((col("_rn") - 1) * 4 / n) + 1).cast("int").as("nt"),
-          round((col("_rn") - 1).cast("double") / math.max(n - 1, 1), 6).as("prank"),
-          round(col("_rn").cast("double") / n, 6).as("cdist"))
+          // integer-space ratio rounding (see q_text_quality)
+          (round((col("_rn") - 1) * lit(1000000.0) / math.max(n - 1, 1))
+            .cast("long") / lit(1000000.0)).as("prank"),
+          (round(col("_rn") * lit(1000000.0) / n).cast("long") / lit(1000000.0))
+            .as("cdist"))
         .orderBy("o_orderkey")
     },
 

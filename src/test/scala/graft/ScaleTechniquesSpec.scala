@@ -18,13 +18,14 @@ import graft.operators.SkewJoin
   */
 class ScaleTechniquesSpec extends AnyFunSuite {
 
+  // The test JVM shares one SparkSession across suites (getOrCreate),
+  // so no builder confs here: anything this suite needs is set at
+  // runtime inside the test and restored — builder confs would either
+  // be ignored (session already exists) or leak into other suites.
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir",
-      new File(sys.props("user.dir"), "target/graft-warehouse").getPath)
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -41,28 +42,35 @@ class ScaleTechniquesSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join without a shuffle exchange") {
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    graft.core.Tables.load(spark, sfDir, "orders")
-      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("b_orders")
-    graft.core.Tables.load(spark, sfDir, "lineitem")
-      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("b_lineitem")
-    val joined = spark.table("b_orders")
-      .join(spark.table("b_lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-      .groupBy("o_orderstatus").count()
-    joined.collect()
-    val shuffles = collectAll(joined.queryExecution.executedPlan) {
-      case s: ShuffleExchangeExec => s
-    }
-    // the bucket layout co-locates both sides: the only exchange allowed
-    // is the one for the final single-key aggregation, never the join
-    assert(shuffles.size <= 1,
-      s"bucketed join still shuffles:\n${joined.queryExecution.executedPlan}")
-    spark.sql("DROP TABLE b_orders")
-    spark.sql("DROP TABLE b_lineitem")
+    val wh = new File(sys.props("user.dir"), "target/graft-warehouse")
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      graft.core.Tables.load(spark, sfDir, "orders")
+        .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .option("path", new File(wh, "b_orders").getPath)
+        .mode("overwrite").saveAsTable("b_orders")
+      graft.core.Tables.load(spark, sfDir, "lineitem")
+        .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .option("path", new File(wh, "b_lineitem").getPath)
+        .mode("overwrite").saveAsTable("b_lineitem")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus").count()
+      joined.collect()
+      val shuffles = collectAll(joined.queryExecution.executedPlan) {
+        case s: ShuffleExchangeExec => s
+      }
+      // the bucket layout co-locates both sides: the only exchange allowed
+      // is the one for the final single-key aggregation, never the join
+      assert(shuffles.size <= 1,
+        s"bucketed join still shuffles:\n${joined.queryExecution.executedPlan}")
+      spark.sql("DROP TABLE b_orders")
+      spark.sql("DROP TABLE b_lineitem")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
   }
 
   test("salted join returns exactly the plain join's result") {
