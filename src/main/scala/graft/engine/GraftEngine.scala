@@ -175,22 +175,37 @@ class GraftEngine(val spark: SparkSession) {
       s"UPSERT needs declared key columns on $tbl (TBLPROPERTIES 'keys')")
     val colNames = cols.map(_.split(',').map(_.trim.replace("`", "")).toSeq)
       .getOrElse(table.schema0.fieldNames.toSeq)
-    val incoming = spark.sql(
+    require(table.keys.forall(k => colNames.exists(_.equalsIgnoreCase(k))),
+      s"UPSERT column list must include the key columns ${table.keys.mkString(", ")}")
+    val listed = spark.sql(
       s"SELECT * FROM (VALUES $values) AS t(${colNames.mkString(", ")})")
+    // pad unlisted columns with typed nulls BEFORE any delete happens, so
+    // a malformed upsert rejects up front instead of after removing rows
+    val incoming = spark.sql(s"SELECT * FROM $tbl LIMIT 0").columns
+      .foldLeft(listed) { (df, c) =>
+        if (colNames.exists(_.equalsIgnoreCase(c))) df
+        else df.withColumn(c,
+          org.apache.spark.sql.functions.lit(null)
+            .cast(table.schema0(c).dataType))
+      }
     // delete existing rows matching any incoming key (key list is literal
     // VALUES text — driver-side by construction, like the statement itself)
     val keyRows = incoming.select(table.keys.map(
       org.apache.spark.sql.functions.col): _*).collect()
     if (keyRows.nonEmpty) {
-      if (table.keys.size == 1) {
-        // single key: one IN-list delete (valid under every accept
-        // profile, the key-constrained Cassandra one included)
+      val inOk = table.keys.size == 1 &&
+        table.acceptsFilter(org.apache.spark.sql.sources.In(
+          table.keys.head, keyRows.map(_.get(0)).toArray))
+      if (inOk) {
+        // single key on a profile that accepts IN (full, Cassandra-style
+        // keys): one IN-list delete
         val in = keyRows.map(r => literal(r.get(0))).distinct.mkString(", ")
         spark.sql(s"DELETE FROM $tbl WHERE `${table.keys.head}` IN ($in)")
       } else {
-        // composite key: per-row AND-conjunctions (the reference's
-        // row-at-a-time Put; OR trees would be declined by key profiles)
-        keyRows.foreach { r =>
+        // composite keys, or a profile without IN (BigTable-style prefix
+        // ranges): per-row AND-conjunctions — the reference's
+        // row-at-a-time Put
+        keyRows.distinct.foreach { r =>
           val conj = table.keys.zipWithIndex.map { case (k, i) =>
             s"`$k` = ${literal(r.get(i))}"
           }.mkString(" AND ")
@@ -213,13 +228,19 @@ class GraftEngine(val spark: SparkSession) {
       .getOrElse(throw new IllegalArgumentException(s"unknown table $tbl"))
     val df = spark.table(tbl)
     val affected = df.filter(expr(cond)).count()
-    var upd = df
-    // split assignments on top-level commas (quoted strings respected)
-    splitTopLevel(sets).foreach { assign =>
+    // SQL UPDATE semantics: the WHERE condition and every RHS evaluate
+    // against the ORIGINAL row, so all assignments go into ONE select —
+    // sequential withColumn would let later assignments (and the
+    // condition) see already-updated values.
+    val assigns = splitTopLevel(sets).map { assign =>
       val Array(c, v) = assign.split("=", 2).map(_.trim)
-      upd = upd.withColumn(c.replace("`", ""),
-        when(expr(cond), expr(substitute(v))).otherwise(col(c)))
-    }
+      c.replace("`", "") -> v
+    }.toMap
+    val upd = df.select(df.columns.map { c =>
+      assigns.collectFirst { case (ac, v) if ac.equalsIgnoreCase(c) =>
+        when(expr(cond), expr(substitute(v))).otherwise(col(c)).as(c)
+      }.getOrElse(col(c))
+    }: _*)
     val tmpName = parts(2) + "_gupd"
     val tmpDir = src.tableDir(tmpName)
     if (tmpDir.isDirectory) spark.sql(s"DROP TABLE graft.${parts(1)}.$tmpName")
@@ -227,11 +248,17 @@ class GraftEngine(val spark: SparkSession) {
     // sidecar, so omitting keys here would silently strip them
     graft.sources.FileTable.create(src, tmpName, table.schema0, table.format, table.keys)
     upd.writeTo(s"graft.${parts(1)}.$tmpName").append()
-    // swap: the rewrite becomes visible atomically at the directory rename
+    // swap: the rewrite becomes visible atomically at the directory
+    // rename; if the second rename fails the first is rolled back so the
+    // table never vanishes mid-swap
     val dir = table.dir
     val old = new java.io.File(dir.getPath + ".old")
-    if (!dir.renameTo(old) || !tmpDir.renameTo(dir))
+    if (!dir.renameTo(old))
       throw new IllegalStateException(s"UPDATE swap failed for $tbl")
+    if (!tmpDir.renameTo(dir)) {
+      old.renameTo(dir) // restore the original table directory
+      throw new IllegalStateException(s"UPDATE swap failed for $tbl (rolled back)")
+    }
     delete(old)
     import spark.implicits._
     Seq(affected).toDF("affected_rows")

@@ -35,7 +35,10 @@ object StreamQueries {
       val base = new File(new File(sys.props("user.dir"), "target/graft-stream"), sfName)
       val evDir = new File(base, "events")
       val dupDir = new File(base, "events_dup")
-      if (!new File(evDir, "_SUCCESS").isFile) {
+      // marker written after ALL fixtures: checking the first directory's
+      // _SUCCESS would latch a half-staged state if a run died mid-way
+      val marker = new File(base, "_STAGED")
+      if (!marker.isFile) {
         val ev = Tables.load(s, sfDir, "events")
         ev.repartition(8).write.mode("overwrite").parquet(evDir.getPath)
         // replays: every 97th event appears twice (deterministic, ~1%)
@@ -44,6 +47,7 @@ object StreamQueries {
         // tiny fixture for the streaming-engine warmup pipeline
         ev.limit(1000).repartition(1).write.mode("overwrite")
           .parquet(new File(base, "events_mini").getPath)
+        marker.createNewFile()
       }
       (evDir.getPath, dupDir.getPath)
     }

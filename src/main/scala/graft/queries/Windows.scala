@@ -123,13 +123,18 @@ object Windows {
       // the offset to a per-partition row_number — a two-pass global rank
       // that stays fully parallel. The ordering includes a unique
       // tiebreaker, so rank = row_number and the rank-derived functions
-      // are closed-form: ntile(k) = floor((rn-1)·k/n)+1,
-      // percent_rank = (rn-1)/(n-1), cume_dist = rn/n.
+      // are closed-form from (rn, n): SQL NTILE gives the n mod k
+      // remainder rows to the FIRST buckets (sizes ceil(n/k) then
+      // floor(n/k)); percent_rank = (rn-1)/(n-1), cume_dist = rn/n.
       val order = Seq(col("o_totalprice").desc, col("o_orderkey"))
       val ranged = Tables.load(s, d, "orders")
         .filter(col("o_custkey") < 20)
         .repartitionByRange(s.conf.get("spark.sql.shuffle.partitions").toInt, order: _*)
         .withColumn("_pid", spark_partition_id())
+        // persist: the count job and the rank job below must see the SAME
+        // range boundaries — re-executing the sample-based range exchange
+        // in each job could legally derive different bounds at scale
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cnts = ranged.groupBy("_pid").count().collect()
         .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
       val n = cnts.map(_._2).sum
@@ -143,7 +148,7 @@ object Windows {
       ranged.join(broadcast(offDf), "_pid")
         .withColumn("_rn", col("_off") + row_number().over(wLocal))
         .select(col("o_orderkey"),
-          (floor((col("_rn") - 1) * 4 / n) + 1).cast("int").as("nt"),
+          RankMath.ntile(col("_rn"), n, 4).cast("int").as("nt"),
           // integer-space ratio rounding (see q_text_quality)
           (round((col("_rn") - 1) * lit(1000000.0) / math.max(n - 1, 1))
             .cast("long") / lit(1000000.0)).as("prank"),

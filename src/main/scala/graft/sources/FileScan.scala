@@ -66,8 +66,8 @@ object FilterEval {
     case d: java.lang.Double => d
     case d: java.math.BigDecimal => java.lang.Double.valueOf(d.doubleValue())
     case d: scala.math.BigDecimal => java.lang.Double.valueOf(d.toDouble)
-    case t: java.sql.Timestamp =>
-      java.lang.Long.valueOf(t.getTime / 1000 * 1000000L + t.getNanos / 1000)
+    case t: java.sql.Timestamp => // floorDiv: pre-epoch values must not truncate toward zero
+      java.lang.Long.valueOf(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)
     case i: java.time.Instant =>
       java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000)
     case dt: java.time.LocalDateTime => // NTZ: wall-clock micros
@@ -380,7 +380,7 @@ class FileAggReaderFactory extends PartitionReaderFactory {
     }
 
     val groups = mutable.LinkedHashMap.empty[List[Any], Array[Any]]
-    val in = new BufferedReader(new FileReader(new File(p.path)))
+    val in = FileCodec.utf8Reader(new File(p.path))
     try {
       codec.reader(in, parseSchema)
         .filter(row => p.filters.forall(FilterEval.eval(_, parseSchema, row)))
@@ -464,7 +464,7 @@ class FilePartitionReaderFactory extends PartitionReaderFactory {
     val parseSchema = DataType.fromJson(p.parseSchemaJson).asInstanceOf[StructType]
     val outSchema = StructType(p.outputIndices.map(parseSchema.fields(_)))
     val codec = FileCodec.forFormat(p.format)
-    val in = new BufferedReader(new FileReader(new File(p.path)))
+    val in = FileCodec.utf8Reader(new File(p.path))
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(outSchema)
     val base = codec.reader(in, parseSchema)
       .filter(row => p.filters.forall(FilterEval.eval(_, parseSchema, row)))

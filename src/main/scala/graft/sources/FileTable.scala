@@ -135,8 +135,8 @@ class FileTable(
         val cdc = FileCodec.forFormat(fmt)
         val tmp = new File(path + ".rewrite")
         var kept = 0L
-        Using.resource(new BufferedReader(new FileReader(path))) { in =>
-          Using.resource(new java.io.BufferedWriter(new java.io.FileWriter(tmp))) { out =>
+        Using.resource(FileCodec.utf8Reader(new File(path))) { in =>
+          Using.resource(FileCodec.utf8Writer(tmp)) { out =>
             cdc.writeHeader(out, sch)
             cdc.reader(in, sch).foreach { row =>
               val matched = conjuncts.forall(f => FilterEval.eval(f, sch, row))
@@ -180,7 +180,7 @@ object FileTable {
       keys.foreach(arr.add)
     }
     val sidecar = new File(dir, SidecarName)
-    Using.resource(new java.io.FileWriter(sidecar))(
+    Using.resource(FileCodec.utf8Writer(sidecar))(
       _.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(obj)))
     new FileTable(s, table, schema, format, keys)
   }
@@ -202,7 +202,7 @@ object FileTable {
       Seq("csv", "json").view.flatMap { fmt =>
         val cdc = FileCodec.forFormat(fmt)
         dataFiles(dir, cdc.extension).headOption.map { f =>
-          val schema = Using.resource(new BufferedReader(new FileReader(f)))(
+          val schema = Using.resource(FileCodec.utf8Reader(f))(
             cdc.inferSchema)
           new FileTable(s, table, schema, fmt)
         }

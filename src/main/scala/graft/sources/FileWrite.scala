@@ -110,7 +110,7 @@ class FileDataWriter(
   override def write(record: InternalRow): Unit = {
     if (out == null) { // lazily created: empty partitions write no file
       tmp.getParentFile.mkdirs()
-      out = new BufferedWriter(new FileWriter(tmp))
+      out = FileCodec.utf8Writer(tmp)
       codec.writeHeader(out, schema)
     }
     val ext = Array.tabulate[Any](schema.length) { i =>

@@ -116,6 +116,18 @@ sealed trait FileCodec extends Serializable {
 }
 
 object FileCodec {
+
+  /** All connector text IO is explicit UTF-8: FileReader/FileWriter would
+    * use the platform default charset, making staged files non-portable
+    * and mangling non-ASCII round-trips on non-UTF-8 JVMs. */
+  def utf8Reader(f: java.io.File): BufferedReader =
+    new BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(f), java.nio.charset.StandardCharsets.UTF_8))
+
+  def utf8Writer(f: java.io.File): java.io.BufferedWriter =
+    new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(f), java.nio.charset.StandardCharsets.UTF_8))
+
   def forFormat(format: String): FileCodec = format match {
     case "csv" => CsvCodec
     case "json" | "jsonl" => JsonCodec

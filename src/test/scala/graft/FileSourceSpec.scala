@@ -303,6 +303,21 @@ class FileSourceSpec extends AnyFunSuite {
     assert(t.filter(col("flag")).count() == 2)
   }
 
+  test("UPDATE evaluates all assignments against the original row") {
+    FedData.ensure(spark, sfDir)
+    val eng = new GraftEngine(spark)
+    val t = "graft.fed.upd_sem"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, a BIGINT, b BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 0), (2, 5, 0)")
+    // SQL semantics: b gets the OLD a; the WHERE sees the OLD a too
+    eng.sql(s"UPDATE $t SET a = a + 1, b = a WHERE a = 1")
+    val rows = spark.table(t).orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((2L, 1L), (5L, 0L)), rows)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("DML lifecycle: insert, update, deleteWhere") {
     FedData.ensure(spark, sfDir)
     val eng = new GraftEngine(spark)
