@@ -48,7 +48,12 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release frames the query persisted for its own multi-pass plan —
+        // outside the measured region; without this, ~85 queries' caches
+        // (corpus embeddings, shingle indexes) accumulate across the run
+        spark.catalog.clearCache()
+        name -> dt
       } catch {
         case e: Throwable =>
           errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName))
