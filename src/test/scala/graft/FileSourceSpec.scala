@@ -218,8 +218,30 @@ class FileSourceSpec extends AnyFunSuite {
     eng.sql("UPSERT INTO graft.upsrc.items (k, v, n) VALUES (1, 'A', 100)")
     assert(spark.table("graft.upsrc.items").filter(col("k") === 1)
       .collect()(0).getString(1) == "A")
+    // column subset: unlisted columns pad with typed nulls
+    eng.sql("UPSERT INTO graft.upsrc.items (k, v) VALUES (4, 'd')")
+    val r4 = spark.table("graft.upsrc.items").filter(col("k") === 4).collect()(0)
+    assert(r4.getString(1) == "d" && r4.isNullAt(2))
+    // the key column must be listed
+    intercept[IllegalArgumentException] {
+      eng.sql("UPSERT INTO graft.upsrc.items (v, n) VALUES ('x', 1)")
+    }
     spark.sql("DROP TABLE graft.upsrc.items")
     eng.sql("DROP SOURCE upsrc")
+    // prefix-profile source declines IN: multi-row upsert must fall back
+    // to per-row conjunction deletes instead of failing
+    val pp = new File(sys.props("user.dir"), "target/graft-test/upsert-bt").getPath
+    eng.sql(s"""CREATE SOURCE upbt WITH { "type": "csv", "path": "$pp", "pushdown": "prefix" }""")
+    spark.sql("DROP TABLE IF EXISTS graft.upbt.rows")
+    spark.sql("CREATE TABLE graft.upbt.rows (rk STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys' = 'rk')")
+    spark.sql("INSERT INTO graft.upbt.rows VALUES ('a', 1), ('b', 2)")
+    eng.sql("UPSERT INTO graft.upbt.rows VALUES ('b', 20), ('c', 30)")
+    val bt = spark.table("graft.upbt.rows").orderBy("rk").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(bt == Seq(("a", 1L), ("b", 20L), ("c", 30L)))
+    spark.sql("DROP TABLE graft.upbt.rows")
+    eng.sql("DROP SOURCE upbt")
   }
 
   test("key/prefix profiles decline aggregate pushdown (no server-side aggs)") {
