@@ -120,10 +120,19 @@ object Dedup {
       nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val nPart = spark.sparkContext.defaultParallelism
+    // Size the loop's partitioning to the candidate-pair count, not the
+    // cluster default: each round launches ~6 stages, so 32 partitions of
+    // a few hundred pairs is pure task-scheduling overhead, while at
+    // 100 TB the same formula scales the loop out with the pair volume.
+    // The count also materializes the persisted pair frame once, so the
+    // LSH computation feeding it never re-runs inside the loop.
+    val pairsP = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairsP.count()
+    val nPart = math.max(2, math.min(spark.sparkContext.defaultParallelism,
+      (nPairs / 50000L).toInt + 1))
     val part = new HashPartitioner(nPart)
 
-    val edges: RDD[(Long, Long)] = pairs
+    val edges: RDD[(Long, Long)] = pairsP
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .as[(Long, Long)].rdd
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }
