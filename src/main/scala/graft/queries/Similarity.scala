@@ -64,6 +64,12 @@ object Similarity {
   // compensated by OR-ing across the T tables.
   private val T = 4
   private val HT = 6
+  // hot-bucket cap: with only 2^HT buckets per table the expected bucket
+  // size grows linearly with the corpus, so an uncapped within-bucket
+  // self-join is O(N²/2^HT) pairs per table. Buckets above ECAP emit the
+  // sorted consecutive chain instead (Dedup.cappedBucketPairs) — O(n)
+  // pairs, identical-family connectivity preserved.
+  private val ECAP = 32
 
   /** Bucket id in table `t`. */
   private def bucketColT(t: Int, v: Column): Column =
@@ -75,6 +81,36 @@ object Similarity {
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Embedding near-duplicate pairs over an arbitrary (vec_id, embedding)
+    * frame: multi-table SRP-LSH candidates with the hot-bucket chain rule,
+    * exact cosine re-score, threshold on the rounded similarity. Exposed
+    * for the >ECAP-family spec. */
+  private[graft] def embeddingNearDupPairs(
+      s: SparkSession, emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    // Norms are computed once per vector, not once per candidate pair:
+    // sqrt(dot(v,v)) yields the identical double either way, so the
+    // oracle's per-pair formula still matches bit-for-bit, but the
+    // per-pair work drops from three array folds to one dot + one
+    // multiply. Both shared frames persist — the bucketing pass and the
+    // re-score pass each read them once.
+    val e = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = e.select(col("vec_id"),
+        posexplode(array((0 until T).map(t => bucketColT(t, col("v")).cast("long")): _*)))
+      .toDF("doc_id", "k1", "k2")
+    // candidate generation shares the text-LSH skew guard: cold (t, bucket)
+    // groups emit all pairs, hot groups the doc-sorted consecutive chain
+    val cand = Dedup.cappedBucketPairs(buckets, ECAP).toDF("vec_a", "vec_b")
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 
   /** DuckDB SQL fragment: per-vector LSH bucket id (mirrors bucketCol). */
   private val oracleBuckets =
@@ -157,9 +193,12 @@ object Similarity {
     // near pair colliding in ANY table becomes a candidate), exact cosine
     // re-score, threshold on the rounded similarity so a last-ulp fold
     // difference can never flip membership. Candidate generation is an
-    // equi-join on (table, bucket) — never an all-pairs cross join — and
-    // pair dedup happens on ids before vectors are re-joined, so the wide
-    // embedding arrays travel only for surviving candidates.
+    // equi-join on (table, bucket) — never an all-pairs cross join — with
+    // the same hot-bucket chain rule as the text LSH (buckets > ECAP emit
+    // the sorted consecutive chain: O(n) pairs, connectivity preserved,
+    // mirrored in the oracle). Pair dedup happens on ids before vectors
+    // are re-joined, so the wide embedding arrays travel only for
+    // surviving candidates.
     GQuery(
       "q_dedup_embedding",
       s"""WITH ux AS (SELECT vec_id, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS j,
@@ -176,10 +215,20 @@ object Similarity {
          |  ) signs
          |  GROUP BY vec_id, t
          |),
+         |tbsz AS (SELECT t, bucket, count(*) AS n FROM tbuckets GROUP BY t, bucket),
+         |coldt AS (SELECT tb.vec_id, tb.t, tb.bucket FROM tbuckets tb JOIN tbsz USING (t, bucket) WHERE tbsz.n <= $ECAP),
+         |hott  AS (SELECT tb.vec_id, tb.t, tb.bucket FROM tbuckets tb JOIN tbsz USING (t, bucket) WHERE tbsz.n > $ECAP),
+         |chaint AS (
+         |  SELECT vec_a, vec_b FROM (
+         |    SELECT vec_id AS vec_a,
+         |           lead(vec_id) OVER (PARTITION BY t, bucket ORDER BY vec_id) AS vec_b
+         |    FROM hott) ch WHERE vec_b IS NOT NULL),
          |cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM tbuckets a JOIN tbuckets b
-         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |  SELECT DISTINCT vec_a, vec_b FROM (
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |    FROM coldt a JOIN coldt b
+         |      ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |    UNION ALL SELECT vec_a, vec_b FROM chaint) u),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |scored AS (
          |  SELECT vec_a, vec_b,
@@ -188,31 +237,7 @@ object Similarity {
          |  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
          |SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-      // Norms are computed once per vector, not once per candidate pair:
-      // sqrt(dot(v,v)) yields the identical double either way, so the
-      // oracle's per-pair formula still matches bit-for-bit, but the
-      // per-pair work drops from three array folds to one dot + one
-      // multiply. Both shared frames persist — the bucketing pass and the
-      // re-score pass each read them once.
-      val e = vecs(s, d)
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val buckets = e.select(col("vec_id"),
-          posexplode(array((0 until T).map(t => bucketColT(t, col("v")).cast("long")): _*)))
-        .toDF("vec_id", "t", "bucket")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = buckets.toDF("vec_a", "t", "bucket")
-      val b = buckets.toDF("vec_b", "tb", "bucket_b")
-      val cand = a.join(b,
-          col("t") === col("tb") && col("bucket") === col("bucket_b") &&
-            col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b").distinct()
-      cand
-        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
-        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
-        .select(col("vec_a"), col("vec_b"),
-          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
-        .filter(col("sim") >= 0.45)
+      embeddingNearDupPairs(s, Tables.load(s, d, "embeddings"))
         .orderBy("vec_a", "vec_b")
     }
   )
