@@ -215,6 +215,56 @@ object Federation {
         .orderBy("c_mktsegment")
     },
 
+    // Nested-document columns (reference: ES exposes document sub-objects
+    // as dotted-path columns, elasticsearch/source.go:154-255, queried as
+    // `p.repository.name` in multi_backend_test.go:180-190). Here the
+    // staged JSONL round-trips REAL StructType columns through the codec;
+    // dotted paths are native GetStructField extractions, and nested-path
+    // predicates are inside the connector accept-list, so they push into
+    // the scan like any top-level filter (golden-plan in FileSourceSpec).
+    GQuery(
+      "q_nested_project",
+      """SELECT c_custkey, c_name AS name, c_mktsegment AS segment
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.SourceName}.customer_doc")
+        .select(col("c_custkey"), col("profile.name").as("name"),
+          col("market.segment").as("segment"))
+        .orderBy("c_custkey")
+    },
+
+    GQuery(
+      "q_nested_filter",
+      """SELECT c_custkey, c_name AS name, c_acctbal AS balance FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000.0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.SourceName}.customer_doc")
+        .filter(col("market.segment") === "BUILDING" &&
+          col("profile.balance") > 9000.0)
+        .select(col("c_custkey"), col("profile.name").as("name"),
+          col("profile.balance").as("balance"))
+        .orderBy("c_custkey")
+    },
+
+    // Aggregation keyed by a nested field: the group key is a struct
+    // subfield, the measure a nested double — the shuffle key is the
+    // extracted value, so the plan is identical to a flat group-by (no
+    // struct travels through the exchange).
+    GQuery(
+      "q_nested_group",
+      """SELECT c_mktsegment AS segment, count(*) AS n_cust,
+        |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 1) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY 1 ORDER BY segment""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.SourceName}.customer_doc")
+        .groupBy(col("market.segment").as("segment"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("profile.balance").cast("decimal(18,2)")), 1)
+            .cast("double").as("total_bal"))
+        .orderBy("segment")
+    },
+
     // Full DML lifecycle on a connector table (reference: cassandra
     // INSERT/UPDATE/DELETE lifecycle, backends/cassandra/cass_test.go:
     // 484-599): CREATE TABLE → INSERT VALUES (DSv2 append) → UPDATE

@@ -2,7 +2,8 @@ package graft.sources
 
 import java.io.File
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
@@ -35,7 +36,22 @@ object FedData {
     * are staged as several part files. */
   private final case class Fixture(
       table: String, fmt: String, parquet: String, nParts: Int,
-      keys: Seq[String] = Nil)
+      keys: Seq[String] = Nil,
+      transform: DataFrame => DataFrame = identity)
+
+  /** Nested-document shape of `customer` (reference: ES document columns
+    * with sub-objects, elasticsearch/source.go:154-255): two struct columns
+    * over the flat parquet fields, staged as real nested JSONL through the
+    * connector write path. */
+  private def nestedCustomer(df: DataFrame): DataFrame =
+    df.select(
+      col("c_custkey"),
+      struct(
+        col("c_name").as("name"),
+        col("c_acctbal").as("balance")).as("profile"),
+      struct(
+        col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("segment")).as("market"))
 
   /** Sources staged per scale factor, each with the pushdown profile of the
     * reference backend it stands in for (full=Mongo/ES, keys=Cassandra,
@@ -44,7 +60,8 @@ object FedData {
     (SourceName, "full", Seq(
       Fixture("nation_csv", "csv", "nation", 1),
       Fixture("orders_csv", "csv", "orders", 8),
-      Fixture("customer_json", "json", "customer", 4))),
+      Fixture("customer_json", "json", "customer", 4),
+      Fixture("customer_doc", "json", "customer", 4, Nil, nestedCustomer))),
     (KvSourceName, "keys", Seq(
       Fixture("customer_kv", "csv", "customer", 4, Seq("c_custkey")))),
     (BtSourceName, "prefix", Seq(
@@ -64,12 +81,14 @@ object FedData {
         if (existing.exists(_.path == root.getPath)) existing.get
         else SourceRegistry.register(
           SourceDef(srcName, root.getPath, "csv", profile))
-      val marker = new File(root, "_READY")
+      // versioned marker: bumping it invalidates fixture sets staged by
+      // older builds (the directory is wiped and re-staged)
+      val marker = new File(root, "_READY_v2")
       if (!marker.isFile) {
         if (root.isDirectory) delete(root)
         root.mkdirs()
         fixtures.foreach { fx =>
-          val df = Tables.load(spark, sfDir, fx.parquet)
+          val df = fx.transform(Tables.load(spark, sfDir, fx.parquet))
           FileTable.create(src, fx.table, df.schema, fx.fmt, fx.keys)
           df.repartition(fx.nParts)
             .writeTo(s"${SourceRegistry.CatalogName}.$srcName.${fx.table}").append()

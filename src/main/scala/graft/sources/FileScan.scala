@@ -29,12 +29,31 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
   */
 object FilterEval {
 
+  /** Resolve a (possibly dotted) attribute path against the schema — the
+    * reference's ES backend addresses document sub-objects the same way
+    * (dotted paths over nested documents, elasticsearch/source.go:154-255).
+    * Struct-typed intermediate steps walk into the struct; anything else
+    * fails resolution and the predicate is declined. */
+  private[sources] def resolveType(schema: StructType, attr: String): Option[DataType] = {
+    var dt: DataType = schema
+    attr.split('.').foreach { p =>
+      dt match {
+        case st: StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(p)) match {
+            case Some(f) => dt = f.dataType
+            case None => return None
+          }
+        case _ => return None
+      }
+    }
+    Some(dt)
+  }
+
   private def top(schema: StructType, attr: String): Boolean =
-    schema.fieldNames.exists(_.equalsIgnoreCase(attr))
+    resolveType(schema, attr).isDefined
 
   private def isString(schema: StructType, attr: String): Boolean =
-    schema.fields.find(_.name.equalsIgnoreCase(attr))
-      .exists(_.dataType == StringType)
+    resolveType(schema, attr).contains(StringType)
 
   /** Can this predicate be pushed into (and evaluated by) the source? */
   def accepts(f: Filter, schema: StructType): Boolean = f match {
@@ -95,8 +114,23 @@ object FilterEval {
     * same collapse SQL applies to WHERE). */
   def eval(f: Filter, schema: StructType, row: Array[Any]): Boolean = {
     def v(attr: String): Any = {
-      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(attr))
-      if (i < 0) null else row(i)
+      val parts = attr.split('.')
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(parts(0)))
+      if (i < 0) return null
+      var cur: Any = row(i)
+      var dt: DataType = schema.fields(i).dataType
+      var k = 1
+      while (k < parts.length) {
+        (cur, dt) match {
+          case (r: Row, st: StructType) =>
+            val j = st.fieldNames.indexWhere(_.equalsIgnoreCase(parts(k)))
+            if (j < 0) return null
+            cur = r.get(j); dt = st.fields(j).dataType
+          case _ => return null // null struct or non-struct mid-path
+        }
+        k += 1
+      }
+      cur
     }
     def nn(attr: String)(p: Any => Boolean): Boolean = {
       val x = v(attr); x != null && p(x)
@@ -132,6 +166,7 @@ final case class FilePartition(
     path: String,
     format: String,
     parseSchemaJson: String,
+    outputSchemaJson: String,
     outputIndices: Array[Int],
     filters: Array[Filter],
     limit: Int,
@@ -274,23 +309,35 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
         parseSchema, outSchema, groups2, aggs2, pushed)
     case None =>
       // the reader must parse filter-only and sort-only columns too: Spark
-      // prunes them out of the required schema once the filter is pushed
-      val filterRefs = pushed.flatMap(_.references).map(_.toLowerCase).toSet ++
-        sortKeys.map(_._1.toLowerCase)
-      val parseFields = table.schema0.fields.filter { f =>
-        required.fieldNames.exists(_.equalsIgnoreCase(f.name)) ||
-          filterRefs.contains(f.name.toLowerCase)
+      // prunes them out of the required schema once the filter is pushed.
+      // Filter references may be dotted nested paths (profile.name); the
+      // parse unit is the top-level column.
+      val filterRefs = pushed.flatMap(_.references).toSeq ++ sortKeys.map(_._1)
+      val filterTops = filterRefs.map(_.split('.').head.toLowerCase).toSet
+      // top-level struct columns whose *nested* path a pushed filter needs
+      val nestedTops = pushed.flatMap(_.references).filter(_.contains('.'))
+        .map(_.split('.').head.toLowerCase).toSet
+      val parseFields = table.schema0.fields.flatMap { tf =>
+        val req = required.fields.find(_.name.equalsIgnoreCase(tf.name))
+        req match {
+          case Some(rf) =>
+            // a nested-pruned struct must still parse the full table field
+            // when a pushed filter resolves through a pruned-away subfield;
+            // the reader re-projects the output back to the required shape
+            Some(if (nestedTops.contains(tf.name.toLowerCase) && rf.dataType != tf.dataType) tf
+                 else rf)
+          case None =>
+            if (filterTops.contains(tf.name.toLowerCase)) Some(tf) else None
+        }
       }
       val parseSchema = StructType(parseFields)
       val outIdx = required.fieldNames.map(n =>
         parseSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n)))
-      val outSchema = StructType(required.fieldNames.map(n =>
-        table.schema0.fields.find(_.name.equalsIgnoreCase(n)).get))
       val topN = sortKeys.map { case (name, desc, nf) =>
         SortSpec(parseSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name)), desc, nf)
       }
       new FileScanImpl(table.dataFiles().map(_.getPath), table.format,
-        parseSchema, outSchema, outIdx, pushed, limit, topN)
+        parseSchema, required, outIdx, pushed, limit, topN)
   }
 }
 
@@ -428,7 +475,7 @@ class FileScanImpl(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => FilePartition(f, format, parseSchema.json,
+    files.map(f => FilePartition(f, format, parseSchema.json, outputSchema.json,
       outputIndices, pushed, limit, topN): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -459,10 +506,25 @@ class FilePartitionReaderFactory extends PartitionReaderFactory {
       r
     }
 
+  /** Re-project a parsed value to the required output type: identity for
+    * scalars and identically-shaped structs; a struct parsed wider than
+    * required (full field kept for a nested pushed filter) is narrowed to
+    * the required subfields recursively. */
+  private def projectValue(v: Any, from: DataType, to: DataType): Any =
+    (v, from, to) match {
+      case (null, _, _) => null
+      case (r: Row, f: StructType, t: StructType) if f != t =>
+        Row.fromSeq(t.fields.toSeq.map { tf =>
+          val i = f.fieldNames.indexWhere(_.equalsIgnoreCase(tf.name))
+          if (i < 0) null else projectValue(r.get(i), f.fields(i).dataType, tf.dataType)
+        })
+      case _ => v
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FilePartition]
     val parseSchema = DataType.fromJson(p.parseSchemaJson).asInstanceOf[StructType]
-    val outSchema = StructType(p.outputIndices.map(parseSchema.fields(_)))
+    val outSchema = DataType.fromJson(p.outputSchemaJson).asInstanceOf[StructType]
     val codec = FileCodec.forFormat(p.format)
     val in = FileCodec.utf8Reader(new File(p.path))
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(outSchema)
@@ -482,8 +544,12 @@ class FilePartitionReaderFactory extends PartitionReaderFactory {
       } else if (p.limit >= 0) base.take(p.limit)
       else base
     val rows = limited.map { row =>
-      toCatalyst(Row.fromSeq(p.outputIndices.toSeq.map(row(_))))
-        .asInstanceOf[InternalRow]
+      val out = p.outputIndices.indices.map { oi =>
+        val pi = p.outputIndices(oi)
+        projectValue(row(pi), parseSchema.fields(pi).dataType,
+          outSchema.fields(oi).dataType)
+      }
+      toCatalyst(Row.fromSeq(out)).asInstanceOf[InternalRow]
     }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _

@@ -230,8 +230,13 @@ object CsvCodec extends FileCodec {
   }
 }
 
-/** JSON-lines: one object per line, scalar fields only (nested values are
-  * retained as compact JSON text in string columns). */
+/** JSON-lines: one object per line. Nested objects round-trip as real
+  * `StructType` columns (the reference's ES source exposes document
+  * sub-objects as dotted-path columns, dataux
+  * backends/elasticsearch/source.go:154-255; here they surface as native
+  * Spark structs, so `profile.name` is a `GetStructField`, not a string
+  * parse). Non-object nesting (arrays, mixed types) degrades to JSON text
+  * in a string column, like the reference's sparse-document fallback. */
 object JsonCodec extends FileCodec {
   val extension = "jsonl"
 
@@ -242,18 +247,36 @@ object JsonCodec extends FileCodec {
     else if (n.isTextual) n.asText()
     else n.toString
 
+  /** Declared-type-directed JSON value decode; structs recurse to rows. */
+  private def nodeToValue(n: JsonNode, dt: DataType): Any =
+    if (n == null || n.isNull) null
+    else dt match {
+      case st: StructType =>
+        org.apache.spark.sql.Row.fromSeq(
+          st.fields.toSeq.map(f => nodeToValue(n.get(f.name), f.dataType)))
+      case _ => LineCodec.parse(nodeToCell(n), dt)
+    }
+
+  private def putValue(obj: ObjectNode, name: String, v: Any, dt: DataType): Unit =
+    v match {
+      case null => // omit, like the reference's sparse documents
+      case r: org.apache.spark.sql.Row =>
+        val st = dt.asInstanceOf[StructType]
+        val child = obj.putObject(name)
+        st.fields.indices.foreach { i =>
+          putValue(child, st.fields(i).name, r.get(i), st.fields(i).dataType)
+        }
+      case l: java.lang.Long => obj.put(name, l.longValue())
+      case v2: java.lang.Integer => obj.put(name, v2.intValue())
+      case d: java.lang.Double => obj.put(name, d.doubleValue())
+      case b: java.lang.Boolean => obj.put(name, b.booleanValue())
+      case other => obj.put(name, LineCodec.render(other))
+    }
+
   def write(out: Writer, row: Array[Any], schema: StructType): Unit = {
     val obj = mapper.createObjectNode()
     schema.fields.indices.foreach { i =>
-      val f = schema.fields(i)
-      row(i) match {
-        case null => // omit, like the reference's sparse documents
-        case l: java.lang.Long => obj.put(f.name, l.longValue())
-        case v: java.lang.Integer => obj.put(f.name, v.intValue())
-        case d: java.lang.Double => obj.put(f.name, d.doubleValue())
-        case b: java.lang.Boolean => obj.put(f.name, b.booleanValue())
-        case other => obj.put(f.name, LineCodec.render(other))
-      }
+      putValue(obj, schema.fields(i).name, row(i), schema.fields(i).dataType)
     }
     out.write(mapper.writeValueAsString(obj))
     out.write("\n")
@@ -264,15 +287,34 @@ object JsonCodec extends FileCodec {
       .filter(_.trim.nonEmpty)
       .map { line =>
         val obj = mapper.readTree(line)
-        schema.fields.map { f =>
-          LineCodec.parse(nodeToCell(obj.get(f.name)), f.dataType)
+        schema.fields.map { f => nodeToValue(obj.get(f.name), f.dataType) }
+      }
+
+  /** Column inference over sampled nodes: all-object columns recurse to a
+    * struct of the union of sampled sub-fields (insertion-ordered); any
+    * scalar/mixed column falls back to scalar widening over the JSON text
+    * (object text → string, the fallback the doc comment promises). */
+  private def inferNodes(nodes: Seq[JsonNode]): DataType = {
+    val present = nodes.filter(n => n != null && !n.isNull)
+    if (present.isEmpty) StringType
+    else if (present.forall(_.isObject)) {
+      val names = ArrayBuffer.empty[String]
+      present.foreach { o =>
+        val it = o.fieldNames()
+        while (it.hasNext) {
+          val nm = it.next(); if (!names.contains(nm)) names += nm
         }
       }
+      StructType(names.toSeq.map { nm =>
+        StructField(nm, inferNodes(present.map(_.get(nm))), nullable = true)
+      })
+    } else LineCodec.inferColumn(present.map(nodeToCell))
+  }
 
   def inferSchema(in: BufferedReader): StructType = {
     val names = ArrayBuffer.empty[String] // insertion-ordered field names
     val cols = scala.collection.mutable.LinkedHashMap
-      .empty[String, ArrayBuffer[String]]
+      .empty[String, ArrayBuffer[JsonNode]]
     var n = 0
     var line = in.readLine()
     while (line != null && n < LineCodec.SampleRows) {
@@ -283,14 +325,14 @@ object JsonCodec extends FileCodec {
           val name = it.next()
           if (!cols.contains(name)) { names += name; cols(name) = ArrayBuffer.empty }
         }
-        cols.foreach { case (name, buf) => buf += nodeToCell(obj.get(name)) }
+        cols.foreach { case (name, buf) => buf += obj.get(name) }
         n += 1
       }
       line = in.readLine()
     }
     require(names.nonEmpty, "empty json file: cannot infer schema")
     StructType(names.toSeq.map { name =>
-      StructField(name, LineCodec.inferColumn(cols(name).toSeq), nullable = true)
+      StructField(name, inferNodes(cols(name).toSeq), nullable = true)
     })
   }
 }

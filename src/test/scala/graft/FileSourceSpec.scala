@@ -304,6 +304,63 @@ class FileSourceSpec extends AnyFunSuite {
     assert(viaConnector == viaParquet)
   }
 
+  test("nested struct columns: dotted-path pushdown, pruning, and value fidelity") {
+    // reference: ES document sub-objects addressed as dotted paths
+    // (elasticsearch/source.go:154-255); here they are native structs
+    val doc = fedTable("customer_doc")
+    assert(doc.schema("profile").dataType.isInstanceOf[StructType])
+    assert(doc.schema("market").dataType.isInstanceOf[StructType])
+    // nested predicates are inside the accept-list => pushed, no residual
+    val df = doc
+      .filter(col("market.segment") === "BUILDING" && col("profile.balance") > 5000.0)
+      .select(col("c_custkey"), col("profile.name").as("name"))
+    val d = scanOf(df).description()
+    assert(d.contains("EqualTo(market.segment,BUILDING)"), d)
+    assert(d.contains("GreaterThan(profile.balance,5000.0)"), d)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case f: logical.Filter => f }.isEmpty, "nested filters should fully push")
+    // nested schema pruning reaches the scan: only profile.name is read
+    // even though the pushed filter needed profile.balance (the reader
+    // parses the full struct and re-projects to the pruned shape)
+    assert(scanOf(df).readSchema().catalogString ==
+      "struct<c_custkey:bigint,profile:struct<name:string>>")
+    // values identical to the flat parquet original
+    val exp = graft.core.Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"), col("c_name").as("name"))
+      .orderBy("c_custkey").collect().toSeq
+    assert(df.orderBy("c_custkey").collect().toSeq == exp)
+    // whole-struct select round-trips nested rows
+    val whole = doc.select("c_custkey", "profile").orderBy("c_custkey").limit(3).collect()
+    assert(whole.forall(r => r.getStruct(1).schema.fieldNames.toSeq == Seq("name", "balance")))
+  }
+
+  test("nested JSONL schema inference: objects become structs, mixed degrades to string") {
+    val root = new File(sys.props("user.dir"), "target/graft-test/nested-infer")
+    val dir = new File(root, "docs"); dir.mkdirs()
+    val f = new File(dir, "data.jsonl")
+    val w = new java.io.FileWriter(f)
+    w.write("""{"id":1,"repo":{"name":"alpha","stars":10},"mixed":{"a":1}}""" + "\n")
+    w.write("""{"id":2,"repo":{"name":"beta","stars":20,"fork":true},"mixed":7}""" + "\n")
+    w.write("""{"id":3,"repo":{"name":"gamma","stars":2.5}}""" + "\n")
+    w.close()
+    SourceRegistry.ensureCatalog(spark)
+    SourceRegistry.register(SourceDef("nestsrc", root.getPath, "json"))
+    val t = spark.table("graft.nestsrc.docs")
+    val repo = t.schema("repo").dataType.asInstanceOf[StructType]
+    assert(repo.fieldNames.toSeq == Seq("name", "stars", "fork"))
+    assert(repo("name").dataType == StringType)
+    assert(repo("stars").dataType == DoubleType) // long then double => widened
+    assert(repo("fork").dataType == BooleanType)
+    // object-vs-scalar conflict degrades to JSON text in a string column
+    assert(t.schema("mixed").dataType == StringType)
+    val rows = t.orderBy("id").collect()
+    assert(rows(0).getStruct(1).getString(0) == "alpha")
+    assert(rows(1).getStruct(1).getBoolean(2))
+    assert(rows(2).getStruct(1).isNullAt(2)) // fork absent => null
+    assert(rows(0).getString(2) == """{"a":1}""")
+  }
+
   test("schema inference by sampling when no sidecar exists") {
     val root = new File(sys.props("user.dir"), "target/graft-test/infer")
     val dir = new File(root, "samples"); dir.mkdirs()
