@@ -73,6 +73,19 @@ object FilterEval {
     case _ => false // Or, EqualNullSafe, nested Not, AlwaysTrue/False, ...
   }
 
+  /** Passthrough acceptance (reference: BigQuery full-SQL re-render,
+    * backends/bigquery/sql_to_bq.go:72-104 — the whole WHERE ships to the
+    * backend): every boolean shape the 3VL evaluator implements, including
+    * OR trees, arbitrary NOT and null-safe equality. */
+  def acceptsAll(f: Filter, schema: StructType): Boolean = f match {
+    case And(l, r) => acceptsAll(l, schema) && acceptsAll(r, schema)
+    case Or(l, r) => acceptsAll(l, schema) && acceptsAll(r, schema)
+    case Not(c) => acceptsAll(c, schema)
+    case EqualNullSafe(a, _) => top(schema, a)
+    case _: AlwaysTrue | _: AlwaysFalse => true
+    case other => accepts(other, schema)
+  }
+
   // ---- evaluation -------------------------------------------------------
 
   /** Normalize row/literal values to a comparable domain. */
