@@ -172,11 +172,12 @@ object FilterEval {
 /** One sort key of a pushed top-N, resolved to a parse-schema index. */
 final case class SortSpec(colIdx: Int, descending: Boolean, nullsFirst: Boolean)
 
-/** One scan partition = one data file (record formats with quoted embedded
-  * newlines cannot split at byte offsets; parallelism comes from the
-  * many-files layout the write side produces). */
+/** One scan partition = a bin-packed list of file chunks planned by
+  * [[ScanChunks.plan]]: large JSONL files split at line boundaries, small
+  * files share a partition, CSV stays whole-file (quoted embedded newlines
+  * cannot split at byte offsets). */
 final case class FilePartition(
-    path: String,
+    chunks: Array[FileChunk],
     format: String,
     parseSchemaJson: String,
     outputSchemaJson: String,
@@ -375,8 +376,9 @@ class FileAggScanImpl(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => FileAggPartition(f, format, parseSchema.json,
-      outputSchema.json, groupIdx.toArray, aggs.toArray, pushed): InputPartition)
+    ScanChunks.plan(files, splittable = FileCodec.forFormat(format) == JsonCodec)
+      .map(chs => FileAggPartition(chs.toArray, format, parseSchema.json,
+        outputSchema.json, groupIdx.toArray, aggs.toArray, pushed): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -384,7 +386,7 @@ class FileAggScanImpl(
 }
 
 final case class FileAggPartition(
-    path: String,
+    chunks: Array[FileChunk],
     format: String,
     parseSchemaJson: String,
     outputSchemaJson: String,
@@ -440,17 +442,16 @@ class FileAggReaderFactory extends PartitionReaderFactory {
     }
 
     val groups = mutable.LinkedHashMap.empty[List[Any], Array[Any]]
-    val in = FileCodec.utf8Reader(new File(p.path))
+    val in = ScanChunks.records(p.chunks.toSeq, codec, parseSchema)
     try {
-      codec.reader(in, parseSchema)
-        .filter(row => p.filters.forall(FilterEval.eval(_, parseSchema, row)))
+      in.filter(row => p.filters.forall(FilterEval.eval(_, parseSchema, row)))
         .foreach { row =>
           val key = p.groupIdx.map(row(_)).toList
           update(groups.getOrElseUpdate(key, newAcc()), row)
         }
     } finally in.close()
     if (p.groupIdx.isEmpty && groups.isEmpty)
-      groups.put(Nil, newAcc()) // neutral partial for a filtered-empty file
+      groups.put(Nil, newAcc()) // neutral partial for a filtered-empty partition
 
     val conv = CatalystTypeConverters.createToCatalystConverter(outSchema)
     val it = groups.iterator.map { case (key, acc) =>
@@ -488,8 +489,10 @@ class FileScanImpl(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => FilePartition(f, format, parseSchema.json, outputSchema.json,
-      outputIndices, pushed, limit, topN): InputPartition).toArray
+    ScanChunks.plan(files, splittable = FileCodec.forFormat(format) == JsonCodec)
+      .map(chs => FilePartition(chs.toArray, format, parseSchema.json,
+        outputSchema.json, outputIndices, pushed, limit, topN): InputPartition)
+      .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FilePartitionReaderFactory
@@ -539,9 +542,9 @@ class FilePartitionReaderFactory extends PartitionReaderFactory {
     val parseSchema = DataType.fromJson(p.parseSchemaJson).asInstanceOf[StructType]
     val outSchema = DataType.fromJson(p.outputSchemaJson).asInstanceOf[StructType]
     val codec = FileCodec.forFormat(p.format)
-    val in = FileCodec.utf8Reader(new File(p.path))
+    val in = ScanChunks.records(p.chunks.toSeq, codec, parseSchema)
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(outSchema)
-    val base = codec.reader(in, parseSchema)
+    val base = in
       .filter(row => p.filters.forall(FilterEval.eval(_, parseSchema, row)))
     val limited =
       if (p.topN.nonEmpty && p.limit >= 0) {

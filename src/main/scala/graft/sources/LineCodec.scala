@@ -283,7 +283,12 @@ object JsonCodec extends FileCodec {
   }
 
   def reader(in: BufferedReader, schema: StructType): Iterator[Array[Any]] =
-    Iterator.continually(in.readLine()).takeWhile(_ != null)
+    lineRecords(Iterator.continually(in.readLine()).takeWhile(_ != null), schema)
+
+  /** Line-oriented decode entry point, shared by the whole-file reader and
+    * the byte-range chunk reader ([[ChunkLineIterator]]). */
+  def lineRecords(lines: Iterator[String], schema: StructType): Iterator[Array[Any]] =
+    lines
       .filter(_.trim.nonEmpty)
       .map { line =>
         val obj = mapper.readTree(line)
