@@ -191,6 +191,38 @@ object Federation {
         .orderBy("p_partkey")
     },
 
+    // Full-statement passthrough (reference: the BigQuery backend
+    // re-renders the entire SQL statement in the target dialect and ships
+    // it as ONE job — filters, aggregate, sort, limit all consumed,
+    // backends/bigquery/sql_to_bq.go:72-104). The OR tree (declined by
+    // every other profile) pushes, the aggregate is COMPLETE (no Spark-side
+    // partial/final pair), and the sort+limit is consumed exactly — the
+    // Spark plan is a bare V2 scan (golden-plan in FileSourceSpec).
+    // avg over an integer key: exact integer sum / count, so the one IEEE
+    // division matches the oracle bit-for-bit.
+    GQuery(
+      "q_src_passthrough",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       avg(o_custkey) AS avg_cust
+        |FROM orders
+        |WHERE o_orderstatus = 'F' OR o_totalprice > 200000.0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
+        |LIMIT 4""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.BqSourceName}.orders_bq")
+        .filter(col("o_orderstatus") === "F" || col("o_totalprice") > 200000.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_orderkey").as("min_key"),
+          sum("o_custkey").as("sum_cust"),
+          avg("o_custkey").as("avg_cust"))
+        .orderBy("o_orderpriority")
+        .limit(4)
+    },
+
     // Aggregate pushdown (reference: SQL→ES aggregations,
     // backends/elasticsearch/sqltoes.go:285-365): the scan ships per-file
     // partial count/min/max/sum per group, Spark merges — the raw rows

@@ -29,6 +29,9 @@ object FedData {
   /** BigTable-profile source: row-range (equality/prefix/range on key)
     * predicates push. */
   val BtSourceName = "bt"
+  /** BigQuery-profile source: full-statement passthrough — the connector
+    * consumes filters, aggregate, sort and limit wholesale. */
+  val BqSourceName = "bq"
 
   /** One staged table: (catalog table, format, parquet origin, part files,
     * declared key columns). Multi-file tables are the connector's scan
@@ -65,7 +68,9 @@ object FedData {
     (KvSourceName, "keys", Seq(
       Fixture("customer_kv", "csv", "customer", 4, Seq("c_custkey")))),
     (BtSourceName, "prefix", Seq(
-      Fixture("part_bt", "csv", "part", 4, Seq("p_name")))))
+      Fixture("part_bt", "csv", "part", 4, Seq("p_name")))),
+    (BqSourceName, "passthrough", Seq(
+      Fixture("orders_bq", "csv", "orders", 4))))
 
   private val lock = new Object
 

@@ -123,9 +123,16 @@ object FilterEval {
     case _ => None
   }
 
-  /** Evaluate one filter on an external-typed row (unknown ⇒ false, the
+  /** Evaluate one filter on an external-typed row (UNKNOWN ⇒ false, the
     * same collapse SQL applies to WHERE). */
-  def eval(f: Filter, schema: StructType, row: Array[Any]): Boolean = {
+  def eval(f: Filter, schema: StructType, row: Array[Any]): Boolean =
+    eval3(f, schema, row).contains(true)
+
+  /** SQL three-valued evaluation: None = UNKNOWN (null operand). Proper
+    * 3VL matters for the passthrough profile, which accepts arbitrary
+    * OR/NOT nesting: `NOT (null_col = 1)` must stay UNKNOWN (row dropped),
+    * not flip to TRUE under two-valued negation. */
+  def eval3(f: Filter, schema: StructType, row: Array[Any]): Option[Boolean] = {
     def v(attr: String): Any = {
       val parts = attr.split('.')
       val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(parts(0)))
@@ -145,32 +152,81 @@ object FilterEval {
       }
       cur
     }
-    def nn(attr: String)(p: Any => Boolean): Boolean = {
-      val x = v(attr); x != null && p(x)
+    // comparison against a literal: null/incomparable operand ⇒ UNKNOWN
+    def cmpOp(a: String, b: Any)(p: Int => Boolean): Option[Boolean] = {
+      val x = v(a)
+      if (x == null || b == null) None else cmp(x, b).map(p)
     }
+    def strOp(a: String)(p: String => Boolean): Option[Boolean] =
+      Option(v(a)).map(x => p(x.toString))
     f match {
-      case EqualTo(a, b) => nn(a)(x => cmp(x, b).contains(0))
-      case GreaterThan(a, b) => nn(a)(x => cmp(x, b).exists(_ > 0))
-      case GreaterThanOrEqual(a, b) => nn(a)(x => cmp(x, b).exists(_ >= 0))
-      case LessThan(a, b) => nn(a)(x => cmp(x, b).exists(_ < 0))
-      case LessThanOrEqual(a, b) => nn(a)(x => cmp(x, b).exists(_ <= 0))
-      case In(a, vs) => nn(a)(x => vs.exists(b => cmp(x, b).contains(0)))
-      case IsNull(a) => v(a) == null
-      case IsNotNull(a) => v(a) != null
-      case StringStartsWith(a, p) => nn(a)(_.toString.startsWith(p))
-      case StringEndsWith(a, s) => nn(a)(_.toString.endsWith(s))
-      case StringContains(a, s) => nn(a)(_.toString.contains(s))
-      case Not(EqualTo(a, b)) => nn(a)(x => cmp(x, b).exists(_ != 0))
-      case And(l, r) => eval(l, schema, row) && eval(r, schema, row)
-      case _: AlwaysTrue => true
-      case _: AlwaysFalse => false
+      case EqualTo(a, b) => cmpOp(a, b)(_ == 0)
+      case GreaterThan(a, b) => cmpOp(a, b)(_ > 0)
+      case GreaterThanOrEqual(a, b) => cmpOp(a, b)(_ >= 0)
+      case LessThan(a, b) => cmpOp(a, b)(_ < 0)
+      case LessThanOrEqual(a, b) => cmpOp(a, b)(_ <= 0)
+      case In(a, vs) =>
+        val x = v(a)
+        if (x == null) None
+        else if (vs.exists(b => b != null && cmp(x, b).contains(0))) Some(true)
+        else if (vs.contains(null)) None // x IN (…, NULL) with no match
+        else Some(false)
+      case IsNull(a) => Some(v(a) == null)
+      case IsNotNull(a) => Some(v(a) != null)
+      case StringStartsWith(a, p) => strOp(a)(_.startsWith(p))
+      case StringEndsWith(a, s) => strOp(a)(_.endsWith(s))
+      case StringContains(a, s) => strOp(a)(_.contains(s))
+      case EqualNullSafe(a, b) =>
+        val x = v(a)
+        Some(if (x == null || b == null) x == null && b == null
+             else cmp(x, b).contains(0))
+      case Not(c) => eval3(c, schema, row).map(!_)
+      case And(l, r) =>
+        (eval3(l, schema, row), eval3(r, schema, row)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case Or(l, r) =>
+        (eval3(l, schema, row), eval3(r, schema, row)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case _: AlwaysTrue => Some(true)
+      case _: AlwaysFalse => Some(false)
       case other => throw new IllegalStateException(s"unpushable filter evaluated: $other")
     }
   }
 }
 
-/** One sort key of a pushed top-N, resolved to a parse-schema index. */
+/** One sort key of a pushed top-N, resolved to a row index (parse schema
+  * for row scans, output schema for complete-agg scans). */
 final case class SortSpec(colIdx: Int, descending: Boolean, nullsFirst: Boolean)
+
+object SortSpec {
+  /** Row ordering for a pushed top-N: lexicographic over the sort keys with
+    * SQL null ordering; incomparable values tie (cmp = None ⇒ 0). */
+  def ordering(specs: Array[SortSpec]): Ordering[Array[Any]] =
+    (x: Array[Any], y: Array[Any]) => {
+      var i = 0
+      var r = 0
+      while (r == 0 && i < specs.length) {
+        val s = specs(i)
+        val (a, b) = (x(s.colIdx), y(s.colIdx))
+        r =
+          if (a == null && b == null) 0
+          else if (a == null) { if (s.nullsFirst) -1 else 1 }
+          else if (b == null) { if (s.nullsFirst) 1 else -1 }
+          else {
+            val c = FilterEval.cmp(a, b).getOrElse(0)
+            if (s.descending) -c else c
+          }
+        i += 1
+      }
+      r
+    }
+}
 
 /** One scan partition = a bin-packed list of file chunks planned by
   * [[ScanChunks.plan]]: large JSONL files split at line boundaries, small
@@ -187,7 +243,8 @@ final case class FilePartition(
     topN: Array[SortSpec]) extends InputPartition
 
 /** One pushed aggregate function, indexed into the scan's parse schema.
-  * kinds: count_star | count | min | max | sum_long | sum_double. */
+  * kinds: count_star | count | min | max | sum_long | sum_double | avg
+  * (avg only under complete pushdown — partials can't merge it). */
 final case class AggDef(kind: String, colIdx: Int, resultType: DataType)
 
 class FileScanBuilder(table: FileTable) extends ScanBuilder
@@ -205,6 +262,13 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
   // (group col indices into table schema, agg defs indexed into table schema)
   private var aggregation: Option[(Seq[Int], Seq[AggDef])] = None
 
+  /** BigQuery-style full-statement profile: the source consumes the whole
+    * query — arbitrary predicate trees, the final (not partial) aggregate,
+    * and sort+limit — and Spark's side is a bare V2 scan (reference: the
+    * entire SQL statement re-rendered in the backend dialect and shipped
+    * as one job, dataux backends/bigquery/sql_to_bq.go:72-104). */
+  private def passthrough: Boolean = table.source.pushdown == "passthrough"
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, declined) = filters.partition(table.acceptsFilter)
     pushed = ok
@@ -219,11 +283,16 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
   /** Per-partition limit; `isPartiallyPushed` (default true) keeps Spark's
     * global limit on top — the over-read-then-trim semantics the reference
     * applies when a limit can't be fully delegated (sql_to_cql.go:219-229). */
-  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def pushLimit(n: Int): Boolean = {
+    if (aggregation.isDefined && !passthrough) false
+    else { limit = n; true }
+  }
 
-  // both limit and top-N are partial: each file over-delivers its local
-  // best-N and Spark's global operator trims (diamond-inherited default)
-  override def isPartiallyPushed(): Boolean = true
+  // limit and top-N are partial (each file over-delivers its local best-N
+  // and Spark's global operator trims) — except under passthrough, where
+  // the single-partition one-job scan delivers the exact sorted result and
+  // Spark drops its Sort/Limit entirely
+  override def isPartiallyPushed(): Boolean = !passthrough
 
   /** ES-style sort+size pushdown (reference: SQL ORDER BY → ES `sort` array
     * + `size`, backends/elasticsearch/sqltoes.go:239-259; Datastore Order,
@@ -232,12 +301,19 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
     * candidates (`isPartiallyPushed` = true). At 100 TB this turns a
     * full-scan + global sort into scan-side selection: the shuffle carries
     * N rows per file instead of the table. Only top-level column sorts are
-    * accepted; expression sorts are declined and Spark keeps its full sort. */
+    * accepted; expression sorts are declined and Spark keeps its full sort.
+    *
+    * Under the passthrough profile the sort keys may also reference the
+    * pushed aggregate's output (group columns / agg_i), and the consumed
+    * top-N is *exact* (`isPartiallyPushed` = false): the one-job scan emits
+    * the globally sorted, limited result and Spark drops its Sort+Limit. */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (aggregation.isDefined && !passthrough) return false
+    val sortSchema = if (aggregation.isDefined) aggOutSchema else table.schema0
     val keys = orders.map { so =>
       so.expression() match {
         case nr: NamedReference if nr.fieldNames().length == 1 &&
-            table.schema0.fieldNames.exists(_.equalsIgnoreCase(nr.fieldNames()(0))) =>
+            sortSchema.fieldNames.exists(_.equalsIgnoreCase(nr.fieldNames()(0))) =>
           Some((nr.fieldNames()(0),
             so.direction() == SortDirection.DESCENDING,
             so.nullOrdering() == NullOrdering.NULLS_FIRST))
@@ -252,18 +328,10 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
     }
   }
 
-  /** ES-style aggregate pushdown (reference: SQL→ES aggs,
-    * backends/elasticsearch/sqltoes.go:285-365, and the `hits.total`
-    * count(*) short-circuit, esresults.go:152-156): each file computes its
-    * *partial* count/min/max/sum (optionally grouped), so the scan ships
-    * one row per (file × group) instead of the raw rows, and Spark's final
-    * aggregation merges partials — exactly the partial/final placement the
-    * reference distributes by hand (planner/executor.go:104-110). */
-  override def pushAggregation(agg: Aggregation): Boolean = {
-    // only the full (Mongo/ES-style) profile aggregates source-side; the
-    // keys/prefix backends this connector stands in for (Cassandra,
-    // BigTable) have no server-side aggregation — Spark keeps its agg
-    if (table.source.pushdown != "full") return false
+  /** Translate a DSv2 aggregation to (group indices, agg defs) over the
+    * table schema; None = contains something the connector can't compute
+    * (declined — Spark keeps its aggregate). */
+  private def translateAgg(agg: Aggregation): Option[(Seq[Int], Seq[AggDef])] = {
     def fieldIdx(e: Expression): Option[Int] = e match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
         val i = table.schema0.fieldNames.indexWhere(
@@ -271,8 +339,14 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
         if (i >= 0) Some(i) else None
       case _ => None
     }
+    def isNumeric(i: Int): Boolean = table.schema0.fields(i).dataType match {
+      case org.apache.spark.sql.types.IntegerType | LongType |
+           org.apache.spark.sql.types.ShortType | DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
     val groups = agg.groupByExpressions().toSeq.map(fieldIdx)
-    if (groups.exists(_.isEmpty)) return false
+    if (groups.exists(_.isEmpty)) return None
     val aggs: Seq[Option[AggDef]] = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(AggDef("count_star", -1, LongType))
       case c: Count if !c.isDistinct =>
@@ -292,19 +366,56 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
             case _ => None
           }
         }
-      case _ => None // avg/distinct/decimal sums: declined, Spark keeps its agg
+      // avg only under the complete-pushdown profile: a sum/count pair can
+      // merge across partials, a finished average cannot
+      case a: Avg if !a.isDistinct && passthrough =>
+        fieldIdx(a.column()).filter(isNumeric).map(AggDef("avg", _, DoubleType))
+      case _ => None // distinct/decimal sums/etc: declined
     }
-    if (aggs.exists(_.isEmpty)) false
-    else {
-      aggregation = Some((groups.map(_.get), aggs.map(_.get)))
-      true
+    if (aggs.exists(_.isEmpty)) None
+    else Some((groups.map(_.get), aggs.map(_.get)))
+  }
+
+  /** Complete pushdown (reference: the BigQuery backend executes the whole
+    * aggregate server-side as one job, sql_to_bq.go:72-104): the scan emits
+    * FINAL results and Spark plans no aggregate at all. Only the
+    * passthrough profile claims this; "full" stays partial. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    passthrough && translateAgg(agg).isDefined
+
+  /** ES-style aggregate pushdown (reference: SQL→ES aggs,
+    * backends/elasticsearch/sqltoes.go:285-365, and the `hits.total`
+    * count(*) short-circuit, esresults.go:152-156): each scan partition
+    * computes its *partial* count/min/max/sum (optionally grouped), so the
+    * scan ships one row per (partition × group) instead of the raw rows,
+    * and Spark's final aggregation merges partials — exactly the
+    * partial/final placement the reference distributes by hand
+    * (planner/executor.go:104-110). The keys/prefix profiles (Cassandra,
+    * BigTable) have no server-side aggregation and decline. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (table.source.pushdown != "full" && !passthrough) return false
+    translateAgg(agg) match {
+      case Some(t) => aggregation = Some(t); true
+      case None => false
     }
+  }
+
+  /** Output schema of the pushed aggregate: group columns then agg_i. */
+  private def aggOutSchema: StructType = {
+    val (groupIdx, aggs) = aggregation.get
+    StructType(
+      groupIdx.map(i => table.schema0.fields(i)) ++
+        aggs.zipWithIndex.map { case (a, i) =>
+          StructField(s"agg_$i", a.resultType, nullable = true) })
   }
 
   override def build(): Scan = aggregation match {
     case Some((groupIdx, aggs)) =>
       // parse what the groups, agg inputs and pushed filters reference
-      val filterRefs = pushed.flatMap(_.references).map(_.toLowerCase).toSet
+      // (filter refs may be dotted nested paths; the parse unit is the
+      // top-level column)
+      val filterRefs = pushed.flatMap(_.references)
+        .map(_.split('.').head.toLowerCase).toSet
       val needed = (groupIdx ++ aggs.map(_.colIdx).filter(_ >= 0)).toSet
       val parseFields = table.schema0.fields.zipWithIndex.filter { case (f, i) =>
         needed.contains(i) || filterRefs.contains(f.name.toLowerCase)
@@ -315,12 +426,14 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
       val groups2 = groupIdx.map(reIdx)
       val aggs2 = aggs.map(a =>
         if (a.colIdx < 0) a else a.copy(colIdx = reIdx(a.colIdx)))
-      val outSchema = StructType(
-        groupIdx.map(i => table.schema0.fields(i)) ++
-          aggs2.zipWithIndex.map { case (a, i) =>
-            StructField(s"agg_$i", a.resultType, nullable = true) })
+      val outSchema = aggOutSchema
+      // passthrough consumed sort+limit: resolved against the agg output
+      val topNSpecs = sortKeys.map { case (name, desc, nf) =>
+        SortSpec(outSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name)), desc, nf)
+      }
       new FileAggScanImpl(table.dataFiles().map(_.getPath), table.format,
-        parseSchema, outSchema, groups2, aggs2, pushed)
+        parseSchema, outSchema, groups2, aggs2, pushed,
+        complete = passthrough, topNSpecs, if (passthrough) limit else -1)
     case None =>
       // the reader must parse filter-only and sort-only columns too: Spark
       // prunes them out of the required schema once the filter is pushed.
@@ -350,12 +463,21 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
       val topN = sortKeys.map { case (name, desc, nf) =>
         SortSpec(parseSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name)), desc, nf)
       }
+      // a passthrough-consumed limit/top-N is exact (isPartiallyPushed =
+      // false): one partition delivers the globally sorted, trimmed result
       new FileScanImpl(table.dataFiles().map(_.getPath), table.format,
-        parseSchema, required, outIdx, pushed, limit, topN)
+        parseSchema, required, outIdx, pushed, limit, topN,
+        onePartition = passthrough && limit >= 0)
   }
 }
 
-/** Scan emitting per-file *partial* aggregation results. */
+/** Scan emitting aggregation results: per-partition *partials* merged by
+  * Spark's final aggregate, or — under complete (passthrough) pushdown —
+  * the FINAL result from one partition spanning every file, the "whole
+  * statement ships as one backend job" shape of the reference's BigQuery
+  * translator (sql_to_bq.go:72-104; there the one job is itself a
+  * distributed engine — here the file stand-in serializes, which is the
+  * faithful cost model for a passthrough that Spark cannot parallelize). */
 class FileAggScanImpl(
     files: Seq[String],
     format: String,
@@ -363,23 +485,33 @@ class FileAggScanImpl(
     outputSchema: StructType,
     groupIdx: Seq[Int],
     aggs: Seq[AggDef],
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter],
+    complete: Boolean = false,
+    topN: Array[SortSpec] = Array.empty,
+    limit: Int = -1) extends Scan with Batch {
 
   override def readSchema(): StructType = outputSchema
 
   override def description(): String =
     s"GraftFileAggScan format=$format files=${files.size} " +
+      s"Complete: $complete, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"PushedAggregates: [${aggs.map(_.kind).mkString(", ")}], " +
-      s"PushedGroupBy: [${groupIdx.mkString(", ")}]"
+      s"PushedGroupBy: [${groupIdx.mkString(", ")}], " +
+      s"PushedTopN: ${if (topN.nonEmpty) s"[${topN.mkString(", ")}] limit=$limit" else "none"}"
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    ScanChunks.plan(files, splittable = FileCodec.forFormat(format) == JsonCodec)
-      .map(chs => FileAggPartition(chs.toArray, format, parseSchema.json,
-        outputSchema.json, groupIdx.toArray, aggs.toArray, pushed): InputPartition)
-      .toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts =
+      if (complete) // one job: final results need global visibility
+        Seq(files.map(f => FileChunk(f, 0L, new File(f).length())))
+      else
+        ScanChunks.plan(files, splittable = FileCodec.forFormat(format) == JsonCodec)
+    parts.map(chs => FileAggPartition(chs.toArray, format, parseSchema.json,
+      outputSchema.json, groupIdx.toArray, aggs.toArray, pushed,
+      complete, topN, limit): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FileAggReaderFactory
@@ -392,7 +524,10 @@ final case class FileAggPartition(
     outputSchemaJson: String,
     groupIdx: Array[Int],
     aggs: Array[AggDef],
-    filters: Array[Filter]) extends InputPartition
+    filters: Array[Filter],
+    complete: Boolean,
+    topN: Array[SortSpec],
+    limit: Int) extends InputPartition
 
 class FileAggReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -403,9 +538,8 @@ class FileAggReaderFactory extends PartitionReaderFactory {
 
     def newAcc(): Array[Any] = p.aggs.map {
       case AggDef("count_star" | "count", _, _) => java.lang.Long.valueOf(0L)
-      case AggDef("sum_long", _, _) => null
-      case AggDef("sum_double", _, _) => null
-      case _ => null // min / max
+      case AggDef("avg", _, _) => Array[Any](0.0, 0L) // running (sum, count)
+      case _ => null // min / max / sums start absent
     }
     def update(acc: Array[Any], row: Array[Any]): Unit = {
       var i = 0
@@ -436,6 +570,12 @@ class FileAggReaderFactory extends PartitionReaderFactory {
               acc(i) = java.lang.Double.valueOf(
                 (if (acc(i) == null) 0.0 else acc(i).asInstanceOf[java.lang.Double].doubleValue()) + add)
             }
+          case "avg" =>
+            if (v != null) {
+              val pair = acc(i).asInstanceOf[Array[Any]]
+              pair(0) = pair(0).asInstanceOf[Double] + v.asInstanceOf[Number].doubleValue()
+              pair(1) = pair(1).asInstanceOf[Long] + 1L
+            }
         }
         i += 1
       }
@@ -453,10 +593,24 @@ class FileAggReaderFactory extends PartitionReaderFactory {
     if (p.groupIdx.isEmpty && groups.isEmpty)
       groups.put(Nil, newAcc()) // neutral partial for a filtered-empty partition
 
-    val conv = CatalystTypeConverters.createToCatalystConverter(outSchema)
-    val it = groups.iterator.map { case (key, acc) =>
-      conv(Row.fromSeq(key ++ acc.toSeq)).asInstanceOf[InternalRow]
+    def finish(acc: Array[Any]): Seq[Any] = p.aggs.indices.map { i =>
+      (p.aggs(i).kind, acc(i)) match {
+        case ("avg", pair: Array[Any]) =>
+          val cnt = pair(1).asInstanceOf[Long]
+          if (cnt == 0L) null
+          else java.lang.Double.valueOf(pair(0).asInstanceOf[Double] / cnt)
+        case (_, v) => v
+      }
     }
+    var outRows: Iterator[Array[Any]] = groups.iterator.map {
+      case (key, acc) => (key ++ finish(acc)).toArray
+    }
+    if (p.complete && p.topN.nonEmpty) // consumed ORDER BY: final rows sorted
+      outRows = outRows.toArray.sorted(SortSpec.ordering(p.topN)).iterator
+    if (p.complete && p.limit >= 0)
+      outRows = outRows.take(p.limit)
+    val conv = CatalystTypeConverters.createToCatalystConverter(outSchema)
+    val it = outRows.map(r => conv(Row.fromSeq(r.toSeq)).asInstanceOf[InternalRow])
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
@@ -475,12 +629,14 @@ class FileScanImpl(
     outputIndices: Array[Int],
     pushed: Array[Filter],
     limit: Int,
-    topN: Array[SortSpec] = Array.empty) extends Scan with Batch {
+    topN: Array[SortSpec] = Array.empty,
+    onePartition: Boolean = false) extends Scan with Batch {
 
   override def readSchema(): StructType = outputSchema
 
   override def description(): String =
     s"GraftFileScan format=$format files=${files.size} " +
+      s"Exact: $onePartition, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"PushedLimit: ${if (limit >= 0) limit.toString else "none"}, " +
       s"PushedTopN: ${if (topN.nonEmpty) s"[${topN.mkString(", ")}] limit=$limit" else "none"}, " +
@@ -488,39 +644,22 @@ class FileScanImpl(
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    ScanChunks.plan(files, splittable = FileCodec.forFormat(format) == JsonCodec)
-      .map(chs => FilePartition(chs.toArray, format, parseSchema.json,
-        outputSchema.json, outputIndices, pushed, limit, topN): InputPartition)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts =
+      if (onePartition) // exact consumed limit/top-N: global visibility
+        Seq(files.map(f => FileChunk(f, 0L, new File(f).length())))
+      else
+        ScanChunks.plan(files, splittable = FileCodec.forFormat(format) == JsonCodec)
+    parts.map(chs => FilePartition(chs.toArray, format, parseSchema.json,
+      outputSchema.json, outputIndices, pushed, limit, topN): InputPartition)
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FilePartitionReaderFactory
 }
 
 class FilePartitionReaderFactory extends PartitionReaderFactory {
-
-  /** Row ordering for a pushed top-N: lexicographic over the sort keys with
-    * SQL null ordering; incomparable values tie (cmp = None ⇒ 0). */
-  private def rowOrdering(specs: Array[SortSpec]): Ordering[Array[Any]] =
-    (x: Array[Any], y: Array[Any]) => {
-      var i = 0
-      var r = 0
-      while (r == 0 && i < specs.length) {
-        val s = specs(i)
-        val (a, b) = (x(s.colIdx), y(s.colIdx))
-        r =
-          if (a == null && b == null) 0
-          else if (a == null) { if (s.nullsFirst) -1 else 1 }
-          else if (b == null) { if (s.nullsFirst) 1 else -1 }
-          else {
-            val c = FilterEval.cmp(a, b).getOrElse(0)
-            if (s.descending) -c else c
-          }
-        i += 1
-      }
-      r
-    }
 
   /** Re-project a parsed value to the required output type: identity for
     * scalars and identically-shaped structs; a struct parsed wider than
@@ -548,9 +687,9 @@ class FilePartitionReaderFactory extends PartitionReaderFactory {
       .filter(row => p.filters.forall(FilterEval.eval(_, parseSchema, row)))
     val limited =
       if (p.topN.nonEmpty && p.limit >= 0) {
-        // bounded selection: keep the file's N best rows in a max-heap of
-        // the current worst — O(rows·log N) time, O(N) memory per file
-        val ord = rowOrdering(p.topN)
+        // bounded selection: keep the partition's N best rows in a max-heap
+        // of the current worst — O(rows·log N) time, O(N) memory per task
+        val ord = SortSpec.ordering(p.topN)
         val heap = new mutable.PriorityQueue[Array[Any]]()(ord)
         base.foreach { row =>
           if (heap.size < p.limit) heap.enqueue(row)

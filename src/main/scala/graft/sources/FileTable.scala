@@ -77,6 +77,10 @@ class FileTable(
           case And(l, r) => acceptsFilter(l) && acceptsFilter(r)
           case _ => false
         }
+      // BigQuery-style full-statement passthrough: every boolean shape the
+      // 3VL evaluator implements, OR trees and NOT included
+      // (sql_to_bq.go:72-104 re-renders the whole WHERE)
+      case "passthrough" => FilterEval.acceptsAll(f, schema0)
       case _ => FilterEval.accepts(f, schema0)
     }
   }

@@ -151,6 +151,71 @@ class FileSourceSpec extends AnyFunSuite {
       viaParquet.orderBy("c_mktsegment").collect().toSeq)
   }
 
+  test("passthrough profile consumes the whole statement: bare V2 scan plan") {
+    FedData.ensure(spark, sfDir)
+    // OR-tree filter + grouped aggregate (incl. a real avg) + sort + limit
+    val df = spark.table("graft.bq.orders_bq")
+      .filter(col("o_orderstatus") === "F" || col("o_totalprice") > 200000.0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("mn"),
+        avg("o_custkey").as("av"))
+      .orderBy("o_orderpriority")
+      .limit(3)
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.collect { case f: logical.Filter => f }.isEmpty,
+      "expected no Spark-side Filter above a passthrough scan")
+    assert(plan.collect { case a: logical.Aggregate => a }.isEmpty,
+      "expected no Spark-side Aggregate above a passthrough scan")
+    assert(plan.collect { case s: logical.Sort => s }.isEmpty,
+      "expected the consumed top-N to remove the Spark-side Sort")
+    val scan = plan.collectFirst { case r: DataSourceV2ScanRelation => r.scan }.get
+    val d = scan.description()
+    assert(d.contains("Complete: true"), d)
+    assert(d.contains("Or("), d)
+    assert(d.contains("avg"), d)
+    assert(d.contains("limit=3"), d)
+    // values identical to the same query over the parquet original
+    val viaParquet = graft.core.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F" || col("o_totalprice") > 200000.0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("mn"),
+        avg("o_custkey").as("av"))
+      .orderBy("o_orderpriority")
+      .limit(3)
+    assert(df.collect().toSeq == viaParquet.collect().toSeq)
+  }
+
+  test("passthrough profile: exact top-N without aggregate, NOT pushed whole") {
+    FedData.ensure(spark, sfDir)
+    // row-scan shape: OR filter + sort + limit, no aggregate — the scan
+    // delivers the exact global top-N (one partition), Spark drops its Sort
+    val df = spark.table("graft.bq.orders_bq")
+      .filter(col("o_orderstatus") === "F" || col("o_totalprice") > 300000.0)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5)
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.collect { case f: logical.Filter => f }.isEmpty)
+    assert(plan.collect { case s: logical.Sort => s }.isEmpty)
+    val d = scanOf(df).description()
+    assert(d.contains("Exact: true"), d)
+    val expected = graft.core.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F" || col("o_totalprice") > 300000.0)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5).collect().toSeq
+    assert(df.collect().toSeq == expected)
+    // NOT over a nested tree: accepted by acceptsAll, 3VL-evaluated
+    val negated = spark.table("graft.bq.orders_bq")
+      .filter(!(col("o_orderstatus") === "F" || col("o_orderpriority") === "1-URGENT"))
+    val nd = scanOf(negated).description()
+    assert(nd.contains("Not("), nd)
+    val expectedNeg = graft.core.Tables.load(spark, sfDir, "orders")
+      .filter(!(col("o_orderstatus") === "F" || col("o_orderpriority") === "1-URGENT"))
+      .count()
+    assert(negated.count() == expectedNeg)
+  }
+
   test("avg decomposes to pushed sum+count; distinct is declined") {
     // Spark rewrites partial avg into sum+count before offering it to the
     // source, so even avg rides the partial pushdown
