@@ -64,16 +64,18 @@ object StreamQueries {
     * deployment choice (fixed at the first checkpoint); these pipelines
     * key their state by event_type/event_id with at most O(100k) live
     * entries, so 8 state partitions beat the batch-side 32 — and the
-    * no-data finalization batch is skipped because neither append-mode
-    * dedup nor complete-mode aggregation emits on watermark advance. Both
-    * confs are restored after the drain. */
-  private def drain(df: DataFrame, mode: String): DataFrame = {
+    * no-data finalization batch is skipped unless the query *emits on
+    * watermark advance* (append-mode windowed aggregation sets
+    * `noData = true` so the final watermark bump closes windows; dedup and
+    * complete-mode aggregation don't need it). Both confs are restored
+    * after the drain. */
+  private def drain(df: DataFrame, mode: String, noData: Boolean = false): DataFrame = {
     val s = df.sparkSession
     val name = s"graft_stream_sink_${runId.incrementAndGet()}"
     val oldParts = s.conf.get("spark.sql.shuffle.partitions")
     val oldNoData = s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noData.toString)
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
@@ -119,6 +121,29 @@ object StreamQueries {
       // Complete mode emits every window's final state once the last
       // micro-batch lands — the convergence point a batch query computes.
       drain(agg, "complete").orderBy("window_start", "event_type")
+    },
+
+    // Append-mode windowed aggregation: a window row is emitted ONLY when
+    // the watermark passes its end and its state is evicted — the
+    // eviction path that keeps a week-long streaming uptime at O(open
+    // windows) state, which complete mode (above) never exercises. The
+    // final no-data micro-batch advances the watermark to max(ts) - delay,
+    // closing every window whose end <= that; the oracle restricts the
+    // batch aggregation to exactly those closed windows. Windows still
+    // open at shutdown are (correctly) unemitted.
+    GQuery(
+      "q_stream_append",
+      """WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events)
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_value
+        |FROM events, wm
+        |WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= wm.w
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      val (evDir, _) = stage(s, d)
+      val agg = Streams.windowedCounts(readEvents(s, evDir), "1 hour", "10 minutes")
+      drain(agg, "append", noData = true).orderBy("window_start", "event_type")
     },
 
     // Sliding (hopping) windows: 1-hour windows every 30 minutes, so each
