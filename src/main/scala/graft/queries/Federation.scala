@@ -176,6 +176,23 @@ object Federation {
         .orderBy("c_custkey")
     },
 
+    // Get-by-key short-circuit (reference: Datastore rewrites key-equality
+    // lookups into direct gets, sql_to_datastore.go:70-150): per-file
+    // [min,max] key ranges recorded at write commit prune the scan's file
+    // list — the kv table is staged range-partitioned on c_custkey, so the
+    // two requested keys touch two of the four part files and the rest are
+    // never opened (plan-asserted in FileSourceSpec).
+    GQuery(
+      "q_src_get_by_key",
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (7, 1402) ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.KvSourceName}.customer_kv")
+        .filter(col("c_custkey").isin(7, 1402))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
     // BigTable-profile source: the row-key prefix predicate pushes as a
     // row range (sql_to_bt.go:150-239 PrefixRange); the non-key p_size
     // conjunct is declined and re-applied by Spark.

@@ -36,11 +36,15 @@ object FedData {
   /** One staged table: (catalog table, format, parquet origin, part files,
     * declared key columns). Multi-file tables are the connector's scan
     * parallelism unit — one partition per file — so the fact-sized tables
-    * are staged as several part files. */
+    * are staged as several part files. `rangeKey` stages the table
+    * range-partitioned on that column (key-ordered storage, as in
+    * Cassandra/BigTable/Datastore), giving each part file a disjoint key
+    * range so get-by-key file pruning has something to prune. */
   private final case class Fixture(
       table: String, fmt: String, parquet: String, nParts: Int,
       keys: Seq[String] = Nil,
-      transform: DataFrame => DataFrame = identity)
+      transform: DataFrame => DataFrame = identity,
+      rangeKey: Option[String] = None)
 
   /** Nested-document shape of `customer` (reference: ES document columns
     * with sub-objects, elasticsearch/source.go:154-255): two struct columns
@@ -66,9 +70,11 @@ object FedData {
       Fixture("customer_json", "json", "customer", 4),
       Fixture("customer_doc", "json", "customer", 4, Nil, nestedCustomer))),
     (KvSourceName, "keys", Seq(
-      Fixture("customer_kv", "csv", "customer", 4, Seq("c_custkey")))),
+      Fixture("customer_kv", "csv", "customer", 4, Seq("c_custkey"),
+        rangeKey = Some("c_custkey")))),
     (BtSourceName, "prefix", Seq(
-      Fixture("part_bt", "csv", "part", 4, Seq("p_name")))),
+      Fixture("part_bt", "csv", "part", 4, Seq("p_name"),
+        rangeKey = Some("p_name")))),
     (BqSourceName, "passthrough", Seq(
       Fixture("orders_bq", "csv", "orders", 4))))
 
@@ -88,15 +94,18 @@ object FedData {
           SourceDef(srcName, root.getPath, "csv", profile))
       // versioned marker: bumping it invalidates fixture sets staged by
       // older builds (the directory is wiped and re-staged)
-      val marker = new File(root, "_READY_v2")
+      val marker = new File(root, "_READY_v3")
       if (!marker.isFile) {
         if (root.isDirectory) delete(root)
         root.mkdirs()
         fixtures.foreach { fx =>
-          val df = fx.transform(Tables.load(spark, sfDir, fx.parquet))
-          FileTable.create(src, fx.table, df.schema, fx.fmt, fx.keys)
-          df.repartition(fx.nParts)
-            .writeTo(s"${SourceRegistry.CatalogName}.$srcName.${fx.table}").append()
+          val data = fx.transform(Tables.load(spark, sfDir, fx.parquet))
+          FileTable.create(src, fx.table, data.schema, fx.fmt, fx.keys)
+          val df = fx.rangeKey match {
+            case Some(k) => data.repartitionByRange(fx.nParts, col(k))
+            case None => data.repartition(fx.nParts)
+          }
+          df.writeTo(s"${SourceRegistry.CatalogName}.$srcName.${fx.table}").append()
         }
         marker.createNewFile()
       }

@@ -409,7 +409,63 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
           StructField(s"agg_$i", a.resultType, nullable = true) })
   }
 
-  override def build(): Scan = aggregation match {
+  /** Datastore-style get-by-key short-circuit (reference: key-equality
+    * lookups become direct gets, sql_to_datastore.go:70-150; LIKE 'p%'
+    * becomes a key range, :478-489): per-file [min, max] metadata recorded
+    * at write commit ([[KeyRanges]]) drops files whose range cannot hold
+    * any key the pushed conjuncts allow. Returns (kept files, total) —
+    * conservative: files without metadata, and incomparable values, always
+    * scan. At 100 TB this turns a key lookup over a million-file table
+    * into a handful of file reads instead of a full scan. */
+  private def pruneByKey(files: Seq[java.io.File]): (Seq[java.io.File], Int) = {
+    val total = files.size
+    val keyOpt = table.keys.headOption
+    if (keyOpt.isEmpty || pushed.isEmpty) return (files, total)
+    val key = keyOpt.get
+    val keyType = table.schema0.fields
+      .find(_.name.equalsIgnoreCase(key)).map(_.dataType)
+    if (keyType.isEmpty) return (files, total)
+    // each pushed conjunct constrains the key to points or an interval
+    // (closed-bound approximations are conservative)
+    val constraints: Seq[Either[Seq[Any], (Any, Any)]] = pushed.toSeq.flatMap {
+      case EqualTo(a, v) if a.equalsIgnoreCase(key) && v != null =>
+        Some(Left(Seq(v)))
+      case In(a, vs) if a.equalsIgnoreCase(key) =>
+        Some(Left(vs.toSeq.filter(_ != null)))
+      case GreaterThan(a, v) if a.equalsIgnoreCase(key) => Some(Right((v, null)))
+      case GreaterThanOrEqual(a, v) if a.equalsIgnoreCase(key) => Some(Right((v, null)))
+      case LessThan(a, v) if a.equalsIgnoreCase(key) => Some(Right((null, v)))
+      case LessThanOrEqual(a, v) if a.equalsIgnoreCase(key) => Some(Right((null, v)))
+      case StringStartsWith(a, p) if a.equalsIgnoreCase(key) =>
+        Some(Right((p, p + "￿"))) // prefix ⇒ bounded key range
+      case _ => None
+    }
+    if (constraints.isEmpty) return (files, total)
+    val ranges = KeyRanges.load(table.dir)
+    if (ranges.isEmpty) return (files, total)
+    val kept = files.filter { f =>
+      ranges.get(f.getName) match {
+        case None => true // no metadata: always scan
+        case Some((mnS, mxS)) =>
+          val mn = LineCodec.parse(mnS, keyType.get)
+          val mx = LineCodec.parse(mxS, keyType.get)
+          constraints.forall {
+            case Left(points) => points.exists(v =>
+              FilterEval.cmp(v, mn).forall(_ >= 0) &&
+                FilterEval.cmp(v, mx).forall(_ <= 0))
+            case Right((lo, hi)) =>
+              (lo == null || FilterEval.cmp(mx, lo).forall(_ >= 0)) &&
+                (hi == null || FilterEval.cmp(mn, hi).forall(_ <= 0))
+          }
+      }
+    }
+    (kept, total)
+  }
+
+  override def build(): Scan = {
+    val (scanFiles, totalFiles) = pruneByKey(table.dataFiles())
+    val prunedFrom = if (scanFiles.size < totalFiles) totalFiles else -1
+    aggregation match {
     case Some((groupIdx, aggs)) =>
       // parse what the groups, agg inputs and pushed filters reference
       // (filter refs may be dotted nested paths; the parse unit is the
@@ -431,9 +487,10 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
       val topNSpecs = sortKeys.map { case (name, desc, nf) =>
         SortSpec(outSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name)), desc, nf)
       }
-      new FileAggScanImpl(table.dataFiles().map(_.getPath), table.format,
+      new FileAggScanImpl(scanFiles.map(_.getPath), table.format,
         parseSchema, outSchema, groups2, aggs2, pushed,
-        complete = passthrough, topNSpecs, if (passthrough) limit else -1)
+        complete = passthrough, topNSpecs, if (passthrough) limit else -1,
+        prunedFrom)
     case None =>
       // the reader must parse filter-only and sort-only columns too: Spark
       // prunes them out of the required schema once the filter is pushed.
@@ -465,9 +522,10 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
       }
       // a passthrough-consumed limit/top-N is exact (isPartiallyPushed =
       // false): one partition delivers the globally sorted, trimmed result
-      new FileScanImpl(table.dataFiles().map(_.getPath), table.format,
+      new FileScanImpl(scanFiles.map(_.getPath), table.format,
         parseSchema, required, outIdx, pushed, limit, topN,
-        onePartition = passthrough && limit >= 0)
+        onePartition = passthrough && limit >= 0, prunedFrom)
+    }
   }
 }
 
@@ -488,12 +546,14 @@ class FileAggScanImpl(
     pushed: Array[Filter],
     complete: Boolean = false,
     topN: Array[SortSpec] = Array.empty,
-    limit: Int = -1) extends Scan with Batch {
+    limit: Int = -1,
+    prunedFrom: Int = -1) extends Scan with Batch {
 
   override def readSchema(): StructType = outputSchema
 
   override def description(): String =
-    s"GraftFileAggScan format=$format files=${files.size} " +
+    s"GraftFileAggScan format=$format " +
+      s"files=${files.size}${if (prunedFrom >= 0) s"/$prunedFrom key-pruned" else ""} " +
       s"Complete: $complete, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"PushedAggregates: [${aggs.map(_.kind).mkString(", ")}], " +
@@ -630,12 +690,14 @@ class FileScanImpl(
     pushed: Array[Filter],
     limit: Int,
     topN: Array[SortSpec] = Array.empty,
-    onePartition: Boolean = false) extends Scan with Batch {
+    onePartition: Boolean = false,
+    prunedFrom: Int = -1) extends Scan with Batch {
 
   override def readSchema(): StructType = outputSchema
 
   override def description(): String =
-    s"GraftFileScan format=$format files=${files.size} " +
+    s"GraftFileScan format=$format " +
+      s"files=${files.size}${if (prunedFrom >= 0) s"/$prunedFrom key-pruned" else ""} " +
       s"Exact: $onePartition, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"PushedLimit: ${if (limit >= 0) limit.toString else "none"}, " +

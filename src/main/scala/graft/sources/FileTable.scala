@@ -215,6 +215,51 @@ object FileTable {
   }
 }
 
+/** Per-file key-range sidecar (`_keyranges.json`): rendered [min, max] of
+  * the table's first declared key column for each part file, recorded at
+  * write commit. Backs the Datastore-style get-by-key short-circuit
+  * (reference: key-equality lookups become direct gets,
+  * backends/datastore/sql_to_datastore.go:70-150; LIKE 'p%' becomes a key
+  * range, :478-489) — the scan prunes files whose range cannot hold any
+  * requested key. Metadata is advisory and conservative: files without an
+  * entry always scan; a rewrite that removes rows leaves a superset range
+  * (still correct); the UPDATE dir-swap rebuilds entries from scratch.
+  */
+object KeyRanges {
+
+  val FileName = "_keyranges.json"
+  private val mapper = new ObjectMapper()
+
+  def load(dir: File): Map[String, (String, String)] = {
+    val f = new File(dir, FileName)
+    if (!f.isFile) Map.empty
+    else {
+      val root = mapper.readTree(f)
+      val it = root.fields()
+      val b = Map.newBuilder[String, (String, String)]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> (e.getValue.get("min").asText(),
+          e.getValue.get("max").asText())
+      }
+      b.result()
+    }
+  }
+
+  def merge(dir: File, entries: Map[String, (String, String)]): Unit = {
+    if (entries.isEmpty) return
+    val all = load(dir) ++ entries
+    val root = mapper.createObjectNode()
+    all.toSeq.sortBy(_._1).foreach { case (name, (mn, mx)) =>
+      val o = root.putObject(name)
+      o.put("min", mn)
+      o.put("max", mx)
+    }
+    Using.resource(FileCodec.utf8Writer(new File(dir, FileName)))(
+      _.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)))
+  }
+}
+
 /** Per-source `_files` meta-table (reference:
   * backends/files/filesource_test.go:221-238): one row per data file of
   * every table in the source. Read-only; no pushdown — every predicate is

@@ -50,7 +50,12 @@ class FileWriteBuilder(
   }
 }
 
-final case class FileCommitMessage(tmpPath: String, finalName: String)
+/** keyMin/keyMax: rendered min/max of the table's first declared key
+  * column over this file's rows (null = no keys or no non-null values) —
+  * the per-file range metadata behind get-by-key file pruning. */
+final case class FileCommitMessage(
+    tmpPath: String, finalName: String,
+    keyMin: String = null, keyMax: String = null)
   extends WriterCommitMessage
 
 class FileBatchWrite(
@@ -59,8 +64,12 @@ class FileBatchWrite(
     overwriteFilters: Array[Filter] = Array.empty)
   extends BatchWrite {
 
+  // index of the table's first declared key column (range metadata unit)
+  private val keyIdx: Int = table.keys.headOption
+    .map(k => schema.fieldNames.indexWhere(_.equalsIgnoreCase(k))).getOrElse(-1)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FileDataWriterFactory(dirPath, format, schema.json, queryId)
+    new FileDataWriterFactory(dirPath, format, schema.json, queryId, keyIdx)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (overwriteFilters.nonEmpty) {
@@ -69,32 +78,39 @@ class FileBatchWrite(
       else table.deleteWhere(overwriteFilters)
     }
     messages.foreach {
-      case FileCommitMessage(tmp, fin) =>
+      case FileCommitMessage(tmp, fin, _, _) =>
         val t = new File(tmp)
         if (t.isFile && !t.renameTo(new File(new File(dirPath), fin)))
           throw new IllegalStateException(s"commit rename failed: $tmp -> $fin")
       case null => // empty partition
     }
+    // record per-file key ranges alongside the data (driver-side, after
+    // the renames — the metadata behind get-by-key file pruning)
+    KeyRanges.merge(new File(dirPath), messages.collect {
+      case FileCommitMessage(_, fin, mn, mx) if mn != null =>
+        fin -> (mn, mx)
+    }.toMap)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case FileCommitMessage(tmp, _) => new File(tmp).delete()
+      case FileCommitMessage(tmp, _, _, _) => new File(tmp).delete()
       case null =>
     }
 }
 
 class FileDataWriterFactory(
-    dirPath: String, format: String, schemaJson: String, queryId: String)
+    dirPath: String, format: String, schemaJson: String, queryId: String,
+    keyIdx: Int = -1)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new FileDataWriter(dirPath, format, schemaJson, queryId, partitionId, taskId)
+    new FileDataWriter(dirPath, format, schemaJson, queryId, partitionId, taskId, keyIdx)
 }
 
 class FileDataWriter(
     dirPath: String, format: String, schemaJson: String,
-    queryId: String, partitionId: Int, taskId: Long)
+    queryId: String, partitionId: Int, taskId: Long, keyIdx: Int = -1)
   extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -106,6 +122,8 @@ class FileDataWriter(
   private val finalName = f"part-$queryId-$partitionId%05d.${codec.extension}"
 
   private var out: BufferedWriter = _
+  private var keyMin: Any = null
+  private var keyMax: Any = null
 
   override def write(record: InternalRow): Unit = {
     if (out == null) { // lazily created: empty partitions write no file
@@ -117,12 +135,21 @@ class FileDataWriter(
       if (record.isNullAt(i)) null
       else toScala(i)(record.get(i, schema.fields(i).dataType))
     }
+    if (keyIdx >= 0 && ext(keyIdx) != null) {
+      val k = ext(keyIdx)
+      if (keyMin == null || FilterEval.cmp(k, keyMin).exists(_ < 0)) keyMin = k
+      if (keyMax == null || FilterEval.cmp(k, keyMax).exists(_ > 0)) keyMax = k
+    }
     codec.write(out, ext, schema)
   }
 
   override def commit(): WriterCommitMessage = {
     if (out == null) null
-    else { out.close(); out = null; FileCommitMessage(tmp.getPath, finalName) }
+    else {
+      out.close(); out = null
+      FileCommitMessage(tmp.getPath, finalName,
+        LineCodec.render(keyMin), LineCodec.render(keyMax))
+    }
   }
 
   override def abort(): Unit = close()

@@ -151,6 +151,48 @@ class FileSourceSpec extends AnyFunSuite {
       viaParquet.orderBy("c_mktsegment").collect().toSeq)
   }
 
+  test("get-by-key prunes the file list via key-range metadata (Datastore-style)") {
+    FedData.ensure(spark, sfDir)
+    // range-partitioned staging: each of the 4 part files holds a disjoint
+    // c_custkey range, so a key equality resolves to exactly one file
+    val one = spark.table("graft.kv.customer_kv")
+      .filter(col("c_custkey") === 42)
+    val d1 = scanOf(one).description()
+    assert(d1.contains("files=1/4 key-pruned"), d1)
+    assert(one.count() == 1)
+    // IN across distant keys keeps the union of their files, none else
+    val two = spark.table("graft.kv.customer_kv")
+      .filter(col("c_custkey").isin(1, 149))
+    val d2 = scanOf(two).description()
+    assert(d2.contains("key-pruned"), d2)
+    assert(two.count() == 2)
+    // a range predicate is NOT pushed by the keys profile (equality/IN
+    // only), so nothing prunes — the residual path keeps full results
+    val range = spark.table("graft.kv.customer_kv")
+      .filter(col("c_custkey") > 140)
+    assert(!scanOf(range).description().contains("key-pruned"))
+    assert(range.count() ==
+      graft.core.Tables.load(spark, sfDir, "customer")
+        .filter(col("c_custkey") > 140).count())
+    // the prefix profile pushes ranges on its row key: both a LIKE-prefix
+    // (Datastore LIKE 'p%' → key range, sql_to_datastore.go:478-489) and
+    // an explicit range prune the file list
+    val bt = spark.table("graft.bt.part_bt")
+      .filter(col("p_name").startsWith("red"))
+    val d3 = scanOf(bt).description()
+    assert(d3.contains("key-pruned"), d3)
+    assert(bt.count() ==
+      graft.core.Tables.load(spark, sfDir, "part")
+        .filter(col("p_name").startsWith("red")).count())
+    val btRange = spark.table("graft.bt.part_bt")
+      .filter(col("p_name") >= "w")
+    val d4 = scanOf(btRange).description()
+    assert(d4.contains("key-pruned"), d4)
+    assert(btRange.count() ==
+      graft.core.Tables.load(spark, sfDir, "part")
+        .filter(col("p_name") >= "w").count())
+  }
+
   test("passthrough profile consumes the whole statement: bare V2 scan plan") {
     FedData.ensure(spark, sfDir)
     // OR-tree filter + grouped aggregate (incl. a real avg) + sort + limit
