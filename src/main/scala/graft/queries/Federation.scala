@@ -240,6 +240,25 @@ object Federation {
         .limit(4)
     },
 
+    // REST-shaped source (reference: the Lytics backend turns WHERE
+    // equality into URL query params and streams JSON,
+    // backends/lytics/generator.go:96-111; Kube sql_to_kube.go is the same
+    // shape): an in-process endpoint behind the same DSv2 Table/
+    // ScanBuilder — the connector framework is not file-bound. The
+    // n_regionkey equality ships as an API param; LIKE is outside the API
+    // surface, declined and polyfilled by Spark.
+    GQuery(
+      "q_src_rest",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey = 2 AND n_name LIKE '%2'
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.RestSourceName}.nation_api")
+        .filter(col("n_regionkey") === 2 && col("n_name").endsWith("2"))
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+
     // Aggregate pushdown (reference: SQL→ES aggregations,
     // backends/elasticsearch/sqltoes.go:285-365): the scan ships per-file
     // partial count/min/max/sum per group, Spark merges — the raw rows

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.io.File
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,6 +34,9 @@ object FedData {
   /** BigQuery-profile source: full-statement passthrough — the connector
     * consumes filters, aggregate, sort and limit wholesale. */
   val BqSourceName = "bq"
+  /** REST-profile source: in-process Lytics-shaped endpoints with an API
+    * param accept-list ([[RestEndpoints]]). */
+  val RestSourceName = "api"
 
   /** One staged table: (catalog table, format, parquet origin, part files,
     * declared key columns). Multi-file tables are the connector's scan
@@ -110,7 +115,21 @@ object FedData {
         marker.createNewFile()
       }
       src
-    }.head
+    }.head.tap { _ =>
+      // REST-shaped source: a nation-dimension listing endpoint (25 rows
+      // at every SF — metadata-sized, like the reference's Lytics segment
+      // API; the driver-side collect is the endpoint's fixture, not a
+      // data-path collect). Params: the two key columns; limit.
+      if (SourceRegistry.get(RestSourceName).isEmpty)
+        SourceRegistry.register(SourceDef(
+          RestSourceName, new File(base, RestSourceName).getPath, "json", "rest"))
+      if (RestEndpoints.get(RestSourceName, "nation_api").isEmpty) {
+        val nation = Tables.load(spark, sfDir, "nation")
+        val rows = nation.collect().map(_.toSeq.toArray)
+        RestEndpoints.registerStatic(RestSourceName, "nation_api",
+          nation.schema, Set("n_nationkey", "n_regionkey"), rows.toSeq)
+      }
+    }
   }
 
   private def delete(f: File): Unit = {

@@ -93,18 +93,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val s = source(namespace)
     val dirs = Option(new java.io.File(s.path).listFiles())
       .getOrElse(Array.empty)
-      .filter(_.isDirectory).map(_.getName).sorted
-    (dirs :+ FilesMetaTable.Name).map(Identifier.of(namespace, _))
+      .filter(_.isDirectory).map(_.getName)
+    ((dirs ++ RestEndpoints.list(s.name)).sorted :+ FilesMetaTable.Name)
+      .map(Identifier.of(namespace, _))
   }
 
   override def loadTable(ident: Identifier): Table = {
     val s = source(ident.namespace())
-    if (ident.name() == FilesMetaTable.Name) new FilesMetaTable(s)
-    else {
-      val dir = s.tableDir(ident.name())
-      if (!dir.isDirectory) throw new NoSuchTableException(ident)
-      FileTable.open(s, ident.name())
-        .getOrElse(throw new NoSuchTableException(ident))
+    RestEndpoints.get(s.name, ident.name()) match {
+      case Some(ep) => new RestTable(ep) // REST endpoints shadow nothing:
+      // they live in sources without file tables of the same name
+      case None =>
+        if (ident.name() == FilesMetaTable.Name) new FilesMetaTable(s)
+        else {
+          val dir = s.tableDir(ident.name())
+          if (!dir.isDirectory) throw new NoSuchTableException(ident)
+          FileTable.open(s, ident.name())
+            .getOrElse(throw new NoSuchTableException(ident))
+        }
     }
   }
 

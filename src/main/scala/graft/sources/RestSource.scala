@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** REST-shaped source behind the same DSv2 Table/ScanBuilder contract as
+  * the file connector — the connector framework is not file-bound.
+  *
+  * Reference: the Lytics backend turns WHERE equality into API query
+  * params and streams JSON results (dataux backends/lytics/generator.go:
+  * 96-111); the Kubernetes backend is the same shape over the K8s REST API
+  * (backends/_kube/sql_to_kube.go). The accept-list is the endpoint's
+  * declared params: an equality on a param column ships as a query
+  * parameter the endpoint applies server-side, plus an integer `limit`;
+  * everything else (ranges, LIKE, OR trees, non-param columns) is declined
+  * and polyfilled by Spark — the residual contract, in a connector whose
+  * backend can express almost nothing.
+  *
+  * The handler is an in-process function registered in [[RestEndpoints]]
+  * (one JVM under local[*]); on a multi-node cluster the partition would
+  * carry the endpoint URL and the reader would open an HTTP stream — the
+  * registry stands in for that network client, nothing else changes.
+  * Responses are JSON lines decoded by the same [[JsonCodec]] as the file
+  * source.
+  */
+final case class RestEndpoint(
+    source: String,
+    table: String,
+    schema: StructType,
+    params: Set[String],
+    handler: Map[String, String] => Iterator[String])
+
+/** JVM-global endpoint registry, the REST analogue of [[SourceRegistry]]
+  * (driver-side metadata; executors in local mode share the JVM). */
+object RestEndpoints {
+
+  private val endpoints = TrieMap.empty[(String, String), RestEndpoint]
+
+  def register(e: RestEndpoint): Unit =
+    endpoints.put((e.source, e.table.toLowerCase), e)
+
+  def get(source: String, table: String): Option[RestEndpoint] =
+    endpoints.get((source, table.toLowerCase))
+
+  def list(source: String): Seq[String] =
+    endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
+
+  def drop(source: String, table: String): Boolean =
+    endpoints.remove((source, table.toLowerCase)).isDefined
+
+  /** Stub endpoint over in-memory documents: applies equality params with
+    * the declared column types, honors an integer `limit` param, and
+    * renders JSON lines — the behavior of a filtered REST listing API
+    * (the reference's Lytics segment scan). `rows` are external-typed and
+    * metadata-sized (a dimension/config listing, never a fact table). */
+  def registerStatic(
+      source: String, table: String, schema: StructType,
+      params: Set[String], rows: Seq[Array[Any]]): Unit = {
+    val paramsLc = params.map(_.toLowerCase)
+    val handler: Map[String, String] => Iterator[String] = { query =>
+      val limit = query.get("limit").map(_.toInt)
+      var out = rows.iterator.filter { row =>
+        query.forall { case (k, v) =>
+          k == "limit" || {
+            val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(k))
+            i >= 0 && row(i) != null &&
+              FilterEval.cmp(row(i), LineCodec.parse(v, schema.fields(i).dataType))
+                .contains(0)
+          }
+        }
+      }
+      limit.foreach(n => out = out.take(n))
+      out.map { row =>
+        val w = new java.io.StringWriter()
+        JsonCodec.write(w, row, schema)
+        w.toString.stripLineEnd
+      }
+    }
+    register(RestEndpoint(source, table, schema, paramsLc, handler))
+  }
+}
+
+class RestTable(val endpoint: RestEndpoint) extends Table with SupportsRead {
+
+  override def name(): String =
+    s"${SourceRegistry.CatalogName}.${endpoint.source}.${endpoint.table}"
+
+  override def schema(): StructType = endpoint.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.Set.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RestScanBuilder(endpoint)
+}
+
+class RestScanBuilder(ep: RestEndpoint) extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ep.schema
+  private var limit: Int = -1
+
+  /** API accept-list: only `param = literal` — a URL query string cannot
+    * express more (generator.go:96-111 builds exactly such params). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, declined) = filters.partition {
+      case EqualTo(a, v) => v != null && ep.params.contains(a.toLowerCase)
+      case _ => false
+    }
+    pushed = ok
+    declined // Spark re-applies (residual polyfill)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** `limit` rides as an API param; partial (Spark trims again) — a real
+    * API may cap page sizes below the requested limit. */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = {
+    val queryParams = pushed.collect {
+      case EqualTo(a, v) => a.toLowerCase -> LineCodec.render(v)
+    }.toMap ++ (if (limit >= 0) Map("limit" -> limit.toString) else Map.empty)
+    new RestScan(ep.source, ep.table, queryParams, ep.schema, required, pushed)
+  }
+}
+
+class RestScan(
+    source: String, table: String, params: Map[String, String],
+    fullSchema: StructType, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftRestScan endpoint=$source/$table " +
+      s"params={${params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", ")}} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = this
+
+  /** One partition: a REST response is a single stream (the reference
+    * reads Lytics segments the same way). */
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RestPartition(source, table, params, fullSchema.json, required.json))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory
+}
+
+final case class RestPartition(
+    source: String, table: String, params: Map[String, String],
+    fullSchemaJson: String, requiredSchemaJson: String) extends InputPartition
+
+class RestReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RestPartition]
+    val full = DataType.fromJson(p.fullSchemaJson).asInstanceOf[StructType]
+    val required = DataType.fromJson(p.requiredSchemaJson).asInstanceOf[StructType]
+    val ep = RestEndpoints.get(p.source, p.table).getOrElse(
+      throw new IllegalStateException(s"no endpoint ${p.source}/${p.table}"))
+    val outIdx = required.fieldNames.map(n =>
+      full.fieldNames.indexWhere(_.equalsIgnoreCase(n)))
+    val conv = CatalystTypeConverters.createToCatalystConverter(required)
+    // the API returns whole documents; projection happens client-side
+    val it = JsonCodec.lineRecords(ep.handler(p.params), full).map { row =>
+      conv(Row.fromSeq(outIdx.toSeq.map(i => if (i < 0) null else row(i))))
+        .asInstanceOf[InternalRow]
+    }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -193,6 +193,39 @@ class FileSourceSpec extends AnyFunSuite {
         .filter(col("p_name") >= "w").count())
   }
 
+  test("REST-stub endpoint: API-param pushdown + residual polyfill (Lytics shape)") {
+    FedData.ensure(spark, sfDir)
+    val df = spark.table("graft.api.nation_api")
+      .filter(col("n_regionkey") === 2 && col("n_name").endsWith("2"))
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.get
+    val d = scan.description()
+    assert(d.contains("n_regionkey=2"), d) // equality became an API param
+    assert(!d.contains("n_name="), d) // LIKE declined: not an API param
+    val residual = df.queryExecution.optimizedPlan.collect {
+      case f: logical.Filter => f
+    }
+    assert(residual.nonEmpty, "expected Spark-side residual for the LIKE")
+    // values match the parquet dimension through the JSON round-trip
+    val expected = graft.core.Tables.load(spark, sfDir, "nation")
+      .filter(col("n_regionkey") === 2 && col("n_name").endsWith("2"))
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey").collect().toSeq
+    assert(df.orderBy("n_nationkey").collect().toSeq == expected)
+    // limit rides as an API param (partial: Spark trims again)
+    val lim = spark.table("graft.api.nation_api").limit(3)
+    val dl = lim.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.get.description()
+    assert(dl.contains("limit=3"), dl)
+    assert(lim.count() == 3)
+    // the endpoint appears in the catalog listing
+    assert(spark.sql("SHOW TABLES IN graft.api").collect()
+      .map(_.getString(1)).contains("nation_api"))
+  }
+
   test("passthrough profile consumes the whole statement: bare V2 scan plan") {
     FedData.ensure(spark, sfDir)
     // OR-tree filter + grouped aggregate (incl. a real avg) + sort + limit
