@@ -202,17 +202,30 @@ object FileTable {
       }.getOrElse(Seq.empty)
       Some(new FileTable(s, table, schema, fmt, keys))
     } else {
-      // no sidecar: discover format from extensions, schema from sampling
+      // no sidecar: discover format from extensions; the schema is inferred
+      // per file and merged through the widen lattice (reference:
+      // sample-based discovery with stable type promotion,
+      // backends/mongo/mgo_source.go:269-311,335-360) — one file's `42`
+      // and another's `4.2` surface as a single double column. The sample
+      // is capped at MaxInferFiles: beyond it, files read under the merged
+      // schema (a production table at scale declares a sidecar instead of
+      // re-inferring from a million files).
       Seq("csv", "json").view.flatMap { fmt =>
         val cdc = FileCodec.forFormat(fmt)
-        dataFiles(dir, cdc.extension).headOption.map { f =>
-          val schema = Using.resource(FileCodec.utf8Reader(f))(
-            cdc.inferSchema)
-          new FileTable(s, table, schema, fmt)
+        val files = dataFiles(dir, cdc.extension)
+        if (files.isEmpty) None
+        else {
+          val schema = files.take(MaxInferFiles)
+            .map(f => Using.resource(FileCodec.utf8Reader(f))(cdc.inferSchema))
+            .reduce(LineCodec.mergeSchemas)
+          Some(new FileTable(s, table, schema, fmt))
         }
       }.headOption
     }
   }
+
+  /** Bound on driver-side inference IO for sidecar-less tables. */
+  val MaxInferFiles = 8
 }
 
 /** Per-file key-range sidecar (`_keyranges.json`): rendered [min, max] of

@@ -100,6 +100,31 @@ object LineCodec {
       case NullType => StringType
       case t => t
     }
+
+  /** Merge two per-file inferred schemas (reference: Mongo promotes
+    * conflicting sampled types stably, backends/mongo/mgo_source.go:
+    * 335-360): union of fields in first-seen order; same-named fields
+    * promote through the widen lattice, structs merge recursively, and a
+    * struct/scalar conflict degrades to the JSON-text string fallback. */
+  def mergeSchemas(a: StructType, b: StructType): StructType = {
+    val names = a.fieldNames.toBuffer
+    b.fieldNames.foreach(n => if (!names.exists(_.equalsIgnoreCase(n))) names += n)
+    StructType(names.toSeq.map { n =>
+      val fa = a.fields.find(_.name.equalsIgnoreCase(n))
+      val fb = b.fields.find(_.name.equalsIgnoreCase(n))
+      (fa, fb) match {
+        case (Some(x), Some(y)) =>
+          StructField(x.name, mergeTypes(x.dataType, y.dataType), nullable = true)
+        case (some, none) => some.orElse(none).get
+      }
+    })
+  }
+
+  private def mergeTypes(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x: StructType, y: StructType) => mergeSchemas(x, y)
+    case (_: StructType, _) | (_, _: StructType) => StringType // struct/scalar
+    case (x, y) => widen(x, y)
+  }
 }
 
 /** One record format (csv | json). Stateless; everything serializable. */

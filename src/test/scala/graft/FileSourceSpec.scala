@@ -193,6 +193,43 @@ class FileSourceSpec extends AnyFunSuite {
         .filter(col("p_name") >= "w").count())
   }
 
+  test("schema promotion across files: conflicting sampled types widen stably") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-promote").toFile
+    val src = SourceRegistry.register(SourceDef("promote_src", root.getPath, "json"))
+    SourceRegistry.ensureCatalog(spark)
+    val dir = src.tableDir("mixed"); dir.mkdirs()
+    def put(name: String, lines: String*): Unit =
+      Files.write(new java.io.File(dir, name).toPath,
+        lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // f1: a long, b string, d struct{x long}, e null
+    put("part-0.jsonl",
+      """{"a": 1, "b": "one", "d": {"x": 7}, "e": null}""")
+    // f2: a double (long→double promotion), c bool (new field),
+    //     d struct{y string} (struct union), e string (null→string)
+    put("part-1.jsonl",
+      """{"a": 2.5, "c": true, "d": {"y": "z"}, "e": "seen"}""")
+    val t = FileTable.open(src, "mixed").get
+    val f = t.schema0.fields.map(f => f.name -> f.dataType).toMap
+    assert(f("a") == DoubleType, t.schema0.catalogString)
+    assert(f("b") == StringType)
+    assert(f("c") == BooleanType)
+    assert(f("d") == StructType(Seq(
+      StructField("x", LongType), StructField("y", StringType))), f("d"))
+    assert(f("e") == StringType)
+    // values read back under the promoted schema: longs surface as doubles
+    val rows = spark.table("graft.promote_src.mixed")
+      .orderBy("a").collect()
+    assert(rows.map(_.getAs[Double]("a")).toSeq == Seq(1.0, 2.5))
+    assert(rows(0).getAs[org.apache.spark.sql.Row]("d").getLong(0) == 7L)
+    assert(rows(1).getAs[org.apache.spark.sql.Row]("d").getString(1) == "z")
+    // struct vs scalar conflict degrades the column to string
+    put("part-2.jsonl", """{"a": 3, "d": 5}""")
+    val t2 = FileTable.open(src, "mixed").get
+    assert(t2.schema0("d").dataType == StringType, t2.schema0.catalogString)
+    SourceRegistry.drop("promote_src")
+  }
+
   test("REST-stub endpoint: API-param pushdown + residual polyfill (Lytics shape)") {
     FedData.ensure(spark, sfDir)
     val df = spark.table("graft.api.nation_api")
