@@ -11,6 +11,25 @@ object DialectSql {
 
   val queries: Seq[GQuery] = Seq(
 
+    // Prepared statements through the front door (reference: COM_STMT_PREPARE
+    // dispatch, frontends/mysqlfe/mysql_handler.go:142): PREPARE / EXECUTE
+    // USING with positional `?` binding, then DEALLOCATE — the oracle is the
+    // statement with the parameters inlined.
+    GQuery(
+      "q_prepared",
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE o_totalprice > 450000.0 AND o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      val eng = new GraftEngine(s)
+      eng.sql("PREPARE q_gate_stmt FROM 'SELECT o_orderkey, o_orderpriority, " +
+        "o_totalprice FROM orders WHERE o_totalprice > ? AND " +
+        "o_orderpriority = ? ORDER BY o_orderkey'")
+      val out = eng.sql("EXECUTE q_gate_stmt USING 450000.0, '1-URGENT'")
+      eng.sql("DEALLOCATE q_gate_stmt")
+      out
+    },
+
     GQuery(
       "q_dialect_funcs",
       """SELECT p_partkey,
