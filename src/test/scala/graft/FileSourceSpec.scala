@@ -263,6 +263,46 @@ class FileSourceSpec extends AnyFunSuite {
       .map(_.getString(1)).contains("nation_api"))
   }
 
+  test("REST source: resource types become tables (Kubernetes shape)") {
+    // reference: the Kube backend maps each API resource type to a table
+    // (backends/_kube/sql_to_kube.go — pods/services/nodes as tables over
+    // one REST API). Two resource listings register as endpoints of one
+    // source; they list, push params, and federate in one plan.
+    SourceRegistry.ensureCatalog(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft-k8s").toFile
+    SourceRegistry.register(SourceDef("k8s", root.getPath, "json", "rest"))
+    val podSchema = StructType(Seq(
+      StructField("name", StringType), StructField("namespace", StringType),
+      StructField("phase", StringType), StructField("restarts", LongType)))
+    RestEndpoints.registerStatic("k8s", "pods", podSchema,
+      Set("namespace", "phase"), Seq(
+        Array[Any]("api-1", "prod", "Running", 0L),
+        Array[Any]("api-2", "prod", "Pending", 2L),
+        Array[Any]("job-1", "batch", "Running", 1L)))
+    val svcSchema = StructType(Seq(
+      StructField("name", StringType), StructField("namespace", StringType),
+      StructField("cluster_ip", StringType)))
+    RestEndpoints.registerStatic("k8s", "services", svcSchema,
+      Set("namespace"), Seq(
+        Array[Any]("api", "prod", "10.0.0.1"),
+        Array[Any]("jobs", "batch", "10.0.0.2")))
+    // both resource types list as tables
+    val tables = spark.sql("SHOW TABLES IN graft.k8s").collect().map(_.getString(1))
+    assert(tables.contains("pods") && tables.contains("services"), tables.toSeq)
+    // param pushdown per resource + a cross-resource join in one plan
+    val running = spark.table("graft.k8s.pods").filter(col("phase") === "Running")
+    val d = running.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.get.description()
+    assert(d.contains("phase=Running"), d)
+    val joined = running.join(
+      spark.table("graft.k8s.services"), Seq("namespace"))
+    assert(joined.count() == 2) // api-1/prod⨝api, job-1/batch⨝jobs
+    RestEndpoints.drop("k8s", "pods")
+    RestEndpoints.drop("k8s", "services")
+    SourceRegistry.drop("k8s")
+  }
+
   test("passthrough profile consumes the whole statement: bare V2 scan plan") {
     FedData.ensure(spark, sfDir)
     // OR-tree filter + grouped aggregate (incl. a real avg) + sort + limit
