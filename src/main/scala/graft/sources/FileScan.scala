@@ -240,7 +240,8 @@ final case class FilePartition(
     outputIndices: Array[Int],
     filters: Array[Filter],
     limit: Int,
-    topN: Array[SortSpec]) extends InputPartition
+    topN: Array[SortSpec],
+    offset: Int = 0) extends InputPartition
 
 /** One pushed aggregate function, indexed into the scan's parse schema.
   * kinds: count_star | count | min | max | sum_long | sum_double | avg
@@ -252,11 +253,13 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
   with SupportsPushDownTopN
+  with SupportsPushDownOffset
   with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = table.schema0
   private var limit: Int = -1
+  private var offset: Int = 0
   // pushed ORDER BY keys as (column name, descending, nullsFirst)
   private var sortKeys: Array[(String, Boolean, Boolean)] = Array.empty
   // (group col indices into table schema, agg defs indexed into table schema)
@@ -293,6 +296,14 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
   // the single-partition one-job scan delivers the exact sorted result and
   // Spark drops its Sort/Limit entirely
   override def isPartiallyPushed(): Boolean = !passthrough
+
+  /** OFFSET is only expressible when the source runs the whole statement
+    * (passthrough; the reference re-renders LIMIT/OFFSET into the BQ
+    * dialect the same way) — a per-partition skip would drop the wrong
+    * rows everywhere else. Spark only offers the push when the limit/topN
+    * was consumed exactly, and the scan skips after its sort+trim. */
+  override def pushOffset(n: Int): Boolean =
+    if (passthrough) { offset = n; true } else false
 
   /** ES-style sort+size pushdown (reference: SQL ORDER BY → ES `sort` array
     * + `size`, backends/elasticsearch/sqltoes.go:239-259; Datastore Order,
@@ -490,7 +501,7 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
       new FileAggScanImpl(scanFiles.map(_.getPath), table.format,
         parseSchema, outSchema, groups2, aggs2, pushed,
         complete = passthrough, topNSpecs, if (passthrough) limit else -1,
-        prunedFrom)
+        prunedFrom, offset)
     case None =>
       // the reader must parse filter-only and sort-only columns too: Spark
       // prunes them out of the required schema once the filter is pushed.
@@ -520,11 +531,13 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
       val topN = sortKeys.map { case (name, desc, nf) =>
         SortSpec(parseSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name)), desc, nf)
       }
-      // a passthrough-consumed limit/top-N is exact (isPartiallyPushed =
-      // false): one partition delivers the globally sorted, trimmed result
+      // a passthrough-consumed limit/top-N/offset is exact
+      // (isPartiallyPushed = false): one partition delivers the globally
+      // sorted, trimmed result
       new FileScanImpl(scanFiles.map(_.getPath), table.format,
         parseSchema, required, outIdx, pushed, limit, topN,
-        onePartition = passthrough && limit >= 0, prunedFrom)
+        onePartition = passthrough && (limit >= 0 || offset > 0), prunedFrom,
+        offset)
     }
   }
 }
@@ -547,7 +560,8 @@ class FileAggScanImpl(
     complete: Boolean = false,
     topN: Array[SortSpec] = Array.empty,
     limit: Int = -1,
-    prunedFrom: Int = -1) extends Scan with Batch {
+    prunedFrom: Int = -1,
+    offset: Int = 0) extends Scan with Batch {
 
   override def readSchema(): StructType = outputSchema
 
@@ -570,7 +584,7 @@ class FileAggScanImpl(
         ScanChunks.plan(files, splittable = FileCodec.forFormat(format) == JsonCodec)
     parts.map(chs => FileAggPartition(chs.toArray, format, parseSchema.json,
       outputSchema.json, groupIdx.toArray, aggs.toArray, pushed,
-      complete, topN, limit): InputPartition).toArray
+      complete, topN, limit, offset): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -587,7 +601,8 @@ final case class FileAggPartition(
     filters: Array[Filter],
     complete: Boolean,
     topN: Array[SortSpec],
-    limit: Int) extends InputPartition
+    limit: Int,
+    offset: Int = 0) extends InputPartition
 
 class FileAggReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -668,7 +683,9 @@ class FileAggReaderFactory extends PartitionReaderFactory {
     if (p.complete && p.topN.nonEmpty) // consumed ORDER BY: final rows sorted
       outRows = outRows.toArray.sorted(SortSpec.ordering(p.topN)).iterator
     if (p.complete && p.limit >= 0)
-      outRows = outRows.take(p.limit)
+      outRows = outRows.take(p.limit) // Spark pushes limit+offset combined
+    if (p.complete && p.offset > 0)
+      outRows = outRows.drop(p.offset)
     val conv = CatalystTypeConverters.createToCatalystConverter(outSchema)
     val it = outRows.map(r => conv(Row.fromSeq(r.toSeq)).asInstanceOf[InternalRow])
     new PartitionReader[InternalRow] {
@@ -691,7 +708,8 @@ class FileScanImpl(
     limit: Int,
     topN: Array[SortSpec] = Array.empty,
     onePartition: Boolean = false,
-    prunedFrom: Int = -1) extends Scan with Batch {
+    prunedFrom: Int = -1,
+    offset: Int = 0) extends Scan with Batch {
 
   override def readSchema(): StructType = outputSchema
 
@@ -713,8 +731,8 @@ class FileScanImpl(
       else
         ScanChunks.plan(files, splittable = FileCodec.forFormat(format) == JsonCodec)
     parts.map(chs => FilePartition(chs.toArray, format, parseSchema.json,
-      outputSchema.json, outputIndices, pushed, limit, topN): InputPartition)
-      .toArray
+      outputSchema.json, outputIndices, pushed, limit, topN,
+      offset): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -757,8 +775,9 @@ class FilePartitionReaderFactory extends PartitionReaderFactory {
           if (heap.size < p.limit) heap.enqueue(row)
           else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap.enqueue(row) }
         }
-        heap.dequeueAll.reverseIterator
-      } else if (p.limit >= 0) base.take(p.limit)
+        heap.dequeueAll.reverseIterator.drop(p.offset)
+      } else if (p.limit >= 0) base.take(p.limit).drop(p.offset)
+      else if (p.offset > 0) base.drop(p.offset) // consumed OFFSET, no limit
       else base
     val rows = limited.map { row =>
       val out = p.outputIndices.indices.map { oi =>

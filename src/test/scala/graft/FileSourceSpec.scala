@@ -357,6 +357,23 @@ class FileSourceSpec extends AnyFunSuite {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(5).collect().toSeq
     assert(df.collect().toSeq == expected)
+    // ORDER BY + LIMIT + OFFSET consumed wholesale (the reference
+    // re-renders all three into the BQ dialect): no Sort/Limit/Offset
+    // nodes survive above the scan
+    val paged = spark.table("graft.bq.orders_bq")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(7).limit(5)
+    val pagedPlan = paged.queryExecution.optimizedPlan
+    assert(pagedPlan.collect { case s: logical.Sort => s }.isEmpty)
+    assert(pagedPlan.collect { case o: logical.Offset => o }.isEmpty,
+      "expected the consumed OFFSET to be removed from the plan")
+    val expectedPaged = graft.core.Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(7).limit(5).collect().toSeq
+    assert(paged.collect().toSeq == expectedPaged)
+
     // NOT over a nested tree: accepted by acceptsAll, 3VL-evaluated
     val negated = spark.table("graft.bq.orders_bq")
       .filter(!(col("o_orderstatus") === "F" || col("o_orderpriority") === "1-URGENT"))
