@@ -129,7 +129,97 @@ object Similarity {
        |  GROUP BY vec_id
        |)""".stripMargin
 
+  // IVF-Flat parameters: KC deterministic seed centroids (the lowest
+  // vec_ids — no k-means iterations, so both engines derive the identical
+  // index), NProbe cells probed per query.
+  private val KC = 16
+  private val NProbe = 4
+
   val queries: Seq[GQuery] = Seq(
+
+    // IVF-partitioned ANN (the builder-prompt "IVF variant as the scale
+    // path"): corpus vectors are assigned to the cell of their nearest
+    // centroid, and a query scans only its NProbe nearest cells.
+    //   Scale design (100 TB): cell assignment is a PURE PROJECTION —
+    // greatest() over (sim, -cid) structs with the KC centroid vectors as
+    // literals (centroids are metadata, collected once like the SRP
+    // hyperplanes) — so the corpus never shuffles to build the index; in a
+    // materialized deployment `cell` is the partition key and a query
+    // reads NProbe/KC of the data via partition pruning. Candidate
+    // retrieval is a broadcast join of the tiny probe set against the
+    // cell-pruned corpus; the only shuffle carries the surviving
+    // candidates into the per-query top-k window.
+    //   Everything is deterministic (seed centroids, argmax with cid
+    // tie-break, identical double folds), so the oracle reproduces the
+    // exact IVF result — a value-exact gate, not a recall tolerance.
+    GQuery(
+      "q_ann_ivf",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KC),
+         |asn AS (
+         |  SELECT vec_id AS cand_id, v AS cv2, cid AS cell FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             list_dot_product(e.v, c.cv) /
+         |               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+         |             c.cid) AS rn
+         |    FROM e CROSS JOIN cent c) x WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qv, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid AS cell,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             list_dot_product(q.v, c.cv) /
+         |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+         |             c.cid) AS rn
+         |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 3) y WHERE rn <= $NProbe),
+         |scored AS (
+         |  SELECT p.query_id, a.cand_id,
+         |         list_dot_product(p.qv, a.cv2) /
+         |           (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.cv2, a.cv2))) AS sim
+         |  FROM probes p JOIN asn a ON a.cell = p.cell AND a.cand_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, round(sim, 4) AS sim
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      val e = vecs(s, d)
+      // KC centroid vectors: index metadata, collected once (like the
+      // typedLit hyperplanes above)
+      val cents: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < KC)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1)
+      // argmax over centroids as a projection: max (cosine, -cid) struct ⇒
+      // greatest cosine, smallest cid on ties — the oracle's
+      // ORDER BY sim DESC, cid picks the same centroid
+      def cellOf(v: Column): Column =
+        -greatest(cents.map { case (cid, cv) =>
+          struct(cosine(v, typedLit(cv)).as("cs"), lit(-cid).as("ncid"))
+        }: _*).getField("ncid")
+      val asn = e.select(col("vec_id").as("cand_id"), col("v").as("cv2"),
+        cellOf(col("v")).cast("long").as("cell"))
+      // probe the NProbe nearest cells per query (query set: tiny)
+      val cent = e.filter(col("vec_id") < KC).toDF("cid", "cv")
+      val probes = e.filter(col("vec_id") < 3).toDF("query_id", "qv")
+        .crossJoin(broadcast(cent))
+        .select(col("query_id"), col("qv"), col("cid"),
+          cosine(col("qv"), col("cv")).as("cs"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cs").desc, col("cid"))))
+        .filter(col("rn") <= NProbe)
+        .select(col("query_id"), col("qv"), col("cid").cast("long").as("cell"))
+      asn.join(broadcast(probes), Seq("cell"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          cosine(col("qv"), col("cv2")).as("sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+          col("cand_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rnk")
+    },
 
     // Exact brute-force cosine top-k: 3 query vectors against the whole
     // corpus. The oracle recomputes cosine explicitly in DuckDB.
