@@ -214,6 +214,30 @@ object StreamQueries {
       drain(agg, "complete").orderBy("session_start", "user_id")
     },
 
+    // Stream-stream interval join: click events joined to the same user's
+    // follow-up events within 10 minutes, both sides watermarked so join
+    // state stays bounded (see Streams.followWithin). Inner-join matches
+    // emit eagerly, so the sink equals the batch interval join.
+    GQuery(
+      "q_stream_interval_join",
+      """SELECT a.event_id AS trigger_id, b.event_id AS follow_id,
+        |       a.user_id, b.event_type AS follow_type, b.value AS follow_value
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts
+        | AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |WHERE a.event_type = 'click'
+        |ORDER BY trigger_id, follow_id""".stripMargin) { (s, d) =>
+      val (evDir, _) = stage(s, d)
+      val pairs = Streams.followWithin(
+        readEvents(s, evDir), readEvents(s, evDir),
+        "click", "10 MINUTES", "10 minutes")
+      drain(pairs, "append")
+        .select(col("trigger_id"), col("follow_id"),
+          col("t_user").as("user_id"), col("follow_type"),
+          col("value").as("follow_value"))
+        .orderBy("trigger_id", "follow_id")
+    },
+
     // Streaming dedup over a feed with ~1% injected replays: the pipeline
     // must restore exactly the original events, so the oracle aggregates
     // the clean batch table.

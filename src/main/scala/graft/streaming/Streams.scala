@@ -89,6 +89,32 @@ object Streams {
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join (append-only): trigger events of one
+    * type joined to the same user's follow-up events inside an event-time
+    * interval. Watermarks on BOTH sides let Spark bound the join state —
+    * a buffered row is evicted once the other side's watermark passes the
+    * end of the interval it could still match, the property that keeps a
+    * stream-stream join alive at week-long uptimes (unbounded two-sided
+    * buffering is the classic streaming-join OOM). Inner joins emit each
+    * match as soon as both rows have arrived, so the drained result
+    * converges to the batch join regardless of the final watermark. */
+  def followWithin(
+      triggers: DataFrame, follows: DataFrame, triggerType: String,
+      interval: String, watermarkDelay: String): DataFrame = {
+    val a = triggers.filter(col("event_type") === triggerType)
+      .select(col("event_id").as("trigger_id"), col("ts").as("trigger_ts"),
+        col("user_id").as("t_user"))
+      .withWatermark("trigger_ts", watermarkDelay)
+    val b = follows
+      .select(col("event_id").as("follow_id"), col("ts").as("follow_ts"),
+        col("user_id").as("f_user"), col("event_type").as("follow_type"),
+        col("value"))
+      .withWatermark("follow_ts", watermarkDelay)
+    a.join(b, col("t_user") === col("f_user") &&
+      col("follow_ts") > col("trigger_ts") &&
+      col("follow_ts") <= col("trigger_ts") + expr(s"INTERVAL $interval"))
+  }
+
   /** Custom keyed state: per-user running session summary via
     * flatMapGroupsWithState — the engine-level escape hatch for state
     * machines the built-in aggregations can't express. A session closes
