@@ -45,7 +45,7 @@ object Dedup {
   private val K = 64       // minhash permutations
   private val B = 16       // LSH bands
   private val R = 4        // rows per band (K = B * R)
-  private val CAP = 32     // hot-bucket cap (skew guard -> chain pairs)
+  private[queries] val CAP = 32     // hot-bucket cap (skew guard -> chain pairs)
   private val MAX_DF = 100 // n-gram document-frequency cutoff
 
   /** doc_id + minhash signature, one codegen'd projection. */
@@ -102,7 +102,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_j"))
   }
 
-  private def lshPairs(s: SparkSession, d: String): DataFrame =
+  private[queries] def lshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsFor(s, Tables.load(s, d, "documents"))
 
   /** Connected components over a pair list: iterated min-label propagation

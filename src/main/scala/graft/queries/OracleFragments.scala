@@ -113,13 +113,14 @@ object OracleFragments {
        |SELECT doc_a, doc_b, est_j FROM est WHERE est_j >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Connected components over the LSH pair graph (est_j >= 0.5):
-    * cluster_id = min doc_id reachable; singletons map to themselves.
-    * Recursive closure — fine at oracle scale; the Spark side uses
-    * iterated hash-to-min label propagation. */
-  def minhashLshClusters(cap: Int): String =
-    s"""WITH RECURSIVE
-       |${lshCtes(cap)},
+  /** CTE chain ending in `clusters(doc_id, cluster_id)` over the LSH pair
+    * graph (est_j >= 0.5): cluster_id = min doc_id reachable; singletons
+    * map to themselves. Recursive closure — fine at oracle scale; the
+    * Spark side uses iterated hash-to-min label propagation. Callers must
+    * open with WITH RECURSIVE. Shared by the cluster gate and the
+    * curation pipeline. */
+  def minhashClusterCtes(cap: Int): String =
+    s"""${lshCtes(cap)},
        |pairs AS (SELECT doc_a, doc_b FROM est WHERE est_j >= 0.5),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -127,8 +128,13 @@ object OracleFragments {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON e.src = reach.r
-       |)
-       |SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc
+       |),
+       |clusters AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc)""".stripMargin
+
+  def minhashLshClusters(cap: Int): String =
+    s"""WITH RECURSIVE
+       |${minhashClusterCtes(cap)}
+       |SELECT doc_id, cluster_id FROM clusters
        |ORDER BY doc_id""".stripMargin
 
   /** Per-token simhash inputs: h1 = polyHash mult 31, h2 = mult 37. */

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+
+/** End-to-end corpus curation — the composition a training-data run
+  * executes as ONE Spark plan over the `documents` table:
+  *
+  *   1. near-duplicate cluster resolution (MinHash-LSH candidates →
+  *      connected components; exact duplicates have identical signatures,
+  *      so they collapse into the same cluster),
+  *   2. keep each cluster's representative (min doc_id),
+  *   3. drop low-quality documents (the q_text_quality score at a 0.6
+  *      threshold),
+  *   4. account the surviving corpus per language (docs + tokens).
+  *
+  * Determinism: the quality threshold is evaluated in INTEGER space —
+  * under the common-denominator form of the score,
+  * `quality >= 0.6  ⇔  2·nt·min(nt,50) + 60·n_stop + 5·min(sl,8·nt) >= 120·nt`
+  * — so no double rounding can flip a keep/drop decision, and the outputs
+  * are integer counts.
+  *
+  * Scale design (100 TB): reuses exactly the scale-safe pieces — capped
+  * LSH buckets (O(n) pairs in hot buckets), the pair-volume-sized CC
+  * loop, one-pass codegen'd quality features — then one equi-join of the
+  * corpus against its representative set and a low-cardinality rollup.
+  * Nothing in the composition adds a shuffle the parts didn't already
+  * have.
+  */
+object Pipeline {
+
+  /** Same English stopword profile as TextAnalysis (the quality score's
+    * vocabulary — mirrored literally in the oracle). */
+  private val En = Seq("the", "a", "and", "of", "to", "in", "is", "that")
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_pipeline_curate",
+      s"""WITH RECURSIVE
+         |${OracleFragments.minhashClusterCtes(Dedup.CAP)},
+         |reps AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
+         |st AS (
+         |  SELECT d.doc_id, d.lang,
+         |         CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |         CAST(list_sum(list_transform(t.toks, x -> length(x))) AS BIGINT) AS sum_len,
+         |         CAST(len(list_filter(t.toks,
+         |           x -> list_contains(['the', 'a', 'and', 'of', 'to', 'in', 'is', 'that'], x))) AS BIGINT) AS n_stop
+         |  FROM documents d JOIN tok t USING (doc_id) JOIN reps USING (doc_id)),
+         |kept AS (
+         |  SELECT * FROM st
+         |  WHERE 2*n_tokens*least(n_tokens, 50) + 60*n_stop +
+         |        5*least(sum_len, 8*n_tokens) >= 120*n_tokens)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      // cluster representatives: min doc_id of each near-dup family
+      val reps = Dedup.connectedComponents(docs, Dedup.lshPairs(s, d))
+        .filter(col("doc_id") === col("cluster_id"))
+        .select("doc_id")
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val en = typedLit(En)
+      val feats = docs
+        .select(col("doc_id"), col("lang"), toks.as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("sum_len",
+          aggregate(transform(col("toks"), t => length(t)), lit(0),
+            (acc, x) => acc + x).cast("long"))
+        .withColumn("n_stop",
+          size(filter(col("toks"), t => array_contains(en, t))).cast("long"))
+        .drop("toks")
+      feats.join(reps, "doc_id")
+        .filter(lit(2) * col("n_tokens") * least(col("n_tokens"), lit(50L)) +
+          lit(60) * col("n_stop") +
+          lit(5) * least(col("sum_len"), lit(8) * col("n_tokens")) >=
+          lit(120) * col("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"))
+        .orderBy("lang")
+    }
+  )
+}
