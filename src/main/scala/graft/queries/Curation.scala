@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+import graft.functions.HashFunctions
+
+/** Corpus-curation operators for a training-data pipeline (beyond-reference;
+  * the LLM-pipeline surface alongside Dedup/TextAnalysis/Pipeline):
+  *
+  *   - pattern-scrub redaction (PII-shaped regexes + term blocklist),
+  *   - benchmark decontamination (shingle overlap against an eval set),
+  *   - intra-document repetition filtering (Gopher-style dup/top-token
+  *     ratios),
+  *   - deterministic hash-based stratified sampling,
+  *   - token-budget corpus mixing (greedy per-language take in hash order).
+  *
+  * Determinism: every operator is a closed-form integer/regex function of
+  * the row (plus, for decontamination, an equi-join on exact shingle
+  * hashes), so each carries a full DuckDB value oracle. Ratios follow the
+  * TextAnalysis integer-space rounding rule; keep/drop thresholds are
+  * evaluated as integer inequalities so no double rounding can flip a
+  * decision.
+  *
+  * Scale design (100 TB):
+  *   - redact / repetition / sample are embarrassingly parallel one-pass
+  *     projections — no shuffle, all inside whole-stage codegen (builtin
+  *     regex + higher-order array functions; the per-token counts use a
+  *     distinct×occurrence HOF scan instead of an explode→groupBy shuffle,
+  *     bounded by document length);
+  *   - decontamination broadcasts the eval-set shingle index (eval sets
+  *     are small by construction) so the corpus never shuffles;
+  *   - mixing needs a per-language prefix sum: one hash-range shuffle per
+  *     language partition, same two-pass shape as the global-rank window.
+  */
+object Curation {
+
+  /** Knuth multiplicative hash over doc_id, mod the shared TextHash prime —
+    * the deterministic sampling coin. Both engines compute it exactly in
+    * 64-bit integer space (doc_id · 2654435761 < 2^63 for doc_id < 2^31). */
+  private val KNUTH = 2654435761L
+  private val P = 1000000007L
+
+  private def coin(c: Column): Column = (c * lit(KNUTH)) % lit(P) % lit(100)
+  private def coinSql(c: String): String = s"($c * $KNUTH) % $P % 100"
+
+  /** Per-language sampling rates (percent) / token budgets for mixing. */
+  private val Rates: Seq[(String, Int)] =
+    Seq("de" -> 30, "en" -> 50, "es" -> 20, "fr" -> 10, "zh" -> 25)
+  private val Budget = 8000L
+
+  /** Redaction patterns — shared RE2/Java-regex subset (char classes,
+    * bounded repeats, alternation, ASCII word boundaries) so Spark and the
+    * oracle compile the same automaton. Email/IPv4 prove the PII shapes;
+    * the term blocklist has real hits in this corpus. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private val BlockRe = "\\b(customer|vector)\\b"
+  private val Mask = "[MASKED]"
+
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** The redaction engine as a reusable column transform: count hits per
+    * pattern family and rewrite the text with every family masked. */
+  private[graft] def redact(text: Column): (Column, Column, Column, Column) = {
+    val t = lower(text)
+    val scrubbed = regexp_replace(
+      regexp_replace(regexp_replace(t, EmailRe, Mask), Ipv4Re, Mask),
+      BlockRe, Mask)
+    (regexp_count(t, lit(EmailRe)).cast("long"),
+      regexp_count(t, lit(Ipv4Re)).cast("long"),
+      regexp_count(t, lit(BlockRe)).cast("long"),
+      scrubbed)
+  }
+
+  val queries: Seq[GQuery] = Seq(
+
+    // Pattern-scrub redaction: per-family hit counts + the scrubbed text's
+    // length and hash (value-checking the rewrite itself, not just counts).
+    GQuery(
+      "q_curation_redact",
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(lower(text), '$EmailRe')) AS BIGINT) AS n_email,
+         |       CAST(len(regexp_extract_all(lower(text), '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+         |       CAST(len(regexp_extract_all(lower(text), '$BlockRe')) AS BIGINT) AS n_blocked,
+         |       CAST(length(regexp_replace(regexp_replace(regexp_replace(lower(text),
+         |         '$EmailRe', '$Mask', 'g'), '$Ipv4Re', '$Mask', 'g'),
+         |         '$BlockRe', '$Mask', 'g')) AS BIGINT) AS len_redacted,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
+         |         '$EmailRe', '$Mask', 'g'), '$Ipv4Re', '$Mask', 'g'),
+         |         '$BlockRe', '$Mask', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val (ne, ni, nb, scrubbed) = redact(col("text"))
+      docs(s, d)
+        .select(col("doc_id"), ne.as("n_email"), ni.as("n_ipv4"),
+          nb.as("n_blocked"),
+          length(scrubbed).cast("long").as("len_redacted"),
+          md5(scrubbed).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: distinct 3-gram shingle hashes of the
+    // held-out eval slice (doc_id ≡ 0 mod 97 — standing in for an external
+    // benchmark table) form a broadcast index; every remaining corpus doc
+    // reports how many of its distinct shingles hit that index, and is
+    // flagged contaminated at >= 10 shared shingles.
+    GQuery(
+      "q_curation_decontam",
+      s"""WITH
+         |${OracleFragments.tok},
+         |${OracleFragments.shingle3},
+         |shr AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |hh AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS BIGINT))),
+         |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
+         |  FROM shr),
+         |hd AS (SELECT DISTINCT doc_id, h FROM hh),
+         |ev AS (SELECT DISTINCT h FROM hd WHERE doc_id % 97 = 0),
+         |ns AS (
+         |  SELECT d.doc_id, count(e.h) AS n_shared
+         |  FROM hd d LEFT JOIN ev e USING (h)
+         |  WHERE d.doc_id % 97 <> 0
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+         |       CAST(n_shared >= 10 AS BIGINT) AS contaminated
+         |FROM ns ORDER BY doc_id""".stripMargin) { (s, d) =>
+      HashFunctions.ensure(s)
+      val sets = docs(s, d).select(col("doc_id"),
+        array_distinct(HashFunctions.shingle_hashes(col("text"), 3)).as("hh"))
+      val ev = sets.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("hh")).as("h")).distinct()
+      sets.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("hh")).as("h"))
+        .join(broadcast(ev.withColumn("hit", lit(1L))), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(col("hit")).as("n_shared"))
+        .select(col("doc_id"), col("n_shared"),
+          (col("n_shared") >= 10).cast("long").as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // Intra-document repetition filter (Gopher-style): duplicate-token
+    // ratio and top-token frequency fraction, with the keep decision
+    // evaluated in integer space:
+    //   keep ⇔ (nt-nd)·100 <= 85·nt  AND  mc·10 <= nt
+    GQuery(
+      "q_curation_repetition",
+      s"""WITH
+         |${OracleFragments.tok},
+         |tc AS (
+         |  SELECT doc_id, t, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+         |  GROUP BY doc_id, t),
+         |st AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |         CAST(count(*) AS BIGINT) AS n_distinct,
+         |         CAST(max(c) AS BIGINT) AS top_count
+         |  FROM tc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct, top_count,
+         |       CAST(round((n_tokens - n_distinct) * 1000000.0 / n_tokens) AS BIGINT) / 1000000.0 AS dup_ratio,
+         |       CAST(round(top_count * 1000000.0 / n_tokens) AS BIGINT) / 1000000.0 AS top_frac,
+         |       CAST((n_tokens - n_distinct) * 100 <= 85 * n_tokens
+         |            AND top_count * 10 <= n_tokens AS BIGINT) AS keep
+         |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val M = lit(1000000.0)
+      docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        // per-token counts without a shuffle: distinct-token list ×
+        // occurrence scan, O(len·distinct) per row, fully codegen'd
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("top_count",
+          array_max(transform(array_distinct(col("toks")),
+            t => size(filter(col("toks"), x => x === t)))).cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_count"),
+          (round((col("n_tokens") - col("n_distinct")) * M / col("n_tokens"))
+            .cast("long") / M).as("dup_ratio"),
+          (round(col("top_count") * M / col("n_tokens")).cast("long") / M)
+            .as("top_frac"),
+          ((col("n_tokens") - col("n_distinct")) * 100 <= col("n_tokens") * 85 &&
+            col("top_count") * 10 <= col("n_tokens")).cast("long").as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic hash-based stratified sampling: the Knuth-hash coin
+    // over doc_id against a per-language rate table. Reproducible across
+    // runs and engines — the property a corpus-mixing pipeline needs.
+    GQuery(
+      "q_curation_sample", {
+        val rateCase = Rates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+          .mkString("CASE lang ", " ", " ELSE 0 END")
+        s"""SELECT lang,
+           |       CAST(count(*) AS BIGINT) AS n_total,
+           |       CAST(sum(CAST(${coinSql("doc_id")} < ($rateCase) AS BIGINT)) AS BIGINT) AS n_kept,
+           |       CAST(min(CASE WHEN ${coinSql("doc_id")} < ($rateCase) THEN doc_id END) AS BIGINT) AS first_kept
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+      }) { (s, d) =>
+      val rate = Rates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+        when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      docs(s, d)
+        .withColumn("kept", (coin(col("doc_id")) < rate).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("kept")).as("n_kept"),
+          min(when(col("kept") === 1L, col("doc_id"))).as("first_kept"))
+        .orderBy("lang")
+    },
+
+    // Token-budget corpus mixing: per language, take documents in
+    // deterministic hash order while the running token total stays within
+    // the budget. The prefix sum is one window pass per language partition.
+    GQuery(
+      "q_curation_mix",
+      s"""WITH
+         |${OracleFragments.tok},
+         |nt AS (
+         |  SELECT d.doc_id, d.lang, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |         ${coinSql("d.doc_id")} AS h
+         |  FROM documents d JOIN tok t USING (doc_id)),
+         |cum AS (
+         |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang
+         |           ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+         |  FROM nt)
+         |SELECT lang,
+         |       CAST(count(*) AS BIGINT) AS docs_taken,
+         |       CAST(sum(n_tokens) AS BIGINT) AS tokens_taken,
+         |       CAST(max(doc_id) AS BIGINT) AS last_doc
+         |FROM cum WHERE running <= $Budget
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val nt = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          coin(col("doc_id")).as("h"))
+      val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      nt.withColumn("running", sum("n_tokens").over(w))
+        .filter(col("running") <= Budget)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs_taken"),
+          sum("n_tokens").as("tokens_taken"),
+          max("doc_id").as("last_doc"))
+        .orderBy("lang")
+    }
+  )
+}

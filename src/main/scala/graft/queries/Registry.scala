@@ -8,7 +8,8 @@ object Registry {
     val qs = Relational.queries ++ Joins.queries ++ Windows.queries ++
       Scalars.queries ++ DialectSql.queries ++ Dedup.queries ++
       Federation.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      MediaQueries.queries ++ StreamQueries.queries ++ Pipeline.queries
+      MediaQueries.queries ++ StreamQueries.queries ++ Pipeline.queries ++
+      Curation.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
