@@ -132,12 +132,19 @@ object Curation {
          |       CAST(n_shared >= 10 AS BIGINT) AS contaminated
          |FROM ns ORDER BY doc_id""".stripMargin) { (s, d) =>
       HashFunctions.ensure(s)
+      // explode_outer (not explode): the non-outer generate makes Catalyst
+      // infer a pre-Generate `size(..)>0` filter that re-evaluates the
+      // shingle-hash expression twice more per row — 3× the hash stage's
+      // CPU at scale. outer generation skips that inference, and a doc
+      // with no shingles degrades to one null-keyed row that misses the
+      // broadcast join — exactly a zero count.
       val sets = docs(s, d).select(col("doc_id"),
         array_distinct(HashFunctions.shingle_hashes(col("text"), 3)).as("hh"))
       val ev = sets.filter(col("doc_id") % 97 === 0)
-        .select(explode(col("hh")).as("h")).distinct()
+        .select(explode_outer(col("hh")).as("h"))
+        .filter(col("h").isNotNull).distinct()
       sets.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), explode(col("hh")).as("h"))
+        .select(col("doc_id"), explode_outer(col("hh")).as("h"))
         .join(broadcast(ev.withColumn("hit", lit(1L))), Seq("h"), "left")
         .groupBy("doc_id")
         .agg(count(col("hit")).as("n_shared"))
