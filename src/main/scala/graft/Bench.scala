@@ -33,6 +33,13 @@ object Bench {
     try {
       spark.read.parquet(s"$sfDir/region.parquet")
         .write.format("noop").mode("overwrite").save()
+      // full cold scans of the two big tables: page-cache + parquet-footer
+      // warm-up is session setup; without it the alphabetically-first
+      // query (q1_agg) pays the cold-I/O bill in its measured time
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
         .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
@@ -45,7 +52,11 @@ object Bench {
       // first spark.sql text parse initializes the ANTLR parser (~1s,
       // once per JVM) — session setup, not the first SQL query's cost
       spark.sql("SELECT md5('warmup') AS h, upper('x') AS u").collect()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // a failed warmup silently shifts its cost into the first measured
+      // queries — make it visible in the driver log
+      System.err.println(s"[bench] warmup failed: $e")
+    }
 
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

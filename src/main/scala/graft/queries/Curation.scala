@@ -256,6 +256,101 @@ object Curation {
           sum("n_tokens").as("tokens_taken"),
           max("doc_id").as("last_doc"))
         .orderBy("lang")
+    },
+
+    // End-to-end privacy/curation pipeline as ONE Spark plan: redact →
+    // repetition filter (on the redacted text) → decontamination against
+    // the eval slice (shingles of the redacted text) → per-language
+    // accounting of the surviving corpus. Composes the three operators
+    // above with all keep decisions in integer space.
+    //
+    // Scale: the redacted projection is persisted so the regex scrub runs
+    // once for both consumers (feature pass + shingle pass); the only
+    // shuffles are the per-doc shared-shingle count and the final rollup.
+    GQuery(
+      "q_pipeline_privacy",
+      s"""WITH
+         |red AS (
+         |  SELECT doc_id, lang,
+         |         lower(regexp_replace(regexp_replace(regexp_replace(lower(text),
+         |           '$EmailRe', '$Mask', 'g'), '$Ipv4Re', '$Mask', 'g'),
+         |           '$BlockRe', '$Mask', 'g')) AS t,
+         |         CAST(len(regexp_extract_all(lower(text), '$BlockRe')) AS BIGINT) AS n_blocked
+         |  FROM documents),
+         |tokr AS (
+         |  SELECT doc_id, lang, n_blocked,
+         |         list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '') AS toks
+         |  FROM red),
+         |tc AS (
+         |  SELECT doc_id, tk, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS tk FROM tokr)
+         |  GROUP BY doc_id, tk),
+         |st AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nt,
+         |         CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS mc
+         |  FROM tc GROUP BY doc_id),
+         |shr AS (
+         |  SELECT doc_id,
+         |         unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |                     ELSE list_transform(range(1, len(toks) - 1),
+         |                                         i -> array_to_string(toks[i:i+2], ' '))
+         |                END) AS sg
+         |  FROM tokr),
+         |hh AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(sg)+1), i -> CAST(unicode(sg[i]) AS BIGINT))),
+         |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
+         |  FROM shr),
+         |hd AS (SELECT DISTINCT doc_id, h FROM hh),
+         |ev AS (SELECT DISTINCT h FROM hd WHERE doc_id % 97 = 0),
+         |ns AS (
+         |  SELECT d.doc_id, count(e.h) AS n_shared
+         |  FROM hd d LEFT JOIN ev e USING (h)
+         |  WHERE d.doc_id % 97 <> 0
+         |  GROUP BY d.doc_id),
+         |kept AS (
+         |  SELECT r.doc_id, r.lang, r.n_blocked, s.nt
+         |  FROM tokr r JOIN st s USING (doc_id) JOIN ns USING (doc_id)
+         |  WHERE (s.nt - s.nd) * 100 <= 85 * s.nt AND s.mc * 10 <= s.nt
+         |    AND ns.n_shared < 10)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_blocked) AS BIGINT) AS masked_terms,
+         |       CAST(sum(nt) AS BIGINT) AS total_tokens
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      HashFunctions.ensure(s)
+      val (_, _, nb, scrubbed) = redact(col("text"))
+      val red = docs(s, d)
+        .select(col("doc_id"), col("lang"), scrubbed.as("t"),
+          nb.as("n_blocked"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val toks = tokens(col("t"))
+      val feats = red
+        .withColumn("toks", toks)
+        .withColumn("nt", size(col("toks")).cast("long"))
+        .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("mc",
+          array_max(transform(array_distinct(col("toks")),
+            t => size(filter(col("toks"), x => x === t)))).cast("long"))
+        .drop("toks", "t")
+      val sets = red.select(col("doc_id"),
+        array_distinct(HashFunctions.shingle_hashes(col("t"), 3)).as("hh"))
+      val ev = sets.filter(col("doc_id") % 97 === 0)
+        .select(explode_outer(col("hh")).as("h"))
+        .filter(col("h").isNotNull).distinct()
+      val ns = sets.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode_outer(col("hh")).as("h"))
+        .join(broadcast(ev.withColumn("hit", lit(1L))), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(col("hit")).as("n_shared"))
+      feats.join(ns, "doc_id")
+        .filter((col("nt") - col("nd")) * 100 <= col("nt") * 85 &&
+          col("mc") * 10 <= col("nt") && col("n_shared") < 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_blocked").as("masked_terms"),
+          sum("nt").as("total_tokens"))
+        .orderBy("lang")
     }
   )
 }

@@ -82,4 +82,28 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getLong(2) <= 8000L, s"lang ${r.getString(0)} over budget")
     }
   }
+
+  test("int8 quantization stays in range and bounds the reconstruction error") {
+    val q = graft.queries.VectorOps.queries.find(_.name == "q_embed_quantize").get
+    val rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, minQ, maxQ, l1e9) =
+        (r.getDouble(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(minQ >= -127 && maxQ <= 127, s"vec ${r.getLong(0)} out of int8 range")
+      // round-to-nearest: per-element error <= scale/2 (+1 ulp of fixed-point)
+      assert(l1e9 <= (64L * (scale / 2 * 1e9).toLong + 64L),
+        s"vec ${r.getLong(0)} error $l1e9 above bound")
+    }
+  }
+
+  test("privacy pipeline accounting is internally consistent") {
+    val q = Curation.queries.find(_.name == "q_pipeline_privacy").get
+    val rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(3) >= r.getLong(1),
+        "kept docs should each contribute >= 1 token")
+    }
+  }
 }
