@@ -49,6 +49,7 @@ object Curation {
   private val Rates: Seq[(String, Int)] =
     Seq("de" -> 30, "en" -> 50, "es" -> 20, "fr" -> 10, "zh" -> 25)
   private val Budget = 8000L
+  private val SeqLen = 512L
 
   /** Redaction patterns — shared RE2/Java-regex subset (char classes,
     * bounded repeats, alternation, ASCII word boundaries) so Spark and the
@@ -255,6 +256,55 @@ object Curation {
         .agg(count(lit(1)).as("docs_taken"),
           sum("n_tokens").as("tokens_taken"),
           max("doc_id").as("last_doc"))
+        .orderBy("lang")
+    },
+
+    // Sequence packing (concatenate-then-chunk): documents are laid out
+    // per language in deterministic hash order and chunked into S-token
+    // training sequences; a doc straddles a boundary when its [start,end)
+    // token span crosses a multiple of S. Pure integer arithmetic over
+    // the same per-language prefix sum as q_curation_mix — one window
+    // pass, then a rollup: packs emitted, boundary-straddling docs, and
+    // the tail waste a packer would pad.
+    GQuery(
+      "q_curation_pack",
+      s"""WITH
+         |${OracleFragments.tok},
+         |nt AS (
+         |  SELECT d.doc_id, d.lang, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |         ${coinSql("d.doc_id")} AS h
+         |  FROM documents d JOIN tok t USING (doc_id)),
+         |cum AS (
+         |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang
+         |           ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fin
+         |  FROM nt)
+         |SELECT lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST((max(fin) + $SeqLen - 1) // $SeqLen AS BIGINT) AS n_packs,
+         |       CAST(sum(CASE WHEN n_tokens > 0
+         |                 AND (fin - n_tokens) // $SeqLen <> (fin - 1) // $SeqLen
+         |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+         |       CAST((max(fin) + $SeqLen - 1) // $SeqLen * $SeqLen - max(fin)
+         |            AS BIGINT) AS tail_waste
+         |FROM cum GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val nt = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          coin(col("doc_id")).as("h"))
+      val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      nt.withColumn("fin", sum("n_tokens").over(w))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          expr(s"(max(fin) + $SeqLen - 1) DIV $SeqLen").as("n_packs"),
+          sum(when(col("n_tokens") > 0 &&
+            expr(s"(fin - n_tokens) DIV $SeqLen") =!= expr(s"(fin - 1) DIV $SeqLen"),
+            1L).otherwise(0L)).as("n_straddlers"),
+          expr(s"(max(fin) + $SeqLen - 1) DIV $SeqLen * $SeqLen - max(fin)")
+            .as("tail_waste"))
         .orderBy("lang")
     },
 

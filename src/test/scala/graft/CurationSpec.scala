@@ -83,6 +83,18 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing accounting is consistent") {
+    val q = Curation.queries.find(_.name == "q_curation_pack").get
+    q.fn(spark, "/root/testdata/sf0.001").collect().foreach { r =>
+      val (nDocs, total, nPacks, straddlers, waste) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nPacks * 512 == total + waste, "packs must cover exactly total+waste")
+      assert(waste >= 0 && waste < 512)
+      assert(straddlers <= nDocs && straddlers <= ((nPacks - 1) max 0),
+        "a straddler consumes a distinct pack boundary")
+    }
+  }
+
   test("int8 quantization stays in range and bounds the reconstruction error") {
     val q = graft.queries.VectorOps.queries.find(_.name == "q_embed_quantize").get
     val rows = q.fn(spark, "/root/testdata/sf0.001").collect()

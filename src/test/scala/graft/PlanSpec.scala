@@ -103,4 +103,31 @@ class PlanSpec extends AnyFunSuite {
     val f = formatted("q_terms")
     assert(f.contains("TakeOrderedAndProject"), f)
   }
+
+  test("one-pass curation projections shuffle only for the presentation sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for (name <- Seq("q_curation_redact", "q_curation_repetition",
+        "q_embed_quantize", "q_text_quality")) {
+      val ex = collectAll(plan(name)) { case s: ShuffleExchangeExec => s }
+      assert(ex.size <= 1,
+        s"$name should be a narrow projection + one sort exchange, got ${ex.size}")
+    }
+  }
+
+  test("q_curation_decontam: eval index broadcasts; corpus side never sort-merge joins") {
+    val p = plan("q_curation_decontam")
+    assert(collectAll(p) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "expected the eval shingle index to broadcast")
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    assert(collectAll(p) { case j: SortMergeJoinExec => j }.isEmpty,
+      "corpus-side join must not shuffle into a sort-merge join")
+  }
+
+  test("decontamination scan evaluates the shingle-hash projection once per row") {
+    // InferFiltersFromGenerate under a non-outer explode re-evaluates the
+    // generator expression in a pre-Generate filter — 3× the hash stage
+    val f = formatted("q_curation_decontam")
+    val hashed = f.linesIterator.count(_.contains("shingle_hashes"))
+    assert(hashed <= 2, s"shingle_hashes appears $hashed times (eval + corpus side):\n$f")
+  }
 }
