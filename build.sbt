@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with 101 gate queries, persisted shingle/embedding frames,
+  // and streaming state GC-thrashes an 8g heap (observed: multi-second
+  // run-to-run swings on cheap queries); the bench box has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
