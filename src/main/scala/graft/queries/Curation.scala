@@ -63,6 +63,19 @@ object Curation {
   private def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
 
+  /** Longest equal-element run in the sorted array = the max token
+    * frequency, via one fold with (prev, run, best) struct state. */
+  private def longestRun(toks: Column): Column =
+    aggregate(array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
@@ -180,13 +193,13 @@ object Curation {
       val M = lit(1000000.0)
       docs(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
-        // per-token counts without a shuffle: distinct-token list ×
-        // occurrence scan, O(len·distinct) per row, fully codegen'd
+        // top token frequency without a shuffle: the longest equal-run in
+        // the sorted token array via a single fold — O(len·log len) per
+        // row (the distinct×occurrence scan is O(len·distinct), which
+        // degrades to O(len²) on vocabulary-rich text)
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
-        .withColumn("top_count",
-          array_max(transform(array_distinct(col("toks")),
-            t => size(filter(col("toks"), x => x === t)))).cast("long"))
+        .withColumn("top_count", longestRun(col("toks")))
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_count"),
           (round((col("n_tokens") - col("n_distinct")) * M / col("n_tokens"))
             .cast("long") / M).as("dup_ratio"),
@@ -379,9 +392,7 @@ object Curation {
         .withColumn("toks", toks)
         .withColumn("nt", size(col("toks")).cast("long"))
         .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
-        .withColumn("mc",
-          array_max(transform(array_distinct(col("toks")),
-            t => size(filter(col("toks"), x => x === t)))).cast("long"))
+        .withColumn("mc", longestRun(col("toks")))
         .drop("toks", "t")
       val sets = red.select(col("doc_id"),
         array_distinct(HashFunctions.shingle_hashes(col("t"), 3)).as("hh"))

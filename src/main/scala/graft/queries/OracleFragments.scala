@@ -103,6 +103,12 @@ object OracleFragments {
       |  JOIN sig sb ON sb.doc_id = c.doc_b
       |)""".stripMargin
 
+  /** CTE chain ending in `mh(doc_id, p, v)` (per-doc minhash values by
+    * permutation index) and `sig(doc_id, sig)` — for group-level
+    * signature aggregation oracles. */
+  private[queries] def minhashPerDoc: String =
+    Seq(tok, shingle3, shingleHashes, minhashSig).mkString(",\n")
+
   private def lshCtes(cap: Int): String =
     Seq(tok, shingle3, shingleHashes, minhashSig, bands(cap), lshPairsBody)
       .mkString(",\n")

@@ -204,6 +204,43 @@ object TextAnalysis {
           array_min(col("wins")).as("fp_min"),
           array_max(col("wins")).as("fp_max"))
         .orderBy("doc_id")
+    },
+
+    // Per-language corpus signatures via the MinHashUnion typed Aggregator
+    // (the UDAF surface): element-wise min of per-doc signatures merges
+    // map-side like a built-in agg, and the group signature estimates each
+    // language slice's shingle-set Jaccard against the English slice as
+    // signature agreement / 64 (a dyadic float — bit-exact cross-engine).
+    GQuery(
+      "q_group_signature",
+      s"""WITH
+         |${OracleFragments.minhashPerDoc},
+         |lmin AS (
+         |  SELECT d.lang, m.p, min(m.v) AS v
+         |  FROM mh m JOIN documents d USING (doc_id)
+         |  GROUP BY d.lang, m.p),
+         |gl AS (SELECT lang, list(v ORDER BY p) AS gs FROM lmin GROUP BY lang),
+         |en AS (SELECT gs AS es FROM gl WHERE lang = 'en')
+         |SELECT lang,
+         |       CAST(list_sum(gs) AS BIGINT) AS sig_sum,
+         |       list_min(gs) AS sig_min, list_max(gs) AS sig_max,
+         |       len(list_filter(range(1, 65), i -> gs[i] = es[i])) / 64.0 AS est_j_en
+         |FROM gl CROSS JOIN en ORDER BY lang""".stripMargin) { (s, d) =>
+      HashFunctions.ensure(s)
+      val mu = udaf(graft.functions.MinHashUnion)
+      val sigs = docs(s, d)
+        .select(col("lang"),
+          HashFunctions.min_hash_sig(col("text"), 64, 3).as("sig"))
+        .groupBy("lang").agg(mu(col("sig")).as("gs"))
+      val en = sigs.filter(col("lang") === "en").select(col("gs").as("es"))
+      sigs.crossJoin(broadcast(en))
+        .select(col("lang"),
+          aggregate(col("gs"), lit(0L), (a, x) => a + x).as("sig_sum"),
+          array_min(col("gs")).as("sig_min"),
+          array_max(col("gs")).as("sig_max"),
+          (size(filter(zip_with(col("gs"), col("es"), (a, b) => a === b),
+            x => x)) / lit(64.0)).as("est_j_en"))
+        .orderBy("lang")
     }
   )
 }

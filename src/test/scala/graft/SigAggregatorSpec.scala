@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MinHashUnion
+
+/** The MinHashUnion Aggregator's distributed-merge contract: the result
+  * is partitioning-invariant (map-side partials + merges commute), and
+  * equals the element-wise min computed serially.
+  */
+class SigAggregatorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("group signature is partitioning-invariant and equals the serial min") {
+    val rng = new scala.util.Random(7)
+    val sigs: Seq[Seq[Long]] =
+      Seq.fill(97)(Seq.fill(MinHashUnion.K)(rng.nextLong().abs % 1000000007L))
+    val expected = sigs.transpose.map(_.min)
+    val mu = udaf(MinHashUnion)
+    for (parts <- Seq(1, 7)) {
+      val got = sigs.toDF("sig").repartition(parts)
+        .agg(mu(col("sig")).as("gs"))
+        .head().getSeq[Long](0)
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("reduce tolerates short and null inputs") {
+    val b = MinHashUnion.reduce(MinHashUnion.zero, null)
+    assert(b.forall(_ == Long.MaxValue))
+    val b2 = MinHashUnion.reduce(MinHashUnion.zero, Seq(3L))
+    assert(b2(0) == 3L && b2(1) == Long.MaxValue)
+  }
+}
