@@ -55,10 +55,10 @@ object Curation {
     * bounded repeats, alternation, ASCII word boundaries) so Spark and the
     * oracle compile the same automaton. Email/IPv4 prove the PII shapes;
     * the term blocklist has real hits in this corpus. */
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-  private val BlockRe = "\\b(customer|vector)\\b"
-  private val Mask = "[MASKED]"
+  private[queries] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[queries] val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private[queries] val BlockRe = "\\b(customer|vector)\\b"
+  private[queries] val Mask = "[MASKED]"
 
   private def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
@@ -237,7 +237,10 @@ object Curation {
 
     // Token-budget corpus mixing: per language, take documents in
     // deterministic hash order while the running token total stays within
-    // the budget. The prefix sum is one window pass per language partition.
+    // the budget. The prefix sum uses the grouped two-pass shape
+    // (operators.GroupedPrefixSum) — a `Window.partitionBy(lang)` would
+    // put each language on one task, and the dominant language serializes
+    // the stage at 100 TB.
     GQuery(
       "q_curation_mix",
       s"""WITH
@@ -256,14 +259,13 @@ object Curation {
          |       CAST(max(doc_id) AS BIGINT) AS last_doc
          |FROM cum WHERE running <= $Budget
          |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val nt = docs(s, d)
         .select(col("doc_id"), col("lang"),
           size(tokens(col("text"))).cast("long").as("n_tokens"),
           coin(col("doc_id")).as("h"))
-      val w = Window.partitionBy("lang").orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      nt.withColumn("running", sum("n_tokens").over(w))
+      graft.operators.GroupedPrefixSum
+        .runningSum(nt, Seq("lang"), Seq(col("h"), col("doc_id")),
+          col("n_tokens"), "running")
         .filter(col("running") <= Budget)
         .groupBy("lang")
         .agg(count(lit(1)).as("docs_taken"),
@@ -301,14 +303,13 @@ object Curation {
          |       CAST((max(fin) + $SeqLen - 1) // $SeqLen * $SeqLen - max(fin)
          |            AS BIGINT) AS tail_waste
          |FROM cum GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val nt = docs(s, d)
         .select(col("doc_id"), col("lang"),
           size(tokens(col("text"))).cast("long").as("n_tokens"),
           coin(col("doc_id")).as("h"))
-      val w = Window.partitionBy("lang").orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      nt.withColumn("fin", sum("n_tokens").over(w))
+      graft.operators.GroupedPrefixSum
+        .runningSum(nt, Seq("lang"), Seq(col("h"), col("doc_id")),
+          col("n_tokens"), "fin")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("total_tokens"),

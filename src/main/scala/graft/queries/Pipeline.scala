@@ -32,7 +32,7 @@ object Pipeline {
 
   /** Same English stopword profile as TextAnalysis (the quality score's
     * vocabulary — mirrored literally in the oracle). */
-  private val En = Seq("the", "a", "and", "of", "to", "in", "is", "that")
+  private[queries] val En = Seq("the", "a", "and", "of", "to", "in", "is", "that")
 
   val queries: Seq[GQuery] = Seq(
 

@@ -37,7 +37,8 @@ object StreamQueries {
       val dupDir = new File(base, "events_dup")
       // marker written after ALL fixtures: checking the first directory's
       // _SUCCESS would latch a half-staged state if a run died mid-way
-      val marker = new File(base, "_STAGED")
+      // (v2: adds the documents fixture for the streaming curation gate)
+      val marker = new File(base, "_STAGED_v2")
       if (!marker.isFile) {
         val ev = Tables.load(s, sfDir, "events")
         ev.repartition(8).write.mode("overwrite").parquet(evDir.getPath)
@@ -47,10 +48,18 @@ object StreamQueries {
         // tiny fixture for the streaming-engine warmup pipeline
         ev.limit(1000).repartition(1).write.mode("overwrite")
           .parquet(new File(base, "events_mini").getPath)
+        Tables.load(s, sfDir, "documents").repartition(8)
+          .write.mode("overwrite").parquet(new File(base, "documents").getPath)
         marker.createNewFile()
       }
       (evDir.getPath, dupDir.getPath)
     }
+
+  private def docsDir(s: SparkSession, sfDir: String): String = {
+    stage(s, sfDir)
+    new File(new File(new File(sys.props("user.dir"), "target/graft-stream"),
+      new File(sfDir).getName), "documents").getPath
+  }
 
   private def readEvents(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(dir).schema
@@ -259,6 +268,60 @@ object StreamQueries {
           round(sum(col("value").cast("decimal(18,2)")), 4)
             .cast("double").as("total_value"))
         .orderBy("event_type")
+    },
+
+    // Streaming curation: the SAME redaction + quality-filter transform
+    // the batch pipeline runs (Curation.redact + the integer-space quality
+    // threshold), applied to a documents stream in append mode. Stateless
+    // map/filter — no watermark or state store — so the streaming output
+    // is row-identical to the batch oracle: the property that lets one
+    // curation codebase serve both the backfill and the live feed.
+    GQuery(
+      "q_stream_curate", {
+        val en = Pipeline.En.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH red AS (
+           |  SELECT doc_id, lang,
+           |         lower(regexp_replace(regexp_replace(regexp_replace(lower(text),
+           |           '${Curation.EmailRe}', '${Curation.Mask}', 'g'),
+           |           '${Curation.Ipv4Re}', '${Curation.Mask}', 'g'),
+           |           '${Curation.BlockRe}', '${Curation.Mask}', 'g')) AS t,
+           |         CAST(len(regexp_extract_all(lower(text), '${Curation.BlockRe}')) AS BIGINT) AS n_blocked
+           |  FROM documents),
+           |st AS (
+           |  SELECT doc_id, lang, n_blocked,
+           |         CAST(len(toks) AS BIGINT) AS nt,
+           |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sl,
+           |         CAST(len(list_filter(toks, x -> list_contains($en, x))) AS BIGINT) AS ns
+           |  FROM (SELECT doc_id, lang, n_blocked,
+           |          list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '') AS toks
+           |        FROM red) tr)
+           |SELECT doc_id, lang, n_blocked, nt AS n_tokens
+           |FROM st
+           |WHERE 2*nt*least(nt, 50) + 60*ns + 5*least(sl, 8*nt) >= 120*nt
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val dir = docsDir(s, d)
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema).parquet(dir)
+      val (_, _, nb, scrubbed) = Curation.redact(col("text"))
+      val en = typedLit(Pipeline.En)
+      val toks = filter(split(lower(col("t")), "\\s+"), x => x =!= "")
+      val curated = stream
+        .select(col("doc_id"), col("lang"), scrubbed.as("t"),
+          nb.as("n_blocked"))
+        .withColumn("toks", toks)
+        .withColumn("nt", size(col("toks")).cast("long"))
+        .withColumn("sl",
+          aggregate(transform(col("toks"), t => length(t)), lit(0),
+            (acc, x) => acc + x).cast("long"))
+        .withColumn("ns",
+          size(filter(col("toks"), t => array_contains(en, t))).cast("long"))
+        .filter(lit(2) * col("nt") * least(col("nt"), lit(50L)) +
+          lit(60) * col("ns") + lit(5) * least(col("sl"), lit(8) * col("nt")) >=
+          lit(120) * col("nt"))
+        .select(col("doc_id"), col("lang"), col("n_blocked"),
+          col("nt").as("n_tokens"))
+      drain(curated, "append").orderBy("doc_id")
     }
   )
 }

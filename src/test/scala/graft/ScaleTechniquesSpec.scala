@@ -86,4 +86,23 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(salted == plain)
     assert(salted.size == 1000)
   }
+
+  test("grouped two-pass prefix sum equals the per-group window, without its single-task shape") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.GroupedPrefixSum
+    import spark.implicits._
+    // skewed groups: one dominant group (the 100 TB failure mode for
+    // Window.partitionBy) plus several small ones
+    val rows = (1 to 2000).map(i => (if (i % 10 == 0) s"g${i % 4}" else "big",
+      i.toLong, (i % 13 + 1).toLong))
+    val df = rows.toDF("g", "id", "v").repartition(7)
+    val twoPass = GroupedPrefixSum
+      .runningSum(df, Seq("g"), Seq(col("id")), col("v"), "run")
+      .select("g", "id", "run").orderBy("g", "id").collect().toSeq
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("run", sum("v").over(w))
+      .select("g", "id", "run").orderBy("g", "id").collect().toSeq
+    assert(twoPass == naive)
+  }
 }
