@@ -223,6 +223,98 @@ object Dedup {
       connectedComponents(docs, lshPairs(s, d)).orderBy("doc_id")
     },
 
+    // Incremental ingestion dedup: a "daily batch" (doc_id ≡ 0 mod 5) is
+    // checked against the existing corpus WITHOUT enumerating any old×old
+    // pair — the operation a 100 TB corpus runs per ingest instead of
+    // re-deduping the world. Per new doc:
+    //   exact_dup  — md5 already present in the corpus;
+    //   near_dup   — signature agreement ≥ 0.5 with an old doc found by
+    //                probing the old side's LSH bucket index (cold buckets
+    //                only, ≤ CAP old members);
+    //   hot_bucket — landed in a bucket whose old population exceeds CAP:
+    //                an already-well-represented boilerplate family,
+    //                routed without pair enumeration;
+    //   ingest     — none of the above.
+    // In production the old-side bucket index and signatures are the
+    // persisted artifacts of previous ingests; here they are derived in
+    // the same plan from the corpus split.
+    GQuery(
+      "q_dedup_incremental",
+      s"""WITH
+         |${OracleFragments.minhashPerDoc},
+         |br AS (
+         |  SELECT doc_id, b,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+         |           (a,v) -> (a*31+v) % ${OracleFragments.P}) AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb),
+         |obr AS (SELECT * FROM br WHERE doc_id % 5 <> 0),
+         |nbr AS (SELECT * FROM br WHERE doc_id % 5 = 0),
+         |osz AS (SELECT b, bh, count(*) AS n FROM obr GROUP BY b, bh),
+         |hot AS (
+         |  SELECT DISTINCT n.doc_id FROM nbr n
+         |  JOIN osz z ON n.b = z.b AND n.bh = z.bh AND z.n > $CAP),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid FROM nbr n
+         |  JOIN osz z ON n.b = z.b AND n.bh = z.bh AND z.n <= $CAP
+         |  JOIN obr o ON o.b = n.b AND o.bh = n.bh),
+         |near AS (
+         |  SELECT DISTINCT c.nid AS doc_id FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.nid
+         |  JOIN sig sb ON sb.doc_id = c.oid
+         |  WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 >= 0.5),
+         |ex AS (
+         |  SELECT DISTINCT n.doc_id FROM documents n
+         |  JOIN documents o ON md5(n.text) = md5(o.text) AND o.doc_id % 5 <> 0
+         |  WHERE n.doc_id % 5 = 0)
+         |SELECT d.doc_id,
+         |       CAST(e.doc_id IS NOT NULL AS BIGINT) AS exact_dup,
+         |       CAST(nr.doc_id IS NOT NULL AS BIGINT) AS near_dup,
+         |       CAST(ht.doc_id IS NOT NULL AS BIGINT) AS hot_bucket,
+         |       CAST(e.doc_id IS NULL AND nr.doc_id IS NULL
+         |            AND ht.doc_id IS NULL AS BIGINT) AS ingest
+         |FROM documents d
+         |LEFT JOIN ex e ON e.doc_id = d.doc_id
+         |LEFT JOIN near nr ON nr.doc_id = d.doc_id
+         |LEFT JOIN hot ht ON ht.doc_id = d.doc_id
+         |WHERE d.doc_id % 5 = 0
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val isNew = col("doc_id") % 5 === 0
+      val sigs = signatures(s, docs).persist(StorageLevel.MEMORY_AND_DISK)
+      val bb = bandBuckets(sigs)
+      val obr = bb.filter(col("doc_id") % 5 =!= 0)
+      val nbr = bb.filter(col("doc_id") % 5 === 0)
+      // the old side's bucket index: per-bucket population (the persisted
+      // ingest artifact at scale)
+      val osz = obr.groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      val hot = nbr.join(osz.filter(col("n") > CAP), Seq("band", "bh"))
+        .select("doc_id").distinct()
+      val cand = nbr.join(osz.filter(col("n") <= CAP), Seq("band", "bh"))
+        .select(col("band"), col("bh"), col("doc_id").as("nid"))
+        .join(obr.toDF("oid", "band", "bh"), Seq("band", "bh"))
+        .select("nid", "oid").distinct()
+      val near = cand
+        .join(sigs.toDF("nid", "sig_a"), "nid")
+        .join(sigs.toDF("oid", "sig_b"), "oid")
+        .filter(size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), m => m)) / lit(K.toDouble) >= 0.5)
+        .select(col("nid").as("doc_id")).distinct()
+      val ex = docs.filter(isNew).select(col("doc_id"), md5(col("text")).as("h"))
+        .join(docs.filter(!isNew).select(md5(col("text")).as("h")).distinct(), Seq("h"))
+        .select("doc_id").distinct()
+      docs.filter(isNew).select("doc_id")
+        .join(ex.withColumn("e", lit(1L)), Seq("doc_id"), "left")
+        .join(near.withColumn("nr", lit(1L)), Seq("doc_id"), "left")
+        .join(hot.withColumn("ht", lit(1L)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("e"), lit(0L)).as("exact_dup"),
+          coalesce(col("nr"), lit(0L)).as("near_dup"),
+          coalesce(col("ht"), lit(0L)).as("hot_bucket"),
+          (col("e").isNull && col("nr").isNull && col("ht").isNull)
+            .cast("long").as("ingest"))
+        .orderBy("doc_id")
+    },
+
     GQuery(
       "q_simhash_values",
       OracleFragments.simhashValues) { (s, d) =>

@@ -58,4 +58,29 @@ class DedupSpec extends AnyFunSuite {
       Dedup.connectedComponents(nodes, pairs, maxIter = 1)
     }
   }
+
+  test("incremental dedup flags exact and near dups against the old corpus") {
+    import spark.implicits._
+    val q = Dedup.queries.find(_.name == "q_dedup_incremental").get
+    // old corpus: doc_id % 5 != 0; new batch: doc_id % 5 == 0.
+    // doc 5 copies old doc 1 (exact), doc 10 nearly copies old doc 2,
+    // doc 15 is fresh.
+    val oldBase = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearBase = "pack my box with five dozen liquor jugs for the long trip home now"
+    val dir = java.nio.file.Files.createTempDirectory("incdedup").toString
+    Seq(
+      (1L, oldBase, "en", "s", 1L),
+      (2L, nearBase, "en", "s", 1L),
+      (3L, "sphinx of black quartz judge my vow said the old night warden", "en", "s", 1L),
+      (5L, oldBase, "en", "s", 1L),
+      (10L, nearBase + " extra", "en", "s", 1L),
+      (15L, "completely fresh content with unique words qq ww ee rr tt yy uu ii", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(out(5L)._1 == 1L, "verbatim copy must flag exact_dup")
+    assert(out(10L)._2 == 1L, "near copy must flag near_dup")
+    assert(out(15L) == ((0L, 0L, 1L)), "fresh doc must ingest")
+  }
 }
