@@ -123,6 +123,16 @@ class PlanSpec extends AnyFunSuite {
       "corpus-side join must not shuffle into a sort-merge join")
   }
 
+  test("mixing/packing run the two-pass prefix sum, not a per-group window") {
+    for (name <- Seq("q_curation_mix", "q_curation_pack")) {
+      val f = formatted(name)
+      // the partition-local window keys on the physical partition id —
+      // a revert to Window.partitionBy(lang) loses the _pid column
+      assert(f.contains("_pid"), s"$name lost the two-pass shape:\n$f")
+      assert(!f.contains("Exchange SinglePartition"), s"$name:\n$f")
+    }
+  }
+
   test("decontamination scan evaluates the shingle-hash projection once per row") {
     // InferFiltersFromGenerate under a non-outer explode re-evaluates the
     // generator expression in a pre-Generate filter — 3× the hash stage
