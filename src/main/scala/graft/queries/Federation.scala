@@ -360,6 +360,31 @@ object Federation {
       // upsert: key 5 replaced, key 6 appended (Put semantics)
       eng.sql(s"UPSERT INTO $t VALUES (5, 'epsilon', 55, 5.5), (6, 'zeta', 60, 6.5)")
       s.table(t).orderBy("item_id")
+    },
+
+    // DDL lifecycle through the connector catalog: CTAS (create + write in
+    // the connector's own format) → ALTER TABLE ADD COLUMNS (sidecar-only
+    // schema evolution — old files read NULL for the new column, no data
+    // rewrite) → post-ALTER INSERT with the widened schema → RMW UPDATE
+    // filling the new column on a pre-ALTER row → final SELECT.
+    GQuery(
+      "q_ddl_lifecycle",
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'red', CAST(10 AS BIGINT), 'hot'),
+        |  (CAST(2 AS BIGINT), 'green', CAST(20 AS BIGINT), NULL),
+        |  (CAST(3 AS BIGINT), 'blue', CAST(30 AS BIGINT), 'cold'))
+        |       AS t(id, color, qty, note)
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      fed(s, d)
+      val t = s"$C.${FedData.SourceName}.ddl_items"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t USING json TBLPROPERTIES ('keys' = 'id') AS " +
+        "SELECT * FROM VALUES (CAST(1 AS BIGINT), 'red', CAST(10 AS BIGINT)), " +
+        "(CAST(2 AS BIGINT), 'green', CAST(20 AS BIGINT)) AS v(id, color, qty)")
+      s.sql(s"ALTER TABLE $t ADD COLUMNS (note STRING)")
+      s.sql(s"INSERT INTO $t VALUES (3, 'blue', 30, 'cold')")
+      new GraftEngine(s).sql(s"UPDATE $t SET note = 'hot' WHERE id = 1")
+      s.table(t).orderBy("id")
     }
   )
 }
