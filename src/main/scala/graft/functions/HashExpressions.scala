@@ -119,18 +119,35 @@ object HashFunctions {
   private val ensured = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
+  /** One builder per function name — shared by the per-session ensure()
+    * path and the SparkSessionExtensions deployment path. */
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "poly_hash" -> (a => PolyHash(str(a.head))),
+    "min_hash_sig" -> (a =>
+      MinHashSig(str(a.head), intArg(a(1), "min_hash_sig"), intArg(a(2), "min_hash_sig"))),
+    "sim_hash64" -> (a => SimHash64(str(a.head))),
+    "band_hash" -> (a =>
+      BandHash(a.head, intArg(a(1), "band_hash"), intArg(a(2), "band_hash"))),
+    "shingle_hashes" -> (a =>
+      ShingleHashes(str(a.head), intArg(a(1), "shingle_hashes"))))
+
   def ensure(spark: SparkSession): Unit = if (ensured.add(spark)) {
     val reg = spark.sessionState.functionRegistry
-    def add(name: String)(b: Seq[Expression] => Expression): Unit =
+    builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")
-    add("poly_hash")(a => PolyHash(str(a.head)))
-    add("min_hash_sig")(a =>
-      MinHashSig(str(a.head), intArg(a(1), "min_hash_sig"), intArg(a(2), "min_hash_sig")))
-    add("sim_hash64")(a => SimHash64(str(a.head)))
-    add("band_hash")(a =>
-      BandHash(a.head, intArg(a(1), "band_hash"), intArg(a(2), "band_hash")))
-    add("shingle_hashes")(a =>
-      ShingleHashes(str(a.head), intArg(a(1), "shingle_hashes")))
+    }
+  }
+
+  /** Build-time injection for `spark.sql.extensions=graft.GraftExtensions`:
+    * every session constructed with the extension has the functions from
+    * birth — no driver-side ensure() needed. */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name), b))
+    }
   }
 
   /** Builders self-register in the active session, so callers that skip

@@ -49,6 +49,15 @@ object VecFunctions {
       "vec_dot", a => VecDot(a.head, a(1)), "built-in")
   }
 
+  /** See [[graft.GraftExtensions]]. */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(getClass.getName, "vec_dot"),
+      a => VecDot(a.head, a(1))))
+  }
+
   def vec_dot(a: Column, b: Column): Column = {
     SparkSession.getActiveSession.foreach(ensure)
     call_function("vec_dot", a, b)
