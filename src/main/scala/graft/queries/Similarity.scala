@@ -254,6 +254,54 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // Retrieval-quality evaluation over the labeled corpus: label
+    // precision@k of brute-force cosine retrieval — the metric an
+    // embedding pipeline tracks to decide if a model/index change helped.
+    // Ten query vectors, k=10; prec = |top-k sharing the query's label|/k
+    // (a division of identical small integers — deterministic IEEE in
+    // both engines). Scale design: same as the brute-force baseline —
+    // queries broadcast, corpus never shuffles; the window runs over
+    // |queries|·|corpus| scored pairs pruned per-partition by the rank
+    // filter.
+    GQuery(
+      "q_ann_label_recall",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.label AS q_label,
+        |         c.label AS c_label, c.vec_id AS cand_id,
+        |         list_dot_product(q.v, c.v) /
+        |           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |ranked AS (
+        |  SELECT query_id, q_label, c_label,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, CAST(q_label AS BIGINT) AS label,
+        |       CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+        |       sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) / 10.0 AS prec_at_k
+        |FROM ranked WHERE rnk <= 10
+        |GROUP BY query_id, q_label
+        |ORDER BY query_id""".stripMargin) { (s, d) =>
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      val q = e.filter(col("vec_id") < 10).toDF("query_id", "qv", "q_label")
+      val c = e.toDF("cand_id", "cv", "c_label")
+      val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_label"), col("c_label"),
+          col("cand_id"), cosine(col("qv"), col("cv")).as("sim"))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
+        .filter(col("rnk") <= 10)
+        .groupBy("query_id", "q_label")
+        .agg(sum(when(col("c_label") === col("q_label"), 1L).otherwise(0L)).as("n_same"))
+        .select(col("query_id"), col("q_label").cast("long").as("label"),
+          col("n_same"), (col("n_same") / lit(10.0)).as("prec_at_k"))
+        .orderBy("query_id")
+    },
+
     // LSH-bucketed ANN: sign-random-projection buckets; candidates are
     // corpus vectors sharing the query's bucket — an equi-join on bucket
     // id instead of a cross join. Exact cosine re-scoring inside buckets.
