@@ -135,6 +135,75 @@ object Similarity {
   private val KC = 16
   private val NProbe = 4
 
+  /** DuckDB CTE chain ending in `ranked(query_id, cand_id, sim, rnk)` —
+    * the IVF retrieval pipeline, shared by the IVF gate and the recall
+    * evaluation gate. */
+  private val ivfOracleCtes =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KC),
+       |asn AS (
+       |  SELECT vec_id AS cand_id, v AS cv2, cid AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             list_dot_product(e.v, c.cv) /
+       |               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |             c.cid) AS rn
+       |    FROM e CROSS JOIN cent c) x WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid AS cell,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             list_dot_product(q.v, c.cv) /
+       |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |             c.cid) AS rn
+       |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 3) y WHERE rn <= $NProbe),
+       |scored AS (
+       |  SELECT p.query_id, a.cand_id,
+       |         list_dot_product(p.qv, a.cv2) /
+       |           (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.cv2, a.cv2))) AS sim
+       |  FROM probes p JOIN asn a ON a.cell = p.cell AND a.cand_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
+       |  FROM scored)""".stripMargin
+
+  /** IVF retrieval pipeline → (query_id, cand_id, sim, rnk) — shared by
+    * the IVF gate and the recall gate. Cell assignment is a pure
+    * projection (centroids are collected index metadata, like the
+    * typedLit hyperplanes); probes broadcast; the corpus never shuffles
+    * before the per-query ranking window. */
+  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val cents: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < KC)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+    // argmax over centroids as a projection: max (cosine, -cid) struct ⇒
+    // greatest cosine, smallest cid on ties — the oracle's
+    // ORDER BY sim DESC, cid picks the same centroid
+    def cellOf(v: Column): Column =
+      -greatest(cents.map { case (cid, cv) =>
+        struct(cosine(v, typedLit(cv)).as("cs"), lit(-cid).as("ncid"))
+      }: _*).getField("ncid")
+    val asn = e.select(col("vec_id").as("cand_id"), col("v").as("cv2"),
+      cellOf(col("v")).cast("long").as("cell"))
+    // probe the NProbe nearest cells per query (query set: tiny)
+    val cent = e.filter(col("vec_id") < KC).toDF("cid", "cv")
+    val probes = e.filter(col("vec_id") < 3).toDF("query_id", "qv")
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("cid"),
+        cosine(col("qv"), col("cv")).as("cs"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cs").desc, col("cid"))))
+      .filter(col("rn") <= NProbe)
+      .select(col("query_id"), col("qv"), col("cid").cast("long").as("cell"))
+    asn.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qv"), col("cv2")).as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
+  }
+
   val queries: Seq[GQuery] = Seq(
 
     // IVF-partitioned ANN (the builder-prompt "IVF variant as the scale
@@ -154,71 +223,61 @@ object Similarity {
     // exact IVF result — a value-exact gate, not a recall tolerance.
     GQuery(
       "q_ann_ivf",
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KC),
-         |asn AS (
-         |  SELECT vec_id AS cand_id, v AS cv2, cid AS cell FROM (
-         |    SELECT e.vec_id, e.v, c.cid,
-         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |             list_dot_product(e.v, c.cv) /
-         |               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-         |             c.cid) AS rn
-         |    FROM e CROSS JOIN cent c) x WHERE rn = 1),
-         |probes AS (
-         |  SELECT query_id, qv, cell FROM (
-         |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid AS cell,
-         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |             list_dot_product(q.v, c.cv) /
-         |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-         |             c.cid) AS rn
-         |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 3) y WHERE rn <= $NProbe),
-         |scored AS (
-         |  SELECT p.query_id, a.cand_id,
-         |         list_dot_product(p.qv, a.cv2) /
-         |           (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.cv2, a.cv2))) AS sim
-         |  FROM probes p JOIN asn a ON a.cell = p.cell AND a.cand_id <> p.query_id),
-         |ranked AS (
-         |  SELECT query_id, cand_id, sim,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
-         |  FROM scored)
+      s"""WITH $ivfOracleCtes
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, round(sim, 4) AS sim
          |FROM ranked WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
-      val e = vecs(s, d)
-      // KC centroid vectors: index metadata, collected once (like the
-      // typedLit hyperplanes above)
-      val cents: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < KC)
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-        .sortBy(_._1)
-      // argmax over centroids as a projection: max (cosine, -cid) struct ⇒
-      // greatest cosine, smallest cid on ties — the oracle's
-      // ORDER BY sim DESC, cid picks the same centroid
-      def cellOf(v: Column): Column =
-        -greatest(cents.map { case (cid, cv) =>
-          struct(cosine(v, typedLit(cv)).as("cs"), lit(-cid).as("ncid"))
-        }: _*).getField("ncid")
-      val asn = e.select(col("vec_id").as("cand_id"), col("v").as("cv2"),
-        cellOf(col("v")).cast("long").as("cell"))
-      // probe the NProbe nearest cells per query (query set: tiny)
-      val cent = e.filter(col("vec_id") < KC).toDF("cid", "cv")
-      val probes = e.filter(col("vec_id") < 3).toDF("query_id", "qv")
-        .crossJoin(broadcast(cent))
-        .select(col("query_id"), col("qv"), col("cid"),
-          cosine(col("qv"), col("cv")).as("cs"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("cs").desc, col("cid"))))
-        .filter(col("rn") <= NProbe)
-        .select(col("query_id"), col("qv"), col("cid").cast("long").as("cell"))
-      asn.join(broadcast(probes), Seq("cell"))
-        .filter(col("cand_id") =!= col("query_id"))
-        .select(col("query_id"), col("cand_id"),
-          cosine(col("qv"), col("cv2")).as("sim"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
+      ivfRanked(s, d)
         .filter(col("rnk") <= 5)
         .select(col("query_id"), col("rnk").cast("long").as("rnk"),
           col("cand_id"), round(col("sim"), 4).as("sim"))
         .orderBy("query_id", "rnk")
+    },
+
+    // IVF index recall@5 against exact brute force — THE metric an ANN
+    // index is tuned by (NProbe/KC trade recall for scan fraction).
+    // Both retrievals are deterministic, so recall is value-exact, not a
+    // tolerance check. Scale: the brute-force arm is the eval harness
+    // (same broadcast-queries shape); production reruns it on a sampled
+    // query set, never the full corpus.
+    GQuery(
+      "q_ann_ivf_recall",
+      s"""WITH $ivfOracleCtes,
+         |bscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         list_dot_product(q.v, c.v) /
+         |           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 3),
+         |branked AS (
+         |  SELECT query_id, cand_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM bscored),
+         |iv AS (SELECT query_id, cand_id FROM ranked WHERE rnk <= 5),
+         |bf AS (SELECT query_id, cand_id FROM branked WHERE rnk <= 5)
+         |SELECT b.query_id,
+         |       CAST(count(i.cand_id) AS BIGINT) AS n_hit,
+         |       count(i.cand_id) / 5.0 AS recall_at_k
+         |FROM bf b LEFT JOIN iv i USING (query_id, cand_id)
+         |GROUP BY b.query_id ORDER BY query_id""".stripMargin) { (s, d) =>
+      val iv = ivfRanked(s, d).filter(col("rnk") <= 5)
+        .select(col("query_id"), col("cand_id")).withColumn("hit", lit(1L))
+      val e = vecs(s, d)
+      val q = e.filter(col("vec_id") < 3).toDF("query_id", "qv")
+      val bf = e.toDF("cand_id", "cv")
+        .join(broadcast(q), col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          cosine(col("qv"), col("cv")).as("sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "cand_id")
+      bf.join(broadcast(iv), Seq("query_id", "cand_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hit"))
+        .select(col("query_id"), col("n_hit"),
+          (col("n_hit") / lit(5.0)).as("recall_at_k"))
+        .orderBy("query_id")
     },
 
     // Exact brute-force cosine top-k: 3 query vectors against the whole
