@@ -26,13 +26,14 @@ import graft.functions.HashFunctions
   * Scale design (100 TB):
   *   - redact / repetition / sample are embarrassingly parallel one-pass
   *     projections — no shuffle, all inside whole-stage codegen (builtin
-  *     regex + higher-order array functions; the per-token counts use a
-  *     distinct×occurrence HOF scan instead of an explode→groupBy shuffle,
-  *     bounded by document length);
+  *     regex + higher-order array functions; the top-token count is a
+  *     sorted-run fold, O(len·log len) per row, instead of an
+  *     explode→groupBy shuffle);
   *   - decontamination broadcasts the eval-set shingle index (eval sets
   *     are small by construction) so the corpus never shuffles;
-  *   - mixing needs a per-language prefix sum: one hash-range shuffle per
-  *     language partition, same two-pass shape as the global-rank window.
+  *   - mixing/packing need a per-language prefix sum: the grouped
+  *     two-pass shape ([[graft.operators.GroupedPrefixSum]]) so a
+  *     dominant language never lands on a single window task.
   */
 object Curation {
 
