@@ -80,7 +80,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("scan-heavy queries run inside whole-stage codegen") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
-    for (name <- Seq("q_scan_project", "q_filter_ops", "q1_agg")) {
+    for (name <- Seq("q_scan_project", "q_filter_ops", "q1_agg",
+        "q_curation_redact", "q_embed_quantize", "q_text_quality")) {
       // AQE finalizes stages (and codegen wrapping) only on execution —
       // and only for the QueryExecution the action ran on
       val df = SparkEntry.queries(name)(spark, sfDir)

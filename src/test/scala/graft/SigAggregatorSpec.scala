@@ -35,6 +35,24 @@ class SigAggregatorSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash union property: sig of a unigram-doc concatenation = elementwise min") {
+    // with 1-token shingles the concatenation's shingle SET is exactly the
+    // union of the two docs' shingle sets, so the signature of the union
+    // must equal the element-wise min of the signatures — the mathematical
+    // claim MinHashUnion's merge rests on
+    import graft.functions.TextHash
+    val rng = new scala.util.Random(42)
+    def doc(): String =
+      Seq.fill(rng.nextInt(20) + 1)("w" + rng.nextInt(50)).mkString(" ")
+    for (_ <- 1 to 50) {
+      val (a, b) = (doc(), doc())
+      val sa = TextHash.minHashSig(a, 64, 1)
+      val sb = TextHash.minHashSig(b, 64, 1)
+      val su = TextHash.minHashSig(a + " " + b, 64, 1)
+      assert(su.toSeq == sa.zip(sb).map { case (x, y) => math.min(x, y) }.toSeq)
+    }
+  }
+
   test("reduce tolerates short and null inputs") {
     val b = MinHashUnion.reduce(MinHashUnion.zero, null)
     assert(b.forall(_ == Long.MaxValue))
