@@ -117,7 +117,8 @@ object Dedup {
     * Throws if maxIter rounds do not converge — a silent exit would return
     * wrong clusters. */
   private[graft] def connectedComponents(
-      nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+      nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20,
+      localThreshold: Long = 1L << 20): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     // Size the loop's partitioning to the candidate-pair count, not the
@@ -128,6 +129,37 @@ object Dedup {
     // LSH computation feeding it never re-runs inside the loop.
     val pairsP = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairsP.count()
+    // Hybrid localization (the AQE idea applied to the CC loop): a pair
+    // list under the threshold (~16 MB at 1M pairs) is exact union-find
+    // on the driver — one job instead of ~6 stages × rounds. The
+    // distributed loop below is the scale path; the skew-guarded pair
+    // lists are O(corpus) so at 100 TB the threshold routes there.
+    if (nPairs <= localThreshold) {
+      val edges = pairsP
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .as[(Long, Long)].collect()
+      pairsP.unpersist(blocking = false)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+      }
+      // root = min member by construction (always link larger under smaller)
+      val labels = edges.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toSeq.distinct.map(d => (d, find(d)))
+      val connected = spark.createDataFrame(labels).toDF("doc_id", "cluster_id")
+      return nodes.select(col("doc_id").cast("long").as("doc_id"))
+        .join(broadcast(connected), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    }
     val nPart = math.max(2, math.min(spark.sparkContext.defaultParallelism,
       (nPairs / 50000L).toInt + 1))
     val part = new HashPartitioner(nPart)

@@ -55,8 +55,24 @@ class DedupSpec extends AnyFunSuite {
     val nodes = (0L to 8L).toDF("doc_id")
     val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     assertThrows[IllegalStateException] {
-      Dedup.connectedComponents(nodes, pairs, maxIter = 1)
+      // localThreshold = 0 forces the distributed loop (the local
+      // union-find short-circuit is exact and has no iteration cap)
+      Dedup.connectedComponents(nodes, pairs, maxIter = 1, localThreshold = 0)
     }
+  }
+
+  test("local and distributed connected components agree") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val pairs = Seq.fill(300)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter(p => p._1 != p._2).map(p => (p._1 min p._2, p._1 max p._2))
+      .distinct.toDF("doc_a", "doc_b")
+    val nodes = (0L until 130L).toDF("doc_id")
+    val local = Dedup.connectedComponents(nodes, pairs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dist = Dedup.connectedComponents(nodes, pairs, localThreshold = 0)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(local == dist)
   }
 
   test("incremental dedup flags exact and near dups against the old corpus") {
