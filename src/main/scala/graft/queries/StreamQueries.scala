@@ -223,6 +223,39 @@ object StreamQueries {
       drain(agg, "complete").orderBy("session_start", "user_id")
     },
 
+    // Append-mode session windows: a session row is emitted only when the
+    // watermark passes its END (last event + gap) and its merged state is
+    // evicted — the trickiest stateful path (session-state MERGE plus
+    // eviction), which the complete-mode gate above never exercises. The
+    // final no-data batch advances the watermark to max(ts) - delay; the
+    // oracle keeps exactly the sessions whose end clears that line.
+    GQuery(
+      "q_stream_sessions_append",
+      """WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+        |x AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER win IS NULL
+        |                OR ts - lag(ts) OVER win >= INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT min(ts) AS session_start, user_id,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_value
+        |FROM y, wm
+        |GROUP BY user_id, sid, wm.w
+        |HAVING max(ts) + INTERVAL '30 minutes' <= wm.w
+        |ORDER BY session_start, user_id""".stripMargin) { (s, d) =>
+      val (evDir, _) = stage(s, d)
+      val agg = Streams.sessionWindows(readEvents(s, evDir), "30 minutes", "10 minutes")
+      drain(agg, "append", noData = true).orderBy("session_start", "user_id")
+    },
+
     // Stream-stream interval join: click events joined to the same user's
     // follow-up events within 10 minutes, both sides watermarked so join
     // state stays bounded (see Streams.followWithin). Inner-join matches
