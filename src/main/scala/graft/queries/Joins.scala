@@ -251,6 +251,29 @@ object Joins {
         .asof(clicks, views, "user_id", "ts", "ts",
           rValues = Seq("event_id", "value"), tiebreak = "event_id")
         .orderBy("event_id")
+    },
+
+    // Salted skew join (operators.SkewJoin): the salt must be semantically
+    // invisible — the gate checks the salted fact⨝dim join aggregates to
+    // exactly the plain join's result, which is also the oracle. The salt
+    // spreads each hot supplier key across 8 reducers; the dim side is
+    // replicated 8× (the documented dimension-to-fact cost model).
+    GQuery(
+      "q_skew_join",
+      """SELECT s.s_nationkey, count(*) AS n_items,
+        |       CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 1) AS DOUBLE) AS total_qty
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_nationkey ORDER BY s.s_nationkey""".stripMargin) { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_quantity"))
+      val sup = Tables.load(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.SkewJoin.saltedJoin(li, sup, "l_suppkey", "l_orderkey", 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")), 1)
+            .cast("double").as("total_qty"))
+        .orderBy("s_nationkey")
     }
   )
 }
