@@ -275,6 +275,51 @@ object Curation {
         .orderBy("lang")
     },
 
+    // Provenance accounting: the per-source dashboard a curation run
+    // reports — volume, token mass, blocklist pressure, and the
+    // quality-keep rate per (source, lang) slice, all integer-space.
+    // One projection + a low-cardinality rollup; no other shuffle.
+    GQuery(
+      "q_curation_sources", {
+        val en = Pipeline.En.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH st AS (
+           |  SELECT source, lang,
+           |         CAST(len(toks) AS BIGINT) AS nt,
+           |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sl,
+           |         CAST(len(list_filter(toks, x -> list_contains($en, x))) AS BIGINT) AS ns,
+           |         CAST(len(regexp_extract_all(lower(text), '$BlockRe')) AS BIGINT) AS nb
+           |  FROM (SELECT source, lang, text,
+           |          list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+           |        FROM documents) d)
+           |SELECT source, lang,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(nt) AS BIGINT) AS total_tokens,
+           |       CAST(sum(nb) AS BIGINT) AS blocked_terms,
+           |       CAST(sum(CAST(2*nt*least(nt, 50) + 60*ns + 5*least(sl, 8*nt) >= 120*nt
+           |                AS BIGINT)) AS BIGINT) AS n_quality_kept
+           |FROM st GROUP BY source, lang ORDER BY source, lang""".stripMargin
+      }) { (s, d) =>
+      val en = typedLit(Pipeline.En)
+      val toks = tokens(col("text"))
+      docs(s, d)
+        .select(col("source"), col("lang"), toks.as("toks"),
+          regexp_count(lower(col("text")), lit(BlockRe)).cast("long").as("nb"))
+        .withColumn("nt", size(col("toks")).cast("long"))
+        .withColumn("sl",
+          aggregate(transform(col("toks"), t => length(t)), lit(0),
+            (acc, x) => acc + x).cast("long"))
+        .withColumn("ns",
+          size(filter(col("toks"), t => array_contains(en, t))).cast("long"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nt").as("total_tokens"),
+          sum("nb").as("blocked_terms"),
+          sum((lit(2) * col("nt") * least(col("nt"), lit(50L)) +
+            lit(60) * col("ns") + lit(5) * least(col("sl"), lit(8) * col("nt")) >=
+            lit(120) * col("nt")).cast("long")).as("n_quality_kept"))
+        .orderBy("source", "lang")
+    },
+
     // Sequence packing (concatenate-then-chunk): documents are laid out
     // per language in deterministic hash order and chunked into S-token
     // training sequences; a doc straddles a boundary when its [start,end)
