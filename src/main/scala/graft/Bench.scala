@@ -1,5 +1,9 @@
 package graft
 
+import java.lang.management.ManagementFactory
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line with per-query wall times.
@@ -10,13 +14,34 @@ import org.apache.spark.sql.SparkSession
   * evaluates every output column and row and discards them — the same work
   * a real write performs minus the I/O.
   *
+  * Per-query attribution: each timing row carries the GC milliseconds that
+  * accrued *during* its measured region (`gc_ms`) and the used heap right
+  * after (`heap_mb`), so a wall-time elevation with a matching GC spike is
+  * provably environmental (allocator pressure from the suite) rather than
+  * a plan regression. Between queries — outside the measured region — the
+  * harness clears the Spark cache and requests a full GC, so query N+1 does
+  * not start life paying for query N's garbage. The `queries` map is emitted
+  * sorted by DESCENDING time so that if the consumer truncates the line, the
+  * slow (interesting) queries survive; the full line is also written to
+  * `/root/repo/BENCH_FULL.json` as a truncation-proof copy.
+  *
   * Failures are recorded explicitly (`"errors"` map, value -1 in the
   * timing map) instead of silently contributing a fake timing row.
   */
 object Bench {
+  private def gcMillis: Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+  private def usedHeapMb: Long = {
+    val r = Runtime.getRuntime
+    (r.totalMemory - r.freeMemory) >> 20
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Inter-query System.gc() (outside the measured region) isolates each
+    // query from its predecessors' allocation debt; opt out with =0 to A/B.
+    val interQueryGc = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") == "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,15 +84,21 @@ object Bench {
     }
 
     var errors = List.empty[(String, String)]
+    var gcMs = List.empty[(String, Long)]
+    var heapMb = List.empty[(String, Long)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
+        gcMs ::= (name -> (gcMillis - gc0))
+        heapMb ::= (name -> usedHeapMb)
         // release frames the query persisted for its own multi-pass plan —
         // outside the measured region; without this, ~85 queries' caches
         // (corpus embeddings, shingle indexes) accumulate across the run
         spark.catalog.clearCache()
+        if (interQueryGc) System.gc()
         name -> dt
       } catch {
         case e: Throwable =>
@@ -81,13 +112,28 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    // descending by time: a truncated consumer keeps the slow queries
+    val qs = results.sortBy(-_._2).map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val gcJson = gcMs.sortBy(-_._2).map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val heapJson = heapMb.sortBy(-_._2).map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    // truncation-proof copy: the stdout line is captured by a consumer that
+    // has historically kept only a prefix; the file keeps every number
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_FULL.json: $e")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
