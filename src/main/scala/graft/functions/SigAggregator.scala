@@ -17,15 +17,18 @@ import org.apache.spark.sql.expressions.Aggregator
   * Jaccard similarity of the groups' full shingle unions.
   */
 object MinHashUnion extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
-  val K = 64
+  val K = TextHash.SigK
 
   def zero: Array[Long] = Array.fill(K)(Long.MaxValue)
 
   def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
     if (a != null) {
+      // a shorter/longer input is a producer bug (K drift), not data —
+      // fail loudly instead of MaxValue-padding the group signature
+      require(a.length == K,
+        s"MinHashUnion: signature length ${a.length} != K=$K")
       var i = 0
-      val n = math.min(K, a.length)
-      while (i < n) { if (a(i) < b(i)) b(i) = a(i); i += 1 }
+      while (i < K) { if (a(i) < b(i)) b(i) = a(i); i += 1 }
     }
     b
   }

@@ -32,6 +32,12 @@ object TextHash {
 
   val P: Long = 1000000007L
 
+  /** Canonical minhash signature length. Every producer (Dedup's LSH
+    * signatures, TextAnalysis's q_group_signature) and consumer
+    * (MinHashUnion's merge buffer) derives from this one constant so a
+    * length drift cannot silently truncate or MaxValue-pad a signature. */
+  val SigK: Int = 64
+
   def polyHash(s: String): Long = polyHashMult(s, 31L)
 
   def polyHashMult(s: String, mult: Long): Long = {

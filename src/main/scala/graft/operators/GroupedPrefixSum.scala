@@ -22,19 +22,36 @@ import org.apache.spark.storage.StorageLevel
   *
   * Requires the order columns to be unique per row within a group (the
   * usual tiebreaker contract) — uniqueness makes the result independent of
-  * partition boundaries. The input is persisted so both passes see the
-  * same sampled range bounds.
+  * partition boundaries. NULL group keys form one group, matching
+  * `Window.partitionBy` / SQL GROUP BY semantics (the offset join is
+  * null-safe).
+  *
+  * Cache lifecycle: the range-partitioned input must be persisted so pass 2
+  * sees the exact partition ids pass 1's subtotals were keyed by (a
+  * recomputation would re-sample the range bounds). To avoid leaking that
+  * corpus-sized cache for the rest of the session, the result is
+  * materialized eagerly (localCheckpoint cuts the lineage) and the input
+  * cache is released before returning; the checkpoint blocks themselves are
+  * freed by the ContextCleaner once the returned frame becomes unreachable.
+  * On a real cluster, point `sparkContext.setCheckpointDir` at reliable
+  * storage and swap `localCheckpoint` for `checkpoint` if executor loss
+  * during the downstream consumption must be survivable.
   */
 object GroupedPrefixSum {
 
   /** Adds `out` = running sum of `value` within `group` ordered by `order`
-    * (inclusive of the current row). Returns (result, unpersist handle). */
+    * (inclusive of the current row). Eager by default: the result is
+    * materialized before returning so the input cache can be released (see
+    * cache-lifecycle note above). `eager = false` returns the lazy plan —
+    * the caller owns unpersisting the input's cache entry (used by plan
+    * tests to assert the two-pass shape, which a checkpoint scan hides). */
   def runningSum(
       df: DataFrame,
       group: Seq[String],
       order: Seq[Column],
       value: Column,
-      out: String): DataFrame = {
+      out: String,
+      eager: Boolean = true): DataFrame = {
     val s = df.sparkSession
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val sortCols = group.map(col) ++ order
@@ -48,7 +65,11 @@ object GroupedPrefixSum {
       .agg(sum(col("_v")).as("_s"))
       .collect()
     val offsets: Seq[(Int, Seq[Any], Long)] = subs
-      .map(r => (r.getInt(0), group.indices.map(i => r.get(i + 1)), r.getLong(group.size + 1)))
+      .map { r =>
+        // an all-NULL value slice sums to NULL — contributes 0 to offsets
+        val sub = if (r.isNullAt(group.size + 1)) 0L else r.getLong(group.size + 1)
+        (r.getInt(0), group.indices.map(i => r.get(i + 1)), sub)
+      }
       .groupBy(_._2)
       .toSeq.flatMap { case (g, rows) =>
         var acc = 0L
@@ -58,20 +79,34 @@ object GroupedPrefixSum {
       }
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, IntegerType, StructField, StructType}
-    val groupFields = group.map(gn => df.schema(gn))
+    val groupFields = group.zipWithIndex.map { case (gn, i) =>
+      df.schema(gn).copy(name = s"_g$i")
+    }
     val offSchema = StructType(
-      StructField("_pid", IntegerType, nullable = false) +:
+      StructField("_opid", IntegerType, nullable = false) +:
         groupFields :+ StructField("_off", LongType, nullable = false))
     val offDf = s.createDataFrame(
       s.sparkContext.parallelize(
         offsets.map { case (pid, g, off) => Row.fromSeq(pid +: g :+ off) }, 1),
       offSchema)
-    // pass 2: partition-local running sum + the group's prefix offset
+    // pass 2: partition-local running sum + the group's prefix offset.
+    // Null-safe on the group keys so a NULL group joins its own offset
+    // instead of being dropped (plain equality would lose those rows).
+    val joinCond = group.zipWithIndex
+      .map { case (g, i) => col(g) <=> col(s"_g$i") }
+      .foldLeft(col("_pid") === col("_opid"))(_ && _)
     val wLocal = Window.partitionBy(("_pid" +: group).map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offDf), "_pid" +: group)
+    val result = ranged.join(broadcast(offDf), joinCond)
       .withColumn(out, col("_off") + sum(col("_v")).over(wLocal))
+      .drop("_opid" +: group.indices.map(i => s"_g$i"): _*)
       .drop("_pid", "_v", "_off")
+    if (!eager) result
+    else {
+      val materialized = result.localCheckpoint(true)
+      ranged.unpersist(false)
+      materialized
+    }
   }
 }

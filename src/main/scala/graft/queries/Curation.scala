@@ -38,13 +38,17 @@ import graft.functions.HashFunctions
 object Curation {
 
   /** Knuth multiplicative hash over doc_id, mod the shared TextHash prime —
-    * the deterministic sampling coin. Both engines compute it exactly in
-    * 64-bit integer space (doc_id · 2654435761 < 2^63 for doc_id < 2^31). */
+    * the deterministic sampling coin. doc_id is reduced mod P BEFORE the
+    * multiply, so the product stays < P·(KNUTH mod P) ≈ 6.5e17 < 2^63 for
+    * EVERY non-negative BIGINT doc_id — the same residue as the naive
+    * (doc_id · KNUTH) mod P (modular identity), but with no silent 64-bit
+    * wrap in Spark / BIGINT overflow error in DuckDB at large ids. */
   private val KNUTH = 2654435761L
   private val P = 1000000007L
+  private val KNUTHP = KNUTH % P
 
-  private def coin(c: Column): Column = (c * lit(KNUTH)) % lit(P) % lit(100)
-  private def coinSql(c: String): String = s"($c * $KNUTH) % $P % 100"
+  private def coin(c: Column): Column = (c % lit(P)) * lit(KNUTHP) % lit(P) % lit(100)
+  private def coinSql(c: String): String = s"((($c % $P) * $KNUTHP) % $P) % 100"
 
   /** Per-language sampling rates (percent) / token budgets for mixing. */
   private val Rates: Seq[(String, Int)] =

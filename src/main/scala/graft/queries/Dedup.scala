@@ -42,7 +42,7 @@ import graft.functions.HashFunctions
   */
 object Dedup {
 
-  private val K = 64       // minhash permutations
+  private val K = graft.functions.TextHash.SigK // minhash permutations
   private val B = 16       // LSH bands
   private val R = 4        // rows per band (K = B * R)
   private[queries] val CAP = 32     // hot-bucket cap (skew guard -> chain pairs)

@@ -230,7 +230,7 @@ object TextAnalysis {
       val mu = udaf(graft.functions.MinHashUnion)
       val sigs = docs(s, d)
         .select(col("lang"),
-          HashFunctions.min_hash_sig(col("text"), 64, 3).as("sig"))
+          HashFunctions.min_hash_sig(col("text"), graft.functions.TextHash.SigK, 3).as("sig"))
         .groupBy("lang").agg(mu(col("sig")).as("gs"))
       val en = sigs.filter(col("lang") === "en").select(col("gs").as("es"))
       sigs.crossJoin(broadcast(en))
@@ -239,7 +239,7 @@ object TextAnalysis {
           array_min(col("gs")).as("sig_min"),
           array_max(col("gs")).as("sig_max"),
           (size(filter(zip_with(col("gs"), col("es"), (a, b) => a === b),
-            x => x)) / lit(64.0)).as("est_j_en"))
+            x => x)) / lit(graft.functions.TextHash.SigK.toDouble)).as("est_j_en"))
         .orderBy("lang")
     }
   )

@@ -17,7 +17,10 @@ import graft.core.{GQuery, Tables}
   * the reconstruction error is reported in fixed point
   * (`floor(|x − q·scale|·10⁹)` summed as exact integers), so no
   * double-rounding can differ between engines. The per-vector scale is a
-  * single IEEE division of a bit-exact max — displayed raw.
+  * single IEEE division of a bit-exact max — displayed raw — clamped to
+  * 1e-30 (identically in both engines) so an all-zero embedding quantizes
+  * to all-zero instead of 0/0 = NaN, where the engines diverge (Spark
+  * CAST(NaN AS BIGINT) → NULL, DuckDB → error).
   *
   * Scale design (100 TB): embarrassingly parallel one-pass projection —
   * no shuffle except the presentation sort; all higher-order array
@@ -38,7 +41,7 @@ object VectorOps {
          |  FROM embeddings),
          |m AS (
          |  SELECT vec_id, v,
-         |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+         |         greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-30) AS scale
          |  FROM e),
          |q AS (
          |  SELECT vec_id, v, scale,
@@ -55,7 +58,9 @@ object VectorOps {
       Tables.load(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("scale",
-          array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+          greatest(
+            array_max(transform(col("v"), x => abs(x))) / lit(127.0),
+            lit(1e-30)))
         .withColumn("qv",
           transform(col("v"), x => floor(x / col("scale") + lit(0.5))))
         .select(col("vec_id"), col("scale"),

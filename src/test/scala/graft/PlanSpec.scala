@@ -125,12 +125,30 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("mixing/packing run the two-pass prefix sum, not a per-group window") {
+    // production mix/pack materialize the prefix sum through an eager
+    // checkpoint (cache-lifecycle contract) whose scan hides the inner
+    // plan — assert the shape on the lazy variant of the same builder
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_tokens"))
+    val lazyPlan = graft.operators.GroupedPrefixSum
+      .runningSum(docs, Seq("lang"), Seq(col("doc_id")), col("n_tokens"),
+        "running", eager = false)
+    val f = lazyPlan.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the partition-local window keys on the physical partition id —
+    // a revert to Window.partitionBy(lang) loses the _pid column
+    assert(f.contains("_pid"), s"prefix sum lost the two-pass shape:\n$f")
+    assert(!f.contains("Exchange SinglePartition"), f)
+    spark.sharedState.cacheManager.clearCache()
+    // and the production queries consume the checkpointed result: the
+    // final plans scan an RDD, with no per-group single-task window
     for (name <- Seq("q_curation_mix", "q_curation_pack")) {
-      val f = formatted(name)
-      // the partition-local window keys on the physical partition id —
-      // a revert to Window.partitionBy(lang) loses the _pid column
-      assert(f.contains("_pid"), s"$name lost the two-pass shape:\n$f")
-      assert(!f.contains("Exchange SinglePartition"), s"$name:\n$f")
+      val p = formatted(name)
+      assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+        s"$name no longer reads the eager prefix-sum checkpoint:\n$p")
+      assert(!p.contains("Exchange SinglePartition"), s"$name:\n$p")
     }
   }
 

@@ -53,10 +53,16 @@ class SigAggregatorSpec extends AnyFunSuite {
     }
   }
 
-  test("reduce tolerates short and null inputs") {
+  test("reduce tolerates null, rejects length drift") {
     val b = MinHashUnion.reduce(MinHashUnion.zero, null)
     assert(b.forall(_ == Long.MaxValue))
-    val b2 = MinHashUnion.reduce(MinHashUnion.zero, Seq(3L))
-    assert(b2(0) == 3L && b2(1) == Long.MaxValue)
+    // a wrong-length signature is a producer bug (K drift): fail loudly
+    // instead of silently MaxValue-padding the group signature
+    intercept[IllegalArgumentException] {
+      MinHashUnion.reduce(MinHashUnion.zero, Seq(3L))
+    }
+    val full = Seq.tabulate(MinHashUnion.K)(_.toLong)
+    val b2 = MinHashUnion.reduce(MinHashUnion.zero, full)
+    assert(b2.toSeq == full)
   }
 }
