@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join `left(key) = right(key)` with salting.
+    *
+    * The replicated right side carries a SHUFFLE_HASH hint: the operator
+    * exists precisely for the broadcast-ineligible case, so the plan must
+    * be a shuffled hash join on (key, salt) — hash, not sort-merge,
+    * because sorting the hot partitions is the very cost salting is
+    * spreading, and the ×saltFactor dim side is still the smaller build
+    * side. The hint also keeps small-data tests on the production plan
+    * instead of silently broadcasting the dim.
+    *
     * @param saltBy unique left column whose hash spreads the salt */
   def saltedJoin(
       left: DataFrame, right: DataFrame, key: String,
@@ -29,6 +38,6 @@ object SkewJoin {
     val l = left.withColumn("_salt", pmod(hash(col(saltBy)), lit(saltFactor)))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    l.join(r, Seq(key, "_salt")).drop("_salt")
+    l.join(r.hint("shuffle_hash"), Seq(key, "_salt")).drop("_salt")
   }
 }

@@ -152,6 +152,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_skew_join: salted path is a shuffled hash join on (key, salt), no broadcast") {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val p = plan("q_skew_join")
+    // the operator targets the broadcast-ineligible case: the dim side
+    // must shuffle-hash-join on (key, salt), never broadcast — a revert
+    // to broadcast would make the gate prove nothing about skew handling
+    val shj = collectAll(p) { case j: ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty, s"no shuffled hash join:\n$p")
+    assert(shj.head.leftKeys.mkString(",").contains("_salt"),
+      s"join keys lost the salt: ${shj.head.leftKeys.mkString(",")}")
+    val bcast = collectAll(p) { case b: BroadcastExchangeExec => b }
+    assert(bcast.isEmpty, s"dim side broadcast despite salting:\n$p")
+  }
+
   test("decontamination scan evaluates the shingle-hash projection once per row") {
     // InferFiltersFromGenerate under a non-outer explode re-evaluates the
     // generator expression in a pre-Generate filter — 3× the hash stage
