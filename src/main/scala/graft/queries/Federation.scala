@@ -362,6 +362,40 @@ object Federation {
       s.table(t).orderBy("item_id")
     },
 
+    // Writes through the keys (Cassandra) profile (reference: prepared
+    // upserts sql_to_cql.go:246-361, delete-by-key :368-394): the DML
+    // lifecycle on the kv source, whose accept-list constrains DELETE
+    // WHERE to key equality/IN — exactly the reference's constraint that
+    // a Cassandra delete names its partition key. Each INSERT commit
+    // merges per-file [min,max] key ranges into the sidecar, so the final
+    // get-by-key read proves pruning metadata stays correct post-write
+    // (plan-asserted in FileSourceSpec alongside the refused range delete).
+    GQuery(
+      "q_dml_keys",
+      """SELECT * FROM (VALUES
+        |  (CAST(2 AS BIGINT), 'beta', CAST(20 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'gamma', CAST(33 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'delta', CAST(40 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), 'zeta', CAST(60 AS BIGINT)))
+        |       AS t(k, name, qty)
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      fed(s, d)
+      val eng = new GraftEngine(s)
+      val t = s"$C.${FedData.KvSourceName}.dml_kv"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (k BIGINT, name STRING, qty BIGINT) " +
+        "TBLPROPERTIES ('keys' = 'k')")
+      s.sql(s"INSERT INTO $t VALUES (1, 'alpha', 10), (2, 'beta', 20)")
+      s.sql(s"INSERT INTO $t VALUES (3, 'gamma', 30), (4, 'delta', 40)")
+      // delete by key — the only WHERE shape this profile accepts
+      s.sql(s"DELETE FROM $t WHERE k = 1")
+      // upsert: key 3 replaced, key 6 appended (Put semantics)
+      eng.sql(s"UPSERT INTO $t VALUES (3, 'gamma', 33), (6, 'zeta', 60)")
+      // final read is a get-by-key IN — exercises the key-range file
+      // pruning over files written and rewritten by this very lifecycle
+      s.table(t).filter(col("k").isin(2, 3, 4, 6)).orderBy("k")
+    },
+
     // DDL lifecycle through the connector catalog: CTAS (create + write in
     // the connector's own format) → ALTER TABLE ADD COLUMNS (sidecar-only
     // schema evolution — old files read NULL for the new column, no data

@@ -129,6 +129,34 @@ class FileSourceSpec extends AnyFunSuite {
     assert(scanOf(contains).description().contains("PushedFilters: []"))
   }
 
+  test("keys-profile writes: commit tracks key ranges; range delete refused") {
+    FedData.ensure(spark, sfDir)
+    val t = "graft.kv.dml_kv_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING) TBLPROPERTIES ('keys' = 'k')")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $t VALUES (10, 'c'), (20, 'd')")
+    // each commit merged its file's [min,max] key range into the sidecar:
+    // a key equality prunes to the single covering file
+    // (VALUES writes one file per input partition — 4 files total)
+    val one = spark.table(t).filter(col("k") === 20)
+    val d1 = scanOf(one).description()
+    assert("files=1/\\d+ key-pruned".r.findFirstIn(d1).isDefined, d1)
+    assert(one.count() == 1)
+    // the keys profile refuses a range delete, like the reference's
+    // Cassandra backend (delete must name its keys, sql_to_cql.go:376-394)
+    intercept[Exception] { spark.sql(s"DELETE FROM $t WHERE k > 5") }
+    assert(spark.table(t).count() == 4)
+    // delete-by-key rewrites the covering file; the leftover superset
+    // range is conservative (prunes less, never wrong)
+    spark.sql(s"DELETE FROM $t WHERE k IN (1)")
+    val after = spark.table(t).filter(col("k") === 2)
+    assert(scanOf(after).description().contains("key-pruned"))
+    assert(after.count() == 1)
+    assert(spark.table(t).count() == 3)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("golden plan: aggregates are pushed as per-file partials") {
     val df = fedTable("customer_json")
       .filter(col("c_acctbal") > 0.0)
