@@ -58,6 +58,29 @@ object RestEndpoints {
   def drop(source: String, table: String): Boolean =
     endpoints.remove((source, table.toLowerCase)).isDefined
 
+  /** Runtime schema inference by sampling the live endpoint (reference:
+    * the Mongo backend guesses a table's schema from N sampled documents,
+    * backends/mongo/mgo_source.go:269-311): pull up to `sampleN` rows
+    * through the handler (shipping the limit as an API param, like any
+    * scan) and promote the sampled shapes through the same widen lattice
+    * as cross-file inference (JsonCodec.inferSchema → LineCodec
+    * inferColumn) — a `42` in one document and a `4.2` in another surface
+    * as one double column; a field present in only some documents is
+    * nullable; mixed scalars fall back to string. */
+  def registerSampled(
+      source: String, table: String, params: Set[String],
+      handler: Map[String, String] => Iterator[String],
+      sampleN: Int = 64): RestEndpoint = {
+    val sample = handler(Map("limit" -> sampleN.toString)).take(sampleN).toSeq
+    require(sample.nonEmpty,
+      s"cannot infer schema: endpoint $source/$table returned no documents")
+    val schema = JsonCodec.inferSchema(new java.io.BufferedReader(
+      new java.io.StringReader(sample.mkString("\n"))))
+    val e = RestEndpoint(source, table, schema, params.map(_.toLowerCase), handler)
+    register(e)
+    e
+  }
+
   /** Stub endpoint over in-memory documents: applies equality params with
     * the declared column types, honors an integer `limit` param, and
     * renders JSON lines — the behavior of a filtered REST listing API

@@ -157,6 +157,35 @@ class FileSourceSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("REST endpoint schema is inferred by sampling through the widen lattice") {
+    FedData.ensure(spark, sfDir)
+    // a live endpoint with NO declared schema: documents disagree on
+    // `score`'s type (int vs float) and on which fields are present
+    val lines = Seq(
+      """{"id": 1, "score": 42, "tag": "a"}""",
+      """{"id": 2, "score": 4.5}""",
+      """{"id": 3, "score": 7, "tag": "c"}""")
+    val handler: Map[String, String] => Iterator[String] = { q =>
+      val lim = q.get("limit").map(_.toInt).getOrElse(Int.MaxValue)
+      lines.iterator.take(lim)
+    }
+    RestEndpoints.registerSampled(
+      FedData.RestSourceName, "sampled_api", Set.empty, handler)
+    val df = spark.table(s"graft.${FedData.RestSourceName}.sampled_api")
+    // 42 + 4.5 widen to one double column; `tag` (absent in doc 2) is a
+    // nullable string — the reference's sample-based type promotion
+    assert(df.schema("id").dataType == LongType, df.schema.treeString)
+    assert(df.schema("score").dataType == DoubleType, df.schema.treeString)
+    assert(df.schema("tag").dataType == StringType, df.schema.treeString)
+    val rows = df.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSeq
+    assert(rows == Seq((1L, 42.0, Some("a")), (2L, 4.5, None), (3L, 7.0, Some("c"))))
+    // no declared params: every predicate is declined and polyfilled
+    val filtered = df.filter(col("score") > 5.0)
+    assert(filtered.count() == 2)
+    RestEndpoints.drop(FedData.RestSourceName, "sampled_api")
+  }
+
   test("golden plan: aggregates are pushed as per-file partials") {
     val df = fedTable("customer_json")
       .filter(col("c_acctbal") > 0.0)
