@@ -11,12 +11,16 @@ import graft.functions.TextHash
   * batch iteration with a fixed batch size, so a real decoder amortizes
   * model/codec setup across a batch instead of paying it per row).
   *
-  * The decode itself is a clearly-marked DETERMINISTIC STUB — this
-  * container has no image/audio codecs — but everything around it is the
-  * real engineering surface: schema (typed case classes + Encoders),
-  * partition preservation (narrow mapPartitions, no shuffle), batch shape,
-  * null-payload handling, and a value-level oracle (the stub's arithmetic
-  * is the cross-engine TextHash fold, so DuckDB reproduces it exactly).
+  * Image payloads decode FOR REAL through the JDK's ImageIO
+  * (PNG/BMP/GIF/JPEG — [[imageDecode]]): true dimensions from the
+  * container, per-channel pixel means as features. Payloads with no image
+  * signature (and audio/video, for which this container has no codecs)
+  * take a clearly-marked DETERMINISTIC STUB whose arithmetic is the
+  * cross-engine TextHash fold, so DuckDB reproduces it exactly and the
+  * driver gate stays a value-level oracle. Everything around the decode is
+  * the real engineering surface either way: schema (typed case classes +
+  * Encoders), partition preservation (narrow mapPartitions, no shuffle),
+  * batch shape, null-payload handling.
   *
   * Scale design (100 TB of media): decode/feature-extract are one-pass
   * narrow transforms — parallelism is inherited from the scan; batches
@@ -59,6 +63,49 @@ object Multimodal {
   def stubFeatures(h: Long): Array[Double] =
     Array.tabulate(FeatureDim)(j => ((h >> (8 * j)) & 255).toDouble / 256.0)
 
+  /** True iff the payload starts with a container signature the JDK's
+    * ImageIO ships readers for (PNG/BMP/GIF/JPEG) — the cheap sniff that
+    * keeps non-image payloads off the ImageIO reader-registry path. */
+  def looksLikeImage(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 'B' && b(1) == 'M') ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+        (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte))
+
+  /** REAL decode via the JDK's ImageIO (PNG/BMP/GIF/JPEG readers ship in
+    * the JDK — no external codecs needed): container headers give the
+    * true dimensions; the feature vector is the per-channel pixel mean
+    * (A,R,G,B) in [0,1], computed from exact integer sums over the ARGB
+    * raster so the values are deterministic across runs and partitions.
+    * A payload ImageIO cannot parse falls back to the deterministic stub,
+    * so non-image media keep their cross-engine value oracle. */
+  def imageDecode(m: MediaRow): DecodedMedia = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      catch { case _: Exception => null }
+    if (img == null) stubDecode(m)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sa = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y) // ARGB, color-model-normalized
+          sa += (p >>> 24) & 255; sr += (p >> 16) & 255
+          sg += (p >> 8) & 255; sb += p & 255
+          x += 1
+        }
+        y += 1
+      }
+      val n = 255.0 * (w.toLong * h)
+      DecodedMedia(m.media_id, m.kind, w, h, 1,
+        Array(sa / n, sr / n, sg / n, sb / n))
+    }
+  }
+
   /** Wrap a documents frame as a media table: the text payload stands in
     * for image/video bytes (same opaque-binary plumbing, deterministic). */
   def fromDocuments(docs: DataFrame, kind: String = "image"): Dataset[MediaRow] = {
@@ -79,10 +126,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
-        // real impl: one vectorized decoder call over `batch` here
+        // payloads with a real image signature go through ImageIO (true
+        // pixel decode); everything else keeps the oracle-backed stub
         batch.iterator
           .filter(m => m.payload != null && m.payload.nonEmpty)
-          .map(stubDecode)
+          .map(m => if (looksLikeImage(m.payload)) imageDecode(m) else stubDecode(m))
       }
     }
   }

@@ -39,6 +39,43 @@ class MultimodalSpec extends AnyFunSuite {
       a.width == b.width && a.features.sameElements(b.features) })
   }
 
+  test("real PNG/BMP payloads decode through ImageIO with exact pixel means") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // an 8×6 image with known pixels: left half solid red, right half
+    // solid blue → channel means are exactly computable
+    val img = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xFF0000 else 0x0000FF)
+    def bytes(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = bytes("png")
+    val bmp = bytes("bmp")
+    assert(Multimodal.looksLikeImage(png) && Multimodal.looksLikeImage(bmp))
+    val ds = Seq(
+      MediaRow(1L, "image", "image/png", png),
+      MediaRow(2L, "image", "image/bmp", bmp),
+      MediaRow(3L, "image", "image/png", "not an image".getBytes("UTF-8")))
+      .toDS()
+    val rows = Multimodal.decode(ds).collect().sortBy(_.media_id).toSeq
+    // real containers: true dimensions and exact channel means
+    for (r <- rows.take(2)) {
+      assert(r.width == 8 && r.height == 6 && r.n_frames == 1, r)
+      val Array(a, red, g, b) = r.features
+      assert(a == 1.0, s"alpha mean $a")          // opaque
+      assert(red == 0.5 && b == 0.5 && g == 0.0,  // half red, half blue
+        s"channel means ${r.features.mkString(",")}")
+    }
+    // a payload without an image signature keeps the stub's oracle values
+    val stub = Multimodal.stubDecode(
+      MediaRow(3L, "image", "image/png", "not an image".getBytes("UTF-8")))
+    assert(rows(2).width == stub.width && rows(2).height == stub.height &&
+      rows(2).features.sameElements(stub.features))
+  }
+
   test("decode is a narrow transform (partitioning preserved, no shuffle)") {
     val ds = media(100)
     val out = Multimodal.decode(ds)
