@@ -122,8 +122,9 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // truncation-proof copy: the stdout line is captured by a consumer that
     // has historically kept only a prefix; the file keeps every number
