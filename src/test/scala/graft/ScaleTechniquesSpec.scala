@@ -105,4 +105,43 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .select("g", "id", "run").orderBy("g", "id").collect().toSeq
     assert(twoPass == naive)
   }
+
+  test("CC loop survives losing every cached block mid-run (lineage-backed persist)") {
+    import spark.implicits._
+    // a chain (converges slowly — multiple label-propagation rounds), a
+    // triangle, and implicit singletons from the node frame
+    val chain = (0L until 10L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pairs = (chain ++ tri).toDF("doc_a", "doc_b")
+    val nodes = ((0L until 10L) ++ Seq(100L, 101L, 102L) ++ Seq(500L, 501L))
+      .toDF("doc_id")
+    val expected =
+      ((0L until 10L).map(_ -> 0L) ++ Seq(100L, 101L, 102L).map(_ -> 100L) ++
+        Seq(500L -> 500L, 501L -> 501L)).sortBy(_._1)
+    // executor loss == cached blocks vanish: drop EVERY persisted block
+    // once several stages into the loop; lineage must recompute the lost
+    // rounds instead of failing or corrupting labels
+    @volatile var dropped = false
+    var stages = 0
+    val saboteur = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages += 1
+        if (stages == 8 && !dropped) {
+          dropped = true
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(saboteur)
+    try {
+      // localThreshold=0 forces the distributed RDD loop (the scale path)
+      val got = graft.queries.Dedup
+        .connectedComponents(nodes, pairs, maxIter = 20, localThreshold = 0L)
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(dropped, s"saboteur never fired (only $stages stages) — test proved nothing")
+      assert(got == expected, s"labels corrupted after block loss: $got")
+    } finally spark.sparkContext.removeSparkListener(saboteur)
+  }
 }
