@@ -50,6 +50,16 @@ object Curation {
   private def coin(c: Column): Column = (c % lit(P)) * lit(KNUTHP) % lit(P) % lit(100)
   private def coinSql(c: String): String = s"((($c % $P) * $KNUTHP) % $P) % 100"
 
+  /** Full-range coin (no % 100): the deterministic per-document ordering
+    * key for hash-order selection (ties broken by doc_id). */
+  private def coinFull(c: Column): Column = (c % lit(P)) * lit(KNUTHP) % lit(P)
+  private def coinFullSql(c: String): String = s"((($c % $P) * $KNUTHP) % $P)"
+
+  /** Chunking geometry: ChunkW-token windows every ChunkS tokens. */
+  private val ChunkW = 64L
+  private val ChunkS = 48L
+  private val DomainCap = 10
+
   /** Per-language sampling rates (percent) / token budgets for mixing. */
   private val Rates: Seq[(String, Int)] =
     Seq("de" -> 30, "en" -> 50, "es" -> 20, "fr" -> 10, "zh" -> 25)
@@ -463,6 +473,70 @@ object Curation {
           sum("n_blocked").as("masked_terms"),
           sum("nt").as("total_tokens"))
         .orderBy("lang")
+    },
+
+    // RAG/context-window chunking: each document's token stream is cut
+    // into windows of ChunkW tokens with stride ChunkS (ChunkW-ChunkS
+    // overlap), the standard retrieval/packing prep. Value-exact oracle:
+    // chunk counts, sizes and the md5 of every chunk's joined text.
+    //
+    // Scale: one narrow pass — tokenize, compute the chunk count in
+    // integer space, explode the start indices, slice; no shuffle except
+    // the presentation sort. An empty document yields no chunks.
+    GQuery(
+      "q_chunk_overlap",
+      s"""WITH
+         |${OracleFragments.tok},
+         |c AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         |         CASE WHEN len(toks) = 0 THEN 0
+         |              ELSE (greatest(CAST(len(toks) AS BIGINT) - $ChunkW, 0)
+         |                    + ${ChunkS - 1}) // $ChunkS + 1 END AS nc
+         |  FROM tok),
+         |e AS (
+         |  SELECT c.doc_id, u.ci,
+         |         c.toks[CAST(u.ci*$ChunkS+1 AS BIGINT):CAST(u.ci*$ChunkS+$ChunkW AS BIGINT)] AS chunk
+         |  FROM c, LATERAL (SELECT unnest(range(0, c.nc)) AS ci) u)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+         |       CAST(len(chunk) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM e ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("nc", expr(
+          s"CASE WHEN size(toks) = 0 THEN 0L ELSE " +
+            s"(greatest(CAST(size(toks) AS BIGINT) - $ChunkW, 0L) + ${ChunkS - 1}) " +
+            s"DIV $ChunkS + 1 END"))
+        .withColumn("ci",
+          explode(when(col("nc") > 0, expr("sequence(0L, nc - 1)"))
+            .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))))
+        .withColumn("chunk",
+          expr(s"slice(toks, CAST(ci*$ChunkS+1 AS INT), $ChunkW)"))
+        .select(col("doc_id"), col("ci").cast("long").as("chunk_id"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Per-domain cap (crawl-domination guard): keep at most DomainCap
+    // documents per source, chosen in deterministic hash order — the
+    // two-phase GroupedTopN so the dominant domain never lands on one
+    // task (see operators.GroupedTopN). Oracle states the same cap as a
+    // plain per-group row_number.
+    GQuery(
+      "q_curation_domain_cap",
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY ${coinFullSql("doc_id")}, doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, source FROM r WHERE rn <= $DomainCap
+         |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      graft.operators.GroupedTopN
+        .topN(docs(s, d), Seq("source"),
+          Seq(coinFull(col("doc_id")), col("doc_id")), DomainCap)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
     }
   )
 }

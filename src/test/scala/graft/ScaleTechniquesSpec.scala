@@ -106,6 +106,22 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(twoPass == naive)
   }
 
+  test("grouped top-N equals the per-group window cap, without its single-task shape") {
+    import graft.operators.GroupedTopN
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // dominant group + small groups, unique tiebreaker (id)
+    val rows = (1 to 2000).map(i => (if (i % 10 == 0) s"g${i % 4}" else "big", i.toLong))
+    val df = rows.toDF("g", "id").repartition(7)
+    val twoPhase = GroupedTopN.topN(df, Seq("g"), Seq(col("id").desc), 15)
+      .select("g", "id").orderBy("g", "id").collect().toSeq
+    val w = Window.partitionBy("g").orderBy(col("id").desc)
+    val naive = df.withColumn("r", row_number().over(w)).filter(col("r") <= 15)
+      .select("g", "id").orderBy("g", "id").collect().toSeq
+    assert(twoPhase == naive)
+    assert(twoPhase.count(_.getString(0) == "big") == 15)
+  }
+
   test("CC loop survives losing every cached block mid-run (lineage-backed persist)") {
     import spark.implicits._
     // a chain (converges slowly — multiple label-propagation rounds), a
