@@ -303,6 +303,64 @@ object StreamQueries {
         .orderBy("event_type")
     },
 
+    // Bounded-state streaming dedup (dropDuplicatesWithinWatermark): same
+    // replay fixture and oracle as q_stream_dedup, but the state store
+    // EVICTS ids as the watermark passes them — the production dedup for
+    // infinite key domains, where plain dropDuplicates would grow state
+    // forever. Replays carry the original event's timestamp, so they
+    // dedup deterministically at a short horizon while state stays
+    // O(events inside 30 minutes).
+    GQuery(
+      "q_stream_dedup_bounded",
+      """SELECT event_type, count(*) AS n,
+        |       CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val (_, dupDir) = stage(s, d)
+      val deduped = Streams.dedupEventsBounded(readEvents(s, dupDir), "30 minutes")
+      drain(deduped, "append")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"),
+          round(sum(col("value").cast("decimal(18,2)")), 4)
+            .cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+
+    // Streaming ingest THROUGH the connector: foreachBatch appends each
+    // micro-batch to a graft catalog table via the DSv2 write path (task
+    // temp files + driver-rename commit per batch), then the gate reads
+    // the table back through the connector — the readStream → transform →
+    // durable-sink shape of a production ingest, with the engine's own
+    // table as the sink instead of the memory stand-in.
+    GQuery(
+      "q_stream_ingest",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val (evDir, _) = stage(s, d)
+      graft.sources.FedData.ensure(s, d)
+      val t = "graft.fed.stream_ingest"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (event_id BIGINT, event_type STRING, value DOUBLE)")
+      val q = readEvents(s, evDir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.writeTo(t).append()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(t)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,2)")), 4)
+            .cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+
     // Streaming curation: the SAME redaction + quality-filter transform
     // the batch pipeline runs (Curation.redact + the integer-space quality
     // threshold), applied to a documents stream in append mode. Stateless

@@ -67,14 +67,28 @@ object Streams {
   def enrichWithDim(events: DataFrame, dim: DataFrame, joinExpr: Column): DataFrame =
     events.join(broadcast(dim), joinExpr)
 
-  /** Exact streaming dedup on event_id inside the watermark horizon:
-    * first occurrence wins, replays/retries within the delay are dropped.
-    * Built on dropDuplicates + watermark so Spark evicts ids older than
-    * the horizon (unbounded exact dedup would grow state forever). */
+  /** Exact streaming dedup on event_id: first occurrence wins, replays
+    * are dropped. NOTE: with the watermark column absent from the dedup
+    * keys, dropDuplicates state is NEVER evicted — fine for a bounded key
+    * domain (a replay horizon of ids), wrong for an infinite stream; use
+    * [[dedupEventsBounded]] there. */
   def dedupEvents(events: DataFrame, watermarkDelay: String): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates("event_id")
+
+  /** Watermark-BOUNDED streaming dedup (`dropDuplicatesWithinWatermark`):
+    * key state is evicted once the watermark passes its event time, so an
+    * infinite key domain runs at O(events inside the horizon) state — the
+    * production shape for at-least-once sources (kafka retries land
+    * within seconds of the original). Records whose event times fall
+    * within the delay of each other are guaranteed deduplicated; replays
+    * carrying the ORIGINAL event's timestamp (retries do) dedup at any
+    * delay, which is what makes the gate batch-reproducible. */
+  def dedupEventsBounded(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Gap-based session windows per user: consecutive events closer than
     * `gap` merge into one session (native `session_window` state merge;
