@@ -58,37 +58,62 @@ object Clustering {
       .drop("dists")
   }
 
-  /** Exact per-cluster component sums → K×D metadata rows → new means. */
-  private def update(assigned: DataFrame): Centroids = {
+  /** Exact per-cluster component sums → K×D metadata rows → new means.
+    * A cluster that lost every member keeps its previous centroid (the
+    * standard empty-cluster rule; the oracle's COALESCE mirrors it). */
+  private def update(assigned: DataFrame, prev: Centroids): Centroids = {
     val rows = assigned
       .select(col("cl"), posexplode(col("x")))
       .groupBy("cl", "pos")
       .agg(sum("col").as("s"), count(lit(1)).as("n"))
       .collect() // K·D rows — driver metadata, like the IVF centroids
     val byCl = rows.groupBy(_.getLong(0))
-    require(byCl.size == KC,
-      s"k-means cluster emptied (${byCl.size}/$KC survive) — reseed or lower K")
-    byCl.map { case (cl, rs) =>
-      val m = new Array[Double](Dim)
-      rs.foreach(r => m(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3).toDouble)
-      (cl, m)
-    }.toArray
+    prev.map { case (cl, pm) =>
+      byCl.get(cl) match {
+        case Some(rs) =>
+          val m = new Array[Double](Dim)
+          rs.foreach(r => m(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3).toDouble)
+          (cl, m)
+        case None => (cl, pm)
+      }
+    }
+  }
+
+  /** The fixed-point embedding frame Lloyd's rounds iterate over. */
+  private def fixedPoint(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          v => floor(v * lit(Scale)).cast("long")).as("x"))
+
+  /** Train `k` centroids for `rounds` Lloyd's rounds from the k lowest
+    * vec_ids; means are returned in fixed-point units. */
+  private def train(e: DataFrame, k: Int, rounds: Int): Centroids = {
+    var cents: Centroids = e.orderBy("vec_id").limit(k).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i.toLong, r.getSeq[Long](1).map(_.toDouble).toArray)
+      }
+    for (_ <- 1 to rounds) cents = update(assign(e, cents), cents)
+    cents
+  }
+
+  /** k-means-trained centroids in ORIGINAL embedding units (each mean
+    * component divided by the fixed-point scale — one IEEE division both
+    * engines perform on identical doubles). The metadata a trained IVF
+    * index is built from. */
+  private[queries] def trainedCentroidVectors(
+      s: SparkSession, d: String, k: Int, rounds: Int): Seq[(Long, Seq[Double])] = {
+    val e = fixedPoint(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val cents = train(e, k, rounds)
+    e.unpersist(blocking = false)
+    cents.sortBy(_._1).map { case (cl, m) => (cl, m.map(_ / Scale).toSeq) }.toSeq
   }
 
   /** The gate: `Rounds` Lloyd's rounds from the K lowest vec_ids, then a
     * final assignment reported per cluster with a centroid checksum. */
   private[graft] def kmeansGate(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.load(s, d, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding").cast("array<double>"),
-          v => floor(v * lit(Scale)).cast("long")).as("x"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // deterministic init: the K lowest vec_ids, as doubles (exact)
-    var cents: Centroids = e.orderBy("vec_id").limit(KC).collect()
-      .zipWithIndex.map { case (r, i) =>
-        (i.toLong, r.getSeq[Long](1).map(_.toDouble).toArray)
-      }
-    for (_ <- 1 to Rounds) cents = update(assign(e, cents))
+    val e = fixedPoint(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val cents = train(e, KC, Rounds)
     val fpRows = cents.toSeq.map { case (cl, m) =>
       (cl, m.map(v => math.floor(v).toLong).sum)
     }
@@ -107,9 +132,11 @@ object Clustering {
     result
   }
 
-  /** One Lloyd's round in DuckDB: assignment (row_number argmin with the
-    * same tie rule) + exact component sums → means. */
-  private def roundSql(i: Int, prevC: String): String =
+  /** One Lloyd's round in DuckDB over the fixed-point CTE `src`:
+    * assignment (row_number argmin with the same tie rule) + exact
+    * component sums → means; `f$i` carries the previous centroid for a
+    * cluster that emptied (mirrors `update`). */
+  private[queries] def roundSql(i: Int, prevC: String, src: String = "e"): String =
     s"""d$i AS (
        |  SELECT e.vec_id, e.x, c.cl,
        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -117,7 +144,7 @@ object Clustering {
        |             j -> (CAST(e.x[j] AS DOUBLE) - c.m[j])
        |                  * (CAST(e.x[j] AS DOUBLE) - c.m[j]))),
        |           (a, v) -> a + v) AS dist
-       |  FROM e CROSS JOIN $prevC c),
+       |  FROM $src e CROSS JOIN $prevC c),
        |a$i AS (
        |  SELECT vec_id, x, cl FROM (
        |    SELECT vec_id, x, cl,
@@ -127,9 +154,12 @@ object Clustering {
        |  SELECT cl, u.j, CAST(sum(x[u.j]) AS BIGINT) AS s, count(*) AS n
        |  FROM a$i, LATERAL (SELECT unnest(range(1, ${Dim + 1})) AS j) u
        |  GROUP BY cl, u.j),
-       |c$i AS (
+       |cn$i AS (
        |  SELECT cl, list(CAST(s AS DOUBLE) / n ORDER BY j) AS m
-       |  FROM s$i GROUP BY cl)""".stripMargin
+       |  FROM s$i GROUP BY cl),
+       |c$i AS (
+       |  SELECT p.cl, COALESCE(n.m, p.m) AS m
+       |  FROM $prevC p LEFT JOIN cn$i n USING (cl))""".stripMargin
 
   val queries: Seq[GQuery] = Seq(
     GQuery(
@@ -169,6 +199,41 @@ object Clustering {
          |       CAST(sum(a.vec_id) AS BIGINT) AS sum_vec_id,
          |       max(f.centroid_fp) AS centroid_fp
          |FROM aF a JOIN fp f USING (cl)
-         |GROUP BY a.cl ORDER BY a.cl""".stripMargin)(kmeansGate)
+         |GROUP BY a.cl ORDER BY a.cl""".stripMargin)(kmeansGate),
+
+    // IVF retrieval over k-means-TRAINED cells: one Lloyd's round trains
+    // 16 centroids (fixed-point exact, so both engines derive the
+    // identical index — empty cells keep their seed), means convert to
+    // embedding units by one division per component, and the standard IVF
+    // pipeline (Similarity.ivfRankedWith) retrieves against them. The
+    // composition proof that the clustering operator actually trains the
+    // ANN index, end to end and value-exact.
+    GQuery(
+      "q_ann_ivf_trained",
+      s"""WITH
+         |ex AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           v -> CAST(floor(CAST(v AS DOUBLE) * $Scale) AS BIGINT)) AS x
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+         |         list_transform(x, v -> CAST(v AS DOUBLE)) AS m
+         |  FROM (SELECT * FROM ex ORDER BY vec_id LIMIT 16)),
+         |${roundSql(1, "c0", "ex")},
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (
+         |  SELECT cl AS cid, list_transform(m, v -> v / $Scale) AS cv FROM c1),
+         |${Similarity.ivfRetrievalCtes()}
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, round(sim, 4) AS sim
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      val cents = trainedCentroidVectors(s, d, k = 16, rounds = 1)
+      Similarity.ivfRankedWith(s, d, cents)
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+          col("cand_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rnk")
+    }
   )
 }

@@ -135,13 +135,11 @@ object Similarity {
   private val KC = 16
   private val NProbe = 4
 
-  /** DuckDB CTE chain ending in `ranked(query_id, cand_id, sim, rnk)` —
-    * the IVF retrieval pipeline, shared by the IVF gate and the recall
-    * evaluation gate. */
-  private val ivfOracleCtes =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KC),
-       |asn AS (
+  /** IVF retrieval CTEs `asn/probes/scored/ranked` given preceding CTEs
+    * `e(vec_id, v)` and `cent(cid, cv)` — shared by the seed-centroid
+    * gates here and the k-means-trained gate (`Clustering.scala`). */
+  private[queries] def ivfRetrievalCtes(nProbe: Int = NProbe): String =
+    s"""asn AS (
        |  SELECT vec_id AS cand_id, v AS cv2, cid AS cell FROM (
        |    SELECT e.vec_id, e.v, c.cid,
        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -156,7 +154,7 @@ object Similarity {
        |             list_dot_product(q.v, c.cv) /
        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
        |             c.cid) AS rn
-       |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 3) y WHERE rn <= $NProbe),
+       |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 3) y WHERE rn <= $nProbe),
        |scored AS (
        |  SELECT p.query_id, a.cand_id,
        |         list_dot_product(p.qv, a.cv2) /
@@ -167,16 +165,22 @@ object Similarity {
        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
        |  FROM scored)""".stripMargin
 
+  /** Seed-centroid oracle CTE chain (lowest vec_ids as centroids). */
+  private val ivfOracleCtes =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KC),
+       |${ivfRetrievalCtes()}""".stripMargin
+
   /** IVF retrieval pipeline → (query_id, cand_id, sim, rnk) — shared by
-    * the IVF gate and the recall gate. Cell assignment is a pure
-    * projection (centroids are collected index metadata, like the
-    * typedLit hyperplanes); probes broadcast; the corpus never shuffles
-    * before the per-query ranking window. */
-  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
+    * the IVF gate, the recall gate, and the k-means-trained gate
+    * (centroids injected). Cell assignment is a pure projection
+    * (centroids are collected index metadata, like the typedLit
+    * hyperplanes); probes broadcast; the corpus never shuffles before the
+    * per-query ranking window. */
+  private[queries] def ivfRankedWith(
+      s: SparkSession, d: String,
+      cents: Seq[(Long, Seq[Double])], nProbe: Int = NProbe): DataFrame = {
     val e = vecs(s, d)
-    val cents: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < KC)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-      .sortBy(_._1)
     // argmax over centroids as a projection: max (cosine, -cid) struct ⇒
     // greatest cosine, smallest cid on ties — the oracle's
     // ORDER BY sim DESC, cid picks the same centroid
@@ -186,15 +190,18 @@ object Similarity {
       }: _*).getField("ncid")
     val asn = e.select(col("vec_id").as("cand_id"), col("v").as("cv2"),
       cellOf(col("v")).cast("long").as("cell"))
-    // probe the NProbe nearest cells per query (query set: tiny)
-    val cent = e.filter(col("vec_id") < KC).toDF("cid", "cv")
+    // probe the nProbe nearest cells per query (query set: tiny); the
+    // centroid table is built from the injected metadata, not the corpus
+    val spark = s
+    import spark.implicits._
+    val cent = cents.toDF("cid", "cv")
     val probes = e.filter(col("vec_id") < 3).toDF("query_id", "qv")
       .crossJoin(broadcast(cent))
       .select(col("query_id"), col("qv"), col("cid"),
         cosine(col("qv"), col("cv")).as("cs"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cs").desc, col("cid"))))
-      .filter(col("rn") <= NProbe)
+      .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cid").cast("long").as("cell"))
     asn.join(broadcast(probes), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
@@ -202,6 +209,14 @@ object Similarity {
         cosine(col("qv"), col("cv2")).as("sim"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
+  }
+
+  /** Seed-centroid IVF (the KC lowest vec_ids as centroids). */
+  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
+    val cents = vecs(s, d).filter(col("vec_id") < KC)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    ivfRankedWith(s, d, cents)
   }
 
   val queries: Seq[GQuery] = Seq(
