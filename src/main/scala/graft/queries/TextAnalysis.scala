@@ -46,6 +46,33 @@ object TextAnalysis {
 
   val queries: Seq[GQuery] = Seq(
 
+    // Corpus vocabulary statistics: top tokens by document frequency with
+    // global term frequency — the tokenizer-training / stopword-discovery
+    // prep pass. All-integer outputs, deterministic tie-break on token.
+    //   Scale: explode → distinct(token, doc) → count is the standard
+    // vocab pass; partial aggregation combines map-side on token, the
+    // top-k is a TakeOrdered over the K·partitions survivors, never a
+    // global sort of the vocabulary.
+    GQuery(
+      "q_text_vocab",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS token FROM tok)
+        |SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+        |       CAST(count(*) AS BIGINT) AS term_freq
+        |FROM t GROUP BY token
+        |ORDER BY doc_freq DESC, term_freq DESC, token LIMIT 25""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(countDistinct(col("doc_id")).as("doc_freq"),
+          count(lit(1)).as("term_freq"))
+        .orderBy(col("doc_freq").desc, col("term_freq").desc, col("token"))
+        .limit(25)
+    },
+
     // Corpus quality statistics + a composite quality score: length,
     // token counts, mean token length, stopword ratio, a bounded-length
     // reward — the standard pre-training quality-filter features.
