@@ -106,6 +106,30 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(twoPass == naive)
   }
 
+  test("prefix sum and top-N treat a NULL group key as one group (window semantics)") {
+    import graft.operators.{GroupedPrefixSum, GroupedTopN}
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // every third row has a NULL group — plain equality in the offset
+    // join would silently drop them (NULL != NULL)
+    val rows = (1 to 300).map(i =>
+      (if (i % 3 == 0) null else s"g${i % 4}", i.toLong, (i % 7 + 1).toLong))
+    val df = rows.toDF("g", "id", "v").repartition(5)
+    val twoPass = GroupedPrefixSum
+      .runningSum(df, Seq("g"), Seq(col("id")), col("v"), "run")
+      .select("g", "id", "run").orderBy(col("g").asc_nulls_first, col("id"))
+      .collect().toSeq
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("run", sum("v").over(w))
+      .select("g", "id", "run").orderBy(col("g").asc_nulls_first, col("id"))
+      .collect().toSeq
+    assert(twoPass.size == 300, s"rows with NULL group were dropped: ${twoPass.size}")
+    assert(twoPass == naive)
+    val capped = GroupedTopN.topN(df, Seq("g"), Seq(col("id")), 7)
+    assert(capped.filter(col("g").isNull).count() == 7)
+  }
+
   test("grouped top-N equals the per-group window cap, without its single-task shape") {
     import graft.operators.GroupedTopN
     import org.apache.spark.sql.expressions.Window
