@@ -73,27 +73,50 @@ object Multimodal {
         (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
         (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte))
 
+  /** A declared-dimension ceiling (64 Mpixel): a hostile header claiming
+    * a gigapixel raster must fall back to the stub BEFORE ImageIO
+    * allocates it (decompression-bomb guard), not OOM the task. */
+  val MaxPixels: Long = 64L * 1024 * 1024
+
   /** REAL decode via the JDK's ImageIO (PNG/BMP/GIF/JPEG readers ship in
     * the JDK — no external codecs needed): container headers give the
     * true dimensions; the feature vector is the per-channel pixel mean
     * (A,R,G,B) in [0,1], computed from exact integer sums over the ARGB
     * raster so the values are deterministic across runs and partitions.
-    * A payload ImageIO cannot parse falls back to the deterministic stub,
-    * so non-image media keep their cross-engine value oracle. */
+    * Dimensions are read from the header FIRST and checked against
+    * [[MaxPixels]] before any raster is allocated; a payload ImageIO
+    * cannot parse (or that fails the cap) falls back to the deterministic
+    * stub, so non-image media keep their cross-engine value oracle. */
   def imageDecode(m: MediaRow): DecodedMedia = {
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-      catch { case _: Exception => null }
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); null }
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            // header-only dimension read — no raster allocated yet
+            val (w, h) = (r.getWidth(0), r.getHeight(0))
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) null
+            else r.read(0)
+          } finally { r.dispose(); iis.close() }
+        }
+      } catch { case _: Exception => null }
     if (img == null) stubDecode(m)
     else {
       val w = img.getWidth
       val h = img.getHeight
       var sa = 0L; var sr = 0L; var sg = 0L; var sb = 0L
-      var y = 0
+      val row = new Array[Int](w) // one bulk scanline read per row —
+      var y = 0                   // not the per-pixel getRGB slow path
       while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w) // ARGB, color-model-normalized
         var x = 0
         while (x < w) {
-          val p = img.getRGB(x, y) // ARGB, color-model-normalized
+          val p = row(x)
           sa += (p >>> 24) & 255; sr += (p >> 16) & 255
           sg += (p >> 8) & 255; sb += p & 255
           x += 1
@@ -126,11 +149,16 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
-        // payloads with a real image signature go through ImageIO (true
-        // pixel decode); everything else keeps the oracle-backed stub
+        // IMAGE rows with a real image signature go through ImageIO (true
+        // pixel decode); audio/video (no codecs here) and unparseable
+        // payloads keep the oracle-backed stub — routing on kind matters:
+        // a video row whose bytes happen to parse as an image must still
+        // report its stub frame count, not n_frames=1
         batch.iterator
           .filter(m => m.payload != null && m.payload.nonEmpty)
-          .map(m => if (looksLikeImage(m.payload)) imageDecode(m) else stubDecode(m))
+          .map(m =>
+            if (m.kind == "image" && looksLikeImage(m.payload)) imageDecode(m)
+            else stubDecode(m))
       }
     }
   }

@@ -42,9 +42,11 @@ object GroupedPrefixSum {
   /** Adds `out` = running sum of `value` within `group` ordered by `order`
     * (inclusive of the current row). Eager by default: the result is
     * materialized before returning so the input cache can be released (see
-    * cache-lifecycle note above). `eager = false` returns the lazy plan —
-    * the caller owns unpersisting the input's cache entry (used by plan
-    * tests to assert the two-pass shape, which a checkpoint scan hides). */
+    * cache-lifecycle note above). `eager = false` is for PLAN INSPECTION
+    * ONLY (tests asserting the two-pass shape, which a checkpoint scan
+    * hides): the internally persisted range-partitioned input has no
+    * exposed handle and stays cached until the session's next
+    * clearCache — production callers must use the eager default. */
   def runningSum(
       df: DataFrame,
       group: Seq[String],
@@ -52,6 +54,8 @@ object GroupedPrefixSum {
       value: Column,
       out: String,
       eager: Boolean = true): DataFrame = {
+    require(!df.columns.exists(Set("_pid", "_v", "_off")),
+      "GroupedPrefixSum working columns (_pid, _v, _off) collide with input columns")
     val s = df.sparkSession
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val sortCols = group.map(col) ++ order

@@ -27,6 +27,8 @@ object GroupedTopN {
 
   /** Keeps the first `n` rows of each `group` under `order`. */
   def topN(df: DataFrame, group: Seq[String], order: Seq[Column], n: Int): DataFrame = {
+    require(!df.columns.exists(c => c == "_pid" || c == "_r"),
+      "GroupedTopN working columns (_pid, _r) collide with input columns")
     val gCols = group.map(col)
     val local = Window.partitionBy(col("_pid") +: gCols: _*).orderBy(order: _*)
     val survivors = df

@@ -44,7 +44,11 @@ object Dedup {
 
   private val K = graft.functions.TextHash.SigK // minhash permutations
   private val B = 16       // LSH bands
-  private val R = 4        // rows per band (K = B * R)
+  private val R = 4        // rows per band
+  // banding must consume the WHOLE signature: a SigK drift with stale
+  // B·R would silently ignore part of every signature (weakened recall,
+  // no error anywhere) — fail at class-load instead
+  require(K == B * R, s"LSH banding K=$K != B*R=${B * R}")
   private[queries] val CAP = 32     // hot-bucket cap (skew guard -> chain pairs)
   private val MAX_DF = 100 // n-gram document-frequency cutoff
 
@@ -293,7 +297,7 @@ object Dedup {
          |  SELECT DISTINCT c.nid AS doc_id FROM cand c
          |  JOIN sig sa ON sa.doc_id = c.nid
          |  JOIN sig sb ON sb.doc_id = c.oid
-         |  WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 >= 0.5),
+         |  WHERE len(list_filter(range(1, ${K + 1}), i -> sa.sig[i] = sb.sig[i])) / $K.0 >= 0.5),
          |ex AS (
          |  SELECT DISTINCT n.doc_id FROM documents n
          |  JOIN documents o ON md5(n.text) = md5(o.text) AND o.doc_id % 5 <> 0

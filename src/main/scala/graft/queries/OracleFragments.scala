@@ -21,6 +21,7 @@ package graft.queries
 object OracleFragments {
 
   val P = "1000000007"
+  private val K = graft.functions.TextHash.SigK
 
   /** tokenize: lower, split on \s+, drop empties (TextHash.tokenize). */
   private[queries] val tok =
@@ -59,7 +60,7 @@ object OracleFragments {
     s"""mh AS (
        |  SELECT doc_id, p,
        |         min(((1 + p*2654435761) % $P * h + 7*p + 3) % $P) AS v
-       |  FROM hh CROSS JOIN (SELECT unnest(range(0, 64)) AS p) pp
+       |  FROM hh CROSS JOIN (SELECT unnest(range(0, $K)) AS p) pp
        |  GROUP BY doc_id, p
        |),
        |sig AS (SELECT doc_id, list(v ORDER BY p) AS sig FROM mh GROUP BY doc_id)""".stripMargin
@@ -82,7 +83,7 @@ object OracleFragments {
   /** Candidate pairs from shared LSH buckets + exact signature-agreement
     * estimate est_j = |{i : sig_a[i] = sig_b[i]}| / 64. */
   private val lshPairsBody =
-    """chain AS (
+    s"""chain AS (
       |  SELECT doc_a, doc_b FROM (
       |    SELECT doc_id AS doc_a,
       |           lead(doc_id) OVER (PARTITION BY b, bh ORDER BY doc_id) AS doc_b
@@ -97,7 +98,7 @@ object OracleFragments {
       |),
       |est AS (
       |  SELECT c.doc_a, c.doc_b,
-      |         len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS est_j
+      |         len(list_filter(range(1, ${K + 1}), i -> sa.sig[i] = sb.sig[i])) / $K.0 AS est_j
       |  FROM cand c
       |  JOIN sig sa ON sa.doc_id = c.doc_a
       |  JOIN sig sb ON sb.doc_id = c.doc_b

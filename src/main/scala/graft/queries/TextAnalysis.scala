@@ -251,7 +251,7 @@ object TextAnalysis {
          |SELECT lang,
          |       CAST(list_sum(gs) AS BIGINT) AS sig_sum,
          |       list_min(gs) AS sig_min, list_max(gs) AS sig_max,
-         |       len(list_filter(range(1, 65), i -> gs[i] = es[i])) / 64.0 AS est_j_en
+         |       len(list_filter(range(1, ${graft.functions.TextHash.SigK + 1}), i -> gs[i] = es[i])) / ${graft.functions.TextHash.SigK}.0 AS est_j_en
          |FROM gl CROSS JOIN en ORDER BY lang""".stripMargin) { (s, d) =>
       HashFunctions.ensure(s)
       val mu = udaf(graft.functions.MinHashUnion)
