@@ -26,10 +26,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * and polyfilled by Spark — the residual contract, in a connector whose
   * backend can express almost nothing.
   *
-  * The handler is an in-process function registered in [[RestEndpoints]]
-  * (one JVM under local[*]); on a multi-node cluster the partition would
-  * carry the endpoint URL and the reader would open an HTTP stream — the
-  * registry stands in for that network client, nothing else changes.
+  * THE NETWORK SEAM: `RestEndpoint.handler` (params ⇒ line iterator) is
+  * the exact surface a real client implements — an HTTP GET with the
+  * params as the query string, plus pagination/scroll (yield across
+  * pages) and retry inside the iterator. Nothing above the handler
+  * changes: the accept-list, pushdown-to-params compilation, schema
+  * sampling, projection and residual polyfill are client-agnostic. The
+  * same seam pattern applies to the file connector's accept profiles
+  * (`FileScan`): a real ES/Mongo/Cassandra deployment compiles the
+  * accepted `Filter[]` to the native query instead of evaluating it
+  * against local files — the pushdown DECISION logic, which is what the
+  * reference's per-backend translators encode, is already here.
   * Responses are JSON lines decoded by the same [[JsonCodec]] as the file
   * source.
   */

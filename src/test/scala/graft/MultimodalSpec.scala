@@ -76,6 +76,23 @@ class MultimodalSpec extends AnyFunSuite {
       rows(2).features.sameElements(stub.features))
   }
 
+  test("a bomb header (gigapixel dims) falls back to the stub, no allocation") {
+    import spark.implicits._
+    // minimal BMP header declaring ~2^30 x 2^30 pixels: looksLikeImage
+    // sniffs true, but the dimension cap must reject it BEFORE ImageIO
+    // allocates the raster
+    val b = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    b.putInt(40).putInt(1 << 30).putInt(1 << 30) // BITMAPINFOHEADER w, h
+    b.putShort(1).putShort(24).putInt(0).putInt(0)
+    val bomb = b.array()
+    assert(Multimodal.looksLikeImage(bomb))
+    val m = MediaRow(9L, "image", "image/bmp", bomb)
+    val got = Multimodal.decode(Seq(m).toDS()).collect().head
+    val stub = Multimodal.stubDecode(m)
+    assert(got.width == stub.width && got.features.sameElements(stub.features))
+  }
+
   test("decode is a narrow transform (partitioning preserved, no shuffle)") {
     val ds = media(100)
     val out = Multimodal.decode(ds)
