@@ -280,6 +280,45 @@ object StreamQueries {
         .orderBy("trigger_id", "follow_id")
     },
 
+    // LEFT-OUTER stream-stream interval join: matches emit eagerly like
+    // the inner join; a trigger whose match interval falls fully behind
+    // the final watermark with NO match emits once with null follow
+    // columns — the state-eviction path that distinguishes outer from
+    // inner. The oracle is the batch inner join UNION the unmatched
+    // triggers whose interval end is behind max(ts) - delay (triggers
+    // still inside the horizon at shutdown are correctly unemitted).
+    GQuery(
+      "q_stream_interval_join_outer",
+      """WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+        |m AS (
+        |  SELECT a.event_id AS trigger_id, a.ts AS a_ts,
+        |         b.event_id AS follow_id, a.user_id,
+        |         b.event_type AS follow_type, b.value AS follow_value
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id AND b.ts > a.ts
+        |   AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |  WHERE a.event_type = 'click')
+        |SELECT trigger_id, follow_id, user_id, follow_type, follow_value
+        |FROM m
+        |UNION ALL
+        |SELECT a.event_id, CAST(NULL AS BIGINT), a.user_id,
+        |       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        |FROM events a, wm
+        |WHERE a.event_type = 'click'
+        |  AND a.ts + INTERVAL 10 MINUTE < wm.w
+        |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.trigger_id = a.event_id)
+        |ORDER BY trigger_id, follow_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val (evDir, _) = stage(s, d)
+      val pairs = Streams.followWithin(
+        readEvents(s, evDir), readEvents(s, evDir),
+        "click", "10 MINUTES", "10 minutes", joinType = "leftOuter")
+      drain(pairs, "append", noData = true)
+        .select(col("trigger_id"), col("follow_id"),
+          col("t_user").as("user_id"), col("follow_type"),
+          col("value").as("follow_value"))
+        .orderBy(col("trigger_id"), col("follow_id").asc_nulls_first)
+    },
+
     // Streaming dedup over a feed with ~1% injected replays: the pipeline
     // must restore exactly the original events, so the oracle aggregates
     // the clean batch table.

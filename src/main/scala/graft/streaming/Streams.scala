@@ -114,7 +114,8 @@ object Streams {
     * converges to the batch join regardless of the final watermark. */
   def followWithin(
       triggers: DataFrame, follows: DataFrame, triggerType: String,
-      interval: String, watermarkDelay: String): DataFrame = {
+      interval: String, watermarkDelay: String,
+      joinType: String = "inner"): DataFrame = {
     val a = triggers.filter(col("event_type") === triggerType)
       .select(col("event_id").as("trigger_id"), col("ts").as("trigger_ts"),
         col("user_id").as("t_user"))
@@ -124,9 +125,13 @@ object Streams {
         col("user_id").as("f_user"), col("event_type").as("follow_type"),
         col("value"))
       .withWatermark("follow_ts", watermarkDelay)
+    // leftOuter adds the eviction-emit path: a trigger whose interval
+    // falls fully behind the watermark with no match emits ONCE with
+    // null follow columns — the state cleanup inner joins never surface
     a.join(b, col("t_user") === col("f_user") &&
       col("follow_ts") > col("trigger_ts") &&
-      col("follow_ts") <= col("trigger_ts") + expr(s"INTERVAL $interval"))
+      col("follow_ts") <= col("trigger_ts") + expr(s"INTERVAL $interval"),
+      joinType)
   }
 
   /** Custom keyed state: per-user running session summary via
