@@ -129,6 +129,58 @@ object Multimodal {
     }
   }
 
+  /** True iff the payload is a RIFF/WAVE container — the audio format the
+    * JDK's javax.sound.sampled decodes without external codecs. */
+  def looksLikeWav(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** REAL audio decode via the JDK's javax.sound.sampled (WAV/PCM — no
+    * external codecs): header gives sample rate, channels and frame
+    * count; features are exact-integer amplitude statistics of the PCM16
+    * samples — [mean |amplitude|, RMS, min, max], each normalized by
+    * 2^15 (sums stay < 2^63 under the [[MaxPixels]]-style byte cap).
+    * Envelope mapping: width = sample rate, height = channels,
+    * n_frames = sample frames. Non-PCM16 or unparseable audio falls back
+    * to the deterministic stub, keeping the value oracle. */
+  def audioDecode(m: MediaRow): DecodedMedia = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength
+      val bytes = frames * fmt.getFrameSize
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16 || frames <= 0 || bytes > MaxPixels)
+        stubDecode(m)
+      else {
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        var sumAbs = 0L; var sumSq = 0L
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var i = 0
+        while (i + 1 < data.length) {
+          // PCM16 sample in the container's declared byte order
+          val lo = data(i) & 0xff; val hi = data(i + 1)
+          val s: Long =
+            if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toLong
+            else ((hi << 8) | lo).toLong
+          sumAbs += math.abs(s); sumSq += s * s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          i += 2
+        }
+        val norm = 32768.0
+        DecodedMedia(m.media_id, m.kind,
+          fmt.getSampleRate.toInt, fmt.getChannels, frames.toInt,
+          Array(sumAbs.toDouble / n / norm,
+            math.sqrt(sumSq.toDouble / n) / norm,
+            mn / norm, mx / norm))
+      }
+    } catch { case _: Exception => stubDecode(m) }
+  }
+
   /** Wrap a documents frame as a media table: the text payload stands in
     * for image/video bytes (same opaque-binary plumbing, deterministic). */
   def fromDocuments(docs: DataFrame, kind: String = "image"): Dataset[MediaRow] = {
@@ -158,6 +210,7 @@ object Multimodal {
           .filter(m => m.payload != null && m.payload.nonEmpty)
           .map(m =>
             if (m.kind == "image" && looksLikeImage(m.payload)) imageDecode(m)
+            else if (m.kind == "audio" && looksLikeWav(m.payload)) audioDecode(m)
             else stubDecode(m))
       }
     }

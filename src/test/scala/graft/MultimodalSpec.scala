@@ -76,6 +76,37 @@ class MultimodalSpec extends AnyFunSuite {
       rows(2).features.sameElements(stub.features))
   }
 
+  test("real WAV payloads decode through javax.sound with exact PCM statistics") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 100 PCM16 mono samples with known values: s(i) = 300*i - 15000
+    val samples = (0 until 100).map(i => (300 * i - 15000).toShort)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, samples.length),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    assert(Multimodal.looksLikeWav(wav))
+    val rows = Multimodal.decode(
+      Seq(MediaRow(1L, "audio", "audio/wav", wav)).toDS()).collect()
+    val r = rows.head
+    assert(r.width == 8000 && r.height == 1 && r.n_frames == 100, r)
+    val expAbs = samples.map(s => math.abs(s.toLong)).sum.toDouble / 100 / 32768.0
+    val expRms = math.sqrt(samples.map(s => s.toLong * s).sum.toDouble / 100) / 32768.0
+    assert(r.features(0) == expAbs && r.features(1) == expRms)
+    assert(r.features(2) == -15000 / 32768.0 && r.features(3) == 14700 / 32768.0)
+    // an image-kind row with WAV bytes keeps the stub (kind routing)
+    val asImage = Multimodal.decode(
+      Seq(MediaRow(2L, "image", "image/png", wav)).toDS()).collect().head
+    val stub = Multimodal.stubDecode(MediaRow(2L, "image", "image/png", wav))
+    assert(asImage.width == stub.width && asImage.features.sameElements(stub.features))
+  }
+
   test("a bomb header (gigapixel dims) falls back to the stub, no allocation") {
     import spark.implicits._
     // minimal BMP header declaring ~2^30 x 2^30 pixels: looksLikeImage
