@@ -27,6 +27,7 @@ import graft.functions.Dialect
 class GraftEngine(val spark: SparkSession) {
 
   Dialect.register(spark)
+  SqlLibrary.ensure(spark)
 
   private val userVars = TrieMap.empty[String, String]
   private val prepared = TrieMap.empty[String, String]

@@ -43,9 +43,9 @@ object Curation {
     * EVERY non-negative BIGINT doc_id — the same residue as the naive
     * (doc_id · KNUTH) mod P (modular identity), but with no silent 64-bit
     * wrap in Spark / BIGINT overflow error in DuckDB at large ids. */
-  private val KNUTH = 2654435761L
-  private val P = 1000000007L
-  private val KNUTHP = KNUTH % P
+  private[graft] val KNUTH = 2654435761L
+  private[graft] val P = 1000000007L
+  private[graft] val KNUTHP = KNUTH % P
 
   private def coin(c: Column): Column = (c % lit(P)) * lit(KNUTHP) % lit(P) % lit(100)
   private def coinSql(c: String): String = s"((($c % $P) * $KNUTHP) % $P) % 100"
@@ -70,10 +70,10 @@ object Curation {
     * bounded repeats, alternation, ASCII word boundaries) so Spark and the
     * oracle compile the same automaton. Email/IPv4 prove the PII shapes;
     * the term blocklist has real hits in this corpus. */
-  private[queries] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private[queries] val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-  private[queries] val BlockRe = "\\b(customer|vector)\\b"
-  private[queries] val Mask = "[MASKED]"
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private[graft] val BlockRe = "\\b(customer|vector)\\b"
+  private[graft] val Mask = "[MASKED]"
 
   private def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
