@@ -81,6 +81,8 @@ class GraftEngine(val spark: SparkSession) {
   private val CreateSource = """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?SOURCE\s+(\w+)\s+WITH\s+(\{.*\})\s*;?\s*""".r
   private val DropSource = """(?is)\s*DROP\s+SOURCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val ShowSources = """(?is)\s*SHOW\s+SOURCES\s*;?\s*""".r
+  private val OptimizeStmt =
+    """(?is)\s*OPTIMIZE\s+TABLE\s+([\w.`]+)(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""".r
   private val UpdateStmt = """(?is)\s*UPDATE\s+([\w.`]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val UpsertStmt = """(?is)\s*UPSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^)]*)\))?\s*VALUES\s+(.+?)\s*;?\s*""".r
 
@@ -161,6 +163,23 @@ class GraftEngine(val spark: SparkSession) {
     // (backends/cassandra/sql_to_cql.go:246-361, cass_test.go:484-599).
     case UpsertStmt(tbl, cols, values) if tbl.startsWith("graft.") =>
       upsertRewrite(tbl, Option(cols), substitute(values))
+
+    // Table maintenance: bin-pack a table's accumulated small part files
+    // (every INSERT commit adds files) into `n` files. Delta-style
+    // OPTIMIZE; the reference has no analogue — its backends own their
+    // storage — but a file-backed source needs it operationally.
+    case OptimizeStmt(tbl, n) if tbl.startsWith("graft.") =>
+      import spark.implicits._
+      val parts = tbl.replace("`", "").split('.')
+      require(parts.length == 3, s"OPTIMIZE expects graft.<source>.<table>, got $tbl")
+      val src = graft.sources.SourceRegistry.get(parts(1))
+        .getOrElse(throw new IllegalArgumentException(s"unknown source ${parts(1)}"))
+      val table = graft.sources.FileTable.open(src, parts(2))
+        .getOrElse(throw new IllegalArgumentException(s"unknown table $tbl"))
+      val before = table.dataFiles().size
+      val after = table.compact(spark, Option(n).map(_.toInt).getOrElse(1))
+      Seq((tbl, before.toLong, after.toLong))
+        .toDF("table", "files_before", "files_after")
 
     case other => spark.sql(substitute(other))
   }

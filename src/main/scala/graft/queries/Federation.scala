@@ -396,6 +396,35 @@ object Federation {
       s.table(t).filter(col("k").isin(2, 3, 4, 6)).orderBy("k")
     },
 
+    // Table maintenance (Delta-style OPTIMIZE; beyond-ref — the
+    // reference's backends own their storage, a file-backed source needs
+    // it operationally): every INSERT commit adds part files; OPTIMIZE
+    // bin-packs them through the connector's own two-phase overwrite, so
+    // readers see old files or new, never a mix. The gate proves the data
+    // survives byte-exactly; FileSourceSpec asserts the file count drops
+    // and get-by-key pruning still works over the rebuilt sidecar.
+    GQuery(
+      "q_maintenance_compact",
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'v0'), (CAST(1 AS BIGINT), 'v1'),
+        |  (CAST(2 AS BIGINT), 'v2'), (CAST(3 AS BIGINT), 'v3'),
+        |  (CAST(4 AS BIGINT), 'v4'), (CAST(5 AS BIGINT), 'v5'),
+        |  (CAST(6 AS BIGINT), 'v6'), (CAST(7 AS BIGINT), 'v7'))
+        |       AS t(k, v)
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      fed(s, d)
+      val eng = new GraftEngine(s)
+      val t = s"$C.${FedData.SourceName}.compact_items"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (k BIGINT, v STRING) TBLPROPERTIES ('keys' = 'k')")
+      for (i <- 0 until 4)
+        s.sql(s"INSERT INTO $t VALUES (${i * 2}, 'v${i * 2}'), (${i * 2 + 1}, 'v${i * 2 + 1}')")
+      val report = eng.sql(s"OPTIMIZE TABLE $t INTO 2 FILES").collect().head
+      require(report.getLong(2) <= report.getLong(1),
+        s"compaction grew the file count: $report")
+      s.table(t).orderBy("k")
+    },
+
     // DDL lifecycle through the connector catalog: CTAS (create + write in
     // the connector's own format) → ALTER TABLE ADD COLUMNS (sidecar-only
     // schema evolution — old files read NULL for the new column, no data

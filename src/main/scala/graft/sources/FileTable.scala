@@ -105,6 +105,34 @@ class FileTable(
 
   def dataFiles(): Seq[File] = FileTable.dataFiles(dir, codec.extension)
 
+  /** Compaction (OPTIMIZE): rewrite the table's accumulated part files as
+    * `target` files. Two distributed passes — stage the rows to a temp
+    * parquet dir (so the overwrite never reads the files it is deleting),
+    * then INSERT OVERWRITE back through the connector's own two-phase
+    * commit (readers see old files or new, never a mix). The commit also
+    * rebuilds the key-range sidecar entries for the new files; stale
+    * entries for deleted files are superset-conservative. Returns the
+    * post-compaction file count. */
+  def compact(spark: SparkSession, target: Int = 1): Int = {
+    import org.apache.spark.sql.functions.lit
+    val fullName = s"${SourceRegistry.CatalogName}.${source.name}.$tableName"
+    val tmp = java.nio.file.Files
+      .createTempDirectory(s"graft-compact-$tableName").toFile
+    try {
+      spark.table(fullName)
+        .repartition(math.max(1, target))
+        .write.mode("overwrite").parquet(tmp.getPath)
+      spark.read.parquet(tmp.getPath).writeTo(fullName).overwrite(lit(true))
+      dataFiles().size
+    } finally {
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
+        f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   // ---- DELETE WHERE -----------------------------------------------------
 
   /** Delete-by-where is accepted only when every predicate is inside the

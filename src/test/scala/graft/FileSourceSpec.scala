@@ -157,6 +157,28 @@ class FileSourceSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("OPTIMIZE bin-packs part files; data and key pruning survive") {
+    FedData.ensure(spark, sfDir)
+    val t = "graft.kv.compact_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING) TBLPROPERTIES ('keys' = 'k')")
+    for (i <- 0 until 4)
+      spark.sql(s"INSERT INTO $t VALUES (${i * 2}, 'a'), (${i * 2 + 1}, 'b')")
+    val before = spark.table(t).orderBy("k").collect().toSeq
+    val eng = new GraftEngine(spark)
+    val report = eng.sql(s"OPTIMIZE TABLE $t INTO 2 FILES").collect().head
+    assert(report.getLong(1) >= 4, s"staging produced too few files: $report")
+    assert(report.getLong(2) <= 2, s"compaction left too many files: $report")
+    assert(spark.table(t).orderBy("k").collect().toSeq == before)
+    // the overwrite commit rebuilt key ranges for the new files: a key
+    // equality still prunes (over 2 files now)
+    val one = spark.table(t).filter(col("k") === 7)
+    assert(scanOf(one).description().contains("key-pruned"),
+      scanOf(one).description())
+    assert(one.count() == 1)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("REST endpoint schema is inferred by sampling through the widen lattice") {
     FedData.ensure(spark, sfDir)
     // a live endpoint with NO declared schema: documents disagree on
