@@ -709,7 +709,8 @@ class FileScanImpl(
     topN: Array[SortSpec] = Array.empty,
     onePartition: Boolean = false,
     prunedFrom: Int = -1,
-    offset: Int = 0) extends Scan with Batch {
+    offset: Int = 0) extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = outputSchema
 
@@ -721,6 +722,21 @@ class FileScanImpl(
       s"PushedLimit: ${if (limit >= 0) limit.toString else "none"}, " +
       s"PushedTopN: ${if (topN.nonEmpty) s"[${topN.mkString(", ")}] limit=$limit" else "none"}, " +
       s"ReadSchema: ${outputSchema.catalogString}"
+
+  /** Honest size for the planner: the bytes of the (key-pruned) file
+    * list. Without this a DSv2 scan reports `defaultSizeInBytes`
+    * (effectively infinite), so Catalyst could NEVER auto-broadcast a
+    * tiny dimension read through the connector — the reference's engine
+    * sizes its sources the same way a warehouse does. Text bytes slightly
+    * overestimate in-memory row size for pruned projections, which only
+    * errs toward not broadcasting (safe). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = files.map(f => new File(f).length()).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
 
   override def toBatch: Batch = this
 

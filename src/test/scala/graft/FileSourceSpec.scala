@@ -157,6 +157,20 @@ class FileSourceSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("connector scans report statistics: tiny dims auto-broadcast without a hint") {
+    FedData.ensure(spark, sfDir)
+    val dim = spark.table("graft.fed.nation_csv")
+    val fact = graft.core.Tables.load(spark, sfDir, "customer")
+    val joined = fact.join(dim, fact("c_nationkey") === dim("n_nationkey"))
+    // SupportsReportStatistics gives Catalyst the real (tiny) size; with
+    // the DSv2 default (defaultSizeInBytes = huge) this would plan a
+    // sort-merge join and the connector could never be a broadcast dim
+    val f = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(f.contains("BroadcastHashJoin"), f)
+    assert(joined.count() > 0)
+  }
+
   test("OPTIMIZE bin-packs part files; data and key pruning survive") {
     FedData.ensure(spark, sfDir)
     val t = "graft.kv.compact_spec"
