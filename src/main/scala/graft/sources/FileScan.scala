@@ -436,41 +436,7 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
     val keyType = table.schema0.fields
       .find(_.name.equalsIgnoreCase(key)).map(_.dataType)
     if (keyType.isEmpty) return (files, total)
-    // each pushed conjunct constrains the key to points or an interval
-    // (closed-bound approximations are conservative)
-    val constraints: Seq[Either[Seq[Any], (Any, Any)]] = pushed.toSeq.flatMap {
-      case EqualTo(a, v) if a.equalsIgnoreCase(key) && v != null =>
-        Some(Left(Seq(v)))
-      case In(a, vs) if a.equalsIgnoreCase(key) =>
-        Some(Left(vs.toSeq.filter(_ != null)))
-      case GreaterThan(a, v) if a.equalsIgnoreCase(key) => Some(Right((v, null)))
-      case GreaterThanOrEqual(a, v) if a.equalsIgnoreCase(key) => Some(Right((v, null)))
-      case LessThan(a, v) if a.equalsIgnoreCase(key) => Some(Right((null, v)))
-      case LessThanOrEqual(a, v) if a.equalsIgnoreCase(key) => Some(Right((null, v)))
-      case StringStartsWith(a, p) if a.equalsIgnoreCase(key) =>
-        Some(Right((p, p + "￿"))) // prefix ⇒ bounded key range
-      case _ => None
-    }
-    if (constraints.isEmpty) return (files, total)
-    val ranges = KeyRanges.load(table.dir)
-    if (ranges.isEmpty) return (files, total)
-    val kept = files.filter { f =>
-      ranges.get(f.getName) match {
-        case None => true // no metadata: always scan
-        case Some((mnS, mxS)) =>
-          val mn = LineCodec.parse(mnS, keyType.get)
-          val mx = LineCodec.parse(mxS, keyType.get)
-          constraints.forall {
-            case Left(points) => points.exists(v =>
-              FilterEval.cmp(v, mn).forall(_ >= 0) &&
-                FilterEval.cmp(v, mx).forall(_ <= 0))
-            case Right((lo, hi)) =>
-              (lo == null || FilterEval.cmp(mx, lo).forall(_ >= 0)) &&
-                (hi == null || FilterEval.cmp(mn, hi).forall(_ <= 0))
-          }
-      }
-    }
-    (kept, total)
+    (KeyPrune.prune(files, key, keyType.get, table.dir, pushed.toSeq), total)
   }
 
   override def build(): Scan = {
@@ -537,7 +503,7 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
       new FileScanImpl(scanFiles.map(_.getPath), table.format,
         parseSchema, required, outIdx, pushed, limit, topN,
         onePartition = passthrough && (limit >= 0 || offset > 0), prunedFrom,
-        offset)
+        offset, runtimeKey = KeyPrune.hookFor(table))
     }
   }
 }
@@ -699,7 +665,7 @@ class FileAggReaderFactory extends PartitionReaderFactory {
 }
 
 class FileScanImpl(
-    files: Seq[String],
+    files0: Seq[String],
     format: String,
     parseSchema: StructType,
     outputSchema: StructType,
@@ -709,8 +675,38 @@ class FileScanImpl(
     topN: Array[SortSpec] = Array.empty,
     onePartition: Boolean = false,
     prunedFrom: Int = -1,
-    offset: Int = 0) extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    offset: Int = 0,
+    runtimeKey: Option[(String, org.apache.spark.sql.types.DataType, String)] = None)
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  // mutated (narrowed only) by runtime filtering before partition planning
+  private var files: Seq[String] = files0
+
+  /** Post-runtime-filter file count (observability + specs). */
+  private[graft] def plannedFileCount: Int = files.size
+
+  /** Runtime (dynamic-file-pruning) hook: a broadcast-join dim's key set
+    * arrives mid-query as In/EqualTo filters on the key column; the same
+    * key-range metadata that serves pushdown pruning then drops files no
+    * surviving key can live in — at 100 TB, a selective dim join reads a
+    * handful of files instead of the table. Offered only when the key
+    * column is in the scan output (Spark resolves filter attributes
+    * against it). */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    runtimeKey match {
+      case Some((k, _, _)) if outputSchema.fieldNames.exists(_.equalsIgnoreCase(k)) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column(k))
+      case _ => Array.empty
+    }
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeKey.foreach { case (k, t, dirPath) =>
+      files = KeyPrune
+        .prune(files.map(new File(_)), k, t, new File(dirPath), filters.toSeq)
+        .map(_.getPath)
+    }
 
   override def readSchema(): StructType = outputSchema
 

@@ -301,6 +301,63 @@ object KeyRanges {
   }
 }
 
+/** File pruning by key-range metadata, shared by build-time pushdown
+  * pruning and RUNTIME filtering (Spark hands a broadcast-join dim's key
+  * set to the scan mid-query — dynamic file pruning): each filter
+  * constrains the key to points or an interval (closed-bound
+  * approximations), and a file is kept unless its recorded [min, max]
+  * range provably excludes every allowed key. Conservative: files without
+  * metadata, incomparable values, and non-key filters always scan. */
+object KeyPrune {
+
+  def prune(
+      files: Seq[File], key: String,
+      keyType: org.apache.spark.sql.types.DataType, dir: File,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[File] = {
+    import org.apache.spark.sql.sources._
+    val constraints: Seq[Either[Seq[Any], (Any, Any)]] = filters.flatMap {
+      case EqualTo(a, v) if a.equalsIgnoreCase(key) && v != null =>
+        Some(Left(Seq(v)))
+      case In(a, vs) if a.equalsIgnoreCase(key) =>
+        Some(Left(vs.toSeq.filter(_ != null)))
+      case GreaterThan(a, v) if a.equalsIgnoreCase(key) => Some(Right((v, null)))
+      case GreaterThanOrEqual(a, v) if a.equalsIgnoreCase(key) => Some(Right((v, null)))
+      case LessThan(a, v) if a.equalsIgnoreCase(key) => Some(Right((null, v)))
+      case LessThanOrEqual(a, v) if a.equalsIgnoreCase(key) => Some(Right((null, v)))
+      case StringStartsWith(a, p) if a.equalsIgnoreCase(key) =>
+        Some(Right((p, p + "￿"))) // prefix ⇒ bounded key range
+      case _ => None
+    }
+    if (constraints.isEmpty) return files
+    val ranges = KeyRanges.load(dir)
+    if (ranges.isEmpty) return files
+    files.filter { f =>
+      ranges.get(f.getName) match {
+        case None => true // no metadata: always scan
+        case Some((mnS, mxS)) =>
+          val mn = LineCodec.parse(mnS, keyType)
+          val mx = LineCodec.parse(mxS, keyType)
+          constraints.forall {
+            case Left(points) => points.exists(v =>
+              FilterEval.cmp(v, mn).forall(_ >= 0) &&
+                FilterEval.cmp(v, mx).forall(_ <= 0))
+            case Right((lo, hi)) =>
+              (lo == null || FilterEval.cmp(mx, lo).forall(_ >= 0)) &&
+                (hi == null || FilterEval.cmp(mn, hi).forall(_ <= 0))
+          }
+      }
+    }
+  }
+
+  /** The runtime-filter hook payload: (key column, its type, table dir) —
+    * present only for tables with a declared key. */
+  def hookFor(table: FileTable): Option[(String, org.apache.spark.sql.types.DataType, String)] =
+    table.keys.headOption.flatMap { k =>
+      table.schema0.fields.find(_.name.equalsIgnoreCase(k))
+        .map(f => (f.name, f.dataType, table.dir.getPath))
+    }
+}
+
 /** Per-source `_files` meta-table (reference:
   * backends/files/filesource_test.go:221-238): one row per data file of
   * every table in the source. Read-only; no pushdown — every predicate is

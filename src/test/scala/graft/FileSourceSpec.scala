@@ -171,6 +171,45 @@ class FileSourceSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("runtime filtering prunes kv files from a broadcast dim's key set") {
+    FedData.ensure(spark, sfDir)
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // both dim keys land in ONE of the kv table's 4 range-partitioned
+    // files; the join's runtime filter must narrow the scan to it
+    // a selective predicate on a SCAN-backed dim is what makes the
+    // planner inject a runtime (dynamic-pruning) filter on the fact scan
+    // (a LocalRelation dim constant-folds its filter away and qualifies
+    // for nothing)
+    val dim = graft.core.Tables.load(spark, sfDir, "nation")
+      .filter(col("n_nationkey") >= 2 && col("n_nationkey") <= 4)
+      .select(col("n_nationkey").as("k"))
+    val fact = spark.table("graft.kv.customer_kv")
+      .select("c_custkey", "c_name")
+    val joined = fact.join(dim, fact("c_custkey") === dim("k"))
+    assert(joined.queryExecution.optimizedPlan.toString.contains("dynamicpruning"),
+      joined.queryExecution.optimizedPlan.toString)
+    val rows = joined.collect()
+    assert(rows.length == 3, rows.mkString(","))
+    def collectAll[A](p: SparkPlan)(pf: PartialFunction[SparkPlan, A]): Seq[A] = {
+      val self = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+      self ++ (p match {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+        case q: QueryStageExec => collectAll(q.plan)(pf)
+        case other => other.children.flatMap(collectAll(_)(pf))
+      })
+    }
+    val scans = collectAll(joined.queryExecution.executedPlan) {
+      case b: BatchScanExec => b.scan
+    }
+    val fs = scans.collectFirst { case s: FileScanImpl => s }
+    assert(fs.isDefined, s"no connector scan in plan: $scans")
+    assert(fs.get.plannedFileCount < 4,
+      s"runtime filter did not narrow the file list: ${fs.get.description()}")
+  }
+
   test("OPTIMIZE bin-packs part files; data and key pruning survive") {
     FedData.ensure(spark, sfDir)
     val t = "graft.kv.compact_spec"
