@@ -400,6 +400,26 @@ object StreamQueries {
         .orderBy("event_type")
     },
 
+    // Streaming FROM the connector (the read half of q_stream_ingest's
+    // loop): the engine's own tables are streaming sources — new part
+    // files are the stream, offsets are exactly-once at file granularity
+    // (sources/FileMicroBatch.scala). The staged CSV table drains through
+    // a real readStream and must aggregate to the batch oracle over the
+    // parquet original.
+    GQuery(
+      "q_stream_from_connector",
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+      graft.sources.FedData.ensure(s, d)
+      val src = s.readStream.table(
+        s"graft.${graft.sources.FedData.SourceName}.nation_csv")
+      drain(src.groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          sum("n_nationkey").as("key_sum")), "complete")
+        .orderBy("n_regionkey")
+    },
+
     // Streaming curation: the SAME redaction + quality-filter transform
     // the batch pipeline runs (Curation.redact + the integer-space quality
     // threshold), applied to a documents stream in append mode. Stateless

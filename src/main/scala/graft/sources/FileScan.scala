@@ -503,7 +503,8 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
       new FileScanImpl(scanFiles.map(_.getPath), table.format,
         parseSchema, required, outIdx, pushed, limit, topN,
         onePartition = passthrough && (limit >= 0 || offset > 0), prunedFrom,
-        offset, runtimeKey = KeyPrune.hookFor(table))
+        offset, runtimeKey = KeyPrune.hookFor(table),
+        streamDir = table.dir.getPath)
     }
   }
 }
@@ -676,7 +677,8 @@ class FileScanImpl(
     onePartition: Boolean = false,
     prunedFrom: Int = -1,
     offset: Int = 0,
-    runtimeKey: Option[(String, org.apache.spark.sql.types.DataType, String)] = None)
+    runtimeKey: Option[(String, org.apache.spark.sql.types.DataType, String)] = None,
+    streamDir: String = null)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -707,6 +709,17 @@ class FileScanImpl(
         .prune(files.map(new File(_)), k, t, new File(dirPath), filters.toSeq)
         .map(_.getPath)
     }
+
+  /** Streaming read over the table's directory: new part files are the
+    * stream (see [[FileMicroBatchStream]]); the pushed filters and pruned
+    * schemas of this scan apply to every micro-batch. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(streamDir != null,
+      "streaming read needs the table directory (scan built without it)")
+    new FileMicroBatchStream(streamDir, FileCodec.forFormat(format).extension,
+      format, parseSchema.json, outputSchema.json, outputIndices, pushed)
+  }
 
   override def readSchema(): StructType = outputSchema
 

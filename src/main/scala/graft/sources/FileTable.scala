@@ -92,7 +92,7 @@ class FileTable(
 
   override def capabilities(): util.Set[TableCapability] =
     util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def properties(): util.Map[String, String] =
     util.Map.of("format", format, "location", dir.getPath)

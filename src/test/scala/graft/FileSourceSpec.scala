@@ -210,6 +210,35 @@ class FileSourceSpec extends AnyFunSuite {
       s"runtime filter did not narrow the file list: ${fs.get.description()}")
   }
 
+  test("streaming read resumes from the checkpoint: new files only, exactly once") {
+    FedData.ensure(spark, sfDir)
+    import org.apache.spark.sql.streaming.Trigger
+    val t = "graft.kv.stream_src_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-src").toFile
+    val sink = new File(base, "sink").getPath
+    val ckpt = new File(base, "ckpt").getPath
+    def drainOnce(): Unit = {
+      val q = spark.readStream.table(t).writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainOnce()
+    assert(spark.read.parquet(sink).count() == 2)
+    // append MORE rows, resume from the SAME checkpoint: only the new
+    // files replay — file-granularity exactly-once across restarts
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c')")
+    drainOnce()
+    val rows = spark.read.parquet(sink).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")), rows)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("OPTIMIZE bin-packs part files; data and key pruning survive") {
     FedData.ensure(spark, sfDir)
     val t = "graft.kv.compact_spec"
