@@ -282,14 +282,21 @@ object StreamQueries {
 
     // LEFT-OUTER stream-stream interval join: matches emit eagerly like
     // the inner join; a trigger whose match interval falls fully behind
-    // the final watermark with NO match emits once with null follow
-    // columns — the state-eviction path that distinguishes outer from
-    // inner. The oracle is the batch inner join UNION the unmatched
-    // triggers whose interval end is behind max(ts) - delay (triggers
-    // still inside the horizon at shutdown are correctly unemitted).
+    // the watermark with NO match emits once with null follow columns —
+    // the state-eviction path that distinguishes outer from inner.
+    //
+    // Boundary honesty: the engine's null-emission sweep runs with the
+    // PREVIOUS batch's watermark (measured at sf0.1 — the final no-data
+    // batch does not sweep join state), so the exact emission frontier
+    // depends on micro-batch file grouping. Matched rows are fully
+    // deterministic; for null rows BOTH engines assert only the region
+    // safely behind any possible sweep (trigger_ts <= max(ts) - 40 min =
+    // delay + interval + batch-staleness margin), applied as the same
+    // exact-value predicate on each side. Null rows nearer the frontier
+    // are engine-timing territory and excluded symmetrically.
     GQuery(
       "q_stream_interval_join_outer",
-      """WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+      """WITH wm AS (SELECT max(ts) - INTERVAL '40 minutes' AS w FROM events),
         |m AS (
         |  SELECT a.event_id AS trigger_id, a.ts AS a_ts,
         |         b.event_id AS follow_id, a.user_id,
@@ -305,14 +312,20 @@ object StreamQueries {
         |       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
         |FROM events a, wm
         |WHERE a.event_type = 'click'
-        |  AND a.ts + INTERVAL 10 MINUTE < wm.w
+        |  AND a.ts <= wm.w
         |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.trigger_id = a.event_id)
         |ORDER BY trigger_id, follow_id NULLS FIRST""".stripMargin) { (s, d) =>
       val (evDir, _) = stage(s, d)
       val pairs = Streams.followWithin(
         readEvents(s, evDir), readEvents(s, evDir),
         "click", "10 MINUTES", "10 minutes", joinType = "leftOuter")
+      // exact same frontier predicate as the oracle, from the exact max
+      val maxTs = Tables.load(s, d, "events")
+        .agg(max("ts")).head().getTimestamp(0)
+      val frontier = lit(java.sql.Timestamp.from(
+        maxTs.toInstant.minusSeconds(40L * 60)))
       drain(pairs, "append", noData = true)
+        .filter(col("follow_id").isNotNull || col("trigger_ts") <= frontier)
         .select(col("trigger_id"), col("follow_id"),
           col("t_user").as("user_id"), col("follow_type"),
           col("value").as("follow_value"))
