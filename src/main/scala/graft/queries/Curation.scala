@@ -518,6 +518,54 @@ object Curation {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // Cross-source contamination matrix: for every pair of sources, how
+    // many distinct 3-gram shingles they share — the "which crawls
+    // duplicate each other" diagnostic that decides dedup priorities and
+    // mixing weights. Scale: the per-source distinct shingle set is the
+    // corpus pass (one shuffle on hash); the self-join groups by hash,
+    // and a hash is held by at most |sources| rows, so the join fan-out
+    // is bounded by sources² per hash — never corpus².
+    GQuery(
+      "q_curation_overlap_matrix",
+      s"""WITH
+         |tok AS (
+         |  SELECT source,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT source,
+         |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |              ELSE list_transform(range(1, len(toks) - 1),
+         |                                  i -> array_to_string(toks[i:i+2], ' '))
+         |         END AS shingles
+         |  FROM tok),
+         |shr AS (SELECT source, unnest(shingles) AS s FROM sh),
+         |hh AS (
+         |  SELECT DISTINCT source,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS BIGINT))),
+         |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
+         |  FROM shr)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM hh a JOIN hh b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 5
+         |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      HashFunctions.ensure(s)
+      val hs = docs(s, d)
+        .select(col("source"),
+          explode(HashFunctions.shingle_hashes(col("text"), 3)).as("h"))
+        .distinct()
+      hs.toDF("source_a", "h")
+        .join(hs.toDF("source_b", "hb"),
+          col("h") === col("hb") && col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy("source_a", "source_b")
+    },
+
     // Per-domain cap (crawl-domination guard): keep at most DomainCap
     // documents per source, chosen in deterministic hash order — the
     // two-phase GroupedTopN so the dominant domain never lands on one
