@@ -55,7 +55,14 @@ object SqlLibrary {
       |       ELSE sequence(0L, (greatest(CAST(size(toks) AS BIGINT) - w, 0L) + s - 1) DIV s)
       |  END) AS ci""".stripMargin)
 
-  /** Idempotently (re)register the library in `spark`'s session. */
+  // once per session: GraftEngine is constructed inside measured gate
+  // closures, and re-parsing four CREATE FUNCTION bodies each time would
+  // tax every engine query (same memo pattern as HashFunctions.ensure)
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotently register the library in `spark`'s session (memoized). */
   def ensure(spark: SparkSession): Unit =
-    statements.foreach(spark.sql(_))
+    if (registered.add(spark)) statements.foreach(spark.sql(_))
 }

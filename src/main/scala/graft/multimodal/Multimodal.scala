@@ -157,6 +157,10 @@ object Multimodal {
       else {
         val data = ais.readAllBytes()
         val n = data.length / 2
+        // header said `frames` but the payload is truncated/empty: the
+        // stats below would be NaN/garbage with no exception to catch —
+        // quarantine to the stub like any other undecodable payload
+        if (n == 0 || data.length.toLong < bytes) return stubDecode(m)
         var sumAbs = 0L; var sumSq = 0L
         var mn = Long.MaxValue; var mx = Long.MinValue
         var i = 0

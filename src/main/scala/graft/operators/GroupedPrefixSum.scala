@@ -54,8 +54,10 @@ object GroupedPrefixSum {
       value: Column,
       out: String,
       eager: Boolean = true): DataFrame = {
-    require(!df.columns.exists(Set("_pid", "_v", "_off")),
-      "GroupedPrefixSum working columns (_pid, _v, _off) collide with input columns")
+    val working = Set("_pid", "_v", "_off", "_opid", "_s") ++
+      group.indices.map(i => s"_g$i")
+    require(!df.columns.exists(working),
+      s"GroupedPrefixSum working columns (${working.mkString(", ")}) collide with input columns")
     val s = df.sparkSession
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val sortCols = group.map(col) ++ order

@@ -71,9 +71,22 @@ class FileMicroBatchStream(
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // append-only contract enforcement: if a consumed file no longer
+    // exists, the table was compacted/rewritten under this stream — the
+    // replacement files would replay every row as duplicates (and a
+    // just-deleted file would read as empty). Fail loudly; restart the
+    // stream with a fresh checkpoint after table maintenance.
+    val live = currentNames
+    val vanished = names(start) -- live
+    require(vanished.isEmpty,
+      s"streaming source $dirPath violated the append-only contract: " +
+        s"consumed files were rewritten (OPTIMIZE/UPDATE under an active " +
+        s"stream?): ${vanished.toSeq.sorted.take(5).mkString(", ")}")
     val newNames = (names(end) -- names(start)).toSeq.sorted
     newNames.map { n =>
       val f = new File(dirPath, n)
+      require(f.isFile,
+        s"streaming source $dirPath: planned file vanished before read: $n")
       FilePartition(Array(FileChunk(f.getPath, 0L, f.length())), format,
         parseSchemaJson, outputSchemaJson, outputIndices, pushed,
         limit = -1, topN = Array.empty, offset = 0): InputPartition

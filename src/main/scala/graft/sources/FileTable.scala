@@ -109,19 +109,28 @@ class FileTable(
     * `target` files. Two distributed passes — stage the rows to a temp
     * parquet dir (so the overwrite never reads the files it is deleting),
     * then INSERT OVERWRITE back through the connector's own two-phase
-    * commit (readers see old files or new, never a mix). The commit also
-    * rebuilds the key-range sidecar entries for the new files; stale
-    * entries for deleted files are superset-conservative. Returns the
-    * post-compaction file count. */
+    * commit (readers see old files or new, never a mix). Keyed tables
+    * compact range-partitioned on the key so the rebuilt sidecar keeps
+    * pruning. NOT safe under an active STREAMING reader (rewrites violate
+    * the append-only stream contract — the stream detects it and fails
+    * loudly rather than replaying duplicates). Returns the post-compaction
+    * file count. */
   def compact(spark: SparkSession, target: Int = 1): Int = {
     import org.apache.spark.sql.functions.lit
     val fullName = s"${SourceRegistry.CatalogName}.${source.name}.$tableName"
     val tmp = java.nio.file.Files
       .createTempDirectory(s"graft-compact-$tableName").toFile
     try {
-      spark.table(fullName)
-        .repartition(math.max(1, target))
-        .write.mode("overwrite").parquet(tmp.getPath)
+      // keyed tables compact RANGE-partitioned on the key: round-robin
+      // would spread every file's [min, max] across the whole key domain
+      // and the rebuilt sidecar could never prune a get-by-key again
+      val rows = spark.table(fullName)
+      val shaped = keys.headOption match {
+        case Some(k) => rows.repartitionByRange(math.max(1, target),
+          org.apache.spark.sql.functions.col(k))
+        case None => rows.repartition(math.max(1, target))
+      }
+      shaped.write.mode("overwrite").parquet(tmp.getPath)
       spark.read.parquet(tmp.getPath).writeTo(fullName).overwrite(lit(true))
       dataFiles().size
     } finally {

@@ -236,6 +236,16 @@ class FileSourceSpec extends AnyFunSuite {
     val rows = spark.read.parquet(sink).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")), rows)
+    // rewriting consumed files under the checkpoint violates the
+    // append-only stream contract: the resumed stream must fail loudly
+    // (silently replaying the compacted files would duplicate every row)
+    new GraftEngine(spark).sql(s"OPTIMIZE TABLE $t INTO 1 FILES")
+    spark.sql(s"INSERT INTO $t VALUES (4, 'd')")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainOnce()
+    }
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")), e.getMessage)
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
