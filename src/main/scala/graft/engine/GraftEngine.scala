@@ -218,18 +218,27 @@ class GraftEngine(val spark: SparkSession) {
           table.keys.head, keyRows.map(_.get(0)).toArray))
       if (inOk) {
         // single key on a profile that accepts IN (full, Cassandra-style
-        // keys): one IN-list delete
+        // keys): one IN-list delete (file-pruned inside deleteWhere)
         val in = keyRows.map(r => literal(r.get(0))).distinct.mkString(", ")
         spark.sql(s"DELETE FROM $tbl WHERE `${table.keys.head}` IN ($in)")
       } else {
         // composite keys, or a profile without IN (BigTable-style prefix
-        // ranges): per-row AND-conjunctions — the reference's
-        // row-at-a-time Put
-        keyRows.distinct.foreach { r =>
-          val conj = table.keys.zipWithIndex.map { case (k, i) =>
-            s"`$k` = ${literal(r.get(i))}"
-          }.mkString(" AND ")
-          spark.sql(s"DELETE FROM $tbl WHERE $conj")
+        // ranges): ONE broadcast anti-join rewrite over the part files
+        // whose key range can hold an incoming key — replaces the
+        // reference's row-at-a-time Put with a single batched job
+        import org.apache.spark.sql.functions.{broadcast, col}
+        import graft.sources.PartFileRewrite
+        val firstKeyVals = keyRows.map(_.get(0)).distinct.filter(_ != null)
+        val (touched, _) = PartFileRewrite.touchedFiles(table,
+          Seq(org.apache.spark.sql.sources.In(table.keys.head, firstKeyVals.toArray)))
+        if (touched.nonEmpty) {
+          val rows = PartFileRewrite.readFiles(spark, table, touched)
+          val keyDf = incoming.select(table.keys.map(k =>
+            col(k).as("_gk_" + k)): _*).distinct()
+          val joinCond = table.keys.map(k =>
+            rows.col(k) === keyDf.col("_gk_" + k)).reduce(_ && _)
+          val survivors = rows.join(broadcast(keyDf), joinCond, "left_anti")
+          PartFileRewrite.replaceFiles(table, survivors, touched, removeEmptied = true)
         }
       }
     }
@@ -238,16 +247,26 @@ class GraftEngine(val spark: SparkSession) {
     Seq(keyRows.length.toLong).toDF("affected_rows")
   }
 
+  /** UPDATE as a surgical part-file rewrite (reference: per-key
+    * read-modify-write, backends/datastore/sql_to_datastore.go:218-360).
+    * Two pruning stages keep the write O(affected files), never O(table):
+    *   1. KeyRanges sidecar pruning — files whose recorded key range
+    *      cannot hold a matching row are never opened;
+    *   2. a match pre-pass over the survivors — files that contain no
+    *      actually-matching row are read once but never rewritten, so
+    *      their part files stay byte-identical.
+    * A one-row UPDATE on a 100 TB keyed table therefore rewrites one
+    * file. Per-file swaps are atomic (tmp + rename, the deleteWhere
+    * protocol); the statement is not cross-file transactional. */
   private def updateRewrite(tbl: String, sets: String, cond: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, when}
+    import graft.sources.PartFileRewrite
     val parts = tbl.replace("`", "").split('.')
     require(parts.length == 3, s"UPDATE expects graft.<source>.<table>, got $tbl")
     val src = graft.sources.SourceRegistry.get(parts(1))
       .getOrElse(throw new IllegalArgumentException(s"unknown source ${parts(1)}"))
     val table = graft.sources.FileTable.open(src, parts(2))
       .getOrElse(throw new IllegalArgumentException(s"unknown table $tbl"))
-    val df = spark.table(tbl)
-    val affected = df.filter(expr(cond)).count()
     // SQL UPDATE semantics: the WHERE condition and every RHS evaluate
     // against the ORIGINAL row, so all assignments go into ONE select —
     // sequential withColumn would let later assignments (and the
@@ -256,38 +275,35 @@ class GraftEngine(val spark: SparkSession) {
       val Array(c, v) = assign.split("=", 2).map(_.trim)
       c.replace("`", "") -> v
     }.toMap
-    val upd = df.select(df.columns.map { c =>
-      assigns.collectFirst { case (ac, v) if ac.equalsIgnoreCase(c) =>
-        when(expr(cond), expr(substitute(v))).otherwise(col(c)).as(c)
-      }.getOrElse(col(c))
-    }: _*)
-    val tmpName = parts(2) + "_gupd"
-    val tmpDir = src.tableDir(tmpName)
-    if (tmpDir.isDirectory) spark.sql(s"DROP TABLE graft.${parts(1)}.$tmpName")
-    // carry the key metadata: the directory swap below replaces the
-    // sidecar, so omitting keys here would silently strip them
-    graft.sources.FileTable.create(src, tmpName, table.schema0, table.format, table.keys)
-    upd.writeTo(s"graft.${parts(1)}.$tmpName").append()
-    // swap: the rewrite becomes visible atomically at the directory
-    // rename; if the second rename fails the first is rolled back so the
-    // table never vanishes mid-swap
-    val dir = table.dir
-    val old = new java.io.File(dir.getPath + ".old")
-    if (!dir.renameTo(old))
-      throw new IllegalStateException(s"UPDATE swap failed for $tbl")
-    if (!tmpDir.renameTo(dir)) {
-      old.renameTo(dir) // restore the original table directory
-      throw new IllegalStateException(s"UPDATE swap failed for $tbl (rolled back)")
+    val unknown = assigns.keys.filterNot(c =>
+      table.schema0.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(unknown.isEmpty, s"UPDATE $tbl: unknown columns ${unknown.mkString(", ")}")
+    val filters = PartFileRewrite.condFilters(spark, tbl, cond)
+    val (touched, _) = PartFileRewrite.touchedFiles(table, filters)
+    var affected = 0L
+    if (touched.nonEmpty) {
+      // match pre-pass: which touched files hold a matching row, and how
+      // many (the affected count — pruning is conservative, so every
+      // matching row lives in a touched file)
+      val perFile = PartFileRewrite.readFiles(spark, table, touched)
+        .filter(expr(cond))
+        .groupBy(col(PartFileRewrite.SrcCol)).count()
+        .collect() // metadata-sized: one row per file with matches
+      affected = perFile.map(_.getLong(1)).sum
+      val hit = perFile.map(_.getString(0)).toSet
+      val hitFiles = touched.filter(f => hit(f.getPath))
+      if (hitFiles.nonEmpty) {
+        val rows = PartFileRewrite.readFiles(spark, table, hitFiles)
+        val upd = rows.select(table.schema0.fieldNames.toSeq.map { c =>
+          assigns.collectFirst { case (ac, v) if ac.equalsIgnoreCase(c) =>
+            when(expr(cond), expr(substitute(v))).otherwise(col(c)).as(c)
+          }.getOrElse(col(c))
+        } :+ col(PartFileRewrite.SrcCol): _*)
+        PartFileRewrite.replaceFiles(table, upd, hitFiles, removeEmptied = false)
+      }
     }
-    delete(old)
     import spark.implicits._
     Seq(affected).toDF("affected_rows")
-  }
-
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(delete)
-    f.delete()
   }
 
   /** Split on commas not inside single-quoted strings or parens. */

@@ -159,12 +159,21 @@ class FileTable(
     * genuinely per-file imperative IO, not a dataflow computation. */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     if (filters.exists(_.isInstanceOf[AlwaysFalse])) return
-    val files = dataFiles()
-    if (files.isEmpty) return
+    val allFiles = dataFiles()
+    if (allFiles.isEmpty) return
     if (filters.forall(_.isInstanceOf[AlwaysTrue])) { // TRUNCATE
-      files.foreach(_.delete())
+      allFiles.foreach(_.delete())
       return
     }
+    // key-range file pruning: a file whose recorded [min, max] excludes
+    // every key the conjunction allows cannot contain a matching row, so
+    // a key-constrained DELETE rewrites O(intersecting files), not
+    // O(table) — the same sidecar short-circuit the read path uses
+    val files = keys.headOption
+      .flatMap(k => schema0.fields.find(_.name.equalsIgnoreCase(k)))
+      .map(f => KeyPrune.prune(allFiles, f.name, f.dataType, dir, filters.toSeq))
+      .getOrElse(allFiles)
+    if (files.isEmpty) return
     val spark = SparkSession.active
     val fmt = format
     val schemaJson = schema0.json

@@ -649,6 +649,81 @@ class FileSourceSpec extends AnyFunSuite {
     eng.sql("DROP SOURCE upbt")
   }
 
+  test("keyed UPDATE/UPSERT rewrite only intersecting part files (rest byte-identical)") {
+    val eng = new GraftEngine(spark)
+    val p = new File(sys.props("user.dir"), "target/graft-test/upd-prune").getPath
+    eng.sql(s"""CREATE SOURCE updsrc WITH { "type": "csv", "path": "$p", "pushdown": "keys" }""")
+    spark.sql("DROP TABLE IF EXISTS graft.updsrc.kv")
+    spark.sql("CREATE TABLE graft.updsrc.kv (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('keys' = 'k')")
+    // four commits -> four part files with disjoint key ranges
+    for (i <- 0 until 4)
+      spark.sql(s"INSERT INTO graft.updsrc.kv VALUES (${i * 10}, 'a$i'), (${i * 10 + 5}, 'b$i')")
+    val tdir = new File(p, "kv")
+    def snap(): Map[String, Seq[Byte]] =
+      FileTable.dataFiles(tdir, "csv")
+        .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val before = snap()
+    assert(before.size == 8, s"expected 8 part files, got ${before.keySet}")
+
+    // one-row UPDATE: exactly ONE part file changes, the others keep their
+    // names AND bytes (the KeyRanges sidecar pruned them out of the write)
+    val affected = eng.sql("UPDATE graft.updsrc.kv SET v = 'HIT' WHERE k = 15")
+      .collect()(0).getLong(0)
+    assert(affected == 1)
+    val afterUpd = snap()
+    assert(afterUpd.keySet == before.keySet)
+    val changed = before.keySet.filter(n => before(n) != afterUpd(n))
+    assert(changed.size == 1, s"expected 1 rewritten file, got $changed")
+    assert(spark.table("graft.updsrc.kv").filter(col("k") === 15)
+      .collect()(0).getString(1) == "HIT")
+    assert(spark.table("graft.updsrc.kv").count() == 8)
+
+    // no-match UPDATE: zero rewrites, zero byte churn
+    val none = eng.sql("UPDATE graft.updsrc.kv SET v = 'X' WHERE k = 999")
+      .collect()(0).getLong(0)
+    assert(none == 0)
+    assert(snap() == afterUpd)
+
+    // key-pruned DELETE: the single-row file holding k=25 is emptied and
+    // removed; every other part file keeps its exact bytes
+    spark.sql("DELETE FROM graft.updsrc.kv WHERE k = 25")
+    val afterDel = snap()
+    assert((afterUpd.keySet -- afterDel.keySet).size == 1)
+    assert(afterDel.forall { case (n, bytes) => afterUpd(n) == bytes })
+    assert(spark.table("graft.updsrc.kv").count() == 7)
+    spark.sql("DROP TABLE graft.updsrc.kv")
+    eng.sql("DROP SOURCE updsrc")
+
+    // composite-key UPSERT (anti-join batch path): replaces matching keys
+    // in ONE rewrite job and leaves non-intersecting part files untouched
+    val pc = new File(sys.props("user.dir"), "target/graft-test/upd-prune-ck").getPath
+    eng.sql(s"""CREATE SOURCE updck WITH { "type": "csv", "path": "$pc", "pushdown": "keys" }""")
+    spark.sql("DROP TABLE IF EXISTS graft.updck.kv2")
+    spark.sql("CREATE TABLE graft.updck.kv2 (k1 BIGINT, k2 STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys' = 'k1,k2')")
+    for (i <- 0 until 3)
+      spark.sql(s"INSERT INTO graft.updck.kv2 VALUES (${i * 10}, 'x', ${i}), (${i * 10 + 5}, 'y', ${i})")
+    val cdir = new File(pc, "kv2")
+    def snap2(): Map[String, Seq[Byte]] =
+      FileTable.dataFiles(cdir, "csv")
+        .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val beforeUp = snap2()
+    assert(beforeUp.size == 6)
+    eng.sql("UPSERT INTO graft.updck.kv2 VALUES (15, 'y', 99), (40, 'z', 7)")
+    val rows = spark.table("graft.updck.kv2").orderBy("k1", "k2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((0L, "x", 0L), (5L, "y", 0L), (10L, "x", 1L), (15L, "y", 99L),
+      (20L, "x", 2L), (25L, "y", 2L), (40L, "z", 7L)), rows)
+    val afterUp = snap2()
+    // original files: only the one whose range holds k1=15 was rewritten
+    val origChanged = beforeUp.keySet.filter(n =>
+      !afterUp.get(n).contains(beforeUp(n)))
+    assert(origChanged.size == 1, s"expected 1 rewritten file, got $origChanged")
+    spark.sql("DROP TABLE graft.updck.kv2")
+    eng.sql("DROP SOURCE updck")
+  }
+
   test("key/prefix profiles decline aggregate pushdown (no server-side aggs)") {
     FedData.ensure(spark, sfDir)
     val df = spark.table("graft.kv.customer_kv")
