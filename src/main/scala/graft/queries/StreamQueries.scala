@@ -99,6 +99,78 @@ object StreamQueries {
     s.table(name)
   }
 
+  /** Drain a stateful stream to COMPLETION, including null rows the
+    * outer-join state sweep only emits one batch behind the watermark:
+    *
+    *   run 1: consume every staged file (checkpointed parquet sink);
+    *   run 2: append a sentinel event at max(ts)+1h and run one more
+    *          micro-batch — it sweeps with the real data's final
+    *          watermark (the sweep is one batch stale, so run 1's last
+    *          batch could not);
+    *   run 3: append a second sentinel at max(ts)+2h — this batch sweeps
+    *          with the sentinel-advanced watermark, which is beyond every
+    *          real trigger's interval end, so ALL remaining unmatched
+    *          state evicts and emits.
+    *
+    * This is the production "drain a stream" barrier pattern (kafka
+    * deployments post a terminating tombstone for the same reason). The
+    * sentinel uses user_id = -1 (matches nothing) but MUST carry the
+    * trigger event_type: the trigger side filters by type BEFORE its
+    * watermark node, and the global watermark is the MIN across watermark
+    * operators — a sentinel that gets filtered off one side would pin the
+    * watermark forever. Sentinel-origin rows (negative ids) are filtered
+    * from the result. State recovery across the restarts needs a
+    * recoverable sink, so this drains to parquet, not memory. */
+  private def drainWithFinalSweep(
+      s: SparkSession, evDir: String, sentinelType: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val work = new File(new File(sys.props("user.dir"), "target/graft-stream"),
+      s"final-sweep-${java.util.UUID.randomUUID().toString.take(8)}")
+    val dataDir = new File(work, "data"); dataDir.mkdirs()
+    val schema = s.read.parquet(evDir).schema
+    // hard-link the staged files (same fs) so sentinels never pollute the
+    // shared fixture; copy fallback for filesystems without links
+    new File(evDir).listFiles().filter(f => f.isFile && !f.getName.startsWith(".")
+        && !f.getName.startsWith("_")).foreach { f =>
+      val dst = new File(dataDir, f.getName).toPath
+      try java.nio.file.Files.createLink(dst, f.toPath)
+      catch { case _: Exception => java.nio.file.Files.copy(f.toPath, dst) }
+    }
+    val outDir = new File(work, "out")
+    val ckpt = new File(work, "ckpt")
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      def runOnce(): Unit = {
+        val q = build(s.readStream.schema(schema).parquet(dataDir.getPath))
+          .writeStream.format("parquet")
+          .option("path", outDir.getPath)
+          .option("checkpointLocation", ckpt.getPath)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      val maxTs = s.read.parquet(evDir).agg(max("ts")).head().getTimestamp(0)
+      def sentinel(offsetHours: Long): Unit = {
+        import scala.jdk.CollectionConverters._
+        val row = org.apache.spark.sql.Row(-1L - offsetHours,
+          java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(offsetHours * 3600)),
+          -1L, sentinelType, 0.0, null)
+        s.createDataFrame(List(row).asJava, schema)
+          .repartition(1).write.mode("append").parquet(dataDir.getPath)
+      }
+      // two sentinel rounds: round 1 sweeps with the real data's final
+      // watermark (the sweep is one batch stale), round 2 with
+      // sentinel-1's watermark — already past every real trigger's
+      // interval end, so all remaining unmatched state evicts and emits
+      sentinel(1); runOnce()
+      sentinel(2); runOnce()
+      s.read.parquet(outDir.getPath).filter(col("trigger_id") >= 0)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
+  }
+
   /** Pre-stage the streaming fixtures and initialize the streaming engine
     * (used by Bench's unmeasured warmup: fixture staging, state-store
     * classloading and stateful-plan codegen are session setup, not
@@ -285,19 +357,22 @@ object StreamQueries {
     // the watermark with NO match emits once with null follow columns —
     // the state-eviction path that distinguishes outer from inner.
     //
-    // Boundary honesty: the engine's null-emission sweep runs with the
-    // PREVIOUS batch's watermark (measured at sf0.1 — the final no-data
-    // batch does not sweep join state), so the exact emission frontier
-    // depends on micro-batch file grouping. Matched rows are fully
-    // deterministic; for null rows BOTH engines assert only the region
-    // safely behind any possible sweep (trigger_ts <= max(ts) - 40 min =
-    // delay + interval + batch-staleness margin), applied as the same
-    // exact-value predicate on each side. Null rows nearer the frontier
-    // are engine-timing territory and excluded symmetrically.
+    // FINAL-WATERMARK sweep (closes the round-7 staleness caveat): the
+    // engine's null-emission sweep runs one batch behind the watermark,
+    // so a plain drain leaves triggers near the stream end unswept. The
+    // production drain pattern is a terminating sentinel: append a
+    // far-future barrier event and run one more micro-batch, twice —
+    // the first post-sentinel batch sweeps with the real data's final
+    // watermark, the second with the sentinel-advanced watermark, which
+    // is past every trigger's interval end. After the sentinel drain the
+    // operator's contract holds EXACTLY: every unmatched trigger has
+    // emitted its null row, and the oracle asserts all of them with no
+    // exclusion frontier. (Implemented with a checkpointed parquet sink
+    // — restarts resume state; the memory sink cannot recover in append
+    // mode.)
     GQuery(
       "q_stream_interval_join_outer",
-      """WITH wm AS (SELECT max(ts) - INTERVAL '40 minutes' AS w FROM events),
-        |m AS (
+      """WITH m AS (
         |  SELECT a.event_id AS trigger_id, a.ts AS a_ts,
         |         b.event_id AS follow_id, a.user_id,
         |         b.event_type AS follow_type, b.value AS follow_value
@@ -310,22 +385,15 @@ object StreamQueries {
         |UNION ALL
         |SELECT a.event_id, CAST(NULL AS BIGINT), a.user_id,
         |       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
-        |FROM events a, wm
+        |FROM events a
         |WHERE a.event_type = 'click'
-        |  AND a.ts <= wm.w
         |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.trigger_id = a.event_id)
         |ORDER BY trigger_id, follow_id NULLS FIRST""".stripMargin) { (s, d) =>
       val (evDir, _) = stage(s, d)
-      val pairs = Streams.followWithin(
-        readEvents(s, evDir), readEvents(s, evDir),
-        "click", "10 MINUTES", "10 minutes", joinType = "leftOuter")
-      // exact same frontier predicate as the oracle, from the exact max
-      val maxTs = Tables.load(s, d, "events")
-        .agg(max("ts")).head().getTimestamp(0)
-      val frontier = lit(java.sql.Timestamp.from(
-        maxTs.toInstant.minusSeconds(40L * 60)))
-      drain(pairs, "append", noData = true)
-        .filter(col("follow_id").isNotNull || col("trigger_ts") <= frontier)
+      drainWithFinalSweep(s, evDir, "click") { ev =>
+        Streams.followWithin(ev, ev, "click", "10 MINUTES", "10 minutes",
+          joinType = "leftOuter")
+      }
         .select(col("trigger_id"), col("follow_id"),
           col("t_user").as("user_id"), col("follow_type"),
           col("value").as("follow_value"))

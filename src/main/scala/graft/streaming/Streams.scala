@@ -127,7 +127,12 @@ object Streams {
       .withWatermark("follow_ts", watermarkDelay)
     // leftOuter adds the eviction-emit path: a trigger whose interval
     // falls fully behind the watermark with no match emits ONCE with
-    // null follow columns — the state cleanup inner joins never surface
+    // null follow columns — the state cleanup inner joins never surface.
+    // The sweep runs one micro-batch behind the watermark, so DRAINING a
+    // finite stream to completion requires the barrier pattern: post a
+    // far-future sentinel that passes both sides' watermark operators and
+    // run two more micro-batches (StreamQueries.drainWithFinalSweep) —
+    // after which every unmatched trigger has emitted its null row.
     a.join(b, col("t_user") === col("f_user") &&
       col("follow_ts") > col("trigger_ts") &&
       col("follow_ts") <= col("trigger_ts") + expr(s"INTERVAL $interval"),
