@@ -248,7 +248,9 @@ final case class FilePartition(
   * (avg only under complete pushdown — partials can't merge it). */
 final case class AggDef(kind: String, colIdx: Int, resultType: DataType)
 
-class FileScanBuilder(table: FileTable) extends ScanBuilder
+class FileScanBuilder(
+    table: FileTable,
+    maxFilesPerTrigger: Option[Int] = None) extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
@@ -504,7 +506,7 @@ class FileScanBuilder(table: FileTable) extends ScanBuilder
         parseSchema, required, outIdx, pushed, limit, topN,
         onePartition = passthrough && (limit >= 0 || offset > 0), prunedFrom,
         offset, runtimeKey = KeyPrune.hookFor(table),
-        streamDir = table.dir.getPath)
+        streamDir = table.dir.getPath, maxFilesPerTrigger = maxFilesPerTrigger)
     }
   }
 }
@@ -678,7 +680,8 @@ class FileScanImpl(
     prunedFrom: Int = -1,
     offset: Int = 0,
     runtimeKey: Option[(String, org.apache.spark.sql.types.DataType, String)] = None,
-    streamDir: String = null)
+    streamDir: String = null,
+    maxFilesPerTrigger: Option[Int] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -718,7 +721,8 @@ class FileScanImpl(
     require(streamDir != null,
       "streaming read needs the table directory (scan built without it)")
     new FileMicroBatchStream(streamDir, FileCodec.forFormat(format).extension,
-      format, parseSchema.json, outputSchema.json, outputIndices, pushed)
+      format, parseSchema.json, outputSchema.json, outputIndices, pushed,
+      checkpointLocation, maxFilesPerTrigger)
   }
 
   override def readSchema(): StructType = outputSchema

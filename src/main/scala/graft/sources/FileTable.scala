@@ -98,7 +98,8 @@ class FileTable(
     util.Map.of("format", format, "location", dir.getPath)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FileScanBuilder(this)
+    new FileScanBuilder(this,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new FileWriteBuilder(this, dir.getPath, format, schema0, info.queryId())
@@ -274,45 +275,58 @@ object FileTable {
   val MaxInferFiles = 8
 }
 
-/** Per-file key-range sidecar (`_keyranges.json`): rendered [min, max] of
-  * the table's first declared key column for each part file, recorded at
+/** Per-file metadata entry in the `_keyranges.json` sidecar: rendered
+  * [min, max] of the table's first declared key column, the file's row
+  * count (drives `estimateStatistics.numRows`), and — for bucketed tables
+  * — the file's bucket id (drives storage-partitioned joins). `rows`/
+  * `bucket` are -1 when unknown (entries written by older sidecars). */
+final case class FileMeta(min: String, max: String, rows: Long = -1L, bucket: Int = -1)
+
+/** Per-file key-range sidecar (`_keyranges.json`): metadata recorded at
   * write commit. Backs the Datastore-style get-by-key short-circuit
   * (reference: key-equality lookups become direct gets,
   * backends/datastore/sql_to_datastore.go:70-150; LIKE 'p%' becomes a key
   * range, :478-489) — the scan prunes files whose range cannot hold any
   * requested key. Metadata is advisory and conservative: files without an
   * entry always scan; a rewrite that removes rows leaves a superset range
-  * (still correct); the UPDATE dir-swap rebuilds entries from scratch.
+  * (still correct); the UPDATE per-file rewrite refreshes the entries of
+  * the files it replaces.
   */
 object KeyRanges {
 
   val FileName = "_keyranges.json"
   private val mapper = new ObjectMapper()
 
-  def load(dir: File): Map[String, (String, String)] = {
+  def load(dir: File): Map[String, FileMeta] = {
     val f = new File(dir, FileName)
     if (!f.isFile) Map.empty
     else {
       val root = mapper.readTree(f)
       val it = root.fields()
-      val b = Map.newBuilder[String, (String, String)]
+      val b = Map.newBuilder[String, FileMeta]
       while (it.hasNext) {
         val e = it.next()
-        b += e.getKey -> (e.getValue.get("min").asText(),
-          e.getValue.get("max").asText())
+        val v = e.getValue
+        b += e.getKey -> FileMeta(
+          Option(v.get("min")).map(_.asText()).orNull,
+          Option(v.get("max")).map(_.asText()).orNull,
+          Option(v.get("rows")).map(_.asLong()).getOrElse(-1L),
+          Option(v.get("bucket")).map(_.asInt()).getOrElse(-1))
       }
       b.result()
     }
   }
 
-  def merge(dir: File, entries: Map[String, (String, String)]): Unit = {
+  def merge(dir: File, entries: Map[String, FileMeta]): Unit = {
     if (entries.isEmpty) return
     val all = load(dir) ++ entries
     val root = mapper.createObjectNode()
-    all.toSeq.sortBy(_._1).foreach { case (name, (mn, mx)) =>
+    all.toSeq.sortBy(_._1).foreach { case (name, m) =>
       val o = root.putObject(name)
-      o.put("min", mn)
-      o.put("max", mx)
+      if (m.min != null) o.put("min", m.min)
+      if (m.max != null) o.put("max", m.max)
+      if (m.rows >= 0) o.put("rows", m.rows)
+      if (m.bucket >= 0) o.put("bucket", m.bucket)
     }
     Using.resource(FileCodec.utf8Writer(new File(dir, FileName)))(
       _.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)))
@@ -352,7 +366,8 @@ object KeyPrune {
     files.filter { f =>
       ranges.get(f.getName) match {
         case None => true // no metadata: always scan
-        case Some((mnS, mxS)) =>
+        case Some(m) if m.min == null || m.max == null => true // rows-only entry
+        case Some(FileMeta(mnS, mxS, _, _)) =>
           val mn = LineCodec.parse(mnS, keyType)
           val mx = LineCodec.parse(mxS, keyType)
           constraints.forall {

@@ -249,6 +249,61 @@ class FileSourceSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("streaming offset log stays O(1) across ~100 commits and compacts itself") {
+    FedData.ensure(spark, sfDir)
+    import org.apache.spark.sql.streaming.Trigger
+    val t = "graft.kv.stream_log_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    // stage 60 part files directly (one row each) — the stream admits one
+    // per micro-batch, so one AvailableNow drain = 60 real commits
+    val tdir = SourceRegistry.get("kv").get.tableDir("stream_log_spec")
+    for (i <- 0 until 60) {
+      val f = new File(tdir, f"part-seed-$i%05d.csv")
+      val w = java.nio.file.Files.newBufferedWriter(f.toPath)
+      w.write(s"k,v\n$i,r$i\n"); w.close()
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-log").toFile
+    val sink = new File(base, "sink").getPath
+    val ckpt = new File(base, "ckpt")
+    def drainOnce(): Unit = {
+      val q = spark.readStream.option("maxFilesPerTrigger", "1").table(t)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainOnce()
+    assert(spark.read.parquet(sink).count() == 60)
+    // every committed offset is O(1) — a log position, not a name set
+    // (the v1 design would have written ~60 names into offset 59)
+    val offsets = new File(ckpt, "offsets").listFiles()
+      .filter(f => scala.util.Try(f.getName.toLong).isSuccess)
+    assert(offsets.length >= 55, s"expected ~60 micro-batch commits, got ${offsets.length}")
+    // the SOURCE offset is the last line of each offset file: a log
+    // position, never a name list (v1 wrote ~60 names into offset 59)
+    val lastOffsetLine = scala.io.Source.fromFile(
+      offsets.maxBy(_.getName.toLong)).getLines().toSeq.last
+    assert(lastOffsetLine.contains("\"id\"") && lastOffsetLine.length < 40,
+      s"offset must stay O(1): $lastOffsetLine")
+    // the metadata log compacted: entries older than two windows deleted
+    // (Spark hands the source its own checkpoint subdir: sources/0)
+    val logDir = new File(new File(new File(ckpt, "sources"), "0"), "graft-files")
+    assert(logDir.isDirectory, s"metadata log dir missing: $logDir")
+    val logIds = logDir.listFiles()
+      .flatMap(f => scala.util.Try(f.getName.stripSuffix(".compact").toLong).toOption)
+    assert(logIds.length <= 2 * FilesMetadataLog.CompactInterval + 2,
+      s"log did not compact: ${logIds.sorted.mkString(",")}")
+    assert(logIds.min > 0, "oldest delta entries should be deleted")
+    // resume from the same checkpoint: exactly-once across the restart
+    spark.sql(s"INSERT INTO $t VALUES (1000, 'tail')")
+    drainOnce()
+    val rows = spark.read.parquet(sink)
+    assert(rows.count() == 61)
+    assert(rows.select("k").distinct().count() == 61, "replayed duplicates")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("OPTIMIZE bin-packs part files; data and key pruning survive") {
     FedData.ensure(spark, sfDir)
     val t = "graft.kv.compact_spec"
