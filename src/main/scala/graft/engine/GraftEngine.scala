@@ -278,6 +278,12 @@ class GraftEngine(val spark: SparkSession) {
     val unknown = assigns.keys.filterNot(c =>
       table.schema0.fieldNames.exists(_.equalsIgnoreCase(c)))
     require(unknown.isEmpty, s"UPDATE $tbl: unknown columns ${unknown.mkString(", ")}")
+    // a bucketed file's bucket id is a function of its rows' keys: an
+    // in-place key rewrite would strand rows in the wrong bucket (KV
+    // stores model key changes as delete+insert; so do we)
+    if (table.buckets > 0)
+      require(!assigns.keys.exists(c => table.keys.exists(_.equalsIgnoreCase(c))),
+        s"UPDATE $tbl: cannot update bucket key columns; DELETE + INSERT instead")
     val filters = PartFileRewrite.condFilters(spark, tbl, cond)
     val (touched, _) = PartFileRewrite.touchedFiles(table, filters)
     var affected = 0L

@@ -185,6 +185,146 @@ object Multimodal {
     } catch { case _: Exception => stubDecode(m) }
   }
 
+  /** True iff the payload is an ISO-BMFF container (MP4/MOV/M4A): a
+    * top-level `ftyp` box leads the file. */
+  def looksLikeMp4(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** True iff the payload is a RIFF/AVI container. */
+  def looksLikeAvi(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 255L) << 24) | ((b(o + 1) & 255L) << 16) |
+      ((b(o + 2) & 255L) << 8) | (b(o + 3) & 255L)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o + 3) & 255L) << 24) | ((b(o + 2) & 255L) << 16) |
+      ((b(o + 1) & 255L) << 8) | (b(o) & 255L)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(Array(b(o), b(o + 1), b(o + 2), b(o + 3)),
+      java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walk ISO-BMFF boxes in payload[from, to): calls f(type, payloadFrom,
+    * payloadTo) per box. Size-sanity guarded (a hostile size that escapes
+    * the window or loops stops the walk — same fail-to-stub discipline as
+    * the image decompression-bomb cap). */
+  private def walkBoxes(b: Array[Byte], from: Int, to: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var o = from
+    while (o + 8 <= to) {
+      var size = be32(b, o)
+      var hdr = 8
+      if (size == 1 && o + 16 <= to) { size = be64(b, o + 8); hdr = 16 }
+      else if (size == 0) size = (to - o).toLong // box extends to end
+      if (size < hdr || size > to - o) return // corrupt/hostile size
+      f(fourcc(b, o + 4), o + hdr, o + size.toInt)
+      o += size.toInt
+    }
+  }
+
+  /** REAL video container metadata — pure JDK byte arithmetic, no codec:
+    *
+    *   - MP4 (ISO BMFF): `moov/mvhd` gives timescale+duration; each
+    *     `trak` gives `tkhd` width/height (16.16 fixed point), its
+    *     `mdia/hdlr` handler type, and its `stbl/stts` total sample
+    *     count. The VIDEO trak's sample count is the frame count (an
+    *     audio trak has far more samples — routing on `hdlr` type
+    *     matters, reference: the mime-typed media envelope).
+    *   - AVI (RIFF): `hdrl/avih` carries dwTotalFrames + dwWidth/dwHeight
+    *     directly (little-endian).
+    *
+    * Pixel data stays undecodable here (no JDK video codec) — features
+    * remain the deterministic stub; only the ENVELOPE becomes real. An
+    * unparseable container falls back to the stub entirely, keeping the
+    * synthetic-payload oracle. */
+  def videoDecode(m: MediaRow): DecodedMedia = {
+    try {
+      val b = m.payload
+      var width = 0; var height = 0; var frames = 0L
+      if (looksLikeMp4(b)) {
+        walkBoxes(b, 0, b.length) {
+          case ("moov", mf, mt) =>
+            walkBoxes(b, mf, mt) {
+              case ("trak", tf, tt) =>
+                var w = 0; var h = 0; var isVideo = false; var samples = 0L
+                walkBoxes(b, tf, tt) {
+                  case ("tkhd", o, e) =>
+                    val off = o + (if (b(o) == 1) 88 else 76) // v1 vs v0
+                    if (off + 8 <= e) {
+                      w = (be32(b, off) >> 16).toInt // 16.16 fixed point
+                      h = (be32(b, off + 4) >> 16).toInt
+                    }
+                  case ("mdia", df, dt) =>
+                    walkBoxes(b, df, dt) {
+                      case ("hdlr", o, e) if o + 12 <= e =>
+                        isVideo = fourcc(b, o + 8) == "vide"
+                      case ("minf", nf, nt) =>
+                        walkBoxes(b, nf, nt) {
+                          case ("stbl", sf, st) =>
+                            walkBoxes(b, sf, st) {
+                              case ("stts", o, e) if o + 8 <= e =>
+                                val entries = be32(b, o + 4).toInt
+                                var i = 0
+                                var total = 0L
+                                while (i < entries && o + 8 + i * 8 + 4 <= e) {
+                                  total += be32(b, o + 8 + i * 8)
+                                  i += 1
+                                }
+                                samples = total
+                              case _ =>
+                            }
+                          case _ =>
+                        }
+                      case _ =>
+                    }
+                  case _ =>
+                }
+                if (isVideo) { width = w; height = h; frames = samples }
+              case _ =>
+            }
+          case _ =>
+        }
+      } else if (looksLikeAvi(b)) {
+        // RIFF chunks: [fourcc][le size][payload]; LIST chunks nest with a
+        // 4-byte list type leading the payload
+        def walkRiff(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+          var o = from
+          while (o + 8 <= to) {
+            val id = fourcc(b, o)
+            val size = le32(b, o + 4)
+            if (size < 0 || size > to - o - 8) return
+            f(id, o + 8, o + 8 + size.toInt)
+            o += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+          }
+        }
+        walkRiff(12, b.length) {
+          case ("LIST", lf, lt) if lt - lf >= 4 && fourcc(b, lf) == "hdrl" =>
+            walkRiff(lf + 4, lt) {
+              case ("avih", o, e) if o + 40 <= e =>
+                frames = le32(b, o + 16) // dwTotalFrames
+                width = le32(b, o + 32).toInt
+                height = le32(b, o + 36).toInt
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+      if (frames <= 0 || frames > Int.MaxValue || width < 0 || height < 0)
+        stubDecode(m)
+      else {
+        val h = TextHash.polyHash(
+          new String(m.payload, java.nio.charset.StandardCharsets.UTF_8))
+        DecodedMedia(m.media_id, m.kind, width, height, frames.toInt,
+          stubFeatures(h))
+      }
+    } catch { case _: Exception => stubDecode(m) }
+  }
+
   /** Wrap a documents frame as a media table: the text payload stands in
     * for image/video bytes (same opaque-binary plumbing, deterministic). */
   def fromDocuments(docs: DataFrame, kind: String = "image"): Dataset[MediaRow] = {
@@ -215,6 +355,8 @@ object Multimodal {
           .map(m =>
             if (m.kind == "image" && looksLikeImage(m.payload)) imageDecode(m)
             else if (m.kind == "audio" && looksLikeWav(m.payload)) audioDecode(m)
+            else if (m.kind == "video" &&
+              (looksLikeMp4(m.payload) || looksLikeAvi(m.payload))) videoDecode(m)
             else stubDecode(m))
       }
     }

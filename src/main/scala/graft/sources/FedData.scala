@@ -99,7 +99,8 @@ object FedData {
           SourceDef(srcName, root.getPath, "csv", profile))
       // versioned marker: bumping it invalidates fixture sets staged by
       // older builds (the directory is wiped and re-staged)
-      val marker = new File(root, "_READY_v3")
+      // v4: sidecars gained per-file row counts (numRows statistics)
+      val marker = new File(root, "_READY_v4")
       if (!marker.isFile) {
         if (root.isDirectory) delete(root)
         root.mkdirs()

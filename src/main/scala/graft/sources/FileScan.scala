@@ -243,6 +243,17 @@ final case class FilePartition(
     topN: Array[SortSpec],
     offset: Int = 0) extends InputPartition
 
+/** A [[FilePartition]] holding exactly one bucket of a bucketed table,
+  * keyed so Spark's storage-partitioned-join planner can align it with
+  * the co-bucketed partition of the other scan. */
+final case class BucketedFilePartition(inner: FilePartition, bucketId: Int)
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucketId))
+}
+
 /** One pushed aggregate function, indexed into the scan's parse schema.
   * kinds: count_star | count | min | max | sum_long | sum_double | avg
   * (avg only under complete pushdown — partials can't merge it). */
@@ -502,11 +513,24 @@ class FileScanBuilder(
       // a passthrough-consumed limit/top-N/offset is exact
       // (isPartiallyPushed = false): one partition delivers the globally
       // sorted, trimmed result
+      // bucketed tables expose their layout for storage-partitioned joins
+      // only when the deployment opts in (the v2 bucketing conf): grouping
+      // partitions by bucket trades scan parallelism for shuffle-free joins
+      val spjConf = try org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+        catch { case _: Exception => false }
+      val bucketSpec =
+        if (table.buckets > 0)
+          table.keys.headOption.flatMap(k => table.schema0.fields
+            .find(_.name.equalsIgnoreCase(k))
+            .map(f => (table.buckets, f.name)))
+        else None
       new FileScanImpl(scanFiles.map(_.getPath), table.format,
         parseSchema, required, outIdx, pushed, limit, topN,
         onePartition = passthrough && (limit >= 0 || offset > 0), prunedFrom,
         offset, runtimeKey = KeyPrune.hookFor(table),
-        streamDir = table.dir.getPath, maxFilesPerTrigger = maxFilesPerTrigger)
+        streamDir = table.dir.getPath, maxFilesPerTrigger = maxFilesPerTrigger,
+        bucketSpec = bucketSpec, spjEnabled = spjConf)
     }
   }
 }
@@ -681,10 +705,13 @@ class FileScanImpl(
     offset: Int = 0,
     runtimeKey: Option[(String, org.apache.spark.sql.types.DataType, String)] = None,
     streamDir: String = null,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    bucketSpec: Option[(Int, String)] = None,
+    spjEnabled: Boolean = false)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // mutated (narrowed only) by runtime filtering before partition planning
   private var files: Seq[String] = files0
@@ -706,12 +733,54 @@ class FileScanImpl(
       case _ => Array.empty
     }
 
-  override def filter(filters: Array[Filter]): Unit =
+  override def filter(filters: Array[Filter]): Unit = {
+    // under an active storage-partitioned join the reported partitioning
+    // (bucket values present) is already baked into the plan; narrowing
+    // the file list here could drop a bucket the join layout counts on
+    if (spjActive) return
     runtimeKey.foreach { case (k, t, dirPath) =>
       files = KeyPrune
         .prune(files.map(new File(_)), k, t, new File(dirPath), filters.toSeq)
         .map(_.getPath)
     }
+  }
+
+  // ---- storage-partitioned layout ---------------------------------------
+
+  /** Sidecar metadata for the scanned files (bucket ids + row counts). */
+  private lazy val fileMeta: Map[String, FileMeta] =
+    if (streamDir == null) Map.empty else KeyRanges.load(new File(streamDir))
+
+  /** Bucket layout is reported only when the deployment enabled v2
+    * bucketing, the table declares buckets, EVERY scanned file has a
+    * recorded bucket id, and the bucket key survives projection (the join
+    * planner must resolve it against the scan output). */
+  private lazy val spjActive: Boolean = spjEnabled && bucketSpec.exists {
+    case (_, key) =>
+      outputSchema.fieldNames.exists(_.equalsIgnoreCase(key)) &&
+        files.nonEmpty &&
+        files.forall(f => fileMeta.get(new File(f).getName).exists(_.bucket >= 0))
+  }
+
+  /** (bucket id, that bucket's files), ordered by bucket. */
+  private lazy val bucketGroups: Seq[(Int, Seq[String])] =
+    files.groupBy(f => fileMeta(new File(f).getName).bucket)
+      .toSeq.sortBy(_._1).map { case (b, fs) => (b, fs.sorted) }
+
+  /** Declared layout: `bucket(N, key)` KeyGroupedPartitioning with one
+    * partition per populated bucket — Catalyst resolves the transform via
+    * the graft FunctionCatalog ([[GraftBucketBound]]) and plans co-
+    * bucketed joins with NO Exchange (storage-partitioned join). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.partitioning._
+    if (spjActive) {
+      val (n, key) = bucketSpec.get
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(n, key)), bucketGroups.size)
+    } else new UnknownPartitioning(0)
+  }
 
   /** Streaming read over the table's directory: new part files are the
     * stream (see [[FileMicroBatchStream]]); the pushed filters and pruned
@@ -740,20 +809,41 @@ class FileScanImpl(
     * list. Without this a DSv2 scan reports `defaultSizeInBytes`
     * (effectively infinite), so Catalyst could NEVER auto-broadcast a
     * tiny dimension read through the connector — the reference's engine
-    * sizes its sources the same way a warehouse does. Text bytes slightly
-    * overestimate in-memory row size for pruned projections, which only
-    * errs toward not broadcasting (safe). */
+    * sizes its sources the same way a warehouse does. Text bytes can
+    * UNDERESTIMATE in-memory row width for numeric-dense rows (an
+    * UnsafeRow is 8 bytes per field), so the size is scaled by
+    * `spark.sql.sources.fileCompressionFactor` — the same deployment knob
+    * Spark's own file sources use for this correction. Row counts come
+    * from the sidecar when every scanned file recorded one (counts are
+    * upper bounds after un-pushed deletes: advisory, like the ranges). */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
+      private val factor = try org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
+        catch { case _: Exception => 1.0 }
       private val bytes = files.map(f => new File(f).length()).sum
+      private val rowCounts = files.map(f =>
+        fileMeta.get(new File(f).getName).map(_.rows).getOrElse(-1L))
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(math.max(1L, bytes))
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        java.util.OptionalLong.of(math.max(1L, (bytes * factor).toLong))
+      override def numRows(): java.util.OptionalLong =
+        if (rowCounts.nonEmpty && rowCounts.forall(_ >= 0))
+          java.util.OptionalLong.of(rowCounts.sum)
+        else java.util.OptionalLong.empty()
     }
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (spjActive)
+      // one partition per populated bucket, keyed so Spark's SPJ planner
+      // aligns it with the other side's matching bucket
+      return bucketGroups.map { case (b, fs) =>
+        BucketedFilePartition(FilePartition(
+          fs.map(f => FileChunk(f, 0L, new File(f).length())).toArray, format,
+          parseSchema.json, outputSchema.json, outputIndices, pushed, limit,
+          topN, offset), b): InputPartition
+      }.toArray
     val parts =
       if (onePartition) // exact consumed limit/top-N: global visibility
         Seq(files.map(f => FileChunk(f, 0L, new File(f).length())))
@@ -786,7 +876,10 @@ class FilePartitionReaderFactory extends PartitionReaderFactory {
     }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[FilePartition]
+    val p = partition match {
+      case b: BucketedFilePartition => b.inner
+      case f: FilePartition => f
+    }
     val parseSchema = DataType.fromJson(p.parseSchemaJson).asInstanceOf[StructType]
     val outSchema = DataType.fromJson(p.outputSchemaJson).asInstanceOf[StructType]
     val codec = FileCodec.forFormat(p.format)

@@ -40,7 +40,8 @@ class FileTable(
     val tableName: String,
     val schema0: StructType,
     val format: String,
-    val keys: Seq[String] = Nil)
+    val keys: Seq[String] = Nil,
+    val buckets: Int = 0)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   val dir: File = source.tableDir(tableName)
@@ -203,6 +204,14 @@ class FileTable(
       if (kept > 0) new File(tmp).renameTo(new File(orig))
       else new File(tmp).delete()
     }
+    // refresh sidecar row counts for the surviving rewritten files (range
+    // stays the recorded superset — conservative; bucket ids carry over)
+    val prior = KeyRanges.load(dir)
+    KeyRanges.merge(dir, results.collect {
+      case (orig, _, kept) if kept > 0 && prior.contains(new File(orig).getName) =>
+        val name = new File(orig).getName
+        name -> prior(name).copy(rows = kept)
+    }.toMap)
   }
 }
 
@@ -217,9 +226,10 @@ object FileTable {
         !f.getName.startsWith(".") && !f.getName.startsWith("_"))
       .sortBy(_.getName).toSeq
 
-  /** Create: directory + sidecar (format, schema, optional key columns). */
+  /** Create: directory + sidecar (format, schema, optional key columns,
+    * optional bucket count). */
   def create(s: SourceDef, table: String, schema: StructType, format: String,
-      keys: Seq[String] = Nil): FileTable = {
+      keys: Seq[String] = Nil, buckets: Int = 0): FileTable = {
     val dir = s.tableDir(table)
     dir.mkdirs()
     val obj = mapper.createObjectNode()
@@ -230,10 +240,11 @@ object FileTable {
       val arr = obj.putArray("keys")
       keys.foreach(arr.add)
     }
+    if (buckets > 0) obj.put("buckets", buckets)
     val sidecar = new File(dir, SidecarName)
     Using.resource(FileCodec.utf8Writer(sidecar))(
       _.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(obj)))
-    new FileTable(s, table, schema, format, keys)
+    new FileTable(s, table, schema, format, keys, buckets)
   }
 
   /** Open: sidecar if present, else infer by sampling the first data file. */
@@ -247,7 +258,8 @@ object FileTable {
       val keys = Option(obj.get("keys")).map { arr =>
         (0 until arr.size()).map(arr.get(_).asText())
       }.getOrElse(Seq.empty)
-      Some(new FileTable(s, table, schema, fmt, keys))
+      val buckets = Option(obj.get("buckets")).map(_.asInt()).getOrElse(0)
+      Some(new FileTable(s, table, schema, fmt, keys, buckets))
     } else {
       // no sidecar: discover format from extensions; the schema is inferred
       // per file and merged through the widen lattice (reference:

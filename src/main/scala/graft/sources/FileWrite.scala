@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.{BufferedWriter, File}
 
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
@@ -19,6 +19,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * partition preserves upstream parallelism — at cluster scale the table
   * accumulates many part files, which is exactly what the one-partition-
   * per-file scan side wants. Empty partitions produce no file.
+  *
+  * Bucketed tables (TBLPROPERTIES 'buckets' = N on a keyed table) route
+  * each row to one of N bucket files per task by [[GraftBucket]] hash of
+  * the first key column; the file's bucket id is recorded in the sidecar
+  * and drives storage-partitioned joins on the scan side.
   */
 class FileWriteBuilder(
     table: FileTable, dirPath: String, format: String,
@@ -50,12 +55,17 @@ class FileWriteBuilder(
   }
 }
 
-/** keyMin/keyMax: rendered min/max of the table's first declared key
-  * column over this file's rows (null = no keys or no non-null values) —
-  * the per-file range metadata behind get-by-key file pruning. */
-final case class FileCommitMessage(
+/** One finished output file: keyMin/keyMax are the rendered min/max of the
+  * table's first declared key column over the file's rows (null = no keys
+  * or no non-null values), rows its row count, bucket its bucket id (-1 =
+  * unbucketed table). */
+final case class FileEntry(
     tmpPath: String, finalName: String,
-    keyMin: String = null, keyMax: String = null)
+    keyMin: String, keyMax: String, rows: Long, bucket: Int)
+
+/** Commit message: every file this task produced (one for plain tables,
+  * up to `buckets` for bucketed tables). */
+final case class FileCommitMessage(entries: Seq[FileEntry])
   extends WriterCommitMessage
 
 class FileBatchWrite(
@@ -69,7 +79,8 @@ class FileBatchWrite(
     .map(k => schema.fieldNames.indexWhere(_.equalsIgnoreCase(k))).getOrElse(-1)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FileDataWriterFactory(dirPath, format, schema.json, queryId, keyIdx)
+    new FileDataWriterFactory(dirPath, format, schema.json, queryId, keyIdx,
+      table.buckets)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (overwriteFilters.nonEmpty) {
@@ -77,84 +88,101 @@ class FileBatchWrite(
         table.dataFiles().foreach(_.delete())
       else table.deleteWhere(overwriteFilters)
     }
-    messages.foreach {
-      case FileCommitMessage(tmp, fin, _, _) =>
-        val t = new File(tmp)
-        if (t.isFile && !t.renameTo(new File(new File(dirPath), fin)))
-          throw new IllegalStateException(s"commit rename failed: $tmp -> $fin")
-      case null => // empty partition
+    val entries = messages.flatMap {
+      case FileCommitMessage(es) => es
+      case null => Nil // empty partition
     }
-    // record per-file key ranges alongside the data (driver-side, after
-    // the renames — the metadata behind get-by-key file pruning)
-    KeyRanges.merge(new File(dirPath), messages.collect {
-      case FileCommitMessage(_, fin, mn, mx) if mn != null =>
-        fin -> (mn, mx)
+    entries.foreach { e =>
+      val t = new File(e.tmpPath)
+      if (t.isFile && !t.renameTo(new File(new File(dirPath), e.finalName)))
+        throw new IllegalStateException(
+          s"commit rename failed: ${e.tmpPath} -> ${e.finalName}")
+    }
+    // record per-file metadata alongside the data (driver-side, after the
+    // renames): key ranges for get-by-key pruning, row counts for planner
+    // statistics, bucket ids for storage-partitioned joins
+    KeyRanges.merge(new File(dirPath), entries.map { e =>
+      e.finalName -> FileMeta(e.keyMin, e.keyMax, e.rows, e.bucket)
     }.toMap)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case FileCommitMessage(tmp, _, _, _) => new File(tmp).delete()
+      case FileCommitMessage(es) => es.foreach(e => new File(e.tmpPath).delete())
       case null =>
     }
 }
 
 class FileDataWriterFactory(
     dirPath: String, format: String, schemaJson: String, queryId: String,
-    keyIdx: Int = -1)
+    keyIdx: Int = -1, buckets: Int = 0)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new FileDataWriter(dirPath, format, schemaJson, queryId, partitionId, taskId, keyIdx)
+    new FileDataWriter(dirPath, format, schemaJson, queryId, partitionId,
+      taskId, keyIdx, buckets)
 }
 
 class FileDataWriter(
     dirPath: String, format: String, schemaJson: String,
-    queryId: String, partitionId: Int, taskId: Long, keyIdx: Int = -1)
+    queryId: String, partitionId: Int, taskId: Long, keyIdx: Int = -1,
+    buckets: Int = 0)
   extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val codec = FileCodec.forFormat(format)
   private val toScala = schema.fields.map(f =>
     CatalystTypeConverters.createToScalaConverter(f.dataType))
-  private val tmp = new File(dirPath,
-    f".tmp-$queryId-$partitionId%05d-$taskId")
-  private val finalName = f"part-$queryId-$partitionId%05d.${codec.extension}"
 
-  private var out: BufferedWriter = _
-  private var keyMin: Any = null
-  private var keyMax: Any = null
+  /** Per-output-file state, keyed by bucket id (single entry -1 for
+    * unbucketed tables). Writers open lazily: empty buckets write no file. */
+  private final class Sink(val bucket: Int) {
+    private val suffix = if (bucket >= 0) f"-b$bucket%04d" else ""
+    val tmp = new File(dirPath, f".tmp-$queryId-$partitionId%05d-$taskId$suffix")
+    val finalName = f"part-$queryId-$partitionId%05d$suffix.${codec.extension}"
+    var out: BufferedWriter = _
+    var keyMin: Any = null
+    var keyMax: Any = null
+    var rows = 0L
+  }
+  private val sinks = scala.collection.mutable.LinkedHashMap.empty[Int, Sink]
 
   override def write(record: InternalRow): Unit = {
-    if (out == null) { // lazily created: empty partitions write no file
-      tmp.getParentFile.mkdirs()
-      out = FileCodec.utf8Writer(tmp)
-      codec.writeHeader(out, schema)
-    }
     val ext = Array.tabulate[Any](schema.length) { i =>
       if (record.isNullAt(i)) null
       else toScala(i)(record.get(i, schema.fields(i).dataType))
     }
+    val bucket =
+      if (buckets > 0) GraftBucket.of(ext(keyIdx), buckets)
+      else -1
+    val s = sinks.getOrElseUpdate(bucket, new Sink(bucket))
+    if (s.out == null) {
+      s.tmp.getParentFile.mkdirs()
+      s.out = FileCodec.utf8Writer(s.tmp)
+      codec.writeHeader(s.out, schema)
+    }
     if (keyIdx >= 0 && ext(keyIdx) != null) {
       val k = ext(keyIdx)
-      if (keyMin == null || FilterEval.cmp(k, keyMin).exists(_ < 0)) keyMin = k
-      if (keyMax == null || FilterEval.cmp(k, keyMax).exists(_ > 0)) keyMax = k
+      if (s.keyMin == null || FilterEval.cmp(k, s.keyMin).exists(_ < 0)) s.keyMin = k
+      if (s.keyMax == null || FilterEval.cmp(k, s.keyMax).exists(_ > 0)) s.keyMax = k
     }
-    codec.write(out, ext, schema)
+    s.rows += 1
+    codec.write(s.out, ext, schema)
   }
 
   override def commit(): WriterCommitMessage = {
-    if (out == null) null
-    else {
-      out.close(); out = null
-      FileCommitMessage(tmp.getPath, finalName,
-        LineCodec.render(keyMin), LineCodec.render(keyMax))
-    }
+    val entries = sinks.values.filter(_.out != null).map { s =>
+      s.out.close(); s.out = null
+      FileEntry(s.tmp.getPath, s.finalName,
+        LineCodec.render(s.keyMin), LineCodec.render(s.keyMax), s.rows, s.bucket)
+    }.toSeq
+    if (entries.isEmpty) null else FileCommitMessage(entries)
   }
 
   override def abort(): Unit = close()
 
-  override def close(): Unit = {
-    if (out != null) { out.close(); out = null; tmp.delete() }
-  }
+  override def close(): Unit =
+    sinks.values.foreach { s =>
+      if (s.out != null) { s.out.close(); s.out = null; s.tmp.delete() }
+    }
 }

@@ -22,7 +22,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * data files, mirroring the reference's file-source `_files` table
   * (backends/files/filesource_test.go:221-238).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with FunctionCatalog {
 
   private var catalogName: String = SourceRegistry.CatalogName
 
@@ -129,7 +130,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // CREATE TABLE ... TBLPROPERTIES ('keys' = 'col_a,col_b')
     val keys = Option(properties.get("keys")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    FileTable.create(s, ident.name(), schema, fmt, keys)
+    // bucketed layout: 'buckets' = N hash-routes rows by the first key
+    // column at write time and lets co-bucketed tables join shuffle-free
+    val buckets = Option(properties.get("buckets")).map(_.trim.toInt).getOrElse(0)
+    if (buckets > 0) {
+      require(keys.nonEmpty, "TBLPROPERTIES 'buckets' requires 'keys'")
+      val kf = schema.fields.find(_.name.equalsIgnoreCase(keys.head))
+        .getOrElse(throw new IllegalArgumentException(
+          s"bucket key ${keys.head} not in schema"))
+      require(GraftBucket.supported(kf.dataType),
+        s"bucket key type unsupported: ${kf.dataType}")
+    }
+    FileTable.create(s, ident.name(), schema, fmt, keys, buckets)
   }
 
   /** Schema evolution by sidecar rewrite (reference: ALTER jobs,
@@ -159,7 +171,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case other =>
         throw new UnsupportedOperationException(s"ALTER TABLE: $other not supported")
     }
-    FileTable.create(s, ident.name(), schema, table.format, table.keys)
+    FileTable.create(s, ident.name(), schema, table.format, table.keys,
+      table.buckets)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -179,4 +192,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!s.tableDir(oldIdent.name()).renameTo(s.tableDir(newIdent.name())))
       throw new NoSuchTableException(oldIdent)
   }
+
+  // ---- functions --------------------------------------------------------
+  // The catalog exposes ONE function: the bucket transform scans report in
+  // their KeyGroupedPartitioning. Catalyst resolves it here to prove two
+  // bucketed scans co-partitioned (storage-partitioned joins).
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) new GraftBucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
+      ident)
 }

@@ -159,6 +159,7 @@ object PartFileRewrite {
       final class St(val out: java.io.BufferedWriter) {
         var keyMin: Any = null
         var keyMax: Any = null
+        var rows = 0L
       }
       val open = mutable.LinkedHashMap.empty[String, St]
       rows.foreach { r =>
@@ -174,11 +175,12 @@ object PartFileRewrite {
           if (st.keyMin == null || FilterEval.cmp(k, st.keyMin).exists(_ < 0)) st.keyMin = k
           if (st.keyMax == null || FilterEval.cmp(k, st.keyMax).exists(_ > 0)) st.keyMax = k
         }
+        st.rows += 1
         cdc.write(st.out, arr, sch)
       }
       open.values.foreach(_.out.close())
       open.iterator.map { case (p, st) =>
-        (p, LineCodec.render(st.keyMin), LineCodec.render(st.keyMax))
+        (p, LineCodec.render(st.keyMin), LineCodec.render(st.keyMax), st.rows)
       }.toList.iterator
     }.collect() // one triple per rewritten file: metadata-sized
     val byPath = results.groupBy(_._1)
@@ -195,8 +197,13 @@ object PartFileRewrite {
         f.delete()
       }
     }
-    KeyRanges.merge(table.dir, results.collect {
-      case (p, mn, mx) if mn != null => new File(p).getName -> (mn, mx)
+    // refresh sidecar entries for the rewritten files: new range + count,
+    // bucket id carried over (rows stay in their file, so its bucket holds)
+    val prior = KeyRanges.load(table.dir)
+    KeyRanges.merge(table.dir, results.map { case (p, mn, mx, rows) =>
+      val name = new File(p).getName
+      name -> FileMeta(mn, mx, rows,
+        prior.get(name).map(_.bucket).getOrElse(-1))
     }.toMap)
   }
 }

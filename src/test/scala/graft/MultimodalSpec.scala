@@ -159,4 +159,92 @@ class MultimodalSpec extends AnyFunSuite {
     val fs = Multimodal.frameSample(dec, 3).collect()
     assert(fs.forall(_.getSeq[Long](1) == Seq(0L))) // images: 1 frame
   }
+
+  // ---- real video container metadata ------------------------------------
+
+  /** Build an ISO-BMFF box: 4-byte BE size + fourcc + payload. */
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val size = payload.length + 8
+    val out = java.nio.ByteBuffer.allocate(size)
+    out.putInt(size).put(typ.getBytes("US-ASCII")).put(payload)
+    out.array()
+  }
+  private def be(xs: Int*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(xs.length * 4)
+    xs.foreach(bb.putInt)
+    bb.array()
+  }
+
+  test("real MP4 moov/trak headers yield true dims and stts frame count") {
+    // a minimal but structurally REAL MP4: ftyp + moov[mvhd,
+    // trak[tkhd(v0, 640x360 as 16.16), mdia[hdlr(vide),
+    // minf[stbl[stts(2 entries: 100x1 + 150x1 = 250 frames)]]]]]
+    // plus an AUDIO trak with MORE samples that must NOT win (hdlr routing)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be(0x200) ++
+      "isomiso2".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", be(0, 0, 0, 1000, 30000) ++ Array.fill[Byte](80)(0))
+    def tkhd(w: Int, h: Int) = box("tkhd",
+      be(0, 0, 0, 1, 0, 30000) ++ Array.fill[Byte](52)(0) ++
+        be(w << 16, h << 16))
+    def hdlr(t: String) = box("hdlr",
+      be(0, 0) ++ t.getBytes("US-ASCII") ++ Array.fill[Byte](13)(0))
+    def stts(entries: (Int, Int)*) = box("stts",
+      be(0 +: entries.length +: entries.flatMap(e => Seq(e._1, e._2)): _*))
+    def trak(w: Int, h: Int, handler: String, samples: (Int, Int)*) =
+      box("trak", tkhd(w, h) ++ box("mdia",
+        hdlr(handler) ++ box("minf", box("stbl", stts(samples: _*)))))
+    val mp4 = ftyp ++ box("moov",
+      mvhd ++
+        trak(640, 360, "vide", (100, 1), (150, 1)) ++
+        trak(0, 0, "soun", (48000, 1)))
+    val m = MediaRow(1L, "video", "video/mp4", mp4)
+    val d = Multimodal.videoDecode(m)
+    assert((d.width, d.height, d.n_frames) == (640, 360, 250), d)
+    // routed through decode() by signature, not just direct calls
+    import spark.implicits._
+    val viaDecode = Multimodal.decode(Seq(m).toDS()).collect().head
+    assert(viaDecode.n_frames == 250)
+    // frame sampling over the REAL count
+    val fs = Multimodal.frameSample(Multimodal.decode(Seq(m).toDS()), 5).collect()
+    assert(fs.head.getSeq[Long](1) == Seq(0L, 50L, 100L, 150L, 200L))
+  }
+
+  test("real AVI avih header yields dwTotalFrames and dimensions") {
+    def le(xs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(xs.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      xs.foreach(bb.putInt)
+      bb.array()
+    }
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    // avih: usec/frame, maxbytes, padding, flags, TOTALFRAMES, initial,
+    // streams, bufsize, WIDTH, HEIGHT, reserved x4
+    val avih = chunk("avih", le(33333, 0, 0, 0, 480, 0, 1, 0, 320, 240, 0, 0, 0, 0))
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ avih)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl
+    val avi = chunk("RIFF", body)
+    val d = Multimodal.videoDecode(MediaRow(2L, "video", "video/avi", avi))
+    assert((d.width, d.height, d.n_frames) == (320, 240, 480), d)
+  }
+
+  test("hostile/truncated video containers fall back to the stub") {
+    // box size escaping the payload window
+    val bad = box("ftyp", "isom".getBytes("US-ASCII")) ++
+      java.nio.ByteBuffer.allocate(8).putInt(Int.MaxValue)
+        .put("moov".getBytes("US-ASCII")).array()
+    val m = MediaRow(3L, "video", "video/mp4", bad)
+    def same(a: Multimodal.DecodedMedia, b: Multimodal.DecodedMedia): Boolean =
+      a.media_id == b.media_id && a.width == b.width && a.height == b.height &&
+        a.n_frames == b.n_frames && a.features.toSeq == b.features.toSeq
+    val d = Multimodal.videoDecode(m)
+    assert(same(d, Multimodal.stubDecode(m))) // loud fallback, no crash
+    // synthetic (text) payloads keep the stub oracle unchanged
+    val synth = MediaRow(4L, "video", "video/mp4",
+      "not a container".getBytes("UTF-8"))
+    import spark.implicits._
+    assert(same(Multimodal.decode(Seq(synth).toDS()).collect().head,
+      Multimodal.stubDecode(synth)))
+  }
 }

@@ -173,4 +173,67 @@ class PlanSpec extends AnyFunSuite {
     val hashed = f.linesIterator.count(_.contains("shingle_hashes"))
     assert(hashed <= 2, s"shingle_hashes appears $hashed times (eval + corpus side):\n$f")
   }
+
+  test("golden plan: co-bucketed connector tables join with NO Exchange (SPJ)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    graft.sources.FedData.ensure(spark, sfDir)
+    val eng = new graft.engine.GraftEngine(spark)
+    val p = new java.io.File(sys.props("user.dir"), "target/graft-test/spj-src").getPath
+    eng.sql(s"""CREATE SOURCE spj WITH { "type": "csv", "path": "$p" }""")
+    spark.sql("DROP TABLE IF EXISTS graft.spj.facts")
+    spark.sql("DROP TABLE IF EXISTS graft.spj.dims")
+    spark.sql("CREATE TABLE graft.spj.facts (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('keys' = 'k', 'buckets' = '4')")
+    spark.sql("CREATE TABLE graft.spj.dims (k BIGINT, name STRING) " +
+      "TBLPROPERTIES ('keys' = 'k', 'buckets' = '4')")
+    spark.sql("INSERT INTO graft.spj.facts SELECT id AS k, id * 1.5 AS v " +
+      "FROM range(0, 400)")
+    spark.sql("INSERT INTO graft.spj.dims SELECT id AS k, concat('n', id) AS name " +
+      "FROM range(0, 400)")
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val joined = spark.table("graft.spj.facts")
+        .join(spark.table("graft.spj.dims"), "k")
+      val exec = joined.queryExecution.executedPlan
+      val shuffles = collectAll(exec) { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"co-bucketed join still shuffles:\n${joined.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)}")
+      // and the join is CORRECT: every key matches exactly once
+      assert(joined.count() == 400)
+      assert(joined.filter(org.apache.spark.sql.functions.col("k") === 137).collect()
+        .map(r => (r.getDouble(1), r.getString(2))).toSeq == Seq((205.5, "n137")))
+      // without the conf the same tables scan with full per-file parallelism
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val plain = spark.table("graft.spj.facts")
+        .join(spark.table("graft.spj.dims"), "k")
+      assert(plain.count() == 400)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS graft.spj.facts")
+      spark.sql("DROP TABLE IF EXISTS graft.spj.dims")
+      eng.sql("DROP SOURCE spj")
+    }
+  }
+
+  test("connector scans report sidecar row counts to the planner") {
+    graft.sources.FedData.ensure(spark, sfDir)
+    val scan = spark.table("graft.kv.customer_kv").queryExecution.optimizedPlan
+      .collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.get
+    val est = scan.scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(est.numRows().isPresent, "numRows missing from connector statistics")
+    assert(est.numRows().getAsLong ==
+      graft.core.Tables.load(spark, sfDir, "customer").count())
+  }
 }
