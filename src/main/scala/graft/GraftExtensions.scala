@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.HashFunctions.injectInto(ext)
     graft.functions.VecFunctions.injectInto(ext)
+    // the full graft dialect (SET @var, SHOW VARIABLES, PREPARE/EXECUTE,
+    // UPSERT, OPTIMIZE, CREATE SOURCE) at every SQL entry point — incl.
+    // Thrift/JDBC sessions, which fork with these extensions applied
+    ext.injectParser((session, delegate) =>
+      new graft.engine.GraftParser(session, delegate))
   }
 }

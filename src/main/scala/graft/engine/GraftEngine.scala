@@ -71,20 +71,7 @@ class GraftEngine(val spark: SparkSession) {
     "character_set_client" -> "utf8",
     "collation_connection" -> "utf8_general_ci")
 
-  private val SetVar = """(?is)\s*SET\s+@(\w+)\s*(?::?=)\s*(.+?)\s*;?\s*""".r
-  private val TxnNoop = """(?is)\s*(BEGIN|COMMIT|ROLLBACK)\s*;?\s*""".r
-  private val ShowVars = """(?is)\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'(.*)')?\s*;?\s*""".r
-  private val ShowCreate = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?\s*;?\s*""".r
-  private val PrepareStmt = """(?is)\s*PREPARE\s+(\w+)\s+FROM\s+'((?:[^']|'')*)'\s*;?\s*""".r
-  private val ExecuteStmt = """(?is)\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+?))?\s*;?\s*""".r
-  private val DeallocStmt = """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*;?\s*""".r
-  private val CreateSource = """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?SOURCE\s+(\w+)\s+WITH\s+(\{.*\})\s*;?\s*""".r
-  private val DropSource = """(?is)\s*DROP\s+SOURCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
-  private val ShowSources = """(?is)\s*SHOW\s+SOURCES\s*;?\s*""".r
-  private val OptimizeStmt =
-    """(?is)\s*OPTIMIZE\s+TABLE\s+([\w.`]+)(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""".r
-  private val UpdateStmt = """(?is)\s*UPDATE\s+([\w.`]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
-  private val UpsertStmt = """(?is)\s*UPSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^)]*)\))?\s*VALUES\s+(.+?)\s*;?\s*""".r
+  import GraftEngine._
 
   def sql(text: String): DataFrame = text match {
     case SetVar(name, value) =>
@@ -391,5 +378,57 @@ class GraftEngine(val spark: SparkSession) {
     case StringType => "varchar(255)"
     case _: ArrayType | _: MapType | _: StructType => "text"
     case _ => "text"
+  }
+}
+
+object GraftEngine {
+
+  private[engine] val SetVar = """(?is)\s*SET\s+@(\w+)\s*(?::?=)\s*(.+?)\s*;?\s*""".r
+  private[engine] val TxnNoop = """(?is)\s*(BEGIN|COMMIT|ROLLBACK)\s*;?\s*""".r
+  private[engine] val ShowVars = """(?is)\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'(.*)')?\s*;?\s*""".r
+  private[engine] val ShowCreate = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?\s*;?\s*""".r
+  private[engine] val PrepareStmt = """(?is)\s*PREPARE\s+(\w+)\s+FROM\s+'((?:[^']|'')*)'\s*;?\s*""".r
+  private[engine] val ExecuteStmt = """(?is)\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+?))?\s*;?\s*""".r
+  private[engine] val DeallocStmt = """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*;?\s*""".r
+  private[engine] val CreateSource = """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?SOURCE\s+(\w+)\s+WITH\s+(\{.*\})\s*;?\s*""".r
+  private[engine] val DropSource = """(?is)\s*DROP\s+SOURCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  private[engine] val ShowSources = """(?is)\s*SHOW\s+SOURCES\s*;?\s*""".r
+  private[engine] val OptimizeStmt =
+    """(?is)\s*OPTIMIZE\s+TABLE\s+([\w.`]+)(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""".r
+  private[engine] val UpdateStmt = """(?is)\s*UPDATE\s+([\w.`]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private[engine] val UpsertStmt = """(?is)\s*UPSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^)]*)\))?\s*VALUES\s+(.+?)\s*;?\s*""".r
+
+  // one engine per SparkSession, weakly held: session vars / prepared
+  // statements live exactly as long as their session (a Thrift connection
+  // forks a session per client; its engine — and vars — die with it)
+  private val perSession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, GraftEngine]())
+
+  def forSession(s: org.apache.spark.sql.SparkSession): GraftEngine =
+    perSession.synchronized {
+      var e = perSession.get(s)
+      if (e == null) { e = new GraftEngine(s); perSession.put(s, e) }
+      e
+    }
+
+  /** True iff the statement belongs to the graft dialect (the shims the
+    * default Spark parser would reject): matched by a dialect regex, or
+    * referencing a session/system variable outside string literals. Used
+    * by [[GraftParser]] to decide interception. */
+  def isDialect(text: String): Boolean = text match {
+    case SetVar(_, _) | TxnNoop(_) | ShowVars(_) | ShowCreate(_) |
+         PrepareStmt(_, _) | ExecuteStmt(_, _) | DeallocStmt(_) |
+         CreateSource(_, _) | DropSource(_) | ShowSources() => true
+    case OptimizeStmt(t, _) => t.replace("`", "").startsWith("graft.")
+    case UpdateStmt(t, _, _) => t.replace("`", "").startsWith("graft.")
+    case UpsertStmt(t, _, _) => t.replace("`", "").startsWith("graft.")
+    case _ => hasVarRef(text)
+  }
+
+  /** @var / @@sysvar reference outside single-quoted literals ('a@b.com'
+    * must not trigger the dialect path). */
+  private def hasVarRef(text: String): Boolean = {
+    val unquoted = "'(?:[^']|'')*'".r.replaceAllIn(text, "''")
+    "@\\w".r.findFirstIn(unquoted).isDefined
   }
 }

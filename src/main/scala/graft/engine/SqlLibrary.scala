@@ -57,10 +57,13 @@ object SqlLibrary {
 
   // once per session: GraftEngine is constructed inside measured gate
   // closures, and re-parsing four CREATE FUNCTION bodies each time would
-  // tax every engine query (same memo pattern as HashFunctions.ensure)
+  // tax every engine query (same memo pattern as HashFunctions.ensure).
+  // Weakly keyed: a long-lived process creating many sessions (one per
+  // Thrift connection) must let dead sessions — and their state — collect.
   private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Idempotently register the library in `spark`'s session (memoized). */
   def ensure(spark: SparkSession): Unit =

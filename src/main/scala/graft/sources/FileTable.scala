@@ -123,6 +123,12 @@ class FileTable(
     val tmp = java.nio.file.Files
       .createTempDirectory(s"graft-compact-$tableName").toFile
     try {
+      // concurrent-writer guard: the staging read and the overwrite are
+      // two steps; an INSERT committed between them would be silently
+      // dropped by the overwrite (lost update). Snapshot the file listing
+      // before staging and abort if it changed before the swap — same
+      // fail-loud posture as the streaming append-only check.
+      val before = dataFiles().map(f => (f.getName, f.length())).toSet
       // keyed tables compact RANGE-partitioned on the key: round-robin
       // would spread every file's [min, max] across the whole key domain
       // and the rebuilt sidecar could never prune a get-by-key again
@@ -133,6 +139,11 @@ class FileTable(
         case None => rows.repartition(math.max(1, target))
       }
       shaped.write.mode("overwrite").parquet(tmp.getPath)
+      val now = dataFiles().map(f => (f.getName, f.length())).toSet
+      if (now != before)
+        throw new IllegalStateException(
+          s"OPTIMIZE $fullName aborted: table changed during compaction " +
+            "(concurrent writer); rerun when writes are quiesced")
       spark.read.parquet(tmp.getPath).writeTo(fullName).overwrite(lit(true))
       dataFiles().size
     } finally {

@@ -25,6 +25,7 @@ class JdbcEntrySpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
@@ -88,7 +89,69 @@ class JdbcEntrySpec extends AnyFunSuite {
         val rs2 = st.executeQuery(
           "SELECT count(*) AS n FROM graft.fed.nation_csv")
         assert(rs2.next() && rs2.getLong(1) > 0)
-        rs2.close(); st.close()
+        rs2.close()
+
+        // ---- the FULL dialect through the wire (parser extension) ------
+        // The thrift session forked WITH GraftExtensions, so every
+        // GraftEngine statement class works as plain SQL text — the
+        // reference's whole-dialect-over-the-wire UX.
+        def one(sql: String): Seq[Any] = {
+          val r = st.executeQuery(sql)
+          try {
+            assert(r.next(), s"no row from: $sql")
+            (1 to r.getMetaData.getColumnCount).map(r.getObject(_))
+          } finally r.close()
+        }
+        // 1. transactions accepted as no-ops
+        st.execute("BEGIN"); st.execute("COMMIT")
+        // 2. session variables: SET @x then reference it in a SELECT
+        st.execute("SET @who = 'jdbc'")
+        st.execute("SET @n = 40 + 2")
+        assert(one("SELECT concat(@who, '-', @n) AS tag") == Seq("jdbc-42"))
+        // 3. system variables + SHOW VARIABLES
+        assert(one("SELECT @@version AS v") == Seq("8.0-graft-spark"))
+        assert(one("SHOW VARIABLES LIKE 'version'") ==
+          Seq("version", "8.0-graft-spark"))
+        // 4. MySQL-style SHOW CREATE TABLE over a registered view
+        st.execute("CREATE OR REPLACE TEMPORARY VIEW nation AS " +
+          s"SELECT * FROM parquet.`$sfDir/nation.parquet`")
+        val ddl = one("SHOW CREATE TABLE nation")(1).toString
+        assert(ddl.contains("ENGINE=InnoDB") && ddl.contains("`n_name`"), ddl)
+        // 5. prepared statements: PREPARE / EXECUTE USING / DEALLOCATE
+        st.execute("PREPARE p1 FROM 'SELECT ? * 2 AS doubled'")
+        assert(one("EXECUTE p1 USING 21") == Seq(42))
+        st.execute("DEALLOCATE PREPARE p1")
+        // 6. dialect scalar functions (registered by the engine the first
+        // dialect statement instantiated for this session)
+        assert(one("SELECT prefix(n_name, 'NATION_') AS p FROM nation " +
+          "WHERE n_nationkey = 0") == Seq(true))
+        // 7. runtime source DDL + DML lifecycle: CREATE SOURCE, CREATE
+        // TABLE, INSERT, UPSERT (Put semantics), DELETE, OPTIMIZE
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("graft-jdbc-src").toFile.getPath
+        st.execute(s"""CREATE SOURCE jdbcsrc WITH { "type": "csv", "path": "$srcDir", "pushdown": "keys" }""")
+        st.execute("CREATE TABLE graft.jdbcsrc.kv (k BIGINT, v STRING) " +
+          "TBLPROPERTIES ('keys' = 'k')")
+        st.execute("INSERT INTO graft.jdbcsrc.kv VALUES (1, 'a'), (2, 'b')")
+        st.execute("UPSERT INTO graft.jdbcsrc.kv VALUES (2, 'B'), (3, 'c')")
+        assert(one("SELECT v FROM graft.jdbcsrc.kv WHERE k = 2") == Seq("B"))
+        st.execute("DELETE FROM graft.jdbcsrc.kv WHERE k IN (1)")
+        assert(one("SELECT count(*) AS n FROM graft.jdbcsrc.kv") == Seq(2L))
+        val opt = one("OPTIMIZE TABLE graft.jdbcsrc.kv INTO 1 FILES")
+        assert(opt.head.toString == "graft.jdbcsrc.kv", opt)
+        // 8. SHOW SOURCES lists the runtime-registered source
+        val srcs = {
+          val r = st.executeQuery("SHOW SOURCES")
+          try {
+            val b = Seq.newBuilder[String]
+            while (r.next()) b += r.getString(1)
+            b.result()
+          } finally r.close()
+        }
+        assert(srcs.contains("jdbcsrc"), srcs)
+        st.execute("DROP TABLE graft.jdbcsrc.kv")
+        st.execute("DROP SOURCE jdbcsrc")
+        st.close()
       } finally conn.close()
     } finally server.stop()
   }

@@ -24,6 +24,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
   // be ignored (session already exists) or leak into other suites.
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
