@@ -106,6 +106,70 @@ object Bench {
           name -> -1.0
       }
     }
+    // ---- sf0.3 scaling block -------------------------------------------
+    // One extra bench point for the headline queries: an FK-CONSISTENT 3×
+    // replica of the sf0.1 tables (fact keys offset per replica so join
+    // fan-out scales exactly 3×; nation/region stay fixed like TPC-H
+    // dimensions). The per-query ratio vs the sf0.1 measurement above
+    // plots the scaling curve — super-linear surprises the single-SF
+    // bench can't see show up as ratio >> 3.
+    val headline = Seq("q1_agg", "q3_shipping", "q_scan_project", "q_topk",
+      "q_join_inner", "q_group_having", "q_window_running",
+      "q_dedup_minhash_lsh", "q_curation_pack", "q_kmeans")
+    val sf03Enabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF03", "1") == "1"
+    val sf03: Seq[(String, Double)] = if (!sf03Enabled) Nil else try {
+      import org.apache.spark.sql.functions._
+      val dir = new java.io.File(sys.props("user.dir"), "target/graft-bench-sf03")
+      val marker = new java.io.File(dir, "_STAGED_v1")
+      if (!marker.isFile) {
+        val B = 1000000000L
+        val offsets: Map[String, Seq[String]] = Map(
+          "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+          "orders" -> Seq("o_orderkey", "o_custkey"),
+          "customer" -> Seq("c_custkey"),
+          "part" -> Seq("p_partkey"),
+          "supplier" -> Seq("s_suppkey"),
+          "events" -> Seq("event_id"),
+          "documents" -> Seq("doc_id"),
+          "embeddings" -> Seq("vec_id"))
+        for (t <- Seq("region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings")) {
+          val src = spark.read.parquet(s"$sfDir/$t.parquet")
+          val out = offsets.get(t) match {
+            case Some(keys) =>
+              val repl = src.select(col("*"),
+                explode(sequence(lit(0L), lit(2L))).as("_r"))
+              keys.foldLeft(repl) { (df, k) =>
+                df.withColumn(k, col(k) + col("_r") * B)
+              }.drop("_r")
+            case None => src // fixed-size dimension
+          }
+          out.repartition(32).write.mode("overwrite")
+            .parquet(new java.io.File(dir, s"$t.parquet").getPath)
+        }
+        marker.createNewFile()
+      }
+      // warm the replica like the primary (cold parquet IO is staging cost)
+      spark.read.parquet(new java.io.File(dir, "lineitem.parquet").getPath)
+        .write.format("noop").mode("overwrite").save()
+      headline.map { name =>
+        spark.catalog.clearCache()
+        if (interQueryGc) System.gc()
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, dir.getPath)
+            .write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          errors ::= (s"sf03:$name" -> Option(e.getMessage).getOrElse(e.getClass.getName))
+          name -> -1.0
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sf0.3 block failed: $e")
+      Nil
+    }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -123,8 +187,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val base = results.toMap
+    val sf03Json = sf03.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val sf03Ratio = sf03.collect {
+      case (k, v) if v > 0 && base.getOrElse(k, -1.0) > 0 =>
+        jstr(k) + ":" + (math.round(v / base(k) * 100) / 100.0)
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio}"""
     println(line)
     // truncation-proof copy: the stdout line is captured by a consumer that
     // has historically kept only a prefix; the file keeps every number

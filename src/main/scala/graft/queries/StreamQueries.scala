@@ -103,14 +103,13 @@ object StreamQueries {
     * outer-join state sweep only emits one batch behind the watermark:
     *
     *   run 1: consume every staged file (checkpointed parquet sink);
-    *   run 2: append a sentinel event at max(ts)+1h and run one more
-    *          micro-batch — it sweeps with the real data's final
+    *   run 2: append TWO sentinel events (max(ts)+1h, +2h) and restart
+    *          with maxFilesPerTrigger=1 so they process as two separate
+    *          micro-batches — the first sweeps with the real data's final
     *          watermark (the sweep is one batch stale, so run 1's last
-    *          batch could not);
-    *   run 3: append a second sentinel at max(ts)+2h — this batch sweeps
-    *          with the sentinel-advanced watermark, which is beyond every
-    *          real trigger's interval end, so ALL remaining unmatched
-    *          state evicts and emits.
+    *          batch could not), the second with the sentinel-advanced
+    *          watermark, already beyond every real trigger's interval
+    *          end, so ALL remaining unmatched state evicts and emits.
     *
     * This is the production "drain a stream" barrier pattern (kafka
     * deployments post a terminating tombstone for the same reason). The
@@ -141,8 +140,10 @@ object StreamQueries {
     val oldParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      def runOnce(): Unit = {
-        val q = build(s.readStream.schema(schema).parquet(dataDir.getPath))
+      def runOnce(maxFilesPerTrigger: Option[Int] = None): Unit = {
+        val reader = s.readStream.schema(schema)
+        maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+        val q = build(reader.parquet(dataDir.getPath))
           .writeStream.format("parquet")
           .option("path", outDir.getPath)
           .option("checkpointLocation", ckpt.getPath)
@@ -159,12 +160,13 @@ object StreamQueries {
         s.createDataFrame(List(row).asJava, schema)
           .repartition(1).write.mode("append").parquet(dataDir.getPath)
       }
-      // two sentinel rounds: round 1 sweeps with the real data's final
-      // watermark (the sweep is one batch stale), round 2 with
-      // sentinel-1's watermark — already past every real trigger's
+      // two sentinel BATCHES in one restart (maxFilesPerTrigger=1 admits
+      // one sentinel file per micro-batch): batch 1 sweeps with the real
+      // data's final watermark (the sweep is one batch stale), batch 2
+      // with sentinel-1's watermark — already past every real trigger's
       // interval end, so all remaining unmatched state evicts and emits
-      sentinel(1); runOnce()
-      sentinel(2); runOnce()
+      sentinel(1); sentinel(2)
+      runOnce(maxFilesPerTrigger = Some(1))
       s.read.parquet(outDir.getPath).filter(col("trigger_id") >= 0)
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", oldParts)
