@@ -44,7 +44,109 @@ object TextAnalysis {
   private def profileSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** BPE merge steps trained by the q_text_bpe gate. */
+  private val BpeSteps = 8
+
+  /** The unrolled DuckDB oracle for q_text_bpe: the same weighted vocab,
+    * the same pair counting and the same greedy merge application,
+    * repeated [[BpeSteps]] times as explicit CTE stages (the q_kmeans
+    * unrolled-oracle pattern). Words are space-joined symbol strings so a
+    * merge is one `replace(' l r ', ' lr ')` — both engines' replace
+    * scans left-to-right over non-overlapping occurrences, so the greedy
+    * merge semantics coincide exactly. */
+  private def bpeOracleSql: String = {
+    val stages = (1 to BpeSteps).map { k =>
+      s"""p$k AS (
+         |  SELECT u.pair[1] AS lhs, u.pair[2] AS rhs, CAST(sum(u.cnt) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(a)), i -> [a[i], a[i+1]])) AS pair
+         |    FROM (SELECT cnt, list_filter(string_split(s, ' '), x -> x <> '') AS a
+         |          FROM v${k - 1})
+         |    WHERE len(a) >= 2
+         |  ) u(cnt, pair)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT lhs, rhs, n FROM p$k ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |v$k AS (
+         |  SELECT replace(v.s, ' ' || b.lhs || ' ' || b.rhs || ' ',
+         |                 ' ' || b.lhs || b.rhs || ' ') AS s, v.cnt
+         |  FROM v${k - 1} v, b$k b)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeSteps).map { k =>
+      s"SELECT $k AS step, lhs, rhs, lhs || rhs AS merged, n AS pair_count FROM b$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT token FROM (SELECT unnest(toks) AS token FROM tok)
+       |  WHERE regexp_matches(token, '^[a-z]+$$') AND length(token) <= 20),
+       |v0 AS (
+       |  SELECT ' ' || array_to_string(
+       |           list_transform(range(1, length(token) + 1), i -> token[i]), ' ')
+       |         || ' ' AS s,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM w GROUP BY 1),
+       |$stages
+       |SELECT step, lhs, rhs, merged, pair_count FROM (
+       |$out
+       |) ORDER BY step""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
+
+    // BPE tokenizer training (byte-pair encoding merges): the canonical
+    // subword-vocabulary trainer, run as a real distributed pipeline.
+    //   - ONE corpus pass builds the weighted word vocabulary (clean
+    //     [a-z]+ tokens, occurrence counts) — after that, every Lloyd's-
+    //     style iteration runs over the VOCAB table (bounded by distinct
+    //     words, metadata-scale next to the corpus), never the corpus.
+    //   - Each of the 8 merge rounds: adjacent symbol pairs exploded with
+    //     word weights → one partial-combined aggregation → the single
+    //     argmax row collected (one row per round, the k-means-centroid
+    //     pattern) → the merge applied as a codegen'd string replace.
+    //   - Words are ' '-joined symbol strings: `replace(' l r ', ' lr ')`
+    //     IS the greedy left-to-right non-overlapping BPE merge, and both
+    //     engines' replace builtins share that exact semantics, which is
+    //     what makes the 8-stage unrolled DuckDB oracle value-exact.
+    //   100 TB: the corpus pass is the only full-data scan; vocab fits
+    //   any single executor's shuffle comfortably (language vocabularies
+    //   are millions of words, not billions) but stays distributed here —
+    //   no driver materialization beyond one argmax row per round.
+    GQuery("q_text_bpe", bpeOracleSql) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val vocab = docs(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= 20)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"),
+          concat(lit(" "),
+            concat_ws(" ", filter(split(col("word"), ""), x => x =!= "")),
+            lit(" ")).as("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var cur = vocab
+      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+      for (step <- 1 to BpeSteps) {
+        val best = cur
+          .select(col("cnt"), split(trim(col("s")), " ").as("a"))
+          .filter(size(col("a")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(a) - 1), i -> struct(a[i-1] AS lhs, a[i] AS rhs))"))
+            .as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()(0) // ONE row: this round's merge rule
+        val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((step.toLong, l, r, l + r, n))
+        // symbols are [a-z]+ by construction: safe as SQL string literals
+        cur = cur.withColumn("s",
+          expr(s"replace(s, ' $l $r ', ' $l$r ')"))
+      }
+      vocab.unpersist(false)
+      import s.implicits._
+      merges.result().toDF("step", "lhs", "rhs", "merged", "pair_count")
+        .orderBy("step")
+    },
 
     // Corpus vocabulary statistics: top tokens by document frequency with
     // global term frequency — the tokenizer-training / stopword-discovery
