@@ -54,7 +54,7 @@ object TextAnalysis {
     * merge is one `replace(' l r ', ' lr ')` — both engines' replace
     * scans left-to-right over non-overlapping occurrences, so the greedy
     * merge semantics coincide exactly. */
-  private def bpeOracleSql: String = {
+  private def bpeTrainCtes: String = {
     val stages = (1 to BpeSteps).map { k =>
       s"""p$k AS (
          |  SELECT u.pair[1] AS lhs, u.pair[2] AS rhs, CAST(sum(u.cnt) AS BIGINT) AS n
@@ -71,10 +71,7 @@ object TextAnalysis {
          |                 ' ' || b.lhs || b.rhs || ' ') AS s, v.cnt
          |  FROM v${k - 1} v, b$k b)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeSteps).map { k =>
-      s"SELECT $k AS step, lhs, rhs, lhs || rhs AS merged, n AS pair_count FROM b$k"
-    }.mkString("\nUNION ALL ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
        |  FROM documents),
        |w AS (
@@ -86,10 +83,91 @@ object TextAnalysis {
        |         || ' ' AS s,
        |         CAST(count(*) AS BIGINT) AS cnt
        |  FROM w GROUP BY 1),
-       |$stages
-       |SELECT step, lhs, rhs, merged, pair_count FROM (
-       |$out
-       |) ORDER BY step""".stripMargin
+       |$stages""".stripMargin
+  }
+
+  private def bpeOracleSql: String = {
+    val out = (1 to BpeSteps).map { k =>
+      s"SELECT $k AS step, lhs, rhs, lhs || rhs AS merged, n AS pair_count FROM b$k"
+    }.mkString("\nUNION ALL ")
+    // '#' margin: the interpolated CTEs are already |-stripped and contain
+    // legitimate leading `||` / `' | '` text a second |-strip would eat
+    s"""WITH $bpeTrainCtes
+       #SELECT step, lhs, rhs, merged, pair_count FROM (
+       #$out
+       #) ORDER BY step""".stripMargin('#')
+  }
+
+  /** Oracle for q_text_bpe_encode: retrains the same merges (the b1..bN
+    * CTEs above), then applies them to every document. Each doc becomes
+    * ONE spaced symbol string with words separated by a ` | ` boundary
+    * marker — '|' is outside [a-z], so a merge pattern ` l r ` can never
+    * match across a word boundary, exactly like the Spark projection. */
+  private def bpeEncodeOracleSql: String = {
+    val apply = (1 to BpeSteps).map { k =>
+      s"""d$k AS (
+         |  SELECT d.doc_id, d.words, d.chars,
+         |         replace(d.s, ' ' || b.lhs || ' ' || b.rhs || ' ',
+         |                 ' ' || b.lhs || b.rhs || ' ') AS s
+         |  FROM d${k - 1} d, b$k b)""".stripMargin
+    }.mkString(",\n")
+    // '#' margin for the same reason as [[bpeOracleSql]]
+    s"""WITH $bpeTrainCtes,
+       #d0 AS (
+       #  SELECT doc_id,
+       #         CAST(len(wl) AS BIGINT) AS words,
+       #         CAST(length(array_to_string(wl, '')) AS BIGINT) AS chars,
+       #         ' ' || array_to_string(
+       #           list_transform(wl, t -> array_to_string(
+       #             list_transform(range(1, length(t) + 1), i -> t[i]), ' ')),
+       #           ' | ') || ' ' AS s
+       #  FROM (SELECT doc_id,
+       #          list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       #            t -> regexp_matches(t, '^[a-z]+$$') AND length(t) <= 20) AS wl
+       #        FROM documents)),
+       #$apply
+       #SELECT doc_id, words, chars,
+       #  CAST(len(list_filter(string_split(trim(s), ' '),
+       #    x -> x <> '|' AND x <> '')) AS BIGINT) AS bpe_tokens
+       #FROM d$BpeSteps ORDER BY doc_id""".stripMargin('#')
+  }
+
+  /** Shared BPE trainer: one corpus pass builds the weighted vocab, then
+    * [[BpeSteps]] greedy merge rounds over the vocab table only (pair
+    * explode → partial-combined argmax; ONE collected row per round, the
+    * k-means-centroid pattern). Returns the merge rules in order. */
+  private def trainBpe(s: SparkSession, d: String): Seq[(Long, String, String, String, Long)] = {
+    import org.apache.spark.storage.StorageLevel
+    val vocab = docs(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= 20)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        concat(lit(" "),
+          concat_ws(" ", filter(split(col("word"), ""), x => x =!= "")),
+          lit(" ")).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = vocab
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (step <- 1 to BpeSteps) {
+      val best = cur
+        .select(col("cnt"), split(trim(col("s")), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> struct(a[i-1] AS lhs, a[i] AS rhs))"))
+          .as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()(0) // ONE row: this round's merge rule
+      val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((step.toLong, l, r, l + r, n))
+      // symbols are [a-z]+ by construction: safe as SQL string literals
+      cur = cur.withColumn("s",
+        expr(s"replace(s, ' $l $r ', ' $l$r ')"))
+    }
+    vocab.unpersist(false)
+    merges.result()
   }
 
   val queries: Seq[GQuery] = Seq(
@@ -113,39 +191,42 @@ object TextAnalysis {
     //   are millions of words, not billions) but stays distributed here —
     //   no driver materialization beyond one argmax row per round.
     GQuery("q_text_bpe", bpeOracleSql) { (s, d) =>
-      import org.apache.spark.storage.StorageLevel
-      val vocab = docs(s, d)
-        .select(explode(tokens(col("text"))).as("word"))
-        .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= 20)
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .select(col("cnt"),
-          concat(lit(" "),
-            concat_ws(" ", filter(split(col("word"), ""), x => x =!= "")),
-            lit(" ")).as("s"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var cur = vocab
-      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-      for (step <- 1 to BpeSteps) {
-        val best = cur
-          .select(col("cnt"), split(trim(col("s")), " ").as("a"))
-          .filter(size(col("a")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(1, size(a) - 1), i -> struct(a[i-1] AS lhs, a[i] AS rhs))"))
-            .as("p"))
-          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-          .agg(sum(col("cnt")).as("n"))
-          .orderBy(col("n").desc, col("lhs"), col("rhs"))
-          .limit(1).collect()(0) // ONE row: this round's merge rule
-        val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((step.toLong, l, r, l + r, n))
-        // symbols are [a-z]+ by construction: safe as SQL string literals
-        cur = cur.withColumn("s",
-          expr(s"replace(s, ' $l $r ', ' $l$r ')"))
-      }
-      vocab.unpersist(false)
       import s.implicits._
-      merges.result().toDF("step", "lhs", "rhs", "merged", "pair_count")
+      trainBpe(s, d).toDF("step", "lhs", "rhs", "merged", "pair_count")
         .orderBy("step")
+    },
+
+    // BPE encode (apply the trained merges to the corpus): per-document
+    // subword token counts — the pipeline stage that prices a corpus in
+    // tokens (mix budgeting, packing, per-doc compression diagnostics).
+    //   The trained merges are driver-side metadata (BpeSteps rows), so
+    // encoding is ONE embarrassingly-parallel codegen'd projection over
+    // the corpus: each doc becomes a spaced symbol string (words joined
+    // with a ' | ' boundary marker so merges never cross words), the
+    // merge rules fold into a chain of `replace` calls, and the token
+    // count is a split-and-filter. No join, no shuffle — at 100 TB the
+    // replace chain costs CPU inside whole-stage codegen instead of
+    // shuffling a corpus-scale exploded token stream through a vocab
+    // join. All-integer outputs; value-exact against the d0..dN unrolled
+    // oracle (same retrained merges, same boundary-marker semantics).
+    GQuery("q_text_bpe_encode", bpeEncodeOracleSql) { (s, d) =>
+      val merges = trainBpe(s, d)
+      val clean = filter(tokens(col("text")),
+        w => w.rlike("^[a-z]+$") && length(w) <= 20)
+      val spaced = transform(clean,
+        w => concat_ws(" ", filter(split(w, ""), c => c =!= "")))
+      val s0 = concat(lit(" "), array_join(spaced, " | "), lit(" "))
+      val encoded = merges.foldLeft(s0) { case (acc, (_, l, r, _, _)) =>
+        // symbols are [a-z]+ by construction: the literal is safe
+        call_function("replace", acc, lit(s" $l $r "), lit(s" $l$r "))
+      }
+      docs(s, d)
+        .select(col("doc_id"),
+          size(clean).cast("long").as("words"),
+          length(array_join(clean, "")).cast("long").as("chars"),
+          size(filter(split(trim(encoded), " "),
+            x => x =!= "|" && x =!= "")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")
     },
 
     // Corpus vocabulary statistics: top tokens by document frequency with
