@@ -229,6 +229,79 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Bigram-LM quality scoring (the CCNet/perplexity-filter shape): an
+    // add-one-smoothed bigram language model trained on the corpus scores
+    // every document; low (more-negative) average log-prob = unusual text
+    // — the standard statistical quality signal for corpus filtering.
+    //   Determinism across engines: per-bigram log-probs are rounded to
+    // integer MILLINATS first (`round(1000·ln p)` — one double division
+    // of identical integers, one ln, both bit-stable at that resolution),
+    // then integer-summed per doc. The doc score ships as two BIGINT
+    // columns (sum + count), never a float average, so the compare is
+    // hash-exact (the ratio-rounding rule from the verify contract).
+    //   Scale (100 TB): the per-doc bigram table is map-side pre-
+    // aggregated (doc_id,w1,w2 → k) before any shuffle; the model tables
+    // (bigram counts, left-context counts) derive from IT, not from a
+    // second corpus pass, and are vocab²-bounded; V is one scalar. The
+    // two model joins shuffle the deduped bigram stream — the honest cost
+    // of EXACT scoring; a production deployment would prune the model to
+    // top-M bigrams and broadcast it, which this plan degrades to by
+    // swapping the join for a broadcast lookup.
+    GQuery("q_text_lm_score",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |           w -> regexp_matches(w, '^[a-z]+$$') AND length(w) <= 20) AS wl
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, p[1] AS w1, p[2] AS w2
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(range(1, len(wl)), i -> [wl[i], wl[i+1]])) AS p
+         |        FROM t WHERE len(wl) >= 2)),
+         |k AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+         |      FROM bg GROUP BY 1, 2, 3),
+         |cbg AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS cbg FROM k GROUP BY 1, 2),
+         |cl  AS (SELECT w1, CAST(sum(k) AS BIGINT) AS cl FROM k GROUP BY 1),
+         |v   AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+         |        FROM (SELECT unnest(wl) AS w FROM t)),
+         |sc AS (
+         |  SELECT k.doc_id, k.k,
+         |         CAST(round(1000 * ln(CAST(cbg.cbg + 1 AS DOUBLE)
+         |                              / CAST(cl.cl + v.v AS DOUBLE))) AS BIGINT) AS m
+         |  FROM k
+         |  JOIN cbg ON k.w1 = cbg.w1 AND k.w2 = cbg.w2
+         |  JOIN cl ON k.w1 = cl.w1
+         |  CROSS JOIN v)
+         |SELECT doc_id,
+         |       CAST(sum(k) AS BIGINT) AS bigrams,
+         |       CAST(sum(m * k) AS BIGINT) AS score_millinats
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val wl = filter(tokens(col("text")),
+        w => w.rlike("^[a-z]+$") && length(w) <= 20)
+      val t = docs(s, d).select(col("doc_id"), wl.as("wl"))
+      val k = t.filter(size(col("wl")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(wl) - 1), i -> struct(wl[i-1] AS w1, wl[i] AS w2))"))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // model derives from k; released by the harness clearCache
+      val cbg = k.groupBy("w1", "w2").agg(sum("k").as("cbg"))
+      val cl = k.groupBy("w1").agg(sum("k").as("cl"))
+      // V is one scalar of driver metadata (the vocabulary size)
+      val vocabN = t.select(explode(col("wl")).as("w"))
+        .agg(countDistinct(col("w"))).first().getLong(0)
+      k.join(cbg, Seq("w1", "w2")).join(cl, Seq("w1"))
+        .select(col("doc_id"), col("k"),
+          round(lit(1000d) * log((col("cbg") + lit(1)).cast("double")
+            / (col("cl") + lit(vocabN)).cast("double"))).cast("long").as("m"))
+        .groupBy("doc_id")
+        .agg(sum("k").cast("long").as("bigrams"),
+          sum(col("m") * col("k")).cast("long").as("score_millinats"))
+        .orderBy("doc_id")
+    },
+
     // Corpus vocabulary statistics: top tokens by document frequency with
     // global term frequency — the tokenizer-training / stopword-discovery
     // prep pass. All-integer outputs, deterministic tie-break on token.

@@ -180,6 +180,60 @@ object Windows {
           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
     },
 
+    // Batch gap-sessionization over the events table: the classic
+    // clickstream operator (12-hour inactivity gap → session id via
+    // flag-then-running-sum), then per-session stats. The streaming twin
+    // is q_stream_session (session_window); this is the backfill/batch
+    // path over historical data.
+    //   Determinism: all-integer outputs — timestamps become epoch
+    // millis (unix_millis/epoch_ms agree, session TZ UTC both engines);
+    // the lag/sum windows order by (tms, event_id) with event_id unique.
+    //   Scale: ONE shuffle on user_id serves both window functions and
+    // the session aggregate (same partitioning); no driver state, frames
+    // are running-sum only. The user_id predicate is pushed to the scan.
+    GQuery(
+      "q_sessionize",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
+        |  FROM events WHERE user_id < 120),
+        |f AS (
+        |  SELECT user_id, event_id, event_type, tms,
+        |         CASE WHEN lag(tms) OVER w IS NULL
+        |                   OR tms - lag(tms) OVER w > 43200000 THEN 1
+        |              ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        |g AS (
+        |  SELECT user_id, event_type, tms,
+        |         CAST(sum(new_s) OVER (PARTITION BY user_id
+        |           ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id,
+        |       CAST(count(*) AS BIGINT) AS events,
+        |       CAST(min(tms) AS BIGINT) AS start_ms,
+        |       CAST(max(tms) - min(tms) AS BIGINT) AS duration_ms,
+        |       CAST(count(DISTINCT event_type) AS BIGINT) AS types
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("tms"), col("event_id"))
+      val run = Window.partitionBy("user_id").orderBy(col("tms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "events")
+        .filter(col("user_id") < 120)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("tms"))
+        .withColumn("new_s",
+          when(lag("tms", 1).over(w).isNull
+            || col("tms") - lag("tms", 1).over(w) > 43200000L, 1).otherwise(0))
+        .withColumn("session_id", sum("new_s").over(run).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("events"),
+          min("tms").cast("long").as("start_ms"),
+          (max("tms") - min("tms")).cast("long").as("duration_ms"),
+          countDistinct("event_type").cast("long").as("types"))
+        .orderBy("user_id", "session_id")
+    },
+
     GQuery(
       "q_cube",
       """SELECT l_returnflag, l_linestatus, count(*) AS n
