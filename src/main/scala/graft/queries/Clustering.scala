@@ -234,6 +234,115 @@ object Clustering {
         .select(col("query_id"), col("rnk").cast("long").as("rnk"),
           col("cand_id"), round(col("sim"), 4).as("sim"))
         .orderBy("query_id", "rnk")
+    },
+
+    // SemDeDup-shaped semantic dedup primitive: partition the corpus into
+    // centroid cells, then mine each cell's most-similar pairs with an
+    // EXACT pairwise pass — pairwise work is bounded per cell, never
+    // corpus². Production removal rule (documented, threshold-gated):
+    // drop every vec with a lower-id neighbor above the cosine cutoff;
+    // this corpus plants no embedding near-dups (max pairwise cos ≈ .51),
+    // so the gate reports each cell's top-3 closest pairs instead — the
+    // identical machinery with a rank instead of a threshold, and a
+    // never-empty value-exact oracle.
+    //   Determinism: vectors quantize to integer thousandths; dot and
+    // norms are exact BIGINT folds (order-free); the score is ONE IEEE
+    // division of exact integers (dot·|dot| / na·nb, sign-preserving,
+    // overflow-safe: |q|≤580 ⇒ dot·|dot| < 5·10¹⁴) rounded to integer e9
+    // BEFORE ranking, so the rank order is integer-deterministic with a
+    // (va, vb) tiebreak.
+    //   Scale (100 TB): assignment is the broadcast-centroid projection;
+    // the self-join shuffles on cl only; K grows with the corpus so cell
+    // cardinality — and the per-cell pair count — stays bounded (the
+    // SemDeDup recipe); top-3/cell is a per-partition window, no global
+    // sort.
+    GQuery(
+      "q_dedup_semantic",
+      s"""WITH
+         |ex AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           v -> CAST(floor(CAST(v AS DOUBLE) * $Scale) AS BIGINT)) AS x
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+         |         list_transform(x, v -> CAST(v AS DOUBLE)) AS m
+         |  FROM (SELECT * FROM ex ORDER BY vec_id LIMIT 16)),
+         |dF AS (
+         |  SELECT e.vec_id, c.cl,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, ${Dim + 1}),
+         |             j -> (CAST(e.x[j] AS DOUBLE) - c.m[j])
+         |                  * (CAST(e.x[j] AS DOUBLE) - c.m[j]))),
+         |           (a, v) -> a + v) AS dist
+         |  FROM ex e CROSS JOIN c0 c),
+         |aF AS (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT vec_id, cl,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+         |    FROM dF) WHERE rn = 1),
+         |qn AS (
+         |  SELECT vec_id, q,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(q, v -> v * v)), (a, v) -> a + v) AS nn
+         |  FROM (SELECT vec_id,
+         |          list_transform(embedding,
+         |            v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+         |        FROM embeddings)),
+         |pr AS (
+         |  SELECT aa.cl, a.vec_id AS va, b.vec_id AS vb,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, ${Dim + 1}),
+         |             i -> a.q[i] * b.q[i])), (x, y) -> x + y) AS dot,
+         |         a.nn AS na, b.nn AS nb
+         |  FROM aF aa
+         |  JOIN aF ab ON aa.cl = ab.cl AND aa.vec_id < ab.vec_id
+         |  JOIN qn a ON a.vec_id = aa.vec_id
+         |  JOIN qn b ON b.vec_id = ab.vec_id),
+         |sc AS (
+         |  SELECT cl, va, vb,
+         |         CAST(round(1000000000 * (CAST(dot * abs(dot) AS DOUBLE)
+         |                                  / CAST(na * nb AS DOUBLE))) AS BIGINT)
+         |           AS score_e9
+         |  FROM pr)
+         |SELECT cl, va, vb, score_e9 FROM (
+         |  SELECT cl, va, vb, score_e9,
+         |         row_number() OVER (PARTITION BY cl
+         |           ORDER BY score_e9 DESC, va, vb) AS rn
+         |  FROM sc) WHERE rn <= 3
+         |ORDER BY cl, score_e9 DESC, va, vb""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            v => floor(v * lit(Scale)).cast("long")).as("x"),
+          transform(col("embedding").cast("array<double>"),
+            v => floor(v * lit(1000d) + lit(0.5)).cast("long")).as("q"))
+        .withColumn("nn",
+          aggregate(col("q"), lit(0L), (a, v) => a + v * v))
+        .persist(StorageLevel.MEMORY_AND_DISK) // seed collect + both join sides; released by the harness clearCache
+      val seeds: Centroids = base.orderBy("vec_id").limit(16).collect()
+        .zipWithIndex.map { case (r, i) =>
+          (i.toLong, r.getSeq[Long](1).map(_.toDouble).toArray)
+        }
+      val asg = assign(base, seeds)
+        .select(col("vec_id"), col("cl"), col("q"), col("nn"))
+      val pairs = asg.as("a")
+        .join(asg.as("b"),
+          col("a.cl") === col("b.cl") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.cl").as("cl"),
+          col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          aggregate(zip_with(col("a.q"), col("b.q"), (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v).as("dot"),
+          col("a.nn").as("na"), col("b.nn").as("nb"))
+        .withColumn("score_e9",
+          round(lit(1000000000d) * ((col("dot") * abs(col("dot"))).cast("double")
+            / (col("na") * col("nb")).cast("double"))).cast("long"))
+      val w = Window.partitionBy("cl")
+        .orderBy(col("score_e9").desc, col("va"), col("vb"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("cl"), col("va"), col("vb"), col("score_e9"))
+        .orderBy(col("cl"), col("score_e9").desc, col("va"), col("vb"))
     }
   )
 }

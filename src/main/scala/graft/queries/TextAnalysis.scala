@@ -47,6 +47,10 @@ object TextAnalysis {
   /** BPE merge steps trained by the q_text_bpe gate. */
   private val BpeSteps = 8
 
+  /** Fixed query-term set for the BM25 gate. */
+  private val Bm25Terms = Seq("spark", "hash", "merge", "window")
+  private val Bm25TermsSql = Bm25Terms.map(t => s"'$t'").mkString(", ")
+
   /** The unrolled DuckDB oracle for q_text_bpe: the same weighted vocab,
     * the same pair counting and the same greedy merge application,
     * repeated [[BpeSteps]] times as explicit CTE stages (the q_kmeans
@@ -227,6 +231,73 @@ object TextAnalysis {
           size(filter(split(trim(encoded), " "),
             x => x =!= "|" && x =!= "")).cast("long").as("bpe_tokens"))
         .orderBy("doc_id")
+    },
+
+    // BM25 retrieval scoring (Okapi, k1=1.2 b=0.75): the standard lexical
+    // relevance ranker — the retrieval half of retrieval-based curation
+    // (query-driven corpus slicing, decontamination probes, eval-set
+    // mining). Scores every document against a fixed query-term set and
+    // returns the top 20.
+    //   Determinism: all model inputs are exact integers (tf, dl, df, N,
+    // total tokens); each (doc, term) contribution is ONE fixed IEEE
+    // expression tree over them — identical operator order in both
+    // engines, the only libm call is ln — rounded to integer MICRO units
+    // before the per-doc integer sum (the q_text_lm_score discipline).
+    //   Scale (100 TB): doc length rides along the token explode (no
+    // doc-level join); the explode is filtered to the query terms BEFORE
+    // any shuffle (vocab-bounded survivors); per-term df is a 4-row
+    // broadcast; the final top-k is a TakeOrdered, never a global sort.
+    GQuery("q_text_bm25",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |           x -> x <> '') AS toks
+         |  FROM documents),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(len(toks)) AS BIGINT) AS tt FROM t),
+         |b AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok,
+         |         CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM t)
+         |  WHERE tok IN ($Bm25TermsSql)
+         |  GROUP BY 1, 2, 3),
+         |d AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |      FROM b GROUP BY 1),
+         |sc AS (
+         |  SELECT b.doc_id,
+         |         CAST(round(1000000 * ln(1.0 + (CAST(s.n - d.df AS DOUBLE) + 0.5)
+         |                                      / (CAST(d.df AS DOUBLE) + 0.5))
+         |              * (b.tf * 2.2)
+         |              / (b.tf + 0.3 + 0.9 * (CAST(b.dl * s.n AS DOUBLE)
+         |                                     / CAST(s.tt AS DOUBLE)))) AS BIGINT) AS c
+         |  FROM b JOIN d ON b.tok = d.tok CROSS JOIN s)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS terms,
+         |       CAST(sum(c) AS BIGINT) AS score_micro
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val toksAll = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+      val t = docs(s, d).select(col("doc_id"), toksAll.as("toks"))
+      // N and total-token count: two scalars of driver metadata
+      val stats = t.agg(count(lit(1)), sum(size(col("toks")))).first()
+      val (n, tt) = (stats.getLong(0), stats.getLong(1))
+      val b = t
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      val df = b.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      val idf = log(lit(1.0) + ((lit(n) - col("df")).cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)))
+      val denom = col("tf") + lit(0.3) +
+        lit(0.9) * ((col("dl") * lit(n)).cast("double") / lit(tt.toDouble))
+      b.join(broadcast(df), "tok")
+        .select(col("doc_id"),
+          round(lit(1000000d) * idf * (col("tf") * lit(2.2)) / denom)
+            .cast("long").as("c"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("terms"), sum("c").cast("long").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(20)
     },
 
     // Bigram-LM quality scoring (the CCNet/perplexity-filter shape): an
