@@ -237,4 +237,43 @@ class PlanSpec extends AnyFunSuite {
     assert(est.numRows().getAsLong ==
       graft.core.Tables.load(spark, sfDir, "customer").count())
   }
+
+  test("q_embed_covariance: moment shuffle is partial-aggregated; marginals broadcast") {
+    val f = formatted("q_embed_covariance")
+    // map-side combine must reduce the D²-per-row pair explode to
+    // K·D·partitions metadata BEFORE the exchange (two HashAggregates
+    // around each Exchange), and both marginal joins must broadcast
+    assert(f.contains("BroadcastHashJoin"), f)
+    assert(!f.contains("SortMergeJoin"),
+      "marginal joins must broadcast, not sort-merge")
+    val p = plan("q_embed_covariance")
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aggs = collectAll(p) { case h: HashAggregateExec => h }
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    // every aggregation exchange is fed by a map-side partial aggregate:
+    // more HashAggregate operators than shuffles (partial+final pairs)
+    assert(aggs.size > shuffles.size,
+      s"expected partial+final pairs, got ${aggs.size} aggs / ${shuffles.size} shuffles")
+  }
+
+  test("q_text_bm25: query-term filter precedes the shuffle; top-k is TakeOrdered") {
+    val f = formatted("q_text_bm25")
+    assert(f.contains("TakeOrderedAndProject"), f)
+    assert(f.contains("BroadcastHashJoin"),
+      "per-term df table must broadcast")
+    // the isin(query terms) filter must sit under Generate (the explode),
+    // i.e. before any aggregation exchange — assert no sort-merge join
+    // and that a Filter mentions one of the literal terms
+    assert(f.contains("spark") && !f.contains("SortMergeJoin"), f)
+  }
+
+  test("q_dedup_semantic: cell self-join is an equi-join, no cartesian product") {
+    val p = plan("q_dedup_semantic")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      "within-cell pair generation must join on cl, not cross-join")
+    // and the per-cell top-3 must not collapse to a single partition
+    val f = formatted("q_dedup_semantic")
+    assert(!f.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), f)
+  }
 }
