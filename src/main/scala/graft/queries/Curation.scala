@@ -255,6 +255,49 @@ object Curation {
         .orderBy("lang")
     },
 
+    // Leak-free train/valid/test split (90/5/5): the split coin is thrown
+    // on the DUPLICATE-GROUP representative, not the document — so a
+    // group of identical documents can never straddle splits (the classic
+    // eval-leakage bug when near-identical docs land in both train and
+    // test). Group key here is the exact-content hash; a production run
+    // swaps in the near-dup cluster_id from q_dedup_clusters — one
+    // column substitution, same plan shape.
+    //   Scale: groupBy(md5) is the exact-dedup shuffle; the doc→group
+    // join co-partitions on the same key (the exchange is reused, no
+    // second corpus shuffle); the coin is the shared Knuth hash —
+    // overflow-safe for every BIGINT rep. Output is 3 summary rows.
+    GQuery(
+      "q_curation_split",
+      s"""WITH g AS (
+         |  SELECT md5(text) AS k, min(doc_id) AS rep
+         |  FROM documents GROUP BY 1),
+         |dd AS (
+         |  SELECT d.doc_id, d.n_chars, g.k,
+         |         CASE WHEN ${coinSql("g.rep")} < 90 THEN 'train'
+         |              WHEN ${coinSql("g.rep")} < 95 THEN 'valid'
+         |              ELSE 'test' END AS split
+         |  FROM documents d JOIN g ON md5(d.text) = g.k)
+         |SELECT split,
+         |       CAST(count(*) AS BIGINT) AS docs,
+         |       CAST(count(DISTINCT k) AS BIGINT) AS groups,
+         |       CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM dd GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+      val g = docs(s, d)
+        .groupBy(md5(col("text")).as("k"))
+        .agg(min("doc_id").as("rep"))
+      docs(s, d).withColumn("k", md5(col("text")))
+        .join(g, "k")
+        .withColumn("split",
+          when(coin(col("rep")) < 90, "train")
+            .when(coin(col("rep")) < 95, "valid")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("docs"),
+          countDistinct(col("k")).as("groups"),
+          sum("n_chars").cast("long").as("chars"))
+        .orderBy("split")
+    },
+
     // Token-budget corpus mixing: per language, take documents in
     // deterministic hash order while the running token total stays within
     // the budget. The prefix sum uses the grouped two-pass shape
