@@ -55,6 +55,21 @@ object Curation {
   private def coinFull(c: Column): Column = (c % lit(P)) * lit(KNUTHP) % lit(P)
   private def coinFullSql(c: String): String = s"((($c % $P) * $KNUTHP) % $P)"
 
+  /** Doc-level leak-free split assignment: the 90/5/5 coin is thrown on
+    * the duplicate-group REPRESENTATIVE (min doc_id per exact-content
+    * group), so every member of a group receives the same split by
+    * construction. Exposed for the CurationSpec property test. */
+  private[graft] def groupSplit(df: DataFrame): DataFrame = {
+    val g = df.groupBy(md5(col("text")).as("k"))
+      .agg(min("doc_id").as("rep"))
+    df.withColumn("k", md5(col("text")))
+      .join(g, "k")
+      .withColumn("split",
+        when(coin(col("rep")) < 90, "train")
+          .when(coin(col("rep")) < 95, "valid")
+          .otherwise("test"))
+  }
+
   /** Chunking geometry: ChunkW-token windows every ChunkS tokens. */
   private val ChunkW = 64L
   private val ChunkS = 48L
@@ -282,15 +297,7 @@ object Curation {
          |       CAST(count(DISTINCT k) AS BIGINT) AS groups,
          |       CAST(sum(n_chars) AS BIGINT) AS chars
          |FROM dd GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
-      val g = docs(s, d)
-        .groupBy(md5(col("text")).as("k"))
-        .agg(min("doc_id").as("rep"))
-      docs(s, d).withColumn("k", md5(col("text")))
-        .join(g, "k")
-        .withColumn("split",
-          when(coin(col("rep")) < 90, "train")
-            .when(coin(col("rep")) < 95, "valid")
-            .otherwise("test"))
+      groupSplit(docs(s, d))
         .groupBy("split")
         .agg(count(lit(1)).as("docs"),
           countDistinct(col("k")).as("groups"),
@@ -335,6 +342,79 @@ object Curation {
           sum("n_tokens").as("tokens_taken"),
           max("doc_id").as("last_doc"))
         .orderBy("lang")
+    },
+
+    // Temperature-weighted mixture sampling (α = 0.5): per-source token
+    // budgets ∝ tokens^α — the standard upsampling recipe that keeps
+    // small domains/languages represented (multilingual-pretraining
+    // mixing), then the deterministic hash-order take per source.
+    //   Exactness: weight_d = floor(sqrt(tokens_d)) — sqrt is the ONE
+    // libm call IEEE-754 requires correctly rounded, so floor∘sqrt of a
+    // BIGINT is bit-portable across engines (unlike ln, which needs the
+    // millinats rounding trick elsewhere). Budgets are pure integer
+    // arithmetic from exact totals; the take reuses the grouped prefix
+    // sum. Everything ships as BIGINT.
+    //   Scale: one corpus pass for per-doc token counts; per-source
+    // totals are a low-cardinality agg broadcast back; the take is the
+    // same two-pass prefix sum as q_curation_mix (no dominant-source
+    // window task).
+    GQuery(
+      "q_curation_mix_temperature",
+      s"""WITH
+         |${OracleFragments.tok},
+         |nt AS (
+         |  SELECT d.doc_id, d.source, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |         ${coinSql("d.doc_id")} AS h
+         |  FROM documents d JOIN tok t USING (doc_id)),
+         |tot AS (
+         |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+         |         CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+         |  FROM nt GROUP BY source),
+         |wsum AS (SELECT CAST(sum(w) AS BIGINT) AS ws FROM tot),
+         |bud AS (
+         |  SELECT t.source, t.tokens_total, t.w,
+         |         CAST(floor(CAST($Budget * t.w AS DOUBLE)
+         |                    / CAST(s.ws AS DOUBLE)) AS BIGINT) AS budget_d
+         |  FROM tot t CROSS JOIN wsum s),
+         |cum AS (
+         |  SELECT nt.*, b.tokens_total, b.w, b.budget_d,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY nt.source
+         |           ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+         |  FROM nt JOIN bud b ON nt.source = b.source)
+         |SELECT source,
+         |       CAST(max(tokens_total) AS BIGINT) AS tokens_total,
+         |       CAST(max(w) AS BIGINT) AS weight,
+         |       CAST(max(budget_d) AS BIGINT) AS budget_d,
+         |       CAST(count(*) AS BIGINT) AS docs_taken,
+         |       CAST(sum(n_tokens) AS BIGINT) AS tokens_taken
+         |FROM cum WHERE running <= budget_d
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val nt = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          coin(col("doc_id")).as("h"))
+      val tot = nt.groupBy("source")
+        .agg(sum("n_tokens").as("tokens_total"),
+          floor(sqrt(sum("n_tokens").cast("double"))).cast("long").as("w"))
+      val ws = tot.agg(sum("w")).first().getLong(0) // one scalar of driver metadata
+      // floor of one IEEE division of exact (<2^53) integers — identical
+      // in both engines; a bare BIGINT cast would round in DuckDB but
+      // truncate in Spark
+      val bud = tot.withColumn("budget_d",
+        floor((lit(Budget) * col("w")).cast("double") / lit(ws.toDouble))
+          .cast("long"))
+      graft.operators.GroupedPrefixSum
+        .runningSum(nt, Seq("source"), Seq(col("h"), col("doc_id")),
+          col("n_tokens"), "running")
+        .join(broadcast(bud), "source")
+        .filter(col("running") <= col("budget_d"))
+        .groupBy("source")
+        .agg(max("tokens_total").as("tokens_total"),
+          max("w").as("weight"),
+          max("budget_d").as("budget_d"),
+          count(lit(1)).as("docs_taken"),
+          sum("n_tokens").as("tokens_taken"))
+        .orderBy("source")
     },
 
     // Provenance accounting: the per-source dashboard a curation run

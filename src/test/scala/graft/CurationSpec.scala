@@ -110,6 +110,39 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("group-aware split: planted dup groups never straddle splits") {
+    // the adversarial construction: pick doc ids whose PER-DOC coins land
+    // in different split bands, then give them identical text — a naive
+    // per-doc split WOULD tear this group across train and test
+    val P = 1000000007L
+    val KP = 2654435761L % P
+    def bucket(id: Long): Long = id % P * KP % P % 100
+    val trainId = (0L to 1000L).find(bucket(_) < 90).get
+    val testId = (0L to 1000L).find(bucket(_) >= 95).get
+    val validId = (0L to 1000L).find(b => bucket(b) >= 90 && bucket(b) < 95).get
+    assert(bucket(trainId) < 90 && bucket(testId) >= 95)
+    val df = Seq(
+      (trainId, "the same duplicated document"),
+      (testId, "the same duplicated document"),
+      (validId, "the same duplicated document"),
+      (7777L, "a unique control document")
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Curation.groupSplit(df)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every dup lands in the REP's split (rep = min doc_id of the group)
+    val rep = Seq(trainId, testId, validId).min
+    val expected = if (bucket(rep) < 90) "train"
+      else if (bucket(rep) < 95) "valid" else "test"
+    assert(out(trainId) == expected && out(testId) == expected
+      && out(validId) == expected,
+      s"dup group torn across splits: $out")
+    // the naive per-doc coin WOULD have torn it (ids chosen that way)
+    assert(Seq(trainId, testId, validId).map(bucket)
+      .map(b => if (b < 90) "train" else if (b < 95) "valid" else "test")
+      .distinct.size > 1)
+  }
+
   test("privacy pipeline accounting is internally consistent") {
     val q = Curation.queries.find(_.name == "q_pipeline_privacy").get
     val rows = q.fn(spark, "/root/testdata/sf0.001").collect()
