@@ -6,9 +6,11 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale-stress arm: runs the five scale-critical LLM-pipeline operators
+/** Scale-stress arm: runs the nine scale-critical LLM-pipeline operators
   * (MinHash LSH, connected components, incremental dedup, k-means,
-  * GroupedTopN) at 1× and at R× (default 10×) corpus size and emits
+  * GroupedTopN, BPE encode, bigram-LM scoring, embedding covariance,
+  * semantic dedup — the last with cell count scaled to the corpus, the
+  * SemDeDup recipe) at 1× and at R× (default 10×) corpus size and emits
   * per-operator scaling ratios to `BENCH_STRESS_r08.json`.
   *
   * The R× corpus replicates sf0.1's documents/embeddings with PERTURBED
@@ -104,7 +106,17 @@ object Stress {
 
     val ops = Seq(
       "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_incremental",
-      "q_kmeans", "q_curation_domain_cap")
+      "q_kmeans", "q_curation_domain_cap",
+      // round-8 additions to the family
+      "q_text_bpe_encode", "q_text_lm_score", "q_embed_covariance",
+      "q_dedup_semantic")
+
+    // q_dedup_semantic scales its cell count with the corpus (the
+    // SemDeDup recipe: constant per-cell pairwise work); everything else
+    // runs identically at both sizes
+    def configure(op: String, reps: Int): Unit =
+      if (op == "q_dedup_semantic")
+        spark.conf.set("spark.graft.semdedup.k", (16 * reps).toString)
 
     // warm-up (parser, codegen, parquet readers) outside measured regions
     spark.read.parquet(new java.io.File(d1, "documents.parquet").getPath)
@@ -126,7 +138,9 @@ object Stress {
 
     var failed = List.empty[String]
     val rows = ops.map { op =>
+      configure(op, 1)
       val o1 = run(op, d1.getPath)
+      configure(op, r)
       val oR = run(op, dR.getPath)
       def ratio(a: Double, b: Double): Double = if (a > 0) b / a else -1
       val tR = ratio(o1.sec, oR.sec)

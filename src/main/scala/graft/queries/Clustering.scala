@@ -312,6 +312,11 @@ object Clustering {
          |  FROM sc) WHERE rn <= 3
          |ORDER BY cl, score_e9 DESC, va, vb""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // cell count: 16 in the gate (oracle-matched); the stress arm
+      // raises it in proportion to corpus size — the SemDeDup recipe that
+      // keeps per-cell pairwise work constant (quadratic otherwise)
+      val kCells = s.conf.getOption("spark.graft.semdedup.k")
+        .map(_.toInt).getOrElse(16)
       val base = Tables.load(s, d, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding").cast("array<double>"),
@@ -321,7 +326,7 @@ object Clustering {
         .withColumn("nn",
           aggregate(col("q"), lit(0L), (a, v) => a + v * v))
         .persist(StorageLevel.MEMORY_AND_DISK) // seed collect + both join sides; released by the harness clearCache
-      val seeds: Centroids = base.orderBy("vec_id").limit(16).collect()
+      val seeds: Centroids = base.orderBy("vec_id").limit(kCells).collect()
         .zipWithIndex.map { case (r, i) =>
           (i.toLong, r.getSeq[Long](1).map(_.toDouble).toArray)
         }
