@@ -51,6 +51,14 @@ object TextAnalysis {
   private val Bm25Terms = Seq("spark", "hash", "merge", "window")
   private val Bm25TermsSql = Bm25Terms.map(t => s"'$t'").mkString(", ")
 
+  /** The multi-query batch for q_text_bm25_multi: (query_id, term). */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "shuffle", 1L -> "partition",
+    2L -> "hash", 2L -> "join", 2L -> "merge",
+    3L -> "window", 3L -> "sort", 3L -> "table", 3L -> "scan")
+  private val Bm25QueriesSql =
+    Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
   /** The unrolled DuckDB oracle for q_text_bpe: the same weighted vocab,
     * the same pair counting and the same greedy merge application,
     * repeated [[BpeSteps]] times as explicit CTE stages (the q_kmeans
@@ -309,6 +317,86 @@ object TextAnalysis {
         .agg(count(lit(1)).as("terms"), sum("c").cast("long").as("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // Multi-query BM25 (batch search serving): a QUERY TABLE — not one
+    // term set — scored against the whole corpus in a single plan, top-5
+    // docs per query. The shape a curation stack runs for eval-set
+    // mining or retrieval audits: q queries × corpus in one pass.
+    //   Same integer-micro contract as q_text_bm25. Per-query top-k is
+    // the grouped-top-N shape: rank inside each query partition, never a
+    // global sort; df/idf stay per-TERM (computed once, shared by every
+    // query that uses the term). The query table broadcasts onto the
+    // term-filtered token stream — the corpus shuffles once, on
+    // (query_id, doc) aggregation, with map-side combine.
+    GQuery("q_text_bm25_multi",
+      s"""WITH qt(query_id, term) AS (VALUES $Bm25QueriesSql),
+         |t AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |           x -> x <> '') AS toks
+         |  FROM documents),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(len(toks)) AS BIGINT) AS tt FROM t),
+         |b AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok,
+         |         CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM t)
+         |  WHERE tok IN (SELECT term FROM qt)
+         |  GROUP BY 1, 2, 3),
+         |d AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |      FROM b GROUP BY 1),
+         |sc AS (
+         |  SELECT qt.query_id, b.doc_id,
+         |         CAST(round(1000000 * ln(1.0 + (CAST(s.n - d.df AS DOUBLE) + 0.5)
+         |                                      / (CAST(d.df AS DOUBLE) + 0.5))
+         |              * (b.tf * 2.2)
+         |              / (b.tf + 0.3 + 0.9 * (CAST(b.dl * s.n AS DOUBLE)
+         |                                     / CAST(s.tt AS DOUBLE)))) AS BIGINT) AS c
+         |  FROM b JOIN d ON b.tok = d.tok
+         |  JOIN qt ON qt.term = b.tok CROSS JOIN s),
+         |agg AS (
+         |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS terms,
+         |         CAST(sum(c) AS BIGINT) AS score_micro
+         |  FROM sc GROUP BY 1, 2)
+         |SELECT query_id, rnk, doc_id, terms, score_micro FROM (
+         |  SELECT query_id, doc_id, terms, score_micro,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM agg) WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val qt = Bm25Queries.toDF("query_id", "term")
+      val terms = Bm25Queries.map(_._2).distinct
+      val toksAll = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+      val t = docs(s, d).select(col("doc_id"), toksAll.as("toks"))
+      val stats = t.agg(count(lit(1)), sum(size(col("toks")))).first()
+      val (n, tt) = (stats.getLong(0), stats.getLong(1))
+      val b = t
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      val df = b.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      val idf = log(lit(1.0) + ((lit(n) - col("df")).cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)))
+      val denom = col("tf") + lit(0.3) +
+        lit(0.9) * ((col("dl") * lit(n)).cast("double") / lit(tt.toDouble))
+      val sc = b.join(broadcast(df), "tok")
+        .join(broadcast(qt), col("tok") === col("term"))
+        .select(col("query_id"), col("doc_id"),
+          round(lit(1000000d) * idf * (col("tf") * lit(2.2)) / denom)
+            .cast("long").as("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(count(lit(1)).as("terms"), sum("c").cast("long").as("score_micro"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score_micro").desc, col("doc_id"))
+      sc.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("doc_id"),
+          col("terms"), col("score_micro"))
+        .orderBy("query_id", "rnk")
     },
 
     // Bigram-LM quality scoring (the CCNet/perplexity-filter shape): an
