@@ -130,7 +130,11 @@ object Stress {
       listener.reset()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
-      val rows = df.count()
+      // execute the physical plan AS PLANNED and count its rows: a
+      // df.count() would let Catalyst prune every computed column out of
+      // pure-projection operators (BPE encode would degrade to a parquet
+      // row count answered from footer metadata)
+      val rows = df.queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let the async listener bus drain task events
       Obs(dt, rows, listener.maxBytes.get() / 1048576.0)

@@ -58,12 +58,13 @@ object Curation {
   /** Doc-level leak-free split assignment: the 90/5/5 coin is thrown on
     * the duplicate-group REPRESENTATIVE (min doc_id per exact-content
     * group), so every member of a group receives the same split by
-    * construction. Exposed for the CurationSpec property test. */
+    * construction. The representative comes from a min-over-window on
+    * the group key — ONE corpus shuffle on k, no agg-then-join second
+    * pass. Exposed for the CurationSpec property test. */
   private[graft] def groupSplit(df: DataFrame): DataFrame = {
-    val g = df.groupBy(md5(col("text")).as("k"))
-      .agg(min("doc_id").as("rep"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
     df.withColumn("k", md5(col("text")))
-      .join(g, "k")
+      .withColumn("rep", min("doc_id").over(w))
       .withColumn("split",
         when(coin(col("rep")) < 90, "train")
           .when(coin(col("rep")) < 95, "valid")
@@ -277,10 +278,10 @@ object Curation {
     // test). Group key here is the exact-content hash; a production run
     // swaps in the near-dup cluster_id from q_dedup_clusters — one
     // column substitution, same plan shape.
-    //   Scale: groupBy(md5) is the exact-dedup shuffle; the doc→group
-    // join co-partitions on the same key (the exchange is reused, no
-    // second corpus shuffle); the coin is the shared Knuth hash —
-    // overflow-safe for every BIGINT rep. Output is 3 summary rows.
+    //   Scale: ONE corpus shuffle on the group key — the representative
+    // is a min-over-window on k (no agg-then-join second pass); the coin
+    // is the shared Knuth hash — overflow-safe for every BIGINT rep.
+    // Output is 3 summary rows.
     GQuery(
       "q_curation_split",
       s"""WITH g AS (
@@ -389,20 +390,29 @@ object Curation {
          |       CAST(sum(n_tokens) AS BIGINT) AS tokens_taken
          |FROM cum WHERE running <= budget_d
          |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val spark = s
+      import spark.implicits._
       val nt = docs(s, d)
         .select(col("doc_id"), col("source"),
           size(tokens(col("text"))).cast("long").as("n_tokens"),
           coin(col("doc_id")).as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // ONE corpus pass: totals + the take read the cache; released by the harness clearCache
+      // per-source totals are low-cardinality driver metadata: collect
+      // once, derive weights/budgets in the driver, broadcast back
       val tot = nt.groupBy("source")
-        .agg(sum("n_tokens").as("tokens_total"),
-          floor(sqrt(sum("n_tokens").cast("double"))).cast("long").as("w"))
-      val ws = tot.agg(sum("w")).first().getLong(0) // one scalar of driver metadata
+        .agg(sum("n_tokens").as("tokens_total"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val weights = tot.map { case (src, tk) =>
+        (src, tk, math.floor(math.sqrt(tk.toDouble)).toLong)
+      }
+      val ws = weights.map(_._3).sum
       // floor of one IEEE division of exact (<2^53) integers — identical
       // in both engines; a bare BIGINT cast would round in DuckDB but
       // truncate in Spark
-      val bud = tot.withColumn("budget_d",
-        floor((lit(Budget) * col("w")).cast("double") / lit(ws.toDouble))
-          .cast("long"))
+      val bud = weights.toSeq.map { case (src, tk, w) =>
+        (src, tk, w, math.floor((Budget * w).toDouble / ws.toDouble).toLong)
+      }.toDF("source", "tokens_total", "w", "budget_d")
       graft.operators.GroupedPrefixSum
         .runningSum(nt, Seq("source"), Seq(col("h"), col("doc_id")),
           col("n_tokens"), "running")

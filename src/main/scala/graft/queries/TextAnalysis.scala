@@ -57,7 +57,7 @@ object TextAnalysis {
     2L -> "hash", 2L -> "join", 2L -> "merge",
     3L -> "window", 3L -> "sort", 3L -> "table", 3L -> "scan")
   private val Bm25QueriesSql =
-    Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    Bm25Queries.map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }.mkString(", ")
 
   /** The unrolled DuckDB oracle for q_text_bpe: the same weighted vocab,
     * the same pair counting and the same greedy merge application,
@@ -100,7 +100,7 @@ object TextAnalysis {
 
   private def bpeOracleSql: String = {
     val out = (1 to BpeSteps).map { k =>
-      s"SELECT $k AS step, lhs, rhs, lhs || rhs AS merged, n AS pair_count FROM b$k"
+      s"SELECT CAST($k AS BIGINT) AS step, lhs, rhs, lhs || rhs AS merged, n AS pair_count FROM b$k"
     }.mkString("\nUNION ALL ")
     // '#' margin: the interpolated CTEs are already |-stripped and contain
     // legitimate leading `||` / `' | '` text a second |-strip would eat
@@ -294,8 +294,9 @@ object TextAnalysis {
          |       CAST(sum(c) AS BIGINT) AS score_micro
          |FROM sc GROUP BY doc_id
          |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-      val toksAll = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
-      val t = docs(s, d).select(col("doc_id"), toksAll.as("toks"))
+      import org.apache.spark.storage.StorageLevel
+      val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // stats collect + main pipeline; released by the harness clearCache
       // N and total-token count: two scalars of driver metadata
       val stats = t.agg(count(lit(1)), sum(size(col("toks")))).first()
       val (n, tt) = (stats.getLong(0), stats.getLong(1))
@@ -366,11 +367,12 @@ object TextAnalysis {
          |  FROM agg) WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.storage.StorageLevel
       import s.implicits._
       val qt = Bm25Queries.toDF("query_id", "term")
       val terms = Bm25Queries.map(_._2).distinct
-      val toksAll = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
-      val t = docs(s, d).select(col("doc_id"), toksAll.as("toks"))
+      val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // stats collect + main pipeline; released by the harness clearCache
       val stats = t.agg(count(lit(1)), sum(size(col("toks")))).first()
       val (n, tt) = (stats.getLong(0), stats.getLong(1))
       val b = t
