@@ -115,7 +115,9 @@ object Bench {
     // bench can't see show up as ratio >> 3.
     val headline = Seq("q1_agg", "q3_shipping", "q_scan_project", "q_topk",
       "q_join_inner", "q_group_having", "q_window_running",
-      "q_dedup_minhash_lsh", "q_curation_pack", "q_kmeans")
+      "q_dedup_minhash_lsh", "q_curation_pack", "q_kmeans",
+      // round-8 family members with corpus-scale inputs
+      "q_text_lm_score", "q_embed_covariance", "q_sessionize")
     val sf03Enabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF03", "1") == "1"
     val sf03: Seq[(String, Double)] = if (!sf03Enabled) Nil else try {
       import org.apache.spark.sql.functions._
