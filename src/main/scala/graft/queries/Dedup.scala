@@ -51,6 +51,7 @@ object Dedup {
   require(K == B * R, s"LSH banding K=$K != B*R=${B * R}")
   private[queries] val CAP = 32     // hot-bucket cap (skew guard -> chain pairs)
   private val MAX_DF = 100 // n-gram document-frequency cutoff
+  private val BlockW = 8L  // sub-document dedup block width (tokens)
 
   /** doc_id + minhash signature, one codegen'd projection. */
   private def signatures(s: SparkSession, docs: DataFrame): DataFrame = {
@@ -415,6 +416,65 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Sub-document block dedup (CCNet/RefinedWeb-style paragraph dedup,
+    // adapted to the corpus's flat token streams): each document is cut
+    // into non-overlapping BlockW-token blocks (trailing partial block
+    // dropped), and a block is "shared" when its exact content occurs in
+    // >= 2 DISTINCT documents — boilerplate the doc-level dedups above
+    // cannot see because the surrounding text differs. Output: per-doc
+    // block counts and the integer shared-percentage a curation filter
+    // would threshold on.
+    //
+    // Scale (100 TB): one codegen'd tokenize+slice projection, then two
+    // hash shuffles on the block key — the distinct-doc count per block
+    // (partial agg combines map-side) and the per-doc rollup. The block
+    // index is persisted so the corpus-wide projection runs once for both
+    // consumers. Keys here are md5 strings to share the oracle's hash; a
+    // production deployment would swap in a 64-bit hash for shuffle width.
+    GQuery(
+      "q_dedup_blocks",
+      s"""WITH
+         |tok AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |             CAST(len(toks) AS BIGINT) // $BlockW AS nb FROM tok),
+         |b AS (
+         |  SELECT c.doc_id,
+         |         md5(array_to_string(
+         |           c.toks[CAST(u.bi*$BlockW+1 AS BIGINT):CAST(u.bi*$BlockW+$BlockW AS BIGINT)],
+         |           ' ')) AS h
+         |  FROM c, LATERAL (SELECT unnest(range(0, c.nb)) AS bi) u),
+         |bdf AS (SELECT h, count(DISTINCT doc_id) AS nd FROM b GROUP BY h)
+         |SELECT b.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_blocks,
+         |       CAST(sum(CASE WHEN bdf.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_blocks,
+         |       CAST(sum(CASE WHEN bdf.nd >= 2 THEN 1 ELSE 0 END) * 100 // count(*) AS BIGINT) AS shared_pct
+         |FROM b JOIN bdf USING (h)
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val blocks = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
+        .withColumn("nb", expr(s"CAST(size(toks) AS BIGINT) DIV $BlockW"))
+        .withColumn("bi",
+          explode(when(col("nb") > 0, expr("sequence(0L, nb - 1)"))
+            .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))))
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            expr(s"slice(toks, CAST(bi*$BlockW+1 AS INT), $BlockW)"))
+            .cast("binary")).as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bdf = blocks.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      blocks.join(bdf, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum((col("nd") >= 2).cast("long")).as("n_shared_blocks"))
+        .select(col("doc_id"), col("n_blocks"), col("n_shared_blocks"),
+          expr("n_shared_blocks * 100 DIV n_blocks").as("shared_pct"))
+        .orderBy("doc_id")
     }
   )
 }
