@@ -328,6 +328,51 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // Hard-negative mining — the contrastive-training prep pass: for each
+    // query vector, the top-k most cosine-similar corpus vectors whose
+    // LABEL DIFFERS from the query's (same-label rows are positives and
+    // excluded). These near-miss negatives are what embedding training
+    // batches are built from. Same scale shape as brute-force top-k: the
+    // query set broadcasts with its labels, the corpus scan stays fully
+    // partitioned, the label predicate rides the broadcast join, and
+    // ranking windows over |queries|·|corpus-miss| scored pairs pruned to
+    // k per query. A production run samples queries per batch; the plan
+    // is unchanged.
+    GQuery(
+      "q_ann_hard_negatives",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         CAST(c.label AS BIGINT) AS cand_label,
+        |         list_dot_product(q.v, c.v) /
+        |           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM e q JOIN e c ON c.label <> q.label
+        |  WHERE q.vec_id < 3),
+        |ranked AS (
+        |  SELECT query_id, cand_id, cand_label, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cand_label,
+        |       round(sim, 4) AS sim
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      val q = e.filter(col("vec_id") < 3).toDF("query_id", "qv", "qlabel")
+      val c = e.toDF("cand_id", "cv", "cand_label")
+      c.join(broadcast(q), col("cand_label") =!= col("qlabel"))
+        .select(col("query_id"), col("cand_id"),
+          col("cand_label").cast("long").as("cand_label"),
+          cosine(col("qv"), col("cv")).as("sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+          col("cand_id"), col("cand_label"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rnk")
+    },
+
     // Retrieval-quality evaluation over the labeled corpus: label
     // precision@k of brute-force cosine retrieval — the metric an
     // embedding pipeline tracks to decide if a model/index change helped.
