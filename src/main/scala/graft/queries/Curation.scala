@@ -86,6 +86,7 @@ object Curation {
     Seq("de" -> 30, "en" -> 50, "es" -> 20, "fr" -> 10, "zh" -> 25)
   private val Budget = 8000L
   private val SeqLen = 512L
+  private val NShards = 8L // training-shard fan-out (q_curation_shards)
 
   /** Redaction patterns — shared RE2/Java-regex subset (char classes,
     * bounded repeats, alternation, ASCII word boundaries) so Spark and the
@@ -813,6 +814,47 @@ object Curation {
           Seq(coinFull(col("doc_id")), col("doc_id")), DomainCap)
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
+    },
+
+    // Token-balanced training-shard assignment: the shard-writer prep
+    // pass. Documents are ranked globally by descending token count
+    // (ties on doc_id) and dealt round-robin across NShards shards —
+    // longest-processing-time scheduling, which bounds any shard's token
+    // total within max_doc_tokens of the mean, without the sequential
+    // greedy packer a driver loop would need. Output is the per-shard
+    // manifest a writer job would consume.
+    //
+    // Scale (100 TB): the global rank is the two-pass
+    // [[graft.operators.GroupedPrefixSum]] shape (range-partition by the
+    // sort key, per-partition subtotals, driver prefix over partition
+    // counts) — no single-task window; the ranked frame carries only
+    // (doc_id, n_tokens) metadata, never the text.
+    GQuery(
+      "q_curation_shards",
+      s"""WITH
+         |${OracleFragments.tok},
+         |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |         row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rnk
+         |  FROM nt)
+         |SELECT CAST((rnk - 1) % $NShards AS BIGINT) AS shard_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+         |       CAST(min(n_tokens) AS BIGINT) AS min_tokens
+         |FROM r GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, d) =>
+      val nt = docs(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.GroupedPrefixSum
+        .runningSum(nt, Seq.empty, Seq(col("n_tokens").desc, col("doc_id")),
+          lit(1L), "rnk")
+        .groupBy(((col("rnk") - 1) % NShards).as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          max("n_tokens").as("max_tokens"),
+          min("n_tokens").as("min_tokens"))
+        .orderBy("shard_id")
     }
   )
 }
