@@ -31,6 +31,64 @@ object VectorOps {
 
   private val E9 = 1000000000.0
 
+  private val Dim = 64
+  private val PcaIters = 12
+  private val PcaQ = 1000L      // fixed-point quantizer for the PCA pass
+  private val PcaScale = 1000000L // per-step magnitude rescale target
+
+  /** Unrolled DuckDB oracle for q_embed_pca: the same integer moments as
+    * q_embed_covariance (at quantizer PcaQ), the scatter matrix
+    * n·S_ij − S_i·S_j mirrored to full D×D, then PcaIters chained
+    * mat-vec CTEs. Every divide is the explicit floor division
+    * (a − pmod(a,b)) / b on an exactly-divisible numerator, so Spark's
+    * driver-side Math.floorDiv and DuckDB agree bit-for-bit. */
+  private def pcaOracle: String = {
+    val iters = (1 to PcaIters).map { t =>
+      val prev = if (t == 1) "v0" else s"v${t - 1}"
+      s"""w$t AS MATERIALIZED (
+         |  SELECT cn.i, CAST(sum(cn.c * $prev.x) AS BIGINT) AS w
+         |  FROM cn JOIN $prev ON cn.j = $prev.i GROUP BY cn.i),
+         |d$t AS (SELECT greatest(max(abs(w)) // $PcaScale, 1) AS d FROM w$t),
+         |v$t AS MATERIALIZED (SELECT i, (w - ((w % d + d) % d)) // d AS x
+         |        FROM w$t CROSS JOIN d$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $PcaQ + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+       |p AS (
+       |  SELECT v[1] AS i, v[2] AS j, v[3] AS p
+       |  FROM (SELECT unnest(flatten(list_transform(range(1, len(q) + 1),
+       |          i -> list_transform(range(i, len(q) + 1),
+       |                 j -> [i, j, q[i] * q[j]])))) AS v
+       |        FROM q)),
+       |g AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS s FROM p GROUP BY 1, 2),
+       |m AS (
+       |  SELECT v[1] AS i, CAST(sum(v[2]) AS BIGINT) AS s
+       |  FROM (SELECT unnest(list_transform(range(1, len(q) + 1),
+       |          i -> [i, q[i]])) AS v
+       |        FROM q)
+       |  GROUP BY 1),
+       |craw0 AS (
+       |  SELECT g.i, g.j, nn.n * g.s - mi.s * mj.s AS c
+       |  FROM g CROSS JOIN nn
+       |  JOIN m mi ON g.i = mi.i JOIN m mj ON g.j = mj.i),
+       |craw AS (SELECT i, j, c FROM craw0
+       |         UNION ALL SELECT j AS i, i AS j, c FROM craw0 WHERE i <> j),
+       |dc AS (SELECT greatest(max(abs(c)) // $PcaScale, 1) AS d FROM craw),
+       |cn AS MATERIALIZED (SELECT i, j, (c - ((c % d + d) % d)) // d AS c
+       |       FROM craw CROSS JOIN dc),
+       |v0 AS (SELECT unnest(range(1, ${Dim + 1})) AS i, CAST($PcaQ AS BIGINT) AS x),
+       |$iters,
+       |qe AS (
+       |  SELECT vec_id, u.j, q[u.j] AS qv
+       |  FROM q, LATERAL (SELECT unnest(range(1, ${Dim + 1})) AS j) u)
+       |SELECT qe.vec_id, CAST(sum(qe.qv * vf.x) AS BIGINT) AS proj
+       |FROM qe JOIN v$PcaIters vf ON qe.j = vf.i
+       |GROUP BY qe.vec_id ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
 
     GQuery(
@@ -135,6 +193,76 @@ object VectorOps {
         .select(col("g.i").as("i"), col("g.j").as("j"), col("n"), col("sum_qq"),
           col("mi.s").as("sum_qi"), col("mj.s").as("sum_qj"))
         .orderBy("i", "j")
+    },
+
+    // Distributed PCA: first principal direction by power iteration over
+    // the exact integer scatter matrix, then the corpus projected onto it
+    // — the dimensionality-reduction / whitening / embedding-diagnostic
+    // pass. Entirely fixed-point: elements quantize at PcaQ, the scatter
+    // matrix is n·S_ij − S_i·S_j (exact BIGINT, ∝ covariance·n²·PcaQ²),
+    // and each power-iteration step rescales by an exact floor division
+    // so every engine-side number is an integer — the PcaIters-step
+    // iterate is bit-identical in Spark, the driver loop, and DuckDB.
+    // No convergence tolerance enters the contract: the operator IS
+    // "PcaIters power-iteration steps from the all-ones vector".
+    //
+    // Scale (100 TB): the corpus contributes ONE pass for the moments —
+    // the D(D+1)/2 pair explode combines map-side, so the shuffle carries
+    // D²·partitions rows (the k-means metadata pattern) — and ONE
+    // codegen'd projection pass at the end with the component broadcast
+    // as a literal; the power iteration itself runs on a D×D matrix on
+    // the driver (metadata-sized, like the k-means centroid step). The
+    // corpus never shuffles. Overflow headroom mirrors q_embed_covariance:
+    // quantizer PcaQ=10³ keeps n·S_ij < 2⁶³ past 10⁷ rows; a 10⁹-row
+    // deployment drops to 10² or sums into DECIMAL(38,0).
+    GQuery("q_embed_pca", pcaOracle) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val q = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(PcaQ.toDouble) + lit(0.5)).cast("long")).as("q"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // moments pass + projection pass
+      val n = q.count()
+      val pairRows = q
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(q)), i ->
+            |  transform(sequence(i, size(q)), j ->
+            |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+            |           q[i-1] * q[j-1] AS p))))""".stripMargin)).as("e"))
+        .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+        .agg(sum(col("e.p")).as("s"))
+        .collect() // D(D+1)/2 rows of metadata — the k-means-sums pattern
+      val margRows = q
+        .select(posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy((col("pos") + 1).cast("long").as("i"))
+        .agg(sum("v").as("s"))
+        .collect() // D rows
+      val sij = Array.ofDim[Long](Dim + 1, Dim + 1)
+      pairRows.foreach { r =>
+        val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+        sij(i)(j) = r.getLong(2); sij(j)(i) = r.getLong(2)
+      }
+      val si = Array.ofDim[Long](Dim + 1)
+      margRows.foreach(r => si(r.getLong(0).toInt) = r.getLong(1))
+      def rescaleDiv(maxAbs: Long): Long = math.max(maxAbs / PcaScale, 1L)
+      val craw = Array.tabulate(Dim + 1, Dim + 1) { (i, j) =>
+        if (i == 0 || j == 0) 0L else n * sij(i)(j) - si(i) * si(j)
+      }
+      val dc = rescaleDiv(craw.flatten.map(math.abs).max)
+      val cn = craw.map(_.map(Math.floorDiv(_, dc)))
+      var v = Array.tabulate(Dim + 1)(i => if (i == 0) 0L else PcaQ)
+      for (_ <- 1 to PcaIters) {
+        val w = Array.tabulate(Dim + 1) { i =>
+          if (i == 0) 0L
+          else (1 to Dim).foldLeft(0L)((acc, j) => acc + cn(i)(j) * v(j))
+        }
+        val dv = rescaleDiv(w.map(math.abs).max)
+        v = w.map(Math.floorDiv(_, dv))
+      }
+      val vLit = typedLit((1 to Dim).map(v): IndexedSeq[Long])
+      q.select(col("vec_id"),
+          aggregate(zip_with(col("q"), vLit, (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("proj"))
+        .orderBy("vec_id")
     }
   )
 }
