@@ -47,6 +47,10 @@ object TextAnalysis {
   /** BPE merge steps trained by the q_text_bpe gate. */
   private val BpeSteps = 8
 
+  /** Count-min sketch geometry (q_text_cms): CmsR hash rows × CmsW cells. */
+  private val CmsR = 4
+  private val CmsW = 64
+
   /** Fixed query-term set for the BM25 gate. */
   private val Bm25Terms = Seq("spark", "hash", "merge", "window")
   private val Bm25TermsSql = Bm25Terms.map(t => s"'$t'").mkString(", ")
@@ -696,6 +700,74 @@ object TextAnalysis {
           (size(filter(zip_with(col("gs"), col("es"), (a, b) => a === b),
             x => x)) / lit(graft.functions.TextHash.SigK.toDouble)).as("est_j_en"))
         .orderBy("lang")
+    },
+
+    // Count-min-sketch term frequencies: the mergeable heavy-hitter
+    // counter a 100 TB corpus uses where q_text_vocab's exact explode→
+    // agg would shuffle the full token stream. CmsR×CmsW counter cells
+    // (metadata: each cell is the SUM of counts hashing into it, so
+    // partial aggregation combines map-side and sketches merge by
+    // addition); estimate(token) = min over rows of its cell — the
+    // classic CMS upper bound, always ≥ the exact count. The gate scores
+    // the sketch against exact counts for the top-20 tokens: the exact
+    // arm is the eval harness (candidate sets at scale come from a
+    // sampled pass); both arms and the cell hashes (minhash permutation
+    // family over poly_hash) are deterministic, so the comparison is
+    // value-exact, overestimate and all.
+    GQuery(
+      "q_text_cms",
+      s"""WITH tokd AS (
+         |  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |tr AS (SELECT unnest(toks) AS tok FROM tokd),
+         |th AS MATERIALIZED (
+         |  SELECT tok,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS BIGINT))),
+         |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS t
+         |  FROM tr),
+         |cells AS (
+         |  SELECT r, ((1 + r*2654435761) % ${OracleFragments.P} * t + 7*r + 3)
+         |           % ${OracleFragments.P} % $CmsW AS cell
+         |  FROM th CROSS JOIN (SELECT unnest(range(0, $CmsR)) AS r) rr),
+         |counters AS (SELECT r, cell, CAST(count(*) AS BIGINT) AS n
+         |             FROM cells GROUP BY 1, 2),
+         |exact AS (SELECT tok, t, CAST(count(*) AS BIGINT) AS exact_n
+         |          FROM th GROUP BY 1, 2),
+         |top AS (SELECT * FROM exact ORDER BY exact_n DESC, tok LIMIT 20),
+         |tc AS (
+         |  SELECT top.tok, top.exact_n, rr.r,
+         |         ((1 + rr.r*2654435761) % ${OracleFragments.P} * top.t + 7*rr.r + 3)
+         |           % ${OracleFragments.P} % $CmsW AS cell
+         |  FROM top CROSS JOIN (SELECT unnest(range(0, $CmsR)) AS r) rr)
+         |SELECT tc.tok AS token, tc.exact_n, CAST(min(c.n) AS BIGINT) AS est_n
+         |FROM tc JOIN counters c USING (r, cell)
+         |GROUP BY tc.tok, tc.exact_n
+         |ORDER BY exact_n DESC, token""".stripMargin) { (s, d) =>
+      HashFunctions.ensure(s)
+      import org.apache.spark.storage.StorageLevel
+      val P = OracleFragments.P.toLong
+      def cell(r: Int, t: Column): Column =
+        (lit((1L + r * 2654435761L) % P) * t + lit(7L * r + 3)) % P % CmsW
+      val th = docs(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .select(col("tok"), HashFunctions.poly_hash(col("tok")).as("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // counters pass + exact arm
+      val counters = th
+        .select(posexplode(array((0 until CmsR).map(r => cell(r, col("t"))): _*))
+          .as(Seq("r", "cell")))
+        .groupBy("r", "cell").agg(count(lit(1)).as("n"))
+      val top = th.groupBy("tok", "t").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(20)
+      top
+        .select(col("tok"), col("exact_n"),
+          posexplode(array((0 until CmsR).map(r => cell(r, col("t"))): _*))
+            .as(Seq("r", "cell")))
+        .join(broadcast(counters), Seq("r", "cell"))
+        .groupBy("tok", "exact_n")
+        .agg(min("n").as("est_n"))
+        .select(col("tok").as("token"), col("exact_n"), col("est_n"))
+        .orderBy(col("exact_n").desc, col("token"))
     }
   )
 }
