@@ -334,6 +334,31 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .offset(20)
         .limit(10)
+    },
+
+    // Scalar subqueries, correlated and uncorrelated. The correlated
+    // per-order COUNT is the classic "COUNT bug" shape (an order with no
+    // lineitems must read 0, not NULL) — Catalyst decorrelates it to a
+    // left outer aggregate join, so the per-row subquery never executes
+    // per row; the uncorrelated min() evaluates once and broadcasts as a
+    // literal. All-integer outputs keep the compare exact.
+    GQuery(
+      "q_scalar_subquery",
+      """SELECT o_orderkey,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |        WHERE l_orderkey = o_orderkey) AS n_items,
+        |       CAST(o_custkey - (SELECT min(o_custkey) FROM orders) AS BIGINT)
+        |         AS custkey_off
+        |FROM orders WHERE o_orderkey < 200
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT o_orderkey,
+          |       (SELECT count(*) FROM lineitem
+          |        WHERE l_orderkey = o_orderkey) AS n_items,
+          |       o_custkey - (SELECT min(o_custkey) FROM orders) AS custkey_off
+          |FROM orders WHERE o_orderkey < 200
+          |ORDER BY o_orderkey""".stripMargin)
     }
   )
 }

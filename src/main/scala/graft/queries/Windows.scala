@@ -246,6 +246,58 @@ object Windows {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("l_returnflag").asc_nulls_first,
             col("l_linestatus").asc_nulls_first)
+    },
+
+    // Arbitrary GROUPING SETS (the general form ROLLUP/CUBE specialize):
+    // the four explicit sets compile to ONE Expand + hash aggregate —
+    // one scan, one shuffle, same as a plain GROUP BY; all-integer
+    // aggregates keep the compare exact.
+    GQuery(
+      "q_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        Tables.registerAll(s, d)
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority,
+            |       count(*) AS n_orders,
+            |       min(o_orderkey) AS min_key,
+            |       max(o_orderkey) AS max_key
+            |FROM orders
+            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+            |                        (o_orderstatus), (o_orderpriority), ())
+            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
+    // PIVOT: status categories rotated into columns with an EXPLICIT
+    // value list — no collect-distinct pre-pass, so the plan is a single
+    // conditional aggregation (one scan, one shuffle) at any scale. The
+    // oracle states the same thing as portable conditional counts; empty
+    // cells are 0 on both sides (Spark pivot yields NULL there —
+    // coalesced explicitly).
+    GQuery(
+      "q_pivot",
+      """SELECT o_orderpriority,
+        |       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+        |       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+        |       CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy("o_orderpriority")
     }
   )
 }
