@@ -109,7 +109,8 @@ object Stress {
       "q_kmeans", "q_curation_domain_cap",
       // round-8 additions to the family
       "q_text_bpe_encode", "q_text_lm_score", "q_embed_covariance",
-      "q_dedup_semantic")
+      "q_dedup_semantic",
+      "q_dedup_blocks", "q_embed_pca", "q_text_cms", "q_curation_shards")
 
     // q_dedup_semantic scales its cell count with the corpus (the
     // SemDeDup recipe: constant per-cell pairwise work); everything else
