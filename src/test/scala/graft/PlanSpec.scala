@@ -276,4 +276,65 @@ class PlanSpec extends AnyFunSuite {
     val f = formatted("q_dedup_semantic")
     assert(!f.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), f)
   }
+
+  test("q_text_cms: counters broadcast; exact arm is TakeOrdered; aggs partial") {
+    val f = formatted("q_text_cms")
+    assert(f.contains("TakeOrderedAndProject"),
+      "top-20 exact arm must be TakeOrdered, not a global sort")
+    assert(f.contains("BroadcastHashJoin") && !f.contains("SortMergeJoin"),
+      "the 256-cell counter table must broadcast onto the candidates")
+    val p = plan("q_text_cms")
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aggs = collectAll(p) { case h: HashAggregateExec => h }
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(aggs.size > shuffles.size,
+      s"counter/exact aggregations must combine map-side: ${aggs.size} aggs / ${shuffles.size} shuffles")
+  }
+
+  test("q_dedup_blocks: block rollups are partial-aggregated; no cartesian") {
+    val p = plan("q_dedup_blocks")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aggs = collectAll(p) { case h: HashAggregateExec => h }
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(aggs.size > shuffles.size,
+      s"block-df and per-doc aggs must combine map-side: ${aggs.size} aggs / ${shuffles.size} shuffles")
+  }
+
+  test("q_grouping_sets: four sets compile to ONE Expand and one agg shuffle") {
+    val p = plan("q_grouping_sets")
+    import org.apache.spark.sql.execution.ExpandExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    assert(collectAll(p) { case e: ExpandExec => e }.size == 1,
+      "grouping sets must share one Expand, not re-scan per set")
+    // one aggregation exchange + the presentation sort — never per-set
+    assert(collectAll(p) { case s: ShuffleExchangeExec => s }.size <= 2)
+  }
+
+  test("q_pivot: explicit value list pivots with a single scan") {
+    val p = plan("q_pivot")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    assert(collectAll(p) { case s: FileSourceScanExec => s }.size == 1,
+      "an explicit pivot value list must not add a collect-distinct scan")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_scalar_subquery: correlated count decorrelates to an aggregate join") {
+    val f = formatted("q_scalar_subquery")
+    assert(f.contains("BroadcastHashJoin") || f.contains("SortMergeJoin"),
+      "the per-order count must run as ONE aggregate join, not per-row subqueries")
+    val p = plan("q_scalar_subquery")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_embed_pca: the projection pass reuses the persisted quantized frame") {
+    val f = formatted("q_embed_pca")
+    // the returned plan is the broadcast-component projection over the
+    // cached quantized corpus — no join, no corpus shuffle beyond the
+    // presentation sort
+    assert(f.contains("InMemoryTableScan"), f)
+    assert(!f.contains("SortMergeJoin") && !f.contains("BroadcastHashJoin"), f)
+  }
 }
