@@ -36,6 +36,28 @@ object VectorOps {
   private val PcaQ = 1000L      // fixed-point quantizer for the PCA pass
   private val PcaScale = 1000000L // per-step magnitude rescale target
 
+  /** The driver-side PcaIters-step fixed-point power iteration (1-indexed
+    * D×D scatter matrix in, 1-indexed component vector out) — the exact
+    * arithmetic the unrolled DuckDB oracle states in SQL: rescale both the
+    * matrix and each iterate by floor division to |·|≤~PcaScale, iterate
+    * from the all-PcaQ vector. Exposed for the known-eigenvector unit
+    * test (PlanSpec gates the distributed shape; this pins the math). */
+  private[graft] def powerIterate(craw: Array[Array[Long]], dim: Int): Array[Long] = {
+    def rescaleDiv(maxAbs: Long): Long = math.max(maxAbs / PcaScale, 1L)
+    val dc = rescaleDiv(craw.flatten.map(math.abs).max)
+    val cn = craw.map(_.map(Math.floorDiv(_, dc)))
+    var v = Array.tabulate(dim + 1)(i => if (i == 0) 0L else PcaQ)
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(dim + 1) { i =>
+        if (i == 0) 0L
+        else (1 to dim).foldLeft(0L)((acc, j) => acc + cn(i)(j) * v(j))
+      }
+      val dv = rescaleDiv(w.map(math.abs).max)
+      v = w.map(Math.floorDiv(_, dv))
+    }
+    v
+  }
+
   /** Unrolled DuckDB oracle for q_embed_pca: the same integer moments as
     * q_embed_covariance (at quantizer PcaQ), the scatter matrix
     * n·S_ij − S_i·S_j mirrored to full D×D, then PcaIters chained
@@ -243,21 +265,10 @@ object VectorOps {
       }
       val si = Array.ofDim[Long](Dim + 1)
       margRows.foreach(r => si(r.getLong(0).toInt) = r.getLong(1))
-      def rescaleDiv(maxAbs: Long): Long = math.max(maxAbs / PcaScale, 1L)
       val craw = Array.tabulate(Dim + 1, Dim + 1) { (i, j) =>
         if (i == 0 || j == 0) 0L else n * sij(i)(j) - si(i) * si(j)
       }
-      val dc = rescaleDiv(craw.flatten.map(math.abs).max)
-      val cn = craw.map(_.map(Math.floorDiv(_, dc)))
-      var v = Array.tabulate(Dim + 1)(i => if (i == 0) 0L else PcaQ)
-      for (_ <- 1 to PcaIters) {
-        val w = Array.tabulate(Dim + 1) { i =>
-          if (i == 0) 0L
-          else (1 to Dim).foldLeft(0L)((acc, j) => acc + cn(i)(j) * v(j))
-        }
-        val dv = rescaleDiv(w.map(math.abs).max)
-        v = w.map(Math.floorDiv(_, dv))
-      }
+      val v = powerIterate(craw, Dim)
       val vLit = typedLit((1 to Dim).map(v): IndexedSeq[Long])
       q.select(col("vec_id"),
           aggregate(zip_with(col("q"), vLit, (a, b) => a * b),

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-8 operators that the cross-engine
+  * gate cannot establish: the DuckDB oracle proves Spark computes the
+  * SAME value, not that the value has the operator's defining property —
+  * a soundness bug present in both arms would still hash-match. These
+  * pin the properties themselves.
+  */
+class OperatorPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q_text_cms: the sketch never underestimates (CMS soundness)") {
+    val rows = SparkEntry.queries("q_text_cms")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact_n"), r.getAs[Long]("est_n"))
+      assert(est >= exact,
+        s"CMS underestimated '${r.getAs[String]("token")}': est=$est < exact=$exact")
+    }
+  }
+
+  test("q_curation_shards: LPT round-robin bounds shard spread by one document") {
+    val rows = SparkEntry.queries("q_curation_shards")(spark, sfDir).collect()
+    val totals = rows.map(_.getAs[Long]("total_tokens"))
+    val maxDoc = rows.map(_.getAs[Long]("max_tokens")).max
+    // descending round-robin: each round's per-shard assignments are
+    // sandwiched by the previous round's, so the telescoped spread is at
+    // most one maximal document
+    assert(totals.max - totals.min <= maxDoc,
+      s"shard spread ${totals.max - totals.min} exceeds max doc $maxDoc")
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.max - counts.min <= 1, "round-robin doc counts must differ by <= 1")
+  }
+
+  test("q_dedup_blocks: shared counts are bounded by block counts") {
+    val rows = SparkEntry.queries("q_dedup_blocks")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, ns, pct) = (r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("n_shared_blocks"), r.getAs[Long]("shared_pct"))
+      assert(nb > 0 && ns >= 0 && ns <= nb, r.toString)
+      assert(pct == ns * 100 / nb, r.toString)
+    }
+  }
+
+  test("q_ann_hard_negatives: no returned negative shares the query's label") {
+    val df = SparkEntry.queries("q_ann_hard_negatives")(spark, sfDir)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id AS query_id", "CAST(label AS BIGINT) AS qlabel")
+    val bad = df.join(emb, "query_id")
+      .filter(org.apache.spark.sql.functions.col("cand_label") ===
+        org.apache.spark.sql.functions.col("qlabel"))
+    assert(bad.count() == 0, "a hard negative carried the query's own label")
+  }
+
+  test("powerIterate recovers the dominant axis of a diagonal scatter matrix") {
+    val d = 8
+    // diag(10^9, 2·10^9 at axis 5, ...) — dominant eigenvector is axis 5
+    val craw = Array.tabulate(d + 1, d + 1) { (i, j) =>
+      if (i == 0 || j == 0 || i != j) 0L
+      else if (i == 5) 2000000000L else 1000000000L
+    }
+    val v = graft.queries.VectorOps.powerIterate(craw, d)
+    val dominant = (1 to d).maxBy(i => math.abs(v(i)))
+    assert(dominant == 5, s"expected axis 5, got $dominant: ${v.mkString(",")}")
+    // after 12 halving steps the non-dominant mass decays by 2^-12
+    (1 to d).filter(_ != 5).foreach { i =>
+      assert(math.abs(v(i)) * 1000 <= math.abs(v(5)),
+        s"axis $i failed to decay: ${v.mkString(",")}")
+    }
+  }
+
+  test("powerIterate is invariant to overall matrix scale (rescale discipline)") {
+    val d = 4
+    def mat(scale: Long): Array[Array[Long]] = Array.tabulate(d + 1, d + 1) { (i, j) =>
+      if (i == 0 || j == 0) 0L
+      else (if (i == j) 5L else 1L) * scale
+    }
+    val a = graft.queries.VectorOps.powerIterate(mat(1000000L), d)
+    val b = graft.queries.VectorOps.powerIterate(mat(1000000000L), d)
+    // the matrix rescale divides both to the same integer matrix, so the
+    // iterates are identical — scale must not leak into the component
+    assert(a.toSeq == b.toSeq, s"${a.mkString(",")} vs ${b.mkString(",")}")
+  }
+}
