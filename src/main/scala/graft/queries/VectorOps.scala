@@ -58,6 +58,108 @@ object VectorOps {
     v
   }
 
+  // ---- linear probe (q_embed_probe) ---------------------------------
+  // Ridge GD hyper-parameters, all integer. GnCap rescales the Gram
+  // matrix to |entries| ≲ 2·GnCap, so its spectral radius is ≤
+  // D·2·GnCap = 1.28e8; with the ridge R added, DStep > (λmax+R)/2
+  // guarantees stable gradient descent, and contraction (1 − R/DStep)^T
+  // ≈ 0.013 at T=16 — the iterate is effectively the ridge solution,
+  // but the CONTRACT is simply "ProbeIters fixed-point steps".
+  private val ProbeTarget = 3L            // one-vs-rest target label
+  private val ProbeIters = 16
+  private val ProbeBCap = 100000000000000L // 1e14: |b| rescale target
+  private val ProbeRidge = 64000000L
+  private val ProbeStep = 270000000L
+
+  /** Driver-side probe trainer: w ← w + floorDiv(b − G·w − R·w, DStep),
+    * T steps from zero, on the rescaled integer moments. 1-indexed like
+    * powerIterate; exposed for the closed-form-solution unit test. */
+  private[graft] def probeIterate(
+      gram: Array[Array[Long]], b: Array[Long], dim: Int): Array[Long] = {
+    val dg = math.max(gram.flatten.map(math.abs).max / PcaScale, 1L)
+    val gn = gram.map(_.map(Math.floorDiv(_, dg)))
+    val mb = math.max(b.map(math.abs).max, 1L)
+    val mul = math.max(ProbeBCap / mb, 1L)
+    val div = math.max(mb / ProbeBCap, 1L)
+    val bn = b.map(v => Math.floorDiv(v * mul, div))
+    var w = Array.fill(dim + 1)(0L)
+    for (_ <- 1 to ProbeIters) {
+      val u = Array.tabulate(dim + 1) { i =>
+        if (i == 0) 0L
+        else (1 to dim).foldLeft(0L)((acc, j) => acc + gn(i)(j) * w(j))
+      }
+      w = Array.tabulate(dim + 1) { i =>
+        if (i == 0) 0L
+        else w(i) + Math.floorDiv(bn(i) - u(i) - ProbeRidge * w(i), ProbeStep)
+      }
+    }
+    w
+  }
+
+  /** Unrolled DuckDB oracle for q_embed_probe: Gram + b moments at PcaQ,
+    * the same integer rescales as probeIterate, ProbeIters unrolled GD
+    * steps (every iteration CTE MATERIALIZED — DuckDB inlines CTEs, and
+    * each step references its predecessor more than once), then the
+    * corpus scored and rolled into a signed confusion matrix. */
+  private def probeOracle: String = {
+    val fd = (a: String, b: Long) => s"(($a) - ((($a) % $b + $b) % $b)) // $b"
+    val iters = (1 to ProbeIters).map { t =>
+      val prev = if (t == 1) "w0" else s"w${t - 1}"
+      s"""u$t AS MATERIALIZED (
+         |  SELECT gn.i, CAST(sum(gn.c * $prev.x) AS BIGINT) AS u
+         |  FROM gn JOIN $prev ON gn.j = $prev.i GROUP BY gn.i),
+         |w$t AS MATERIALIZED (
+         |  SELECT p.i, p.x + ${fd(s"bn.s - u$t.u - $ProbeRidge * p.x", ProbeStep)} AS x
+         |  FROM $prev p JOIN u$t ON p.i = u$t.i JOIN bn ON p.i = bn.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |         CASE WHEN label = $ProbeTarget THEN $PcaQ ELSE -$PcaQ END AS yv,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $PcaQ + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT v[1] AS i, v[2] AS j, v[3] AS p
+       |  FROM (SELECT unnest(flatten(list_transform(range(1, len(q) + 1),
+       |          i -> list_transform(range(i, len(q) + 1),
+       |                 j -> [i, j, q[i] * q[j]])))) AS v
+       |        FROM q)),
+       |g0 AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS s FROM p GROUP BY 1, 2),
+       |gfull AS (SELECT i, j, s FROM g0
+       |          UNION ALL SELECT j AS i, i AS j, s FROM g0 WHERE i <> j),
+       |bv AS (
+       |  SELECT v[1] AS i, CAST(sum(v[2]) AS BIGINT) AS s
+       |  FROM (SELECT unnest(list_transform(range(1, len(q) + 1),
+       |          i -> [i, q[i] * yv])) AS v
+       |        FROM q)
+       |  GROUP BY 1),
+       |dg AS (SELECT greatest(max(abs(s)) // $PcaScale, 1) AS d FROM gfull),
+       |gn AS MATERIALIZED (
+       |  SELECT i, j, (s - ((s % d + d) % d)) // d AS c
+       |  FROM gfull CROSS JOIN dg),
+       |sb AS (SELECT greatest($ProbeBCap // greatest(max(abs(s)), 1), 1) AS mul,
+       |              greatest(max(abs(s)) // $ProbeBCap, 1) AS dv
+       |       FROM bv),
+       |bn AS MATERIALIZED (
+       |  SELECT i, (s * mul - (((s * mul) % dv + dv) % dv)) // dv AS s
+       |  FROM bv CROSS JOIN sb),
+       |w0 AS (SELECT unnest(range(1, ${Dim + 1})) AS i, CAST(0 AS BIGINT) AS x),
+       |$iters,
+       |qe AS (
+       |  SELECT vec_id, label, u.j, q[u.j] AS qv
+       |  FROM q, LATERAL (SELECT unnest(range(1, ${Dim + 1})) AS j) u),
+       |sc AS (
+       |  SELECT qe.vec_id, any_value(qe.label) AS label,
+       |         CAST(sum(qe.qv * wf.x) AS BIGINT) AS score
+       |  FROM qe JOIN w$ProbeIters wf ON qe.j = wf.i
+       |  GROUP BY qe.vec_id)
+       |SELECT CAST(label = $ProbeTarget AS BIGINT) AS actual_pos,
+       |       CAST(score > 0 AS BIGINT) AS pred_pos,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(score) AS BIGINT) AS score_sum
+       |FROM sc GROUP BY 1, 2 ORDER BY actual_pos, pred_pos""".stripMargin
+  }
+
   /** Unrolled DuckDB oracle for q_embed_pca: the same integer moments as
     * q_embed_covariance (at quantizer PcaQ), the scatter matrix
     * n·S_ij − S_i·S_j mirrored to full D×D, then PcaIters chained
@@ -274,6 +376,58 @@ object VectorOps {
           aggregate(zip_with(col("q"), vLit, (a, b) => a * b),
             lit(0L), (acc, x) => acc + x).as("proj"))
         .orderBy("vec_id")
+    },
+
+    // Linear-probe classifier on embeddings — the data-filtering workflow
+    // (quality/domain classifiers in LLM pipelines are linear probes over
+    // embeddings): one-vs-rest ridge regression on ±1 targets, trained by
+    // ProbeIters fixed-point GD steps over the NORMAL-EQUATION moments
+    // (Gram matrix + class-weighted sums), then the corpus scored and
+    // rolled into a confusion matrix. Like q_embed_pca, the corpus
+    // contributes ONE moments pass (D²·partitions metadata shuffle) and
+    // one broadcast scoring pass; training itself is D×D driver metadata.
+    // All arithmetic is exact integers with floor-division rescales, so
+    // the trained weights — and every cell of the confusion matrix — are
+    // bit-identical in Spark and the unrolled DuckDB oracle.
+    GQuery("q_embed_probe", probeOracle) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val q = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          when(col("label") === ProbeTarget, lit(PcaQ)).otherwise(lit(-PcaQ))
+            .as("yv"),
+          transform(col("embedding").cast("array<double>"),
+            x => floor(x * lit(PcaQ.toDouble) + lit(0.5)).cast("long")).as("q"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // moments pass + scoring pass
+      val pairRows = q
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(q)), i ->
+            |  transform(sequence(i, size(q)), j ->
+            |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+            |           q[i-1] * q[j-1] AS p))))""".stripMargin)).as("e"))
+        .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+        .agg(sum(col("e.p")).as("s"))
+        .collect()
+      val bRows = q
+        .select(posexplode(col("q")).as(Seq("pos", "v")), col("yv"))
+        .groupBy((col("pos") + 1).cast("long").as("i"))
+        .agg(sum(col("v") * col("yv")).as("s"))
+        .collect()
+      val gram = Array.ofDim[Long](Dim + 1, Dim + 1)
+      pairRows.foreach { r =>
+        val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+        gram(i)(j) = r.getLong(2); gram(j)(i) = r.getLong(2)
+      }
+      val b = Array.ofDim[Long](Dim + 1)
+      bRows.foreach(r => b(r.getLong(0).toInt) = r.getLong(1))
+      val w = probeIterate(gram, b, Dim)
+      val wLit = typedLit((1 to Dim).map(w): IndexedSeq[Long])
+      q.select(col("label"),
+          aggregate(zip_with(col("q"), wLit, (a, x) => a * x),
+            lit(0L), (acc, x) => acc + x).as("score"))
+        .groupBy((col("label") === ProbeTarget).cast("long").as("actual_pos"),
+          (col("score") > 0).cast("long").as("pred_pos"))
+        .agg(count(lit(1)).as("n"), sum("score").as("score_sum"))
+        .orderBy("actual_pos", "pred_pos")
     }
   )
 }

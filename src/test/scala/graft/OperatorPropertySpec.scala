@@ -94,4 +94,42 @@ class OperatorPropertySpec extends AnyFunSuite {
     // iterates are identical — scale must not leak into the component
     assert(a.toSeq == b.toSeq, s"${a.mkString(",")} vs ${b.mkString(",")}")
   }
+
+  test("probeIterate converges to the closed-form ridge solution on a diagonal Gram") {
+    val d = 4
+    // diagonal Gram ⇒ the fixed point decouples per coordinate:
+    // w*_i = bn_i / (gn_ii + Ridge). The contraction factor per step is
+    // 1 − (gn_ii + Ridge)/Step ≈ 0.76, so 16 steps leave ≤ ~1.2% residual.
+    val gram = Array.tabulate(d + 1, d + 1) { (i, j) =>
+      if (i == j && i > 0) i.toLong * 1000000000000L else 0L
+    }
+    val b = Array.tabulate(d + 1)(i =>
+      if (i == 0) 0L else (if (i % 2 == 0) -1L else 1L) * i * 1000000000L)
+    val w = graft.queries.VectorOps.probeIterate(gram, b, d)
+    // reproduce the rescales probeIterate applies before iterating
+    val dg = math.max(gram.flatten.map(math.abs).max / 1000000L, 1L)
+    val mb = b.map(math.abs).max
+    val mul = math.max(100000000000000L / mb, 1L)
+    (1 to d).foreach { i =>
+      val expected = (b(i) * mul).toDouble / (gram(i)(i) / dg + 64000000L)
+      assert(math.signum(w(i).toDouble) == math.signum(expected),
+        s"axis $i sign: got ${w(i)}, want ~$expected")
+      assert(math.abs(w(i) - expected) <= math.abs(expected) * 0.025 + 20,
+        s"axis $i: got ${w(i)}, closed form $expected")
+    }
+  }
+
+  test("probeIterate is invariant to overall moment scale (rescale discipline)") {
+    // d = 4 so max|b| = 4·s divides BCap = 1e14 exactly at both scales —
+    // the b rescale is multiplicative, so invariance is exact only when
+    // BCap/mb has no truncation (the gram rescale divides, always exact)
+    val d = 4
+    def gm(s: Long) = Array.tabulate(d + 1, d + 1) { (i, j) =>
+      if (i == 0 || j == 0) 0L else (if (i == j) 7L else 1L) * s
+    }
+    def bv(s: Long) = Array.tabulate(d + 1)(i => if (i == 0) 0L else i * s)
+    val a = graft.queries.VectorOps.probeIterate(gm(10000000L), bv(1000000L), d)
+    val c = graft.queries.VectorOps.probeIterate(gm(10000000000L), bv(1000000000L), d)
+    assert(a.toSeq == c.toSeq, s"${a.mkString(",")} vs ${c.mkString(",")}")
+  }
 }

@@ -337,4 +337,22 @@ class PlanSpec extends AnyFunSuite {
     assert(f.contains("InMemoryTableScan"), f)
     assert(!f.contains("SortMergeJoin") && !f.contains("BroadcastHashJoin"), f)
   }
+
+  test("q_embed_probe: scoring reuses the cached frame; confusion agg is partial") {
+    val f = formatted("q_embed_probe")
+    // trained weights enter as a literal array — the scoring pass is a
+    // projection + 4-group rollup over the persisted quantized corpus,
+    // with no join and map-side partial aggregation before the exchange
+    assert(f.contains("InMemoryTableScan"), f)
+    assert(!f.contains("SortMergeJoin") && !f.contains("BroadcastHashJoin"), f)
+    val p = plan("q_embed_probe")
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aggs = collectAll(p) { case h: HashAggregateExec => h }
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    // one partial+final pair around one agg exchange; the only other
+    // shuffle is the presentation sort's range partitioning
+    assert(aggs.size == 2 && shuffles.size <= 2,
+      s"confusion rollup must combine map-side: ${aggs.size} aggs / ${shuffles.size} shuffles")
+  }
 }
