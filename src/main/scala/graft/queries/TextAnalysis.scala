@@ -47,6 +47,12 @@ object TextAnalysis {
   /** BPE merge steps trained by the q_text_bpe gate. */
   private val BpeSteps = 8
 
+  /** DSIR target domain (q_curation_dsir): the sources whose bigram
+    * distribution defines "high quality" for importance weighting. */
+  private val DsirTargetSources = Seq("src1", "src2", "src3", "src4")
+  private def DsirTargetSql: String =
+    DsirTargetSources.map(s => s"'$s'").mkString(", ")
+
   /** Count-min sketch geometry (q_text_cms): CmsR hash rows × CmsW cells. */
   private val CmsR = 4
   private val CmsW = 64
@@ -476,6 +482,101 @@ object TextAnalysis {
         .agg(sum("k").cast("long").as("bigrams"),
           sum(col("m") * col("k")).cast("long").as("score_millinats"))
         .orderBy("doc_id")
+    },
+
+    // DSIR-shaped importance weighting (public recipe: Xie et al. 2023,
+    // "Data Selection via Importance Resampling"): score every document
+    // by how much more likely its bigrams are under a TARGET model
+    // (trained on the curated sources) than under the RAW corpus model —
+    // the standard way a web-scale crawl is filtered toward a
+    // high-quality domain. Both models are the q_text_lm_score add-one
+    // bigram estimator; the importance weight is Σ k·(m_target − m_raw)
+    // in integer millinats, each log rounded identically in both engines
+    // BEFORE the exact integer sum. Deterministic top-50 selection by
+    // (weight DESC, doc_id) — the rank-selection variant of DSIR's
+    // Gumbel resampling.
+    //   Scale (100 TB): ONE per-doc bigram pass (persisted) feeds both
+    // models AND the scoring join; model tables are vocab²-bounded and
+    // map-side combined; the two vocab sizes are one driver scalar pass;
+    // the top-50 is a TakeOrdered, never a global sort.
+    GQuery("q_curation_dsir",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(source IN ($DsirTargetSql) AS BIGINT) AS tgt,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |           w -> regexp_matches(w, '^[a-z]+$$') AND length(w) <= 20) AS wl
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tgt, p[1] AS w1, p[2] AS w2
+         |  FROM (SELECT doc_id, tgt,
+         |          unnest(list_transform(range(1, len(wl)), i -> [wl[i], wl[i+1]])) AS p
+         |        FROM t WHERE len(wl) >= 2)),
+         |k AS (SELECT doc_id, tgt, w1, w2, CAST(count(*) AS BIGINT) AS k
+         |      FROM bg GROUP BY 1, 2, 3, 4),
+         |cbr AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS cbg_r FROM k GROUP BY 1, 2),
+         |clr AS (SELECT w1, CAST(sum(k) AS BIGINT) AS cl_r FROM k GROUP BY 1),
+         |cbt AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS cbg_t
+         |        FROM k WHERE tgt = 1 GROUP BY 1, 2),
+         |clt AS (SELECT w1, CAST(sum(k) AS BIGINT) AS cl_t
+         |        FROM k WHERE tgt = 1 GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vr,
+         |             CAST(count(DISTINCT CASE WHEN tgt = 1 THEN w END) AS BIGINT) AS vt
+         |      FROM (SELECT tgt, unnest(wl) AS w FROM t)),
+         |sc AS (
+         |  SELECT k.doc_id, k.tgt, k.k,
+         |         CAST(round(1000 * ln(CAST(COALESCE(cbt.cbg_t, 0) + 1 AS DOUBLE)
+         |                              / CAST(COALESCE(clt.cl_t, 0) + v.vt AS DOUBLE))) AS BIGINT)
+         |       - CAST(round(1000 * ln(CAST(cbr.cbg_r + 1 AS DOUBLE)
+         |                              / CAST(clr.cl_r + v.vr AS DOUBLE))) AS BIGINT) AS m
+         |  FROM k
+         |  JOIN cbr ON k.w1 = cbr.w1 AND k.w2 = cbr.w2
+         |  JOIN clr ON k.w1 = clr.w1
+         |  LEFT JOIN cbt ON k.w1 = cbt.w1 AND k.w2 = cbt.w2
+         |  LEFT JOIN clt ON k.w1 = clt.w1
+         |  CROSS JOIN v)
+         |SELECT doc_id, tgt AS in_target,
+         |       CAST(sum(k) AS BIGINT) AS bigrams,
+         |       CAST(sum(m * k) AS BIGINT) AS w_millinats
+         |FROM sc GROUP BY doc_id, tgt
+         |ORDER BY w_millinats DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val wl = filter(tokens(col("text")),
+        w => w.rlike("^[a-z]+$") && length(w) <= 20)
+      val t = docs(s, d).select(col("doc_id"),
+        col("source").isin(DsirTargetSources: _*).cast("long").as("tgt"),
+        wl.as("wl"))
+      val k = t.filter(size(col("wl")) >= 2)
+        .select(col("doc_id"), col("tgt"), explode(expr(
+          "transform(sequence(1, size(wl) - 1), i -> struct(wl[i-1] AS w1, wl[i] AS w2))"))
+          .as("p"))
+        .select(col("doc_id"), col("tgt"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("doc_id", "tgt", "w1", "w2").agg(count(lit(1)).as("k"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // both models + scoring derive from k; released by the harness clearCache
+      val cbr = k.groupBy("w1", "w2").agg(sum("k").as("cbg_r"))
+      val clr = k.groupBy("w1").agg(sum("k").as("cl_r"))
+      val cbt = k.filter(col("tgt") === 1)
+        .groupBy("w1", "w2").agg(sum("k").as("cbg_t"))
+      val clt = k.filter(col("tgt") === 1)
+        .groupBy("w1").agg(sum("k").as("cl_t"))
+      // the two vocabulary sizes: one driver scalar pass
+      val vrow = t.select(col("tgt"), explode(col("wl")).as("w"))
+        .agg(countDistinct(col("w")),
+          countDistinct(when(col("tgt") === 1, col("w")))).first()
+      val (vr, vt) = (vrow.getLong(0), vrow.getLong(1))
+      val mT = round(lit(1000d) * log((coalesce(col("cbg_t"), lit(0L)) + lit(1)).cast("double")
+        / (coalesce(col("cl_t"), lit(0L)) + lit(vt)).cast("double"))).cast("long")
+      val mR = round(lit(1000d) * log((col("cbg_r") + lit(1)).cast("double")
+        / (col("cl_r") + lit(vr)).cast("double"))).cast("long")
+      k.join(cbr, Seq("w1", "w2")).join(clr, Seq("w1"))
+        .join(cbt, Seq("w1", "w2"), "left").join(clt, Seq("w1"), "left")
+        .select(col("doc_id"), col("tgt"), col("k"), (mT - mR).as("m"))
+        .groupBy("doc_id", "tgt")
+        .agg(sum("k").cast("long").as("bigrams"),
+          sum(col("m") * col("k")).cast("long").as("w_millinats"))
+        .select(col("doc_id"), col("tgt").as("in_target"),
+          col("bigrams"), col("w_millinats"))
+        .orderBy(col("w_millinats").desc, col("doc_id"))
+        .limit(50)
     },
 
     // Corpus vocabulary statistics: top tokens by document frequency with

@@ -338,6 +338,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!f.contains("SortMergeJoin") && !f.contains("BroadcastHashJoin"), f)
   }
 
+  test("q_curation_dsir: one cached bigram pass feeds both models; top-50 is TakeOrdered") {
+    val f = formatted("q_curation_dsir")
+    assert(f.contains("TakeOrderedAndProject"),
+      "top-50 selection must be TakeOrdered, not a global sort")
+    assert(f.contains("InMemoryTableScan"),
+      "the per-doc bigram table must be computed once and reused by both models")
+    val p = plan("q_curation_dsir")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("q_embed_probe: scoring reuses the cached frame; confusion agg is partial") {
     val f = formatted("q_embed_probe")
     // trained weights enter as a literal array — the scoring pass is a
