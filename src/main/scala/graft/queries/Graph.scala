@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.{GQuery, Tables}
+
+/** Graph analytics over relationally-derived graphs (beyond-reference;
+  * the link-analysis surface a data platform runs for source-quality
+  * ranking — e.g. domain PageRank as a quality prior in crawl curation,
+  * the public CommonCrawl/OpenWebText recipe).
+  *
+  * The graph here derives from the star schema itself: customers and
+  * suppliers are nodes, an order line connecting them is an (undirected)
+  * edge — the bipartite "who trades with whom" graph.
+  *
+  * Cross-engine determinism: ranks are exact integers (1e9 fixed point);
+  * each iteration divides by degree and applies damping with integer
+  * floor division only — every intermediate is nonnegative, so Spark's
+  * `DIV` and DuckDB's `//` (both truncating) agree with floor exactly,
+  * and the final ranks are bit-identical against an 8-stage unrolled
+  * materialized-CTE DuckDB oracle.
+  *
+  * Scale design (100 TB): the canonical distributed PageRank shape — the
+  * edge list (with degree) is built ONCE and persisted; each of the 8
+  * rounds is one equi-join of the rank table onto the edges (shuffle on
+  * src) and one map-side-combined aggregation onto dst; the rank table
+  * never leaves the cluster and the driver holds zero graph state. On a
+  * real cluster the edge table would be pre-partitioned by src so every
+  * round reuses one partitioning; 8 rounds = a lazily-composed linear
+  * plan (each round referenced exactly once — no lineage blowup).
+  */
+object Graph {
+
+  private val PrIters = 8
+  private val R0 = 1000000000L        // initial rank, 1e9 fixed point
+  private val PrBase = 150000000L     // (1 − d)·1e9 with damping d = 0.85
+
+  val queries: Seq[GQuery] = Seq(
+
+    // PageRank over the customer–supplier trade graph, top-20 nodes.
+    // Degree-normalized contributions with damping 0.85, 8 synchronous
+    // iterations from a uniform start — the textbook formulation (Brin &
+    // Page 1998), in exact 1e9 fixed point.
+    GQuery("q_graph_pagerank", {
+      val iters = (1 to PrIters).map { t =>
+        val prev = if (t == 1) "r0" else s"r${t - 1}"
+        s"""c$t AS MATERIALIZED (
+           |  SELECT ed.dst AS node, CAST(sum(p.r // ed.deg) AS BIGINT) AS s
+           |  FROM ed JOIN $prev p ON ed.src = p.node GROUP BY 1),
+           |r$t AS MATERIALIZED (
+           |  SELECT n.node,
+           |         CAST($PrBase + (85 * COALESCE(c$t.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM n LEFT JOIN c$t ON n.node = c$t.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM p
+         |  UNION ALL SELECT b AS src, a AS dst FROM p),
+         |d AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         |ed AS MATERIALIZED (
+         |  SELECT e.src, e.dst, d.deg FROM e JOIN d ON e.src = d.src),
+         |n AS MATERIALIZED (SELECT src AS node FROM d),
+         |r0 AS MATERIALIZED (
+         |  SELECT node, CAST($R0 AS BIGINT) AS r FROM n),
+         |$iters
+         |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+         |       CAST(node // 2 AS BIGINT) AS node_key,
+         |       r AS rank_e9
+         |FROM r$PrIters
+         |ORDER BY rank_e9 DESC, node_type, node_key LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = orders
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      // edge list with per-src degree: built once, joined every round
+      val ed = e.join(deg, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK) // 8 rank joins; released by the harness clearCache
+      val nodes = deg.select(col("src").as("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // 8 left joins; released by the harness clearCache
+      var ranks = nodes.select(col("node"), lit(R0).as("r"))
+      for (_ <- 1 to PrIters) {
+        val contrib = ed
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), expr("r DIV deg").as("c"))
+          .groupBy("node").agg(sum("c").as("s"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(PrBase) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100"))
+              .as("r"))
+      }
+      ranks.select(
+          when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
+          expr("node DIV 2").cast("long").as("node_key"),
+          col("r").as("rank_e9"))
+        .orderBy(col("rank_e9").desc, col("node_type"), col("node_key"))
+        .limit(20)
+    }
+  )
+}

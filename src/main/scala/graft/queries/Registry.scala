@@ -9,7 +9,8 @@ object Registry {
       Scalars.queries ++ DialectSql.queries ++ Dedup.queries ++
       Federation.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       MediaQueries.queries ++ StreamQueries.queries ++ Pipeline.queries ++
-      Curation.queries ++ VectorOps.queries ++ Clustering.queries
+      Curation.queries ++ VectorOps.queries ++ Clustering.queries ++
+      Graph.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }

@@ -95,6 +95,31 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, s"${a.mkString(",")} vs ${b.mkString(",")}")
   }
 
+  test("q_graph_pagerank: ranks are damped-positive and track degree") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_graph_pagerank")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    // every rank carries at least the teleport mass (1−d)·1e9
+    rows.foreach(r => assert(r.getAs[Long]("rank_e9") >= 150000000L, r.toString))
+    // recompute node degrees from the same derivation; on an undirected
+    // graph PageRank mass converges toward degree-proportional, so the
+    // top-20 must sit far above the global average degree
+    val o = spark.read.parquet(s"$sfDir/orders.parquet").select("o_orderkey", "o_custkey")
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b")).distinct()
+    val degByNode = pairs.select(col("a").as("n")).union(pairs.select(col("b").as("n")))
+      .groupBy("n").count().collect().map { r =>
+        val n = r.getLong(0)
+        ((if (n % 2 == 0) "c" else "s") -> n / 2) -> r.getLong(1)
+      }.toMap
+    val globalAvg = degByNode.values.sum.toDouble / degByNode.size
+    val topAvg = rows.map(r =>
+      degByNode((r.getAs[String]("node_type"), r.getAs[Long]("node_key")))).sum.toDouble / 20
+    assert(topAvg > 3 * globalAvg,
+      s"top-20 avg degree $topAvg not above 3x global avg $globalAvg")
+  }
+
   test("probeIterate converges to the closed-form ridge solution on a diagonal Gram") {
     val d = 4
     // diagonal Gram ⇒ the fixed point decouples per coordinate:

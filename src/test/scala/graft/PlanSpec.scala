@@ -348,6 +348,16 @@ class PlanSpec extends AnyFunSuite {
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q_graph_pagerank: edges cached once for all rounds; no cartesian") {
+    val f = formatted("q_graph_pagerank")
+    // the edge+degree table is built once and joined by all 8 rounds
+    assert(f.contains("InMemoryTableScan"), f)
+    assert(f.contains("TakeOrderedAndProject"),
+      "top-20 must be TakeOrdered, not a global sort")
+    val p = plan("q_graph_pagerank")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("q_embed_probe: scoring reuses the cached frame; confusion agg is partial") {
     val f = formatted("q_embed_probe")
     // trained weights enter as a literal array — the scoring pass is a
