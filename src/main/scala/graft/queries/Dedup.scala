@@ -110,6 +110,59 @@ object Dedup {
   private[queries] def lshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsFor(s, Tables.load(s, d, "documents"))
 
+  /** Confusion rollup of a predicted pair set against a ground-truth pair
+    * set (both with doc_a/doc_b columns): TP/FP/FN and precision/recall
+    * in integer basis points, one row. Exposed for the planted-divergence
+    * spec — the live gate's two sets coincide on this corpus, so the
+    * arithmetic is pinned separately on sets that genuinely differ. */
+  private[graft] def pairSetEval(predPairs: DataFrame, truthPairs: DataFrame): DataFrame = {
+    val pred = predPairs.select(col("doc_a"), col("doc_b"), lit(1).as("p"))
+    val truth = truthPairs.select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+    pred.join(truth, Seq("doc_a", "doc_b"), "full")
+      .agg(count(col("p")).as("n_pred"), count(col("t")).as("n_truth"),
+        count(when(col("p").isNotNull && col("t").isNotNull, lit(1))).as("tp"))
+      .select(col("n_pred"), col("n_truth"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        round(lit(10000.0) * col("tp") / nullif(col("n_pred"), lit(0)))
+          .cast("long").as("precision_bp"),
+        round(lit(10000.0) * col("tp") / nullif(col("n_truth"), lit(0)))
+          .cast("long").as("recall_bp"))
+  }
+
+  /** Exact n-gram Jaccard pairs (jaccard >= 0.5) via an inverted-index
+    * join with the MAX_DF document-frequency cutoff — shared by the
+    * q_dedup_ngram_jaccard gate and the sketch-vs-exact eval. */
+  private[queries] def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    HashFunctions.ensure(s)
+    val docs = Tables.load(s, d, "documents")
+    // distinct 3-gram shingle hashes per doc (compact long join keys)
+    val sets = docs.select(col("doc_id"),
+      array_distinct(HashFunctions.shingle_hashes(col("text"), 3)).as("hh"))
+    // the exploded index is consumed by the DF computation, the set
+    // sizes and both sides of the pair join — persist it so the
+    // corpus-wide shingle pass runs once, not four times
+    val inv = sets.select(col("doc_id"), explode(col("hh")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // document-frequency cutoff: hyper-common shingles are dropped from
+    // the index (and from set sizes) before the pair join
+    val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MAX_DF).select("h")
+    val inv2 = inv.join(rare, "h").persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = inv2.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val ai = inv2.toDF("h", "doc_a")
+    val bi = inv2.toDF("h2", "doc_b")
+    val inter = ai.join(bi, col("h") === col("h2") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Connected components over a pair list: iterated min-label propagation
     * with path-halving (each round also adopts the label of the current
     * label), which converges in O(log diameter) rounds — plain
@@ -388,34 +441,20 @@ object Dedup {
     GQuery(
       "q_dedup_ngram_jaccard",
       OracleFragments.ngramJaccardPairs(MAX_DF)) { (s, d) =>
-      HashFunctions.ensure(s)
-      val docs = Tables.load(s, d, "documents")
-      // distinct 3-gram shingle hashes per doc (compact long join keys)
-      val sets = docs.select(col("doc_id"),
-        array_distinct(HashFunctions.shingle_hashes(col("text"), 3)).as("hh"))
-      // the exploded index is consumed by the DF computation, the set
-      // sizes and both sides of the pair join — persist it so the
-      // corpus-wide shingle pass runs once, not four times
-      val inv = sets.select(col("doc_id"), explode(col("hh")).as("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // document-frequency cutoff: hyper-common shingles are dropped from
-      // the index (and from set sizes) before the pair join
-      val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MAX_DF).select("h")
-      val inv2 = inv.join(rare, "h").persist(StorageLevel.MEMORY_AND_DISK)
-      val sizes = inv2.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val ai = inv2.toDF("h", "doc_a")
-      val bi = inv2.toDF("h2", "doc_b")
-      val inter = ai.join(bi, col("h") === col("h2") && col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
-        .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
-        .withColumn("jaccard",
-          col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy("doc_a", "doc_b")
+      exactJaccardPairs(s, d).orderBy("doc_a", "doc_b")
+    },
+
+    // Sketch-vs-exact differential eval: precision/recall of the MinHash-
+    // LSH pipeline's pairs (est_j >= 0.5) against the exact n-gram
+    // Jaccard pairs as ground truth — the eval a curation stack runs
+    // before trusting a sketch configuration (B, R, CAP) on 100 TB it
+    // can never exact-check. One full-outer join of the two bounded pair
+    // sets (both are output-sized, never corpus-sized) and one global
+    // rollup; precision/recall in integer basis points.
+    GQuery(
+      "q_dedup_minhash_eval",
+      OracleFragments.minhashEval(CAP, MAX_DF)) { (s, d) =>
+      pairSetEval(lshPairs(s, d), exactJaccardPairs(s, d))
     },
 
     // Sub-document block dedup (CCNet/RefinedWeb-style paragraph dedup,

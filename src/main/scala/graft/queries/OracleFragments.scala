@@ -223,14 +223,11 @@ object OracleFragments {
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Exact n-gram Jaccard with document-frequency cutoff (df <= maxDf):
-    * inverted-index self-join on rare shingle hashes. */
-  def ngramJaccardPairs(maxDf: Int): String =
-    s"""WITH
-       |$tok,
-       |$shingle3,
-       |$shingleHashes,
-       |inv AS (SELECT DISTINCT doc_id, h FROM hh),
+  /** CTE chain ending in `jpairs(doc_a, doc_b, jaccard)` — the exact
+    * n-gram Jaccard pairs (df <= maxDf, jaccard >= 0.5). CTE names are
+    * disjoint from the LSH chain so the two compose in one WITH. */
+  private def jaccardCtes(maxDf: Int): String =
+    s"""inv AS (SELECT DISTINCT doc_id, h FROM hh),
        |rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) <= $maxDf),
        |inv2 AS (SELECT i.doc_id, i.h FROM inv i JOIN rare USING (h)),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM inv2 GROUP BY doc_id),
@@ -238,12 +235,47 @@ object OracleFragments {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
        |  FROM inv2 a JOIN inv2 b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
-       |)
-       |SELECT i.doc_a, i.doc_b,
-       |       CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) AS jaccard
-       |FROM inter i
-       |JOIN sizes sa ON sa.doc_id = i.doc_a
-       |JOIN sizes sb ON sb.doc_id = i.doc_b
-       |WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.5
+       |),
+       |jpairs AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |         CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.5
+       |)""".stripMargin
+
+  /** Exact n-gram Jaccard with document-frequency cutoff (df <= maxDf):
+    * inverted-index self-join on rare shingle hashes. */
+  def ngramJaccardPairs(maxDf: Int): String =
+    s"""WITH
+       |$tok,
+       |$shingle3,
+       |$shingleHashes,
+       |${jaccardCtes(maxDf)}
+       |SELECT doc_a, doc_b, jaccard FROM jpairs
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Sketch-vs-exact differential eval: the LSH candidate pairs
+    * (est_j >= 0.5) scored against the exact Jaccard pairs as ground
+    * truth — TP/FP/FN plus precision/recall in integer basis points
+    * (round(10000·x) in the shared double→round→BIGINT form). One row. */
+  def minhashEval(cap: Int, maxDf: Int): String =
+    s"""WITH
+       |${lshCtes(cap)},
+       |${jaccardCtes(maxDf)},
+       |pred AS (SELECT doc_a, doc_b FROM est WHERE est_j >= 0.5),
+       |truth AS (SELECT doc_a, doc_b FROM jpairs),
+       |m AS (
+       |  SELECT CAST(count(p.doc_a) AS BIGINT) AS n_pred,
+       |         CAST(count(t.doc_a) AS BIGINT) AS n_truth,
+       |         CAST(count(CASE WHEN p.doc_a IS NOT NULL
+       |                          AND t.doc_a IS NOT NULL THEN 1 END) AS BIGINT) AS tp
+       |  FROM pred p FULL JOIN truth t
+       |    ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
+       |SELECT n_pred, n_truth, tp,
+       |       n_pred - tp AS fp, n_truth - tp AS fn,
+       |       CAST(round(10000.0 * tp / nullif(n_pred, 0)) AS BIGINT) AS precision_bp,
+       |       CAST(round(10000.0 * tp / nullif(n_truth, 0)) AS BIGINT) AS recall_bp
+       |FROM m""".stripMargin
 }

@@ -100,4 +100,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out(10L)._2 == 1L, "near copy must flag near_dup")
     assert(out(15L) == ((0L, 0L, 1L)), "fresh doc must ingest")
   }
+
+  test("pairSetEval confusion arithmetic on genuinely diverging pair sets") {
+    import spark.implicits._
+    // pred = {(1,2),(1,3),(2,3)}, truth = {(1,2),(4,5)} ⇒ tp=1 fp=2 fn=1,
+    // precision 1/3 → 3333 bp, recall 1/2 → 5000 bp — the live gate's two
+    // sets coincide on the corpus, so the divergent case is pinned here
+    val pred = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val truth = Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val r = Dedup.pairSetEval(pred, truth).collect().head
+    assert(r.getAs[Long]("n_pred") == 3 && r.getAs[Long]("n_truth") == 2)
+    assert(r.getAs[Long]("tp") == 1 && r.getAs[Long]("fp") == 2 &&
+      r.getAs[Long]("fn") == 1, r.toString)
+    assert(r.getAs[Long]("precision_bp") == 3333 &&
+      r.getAs[Long]("recall_bp") == 5000, r.toString)
+  }
 }
