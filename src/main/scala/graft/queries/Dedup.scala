@@ -444,6 +444,39 @@ object Dedup {
       exactJaccardPairs(s, d).orderBy("doc_a", "doc_b")
     },
 
+    // Blocked fuzzy matching (entity resolution) over an attribute's
+    // distinct-value domain: near-identical part names (edit distance
+    // ≤ 3) are candidate merges — the canonicalization pass a catalog /
+    // metadata pipeline runs before joining on a dirty key. Blocking on
+    // the first token bounds the pair space; Levenshtein runs per
+    // candidate pair only, never per row pair.
+    //   Scale (100 TB): the value DOMAIN (map-side-combined distinct+
+    // count) is orders of magnitude smaller than the table; the blocked
+    // self-join is an equi-join on the block key within that domain, and
+    // the domain side auto-broadcasts. Rows never pair with rows.
+    GQuery("q_dedup_fuzzy_names",
+      """WITH v AS (SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n
+        |           FROM part GROUP BY 1),
+        |t AS (SELECT name, n, string_split(name, ' ')[1] AS blk FROM v)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |       a.n AS n_a, b.n AS n_b
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+      val t = Tables.load(s, d, "part")
+        .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n"))
+        .select(col("name"), col("n"), split(col("name"), " ").getItem(0).as("blk"))
+      val a = t.toDF("name_a", "n_a", "blk")
+      val b = t.toDF("name_b", "n_b", "blk_b")
+      a.join(b, col("blk") === col("blk_b") && col("name_a") < col("name_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 3)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+          col("n_a"), col("n_b"))
+        .orderBy("name_a", "name_b")
+    },
+
     // Sketch-vs-exact differential eval: precision/recall of the MinHash-
     // LSH pipeline's pairs (est_j >= 0.5) against the exact n-gram
     // Jaccard pairs as ground truth — the eval a curation stack runs

@@ -348,6 +348,15 @@ class PlanSpec extends AnyFunSuite {
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q_dedup_fuzzy_names: blocked domain self-join broadcasts, no cartesian") {
+    val f = formatted("q_dedup_fuzzy_names")
+    assert(f.contains("BroadcastHashJoin") && !f.contains("SortMergeJoin"),
+      "the distinct-value domain must broadcast for the blocked self-join")
+    val p = plan("q_dedup_fuzzy_names")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      "fuzzy matching must pair within blocks only")
+  }
+
   test("q_graph_pagerank: edges cached once for all rounds; no cartesian") {
     val f = formatted("q_graph_pagerank")
     // the edge+degree table is built once and joined by all 8 rounds
