@@ -113,7 +113,8 @@ object Bench {
     // dimensions). The per-query ratio vs the sf0.1 measurement above
     // plots the scaling curve — super-linear surprises the single-SF
     // bench can't see show up as ratio >> 3.
-    val headline = Seq("q1_agg", "q3_shipping", "q_scan_project", "q_topk",
+    val headline = Seq("q1_agg", "q3_shipping", "q5_local_supplier",
+      "q_scan_project", "q_topk",
       "q_join_inner", "q_group_having", "q_window_running",
       "q_dedup_minhash_lsh", "q_curation_pack", "q_kmeans",
       // round-8 family members with corpus-scale inputs

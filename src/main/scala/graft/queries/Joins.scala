@@ -71,6 +71,49 @@ object Joins {
         .limit(10)
     },
 
+    // TPC-H Q5 shape: the 6-table join-order stress headline — three fact/
+    // bulk tables and three dimensions with the local-supplier correlation
+    // (c_nationkey = s_nationkey) that forces a genuinely multi-way plan.
+    // Scale: region/nation broadcast (fixed size at any SF); supplier
+    // broadcasts at bench SFs via honest size estimates; the two fact
+    // joins shuffle on their keys and AQE re-plans from runtime sizes —
+    // exactly the shape a 1000-executor cluster runs as TPC-H Q5.
+    GQuery(
+      "q5_local_supplier",
+      """SELECT n.n_name,
+        |       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |                      (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 1) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "customer")
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.load(s, d, "lineitem")
+      val su = Tables.load(s, d, "supplier")
+      val n = Tables.load(s, d, "nation")
+      val r = Tables.load(s, d, "region").filter(col("r_name") === "ASIA")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))), 1)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     GQuery(
       "q_join_left",
       """SELECT n.n_name, count(s.s_suppkey) AS n_supp

@@ -348,6 +348,17 @@ class PlanSpec extends AnyFunSuite {
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q5_local_supplier: dims broadcast, no cartesian, agg is partial+final") {
+    val f = formatted("q5_local_supplier")
+    assert(f.contains("BroadcastHashJoin"), f)
+    val p = plan("q5_local_supplier")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      "the local-supplier correlation must ride the equi-join, not a cross")
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val aggs = collectAll(p) { case h: HashAggregateExec => h }
+    assert(aggs.size >= 2, "revenue agg must have a map-side partial")
+  }
+
   test("q_dedup_fuzzy_names: blocked domain self-join broadcasts, no cartesian") {
     val f = formatted("q_dedup_fuzzy_names")
     assert(f.contains("BroadcastHashJoin") && !f.contains("SortMergeJoin"),
