@@ -53,6 +53,63 @@ object TextAnalysis {
   private def DsirTargetSql: String =
     DsirTargetSources.map(s => s"'$s'").mkString(", ")
 
+  /** Add-one bigram LM oracle CTEs ending in `sc(doc_id, k, m)` — per-doc
+    * bigram counts with integer-millinat log-probs. Shared by the
+    * q_text_lm_score gate and the quality-band percentile filter. */
+  private val lmScoreCtes: String =
+    s"""t AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |           w -> regexp_matches(w, '^[a-z]+$$') AND length(w) <= 20) AS wl
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, p[1] AS w1, p[2] AS w2
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(wl)), i -> [wl[i], wl[i+1]])) AS p
+       |        FROM t WHERE len(wl) >= 2)),
+       |k AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+       |      FROM bg GROUP BY 1, 2, 3),
+       |cbg AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS cbg FROM k GROUP BY 1, 2),
+       |cl  AS (SELECT w1, CAST(sum(k) AS BIGINT) AS cl FROM k GROUP BY 1),
+       |v   AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+       |        FROM (SELECT unnest(wl) AS w FROM t)),
+       |sc AS (
+       |  SELECT k.doc_id, k.k,
+       |         CAST(round(1000 * ln(CAST(cbg.cbg + 1 AS DOUBLE)
+       |                              / CAST(cl.cl + v.v AS DOUBLE))) AS BIGINT) AS m
+       |  FROM k
+       |  JOIN cbg ON k.w1 = cbg.w1 AND k.w2 = cbg.w2
+       |  JOIN cl ON k.w1 = cl.w1
+       |  CROSS JOIN v)""".stripMargin
+
+  /** Per-doc add-one bigram LM scores (doc_id, bigrams, score_millinats) —
+    * the Spark twin of [[lmScoreCtes]]; unordered. */
+  private def lmScores(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val wl = filter(tokens(col("text")),
+      w => w.rlike("^[a-z]+$") && length(w) <= 20)
+    val t = docs(s, d).select(col("doc_id"), wl.as("wl"))
+    val k = t.filter(size(col("wl")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(wl) - 1), i -> struct(wl[i-1] AS w1, wl[i] AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // model derives from k; released by the harness clearCache
+    val cbg = k.groupBy("w1", "w2").agg(sum("k").as("cbg"))
+    val cl = k.groupBy("w1").agg(sum("k").as("cl"))
+    // V is one scalar of driver metadata (the vocabulary size)
+    val vocabN = t.select(explode(col("wl")).as("w"))
+      .agg(countDistinct(col("w"))).first().getLong(0)
+    k.join(cbg, Seq("w1", "w2")).join(cl, Seq("w1"))
+      .select(col("doc_id"), col("k"),
+        round(lit(1000d) * log((col("cbg") + lit(1)).cast("double")
+          / (col("cl") + lit(vocabN)).cast("double"))).cast("long").as("m"))
+      .groupBy("doc_id")
+      .agg(sum("k").cast("long").as("bigrams"),
+        sum(col("m") * col("k")).cast("long").as("score_millinats"))
+  }
+
   /** Count-min sketch geometry (q_text_cms): CmsR hash rows × CmsW cells. */
   private val CmsR = 4
   private val CmsW = 64
@@ -430,57 +487,53 @@ object TextAnalysis {
     // top-M bigrams and broadcast it, which this plan degrades to by
     // swapping the join for a broadcast lookup.
     GQuery("q_text_lm_score",
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-         |           w -> regexp_matches(w, '^[a-z]+$$') AND length(w) <= 20) AS wl
-         |  FROM documents),
-         |bg AS (
-         |  SELECT doc_id, p[1] AS w1, p[2] AS w2
-         |  FROM (SELECT doc_id,
-         |          unnest(list_transform(range(1, len(wl)), i -> [wl[i], wl[i+1]])) AS p
-         |        FROM t WHERE len(wl) >= 2)),
-         |k AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
-         |      FROM bg GROUP BY 1, 2, 3),
-         |cbg AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS cbg FROM k GROUP BY 1, 2),
-         |cl  AS (SELECT w1, CAST(sum(k) AS BIGINT) AS cl FROM k GROUP BY 1),
-         |v   AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
-         |        FROM (SELECT unnest(wl) AS w FROM t)),
-         |sc AS (
-         |  SELECT k.doc_id, k.k,
-         |         CAST(round(1000 * ln(CAST(cbg.cbg + 1 AS DOUBLE)
-         |                              / CAST(cl.cl + v.v AS DOUBLE))) AS BIGINT) AS m
-         |  FROM k
-         |  JOIN cbg ON k.w1 = cbg.w1 AND k.w2 = cbg.w2
-         |  JOIN cl ON k.w1 = cl.w1
-         |  CROSS JOIN v)
+      s"""WITH $lmScoreCtes
          |SELECT doc_id,
          |       CAST(sum(k) AS BIGINT) AS bigrams,
          |       CAST(sum(m * k) AS BIGINT) AS score_millinats
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.storage.StorageLevel
-      val wl = filter(tokens(col("text")),
-        w => w.rlike("^[a-z]+$") && length(w) <= 20)
-      val t = docs(s, d).select(col("doc_id"), wl.as("wl"))
-      val k = t.filter(size(col("wl")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(wl) - 1), i -> struct(wl[i-1] AS w1, wl[i] AS w2))"))
-          .as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // model derives from k; released by the harness clearCache
-      val cbg = k.groupBy("w1", "w2").agg(sum("k").as("cbg"))
-      val cl = k.groupBy("w1").agg(sum("k").as("cl"))
-      // V is one scalar of driver metadata (the vocabulary size)
-      val vocabN = t.select(explode(col("wl")).as("w"))
-        .agg(countDistinct(col("w"))).first().getLong(0)
-      k.join(cbg, Seq("w1", "w2")).join(cl, Seq("w1"))
-        .select(col("doc_id"), col("k"),
-          round(lit(1000d) * log((col("cbg") + lit(1)).cast("double")
-            / (col("cl") + lit(vocabN)).cast("double"))).cast("long").as("m"))
-        .groupBy("doc_id")
-        .agg(sum("k").cast("long").as("bigrams"),
-          sum(col("m") * col("k")).cast("long").as("score_millinats"))
+      lmScores(s, d).orderBy("doc_id")
+    },
+
+    // Winsorized quality band (exact P10–P90 selection): keep the docs
+    // whose LM score lies between the EXACT 10th and 90th percentiles —
+    // the two-sided trim a curation stack applies before mixing (drop
+    // gibberish AND boilerplate-degenerate ends). Percentiles are exact
+    // and integer-valued: threshold = smallest score whose cumulative
+    // count reaches ceil(q·n).
+    //   Scale (100 TB): the cumulative distribution runs over the
+    // DISTINCT-score table via the two-pass grouped prefix sum (range-
+    // partitioned, per-partition subtotals prefix-summed on the driver as
+    // metadata) — no single-task global window anywhere; the band filter
+    // itself is one shuffle-free projection of the scored corpus.
+    GQuery("q_curation_quality_band",
+      s"""WITH $lmScoreCtes,
+         |d AS (SELECT doc_id, CAST(sum(m * k) AS BIGINT) AS score_millinats
+         |      FROM sc GROUP BY doc_id),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         |cum AS (SELECT score_millinats, sum(count(*))
+         |          OVER (ORDER BY score_millinats) AS cum
+         |        FROM d GROUP BY score_millinats),
+         |lo AS (SELECT min(score_millinats) AS lo FROM cum CROSS JOIN n
+         |       WHERE cum >= (n + 9) // 10),
+         |hi AS (SELECT min(score_millinats) AS hi FROM cum CROSS JOIN n
+         |       WHERE cum >= (9 * n + 9) // 10)
+         |SELECT doc_id, score_millinats
+         |FROM d CROSS JOIN lo CROSS JOIN hi
+         |WHERE score_millinats >= lo AND score_millinats <= hi
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val scored = lmScores(s, d).select("doc_id", "score_millinats")
+      val cnt = scored.groupBy("score_millinats").agg(count(lit(1)).as("c"))
+      val cum = graft.operators.GroupedPrefixSum.runningSum(
+        cnt, Seq.empty, Seq(col("score_millinats")), col("c"), "cum")
+      // n and the two thresholds are driver metadata (three scalars)
+      val n = cnt.agg(sum("c")).first().getLong(0)
+      def thresholdAt(target: Long): Long = cum
+        .filter(col("cum") >= target)
+        .agg(min("score_millinats")).first().getLong(0)
+      val lo = thresholdAt((n + 9) / 10)
+      val hi = thresholdAt((9 * n + 9) / 10)
+      scored.filter(col("score_millinats") >= lo && col("score_millinats") <= hi)
         .orderBy("doc_id")
     },
 
