@@ -6,12 +6,14 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale-stress arm: runs the nine scale-critical LLM-pipeline operators
+/** Scale-stress arm: runs the scale-critical LLM-pipeline operators
   * (MinHash LSH, connected components, incremental dedup, k-means,
   * GroupedTopN, BPE encode, bigram-LM scoring, embedding covariance,
   * semantic dedup — the last with cell count scaled to the corpus, the
-  * SemDeDup recipe) at 1× and at R× (default 10×) corpus size and emits
-  * per-operator scaling ratios to `BENCH_STRESS_r08.json`.
+  * SemDeDup recipe — plus DSIR weighting, the exact quality band, the
+  * sketch-vs-exact eval, and PageRank over key-offset replica subgraphs)
+  * at 1× and at R× (default 10×) corpus size and emits per-operator
+  * scaling ratios to `BENCH_STRESS_r08.json`.
   *
   * The R× corpus replicates sf0.1's documents/embeddings with PERTURBED
   * payloads (per-replica token interleave / vector offset) so replicas
@@ -68,7 +70,7 @@ object Stress {
     val d1 = new java.io.File(base, "x1")
     val dR = new java.io.File(base, s"x$r")
     def stage(dir: java.io.File, reps: Int): Unit = {
-      val marker = new java.io.File(dir, "_STAGED_v1")
+      val marker = new java.io.File(dir, "_STAGED_v2")
       if (marker.isFile) return
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -99,6 +101,23 @@ object Stress {
           col("label"))
         .repartition(32)
         .write.mode("overwrite").parquet(new java.io.File(dir, "embeddings.parquet").getPath)
+      // key-offset replicas of the PageRank inputs: each replica is a
+      // DISJOINT subgraph (customers/suppliers offset per replica), so
+      // nodes, edges, and per-iteration join work all scale exactly R× —
+      // the linear ground truth. Only the join/key columns are staged
+      // (the stress ops read nothing else from these tables).
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), repl)
+        .select((col("o_orderkey") + col("r") * 10000000L).as("o_orderkey"),
+          (col("o_custkey") + col("r") * 10000000L).as("o_custkey"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(new java.io.File(dir, "orders.parquet").getPath)
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"), repl)
+        .select((col("l_orderkey") + col("r") * 10000000L).as("l_orderkey"),
+          (col("l_suppkey") + col("r") * 10000000L).as("l_suppkey"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(new java.io.File(dir, "lineitem.parquet").getPath)
       marker.createNewFile()
     }
     stage(d1, 1)
@@ -110,7 +129,9 @@ object Stress {
       // round-8 additions to the family
       "q_text_bpe_encode", "q_text_lm_score", "q_embed_covariance",
       "q_dedup_semantic",
-      "q_dedup_blocks", "q_embed_pca", "q_text_cms", "q_curation_shards")
+      "q_dedup_blocks", "q_embed_pca", "q_text_cms", "q_curation_shards",
+      "q_curation_dsir", "q_curation_quality_band", "q_dedup_minhash_eval",
+      "q_graph_pagerank")
 
     // q_dedup_semantic scales its cell count with the corpus (the
     // SemDeDup recipe: constant per-cell pairwise work); everything else
