@@ -86,7 +86,13 @@ object Bench {
     var errors = List.empty[(String, String)]
     var gcMs = List.empty[(String, Long)]
     var heapMb = List.empty[(String, Long)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args(0): comma-separated name filter for single-query A/B
+    // timing runs (the driver invokes with no args — full suite unchanged).
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").map(_.trim).toSet) else None
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val gc0 = gcMillis
       val t0 = System.nanoTime()
       try {
@@ -204,7 +210,10 @@ object Bench {
     // has historically kept only a prefix; the file keeps every number
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+        // filtered A/B runs must not clobber the committed full snapshot
+        java.nio.file.Paths.get(
+          if (only.isEmpty) "/root/repo/BENCH_FULL.json"
+          else "/root/repo/target/BENCH_FILTERED.json"),
         (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_FULL.json: $e")

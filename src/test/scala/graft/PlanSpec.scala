@@ -368,10 +368,12 @@ class PlanSpec extends AnyFunSuite {
       "fuzzy matching must pair within blocks only")
   }
 
-  test("q_graph_pagerank: edges cached once for all rounds; no cartesian") {
+  test("q_graph_pagerank: rounds checkpointed to a leaf; top-k is TakeOrdered") {
     val f = formatted("q_graph_pagerank")
-    // the edge+degree table is built once and joined by all 8 rounds
-    assert(f.contains("InMemoryTableScan"), f)
+    // per-round eager localCheckpoint (the GraphX discipline): the final
+    // plan reads the round-8 rank leaf, so no multi-round lineage ever
+    // reaches Catalyst — planning stays O(1) in the iteration count
+    assert(f.contains("ExistingRDD"), f)
     assert(f.contains("TakeOrderedAndProject"),
       "top-20 must be TakeOrdered, not a global sort")
     val p = plan("q_graph_pagerank")
