@@ -522,7 +522,12 @@ object TextAnalysis {
          |FROM d CROSS JOIN lo CROSS JOIN hi
          |WHERE score_millinats >= lo AND score_millinats <= hi
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      // doc-sized (doc_id, score) table: the CDF pass, the n scalar and
+      // the final band filter all read it — persist once or the bigram
+      // scoring join recomputes three times
       val scored = lmScores(s, d).select("doc_id", "score_millinats")
+        .persist(StorageLevel.MEMORY_AND_DISK) // released by the harness clearCache
       val cnt = scored.groupBy("score_millinats").agg(count(lit(1)).as("c"))
       val cum = graft.operators.GroupedPrefixSum.runningSum(
         cnt, Seq.empty, Seq(col("score_millinats")), col("c"), "cum")
