@@ -133,7 +133,7 @@ object Dedup {
   /** Exact n-gram Jaccard pairs (jaccard >= 0.5) via an inverted-index
     * join with the MAX_DF document-frequency cutoff — shared by the
     * q_dedup_ngram_jaccard gate and the sketch-vs-exact eval. */
-  private[queries] def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
     HashFunctions.ensure(s)
     val docs = Tables.load(s, d, "documents")
     // distinct 3-gram shingle hashes per doc (compact long join keys)
@@ -159,6 +159,79 @@ object Dedup {
       .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
       .withColumn("jaccard",
         col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard pairs (jaccard >= 0.5) via PREFIX FILTERING
+    * (the AllPairs / PPJoin candidate-generation family) — the same
+    * contract as [[exactJaccardPairs]] (identical output, shared oracle)
+    * computed with the index layout a 100 TB corpus actually needs.
+    *
+    * The inverted-index join above pairs every pair of docs sharing ANY
+    * surviving shingle; prefix filtering pairs only docs sharing one of
+    * their RAREST few shingles:
+    *   - canonical token order: global document frequency ascending
+    *     (ties by hash) — identical for every doc, so set overlap is
+    *     order-aligned;
+    *   - a doc of |set|=sz only indexes its first
+    *     p = sz - ceil(tau*sz) + 1 tokens (p = sz/2+1 at tau=0.5): two
+    *     sets with J >= tau MUST collide inside their prefixes
+    *     (pigeonhole on the required overlap), so recall is exact;
+    *   - length filter in the join condition (tau <= |a|/|b| <= 1/tau)
+    *     and PPJoin's positional filter (tokens remaining after the
+    *     colliding position must cover the required overlap
+    *     ceil(tau/(1+tau)*(sz_a+sz_b))) prune before the distinct;
+    *   - only surviving candidates are verified against the full sets.
+    *
+    * Scale (100 TB): the index shrinks ~2x, but the decisive property is
+    * WHICH tokens index — rarest-first prefixes put candidate generation
+    * on the smallest buckets, so the hyper-common-shingle blow-up the
+    * MAX_DF cutoff guards against structurally cannot occur in the
+    * candidate join (a token common enough to be hot is in nobody's
+    * prefix). The DF table is a map-side-combined aggregate; the
+    * verification join touches candidate pairs only, never the corpus
+    * pair space. DedupSpec proves frame equality with the inverted-index
+    * arm; the gate shares its oracle. */
+  private[graft] def prefixFilterPairs(s: SparkSession, d: String): DataFrame = {
+    HashFunctions.ensure(s)
+    val docs = Tables.load(s, d, "documents")
+    val inv = docs.select(col("doc_id"),
+        explode(array_distinct(HashFunctions.shingle_hashes(col("text"), 3))).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfTab = inv.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MAX_DF)
+    // per-doc token list in canonical (df asc, h asc) order + filtered size
+    val docToks = inv.join(dfTab, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ts"))
+      .select(col("doc_id"),
+        transform(col("ts"), t => t.getField("h")).as("arr"),
+        size(col("ts")).cast("long").as("sz"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // prefix index: first sz - ceil(tau*sz) + 1 tokens, 0-based positions
+    val pre = docToks.select(col("doc_id"), col("sz"),
+      posexplode(slice(col("arr"), lit(1),
+        (col("sz") - ceil(col("sz") * lit(0.5)) + lit(1)).cast("int"))))
+    val pa = pre.toDF("doc_a", "sz_a", "pos_a", "h")
+    val pb = pre.toDF("doc_b", "sz_b", "pos_b", "h2")
+    val reqOverlap = ceil((col("sz_a") + col("sz_b")) * lit(0.5 / 1.5))
+    val cand = pa.join(pb,
+        col("h") === col("h2") && col("doc_a") < col("doc_b") &&
+          // length filter: tau*|a| <= |b| and tau*|b| <= |a| (tau = 0.5)
+          col("sz_a") * 2 >= col("sz_b") && col("sz_b") * 2 >= col("sz_a") &&
+          // positional filter: tokens at/after the colliding position
+          // (order-aligned on both sides) must reach the required overlap
+          least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) >= reqOverlap)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact verification on candidates only
+    val va = docToks.toDF("doc_a", "arr_a", "sza")
+    val vb = docToks.toDF("doc_b", "arr_b", "szb")
+    cand.join(va, "doc_a").join(vb, "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter") / (col("sza") + col("szb") - col("n_inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -442,6 +515,17 @@ object Dedup {
       "q_dedup_ngram_jaccard",
       OracleFragments.ngramJaccardPairs(MAX_DF)) { (s, d) =>
       exactJaccardPairs(s, d).orderBy("doc_a", "doc_b")
+    },
+
+    // Prefix-filtered exact similarity self-join (AllPairs/PPJoin): the
+    // same exact-Jaccard contract as q_dedup_ngram_jaccard — same oracle —
+    // via rarest-first prefix indexing + length/positional filters, the
+    // candidate-generation layout that stays bounded at 100 TB. See
+    // prefixFilterPairs for the algorithm and the exact-recall argument.
+    GQuery(
+      "q_dedup_prefix_filter",
+      OracleFragments.ngramJaccardPairs(MAX_DF)) { (s, d) =>
+      prefixFilterPairs(s, d).orderBy("doc_a", "doc_b")
     },
 
     // Blocked fuzzy matching (entity resolution) over an attribute's

@@ -101,6 +101,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out(15L) == ((0L, 0L, 1L)), "fresh doc must ingest")
   }
 
+  test("prefix-filter pairs equal the inverted-index exact-Jaccard pairs") {
+    // Differential proof of the PPJoin arm: identical result frame to the
+    // inverted-index computation on real data (sf0.001 corpus, which
+    // plants genuine near-dup families), row for row, jaccard for jaccard.
+    val d = "/root/testdata/sf0.001"
+    val a = Dedup.exactJaccardPairs(spark, d)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val b = Dedup.prefixFilterPairs(spark, d)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(a.nonEmpty, "differential vacuous: no exact pairs at sf0.001")
+    assert(a == b, s"prefix-filter diverged: ${a.size} vs ${b.size} rows")
+  }
+
   test("pairSetEval confusion arithmetic on genuinely diverging pair sets") {
     import spark.implicits._
     // pred = {(1,2),(1,3),(2,3)}, truth = {(1,2),(4,5)} ⇒ tp=1 fp=2 fn=1,
