@@ -359,6 +359,68 @@ object Relational {
           |       o_custkey - (SELECT min(o_custkey) FROM orders) AS custkey_off
           |FROM orders WHERE o_orderkey < 200
           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // One-pass table profiling — the ANALYZE/data-quality scan run before
+    // trusting a new 100 TB drop: per-column non-null count, null count,
+    // EXACT distinct count, min/max (rendered per type family AFTER the
+    // aggregate, so numeric ordering is never string ordering), and total
+    // rendered length. ONE aggregate job over one scan: Spark plans the
+    // multi-column COUNT(DISTINCT) set as a single Expand (one row per
+    // distinct-aggregate group) feeding one partial+final hash aggregate —
+    // a fixed small multiple of one pass, vs one job per column for naive
+    // per-column ANALYZE. At petabyte scale the same shape swaps
+    // count_distinct for approx_count_distinct per column with no layout
+    // change (the q_cardinality tolerance-gate pattern).
+    GQuery(
+      "q_profile_stats", {
+        def duck(c: String, render: String => String, lenExpr: String) =
+          s"""SELECT '$c' AS col_name,
+             |       CAST(count($c) AS BIGINT) AS n_nonnull,
+             |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |       ${render(s"min($c)")} AS min_v,
+             |       ${render(s"max($c)")} AS max_v,
+             |       CAST(sum(len($lenExpr)) AS BIGINT) AS total_len
+             |FROM lineitem""".stripMargin
+        val str = (e: String) => s"CAST($e AS VARCHAR)"
+        val ts = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+        val parts = Seq(
+          duck("l_orderkey", str, "CAST(l_orderkey AS VARCHAR)"),
+          duck("l_linenumber", str, "CAST(l_linenumber AS VARCHAR)"),
+          duck("l_returnflag", str, "l_returnflag"),
+          duck("l_linestatus", str, "l_linestatus"),
+          duck("l_shipdate", ts, "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')"))
+        s"""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem)
+           |SELECT p.col_name, t.n_rows, p.n_nonnull,
+           |       t.n_rows - p.n_nonnull AS n_null,
+           |       p.n_distinct, p.min_v, p.max_v, p.total_len
+           |FROM (${parts.mkString("\nUNION ALL\n")}) p CROSS JOIN t
+           |ORDER BY col_name""".stripMargin
+      }) { (s, d) =>
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_linestatus", "l_shipdate")
+      // render AFTER aggregating: min/max compare in the native type
+      def rendered(e: Column, c: String): Column =
+        if (c == "l_shipdate") date_format(e, "yyyy-MM-dd HH:mm:ss")
+        else e.cast("string")
+      val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          rendered(min(col(c)), c).as(s"min_$c"),
+          rendered(max(col(c)), c).as(s"max_$c"),
+          sum(length(rendered(col(c), c))).as(s"len_$c"))
+      }
+      val one = li(s, d).agg(aggs.head, aggs.tail: _*)
+      val stacked = cols
+        .map(c => s"'$c', nn_$c, nd_$c, min_$c, max_$c, len_$c")
+        .mkString(", ")
+      one.select(col("n_rows"), expr(s"stack(${cols.size}, $stacked) as " +
+          "(col_name, n_nonnull, n_distinct, min_v, max_v, total_len)"))
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          (col("n_rows") - col("n_nonnull")).as("n_null"), col("n_distinct"),
+          col("min_v"), col("max_v"), col("total_len"))
+        .orderBy("col_name")
     }
   )
 }
