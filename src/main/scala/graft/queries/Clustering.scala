@@ -161,6 +161,57 @@ object Clustering {
        |  SELECT p.cl, COALESCE(n.m, p.m) AS m
        |  FROM $prevC p LEFT JOIN cn$i n USING (cl))""".stripMargin
 
+  // ---- product quantization (PQ) -----------------------------------------
+
+  private val M = 8     // subspaces
+  private val Dsub = 8  // dims per subspace (M * Dsub = Dim)
+  private val KsPQ = 4  // codes per sub-codebook
+  require(M * Dsub == Dim, s"PQ layout $M*$Dsub != $Dim")
+
+  /** codebooks indexed [m][k][j] (subspace, code, component). */
+  private type Codebooks = Array[Array[Array[Double]]]
+
+  /** Per-subspace argmin code assignment under broadcast codebooks: ONE
+    * codegen'd projection computing all M codes per vector (each an
+    * argmin over KsPQ codewords of the exact-order squared-L2 fold). */
+  private def pqAssign(e: DataFrame, cb: Codebooks): DataFrame = {
+    val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    e.withColumn("codes",
+      transform(sequence(lit(0), lit(M - 1)), m => {
+        val sv = slice(col("x"), m * lit(Dsub) + lit(1), lit(Dsub))
+        val ds = transform(element_at(cbLit, m + lit(1)), cw =>
+          aggregate(
+            zip_with(sv, cw,
+              (xv, cv) => (xv.cast("double") - cv) * (xv.cast("double") - cv)),
+            lit(0.0), (a, v) => a + v))
+        (array_position(ds, array_min(ds)) - 1).cast("int")
+      }))
+  }
+
+  /** One joint Lloyd's round over all M subspaces: exact integer component
+    * sums per (m, code, j) — M·KsPQ·Dsub metadata rows — then one IEEE
+    * division per component. A code that lost every member keeps its
+    * previous codeword. */
+  private def pqUpdate(asg: DataFrame, prev: Codebooks): Codebooks = {
+    val rows = asg
+      .select(col("x"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "k")
+      .select(col("m"), col("k"),
+        posexplode(slice(col("x"), col("m") * lit(Dsub) + lit(1), lit(Dsub))))
+      .withColumnRenamed("pos", "j")
+      .groupBy("m", "k", "j").agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .collect()
+    val byMK = rows.groupBy(r => (r.getInt(0), r.getInt(1)))
+    Array.tabulate(M, KsPQ, Dsub) { (m, k, j) =>
+      byMK.get((m, k)) match {
+        case Some(rs) =>
+          val r = rs.find(_.getInt(2) == j).get
+          r.getLong(3).toDouble / r.getLong(4).toDouble
+        case None => prev(m)(k)(j)
+      }
+    }
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery(
       "q_kmeans",
@@ -348,6 +399,150 @@ object Clustering {
       pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select(col("cl"), col("va"), col("vb"), col("score_e9"))
         .orderBy(col("cl"), col("score_e9").desc, col("va"), col("vb"))
+    },
+
+    // Product quantization (PQ) + asymmetric-distance (ADC) ANN search —
+    // the memory-scale path of billion-vector retrieval: each vector
+    // compresses to M=8 one-byte codes (64 floats → 8 bytes), queries
+    // score candidates from an M×KsPQ lookup table without ever touching
+    // the original vectors.
+    //   Pipeline (all value-exact, same fixed-point discipline as
+    // q_kmeans): sub-codebooks seeded from the KsPQ lowest vec_ids'
+    // subvectors, ONE joint Lloyd's round across all M subspaces (exact
+    // integer sums → one IEEE division per component), corpus encoded in
+    // one codegen'd projection, then per-query ADC: LUT[m][k] is the
+    // exact-order squared-L2 fold between the query's m-th subvector and
+    // codeword (m,k) — driver metadata — and a candidate's distance is
+    // the m-ascending fold of its codes' LUT entries, bit-identical to
+    // the oracle's ORDER BY m list_reduce.
+    //   Scale (100 TB): training shuffles M·KsPQ·Dsub metadata rows
+    // (map-side combined) regardless of corpus size; encode is
+    // shuffle-free; ALL queries score in one corpus pass (LUTs broadcast
+    // as one literal, per-row posexplode fan-out), and only the
+    // (query × corpus)-thin (cand, adist) stream shuffles for the
+    // per-query top-5 window. The uncompressed corpus is never joined.
+    GQuery(
+      "q_ann_pq_adc", {
+        def dCte(name: String, cbName: String) =
+          s"""$name AS (
+             |  SELECT e.vec_id, c.m, c.k,
+             |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(range(1, ${Dsub + 1}),
+             |             j -> (CAST(e.x[c.m * $Dsub + j] AS DOUBLE) - c.cw[j])
+             |                  * (CAST(e.x[c.m * $Dsub + j] AS DOUBLE) - c.cw[j]))),
+             |           (a, v) -> a + v) AS dist
+             |  FROM e CROSS JOIN $cbName c)""".stripMargin
+        def aCte(name: String, dName: String) =
+          s"""$name AS (
+             |  SELECT vec_id, m, k FROM (
+             |    SELECT vec_id, m, k,
+             |           row_number() OVER (PARTITION BY vec_id, m
+             |             ORDER BY dist, k) AS rn
+             |    FROM $dName) WHERE rn = 1)""".stripMargin
+        s"""WITH
+           |e AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding,
+           |           v -> CAST(floor(CAST(v AS DOUBLE) * $Scale) AS BIGINT)) AS x
+           |  FROM embeddings),
+           |seeds AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k, x
+           |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $KsPQ)),
+           |cb0 AS (
+           |  SELECT u.m, s.k,
+           |         list_transform(range(1, ${Dsub + 1}),
+           |           j -> CAST(s.x[u.m * $Dsub + j] AS DOUBLE)) AS cw
+           |  FROM seeds s, LATERAL (SELECT unnest(range(0, $M)) AS m) u),
+           |${dCte("d0", "cb0")},
+           |${aCte("a0", "d0")},
+           |s0 AS (
+           |  SELECT a.m, a.k, u.j,
+           |         CAST(sum(e.x[a.m * $Dsub + u.j]) AS BIGINT) AS s, count(*) AS n
+           |  FROM a0 a JOIN e USING (vec_id),
+           |       LATERAL (SELECT unnest(range(1, ${Dsub + 1})) AS j) u
+           |  GROUP BY a.m, a.k, u.j),
+           |cn AS (
+           |  SELECT m, k, list(CAST(s AS DOUBLE) / n ORDER BY j) AS cw
+           |  FROM s0 GROUP BY m, k),
+           |cb1 AS (
+           |  SELECT c.m, c.k, COALESCE(n.cw, c.cw) AS cw
+           |  FROM cb0 c LEFT JOIN cn n USING (m, k)),
+           |${dCte("d1", "cb1")},
+           |${aCte("a1", "d1")},
+           |q AS (SELECT vec_id AS query_id, x AS qx FROM e WHERE vec_id < 3),
+           |lut AS (
+           |  SELECT q.query_id, c.m, c.k,
+           |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list_transform(range(1, ${Dsub + 1}),
+           |             j -> (CAST(q.qx[c.m * $Dsub + j] AS DOUBLE) - c.cw[j])
+           |                  * (CAST(q.qx[c.m * $Dsub + j] AS DOUBLE) - c.cw[j]))),
+           |           (a, v) -> a + v) AS dv
+           |  FROM q CROSS JOIN cb1 c),
+           |ad AS (
+           |  SELECT l.query_id, a.vec_id AS cand_id,
+           |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list(l.dv ORDER BY l.m)), (x, y) -> x + y) AS adist
+           |  FROM a1 a JOIN lut l
+           |    ON l.m = a.m AND l.k = a.k AND a.vec_id <> l.query_id
+           |  GROUP BY l.query_id, a.vec_id)
+           |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id,
+           |       CAST(round(adist) AS BIGINT) AS adist_r
+           |FROM (SELECT query_id, cand_id, adist,
+           |             row_number() OVER (PARTITION BY query_id
+           |               ORDER BY adist, cand_id) AS rnk
+           |      FROM ad)
+           |WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = fixedPoint(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      // seed codebooks: the KsPQ lowest vec_ids' subvectors
+      val seedRows = e.orderBy("vec_id").limit(KsPQ).collect()
+      val cb0: Codebooks = Array.tabulate(M, KsPQ, Dsub) { (m, k, j) =>
+        seedRows(k).getSeq[Long](1)(m * Dsub + j).toDouble
+      }
+      // one joint Lloyd's round, then encode the corpus
+      val cb1 = pqUpdate(pqAssign(e, cb0), cb0)
+      val enc = pqAssign(e, cb1).select(col("vec_id"), col("codes"))
+      // ADC lookup tables for all queries, computed driver-side with the
+      // identical left fold (0.0 start, component order) as the oracle
+      val qRows = e.filter(col("vec_id") < 3).collect()
+        .sortBy(_.getLong(0))
+      val luts: Seq[Seq[Seq[Double]]] = qRows.toSeq.map { r =>
+        val qx = r.getSeq[Long](1)
+        Seq.tabulate(M, KsPQ) { (m, k) =>
+          var acc = 0.0
+          var j = 0
+          while (j < Dsub) {
+            val df = qx(m * Dsub + j).toDouble - cb1(m)(k)(j)
+            acc += df * df
+            j += 1
+          }
+          acc
+        }
+      }
+      val lutLit = typedlit(luts)
+      val qidLit = typedlit(qRows.toSeq.map(_.getLong(0)))
+      // one corpus pass scores every query: per row, fan out NQ (qi, adist)
+      val scored = enc
+        .select(col("vec_id").as("cand_id"), posexplode(
+          transform(sequence(lit(0), lit(qRows.length - 1)), qi =>
+            aggregate(sequence(lit(0), lit(M - 1)), lit(0.0), (acc, m) =>
+              acc + element_at(
+                element_at(element_at(lutLit, qi + lit(1)), m + lit(1)),
+                element_at(col("codes"), m + lit(1)) + lit(1))))))
+        .withColumnRenamed("pos", "qi").withColumnRenamed("col", "adist")
+        .select(element_at(qidLit, col("qi") + lit(1)).as("query_id"),
+          col("cand_id"), col("adist"))
+        .filter(col("query_id") =!= col("cand_id"))
+      val w = Window.partitionBy("query_id").orderBy(col("adist"), col("cand_id"))
+      val out = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+          col("cand_id"), round(col("adist")).cast("long").as("adist_r"))
+        .orderBy("query_id", "rnk")
+      e.unpersist(blocking = false)
+      out
     }
   )
 }
