@@ -212,6 +212,120 @@ object Clustering {
     }
   }
 
+  /** The full PQ pipeline as oracle CTEs: fixed-point corpus `e`, seed
+    * codebooks, one joint Lloyd's round, encode (`a1`), per-query LUTs and
+    * the ADC-scored (query_id, cand_id, adist) stream `ad`. Shared by the
+    * ADC gate and the recall eval. */
+  private val pqOracleCtes: String = {
+    def dCte(name: String, cbName: String) =
+      s"""$name AS (
+         |  SELECT e.vec_id, c.m, c.k,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, ${Dsub + 1}),
+         |             j -> (CAST(e.x[c.m * $Dsub + j] AS DOUBLE) - c.cw[j])
+         |                  * (CAST(e.x[c.m * $Dsub + j] AS DOUBLE) - c.cw[j]))),
+         |           (a, v) -> a + v) AS dist
+         |  FROM e CROSS JOIN $cbName c)""".stripMargin
+    def aCte(name: String, dName: String) =
+      s"""$name AS (
+         |  SELECT vec_id, m, k FROM (
+         |    SELECT vec_id, m, k,
+         |           row_number() OVER (PARTITION BY vec_id, m
+         |             ORDER BY dist, k) AS rn
+         |    FROM $dName) WHERE rn = 1)""".stripMargin
+    s"""e AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           v -> CAST(floor(CAST(v AS DOUBLE) * $Scale) AS BIGINT)) AS x
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k, x
+       |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $KsPQ)),
+       |cb0 AS (
+       |  SELECT u.m, s.k,
+       |         list_transform(range(1, ${Dsub + 1}),
+       |           j -> CAST(s.x[u.m * $Dsub + j] AS DOUBLE)) AS cw
+       |  FROM seeds s, LATERAL (SELECT unnest(range(0, $M)) AS m) u),
+       |${dCte("d0", "cb0")},
+       |${aCte("a0", "d0")},
+       |s0 AS (
+       |  SELECT a.m, a.k, u.j,
+       |         CAST(sum(e.x[a.m * $Dsub + u.j]) AS BIGINT) AS s, count(*) AS n
+       |  FROM a0 a JOIN e USING (vec_id),
+       |       LATERAL (SELECT unnest(range(1, ${Dsub + 1})) AS j) u
+       |  GROUP BY a.m, a.k, u.j),
+       |cn AS (
+       |  SELECT m, k, list(CAST(s AS DOUBLE) / n ORDER BY j) AS cw
+       |  FROM s0 GROUP BY m, k),
+       |cb1 AS (
+       |  SELECT c.m, c.k, COALESCE(n.cw, c.cw) AS cw
+       |  FROM cb0 c LEFT JOIN cn n USING (m, k)),
+       |${dCte("d1", "cb1")},
+       |${aCte("a1", "d1")},
+       |q AS (SELECT vec_id AS query_id, x AS qx FROM e WHERE vec_id < 3),
+       |lut AS (
+       |  SELECT q.query_id, c.m, c.k,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, ${Dsub + 1}),
+       |             j -> (CAST(q.qx[c.m * $Dsub + j] AS DOUBLE) - c.cw[j])
+       |                  * (CAST(q.qx[c.m * $Dsub + j] AS DOUBLE) - c.cw[j]))),
+       |           (a, v) -> a + v) AS dv
+       |  FROM q CROSS JOIN cb1 c),
+       |ad AS (
+       |  SELECT l.query_id, a.vec_id AS cand_id,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list(l.dv ORDER BY l.m)), (x, y) -> x + y) AS adist
+       |  FROM a1 a JOIN lut l
+       |    ON l.m = a.m AND l.k = a.k AND a.vec_id <> l.query_id
+       |  GROUP BY l.query_id, a.vec_id)""".stripMargin
+  }
+
+  /** Spark twin of [[pqOracleCtes]]: trains, encodes, and ADC-scores every
+    * query in one corpus pass → (query_id, cand_id, adist). */
+  private def pqScored(s: SparkSession, d: String): DataFrame = {
+    val e = fixedPoint(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    // seed codebooks: the KsPQ lowest vec_ids' subvectors
+    val seedRows = e.orderBy("vec_id").limit(KsPQ).collect()
+    val cb0: Codebooks = Array.tabulate(M, KsPQ, Dsub) { (m, k, j) =>
+      seedRows(k).getSeq[Long](1)(m * Dsub + j).toDouble
+    }
+    // one joint Lloyd's round, then encode the corpus
+    val cb1 = pqUpdate(pqAssign(e, cb0), cb0)
+    val enc = pqAssign(e, cb1).select(col("vec_id"), col("codes"))
+    // ADC lookup tables for all queries, computed driver-side with the
+    // identical left fold (0.0 start, component order) as the oracle
+    val qRows = e.filter(col("vec_id") < 3).collect().sortBy(_.getLong(0))
+    val luts: Seq[Seq[Seq[Double]]] = qRows.toSeq.map { r =>
+      val qx = r.getSeq[Long](1)
+      Seq.tabulate(M, KsPQ) { (m, k) =>
+        var acc = 0.0
+        var j = 0
+        while (j < Dsub) {
+          val df = qx(m * Dsub + j).toDouble - cb1(m)(k)(j)
+          acc += df * df
+          j += 1
+        }
+        acc
+      }
+    }
+    val lutLit = typedlit(luts)
+    val qidLit = typedlit(qRows.toSeq.map(_.getLong(0)))
+    // one corpus pass scores every query: per row, fan out NQ (qi, adist)
+    val scored = enc
+      .select(col("vec_id").as("cand_id"), posexplode(
+        transform(sequence(lit(0), lit(qRows.length - 1)), qi =>
+          aggregate(sequence(lit(0), lit(M - 1)), lit(0.0), (acc, m) =>
+            acc + element_at(
+              element_at(element_at(lutLit, qi + lit(1)), m + lit(1)),
+              element_at(col("codes"), m + lit(1)) + lit(1))))))
+      .withColumnRenamed("pos", "qi").withColumnRenamed("col", "adist")
+      .select(element_at(qidLit, col("qi") + lit(1)).as("query_id"),
+        col("cand_id"), col("adist"))
+      .filter(col("query_id") =!= col("cand_id"))
+    e.unpersist(blocking = false)
+    scored
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery(
       "q_kmeans",
@@ -422,127 +536,85 @@ object Clustering {
     // (query × corpus)-thin (cand, adist) stream shuffles for the
     // per-query top-5 window. The uncompressed corpus is never joined.
     GQuery(
-      "q_ann_pq_adc", {
-        def dCte(name: String, cbName: String) =
-          s"""$name AS (
-             |  SELECT e.vec_id, c.m, c.k,
-             |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |           list_transform(range(1, ${Dsub + 1}),
-             |             j -> (CAST(e.x[c.m * $Dsub + j] AS DOUBLE) - c.cw[j])
-             |                  * (CAST(e.x[c.m * $Dsub + j] AS DOUBLE) - c.cw[j]))),
-             |           (a, v) -> a + v) AS dist
-             |  FROM e CROSS JOIN $cbName c)""".stripMargin
-        def aCte(name: String, dName: String) =
-          s"""$name AS (
-             |  SELECT vec_id, m, k FROM (
-             |    SELECT vec_id, m, k,
-             |           row_number() OVER (PARTITION BY vec_id, m
-             |             ORDER BY dist, k) AS rn
-             |    FROM $dName) WHERE rn = 1)""".stripMargin
-        s"""WITH
-           |e AS (
-           |  SELECT vec_id,
-           |         list_transform(embedding,
-           |           v -> CAST(floor(CAST(v AS DOUBLE) * $Scale) AS BIGINT)) AS x
-           |  FROM embeddings),
-           |seeds AS (
-           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k, x
-           |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $KsPQ)),
-           |cb0 AS (
-           |  SELECT u.m, s.k,
-           |         list_transform(range(1, ${Dsub + 1}),
-           |           j -> CAST(s.x[u.m * $Dsub + j] AS DOUBLE)) AS cw
-           |  FROM seeds s, LATERAL (SELECT unnest(range(0, $M)) AS m) u),
-           |${dCte("d0", "cb0")},
-           |${aCte("a0", "d0")},
-           |s0 AS (
-           |  SELECT a.m, a.k, u.j,
-           |         CAST(sum(e.x[a.m * $Dsub + u.j]) AS BIGINT) AS s, count(*) AS n
-           |  FROM a0 a JOIN e USING (vec_id),
-           |       LATERAL (SELECT unnest(range(1, ${Dsub + 1})) AS j) u
-           |  GROUP BY a.m, a.k, u.j),
-           |cn AS (
-           |  SELECT m, k, list(CAST(s AS DOUBLE) / n ORDER BY j) AS cw
-           |  FROM s0 GROUP BY m, k),
-           |cb1 AS (
-           |  SELECT c.m, c.k, COALESCE(n.cw, c.cw) AS cw
-           |  FROM cb0 c LEFT JOIN cn n USING (m, k)),
-           |${dCte("d1", "cb1")},
-           |${aCte("a1", "d1")},
-           |q AS (SELECT vec_id AS query_id, x AS qx FROM e WHERE vec_id < 3),
-           |lut AS (
-           |  SELECT q.query_id, c.m, c.k,
-           |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |           list_transform(range(1, ${Dsub + 1}),
-           |             j -> (CAST(q.qx[c.m * $Dsub + j] AS DOUBLE) - c.cw[j])
-           |                  * (CAST(q.qx[c.m * $Dsub + j] AS DOUBLE) - c.cw[j]))),
-           |           (a, v) -> a + v) AS dv
-           |  FROM q CROSS JOIN cb1 c),
-           |ad AS (
-           |  SELECT l.query_id, a.vec_id AS cand_id,
-           |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |           list(l.dv ORDER BY l.m)), (x, y) -> x + y) AS adist
-           |  FROM a1 a JOIN lut l
-           |    ON l.m = a.m AND l.k = a.k AND a.vec_id <> l.query_id
-           |  GROUP BY l.query_id, a.vec_id)
-           |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id,
-           |       CAST(round(adist) AS BIGINT) AS adist_r
-           |FROM (SELECT query_id, cand_id, adist,
-           |             row_number() OVER (PARTITION BY query_id
-           |               ORDER BY adist, cand_id) AS rnk
-           |      FROM ad)
-           |WHERE rnk <= 5
-           |ORDER BY query_id, rnk""".stripMargin
-      }) { (s, d) =>
+      "q_ann_pq_adc",
+      s"""WITH
+         |$pqOracleCtes
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id,
+         |       CAST(round(adist) AS BIGINT) AS adist_r
+         |FROM (SELECT query_id, cand_id, adist,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY adist, cand_id) AS rnk
+         |      FROM ad)
+         |WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val e = fixedPoint(s, d).persist(StorageLevel.MEMORY_AND_DISK)
-      // seed codebooks: the KsPQ lowest vec_ids' subvectors
-      val seedRows = e.orderBy("vec_id").limit(KsPQ).collect()
-      val cb0: Codebooks = Array.tabulate(M, KsPQ, Dsub) { (m, k, j) =>
-        seedRows(k).getSeq[Long](1)(m * Dsub + j).toDouble
-      }
-      // one joint Lloyd's round, then encode the corpus
-      val cb1 = pqUpdate(pqAssign(e, cb0), cb0)
-      val enc = pqAssign(e, cb1).select(col("vec_id"), col("codes"))
-      // ADC lookup tables for all queries, computed driver-side with the
-      // identical left fold (0.0 start, component order) as the oracle
-      val qRows = e.filter(col("vec_id") < 3).collect()
-        .sortBy(_.getLong(0))
-      val luts: Seq[Seq[Seq[Double]]] = qRows.toSeq.map { r =>
-        val qx = r.getSeq[Long](1)
-        Seq.tabulate(M, KsPQ) { (m, k) =>
-          var acc = 0.0
-          var j = 0
-          while (j < Dsub) {
-            val df = qx(m * Dsub + j).toDouble - cb1(m)(k)(j)
-            acc += df * df
-            j += 1
-          }
-          acc
-        }
-      }
-      val lutLit = typedlit(luts)
-      val qidLit = typedlit(qRows.toSeq.map(_.getLong(0)))
-      // one corpus pass scores every query: per row, fan out NQ (qi, adist)
-      val scored = enc
-        .select(col("vec_id").as("cand_id"), posexplode(
-          transform(sequence(lit(0), lit(qRows.length - 1)), qi =>
-            aggregate(sequence(lit(0), lit(M - 1)), lit(0.0), (acc, m) =>
-              acc + element_at(
-                element_at(element_at(lutLit, qi + lit(1)), m + lit(1)),
-                element_at(col("codes"), m + lit(1)) + lit(1))))))
-        .withColumnRenamed("pos", "qi").withColumnRenamed("col", "adist")
-        .select(element_at(qidLit, col("qi") + lit(1)).as("query_id"),
-          col("cand_id"), col("adist"))
-        .filter(col("query_id") =!= col("cand_id"))
       val w = Window.partitionBy("query_id").orderBy(col("adist"), col("cand_id"))
-      val out = scored.withColumn("rnk", row_number().over(w))
+      pqScored(s, d).withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("query_id"), col("rnk").cast("long").as("rnk"),
           col("cand_id"), round(col("adist")).cast("long").as("adist_r"))
         .orderBy("query_id", "rnk")
-      e.unpersist(blocking = false)
-      out
+    },
+
+    // PQ recall@5 against EXACT brute-force nearest neighbors — the eval
+    // that tunes a PQ configuration (M, KsPQ trade memory for recall)
+    // before it serves a billion-vector index. The exact arm ranks by
+    // squared L2 in the fixed-point integer space (components ≤ 2^20 ⇒
+    // a 64-dim squared distance ≤ 2^46: exact BIGINT arithmetic, no
+    // float ordering anywhere), so recall is value-exact, not a
+    // tolerance check. Scale: queries broadcast against the corpus for
+    // the exact arm (the eval-harness shape, run on a sampled query set
+    // in production); the PQ arm shares the one-pass ADC stream.
+    GQuery(
+      "q_ann_pq_recall",
+      s"""WITH
+         |$pqOracleCtes,
+         |bde AS (
+         |  SELECT q.query_id, c.vec_id AS cand_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, ${Dim + 1}),
+         |             j -> (c.x[j] - q.qx[j]) * (c.x[j] - q.qx[j]))),
+         |           (a, v) -> a + v) AS d2
+         |  FROM q JOIN e c ON c.vec_id <> q.query_id),
+         |bfr AS (
+         |  SELECT query_id, cand_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY d2, cand_id) AS rnk
+         |  FROM bde),
+         |pq AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adist, cand_id) AS rnk
+         |    FROM ad) WHERE rnk <= 5),
+         |bf AS (SELECT query_id, cand_id FROM bfr WHERE rnk <= 5)
+         |SELECT b.query_id,
+         |       CAST(count(p.cand_id) AS BIGINT) AS n_hit,
+         |       count(p.cand_id) / 5.0 AS recall_at_k
+         |FROM bf b LEFT JOIN pq p USING (query_id, cand_id)
+         |GROUP BY b.query_id ORDER BY query_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id").orderBy(col("adist"), col("cand_id"))
+      val pq = pqScored(s, d).withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("cand_id")).withColumn("hit", lit(1L))
+      val e = fixedPoint(s, d)
+      val q = e.filter(col("vec_id") < 3).toDF("query_id", "qx")
+      val bf = e.toDF("cand_id", "cx")
+        .join(broadcast(q), col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          aggregate(zip_with(col("cx"), col("qx"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, v) => acc + v).as("d2"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("d2"), col("cand_id"))))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "cand_id")
+      bf.join(broadcast(pq), Seq("query_id", "cand_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hit"))
+        .select(col("query_id"), col("n_hit"),
+          (col("n_hit") / lit(5.0)).as("recall_at_k"))
+        .orderBy("query_id")
     }
   )
 }
