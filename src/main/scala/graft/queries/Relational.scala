@@ -18,6 +18,12 @@ object Relational {
 
   private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
   private def ord(s: SparkSession, d: String) = Tables.load(s, d, "orders")
+
+  // Z-order layout (q_layout_zorder): grid bit width per interleaved key
+  // and bucket fan-out (buckets stand in for the part files OPTIMIZE
+  // writes)
+  private val ZBits = 16
+  private val ZBuckets = 16L
   private def part(s: SparkSession, d: String) = Tables.load(s, d, "part")
   private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
 
@@ -421,6 +427,118 @@ object Relational {
           (col("n_rows") - col("n_nonnull")).as("n_null"), col("n_distinct"),
           col("min_v"), col("max_v"), col("total_len"))
         .orderBy("col_name")
+    },
+
+    // Z-order (Morton) data layout — the multi-dimensional clustering an
+    // OPTIMIZE ... ZORDER BY runs so per-file min/max sidecars can prune
+    // on EVERY clustered dimension, not just a sort prefix. The z-value
+    // interleaves the bits of both keys (one codegen'd integer
+    // projection, statically unrolled shifts); bucketing rows by z-rank
+    // then bounds BOTH key ranges per bucket, where a plain (a, b) sort
+    // bounds only `a` and leaves `b` spanning its whole domain in every
+    // bucket. The gate lays lineitem out both ways and emits each
+    // bucket's per-dimension bounding box plus its area — the file-skip
+    // quality metric: for a 2-dim point/range query, expected files
+    // scanned is proportional to the summed box areas.
+    //   Determinism: buckets are NTILE's exact fill rule computed in
+    // closed form from a global rank over a unique total order — the
+    // same integer formula on both engines.
+    //   Scale (100 TB): the z projection is shuffle-free; the global
+    // rank is the two-pass GroupedPrefixSum (range shuffle + metadata
+    // offsets), NOT a single-task global window — the same one
+    // range-shuffle any OPTIMIZE pays. Buckets stand in for part files.
+    GQuery(
+      "q_layout_zorder", {
+        // grid-normalized interleave: an/bn live on the same 2^ZBits grid
+        // whatever the raw domains, a's bits on the higher (odd) positions
+        val zterms = (0 until ZBits).map(i =>
+          s"(((an >> $i) & 1) << ${2 * i + 1}) + " +
+            s"(((bn >> $i) & 1) << ${2 * i})").mkString(" + ")
+        def ntileSql(rnk: String) =
+          s"""CASE WHEN $rnk <= (t.q + 1) * t.rem
+             |  THEN ($rnk - 1) // (t.q + 1) + 1
+             |  ELSE t.rem + ($rnk - 1 - t.rem * (t.q + 1)) // t.q + 1
+             |END""".stripMargin.replace("\n", " ")
+        s"""WITH base AS (
+           |  SELECT l_partkey AS a, l_suppkey AS b, l_orderkey, l_linenumber
+           |  FROM lineitem),
+           |t AS (SELECT count(*) // $ZBuckets AS q,
+           |             count(*) % $ZBuckets AS rem,
+           |             max(a) AS mxa, max(b) AS mxb FROM base),
+           |src AS (
+           |  SELECT a, b, l_orderkey, l_linenumber, CAST($zterms AS BIGINT) AS z
+           |  FROM (SELECT base.*,
+           |          (a * ${1L << ZBits}) // (t.mxa + 1) AS an,
+           |          (b * ${1L << ZBits}) // (t.mxb + 1) AS bn
+           |        FROM base CROSS JOIN t)),
+           |rz AS (
+           |  SELECT a, b,
+           |         row_number() OVER (ORDER BY z, l_orderkey, l_linenumber) AS rnk
+           |  FROM src),
+           |rs AS (
+           |  SELECT a, b,
+           |         row_number() OVER (ORDER BY a, b, l_orderkey, l_linenumber) AS rnk
+           |  FROM src),
+           |lay AS (
+           |  SELECT 'zorder' AS layout,
+           |         CAST(${ntileSql("rz.rnk")} AS BIGINT) AS bucket, a, b
+           |  FROM rz CROSS JOIN t
+           |  UNION ALL
+           |  SELECT 'sort_ab' AS layout,
+           |         CAST(${ntileSql("rs.rnk")} AS BIGINT) AS bucket, a, b
+           |  FROM rs CROSS JOIN t)
+           |SELECT layout, bucket, CAST(count(*) AS BIGINT) AS n,
+           |       min(a) AS min_a, max(a) AS max_a,
+           |       min(b) AS min_b, max(b) AS max_b,
+           |       CAST((max(a) - min(a)) * (max(b) - min(b)) AS BIGINT) AS box_area
+           |FROM lay GROUP BY layout, bucket
+           |ORDER BY layout, bucket""".stripMargin
+      }) { (s, d) =>
+      val base = li(s, d)
+        .select(col("l_partkey").as("a"), col("l_suppkey").as("b"),
+          col("l_orderkey"), col("l_linenumber"))
+      // one metadata job: row count (for the NTILE fill rule) + per-dim
+      // maxima (for the grid normalization)
+      val meta = base.agg(count(lit(1)), max("a"), max("b")).collect().head
+      val (total, mxa, mxb) = (meta.getLong(0), meta.getLong(1), meta.getLong(2))
+      val (q, rem) = (total / ZBuckets, total % ZBuckets)
+      val grid = 1L << ZBits
+      def norm(name: String, mx: Long): Column =
+        expr(s"($name * $grid) div ${mx + 1}")
+      val z = (0 until ZBits).map { i =>
+        shiftleft(shiftright(col("an"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+          shiftleft(shiftright(col("bn"), i).bitwiseAND(lit(1L)), 2 * i)
+      }.reduce(_ + _)
+      val src = base
+        .withColumn("an", norm("a", mxa))
+        .withColumn("bn", norm("b", mxb))
+        .withColumn("z", z.cast("long"))
+        .drop("an", "bn")
+      // NTILE's fill rule from the 1-based rank, in closed integer form
+      // (`div` = exact integer division; Column `/` would go through
+      // doubles)
+      val bucketOf: Column = expr(
+        s"""CASE WHEN rnk <= ${(q + 1) * rem}
+           |  THEN (rnk - 1) div ${q + 1} + 1
+           |  ELSE $rem + (rnk - 1 - ${rem * (q + 1)}) div $q + 1
+           |END""".stripMargin.replace("\n", " ")).cast("long")
+      def laidOut(name: String, order: Seq[Column]) =
+        graft.operators.GroupedPrefixSum
+          .runningSum(src, Seq.empty, order, lit(1L), "rnk")
+          .select(lit(name).as("layout"),
+            bucketOf.as("bucket"), col("a"), col("b"))
+      val lay = laidOut("zorder",
+          Seq(col("z"), col("l_orderkey"), col("l_linenumber")))
+        .unionAll(laidOut("sort_ab",
+          Seq(col("a"), col("b"), col("l_orderkey"), col("l_linenumber"))))
+      lay.groupBy("layout", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min("a").as("min_a"), max("a").as("max_a"),
+          min("b").as("min_b"), max("b").as("max_b"))
+        .withColumn("box_area",
+          ((col("max_a") - col("min_a")) * (col("max_b") - col("min_b")))
+            .cast("long"))
+        .orderBy("layout", "bucket")
     }
   )
 }
