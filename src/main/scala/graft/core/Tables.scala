@@ -19,17 +19,25 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs and
-    * truncate to microseconds — the same ns→µs truncation DuckDB applies —
-    * so both engines see identical timestamps.
+  /** The driver has shipped `events.ts` as either TIMESTAMP(NANOS) (which
+    * Spark's parquet reader rejects outright — PARQUET_TYPE_ILLEGAL — so we
+    * read nanos as raw longs and truncate to microseconds, the same ns→µs
+    * truncation DuckDB applies) or plain TIMESTAMP(MICROS) (which Spark
+    * reads as TIMESTAMP_NTZ). Normalize both to session-TZ TimestampType —
+    * the session TZ is pinned to UTC everywhere, so the NTZ cast is a
+    * wall-clock no-op and both engines see identical timestamps.
     */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long fallback for TIMESTAMP(NANOS) files
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Register every table as a temp view named after the table, so SQL-text
