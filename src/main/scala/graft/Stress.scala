@@ -131,7 +131,7 @@ object Stress {
       "q_dedup_semantic",
       "q_dedup_blocks", "q_embed_pca", "q_text_cms", "q_curation_shards",
       "q_curation_dsir", "q_curation_quality_band", "q_dedup_minhash_eval",
-      "q_graph_pagerank")
+      "q_graph_pagerank", "q_dedup_spans")
 
     // q_dedup_semantic scales its cell count with the corpus (the
     // SemDeDup recipe: constant per-cell pairwise work); everything else

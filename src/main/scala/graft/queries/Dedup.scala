@@ -52,6 +52,7 @@ object Dedup {
   private[queries] val CAP = 32     // hot-bucket cap (skew guard -> chain pairs)
   private val MAX_DF = 100 // n-gram document-frequency cutoff
   private val BlockW = 8L  // sub-document dedup block width (tokens)
+  private val SpanW = 6L   // sliding duplicated-span window width (tokens)
 
   /** doc_id + minhash signature, one codegen'd projection. */
   private def signatures(s: SparkSession, docs: DataFrame): DataFrame = {
@@ -631,6 +632,212 @@ object Dedup {
         .select(col("doc_id"), col("n_blocks"), col("n_shared_blocks"),
           expr("n_shared_blocks * 100 DIV n_blocks").as("shared_pct"))
         .orderBy("doc_id")
+    },
+
+    // Duplicated-span detection (exact substring dedup — the public
+    // "Deduplicating Training Data Makes Language Models Better" recipe,
+    // Lee et al. 2022, adapted to the corpus's token streams): every
+    // SLIDING SpanW-token window is hashed, a window is duplicated when
+    // its exact content occurs in >= 2 distinct documents, and per doc
+    // the duplicated positions merge into MAXIMAL spans (overlapping or
+    // exactly adjacent windows coalesce). Unlike q_dedup_blocks' aligned
+    // non-overlapping blocks, sliding windows catch a duplicated passage
+    // at ANY token offset, and the merge yields the exact [start, end)
+    // interval a span-pruning pass would cut. Output: per-doc span count,
+    // duplicated-token total, longest span, and the integer permille a
+    // curation filter would threshold on (all docs, zeros included).
+    //
+    // Scale (100 TB): no pair enumeration anywhere — one codegen'd
+    // tokenize+slide projection (one row per token position, linear), one
+    // hash shuffle for the distinct-doc gram count (partially aggregated
+    // map-side), one 1:1 equi-join of occurrences against the duplicated-
+    // hash set, then windows partitioned per doc (state bounded by doc
+    // length, never corpus size). A gram shared by a million documents
+    // costs one count row and a 1:1 flag per occurrence — never a join
+    // blow-up, which is why this layout scales where pairwise dedup dies.
+    GQuery(
+      "q_dedup_spans",
+      s"""WITH
+         |tok AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tok),
+         |g AS (
+         |  SELECT c.doc_id, u.i,
+         |         md5(array_to_string(
+         |           c.toks[CAST(u.i+1 AS BIGINT):CAST(u.i+$SpanW AS BIGINT)], ' ')) AS h
+         |  FROM c, LATERAL (SELECT unnest(range(0, greatest(c.n - $SpanW + 1, 0))) AS i) u),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |hit AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (h)),
+         |m AS (
+         |  SELECT doc_id, i,
+         |         CASE WHEN i > coalesce(
+         |             lag(i) OVER (PARTITION BY doc_id ORDER BY i),
+         |             -$SpanW - 1) + $SpanW THEN 1 ELSE 0 END AS nr
+         |  FROM hit),
+         |r AS (SELECT doc_id, i,
+         |             sum(nr) OVER (PARTITION BY doc_id ORDER BY i) AS run
+         |      FROM m),
+         |sp AS (SELECT doc_id, run, min(i) AS s, max(i) + $SpanW AS e
+         |       FROM r GROUP BY doc_id, run),
+         |pd AS (SELECT doc_id,
+         |              CAST(count(*) AS BIGINT) AS n_spans,
+         |              CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+         |              CAST(max(e - s) AS BIGINT) AS max_span
+         |       FROM sp GROUP BY doc_id)
+         |SELECT c.doc_id, c.n AS n_tokens,
+         |       CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+         |       CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |       CAST(coalesce(pd.max_span, 0) AS BIGINT) AS max_span,
+         |       CAST(coalesce(pd.dup_tokens, 0) * 1000 // greatest(c.n, 1) AS BIGINT) AS dup_pml
+         |FROM c LEFT JOIN pd USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val docs = spanDocs(s, d)
+      val grams = spanGrams(docs)
+      val dup = grams.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd"))
+        .where(col("nd") >= 2).select("h")
+      val spans = mergeSpans(grams.join(dup, "h").select("doc_id", "i"))
+      val perDoc = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s")).as("dup_tokens"),
+          max(col("e") - col("s")).as("max_span"))
+      docs.select("doc_id", "n")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          coalesce(col("max_span"), lit(0L)).as("max_span"),
+          expr("coalesce(dup_tokens, 0L) * 1000 DIV greatest(n, 1L)")
+            .as("dup_pml"))
+        .orderBy("doc_id")
+    },
+
+    // Span-PRUNED corpus rebuild — the transformation the detection
+    // query above feeds (Lee et al. 2022 keep-one-occurrence rule, made
+    // deterministic): an occurrence (doc, i) of a SpanW-gram is a prune
+    // window iff the same gram also occurs in a LOWER doc_id (so exactly
+    // one document — the minimum — keeps each duplicated passage, and
+    // within-doc repetition is untouched). Prune windows merge into
+    // maximal spans per doc, and each document is REBUILT with the
+    // spanned tokens cut, entirely inside a per-row higher-order-function
+    // projection. Output: per-doc kept/cut counts (independently
+    // computed, so the oracle match proves kept + cut = n) and the md5 of
+    // the rebuilt text.
+    //
+    // Scale (100 TB): the rebuild never shuffles a single token — the
+    // only exchanges are the gram-hash min-doc aggregate and the tiny
+    // (doc, span) list aggregate; the token-level cut happens in one
+    // codegen'd filter-with-index lambda over the already-loaded row.
+    // One-pass semantics (pruning is vs the ORIGINAL corpus, not
+    // re-evaluated after cuts), stated here and mirrored in the oracle.
+    GQuery(
+      "q_dedup_span_prune",
+      s"""WITH
+         |tok AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tok),
+         |g AS (
+         |  SELECT c.doc_id, u.i,
+         |         md5(array_to_string(
+         |           c.toks[CAST(u.i+1 AS BIGINT):CAST(u.i+$SpanW AS BIGINT)], ' ')) AS h
+         |  FROM c, LATERAL (SELECT unnest(range(0, greatest(c.n - $SpanW + 1, 0))) AS i) u),
+         |gmin AS (SELECT h, min(doc_id) AS mind FROM g GROUP BY h),
+         |pw AS (SELECT g.doc_id, g.i FROM g JOIN gmin USING (h)
+         |       WHERE g.doc_id > gmin.mind),
+         |m AS (
+         |  SELECT doc_id, i,
+         |         CASE WHEN i > coalesce(
+         |             lag(i) OVER (PARTITION BY doc_id ORDER BY i),
+         |             -$SpanW - 1) + $SpanW THEN 1 ELSE 0 END AS nr
+         |  FROM pw),
+         |r AS (SELECT doc_id, i,
+         |             sum(nr) OVER (PARTITION BY doc_id ORDER BY i) AS run
+         |      FROM m),
+         |sp AS (SELECT doc_id, run, min(i) AS s, max(i) + $SpanW AS e
+         |       FROM r GROUP BY doc_id, run),
+         |ss AS (SELECT doc_id,
+         |              list(struct_pack(s := s, e := e) ORDER BY s) AS sps,
+         |              CAST(sum(e - s) AS BIGINT) AS cut
+         |       FROM sp GROUP BY doc_id),
+         |fin AS (
+         |  SELECT c.doc_id, c.n,
+         |         coalesce(ss.cut, 0) AS cut,
+         |         CASE WHEN ss.sps IS NULL THEN c.toks
+         |              ELSE list_transform(
+         |                list_filter(list_zip(c.toks, range(0, c.n)),
+         |                  z -> len(list_filter(ss.sps,
+         |                    sp -> z[2] >= sp.s AND z[2] < sp.e)) = 0),
+         |                z -> z[1]) END AS kept
+         |  FROM c LEFT JOIN ss USING (doc_id))
+         |SELECT doc_id, n AS n_tokens,
+         |       CAST(cut AS BIGINT) AS cut_tokens,
+         |       CAST(len(kept) AS BIGINT) AS kept_tokens,
+         |       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+         |FROM fin ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = spanDocs(s, d)
+      val grams = spanGrams(docs)
+      val gmin = grams.groupBy("h").agg(min("doc_id").as("mind"))
+      val pruneWins = grams.join(gmin, "h")
+        .where(col("doc_id") > col("mind")).select("doc_id", "i")
+      val sps = mergeSpans(pruneWins)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sps"),
+          sum(col("e") - col("s")).as("cut"))
+      docs.join(sps, Seq("doc_id"), "left")
+        .withColumn("kept",
+          when(col("sps").isNull, col("toks"))
+            .otherwise(expr(
+              "filter(toks, (t, p) -> size(filter(sps, sp -> p >= sp.s AND p < sp.e)) = 0)")))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          coalesce(col("cut"), lit(0L)).as("cut_tokens"),
+          expr("CAST(size(kept) AS BIGINT)").as("kept_tokens"),
+          md5(concat_ws(" ", col("kept")).cast("binary")).as("kept_md5"))
+        .orderBy("doc_id")
     }
   )
+
+  /** Tokenized documents (doc_id, toks, n) for the span-dedup family —
+    * persisted: both the gram projection and the final per-doc join
+    * consume it. */
+  private def spanDocs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
+      .withColumn("n", expr("CAST(size(toks) AS BIGINT)"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Sliding SpanW-token window stream (doc_id, i, h) — one row per token
+    * position, hashed with the oracle-shared md5-of-joined-tokens so the
+    * DuckDB twin sees identical keys. Persisted: consumed by both the
+    * gram-frequency aggregate and the occurrence join. */
+  private def spanGrams(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("i",
+        explode(when(col("n") >= SpanW, expr(s"sequence(0L, n - $SpanW)"))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ",
+          expr(s"slice(toks, CAST(i+1 AS INT), $SpanW)"))
+          .cast("binary")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Merge window occurrences (doc_id, i) into maximal [s, e) spans:
+    * overlapping or exactly adjacent SpanW-wide intervals coalesce. The
+    * classic sorted-interval sweep as two windows partitioned per doc —
+    * state bounded by document length, never corpus size. */
+  private def mergeSpans(hits: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    hits
+      .withColumn("nr",
+        (col("i") >
+          coalesce(lag("i", 1).over(w), lit(-SpanW - 1L)) + SpanW)
+          .cast("long"))
+      .withColumn("run", sum("nr").over(w))
+      .groupBy("doc_id", "run")
+      .agg(min("i").as("s"), (max("i") + SpanW).as("e"))
+  }
 }

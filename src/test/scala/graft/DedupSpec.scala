@@ -128,4 +128,37 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Long]("precision_bp") == 3333 &&
       r.getAs[Long]("recall_bp") == 5000, r.toString)
   }
+
+  test("span dedup invariants: blocks⇒spans, prune⊆detect, keep-one") {
+    val d = "/root/testdata/sf0.001"
+    def q(name: String) = Dedup.queries.find(_.name == name).get.fn(spark, d)
+    val spans = q("q_dedup_spans")
+      .select("doc_id", "n_tokens", "n_spans", "dup_tokens").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val prune = q("q_dedup_span_prune")
+      .select("doc_id", "n_tokens", "cut_tokens", "kept_tokens").collect()
+    val blocks = q("q_dedup_blocks")
+      .select("doc_id", "n_shared_blocks").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spans.exists(_._2._2 > 0), "vacuous: no duplicated spans at sf0.001")
+    prune.foreach { r =>
+      val (id, n, cut, kept) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // the rebuild's two independently computed counts must reconcile
+      assert(cut + kept == n, s"doc $id: cut $cut + kept $kept != n $n")
+      // prune windows (mind < doc) are a subset of duplicated windows
+      // (nd >= 2), so pruned coverage can never exceed detected coverage
+      assert(cut <= spans(id)._3, s"doc $id: cut $cut > dup ${spans(id)._3}")
+    }
+    // keep-one rule: the LOWEST doc_id carrying duplicated spans cannot
+    // itself be pruned — any gram duplicated there has its min occurrence
+    // at or above this doc (a lower min would itself carry spans)
+    val lowest = spans.filter(_._2._2 > 0).keys.min
+    val lowestCut = prune.find(_.getLong(0) == lowest).get.getLong(2)
+    assert(lowestCut == 0, s"lowest dup doc $lowest pruned $lowestCut tokens")
+    // a shared aligned block (BlockW=8) contains a shared sliding 6-gram,
+    // so block-level sharing implies span-level detection
+    blocks.filter(_._2 > 0).keys.foreach { id =>
+      assert(spans(id)._2 > 0, s"doc $id has shared blocks but no dup spans")
+    }
+  }
 }
