@@ -290,6 +290,66 @@ object Relational {
           (abs(col("r99") / col("n_rows") - 0.99) <= 0.005).as("p99_rank_ok"))
     },
 
+    // EXACT grouped percentiles (percentile_cont semantics) WITHOUT the
+    // per-group value buffer of Spark's exact `percentile` aggregate and
+    // without a single-task-per-group window: counts per (group, value),
+    // the two-pass grouped prefix sum turns them into 0-based rank ranges
+    // [prev, cum) per value, and each requested quantile becomes two rank
+    // probes (floor/ceil of (n-1)·q) against that table with a broadcast
+    // ranks side (groups × quantiles rows). Interpolation runs in PURE
+    // integer quarter-cents: for q ∈ {25,50,75}, frac((n-1)·q/100) is a
+    // multiple of 1/4, so p·4 = 4·v_lo + m·(v_hi − v_lo) with
+    // m = ((n-1)·q mod 100)/25 ∈ {0..3} — bit-identical to DuckDB's
+    // interpolated quantile_cont ×4 (exact in doubles at these widths).
+    //
+    // Scale (100 TB): the value table is |distinct (group, value)| not
+    // |rows|; the prefix sum is the two-pass shape (per-partition
+    // subtotals + broadcast offsets — a dominant group never lands on one
+    // task); the probes are one broadcast-joined pass over that table.
+    GQuery(
+      "q_agg_percentiles",
+      """WITH c AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem)
+        |SELECT g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(round(quantile_cont(v, 0.25) * 4) AS BIGINT) AS p25_qc,
+        |       CAST(round(quantile_cont(v, 0.50) * 4) AS BIGINT) AS p50_qc,
+        |       CAST(round(quantile_cont(v, 0.75) * 4) AS BIGINT) AS p75_qc
+        |FROM c GROUP BY g ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val vc = li(s, d)
+        .select(col("l_returnflag").as("g"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      val cum = graft.operators.GroupedPrefixSum
+        .runningSum(vc, Seq("g"), Seq(col("v")), col("cnt"), "cum")
+        .withColumn("prev", col("cum") - col("cnt"))
+      val ranks = vc.groupBy("g").agg(sum("cnt").as("n"))
+        .withColumn("q", explode(expr("array(25L, 50L, 75L)")))
+        .withColumn("t", (col("n") - 1) * col("q"))
+        .select(col("g").as("rg"), col("n"), col("q"),
+          expr("t DIV 100").as("k_lo"),
+          expr("(t % 100) DIV 25").as("m"))
+        .withColumn("k_hi",
+          col("k_lo") + when(col("m") > 0, 1L).otherwise(0L))
+      def probe(k: String, out: String): DataFrame =
+        cum.join(broadcast(ranks),
+          col("g") === col("rg") &&
+            col(k) >= col("prev") && col(k) < col("cum"))
+          .select(col("g"), col("q"), col("n"), col("m"),
+            col("v").as(out))
+      probe("k_lo", "v_lo")
+        .join(probe("k_hi", "v_hi").select("g", "q", "v_hi"), Seq("g", "q"))
+        .select(col("g"), col("n"), col("q"),
+          (lit(4L) * col("v_lo") + col("m") * (col("v_hi") - col("v_lo")))
+            .as("p_qc"))
+        .groupBy(col("g").as("l_returnflag"), col("n"))
+        .agg(max(when(col("q") === 25, col("p_qc"))).as("p25_qc"),
+          max(when(col("q") === 50, col("p_qc"))).as("p50_qc"),
+          max(when(col("q") === 75, col("p_qc"))).as("p75_qc"))
+        .orderBy("l_returnflag")
+    },
+
     // `terms(field, n)` (ES top-N buckets): groupBy/count/orderBy/limit.
     GQuery(
       "q_terms",
