@@ -427,6 +427,35 @@ object Relational {
           |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // Correlated EXISTS / NOT EXISTS subqueries through the SQL text
+    // surface — Catalyst decorrelates both into the same left-semi /
+    // left-anti hash joins as q_join_semi/q_join_anti (asserted shapes),
+    // so the SQL sugar inherits that scale discipline: no per-row
+    // re-execution of the subquery, one shuffle per correlation key.
+    GQuery(
+      "q_exists_subquery",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F'
+        |                    AND o2.o_totalprice < 50000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 150000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders o2
+          |                  WHERE o2.o_custkey = c.c_custkey
+          |                    AND o2.o_orderstatus = 'F'
+          |                    AND o2.o_totalprice < 50000)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
     // One-pass table profiling — the ANALYZE/data-quality scan run before
     // trusting a new 100 TB drop: per-column non-null count, null count,
     // EXACT distinct count, min/max (rendered per type family AFTER the

@@ -329,6 +329,28 @@ class PlanSpec extends AnyFunSuite {
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q_dedup_spans: no cartesian; gram flag join is an equi-join on h") {
+    val p = plan("q_dedup_spans")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    val f = formatted("q_dedup_spans")
+    // the interval sweep must window per doc_id (bounded state), never
+    // over a global singleton partition
+    assert(!f.contains("Window [") || f.contains("partitionBy"),
+      "span merge window lost its per-doc partitioning")
+    assert(f.contains("hashpartitioning(doc_id"),
+      "span merge must partition by doc_id:\n" + f.take(4000))
+  }
+
+  test("q_exists_subquery: EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val f = formatted("q_exists_subquery")
+    assert(f.contains("LeftSemi"),
+      "correlated EXISTS must decorrelate to a left-semi join")
+    assert(f.contains("LeftAnti"),
+      "correlated NOT EXISTS must decorrelate to a left-anti join")
+    val p = plan("q_exists_subquery")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("q_embed_pca: the projection pass reuses the persisted quantized frame") {
     val f = formatted("q_embed_pca")
     // the returned plan is the broadcast-component projection over the
