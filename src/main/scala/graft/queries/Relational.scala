@@ -317,10 +317,14 @@ object Relational {
         |       CAST(round(quantile_cont(v, 0.50) * 4) AS BIGINT) AS p50_qc,
         |       CAST(round(quantile_cont(v, 0.75) * 4) AS BIGINT) AS p75_qc
         |FROM c GROUP BY g ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // persisted: the prefix-sum pass and the per-group totals both
+      // consume it — without the cache each would redo the corpus scan
+      // and the (g, v) count shuffle
       val vc = li(s, d)
         .select(col("l_returnflag").as("g"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
         .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cum = graft.operators.GroupedPrefixSum
         .runningSum(vc, Seq("g"), Seq(col("v")), col("cnt"), "cum")
         .withColumn("prev", col("cum") - col("cnt"))
