@@ -87,6 +87,7 @@ object Curation {
   private val Budget = 8000L
   private val SeqLen = 512L
   private val NShards = 8L // training-shard fan-out (q_curation_shards)
+  private val PadB = 32L   // docs per padded batch (q_curation_padwaste)
 
   /** Redaction patterns — shared RE2/Java-regex subset (char classes,
     * bounded repeats, alternation, ASCII word boundaries) so Spark and the
@@ -855,6 +856,71 @@ object Curation {
           max("n_tokens").as("max_tokens"),
           min("n_tokens").as("min_tokens"))
         .orderBy("shard_id")
+    },
+
+    // Pad-waste accounting for batch construction — the sort-by-length
+    // batching recipe: padding B sequences to the batch max wastes
+    // cnt·max − Σlen tokens per batch, and length-sorted batch assembly
+    // collapses that waste vs arrival order. Both layouts are built over
+    // the SAME doc set (batch = (rank−1) DIV B under each order) and the
+    // gate emits their exact batch counts, real/pad token totals, and the
+    // integer pad permille a training-efficiency dashboard would plot —
+    // the measurement run before committing a batching policy.
+    //
+    // Scale (100 TB): only (doc_id, n_tokens) metadata ever moves — the
+    // text never leaves the scan; each layout's rank is the two-pass
+    // grouped prefix sum (no single-task global window), and the batch
+    // rollup is one hash aggregate on the batch id.
+    GQuery(
+      "q_curation_padwaste",
+      s"""WITH
+         |${OracleFragments.tok},
+         |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+         |arr AS (
+         |  SELECT n_tokens,
+         |         (row_number() OVER (ORDER BY doc_id) - 1) // $PadB AS b
+         |  FROM nt),
+         |srt AS (
+         |  SELECT n_tokens,
+         |         (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // $PadB AS b
+         |  FROM nt),
+         |ab AS (SELECT b, count(*) AS cnt, max(n_tokens) AS mx,
+         |              sum(n_tokens) AS tot FROM arr GROUP BY b),
+         |sb AS (SELECT b, count(*) AS cnt, max(n_tokens) AS mx,
+         |              sum(n_tokens) AS tot FROM srt GROUP BY b),
+         |lay AS (
+         |  SELECT 'arrival' AS layout, CAST(count(*) AS BIGINT) AS n_batches,
+         |         CAST(sum(tot) AS BIGINT) AS real_tokens,
+         |         CAST(sum(cnt * mx - tot) AS BIGINT) AS pad_tokens
+         |  FROM ab
+         |  UNION ALL
+         |  SELECT 'sorted', CAST(count(*) AS BIGINT),
+         |         CAST(sum(tot) AS BIGINT), CAST(sum(cnt * mx - tot) AS BIGINT)
+         |  FROM sb)
+         |SELECT layout, n_batches, real_tokens, pad_tokens,
+         |       CAST(pad_tokens * 1000 // (real_tokens + pad_tokens) AS BIGINT)
+         |         AS pad_pml
+         |FROM lay ORDER BY layout""".stripMargin) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val nt = docs(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      def layout(name: String, order: Seq[Column]): DataFrame =
+        graft.operators.GroupedPrefixSum
+          .runningSum(nt, Seq.empty, order, lit(1L), "rnk")
+          .groupBy(expr(s"(rnk - 1) DIV $PadB").as("b"))
+          .agg(count(lit(1)).as("cnt"), max("n_tokens").as("mx"),
+            sum("n_tokens").as("tot"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum("tot").as("real_tokens"),
+            sum(col("cnt") * col("mx") - col("tot")).as("pad_tokens"))
+          .select(lit(name).as("layout"), col("n_batches"),
+            col("real_tokens"), col("pad_tokens"),
+            expr("pad_tokens * 1000 DIV (real_tokens + pad_tokens)")
+              .as("pad_pml"))
+      layout("arrival", Seq(col("doc_id")))
+        .unionAll(layout("sorted", Seq(col("n_tokens"), col("doc_id"))))
+        .orderBy("layout")
     }
   )
 }
