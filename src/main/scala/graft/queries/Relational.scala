@@ -431,6 +431,35 @@ object Relational {
           |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // Exact grouped MODE (most frequent value, deterministic smallest-value
+    // tie-break) — the remaining member of the median/mode family the
+    // reference lacks: counts per (group, value) in one partial+final hash
+    // aggregate, then the winner per group as ONE map-side-combinable
+    // struct-max (max of (cnt, -v) picks highest count, then smallest
+    // value) — no per-group value buffer, no window, both shuffles keyed
+    // and partially aggregated.
+    GQuery(
+      "q_agg_mode",
+      """WITH c AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+        |         count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT g, v, cnt,
+        |             row_number() OVER (PARTITION BY g ORDER BY cnt DESC, v) AS rn
+        |      FROM c)
+        |SELECT g AS l_returnflag, v AS mode_qty, CAST(cnt AS BIGINT) AS mode_cnt
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      li(s, d)
+        .select(col("l_returnflag").as("g"),
+          expr("CAST(l_quantity AS BIGINT)").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+        .groupBy("g")
+        .agg(max(struct(col("cnt").as("c"), (-col("v")).as("nv"))).as("w"))
+        .select(col("g").as("l_returnflag"),
+          (-col("w.nv")).as("mode_qty"), col("w.c").as("mode_cnt"))
+        .orderBy("l_returnflag")
+    },
+
     // Correlated EXISTS / NOT EXISTS subqueries through the SQL text
     // surface — Catalyst decorrelates both into the same left-semi /
     // left-anti hash joins as q_join_semi/q_join_anti (asserted shapes),
