@@ -123,7 +123,7 @@ object Stress {
     stage(d1, 1)
     stage(dR, r)
 
-    val ops = Seq(
+    val allOps = Seq(
       "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_incremental",
       "q_kmeans", "q_curation_domain_cap",
       // round-8 additions to the family
@@ -132,6 +132,11 @@ object Stress {
       "q_dedup_blocks", "q_embed_pca", "q_text_cms", "q_curation_shards",
       "q_curation_dsir", "q_curation_quality_band", "q_dedup_minhash_eval",
       "q_graph_pagerank", "q_dedup_spans")
+    // optional comma-separated subset for fast local iteration; the
+    // driver never sets it → full sweep
+    val ops = sys.env.get("SPARK_GRAFT_STRESS_OPS")
+      .map(s => allOps.filter(s.split(",").map(_.trim).toSet))
+      .getOrElse(allOps)
 
     // q_dedup_semantic scales its cell count with the corpus (the
     // SemDeDup recipe: constant per-cell pairwise work); everything else

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.core.{GQuery, Tables}
+import graft.functions.VecFunctions.{vec_argmin_sq, vec_dot_long, vec_sqdist_long}
 
 /** Distributed k-means (Lloyd's) over the embeddings table
   * (beyond-reference; the LLM-pipeline clustering surface — the trainer
@@ -44,18 +45,47 @@ object Clustering {
 
   private type Centroids = Array[(Long, Array[Double])]
 
+  /** Two-level (coarse→fine) argmin assignment — the SemDeDup-at-scale
+    * recipe (hierarchical k-means / IVF-on-IVF). The k fine centroids
+    * are grouped into g = ⌈√k⌉ contiguous-id groups of ⌈k/g⌉ cells; a
+    * coarse centroid is the elementwise mean of its group's fine
+    * centroids (seeds are integer-valued, so the group sum is exact and
+    * the mean is ONE IEEE division — engine-order-free). Each vector
+    * argmins over the g coarse centroids, then over ONLY the winning
+    * group's fine cells: O(n·√k) distance folds instead of O(n·k), so
+    * when the SemDeDup rule scales k ∝ corpus, assignment FLOPs grow
+    * ∝ n·√k — sub-quadratic — instead of ∝ n·k ≈ n². Deterministic
+    * (ordered folds, first-min ties ≡ lowest id) and mirrored verbatim
+    * in the q_dedup_semantic oracle SQL, so the correctness gate tests
+    * THIS path, not an exact-assignment stand-in. */
+  private def assignTwoLevel(e: DataFrame, cents: Centroids): DataFrame = {
+    val sorted = cents.sortBy(_._1).map(_._2)
+    val k = sorted.length
+    val g = math.ceil(math.sqrt(k.toDouble)).toInt
+    val size = (k + g - 1) / g
+    val groups: Array[Array[Array[Double]]] = sorted.grouped(size).toArray
+    val coarse: Array[Array[Double]] = groups.map { grp =>
+      Array.tabulate(grp(0).length)(j => grp.map(_(j)).sum / grp.length)
+    }
+    val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
+    val groupsLit = typedlit(groups.map(_.map(_.toSeq).toSeq).toSeq)
+    // native codegen'd argmin (see VecMath.argminSq for the bit-exactness
+    // argument) — an interpreted HOF chain here lands in the join's
+    // pushed isnotnull(cl) predicates AND both shuffle projections, each
+    // copy thousands of boxed eval calls per row (measured 10-60× the
+    // whole query's cost at stress scale)
+    e.withColumn("gid", vec_argmin_sq(col("x"), coarseLit))
+      .withColumn("cl",
+        (col("gid").cast("long") * size +
+          vec_argmin_sq(col("x"), element_at(groupsLit, col("gid") + 1))
+            .cast("long")))
+      .drop("gid")
+  }
+
   /** argmin-assignment under the broadcast centroids: one projection. */
   private def assign(e: DataFrame, cents: Centroids): DataFrame = {
     val centLit = typedlit(cents.sortBy(_._1).map(_._2.toSeq).toSeq)
-    e.withColumn("dists",
-      transform(centLit, c =>
-        aggregate(
-          zip_with(col("x"), c,
-            (xv, mv) => (xv.cast("double") - mv) * (xv.cast("double") - mv)),
-          lit(0.0), (a, v) => a + v)))
-      .withColumn("cl",
-        (expr("array_position(dists, array_min(dists))") - 1).cast("long"))
-      .drop("dists")
+    e.withColumn("cl", vec_argmin_sq(col("x"), centLit).cast("long"))
   }
 
   /** Exact per-cluster component sums → K×D metadata rows → new means.
@@ -416,11 +446,15 @@ object Clustering {
     // overflow-safe: |q|≤580 ⇒ dot·|dot| < 5·10¹⁴) rounded to integer e9
     // BEFORE ranking, so the rank order is integer-deterministic with a
     // (va, vb) tiebreak.
-    //   Scale (100 TB): assignment is the broadcast-centroid projection;
-    // the self-join shuffles on cl only; K grows with the corpus so cell
+    //   Scale (100 TB): assignment is TWO broadcast-centroid projections
+    // (coarse ⌈√k⌉ cells, then the winning group's ⌈k/√k⌉ fine cells —
+    // O(n·√k) work, so scaling k with the corpus keeps assignment
+    // sub-quadratic; flat argmin over all k would be n·k ≈ n²); the
+    // self-join shuffles on cl only; K grows with the corpus so cell
     // cardinality — and the per-cell pair count — stays bounded (the
     // SemDeDup recipe); top-3/cell is a per-partition window, no global
-    // sort.
+    // sort. The oracle mirrors the two-level path verbatim (g=4 groups
+    // of 4 at the gate's k=16), so the gate tests the scale path itself.
     GQuery(
       "q_dedup_semantic",
       s"""WITH
@@ -433,6 +467,25 @@ object Clustering {
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
          |         list_transform(x, v -> CAST(v AS DOUBLE)) AS m
          |  FROM (SELECT * FROM ex ORDER BY vec_id LIMIT 16)),
+         |cgrp AS (
+         |  SELECT cl // 4 AS g, r.j AS j, sum(m[r.j]) / 4 AS mv
+         |  FROM c0 CROSS JOIN
+         |    (SELECT CAST(range AS INT) AS j FROM range(1, ${Dim + 1})) r
+         |  GROUP BY 1, 2),
+         |cg AS (SELECT g, list(mv ORDER BY j) AS gm FROM cgrp GROUP BY g),
+         |dG AS (
+         |  SELECT e.vec_id, c.g,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, ${Dim + 1}),
+         |             j -> (CAST(e.x[j] AS DOUBLE) - c.gm[j])
+         |                  * (CAST(e.x[j] AS DOUBLE) - c.gm[j]))),
+         |           (a, v) -> a + v) AS dist
+         |  FROM ex e CROSS JOIN cg c),
+         |aG AS (
+         |  SELECT vec_id, g FROM (
+         |    SELECT vec_id, g,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, g) AS rn
+         |    FROM dG) WHERE rn = 1),
          |dF AS (
          |  SELECT e.vec_id, c.cl,
          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -440,7 +493,8 @@ object Clustering {
          |             j -> (CAST(e.x[j] AS DOUBLE) - c.m[j])
          |                  * (CAST(e.x[j] AS DOUBLE) - c.m[j]))),
          |           (a, v) -> a + v) AS dist
-         |  FROM ex e CROSS JOIN c0 c),
+         |  FROM ex e JOIN aG ag ON ag.vec_id = e.vec_id
+         |  JOIN c0 c ON c.cl // 4 = ag.g),
          |aF AS (
          |  SELECT vec_id, cl FROM (
          |    SELECT vec_id, cl,
@@ -488,22 +542,20 @@ object Clustering {
             v => floor(v * lit(Scale)).cast("long")).as("x"),
           transform(col("embedding").cast("array<double>"),
             v => floor(v * lit(1000d) + lit(0.5)).cast("long")).as("q"))
-        .withColumn("nn",
-          aggregate(col("q"), lit(0L), (a, v) => a + v * v))
+        .withColumn("nn", vec_dot_long(col("q"), col("q")))
         .persist(StorageLevel.MEMORY_AND_DISK) // seed collect + both join sides; released by the harness clearCache
       val seeds: Centroids = base.orderBy("vec_id").limit(kCells).collect()
         .zipWithIndex.map { case (r, i) =>
           (i.toLong, r.getSeq[Long](1).map(_.toDouble).toArray)
         }
-      val asg = assign(base, seeds)
+      val asg = assignTwoLevel(base, seeds)
         .select(col("vec_id"), col("cl"), col("q"), col("nn"))
       val pairs = asg.as("a")
         .join(asg.as("b"),
           col("a.cl") === col("b.cl") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.cl").as("cl"),
           col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-          aggregate(zip_with(col("a.q"), col("b.q"), (x, y) => x * y),
-            lit(0L), (acc, v) => acc + v).as("dot"),
+          vec_dot_long(col("a.q"), col("b.q")).as("dot"),
           col("a.nn").as("na"), col("b.nn").as("nb"))
         .withColumn("score_e9",
           round(lit(1000000000d) * ((col("dot") * abs(col("dot"))).cast("double")
@@ -603,8 +655,7 @@ object Clustering {
       val bf = e.toDF("cand_id", "cx")
         .join(broadcast(q), col("cand_id") =!= col("query_id"))
         .select(col("query_id"), col("cand_id"),
-          aggregate(zip_with(col("cx"), col("qx"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, v) => acc + v).as("d2"))
+          vec_sqdist_long(col("cx"), col("qx")).as("d2"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("query_id").orderBy(col("d2"), col("cand_id"))))
         .filter(col("rnk") <= 5)

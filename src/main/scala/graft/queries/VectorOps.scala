@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{GQuery, Tables}
+import graft.functions.VecFunctions.vec_dot_long
 
 /** Embedding storage/compression operators over the `embeddings` table
   * (beyond-reference; the LLM-pipeline vector-store surface): symmetric
@@ -373,8 +374,7 @@ object VectorOps {
       val v = powerIterate(craw, Dim)
       val vLit = typedLit((1 to Dim).map(v): IndexedSeq[Long])
       q.select(col("vec_id"),
-          aggregate(zip_with(col("q"), vLit, (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x).as("proj"))
+          vec_dot_long(col("q"), vLit).as("proj"))
         .orderBy("vec_id")
     },
 
@@ -422,8 +422,7 @@ object VectorOps {
       val w = probeIterate(gram, b, Dim)
       val wLit = typedLit((1 to Dim).map(w): IndexedSeq[Long])
       q.select(col("label"),
-          aggregate(zip_with(col("q"), wLit, (a, x) => a * x),
-            lit(0L), (acc, x) => acc + x).as("score"))
+          vec_dot_long(col("q"), wLit).as("score"))
         .groupBy((col("label") === ProbeTarget).cast("long").as("actual_pos"),
           (col("score") > 0).cast("long").as("pred_pos"))
         .agg(count(lit(1)).as("n"), sum("score").as("score_sum"))
