@@ -25,6 +25,16 @@ import org.apache.spark.sql.SparkSession
   * slow (interesting) queries survive; the full line is also written to
   * `/root/repo/BENCH_FULL.json` as a truncation-proof copy.
   *
+  * Regression credibility (round 9): a single pass over 162 queries in one
+  * JVM is noise-dominated — round 8 measured the SAME query 2× slower at
+  * sf0.1 than at sf0.3 later in the run, purely from JIT/ordering effects.
+  * So each query now runs `SPARK_GRAFT_BENCH_REPS` times (default 3), each
+  * repetition sweeping the whole suite in a DIFFERENT seeded-shuffle order
+  * (so no query systematically inherits another's JIT/page-cache state),
+  * and the reported time is the per-query MEDIAN. `spread_pct` reports
+  * (max−min)/median per query — a large spread flags a measurement to
+  * distrust, which is exactly the signal round 8 lacked.
+  *
   * Failures are recorded explicitly (`"errors"` map, value -1 in the
   * timing map) instead of silently contributing a fake timing row.
   */
@@ -84,34 +94,59 @@ object Bench {
     }
 
     var errors = List.empty[(String, String)]
-    var gcMs = List.empty[(String, Long)]
-    var heapMb = List.empty[(String, Long)]
     // Optional args(0): comma-separated name filter for single-query A/B
     // timing runs (the driver invokes with no args — full suite unchanged).
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").map(_.trim).toSet) else None
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      val gc0 = gcMillis
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        gcMs ::= (name -> (gcMillis - gc0))
-        heapMb ::= (name -> usedHeapMb)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val seed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "42").toLong
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    final case class Obs(t: Double, gc: Long, heap: Long)
+    val obs = scala.collection.mutable.Map.empty[String, List[Obs]]
+    for (rep <- 0 until reps) {
+      // a fresh shuffle per repetition: median-over-orders cancels the
+      // "query N inherits query N-1's JIT/page-cache/GC state" bias
+      val order = new scala.util.Random(seed + rep).shuffle(names)
+      for (name <- order) {
+        val fn = SparkEntry.queries(name)
+        val gc0 = gcMillis
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          obs(name) = Obs(dt, gcMillis - gc0, usedHeapMb) :: obs.getOrElse(name, Nil)
+        } catch {
+          case e: Throwable =>
+            if (!errors.exists(_._1 == name))
+              errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
         // release frames the query persisted for its own multi-pass plan —
         // outside the measured region; without this, ~85 queries' caches
         // (corpus embeddings, shingle indexes) accumulate across the run
         spark.catalog.clearCache()
         if (interQueryGc) System.gc()
-        name -> dt
-      } catch {
-        case e: Throwable =>
-          errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName))
-          name -> -1.0
       }
     }
+    // per-query median (of the successful reps) + relative spread
+    def median(xs: List[Obs]): Obs = xs.sortBy(_.t).apply((xs.size - 1) / 2)
+    val results: Seq[(String, Double)] = names.map { name =>
+      obs.get(name).filter(_.nonEmpty) match {
+        case Some(xs) => name -> median(xs).t
+        case None => name -> -1.0
+      }
+    }
+    val spreadPct: Seq[(String, Double)] = names.flatMap { name =>
+      obs.get(name).filter(_.size >= 2).map { xs =>
+        val ts = xs.map(_.t)
+        val m = median(xs).t
+        name -> (if (m > 0) math.round((ts.max - ts.min) / m * 1000) / 10.0 else 0.0)
+      }
+    }
+    val gcMs: Seq[(String, Long)] =
+      names.flatMap(n => obs.get(n).filter(_.nonEmpty).map(xs => n -> median(xs).gc))
+    val heapMb: Seq[(String, Long)] =
+      names.flatMap(n => obs.get(n).filter(_.nonEmpty).map(xs => n -> median(xs).heap))
     // ---- sf0.3 scaling block -------------------------------------------
     // One extra bench point for the headline queries: an FK-CONSISTENT 3×
     // replica of the sf0.1 tables (fact keys offset per replica so join
@@ -161,17 +196,30 @@ object Bench {
       // warm the replica like the primary (cold parquet IO is staging cost)
       spark.read.parquet(new java.io.File(dir, "lineitem.parquet").getPath)
         .write.format("noop").mode("overwrite").save()
+      // the ratio vs sf0.1 is only as credible as its numerator: median the
+      // sf0.3 side over the same rep count and shuffled orders as the primary
+      val obs3 = scala.collection.mutable.Map.empty[String, List[Double]]
+      for (rep <- 0 until reps) {
+        val order = new scala.util.Random(seed + 1000 + rep).shuffle(headline)
+        for (name <- order) {
+          spark.catalog.clearCache()
+          if (interQueryGc) System.gc()
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(name)(spark, dir.getPath)
+              .write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            obs3(name) = dt :: obs3.getOrElse(name, Nil)
+          } catch { case e: Throwable =>
+            if (!errors.exists(_._1 == s"sf03:$name"))
+              errors ::= (s"sf03:$name" -> Option(e.getMessage).getOrElse(e.getClass.getName))
+          }
+        }
+      }
       headline.map { name =>
-        spark.catalog.clearCache()
-        if (interQueryGc) System.gc()
-        val t0 = System.nanoTime()
-        try {
-          SparkEntry.queries(name)(spark, dir.getPath)
-            .write.format("noop").mode("overwrite").save()
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          errors ::= (s"sf03:$name" -> Option(e.getMessage).getOrElse(e.getClass.getName))
-          name -> -1.0
+        obs3.get(name).filter(_.nonEmpty) match {
+          case Some(ts) => name -> ts.sorted.apply((ts.size - 1) / 2)
+          case None => name -> -1.0
         }
       }
     } catch { case e: Throwable =>
@@ -190,6 +238,8 @@ object Bench {
       .mkString("{", ",", "}")
     val gcJson = gcMs.sortBy(-_._2).map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val spreadJson = spreadPct.sortBy(-_._2).map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
     val heapJson = heapMb.sortBy(-_._2).map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
@@ -204,7 +254,7 @@ object Bench {
         jstr(k) + ":" + (math.round(v / base(k) * 100) / 100.0)
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio}"""
     println(line)
     // truncation-proof copy: the stdout line is captured by a consumer that
     // has historically kept only a prefix; the file keeps every number
