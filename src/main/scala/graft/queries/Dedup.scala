@@ -820,6 +820,11 @@ object Dedup {
         explode(when(col("n") >= SpanW, expr(s"sequence(0L, n - $SpanW)"))
           .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))))
       .select(col("doc_id"), col("i"),
+        // the CAST to INT bounds per-document length at 2^31-1 tokens —
+        // an accepted invariant (slice/array positions are INT-indexed
+        // throughout Spark; a single document beyond 2 G tokens would
+        // already overflow array construction upstream). Documents at
+        // 100 TB scale means MANY documents, not 2 G-token ones.
         md5(concat_ws(" ",
           expr(s"slice(toks, CAST(i+1 AS INT), $SpanW)"))
           .cast("binary")).as("h"))

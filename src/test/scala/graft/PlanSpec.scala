@@ -332,11 +332,18 @@ class PlanSpec extends AnyFunSuite {
   test("q_dedup_spans: no cartesian; gram flag join is an equi-join on h") {
     val p = plan("q_dedup_spans")
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
-    val f = formatted("q_dedup_spans")
     // the interval sweep must window per doc_id (bounded state), never
-    // over a global singleton partition
-    assert(!f.contains("Window [") || f.contains("partitionBy"),
-      "span merge window lost its per-doc partitioning")
+    // over a global singleton partition: every physical Window node needs
+    // a non-empty partition spec that references doc_id
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "span merge lost its window node")
+    windows.foreach { w =>
+      assert(w.partitionSpec.exists(_.references.exists(_.name == "doc_id")),
+        s"span merge window lost its per-doc partitioning: ${w.partitionSpec}")
+    }
+    val f = formatted("q_dedup_spans")
     assert(f.contains("hashpartitioning(doc_id"),
       "span merge must partition by doc_id:\n" + f.take(4000))
   }
