@@ -100,19 +100,37 @@ object Graph {
       // composed plan, keeping Catalyst planning/codegen O(1) per round
       // instead of O(iters) — values are unchanged, only lineage is cut.
       // The checkpointed rank RDDs are node-sized (not corpus-sized).
-      var ranks = nodes.select(col("node"), lit(R0).as("r")).localCheckpoint(true)
-      for (_ <- 1 to PrIters) {
-        val contrib = ed
-          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("dst").as("node"), expr("r DIV deg").as("c"))
-          .groupBy("node").agg(sum("c").as("s"))
-        ranks = nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (lit(PrBase) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100"))
-              .as("r"))
-          .localCheckpoint(true)
+      // The iteration is overhead-bound at bench scale: ~16k rank rows
+      // over the session's 32 shuffle partitions is ~500 rows/task across
+      // 8 rounds × 3 stages. Size the round partitioning to the RANK
+      // table (a deployment would set this to nodes/target-partition-
+      // size, independent of the corpus-sized session default). Safe to
+      // set/restore here because every round materializes eagerly inside
+      // this function; only the final node-sized projection runs later.
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PR_PARTS", "8"))
+      val finalRanks = try {
+        var ranks = nodes.select(col("node"), lit(R0).as("r")).localCheckpoint(true)
+        for (_ <- 1 to PrIters) {
+          val contrib = ed
+            .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("dst").as("node"), expr("r DIV deg").as("c"))
+            .groupBy("node").agg(sum("c").as("s"))
+          // eager localCheckpoint every round measured FASTER than every
+          // 2/4/never (12.3 vs 16-21s): the deeper lazy lineage re-plans
+          // and re-optimizes under AQE more than a node-sized job costs
+          ranks = nodes.join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              (lit(PrBase) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100"))
+                .as("r"))
+            .localCheckpoint(true)
+        }
+        ranks
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", oldParts)
       }
-      ranks.select(
+      finalRanks.select(
           when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
           expr("node DIV 2").cast("long").as("node_key"),
           col("r").as("rank_e9"))
