@@ -36,24 +36,50 @@ import org.apache.spark.sql.functions._
   */
 object Stress {
 
+  /** Per-stage max-task accounting, with SCAN INPUT and SHUFFLE READ kept
+    * separate: a scan task's input grows with file size (the staged
+    * corpora keep a fixed 32-file layout, so 10× data = 10× per-split
+    * bytes — bounded in production by files.maxPartitionBytes, NOT a
+    * scale hazard), while a shuffle-read task growing super-proportional
+    * is the real "hot key / unbalanced exchange" signal the flat-task
+    * designs claim to avoid. Stage names (callsites) are kept so a
+    * failing stage can be NAMED, not guessed. */
   private final class MaxTaskBytes extends SparkListener {
-    val maxBytes = new AtomicLong(0)
+    final class St(@volatile var name: String) {
+      val maxIn = new AtomicLong(0)
+      val maxSh = new AtomicLong(0)
+    }
+    val stages = new scala.collection.concurrent.TrieMap[Int, St]
+    override def onStageSubmitted(
+        s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+      stages.getOrElseUpdate(s.stageInfo.stageId, new St(s.stageInfo.name))
+        .name = s.stageInfo.name
+    }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
-        val in = m.inputMetrics.bytesRead +
-          m.shuffleReadMetrics.localBytesRead + m.shuffleReadMetrics.remoteBytesRead
-        var cur = maxBytes.get()
-        while (in > cur && !maxBytes.compareAndSet(cur, in)) cur = maxBytes.get()
+        val st = stages.getOrElseUpdate(t.stageId, new St(s"stage ${t.stageId}"))
+        val in = m.inputMetrics.bytesRead
+        val sh = m.shuffleReadMetrics.localBytesRead + m.shuffleReadMetrics.remoteBytesRead
+        var cur = st.maxIn.get()
+        while (in > cur && !st.maxIn.compareAndSet(cur, in)) cur = st.maxIn.get()
+        cur = st.maxSh.get()
+        while (sh > cur && !st.maxSh.compareAndSet(cur, sh)) cur = st.maxSh.get()
       }
     }
-    def reset(): Unit = maxBytes.set(0)
+    def maxInput: Long = if (stages.isEmpty) 0 else stages.values.map(_.maxIn.get()).max
+    def maxShuffle: Long = if (stages.isEmpty) 0 else stages.values.map(_.maxSh.get()).max
+    /** top-n stages by max single-task bytes (input+shuffle), named. */
+    def top(n: Int): Seq[(Int, String, Long, Long)] =
+      stages.toSeq.map { case (id, st) => (id, st.name, st.maxIn.get(), st.maxSh.get()) }
+        .sortBy(t => -(t._3 + t._4)).take(n)
+    def reset(): Unit = stages.clear()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val r = sys.env.getOrElse("SPARK_GRAFT_STRESS_X", "10").toInt
-    val out = args.headOption.getOrElse("/root/repo/BENCH_STRESS_r08.json")
+    val out = args.headOption.getOrElse("/root/repo/BENCH_STRESS_r09.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -150,8 +176,66 @@ object Stress {
       .write.format("noop").mode("overwrite").save()
     spark.sql("SELECT md5('warmup') AS h").collect()
 
-    final case class Obs(sec: Double, rows: Long, maxTaskMb: Double)
-    def run(name: String, dir: String): Obs = {
+    // ---- declared per-operator bounds --------------------------------
+    // Round 8's uniform "time ≤ 3·r" slack let an essentially quadratic
+    // term pass (semantic dedup measured 18.9× at r=10 under a 30×
+    // bound). Each operator now declares the bound its DESIGN claims:
+    //   time: wall ratio at r× — linear ops on a fixed-size local[32]
+    //     are fixed-cost-dominated at sf0.1, so proportional growth
+    //     shows up well below r (family measured 0.5–2.7 at r=10);
+    //     declared ≈ 2× the r8 measurement, far below proportional.
+    //   rows: "linear" output scales ~r (bound 1.5·r); "fixed" output
+    //     is corpus-size-independent (bound 3).
+    //   shuffle-read max task: the flat-task claim — no key/exchange
+    //     concentration, so the biggest shuffle-read task stays ~flat
+    //     (bound declared per op; metadata-sized shuffles get the 2×
+    //     default, corpus-sized-by-design exchanges declare more).
+    //   scan-input max task: grows with per-file bytes (fixed 32-file
+    //     staging ⇒ ~r×); bounded at 1.5·r and in production by
+    //     files.maxPartitionBytes — not a hot-key signal.
+    //   corpusShuffle: ops whose largest exchange is corpus-sized BY
+    //     DESIGN (the span gram join, PageRank's rank/contribution
+    //     shuffles over r×-more nodes): under the fixed 32-partition
+    //     layout a BALANCED corpus exchange grows ≤ r per task, so the
+    //     bound is r, and concentration beyond balanced growth still
+    //     fails. (In production these exchanges scale partition count
+    //     with data / AQE-split; the per-task contract is the same.)
+    // Time-bound calibration (r = 10): warm min-of-N measurements put the
+    // family at 0.9–2.8× except the text ops whose replica payloads carry
+    // the ~1.5× token interleave inflation (total chars measured 14.8×
+    // at 10×): lm_score/dsir sit at ~5.3× = one-third of char-
+    // proportional. Declared bounds are ~2× the warm measurement — every
+    // one of them far below proportional, and a quadratic term (the
+    // pre-fix semantic dedup measured 18.9× even cold) fails ALL of them
+    // loudly instead of slipping under a 3·r blanket.
+    final case class Bounds(time: Double, linearRows: Boolean, shuffle: Double,
+        corpusShuffle: Boolean = false)
+    val defB = Bounds(time = 3.5, linearRows = true, shuffle = 2.0)
+    val bounds: Map[String, Bounds] = Map(
+      "q_dedup_minhash_lsh" -> defB,
+      "q_dedup_clusters" -> defB,
+      "q_dedup_incremental" -> defB.copy(time = 4.0),
+      "q_kmeans" -> defB.copy(linearRows = false),
+      "q_curation_domain_cap" -> defB.copy(linearRows = false),
+      "q_text_bpe_encode" -> defB.copy(time = 5.0),
+      "q_text_lm_score" -> defB.copy(time = 8.0),
+      "q_embed_covariance" -> defB.copy(time = 4.5, linearRows = false),
+      // post-fix two-level assignment measured 1.5-2.3× at r=10; the
+      // declared 3.0 would FAIL the pre-fix 18.9× n·k assignment loudly
+      "q_dedup_semantic" -> defB.copy(time = 3.0),
+      "q_dedup_blocks" -> defB.copy(time = 4.5),
+      "q_embed_pca" -> defB,
+      "q_text_cms" -> defB.copy(linearRows = false),
+      "q_curation_shards" -> defB.copy(linearRows = false),
+      "q_curation_dsir" -> defB.copy(time = 8.0, linearRows = false),
+      "q_curation_quality_band" -> defB,
+      "q_dedup_minhash_eval" -> defB.copy(time = 4.0, linearRows = false),
+      "q_graph_pagerank" -> defB.copy(linearRows = false, corpusShuffle = true),
+      "q_dedup_spans" -> defB.copy(time = 4.5, corpusShuffle = true))
+
+    final case class Obs(sec: Double, rows: Long, maxInMb: Double, maxShMb: Double,
+        top: Seq[(Int, String, Long, Long)])
+    def runOnce(name: String, dir: String): Obs = {
       spark.catalog.clearCache()
       System.gc()
       listener.reset()
@@ -164,9 +248,21 @@ object Stress {
       val rows = df.queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let the async listener bus drain task events
-      Obs(dt, rows, listener.maxBytes.get() / 1048576.0)
+      Obs(dt, rows, listener.maxInput / 1048576.0, listener.maxShuffle / 1048576.0,
+        listener.top(4))
+    }
+    // min-of-N wall time: the single-shot timer was JIT/GC-noise-bound
+    // (one r8 run clocked an op 6x slower at 1x than at 10x); min is the
+    // right estimator for "the cost of the work" under additive noise.
+    // rows/task-bytes are deterministic — taken from the last repetition.
+    val stressReps = sys.env.getOrElse("SPARK_GRAFT_STRESS_REPS", "3").toInt.max(1)
+    def run(name: String, dir: String): Obs = {
+      val os = (1 to stressReps).map(_ => runOnce(name, dir))
+      os.last.copy(sec = os.map(_.sec).min)
     }
 
+    val diagOps = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIAG", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     var failed = List.empty[String]
     val rows = ops.map { op =>
       configure(op, 1)
@@ -174,22 +270,37 @@ object Stress {
       configure(op, r)
       val oR = run(op, dR.getPath)
       def ratio(a: Double, b: Double): Double = if (a > 0) b / a else -1
+      val b = bounds.getOrElse(op, defB)
       val tR = ratio(o1.sec, oR.sec)
       val rowsR = ratio(o1.rows.toDouble, oR.rows.toDouble)
-      val taskR = ratio(math.max(o1.maxTaskMb, 1.0), math.max(oR.maxTaskMb, 1.0))
-      // near-linear bounds: rows/time within 3x of proportional; the
-      // biggest single task must not grow with corpus size beyond 1.5x
-      // proportional (balanced plans keep it ~flat)
-      if (rowsR > 3.0 * r) failed ::= s"$op rows blow-up: x$rowsR"
-      if (tR > 3.0 * r) failed ::= s"$op time blow-up: x$tR"
-      if (taskR > 1.5 * r) failed ::= s"$op single-task hot spot: x$taskR"
+      // floor tiny absolute values at 1 MB before ratioing: a 0.1→0.6 MB
+      // metadata shuffle is not a 6× hot spot
+      val inR = ratio(math.max(o1.maxInMb, 1.0), math.max(oR.maxInMb, 1.0))
+      val shR = ratio(math.max(o1.maxShMb, 1.0), math.max(oR.maxShMb, 1.0))
+      val rowsBound = if (b.linearRows) 1.5 * r else 3.0
+      val shBound = if (b.corpusShuffle) r.toDouble else b.shuffle
+      if (rowsR > rowsBound) failed ::= s"$op rows blow-up: x$rowsR (bound $rowsBound)"
+      if (tR > b.time) failed ::= s"$op time blow-up: x$tR (bound ${b.time})"
+      if (shR > shBound) failed ::= s"$op shuffle-task hot spot: x$shR (bound $shBound)"
+      if (inR > 1.5 * r) failed ::= s"$op scan-split blow-up: x$inR (bound ${1.5 * r})"
       System.err.println(f"[stress] $op%-24s 1x: ${o1.sec}%6.2fs ${o1.rows}%8d rows " +
-        f"${o1.maxTaskMb}%7.1fMB | ${r}x: ${oR.sec}%6.2fs ${oR.rows}%8d rows " +
-        f"${oR.maxTaskMb}%7.1fMB | ratios t=$tR%4.1f rows=$rowsR%4.1f task=$taskR%4.1f")
+        f"in=${o1.maxInMb}%6.1f sh=${o1.maxShMb}%6.1fMB | ${r}x: ${oR.sec}%6.2fs " +
+        f"${oR.rows}%8d rows in=${oR.maxInMb}%6.1f sh=${oR.maxShMb}%6.1fMB | " +
+        f"ratios t=$tR%4.1f rows=$rowsR%4.1f in=$inR%4.1f sh=$shR%4.1f")
+      if (diagOps.contains(op)) {
+        System.err.println(s"[stress]   $op heaviest stages at 1x:")
+        o1.top.foreach { case (id, n, in, sh) => System.err.println(
+          f"[stress]     stage $id%4d in=${in / 1048576.0}%7.1fMB sh=${sh / 1048576.0}%7.1fMB  ${n.take(140)}") }
+        System.err.println(s"[stress]   $op heaviest stages at ${r}x:")
+        oR.top.foreach { case (id, n, in, sh) => System.err.println(
+          f"[stress]     stage $id%4d in=${in / 1048576.0}%7.1fMB sh=${sh / 1048576.0}%7.1fMB  ${n.take(140)}") }
+      }
       s""""$op":{"sec_1x":${o1.sec},"sec_${r}x":${oR.sec},"time_ratio":$tR,""" +
         s""""rows_1x":${o1.rows},"rows_${r}x":${oR.rows},"rows_ratio":$rowsR,""" +
-        s""""max_task_in_mb_1x":${o1.maxTaskMb},"max_task_in_mb_${r}x":${oR.maxTaskMb},""" +
-        s""""max_task_ratio":$taskR}"""
+        s""""max_task_in_mb_1x":${o1.maxInMb},"max_task_in_mb_${r}x":${oR.maxInMb},""" +
+        s""""max_task_sh_mb_1x":${o1.maxShMb},"max_task_sh_mb_${r}x":${oR.maxShMb},""" +
+        s""""max_task_ratio":$inR,"max_shuffle_task_ratio":$shR,""" +
+        s""""time_bound":${b.time},"shuffle_bound":$shBound}"""
     }
     val line = s"""{"metric":"stress","replication":$r,"sf":"$sfDir",""" +
       s""""operators":{${rows.mkString(",")}},""" +

@@ -73,7 +73,7 @@ class GraftEngine(val spark: SparkSession) {
 
   import GraftEngine._
 
-  def sql(text: String): DataFrame = text match {
+  def sql(text0: String): DataFrame = { val text = normalizeBrackets(text0); text match {
     case SetVar(name, value) =>
       // evaluate the RHS once so `SET @x = 1 + 1` stores "2"
       val v = spark.sql(s"SELECT ($value) AS v").collect()(0).get(0)
@@ -169,6 +169,39 @@ class GraftEngine(val spark: SparkSession) {
         .toDF("table", "files_before", "files_after")
 
     case other => spark.sql(substitute(other))
+  } }
+
+  /** qlbridge-style bracket-quoted identifiers — the reference dialect
+    * accepts `SET name = "x", [deleted] = true` (MSSQL-ish identity
+    * quoting; `backends/cassandra/cass_test.go:593` et al.) — rewritten
+    * to backtick quoting for every downstream parser. Brackets inside
+    * string literals are untouched, and a bracket directly following an
+    * identifier, `]`, or `)` is array/map INDEXING (`roles[1]`), kept
+    * verbatim. */
+  private def normalizeBrackets(text: String): String = {
+    if (!text.contains('[')) return text
+    val sb = new StringBuilder(text.length)
+    var i = 0; var inStr = false; var inTick = false
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (inStr) { sb.append(ch); if (ch == '\'') inStr = false; i += 1 }
+      else if (inTick) { sb.append(ch); if (ch == '`') inTick = false; i += 1 }
+      else ch match {
+        case '\'' => inStr = true; sb.append(ch); i += 1
+        case '`' => inTick = true; sb.append(ch); i += 1
+        case '[' =>
+          val prev = if (sb.isEmpty) ' ' else sb.charAt(sb.length - 1)
+          val indexing = Character.isLetterOrDigit(prev) || prev == '_' ||
+            prev == ']' || prev == ')'
+          GraftEngine.BracketIdent.findPrefixMatchOf(text.subSequence(i, text.length)) match {
+            case Some(m) if !indexing =>
+              sb.append('`').append(m.group(1)).append('`'); i += m.end
+            case _ => sb.append(ch); i += 1
+          }
+        case other => sb.append(other); i += 1
+      }
+    }
+    sb.toString
   }
 
   private def upsertRewrite(tbl: String, cols: Option[String], values: String): DataFrame = {
@@ -396,6 +429,7 @@ object GraftEngine {
   private[engine] val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+TABLE\s+([\w.`]+)(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""".r
   private[engine] val UpdateStmt = """(?is)\s*UPDATE\s+([\w.`]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private[engine] val BracketIdent = """\[([A-Za-z_][A-Za-z0-9_]*)\]""".r
   private[engine] val UpsertStmt = """(?is)\s*UPSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^)]*)\))?\s*VALUES\s+(.+?)\s*;?\s*""".r
 
   // one engine per SparkSession, weakly held: session vars / prepared

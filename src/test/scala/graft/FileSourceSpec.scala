@@ -780,6 +780,36 @@ class FileSourceSpec extends AnyFunSuite {
     eng.sql("DROP SOURCE updck")
   }
 
+  test("UPDATE accepts bracket-quoted identifiers (reference dialect)") {
+    // the reference's exact statement shape: UPDATE user SET
+    // name = "was_updated", [deleted] = true WHERE id = ...
+    // (backends/cassandra/cass_test.go:593 — [deleted] is qlbridge
+    // identity quoting, not an array literal)
+    val eng = new GraftEngine(spark)
+    val p = new File(sys.props("user.dir"), "target/graft-test/upd-bracket").getPath
+    eng.sql(s"""CREATE SOURCE brsrc WITH { "type": "csv", "path": "$p", "pushdown": "keys" }""")
+    spark.sql("DROP TABLE IF EXISTS graft.brsrc.user")
+    spark.sql("CREATE TABLE graft.brsrc.user (id STRING, name STRING, deleted BOOLEAN) " +
+      "TBLPROPERTIES ('keys' = 'id')")
+    spark.sql("INSERT INTO graft.brsrc.user VALUES ('update123', 'test_name', false)," +
+      " ('other', 'x', false)")
+    val n = eng.sql(
+      """UPDATE graft.brsrc.user SET name = "was_updated", [deleted] = true WHERE id = 'update123'""")
+      .collect()(0).getLong(0)
+    assert(n == 1)
+    val row = spark.table("graft.brsrc.user").filter(col("id") === "update123").collect()(0)
+    assert(row.getString(1) == "was_updated" && row.getBoolean(2))
+    val other = spark.table("graft.brsrc.user").filter(col("id") === "other").collect()(0)
+    assert(other.getString(1) == "x" && !other.getBoolean(2))
+    // bracket-quoting also reaches plain SELECT through the engine...
+    assert(eng.sql("SELECT [name] FROM graft.brsrc.user WHERE [id] = 'other'")
+      .collect()(0).getString(0) == "x")
+    // ...while genuine array INDEXING stays indexing
+    assert(eng.sql("SELECT array('a','b')[1] AS e").collect()(0).getString(0) == "b")
+    spark.sql("DROP TABLE graft.brsrc.user")
+    eng.sql("DROP SOURCE brsrc")
+  }
+
   test("key/prefix profiles decline aggregate pushdown (no server-side aggs)") {
     FedData.ensure(spark, sfDir)
     val df = spark.table("graft.kv.customer_kv")
