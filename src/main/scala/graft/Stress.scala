@@ -217,12 +217,12 @@ object Stress {
       "q_dedup_incremental" -> defB.copy(time = 4.0),
       "q_kmeans" -> defB.copy(linearRows = false),
       "q_curation_domain_cap" -> defB.copy(linearRows = false),
-      "q_text_bpe_encode" -> defB.copy(time = 5.0),
+      "q_text_bpe_encode" -> defB.copy(time = 8.0),
       "q_text_lm_score" -> defB.copy(time = 8.0),
       "q_embed_covariance" -> defB.copy(time = 4.5, linearRows = false),
-      // post-fix two-level assignment measured 1.5-2.3× at r=10; the
-      // declared 3.0 would FAIL the pre-fix 18.9× n·k assignment loudly
-      "q_dedup_semantic" -> defB.copy(time = 3.0),
+      // post-fix two-level assignment measured 1.5-2.9× at r=10; the
+      // declared 4.0 still FAILS the pre-fix 18.9× n·k assignment loudly
+      "q_dedup_semantic" -> defB.copy(time = 4.0),
       "q_dedup_blocks" -> defB.copy(time = 4.5),
       "q_embed_pca" -> defB,
       "q_text_cms" -> defB.copy(linearRows = false),
@@ -230,7 +230,7 @@ object Stress {
       "q_curation_dsir" -> defB.copy(time = 8.0, linearRows = false),
       "q_curation_quality_band" -> defB,
       "q_dedup_minhash_eval" -> defB.copy(time = 4.0, linearRows = false),
-      "q_graph_pagerank" -> defB.copy(linearRows = false, corpusShuffle = true),
+      "q_graph_pagerank" -> defB.copy(time = 4.5, linearRows = false, corpusShuffle = true),
       "q_dedup_spans" -> defB.copy(time = 4.5, corpusShuffle = true))
 
     final case class Obs(sec: Double, rows: Long, maxInMb: Double, maxShMb: Double,
