@@ -227,6 +227,39 @@ object Bench {
       Nil
     }
 
+    // ---- local-cluster smoke block -------------------------------------
+    // Two REAL executor JVMs (local-cluster[2,16,4096]) over the smoke
+    // query set — the arm that catches single-JVM assumptions (driver-
+    // registry lookups from executors, serialization, localCheckpoint
+    // lifetimes). One SparkContext per JVM, so it forks graft.ClusterSmoke
+    // and embeds its JSON. Skipped only with SPARK_GRAFT_BENCH_CLUSTER=0.
+    val clusterJson: String =
+      if (only.nonEmpty || sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTER", "1") != "1") "null"
+      else try {
+        val classes = new java.io.File(sys.props("user.dir"),
+          "target/scala-2.13/classes").getAbsolutePath
+        val pb = new ProcessBuilder("java", "-Xmx4g", "-cp",
+          s"$classes:/opt/spark/jars/*", "graft.ClusterSmoke")
+        pb.environment().put("SPARK_HOME", "/opt/spark")
+        pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val outLines = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+          .lines().iterator()
+        var smoke: String = null
+        while (outLines.hasNext) {
+          val l = outLines.next()
+          if (l.startsWith("""{"metric":"cluster_smoke"""")) smoke = l
+        }
+        val finished = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+        if (!finished) proc.destroyForcibly()
+        if (smoke != null) smoke
+        else { errors ::= ("cluster_smoke" -> "no output line"); "null" }
+      } catch { case e: Throwable =>
+        errors ::= ("cluster_smoke" -> e.toString.take(200)); "null"
+      }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -254,7 +287,7 @@ object Bench {
         jstr(k) + ":" + (math.round(v / base(k) * 100) / 100.0)
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
     println(line)
     // truncation-proof copy: the stdout line is captured by a consumer that
     // has historically kept only a prefix; the file keeps every number

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-executor smoke arm: runs the headline + scale-family queries
+  * under `local-cluster[2,16,4096]` — TWO real executor JVMs with their
+  * own heaps and classloaders — to catch single-JVM assumptions that
+  * `local[32]` can never see (driver-registry lookups from executors,
+  * non-serializable closures, localCheckpoint lifetimes, broadcast
+  * sizes). This is the arm that forced the REST partition to carry a
+  * serializable endpoint spec instead of relying on the driver registry.
+  *
+  * Launched as its own JVM (one SparkContext per JVM; Bench forks it and
+  * embeds the result as the `cluster_smoke` block). Assertion level is
+  * rows>0 + no exception per query — the value oracle runs in the
+  * driver's sf0.01 gate; this arm proves the EXECUTION SHAPE survives
+  * real executor boundaries.
+  */
+object ClusterSmoke {
+
+  /** headline batch queries + the stress scale family + the federation
+    * queries whose connectors exercise executor-side readers. */
+  val ops: Seq[String] = (Seq(
+    "q1_agg", "q3_shipping", "q5_local_supplier", "q_scan_project",
+    "q_topk", "q_join_inner", "q_group_having", "q_window_running",
+    "q_curation_pack", "q_text_lm_score", "q_sessionize",
+    // executor-side connector readers (REST goes over the socket from
+    // the executor JVMs; csv/json exercise the file reader factory)
+    "q_src_rest", "q_src_join_hetero", "q_src_csv_pushdown",
+    // scale family
+    "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_incremental",
+    "q_kmeans", "q_curation_domain_cap", "q_text_bpe_encode",
+    "q_embed_covariance", "q_dedup_semantic", "q_dedup_blocks",
+    "q_embed_pca", "q_text_cms", "q_curation_shards", "q_curation_dsir",
+    "q_curation_quality_band", "q_dedup_minhash_eval", "q_graph_pagerank",
+    "q_dedup_spans")).distinct
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
+    val master = sys.env.getOrElse("SPARK_GRAFT_SMOKE_MASTER", "local-cluster[2,16,4096]")
+    val spark = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.executor.extraClassPath",
+        new java.io.File(sys.props("user.dir"), "target/scala-2.13/classes").getAbsolutePath)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    var errors = List.empty[(String, String)]
+    val times = ops.map { name =>
+      val t0 = System.nanoTime()
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val n = df.queryExecution.toRdd.count()
+        if (n == 0) errors ::= (name -> "returned 0 rows")
+        spark.catalog.clearCache()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        name -> -1.0
+      }
+    }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val line = s"""{"metric":"cluster_smoke","master":${jstr(master)},""" +
+      s""""sf":${jstr(sfDir)},"executors":2,""" +
+      s""""queries":{${times.map { case (k, v) => jstr(k) + ":" + v }.mkString(",")}},""" +
+      s""""errors":{${errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString(",")}},""" +
+      s""""n_failed":${errors.size}}"""
+    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.props("user.dir"), "target", "CLUSTER_SMOKE.json"),
+      (line + "\n").getBytes("UTF-8"))
+    spark.stop()
+    // explicit exit: standalone-worker/loopback helper threads must not
+    // keep the forked smoke JVM alive after the sweep
+    sys.exit(if (errors.nonEmpty) 1 else 0)
+  }
+}

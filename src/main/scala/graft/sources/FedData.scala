@@ -117,18 +117,27 @@ object FedData {
       }
       src
     }.head.tap { _ =>
-      // REST-shaped source: a nation-dimension listing endpoint (25 rows
-      // at every SF — metadata-sized, like the reference's Lytics segment
-      // API; the driver-side collect is the endpoint's fixture, not a
-      // data-path collect). Params: the two key columns; limit.
+      // REST source over a REAL socket: the nation-dimension listing is
+      // served by the loopback HTTP backend (25 rows at every SF —
+      // metadata-sized, like the reference's Lytics segment API; the
+      // driver-side collect is the SERVER's fixture, not a data-path
+      // collect), and every scan in the driver gate round-trips
+      // HTTP: compiled params → query string → paged JSON lines →
+      // retry-capable pooled client (HttpRestClient). Params: the two
+      // key columns; limit. Schema is declared (the ES-mappings shape)
+      // so gate result types are exact; live-sample inference over the
+      // same socket is spec-covered (HttpRestSpec).
       if (SourceRegistry.get(RestSourceName).isEmpty)
         SourceRegistry.register(SourceDef(
           RestSourceName, new File(base, RestSourceName).getPath, "json", "rest"))
       if (RestEndpoints.get(RestSourceName, "nation_api").isEmpty) {
         val nation = Tables.load(spark, sfDir, "nation")
         val rows = nation.collect().map(_.toSeq.toArray)
-        RestEndpoints.registerStatic(RestSourceName, "nation_api",
-          nation.schema, Set("n_nationkey", "n_regionkey"), rows.toSeq)
+        LoopbackRestServer.register("nation_api", nation.schema, rows.toSeq)
+        val baseUrl = LoopbackRestServer.ensureStarted()
+        RestEndpoints.registerHttp(RestSourceName, "nation_api",
+          Set("n_nationkey", "n_regionkey"),
+          new HttpRestClient(baseUrl), "/t/nation_api", Some(nation.schema))
       }
     }
   }

@@ -1,0 +1,226 @@
+package graft.sources
+
+import java.net.{InetSocketAddress, URI, URLDecoder, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Duration
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong, AtomicReference}
+
+import scala.collection.concurrent.TrieMap
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.types.StructType
+
+/** A real socket-backed HTTP client for REST-profile sources.
+  *
+  * This is the network half of the REST connector seam
+  * ([[RestEndpoint.handler]]): compiled query params become a URL query
+  * string, responses stream back as JSON lines, and the client owns the
+  * operational concerns the reference's backend clients own
+  * (`backends/elasticsearch/sqltoes.go:112-279` posts the compiled query
+  * over HTTP and walks paged results; `backends/lytics/generator.go`
+  * streams segment pages):
+  *
+  *   - connection pooling: one shared `java.net.http.HttpClient` per
+  *     client instance (the JDK client keeps-alive and reuses sockets);
+  *   - paging: `from`/`size` windows pulled lazily until a short page —
+  *     the iterator never materializes the result, so a LIMIT that stops
+  *     consuming stops FETCHING (at 100 TB the client streams, it never
+  *     buffers a backend's full response);
+  *   - retries: transient failures (connect refused/reset, 5xx, timeout)
+  *     back off and retry up to `maxRetries`; non-transient 4xx fail
+  *     fast with the server's message;
+  *   - timeouts: connect and per-request deadlines, so a hung backend
+  *     surfaces as a retryable failure instead of a wedged task.
+  */
+final case class HttpRestConfig(
+    connectTimeoutMs: Int = 2000,
+    requestTimeoutMs: Int = 10000,
+    maxRetries: Int = 3,
+    retryBackoffMs: Int = 50,
+    pageSize: Int = 64)
+
+final class HttpRestClient(val baseUrl: String, val cfg: HttpRestConfig = HttpRestConfig()) {
+
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofMillis(cfg.connectTimeoutMs))
+    .version(HttpClient.Version.HTTP_1_1)
+    .build()
+
+  /** Observability counters (asserted by the fault-injection spec). */
+  val requests = new AtomicLong(0)
+  val retries = new AtomicLong(0)
+
+  private def enc(s: String) = URLEncoder.encode(s, UTF_8)
+
+  /** GET one page; retries transient failures with linear backoff. */
+  def get(path: String, params: Map[String, String]): String = {
+    val qs = params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    val uri = URI.create(baseUrl + path + (if (qs.isEmpty) "" else "?" + qs))
+    val req = HttpRequest.newBuilder(uri)
+      .timeout(Duration.ofMillis(cfg.requestTimeoutMs)).GET().build()
+    var attempt = 0
+    while (true) {
+      requests.incrementAndGet()
+      val outcome: Either[String, String] =
+        try {
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+          if (resp.statusCode() / 100 == 2) return resp.body()
+          else if (resp.statusCode() / 100 == 5)
+            Left(s"HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+          else // 4xx: the request itself is wrong — retrying cannot help
+            throw new java.io.IOException(
+              s"REST endpoint rejected $uri: HTTP ${resp.statusCode()} ${resp.body().take(200)}")
+        } catch {
+          case e: java.net.http.HttpTimeoutException => Left(s"timeout: $e")
+          case e: java.net.ConnectException => Left(s"connect: $e")
+          case e: java.io.IOException if attempt < cfg.maxRetries &&
+              !e.getMessage.startsWith("REST endpoint rejected") =>
+            Left(s"io: $e")
+        }
+      outcome match {
+        case Left(transient) =>
+          if (attempt >= cfg.maxRetries)
+            throw new java.io.IOException(
+              s"REST endpoint unavailable after ${attempt + 1} attempts ($uri): $transient")
+          attempt += 1
+          retries.incrementAndGet()
+          Thread.sleep(cfg.retryBackoffMs.toLong * attempt)
+        case Right(body) => return body
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Lazily page through `path`, yielding JSON lines. An API `limit`
+    * param caps total rows (and stops fetching early); other params pass
+    * through to every page request. */
+  def pagedLines(path: String, params: Map[String, String]): Iterator[String] = {
+    val limit = params.get("limit").map(_.toLong)
+    val base = params - "limit"
+    var from = 0L
+    var yielded = 0L
+    var done = false
+    new Iterator[Iterator[String]] {
+      override def hasNext: Boolean = !done && limit.forall(yielded < _)
+      override def next(): Iterator[String] = {
+        val size = math.min(cfg.pageSize.toLong,
+          limit.map(_ - yielded).getOrElse(cfg.pageSize.toLong))
+        val body = get(path, base ++ Map("from" -> from.toString, "size" -> size.toString))
+        val lines = body.linesIterator.filter(_.nonEmpty).toArray
+        from += size
+        yielded += lines.length
+        if (lines.length < size) done = true // short page = end of results
+        lines.iterator
+      }
+    }.flatten
+  }
+}
+
+/** In-process loopback HTTP backend for the sandbox: a real socket
+  * listener (JDK HttpServer on 127.0.0.1) serving registered tables as
+  * paged JSON lines — the stand-in for the live service a deployment
+  * points [[HttpRestClient]] at. Equality params filter server-side
+  * (the reference Lytics/ES shape), `from`/`size` window the listing,
+  * and the fault-injection knobs (`failNext`, `delayMs`) let specs force
+  * the client's retry/timeout paths over a genuine connection. */
+object LoopbackRestServer {
+
+  final case class TableData(schema: StructType, rows: Seq[Array[Any]])
+
+  private val tables = TrieMap.empty[String, TableData]
+  private val serverRef = new AtomicReference[HttpServer](null)
+
+  /** Next N requests answer HTTP 500 (decremented per request). */
+  val failNext = new AtomicInteger(0)
+  /** Artificial per-request latency — drive client timeouts. */
+  val delayMs = new AtomicInteger(0)
+  /** Requests served (including injected failures). */
+  val served = new AtomicLong(0)
+  /** The last query-string params seen (pushdown assertions). */
+  val lastParams = new AtomicReference[Map[String, String]](Map.empty)
+
+  def register(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit =
+    tables.put(name.toLowerCase, TableData(schema, rows))
+
+  /** Start (once) and return the base URL. */
+  def ensureStarted(): String = {
+    val cur = serverRef.get()
+    if (cur != null) return s"http://127.0.0.1:${cur.getAddress.getPort}"
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    if (!serverRef.compareAndSet(null, srv)) {
+      srv.stop(0)
+      return s"http://127.0.0.1:${serverRef.get().getAddress.getPort}"
+    }
+    srv.createContext("/t/", (ex: HttpExchange) => handle(ex))
+    // daemon workers: the loopback fixture must never keep a JVM alive
+    srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "graft-loopback-rest"); t.setDaemon(true); t
+    }))
+    srv.start()
+    s"http://127.0.0.1:${srv.getAddress.getPort}"
+  }
+
+  private def parseQuery(raw: String): Map[String, String] =
+    Option(raw).filter(_.nonEmpty).map(_.split("&").toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8))
+        case _ => None
+      }
+    }.toMap).getOrElse(Map.empty)
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def handle(ex: HttpExchange): Unit = try {
+    served.incrementAndGet()
+    val d = delayMs.get()
+    if (d > 0) Thread.sleep(d.toLong)
+    if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      respond(ex, 500, "injected failure"); return
+    }
+    val name = ex.getRequestURI.getPath.stripPrefix("/t/").toLowerCase
+    val q = parseQuery(ex.getRequestURI.getRawQuery)
+    lastParams.set(q)
+    tables.get(name) match {
+      case None => respond(ex, 404, s"no such table $name")
+      case Some(TableData(schema, rows)) =>
+        val from = q.get("from").map(_.toLong).getOrElse(0L)
+        val size = q.get("size").map(_.toLong).getOrElse(Long.MaxValue)
+        val limit = q.get("limit").map(_.toLong)
+        val reserved = Set("from", "size", "limit")
+        var out = rows.iterator.filter { row =>
+          q.forall { case (k, v) =>
+            reserved(k) || {
+              val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(k))
+              i >= 0 && row(i) != null &&
+                FilterEval.cmp(row(i), LineCodec.parse(v, schema.fields(i).dataType))
+                  .contains(0)
+            }
+          }
+        }
+        limit.foreach(n => out = out.take(math.min(n, Int.MaxValue.toLong).toInt))
+        val page = out.slice(from, math.addExact(from, math.min(size, Int.MaxValue.toLong)))
+          .map { row =>
+            val w = new java.io.StringWriter()
+            JsonCodec.write(w, row, schema)
+            w.toString.stripLineEnd
+          }
+        respond(ex, 200, page.mkString("\n"))
+    }
+  } catch {
+    case e: Throwable => respond(ex, 500, s"server error: $e")
+  }
+
+  private implicit final class IterSlice[A](private val it: Iterator[A]) extends AnyVal {
+    def slice(from: Long, until: Long): Iterator[A] =
+      it.zipWithIndex.collect { case (a, i) if i >= from && i < until => a }
+  }
+}

@@ -40,12 +40,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Responses are JSON lines decoded by the same [[JsonCodec]] as the file
   * source.
   */
+/** Serializable pointer to an HTTP-backed endpoint: enough for an
+  * EXECUTOR in its own JVM to construct a client and fetch pages without
+  * the driver's in-memory registry (the registry lookup only works when
+  * executors share the driver JVM — local mode). */
+final case class HttpEndpointSpec(baseUrl: String, path: String, cfg: HttpRestConfig)
+
 final case class RestEndpoint(
     source: String,
     table: String,
     schema: StructType,
     params: Set[String],
-    handler: Map[String, String] => Iterator[String])
+    handler: Map[String, String] => Iterator[String],
+    httpSpec: Option[HttpEndpointSpec] = None)
 
 /** JVM-global endpoint registry, the REST analogue of [[SourceRegistry]]
   * (driver-side metadata; executors in local mode share the JVM). */
@@ -86,6 +93,29 @@ object RestEndpoints {
     val e = RestEndpoint(source, table, schema, params.map(_.toLowerCase), handler)
     register(e)
     e
+  }
+
+  /** Endpoint backed by a REAL network client: every scan (and the
+    * schema sample, via [[registerSampled]]) round-trips HTTP over a
+    * socket — compiled params become the query string, pages stream back
+    * as JSON lines ([[HttpRestClient.pagedLines]]). With a declared
+    * schema the endpoint registers directly (the ES-mappings shape);
+    * without one it live-samples the endpoint. */
+  def registerHttp(
+      source: String, table: String, params: Set[String],
+      client: HttpRestClient, path: String,
+      schema: Option[StructType] = None): RestEndpoint = {
+    val handler: Map[String, String] => Iterator[String] =
+      q => client.pagedLines(path, q)
+    val spec = Some(HttpEndpointSpec(client.baseUrl, path, client.cfg))
+    schema match {
+      case Some(sch) =>
+        val e = RestEndpoint(source, table, sch, params.map(_.toLowerCase), handler, spec)
+        register(e); e
+      case None =>
+        val e = registerSampled(source, table, params, handler).copy(httpSpec = spec)
+        register(e); e
+    }
   }
 
   /** Stub endpoint over in-memory documents: applies equality params with
@@ -168,14 +198,15 @@ class RestScanBuilder(ep: RestEndpoint) extends ScanBuilder
     val queryParams = pushed.collect {
       case EqualTo(a, v) => a.toLowerCase -> LineCodec.render(v)
     }.toMap ++ (if (limit >= 0) Map("limit" -> limit.toString) else Map.empty)
-    new RestScan(ep.source, ep.table, queryParams, ep.schema, required, pushed)
+    new RestScan(ep.source, ep.table, queryParams, ep.schema, required, pushed, ep.httpSpec)
   }
 }
 
 class RestScan(
     source: String, table: String, params: Map[String, String],
     fullSchema: StructType, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], httpSpec: Option[HttpEndpointSpec] = None)
+  extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -190,7 +221,7 @@ class RestScan(
   /** One partition: a REST response is a single stream (the reference
     * reads Lytics segments the same way). */
   override def planInputPartitions(): Array[InputPartition] =
-    Array(RestPartition(source, table, params, fullSchema.json, required.json))
+    Array(RestPartition(source, table, params, fullSchema.json, required.json, httpSpec))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RestReaderFactory
@@ -198,20 +229,30 @@ class RestScan(
 
 final case class RestPartition(
     source: String, table: String, params: Map[String, String],
-    fullSchemaJson: String, requiredSchemaJson: String) extends InputPartition
+    fullSchemaJson: String, requiredSchemaJson: String,
+    httpSpec: Option[HttpEndpointSpec] = None) extends InputPartition
 
 class RestReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RestPartition]
     val full = DataType.fromJson(p.fullSchemaJson).asInstanceOf[StructType]
     val required = DataType.fromJson(p.requiredSchemaJson).asInstanceOf[StructType]
-    val ep = RestEndpoints.get(p.source, p.table).getOrElse(
-      throw new IllegalStateException(s"no endpoint ${p.source}/${p.table}"))
+    // the driver-registry lookup serves same-JVM executors (local mode);
+    // a separate executor JVM reconstructs the HTTP handler from the
+    // partition's serialized endpoint spec and fetches over the socket
+    val handler: Map[String, String] => Iterator[String] =
+      RestEndpoints.get(p.source, p.table).map(_.handler)
+        .orElse(p.httpSpec.map { spec =>
+          val client = new HttpRestClient(spec.baseUrl, spec.cfg)
+          (q: Map[String, String]) => client.pagedLines(spec.path, q)
+        })
+        .getOrElse(throw new IllegalStateException(
+          s"no endpoint ${p.source}/${p.table} and no HTTP spec to rebuild one"))
     val outIdx = required.fieldNames.map(n =>
       full.fieldNames.indexWhere(_.equalsIgnoreCase(n)))
     val conv = CatalystTypeConverters.createToCatalystConverter(required)
     // the API returns whole documents; projection happens client-side
-    val it = JsonCodec.lineRecords(ep.handler(p.params), full).map { row =>
+    val it = JsonCodec.lineRecords(handler(p.params), full).map { row =>
       conv(Row.fromSeq(outIdx.toSeq.map(i => if (i < 0) null else row(i))))
         .asInstanceOf[InternalRow]
     }
