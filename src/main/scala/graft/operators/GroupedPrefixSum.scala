@@ -66,7 +66,16 @@ object GroupedPrefixSum {
       .withColumn("_pid", spark_partition_id())
       .withColumn("_v", value)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-(partition, group) subtotals — metadata-sized
+    // pass 1: per-(partition, group) subtotals. BOUND: this collect is
+    // O(partitions × groups-touching-a-partition-boundary) rows — with
+    // range partitioning on (group, order) a group spans ≥2 partitions
+    // only when it straddles a boundary, so the table is ≤ partitions +
+    // distinct-groups rows, NOT their product. It is the one "metadata"
+    // collect here that grows with the partition count: at 100× the
+    // partitions budget ~100× these few-column rows (tens of MB at
+    // 100k partitions), still driver-safe; a deployment that also has
+    // millions of DISTINCT groups should aggregate the offsets
+    // distributively (a second shuffle) instead.
     val subs = ranged.groupBy(("_pid" +: group).map(col): _*)
       .agg(sum(col("_v")).as("_s"))
       .collect()

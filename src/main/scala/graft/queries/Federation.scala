@@ -259,6 +259,54 @@ object Federation {
         .orderBy("n_nationkey")
     },
 
+    // ES-PROTOCOL scan over a real socket (reference: sqltoes.go:112-279
+    // compiles WHERE into bool/term/range/wildcard DSL JSON and POSTs it
+    // to _search): the range + wildcard + OR tree all compile and ship
+    // server-side; hits stream back from/size-paged. The whole predicate
+    // is inside the ES accept-list, so Spark's residual is empty.
+    GQuery(
+      "q_src_es_query",
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        |WHERE (c_mktsegment = 'BUILDING' OR c_mktsegment = 'MACHINERY')
+        |  AND c_acctbal >= 9000.0 AND c_name LIKE '%000%'
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.EsSourceName}.customer_es")
+        .filter((col("c_mktsegment") === "BUILDING" || col("c_mktsegment") === "MACHINERY")
+          && col("c_acctbal") >= 9000.0 && col("c_name").contains("000"))
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // ES-protocol AGGREGATIONS (reference: sqltoes.go:285-365 compiles
+    // GROUP BY + stats into terms buckets with metric sub-aggs;
+    // esresults.go walks the buckets as FINAL results): the terms+stats
+    // request executes server-side over the socket and the scan emits
+    // final buckets — COMPLETE pushdown, Spark plans no aggregate
+    // (asserted in EsHttpSpec). avg over an integer key: exact integer
+    // sum / count, one IEEE division on both sides.
+    GQuery(
+      "q_src_es_agg",
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |       CAST(min(c_custkey) AS BIGINT) AS min_key,
+        |       CAST(max(c_custkey) AS BIGINT) AS max_key,
+        |       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        |       avg(c_custkey) AS avg_key
+        |FROM customer WHERE c_acctbal > 0.0
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.EsSourceName}.customer_es")
+        .filter(col("c_acctbal") > 0.0)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          min("c_custkey").as("min_key"),
+          max("c_custkey").as("max_key"),
+          sum("c_custkey").as("sum_key"),
+          avg("c_custkey").as("avg_key"))
+        .orderBy("c_mktsegment")
+    },
+
     // Aggregate pushdown (reference: SQL→ES aggregations,
     // backends/elasticsearch/sqltoes.go:285-365): the scan ships per-file
     // partial count/min/max/sum per group, Spark merges — the raw rows

@@ -1,0 +1,501 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.aggregate._
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Elasticsearch-protocol connector: the SQL→query-DSL translation the
+  * reference's ES backend performs (`backends/elasticsearch/sqltoes.go:
+  * 112-279` compiles WHERE into bool/term/range/wildcard/exists JSON;
+  * :285-365 compiles aggregates into terms+stats aggs; `esresults.go`
+  * walks hits and buckets) — here compiled client-side, POSTed over a
+  * REAL socket to the `_search` endpoint, and decoded back into rows.
+  *
+  * Pushdown surface (the ES accept-list):
+  *   - filters: `=` → term, IN → terms, ranges → range, LIKE-shapes →
+  *     wildcard, IS [NOT] NULL → exists, AND/OR → bool must/should,
+  *     `!=`/NOT(=) → bool must_not(term) + must(exists) — the exists
+  *     conjunct restores SQL's 3VL (ES must_not alone would match
+  *     missing-field docs). Anything else is declined and polyfilled.
+  *   - aggregations: single-key terms buckets (or global stats) carrying
+  *     count/value_count/min/max/sum/avg, executed server-side and
+  *     consumed COMPLETE — the scan emits final buckets and Spark plans
+  *     no aggregate, exactly the reference's server-side agg execution.
+  *     Multi-key GROUP BY and distinct aggs are declined (the real ES
+  *     shape for those is the composite agg — out of surface).
+  *   - limit: rides as `size` (partial — Spark trims again).
+  *
+  * Executor-safe by construction: partitions carry the endpoint spec +
+  * compiled DSL (plain strings), and the reader builds its own pooled
+  * client — no driver-registry lookups ([[ClusterSmoke]] enforces this).
+  *
+  * 100 TB: pushed filters/aggs execute inside the backend (the point of
+  * the translation); un-aggregated hits stream back `from`/`size`-paged.
+  * A real deployment would add slice-scroll partitioning (ES's parallel
+  * scan); the single-stream page loop here matches the reference client.
+  */
+object EsDsl {
+
+  private[sources] val M = new ObjectMapper()
+
+  /** Compile one Spark filter to a DSL node; None = not expressible. */
+  def compile(f: Filter): Option[ObjectNode] = f match {
+    case EqualTo(a, v) if v != null => Some(leaf("term", a, v))
+    case EqualNullSafe(a, v) if v != null => Some(leaf("term", a, v))
+    case In(a, vs) if vs != null && vs.nonEmpty && !vs.contains(null) =>
+      val o = M.createObjectNode()
+      val arr = o.putObject("terms").putArray(a)
+      vs.foreach(v => putVal(arr, v))
+      Some(o)
+    case GreaterThan(a, v) if v != null => Some(range(a, "gt", v))
+    case GreaterThanOrEqual(a, v) if v != null => Some(range(a, "gte", v))
+    case LessThan(a, v) if v != null => Some(range(a, "lt", v))
+    case LessThanOrEqual(a, v) if v != null => Some(range(a, "lte", v))
+    case StringStartsWith(a, v) => Some(wildcard(a, esc(v) + "*"))
+    case StringEndsWith(a, v) => Some(wildcard(a, "*" + esc(v)))
+    case StringContains(a, v) => Some(wildcard(a, "*" + esc(v) + "*"))
+    case IsNotNull(a) => Some(exists(a))
+    case IsNull(a) =>
+      Some(bool(mustNot = Seq(exists(a))))
+    case And(l, r) =>
+      for (cl <- compile(l); cr <- compile(r)) yield bool(must = Seq(cl, cr))
+    case Or(l, r) =>
+      for (cl <- compile(l); cr <- compile(r)) yield bool(should = Seq(cl, cr))
+    case Not(EqualTo(a, v)) if v != null =>
+      // SQL `a != v`: must_not(term) alone matches docs with a missing —
+      // the exists conjunct keeps 3VL (NULL != v is not TRUE)
+      Some(bool(must = Seq(exists(a)), mustNot = Seq(leaf("term", a, v))))
+    case _ => None
+  }
+
+  def compileAll(filters: Seq[ObjectNode]): ObjectNode =
+    if (filters.size == 1) filters.head else bool(must = filters)
+
+  private def esc(v: String): String = v.replace("\\", "\\\\")
+    .replace("*", "\\*").replace("?", "\\?")
+
+  private def putVal(arr: ArrayNode, v: Any): Unit = v match {
+    case null => arr.addNull()
+    case b: Boolean => arr.add(b)
+    case i: Int => arr.add(i)
+    case l: Long => arr.add(l)
+    case d: Double => arr.add(d)
+    case f: Float => arr.add(f.toDouble)
+    case s: Short => arr.add(s.toInt)
+    case other => arr.add(other.toString)
+  }
+
+  private def setVal(o: ObjectNode, k: String, v: Any): Unit = v match {
+    case null => o.putNull(k)
+    case b: Boolean => o.put(k, b)
+    case i: Int => o.put(k, i)
+    case l: Long => o.put(k, l)
+    case d: Double => o.put(k, d)
+    case f: Float => o.put(k, f.toDouble)
+    case s: Short => o.put(k, s.toInt)
+    case other => o.put(k, other.toString)
+  }
+
+  private def leaf(kind: String, field: String, v: Any): ObjectNode = {
+    val o = M.createObjectNode()
+    setVal(o.putObject(kind), field, v)
+    o
+  }
+
+  private def range(field: String, op: String, v: Any): ObjectNode = {
+    val o = M.createObjectNode()
+    setVal(o.putObject("range").putObject(field), op, v)
+    o
+  }
+
+  private def wildcard(field: String, pattern: String): ObjectNode = {
+    val o = M.createObjectNode()
+    o.putObject("wildcard").put(field, pattern)
+    o
+  }
+
+  private def exists(field: String): ObjectNode = {
+    val o = M.createObjectNode()
+    o.putObject("exists").put("field", field)
+    o
+  }
+
+  private def bool(must: Seq[ObjectNode] = Nil, should: Seq[ObjectNode] = Nil,
+      mustNot: Seq[ObjectNode] = Nil): ObjectNode = {
+    val o = M.createObjectNode()
+    val b = o.putObject("bool")
+    if (must.nonEmpty) { val a = b.putArray("must"); must.foreach(a.add) }
+    if (should.nonEmpty) {
+      val a = b.putArray("should"); should.foreach(a.add)
+      b.put("minimum_should_match", 1)
+    }
+    if (mustNot.nonEmpty) { val a = b.putArray("must_not"); mustNot.foreach(a.add) }
+    o
+  }
+
+  // ---- server-side evaluation -------------------------------------------
+
+  /** Evaluate a query node against an external-typed row (the loopback
+    * backend's executor — a real deployment's ES does this natively). */
+  def eval(node: JsonNode, row: Array[Any], schema: StructType): Boolean = {
+    def fieldIdx(name: String): Int =
+      schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+    def value(name: String): Any = {
+      val i = fieldIdx(name); if (i < 0) null else row(i)
+    }
+    def cmpTo(name: String, jv: JsonNode): Option[Int] = {
+      val i = fieldIdx(name)
+      if (i < 0 || row(i) == null) None
+      else FilterEval.cmp(row(i), LineCodec.parse(jv.asText(), schema.fields(i).dataType))
+    }
+    val it = node.properties().iterator()
+    if (!it.hasNext) return true
+    val e = it.next()
+    e.getKey match {
+      case "match_all" => true
+      case "term" =>
+        val f = e.getValue.properties().iterator().next()
+        cmpTo(f.getKey, f.getValue).contains(0)
+      case "terms" =>
+        val f = e.getValue.properties().iterator().next()
+        f.getValue.elements().asScala.exists(v => cmpTo(f.getKey, v).contains(0))
+      case "range" =>
+        val f = e.getValue.properties().iterator().next()
+        f.getValue.properties().asScala.forall { b =>
+          cmpTo(f.getKey, b.getValue).exists { c =>
+            b.getKey match {
+              case "gt" => c > 0; case "gte" => c >= 0
+              case "lt" => c < 0; case "lte" => c <= 0
+              case _ => false
+            }
+          }
+        }
+      case "wildcard" =>
+        val f = e.getValue.properties().iterator().next()
+        value(f.getKey) match {
+          case s: String => wildcardMatch(s, f.getValue.asText())
+          case _ => false
+        }
+      case "exists" => value(e.getValue.get("field").asText()) != null
+      case "bool" =>
+        val b = e.getValue
+        def arr(k: String): Seq[JsonNode] =
+          Option(b.get(k)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+        arr("must").forall(eval(_, row, schema)) &&
+          arr("must_not").forall(!eval(_, row, schema)) &&
+          (arr("should").isEmpty || arr("should").exists(eval(_, row, schema)))
+      case other => throw new IllegalArgumentException(s"unsupported query node: $other")
+    }
+  }
+
+  /** ES wildcard semantics: `*` any run, `?` any one char, `\` escapes. */
+  def wildcardMatch(s: String, pattern: String): Boolean = {
+    val rx = new StringBuilder("(?s)^")
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' if i + 1 < pattern.length =>
+          rx.append(java.util.regex.Pattern.quote(pattern.charAt(i + 1).toString)); i += 1
+        case '*' => rx.append(".*")
+        case '?' => rx.append(".")
+        case c => rx.append(java.util.regex.Pattern.quote(c.toString))
+      }
+      i += 1
+    }
+    rx.append("$")
+    s.matches(rx.toString)
+  }
+}
+
+/** Serializable ES endpoint pointer (executor JVMs rebuild the client). */
+final case class EsEndpointSpec(baseUrl: String, table: String, cfg: HttpRestConfig)
+
+final case class EsEndpoint(source: String, table: String, schema: StructType,
+    spec: EsEndpointSpec)
+
+/** Driver-side ES endpoint registry (catalog resolution only — readers
+  * never touch it). */
+object EsEndpoints {
+  private val endpoints = TrieMap.empty[(String, String), EsEndpoint]
+  def register(e: EsEndpoint): Unit = endpoints.put((e.source, e.table.toLowerCase), e)
+  def get(source: String, table: String): Option[EsEndpoint] =
+    endpoints.get((source, table.toLowerCase))
+  def list(source: String): Seq[String] =
+    endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
+}
+
+class EsTable(val ep: EsEndpoint) extends Table with SupportsRead {
+  override def name(): String =
+    s"${SourceRegistry.CatalogName}.${ep.source}.${ep.table}"
+  override def schema(): StructType = ep.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.Set.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EsScanBuilder(ep)
+}
+
+class EsScanBuilder(ep: EsEndpoint) extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ep.schema
+  private var limit: Int = -1
+  private var agg: Option[(Seq[Int], Seq[(String, Int, DataType)])] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, declined) = filters.partition(f => EsDsl.compile(f).isDefined)
+    pushed = ok
+    declined
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** `size` caps the first page; partial — a real ES caps page sizes. */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed(): Boolean = true
+
+  private def fieldIdx(col: NamedReference): Option[Int] = {
+    val parts = col.fieldNames()
+    if (parts.length != 1) None
+    else Some(ep.schema.fieldNames.indexWhere(_.equalsIgnoreCase(parts(0))))
+      .filter(_ >= 0)
+  }
+  private def numeric(i: Int): Boolean =
+    ep.schema.fields(i).dataType.isInstanceOf[NumericType]
+
+  private def translate(a: Aggregation): Option[(Seq[Int], Seq[(String, Int, DataType)])] = {
+    val groups = a.groupByExpressions().toSeq.map {
+      case nr: NamedReference => fieldIdx(nr)
+      case _ => None
+    }
+    // single terms bucket key or global stats (the non-composite surface)
+    if (groups.exists(_.isEmpty) || groups.size > 1) return None
+    val aggs = a.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(("doc_count", -1, LongType))
+      case c: Count if !c.isDistinct =>
+        c.column() match {
+          case nr: NamedReference => fieldIdx(nr).map(("value_count", _, LongType))
+          case _ => None
+        }
+      // numeric-only: real ES min/max metrics are numeric aggregations
+      case m: Min => m.column() match {
+        case nr: NamedReference =>
+          fieldIdx(nr).filter(numeric)
+            .map(i => ("min", i, ep.schema.fields(i).dataType))
+        case _ => None
+      }
+      case m: Max => m.column() match {
+        case nr: NamedReference =>
+          fieldIdx(nr).filter(numeric)
+            .map(i => ("max", i, ep.schema.fields(i).dataType))
+        case _ => None
+      }
+      case s: Sum if !s.isDistinct => s.column() match {
+        case nr: NamedReference => fieldIdx(nr).flatMap { i =>
+          ep.schema.fields(i).dataType match {
+            case ShortType | IntegerType | LongType => Some(("sum_long", i, LongType))
+            case FloatType | DoubleType => Some(("sum_double", i, DoubleType))
+            case _ => None
+          }
+        }
+        case _ => None
+      }
+      case av: Avg if !av.isDistinct => av.column() match {
+        case nr: NamedReference =>
+          fieldIdx(nr).filter(numeric).map(("avg", _, DoubleType))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (aggs.exists(_.isEmpty)) None
+    else Some((groups.map(_.get), aggs.map(_.get)))
+  }
+
+  /** ES aggs execute server-side and return FINAL buckets (the reference
+    * consumes them as final results, esresults.go) — complete pushdown. */
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    translate(a).isDefined
+  override def pushAggregation(a: Aggregation): Boolean =
+    translate(a) match {
+      case Some(t) => agg = Some(t); true
+      case None => false
+    }
+
+  override def build(): Scan = {
+    val dsl = EsDsl.compileAll(
+      pushed.toSeq.flatMap(EsDsl.compile) match {
+        case Nil => Seq({ val o = EsDsl.M.createObjectNode(); o.putObject("match_all"); o })
+        case fs => fs
+      })
+    agg match {
+      case Some((groupIdx, aggs)) =>
+        val outSchema = StructType(
+          groupIdx.map(i => ep.schema.fields(i)) ++
+            aggs.zipWithIndex.map { case ((_, _, dt), i) =>
+              StructField(s"agg_$i", dt, nullable = true) })
+        val body = EsDsl.M.createObjectNode()
+        body.set[ObjectNode]("query", dsl)
+        body.put("size", 0)
+        val metrics = EsDsl.M.createObjectNode()
+        aggs.zipWithIndex.foreach { case ((kind, idx, _), i) =>
+          if (kind != "doc_count") {
+            val m = metrics.putObject(s"agg_$i")
+            val esKind = kind match {
+              case "sum_long" | "sum_double" => "sum"
+              case other => other
+            }
+            m.putObject(esKind).put("field", ep.schema.fields(idx).name)
+          }
+        }
+        val aggsNode = body.putObject("aggs")
+        groupIdx.headOption match {
+          case Some(g) =>
+            val by = aggsNode.putObject("by")
+            by.putObject("terms").put("field", ep.schema.fields(g).name)
+              .put("size", Int.MaxValue)
+            if (!metrics.isEmpty) by.set[ObjectNode]("aggs", metrics)
+          case None =>
+            metrics.properties().asScala.foreach(e =>
+              aggsNode.set[JsonNode](e.getKey, e.getValue))
+        }
+        new EsScan(ep, required = outSchema, dslBody = body.toString,
+          pushed = pushed, aggMode = true,
+          aggKinds = aggs.map(_._1), groupCount = groupIdx.size, limit = -1)
+      case None =>
+        val body = EsDsl.M.createObjectNode()
+        body.set[ObjectNode]("query", dsl)
+        new EsScan(ep, required, body.toString, pushed,
+          aggMode = false, aggKinds = Nil, groupCount = 0, limit = limit)
+    }
+  }
+}
+
+class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
+    pushed: Array[Filter], aggMode: Boolean, aggKinds: Seq[String],
+    groupCount: Int, limit: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftEsScan endpoint=${ep.source}/${ep.table} agg=$aggMode " +
+      s"query=$dslBody PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(EsPartition(ep.spec, dslBody, ep.schema.json, required.json,
+      aggMode, aggKinds, groupCount, limit))
+
+  override def createReaderFactory(): PartitionReaderFactory = new EsReaderFactory
+}
+
+final case class EsPartition(spec: EsEndpointSpec, dslBody: String,
+    fullSchemaJson: String, requiredSchemaJson: String,
+    aggMode: Boolean, aggKinds: Seq[String], groupCount: Int,
+    limit: Int) extends InputPartition
+
+class EsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[EsPartition]
+    val full = DataType.fromJson(p.fullSchemaJson).asInstanceOf[StructType]
+    val required = DataType.fromJson(p.requiredSchemaJson).asInstanceOf[StructType]
+    val client = new HttpRestClient(p.spec.baseUrl, p.spec.cfg)
+    val path = s"/es/${p.spec.table}/_search"
+    val conv = CatalystTypeConverters.createToCatalystConverter(required)
+    val it: Iterator[InternalRow] =
+      if (p.aggMode) {
+        val resp = EsDsl.M.readTree(client.postJson(path, p.dslBody))
+        val rows: Iterator[Row] =
+          if (p.groupCount == 1) {
+            val buckets = resp.path("aggregations").path("by").path("buckets")
+            buckets.elements().asScala.map { b =>
+              val key = LineCodec.parse(b.get("key").asText(), required.fields(0).dataType)
+              Row.fromSeq(key +: p.aggKinds.zipWithIndex.map { case (kind, i) =>
+                metric(b, kind, i, required.fields(p.groupCount + i).dataType)
+              })
+            }
+          } else {
+            val aggsNode = resp.path("aggregations")
+            Iterator.single(Row.fromSeq(p.aggKinds.zipWithIndex.map { case (kind, i) =>
+              if (kind == "doc_count")
+                resp.path("hits").path("total").path("value").asLong()
+              else metric(aggsNode, kind, i, required.fields(i).dataType)
+            }))
+          }
+        rows.map(conv(_).asInstanceOf[InternalRow])
+      } else {
+        // hits stream back from/size-paged; a pushed limit caps the total
+        val pageSize = math.max(1, math.min(p.spec.cfg.pageSize,
+          if (p.limit > 0) p.limit else p.spec.cfg.pageSize))
+        val outIdx = required.fieldNames.map(n =>
+          full.fieldNames.indexWhere(_.equalsIgnoreCase(n)))
+        var from = 0L
+        var done = false
+        var yielded = 0L
+        val pages: Iterator[Iterator[String]] = new Iterator[Iterator[String]] {
+          override def hasNext: Boolean = !done && (p.limit < 0 || yielded < p.limit)
+          override def next(): Iterator[String] = {
+            val want = if (p.limit > 0) math.min(pageSize.toLong, p.limit - yielded)
+              else pageSize.toLong
+            val body = EsDsl.M.readTree(p.dslBody).asInstanceOf[ObjectNode]
+            body.put("from", from)
+            body.put("size", want)
+            val resp = EsDsl.M.readTree(client.postJson(path, body.toString))
+            val hits = resp.path("hits").path("hits")
+            val srcs = hits.elements().asScala.map(h => h.path("_source").toString).toArray
+            from += want
+            yielded += srcs.length
+            if (srcs.length < want) done = true
+            srcs.iterator
+          }
+        }
+        JsonCodec.lineRecords(pages.flatten, full).map { row =>
+          conv(Row.fromSeq(outIdx.toSeq.map(i => if (i < 0) null else row(i))))
+            .asInstanceOf[InternalRow]
+        }
+      }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+
+  private def metric(node: JsonNode, kind: String, i: Int, dt: DataType): Any =
+    kind match {
+      case "doc_count" => node.path("doc_count").asLong()
+      case _ =>
+        val v = node.path(s"agg_$i").path("value")
+        if (v.isNull || v.isMissingNode) null
+        else dt match {
+          case LongType => v.asLong()
+          case IntegerType => v.asInt()
+          case DoubleType => v.asDouble()
+          case FloatType => v.asDouble().toFloat
+          case StringType => v.asText()
+          case other => LineCodec.parse(v.asText(), other)
+        }
+    }
+}

@@ -37,6 +37,8 @@ object FedData {
   /** REST-profile source: in-process Lytics-shaped endpoints with an API
     * param accept-list ([[RestEndpoints]]). */
   val RestSourceName = "api"
+  /** ES-protocol source: `_search` query-DSL over the loopback socket. */
+  val EsSourceName = "es"
 
   /** One staged table: (catalog table, format, parquet origin, part files,
     * declared key columns). Multi-file tables are the connector's scan
@@ -138,6 +140,23 @@ object FedData {
         RestEndpoints.registerHttp(RestSourceName, "nation_api",
           Set("n_nationkey", "n_regionkey"),
           new HttpRestClient(baseUrl), "/t/nation_api", Some(nation.schema))
+      }
+      // ES-protocol source: the customer table behind the `_search`
+      // endpoint — WHERE compiles to bool/term/range/wildcard DSL and
+      // aggregates to terms+stats aggs, both executed server-side over
+      // the socket (sqltoes.go's translation surface). The fixture rows
+      // live in the SERVER (the backend's data), not the client.
+      if (SourceRegistry.get(EsSourceName).isEmpty)
+        SourceRegistry.register(SourceDef(
+          EsSourceName, new File(base, EsSourceName).getPath, "json", "es"))
+      if (EsEndpoints.get(EsSourceName, "customer_es").isEmpty) {
+        val customer = Tables.load(spark, sfDir, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal")
+        val rows = customer.collect().map(_.toSeq.toArray)
+        LoopbackRestServer.register("customer_es", customer.schema, rows.toSeq)
+        val baseUrl = LoopbackRestServer.ensureStarted()
+        EsEndpoints.register(EsEndpoint(EsSourceName, "customer_es", customer.schema,
+          EsEndpointSpec(baseUrl, "customer_es", HttpRestConfig(pageSize = 512))))
       }
     }
   }

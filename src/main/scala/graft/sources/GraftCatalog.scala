@@ -95,12 +95,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dirs = Option(new java.io.File(s.path).listFiles())
       .getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName)
-    ((dirs ++ RestEndpoints.list(s.name)).sorted :+ FilesMetaTable.Name)
+    ((dirs ++ RestEndpoints.list(s.name) ++ EsEndpoints.list(s.name)).sorted
+      :+ FilesMetaTable.Name)
       .map(Identifier.of(namespace, _))
   }
 
   override def loadTable(ident: Identifier): Table = {
     val s = source(ident.namespace())
+    EsEndpoints.get(s.name, ident.name()).foreach(ep => return new EsTable(ep))
     RestEndpoints.get(s.name, ident.name()) match {
       case Some(ep) => new RestTable(ep) // REST endpoints shadow nothing:
       // they live in sources without file tables of the same name

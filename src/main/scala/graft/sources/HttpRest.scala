@@ -10,7 +10,7 @@ import scala.collection.concurrent.TrieMap
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StructType}
 
 /** A real socket-backed HTTP client for REST-profile sources.
   *
@@ -55,12 +55,26 @@ final class HttpRestClient(val baseUrl: String, val cfg: HttpRestConfig = HttpRe
   private def enc(s: String) = URLEncoder.encode(s, UTF_8)
 
   /** GET one page; retries transient failures with linear backoff. */
-  def get(path: String, params: Map[String, String]): String = {
+  def get(path: String, params: Map[String, String]): String =
+    exchange(path, params, None)
+
+  /** POST a JSON body (the ES `_search` shape); same retry contract —
+    * safe because search requests are idempotent reads. */
+  def postJson(path: String, body: String, params: Map[String, String] = Map.empty): String =
+    exchange(path, params, Some(body))
+
+  private def exchange(path: String, params: Map[String, String],
+      body: Option[String]): String = {
     val qs = params.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
     val uri = URI.create(baseUrl + path + (if (qs.isEmpty) "" else "?" + qs))
-    val req = HttpRequest.newBuilder(uri)
-      .timeout(Duration.ofMillis(cfg.requestTimeoutMs)).GET().build()
+    val b = HttpRequest.newBuilder(uri)
+      .timeout(Duration.ofMillis(cfg.requestTimeoutMs))
+    val req = body match {
+      case Some(json) => b.header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(json)).build()
+      case None => b.GET().build()
+    }
     var attempt = 0
     while (true) {
       requests.incrementAndGet()
@@ -155,6 +169,7 @@ object LoopbackRestServer {
       return s"http://127.0.0.1:${serverRef.get().getAddress.getPort}"
     }
     srv.createContext("/t/", (ex: HttpExchange) => handle(ex))
+    srv.createContext("/es/", (ex: HttpExchange) => handleEs(ex))
     // daemon workers: the loopback fixture must never keep a JVM alive
     srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-loopback-rest"); t.setDaemon(true); t
@@ -223,4 +238,114 @@ object LoopbackRestServer {
     def slice(from: Long, until: Long): Iterator[A] =
       it.zipWithIndex.collect { case (a, i) if i >= from && i < until => a }
   }
+
+  /** `_search` endpoint (POST /es/<table>/_search): executes the query
+    * DSL [[EsDsl.eval]] over the registered rows and answers the ES
+    * response shape — paged `hits[]._source`, `hits.total.value`, and
+    * `aggregations` with single-key terms buckets carrying value_count/
+    * min/max/sum/avg metrics. Integral sums accumulate in Long and
+    * render as JSON integers, so a pushed SUM(BIGINT) stays exact. */
+  private def handleEs(ex: HttpExchange): Unit = try {
+    import scala.jdk.CollectionConverters._
+    served.incrementAndGet()
+    val d = delayMs.get()
+    if (d > 0) Thread.sleep(d.toLong)
+    if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      respond(ex, 500, "injected failure"); return
+    }
+    val M = EsDsl.M
+    val path = ex.getRequestURI.getPath.stripPrefix("/es/")
+    if (!path.endsWith("/_search")) { respond(ex, 400, "only _search is served"); return }
+    val name = path.stripSuffix("/_search").toLowerCase
+    tables.get(name) match {
+      case None => respond(ex, 404, s"no such index $name")
+      case Some(TableData(schema, rows)) =>
+        val body = M.readTree(ex.getRequestBody)
+        lastBody.set(body.toString)
+        val query = body.path("query")
+        val matched =
+          if (query.isMissingNode) rows
+          else rows.filter(r => EsDsl.eval(query, r, schema))
+        val resp = M.createObjectNode()
+        resp.putObject("hits").putObject("total").put("value", matched.size)
+        val aggsReq = body.path("aggs")
+        if (!aggsReq.isMissingNode && !aggsReq.isNull && aggsReq.properties().asScala.nonEmpty) {
+          val aggsOut = resp.putObject("aggregations")
+          def fieldIdx(f: String): Int = schema.fieldNames.indexWhere(_.equalsIgnoreCase(f))
+          def metric(out: com.fasterxml.jackson.databind.node.ObjectNode,
+              mName: String, spec: com.fasterxml.jackson.databind.JsonNode,
+              group: Seq[Array[Any]]): Unit = {
+            val e0 = spec.properties().asScala.head
+            val (kind, ms) = (e0.getKey, e0.getValue)
+            val i = fieldIdx(ms.path("field").asText())
+            val vals = group.iterator.map(_(i)).filter(_ != null).toSeq
+            val o = out.putObject(mName)
+            def num(a: Any): Double = a match {
+              case n: Number => n.doubleValue(); case _ => 0.0
+            }
+            val integral = schema.fields(i).dataType match {
+              case ShortType | IntegerType | LongType => true; case _ => false
+            }
+            kind match {
+              case "value_count" => o.put("value", vals.size.toLong)
+              case "sum" =>
+                if (integral) o.put("value", vals.iterator.map(_.asInstanceOf[Number].longValue()).sum)
+                else o.put("value", vals.iterator.map(num).sum)
+              case "min" =>
+                if (vals.isEmpty) o.putNull("value")
+                else if (integral) o.put("value", vals.iterator.map(_.asInstanceOf[Number].longValue()).min)
+                else o.put("value", vals.iterator.map(num).min)
+              case "max" =>
+                if (vals.isEmpty) o.putNull("value")
+                else if (integral) o.put("value", vals.iterator.map(_.asInstanceOf[Number].longValue()).max)
+                else o.put("value", vals.iterator.map(num).max)
+              case "avg" =>
+                if (vals.isEmpty) o.putNull("value")
+                else o.put("value", vals.iterator.map(num).sum / vals.size)
+              case other => throw new IllegalArgumentException(s"unsupported metric $other")
+            }
+          }
+          val byNode = aggsReq.path("by")
+          if (!byNode.isMissingNode && !byNode.path("terms").isMissingNode) {
+            val keyIdx = fieldIdx(byNode.path("terms").path("field").asText())
+            val subAggs = byNode.path("aggs")
+            val buckets = aggsOut.putObject("by").putArray("buckets")
+            matched.filter(_(keyIdx) != null).groupBy(_(keyIdx)).toSeq
+              .sortBy(-_._2.size) // ES default: doc_count desc
+              .foreach { case (k, group) =>
+                val b = buckets.addObject()
+                k match {
+                  case n: Number if n.isInstanceOf[java.lang.Long] ||
+                    n.isInstanceOf[Integer] || n.isInstanceOf[java.lang.Short] =>
+                    b.put("key", n.longValue())
+                  case n: Number => b.put("key", n.doubleValue())
+                  case other => b.put("key", other.toString)
+                }
+                b.put("doc_count", group.size.toLong)
+                if (!subAggs.isMissingNode)
+                  subAggs.properties().asScala.foreach(e => metric(b, e.getKey, e.getValue, group))
+              }
+          } else {
+            aggsReq.properties().asScala.foreach(e =>
+              metric(aggsOut, e.getKey, e.getValue, matched))
+          }
+        }
+        val from = body.path("from").asLong(0L)
+        val size = body.path("size").asLong(10L)
+        val hitsArr = resp.path("hits").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .putArray("hits")
+        matched.iterator.slice(from, from + size).foreach { row =>
+          val w = new java.io.StringWriter()
+          JsonCodec.write(w, row, schema)
+          hitsArr.addObject().set[com.fasterxml.jackson.databind.JsonNode](
+            "_source", M.readTree(w.toString))
+        }
+        respond(ex, 200, resp.toString)
+    }
+  } catch {
+    case e: Throwable => respond(ex, 500, s"server error: $e")
+  }
+
+  /** Last `_search` body seen (pushdown assertions in specs). */
+  val lastBody = new AtomicReference[String]("")
 }

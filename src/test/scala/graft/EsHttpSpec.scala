@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources._
+
+/** ES-protocol connector: query-DSL compilation (the sqltoes.go
+  * translation surface), server-side evaluation equivalence, COMPLETE
+  * aggregation pushdown through the socket, paging, and fault injection
+  * on the `_search` path. */
+class EsHttpSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("seg", StringType),
+    StructField("name", StringType), StructField("bal", DoubleType)))
+  private val rows: Seq[Array[Any]] = (0L until 400L).map { i =>
+    Array[Any](i, if (i % 3 == 0) "A" else if (i % 3 == 1) "B" else null,
+      s"name_${i}_x", i * 1.5)
+  }
+
+  private def table(name: String): String = {
+    LoopbackRestServer.register(name, schema, rows)
+    val base = LoopbackRestServer.ensureStarted()
+    LoopbackRestServer.failNext.set(0)
+    LoopbackRestServer.delayMs.set(0)
+    EsEndpoints.register(EsEndpoint("estest", name, schema,
+      EsEndpointSpec(base, name, HttpRestConfig(pageSize = 64, retryBackoffMs = 5))))
+    if (SourceRegistry.get("estest").isEmpty)
+      SourceRegistry.register(SourceDef("estest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/estest").getPath,
+        "json", "es"))
+    SourceRegistry.ensureCatalog(spark)
+    s"${SourceRegistry.CatalogName}.estest.$name"
+  }
+
+  // ---- DSL compile + eval equivalence -----------------------------------
+
+  test("every accepted filter round-trips compile -> server eval correctly") {
+    val cases: Seq[(Filter, Array[Any] => Boolean)] = Seq(
+      (EqualTo("seg", "A"), r => r(1) == "A"),
+      (In("id", Array(3L, 5L, 999L)), r => Seq(3L, 5L).contains(r(0))),
+      (GreaterThan("bal", 300.0), r => r(3).asInstanceOf[Double] > 300.0),
+      (LessThanOrEqual("id", 10L), r => r(0).asInstanceOf[Long] <= 10L),
+      (StringStartsWith("name", "name_1"), r => r(2).asInstanceOf[String].startsWith("name_1")),
+      (StringEndsWith("name", "0_x"), r => r(2).asInstanceOf[String].endsWith("0_x")),
+      (StringContains("name", "_39_"), r => r(2).asInstanceOf[String].contains("_39_")),
+      (IsNull("seg"), r => r(1) == null),
+      (IsNotNull("seg"), r => r(1) != null),
+      // != must NOT match null segments (3VL via the exists conjunct)
+      (Not(EqualTo("seg", "A")), r => r(1) != null && r(1) != "A"),
+      (And(EqualTo("seg", "B"), GreaterThan("id", 100L)),
+        r => r(1) == "B" && r(0).asInstanceOf[Long] > 100L),
+      (Or(EqualTo("seg", "A"), LessThan("id", 5L)),
+        r => r(1) == "A" || r(0).asInstanceOf[Long] < 5L))
+    cases.foreach { case (f, oracle) =>
+      val dsl = EsDsl.compile(f).getOrElse(fail(s"$f did not compile"))
+      val got = rows.filter(r => EsDsl.eval(dsl, r, schema)).map(_(0))
+      val want = rows.filter(oracle).map(_(0))
+      assert(got == want, s"filter $f: DSL $dsl")
+    }
+  }
+
+  test("wildcard semantics: * ? and literal escapes") {
+    assert(EsDsl.wildcardMatch("hello_world", "hello*"))
+    assert(EsDsl.wildcardMatch("hello", "h?llo"))
+    assert(!EsDsl.wildcardMatch("hello", "h?l"))
+    assert(EsDsl.wildcardMatch("a*b", "a\\*b"))
+    assert(!EsDsl.wildcardMatch("axb", "a\\*b"))
+    assert(EsDsl.wildcardMatch("a.b", "a.b"))
+    assert(!EsDsl.wildcardMatch("axb", "a.b"), "dot must stay literal")
+  }
+
+  test("unsupported filters are declined (polyfilled), not mistranslated") {
+    assert(EsDsl.compile(EqualTo("seg", null)).isEmpty)
+    assert(EsDsl.compile(Not(GreaterThan("id", 3L))).isEmpty,
+      "NOT(range) has no 3VL-safe DSL form here: declined")
+    assert(EsDsl.compile(AlwaysTrue()).isEmpty)
+  }
+
+  // ---- DSv2 through the socket ------------------------------------------
+
+  test("filters push to the _search body; declined residual polyfills") {
+    val t = table("kv1")
+    val df = spark.table(t)
+      .filter(col("seg") === "A" && col("bal") > 100.0 &&
+        (col("id") % 2 === 0)) // modulo: outside the DSL, Spark re-applies
+      .select("id", "bal")
+    val got = df.collect().map(_.getLong(0)).sorted
+    val want = rows.filter(r => r(1) == "A" && r(3).asInstanceOf[Double] > 100.0
+      && r(0).asInstanceOf[Long] % 2 == 0).map(_(0).asInstanceOf[Long]).sorted.toArray
+    assert(got.toSeq == want.toSeq)
+    val body = LoopbackRestServer.lastBody.get()
+    assert(body.contains("\"term\"") && body.contains("\"range\""), body)
+    assert(!body.contains("%"), s"the modulo residual must not reach the server: $body")
+  }
+
+  test("hits page across the wire (pageSize < result size)") {
+    val t = table("kv2")
+    val served0 = LoopbackRestServer.served.get()
+    // a raw projection CANNOT aggregate-push: hits stream back paged
+    assert(spark.table(t).select("id", "name").collect().length == 400)
+    assert(LoopbackRestServer.served.get() - served0 >= 6,
+      "400 hits at size-64 pages must take several requests")
+    // count(*) by contrast ships as ONE aggregation request
+    val served1 = LoopbackRestServer.served.get()
+    assert(spark.table(t).count() == 400)
+    assert(LoopbackRestServer.served.get() - served1 == 1,
+      "count(*) must ship as a single _search aggregation, not a page walk")
+  }
+
+  test("grouped aggregation executes server-side as terms+stats: COMPLETE pushdown") {
+    val t = table("kv3")
+    val df = spark.table(t)
+      .filter(col("seg").isNotNull)
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"),
+        sum("id").as("s"), avg("id").as("a"))
+      .orderBy("seg")
+    val got = df.collect()
+    // oracle: in-memory
+    val grouped = rows.filter(_(1) != null).groupBy(_(1).asInstanceOf[String]).toSeq.sortBy(_._1)
+    assert(got.length == grouped.size)
+    got.zip(grouped).foreach { case (r, (seg, g)) =>
+      val ids = g.map(_(0).asInstanceOf[Long])
+      assert(r.getString(0) == seg && r.getLong(1) == ids.size &&
+        r.getLong(2) == ids.min && r.getLong(3) == ids.max &&
+        r.getLong(4) == ids.sum && r.getDouble(5) == ids.sum.toDouble / ids.size)
+    }
+    // COMPLETE pushdown: no Spark-side aggregate node anywhere
+    val plan = df.queryExecution.executedPlan
+    val aggNodes = plan.collect {
+      case h: HashAggregateExec => h
+      case o: ObjectHashAggregateExec => o
+      case s: SortAggregateExec => s
+    }
+    assert(aggNodes.isEmpty, s"expected server-side aggs only:\n$plan")
+    val body = LoopbackRestServer.lastBody.get()
+    assert(body.contains("\"terms\"") && body.contains("\"sum\""), body)
+  }
+
+  test("global (ungrouped) stats aggregate through the wire") {
+    val t = table("kv4")
+    val r = spark.table(t).agg(count(lit(1)).as("n"), sum("id").as("s")).collect()(0)
+    assert(r.getLong(0) == 400 && r.getLong(1) == (0L until 400L).sum)
+  }
+
+  test("injected 500s on _search retry and recover") {
+    val t = table("kv5")
+    LoopbackRestServer.failNext.set(2)
+    assert(spark.table(t).filter(col("seg") === "B").count() ==
+      rows.count(_(1) == "B"))
+  }
+}
