@@ -93,6 +93,12 @@ class GraftEngine(val spark: SparkSession) {
       import spark.implicits._
       Seq((t, showCreateTable(t))).toDF("Table", "Create Table")
 
+    // MySQL's `EXPLAIN <table>` is an alias of DESCRIBE (any mysql client
+    // may send either; the reference routes both through its SHOW/DESCRIBE
+    // rewrite, mysql_handler.go:239). `EXPLAIN SELECT ...` stays native —
+    // Spark's own EXPLAIN answers it with the Catalyst plan.
+    case ExplainTbl(t) => spark.sql(s"DESCRIBE TABLE `$t`")
+
     // Prepared statements (reference: COM_STMT_PREPARE dispatch,
     // frontends/mysqlfe/mysql_handler.go:142): PREPARE name FROM '...?...';
     // EXECUTE name USING <expr>, ... — positional ? binding, quote-safe.
@@ -420,6 +426,10 @@ object GraftEngine {
   private[engine] val TxnNoop = """(?is)\s*(BEGIN|COMMIT|ROLLBACK)\s*;?\s*""".r
   private[engine] val ShowVars = """(?is)\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'(.*)')?\s*;?\s*""".r
   private[engine] val ShowCreate = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?\s*;?\s*""".r
+  // table-name form only — EXPLAIN followed by a statement keyword
+  // (SELECT/WITH/...) is Spark-native and must NOT match
+  private[engine] val ExplainTbl =
+    """(?is)\s*EXPLAIN\s+`?(?!SELECT\b|WITH\b|VALUES\b|TABLE\b|EXTENDED\b|FORMATTED\b|CODEGEN\b|COST\b)(\w+)`?\s*;?\s*""".r
   private[engine] val PrepareStmt = """(?is)\s*PREPARE\s+(\w+)\s+FROM\s+'((?:[^']|'')*)'\s*;?\s*""".r
   private[engine] val ExecuteStmt = """(?is)\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+?))?\s*;?\s*""".r
   private[engine] val DeallocStmt = """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*;?\s*""".r
@@ -452,7 +462,8 @@ object GraftEngine {
   def isDialect(text: String): Boolean = text match {
     case SetVar(_, _) | TxnNoop(_) | ShowVars(_) | ShowCreate(_) |
          PrepareStmt(_, _) | ExecuteStmt(_, _) | DeallocStmt(_) |
-         CreateSource(_, _) | DropSource(_) | ShowSources() => true
+         CreateSource(_, _) | DropSource(_) | ShowSources() |
+         ExplainTbl(_) => true
     case OptimizeStmt(t, _) => t.replace("`", "").startsWith("graft.")
     case UpdateStmt(t, _, _) => t.replace("`", "").startsWith("graft.")
     case UpsertStmt(t, _, _) => t.replace("`", "").startsWith("graft.")

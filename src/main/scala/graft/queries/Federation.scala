@@ -496,6 +496,59 @@ object Federation {
       s.sql(s"INSERT INTO $t VALUES (3, 'blue', 30, 'cold')")
       new GraftEngine(s).sql(s"UPDATE $t SET note = 'hot' WHERE id = 1")
       s.table(t).orderBy("id")
+    },
+
+    // MYSQL WIRE PROTOCOL round trip (reference front door: any mysql
+    // client dials the proxy, proxy/server.go:62-110, and COM_QUERY text
+    // resultsets come back through vendored/mixer/mysql). The query here
+    // travels the REAL protocol: v10 handshake + mysql_native_password
+    // auth over a loopback socket, COM_QUERY, typed column definitions,
+    // lenenc text rows — then the client reconstructs a typed DataFrame
+    // FROM THE WIRE BYTES ALONE (schema from the column-def type codes,
+    // values parsed from the text protocol), which must hash-match the
+    // DuckDB oracle over the source parquet. Proves the listener is a
+    // faithful MySQL surface, not a mock: a wrong type byte, a mis-framed
+    // packet or a broken NULL marker all fail the gate.
+    GQuery(
+      "q_src_mysql_wire",
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |       c_mktsegment, CAST(c_acctbal AS DOUBLE) AS acctbal
+        |FROM customer WHERE c_acctbal >= 9900.0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      import graft.protocol.{MysqlClient, MysqlServer, MysqlWire}
+      Tables.registerAll(s, d)
+      val port = MysqlServer.ensureStarted(s)
+      val c = new MysqlClient("127.0.0.1", port, "root", MysqlServer.Password)
+      try {
+        val rs = c.select(
+          """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+            |       c_mktsegment, CAST(c_acctbal AS DOUBLE) AS acctbal
+            |FROM customer WHERE c_acctbal >= 9900.0
+            |ORDER BY c_custkey""".stripMargin)
+        val schema = org.apache.spark.sql.types.StructType(rs.columns.map(cd =>
+          org.apache.spark.sql.types.StructField(
+            cd.name, MysqlWire.sparkType(cd.typeCode), nullable = true)))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          new java.util.ArrayList[org.apache.spark.sql.Row]()
+        rs.rows.foreach { r =>
+          val vals = schema.fields.indices.map { i =>
+            r(i).map { txt =>
+              schema.fields(i).dataType match {
+                case org.apache.spark.sql.types.IntegerType => txt.toInt
+                case org.apache.spark.sql.types.LongType => txt.toLong
+                case org.apache.spark.sql.types.FloatType => txt.toFloat
+                case org.apache.spark.sql.types.DoubleType => txt.toDouble
+                case org.apache.spark.sql.types.DateType => java.sql.Date.valueOf(txt)
+                case org.apache.spark.sql.types.TimestampType =>
+                  java.sql.Timestamp.valueOf(txt)
+                case _ => txt
+              }
+            }.orNull
+          }
+          rows.add(org.apache.spark.sql.Row(vals: _*))
+        }
+        s.createDataFrame(rows, schema).orderBy("c_custkey")
+      } finally c.close()
     }
   )
 }
