@@ -111,8 +111,28 @@ object HashFunctions {
     }
   }
 
+  /** Like [[intArg]] but keeps the full Long range (bloom bit counts can
+    * exceed Int.MaxValue at large eval-set sizes). */
+  private def longArg(e: Expression, fn: String): Long = {
+    require(e.foldable, s"$fn: parameter must be a literal, got $e")
+    e.eval(null) match {
+      case i: Int    => i.toLong
+      case l: Long   => l
+      case s: Short  => s.toLong
+      case b: Byte   => b.toLong
+      case d: org.apache.spark.sql.types.Decimal if d.toBigDecimal.isWhole =>
+        d.toBigDecimal.toLong
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameter must be an integral literal, got " +
+          s"$other (${if (other == null) "NULL" else other.getClass.getSimpleName})")
+    }
+  }
+
   private def str(e: Expression): Expression =
     if (e.dataType == StringType) e else Cast(e, StringType)
+
+  private def i64(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
 
   // once per session: repeated ensure() calls are a set lookup, and the
   // temp functions are only (re)registered a single time per session
@@ -129,7 +149,10 @@ object HashFunctions {
     "band_hash" -> (a =>
       BandHash(a.head, intArg(a(1), "band_hash"), intArg(a(2), "band_hash"))),
     "shingle_hashes" -> (a =>
-      ShingleHashes(str(a.head), intArg(a(1), "shingle_hashes"))))
+      ShingleHashes(str(a.head), intArg(a(1), "shingle_hashes"))),
+    "bloom_build" -> (a =>
+      BloomBuildAgg(i64(a.head), longArg(a(1), "bloom_build"), intArg(a(2), "bloom_build"))),
+    "bloom_contains" -> (a => BloomMightContain(a.head, i64(a(1)))))
 
   def ensure(spark: SparkSession): Unit = if (ensured.add(spark)) {
     val reg = spark.sessionState.functionRegistry
@@ -165,5 +188,11 @@ object HashFunctions {
   }
   def shingle_hashes(c: Column, n: Int): Column = {
     ready(); call_function("shingle_hashes", c, lit(n))
+  }
+  def bloom_build(c: Column, numBits: Long, k: Int): Column = {
+    ready(); call_function("bloom_build", c, lit(numBits), lit(k))
+  }
+  def bloom_contains(bloom: Column, h: Column): Column = {
+    ready(); call_function("bloom_contains", bloom, h)
   }
 }

@@ -205,6 +205,67 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Bloom-prefiltered decontamination — the 100 TB shape of the exact
+    // query above. The eval-set shingle index is aggregated into a bloom
+    // (native TypedImperativeAggregate: per-partition word-array buffers,
+    // OR-merge, map-side combined — one 128 KB buffer per partition
+    // shuffles, never the hashes), then every corpus gram row is probed
+    // through the codegen'd bloom_contains BEFORE any join: only
+    // candidate rows (true hits + <1% false positives at 10 bits/elem,
+    // k=7) reach the exact broadcast confirm join, so the join input
+    // shrinks by the true-negative rate while the RESULT stays value-
+    // exact — same oracle as q_curation_decontam. At a real 100 TB run
+    // the broadcast eval set in the confirm join is replaced by a
+    // shuffle join, and the bloom is what keeps that shuffle small.
+    GQuery(
+      "q_curation_bloom_decontam",
+      s"""WITH
+         |${OracleFragments.tok},
+         |${OracleFragments.shingle3},
+         |shr AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |hh AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS BIGINT))),
+         |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
+         |  FROM shr),
+         |hd AS (SELECT DISTINCT doc_id, h FROM hh),
+         |ev AS (SELECT DISTINCT h FROM hd WHERE doc_id % 97 = 0),
+         |ns AS (
+         |  SELECT d.doc_id, count(e.h) AS n_shared
+         |  FROM hd d LEFT JOIN ev e USING (h)
+         |  WHERE d.doc_id % 97 <> 0
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+         |       CAST(n_shared >= 10 AS BIGINT) AS contaminated
+         |FROM ns ORDER BY doc_id""".stripMargin) { (s, d) =>
+      HashFunctions.ensure(s)
+      val sets = docs(s, d).select(col("doc_id"),
+        array_distinct(HashFunctions.shingle_hashes(col("text"), 3)).as("hh"))
+      val ev = sets.filter(col("doc_id") % 97 === 0)
+        .select(explode_outer(col("hh")).as("h"))
+        .filter(col("h").isNotNull).distinct()
+      // bounded metadata collect: the serialized filter is 128 KB of bits
+      // regardless of eval-set cardinality (numBits is the knob, not n)
+      val bloom = ev.agg(
+        HashFunctions.bloom_build(col("h"), 1L << 20, 7).as("b"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val corpus = sets.filter(col("doc_id") % 97 =!= 0)
+      val candidates = corpus
+        .select(col("doc_id"), explode_outer(col("hh")).as("h"))
+        .filter(col("h").isNotNull &&
+          HashFunctions.bloom_contains(lit(bloom), col("h")))
+      val confirmed = candidates
+        .join(broadcast(ev), Seq("h"), "inner") // exact: kills bloom FPs
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      corpus.select("doc_id")
+        .join(confirmed, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) >= 10).cast("long").as("contaminated"))
+        .orderBy("doc_id")
+    },
+
     // Intra-document repetition filter (Gopher-style): duplicate-token
     // ratio and top-token frequency fraction, with the keep decision
     // evaluated in integer space:
