@@ -664,6 +664,62 @@ object TextAnalysis {
         .limit(25)
     },
 
+    // Bigram collocation mining by PMI-style lift — the phrase-discovery
+    // pass a tokenizer/vocab pipeline runs before merging multi-word
+    // units. lift(x,y) = P(x,y) / (P(x·)·P(·y)) over the bigram table:
+    //   lift = (c_xy · B) / (c_xl · c_yr)
+    // with c_xl/c_yr the bigram marginals and B the bigram total.
+    //   Determinism: both engines compute the SAME two exact integer
+    // products (< 2^53 at gate scale) and ONE IEEE division — bit-equal
+    // without rounding. (At 100 TB the products overflow; production
+    // would compare in log space — the plan shape is identical.)
+    //   Scale: bigram counts combine map-side on (x,y); the marginals are
+    // vocab-sized second aggregates OF THE COUNTS (never re-reading the
+    // corpus); the min-count filter prunes the heavy tail BEFORE the two
+    // marginal joins, so the join inputs are the c_xy≥5 survivors, not
+    // the full bigram table; B broadcasts as one row; top-k is a
+    // TakeOrdered, not a global sort.
+    GQuery(
+      "q_text_pmi",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |bgl AS (
+        |  SELECT list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]]) AS bgs
+        |  FROM tok WHERE len(toks) >= 2),
+        |bgr AS (SELECT unnest(bgs) AS bg FROM bgl),
+        |cxy AS (SELECT bg[1] AS x, bg[2] AS y, CAST(count(*) AS BIGINT) AS c_xy
+        |        FROM bgr GROUP BY 1, 2),
+        |cx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_xl FROM cxy GROUP BY x),
+        |cy AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_yr FROM cxy GROUP BY y),
+        |tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS b FROM cxy)
+        |SELECT x, y, c_xy, c_xl, c_yr,
+        |       CAST(c_xy * b AS DOUBLE) / CAST(c_xl * c_yr AS DOUBLE) AS lift
+        |FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN tot
+        |WHERE c_xy >= 5
+        |ORDER BY lift DESC, x, y LIMIT 30""".stripMargin) { (s, d) =>
+      val bg = docs(s, d)
+        .select(tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2) // sequence(0, -1) would descend
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS x, toks[i + 1] AS y))")).as("b"))
+        .select(col("b.x").as("x"), col("b.y").as("y"))
+      val cxy = bg.groupBy("x", "y").agg(count(lit(1)).as("c_xy")).persist()
+      val cx = cxy.groupBy("x").agg(sum("c_xy").as("c_xl"))
+      val cy = cxy.groupBy("y").agg(sum("c_xy").as("c_yr"))
+      val tot = cxy.agg(sum("c_xy").as("b"))
+      cxy.filter(col("c_xy") >= 5)
+        .join(cx, "x").join(cy, "y")
+        .crossJoin(broadcast(tot))
+        .select(col("x"), col("y"), col("c_xy"), col("c_xl"), col("c_yr"),
+          ((col("c_xy") * col("b")).cast("double") /
+            (col("c_xl") * col("c_yr")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("x"), col("y"))
+        .limit(30)
+    },
+
     // Corpus quality statistics + a composite quality score: length,
     // token counts, mean token length, stopword ratio, a bounded-length
     // reward — the standard pre-training quality-filter features.
