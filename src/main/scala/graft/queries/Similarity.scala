@@ -421,6 +421,78 @@ object Similarity {
         .orderBy("query_id")
     },
 
+    // Matryoshka-style dimension-truncation recall: retrieval quality of
+    // PREFIX-truncated embeddings (dims 8/16/32 of 64) vs the full-dim
+    // exact top-5 — the eval that decides how far a pipeline can shrink
+    // its vectors (storage and ANN cost scale linearly with dim) before
+    // recall pays. Both retrievals are deterministic exact scans, so
+    // recall is value-exact. Scale: one corpus pass scores all three
+    // truncations (the dims table rides the same broadcast as the
+    // queries — no extra corpus scan per dim); windows partition by
+    // (dim, query); production samples the query set, plan unchanged.
+    GQuery(
+      "q_ann_dim_truncation",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dims AS (SELECT CAST(unnest([8, 16, 32]) AS BIGINT) AS trunc_dim),
+        |fscored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         list_dot_product(q.v, c.v) /
+        |           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 3),
+        |franked AS (
+        |  SELECT query_id, cand_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
+        |  FROM fscored),
+        |fullk AS (SELECT query_id, cand_id FROM franked WHERE rnk <= 5),
+        |tscored AS (
+        |  SELECT d.trunc_dim, q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         list_dot_product(q.v[1:d.trunc_dim], c.v[1:d.trunc_dim]) /
+        |           (sqrt(list_dot_product(q.v[1:d.trunc_dim], q.v[1:d.trunc_dim])) *
+        |            sqrt(list_dot_product(c.v[1:d.trunc_dim], c.v[1:d.trunc_dim]))) AS sim
+        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id CROSS JOIN dims d
+        |  WHERE q.vec_id < 3),
+        |tranked AS (
+        |  SELECT trunc_dim, query_id, cand_id,
+        |         row_number() OVER (PARTITION BY trunc_dim, query_id
+        |                            ORDER BY sim DESC, cand_id) AS rnk
+        |  FROM tscored),
+        |tk AS (SELECT trunc_dim, query_id, cand_id FROM tranked WHERE rnk <= 5)
+        |SELECT t.trunc_dim, t.query_id,
+        |       CAST(count(f.cand_id) AS BIGINT) AS n_hit,
+        |       count(f.cand_id) / 5.0 AS recall_at_k
+        |FROM tk t LEFT JOIN fullk f USING (query_id, cand_id)
+        |GROUP BY t.trunc_dim, t.query_id
+        |ORDER BY t.trunc_dim, t.query_id""".stripMargin) { (s, d) =>
+      val e = vecs(s, d)
+      val q = e.filter(col("vec_id") < 3).toDF("query_id", "qv")
+      val c = e.toDF("cand_id", "cv")
+      val pairs = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      val fullk = pairs
+        .select(col("query_id"), col("cand_id"),
+          cosine(col("qv"), col("cv")).as("sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "cand_id").withColumn("hit", lit(1L))
+      import s.implicits._
+      val dims = Seq(8L, 16L, 32L).toDF("trunc_dim")
+      pairs.crossJoin(broadcast(dims))
+        .select(col("trunc_dim"), col("query_id"), col("cand_id"),
+          cosine(slice(col("qv"), lit(1), col("trunc_dim").cast("int")),
+            slice(col("cv"), lit(1), col("trunc_dim").cast("int"))).as("sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("trunc_dim", "query_id")
+            .orderBy(col("sim").desc, col("cand_id"))))
+        .filter(col("rnk") <= 5)
+        .join(broadcast(fullk), Seq("query_id", "cand_id"), "left")
+        .groupBy("trunc_dim", "query_id")
+        .agg(count(col("hit")).as("n_hit"))
+        .select(col("trunc_dim"), col("query_id"), col("n_hit"),
+          (col("n_hit") / lit(5.0)).as("recall_at_k"))
+        .orderBy("trunc_dim", "query_id")
+    },
+
     // LSH-bucketed ANN: sign-random-projection buckets; candidates are
     // corpus vectors sharing the query's bucket — an equi-join on bucket
     // id instead of a cross join. Exact cosine re-scoring inside buckets.
