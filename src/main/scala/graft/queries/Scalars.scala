@@ -175,6 +175,26 @@ object Scalars {
         .orderBy("event_type")
     },
 
+    // Spark 4 VARIANT path for JSON columns (the reference's JsonType,
+    // results_mysql.go:248-249, surfaces MYSQL_TYPE_JSON; SURVEY §1.2 maps
+    // it to StringType+funcs OR VariantType in Spark 4 — this is the
+    // variant arm). parse_json builds the binary variant once; typed path
+    // extraction (variant_get) replaces per-access string re-parsing —
+    // at 100 TB the parse happens once per row, not once per predicate.
+    GQuery(
+      "q_json_variant",
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 95
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "events")
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .filter(col("k") >= 95)
+        .orderBy("event_id")
+    },
+
     GQuery(
       "q_regex",
       """SELECT p_partkey, p_name,

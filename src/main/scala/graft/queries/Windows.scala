@@ -234,6 +234,56 @@ object Windows {
         .orderBy("user_id", "session_id")
     },
 
+    // Time-series gap-fill: per-user hourly resample with a dense bucket
+    // grid and forward-filled last-observation carry — the resample/ffill
+    // primitive every metrics store and feature pipeline needs. Buckets
+    // are INTEGER hour indices (floor(epoch_ms/3600000)): no timestamp
+    // formatting or timezone in the compared output, and both engines
+    // floor the same exactly-representable double.
+    //   Scale: the dense grid is generated per user from its own
+    // (min,max) bucket bounds via sequence-explode — distributed, sized
+    // by that user's span, no driver ranges; the fill is a left join on
+    // (user, h) — co-partitioned keys — plus a per-user ordered window
+    // (bounded state per user), never a global sort. First bucket per
+    // user is observed by construction, so the carry never starts NULL.
+    GQuery(
+      "q_ts_gapfill",
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS h
+        |  FROM events WHERE user_id < 40),
+        |obs AS (
+        |  SELECT user_id, h, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(max(event_id) AS BIGINT) AS max_eid
+        |  FROM e GROUP BY user_id, h),
+        |bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM bounds),
+        |f AS (
+        |  SELECT g.user_id, g.h, coalesce(o.n_events, 0) AS n_events,
+        |         last_value(o.max_eid IGNORE NULLS) OVER (
+        |           PARTITION BY g.user_id ORDER BY g.h
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_eid
+        |  FROM grid g LEFT JOIN obs o USING (user_id, h))
+        |SELECT user_id, h, CAST(n_events AS BIGINT) AS n_events, last_eid
+        |FROM f ORDER BY user_id, h""".stripMargin) { (s, d) =>
+      val e = Tables.load(s, d, "events")
+        .filter(col("user_id") < 40)
+        .select(col("user_id"), col("event_id"),
+          floor(unix_millis(col("ts")) / lit(3600000L)).cast("long").as("h"))
+      val obs = e.groupBy("user_id", "h")
+        .agg(count(lit(1)).as("n_events"), max("event_id").as("max_eid"))
+      val grid = obs.groupBy("user_id")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("max_eid"), ignoreNulls = true).over(w).as("last_eid"))
+        .orderBy("user_id", "h")
+    },
+
     GQuery(
       "q_cube",
       """SELECT l_returnflag, l_linestatus, count(*) AS n
