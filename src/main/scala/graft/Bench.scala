@@ -302,6 +302,8 @@ object Bench {
       System.err.println(s"[bench] could not write BENCH_FULL.json: $e")
     }
     spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+    // explicit exit either way: a leaked non-daemon thread (embedded
+    // server dispatcher) must not stall the driver's bench collection
+    sys.exit(if (errors.nonEmpty) 1 else 0)
   }
 }

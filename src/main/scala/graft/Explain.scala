@@ -31,5 +31,6 @@ object Explain {
       }
     }
     spark.stop()
+    sys.exit(0) // see Verify: never hang on a leaked non-daemon thread
   }
 }

@@ -309,6 +309,8 @@ object Stress {
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    // explicit exit (see Verify/Bench): leaked non-daemon threads must
+    // not stall the driver's stress collection
+    sys.exit(if (failed.nonEmpty) 1 else 0)
   }
 }

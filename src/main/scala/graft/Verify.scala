@@ -46,5 +46,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // belt-and-braces: the dump is complete — never let a leaked
+    // non-daemon thread (an embedded server's dispatcher, a metrics
+    // poller) stall the driver's correctness gate waiting on JVM exit
+    sys.exit(0)
   }
 }

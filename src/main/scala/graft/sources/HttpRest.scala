@@ -174,7 +174,16 @@ object LoopbackRestServer {
     srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-loopback-rest"); t.setDaemon(true); t
     }))
-    srv.start()
+    // The JDK HttpServer's internal HTTP-Dispatcher thread is created in
+    // start() and INHERITS the calling thread's daemon flag — started from
+    // a driver main it is non-daemon and keeps the JVM alive after main
+    // returns (observed: graft.Verify at sf0.1 wrote all outputs, then
+    // hung in DestroyJavaVM behind "HTTP-Dispatcher"). Start from a
+    // short-lived daemon thread so the dispatcher inherits daemon=true.
+    val starter = new Thread(() => srv.start(), "graft-loopback-rest-start")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
     s"http://127.0.0.1:${srv.getAddress.getPort}"
   }
 
