@@ -661,6 +661,86 @@ object Relational {
           ((col("max_a") - col("min_a")) * (col("max_b") - col("min_b")))
             .cast("long"))
         .orderBy("layout", "bucket")
+    },
+
+    // Snapshot diffing / CDC between two table versions: classify every
+    // key as added / removed / changed between an old and a new snapshot
+    // (both derived deterministically from `documents`: the old snapshot
+    // misses doc_id%13==0, the new misses doc_id%17==0 and rewrites the
+    // text of doc_id%11==0). The scale trick is FINGERPRINT-FIRST: each
+    // side reduces to (key, md5(payload)) BEFORE the full outer join, so
+    // only two thin (key, hash) streams shuffle — never the payloads —
+    // and unchanged rows (the overwhelming majority at 100 TB) are
+    // dropped right after the join. Payload retrieval for changed keys
+    // would be a second key-pruned scan, not part of the diff itself.
+    GQuery(
+      "q_cdc_snapshot_diff",
+      """WITH oldv AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 13 <> 0),
+        |newv AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 17 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS change,
+        |       o.h AS old_md5, n.h AS new_md5
+        |FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.load(s, d, "documents")
+      val oldv = base.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("old_md5"))
+      val newv = base.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 11 === 0, upper(col("text")))
+            .otherwise(col("text"))).as("new_md5"))
+      oldv.join(newv, Seq("doc_id"), "full_outer")
+        .filter(col("old_md5").isNull || col("new_md5").isNull ||
+          col("old_md5") =!= col("new_md5"))
+        .select(col("doc_id"),
+          when(col("old_md5").isNull, "added")
+            .when(col("new_md5").isNull, "removed")
+            .otherwise("changed").as("change"),
+          col("old_md5"), col("new_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Incremental aggregate maintenance — the materialized-view merge
+    // idiom: a stored per-group aggregate table (base, event_id%10<>0
+    // standing in for history) absorbs a delta batch by ALGEBRAIC MERGE
+    // (counts add, integer sums add, min/min, max/max) instead of a full
+    // recompute. The oracle IS the full recompute over all events, so the
+    // gate proves merge == recompute. At 100 TB only the delta shuffles;
+    // the history table is metadata-sized (one row per group) and never
+    // rescanned. The value sum is kept in integer cents (round(value*100)
+    // per row) — associative and order-free, so partial merges are exact.
+    GQuery(
+      "q_incr_agg_merge",
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       CAST(min(event_id) AS BIGINT) AS min_eid,
+        |       CAST(max(event_id) AS BIGINT) AS max_eid
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      def aggOf(part: org.apache.spark.sql.DataFrame) =
+        part.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+      val baseAgg = aggOf(ev.filter(col("event_id") % 10 =!= 0))  // stored MV
+      val deltaAgg = aggOf(ev.filter(col("event_id") % 10 === 0)) // new batch
+      baseAgg.unionByName(deltaAgg)
+        .groupBy("event_type")
+        .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
+          min("min_eid").as("min_eid"), max("max_eid").as("max_eid"))
+        .orderBy("event_type")
     }
   )
 }
