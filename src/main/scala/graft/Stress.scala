@@ -157,7 +157,10 @@ object Stress {
       "q_dedup_semantic",
       "q_dedup_blocks", "q_embed_pca", "q_text_cms", "q_curation_shards",
       "q_curation_dsir", "q_curation_quality_band", "q_dedup_minhash_eval",
-      "q_graph_pagerank", "q_dedup_spans")
+      "q_graph_pagerank", "q_dedup_spans",
+      // round-9 additions: bloom-prefiltered decontam, PMI collocations,
+      // fingerprint-first snapshot diff
+      "q_curation_bloom_decontam", "q_text_pmi", "q_cdc_snapshot_diff")
     // optional comma-separated subset for fast local iteration; the
     // driver never sets it → full sweep
     val ops = sys.env.get("SPARK_GRAFT_STRESS_OPS")
@@ -231,7 +234,17 @@ object Stress {
       "q_curation_quality_band" -> defB,
       "q_dedup_minhash_eval" -> defB.copy(time = 4.0, linearRows = false),
       "q_graph_pagerank" -> defB.copy(time = 4.5, linearRows = false, corpusShuffle = true),
-      "q_dedup_spans" -> defB.copy(time = 4.5, corpusShuffle = true))
+      "q_dedup_spans" -> defB.copy(time = 4.5, corpusShuffle = true),
+      // r9: bloom build is one fixed-size buffer per partition; the gram
+      // prefilter + confirm join are linear in surviving grams
+      "q_curation_bloom_decontam" -> defB.copy(time = 4.0),
+      // r9: bigram agg is linear; measured 1.39× at r=10 (the replica
+      // token interleave did not bite — the interleave tokens dominate
+      // the bigram table but combine map-side); top-30 output
+      "q_text_pmi" -> defB.copy(linearRows = false),
+      // r9: two md5 projections + a co-partitioned full outer join on
+      // (key, hash) pairs; diff rows scale with the corpus
+      "q_cdc_snapshot_diff" -> defB.copy(time = 3.5))
 
     final case class Obs(sec: Double, rows: Long, maxInMb: Double, maxShMb: Double,
         top: Seq[(Int, String, Long, Long)])

@@ -211,6 +211,32 @@ class MysqlWireSpec extends AnyFunSuite {
     } finally { a.close(); b.close() }
   }
 
+  test("16 concurrent connections keep isolated sessions and exact results") {
+    Tables.registerAll(spark, sfDir)
+    MysqlServer.ensureStarted(spark)
+    val expected = spark.table("nation").count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val runs = (0 until 16).map { i =>
+      Future {
+        val c = connect()
+        try {
+          c.query(s"SET @me = $i")
+          val n = c.select("SELECT count(*) AS n FROM nation").rows.head.head.get.toLong
+          val me = c.select("SELECT @me AS v").rows.head.head.get.toInt
+          (n, me, i)
+        } finally c.close()
+      }
+    }
+    val results = Await.result(Future.sequence(runs), 120.seconds)
+    results.foreach { case (n, me, i) =>
+      assert(n === expected, s"conn $i row count")
+      assert(me === i, s"conn $i session-var isolation under concurrency")
+    }
+  }
+
   test("a bad statement returns ERR 1064 and the connection stays usable") {
     val c = connect()
     try {
