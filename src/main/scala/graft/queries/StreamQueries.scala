@@ -575,6 +575,65 @@ object StreamQueries {
         .select(col("doc_id"), col("lang"), col("n_blocked"),
           col("nt").as("n_tokens"))
       drain(curated, "append").orderBy("doc_id")
+    },
+
+    // Streaming decontamination with the bloom prefilter: the live-feed
+    // twin of q_curation_bloom_decontam. The eval-set index (bloom bytes
+    // + the exact hash table) is STATIC reference data built batch-side;
+    // the document stream explodes to grams, the codegen'd bloom probe
+    // prunes inside the stream BEFORE the stream-static confirm join
+    // (stateless — no state store, the static side broadcasts), and only
+    // the per-doc count is stateful (complete-mode agg keyed by the
+    // contaminated docs only, because clean docs never survive the
+    // join). At 100 TB of daily feed this is the shape that works: the
+    // bloom drops ~all gram rows in the stateless stage, so state is
+    // bounded by true contamination, not traffic.
+    GQuery(
+      "q_stream_bloom_decontam",
+      s"""WITH
+         |${OracleFragments.tok},
+         |${OracleFragments.shingle3},
+         |shr AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |hh AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS BIGINT))),
+         |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
+         |  FROM shr),
+         |hd AS (SELECT DISTINCT doc_id, h FROM hh),
+         |ev AS (SELECT DISTINCT h FROM hd WHERE doc_id % 97 = 0),
+         |ns AS (
+         |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM hd d JOIN ev e USING (h)
+         |  WHERE d.doc_id % 97 <> 0
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id, n_shared,
+         |       CAST(n_shared >= 10 AS BIGINT) AS contaminated
+         |FROM ns ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.HashFunctions
+      HashFunctions.ensure(s)
+      val dir = docsDir(s, d)
+      val batch = s.read.parquet(dir)
+      val evSets = batch.filter(col("doc_id") % 97 === 0)
+        .select(explode_outer(array_distinct(
+          HashFunctions.shingle_hashes(col("text"), 3))).as("h"))
+        .filter(col("h").isNotNull).distinct()
+      val bloom = evSets.agg(
+        HashFunctions.bloom_build(col("h"), 1L << 20, 7).as("b"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val stream = s.readStream.schema(batch.schema).parquet(dir)
+      val confirmed = stream
+        .filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode_outer(array_distinct(
+          HashFunctions.shingle_hashes(col("text"), 3))).as("h"))
+        .filter(col("h").isNotNull &&
+          HashFunctions.bloom_contains(lit(bloom), col("h")))
+        .join(broadcast(evSets), Seq("h"), "inner")
+      drain(confirmed.groupBy("doc_id").agg(count(lit(1)).as("n_shared")),
+          "complete")
+        .select(col("doc_id"), col("n_shared"),
+          (col("n_shared") >= 10).cast("long").as("contaminated"))
+        .orderBy("doc_id")
     }
   )
 }
