@@ -24,9 +24,10 @@ object ClusterSmoke {
     "q1_agg", "q3_shipping", "q5_local_supplier", "q_scan_project",
     "q_topk", "q_join_inner", "q_group_having", "q_window_running",
     "q_curation_pack", "q_text_lm_score", "q_sessionize",
-    // executor-side connector readers (REST goes over the socket from
-    // the executor JVMs; csv/json exercise the file reader factory)
+    // executor-side connector readers (REST and Mongo go over the socket
+    // from the executor JVMs; csv/json exercise the file reader factory)
     "q_src_rest", "q_src_join_hetero", "q_src_csv_pushdown",
+    "q_src_mongo_find",
     // scale family
     "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_incremental",
     "q_kmeans", "q_curation_domain_cap", "q_text_bpe_encode",

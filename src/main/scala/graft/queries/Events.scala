@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+
+/** Event-analytics operators over the `events` stream table: ordered
+  * funnels, cohort retention, and SCD Type-2 dimension history — the
+  * warehouse patterns a reference user runs downstream of federation
+  * (beyond-reference; the reference's closest surface is plain GROUP BY
+  * over a backend, e.g. the ES terms aggs in
+  * `backends/elasticsearch/sqltoes.go:285-365`).
+  */
+object Events {
+
+  def queries: Seq[GQuery] = Seq(
+
+    // Ordered three-step funnel (view → click → purchase): each user's
+    // step-k time is the earliest qualifying event STRICTLY AFTER their
+    // step-(k-1) time and within a 24-hour conversion window (without
+    // the window every user on a long-lived table eventually converts
+    // and the funnel degenerates). The scale shape is the point: THREE chained
+    // unbounded window aggregates over the same user_id partitioning =
+    // ONE hash exchange, three in-memory passes — no self-joins (the
+    // naive formulation is k joins on user_id), no per-user arrays. The
+    // per-user reduce reuses the window's partitioning, so the whole
+    // funnel is a single shuffle of the events table plus a global agg.
+    GQuery(
+      "q_events_funnel",
+      """WITH a AS (
+        |  SELECT user_id, ts, event_type,
+        |         min(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |b AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+        |                      AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+        |              OVER (PARTITION BY user_id) AS t2
+        |  FROM a),
+        |c AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |                      AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
+        |              OVER (PARTITION BY user_id) AS t3
+        |  FROM b),
+        |u AS (SELECT user_id, min(t1) t1, min(t2) t2, min(t3) t3 FROM c GROUP BY 1)
+        |SELECT CAST(count(t1) AS BIGINT) AS n_view,
+        |       CAST(count(t2) AS BIGINT) AS n_view_click,
+        |       CAST(count(t3) AS BIGINT) AS n_view_click_purchase
+        |FROM u""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+      Tables.load(s, d, "events")
+        .select("user_id", "ts", "event_type")
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"),
+            col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"),
+            col("ts"))).over(w))
+        .groupBy("user_id") // reuses the window's hash partitioning: no new shuffle
+        .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+        .agg(count("t1").as("n_view"),
+          count("t2").as("n_view_click"),
+          count("t3").as("n_view_click_purchase"))
+    },
+
+    // Cohort retention: users grouped by first-seen day, counted distinct
+    // in each subsequent week offset. Day-granular cohorts dodge the
+    // engines' week-start conventions; the offset is exact integer day
+    // arithmetic. Two shuffles total at any scale: the first-seen reduce
+    // (by user) and the cell aggregate (by cohort, offset, then distinct
+    // users per cell — Spark plans the distinct as a partial/final pair).
+    GQuery(
+      "q_events_retention",
+      """WITH first AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY 1)
+        |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |       CAST(datediff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7 AS BIGINT)
+        |         AS offset_week,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN first f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val first = ev.groupBy("user_id")
+        .agg(min("ts").cast("date").as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .select(
+          date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          expr("datediff(CAST(ts AS DATE), cohort_day) div 7")
+            .cast("long").as("offset_week"),
+          col("user_id"))
+        .groupBy("cohort_day", "offset_week")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "offset_week")
+    },
+
+    // SCD Type-2 merge: fold a new snapshot into a versioned dimension
+    // history (valid_from/valid_to/is_current), the classic warehouse
+    // dimension-maintenance operator. Snapshots are the CDC fixtures
+    // (q_cdc_snapshot_diff): v1 misses doc_id%13==0, v2 misses %17==0
+    // and rewrites %11==0. FINGERPRINT-FIRST like the diff: both sides
+    // reduce to (key, md5) before the ONE full-outer join, and each
+    // joined key emits its history rows from a generator expression —
+    // no second pass, no payload shuffle. Closed rows get valid_to=2;
+    // live rows carry valid_to NULL + is_current.
+    GQuery(
+      "q_cdc_scd2",
+      """WITH oldv AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 13 <> 0),
+        |newv AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |j AS (SELECT o.doc_id AS od, o.h AS oh, n.doc_id AS nd, n.h AS nh
+        |      FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+        |SELECT * FROM (
+        |  SELECT od AS doc_id, oh AS h, 1 AS valid_from,
+        |         CASE WHEN nd IS NULL OR oh <> nh THEN 2 END AS valid_to,
+        |         (nd IS NOT NULL AND oh = nh) AS is_current
+        |  FROM j WHERE od IS NOT NULL
+        |  UNION ALL
+        |  SELECT nd, nh, 2, NULL, true
+        |  FROM j WHERE nd IS NOT NULL AND (od IS NULL OR oh <> nh))
+        |ORDER BY doc_id, valid_from""".stripMargin) { (s, d) =>
+      val base = Tables.load(s, d, "documents")
+      val oldv = base.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id").as("od"), md5(col("text")).as("oh"))
+      val newv = base.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id").as("nd"),
+          md5(when(col("doc_id") % 11 === 0, upper(col("text")))
+            .otherwise(col("text"))).as("nh"))
+      oldv.join(newv, col("od") === col("nd"), "full_outer")
+        .select(explode(array(
+          // the old side's row: closed if the key vanished or changed
+          when(col("od").isNotNull, struct(
+            col("od").as("doc_id"), col("oh").as("h"),
+            lit(1).as("valid_from"),
+            when(col("nd").isNull || col("oh") =!= col("nh"), lit(2))
+              .as("valid_to"),
+            (col("nd").isNotNull && col("oh") === col("nh")).as("is_current"))),
+          // the new side's row: only for added or changed keys
+          when(col("nd").isNotNull && (col("od").isNull || col("oh") =!= col("nh")),
+            struct(col("nd").as("doc_id"), col("nh").as("h"),
+              lit(2).as("valid_from"), lit(null).cast("int").as("valid_to"),
+              lit(true).as("is_current"))))).as("r"))
+        .filter(col("r").isNotNull)
+        .select("r.doc_id", "r.h", "r.valid_from", "r.valid_to", "r.is_current")
+        .orderBy("doc_id", "valid_from")
+    }
+  )
+}

@@ -307,6 +307,64 @@ object Federation {
         .orderBy("c_mktsegment")
     },
 
+    // MONGO-PROTOCOL scan over a real socket (reference: sql_to_mgo.go:
+    // 441-637 compiles the WHERE tree into a bson filter document —
+    // IN→$in, ranges→$gt/$lte, LIKE→regex, AND/OR→$and/$or — and ships
+    // it in one `find`): the whole predicate compiles, so Spark's
+    // residual is empty and the cursor streams back only matching rows.
+    GQuery(
+      "q_src_mongo_find",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus IN ('F', 'P') AND o_totalprice > 150000.0
+        |  AND o_orderpriority LIKE '%URGENT'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.MongoSourceName}.orders_mongo")
+        .filter(col("o_orderstatus").isin("F", "P") && col("o_totalprice") > 150000.0
+          && col("o_orderpriority").endsWith("URGENT"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // Mongo sort+limit pushdown (reference: sql_to_mgo.go:220-245 passes
+    // ORDER BY as the query's sort document and LIMIT as the page size):
+    // the top-N executes server-side — the cursor returns 10 rows, not
+    // the table — and Spark's TopN merges per-partition candidates
+    // (partial pushdown, correct under sharded multi-partition scans).
+    GQuery(
+      "q_src_mongo_topn",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'O'
+        |ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.MongoSourceName}.orders_mongo")
+        .filter(col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+        .limit(10)
+    },
+
+    // Mongo `!=` pushdown under SQL 3VL (reference: != → $ne,
+    // sql_to_mgo.go:553-554 — but Mongo's $ne matches null rows, SQL's
+    // != does not): the compiled filter wraps $nor with {f: {$ne: null}}
+    // guards so the backend returns exactly SQL's rows.
+    GQuery(
+      "q_src_mongo_ne",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders
+        |WHERE o_orderstatus <> 'O' AND o_orderpriority <> '5-LOW'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.MongoSourceName}.orders_mongo")
+        .filter(col("o_orderstatus") =!= "O" && col("o_orderpriority") =!= "5-LOW")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("o_orderkey").as("sum_key"))
+        .orderBy("o_orderpriority")
+    },
+
     // Aggregate pushdown (reference: SQL→ES aggregations,
     // backends/elasticsearch/sqltoes.go:285-365): the scan ships per-file
     // partial count/min/max/sum per group, Spark merges — the raw rows

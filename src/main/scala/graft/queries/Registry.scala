@@ -10,7 +10,7 @@ object Registry {
       Federation.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       MediaQueries.queries ++ StreamQueries.queries ++ Pipeline.queries ++
       Curation.queries ++ VectorOps.queries ++ Clustering.queries ++
-      Graph.queries
+      Graph.queries ++ Events.queries
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }

@@ -39,6 +39,8 @@ object FedData {
   val RestSourceName = "api"
   /** ES-protocol source: `_search` query-DSL over the loopback socket. */
   val EsSourceName = "es"
+  /** Mongo-protocol source: OP_MSG `find` over the loopback socket. */
+  val MongoSourceName = "mongo"
 
   /** One staged table: (catalog table, format, parquet origin, part files,
     * declared key columns). Multi-file tables are the connector's scan
@@ -157,6 +159,23 @@ object FedData {
         val baseUrl = LoopbackRestServer.ensureStarted()
         EsEndpoints.register(EsEndpoint(EsSourceName, "customer_es", customer.schema,
           EsEndpointSpec(baseUrl, "customer_es", HttpRestConfig(pageSize = 512))))
+      }
+      // Mongo-protocol source: the orders table behind a loopback mongod
+      // stand-in — WHERE compiles to a bson filter document and ships in
+      // an OP_MSG `find` together with projection/sort/limit, the exact
+      // option set the reference pushes (sql_to_mgo.go:220-245); results
+      // stream back cursor-batched over the socket.
+      if (SourceRegistry.get(MongoSourceName).isEmpty)
+        SourceRegistry.register(SourceDef(
+          MongoSourceName, new File(base, MongoSourceName).getPath, "json", "mongo"))
+      if (MongoEndpoints.get(MongoSourceName, "orders_mongo").isEmpty) {
+        val orders = Tables.load(spark, sfDir, "orders")
+        val rows = orders.collect().map(_.toSeq.toArray)
+        LoopbackMongoServer.register("orders_mongo", orders.schema, rows.toSeq)
+        val (host, port) = LoopbackMongoServer.ensureStarted()
+        MongoEndpoints.register(MongoEndpoint(MongoSourceName, "orders_mongo",
+          orders.schema, MongoEndpointSpec(host, port, LoopbackMongoServer.Db,
+            "orders_mongo", MongoClientConfig(batchSize = 512))))
       }
     }
   }

@@ -95,7 +95,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dirs = Option(new java.io.File(s.path).listFiles())
       .getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName)
-    ((dirs ++ RestEndpoints.list(s.name) ++ EsEndpoints.list(s.name)).sorted
+    ((dirs ++ RestEndpoints.list(s.name) ++ EsEndpoints.list(s.name) ++
+      MongoEndpoints.list(s.name)).sorted
       :+ FilesMetaTable.Name)
       .map(Identifier.of(namespace, _))
   }
@@ -103,6 +104,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     val s = source(ident.namespace())
     EsEndpoints.get(s.name, ident.name()).foreach(ep => return new EsTable(ep))
+    MongoEndpoints.get(s.name, ident.name()).foreach(ep => return new MongoTable(ep))
     RestEndpoints.get(s.name, ident.name()) match {
       case Some(ep) => new RestTable(ep) // REST endpoints shadow nothing:
       // they live in sources without file tables of the same name

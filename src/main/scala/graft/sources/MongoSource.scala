@@ -1,0 +1,598 @@
+package graft.sources
+
+import java.io.{DataInputStream, IOException}
+import java.net.{InetAddress, InetSocketAddress, ServerSocket, Socket}
+import java.util
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong, AtomicReference}
+import java.util.regex.Pattern
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.protocol.Bson.{BDoc, BRegex}
+import graft.protocol.{Bson, OpMsg}
+
+/** SQL→Mongo filter-document translation (the reference's Mongo backend
+  * compiles the full WHERE tree into a bson query document and pushes
+  * sort+limit+skip with it, `backends/mongo/sql_to_mgo.go:441-637`:
+  * `=`→field:value, ranges→\$gt/\$gte/\$lt/\$lte, `!=`→\$ne, IN→\$in,
+  * BETWEEN→\$gte+\$lte, LIKE→regex, AND→\$and, OR→\$or,
+  * exists()→\$exists). Differences kept deliberate:
+  *
+  *   - LIKE compiles to a CASE-SENSITIVE regex (the reference passes the
+  *     "i" option, `sql_to_mgo.go:580-586`, which contradicts its own
+  *     engine's LIKE semantics — we match SQL, and the oracle).
+  *   - NOT compiles to \$nor plus `{field: {\$ne: null}}` guards on every
+  *     referenced column: Mongo predicates are two-valued (a \$nor over a
+  *     null row matches), SQL's are not — the guards restore 3VL so the
+  *     pushed filter returns exactly the rows SQL's NOT would.
+  */
+object MongoDsl {
+
+  /** A Spark filter literal as a BSON-encodable value; None = a type the
+    * wire subset can't carry exactly (decimal, sub-millisecond time). */
+  private def lit(v: Any): Option[Any] = v match {
+    case null => Some(null)
+    case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Double |
+         _: java.lang.Boolean | _: String | _: java.lang.Short => Some(v)
+    case f: java.lang.Float => Some(f.doubleValue(): java.lang.Double)
+    case t: java.sql.Timestamp =>
+      if (t.getNanos % 1000000 == 0) Some(t) else None // BSON datetime is ms
+    case i: java.time.Instant =>
+      if (i.getNano % 1000000 == 0) Some(java.sql.Timestamp.from(i)) else None
+    case _ => None
+  }
+
+  private def field(a: String, cond: Any): BDoc = BDoc(Seq(a -> cond))
+
+  /** Compile one Spark filter; None = not expressible (declined, Spark
+    * re-applies it as a residual — the polyfill contract). */
+  def compile(f: Filter): Option[BDoc] = f match {
+    case EqualTo(a, v) if v != null => lit(v).map(x => field(a, x))
+    case EqualNullSafe(a, v) => lit(v).map(x => field(a, x))
+    case GreaterThan(a, v) if v != null => lit(v).map(x => field(a, BDoc(Seq("$gt" -> x))))
+    case GreaterThanOrEqual(a, v) if v != null => lit(v).map(x => field(a, BDoc(Seq("$gte" -> x))))
+    case LessThan(a, v) if v != null => lit(v).map(x => field(a, BDoc(Seq("$lt" -> x))))
+    case LessThanOrEqual(a, v) if v != null => lit(v).map(x => field(a, BDoc(Seq("$lte" -> x))))
+    case In(a, vs) if vs != null && vs.exists(_ != null) =>
+      // SQL x IN (v..., NULL) is TRUE only on a non-null match; $in with a
+      // null element would also match null rows, so nulls are dropped
+      // (UNKNOWN collapses to excluded under WHERE on both sides)
+      val opts = vs.filter(_ != null).map(lit).toSeq
+      if (opts.exists(_.isEmpty)) None
+      else Some(field(a, BDoc(Seq("$in" -> opts.map(_.get)))))
+    case IsNull(a) => Some(field(a, null))
+    case IsNotNull(a) => Some(field(a, BDoc(Seq("$ne" -> null))))
+    case StringStartsWith(a, v) => Some(field(a, BRegex("^" + Pattern.quote(v), "")))
+    case StringEndsWith(a, v) => Some(field(a, BRegex(Pattern.quote(v) + "$", "")))
+    case StringContains(a, v) => Some(field(a, BRegex(Pattern.quote(v), "")))
+    case And(l, r) =>
+      for (cl <- compile(l); cr <- compile(r)) yield BDoc(Seq("$and" -> Seq(cl, cr)))
+    case Or(l, r) =>
+      for (cl <- compile(l); cr <- compile(r)) yield BDoc(Seq("$or" -> Seq(cl, cr)))
+    case Not(child) => compile(child).map { cc =>
+      val guards = child.references.toSeq.sorted
+        .map(a => field(a, BDoc(Seq("$ne" -> null))): Any)
+      BDoc(Seq("$and" -> ((BDoc(Seq("$nor" -> Seq(cc))): Any) +: guards)))
+    }
+    case _ => None
+  }
+
+  def compileAll(docs: Seq[BDoc]): BDoc = docs match {
+    case Nil => BDoc.empty
+    case Seq(one) => one
+    case many => BDoc(Seq("$and" -> many))
+  }
+
+  // ---- server-side evaluation (the loopback backend's query executor;
+  // a real deployment's mongod does this natively) ------------------------
+
+  /** Mongo match semantics over a flat external-typed row (missing ==
+    * null for fixed-schema rows): implicit top-level AND; \$and/\$or/\$nor
+    * connectives; per-field operator documents; bare values as equality;
+    * regex values as pattern match. Range operators don't match null
+    * (Mongo's type bracketing), `{f: null}` matches null, `\$ne` matches
+    * null rows for non-null arguments (two-valued — the compiled guards
+    * above exist precisely because of this). */
+  def eval(q: BDoc, row: Array[Any], schema: StructType): Boolean = {
+    def value(name: String): Any = {
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      if (i < 0) null else row(i)
+    }
+    def sub(c: Any): Boolean = eval(c.asInstanceOf[BDoc], row, schema)
+    def cmp0(v: Any, arg: Any): Option[Int] = FilterEval.cmp(v, arg)
+    def opMatch(v: Any, op: String, arg: Any): Boolean = op match {
+      case "$eq" => if (arg == null) v == null else v != null && cmp0(v, arg).contains(0)
+      case "$ne" =>
+        if (arg == null) v != null
+        else v == null || !cmp0(v, arg).contains(0)
+      case "$gt" => v != null && arg != null && cmp0(v, arg).exists(_ > 0)
+      case "$gte" => v != null && arg != null && cmp0(v, arg).exists(_ >= 0)
+      case "$lt" => v != null && arg != null && cmp0(v, arg).exists(_ < 0)
+      case "$lte" => v != null && arg != null && cmp0(v, arg).exists(_ <= 0)
+      case "$in" => arg.asInstanceOf[Seq[Any]].exists {
+        case null => v == null
+        case r: BRegex => v match {
+          case s: String => Pattern.compile(r.pattern).matcher(s).find()
+          case _ => false
+        }
+        case x => v != null && cmp0(v, x).contains(0)
+      }
+      case "$exists" => (v != null) == arg.asInstanceOf[Boolean]
+      case "$regex" => v match {
+        case s: String => Pattern.compile(arg.toString).matcher(s).find()
+        case _ => false
+      }
+      case other => throw new IllegalArgumentException(s"unsupported operator $other")
+    }
+    q.fields.forall {
+      case ("$and", cs: Seq[_]) => cs.forall(sub)
+      case ("$or", cs: Seq[_]) => cs.exists(sub)
+      case ("$nor", cs: Seq[_]) => !cs.exists(sub)
+      case (name, cond) =>
+        val v = value(name)
+        cond match {
+          case ops: BDoc if ops.fields.nonEmpty && ops.fields.forall(_._1.startsWith("$")) =>
+            ops.fields.forall { case (op, arg) => opMatch(v, op, arg) }
+          case r: BRegex => v match {
+            case s: String => Pattern.compile(r.pattern).matcher(s).find()
+            case _ => false
+          }
+          case litV => if (litV == null) v == null else v != null && cmp0(v, litV).contains(0)
+        }
+    }
+  }
+
+  /** Sort comparator for a Mongo sort document (null orders lowest, as
+    * Mongo's canonical BSON order places null before numbers/strings). */
+  def sortComparator(sort: BDoc, schema: StructType): Ordering[Array[Any]] = {
+    val keys = sort.fields.map { case (name, dir) =>
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(i >= 0, s"unknown sort field $name")
+      (i, dir.asInstanceOf[Number].intValue())
+    }
+    (a: Array[Any], b: Array[Any]) => {
+      var r = 0
+      val it = keys.iterator
+      while (r == 0 && it.hasNext) {
+        val (i, dir) = it.next()
+        val c = (a(i), b(i)) match {
+          case (null, null) => 0
+          case (null, _) => -1
+          case (_, null) => 1
+          case (x, y) => FilterEval.cmp(x, y).getOrElse(0)
+        }
+        r = if (dir < 0) -c else c
+      }
+      r
+    }
+  }
+}
+
+/** Minimal MongoDB driver: OP_MSG `find` + `getMore` over a pooled
+  * socket, lazily batch-paged (the reference iterates mgo cursors the
+  * same way, `backends/mongo/mgo_results.go:100-180`). Transient
+  * connection failures before the first batch retry with backoff;
+  * mid-cursor failures surface (a cursor is server state — restarting it
+  * silently could duplicate rows). */
+final case class MongoClientConfig(
+    connectTimeoutMs: Int = 2000,
+    soTimeoutMs: Int = 10000,
+    maxRetries: Int = 3,
+    retryBackoffMs: Int = 50,
+    batchSize: Int = 256)
+
+final class MongoClientLite(host: String, port: Int,
+    cfg: MongoClientConfig = MongoClientConfig()) {
+
+  val requests = new AtomicLong(0)
+  val retries = new AtomicLong(0)
+
+  private val reqId = new AtomicInteger(1)
+  private var socket: Socket = _
+  private var in: DataInputStream = _
+
+  private def connect(): Unit = {
+    close()
+    val s = new Socket()
+    s.connect(new InetSocketAddress(host, port), cfg.connectTimeoutMs)
+    s.setSoTimeout(cfg.soTimeoutMs)
+    s.setTcpNoDelay(true)
+    socket = s
+    in = new DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+  }
+
+  def close(): Unit = {
+    if (socket != null) { try socket.close() catch { case _: IOException => () } }
+    socket = null; in = null
+  }
+
+  private def roundTrip(cmd: BDoc): BDoc = {
+    if (socket == null || socket.isClosed) connect()
+    requests.incrementAndGet()
+    OpMsg.write(socket.getOutputStream, reqId.getAndIncrement(), 0, cmd)
+    val (_, reply) = OpMsg.read(in)
+    reply.get("ok") match {
+      case Some(d: java.lang.Double) if d == 1.0 => reply
+      case _ =>
+        val msg = reply.get("errmsg").map(_.toString).getOrElse(reply.render)
+        throw new IOException(s"mongo command failed: $msg")
+    }
+  }
+
+  /** Retry the round-trip on transient I/O failure (reconnecting); only
+    * safe for the cursor-opening command, which is idempotent. */
+  private def roundTripRetrying(cmd: BDoc): BDoc = {
+    var attempt = 0
+    while (true) {
+      try return roundTrip(cmd)
+      catch {
+        case e: IOException if attempt < cfg.maxRetries &&
+            !Option(e.getMessage).exists(_.startsWith("mongo command failed")) =>
+          attempt += 1
+          retries.incrementAndGet()
+          close()
+          Thread.sleep(cfg.retryBackoffMs.toLong * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Run `find` and stream the cursor's documents. */
+  def find(db: String, coll: String, filter: BDoc,
+      projection: Option[BDoc] = None, sort: Option[BDoc] = None,
+      limit: Int = -1, batchSize: Int = -1): Iterator[BDoc] = {
+    val bs = if (batchSize > 0) batchSize else cfg.batchSize
+    val base = Seq(
+      "find" -> (coll: Any),
+      "$db" -> (db: Any),
+      "filter" -> (filter: Any),
+      "batchSize" -> (bs: Any)) ++
+      projection.map("projection" -> (_: Any)) ++
+      sort.map("sort" -> (_: Any)) ++
+      (if (limit > 0) Seq("limit" -> (limit: Any)) else Nil)
+    val first = roundTripRetrying(BDoc(base))
+    new Iterator[BDoc] {
+      private var cursor = first.get("cursor").get.asInstanceOf[BDoc]
+      private var cursorId = cursor.get("id").get.asInstanceOf[java.lang.Long].longValue()
+      private var batch = cursor.get("firstBatch").getOrElse(Seq.empty)
+        .asInstanceOf[Seq[Any]].iterator
+      override def hasNext: Boolean = {
+        while (!batch.hasNext && cursorId != 0L) {
+          val more = roundTrip(BDoc(Seq(
+            "getMore" -> (cursorId: Any), "collection" -> (coll: Any),
+            "$db" -> (db: Any), "batchSize" -> (bs: Any))))
+          cursor = more.get("cursor").get.asInstanceOf[BDoc]
+          cursorId = cursor.get("id").get.asInstanceOf[java.lang.Long].longValue()
+          batch = cursor.get("nextBatch").getOrElse(Seq.empty)
+            .asInstanceOf[Seq[Any]].iterator
+        }
+        batch.hasNext
+      }
+      override def next(): BDoc = batch.next().asInstanceOf[BDoc]
+    }
+  }
+}
+
+/** In-process loopback mongod stand-in: a real TCP listener speaking
+  * OP_MSG, serving registered collections with filter/projection/sort/
+  * limit evaluation and cursor-batched replies — the live service a
+  * deployment points [[MongoClientLite]] at. Fault-injection knobs let
+  * specs force the client's reconnect/retry paths over a genuine socket. */
+object LoopbackMongoServer {
+
+  val Db = "graft"
+
+  final case class Collection(schema: StructType, rows: Seq[Array[Any]])
+
+  private val collections = TrieMap.empty[String, Collection]
+  private val cursors = TrieMap.empty[Long, Iterator[BDoc]]
+  private val serverRef = new AtomicReference[ServerSocket](null)
+  private val nextCursor = new AtomicLong(1)
+
+  /** Next N commands abort the connection without replying. */
+  val failNext = new AtomicInteger(0)
+  /** Artificial per-command latency — drive client timeouts. */
+  val delayMs = new AtomicInteger(0)
+  /** Commands served (including injected failures). */
+  val served = new AtomicLong(0)
+  /** The last `find` command seen, rendered (pushdown assertions). */
+  val lastFind = new AtomicReference[String]("")
+
+  def register(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit =
+    collections.put(name.toLowerCase, Collection(schema, rows))
+
+  /** Start (once); returns (host, port). */
+  def ensureStarted(): (String, Int) = {
+    val cur = serverRef.get()
+    if (cur != null) return ("127.0.0.1", cur.getLocalPort)
+    val srv = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+    if (!serverRef.compareAndSet(null, srv)) {
+      srv.close()
+      return ("127.0.0.1", serverRef.get().getLocalPort)
+    }
+    val acceptor = new Thread(() => acceptLoop(srv), "graft-loopback-mongo")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    ("127.0.0.1", srv.getLocalPort)
+  }
+
+  private def acceptLoop(srv: ServerSocket): Unit =
+    while (!srv.isClosed) {
+      try {
+        val sock = srv.accept()
+        val t = new Thread(() => serve(sock), "graft-loopback-mongo-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: IOException => () }
+    }
+
+  private def serve(sock: Socket): Unit = {
+    try {
+      sock.setTcpNoDelay(true)
+      val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
+      while (!sock.isClosed) {
+        val (requestId, cmd) = OpMsg.read(in)
+        served.incrementAndGet()
+        val d = delayMs.get()
+        if (d > 0) Thread.sleep(d.toLong)
+        if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+          sock.close() // injected failure: abort without a reply
+          return
+        }
+        val reply = try dispatch(cmd) catch {
+          case e: Exception => BDoc(Seq(
+            "ok" -> (0.0: java.lang.Double), "errmsg" -> e.getMessage, "code" -> (2: Any)))
+        }
+        OpMsg.write(sock.getOutputStream, 0, requestId, reply)
+      }
+    } catch {
+      case _: java.io.EOFException => () // client hung up
+      case _: IOException => ()
+    } finally {
+      try sock.close() catch { case _: IOException => () }
+    }
+  }
+
+  /** Pull up to `n` elements by direct next() calls (take() would leave
+    * the source iterator in an unspecified state). */
+  private def drain(it: Iterator[BDoc], n: Int): Seq[BDoc] = {
+    val buf = Seq.newBuilder[BDoc]
+    var k = 0
+    while (k < n && it.hasNext) { buf += it.next(); k += 1 }
+    buf.result()
+  }
+
+  private def dispatch(cmd: BDoc): BDoc = cmd.fields.headOption match {
+    case Some(("find", collName)) => runFind(collName.toString, cmd)
+    case Some(("getMore", id)) =>
+      val cursorId = id.asInstanceOf[java.lang.Long].longValue()
+      val it = cursors.getOrElse(cursorId,
+        throw new NoSuchElementException(s"cursor $cursorId not found"))
+      val bs = cmd.get("batchSize").map(_.asInstanceOf[Number].intValue()).getOrElse(101)
+      val batch = drain(it, bs)
+      val live = it.hasNext
+      if (!live) cursors.remove(cursorId)
+      val ns = Db + "." + cmd.get("collection").map(_.toString).getOrElse("")
+      BDoc(Seq(
+        "cursor" -> BDoc(Seq(
+          "id" -> ((if (live) cursorId else 0L): java.lang.Long),
+          "ns" -> ns,
+          "nextBatch" -> batch)),
+        "ok" -> (1.0: java.lang.Double)))
+    case Some(("ping", _)) => BDoc(Seq("ok" -> (1.0: java.lang.Double)))
+    case Some((other, _)) => throw new IllegalArgumentException(s"unsupported command $other")
+    case None => throw new IllegalArgumentException("empty command")
+  }
+
+  private def runFind(collName: String, cmd: BDoc): BDoc = {
+    val coll = collections.getOrElse(collName.toLowerCase,
+      throw new NoSuchElementException(s"ns not found: $Db.$collName"))
+    lastFind.set(cmd.render)
+    val filter = cmd.get("filter").map(_.asInstanceOf[BDoc]).getOrElse(BDoc.empty)
+    val projection = cmd.get("projection").map(_.asInstanceOf[BDoc])
+    val sort = cmd.get("sort").map(_.asInstanceOf[BDoc])
+    val limit = cmd.get("limit").map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+    val bs = cmd.get("batchSize").map(_.asInstanceOf[Number].intValue()).getOrElse(101)
+
+    var rows = coll.rows.filter(r => MongoDsl.eval(filter, r, coll.schema))
+    sort.foreach(s => rows = rows.sorted(MongoDsl.sortComparator(s, coll.schema)))
+    if (limit > 0) rows = rows.take(limit)
+
+    // projection: {f: 1, ...} keeps the listed fields (no _id here)
+    val keep: Array[Int] = projection match {
+      case Some(p) =>
+        p.fields.collect {
+          case (name, inc) if inc.asInstanceOf[Number].intValue() == 1 =>
+            coll.schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        }.filter(_ >= 0).toArray
+      case None => coll.schema.fields.indices.toArray
+    }
+    def toDoc(r: Array[Any]): BDoc =
+      BDoc(keep.toSeq.map(i => coll.schema.fields(i).name -> r(i)))
+
+    val it = rows.iterator.map(toDoc)
+    val first = drain(it, bs)
+    val live = it.hasNext
+    val id = if (live) {
+      val cid = nextCursor.getAndIncrement()
+      cursors.put(cid, it)
+      cid
+    } else 0L
+    BDoc(Seq(
+      "cursor" -> BDoc(Seq(
+        "id" -> (id: java.lang.Long),
+        "ns" -> (Db + "." + collName),
+        "firstBatch" -> first)),
+      "ok" -> (1.0: java.lang.Double)))
+  }
+}
+
+/** Serializable Mongo endpoint pointer (executor JVMs rebuild the client). */
+final case class MongoEndpointSpec(host: String, port: Int, db: String,
+    collection: String, cfg: MongoClientConfig)
+
+final case class MongoEndpoint(source: String, table: String, schema: StructType,
+    spec: MongoEndpointSpec)
+
+/** Driver-side Mongo endpoint registry (catalog resolution only). */
+object MongoEndpoints {
+  private val endpoints = TrieMap.empty[(String, String), MongoEndpoint]
+  def register(e: MongoEndpoint): Unit = endpoints.put((e.source, e.table.toLowerCase), e)
+  def get(source: String, table: String): Option[MongoEndpoint] =
+    endpoints.get((source, table.toLowerCase))
+  def list(source: String): Seq[String] =
+    endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
+}
+
+class MongoTable(val ep: MongoEndpoint) extends Table with SupportsRead {
+  override def name(): String =
+    s"${SourceRegistry.CatalogName}.${ep.source}.${ep.table}"
+  override def schema(): StructType = ep.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.Set.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MongoScanBuilder(ep)
+}
+
+/** Pushdown surface mirroring the reference's Mongo backend: the full
+  * WHERE tree (when it compiles), column projection (`find` projection
+  * doc), ORDER BY (+ limit) as the `sort`/`limit` options
+  * (`sql_to_mgo.go:220-245` passes filter, sort, limit, skip into one
+  * query). Sort+limit is partial — Spark merges per-partition candidates,
+  * which also keeps the plan correct if a deployment splits one
+  * collection across shard partitions. */
+class MongoScanBuilder(ep: MongoEndpoint) extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit
+  with SupportsPushDownTopN {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ep.schema
+  private var limit: Int = -1
+  private var sortDoc: Option[BDoc] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, declined) = filters.partition(f => MongoDsl.compile(f).isDefined)
+    pushed = ok
+    declined
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Mongo's null placement matches Spark's defaults (nulls lowest):
+    * accept ASC+NULLS_FIRST and DESC+NULLS_LAST on top-level columns. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    val keys = orders.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 &&
+            ep.schema.fieldNames.exists(_.equalsIgnoreCase(nr.fieldNames()(0))) =>
+          val desc = so.direction() == SortDirection.DESCENDING
+          val nullsFirst = so.nullOrdering() == NullOrdering.NULLS_FIRST
+          if (desc != nullsFirst) Some(nr.fieldNames()(0) -> (if (desc) -1 else 1))
+          else None
+        case _ => None
+      }
+    }
+    if (keys.exists(_.isEmpty)) false
+    else {
+      sortDoc = Some(BDoc(keys.map(k => k.get._1 -> (k.get._2: Any)).toSeq))
+      limit = n
+      true
+    }
+  }
+
+  override def build(): Scan = {
+    val filter = MongoDsl.compileAll(pushed.toSeq.flatMap(MongoDsl.compile))
+    val projection =
+      if (required.fieldNames.sameElements(ep.schema.fieldNames)) None
+      else Some(BDoc(required.fieldNames.toSeq.map(_ -> (1: Any))))
+    new MongoScan(ep, required, filter, projection, sortDoc, limit, pushed)
+  }
+}
+
+class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
+    projection: Option[BDoc], sort: Option[BDoc], limit: Int,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftMongoScan endpoint=${ep.source}/${ep.table} " +
+      s"filter=${filter.render} sort=${sort.map(_.render).getOrElse("none")} " +
+      s"limit=$limit PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MongoPartition(ep.spec, Bson.encode(filter),
+      projection.map(Bson.encode), sort.map(Bson.encode), limit, required.json))
+
+  override def createReaderFactory(): PartitionReaderFactory = new MongoReaderFactory
+}
+
+final case class MongoPartition(spec: MongoEndpointSpec, filterBson: Array[Byte],
+    projectionBson: Option[Array[Byte]], sortBson: Option[Array[Byte]],
+    limit: Int, requiredSchemaJson: String) extends InputPartition
+
+class MongoReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MongoPartition]
+    val required = DataType.fromJson(p.requiredSchemaJson).asInstanceOf[StructType]
+    val client = new MongoClientLite(p.spec.host, p.spec.port, p.spec.cfg)
+    val conv = CatalystTypeConverters.createToCatalystConverter(required)
+    val docs = client.find(p.spec.db, p.spec.collection,
+      Bson.decode(p.filterBson),
+      p.projectionBson.map(Bson.decode),
+      p.sortBson.map(Bson.decode),
+      limit = p.limit)
+    val it = docs.map { doc =>
+      conv(Row.fromSeq(required.fields.toSeq.map { f =>
+        doc.get(f.name).map(coerce(_, f.dataType)).orNull
+      })).asInstanceOf[InternalRow]
+    }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = client.close()
+    }
+  }
+
+  /** BSON wire value → the external type `dt` expects (int32/int64
+    * interchange widens/narrows exactly like the reference's value
+    * coercion, `mgo_source.go:269-311`). */
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (l: java.lang.Long, LongType) => l
+    case (i: java.lang.Integer, LongType) => i.longValue(): java.lang.Long
+    case (i: java.lang.Integer, IntegerType) => i
+    case (l: java.lang.Long, IntegerType) => l.intValue(): java.lang.Integer
+    case (i: java.lang.Integer, ShortType) => i.shortValue(): java.lang.Short
+    case (d: java.lang.Double, DoubleType) => d
+    case (l: java.lang.Long, DoubleType) => l.doubleValue(): java.lang.Double
+    case (i: java.lang.Integer, DoubleType) => i.doubleValue(): java.lang.Double
+    case (d: java.lang.Double, FloatType) => d.floatValue(): java.lang.Float
+    case (s: String, StringType) => s
+    case (b: java.lang.Boolean, BooleanType) => b
+    case (t: java.sql.Timestamp, TimestampType) => t
+    case (other, t) => throw new IOException(
+      s"BSON value ${other.getClass.getSimpleName} does not fit $t")
+  }
+}

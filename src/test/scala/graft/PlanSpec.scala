@@ -409,6 +409,41 @@ class PlanSpec extends AnyFunSuite {
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q_events_funnel: three chained windows ride ONE user_id exchange, no joins") {
+    val p = plan("q_events_funnel")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.size == 3, s"three funnel steps = three window passes: $windows")
+    val userShuffles = collectAll(p) {
+      case s: ShuffleExchangeExec if s.outputPartitioning.toString.contains("user_id") => s
+    }
+    assert(userShuffles.size == 1,
+      s"the chained windows and the per-user reduce must share one user_id " +
+        s"exchange, found ${userShuffles.size}")
+    val f = formatted("q_events_funnel")
+    assert(!f.contains("Join"), "the funnel must not plan self-joins")
+  }
+
+  test("q_cdc_scd2: fingerprint-first — md5 reduces below the single full outer join") {
+    val f = formatted("q_cdc_scd2")
+    assert(f.contains("FullOuter"), f)
+    val p = plan("q_cdc_scd2")
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    val joins = collectAll(p) {
+      case j: SortMergeJoinExec => j: Any
+      case j: ShuffledHashJoinExec => j: Any
+    }
+    assert(joins.size == 1, s"one snapshot join only, found ${joins.size}")
+    // the md5 projection must sit BELOW the join (thin fingerprint streams
+    // shuffle, never the payload): every join-side output is key + hash
+    val widths = joins.head match {
+      case j: SortMergeJoinExec => Seq(j.left.output.size, j.right.output.size)
+      case j: ShuffledHashJoinExec => Seq(j.left.output.size, j.right.output.size)
+    }
+    assert(widths.forall(_ == 2), s"join inputs must be (key, md5) pairs: $widths")
+  }
+
   test("q_embed_probe: scoring reuses the cached frame; confusion agg is partial") {
     val f = formatted("q_embed_probe")
     // trained weights enter as a literal array — the scoring pass is a
