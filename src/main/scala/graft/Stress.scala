@@ -96,7 +96,8 @@ object Stress {
     val d1 = new java.io.File(base, "x1")
     val dR = new java.io.File(base, s"x$r")
     def stage(dir: java.io.File, reps: Int): Unit = {
-      val marker = new java.io.File(dir, "_STAGED_v2")
+      // v3: + events.parquet (user-offset replicas for the funnel arm)
+      val marker = new java.io.File(dir, "_STAGED_v3")
       if (marker.isFile) return
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -144,6 +145,17 @@ object Stress {
           (col("l_suppkey") + col("r") * 10000000L).as("l_suppkey"))
         .repartition(32)
         .write.mode("overwrite").parquet(new java.io.File(dir, "lineitem.parquet").getPath)
+      // user-offset replicas of the events table: each replica is a
+      // DISJOINT user population with the SAME per-user event history, so
+      // funnel/retention window work scales exactly R× while per-user
+      // partition sizes stay constant — the flat-shuffle-task ground
+      // truth for the chained-window design.
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("ts"), col("user_id"), col("event_type"), repl)
+        .select(col("ts"), (col("user_id") + col("r") * 10000000L).as("user_id"),
+          col("event_type"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(new java.io.File(dir, "events.parquet").getPath)
       marker.createNewFile()
     }
     stage(d1, 1)
@@ -160,7 +172,10 @@ object Stress {
       "q_graph_pagerank", "q_dedup_spans",
       // round-9 additions: bloom-prefiltered decontam, PMI collocations,
       // fingerprint-first snapshot diff
-      "q_curation_bloom_decontam", "q_text_pmi", "q_cdc_snapshot_diff")
+      "q_curation_bloom_decontam", "q_text_pmi", "q_cdc_snapshot_diff",
+      // round-9 additions (second batch): chained-window funnel over
+      // disjoint user replicas, SCD2 snapshot merge
+      "q_events_funnel", "q_cdc_scd2")
     // optional comma-separated subset for fast local iteration; the
     // driver never sets it → full sweep
     val ops = sys.env.get("SPARK_GRAFT_STRESS_OPS")
@@ -244,7 +259,16 @@ object Stress {
       "q_text_pmi" -> defB.copy(linearRows = false),
       // r9: two md5 projections + a co-partitioned full outer join on
       // (key, hash) pairs; diff rows scale with the corpus
-      "q_cdc_snapshot_diff" -> defB.copy(time = 3.5))
+      "q_cdc_snapshot_diff" -> defB.copy(time = 3.5),
+      // r9 batch 2: the funnel's exchange is corpus-sized by design but
+      // per-user groups are constant-size across replicas — shuffle-read
+      // per task grows only with rows-per-partition under the fixed
+      // 32-partition layout (≤ r balanced), so corpusShuffle; one output
+      // row regardless of corpus
+      "q_events_funnel" -> defB.copy(linearRows = false, corpusShuffle = true),
+      // r9 batch 2: same join shape as the snapshot diff, history rows
+      // scale with the corpus
+      "q_cdc_scd2" -> defB)
 
     final case class Obs(sec: Double, rows: Long, maxInMb: Double, maxShMb: Double,
         top: Seq[(Int, String, Long, Long)])

@@ -365,6 +365,45 @@ object Federation {
         .orderBy("o_orderpriority")
     },
 
+    // CQL-PROTOCOL scan over a real socket (reference: sql_to_cql.go:
+    // 430-560 pushes only simple comparisons on partition/clustering key
+    // columns — "MUST follow rules of partition keys" — and polyfills
+    // the rest): the partition-key equality + clustering range compile
+    // to CQL text and ship in a native-protocol QUERY; the residual is
+    // empty because the whole predicate is inside the key rules.
+    GQuery(
+      "q_src_cql_key",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey BETWEEN 100 AND 2000
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.CqlSourceName}.customer_cql")
+        .filter(col("c_mktsegment") === "BUILDING" &&
+          col("c_custkey").between(100, 2000))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // CQL residual polyfill, ENFORCED server-side: the non-key c_acctbal
+    // conjunct is outside Cassandra's WHERE rules — the loopback server
+    // would refuse it (ALLOW FILTERING) — so the connector declines it
+    // and Spark re-applies it over the key-pruned stream. The key
+    // conjuncts still push (partition equality + clustering upper bound).
+    GQuery(
+      "q_src_cql_residual",
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal FROM customer
+        |WHERE c_mktsegment = 'MACHINERY' AND c_custkey < 3000
+        |  AND c_acctbal > 5000.0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.CqlSourceName}.customer_cql")
+        .filter(col("c_mktsegment") === "MACHINERY" && col("c_custkey") < 3000 &&
+          col("c_acctbal") > 5000.0)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_custkey")
+    },
+
     // Aggregate pushdown (reference: SQL→ES aggregations,
     // backends/elasticsearch/sqltoes.go:285-365): the scan ships per-file
     // partial count/min/max/sum per group, Spark merges — the raw rows

@@ -551,6 +551,73 @@ object Relational {
         .orderBy("col_name")
     },
 
+    // Declarative data-quality constraint checking (the Deequ/dbt-test
+    // shape): uniqueness, completeness, domain membership, range, and
+    // cross-table referential integrity, each reported as (constraint,
+    // n_checked, n_violations, passed). Constraints are chosen so some
+    // FAIL with non-zero counts on this data (an all-zero report can't
+    // distinguish a correct checker from a broken one): the RI check
+    // references only the %7-surviving customer keys (a stand-in for an
+    // "active" dimension subset), the domain check omits 'P', and the
+    // range check uses a threshold real rows violate. Scale shape: the
+    // four single-table constraints fold into ONE conditional-aggregate
+    // pass over orders (count + exact distinct + filtered counts share
+    // the scan), and the RI check is a LEFT ANTI join against the
+    // referenced key set — at 100 TB the anti join shuffles on the key,
+    // pruned to the keys column on both sides; nothing else leaves the
+    // scans. The uniqueness violation count is n - countDistinct, exact.
+    GQuery(
+      "q_profile_constraints",
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd,
+        |         CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS null_cust,
+        |         CAST(count(*) FILTER (
+        |           WHERE o_orderstatus NOT IN ('O', 'F')) AS BIGINT) AS bad_status,
+        |         CAST(count(*) FILTER (WHERE o_totalprice < 1000.0) AS BIGINT) AS bad_price
+        |  FROM orders),
+        |ri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS orphans
+        |  FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey % 7 <> 0
+        |                      AND o.o_custkey = c.c_custkey))
+        |SELECT * FROM (
+        |  SELECT 'orders.o_custkey references active customers' AS constraint_name,
+        |         s.n AS n_checked, ri.orphans AS n_violations, ri.orphans = 0 AS passed
+        |  FROM s CROSS JOIN ri
+        |  UNION ALL SELECT 'orders.o_custkey not_null', n, null_cust, null_cust = 0 FROM s
+        |  UNION ALL SELECT 'orders.o_orderkey unique', n, n - nd, n = nd FROM s
+        |  UNION ALL SELECT 'orders.o_orderstatus in (O,F)', n, bad_status,
+        |                   bad_status = 0 FROM s
+        |  UNION ALL SELECT 'orders.o_totalprice >= 1000', n, bad_price,
+        |                   bad_price = 0 FROM s)
+        |ORDER BY constraint_name""".stripMargin) { (s, d) =>
+      val o = ord(s, d)
+      val single = o.agg(
+        count(lit(1)).as("n"),
+        countDistinct("o_orderkey").as("nd"),
+        count(when(col("o_custkey").isNull, 1)).as("null_cust"),
+        count(when(!col("o_orderstatus").isin("O", "F"), 1)).as("bad_status"),
+        count(when(col("o_totalprice") < 1000.0, 1)).as("bad_price"))
+      val orphans = o.select("o_custkey")
+        .join(Tables.load(s, d, "customer").select("c_custkey")
+          .filter(col("c_custkey") % 7 =!= 0),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      single.crossJoin(orphans)
+        .select(expr(
+          """stack(5,
+            |  'orders.o_custkey references active customers', n, orphans, orphans = 0,
+            |  'orders.o_custkey not_null', n, null_cust, null_cust = 0,
+            |  'orders.o_orderkey unique', n, n - nd, n = nd,
+            |  'orders.o_orderstatus in (O,F)', n, bad_status, bad_status = 0,
+            |  'orders.o_totalprice >= 1000', n, bad_price, bad_price = 0)
+            |AS (constraint_name, n_checked, n_violations, passed)"""
+            .stripMargin.replace("\n", " ")))
+        .orderBy("constraint_name")
+    },
+
     // Z-order (Morton) data layout — the multi-dimensional clustering an
     // OPTIMIZE ... ZORDER BY runs so per-file min/max sidecars can prune
     // on EVERY clustered dimension, not just a sort prefix. The z-value

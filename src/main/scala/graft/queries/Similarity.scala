@@ -422,6 +422,103 @@ object Similarity {
     },
 
     // Matryoshka-style dimension-truncation recall: retrieval quality of
+    // MMR (maximal marginal relevance) diversified retrieval — the
+    // RAG-serving rerank: greedily select k results maximizing
+    // λ·relevance − (1−λ)·max-similarity-to-already-selected, so the
+    // answer set covers the query's neighborhood instead of returning k
+    // near-copies. Scale split: the DISTRIBUTED work is relevance
+    // scoring + top-pool selection (one broadcast-query corpus pass,
+    // TakeOrdered to a 20-candidate pool); the greedy then runs on the
+    // collected pool — a 20×20 similarity matrix, metadata at any
+    // corpus size (same contract as k-means centroids). Driver dot
+    // products use the same left-to-right fold as the native vec_dot
+    // expression and DuckDB's list_dot_product, so the scores — and
+    // therefore the SELECTION — are bit-identical with the unrolled
+    // 5-step oracle.
+    GQuery(
+      "q_ann_mmr", {
+      val sim = (a: String, b: String) =>
+        s"list_dot_product($a.v, $b.v) / (sqrt(list_dot_product($a.v, $a.v)) * " +
+          s"sqrt(list_dot_product($b.v, $b.v)))"
+      // p1 = pure-relevance head; p2..p5 = argmax of 0.7·rel − 0.3·maxsim
+      val steps = (2 to 5).map { k =>
+        val sel = (1 until k).map(i => s"SELECT cand_id FROM p$i").mkString(" UNION ALL ")
+        s"""p$k AS (
+           |  SELECT p.cand_id, p.rel,
+           |         0.7 * p.rel - 0.3 * (SELECT max(s.sim) FROM sims s
+           |                              WHERE s.a = p.cand_id AND s.b IN ($sel)) AS score
+           |  FROM pool p WHERE p.cand_id NOT IN ($sel)
+           |  ORDER BY score DESC, cand_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 5).map(k =>
+        s"SELECT $k AS rnk, cand_id, round(rel, 4) AS rel, round(score, 4) AS mmr FROM p$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v FROM e WHERE vec_id = 0),
+         |pool AS (
+         |  SELECT c.vec_id AS cand_id, c.v,
+         |         list_dot_product((SELECT v FROM q), c.v) /
+         |           (sqrt(list_dot_product((SELECT v FROM q), (SELECT v FROM q))) *
+         |            sqrt(list_dot_product(c.v, c.v))) AS rel
+         |  FROM e c WHERE c.vec_id <> 0
+         |  ORDER BY rel DESC, cand_id LIMIT 20),
+         |sims AS (
+         |  SELECT a.cand_id AS a, b.cand_id AS b, ${sim("a", "b")} AS sim
+         |  FROM pool a JOIN pool b ON a.cand_id <> b.cand_id),
+         |p1 AS (SELECT cand_id, rel, rel AS score FROM pool
+         |       ORDER BY rel DESC, cand_id LIMIT 1),
+         |$steps
+         |SELECT CAST(rnk AS BIGINT) AS rnk, cand_id, rel, mmr FROM ($out)
+         |ORDER BY rnk""".stripMargin
+    }) { (s, d) =>
+      val e = vecs(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val pool = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("cand_id"), col("v"),
+          cosine(col("v"), col("qv")).as("rel"))
+        .orderBy(col("rel").desc, col("cand_id"))
+        .limit(20)
+        .collect() // 20-candidate pool: bounded metadata by construction
+      final case class Cand(id: Long, v: Array[Double], rel: Double)
+      val cands = pool.map(r => Cand(r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getDouble(2))).toSeq
+      def dotD(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 } // vec_dot's fold
+        acc
+      }
+      def cosD(a: Array[Double], b: Array[Double]): Double =
+        dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+      var selected = Vector.empty[(Long, Double, Double)] // (id, rel, score)
+      var remaining = cands
+      for (_ <- 1 to 5) {
+        val scored = remaining.map { c =>
+          val score =
+            if (selected.isEmpty) c.rel
+            else {
+              val maxSim = selected.iterator.map { case (id, _, _) =>
+                cosD(c.v, cands.find(_.id == id).get.v)
+              }.max
+              // literal 0.3, NOT (1 − 0.7) — the latter is
+              // 0.30000000000000004 and would diverge from the oracle
+              0.7 * c.rel - 0.3 * maxSim
+            }
+          (c, score)
+        }
+        val best = scored.minBy { case (c, score) => (-score, c.id) }
+        selected :+= ((best._1.id, best._1.rel, best._2))
+        remaining = remaining.filterNot(_.id == best._1.id)
+      }
+      import s.implicits._
+      selected.zipWithIndex
+        .map { case ((id, rel, score), i) => (i + 1L, id, rel, score) }
+        .toDF("rnk", "cand_id", "rel0", "mmr0")
+        .select(col("rnk"), col("cand_id"),
+          round(col("rel0"), 4).as("rel"), round(col("mmr0"), 4).as("mmr"))
+        .orderBy("rnk")
+    },
+
     // PREFIX-truncated embeddings (dims 8/16/32 of 64) vs the full-dim
     // exact top-5 — the eval that decides how far a pipeline can shrink
     // its vectors (storage and ANN cost scale linearly with dim) before

@@ -1,0 +1,544 @@
+package graft.sources
+
+import java.io.{DataInputStream, IOException}
+import java.net.{InetAddress, InetSocketAddress, ServerSocket, Socket}
+import java.util
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong, AtomicReference}
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.protocol.CqlWire
+import graft.protocol.CqlWire.{Frame, Op, T}
+
+/** SQL→CQL translation under Cassandra's key rules (the reference's
+  * Cassandra backend, `backends/cassandra/sql_to_cql.go:430-560`: only
+  * simple comparisons on partition/clustering-key columns push — "MUST
+  * follow rules of partition keys"; functions, BETWEEN-as-TriNode, OR,
+  * LIKE, and non-key columns set `needsPolyFill` and stay engine-side).
+  * Enforced here exactly as Cassandra would:
+  *
+  *   - every partition-key column must be EQUALITY-bound, or NOTHING
+  *     pushes (a partial partition key is an illegal CQL query);
+  *   - clustering columns push as a PREFIX: column i may carry a range
+  *     only if columns 1..i-1 are equality-bound; a range cuts the
+  *     prefix (later clustering predicates decline);
+  *   - `!=`, IN, OR, LIKE, IS NULL decline (the reference lets `!=`
+  *     through, `sql_to_cql.go:551-554`, which real Cassandra rejects —
+  *     we side with the server; its test suite polyfills these anyway).
+  *
+  * Declined predicates return to Spark as residuals — the polyfill
+  * contract (`needsWherePolyFill`, sql_to_cql.go:447-457).
+  */
+object CqlGen {
+
+  final case class Accepted(where: Seq[String], pushed: Seq[Filter])
+
+  private def lit(v: Any): Option[String] = v match {
+    case null => None
+    case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short => Some(v.toString)
+    case d: java.lang.Double => Some(d.toString)
+    case f: java.lang.Float => Some(f.toString)
+    case b: java.lang.Boolean => Some(b.toString)
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case t: java.sql.Timestamp if t.getNanos % 1000000 == 0 => Some(t.getTime.toString)
+    case i: java.time.Instant if i.getNano % 1000000 == 0 =>
+      Some(i.toEpochMilli.toString)
+    case _ => None
+  }
+
+  /** One simple comparison on a named column, or None. */
+  private def simple(f: Filter): Option[(String, String, String)] = f match {
+    case EqualTo(a, v) => lit(v).map((a, "=", _))
+    case GreaterThan(a, v) => lit(v).map((a, ">", _))
+    case GreaterThanOrEqual(a, v) => lit(v).map((a, ">=", _))
+    case LessThan(a, v) => lit(v).map((a, "<", _))
+    case LessThanOrEqual(a, v) => lit(v).map((a, "<=", _))
+    case _ => None
+  }
+
+  /** Split pushable key predicates from residuals under the key rules. */
+  def split(filters: Seq[Filter], partitionKeys: Seq[String],
+      clusteringKeys: Seq[String]): (Accepted, Seq[Filter]) = {
+    val pk = partitionKeys.map(_.toLowerCase).toSet
+    val ck = clusteringKeys.map(_.toLowerCase)
+    val parsed = filters.map(f => f -> simple(f))
+
+    val pkEq = parsed.collect {
+      case (f, Some((a, "=", v))) if pk(a.toLowerCase) => (a.toLowerCase, f, s"$a = $v")
+    }
+    // rule 1: the FULL partition key must be equality-bound
+    if (pkEq.map(_._1).toSet != pk)
+      return (Accepted(Nil, Nil), filters)
+
+    // rule 2: clustering prefix, ranges only at the cut
+    val byCol = parsed.collect { case (f, Some(t)) => (f, t) }
+      .groupBy(_._2._1.toLowerCase)
+    var open = true
+    val ckAccepted = Seq.newBuilder[(Filter, String)]
+    for (c <- ck if open) {
+      byCol.get(c) match {
+        case Some(preds) =>
+          val eq = preds.filter(_._2._2 == "=")
+          if (eq.nonEmpty) {
+            // equality keeps the prefix open
+            eq.foreach { case (f, (a, op, v)) => ckAccepted += f -> s"$a $op $v" }
+            if (preds.size != eq.size) {
+              // mixing = and ranges on one column: take them all, close
+              preds.filter(_._2._2 != "=").foreach { case (f, (a, op, v)) =>
+                ckAccepted += f -> s"$a $op $v"
+              }
+              open = false
+            }
+          } else {
+            preds.foreach { case (f, (a, op, v)) => ckAccepted += f -> s"$a $op $v" }
+            open = false // a range cuts the prefix
+          }
+        case None => open = false
+      }
+    }
+    val ckDone = ckAccepted.result()
+    // IS NOT NULL on a column already constrained by an accepted
+    // comparison is IMPLIED server-side (CQL comparisons never match
+    // null cells) — absorb it so a fully-pushed WHERE leaves no Filter
+    // node behind (which would also block limit pushdown)
+    val constrained = (pkEq.map(_._1) ++ ckDone.collect {
+      case (f, _) => simple(f).get._1.toLowerCase
+    }).toSet
+    val implied = filters.collect {
+      case f @ IsNotNull(a) if constrained(a.toLowerCase) => f: Filter
+    }
+    val acceptedFilters = pkEq.map(_._2) ++ ckDone.map(_._1) ++ implied
+    val where = pkEq.map(_._3) ++ ckDone.map(_._2)
+    val residual = filters.filterNot(acceptedFilters.contains)
+    (Accepted(where, acceptedFilters), residual)
+  }
+
+  def typeId(dt: DataType): Int = dt match {
+    case LongType => T.Bigint
+    case IntegerType => T.Int
+    case ShortType => T.Smallint
+    case DoubleType => T.Double
+    case FloatType => T.Float
+    case BooleanType => T.Boolean
+    case TimestampType => T.Timestamp
+    case StringType => T.Varchar
+    case other => throw new IllegalArgumentException(s"no CQL type for $other")
+  }
+}
+
+/** Minimal CQL SELECT evaluator for the loopback server: parses the
+  * grammar the connector generates (`SELECT cols FROM t [WHERE simple
+  * conjuncts] [LIMIT n]`) and enforces Cassandra's key restrictions —
+  * a WHERE on a non-key column, or a partial partition key, answers an
+  * Invalid error mentioning ALLOW FILTERING, exactly the refusal that
+  * forces engine-side polyfill. */
+object CqlEval {
+
+  final case class Stmt(cols: Seq[String], table: String,
+      where: Seq[(String, String, String)], limit: Int)
+
+  private val SelectRe =
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\S+?)(?:\s+WHERE\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s*""".r
+
+  def parse(cql: String): Stmt = cql match {
+    case SelectRe(cols, table, where, limit) =>
+      val conds = Option(where).map(_.split("(?i)\\s+AND\\s+").toSeq.map { c =>
+        val m = """\s*([\w.]+)\s*(=|<=|>=|<|>)\s*(.+?)\s*""".r
+        c match {
+          case m(a, op, v) => (a, op, v)
+          case other => throw new IllegalArgumentException(s"cannot parse predicate: $other")
+        }
+      }).getOrElse(Nil)
+      Stmt(cols.split(",").map(_.trim).toSeq, table.trim,
+        conds, Option(limit).map(_.toInt).getOrElse(-1))
+    case other => throw new IllegalArgumentException(s"cannot parse CQL: $other")
+  }
+
+  def literal(raw: String, dt: DataType): Any = {
+    if (raw.startsWith("'") && raw.endsWith("'"))
+      return raw.substring(1, raw.length - 1).replace("''", "'")
+    dt match {
+      case LongType => raw.toLong: java.lang.Long
+      case IntegerType => raw.toInt: java.lang.Integer
+      case ShortType => raw.toShort: java.lang.Short
+      case DoubleType => raw.toDouble: java.lang.Double
+      case FloatType => raw.toFloat: java.lang.Float
+      case BooleanType => raw.toBoolean: java.lang.Boolean
+      case TimestampType => new java.sql.Timestamp(raw.toLong)
+      case StringType => raw
+      case other => throw new IllegalArgumentException(s"cannot parse $raw as $other")
+    }
+  }
+}
+
+/** In-process loopback Cassandra stand-in: a real TCP listener speaking
+  * native protocol v4 — STARTUP/READY handshake, QUERY with paging,
+  * RESULT Rows with global_tables_spec metadata — serving registered
+  * key-ordered tables and REFUSING non-key filtering like the real
+  * server. Fault injection drives the client's reconnect paths. */
+object LoopbackCqlServer {
+
+  val Keyspace = "graft"
+
+  final case class CqlTableData(schema: StructType, partitionKeys: Seq[String],
+      clusteringKeys: Seq[String], rows: Seq[Array[Any]])
+
+  private val tables = TrieMap.empty[String, CqlTableData]
+  private val serverRef = new AtomicReference[ServerSocket](null)
+
+  val failNext = new AtomicInteger(0)
+  val served = new AtomicLong(0)
+  /** Last QUERY's CQL text (pushdown assertions). */
+  val lastCql = new AtomicReference[String]("")
+
+  def register(name: String, schema: StructType, partitionKeys: Seq[String],
+      clusteringKeys: Seq[String], rows: Seq[Array[Any]]): Unit =
+    tables.put(name.toLowerCase,
+      CqlTableData(schema, partitionKeys, clusteringKeys, rows))
+
+  def ensureStarted(): (String, Int) = {
+    val cur = serverRef.get()
+    if (cur != null) return ("127.0.0.1", cur.getLocalPort)
+    val srv = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+    if (!serverRef.compareAndSet(null, srv)) {
+      srv.close()
+      return ("127.0.0.1", serverRef.get().getLocalPort)
+    }
+    val acceptor = new Thread(() => acceptLoop(srv), "graft-loopback-cql")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    ("127.0.0.1", srv.getLocalPort)
+  }
+
+  private def acceptLoop(srv: ServerSocket): Unit =
+    while (!srv.isClosed) {
+      try {
+        val sock = srv.accept()
+        val t = new Thread(() => serve(sock), "graft-loopback-cql-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: IOException => () }
+    }
+
+  private def serve(sock: Socket): Unit = {
+    try {
+      sock.setTcpNoDelay(true)
+      val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
+      while (!sock.isClosed) {
+        val f = CqlWire.readFrame(in)
+        served.incrementAndGet()
+        if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+          sock.close() // injected failure: abort without a reply
+          return
+        }
+        val reply: Frame = f.opcode match {
+          case Op.Startup => Frame(Op.Ready, f.stream, Array.empty)
+          case Op.Options =>
+            Frame(Op.Supported, f.stream,
+              new CqlWire.BodyOut().putShort(0).bytes)
+          case Op.Query =>
+            try runQuery(f)
+            catch {
+              case e: Exception => Frame(Op.Error, f.stream,
+                CqlWire.errorBody(0x2200, Option(e.getMessage).getOrElse(e.toString)))
+            }
+          case other => Frame(Op.Error, f.stream,
+            CqlWire.errorBody(0x000A, s"unsupported opcode $other"))
+        }
+        CqlWire.writeFrame(sock.getOutputStream, reply, response = true)
+      }
+    } catch {
+      case _: java.io.EOFException => ()
+      case _: IOException => ()
+    } finally {
+      try sock.close() catch { case _: IOException => () }
+    }
+  }
+
+  private def runQuery(f: Frame): Frame = {
+    val q = CqlWire.parseQueryBody(f.body)
+    lastCql.set(q.cql)
+    val stmt = CqlEval.parse(q.cql)
+    val t = tables.getOrElse(stmt.table.toLowerCase,
+      throw new IllegalArgumentException(s"unconfigured table ${stmt.table}"))
+    val fieldIdx = (n: String) => t.schema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+
+    // Cassandra's key restrictions: full partition key by equality, then
+    // a clustering prefix; anything else needs ALLOW FILTERING (refused)
+    val pk = t.partitionKeys.map(_.toLowerCase).toSet
+    val ck = t.clusteringKeys.map(_.toLowerCase)
+    val pkBound = stmt.where.collect {
+      case (a, "=", _) if pk(a.toLowerCase) => a.toLowerCase
+    }.toSet
+    stmt.where.foreach { case (a, op, _) =>
+      val al = a.toLowerCase
+      if (!pk(al) && !ck.contains(al))
+        throw new IllegalArgumentException(
+          s"Cannot execute this query as it might involve data filtering and " +
+            s"thus may have unpredictable performance. If you want to execute this " +
+            s"query despite the performance unpredictability, use ALLOW FILTERING " +
+            s"(non-key column $a)")
+      if (pk(al) && op != "=")
+        throw new IllegalArgumentException(
+          s"Only EQ and IN relation are supported on the partition key ($a)")
+    }
+    if (stmt.where.nonEmpty && pkBound != pk)
+      throw new IllegalArgumentException(
+        s"Partition key parts ${(pk -- pkBound).mkString(",")} must be restricted")
+
+    val matched = t.rows.filter { r =>
+      stmt.where.forall { case (a, op, raw) =>
+        val i = fieldIdx(a)
+        val v = CqlEval.literal(raw, t.schema.fields(i).dataType)
+        val c = FilterEval.cmp(r(i), v)
+        r(i) != null && c.exists { x =>
+          op match {
+            case "=" => x == 0
+            case ">" => x > 0; case ">=" => x >= 0
+            case "<" => x < 0; case "<=" => x <= 0
+          }
+        }
+      }
+    }
+    val limited = if (stmt.limit > 0) matched.take(stmt.limit) else matched
+    val outIdx = stmt.cols.map { c =>
+      val i = fieldIdx(c)
+      require(i >= 0, s"undefined column name $c")
+      i
+    }
+    val cols = outIdx.map(i => (t.schema.fields(i).name,
+      CqlGen.typeId(t.schema.fields(i).dataType)))
+
+    // paging: opaque state = row offset
+    val offset = Option(q.pagingState)
+      .map(s => java.nio.ByteBuffer.wrap(s).getLong.toInt).getOrElse(0)
+    val pageSize = if (q.pageSize > 0) q.pageSize else Int.MaxValue
+    val page = limited.slice(offset, math.min(limited.size.toLong,
+      offset.toLong + pageSize).toInt)
+    val nextState =
+      if (offset + page.size < limited.size)
+        java.nio.ByteBuffer.allocate(8).putLong((offset + page.size).toLong).array()
+      else null
+    val encoded = page.map(r => outIdx.map(i =>
+      CqlWire.encodeValue(r(i), CqlGen.typeId(t.schema.fields(i).dataType))).toArray)
+    Frame(Op.Result, f.stream,
+      CqlWire.rowsBody(Keyspace, stmt.table, cols, encoded, nextState))
+  }
+}
+
+/** Minimal Cassandra driver: native-protocol handshake + paged QUERY
+  * over a socket (the reference drives gocql the same way,
+  * `backends/cassandra/source.go` iterates paged results). Transient
+  * failures before the first page retry with reconnect + backoff;
+  * server ERROR frames fail fast with the server's message. */
+final case class CqlClientConfig(
+    connectTimeoutMs: Int = 2000,
+    soTimeoutMs: Int = 10000,
+    maxRetries: Int = 3,
+    retryBackoffMs: Int = 50,
+    pageSize: Int = 256)
+
+final class CqlClientLite(host: String, port: Int,
+    cfg: CqlClientConfig = CqlClientConfig()) {
+
+  val requests = new AtomicLong(0)
+  val retries = new AtomicLong(0)
+
+  private val streamId = new AtomicInteger(1)
+  private var socket: Socket = _
+  private var in: DataInputStream = _
+
+  private def connect(): Unit = {
+    close()
+    val s = new Socket()
+    s.connect(new InetSocketAddress(host, port), cfg.connectTimeoutMs)
+    s.setSoTimeout(cfg.soTimeoutMs)
+    s.setTcpNoDelay(true)
+    val din = new DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+    // handshake: STARTUP -> READY
+    CqlWire.writeFrame(s.getOutputStream,
+      Frame(Op.Startup, 0, CqlWire.startupBody()), response = false)
+    val ready = CqlWire.readFrame(din)
+    if (ready.opcode != Op.Ready)
+      throw new IOException(s"handshake failed: opcode ${ready.opcode}")
+    socket = s
+    in = din
+  }
+
+  def close(): Unit = {
+    if (socket != null) { try socket.close() catch { case _: IOException => () } }
+    socket = null; in = null
+  }
+
+  private def roundTrip(cql: String, pagingState: Array[Byte]): CqlWire.RowsResult = {
+    if (socket == null || socket.isClosed) connect()
+    requests.incrementAndGet()
+    val id = streamId.getAndIncrement() & 0x7FFF
+    CqlWire.writeFrame(socket.getOutputStream,
+      Frame(Op.Query, id, CqlWire.queryBody(cql, cfg.pageSize, pagingState)),
+      response = false)
+    val reply = CqlWire.readFrame(in)
+    reply.opcode match {
+      case Op.Result => CqlWire.parseResultBody(reply.body)
+      case Op.Error =>
+        val (code, msg) = CqlWire.parseErrorBody(reply.body)
+        throw new IOException(f"cql error 0x$code%04x: $msg")
+      case other => throw new IOException(s"unexpected opcode $other")
+    }
+  }
+
+  /** Run a SELECT, streaming pages lazily. */
+  def query(cql: String): Iterator[(Seq[(String, Int)], Array[Array[Byte]])] = {
+    var attempt = 0
+    var first: CqlWire.RowsResult = null
+    while (first == null) {
+      try first = roundTrip(cql, null)
+      catch {
+        case e: IOException if attempt < cfg.maxRetries &&
+            !Option(e.getMessage).exists(_.startsWith("cql error")) =>
+          attempt += 1
+          retries.incrementAndGet()
+          close()
+          Thread.sleep(cfg.retryBackoffMs.toLong * attempt)
+      }
+    }
+    val f = first
+    new Iterator[(Seq[(String, Int)], Array[Array[Byte]])] {
+      private var cols = f.cols
+      private var batch = f.rows.iterator
+      private var state = f.pagingState
+      override def hasNext: Boolean = {
+        while (!batch.hasNext && state != null) {
+          val next = roundTrip(cql, state)
+          cols = next.cols
+          batch = next.rows.iterator
+          state = next.pagingState
+        }
+        batch.hasNext
+      }
+      override def next(): (Seq[(String, Int)], Array[Array[Byte]]) =
+        (cols, batch.next())
+    }
+  }
+}
+
+/** Serializable CQL endpoint pointer (executor JVMs rebuild the client). */
+final case class CqlEndpointSpec(host: String, port: Int, table: String,
+    cfg: CqlClientConfig)
+
+final case class CqlEndpoint(source: String, table: String, schema: StructType,
+    partitionKeys: Seq[String], clusteringKeys: Seq[String], spec: CqlEndpointSpec)
+
+object CqlEndpoints {
+  private val endpoints = TrieMap.empty[(String, String), CqlEndpoint]
+  def register(e: CqlEndpoint): Unit = endpoints.put((e.source, e.table.toLowerCase), e)
+  def get(source: String, table: String): Option[CqlEndpoint] =
+    endpoints.get((source, table.toLowerCase))
+  def list(source: String): Seq[String] =
+    endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
+}
+
+class CqlTable(val ep: CqlEndpoint) extends Table with SupportsRead {
+  override def name(): String =
+    s"${SourceRegistry.CatalogName}.${ep.source}.${ep.table}"
+  override def schema(): StructType = ep.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.Set.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CqlScanBuilder(ep)
+}
+
+/** Key-rule pushdown: WHERE under [[CqlGen.split]], column projection in
+  * the SELECT list, LIMIT in the CQL. A production deployment splits the
+  * token ring into one partition per range (gocql's session does this
+  * implicitly); the loopback single-node serves one partition. */
+class CqlScanBuilder(ep: CqlEndpoint) extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit {
+
+  private var accepted: CqlGen.Accepted = CqlGen.Accepted(Nil, Nil)
+  private var required: StructType = ep.schema
+  private var limit: Int = -1
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (acc, residual) = CqlGen.split(filters.toSeq,
+      ep.partitionKeys, ep.clusteringKeys)
+    accepted = acc
+    residual.toArray
+  }
+  override def pushedFilters(): Array[Filter] = accepted.pushed.toArray
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = {
+    val cols =
+      if (required.fields.isEmpty) Seq(ep.schema.fieldNames.head)
+      else required.fieldNames.toSeq
+    val cql = new StringBuilder("SELECT ")
+    cql.append(cols.mkString(", "))
+    cql.append(" FROM ").append(ep.table)
+    if (accepted.where.nonEmpty)
+      cql.append(" WHERE ").append(accepted.where.mkString(" AND "))
+    if (limit > 0) cql.append(" LIMIT ").append(limit)
+    new CqlScan(ep, required, cql.toString, accepted.pushed.toArray)
+  }
+}
+
+class CqlScan(ep: CqlEndpoint, required: StructType, cql: String,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftCqlScan endpoint=${ep.source}/${ep.table} cql=[$cql] " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CqlPartition(ep.spec, cql, required.json))
+
+  override def createReaderFactory(): PartitionReaderFactory = new CqlReaderFactory
+}
+
+final case class CqlPartition(spec: CqlEndpointSpec, cql: String,
+    requiredSchemaJson: String) extends InputPartition
+
+class CqlReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CqlPartition]
+    val required = DataType.fromJson(p.requiredSchemaJson).asInstanceOf[StructType]
+    val client = new CqlClientLite(p.spec.host, p.spec.port, p.spec.cfg)
+    val conv = CatalystTypeConverters.createToCatalystConverter(required)
+    val it = client.query(p.cql).map { case (cols, cells) =>
+      val byName = cols.map(_._1.toLowerCase).zipWithIndex.toMap
+      conv(Row.fromSeq(required.fields.toSeq.map { f =>
+        byName.get(f.name.toLowerCase) match {
+          case Some(i) => CqlWire.decodeValue(cells(i), cols(i)._2)
+          case None => null
+        }
+      })).asInstanceOf[InternalRow]
+    }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = client.close()
+    }
+  }
+}

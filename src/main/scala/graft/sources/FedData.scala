@@ -41,6 +41,8 @@ object FedData {
   val EsSourceName = "es"
   /** Mongo-protocol source: OP_MSG `find` over the loopback socket. */
   val MongoSourceName = "mongo"
+  /** CQL-protocol source: native-protocol v4 over the loopback socket. */
+  val CqlSourceName = "cql"
 
   /** One staged table: (catalog table, format, parquet origin, part files,
     * declared key columns). Multi-file tables are the connector's scan
@@ -176,6 +178,27 @@ object FedData {
         MongoEndpoints.register(MongoEndpoint(MongoSourceName, "orders_mongo",
           orders.schema, MongoEndpointSpec(host, port, LoopbackMongoServer.Db,
             "orders_mongo", MongoClientConfig(batchSize = 512))))
+      }
+      // CQL-protocol source: customer keyed (partition c_mktsegment,
+      // clustering c_custkey) behind a loopback native-protocol-v4
+      // listener — key-rule pushdown compiles to CQL text and ships over
+      // the socket (sql_to_cql.go's translation surface); the server
+      // REFUSES non-key filtering like a real Cassandra, so declined
+      // residuals are enforced, not just chosen.
+      if (SourceRegistry.get(CqlSourceName).isEmpty)
+        SourceRegistry.register(SourceDef(
+          CqlSourceName, new File(base, CqlSourceName).getPath, "json", "cql"))
+      if (CqlEndpoints.get(CqlSourceName, "customer_cql").isEmpty) {
+        val customer = Tables.load(spark, sfDir, "customer")
+          .select("c_mktsegment", "c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        val rows = customer.collect().map(_.toSeq.toArray)
+        LoopbackCqlServer.register("customer_cql", customer.schema,
+          partitionKeys = Seq("c_mktsegment"), clusteringKeys = Seq("c_custkey"),
+          rows = rows.toSeq)
+        val (host, port) = LoopbackCqlServer.ensureStarted()
+        CqlEndpoints.register(CqlEndpoint(CqlSourceName, "customer_cql",
+          customer.schema, Seq("c_mktsegment"), Seq("c_custkey"),
+          CqlEndpointSpec(host, port, "customer_cql", CqlClientConfig(pageSize = 512))))
       }
     }
   }

@@ -1,0 +1,194 @@
+package graft
+
+import java.io.IOException
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.protocol.CqlWire
+import graft.protocol.CqlWire.T
+import graft.sources._
+
+/** CQL-protocol connector: native-protocol v4 frame/value codecs, the
+  * sql_to_cql.go key-rule translation (full partition key by equality,
+  * clustering prefix with ranges at the cut, everything else declined),
+  * server-side ALLOW-FILTERING refusal of non-key predicates, paging,
+  * retry under injected aborts, and DSv2 pushdown over a live socket. */
+class CqlSourceSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // partition key: seg; clustering: id
+  private val schema = StructType(Seq(
+    StructField("seg", StringType), StructField("id", LongType),
+    StructField("name", StringType), StructField("bal", DoubleType),
+    StructField("flag", BooleanType), StructField("ts", TimestampType)))
+  private val rows: Seq[Array[Any]] = (0L until 400L).map { i =>
+    Array[Any](if (i % 3 == 0) "A" else if (i % 3 == 1) "B" else "C",
+      i, s"name_$i", i * 1.5, i % 2 == 0,
+      java.sql.Timestamp.valueOf(s"2024-01-${(i % 28 + 1).formatted("%02d")} 00:00:00"))
+  }
+
+  private def client(cfg: CqlClientConfig = CqlClientConfig(retryBackoffMs = 5, pageSize = 64)) = {
+    val (host, port) = LoopbackCqlServer.ensureStarted()
+    new CqlClientLite(host, port, cfg)
+  }
+
+  private def table(name: String): String = {
+    LoopbackCqlServer.register(name, schema, Seq("seg"), Seq("id"), rows)
+    val (host, port) = LoopbackCqlServer.ensureStarted()
+    LoopbackCqlServer.failNext.set(0)
+    CqlEndpoints.register(CqlEndpoint("cqltest", name, schema, Seq("seg"), Seq("id"),
+      CqlEndpointSpec(host, port, name, CqlClientConfig(pageSize = 64, retryBackoffMs = 5))))
+    if (SourceRegistry.get("cqltest").isEmpty)
+      SourceRegistry.register(SourceDef("cqltest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/cqltest").getPath,
+        "json", "cql"))
+    SourceRegistry.ensureCatalog(spark)
+    s"${SourceRegistry.CatalogName}.cqltest.$name"
+  }
+
+  // ---- wire codecs ------------------------------------------------------
+
+  test("CQL values round-trip every carried type") {
+    val cases: Seq[(Any, Int)] = Seq(
+      (123456789012L: java.lang.Long, T.Bigint),
+      (42: java.lang.Integer, T.Int),
+      (7.toShort: java.lang.Short, T.Smallint),
+      (3.25: java.lang.Double, T.Double),
+      (1.5f: java.lang.Float, T.Float),
+      (true: java.lang.Boolean, T.Boolean),
+      (java.sql.Timestamp.valueOf("2024-06-01 12:00:00"), T.Timestamp),
+      ("héllo 'quoted'", T.Varchar),
+      (null, T.Bigint))
+    cases.foreach { case (v, tid) =>
+      assert(CqlWire.decodeValue(CqlWire.encodeValue(v, tid), tid) == v, s"type $tid")
+    }
+  }
+
+  test("frames round-trip through the byte stream") {
+    val out = new java.io.ByteArrayOutputStream()
+    val body = CqlWire.queryBody("SELECT x FROM t", 64, Array[Byte](1, 2, 3))
+    CqlWire.writeFrame(out, CqlWire.Frame(CqlWire.Op.Query, 7, body), response = false)
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(out.toByteArray))
+    val f = CqlWire.readFrame(in)
+    assert(f.opcode == CqlWire.Op.Query && f.stream == 7)
+    val q = CqlWire.parseQueryBody(f.body)
+    assert(q.cql == "SELECT x FROM t" && q.pageSize == 64)
+    assert(q.pagingState.toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  // ---- key-rule translation ---------------------------------------------
+
+  test("key rules: full partition key gates everything; clustering is a prefix") {
+    def split(fs: Filter*) = CqlGen.split(fs.toSeq, Seq("seg"), Seq("id"))
+    // full pushdown: partition equality + clustering range
+    val (a1, r1) = split(EqualTo("seg", "A"), GreaterThan("id", 10L),
+      LessThanOrEqual("id", 50L))
+    assert(a1.where == Seq("seg = 'A'", "id > 10", "id <= 50") && r1.isEmpty)
+    // no partition equality -> NOTHING pushes (illegal CQL otherwise)
+    val (a2, r2) = split(GreaterThan("id", 10L))
+    assert(a2.where.isEmpty && r2.size == 1)
+    // range on the partition key is not equality -> nothing pushes
+    val (a3, r3) = split(GreaterThan("seg", "A"), EqualTo("id", 5L))
+    assert(a3.where.isEmpty && r3.size == 2)
+    // non-key predicate declines but keys still push
+    val (a4, r4) = split(EqualTo("seg", "B"), EqualTo("id", 5L),
+      GreaterThan("bal", 1.0))
+    assert(a4.where == Seq("seg = 'B'", "id = 5") && r4 == Seq(GreaterThan("bal", 1.0)))
+    // IN / OR / != / LIKE are outside the CQL surface
+    val (a5, r5) = split(EqualTo("seg", "A"), In("id", Array(1L, 2L)))
+    assert(a5.where == Seq("seg = 'A'") && r5.size == 1)
+    val (a6, r6) = split(Or(EqualTo("seg", "A"), EqualTo("seg", "B")))
+    assert(a6.where.isEmpty && r6.size == 1)
+  }
+
+  test("string literals escape single quotes") {
+    val (a, _) = CqlGen.split(Seq(EqualTo("seg", "O'Brien")), Seq("seg"), Nil)
+    assert(a.where == Seq("seg = 'O''Brien'"))
+  }
+
+  // ---- wire round-trips -------------------------------------------------
+
+  test("handshake + query + paging across the socket") {
+    LoopbackCqlServer.register("wire1", schema, Seq("seg"), Seq("id"), rows)
+    LoopbackCqlServer.failNext.set(0)
+    val c = client()
+    val served0 = LoopbackCqlServer.served.get()
+    val got = c.query("SELECT id, name FROM wire1 WHERE seg = 'A'").toSeq
+    assert(got.size == rows.count(_(0) == "A"))
+    assert(got.head._1.map(_._1) == Seq("id", "name"))
+    // 134 rows at page 64 = 3 QUERY commands (+1 STARTUP)
+    assert(LoopbackCqlServer.served.get() - served0 >= 4)
+    c.close()
+  }
+
+  test("server enforces the key rules (ALLOW FILTERING refusal)") {
+    LoopbackCqlServer.register("wire2", schema, Seq("seg"), Seq("id"), rows)
+    val c = client()
+    val e1 = intercept[IOException](
+      c.query("SELECT id FROM wire2 WHERE bal > 10.0").toSeq)
+    assert(e1.getMessage.contains("ALLOW FILTERING"))
+    val e2 = intercept[IOException](
+      c.query("SELECT id FROM wire2 WHERE id > 10").toSeq)
+    assert(e2.getMessage.contains("must be restricted"))
+    val e3 = intercept[IOException](
+      c.query("SELECT id FROM wire2 WHERE seg > 'A'").toSeq)
+    assert(e3.getMessage.contains("partition key"))
+    c.close()
+  }
+
+  test("aborted connections retry the handshake+query; recovery is exact") {
+    LoopbackCqlServer.register("wire3", schema, Seq("seg"), Seq("id"), rows)
+    val c = client()
+    LoopbackCqlServer.failNext.set(2)
+    val got = c.query("SELECT id FROM wire3 WHERE seg = 'B'").toSeq
+    assert(got.size == rows.count(_(0) == "B"))
+    assert(c.retries.get() >= 1)
+    c.close()
+  }
+
+  // ---- DSv2 through the socket ------------------------------------------
+
+  test("key predicates push as CQL text; non-key residual polyfills exactly") {
+    val t = table("dsv1")
+    val df = spark.table(t)
+      .filter(col("seg") === "A" && col("id") < 100L && col("bal") > 50.0)
+      .select("id", "bal")
+    val got = df.collect().map(_.getLong(0)).sorted
+    val want = rows.filter(r => r(0) == "A" && r(1).asInstanceOf[Long] < 100L
+      && r(3).asInstanceOf[Double] > 50.0).map(_(1).asInstanceOf[Long]).sorted
+    assert(got.toSeq == want)
+    val cql = LoopbackCqlServer.lastCql.get()
+    assert(cql.contains("seg = 'A'") && cql.contains("id < 100"), cql)
+    // the bal COLUMN rides the projection (the residual needs it), but
+    // the bal PREDICATE must stay engine-side
+    assert(!cql.toLowerCase.contains("bal >"),
+      s"non-key residual predicate must not reach the server: $cql")
+  }
+
+  test("timestamps and booleans round-trip the native protocol through DSv2") {
+    val t = table("dsv2")
+    val r = spark.table(t).filter(col("seg") === "C" && col("id") === 2L)
+      .select("ts", "flag").collect()
+    assert(r.length == 1)
+    assert(r(0).getTimestamp(0) == java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+    assert(r(0).getBoolean(1), "id 2 has flag = (2 % 2 == 0) = true")
+  }
+
+  test("LIMIT rides the CQL and caps pages") {
+    val t = table("dsv3")
+    assert(spark.table(t).filter(col("seg") === "A").limit(5).collect().length == 5)
+    assert(LoopbackCqlServer.lastCql.get().contains("LIMIT 5"))
+  }
+}
