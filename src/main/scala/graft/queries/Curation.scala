@@ -334,6 +334,46 @@ object Curation {
         .orderBy("lang")
     },
 
+    // Weighted (probability-proportional-to-size) sampling by SYSTEMATIC
+    // selection: lay documents on an integer line of cumulative n_chars,
+    // drop an anchor every `total div 100` chars, and keep each document
+    // whose span covers an anchor — so selection probability is exactly
+    // proportional to length, huge documents can be picked multiple
+    // times (n_picks), and the whole scheme is EXACT INTEGER arithmetic
+    // (the classic -ln(u)/w exponential-key reservoir needs pow/log,
+    // whose libm ulps differ across engines — unacceptable for a
+    // value-exact gate, and for reproducible pipeline reruns).
+    //   Scale: ONE distributed prefix-sum pass (grouped two-pass, no
+    // single-partition window), a scalar total broadcast back, and a
+    // projection — no per-doc state, no sort beyond the prefix sum's.
+    GQuery(
+      "q_curation_pps",
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |         sum(n_chars) OVER (ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum,
+        |         (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS total
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS w, CAST(cum AS BIGINT) AS cum,
+        |       CAST(cum // (total // 100) - (cum - n_chars) // (total // 100)
+        |            AS BIGINT) AS n_picks
+        |FROM c
+        |WHERE cum // (total // 100) > (cum - n_chars) // (total // 100)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = docs(s, d).select(col("doc_id"), col("n_chars"))
+      val cum = graft.operators.GroupedPrefixSum.runningSum(
+        base, Seq.empty, Seq(col("doc_id")), col("n_chars"), "cum")
+      val total = base.agg(sum("n_chars").cast("long").as("total"))
+      cum.crossJoin(broadcast(total))
+        .withColumn("step", expr("total div 100"))
+        .withColumn("n_picks",
+          expr("cum div step - (cum - n_chars) div step"))
+        .filter(col("n_picks") > 0)
+        .select(col("doc_id"), col("n_chars").cast("long").as("w"),
+          col("cum").cast("long").as("cum"), col("n_picks").cast("long").as("n_picks"))
+        .orderBy("doc_id")
+    },
+
     // Leak-free train/valid/test split (90/5/5): the split coin is thrown
     // on the DUPLICATE-GROUP representative, not the document — so a
     // group of identical documents can never straddle splits (the classic

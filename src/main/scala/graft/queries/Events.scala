@@ -98,6 +98,46 @@ object Events {
         .orderBy("cohort_day", "offset_week")
     },
 
+    // OHLC downsampling bars — the time-series resample that turns an
+    // event stream into per-(series, day) open/high/low/close/volume
+    // rows. First/last are row_number picks over (ts, event_id) — a
+    // total order, so ties cannot flip the bar — and BOTH window passes
+    // plus the final aggregate share one (event_type, day) exchange.
+    // No floating-point arithmetic at all (every output is a picked or
+    // compared input double), so the bars are exact without rounding.
+    GQuery(
+      "q_ts_ohlc",
+      """WITH r AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, value,
+        |         row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |                            ORDER BY ts, event_id) AS rn_a,
+        |         row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |       CAST(count(*) AS BIGINT) AS volume,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close
+        |FROM r GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("event_type"), col("day"))
+      Tables.load(s, d, "events")
+        .select(col("event_type"), col("ts").cast("date").as("day"),
+          col("value"), col("ts"), col("event_id"))
+        .withColumn("rn_a", row_number().over(w.orderBy(col("ts"), col("event_id"))))
+        .withColumn("rn_d", row_number().over(
+          w.orderBy(col("ts").desc, col("event_id").desc)))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("volume"),
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max("value").as("high"), min("value").as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("volume"), col("open"), col("high"), col("low"), col("close"))
+        .orderBy("event_type", "day")
+    },
+
     // SCD Type-2 merge: fold a new snapshot into a versioned dimension
     // history (valid_from/valid_to/is_current), the classic warehouse
     // dimension-maintenance operator. Snapshots are the CDC fixtures
