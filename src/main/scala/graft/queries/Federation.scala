@@ -404,6 +404,37 @@ object Federation {
         .orderBy("c_custkey")
     },
 
+    // BQ-PROTOCOL full-statement passthrough over a real socket
+    // (reference: sql_to_bq.go:72-104 re-renders the ENTIRE statement in
+    // the warehouse dialect and ships it as one job): the OR tree, the
+    // grouped aggregate, the sort, the limit and the OFFSET all render
+    // to SQL text, POST to the loopback warehouse's jobs.query endpoint,
+    // and the scan emits FINAL rows — Spark plans no aggregate, no sort,
+    // no limit (the bare-scan golden plan is asserted in BqSourceSpec).
+    GQuery(
+      "q_src_bq_wire",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       avg(o_custkey) AS avg_cust
+        |FROM orders
+        |WHERE o_orderstatus = 'P' OR o_totalprice >= 250000.0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
+        |LIMIT 3 OFFSET 1""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.BqSourceName}.orders_bqw")
+        .filter(col("o_orderstatus") === "P" || col("o_totalprice") >= 250000.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          max("o_orderkey").as("max_key"),
+          sum("o_custkey").as("sum_cust"),
+          avg("o_custkey").as("avg_cust"))
+        .orderBy("o_orderpriority")
+        .offset(1)
+        .limit(3)
+    },
+
     // Aggregate pushdown (reference: SQL→ES aggregations,
     // backends/elasticsearch/sqltoes.go:285-365): the scan ships per-file
     // partial count/min/max/sum per group, Spark merges — the raw rows

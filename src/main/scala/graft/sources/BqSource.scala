@@ -1,0 +1,612 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.aggregate._
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, NullOrdering, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** BigQuery-style FULL-STATEMENT passthrough over a REST wire: the
+  * reference's BQ backend re-renders the entire SQL statement in the
+  * target dialect and ships it as ONE job — filters, aggregate, sort,
+  * limit, offset all consumed by the warehouse
+  * (`backends/bigquery/sql_to_bq.go:72-104`; results page back through
+  * the jobs API). Here the pushed DSv2 plan is RENDERED to SQL text
+  * ([[BqSql]]), POSTed to the loopback warehouse's `/bq/query` endpoint,
+  * which PARSES it back ([[BqSql.parse]] — a real recursive-descent
+  * predicate parser, not a string match), executes it over its rows with
+  * the engine's 3VL semantics, and answers the BQ REST response shape
+  * (string-encoded cells, `pageToken` paging). The Spark plan left
+  * behind is a bare V2 scan: aggregation COMPLETE, sort/limit/offset
+  * consumed exactly.
+  */
+object BqSql {
+
+  // ---- rendering (client side) ------------------------------------------
+
+  def renderLit(v: Any): Option[String] = v match {
+    case null => None
+    case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short => Some(v.toString)
+    case d: java.lang.Double => Some(d.toString)
+    case f: java.lang.Float => Some(f.doubleValue().toString)
+    case b: java.lang.Boolean => Some(if (b) "TRUE" else "FALSE")
+    case s: String => Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP '${t.toString}'")
+    case i: java.time.Instant =>
+      Some(s"TIMESTAMP '${java.sql.Timestamp.from(i).toString}'")
+    case _ => None
+  }
+
+  /** LIKE-pattern escape for a literal fragment (% _ \ are meta). */
+  private def likeEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+      .replace("'", "\\'")
+
+  /** Render one Spark filter as a predicate; None = not renderable. */
+  def render(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) => renderLit(v).map(l => s"$a = $l")
+    case EqualNullSafe(a, v) =>
+      // exact null-safe semantics in plain SQL (2VL under NOT as well)
+      if (v == null) Some(s"$a IS NULL")
+      else renderLit(v).map(l => s"($a IS NOT NULL AND $a = $l)")
+    case GreaterThan(a, v) => renderLit(v).map(l => s"$a > $l")
+    case GreaterThanOrEqual(a, v) => renderLit(v).map(l => s"$a >= $l")
+    case LessThan(a, v) => renderLit(v).map(l => s"$a < $l")
+    case LessThanOrEqual(a, v) => renderLit(v).map(l => s"$a <= $l")
+    case In(a, vs) if vs != null && vs.nonEmpty =>
+      val ls = vs.toSeq.map(renderLit)
+      if (ls.exists(_.isEmpty)) None else Some(s"$a IN (${ls.map(_.get).mkString(", ")})")
+    case IsNull(a) => Some(s"$a IS NULL")
+    case IsNotNull(a) => Some(s"$a IS NOT NULL")
+    case StringStartsWith(a, v) => Some(s"$a LIKE '${likeEsc(v)}%'")
+    case StringEndsWith(a, v) => Some(s"$a LIKE '%${likeEsc(v)}'")
+    case StringContains(a, v) => Some(s"$a LIKE '%${likeEsc(v)}%'")
+    case And(l, r) => for (a <- render(l); b <- render(r)) yield s"($a AND $b)"
+    case Or(l, r) => for (a <- render(l); b <- render(r)) yield s"($a OR $b)"
+    case Not(c) => render(c).map(x => s"NOT ($x)")
+    case _: AlwaysTrue => Some("TRUE")
+    case _: AlwaysFalse => Some("FALSE")
+    case _ => None
+  }
+
+  // ---- parsing (server side) --------------------------------------------
+
+  final case class Agg(kind: String, col: String) // kind: count_star|count|min|max|sum|avg
+  final case class Order(col: String, desc: Boolean, nullsFirst: Boolean)
+  final case class Stmt(cols: Seq[String], aggs: Seq[(Agg, String)], table: String,
+      where: Option[Filter], groupBy: Seq[String], orderBy: Seq[Order],
+      limit: Int, offset: Int)
+
+  def parse(sql: String): Stmt = new Parser(sql).parseStmt()
+
+  /** Recursive-descent parser for the rendered dialect — the warehouse's
+    * front door. Grammar:
+    *   SELECT item (, item)* FROM ident [WHERE pred] [GROUP BY ident*]
+    *     [ORDER BY ident [DESC|ASC] [NULLS FIRST|LAST] *] [LIMIT n] [OFFSET n]
+    *   item := ident | agg(ident|*) AS alias
+    *   pred := or-tree of comparisons / IN / LIKE / IS [NOT] NULL with parens
+    */
+  private final class Parser(s: String) {
+    private var i = 0
+    private def ws(): Unit = { while (i < s.length && s.charAt(i).isWhitespace) i += 1 }
+    private def peekWord: String = {
+      ws(); val j = i
+      var k = j
+      while (k < s.length && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_')) k += 1
+      s.substring(j, k)
+    }
+    private def eatWord(w: String): Boolean = {
+      ws()
+      if (peekWord.equalsIgnoreCase(w)) { i += w.length; true } else false
+    }
+    private def expectWord(w: String): Unit =
+      if (!eatWord(w)) fail(s"expected $w")
+    private def eatChar(c: Char): Boolean = {
+      ws(); if (i < s.length && s.charAt(i) == c) { i += 1; true } else false
+    }
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"parse error at ${i}: $msg in [$s]")
+
+    private def ident(): String = {
+      ws(); val j = i
+      while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+      if (i == j) fail("expected identifier")
+      s.substring(j, i)
+    }
+
+    private def stringLit(): String = {
+      val sb = new StringBuilder
+      if (!eatChar('\'')) fail("expected string")
+      while (i < s.length && s.charAt(i) != '\'') {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+        else { sb.append(s.charAt(i)); i += 1 }
+      }
+      if (!eatChar('\'')) fail("unterminated string")
+      sb.toString
+    }
+
+    private def literal(): Any = {
+      ws()
+      if (i < s.length && s.charAt(i) == '\'') return stringLit()
+      val w = peekWord
+      if (w.equalsIgnoreCase("TRUE")) { i += w.length; return true: java.lang.Boolean }
+      if (w.equalsIgnoreCase("FALSE")) { i += w.length; return false: java.lang.Boolean }
+      if (w.equalsIgnoreCase("TIMESTAMP")) {
+        i += w.length
+        return java.sql.Timestamp.valueOf(stringLit())
+      }
+      // number
+      val j = i
+      if (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '+')) i += 1
+      while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.' ||
+        s.charAt(i) == 'E' || s.charAt(i) == 'e')) i += 1
+      if (i == j) fail("expected literal")
+      val raw = s.substring(j, i)
+      if (raw.contains('.') || raw.toLowerCase.contains('e')) raw.toDouble: java.lang.Double
+      else raw.toLong: java.lang.Long
+    }
+
+    // precedence: OR < AND < NOT < atom
+    def pred(): Filter = {
+      var left = andPred()
+      while (eatWord("OR")) left = Or(left, andPred())
+      left
+    }
+    private def andPred(): Filter = {
+      var left = notPred()
+      while (eatWord("AND")) left = And(left, notPred())
+      left
+    }
+    private def notPred(): Filter =
+      if (eatWord("NOT")) Not(notPred()) else atom()
+    private def atom(): Filter = {
+      ws()
+      if (eatChar('(')) { val p = pred(); if (!eatChar(')')) fail("expected )"); return p }
+      val w = peekWord
+      if (w.equalsIgnoreCase("TRUE")) { i += w.length; return AlwaysTrue() }
+      if (w.equalsIgnoreCase("FALSE")) { i += w.length; return AlwaysFalse() }
+      val a = ident()
+      ws()
+      if (eatWord("IS")) {
+        val not = eatWord("NOT")
+        expectWord("NULL")
+        return if (not) IsNotNull(a) else IsNull(a)
+      }
+      if (eatWord("IN")) {
+        if (!eatChar('(')) fail("expected (")
+        val vs = Seq.newBuilder[Any]
+        vs += literal()
+        while (eatChar(',')) vs += literal()
+        if (!eatChar(')')) fail("expected )")
+        return In(a, vs.result().toArray)
+      }
+      if (eatWord("LIKE")) {
+        val pat = stringLit()
+        // only the three anchored shapes the renderer emits
+        val body = pat
+        // char-walk unescape ('\' takes the next char literally) — a
+        // String.replace chain mishandles "\\%" (escaped \ + anchor)
+        def unesc(x: String): String = {
+          val sb = new StringBuilder
+          var k = 0
+          while (k < x.length) {
+            if (x.charAt(k) == '\\' && k + 1 < x.length) { sb.append(x.charAt(k + 1)); k += 2 }
+            else { sb.append(x.charAt(k)); k += 1 }
+          }
+          sb.toString
+        }
+        if (body.startsWith("%") && body.endsWith("%") && body.length >= 2)
+          return StringContains(a, unesc(body.substring(1, body.length - 1)))
+        if (body.endsWith("%")) return StringStartsWith(a, unesc(body.dropRight(1)))
+        if (body.startsWith("%")) return StringEndsWith(a, unesc(body.drop(1)))
+        fail(s"unsupported LIKE pattern $pat")
+      }
+      val op =
+        if (eatChar('=')) "="
+        else if (eatChar('<')) { if (eatChar('=')) "<=" else if (eatChar('>')) "<>" else "<" }
+        else if (eatChar('>')) { if (eatChar('=')) ">=" else ">" }
+        else fail("expected comparison operator")
+      val v = literal()
+      op match {
+        case "=" => EqualTo(a, v)
+        case "<>" => Not(EqualTo(a, v))
+        case "<" => LessThan(a, v)
+        case "<=" => LessThanOrEqual(a, v)
+        case ">" => GreaterThan(a, v)
+        case ">=" => GreaterThanOrEqual(a, v)
+      }
+    }
+
+    private def selectItem(): Either[String, (Agg, String)] = {
+      ws()
+      val w = peekWord.toLowerCase
+      if (Set("count", "min", "max", "sum", "avg")(w)) {
+        i += w.length
+        if (!eatChar('(')) fail("expected (")
+        val arg = { ws(); if (eatChar('*')) "*" else ident() }
+        if (!eatChar(')')) fail("expected )")
+        expectWord("AS")
+        val alias = ident()
+        val kind = if (w == "count" && arg == "*") "count_star" else w
+        Right((Agg(kind, arg), alias))
+      } else Left(ident())
+    }
+
+    def parseStmt(): Stmt = {
+      expectWord("SELECT")
+      val items = Seq.newBuilder[Either[String, (Agg, String)]]
+      items += selectItem()
+      while (eatChar(',')) items += selectItem()
+      expectWord("FROM")
+      val table = ident()
+      val where = if (eatWord("WHERE")) Some(pred()) else None
+      val groupBy = if (eatWord("GROUP")) {
+        expectWord("BY")
+        val gs = Seq.newBuilder[String]
+        gs += ident()
+        while (eatChar(',')) gs += ident()
+        gs.result()
+      } else Nil
+      val orderBy = if (eatWord("ORDER")) {
+        expectWord("BY")
+        def one(): Order = {
+          val c = ident()
+          val desc = if (eatWord("DESC")) true else { eatWord("ASC"); false }
+          val nf = if (eatWord("NULLS")) {
+            if (eatWord("FIRST")) true else { expectWord("LAST"); false }
+          } else !desc // engine defaults: ASC => NULLS FIRST, DESC => NULLS LAST
+          Order(c, desc, nf)
+        }
+        val os = Seq.newBuilder[Order]
+        os += one()
+        while (eatChar(',')) os += one()
+        os.result()
+      } else Nil
+      val limit = if (eatWord("LIMIT")) literal().asInstanceOf[java.lang.Long].toInt else -1
+      val offset = if (eatWord("OFFSET")) literal().asInstanceOf[java.lang.Long].toInt else 0
+      ws()
+      if (i != s.length) fail("trailing input")
+      val its = items.result()
+      Stmt(its.collect { case Left(c) => c },
+        its.collect { case Right(a) => a },
+        table, where, groupBy, orderBy, limit, offset)
+    }
+  }
+
+  // ---- execution (the warehouse) ----------------------------------------
+
+  /** Execute a parsed statement over external-typed rows — filters with
+    * the engine's 3VL evaluator, exact integer aggregation, engine null
+    * ordering. Returns (column names, column types, rows). */
+  def execute(stmt: Stmt, schema: StructType, rows: Seq[Array[Any]])
+      : (Seq[String], Seq[DataType], Seq[Seq[Any]]) = {
+    def idx(c: String): Int = {
+      val k = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      require(k >= 0, s"unknown column $c")
+      k
+    }
+    val filtered = stmt.where match {
+      case Some(f) => rows.filter(r => FilterEval.eval(f, schema, r))
+      case None => rows
+    }
+    def integral(i: Int) = schema.fields(i).dataType match {
+      case ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def aggValue(a: Agg, group: Seq[Array[Any]]): (Any, DataType) = a.kind match {
+      case "count_star" => (group.size.toLong, LongType)
+      case "count" =>
+        val i = idx(a.col); (group.count(_(i) != null).toLong, LongType)
+      case "min" | "max" =>
+        val i = idx(a.col)
+        val vs = group.map(_(i)).filter(_ != null)
+        val dt = schema.fields(i).dataType
+        if (vs.isEmpty) (null, dt)
+        else {
+          val picked = vs.reduce { (x, y) =>
+            val c = FilterEval.cmp(x, y).getOrElse(0)
+            if (a.kind == "min") { if (c <= 0) x else y } else { if (c >= 0) x else y }
+          }
+          (picked, dt)
+        }
+      case "sum" =>
+        val i = idx(a.col)
+        val vs = group.map(_(i)).filter(_ != null)
+        if (integral(i))
+          (if (vs.isEmpty) null else vs.map(_.asInstanceOf[Number].longValue()).sum, LongType)
+        else
+          (if (vs.isEmpty) null else vs.map(_.asInstanceOf[Number].doubleValue()).sum, DoubleType)
+      case "avg" =>
+        val i = idx(a.col)
+        val vs = group.map(_(i)).filter(_ != null)
+        if (vs.isEmpty) (null, DoubleType)
+        else if (integral(i)) // exact integer sum, ONE IEEE division
+          (vs.map(_.asInstanceOf[Number].longValue()).sum.toDouble / vs.size, DoubleType)
+        else (vs.map(_.asInstanceOf[Number].doubleValue()).sum / vs.size, DoubleType)
+    }
+
+    val (names, types, out): (Seq[String], Seq[DataType], Seq[Seq[Any]]) =
+      if (stmt.aggs.nonEmpty || stmt.groupBy.nonEmpty) {
+        val gIdx = stmt.groupBy.map(idx)
+        val groups: Seq[(Seq[Any], Seq[Array[Any]])] =
+          if (gIdx.isEmpty) Seq((Nil, filtered))
+          else filtered.groupBy(r => gIdx.map(r(_)): Seq[Any]).toSeq
+        val aggTypes = stmt.aggs.map { case (a, _) =>
+          aggValue(a, filtered.take(0))._2
+        }
+        (stmt.groupBy ++ stmt.aggs.map(_._2),
+          gIdx.map(schema.fields(_).dataType) ++ aggTypes,
+          groups.map { case (keys, g) => keys ++ stmt.aggs.map(x => aggValue(x._1, g)._1) })
+      } else {
+        val cIdx = stmt.cols.map(idx)
+        (stmt.cols.map(c => schema.fieldNames(idx(c))),
+          cIdx.map(schema.fields(_).dataType),
+          filtered.map(r => cIdx.map(r(_))))
+      }
+
+    // ORDER BY over the OUTPUT columns
+    val sorted = if (stmt.orderBy.isEmpty) out else {
+      val keyIdx = stmt.orderBy.map(o => {
+        val k = names.indexWhere(_.equalsIgnoreCase(o.col))
+        require(k >= 0, s"ORDER BY references unknown output ${o.col}")
+        (k, o)
+      })
+      out.sortWith { (a, b) =>
+        var r = 0
+        val it = keyIdx.iterator
+        while (r == 0 && it.hasNext) {
+          val (k, o) = it.next()
+          val c = (a(k), b(k)) match {
+            case (null, null) => 0
+            case (null, _) => if (o.nullsFirst) -1 else 1
+            case (_, null) => if (o.nullsFirst) 1 else -1
+            case (x, y) => FilterEval.cmp(x, y).getOrElse(0)
+          }
+          r = if (o.desc) -c else c
+        }
+        r < 0
+      }
+    }
+    val windowed = sorted.slice(stmt.offset,
+      if (stmt.limit >= 0) stmt.offset + stmt.limit else sorted.size)
+    (names, types, windowed)
+  }
+}
+
+/** Serializable BQ endpoint pointer. */
+final case class BqEndpointSpec(baseUrl: String, table: String, cfg: HttpRestConfig)
+
+final case class BqEndpoint(source: String, table: String, schema: StructType,
+    spec: BqEndpointSpec)
+
+object BqEndpoints {
+  private val endpoints = TrieMap.empty[(String, String), BqEndpoint]
+  def register(e: BqEndpoint): Unit = endpoints.put((e.source, e.table.toLowerCase), e)
+  def get(source: String, table: String): Option[BqEndpoint] =
+    endpoints.get((source, table.toLowerCase))
+  def list(source: String): Seq[String] =
+    endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
+}
+
+class BqTable(val ep: BqEndpoint) extends Table with SupportsRead {
+  override def name(): String =
+    s"${SourceRegistry.CatalogName}.${ep.source}.${ep.table}"
+  override def schema(): StructType = ep.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.Set.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BqScanBuilder(ep)
+}
+
+/** Passthrough pushdown: the WHOLE statement renders to SQL — arbitrary
+  * filter trees (incl. OR/NOT), COMPLETE aggregation, exact top-N /
+  * limit / offset (`isPartiallyPushed` = false: the warehouse's answer
+  * IS the final answer, Spark plans a bare scan). */
+class BqScanBuilder(ep: BqEndpoint) extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit
+  with SupportsPushDownOffset
+  with SupportsPushDownTopN
+  with SupportsPushDownAggregates {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ep.schema
+  private var limit: Int = -1
+  private var offset: Int = 0
+  private var orders: Seq[BqSql.Order] = Nil
+  private var agg: Option[(Seq[Int], Seq[(String, Int, DataType)])] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, declined) = filters.partition(f => BqSql.render(f).isDefined)
+    pushed = ok
+    declined
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def pushOffset(n: Int): Boolean = { offset = n; true }
+
+  private def sortSchema: StructType =
+    if (agg.isDefined) aggOutSchema else ep.schema
+
+  override def pushTopN(so: Array[SortOrder], n: Int): Boolean = {
+    val ks = so.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 &&
+            sortSchema.fieldNames.exists(_.equalsIgnoreCase(nr.fieldNames()(0))) =>
+          Some(BqSql.Order(nr.fieldNames()(0),
+            o.direction() == SortDirection.DESCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (ks.exists(_.isEmpty)) false
+    else { orders = ks.map(_.get).toSeq; limit = n; true }
+  }
+  /** The warehouse's answer is final — sort/limit/offset consumed. */
+  override def isPartiallyPushed(): Boolean = false
+
+  private def fieldIdx(e: Expression): Option[Int] = e match {
+    case nr: NamedReference if nr.fieldNames().length == 1 =>
+      Some(ep.schema.fieldNames.indexWhere(_.equalsIgnoreCase(nr.fieldNames()(0))))
+        .filter(_ >= 0)
+    case _ => None
+  }
+
+  private def translate(a: Aggregation): Option[(Seq[Int], Seq[(String, Int, DataType)])] = {
+    val groups = a.groupByExpressions().toSeq.map(fieldIdx)
+    if (groups.exists(_.isEmpty)) return None
+    def numeric(i: Int) = ep.schema.fields(i).dataType.isInstanceOf[NumericType]
+    val aggs = a.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(("count_star", -1, LongType))
+      case c: Count if !c.isDistinct => fieldIdx(c.column()).map(("count", _, LongType))
+      case m: Min => fieldIdx(m.column()).filter(numeric)
+        .map(i => ("min", i, ep.schema.fields(i).dataType))
+      case m: Max => fieldIdx(m.column()).filter(numeric)
+        .map(i => ("max", i, ep.schema.fields(i).dataType))
+      case s: Sum if !s.isDistinct => fieldIdx(s.column()).flatMap { i =>
+        ep.schema.fields(i).dataType match {
+          case ShortType | IntegerType | LongType => Some(("sum", i, LongType))
+          case FloatType | DoubleType => Some(("sum", i, DoubleType))
+          case _ => None
+        }
+      }
+      case av: Avg if !av.isDistinct =>
+        fieldIdx(av.column()).filter(numeric).map(("avg", _, DoubleType))
+      case _ => None
+    }
+    if (aggs.exists(_.isEmpty)) None else Some((groups.map(_.get), aggs.map(_.get)))
+  }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean = translate(a).isDefined
+  override def pushAggregation(a: Aggregation): Boolean = translate(a) match {
+    case Some(t) => agg = Some(t); true
+    case None => false
+  }
+
+  private def aggOutSchema: StructType = agg match {
+    case Some((gs, as)) => StructType(
+      gs.map(ep.schema.fields(_)) ++ as.zipWithIndex.map { case ((_, _, dt), i) =>
+        StructField(s"agg_$i", dt, nullable = true)
+      })
+    case None => required
+  }
+
+  override def build(): Scan = {
+    val whereSql = pushed.toSeq.flatMap(BqSql.render) match {
+      case Nil => ""
+      case ps => " WHERE " + ps.mkString(" AND ")
+    }
+    val (selectSql, groupSql, outSchema) = agg match {
+      case Some((gs, as)) =>
+        val items = gs.map(ep.schema.fieldNames(_)) ++ as.zipWithIndex.map {
+          case ((kind, i, _), k) =>
+            val fn = if (kind == "count_star") "count(*)"
+              else s"$kind(${ep.schema.fieldNames(i)})"
+            s"$fn AS agg_$k"
+        }
+        val grp = if (gs.isEmpty) ""
+          else " GROUP BY " + gs.map(ep.schema.fieldNames(_)).mkString(", ")
+        (items.mkString(", "), grp, aggOutSchema)
+      case None =>
+        val cols = if (required.fields.isEmpty) Seq(ep.schema.fieldNames.head)
+          else required.fieldNames.toSeq
+        (cols.mkString(", "), "",
+          if (required.fields.isEmpty)
+            StructType(Seq(ep.schema.fields.head)) else required)
+    }
+    val orderSql =
+      if (orders.isEmpty) ""
+      else " ORDER BY " + orders.map { o =>
+        val dir = if (o.desc) " DESC" else " ASC"
+        val nulls = if (o.nullsFirst) " NULLS FIRST" else " NULLS LAST"
+        s"${o.col}$dir$nulls"
+      }.mkString(", ")
+    // Spark pushes limit INCLUSIVE of the offset (take(limit+offset)
+    // then drop(offset)); SQL's LIMIT counts post-OFFSET rows
+    val effLimit = if (limit >= 0) math.max(0, limit - offset) else -1
+    val limitSql = if (effLimit >= 0) s" LIMIT $effLimit" else ""
+    val offsetSql = if (offset > 0) s" OFFSET $offset" else ""
+    val sql = s"SELECT $selectSql FROM ${ep.table}$whereSql$groupSql$orderSql$limitSql$offsetSql"
+    new BqScan(ep, outSchema, sql, pushed, agg.isDefined)
+  }
+}
+
+class BqScan(ep: BqEndpoint, out: StructType, sql: String,
+    pushed: Array[Filter], aggMode: Boolean) extends Scan with Batch {
+
+  override def readSchema(): StructType = out
+
+  override def description(): String =
+    s"GraftBqScan endpoint=${ep.source}/${ep.table} sql=[$sql] agg=$aggMode " +
+      s"PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${out.catalogString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(BqPartition(ep.spec, sql, out.json))
+
+  override def createReaderFactory(): PartitionReaderFactory = new BqReaderFactory
+}
+
+final case class BqPartition(spec: BqEndpointSpec, sql: String,
+    outSchemaJson: String) extends InputPartition
+
+class BqReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[BqPartition]
+    val out = DataType.fromJson(p.outSchemaJson).asInstanceOf[StructType]
+    val client = new HttpRestClient(p.spec.baseUrl, p.spec.cfg)
+    val conv = CatalystTypeConverters.createToCatalystConverter(out)
+    val M = EsDsl.M
+    // jobs.query-shaped paging: first POST carries the SQL, follow-ups
+    // carry the pageToken; cells come back string-encoded (the BQ REST
+    // convention) and decode by the scan's declared types
+    val pages: Iterator[Iterator[Seq[String]]] = new Iterator[Iterator[Seq[String]]] {
+      private var token: String = ""
+      private var done = false
+      override def hasNext: Boolean = !done
+      override def next(): Iterator[Seq[String]] = {
+        val body = M.createObjectNode()
+        body.put("query", p.sql)
+        body.put("maxResults", p.spec.cfg.pageSize)
+        if (token.nonEmpty) body.put("pageToken", token)
+        val resp = M.readTree(client.postJson(s"/bq/${p.spec.table}/query", body.toString))
+        val next = resp.path("pageToken").asText("")
+        if (next.isEmpty) done = true
+        token = next
+        val rows = resp.path("rows")
+        rows.elements().asScala.map { r =>
+          r.path("f").elements().asScala.map { c =>
+            val v = c.path("v"); if (v.isNull) null else v.asText()
+          }.toSeq
+        }
+      }
+    }
+    val it = pages.flatten.map { cells =>
+      conv(Row.fromSeq(out.fields.toSeq.zip(cells).map { case (f, raw) =>
+        if (raw == null) null else LineCodec.parse(raw, f.dataType)
+      })).asInstanceOf[InternalRow]
+    }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

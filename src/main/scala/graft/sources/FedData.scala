@@ -200,6 +200,19 @@ object FedData {
           customer.schema, Seq("c_mktsegment"), Seq("c_custkey"),
           CqlEndpointSpec(host, port, "customer_cql", CqlClientConfig(pageSize = 512))))
       }
+      // BigQuery-protocol source: full-statement passthrough over the
+      // jobs.query REST shape — the pushed plan renders to SQL text,
+      // the loopback warehouse parses + executes it (sql_to_bq.go:72-104
+      // re-renders the whole statement the same way), results page back
+      // string-encoded with pageToken.
+      if (BqEndpoints.get(BqSourceName, "orders_bqw").isEmpty) {
+        val orders = Tables.load(spark, sfDir, "orders")
+        val rows = orders.collect().map(_.toSeq.toArray)
+        LoopbackRestServer.register("orders_bqw", orders.schema, rows.toSeq)
+        val baseUrl = LoopbackRestServer.ensureStarted()
+        BqEndpoints.register(BqEndpoint(BqSourceName, "orders_bqw", orders.schema,
+          BqEndpointSpec(baseUrl, "orders_bqw", HttpRestConfig(pageSize = 512))))
+      }
     }
   }
 

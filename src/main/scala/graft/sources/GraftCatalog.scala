@@ -96,7 +96,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName)
     ((dirs ++ RestEndpoints.list(s.name) ++ EsEndpoints.list(s.name) ++
-      MongoEndpoints.list(s.name) ++ CqlEndpoints.list(s.name)).sorted
+      MongoEndpoints.list(s.name) ++ CqlEndpoints.list(s.name) ++
+      BqEndpoints.list(s.name)).sorted
       :+ FilesMetaTable.Name)
       .map(Identifier.of(namespace, _))
   }
@@ -106,6 +107,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     EsEndpoints.get(s.name, ident.name()).foreach(ep => return new EsTable(ep))
     MongoEndpoints.get(s.name, ident.name()).foreach(ep => return new MongoTable(ep))
     CqlEndpoints.get(s.name, ident.name()).foreach(ep => return new CqlTable(ep))
+    BqEndpoints.get(s.name, ident.name()).foreach(ep => return new BqTable(ep))
     RestEndpoints.get(s.name, ident.name()) match {
       case Some(ep) => new RestTable(ep) // REST endpoints shadow nothing:
       // they live in sources without file tables of the same name

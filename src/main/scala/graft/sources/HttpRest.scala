@@ -170,6 +170,7 @@ object LoopbackRestServer {
     }
     srv.createContext("/t/", (ex: HttpExchange) => handle(ex))
     srv.createContext("/es/", (ex: HttpExchange) => handleEs(ex))
+    srv.createContext("/bq/", (ex: HttpExchange) => handleBq(ex))
     // daemon workers: the loopback fixture must never keep a JVM alive
     srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-loopback-rest"); t.setDaemon(true); t
@@ -357,4 +358,68 @@ object LoopbackRestServer {
 
   /** Last `_search` body seen (pushdown assertions in specs). */
   val lastBody = new AtomicReference[String]("")
+
+  /** Last `/bq/.../query` statement seen (pushdown assertions). */
+  val lastBqSql = new AtomicReference[String]("")
+
+  /** jobs.query-shaped endpoint (POST /bq/<table>/query): parses the
+    * shipped SQL statement with [[BqSql.parse]], executes it over the
+    * registered rows ([[BqSql.execute]] — 3VL filters, exact integer
+    * aggregation, engine null ordering), and answers the BigQuery REST
+    * response shape: string-encoded cells in `rows[].f[].v`, `pageToken`
+    * paging, `totalRows` (the reference consumes this API surface,
+    * `backends/bigquery/sql_to_bq.go:72-104`). */
+  private def handleBq(ex: HttpExchange): Unit = try {
+    served.incrementAndGet()
+    val d = delayMs.get()
+    if (d > 0) Thread.sleep(d.toLong)
+    if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      respond(ex, 500, "injected failure"); return
+    }
+    val M = EsDsl.M
+    val path = ex.getRequestURI.getPath.stripPrefix("/bq/")
+    if (!path.endsWith("/query")) { respond(ex, 400, "only /query is served"); return }
+    val name = path.stripSuffix("/query").toLowerCase
+    tables.get(name) match {
+      case None => respond(ex, 404, s"no such dataset table $name")
+      case Some(TableData(schema, rows)) =>
+        val req = M.readTree(ex.getRequestBody)
+        val sql = req.path("query").asText()
+        lastBqSql.set(sql)
+        val stmt = BqSql.parse(sql)
+        val (names, types, out) = BqSql.execute(stmt, schema, rows)
+        val offset = req.path("pageToken").asText("").toIntOption.getOrElse(0)
+        val maxResults = req.path("maxResults").asInt(1000)
+        val page = out.slice(offset, offset + maxResults)
+        val resp = M.createObjectNode()
+        val fields = resp.putObject("schema").putArray("fields")
+        names.zip(types).foreach { case (n, t) =>
+          val bq = t match {
+            case org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.ShortType => "INTEGER"
+            case org.apache.spark.sql.types.DoubleType |
+                 org.apache.spark.sql.types.FloatType => "FLOAT"
+            case org.apache.spark.sql.types.BooleanType => "BOOLEAN"
+            case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
+            case _ => "STRING"
+          }
+          fields.addObject().put("name", n).put("type", bq)
+        }
+        resp.put("totalRows", out.size.toString)
+        val rowsArr = resp.putArray("rows")
+        page.foreach { r =>
+          val f = rowsArr.addObject().putArray("f")
+          r.foreach { v =>
+            val cell = f.addObject()
+            if (v == null) cell.putNull("v") else cell.put("v", LineCodec.render(v))
+          }
+        }
+        if (offset + page.size < out.size)
+          resp.put("pageToken", (offset + page.size).toString)
+        respond(ex, 200, resp.toString)
+    }
+  } catch {
+    case e: Throwable => respond(ex, 500, s"server error: $e")
+  }
 }

@@ -297,6 +297,15 @@ object LoopbackMongoServer {
   private val cursors = TrieMap.empty[Long, Iterator[BDoc]]
   private val serverRef = new AtomicReference[ServerSocket](null)
   private val nextCursor = new AtomicLong(1)
+  /** A client that stops consuming mid-cursor (pushed LIMIT, task kill)
+    * never sends the closing getMore — without a cap those iterators
+    * accumulate forever in a long-lived server. Ids are monotonic, so
+    * evicting the smallest keys drops the OLDEST abandoned cursors
+    * (real mongod idles them out after 10 min — same contract). */
+  private val MaxCursors = 256
+  private def evictOldCursors(): Unit =
+    while (cursors.size > MaxCursors)
+      cursors.keys.minOption.foreach(cursors.remove)
 
   /** Next N commands abort the connection without replying. */
   val failNext = new AtomicInteger(0)
@@ -425,6 +434,7 @@ object LoopbackMongoServer {
     val id = if (live) {
       val cid = nextCursor.getAndIncrement()
       cursors.put(cid, it)
+      evictOldCursors()
       cid
     } else 0L
     BDoc(Seq(

@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources._
+
+/** BQ-protocol passthrough connector: SQL render → parse round-trips
+  * under 3VL, warehouse-side execution exactness, jobs.query paging,
+  * the bare-scan golden plan (aggregate + sort + limit + offset all
+  * consumed), and fault injection through the shared REST client. */
+class BqSourceSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("seg", StringType),
+    StructField("name", StringType), StructField("bal", DoubleType)))
+  private val rows: Seq[Array[Any]] = (0L until 400L).map { i =>
+    Array[Any](i, if (i % 3 == 0) "A" else if (i % 3 == 1) "B" else null,
+      s"name_${i}_x", i * 1.5)
+  }
+
+  private def table(name: String): String = {
+    LoopbackRestServer.register(name, schema, rows)
+    val baseUrl = LoopbackRestServer.ensureStarted()
+    LoopbackRestServer.failNext.set(0)
+    LoopbackRestServer.delayMs.set(0)
+    BqEndpoints.register(BqEndpoint("bqtest", name, schema,
+      BqEndpointSpec(baseUrl, name, HttpRestConfig(pageSize = 64, retryBackoffMs = 5))))
+    if (SourceRegistry.get("bqtest").isEmpty)
+      SourceRegistry.register(SourceDef("bqtest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/bqtest").getPath,
+        "json", "bq"))
+    SourceRegistry.ensureCatalog(spark)
+    s"${SourceRegistry.CatalogName}.bqtest.$name"
+  }
+
+  // ---- render -> parse -> eval ≡ 3VL ------------------------------------
+
+  test("every rendered filter survives the parse round-trip with 3VL intact") {
+    val filters: Seq[Filter] = Seq(
+      EqualTo("seg", "A"),
+      EqualNullSafe("seg", "A"),
+      EqualNullSafe("seg", null),
+      In("id", Array(3L, 5L, 999L)),
+      In("name", Array("name_1_x", "o'brien")),
+      GreaterThan("bal", 300.0),
+      LessThanOrEqual("id", 10L),
+      IsNull("seg"), IsNotNull("seg"),
+      StringStartsWith("name", "name_1"),
+      StringEndsWith("name", "0_x"),
+      StringContains("name", "_39_"),
+      Not(EqualTo("seg", "A")),
+      Not(Or(EqualTo("seg", "A"), GreaterThan("id", 200L))),
+      And(Or(EqualTo("seg", "A"), EqualTo("seg", "B")), LessThan("id", 50L)),
+      Or(And(IsNull("seg"), GreaterThan("id", 390L)),
+        And(IsNotNull("seg"), LessThan("id", 5L))),
+      AlwaysTrue(), AlwaysFalse())
+    filters.foreach { f =>
+      val sql = BqSql.render(f).getOrElse(fail(s"$f did not render"))
+      val back = new BqSqlTestHook(sql).parsed
+      val got = rows.filter(r => FilterEval.eval(back, schema, r)).map(_(0))
+      val want = rows.filter(r => FilterEval.eval(f, schema, r)).map(_(0))
+      assert(got == want, s"filter $f rendered [$sql] parsed [$back]")
+    }
+  }
+
+  test("LIKE meta-characters in literals are escaped, not interpreted") {
+    val f = StringContains("name", "100%_x")
+    val sql = BqSql.render(f).get
+    val back = new BqSqlTestHook(sql).parsed
+    assert(back == StringContains("name", "100%_x"), s"[$sql] -> $back")
+  }
+
+  test("full statements parse: aggregates, group, order, limit, offset") {
+    val stmt = BqSql.parse(
+      "SELECT seg, count(*) AS n, sum(id) AS s FROM t " +
+        "WHERE (seg = 'A' OR bal > 10.5) AND id IS NOT NULL " +
+        "GROUP BY seg ORDER BY seg ASC NULLS FIRST LIMIT 5 OFFSET 2")
+    assert(stmt.groupBy == Seq("seg") && stmt.aggs.map(_._2) == Seq("n", "s"))
+    assert(stmt.limit == 5 && stmt.offset == 2)
+    assert(stmt.orderBy == Seq(BqSql.Order("seg", desc = false, nullsFirst = true)))
+  }
+
+  test("warehouse execution: exact integer aggregation and null ordering") {
+    val stmt = BqSql.parse(
+      "SELECT seg, count(*) AS n, sum(id) AS s, avg(id) AS a FROM t " +
+        "GROUP BY seg ORDER BY seg ASC NULLS FIRST")
+    val (names, _, out) = BqSql.execute(stmt, schema, rows)
+    assert(names == Seq("seg", "n", "s", "a"))
+    assert(out.head.head == null, "NULLS FIRST must order the null segment first")
+    val aRow = out(1) // seg 'A'
+    val ids = rows.filter(_(1) == "A").map(_(0).asInstanceOf[Long])
+    assert(aRow(1) == ids.size.toLong && aRow(2) == ids.sum &&
+      aRow(3) == ids.sum.toDouble / ids.size)
+  }
+
+  // ---- DSv2 through the socket ------------------------------------------
+
+  test("the whole statement ships: bare-scan golden plan, exact answer") {
+    val t = table("bq1")
+    val df = spark.table(t)
+      .filter(col("seg") === "A" || col("bal") > 500.0)
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum("id").as("s"), avg("id").as("a"))
+      .orderBy(col("seg").asc_nulls_first)
+      .offset(1)
+      .limit(2)
+    val got = df.collect()
+    // oracle: in-memory over the same rows
+    val matched = rows.filter(r => r(1) == "A" || r(3).asInstanceOf[Double] > 500.0)
+    val grouped = matched.groupBy(_(1)).toSeq
+      .sortBy { case (k, _) => (if (k == null) 0 else 1, String.valueOf(k)) }
+      .slice(1, 3)
+    assert(got.length == grouped.size)
+    got.zip(grouped).foreach { case (r, (seg, g)) =>
+      val ids = g.map(_(0).asInstanceOf[Long])
+      assert(r.getString(0) == seg && r.getLong(1) == ids.size &&
+        r.getLong(2) == ids.sum && r.getDouble(3) == ids.sum.toDouble / ids.size)
+    }
+    val sql = LoopbackRestServer.lastBqSql.get()
+    assert(sql.contains("OR") && sql.contains("GROUP BY seg") &&
+      sql.contains("ORDER BY seg") && sql.contains("LIMIT 2") &&
+      sql.contains("OFFSET 1"), sql)
+    // golden plan: the warehouse consumed EVERYTHING — no Spark-side
+    // aggregate, sort, or limit operators remain
+    val plan = df.queryExecution.executedPlan
+    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[Any] = {
+      val aggs = p.collect {
+        case h: HashAggregateExec => h: Any
+        case o: ObjectHashAggregateExec => o: Any
+        case s: SortAggregateExec => s: Any
+        case s: SortExec => s: Any
+        case t: TakeOrderedAndProjectExec => t: Any
+      }
+      aggs
+    }
+    assert(all(plan).isEmpty, s"expected a bare passthrough scan:\n$plan")
+  }
+
+  test("un-renderable predicates decline and polyfill") {
+    val t = table("bq2")
+    // modulo is outside the rendered dialect -> Spark residual
+    val got = spark.table(t)
+      .filter(col("seg") === "B" && (col("id") % 7 === 0))
+      .select("id").collect().map(_.getLong(0)).sorted
+    val want = rows.filter(r => r(1) == "B" && r(0).asInstanceOf[Long] % 7 == 0)
+      .map(_(0).asInstanceOf[Long]).sorted
+    assert(got.toSeq == want)
+    assert(!LoopbackRestServer.lastBqSql.get().contains("%"),
+      s"the modulo must stay engine-side: ${LoopbackRestServer.lastBqSql.get()}")
+  }
+
+  test("row results page with pageToken (pageSize < result size)") {
+    val t = table("bq3")
+    val served0 = LoopbackRestServer.served.get()
+    assert(spark.table(t).select("id", "name").collect().length == 400)
+    assert(LoopbackRestServer.served.get() - served0 >= 6,
+      "400 rows at 64-row pages must take several jobs.query calls")
+  }
+
+  test("injected 500s retry through the shared REST client") {
+    val t = table("bq4")
+    LoopbackRestServer.failNext.set(2)
+    assert(spark.table(t).filter(col("seg").isNull).count() ==
+      rows.count(_(1) == null))
+  }
+}
+
+/** Test-only access to the predicate sub-parser. */
+final class BqSqlTestHook(predSql: String) {
+  val parsed: Filter =
+    BqSql.parse(s"SELECT id FROM t WHERE $predSql").where.get
+}

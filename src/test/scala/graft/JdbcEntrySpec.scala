@@ -91,6 +91,18 @@ class JdbcEntrySpec extends AnyFunSuite {
         assert(rs2.next() && rs2.getLong(1) > 0)
         rs2.close()
 
+        // a WIRE-PROTOCOL connector through JDBC: the statement travels
+        // client → Thrift → Catalyst → the Mongo OP_MSG socket, with the
+        // WHERE compiled into the shipped filter document — the full
+        // federated path an external BI tool exercises
+        val rs2b = st.executeQuery(
+          "SELECT count(*) AS n FROM graft.mongo.orders_mongo " +
+            "WHERE o_orderstatus = 'F'")
+        assert(rs2b.next() && rs2b.getLong(1) > 0)
+        rs2b.close()
+        assert(graft.sources.LoopbackMongoServer.lastFind.get().contains("o_orderstatus"),
+          "the JDBC-issued WHERE must reach the Mongo server as a filter document")
+
         // ---- the FULL dialect through the wire (parser extension) ------
         // The thrift session forked WITH GraftExtensions, so every
         // GraftEngine statement class works as plain SQL text — the
