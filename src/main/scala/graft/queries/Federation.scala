@@ -435,6 +435,64 @@ object Federation {
         .limit(3)
     },
 
+    // DATASTORE-PROTOCOL scan over a real socket (reference:
+    // sql_to_datastore.go:441-493 compiles WHERE into property-filter
+    // chains; :70-150 adds Order + limit): the equality + the single
+    // inequality property + the order + the limit all ride ONE
+    // structured :runQuery; entityResults stream back endCursor-paged.
+    GQuery(
+      "q_src_ds_query",
+      """SELECT event_id, round(value, 2) AS value FROM events
+        |WHERE event_type = 'purchase' AND value > 50.0 AND value <= 90.0
+        |ORDER BY value, event_id LIMIT 50""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.DsSourceName}.events_ds")
+        .filter(col("event_type") === "purchase" &&
+          col("value") > 50.0 && col("value") <= 90.0)
+        .orderBy(col("value"), col("event_id"))
+        .limit(50)
+        .select(col("event_id"), round(col("value"), 2).as("value"))
+    },
+
+    // Datastore's signature restriction, ENFORCED: ranges on a SECOND
+    // property are illegal in the API (the loopback answers the real
+    // 400 INVALID_ARGUMENT), so the ts range declines and Spark
+    // re-applies it over the value-ranged stream — residual polyfill
+    // under a rule the backend itself polices.
+    GQuery(
+      "q_src_ds_residual",
+      """SELECT event_id, event_type FROM events
+        |WHERE event_type = 'click' AND value > 95.0
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.DsSourceName}.events_ds")
+        .filter(col("event_type") === "click" && col("value") > 95.0 &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    },
+
+    // BIGTABLE-PROTOCOL scan over a real socket (reference:
+    // sql_to_bt.go:150-239 compiles row-key predicates into PrefixRange
+    // row sets and polyfills everything else): the c_name prefix ships
+    // as a [prefix, prefix+MAX) rowRange in a :readRows, the non-key
+    // c_acctbal conjunct is declined and re-applied by Spark, and cells
+    // stream back base64 with startKeyOpen resume.
+    GQuery(
+      "q_src_bt_range",
+      """SELECT c_name, c_custkey, round(c_acctbal, 2) AS acctbal FROM customer
+        |WHERE c_name LIKE 'Customer#0000000%' AND c_acctbal > 1000.0
+        |ORDER BY c_name""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.BtSourceName}.customer_btw")
+        .filter(col("c_name").startsWith("Customer#0000000") &&
+          col("c_acctbal") > 1000.0)
+        .select(col("c_name"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_name")
+    },
+
     // Aggregate pushdown (reference: SQL→ES aggregations,
     // backends/elasticsearch/sqltoes.go:285-365): the scan ships per-file
     // partial count/min/max/sum per group, Spark merges — the raw rows

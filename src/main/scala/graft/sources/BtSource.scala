@@ -1,0 +1,271 @@
+package graft.sources
+
+import java.util
+import java.util.Base64
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** BigTable-protocol connector: the data API's `readRows` surface (REST
+  * JSON shape — base64 row keys and cell values, rowRanges/rowKeys row
+  * sets, cell chunks with commitRow framing). The reference compiles
+  * row-key predicates into ranges (`backends/bigtable/sql_to_bt.go:
+  * 150-239` builds PrefixRange row sets; `source.go:193-251` maps one
+  * column family to a table, cells decoded by sampling) and polyfills
+  * EVERYTHING else (`sql_to_bt.go:176-190` re-adds GROUP BY/WHERE in
+  * the engine). The accept surface here is the same: equality → rowKeys,
+  * prefix → [key, key+0xFF) range, ranges on the ROW KEY column only;
+  * every non-key predicate declines. Interrupted/batched scans resume
+  * with `startKeyOpen` = the last row key received — the real client's
+  * resume contract — so the loopback's chunk cap exercises exactly that
+  * path.
+  */
+object BtQuery {
+
+  private val M = EsDsl.M
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  def unb64(s: String): String = new String(Base64.getDecoder.decode(s), "UTF-8")
+
+  /** A row-key restriction: ranges (start incl, end excl; empty = open)
+    * and/or explicit keys. */
+  final case class RowSet(ranges: Seq[(String, String)], keys: Seq[String])
+
+  /** Key-column predicate → row set; None = not a row-key operation. */
+  def compileOne(f: Filter, keyCol: String): Option[RowSet] = {
+    def isKey(a: String) = a.equalsIgnoreCase(keyCol)
+    f match {
+      case EqualTo(a, v: String) if isKey(a) => Some(RowSet(Nil, Seq(v)))
+      case In(a, vs) if isKey(a) && vs != null && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[String]) =>
+        Some(RowSet(Nil, vs.toSeq.map(_.asInstanceOf[String])))
+      case StringStartsWith(a, v) if isKey(a) =>
+        // prefix range: [v, v + 0xFF) — the PrefixRange construction
+        Some(RowSet(Seq((v, v + "\uFFFF")), Nil))
+      case GreaterThanOrEqual(a, v: String) if isKey(a) => Some(RowSet(Seq((v, "")), Nil))
+      case GreaterThan(a, v: String) if isKey(a) =>
+        Some(RowSet(Seq((v + "\u0000", "")), Nil)) // (v, inf) = [v+NUL, inf)
+      case LessThan(a, v: String) if isKey(a) => Some(RowSet(Seq(("", v)), Nil))
+      case LessThanOrEqual(a, v: String) if isKey(a) =>
+        Some(RowSet(Seq(("", v + "\u0000")), Nil))
+      case _ => None
+    }
+  }
+
+  /** Intersect accepted row sets (conjunctive WHERE): ranges intersect
+    * pairwise; explicit keys filter through every range. */
+  def intersect(sets: Seq[RowSet]): RowSet = {
+    if (sets.isEmpty) return RowSet(Seq(("", "")), Nil)
+    val keys = sets.flatMap(_.keys)
+    if (keys.nonEmpty) {
+      // keys ∩ every range ∩ each other
+      val distinctKeys = keys.groupBy(identity).collect {
+        case (k, g) if g.size == sets.count(_.keys.nonEmpty) => k
+      }.toSeq.sorted
+      val ranges = sets.filter(_.keys.isEmpty).flatMap(_.ranges)
+      val filtered = distinctKeys.filter(k => ranges.forall { case (s, e) =>
+        (s.isEmpty || k >= s) && (e.isEmpty || k < e)
+      })
+      RowSet(Nil, filtered)
+    } else {
+      val merged = sets.flatMap(_.ranges).foldLeft(("", "")) {
+        case ((s1, e1), (s2, e2)) =>
+          val s = if (s1.isEmpty || (s2.nonEmpty && s2 > s1)) s2 else s1
+          val e = if (e1.isEmpty || (e2.nonEmpty && e2 < e1)) e2 else e1
+          (s, e)
+      }
+      RowSet(Seq(merged), Nil)
+    }
+  }
+
+  def requestJson(rs: RowSet, rowsLimit: Int, startKeyOpen: String): String = {
+    val root = M.createObjectNode()
+    val rows = root.putObject("rows")
+    if (rs.keys.nonEmpty) {
+      val arr = rows.putArray("rowKeys")
+      // resume for a keys request = drop keys at or below the last
+      // received (keys are served in sorted order)
+      rs.keys.sorted.filter(k => startKeyOpen.isEmpty || k > startKeyOpen)
+        .foreach(k => arr.add(b64(k)))
+    } else {
+      val arr = rows.putArray("rowRanges")
+      rs.ranges.foreach { case (s, e) =>
+        val r = arr.addObject()
+        val effStart =
+          if (startKeyOpen.nonEmpty && (s.isEmpty || startKeyOpen >= s)) null else s
+        if (startKeyOpen.nonEmpty && effStart == null)
+          r.put("startKeyOpen", b64(startKeyOpen))
+        else if (s.nonEmpty) r.put("startKeyClosed", b64(s))
+        if (e.nonEmpty) r.put("endKeyOpen", b64(e))
+      }
+    }
+    if (rowsLimit > 0) root.put("rowsLimit", rowsLimit)
+    root.toString
+  }
+
+  /** Server side: select rows by the row set. Returns key-sorted rows
+    * (BigTable scans are key-ordered). */
+  def select(body: JsonNode, keyOf: Array[Any] => String,
+      rows: Seq[Array[Any]]): Seq[(String, Array[Any])] = {
+    val sorted = rows.map(r => (keyOf(r), r)).sortBy(_._1)
+    val rs = body.path("rows")
+    val keyArr = rs.path("rowKeys")
+    val selected =
+      if (keyArr.isArray && keyArr.size() > 0) {
+        val want = keyArr.elements().asScala.map(n => unb64(n.asText())).toSet
+        sorted.filter { case (k, _) => want(k) }
+      } else {
+        val ranges = rs.path("rowRanges").elements().asScala.map { r =>
+          val startClosed = Option(r.get("startKeyClosed")).map(n => unb64(n.asText()))
+          val startOpen = Option(r.get("startKeyOpen")).map(n => unb64(n.asText()))
+          val endOpen = Option(r.get("endKeyOpen")).map(n => unb64(n.asText()))
+          (startClosed, startOpen, endOpen)
+        }.toSeq
+        if (ranges.isEmpty) sorted
+        else sorted.filter { case (k, _) =>
+          ranges.exists { case (sc, so, eo) =>
+            sc.forall(k >= _) && so.forall(k > _) && eo.forall(k < _)
+          }
+        }
+      }
+    val limit = body.path("rowsLimit").asInt(-1)
+    if (limit > 0) selected.take(limit) else selected
+  }
+}
+
+/** Serializable BigTable endpoint pointer. */
+final case class BtEndpointSpec(baseUrl: String, table: String, keyCol: String,
+    cfg: HttpRestConfig)
+
+final case class BtEndpoint(source: String, table: String, schema: StructType,
+    keyCol: String, spec: BtEndpointSpec)
+
+object BtEndpoints {
+  private val endpoints = TrieMap.empty[(String, String), BtEndpoint]
+  def register(e: BtEndpoint): Unit = endpoints.put((e.source, e.table.toLowerCase), e)
+  def get(source: String, table: String): Option[BtEndpoint] =
+    endpoints.get((source, table.toLowerCase))
+  def list(source: String): Seq[String] =
+    endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
+}
+
+class BtTable(val ep: BtEndpoint) extends Table with SupportsRead {
+  override def name(): String =
+    s"${SourceRegistry.CatalogName}.${ep.source}.${ep.table}"
+  override def schema(): StructType = ep.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.Set.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BtScanBuilder(ep)
+}
+
+class BtScanBuilder(ep: BtEndpoint) extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit {
+
+  private var rowSet: BtQuery.RowSet = BtQuery.RowSet(Seq(("", "")), Nil)
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ep.schema
+  private var limit: Int = -1
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val parsed = filters.map(f => f -> BtQuery.compileOne(f, ep.keyCol))
+    val accepted = parsed.collect { case (f, Some(rs)) => (f, rs) }
+    // implied IS NOT NULL on the key column is free (keys exist)
+    val implied = filters.collect {
+      case f @ IsNotNull(a) if a.equalsIgnoreCase(ep.keyCol) => f: Filter
+    }
+    rowSet = BtQuery.intersect(accepted.map(_._2).toSeq)
+    pushed = (accepted.map(_._1) ++ implied).toArray
+    filters.filterNot(pushed.contains)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan =
+    new BtScan(ep, required, rowSet, limit, pushed)
+}
+
+class BtScan(ep: BtEndpoint, required: StructType, rowSet: BtQuery.RowSet,
+    limit: Int, pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftBtScan endpoint=${ep.source}/${ep.table} " +
+      s"rowSet=${rowSet} limit=$limit " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(BtPartition(ep.spec, rowSet.ranges, rowSet.keys, limit, required.json))
+
+  override def createReaderFactory(): PartitionReaderFactory = new BtReaderFactory
+}
+
+final case class BtPartition(spec: BtEndpointSpec, ranges: Seq[(String, String)],
+    keys: Seq[String], limit: Int, requiredSchemaJson: String) extends InputPartition
+
+class BtReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[BtPartition]
+    val required = DataType.fromJson(p.requiredSchemaJson).asInstanceOf[StructType]
+    val client = new HttpRestClient(p.spec.baseUrl, p.spec.cfg)
+    val conv = CatalystTypeConverters.createToCatalystConverter(required)
+    val M = EsDsl.M
+    val rs = BtQuery.RowSet(p.ranges, p.keys)
+    // chunk pages resume with startKeyOpen = last row key received —
+    // the real ReadRows retry/resume contract
+    val pages: Iterator[Iterator[JsonNode]] = new Iterator[Iterator[JsonNode]] {
+      private var resumeKey = ""
+      private var done = false
+      private var received = 0
+      override def hasNext: Boolean = !done && (p.limit < 0 || received < p.limit)
+      override def next(): Iterator[JsonNode] = {
+        val lim = if (p.limit > 0) p.limit - received else -1
+        val body = BtQuery.requestJson(rs, lim, resumeKey)
+        val resp = M.readTree(client.postJson(s"/bt/${p.spec.table}:readRows", body))
+        val rows = resp.path("rows").elements().asScala.toSeq
+        if (rows.isEmpty || resp.path("lastRowKey").asText("").isEmpty) done = true
+        else resumeKey = BtQuery.unb64(resp.path("lastRowKey").asText())
+        if (!resp.path("moreRows").asBoolean(false)) done = true
+        received += rows.size
+        rows.iterator
+      }
+    }
+    val it = pages.flatten.map { row =>
+      val cells = row.path("cells")
+      conv(Row.fromSeq(required.fields.toSeq.map { f =>
+        val c = cells.path(f.name)
+        if (c.isMissingNode || c.isNull) null
+        else LineCodec.parse(BtQuery.unb64(c.asText()), f.dataType)
+      })).asInstanceOf[InternalRow]
+    }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

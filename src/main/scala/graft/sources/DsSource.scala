@@ -1,0 +1,409 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Datastore-protocol connector: the v1 `runQuery` REST surface with
+  * proto-JSON structured queries — the reference compiles WHERE into
+  * `datastore.NewQuery(...).Filter("col op", v)` chains and ORDER BY into
+  * `.Order` (`backends/datastore/sql_to_datastore.go:70-150,441-493`).
+  * Datastore's query model is narrower than SQL and the accept rules
+  * mirror it faithfully:
+  *
+  *   - conjunctions of property filters only — no OR, NOT, IN, LIKE;
+  *   - inequality (range) filters on AT MOST ONE property per query
+  *     (the classic Datastore restriction): ranges on a second property
+  *     decline and polyfill;
+  *   - when an inequality property exists, the FIRST sort order must be
+  *     that property — otherwise the sort is declined (kept in Spark);
+  *   - equality on any property; `IS NULL` pushes as EQUAL NULL_VALUE
+  *     (Datastore stores explicit nulls); `IS NOT NULL` has no query
+  *     form and declines.
+  *
+  * The loopback service REFUSES queries violating these rules with the
+  * real API's error shape, so the declines are enforced, not chosen.
+  */
+object DsQuery {
+
+  private val M = EsDsl.M
+
+  // ---- proto-JSON value codec -------------------------------------------
+
+  def valueNode(v: Any): Option[ObjectNode] = {
+    val o = M.createObjectNode()
+    v match {
+      case null => o.put("nullValue", "NULL_VALUE")
+      case i: java.lang.Integer => o.put("integerValue", i.toString)
+      case l: java.lang.Long => o.put("integerValue", l.toString)
+      case s: java.lang.Short => o.put("integerValue", s.toString)
+      case d: java.lang.Double => o.put("doubleValue", d.doubleValue())
+      case f: java.lang.Float => o.put("doubleValue", f.doubleValue())
+      case b: java.lang.Boolean => o.put("booleanValue", b.booleanValue())
+      case s: String => o.put("stringValue", s)
+      case t: java.sql.Timestamp =>
+        o.put("timestampValue", LineCodec.render(t))
+      case i: java.time.Instant =>
+        o.put("timestampValue", LineCodec.render(java.sql.Timestamp.from(i)))
+      case _ => return None
+    }
+    Some(o)
+  }
+
+  def valueOf(node: JsonNode, dt: DataType): Any = {
+    if (node == null || node.isMissingNode || node.has("nullValue")) return null
+    dt match {
+      case LongType => node.path("integerValue").asText().toLong: java.lang.Long
+      case IntegerType => node.path("integerValue").asText().toInt: java.lang.Integer
+      case ShortType => node.path("integerValue").asText().toShort: java.lang.Short
+      case DoubleType => node.path("doubleValue").asDouble(): java.lang.Double
+      case FloatType => node.path("doubleValue").asDouble().toFloat: java.lang.Float
+      case BooleanType => node.path("booleanValue").asBoolean(): java.lang.Boolean
+      case StringType => node.path("stringValue").asText()
+      case TimestampType =>
+        LineCodec.parse(node.path("timestampValue").asText(), TimestampType)
+      case other => throw new IllegalArgumentException(s"no datastore type for $other")
+    }
+  }
+
+  /** Raw JSON value → external value, for the server side (schema-typed). */
+  def valueOfTyped(node: JsonNode, schema: StructType, col: String): Any = {
+    val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(col))
+    require(i >= 0, s"unknown property $col")
+    valueOf(node, schema.fields(i).dataType)
+  }
+
+  // ---- filter compile ----------------------------------------------------
+
+  final case class PropFilter(prop: String, op: String, value: Any)
+
+  /** One Spark filter → one property filter; None = not expressible. */
+  def compileOne(f: Filter): Option[PropFilter] = f match {
+    case EqualTo(a, v) if v != null =>
+      valueNode(v).map(_ => PropFilter(a, "EQUAL", v))
+    case GreaterThan(a, v) if v != null =>
+      valueNode(v).map(_ => PropFilter(a, "GREATER_THAN", v))
+    case GreaterThanOrEqual(a, v) if v != null =>
+      valueNode(v).map(_ => PropFilter(a, "GREATER_THAN_OR_EQUAL", v))
+    case LessThan(a, v) if v != null =>
+      valueNode(v).map(_ => PropFilter(a, "LESS_THAN", v))
+    case LessThanOrEqual(a, v) if v != null =>
+      valueNode(v).map(_ => PropFilter(a, "LESS_THAN_OR_EQUAL", v))
+    case IsNull(a) => Some(PropFilter(a, "EQUAL", null))
+    case _ => None
+  }
+
+  private def inequality(op: String): Boolean = op != "EQUAL"
+
+  /** Split filters under Datastore's rules: conjunctive property
+    * filters, ranges on at most ONE property. */
+  def split(filters: Seq[Filter]): (Seq[PropFilter], Seq[Filter]) = {
+    val parsed = filters.map(f => f -> compileOne(f))
+    // choose the inequality property: the first seen keeps its ranges,
+    // ranges on OTHER properties decline
+    val ineqProp = parsed.collectFirst {
+      case (_, Some(p)) if inequality(p.op) => p.prop.toLowerCase
+    }
+    val (acc, dec) = parsed.partition {
+      case (_, Some(p)) =>
+        !inequality(p.op) || ineqProp.contains(p.prop.toLowerCase)
+      case (_, None) => false
+    }
+    (acc.flatMap(_._2), dec.map(_._1))
+  }
+
+  def queryJson(kind: String, props: Seq[String], filters: Seq[PropFilter],
+      orders: Seq[(String, Boolean)], limit: Int,
+      startCursor: String): String = {
+    val root = M.createObjectNode()
+    val q = root.putObject("query")
+    q.putArray("kind").addObject().put("name", kind)
+    if (props.nonEmpty) {
+      val proj = q.putArray("projection")
+      props.foreach(p => proj.addObject().putObject("property").put("name", p))
+    }
+    if (filters.nonEmpty) {
+      val fl = q.putObject("filter")
+      def prop(o: ObjectNode, f: PropFilter): Unit = {
+        val pf = o.putObject("propertyFilter")
+        pf.putObject("property").put("name", f.prop)
+        pf.put("op", f.op)
+        pf.set[JsonNode]("value", valueNode(f.value).get)
+      }
+      if (filters.size == 1) prop(fl, filters.head)
+      else {
+        val comp = fl.putObject("compositeFilter")
+        comp.put("op", "AND")
+        val arr = comp.putArray("filters")
+        filters.foreach(f => prop(arr.addObject(), f))
+      }
+    }
+    if (orders.nonEmpty) {
+      val os = q.putArray("order")
+      orders.foreach { case (p, desc) =>
+        val o = os.addObject()
+        o.putObject("property").put("name", p)
+        o.put("direction", if (desc) "DESCENDING" else "ASCENDING")
+      }
+    }
+    if (limit > 0) q.put("limit", limit)
+    if (startCursor.nonEmpty) q.put("startCursor", startCursor)
+    root.toString
+  }
+
+  // ---- server-side validation + evaluation ------------------------------
+
+  /** Execute a runQuery body over registered rows, enforcing the real
+    * API's restrictions (single inequality property; first sort = the
+    * inequality property). Returns (matched property-subset rows as
+    * (name → value), endCursorOffset). */
+  def run(body: JsonNode, schema: StructType, rows: Seq[Array[Any]])
+      : (Seq[String], Seq[Array[Any]]) = {
+    val q = body.path("query")
+    def idx(c: String): Int = {
+      val k = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      require(k >= 0, s"no matching index property $c")
+      k
+    }
+    // collect property filters
+    val fl = q.path("filter")
+    val pfs: Seq[(String, String, JsonNode)] =
+      if (fl.isMissingNode) Nil
+      else if (fl.has("propertyFilter")) {
+        val pf = fl.path("propertyFilter")
+        Seq((pf.path("property").path("name").asText(),
+          pf.path("op").asText(), pf.path("value")))
+      } else {
+        require(fl.path("compositeFilter").path("op").asText() == "AND",
+          "only AND composite filters are supported")
+        fl.path("compositeFilter").path("filters").elements().asScala.map { n =>
+          val pf = n.path("propertyFilter")
+          (pf.path("property").path("name").asText(),
+            pf.path("op").asText(), pf.path("value"))
+        }.toSeq
+      }
+    val ineqProps = pfs.collect {
+      case (p, op, _) if op != "EQUAL" => p.toLowerCase
+    }.distinct
+    require(ineqProps.size <= 1,
+      s"inequality filter is allowed on only one property, got: ${ineqProps.mkString(", ")}")
+    val orders = q.path("order").elements().asScala.map { o =>
+      (o.path("property").path("name").asText(),
+        o.path("direction").asText("ASCENDING") == "DESCENDING")
+    }.toSeq
+    if (ineqProps.nonEmpty && orders.nonEmpty)
+      require(orders.head._1.equalsIgnoreCase(ineqProps.head),
+        s"the first sort property must be the same as the inequality filter " +
+          s"property ${ineqProps.head}")
+
+    var matched = rows.filter { r =>
+      pfs.forall { case (p, op, vn) =>
+        val i = idx(p)
+        val v = valueOf(vn, schema.fields(i).dataType)
+        if (v == null) op == "EQUAL" && r(i) == null
+        else r(i) != null && FilterEval.cmp(r(i), v).exists { c =>
+          op match {
+            case "EQUAL" => c == 0
+            case "LESS_THAN" => c < 0
+            case "LESS_THAN_OR_EQUAL" => c <= 0
+            case "GREATER_THAN" => c > 0
+            case "GREATER_THAN_OR_EQUAL" => c >= 0
+            case other => throw new IllegalArgumentException(s"unsupported op $other")
+          }
+        }
+      }
+    }
+    if (orders.nonEmpty) {
+      val keys = orders.map { case (p, desc) => (idx(p), desc) }
+      matched = matched.sortWith { (a, b) =>
+        var r = 0
+        val it = keys.iterator
+        while (r == 0 && it.hasNext) {
+          val (i, desc) = it.next()
+          val c = (a(i), b(i)) match {
+            case (null, null) => 0
+            case (null, _) => -1 // Datastore: nulls sort lowest
+            case (_, null) => 1
+            case (x, y) => FilterEval.cmp(x, y).getOrElse(0)
+          }
+          r = if (desc) -c else c
+        }
+        r < 0
+      }
+    }
+    val limit = q.path("limit").asInt(-1)
+    val capped = if (limit > 0) matched.take(limit) else matched
+    val props = q.path("projection").elements().asScala
+      .map(_.path("property").path("name").asText()).toSeq
+    val names = if (props.nonEmpty) props else schema.fieldNames.toSeq
+    val keep = names.map(idx)
+    (names.map(n => schema.fieldNames(idx(n))),
+      capped.map(r => keep.map(r(_)).toArray))
+  }
+}
+
+/** Serializable Datastore endpoint pointer. */
+final case class DsEndpointSpec(baseUrl: String, kind: String, cfg: HttpRestConfig)
+
+final case class DsEndpoint(source: String, table: String, schema: StructType,
+    spec: DsEndpointSpec)
+
+object DsEndpoints {
+  private val endpoints = TrieMap.empty[(String, String), DsEndpoint]
+  def register(e: DsEndpoint): Unit = endpoints.put((e.source, e.table.toLowerCase), e)
+  def get(source: String, table: String): Option[DsEndpoint] =
+    endpoints.get((source, table.toLowerCase))
+  def list(source: String): Seq[String] =
+    endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
+}
+
+class DsTable(val ep: DsEndpoint) extends Table with SupportsRead {
+  override def name(): String =
+    s"${SourceRegistry.CatalogName}.${ep.source}.${ep.table}"
+  override def schema(): StructType = ep.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.Set.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DsScanBuilder(ep)
+}
+
+class DsScanBuilder(ep: DsEndpoint) extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit
+  with SupportsPushDownTopN {
+
+  private var accepted: Seq[DsQuery.PropFilter] = Nil
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ep.schema
+  private var limit: Int = -1
+  private var orders: Seq[(String, Boolean)] = Nil
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (acc, residual0) = DsQuery.split(filters.toSeq)
+    accepted = acc
+    // implied IS NOT NULLs on pushed-compared properties are absorbed
+    // (Datastore comparisons never match missing/null)
+    val compared = acc.filter(_.value != null).map(_.prop.toLowerCase).toSet
+    val (implied, residual) = residual0.partition {
+      case IsNotNull(a) => compared(a.toLowerCase)
+      case _ => false
+    }
+    pushed = (filters.toSeq.filterNot(residual0.contains) ++ implied).toArray
+    residual.toArray
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** First sort key must be the inequality property (Datastore rule). */
+  override def pushTopN(so: Array[SortOrder], n: Int): Boolean = {
+    val ks = so.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 &&
+            ep.schema.fieldNames.exists(_.equalsIgnoreCase(nr.fieldNames()(0))) =>
+          val desc = o.direction() == SortDirection.DESCENDING
+          val nullsFirst = o.nullOrdering() == NullOrdering.NULLS_FIRST
+          // Datastore orders nulls lowest: ASC+NULLS_FIRST / DESC+NULLS_LAST
+          if (desc != nullsFirst) Some((nr.fieldNames()(0), desc)) else None
+        case _ => None
+      }
+    }
+    if (ks.exists(_.isEmpty)) return false
+    val ineq = accepted.collectFirst {
+      case p if p.op != "EQUAL" => p.prop.toLowerCase
+    }
+    val keys = ks.map(_.get).toSeq
+    if (ineq.exists(p => !keys.headOption.exists(_._1.equalsIgnoreCase(p))))
+      return false // first sort must be the inequality property
+    orders = keys
+    limit = n
+    true
+  }
+
+  override def build(): Scan = {
+    val props =
+      if (required.fieldNames.sameElements(ep.schema.fieldNames)) Nil
+      else required.fieldNames.toSeq
+    new DsScan(ep, required,
+      DsQuery.queryJson(ep.spec.kind, props, accepted, orders, limit, ""),
+      accepted, orders, limit, pushed)
+  }
+}
+
+class DsScan(ep: DsEndpoint, required: StructType, queryBody: String,
+    accepted: Seq[DsQuery.PropFilter], orders: Seq[(String, Boolean)],
+    limit: Int, pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftDsScan endpoint=${ep.source}/${ep.table} query=$queryBody " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DsPartition(ep.spec, queryBody, required.json))
+
+  override def createReaderFactory(): PartitionReaderFactory = new DsReaderFactory
+}
+
+final case class DsPartition(spec: DsEndpointSpec, queryBody: String,
+    requiredSchemaJson: String) extends InputPartition
+
+class DsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DsPartition]
+    val required = DataType.fromJson(p.requiredSchemaJson).asInstanceOf[StructType]
+    val client = new HttpRestClient(p.spec.baseUrl, p.spec.cfg)
+    val conv = CatalystTypeConverters.createToCatalystConverter(required)
+    val M = EsDsl.M
+    val pages: Iterator[Iterator[JsonNode]] = new Iterator[Iterator[JsonNode]] {
+      private var cursor = ""
+      private var done = false
+      override def hasNext: Boolean = !done
+      override def next(): Iterator[JsonNode] = {
+        val body = M.readTree(p.queryBody).asInstanceOf[ObjectNode]
+        val q = body.path("query").asInstanceOf[ObjectNode]
+        if (cursor.nonEmpty) q.put("startCursor", cursor)
+        val resp = M.readTree(client.postJson(s"/ds/${p.spec.kind}:runQuery", body.toString))
+        val batch = resp.path("batch")
+        if (batch.path("moreResults").asText() != "NOT_FINISHED") done = true
+        else cursor = batch.path("endCursor").asText()
+        batch.path("entityResults").elements().asScala
+      }
+    }
+    val it = pages.flatten.map { er =>
+      val props = er.path("entity").path("properties")
+      conv(Row.fromSeq(required.fields.toSeq.map { f =>
+        DsQuery.valueOf(props.path(f.name), f.dataType)
+      })).asInstanceOf[InternalRow]
+    }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

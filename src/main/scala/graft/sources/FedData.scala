@@ -43,6 +43,8 @@ object FedData {
   val MongoSourceName = "mongo"
   /** CQL-protocol source: native-protocol v4 over the loopback socket. */
   val CqlSourceName = "cql"
+  /** Datastore-protocol source: v1 `:runQuery` over the loopback socket. */
+  val DsSourceName = "ds"
 
   /** One staged table: (catalog table, format, parquet origin, part files,
     * declared key columns). Multi-file tables are the connector's scan
@@ -212,6 +214,40 @@ object FedData {
         val baseUrl = LoopbackRestServer.ensureStarted()
         BqEndpoints.register(BqEndpoint(BqSourceName, "orders_bqw", orders.schema,
           BqEndpointSpec(baseUrl, "orders_bqw", HttpRestConfig(pageSize = 512))))
+      }
+      // Datastore-protocol source: the events stream behind the v1
+      // :runQuery REST endpoint — property filters with the
+      // single-inequality-property rule (sql_to_datastore.go:441-493
+      // compiles WHERE into Filter("col op", v) chains), order/limit
+      // ride the structured query, entityResults page with endCursor.
+      if (SourceRegistry.get(DsSourceName).isEmpty)
+        SourceRegistry.register(SourceDef(
+          DsSourceName, new File(base, DsSourceName).getPath, "json", "ds"))
+      if (DsEndpoints.get(DsSourceName, "events_ds").isEmpty) {
+        val events = Tables.load(spark, sfDir, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val rows = events.collect().map(_.toSeq.toArray)
+        LoopbackRestServer.register("events_ds", events.schema, rows.toSeq)
+        val baseUrl = LoopbackRestServer.ensureStarted()
+        DsEndpoints.register(DsEndpoint(DsSourceName, "events_ds", events.schema,
+          DsEndpointSpec(baseUrl, "events_ds", HttpRestConfig(pageSize = 512))))
+      }
+      // BigTable-protocol source: customer keyed on c_name behind the
+      // data API's :readRows shape — row-key equality/prefix/range
+      // predicates compile into rowKeys/rowRanges (sql_to_bt.go:150-239
+      // builds PrefixRange row sets), everything else polyfills; cells
+      // come back base64 and scans resume with startKeyOpen.
+      if (BtEndpoints.get(BtSourceName, "customer_btw").isEmpty) {
+        val customer = Tables.load(spark, sfDir, "customer")
+          .select("c_name", "c_custkey", "c_mktsegment", "c_acctbal")
+        val rows = customer.collect().map(_.toSeq.toArray)
+        LoopbackRestServer.registerBt("customer_btw", customer.schema, "c_name",
+          rows.toSeq)
+        val baseUrl = LoopbackRestServer.ensureStarted()
+        BtEndpoints.register(BtEndpoint(BtSourceName, "customer_btw",
+          customer.schema, "c_name",
+          BtEndpointSpec(baseUrl, "customer_btw", "c_name",
+            HttpRestConfig(pageSize = 512))))
       }
     }
   }

@@ -97,7 +97,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .filter(_.isDirectory).map(_.getName)
     ((dirs ++ RestEndpoints.list(s.name) ++ EsEndpoints.list(s.name) ++
       MongoEndpoints.list(s.name) ++ CqlEndpoints.list(s.name) ++
-      BqEndpoints.list(s.name)).sorted
+      BqEndpoints.list(s.name) ++ DsEndpoints.list(s.name) ++
+      BtEndpoints.list(s.name)).sorted
       :+ FilesMetaTable.Name)
       .map(Identifier.of(namespace, _))
   }
@@ -108,6 +109,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     MongoEndpoints.get(s.name, ident.name()).foreach(ep => return new MongoTable(ep))
     CqlEndpoints.get(s.name, ident.name()).foreach(ep => return new CqlTable(ep))
     BqEndpoints.get(s.name, ident.name()).foreach(ep => return new BqTable(ep))
+    DsEndpoints.get(s.name, ident.name()).foreach(ep => return new DsTable(ep))
+    BtEndpoints.get(s.name, ident.name()).foreach(ep => return new BtTable(ep))
     RestEndpoints.get(s.name, ident.name()) match {
       case Some(ep) => new RestTable(ep) // REST endpoints shadow nothing:
       // they live in sources without file tables of the same name

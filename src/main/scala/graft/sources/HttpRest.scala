@@ -171,6 +171,8 @@ object LoopbackRestServer {
     srv.createContext("/t/", (ex: HttpExchange) => handle(ex))
     srv.createContext("/es/", (ex: HttpExchange) => handleEs(ex))
     srv.createContext("/bq/", (ex: HttpExchange) => handleBq(ex))
+    srv.createContext("/ds/", (ex: HttpExchange) => handleDs(ex))
+    srv.createContext("/bt/", (ex: HttpExchange) => handleBt(ex))
     // daemon workers: the loopback fixture must never keep a JVM alive
     srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-loopback-rest"); t.setDaemon(true); t
@@ -361,6 +363,125 @@ object LoopbackRestServer {
 
   /** Last `/bq/.../query` statement seen (pushdown assertions). */
   val lastBqSql = new AtomicReference[String]("")
+
+  /** Last `:runQuery` body seen (pushdown assertions). */
+  val lastDsQuery = new AtomicReference[String]("")
+
+  /** Last `:readRows` body seen (pushdown assertions). */
+  val lastBtQuery = new AtomicReference[String]("")
+
+  /** BigTable data-API `:readRows` endpoint (POST /bt/<table>:readRows):
+    * row sets (base64 rowKeys / rowRanges) select key-sorted rows; cells
+    * answer base64-encoded under their qualifier (rows are the commitRow
+    * consolidation of the chunk stream); responses cap at the service
+    * batch size and clients RESUME with `startKeyOpen` = the last row
+    * key received — the real ReadRows retry contract. A table's key
+    * column is `<keyCol>` registered via [[registerBt]]. */
+  private val BtChunkCap = 300
+  private val btKeyCols = TrieMap.empty[String, String]
+
+  def registerBt(name: String, schema: StructType, keyCol: String,
+      rows: Seq[Array[Any]]): Unit = {
+    register(name, schema, rows)
+    btKeyCols.put(name.toLowerCase, keyCol)
+  }
+
+  private def handleBt(ex: HttpExchange): Unit = try {
+    served.incrementAndGet()
+    val d = delayMs.get()
+    if (d > 0) Thread.sleep(d.toLong)
+    if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      respond(ex, 500, "injected failure"); return
+    }
+    val M = EsDsl.M
+    val path = ex.getRequestURI.getPath.stripPrefix("/bt/")
+    if (!path.endsWith(":readRows")) { respond(ex, 400, "only :readRows is served"); return }
+    val name = path.stripSuffix(":readRows").toLowerCase
+    (tables.get(name), btKeyCols.get(name)) match {
+      case (Some(TableData(schema, rows)), Some(keyCol)) =>
+        val body = M.readTree(ex.getRequestBody)
+        lastBtQuery.set(body.toString)
+        val ki = schema.fieldNames.indexWhere(_.equalsIgnoreCase(keyCol))
+        val selected = BtQuery.select(body, r => String.valueOf(r(ki)), rows)
+        val page = selected.take(BtChunkCap)
+        val resp = M.createObjectNode()
+        val arr = resp.putArray("rows")
+        val b64 = (s: String) =>
+          java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+        page.foreach { case (key, r) =>
+          val o = arr.addObject()
+          o.put("rowKey", b64(key))
+          val cells = o.putObject("cells")
+          schema.fields.zipWithIndex.foreach { case (f, i) =>
+            if (r(i) != null) cells.put(f.name, b64(LineCodec.render(r(i))))
+          }
+        }
+        page.lastOption.foreach { case (key, _) => resp.put("lastRowKey", b64(key)) }
+        resp.put("moreRows", selected.size > page.size)
+        respond(ex, 200, resp.toString)
+      case _ => respond(ex, 404, s"no such table $name")
+    }
+  } catch {
+    case e: Throwable => respond(ex, 500, s"server error: $e")
+  }
+
+  /** Datastore v1 `:runQuery` endpoint (POST /ds/<kind>:runQuery):
+    * validates the structured query against the real API's restrictions
+    * (single inequality property; first sort = inequality property —
+    * violations answer the API's 400 error shape, so declined filters
+    * are ENFORCED), evaluates it ([[DsQuery.run]]), and answers
+    * entityResults batched at the service's internal cap with
+    * `endCursor`/`moreResults` paging. */
+  private val DsBatchCap = 300
+
+  private def handleDs(ex: HttpExchange): Unit = try {
+    served.incrementAndGet()
+    val d = delayMs.get()
+    if (d > 0) Thread.sleep(d.toLong)
+    if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      respond(ex, 500, "injected failure"); return
+    }
+    val M = EsDsl.M
+    val path = ex.getRequestURI.getPath.stripPrefix("/ds/")
+    if (!path.endsWith(":runQuery")) { respond(ex, 400, "only :runQuery is served"); return }
+    val name = path.stripSuffix(":runQuery").toLowerCase
+    tables.get(name) match {
+      case None => respond(ex, 404, s"no such kind $name")
+      case Some(TableData(schema, rows)) =>
+        val body = M.readTree(ex.getRequestBody)
+        lastDsQuery.set(body.toString)
+        val (names, out) =
+          try DsQuery.run(body, schema, rows)
+          catch {
+            case e: IllegalArgumentException =>
+              // the real API's error shape for invalid queries
+              val err = M.createObjectNode()
+              err.putObject("error").put("code", 400)
+                .put("status", "INVALID_ARGUMENT").put("message", e.getMessage)
+              respond(ex, 400, err.toString); return
+          }
+        val start = body.path("query").path("startCursor").asText("")
+          .toIntOption.getOrElse(0)
+        val page = out.slice(start, start + DsBatchCap)
+        val resp = M.createObjectNode()
+        val batch = resp.putObject("batch")
+        val results = batch.putArray("entityResults")
+        page.foreach { r =>
+          val props = results.addObject().putObject("entity").putObject("properties")
+          names.zip(r).foreach { case (n, v) =>
+            props.set[com.fasterxml.jackson.databind.JsonNode](n,
+              DsQuery.valueNode(v).get)
+          }
+        }
+        val end = start + page.size
+        batch.put("endCursor", end.toString)
+        batch.put("moreResults",
+          if (end < out.size) "NOT_FINISHED" else "NO_MORE_RESULTS")
+        respond(ex, 200, resp.toString)
+    }
+  } catch {
+    case e: Throwable => respond(ex, 500, s"server error: $e")
+  }
 
   /** jobs.query-shaped endpoint (POST /bq/<table>/query): parses the
     * shipped SQL statement with [[BqSql.parse]], executes it over the

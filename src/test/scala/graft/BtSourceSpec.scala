@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources._
+
+/** BigTable-protocol connector: row-set compilation (equality→rowKeys,
+  * prefix/range→rowRanges, conjunct intersection), key-only pushdown
+  * with non-key polyfill, base64 cell round-trips, and the startKeyOpen
+  * scan-resume contract past the service chunk cap. */
+class BtSourceSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType), StructField("id", LongType),
+    StructField("seg", StringType), StructField("bal", DoubleType)))
+  private val rows: Seq[Array[Any]] = (0L until 400L).map { i =>
+    Array[Any](f"row#$i%05d", i,
+      if (i % 3 == 0) "A" else if (i % 3 == 1) "B" else null, i * 1.5)
+  }
+
+  private def table(name: String): String = {
+    LoopbackRestServer.registerBt(name, schema, "k", rows)
+    val baseUrl = LoopbackRestServer.ensureStarted()
+    LoopbackRestServer.failNext.set(0)
+    BtEndpoints.register(BtEndpoint("bttest", name, schema, "k",
+      BtEndpointSpec(baseUrl, name, "k",
+        HttpRestConfig(pageSize = 64, retryBackoffMs = 5))))
+    if (SourceRegistry.get("bttest").isEmpty)
+      SourceRegistry.register(SourceDef("bttest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/bttest").getPath,
+        "json", "bt"))
+    SourceRegistry.ensureCatalog(spark)
+    s"${SourceRegistry.CatalogName}.bttest.$name"
+  }
+
+  // ---- row-set compilation ----------------------------------------------
+
+  test("key predicates compile to row sets; conjuncts intersect") {
+    def one(f: Filter) = BtQuery.compileOne(f, "k")
+    assert(one(EqualTo("k", "row#00007")).get.keys == Seq("row#00007"))
+    assert(one(In("k", Array("row#00001", "row#00002"))).get.keys.size == 2)
+    val pre = one(StringStartsWith("k", "row#001")).get.ranges.head
+    assert(pre._1 == "row#001" && pre._2 > "row#001")
+    assert(one(GreaterThan("bal", 1.0)).isEmpty, "non-key declines")
+    assert(one(EqualTo("seg", "A")).isEmpty)
+    // range intersection: [row#00100, inf) ∩ (-inf, row#00200)
+    val rs = BtQuery.intersect(Seq(
+      one(GreaterThanOrEqual("k", "row#00100")).get,
+      one(LessThan("k", "row#00200")).get))
+    assert(rs.ranges == Seq(("row#00100", "row#00200")))
+    // keys filtered through a range
+    val rs2 = BtQuery.intersect(Seq(
+      BtQuery.RowSet(Nil, Seq("row#00050", "row#00250")),
+      one(LessThan("k", "row#00100")).get))
+    assert(rs2.keys == Seq("row#00050"))
+  }
+
+  test("strict bounds use the NUL successor key, not a printable guess") {
+    val gt = BtQuery.compileOne(GreaterThan("k", "row#00010"), "k").get.ranges.head
+    assert(gt._1 == "row#00010\u0000")
+    val le = BtQuery.compileOne(LessThanOrEqual("k", "row#00010"), "k").get.ranges.head
+    assert(le._2 == "row#00010\u0000")
+  }
+
+  // ---- DSv2 through the socket ------------------------------------------
+
+  test("prefix + non-key conjunct: range ships, residual polyfills") {
+    val t = table("bt1")
+    val got = spark.table(t)
+      .filter(col("k").startsWith("row#001") && col("bal") > 200.0)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val want = rows.filter(r => r(0).asInstanceOf[String].startsWith("row#001")
+        && r(3).asInstanceOf[Double] > 200.0)
+      .map(_(1).asInstanceOf[Long]).sorted
+    assert(got.toSeq == want)
+    val q = LoopbackRestServer.lastBtQuery.get()
+    assert(q.contains("rowRanges"), q)
+    assert(!q.contains("bal"), s"non-key must stay engine-side: $q")
+  }
+
+  test("key equality and IN ship as rowKeys") {
+    val t = table("bt2")
+    val got = spark.table(t)
+      .filter(col("k").isin("row#00003", "row#00390"))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(3L, 390L))
+    assert(LoopbackRestServer.lastBtQuery.get().contains("rowKeys"))
+  }
+
+  test("full scans resume with startKeyOpen past the 300-row chunk cap") {
+    val t = table("bt3")
+    val served0 = LoopbackRestServer.served.get()
+    val all = spark.table(t).select("k", "id", "seg", "bal").collect()
+    assert(all.length == 400)
+    assert(LoopbackRestServer.served.get() - served0 >= 2,
+      "400 rows past the 300-row cap must take a resumed read")
+    assert(LoopbackRestServer.lastBtQuery.get().contains("startKeyOpen"),
+      "the second read must resume after the last received key")
+    // cells round-trip: nulls stay null, doubles exact
+    val r7 = all.find(_.getString(0) == "row#00007").get
+    assert(r7.getLong(1) == 7L && r7.getString(2) == "B" && r7.getDouble(3) == 10.5)
+    val r2 = all.find(_.getString(0) == "row#00002").get
+    assert(r2.isNullAt(2), "null cells must come back null")
+  }
+
+  test("key range queries stream only the range") {
+    val t = table("bt4")
+    val got = spark.table(t)
+      .filter(col("k") >= "row#00100" && col("k") < "row#00110")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (100L until 110L))
+  }
+}

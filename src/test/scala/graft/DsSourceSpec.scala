@@ -1,0 +1,139 @@
+package graft
+
+import java.io.IOException
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources._
+
+/** Datastore-protocol connector: the single-inequality-property accept
+  * rule, server-side 400 enforcement of the same rule, proto-JSON value
+  * round-trips, endCursor paging past the service batch cap, and DSv2
+  * pushdown (filters/order/limit in one :runQuery) over a live socket. */
+class DsSourceSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("seg", StringType),
+    StructField("bal", DoubleType), StructField("ts", TimestampType)))
+  private val rows: Seq[Array[Any]] = (0L until 400L).map { i =>
+    Array[Any](i, if (i % 3 == 0) "A" else if (i % 3 == 1) "B" else null,
+      i * 1.5,
+      java.sql.Timestamp.valueOf(s"2024-01-${(i % 28 + 1).formatted("%02d")} 00:00:00"))
+  }
+
+  private def table(name: String): String = {
+    LoopbackRestServer.register(name, schema, rows)
+    val baseUrl = LoopbackRestServer.ensureStarted()
+    LoopbackRestServer.failNext.set(0)
+    DsEndpoints.register(DsEndpoint("dstest", name, schema,
+      DsEndpointSpec(baseUrl, name, HttpRestConfig(pageSize = 64, retryBackoffMs = 5))))
+    if (SourceRegistry.get("dstest").isEmpty)
+      SourceRegistry.register(SourceDef("dstest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/dstest").getPath,
+        "json", "ds"))
+    SourceRegistry.ensureCatalog(spark)
+    s"${SourceRegistry.CatalogName}.dstest.$name"
+  }
+
+  // ---- accept rules ------------------------------------------------------
+
+  test("split: one inequality property; second property's ranges decline") {
+    val (acc, dec) = DsQuery.split(Seq(
+      EqualTo("seg", "A"),
+      GreaterThan("bal", 10.0), LessThanOrEqual("bal", 500.0),
+      GreaterThan("id", 5L), // second inequality property -> residual
+      IsNull("seg")))
+    assert(acc.map(_.op) ==
+      Seq("EQUAL", "GREATER_THAN", "LESS_THAN_OR_EQUAL", "EQUAL"))
+    assert(dec == Seq(GreaterThan("id", 5L)))
+    val (acc2, dec2) = DsQuery.split(Seq(
+      Or(EqualTo("seg", "A"), EqualTo("seg", "B")), IsNotNull("seg")))
+    assert(acc2.isEmpty && dec2.size == 2, "OR and IS NOT NULL have no query form")
+  }
+
+  test("the service rejects a second inequality property (enforced decline)") {
+    LoopbackRestServer.register("ds0", schema, rows)
+    val base = LoopbackRestServer.ensureStarted()
+    val client = new HttpRestClient(base, HttpRestConfig(retryBackoffMs = 5))
+    val body = DsQuery.queryJson("ds0", Nil,
+      Seq(DsQuery.PropFilter("bal", "GREATER_THAN", 1.0: java.lang.Double),
+        DsQuery.PropFilter("id", "LESS_THAN", 10L: java.lang.Long)),
+      Nil, -1, "")
+    val e = intercept[IOException](client.postJson("/ds/ds0:runQuery", body))
+    assert(e.getMessage.contains("INVALID_ARGUMENT") &&
+      e.getMessage.contains("only one property"), e.getMessage)
+    // and a sort whose first key is not the inequality property
+    val body2 = DsQuery.queryJson("ds0", Nil,
+      Seq(DsQuery.PropFilter("bal", "GREATER_THAN", 1.0: java.lang.Double)),
+      Seq(("id", false)), -1, "")
+    val e2 = intercept[IOException](client.postJson("/ds/ds0:runQuery", body2))
+    assert(e2.getMessage.contains("first sort property"), e2.getMessage)
+  }
+
+  test("entityResults page past the service batch cap via endCursor") {
+    val t = table("ds1")
+    val served0 = LoopbackRestServer.served.get()
+    assert(spark.table(t).select("id").collect().length == 400)
+    // 400 entities at the 300-entity service cap = 2 runQuery calls
+    assert(LoopbackRestServer.served.get() - served0 >= 2)
+  }
+
+  test("filters, order and limit ride one structured query; values round-trip") {
+    val t = table("ds2")
+    val got = spark.table(t)
+      .filter(col("seg") === "B" && col("bal") > 100.0 && col("bal") <= 200.0)
+      .orderBy(col("bal").desc, col("id").desc)
+      .limit(5)
+      .select("id", "bal", "ts")
+      .collect()
+    val want = rows.filter(r => r(1) == "B" && r(2).asInstanceOf[Double] > 100.0
+        && r(2).asInstanceOf[Double] <= 200.0)
+      .sortBy(r => (-r(2).asInstanceOf[Double], -r(0).asInstanceOf[Long]))
+      .take(5)
+    assert(got.length == want.size)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w(0) && g.getDouble(1) == w(2) &&
+        g.getTimestamp(2) == w(3))
+    }
+    val q = LoopbackRestServer.lastDsQuery.get()
+    assert(q.contains("GREATER_THAN") && q.contains("LESS_THAN_OR_EQUAL") &&
+      q.contains("DESCENDING") && q.contains("\"limit\""), q)
+  }
+
+  test("second-property range declines through DSv2 and polyfills exactly") {
+    val t = table("ds3")
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val got = spark.table(t)
+      .filter(col("seg") === "A" && col("bal") > 300.0 && col("ts") < lit(cutoff))
+      .select("id").collect().map(_.getLong(0)).sorted
+    val want = rows.filter(r => r(1) == "A" && r(2).asInstanceOf[Double] > 300.0
+        && r(3).asInstanceOf[java.sql.Timestamp].before(cutoff))
+      .map(_(0).asInstanceOf[Long]).sorted
+    assert(got.toSeq == want)
+    val q = LoopbackRestServer.lastDsQuery.get()
+    // ts legitimately rides the PROJECTION (the residual reads it); the
+    // ts FILTER must not reach the service
+    assert(!q.contains("timestampValue"), s"the ts range must stay engine-side: $q")
+  }
+
+  test("IS NULL pushes as EQUAL NULL_VALUE; IS NOT NULL stays engine-side") {
+    val t = table("ds4")
+    assert(spark.table(t).filter(col("seg").isNull).count() ==
+      rows.count(_(1) == null))
+    assert(LoopbackRestServer.lastDsQuery.get().contains("nullValue"))
+    assert(spark.table(t).filter(col("seg").isNotNull).count() ==
+      rows.count(_(1) != null))
+  }
+}
