@@ -493,6 +493,35 @@ object Federation {
         .orderBy("c_name")
     },
 
+    // Two LIVE WIRE PROTOCOLS in one plan — the federated join the
+    // reference exists for (README.md:1-24 "join data across us"):
+    // the ES side ships its segment term filter in a `_search`, the
+    // Mongo side ships its status filter in an OP_MSG `find`, Spark
+    // joins the two socket streams and aggregates. The ES dimension
+    // (filtered customers) broadcasts; the Mongo fact stream never
+    // materializes driver-side.
+    GQuery(
+      "q_src_join_wire",
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |  AND o.o_orderstatus = 'F'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      fed(s, d)
+      val cust = s.table(s"$C.${FedData.EsSourceName}.customer_es")
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_mktsegment")
+      val ords = s.table(s"$C.${FedData.MongoSourceName}.orders_mongo")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_custkey", "o_orderkey")
+      ords.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum("o_orderkey").as("sum_key"))
+        .orderBy("c_mktsegment")
+    },
+
     // Aggregate pushdown (reference: SQL→ES aggregations,
     // backends/elasticsearch/sqltoes.go:285-365): the scan ships per-file
     // partial count/min/max/sum per group, Spark merges — the raw rows

@@ -144,11 +144,16 @@ object BqSql {
         i += w.length
         return java.sql.Timestamp.valueOf(stringLit())
       }
-      // number
+      // number — including scientific notation with a signed exponent
+      // (Double.toString renders 1e-4 as "1.0E-4")
       val j = i
       if (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '+')) i += 1
-      while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.' ||
-        s.charAt(i) == 'E' || s.charAt(i) == 'e')) i += 1
+      while (i < s.length && {
+        val c = s.charAt(i)
+        c.isDigit || c == '.' || c == 'E' || c == 'e' ||
+          ((c == '-' || c == '+') && i > j &&
+            (s.charAt(i - 1) == 'E' || s.charAt(i - 1) == 'e'))
+      }) i += 1
       if (i == j) fail("expected literal")
       val raw = s.substring(j, i)
       if (raw.contains('.') || raw.toLowerCase.contains('e')) raw.toDouble: java.lang.Double

@@ -63,21 +63,27 @@ object BtQuery {
     }
   }
 
+  /** The provably-empty row set (contradictory conjuncts): encoded as
+    * no ranges AND no keys so the scan can skip the read entirely —
+    * an EMPTY RowSet proto would mean "read everything" on a real
+    * BigTable, the exact inversion a silent bug would produce. */
+  val Empty: RowSet = RowSet(Nil, Nil)
+
   /** Intersect accepted row sets (conjunctive WHERE): ranges intersect
-    * pairwise; explicit keys filter through every range. */
+    * pairwise; explicit keys filter through every range; a contradiction
+    * (key = 'a' AND key = 'b') yields [[Empty]], never a full scan. */
   def intersect(sets: Seq[RowSet]): RowSet = {
     if (sets.isEmpty) return RowSet(Seq(("", "")), Nil)
     val keys = sets.flatMap(_.keys)
     if (keys.nonEmpty) {
       // keys ∩ every range ∩ each other
-      val distinctKeys = keys.groupBy(identity).collect {
-        case (k, g) if g.size == sets.count(_.keys.nonEmpty) => k
-      }.toSeq.sorted
+      val distinctKeys = keys.distinct.filter(k =>
+        sets.filter(_.keys.nonEmpty).forall(_.keys.contains(k))).sorted
       val ranges = sets.filter(_.keys.isEmpty).flatMap(_.ranges)
       val filtered = distinctKeys.filter(k => ranges.forall { case (s, e) =>
         (s.isEmpty || k >= s) && (e.isEmpty || k < e)
       })
-      RowSet(Nil, filtered)
+      if (filtered.isEmpty) Empty else RowSet(Nil, filtered)
     } else {
       val merged = sets.flatMap(_.ranges).foldLeft(("", "")) {
         case ((s1, e1), (s2, e2)) =>
@@ -85,7 +91,9 @@ object BtQuery {
           val e = if (e1.isEmpty || (e2.nonEmpty && e2 < e1)) e2 else e1
           (s, e)
       }
-      RowSet(Seq(merged), Nil)
+      // inverted bounds = contradictory ranges (k >= 'b' AND k < 'a')
+      if (merged._1.nonEmpty && merged._2.nonEmpty && merged._1 >= merged._2) Empty
+      else RowSet(Seq(merged), Nil)
     }
   }
 
@@ -217,7 +225,10 @@ class BtScan(ep: BtEndpoint, required: StructType, rowSet: BtQuery.RowSet,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(BtPartition(ep.spec, rowSet.ranges, rowSet.keys, limit, required.json))
+    // a provably-empty row set reads nothing — zero partitions, no
+    // request (an empty RowSet proto would mean full scan server-side)
+    if (rowSet == BtQuery.Empty) Array.empty
+    else Array(BtPartition(ep.spec, rowSet.ranges, rowSet.keys, limit, required.json))
 
   override def createReaderFactory(): PartitionReaderFactory = new BtReaderFactory
 }

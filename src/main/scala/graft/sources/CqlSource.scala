@@ -148,9 +148,32 @@ object CqlEval {
   private val SelectRe =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\S+?)(?:\s+WHERE\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s*""".r
 
+  /** Split a WHERE clause on top-level ` AND ` only — a quote-aware
+    * scan, because a string literal may itself contain " and "
+    * (`seg = 'FOOD AND DRINK'` is one predicate, not two). */
+  private[sources] def splitConjuncts(where: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < where.length) {
+      val c = where.charAt(i)
+      if (c == '\'') {
+        // '' is the escape for a literal quote inside a string
+        if (inQuote && i + 1 < where.length && where.charAt(i + 1) == '\'') {
+          cur.append("''"); i += 2
+        } else { inQuote = !inQuote; cur.append(c); i += 1 }
+      } else if (!inQuote && where.regionMatches(true, i, " AND ", 0, 5)) {
+        out += cur.toString; cur.clear(); i += 5
+      } else { cur.append(c); i += 1 }
+    }
+    out += cur.toString
+    out.result()
+  }
+
   def parse(cql: String): Stmt = cql match {
     case SelectRe(cols, table, where, limit) =>
-      val conds = Option(where).map(_.split("(?i)\\s+AND\\s+").toSeq.map { c =>
+      val conds = Option(where).map(w => splitConjuncts(w).map { c =>
         val m = """\s*([\w.]+)\s*(=|<=|>=|<|>)\s*(.+?)\s*""".r
         c match {
           case m(a, op, v) => (a, op, v)

@@ -78,12 +78,28 @@ object MongoDsl {
       for (cl <- compile(l); cr <- compile(r)) yield BDoc(Seq("$and" -> Seq(cl, cr)))
     case Or(l, r) =>
       for (cl <- compile(l); cr <- compile(r)) yield BDoc(Seq("$or" -> Seq(cl, cr)))
-    case Not(child) => compile(child).map { cc =>
+    case Not(child) if !nullTolerant(child) => compile(child).map { cc =>
       val guards = child.references.toSeq.sorted
         .map(a => field(a, BDoc(Seq("$ne" -> null))): Any)
       BDoc(Seq("$and" -> ((BDoc(Seq("$nor" -> Seq(cc))): Any) +: guards)))
     }
     case _ => None
+  }
+
+  /** The NOT guards assume the child can only be TRUE on fully non-null
+    * rows (standard 3VL comparisons). Children that can match null rows
+    * — null-safe equality, IS NULL, IN with a NULL element (whose
+    * UNKNOWN collapse is only valid in POSITIVE polarity) — would make
+    * `$nor + $ne-null` silently wrong, so NOT over them declines. */
+  private def nullTolerant(f: Filter): Boolean = f match {
+    case _: EqualNullSafe => true
+    case _: IsNull => true
+    case _: IsNotNull => true // NOT(IS NOT NULL) must match null rows
+    case In(_, vs) => vs == null || vs.contains(null)
+    case And(l, r) => nullTolerant(l) || nullTolerant(r)
+    case Or(l, r) => nullTolerant(l) || nullTolerant(r)
+    case Not(c) => nullTolerant(c)
+    case _ => false
   }
 
   def compileAll(docs: Seq[BDoc]): BDoc = docs match {
@@ -294,18 +310,22 @@ object LoopbackMongoServer {
   final case class Collection(schema: StructType, rows: Seq[Array[Any]])
 
   private val collections = TrieMap.empty[String, Collection]
-  private val cursors = TrieMap.empty[Long, Iterator[BDoc]]
+  /** value = (iterator, last-use stamp) — stamped on every getMore. */
+  private val cursors = TrieMap.empty[Long, (Iterator[BDoc], Long)]
   private val serverRef = new AtomicReference[ServerSocket](null)
   private val nextCursor = new AtomicLong(1)
+  private val useStamp = new AtomicLong(0)
   /** A client that stops consuming mid-cursor (pushed LIMIT, task kill)
     * never sends the closing getMore — without a cap those iterators
-    * accumulate forever in a long-lived server. Ids are monotonic, so
-    * evicting the smallest keys drops the OLDEST abandoned cursors
-    * (real mongod idles them out after 10 min — same contract). */
+    * accumulate forever in a long-lived server. Eviction is
+    * least-recently-USED (not oldest-created): a cursor being actively
+    * paged keeps refreshing its stamp, so >cap concurrent live scans
+    * evict abandoned cursors first (real mongod idles cursors out after
+    * 10 min — the same liveness-based contract). */
   private val MaxCursors = 256
   private def evictOldCursors(): Unit =
     while (cursors.size > MaxCursors)
-      cursors.keys.minOption.foreach(cursors.remove)
+      cursors.toSeq.minByOption(_._2._2).foreach(e => cursors.remove(e._1))
 
   /** Next N commands abort the connection without replying. */
   val failNext = new AtomicInteger(0)
@@ -384,8 +404,9 @@ object LoopbackMongoServer {
     case Some(("find", collName)) => runFind(collName.toString, cmd)
     case Some(("getMore", id)) =>
       val cursorId = id.asInstanceOf[java.lang.Long].longValue()
-      val it = cursors.getOrElse(cursorId,
+      val (it, _) = cursors.getOrElse(cursorId,
         throw new NoSuchElementException(s"cursor $cursorId not found"))
+      cursors.put(cursorId, (it, useStamp.incrementAndGet()))
       val bs = cmd.get("batchSize").map(_.asInstanceOf[Number].intValue()).getOrElse(101)
       val batch = drain(it, bs)
       val live = it.hasNext
@@ -433,7 +454,7 @@ object LoopbackMongoServer {
     val live = it.hasNext
     val id = if (live) {
       val cid = nextCursor.getAndIncrement()
-      cursors.put(cid, it)
+      cursors.put(cid, (it, useStamp.incrementAndGet()))
       evictOldCursors()
       cid
     } else 0L

@@ -77,6 +77,15 @@ class BqSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("scientific-notation doubles round-trip (Double.toString emits 1.0E-4)") {
+    for (v <- Seq(0.0001, -0.0001, 1.5e-7, 2.5e18)) {
+      val f = GreaterThan("bal", v)
+      val sql = BqSql.render(f).get
+      val back = new BqSqlTestHook(sql).parsed
+      assert(back == GreaterThan("bal", v), s"[$sql] -> $back")
+    }
+  }
+
   test("LIKE meta-characters in literals are escaped, not interpreted") {
     val f = StringContains("name", "100%_x")
     val sql = BqSql.render(f).get

@@ -115,6 +115,27 @@ class BtSourceSpec extends AnyFunSuite {
     assert(r2.isNullAt(2), "null cells must come back null")
   }
 
+  test("contradictory key conjuncts return ZERO rows, never a full scan") {
+    // the intersection of disjoint keys/ranges is the EMPTY row set —
+    // an empty RowSet proto would mean "read everything" on a real
+    // BigTable, so this is the silent-inversion case
+    assert(BtQuery.intersect(Seq(
+      BtQuery.RowSet(Nil, Seq("a")), BtQuery.RowSet(Nil, Seq("b")))) == BtQuery.Empty)
+    assert(BtQuery.intersect(Seq(
+      BtQuery.RowSet(Seq(("b", "")), Nil),
+      BtQuery.RowSet(Seq(("", "a")), Nil))) == BtQuery.Empty)
+    val t = table("bt5")
+    val served0 = LoopbackRestServer.served.get()
+    assert(spark.table(t)
+      .filter(col("k") === "row#00001" && col("k") === "row#00002")
+      .collect().isEmpty)
+    assert(spark.table(t)
+      .filter(col("k") >= "row#00300" && col("k") < "row#00200")
+      .collect().isEmpty)
+    assert(LoopbackRestServer.served.get() == served0,
+      "a provably-empty row set must not even issue a read")
+  }
+
   test("key range queries stream only the range") {
     val t = table("bt4")
     val got = spark.table(t)

@@ -118,6 +118,16 @@ class CqlSourceSpec extends AnyFunSuite {
     assert(a.where == Seq("seg = 'O''Brien'"))
   }
 
+  test("a value containing ' AND ' stays ONE predicate through the server parser") {
+    val stmt = CqlEval.parse(
+      "SELECT id FROM t WHERE seg = 'FOOD AND DRINK' AND id < 5")
+    assert(stmt.where == Seq(("seg", "=", "'FOOD AND DRINK'"), ("id", "<", "5")))
+    val stmt2 = CqlEval.parse(
+      "SELECT id FROM t WHERE seg = 'it''s AND it''s'")
+    assert(stmt2.where == Seq(("seg", "=", "'it''s AND it''s'")))
+    assert(CqlEval.literal("'it''s AND it''s'", StringType) == "it's AND it's")
+  }
+
   // ---- wire round-trips -------------------------------------------------
 
   test("handshake + query + paging across the socket") {
