@@ -244,18 +244,32 @@ object Bench {
         pb.environment().put("SPARK_SCALA_VERSION", "2.13")
         pb.redirectErrorStream(true)
         val proc = pb.start()
-        val outLines = new java.io.BufferedReader(
-          new java.io.InputStreamReader(proc.getInputStream))
-          .lines().iterator()
-        var smoke: String = null
-        while (outLines.hasNext) {
-          val l = outLines.next()
-          if (l.startsWith("""{"metric":"cluster_smoke"""")) smoke = l
-        }
+        // drain stdout on a DAEMON thread: a blocking read on the main
+        // thread would make the waitFor timeout below unreachable — a
+        // wedged child (the failure class this arm exists to catch)
+        // would hang the whole bench on the read, never the timeout
+        val smokeRef = new java.util.concurrent.atomic.AtomicReference[String](null)
+        val drainer = new Thread(() => {
+          val outLines = new java.io.BufferedReader(
+            new java.io.InputStreamReader(proc.getInputStream))
+            .lines().iterator()
+          while (outLines.hasNext) {
+            val l = outLines.next()
+            if (l.startsWith("""{"metric":"cluster_smoke"""")) smokeRef.set(l)
+          }
+        }, "graft-cluster-smoke-drain")
+        drainer.setDaemon(true)
+        drainer.start()
         val finished = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
         if (!finished) proc.destroyForcibly()
+        drainer.join(5000)
+        val smoke = smokeRef.get()
         if (smoke != null) smoke
-        else { errors ::= ("cluster_smoke" -> "no output line"); "null" }
+        else {
+          errors ::= ("cluster_smoke" ->
+            (if (finished) "no output line" else "timed out after 10 minutes"))
+          "null"
+        }
       } catch { case e: Throwable =>
         errors ::= ("cluster_smoke" -> e.toString.take(200)); "null"
       }

@@ -190,7 +190,14 @@ class GraftEngine(val spark: SparkSession) {
     var i = 0; var inStr = false; var inTick = false
     while (i < text.length) {
       val ch = text.charAt(i)
-      if (inStr) { sb.append(ch); if (ch == '\'') inStr = false; i += 1 }
+      if (inStr) {
+        // Spark's dialect accepts backslash-escaped quotes ('it\'s'):
+        // the escape must not close the literal, or a bracket after it
+        // would be rewritten into an identifier
+        if (ch == '\\' && i + 1 < text.length) {
+          sb.append(ch).append(text.charAt(i + 1)); i += 2
+        } else { sb.append(ch); if (ch == '\'') inStr = false; i += 1 }
+      }
       else if (inTick) { sb.append(ch); if (ch == '`') inTick = false; i += 1 }
       else ch match {
         case '\'' => inStr = true; sb.append(ch); i += 1

@@ -68,6 +68,12 @@ final class MysqlServer(
       } catch {
         case _: SocketException => // closed on stop()
         case NonFatal(_) if !running =>
+        case NonFatal(_) =>
+          // transient accept failure while RUNNING (fd exhaustion, reset
+          // in the backlog): back off and keep listening — letting the
+          // exception kill this thread would silently stop the listener
+          // while ensureStarted still reports it alive
+          try Thread.sleep(50) catch { case _: InterruptedException => () }
       }
     }
 
@@ -162,7 +168,12 @@ final class MysqlServer(
     var n = 0; var inStr = false; var i = 0
     while (i < sql.length) {
       val ch = sql.charAt(i)
-      if (inStr) { if (ch == '\'') inStr = false }
+      // mysql client libraries escape quotes as \' — the escape must not
+      // close the literal or a ? after it would be miscounted
+      if (inStr) {
+        if (ch == '\\' && i + 1 < sql.length) i += 1
+        else if (ch == '\'') inStr = false
+      }
       else if (ch == '\'') inStr = true
       else if (ch == '?') n += 1
       i += 1
@@ -226,7 +237,12 @@ final class MysqlServer(
     var inStr = false; var i = 0; var used = 0
     while (i < sql.length) {
       val ch = sql.charAt(i)
-      if (inStr) { sb.append(ch); if (ch == '\'') inStr = false }
+      if (inStr) {
+        // \'-escapes (see countPlaceholders) — copy the pair verbatim
+        if (ch == '\\' && i + 1 < sql.length) {
+          sb.append(ch).append(sql.charAt(i + 1)); i += 1
+        } else { sb.append(ch); if (ch == '\'') inStr = false }
+      }
       else ch match {
         case '\'' => inStr = true; sb.append(ch)
         case '?' => sb.append(vals(used)); used += 1
@@ -291,7 +307,11 @@ final class MysqlServer(
           if (row.isNullAt(i)) None
           else Some(schema.fields(i).dataType match {
             case DateType => row.getAs[java.sql.Date](i).toLocalDate
-            case TimestampType => row.getAs[java.sql.Timestamp](i).toLocalDateTime
+            // render in the engine's session zone (UTC), NOT the JVM
+            // default — Timestamp.toLocalDateTime would shift wire
+            // results on any non-UTC host
+            case TimestampType => row.getAs[java.sql.Timestamp](i).toInstant
+              .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
             case _ => row.get(i)
           })
         }
@@ -304,7 +324,8 @@ final class MysqlServer(
             case BinaryType => row.getAs[Array[Byte]](i)
             case DateType => dateFmt.format(row.getAs[java.sql.Date](i).toLocalDate).getBytes(UTF_8)
             case TimestampType =>
-              tsFmt.format(row.getAs[java.sql.Timestamp](i).toLocalDateTime).getBytes(UTF_8)
+              tsFmt.format(row.getAs[java.sql.Timestamp](i).toInstant
+                .atOffset(java.time.ZoneOffset.UTC)).getBytes(UTF_8)
             case TimestampNTZType =>
               tsFmt.format(row.getAs[java.time.LocalDateTime](i)).getBytes(UTF_8)
             case _ => String.valueOf(row.get(i)).getBytes(UTF_8)

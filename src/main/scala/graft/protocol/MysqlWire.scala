@@ -512,7 +512,7 @@ object MysqlWire {
   }
 
   def readBinaryValue(r: ByteReader, tpe: Int): Any = tpe match {
-    case TypeTiny => r.u8()
+    case TypeTiny => r.u8().toByte.toInt // signed TINYINT, like TypeShort
     case TypeShort => r.u16().toShort.toInt
     case TypeLong => r.u32().toInt
     case TypeLongLong => r.u64()

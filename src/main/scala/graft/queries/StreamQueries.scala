@@ -137,7 +137,16 @@ object StreamQueries {
         && !f.getName.startsWith("_")).foreach { f =>
       val dst = new File(dataDir, f.getName).toPath
       try java.nio.file.Files.createLink(dst, f.toPath)
-      catch { case _: Exception => java.nio.file.Files.copy(f.toPath, dst) }
+      catch {
+        case _: Exception =>
+          java.nio.file.Files.copy(f.toPath, dst)
+          // the single-run drain ORDERS batches by mtime (old real files,
+          // then the just-written sentinel); a copy stamps NOW, which
+          // could tie with the sentinel — restore the source's mtime so
+          // the fallback keeps the same admission order as the link path
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.Files.getLastModifiedTime(f.toPath))
+      }
     }
     val outDir = new File(work, "out")
     val ckpt = new File(work, "ckpt")

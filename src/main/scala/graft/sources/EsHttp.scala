@@ -364,6 +364,11 @@ class EsScanBuilder(ep: EsEndpoint) extends ScanBuilder
               case other => other
             }
             m.putObject(esKind).put("field", ep.schema.fields(idx).name)
+            // ES sum over zero docs is 0.0, SQL SUM is NULL: a companion
+            // value_count disambiguates (the reader nulls a 0-count sum)
+            if (esKind == "sum")
+              metrics.putObject(s"agg_${i}_n").putObject("value_count")
+                .put("field", ep.schema.fields(idx).name)
           }
         }
         val aggsNode = body.putObject("aggs")
@@ -373,6 +378,12 @@ class EsScanBuilder(ep: EsEndpoint) extends ScanBuilder
             by.putObject("terms").put("field", ep.schema.fields(g).name)
               .put("size", Int.MaxValue)
             if (!metrics.isEmpty) by.set[ObjectNode]("aggs", metrics)
+            // SQL GROUP BY keeps the NULL group; ES terms buckets omit
+            // docs missing the field — a sibling `missing` aggregation
+            // (the real ES feature for exactly this) carries them
+            val nulls = aggsNode.putObject("nulls")
+            nulls.putObject("missing").put("field", ep.schema.fields(g).name)
+            if (!metrics.isEmpty) nulls.set[ObjectNode]("aggs", metrics)
           case None =>
             metrics.properties().asScala.foreach(e =>
               aggsNode.set[JsonNode](e.getKey, e.getValue))
@@ -428,12 +439,22 @@ class EsReaderFactory extends PartitionReaderFactory {
         val rows: Iterator[Row] =
           if (p.groupCount == 1) {
             val buckets = resp.path("aggregations").path("by").path("buckets")
-            buckets.elements().asScala.map { b =>
+            val keyed = buckets.elements().asScala.map { b =>
               val key = LineCodec.parse(b.get("key").asText(), required.fields(0).dataType)
               Row.fromSeq(key +: p.aggKinds.zipWithIndex.map { case (kind, i) =>
                 metric(b, kind, i, required.fields(p.groupCount + i).dataType)
               })
             }
+            // the `missing` sibling carries the SQL NULL group
+            val nullsNode = resp.path("aggregations").path("nulls")
+            val nullGroup =
+              if (nullsNode.path("doc_count").asLong(0L) > 0)
+                Iterator.single(Row.fromSeq(
+                  null +: p.aggKinds.zipWithIndex.map { case (kind, i) =>
+                    metric(nullsNode, kind, i, required.fields(p.groupCount + i).dataType)
+                  }))
+              else Iterator.empty
+            keyed ++ nullGroup
           } else {
             val aggsNode = resp.path("aggregations")
             Iterator.single(Row.fromSeq(p.aggKinds.zipWithIndex.map { case (kind, i) =>
@@ -486,6 +507,10 @@ class EsReaderFactory extends PartitionReaderFactory {
   private def metric(node: JsonNode, kind: String, i: Int, dt: DataType): Any =
     kind match {
       case "doc_count" => node.path("doc_count").asLong()
+      // ES sum over zero present values is 0.0 where SQL SUM is NULL —
+      // the companion value_count decides which it was
+      case "sum_long" | "sum_double"
+        if node.path(s"agg_${i}_n").path("value").asLong(-1L) == 0L => null
       case _ =>
         val v = node.path(s"agg_$i").path("value")
         if (v.isNull || v.isMissingNode) null

@@ -337,6 +337,18 @@ object LoopbackRestServer {
                 if (!subAggs.isMissingNode)
                   subAggs.properties().asScala.foreach(e => metric(b, e.getKey, e.getValue, group))
               }
+            // the `missing` sibling aggregation: docs whose bucket field
+            // is absent/null, with the same sub-metrics
+            val nullsReq = aggsReq.path("nulls")
+            if (!nullsReq.isMissingNode && !nullsReq.path("missing").isMissingNode) {
+              val mIdx = fieldIdx(nullsReq.path("missing").path("field").asText())
+              val group = matched.filter(_(mIdx) == null)
+              val out = aggsOut.putObject("nulls")
+              out.put("doc_count", group.size.toLong)
+              val subs = nullsReq.path("aggs")
+              if (!subs.isMissingNode)
+                subs.properties().asScala.foreach(e => metric(out, e.getKey, e.getValue, group))
+            }
           } else {
             aggsReq.properties().asScala.foreach(e =>
               metric(aggsOut, e.getKey, e.getValue, matched))

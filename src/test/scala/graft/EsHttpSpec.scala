@@ -123,19 +123,21 @@ class EsHttpSpec extends AnyFunSuite {
 
   test("grouped aggregation executes server-side as terms+stats: COMPLETE pushdown") {
     val t = table("kv3")
+    // NO not-null filter: SQL GROUP BY keeps the null group, which ES
+    // terms buckets omit — the `missing` sibling agg must carry it
     val df = spark.table(t)
-      .filter(col("seg").isNotNull)
       .groupBy("seg")
       .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"),
         sum("id").as("s"), avg("id").as("a"))
-      .orderBy("seg")
+      .orderBy(col("seg").asc_nulls_first)
     val got = df.collect()
-    // oracle: in-memory
-    val grouped = rows.filter(_(1) != null).groupBy(_(1).asInstanceOf[String]).toSeq.sortBy(_._1)
-    assert(got.length == grouped.size)
+    // oracle: in-memory, null group first
+    val grouped = rows.groupBy(r => Option(r(1)).map(_.toString)).toSeq
+      .sortBy { case (k, _) => (k.isDefined, k.getOrElse("")) }
+    assert(got.length == grouped.size, s"must include the NULL group: ${got.toSeq}")
     got.zip(grouped).foreach { case (r, (seg, g)) =>
       val ids = g.map(_(0).asInstanceOf[Long])
-      assert(r.getString(0) == seg && r.getLong(1) == ids.size &&
+      assert(Option(r.getString(0)) == seg && r.getLong(1) == ids.size &&
         r.getLong(2) == ids.min && r.getLong(3) == ids.max &&
         r.getLong(4) == ids.sum && r.getDouble(5) == ids.sum.toDouble / ids.size)
     }
@@ -155,6 +157,16 @@ class EsHttpSpec extends AnyFunSuite {
     val t = table("kv4")
     val r = spark.table(t).agg(count(lit(1)).as("n"), sum("id").as("s")).collect()(0)
     assert(r.getLong(0) == 400 && r.getLong(1) == (0L until 400L).sum)
+  }
+
+  test("SUM over zero matching rows is NULL, not ES's 0") {
+    val t = table("kv6")
+    val r = spark.table(t).filter(col("id") > 10000L)
+      .agg(count(lit(1)).as("n"), sum("id").as("s"), min("id").as("mn"))
+      .collect()(0)
+    assert(r.getLong(0) == 0L)
+    assert(r.isNullAt(1), "SQL SUM over no rows is NULL (ES sum is 0.0)")
+    assert(r.isNullAt(2))
   }
 
   test("injected 500s on _search retry and recover") {

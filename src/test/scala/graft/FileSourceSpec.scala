@@ -806,6 +806,10 @@ class FileSourceSpec extends AnyFunSuite {
       .collect()(0).getString(0) == "x")
     // ...while genuine array INDEXING stays indexing
     assert(eng.sql("SELECT array('a','b')[1] AS e").collect()(0).getString(0) == "b")
+    // ...and brackets INSIDE string literals stay text, even after a
+    // backslash-escaped quote (\' must not close the literal)
+    assert(eng.sql("""SELECT 'it\'s [ok]' AS x""").collect()(0)
+      .getString(0) == "it's [ok]")
     spark.sql("DROP TABLE graft.brsrc.user")
     eng.sql("DROP SOURCE brsrc")
   }

@@ -47,6 +47,15 @@ class MysqlWireSpec extends AnyFunSuite {
     assert(new ByteWriter().lenencInt(1L << 24).bytes.length === 9)
   }
 
+  test("binary TINYINT values round-trip signed (u8 on the wire)") {
+    for (v <- Seq(-128, -5, 0, 5, 127)) {
+      val w = new ByteWriter()
+      MysqlWire.writeBinaryValue(w, MysqlWire.TypeTiny, v: java.lang.Integer)
+      assert(MysqlWire.readBinaryValue(new ByteReader(w.bytes), MysqlWire.TypeTiny) == v,
+        s"TINYINT $v must survive the unsigned wire byte")
+    }
+  }
+
   test("handshake and handshake-response packets round-trip") {
     val salt = Array.tabulate[Byte](20)(i => (i + 1).toByte)
     val h = Handshake(10, "8.0.0-graft", 7, salt, ServerCapabilities, CharsetUtf8, 2,
