@@ -296,6 +296,12 @@ class GraftEngine(val spark: SparkSession) {
     import graft.sources.PartFileRewrite
     val parts = tbl.replace("`", "").split('.')
     require(parts.length == 3, s"UPDATE expects graft.<source>.<table>, got $tbl")
+    // Mongo-wire tables: UPDATE ships as ONE OP_MSG update command —
+    // the WHERE compiles to a filter document, the SET to {$set: ...}
+    // (literal RHS only; the wire has no row-referencing expressions).
+    graft.sources.MongoEndpoints.get(parts(1), parts(2)).foreach { ep =>
+      return mongoWireUpdate(ep, sets, cond, tbl)
+    }
     val src = graft.sources.SourceRegistry.get(parts(1))
       .getOrElse(throw new IllegalArgumentException(s"unknown source ${parts(1)}"))
     val table = graft.sources.FileTable.open(src, parts(2))
@@ -343,6 +349,37 @@ class GraftEngine(val spark: SparkSession) {
     }
     import spark.implicits._
     Seq(affected).toDF("affected_rows")
+  }
+
+  /** UPDATE over the Mongo wire: WHERE → filter document (via the same
+    * Catalyst filter extraction the file rewrite uses), SET → `$set`
+    * with constant-folded literal values, shipped as one OP_MSG update
+    * with multi=true (reference: the Mongo backend's whole-row Put is
+    * the same server-side mutation contract, sql_to_mgo.go). */
+  private def mongoWireUpdate(ep: graft.sources.MongoEndpoint,
+      sets: String, cond: String, tbl: String): DataFrame = {
+    import graft.protocol.Bson.BDoc
+    import graft.sources.{MongoClientLite, MongoDsl, PartFileRewrite}
+    val filters = PartFileRewrite.condFilters(spark, tbl, cond)
+    val compiled = filters.map(MongoDsl.compile)
+    require(!compiled.exists(_.isEmpty),
+      s"UPDATE $tbl: WHERE is outside the wire filter surface: $cond")
+    val q = MongoDsl.compileAll(compiled.flatten)
+    val set = BDoc(splitTopLevel(sets).map { assign =>
+      val Array(c, v) = assign.split("=", 2).map(_.trim)
+      val name = c.replace("`", "")
+      val i = ep.schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(i >= 0, s"UPDATE $tbl: unknown column $name")
+      // constant-fold the RHS (literal expressions only: the wire's $set
+      // carries values, not row-referencing expressions)
+      val value = spark.sql(s"SELECT ${substitute(v)}").collect()(0).get(0)
+      ep.schema.fields(i).name -> value
+    })
+    val client = new MongoClientLite(ep.spec.host, ep.spec.port, ep.spec.cfg)
+    val n = try client.update(ep.spec.db, ep.spec.collection, q, set, multi = true)
+      finally client.close()
+    import spark.implicits._
+    Seq(n.toLong).toDF("affected_rows")
   }
 
   /** Split on commas not inside single-quoted strings or parens. */

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{GQuery, Tables}
 import graft.engine.GraftEngine
-import graft.sources.{FedData, SourceRegistry}
+import graft.sources.{FedData, LoopbackMongoServer, MongoClientConfig,
+  MongoEndpoint, MongoEndpointSpec, MongoEndpoints, SourceRegistry}
 
 /** Federation surface: queries over the DSv2 file connector
   * (graft.sources.*) — the Spark-native equivalent of the reference's
@@ -622,6 +623,46 @@ object Federation {
       s.sql(s"DELETE FROM $t WHERE price < 2.0 AND item_id <> 1")
       // upsert: key 5 replaced, key 6 appended (Put semantics)
       eng.sql(s"UPSERT INTO $t VALUES (5, 'epsilon', 55, 5.5), (6, 'zeta', 60, 6.5)")
+      s.table(t).orderBy("item_id")
+    },
+
+    // The DML lifecycle OVER THE MONGO WIRE (reference: the Mongo
+    // backend's Put/Delete sink, sql_to_mgo.go + mgo CRUD): INSERT INTO
+    // streams task batches as OP_MSG `insert` commands, the engine's
+    // UPDATE ships ONE `update` with the compiled filter + $set, and
+    // DELETE FROM ships ONE `delete` with the compiled filter — every
+    // mutation executes inside the backend, nothing round-trips rows.
+    GQuery(
+      "q_dml_mongo",
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'alpha', CAST(10 AS BIGINT), CAST(1.5 AS DOUBLE)),
+        |  (CAST(3 AS BIGINT), 'gamma', CAST(99 AS BIGINT), CAST(3.5 AS DOUBLE)),
+        |  (CAST(5 AS BIGINT), 'epsilon', CAST(50 AS BIGINT), CAST(5.5 AS DOUBLE)))
+        |       AS t(item_id, name, qty, price)
+        |ORDER BY item_id""".stripMargin) { (s, d) =>
+      fed(s, d)
+      val eng = new GraftEngine(s)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("qty",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("price",
+          org.apache.spark.sql.types.DoubleType)))
+      // fresh mutable collection each run (the driver repeats queries)
+      LoopbackMongoServer.register("dml_mongo", schema, Seq.empty)
+      val (host, port) = LoopbackMongoServer.ensureStarted()
+      MongoEndpoints.register(MongoEndpoint(FedData.MongoSourceName, "dml_mongo",
+        schema, MongoEndpointSpec(host, port, LoopbackMongoServer.Db,
+          "dml_mongo", MongoClientConfig())))
+      val t = s"$C.${FedData.MongoSourceName}.dml_mongo"
+      s.sql(s"INSERT INTO $t VALUES (1, 'alpha', 10, 1.5), (2, 'beta', 20, 0.5), " +
+        "(3, 'gamma', 30, 3.5)")
+      s.sql(s"INSERT INTO $t VALUES (4, 'delta', 40, 0.25), (5, 'epsilon', 50, 5.5)")
+      eng.sql(s"UPDATE $t SET qty = 99 WHERE name = 'gamma'")
+      s.sql(s"DELETE FROM $t WHERE price < 2.0 AND item_id <> 1")
       s.table(t).orderBy("item_id")
     },
 

@@ -167,6 +167,28 @@ object MongoDsl {
     }
   }
 
+  /** BSON wire value → the external type `dt` expects (int32/int64
+    * interchange widens/narrows exactly like the reference's value
+    * coercion, `mgo_source.go:269-311`). Shared by the scan reader and
+    * the server's write commands. */
+  def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (l: java.lang.Long, LongType) => l
+    case (i: java.lang.Integer, LongType) => i.longValue(): java.lang.Long
+    case (i: java.lang.Integer, IntegerType) => i
+    case (l: java.lang.Long, IntegerType) => l.intValue(): java.lang.Integer
+    case (i: java.lang.Integer, ShortType) => i.shortValue(): java.lang.Short
+    case (d: java.lang.Double, DoubleType) => d
+    case (l: java.lang.Long, DoubleType) => l.doubleValue(): java.lang.Double
+    case (i: java.lang.Integer, DoubleType) => i.doubleValue(): java.lang.Double
+    case (d: java.lang.Double, FloatType) => d.floatValue(): java.lang.Float
+    case (s: String, StringType) => s
+    case (b: java.lang.Boolean, BooleanType) => b
+    case (t: java.sql.Timestamp, TimestampType) => t
+    case (other, t) => throw new java.io.IOException(
+      s"BSON value ${other.getClass.getSimpleName} does not fit $t")
+  }
+
   /** Sort comparator for a Mongo sort document (null orders lowest, as
     * Mongo's canonical BSON order places null before numbers/strings). */
   def sortComparator(sort: BDoc, schema: StructType): Ordering[Array[Any]] = {
@@ -262,6 +284,35 @@ final class MongoClientLite(host: String, port: Int,
     throw new IllegalStateException("unreachable")
   }
 
+  /** Insert documents. NOT retried: an insert is not idempotent — a
+    * retry after an ambiguous failure could duplicate rows (the
+    * reference's row-at-a-time Put has the same at-most-once-per-send
+    * contract; real drivers need retryable-writes sessions for more). */
+  def insert(db: String, coll: String, docs: Seq[BDoc]): Int = {
+    val reply = roundTrip(BDoc(Seq(
+      "insert" -> (coll: Any), "$db" -> (db: Any), "documents" -> (docs: Any))))
+    reply.get("n").map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+  }
+
+  /** `$set` update; idempotent, so transient failures retry. */
+  def update(db: String, coll: String, q: BDoc, set: BDoc, multi: Boolean): Int = {
+    val reply = roundTripRetrying(BDoc(Seq(
+      "update" -> (coll: Any), "$db" -> (db: Any),
+      "updates" -> (Seq(BDoc(Seq(
+        "q" -> (q: Any), "u" -> (BDoc(Seq("$set" -> set)): Any),
+        "multi" -> (multi: java.lang.Boolean)))): Any))))
+    reply.get("n").map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+  }
+
+  /** Delete by filter; idempotent, so transient failures retry. */
+  def delete(db: String, coll: String, q: BDoc, limit: Int = 0): Int = {
+    val reply = roundTripRetrying(BDoc(Seq(
+      "delete" -> (coll: Any), "$db" -> (db: Any),
+      "deletes" -> (Seq(BDoc(Seq(
+        "q" -> (q: Any), "limit" -> (limit: java.lang.Integer)))): Any))))
+    reply.get("n").map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+  }
+
   /** Run `find` and stream the cursor's documents. */
   def find(db: String, coll: String, filter: BDoc,
       projection: Option[BDoc] = None, sort: Option[BDoc] = None,
@@ -307,7 +358,37 @@ object LoopbackMongoServer {
 
   val Db = "graft"
 
-  final case class Collection(schema: StructType, rows: Seq[Array[Any]])
+  /** A MUTABLE collection (the write commands mutate it in place, like
+    * a real mongod); `snapshot` gives reads a consistent view. */
+  final class Collection(val schema: StructType, init: Seq[Array[Any]]) {
+    private val buf = scala.collection.mutable.ArrayBuffer.from(init)
+    def snapshot: Seq[Array[Any]] = synchronized(buf.toSeq)
+    def append(rs: Seq[Array[Any]]): Int = synchronized { buf ++= rs; rs.size }
+    /** Apply `set` (column index → value) to rows matching `pred`. */
+    def update(pred: Array[Any] => Boolean, set: Map[Int, Any], multi: Boolean): Int =
+      synchronized {
+        var n = 0
+        var i = 0
+        while (i < buf.length && (multi || n == 0)) {
+          if (pred(buf(i))) {
+            val r = buf(i).clone()
+            set.foreach { case (k, v) => r(k) = v }
+            buf(i) = r
+            n += 1
+          }
+          i += 1
+        }
+        n
+      }
+    def delete(pred: Array[Any] => Boolean, limit: Int): Int = synchronized {
+      var n = 0
+      val keep = buf.filter { r =>
+        if ((limit <= 0 || n < limit) && pred(r)) { n += 1; false } else true
+      }
+      buf.clear(); buf ++= keep
+      n
+    }
+  }
 
   private val collections = TrieMap.empty[String, Collection]
   /** value = (iterator, last-use stamp) — stamped on every getMore. */
@@ -337,7 +418,7 @@ object LoopbackMongoServer {
   val lastFind = new AtomicReference[String]("")
 
   def register(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit =
-    collections.put(name.toLowerCase, Collection(schema, rows))
+    collections.put(name.toLowerCase, new Collection(schema, rows))
 
   /** Start (once); returns (host, port). */
   def ensureStarted(): (String, Int) = {
@@ -418,6 +499,49 @@ object LoopbackMongoServer {
           "ns" -> ns,
           "nextBatch" -> batch)),
         "ok" -> (1.0: java.lang.Double)))
+    case Some(("insert", collName)) =>
+      val coll = collections.getOrElse(collName.toString.toLowerCase,
+        throw new NoSuchElementException(s"ns not found: $Db.$collName"))
+      val docs = cmd.get("documents").getOrElse(Seq.empty).asInstanceOf[Seq[Any]]
+      val rows = docs.map { d =>
+        val doc = d.asInstanceOf[BDoc]
+        coll.schema.fields.map(f =>
+          MongoDsl.coerce(doc.get(f.name).orNull, f.dataType)): Array[Any]
+      }
+      val n = coll.append(rows)
+      BDoc(Seq("n" -> (n: java.lang.Integer), "ok" -> (1.0: java.lang.Double)))
+    case Some(("update", collName)) =>
+      val coll = collections.getOrElse(collName.toString.toLowerCase,
+        throw new NoSuchElementException(s"ns not found: $Db.$collName"))
+      var n = 0
+      cmd.get("updates").getOrElse(Seq.empty).asInstanceOf[Seq[Any]].foreach { u0 =>
+        val u = u0.asInstanceOf[BDoc]
+        val q = u.get("q").map(_.asInstanceOf[BDoc]).getOrElse(BDoc.empty)
+        val setDoc = u.get("u").map(_.asInstanceOf[BDoc])
+          .flatMap(_.get("$set")).map(_.asInstanceOf[BDoc])
+          .getOrElse(throw new IllegalArgumentException(
+            "only {$set: {...}} update documents are supported"))
+        val multi = u.get("multi").exists(_ == (true: java.lang.Boolean))
+        val set = setDoc.fields.map { case (name, v) =>
+          val i = coll.schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          require(i >= 0, s"unknown field $name")
+          i -> MongoDsl.coerce(v, coll.schema.fields(i).dataType)
+        }.toMap
+        n += coll.update(r => MongoDsl.eval(q, r, coll.schema), set, multi)
+      }
+      BDoc(Seq("n" -> (n: java.lang.Integer),
+        "nModified" -> (n: java.lang.Integer), "ok" -> (1.0: java.lang.Double)))
+    case Some(("delete", collName)) =>
+      val coll = collections.getOrElse(collName.toString.toLowerCase,
+        throw new NoSuchElementException(s"ns not found: $Db.$collName"))
+      var n = 0
+      cmd.get("deletes").getOrElse(Seq.empty).asInstanceOf[Seq[Any]].foreach { d0 =>
+        val d = d0.asInstanceOf[BDoc]
+        val q = d.get("q").map(_.asInstanceOf[BDoc]).getOrElse(BDoc.empty)
+        val limit = d.get("limit").map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+        n += coll.delete(r => MongoDsl.eval(q, r, coll.schema), limit)
+      }
+      BDoc(Seq("n" -> (n: java.lang.Integer), "ok" -> (1.0: java.lang.Double)))
     case Some(("ping", _)) => BDoc(Seq("ok" -> (1.0: java.lang.Double)))
     case Some((other, _)) => throw new IllegalArgumentException(s"unsupported command $other")
     case None => throw new IllegalArgumentException("empty command")
@@ -433,7 +557,7 @@ object LoopbackMongoServer {
     val limit = cmd.get("limit").map(_.asInstanceOf[Number].intValue()).getOrElse(0)
     val bs = cmd.get("batchSize").map(_.asInstanceOf[Number].intValue()).getOrElse(101)
 
-    var rows = coll.rows.filter(r => MongoDsl.eval(filter, r, coll.schema))
+    var rows = coll.snapshot.filter(r => MongoDsl.eval(filter, r, coll.schema))
     sort.foreach(s => rows = rows.sorted(MongoDsl.sortComparator(s, coll.schema)))
     if (limit > 0) rows = rows.take(limit)
 
@@ -484,14 +608,83 @@ object MongoEndpoints {
     endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
 }
 
-class MongoTable(val ep: MongoEndpoint) extends Table with SupportsRead {
+class MongoTable(val ep: MongoEndpoint) extends Table
+  with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"${SourceRegistry.CatalogName}.${ep.source}.${ep.table}"
   override def schema(): StructType = ep.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.Set.of(TableCapability.BATCH_READ)
+    util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MongoScanBuilder(ep)
+
+  /** INSERT INTO: every task streams its rows as OP_MSG `insert`
+    * batches (the reference's Put sink, row-at-a-time upserts over the
+    * wire — here batched 256/command). Not transactional across tasks,
+    * exactly like the reference's per-row Put. */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new MongoBatchWrite(ep)
+    }
+
+  /** DELETE FROM ... WHERE: ships ONE OP_MSG `delete` with the compiled
+    * filter document (reference: the Mongo backend's DeleteExpression).
+    * Uncompilable predicates refuse — Spark then reports the delete as
+    * unsupported rather than silently deleting the wrong set. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => MongoDsl.compile(f).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val q = MongoDsl.compileAll(filters.toSeq.flatMap(MongoDsl.compile))
+    val client = new MongoClientLite(ep.spec.host, ep.spec.port, ep.spec.cfg)
+    try client.delete(ep.spec.db, ep.spec.collection, q)
+    finally client.close()
+  }
+}
+
+class MongoBatchWrite(ep: MongoEndpoint)
+  extends org.apache.spark.sql.connector.write.Write
+  with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new MongoWriterFactory(ep.spec, ep.schema.json)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class MongoWriterFactory(spec: MongoEndpointSpec, schemaJson: String)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write._
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val client = new MongoClientLite(spec.host, spec.port, spec.cfg)
+    val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Bson.BDoc]
+      private def flush(): Unit = if (buf.nonEmpty) {
+        client.insert(spec.db, spec.collection, buf.toSeq)
+        buf.clear()
+      }
+      override def write(record: InternalRow): Unit = {
+        val row = toScala(record).asInstanceOf[Row]
+        buf += Bson.BDoc(schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          f.name -> (if (row.isNullAt(i)) null else row.get(i))
+        })
+        if (buf.size >= 256) flush()
+      }
+      override def commit(): WriterCommitMessage = {
+        flush()
+        new WriterCommitMessage {}
+      }
+      override def abort(): Unit = buf.clear() // already-sent batches stay:
+      // at-least-once per batch, the reference Put's contract
+      override def close(): Unit = client.close()
+    }
+  }
 }
 
 /** Pushdown surface mirroring the reference's Mongo backend: the full
@@ -606,24 +799,5 @@ class MongoReaderFactory extends PartitionReaderFactory {
     }
   }
 
-  /** BSON wire value → the external type `dt` expects (int32/int64
-    * interchange widens/narrows exactly like the reference's value
-    * coercion, `mgo_source.go:269-311`). */
-  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
-    case (null, _) => null
-    case (l: java.lang.Long, LongType) => l
-    case (i: java.lang.Integer, LongType) => i.longValue(): java.lang.Long
-    case (i: java.lang.Integer, IntegerType) => i
-    case (l: java.lang.Long, IntegerType) => l.intValue(): java.lang.Integer
-    case (i: java.lang.Integer, ShortType) => i.shortValue(): java.lang.Short
-    case (d: java.lang.Double, DoubleType) => d
-    case (l: java.lang.Long, DoubleType) => l.doubleValue(): java.lang.Double
-    case (i: java.lang.Integer, DoubleType) => i.doubleValue(): java.lang.Double
-    case (d: java.lang.Double, FloatType) => d.floatValue(): java.lang.Float
-    case (s: String, StringType) => s
-    case (b: java.lang.Boolean, BooleanType) => b
-    case (t: java.sql.Timestamp, TimestampType) => t
-    case (other, t) => throw new IOException(
-      s"BSON value ${other.getClass.getSimpleName} does not fit $t")
-  }
+  private def coerce(v: Any, dt: DataType): Any = MongoDsl.coerce(v, dt)
 }

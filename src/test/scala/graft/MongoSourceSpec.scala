@@ -188,6 +188,52 @@ class MongoSourceSpec extends AnyFunSuite {
     c.close()
   }
 
+  // ---- write commands over the wire -------------------------------------
+
+  test("insert/update/delete commands mutate the collection server-side") {
+    LoopbackMongoServer.register("wr1", schema, Seq.empty)
+    val c = client()
+    assert(c.insert(LoopbackMongoServer.Db, "wr1", Seq(
+      BDoc(Seq("id" -> (1L: java.lang.Long), "seg" -> "A",
+        "name" -> "one", "bal" -> (1.0: java.lang.Double))),
+      BDoc(Seq("id" -> (2L: java.lang.Long), "seg" -> "B",
+        "name" -> "two", "bal" -> (2.0: java.lang.Double))))) == 2)
+    assert(c.update(LoopbackMongoServer.Db, "wr1",
+      BDoc(Seq("seg" -> "A")), BDoc(Seq("bal" -> (9.5: java.lang.Double))),
+      multi = true) == 1)
+    val after = c.find(LoopbackMongoServer.Db, "wr1", BDoc.empty).toSeq
+    assert(after.size == 2)
+    assert(after.find(_.get("id").contains(1L: java.lang.Long))
+      .get.get("bal").contains(9.5: java.lang.Double))
+    assert(c.delete(LoopbackMongoServer.Db, "wr1", BDoc(Seq("seg" -> "B"))) == 1)
+    assert(c.find(LoopbackMongoServer.Db, "wr1", BDoc.empty).size == 1)
+    c.close()
+  }
+
+  test("INSERT INTO through DSv2 streams task batches as insert commands") {
+    val t = table("wr2")
+    LoopbackMongoServer.register("wr2", schema, Seq.empty)
+    spark.range(0, 500)
+      .selectExpr("id", "CAST(null AS STRING) AS seg",
+        "concat('n_', id) AS name", "id * 2.0 AS bal")
+      .writeTo(t).append()
+    assert(spark.table(t).count() == 500)
+    // int32/int64 interchange: the server coerced wire values by schema
+    assert(spark.table(t).filter(col("id") === 499L)
+      .collect()(0).getDouble(3) == 998.0)
+  }
+
+  test("DELETE refuses predicates outside the wire filter surface") {
+    val t = table("wr3")
+    LoopbackMongoServer.register("wr3", schema, rows)
+    spark.sql(s"DELETE FROM $t WHERE seg = 'A'")
+    assert(spark.table(t).filter(col("seg") === "A").count() == 0)
+    assert(spark.table(t).count() == rows.count(_(1) != "A"))
+    // modulo has no filter-document form: the table REFUSES (no silent
+    // wrong-set delete), and Spark surfaces the failure
+    intercept[Exception](spark.sql(s"DELETE FROM $t WHERE id % 2 = 0"))
+  }
+
   // ---- DSv2 through the socket ------------------------------------------
 
   test("the full WHERE tree pushes as one filter document; residuals stay out") {
