@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{GQuery, Tables}
 import graft.engine.GraftEngine
-import graft.sources.{FedData, LoopbackMongoServer, MongoClientConfig,
-  MongoEndpoint, MongoEndpointSpec, MongoEndpoints, SourceRegistry}
+import graft.sources.{CqlClientConfig, CqlEndpoint, CqlEndpointSpec,
+  CqlEndpoints, FedData, LoopbackCqlServer, LoopbackMongoServer,
+  MongoClientConfig, MongoEndpoint, MongoEndpointSpec, MongoEndpoints,
+  SourceRegistry}
 
 /** Federation surface: queries over the DSv2 file connector
   * (graft.sources.*) — the Spark-native equivalent of the reference's
@@ -664,6 +666,44 @@ object Federation {
       eng.sql(s"UPDATE $t SET qty = 99 WHERE name = 'gamma'")
       s.sql(s"DELETE FROM $t WHERE price < 2.0 AND item_id <> 1")
       s.table(t).orderBy("item_id")
+    },
+
+    // The DML lifecycle OVER THE CQL WIRE (reference: prepared upserts
+    // sql_to_cql.go:246-361, delete-by-key :368-394): INSERT INTO ships
+    // task batches as BEGIN UNLOGGED BATCH of rendered INSERT statements
+    // — and Cassandra INSERT is an UPSERT on the primary key, proven by
+    // re-inserting key (a,2); DELETE FROM compiles to DELETE CQL only
+    // when the WHERE names the full partition key (the server
+    // re-validates and refuses otherwise).
+    GQuery(
+      "q_dml_cql",
+      """SELECT * FROM (VALUES
+        |  ('a', CAST(1 AS BIGINT), 'alpha', CAST(10 AS BIGINT)),
+        |  ('a', CAST(2 AS BIGINT), 'beta2', CAST(22 AS BIGINT)))
+        |       AS t(seg, k, name, qty)
+        |ORDER BY seg, k""".stripMargin) { (s, d) =>
+      fed(s, d)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("seg",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("qty",
+          org.apache.spark.sql.types.LongType)))
+      LoopbackCqlServer.register("dml_cql", schema,
+        partitionKeys = Seq("seg"), clusteringKeys = Seq("k"), rows = Seq.empty)
+      val (host, port) = LoopbackCqlServer.ensureStarted()
+      CqlEndpoints.register(CqlEndpoint(FedData.CqlSourceName, "dml_cql",
+        schema, Seq("seg"), Seq("k"),
+        CqlEndpointSpec(host, port, "dml_cql", CqlClientConfig())))
+      val t = s"$C.${FedData.CqlSourceName}.dml_cql"
+      s.sql(s"INSERT INTO $t VALUES ('a', 1, 'alpha', 10), ('a', 2, 'beta', 20), " +
+        "('b', 3, 'gamma', 30)")
+      s.sql(s"INSERT INTO $t VALUES ('a', 2, 'beta2', 22)") // upsert on (a,2)
+      s.sql(s"DELETE FROM $t WHERE seg = 'b' AND k = 3")
+      s.table(t).orderBy("seg", "k")
     },
 
     // Writes through the keys (Cassandra) profile (reference: prepared

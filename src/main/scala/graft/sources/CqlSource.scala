@@ -41,6 +41,9 @@ object CqlGen {
 
   final case class Accepted(where: Seq[String], pushed: Seq[Filter])
 
+  /** Public literal renderer (the INSERT write path reuses it). */
+  def renderLiteral(v: Any): Option[String] = lit(v)
+
   private def lit(v: Any): Option[String] = v match {
     case null => None
     case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short => Some(v.toString)
@@ -185,7 +188,61 @@ object CqlEval {
     case other => throw new IllegalArgumentException(s"cannot parse CQL: $other")
   }
 
+  final case class Insert(table: String, cols: Seq[String], values: Seq[String])
+  final case class Delete(table: String, where: Seq[(String, String, String)])
+
+  private val InsertRe =
+    """(?is)\s*INSERT\s+INTO\s+(\S+)\s*\((.+?)\)\s*VALUES\s*\((.+)\)\s*""".r
+  private val DeleteRe =
+    """(?is)\s*DELETE\s+FROM\s+(\S+)\s+WHERE\s+(.+?)\s*""".r
+
+  /** Quote-aware top-level split on `sep` ('' escapes inside strings). */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        if (inQuote && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+          cur.append("''"); i += 2
+        } else { inQuote = !inQuote; cur.append(c); i += 1 }
+      } else if (!inQuote && c == sep) { out += cur.toString; cur.clear(); i += 1 }
+      else { cur.append(c); i += 1 }
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  /** Split a BATCH body into statements (';' outside strings). */
+  def splitStatements(body: String): Seq[String] = splitTop(body, ';')
+
+  def parseInsert(cql: String): Insert = cql match {
+    case InsertRe(table, cols, values) =>
+      val cs = cols.split(",").map(_.trim).toSeq
+      val vs = splitTop(values, ',').map(_.trim)
+      require(cs.size == vs.size,
+        s"Unmatched column names/values: ${cs.size} vs ${vs.size}")
+      Insert(table.trim, cs, vs)
+    case other => throw new IllegalArgumentException(s"cannot parse INSERT: $other")
+  }
+
+  def parseDelete(cql: String): Delete = cql match {
+    case DeleteRe(table, where) =>
+      val conds = splitConjuncts(where).map { c =>
+        val m = """\s*([\w.]+)\s*(=|<=|>=|<|>)\s*(.+?)\s*""".r
+        c match {
+          case m(a, op, v) => (a, op, v)
+          case other => throw new IllegalArgumentException(s"cannot parse predicate: $other")
+        }
+      }
+      Delete(table.trim, conds)
+    case other => throw new IllegalArgumentException(s"cannot parse DELETE: $other")
+  }
+
   def literal(raw: String, dt: DataType): Any = {
+    if (raw.equalsIgnoreCase("null")) return null
     if (raw.startsWith("'") && raw.endsWith("'"))
       return raw.substring(1, raw.length - 1).replace("''", "'")
     dt match {
@@ -211,8 +268,20 @@ object LoopbackCqlServer {
 
   val Keyspace = "graft"
 
-  final case class CqlTableData(schema: StructType, partitionKeys: Seq[String],
-      clusteringKeys: Seq[String], rows: Seq[Array[Any]])
+  /** A MUTABLE registered table (INSERT/DELETE statements mutate it;
+    * `snapshot` gives reads a consistent view). */
+  final class CqlTableData(val schema: StructType, val partitionKeys: Seq[String],
+      val clusteringKeys: Seq[String], init: Seq[Array[Any]]) {
+    private val buf = scala.collection.mutable.ArrayBuffer.from(init)
+    def snapshot: Seq[Array[Any]] = synchronized(buf.toSeq)
+    def append(r: Array[Any]): Unit = synchronized { buf += r }
+    def deleteWhere(pred: Array[Any] => Boolean): Int = synchronized {
+      val before = buf.length
+      val keep = buf.filterNot(pred)
+      buf.clear(); buf ++= keep
+      before - buf.length
+    }
+  }
 
   private val tables = TrieMap.empty[String, CqlTableData]
   private val serverRef = new AtomicReference[ServerSocket](null)
@@ -225,7 +294,7 @@ object LoopbackCqlServer {
   def register(name: String, schema: StructType, partitionKeys: Seq[String],
       clusteringKeys: Seq[String], rows: Seq[Array[Any]]): Unit =
     tables.put(name.toLowerCase,
-      CqlTableData(schema, partitionKeys, clusteringKeys, rows))
+      new CqlTableData(schema, partitionKeys, clusteringKeys, rows))
 
   def ensureStarted(): (String, Int) = {
     val cur = serverRef.get()
@@ -286,9 +355,82 @@ object LoopbackCqlServer {
     }
   }
 
+  /** INSERT / DELETE / BEGIN BATCH execution, under the real engine's
+    * rules: an INSERT must name the FULL primary key (Cassandra writes
+    * are keyed upserts); a DELETE's WHERE may touch only key columns and
+    * must equality-bind every partition key. `BEGIN [UNLOGGED] BATCH ...
+    * APPLY BATCH` groups INSERTs — the bulk-write primitive real drivers
+    * use. */
+  private def runMutation(cql: String): Unit = {
+    val upper = cql.toUpperCase
+    if (upper.startsWith("BEGIN")) {
+      val body = cql.substring(cql.toUpperCase.indexOf("BATCH") + 5)
+      val end = body.toUpperCase.lastIndexOf("APPLY BATCH")
+      require(end >= 0, "BATCH without APPLY BATCH")
+      CqlEval.splitStatements(body.substring(0, end)).foreach { s =>
+        val t = s.trim
+        if (t.nonEmpty) runMutation(t)
+      }
+    } else if (upper.startsWith("INSERT")) {
+      val ins = CqlEval.parseInsert(cql)
+      val t = tables.getOrElse(ins.table.toLowerCase,
+        throw new IllegalArgumentException(s"unconfigured table ${ins.table}"))
+      val keyCols = (t.partitionKeys ++ t.clusteringKeys).map(_.toLowerCase)
+      val named = ins.cols.map(_.toLowerCase)
+      require(keyCols.forall(named.contains),
+        s"Some primary key parts are missing: ${keyCols.filterNot(named.contains).mkString(", ")}")
+      val row = new Array[Any](t.schema.fields.length)
+      ins.cols.zip(ins.values).foreach { case (c, raw) =>
+        val i = t.schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+        require(i >= 0, s"undefined column name $c")
+        row(i) = CqlEval.literal(raw, t.schema.fields(i).dataType)
+      }
+      // Cassandra INSERT is an UPSERT on the primary key
+      val kIdx = keyCols.map(k => t.schema.fieldNames.indexWhere(_.equalsIgnoreCase(k)))
+      t.deleteWhere(r => kIdx.forall(i => r(i) == row(i)))
+      t.append(row)
+    } else { // DELETE
+      val del = CqlEval.parseDelete(cql)
+      val t = tables.getOrElse(del.table.toLowerCase,
+        throw new IllegalArgumentException(s"unconfigured table ${del.table}"))
+      val pk = t.partitionKeys.map(_.toLowerCase).toSet
+      val ck = t.clusteringKeys.map(_.toLowerCase)
+      del.where.foreach { case (a, _, _) =>
+        require(pk(a.toLowerCase) || ck.contains(a.toLowerCase),
+          s"Non PRIMARY KEY columns found in where clause: $a")
+      }
+      val pkBound = del.where.collect {
+        case (a, "=", _) if pk(a.toLowerCase) => a.toLowerCase
+      }.toSet
+      require(pkBound == pk,
+        s"Some partition key parts are missing: ${(pk -- pkBound).mkString(", ")}")
+      val fieldIdx = (n: String) => t.schema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+      t.deleteWhere { r =>
+        del.where.forall { case (a, op, raw) =>
+          val i = fieldIdx(a)
+          val v = CqlEval.literal(raw, t.schema.fields(i).dataType)
+          r(i) != null && FilterEval.cmp(r(i), v).exists { c =>
+            op match {
+              case "=" => c == 0
+              case ">" => c > 0; case ">=" => c >= 0
+              case "<" => c < 0; case "<=" => c <= 0
+            }
+          }
+        }
+      }
+    }
+  }
+
   private def runQuery(f: Frame): Frame = {
     val q = CqlWire.parseQueryBody(f.body)
     lastCql.set(q.cql)
+    val upper = q.cql.trim.toUpperCase
+    if (upper.startsWith("BEGIN") || upper.startsWith("INSERT") ||
+        upper.startsWith("DELETE")) {
+      runMutation(q.cql.trim)
+      // RESULT Void (kind 0x0001)
+      return Frame(Op.Result, f.stream, new CqlWire.BodyOut().putInt(0x0001).bytes)
+    }
     val stmt = CqlEval.parse(q.cql)
     val t = tables.getOrElse(stmt.table.toLowerCase,
       throw new IllegalArgumentException(s"unconfigured table ${stmt.table}"))
@@ -317,7 +459,7 @@ object LoopbackCqlServer {
       throw new IllegalArgumentException(
         s"Partition key parts ${(pk -- pkBound).mkString(",")} must be restricted")
 
-    val matched = t.rows.filter { r =>
+    val matched = t.snapshot.filter { r =>
       stmt.where.forall { case (a, op, raw) =>
         val i = fieldIdx(a)
         val v = CqlEval.literal(raw, t.schema.fields(i).dataType)
@@ -469,14 +611,94 @@ object CqlEndpoints {
     endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
 }
 
-class CqlTable(val ep: CqlEndpoint) extends Table with SupportsRead {
+class CqlTable(val ep: CqlEndpoint) extends Table
+  with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"${SourceRegistry.CatalogName}.${ep.source}.${ep.table}"
   override def schema(): StructType = ep.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.Set.of(TableCapability.BATCH_READ)
+    util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CqlScanBuilder(ep)
+
+  /** INSERT INTO: tasks send `BEGIN UNLOGGED BATCH` of rendered CQL
+    * INSERT statements (the real drivers' bulk-write primitive;
+    * reference: prepared upserts, sql_to_cql.go:246-361 — Cassandra
+    * INSERT is an upsert on the primary key). */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new CqlBatchWrite(ep)
+    }
+
+  /** DELETE FROM under Cassandra's rules: only key-column predicates
+    * with the full partition key equality-bound compile to DELETE CQL
+    * ([[CqlGen.split]] enforces both); anything else refuses — and the
+    * server re-validates (`Some partition key parts are missing`). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val (acc, residual) = CqlGen.split(filters.toSeq,
+      ep.partitionKeys, ep.clusteringKeys)
+    residual.isEmpty && acc.where.nonEmpty
+  }
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (acc, _) = CqlGen.split(filters.toSeq, ep.partitionKeys, ep.clusteringKeys)
+    val cql = s"DELETE FROM ${ep.table} WHERE ${acc.where.mkString(" AND ")}"
+    val client = new CqlClientLite(ep.spec.host, ep.spec.port, ep.spec.cfg)
+    try client.query(cql).size // consume the Void result
+    finally client.close()
+  }
+}
+
+class CqlBatchWrite(ep: CqlEndpoint)
+  extends org.apache.spark.sql.connector.write.Write
+  with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new CqlWriterFactory(ep.spec, ep.schema.json, ep.table)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class CqlWriterFactory(spec: CqlEndpointSpec, schemaJson: String, table: String)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write._
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val client = new CqlClientLite(spec.host, spec.port, spec.cfg)
+    val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      private def render(row: Row): String = {
+        val present = schema.fields.toSeq.zipWithIndex
+          .filter { case (_, i) => !row.isNullAt(i) }
+        val cols = present.map(_._1.name).mkString(", ")
+        val vals = present.map { case (_, i) =>
+          CqlGen.renderLiteral(row.get(i)).getOrElse(
+            throw new IOException(s"value ${row.get(i)} has no CQL literal form"))
+        }.mkString(", ")
+        s"INSERT INTO $table ($cols) VALUES ($vals)"
+      }
+      private def flush(): Unit = if (buf.nonEmpty) {
+        val batch = buf.mkString("BEGIN UNLOGGED BATCH ", "; ", "; APPLY BATCH")
+        client.query(batch).size // consume the Void result
+        buf.clear()
+      }
+      override def write(record: InternalRow): Unit = {
+        buf += render(toScala(record).asInstanceOf[Row])
+        if (buf.size >= 64) flush()
+      }
+      override def commit(): WriterCommitMessage = {
+        flush()
+        new WriterCommitMessage {}
+      }
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = client.close()
+    }
+  }
 }
 
 /** Key-rule pushdown: WHERE under [[CqlGen.split]], column projection in

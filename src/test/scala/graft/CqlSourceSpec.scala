@@ -168,6 +168,56 @@ class CqlSourceSpec extends AnyFunSuite {
     c.close()
   }
 
+  // ---- write statements over the wire -----------------------------------
+
+  test("INSERT batches upsert on the primary key; DELETE obeys key rules") {
+    val wschema = StructType(Seq(
+      StructField("seg", StringType), StructField("id", LongType),
+      StructField("name", StringType)))
+    LoopbackCqlServer.register("w1", wschema, Seq("seg"), Seq("id"), Seq.empty)
+    val c = client()
+    c.query("BEGIN UNLOGGED BATCH " +
+      "INSERT INTO w1 (seg, id, name) VALUES ('a', 1, 'one'); " +
+      "INSERT INTO w1 (seg, id, name) VALUES ('a', 2, 'it''s; fine'); " +
+      "INSERT INTO w1 (seg, id, name) VALUES ('b', 3, 'three'); " +
+      "APPLY BATCH").size
+    // upsert: re-insert key (a,2) with a new payload
+    c.query("INSERT INTO w1 (seg, id, name) VALUES ('a', 2, 'two2')").size
+    val all = c.query("SELECT seg, id, name FROM w1").toSeq
+    assert(all.size == 3)
+    // an INSERT missing part of the primary key is refused
+    val e1 = intercept[IOException](
+      c.query("INSERT INTO w1 (seg, name) VALUES ('a', 'x')").size)
+    assert(e1.getMessage.contains("primary key"), e1.getMessage)
+    // DELETE without the partition key is refused
+    val e2 = intercept[IOException](c.query("DELETE FROM w1 WHERE id = 1").size)
+    assert(e2.getMessage.contains("partition key"), e2.getMessage)
+    // DELETE on a non-key column is refused
+    val e3 = intercept[IOException](
+      c.query("DELETE FROM w1 WHERE seg = 'a' AND name = 'one'").size)
+    assert(e3.getMessage.contains("Non PRIMARY KEY"), e3.getMessage)
+    c.query("DELETE FROM w1 WHERE seg = 'a' AND id = 2").size
+    val after = c.query("SELECT id, name FROM w1").toSeq
+    assert(after.size == 2)
+    c.close()
+  }
+
+  test("DSv2 INSERT INTO streams BATCH statements; DELETE FROM refuses non-key") {
+    val t = table("w2")
+    LoopbackCqlServer.register("w2", schema, Seq("seg"), Seq("id"), Seq.empty)
+    spark.range(0, 150)
+      .selectExpr("CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS seg", "id",
+        "concat('n_', id) AS name", "id * 1.5 AS bal",
+        "id % 2 = 0 AS flag", "CAST(null AS TIMESTAMP) AS ts")
+      .writeTo(t).append()
+    assert(spark.table(t).count() == 150)
+    spark.sql(s"DELETE FROM $t WHERE seg = 'A' AND id < 50")
+    assert(spark.table(t).count() == 150 - 25)
+    // non-key DELETE refuses loudly, nothing is deleted
+    intercept[Exception](spark.sql(s"DELETE FROM $t WHERE bal > 0.0"))
+    assert(spark.table(t).count() == 125)
+  }
+
   // ---- DSv2 through the socket ------------------------------------------
 
   test("key predicates push as CQL text; non-key residual polyfills exactly") {
