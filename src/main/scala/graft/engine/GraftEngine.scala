@@ -360,7 +360,12 @@ class GraftEngine(val spark: SparkSession) {
       sets: String, cond: String, tbl: String): DataFrame = {
     import graft.protocol.Bson.BDoc
     import graft.sources.{MongoClientLite, MongoDsl, PartFileRewrite}
-    val filters = PartFileRewrite.condFilters(spark, tbl, cond)
+    // EXACT extraction: a conjunct without a filter form must ABORT the
+    // statement — the pruning-grade condFilters drops such conjuncts,
+    // which here would silently widen the mutated row set
+    val filters = PartFileRewrite.condFiltersExact(spark, tbl, cond)
+      .getOrElse(throw new IllegalArgumentException(
+        s"UPDATE $tbl: WHERE is outside the wire filter surface: $cond"))
     val compiled = filters.map(MongoDsl.compile)
     require(!compiled.exists(_.isEmpty),
       s"UPDATE $tbl: WHERE is outside the wire filter surface: $cond")
@@ -371,8 +376,12 @@ class GraftEngine(val spark: SparkSession) {
       val i = ep.schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
       require(i >= 0, s"UPDATE $tbl: unknown column $name")
       // constant-fold the RHS (literal expressions only: the wire's $set
-      // carries values, not row-referencing expressions)
-      val value = spark.sql(s"SELECT ${substitute(v)}").collect()(0).get(0)
+      // carries values, not row-referencing expressions), CAST to the
+      // column type — a bare 1.5 folds to DecimalType/BigDecimal, which
+      // has no BSON form; the cast lands it as the column's double
+      val value = spark.sql(
+        s"SELECT CAST((${substitute(v)}) AS ${ep.schema.fields(i).dataType.sql})")
+        .collect()(0).get(0)
       ep.schema.fields(i).name -> value
     })
     val client = new MongoClientLite(ep.spec.host, ep.spec.port, ep.spec.cfg)
@@ -386,9 +395,15 @@ class GraftEngine(val spark: SparkSession) {
   private def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
-    var depth = 0; var inStr = false
-    s.foreach { ch =>
-      if (inStr) { cur += ch; if (ch == '\'') inStr = false }
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) {
+        // \'-escapes must not close the literal (same contract as the
+        // bracket normalizer and placeholder scanners)
+        if (ch == '\\' && i + 1 < s.length) { cur += ch; cur += s.charAt(i + 1); i += 1 }
+        else { cur += ch; if (ch == '\'') inStr = false }
+      }
       else ch match {
         case '\'' => inStr = true; cur += ch
         case '(' => depth += 1; cur += ch
@@ -396,6 +411,7 @@ class GraftEngine(val spark: SparkSession) {
         case ',' if depth == 0 => out += cur.toString; cur.clear()
         case other => cur += other
       }
+      i += 1
     }
     if (cur.nonEmpty) out += cur.toString
     out.toSeq.map(_.trim)
@@ -406,7 +422,10 @@ class GraftEngine(val spark: SparkSession) {
     * (mysql frontends tokenize before variable expansion; a raw regex over
     * the whole text would corrupt quoted emails). */
   def substitute(text: String): String = {
-    val quoted = "'(?:[^']|'')*'".r
+    // a literal runs to the next unescaped quote: '' doubles and \'
+    // backslash-escapes both stay inside (same contract as the other
+    // scanners in this file)
+    val quoted = """'(?:[^'\\]|''|\\.)*'""".r
     val sb = new StringBuilder
     var idx = 0
     quoted.findAllMatchIn(text).foreach { m =>

@@ -66,13 +66,14 @@ final class MysqlServer(
         t.setDaemon(true)
         t.start()
       } catch {
-        case _: SocketException => // closed on stop()
+        case _: SocketException if !running => // closed on stop()
         case NonFatal(_) if !running =>
         case NonFatal(_) =>
           // transient accept failure while RUNNING (fd exhaustion, reset
-          // in the backlog): back off and keep listening — letting the
-          // exception kill this thread would silently stop the listener
-          // while ensureStarted still reports it alive
+          // in the backlog — SocketException included): back off and keep
+          // listening — killing this thread would silently stop the
+          // listener while ensureStarted still reports it alive, and a
+          // bare retry would hot-spin on a persistent failure
           try Thread.sleep(50) catch { case _: InterruptedException => () }
       }
     }
@@ -205,10 +206,17 @@ final class MysqlServer(
               val bitmap = r.raw((nParams + 7) / 8)
               val newBound = r.u8()
               require(newBound == 1, "execute without bound parameter types")
-              val types = (0 until nParams).map { _ => val t = r.u16(); t & 0xff }
+              // keep the flag byte: bit 0x80 of it marks UNSIGNED — a
+              // TINYINT param of 200 must not sign-extend to -56
+              val types = (0 until nParams).map { _ =>
+                val t = r.u16(); (t & 0xff, (t & 0x8000) != 0)
+              }
               (0 until nParams).map { i =>
                 if ((bitmap(i / 8) & (1 << (i % 8))) != 0) "NULL"
-                else sqlLiteral(readBinaryValue(r, types(i)))
+                else {
+                  val (tpe, unsigned) = types(i)
+                  sqlLiteral(MysqlWire.readBinaryValue(r, tpe, unsigned))
+                }
               }
             }
           val bound = bindPlaceholders(text, args)

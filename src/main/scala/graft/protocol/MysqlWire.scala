@@ -511,11 +511,15 @@ object MysqlWire {
     case (_, s) => w.lenencStr(String.valueOf(s))
   }
 
-  def readBinaryValue(r: ByteReader, tpe: Int): Any = tpe match {
-    case TypeTiny => r.u8().toByte.toInt // signed TINYINT, like TypeShort
-    case TypeShort => r.u16().toShort.toInt
-    case TypeLong => r.u32().toInt
-    case TypeLongLong => r.u64()
+  def readBinaryValue(r: ByteReader, tpe: Int): Any = readBinaryValue(r, tpe, false)
+
+  /** `unsigned` = the 0x80 flag byte from a COM_STMT_EXECUTE type pair:
+    * integer widths then decode without sign extension. */
+  def readBinaryValue(r: ByteReader, tpe: Int, unsigned: Boolean): Any = tpe match {
+    case TypeTiny => if (unsigned) r.u8() else r.u8().toByte.toInt
+    case TypeShort => if (unsigned) r.u16() else r.u16().toShort.toInt
+    case TypeLong => if (unsigned) r.u32() else r.u32().toInt
+    case TypeLongLong => r.u64() // unsigned >Long.Max is out of surface
     case TypeFloat => java.lang.Float.intBitsToFloat(r.u32().toInt)
     case TypeDouble => java.lang.Double.longBitsToDouble(r.u64())
     case TypeDate =>

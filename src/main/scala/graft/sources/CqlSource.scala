@@ -151,14 +151,26 @@ object CqlEval {
   private val SelectRe =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\S+?)(?:\s+WHERE\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s*""".r
 
-  /** Split a WHERE clause on top-level ` AND ` only — a quote-aware
-    * scan, because a string literal may itself contain " and "
-    * (`seg = 'FOOD AND DRINK'` is one predicate, not two). */
+  /** Split a WHERE clause on top-level `AND` (any surrounding
+    * whitespace, incl. newlines) — a quote-aware scan, because a string
+    * literal may itself contain " and " (`seg = 'FOOD AND DRINK'` is
+    * one predicate, not two). */
   private[sources] def splitConjuncts(where: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var i = 0
     var inQuote = false
+    def andAt(j: Int): Int = { // length consumed, or -1
+      if (!where.charAt(j).isWhitespace) return -1
+      var k = j
+      while (k < where.length && where.charAt(k).isWhitespace) k += 1
+      if (k + 3 <= where.length && where.regionMatches(true, k, "AND", 0, 3) &&
+          k + 3 < where.length && where.charAt(k + 3).isWhitespace) {
+        var e = k + 3
+        while (e < where.length && where.charAt(e).isWhitespace) e += 1
+        e - j
+      } else -1
+    }
     while (i < where.length) {
       val c = where.charAt(i)
       if (c == '\'') {
@@ -166,8 +178,8 @@ object CqlEval {
         if (inQuote && i + 1 < where.length && where.charAt(i + 1) == '\'') {
           cur.append("''"); i += 2
         } else { inQuote = !inQuote; cur.append(c); i += 1 }
-      } else if (!inQuote && where.regionMatches(true, i, " AND ", 0, 5)) {
-        out += cur.toString; cur.clear(); i += 5
+      } else if (!inQuote && andAt(i) > 0) {
+        out += cur.toString; cur.clear(); i += andAt(i)
       } else { cur.append(c); i += 1 }
     }
     out += cur.toString
@@ -275,6 +287,13 @@ object LoopbackCqlServer {
     private val buf = scala.collection.mutable.ArrayBuffer.from(init)
     def snapshot: Seq[Array[Any]] = synchronized(buf.toSeq)
     def append(r: Array[Any]): Unit = synchronized { buf += r }
+    /** Atomic replace-by-key: delete+append under ONE lock — two
+      * separately synchronized calls would let concurrent writers of
+      * the same primary key interleave and leave duplicate rows. */
+    def upsert(keyPred: Array[Any] => Boolean, r: Array[Any]): Unit = synchronized {
+      val keep = buf.filterNot(keyPred)
+      buf.clear(); buf ++= keep; buf += r
+    }
     def deleteWhere(pred: Array[Any] => Boolean): Int = synchronized {
       val before = buf.length
       val keep = buf.filterNot(pred)
@@ -385,10 +404,10 @@ object LoopbackCqlServer {
         require(i >= 0, s"undefined column name $c")
         row(i) = CqlEval.literal(raw, t.schema.fields(i).dataType)
       }
-      // Cassandra INSERT is an UPSERT on the primary key
+      // Cassandra INSERT is an UPSERT on the primary key (atomic:
+      // concurrent same-key writers must not leave duplicates)
       val kIdx = keyCols.map(k => t.schema.fieldNames.indexWhere(_.equalsIgnoreCase(k)))
-      t.deleteWhere(r => kIdx.forall(i => r(i) == row(i)))
-      t.append(row)
+      t.upsert(r => kIdx.forall(i => r(i) == row(i)), row)
     } else { // DELETE
       val del = CqlEval.parseDelete(cql)
       val t = tables.getOrElse(del.table.toLowerCase,

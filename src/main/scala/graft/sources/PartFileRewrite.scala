@@ -47,6 +47,31 @@ object PartFileRewrite {
     conjuncts.flatMap(toFilter)
   }
 
+  /** Like [[condFilters]] but EXACT: None when any conjunct has no
+    * filter form. File pruning may drop conjuncts (dropping only widens
+    * the candidate set — the full condition re-applies later); a caller
+    * that uses the result AS the predicate (the wire-UPDATE path) must
+    * not — a dropped conjunct there silently widens the MUTATED set. */
+  def condFiltersExact(spark: SparkSession, tableName: String,
+      cond: String): Option[Seq[Filter]] = {
+    val plan = spark.table(tableName)
+      .filter(org.apache.spark.sql.functions.expr(cond))
+      .queryExecution.analyzed
+    val conjuncts = plan.collect { case f: logical.Filter => split(f.condition) }.flatten
+    // the ANALYZED plan wraps literals in casts (id = 2 on a BIGINT
+    // column is EqualTo(id, cast(2 as bigint))); fold every foldable
+    // subtree to a literal so translation sees the plain shape — using
+    // the optimizer instead would also inject inferred IsNotNull
+    // conjuncts the caller never wrote
+    val folded = conjuncts.map(_.transformUp {
+      case e if e.foldable && !e.isInstanceOf[Literal] =>
+        Literal.create(e.eval(null), e.dataType)
+    })
+    val translated = folded.map(toFilter)
+    if (folded.isEmpty || translated.exists(_.isEmpty)) None
+    else Some(translated.flatten)
+  }
+
   private def split(e: Expression): Seq[Expression] = e match {
     case CatalystAnd(l, r) => split(l) ++ split(r)
     case other => Seq(other)

@@ -126,6 +126,9 @@ class CqlSourceSpec extends AnyFunSuite {
       "SELECT id FROM t WHERE seg = 'it''s AND it''s'")
     assert(stmt2.where == Seq(("seg", "=", "'it''s AND it''s'")))
     assert(CqlEval.literal("'it''s AND it''s'", StringType) == "it's AND it's")
+    // AND separated by newlines / multiple spaces still splits
+    val stmt3 = CqlEval.parse("SELECT id FROM t WHERE seg = 'a'\nAND  id < 5")
+    assert(stmt3.where == Seq(("seg", "=", "'a'"), ("id", "<", "5")))
   }
 
   // ---- wire round-trips -------------------------------------------------

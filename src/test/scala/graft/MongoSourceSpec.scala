@@ -234,6 +234,26 @@ class MongoSourceSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(s"DELETE FROM $t WHERE id % 2 = 0"))
   }
 
+  test("engine UPDATE over the wire: exact WHERE or abort; SET casts to column type") {
+    val t = table("wr4")
+    LoopbackMongoServer.register("wr4", schema, Seq.empty)
+    spark.sql(s"INSERT INTO $t VALUES (1, 'A', 'one', 1.0), (2, 'B', 'two', 2.0)")
+    val eng = new graft.engine.GraftEngine(spark)
+    // decimal literal: must cast to the column's DOUBLE, not ship BigDecimal
+    eng.sql(s"UPDATE $t SET bal = 9.5 WHERE seg = 'A'")
+    assert(spark.table(t).filter(col("id") === 1L).collect()(0).getDouble(3) == 9.5)
+    // a string RHS with \' and a comma must survive the SET splitter
+    eng.sql(s"""UPDATE $t SET name = 'it\\'s a, b' WHERE id = 2""")
+    assert(spark.table(t).filter(col("id") === 2L).collect()(0).getString(2) == "it's a, b")
+    // an OR conjunct has a filter form... but a function does NOT: the
+    // statement must ABORT, never ship a widened filter
+    val e = intercept[Exception](
+      eng.sql(s"UPDATE $t SET bal = 0.0 WHERE length(name) > 100"))
+    assert(e.getMessage.contains("wire filter surface"), e.getMessage)
+    assert(spark.table(t).filter(col("bal") === 0.0).count() == 0,
+      "the aborted UPDATE must not have touched any row")
+  }
+
   // ---- DSv2 through the socket ------------------------------------------
 
   test("the full WHERE tree pushes as one filter document; residuals stay out") {

@@ -56,6 +56,17 @@ class MysqlWireSpec extends AnyFunSuite {
     }
   }
 
+  test("the UNSIGNED flag keeps TINYINT 200 and INT > 2^31 positive") {
+    val w = new ByteWriter()
+    MysqlWire.writeBinaryValue(w, MysqlWire.TypeTiny, 200: java.lang.Integer)
+    assert(MysqlWire.readBinaryValue(new ByteReader(w.bytes),
+      MysqlWire.TypeTiny, unsigned = true) == 200L)
+    val w2 = new ByteWriter()
+    w2.u32(3000000000L)
+    assert(MysqlWire.readBinaryValue(new ByteReader(w2.bytes),
+      MysqlWire.TypeLong, unsigned = true) == 3000000000L)
+  }
+
   test("handshake and handshake-response packets round-trip") {
     val salt = Array.tabulate[Byte](20)(i => (i + 1).toByte)
     val h = Handshake(10, "8.0.0-graft", 7, salt, ServerCapabilities, CharsetUtf8, 2,
