@@ -74,6 +74,22 @@ class GraftEngine(val spark: SparkSession) {
   import GraftEngine._
 
   def sql(text0: String): DataFrame = { val text = normalizeBrackets(text0); text match {
+    // the reference's statement-level distribution hint: `SELECT ...
+    // WITH distributed=true, node_ct=2` (planner/sql_master.go:63-98
+    // reads Stmt.With; backends/mongo/mgo_test.go:345,366 is the user
+    // syntax). Spark is always distributed, so `distributed` is
+    // satisfied by construction; `node_ct` maps to the result's
+    // partition count — the same knob the reference's grid fabric
+    // derives worker fan-out from.
+    case SelectWithHints(body, hints) =>
+      val kvs = hints.split(",").map(_.trim.split("\\s*=\\s*"))
+        .collect { case Array(k, v) => k.toLowerCase -> v.toLowerCase }.toMap
+      val df = sql(body)
+      kvs.get("node_ct").map(_.toInt) match {
+        case Some(n) if n > 0 => df.repartition(n)
+        case _ => df
+      }
+
     case SetVar(name, value) =>
       // evaluate the RHS once so `SET @x = 1 + 1` stores "2"
       val v = spark.sql(s"SELECT ($value) AS v").collect()(0).get(0)
@@ -486,6 +502,11 @@ class GraftEngine(val spark: SparkSession) {
 object GraftEngine {
 
   private[engine] val SetVar = """(?is)\s*SET\s+@(\w+)\s*(?::?=)\s*(.+?)\s*;?\s*""".r
+  /** Trailing `WITH k=v, ...` hint list on a SELECT (the reference's
+    * per-statement properties; values are bare words there). Anchored to
+    * SELECT so CTE-leading WITH is untouched. */
+  private[engine] val SelectWithHints =
+    """(?is)\s*(SELECT\b.+\S)\s+WITH\s+((?:\w+\s*=\s*\w+\s*,\s*)*\w+\s*=\s*\w+)\s*;?\s*""".r
   private[engine] val TxnNoop = """(?is)\s*(BEGIN|COMMIT|ROLLBACK)\s*;?\s*""".r
   private[engine] val ShowVars = """(?is)\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'(.*)')?\s*;?\s*""".r
   private[engine] val ShowCreate = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?\s*;?\s*""".r

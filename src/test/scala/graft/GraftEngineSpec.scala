@@ -32,6 +32,21 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(n == direct && n > 0)
   }
 
+  test("WITH distributed=true, node_ct=N hints accept (the reference's syntax)") {
+    // the exact statement shape from backends/mongo/mgo_test.go:366
+    val df = engine.sql(
+      "SELECT o_orderpriority, count(*) AS ct FROM orders " +
+        "GROUP BY o_orderpriority WITH distributed=true, node_ct=2")
+    assert(df.rdd.getNumPartitions == 2, "node_ct maps to the output fan-out")
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = spark.sql("SELECT o_orderpriority, count(*) AS ct FROM orders " +
+      "GROUP BY o_orderpriority").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, "the hint must not change the result")
+    // a CTE-leading WITH is untouched by the hint stripper
+    assert(engine.sql("WITH t AS (SELECT 1 AS x) SELECT x FROM t")
+      .collect()(0).getInt(0) == 1)
+  }
+
   test("SET @var evaluates expressions eagerly") {
     engine.sql("SET @two = 1 + 1")
     assert(engine.substitute("SELECT @two") == "SELECT 2")
