@@ -257,6 +257,36 @@ class MysqlWireSpec extends AnyFunSuite {
     }
   }
 
+  test("a MySQL client reaches a Mongo-wire table: two protocols, one request") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("seg", StringType)))
+    val rows: Seq[Array[Any]] = (0L until 50L).map(i =>
+      Array[Any](i, if (i % 2 == 0) "even" else "odd"))
+    graft.sources.LoopbackMongoServer.register("wire_two", schema, rows)
+    val (host, mport) = graft.sources.LoopbackMongoServer.ensureStarted()
+    graft.sources.MongoEndpoints.register(graft.sources.MongoEndpoint(
+      "mysqlmongo", "wire_two", schema,
+      graft.sources.MongoEndpointSpec(host, mport,
+        graft.sources.LoopbackMongoServer.Db, "wire_two",
+        graft.sources.MongoClientConfig())))
+    if (graft.sources.SourceRegistry.get("mysqlmongo").isEmpty)
+      graft.sources.SourceRegistry.register(graft.sources.SourceDef("mysqlmongo",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/mysqlmongo").getPath,
+        "json", "mongo"))
+    graft.sources.SourceRegistry.ensureCatalog(spark)
+    val c = connect()
+    try {
+      // COM_QUERY -> GraftEngine -> catalog -> Mongo OP_MSG socket: the
+      // WHERE must reach the mongod as a filter document
+      val rs = c.select(
+        "SELECT count(*) AS n FROM graft.mysqlmongo.wire_two WHERE seg = 'even'")
+      assert(rs.rows(0)(0).contains("25"))
+      assert(graft.sources.LoopbackMongoServer.lastFind.get().contains("seg"),
+        "the MySQL-issued WHERE must ship in the find command")
+    } finally c.close()
+  }
+
   test("a bad statement returns ERR 1064 and the connection stays usable") {
     val c = connect()
     try {
