@@ -46,9 +46,18 @@ object BqSql {
     case _ => None
   }
 
-  /** LIKE-pattern escape for a literal fragment (% _ \ are meta). */
+  /** LIKE-pattern escape for a literal fragment (% _ \ are meta).
+    *
+    * Two escape levels stack on the wire: the server's string-literal
+    * scanner ([[BqSql.Parser#stringLit]]) consumes one level, and the
+    * LIKE unescaper consumes another. So LIKE-meta characters must be
+    * DOUBLY escaped here (backslash-backslash before % and _, four
+    * backslashes for a literal backslash) so that after stringLit they
+    * still read as escaped meta — otherwise a fragment "x%" collapses to
+    * a bare anchor and the pattern silently changes shape. The quote
+    * escape is single: it only has to survive stringLit. */
   private def likeEsc(s: String): String =
-    s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    s.replace("\\", "\\\\\\\\").replace("%", "\\\\%").replace("_", "\\\\_")
       .replace("'", "\\'")
 
   /** Render one Spark filter as a predicate; None = not renderable. */
@@ -195,9 +204,10 @@ object BqSql {
         return In(a, vs.result().toArray)
       }
       if (eatWord("LIKE")) {
-        val pat = stringLit()
-        // only the three anchored shapes the renderer emits
-        val body = pat
+        // stringLit has already consumed ONE escape level; the renderer
+        // doubles LIKE-meta escapes so at this level escaped meta still
+        // reads \% \_ \\ while anchors are BARE %.
+        val body = stringLit()
         // char-walk unescape ('\' takes the next char literally) — a
         // String.replace chain mishandles "\\%" (escaped \ + anchor)
         def unesc(x: String): String = {
@@ -209,11 +219,21 @@ object BqSql {
           }
           sb.toString
         }
-        if (body.startsWith("%") && body.endsWith("%") && body.length >= 2)
+        // Anchor classification BEFORE unescaping: a leading % is always
+        // an anchor (nothing can precede it); a trailing % is an anchor
+        // only if preceded by an EVEN number of backslashes (odd = it is
+        // the renderer's escaped literal %, e.g. ends-with "x%").
+        val startsAnchor = body.startsWith("%")
+        val endsAnchor = body.endsWith("%") && {
+          var k = body.length - 2; var n = 0
+          while (k >= 0 && body.charAt(k) == '\\') { n += 1; k -= 1 }
+          n % 2 == 0
+        }
+        if (startsAnchor && endsAnchor && body.length >= 2)
           return StringContains(a, unesc(body.substring(1, body.length - 1)))
-        if (body.endsWith("%")) return StringStartsWith(a, unesc(body.dropRight(1)))
-        if (body.startsWith("%")) return StringEndsWith(a, unesc(body.drop(1)))
-        fail(s"unsupported LIKE pattern $pat")
+        if (endsAnchor) return StringStartsWith(a, unesc(body.dropRight(1)))
+        if (startsAnchor) return StringEndsWith(a, unesc(body.drop(1)))
+        fail(s"unsupported LIKE pattern $body")
       }
       val op =
         if (eatChar('=')) "="

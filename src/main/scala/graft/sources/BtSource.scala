@@ -51,8 +51,13 @@ object BtQuery {
           vs.forall(_.isInstanceOf[String]) =>
         Some(RowSet(Nil, vs.toSeq.map(_.asInstanceOf[String])))
       case StringStartsWith(a, v) if isKey(a) =>
-        // prefix range: [v, v + 0xFF) — the PrefixRange construction
-        Some(RowSet(Seq((v, v + "\uFFFF")), Nil))
+        // prefix range: [v, successor(v)) — the real PrefixRange
+        // construction. Appending a max char is WRONG: a key whose
+        // suffix begins with U+FFFF compares >= that end bound and
+        // would be excluded. The successor increments the last
+        // non-max UTF-16 unit, dropping trailing max units; a prefix
+        // of all max units (or empty) has no successor => open end.
+        Some(RowSet(Seq((v, prefixSuccessor(v))), Nil))
       case GreaterThanOrEqual(a, v: String) if isKey(a) => Some(RowSet(Seq((v, "")), Nil))
       case GreaterThan(a, v: String) if isKey(a) =>
         Some(RowSet(Seq((v + "\u0000", "")), Nil)) // (v, inf) = [v+NUL, inf)
@@ -61,6 +66,16 @@ object BtQuery {
         Some(RowSet(Seq(("", v + "\u0000")), Nil))
       case _ => None
     }
+  }
+
+
+  /** Smallest string strictly greater than every string with prefix
+    * `v` (Java-string / UTF-16 order): drop trailing max units, then
+    * increment the last unit; all-max or empty => "" (open end). */
+  def prefixSuccessor(v: String): String = {
+    var k = v.length - 1
+    while (k >= 0 && v.charAt(k) == '\uFFFF') k -= 1
+    if (k < 0) "" else v.substring(0, k) + (v.charAt(k) + 1).toChar
   }
 
   /** The provably-empty row set (contradictory conjuncts): encoded as

@@ -91,7 +91,9 @@ final class HttpRestClient(val baseUrl: String, val cfg: HttpRestConfig = HttpRe
           case e: java.net.http.HttpTimeoutException => Left(s"timeout: $e")
           case e: java.net.ConnectException => Left(s"connect: $e")
           case e: java.io.IOException if attempt < cfg.maxRetries &&
-              !e.getMessage.startsWith("REST endpoint rejected") =>
+              !Option(e.getMessage).exists(_.startsWith("REST endpoint rejected")) =>
+            // getMessage may be null (bare EOFException on a dropped
+            // connection) — Option-guard so the NPE can't mask it
             Left(s"io: $e")
         }
       outcome match {

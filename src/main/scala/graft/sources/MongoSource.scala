@@ -83,6 +83,10 @@ object MongoDsl {
         .map(a => field(a, BDoc(Seq("$ne" -> null))): Any)
       BDoc(Seq("$and" -> ((BDoc(Seq("$nor" -> Seq(cc))): Any) +: guards)))
     }
+    // Spark turns an absent WHERE on DELETE into AlwaysTrue — without
+    // these cases canDeleteWhere would refuse an unconditional DELETE.
+    case _: AlwaysTrue => Some(BDoc.empty)
+    case _: AlwaysFalse => Some(BDoc(Seq("$nor" -> Seq(BDoc.empty))))
     case _ => None
   }
 

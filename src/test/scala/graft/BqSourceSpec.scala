@@ -93,6 +93,24 @@ class BqSourceSpec extends AnyFunSuite {
     assert(back == StringContains("name", "100%_x"), s"[$sql] -> $back")
   }
 
+  test("LIKE meta at fragment EDGES survives both escape levels") {
+    // escaped % adjacent to an anchor, and literal backslashes — each
+    // must round-trip shape-exact (an EndsWith("x%") that comes back as
+    // Contains("x") is silently wrong rows)
+    val cases: Seq[Filter] = Seq(
+      StringEndsWith("name", "x%"), StringStartsWith("name", "%x"),
+      StringContains("name", "%"), StringContains("name", "%%"),
+      StringStartsWith("name", "a\\b"), StringEndsWith("name", "a\\"),
+      StringContains("name", "a\\%b"), StringStartsWith("name", "x%"),
+      StringEndsWith("name", "_"), StringContains("name", "\\"),
+      StringStartsWith("name", "\\%"))
+    cases.foreach { f =>
+      val sql = BqSql.render(f).get
+      val back = new BqSqlTestHook(sql).parsed
+      assert(back == f, s"$f rendered [$sql] came back $back")
+    }
+  }
+
   test("full statements parse: aggregates, group, order, limit, offset") {
     val stmt = BqSql.parse(
       "SELECT seg, count(*) AS n, sum(id) AS s FROM t " +

@@ -67,6 +67,22 @@ class BtSourceSpec extends AnyFunSuite {
     assert(rs2.keys == Seq("row#00050"))
   }
 
+  test("prefix range uses the true prefix successor (keys with U+FFFF suffixes stay in)") {
+    // end bound = successor(prefix), NOT prefix + '￿': a key whose
+    // suffix begins with U+FFFF must still match the prefix scan
+    assert(BtQuery.prefixSuccessor("row#001") == "row#002")
+    assert(BtQuery.prefixSuccessor("a￿") == "b")
+    assert(BtQuery.prefixSuccessor("￿￿") == "")
+    assert(BtQuery.prefixSuccessor("") == "")
+    val r = BtQuery.compileOne(StringStartsWith("k", "v"), "k").get.ranges.head
+    val hostile = "v￿tail"
+    assert(hostile >= r._1 && hostile < r._2,
+      s"key [$hostile] must fall inside the prefix range $r")
+    // all-max prefix => open end, never an inverted/empty range
+    val open = BtQuery.compileOne(StringStartsWith("k", "￿"), "k").get.ranges.head
+    assert(open._2 == "")
+  }
+
   test("strict bounds use the NUL successor key, not a printable guess") {
     val gt = BtQuery.compileOne(GreaterThan("k", "row#00010"), "k").get.ranges.head
     assert(gt._1 == "row#00010\u0000")

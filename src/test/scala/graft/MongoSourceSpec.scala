@@ -119,7 +119,6 @@ class MongoSourceSpec extends AnyFunSuite {
     assert(MongoDsl.compile(In("id", Array[Any](null))).isEmpty)
     assert(MongoDsl.compile(EqualTo("bal", new java.math.BigDecimal("1.5"))).isEmpty,
       "decimal is outside the carried BSON subset")
-    assert(MongoDsl.compile(AlwaysTrue()).isEmpty)
   }
 
   test("NOT over null-tolerant children declines (the guard scheme would lie)") {
@@ -232,6 +231,25 @@ class MongoSourceSpec extends AnyFunSuite {
     // modulo has no filter-document form: the table REFUSES (no silent
     // wrong-set delete), and Spark surfaces the failure
     intercept[Exception](spark.sql(s"DELETE FROM $t WHERE id % 2 = 0"))
+  }
+
+  test("unconditional DELETE FROM compiles (AlwaysTrue => empty filter doc)") {
+    // Spark turns the absent WHERE into AlwaysTrue — the DSL must accept
+    // it, or a plain `DELETE FROM t` fails analysis instead of clearing
+    assert(MongoDsl.compile(org.apache.spark.sql.sources.AlwaysTrue())
+      .contains(BDoc.empty))
+    val t = table("wr5")
+    LoopbackMongoServer.register("wr5", schema, rows)
+    assert(spark.table(t).count() == rows.size)
+    spark.sql(s"DELETE FROM $t")
+    assert(spark.table(t).count() == 0)
+    // AlwaysFalse compiles to a match-nothing document, not a full wipe
+    val nothing = MongoDsl.compile(org.apache.spark.sql.sources.AlwaysFalse()).get
+    LoopbackMongoServer.register("wr5b", schema, rows)
+    val c = client()
+    assert(c.delete(LoopbackMongoServer.Db, "wr5b", nothing) == 0)
+    assert(c.find(LoopbackMongoServer.Db, "wr5b", BDoc.empty).size == rows.size)
+    c.close()
   }
 
   test("engine UPDATE over the wire: exact WHERE or abort; SET casts to column type") {
