@@ -73,7 +73,12 @@ class GraftEngine(val spark: SparkSession) {
 
   import GraftEngine._
 
-  def sql(text0: String): DataFrame = { val text = normalizeBrackets(text0); text match {
+  def sql(text0: String): DataFrame = {
+    // statement scoping for the distribution hint: a prior statement's
+    // node_ct must not bleed into this one (serial session model)
+    if (spark.conf.getOption(graft.sources.WireFanout.ConfKey).isDefined)
+      spark.conf.unset(graft.sources.WireFanout.ConfKey)
+    val text = normalizeBrackets(text0); text match {
     // the reference's statement-level distribution hint: `SELECT ...
     // WITH distributed=true, node_ct=2` (planner/sql_master.go:63-98
     // reads Stmt.With; backends/mongo/mgo_test.go:345,366 is the user
@@ -86,7 +91,14 @@ class GraftEngine(val spark: SparkSession) {
         .collect { case Array(k, v) => k.toLowerCase -> v.toLowerCase }.toMap
       val df = sql(body)
       kvs.get("node_ct").map(_.toInt) match {
-        case Some(n) if n > 0 => df.repartition(n)
+        case Some(n) if n > 0 =>
+          // node_ct drives the SOURCE fan-out, not just the result's:
+          // wire-connector scans planned under this statement split into
+          // n key-range partitions (sql_master.go:78-97 derives the
+          // worker fleet the same way). Statement-scoped under the
+          // engine's serial execution: cleared at the next sql() entry.
+          spark.conf.set(graft.sources.WireFanout.ConfKey, n.toString)
+          df.repartition(n)
         case _ => df
       }
 

@@ -411,7 +411,7 @@ object BqSql {
 final case class BqEndpointSpec(baseUrl: String, table: String, cfg: HttpRestConfig)
 
 final case class BqEndpoint(source: String, table: String, schema: StructType,
-    spec: BqEndpointSpec)
+    spec: BqEndpointSpec, splits: Option[WireSplits] = None)
 
 object BqEndpoints {
   private val endpoints = TrieMap.empty[(String, String), BqEndpoint]
@@ -566,12 +566,22 @@ class BqScanBuilder(ep: BqEndpoint) extends ScanBuilder
     val limitSql = if (effLimit >= 0) s" LIMIT $effLimit" else ""
     val offsetSql = if (offset > 0) s" OFFSET $offset" else ""
     val sql = s"SELECT $selectSql FROM ${ep.table}$whereSql$groupSql$orderSql$limitSql$offsetSql"
-    new BqScan(ep, outSchema, sql, pushed, agg.isDefined)
+    // a "bare" statement (no agg/sort/limit/offset consumed) may shard:
+    // per-partition statements append a key-range conjunct to the WHERE
+    val bare = agg.isEmpty && orders.isEmpty && limit < 0 && offset == 0
+    val sqlFor: Option[String => String] =
+      if (!bare) None
+      else Some(extra => {
+        val w = pushed.toSeq.flatMap(BqSql.render) :+ extra
+        s"SELECT $selectSql FROM ${ep.table} WHERE ${w.mkString(" AND ")}"
+      })
+    new BqScan(ep, outSchema, sql, sqlFor, pushed, agg.isDefined)
   }
 }
 
 class BqScan(ep: BqEndpoint, out: StructType, sql: String,
-    pushed: Array[Filter], aggMode: Boolean) extends Scan with Batch {
+    sqlFor: Option[String => String], pushed: Array[Filter],
+    aggMode: Boolean) extends Scan with Batch {
 
   override def readSchema(): StructType = out
 
@@ -581,8 +591,35 @@ class BqScan(ep: BqEndpoint, out: StructType, sql: String,
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(BqPartition(ep.spec, sql, out.json))
+  /** Bare scans shard on a partition column: each task ships its own
+    * full statement with a key-range conjunct ANDed into the WHERE (the
+    * rendered-SQL analogue of the reference's partition-range injection;
+    * a real deployment would read parallel streams off the Storage Read
+    * API instead). Statements that consumed an aggregate, sort, limit or
+    * offset are answered whole by the warehouse — their results are
+    * final (isPartiallyPushed=false) and metadata-sized, so they stay a
+    * single exact request: re-running them per shard would double-count
+    * aggregates and break OFFSET. Nulls in the partition column ride
+    * shard 0 via `OR key IS NULL` (range conjuncts are 3VL-false on
+    * null). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    def single = Array[InputPartition](BqPartition(ep.spec, sql, out.json))
+    val render = sqlFor.getOrElse(return single)
+    val ws = ep.splits.getOrElse(return single)
+    val n = WireFanout.effective(ws.points.size + 1)
+    val pts = WireFanout.thin(ws.points.toIndexedSeq, n)
+      .flatMap(BqSql.renderLit) // unrenderable split values => no fan-out
+    if (pts.isEmpty) return single
+    WireFanout.ranges(pts).map { case (lo, hi) =>
+      val conjunct = (lo, hi) match {
+        case (None, Some(h)) => s"(${ws.key} < $h OR ${ws.key} IS NULL)"
+        case (Some(l), Some(h)) => s"(${ws.key} >= $l AND ${ws.key} < $h)"
+        case (Some(l), None) => s"${ws.key} >= $l"
+        case (None, None) => "TRUE"
+      }
+      BqPartition(ep.spec, render(conjunct), out.json): InputPartition
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = new BqReaderFactory
 }

@@ -78,6 +78,25 @@ object BtQuery {
     if (k < 0) "" else v.substring(0, k) + (v.charAt(k) + 1).toChar
   }
 
+  /** Driver-side `:sampleRowKeys` call: sorted sampled keys, the
+    * service's even-interval split points. */
+  def sampleRowKeys(spec: BtEndpointSpec): Seq[String] = {
+    val client = new HttpRestClient(spec.baseUrl, spec.cfg)
+    val resp = EsDsl.M.readTree(
+      client.postJson(s"/bt/${spec.table}:sampleRowKeys", "{}"))
+    import scala.jdk.CollectionConverters._
+    resp.path("samples").elements().asScala
+      .map(s => unb64(s.path("rowKey").asText())).toSeq
+  }
+
+  /** Intersect one [start, end) range ("" = open) with a boundary
+    * interval; None = provably empty. */
+  def clamp(r: (String, String), lo: String, hi: String): Option[(String, String)] = {
+    val s = if (lo.isEmpty || (r._1.nonEmpty && r._1 > lo)) r._1 else lo
+    val e = if (hi.isEmpty || (r._2.nonEmpty && r._2 < hi)) r._2 else hi
+    if (s.nonEmpty && e.nonEmpty && s >= e) None else Some((s, e))
+  }
+
   /** The provably-empty row set (contradictory conjuncts): encoded as
     * no ranges AND no keys so the scan can skip the read entirely —
     * an EMPTY RowSet proto would mean "read everything" on a real
@@ -172,7 +191,7 @@ final case class BtEndpointSpec(baseUrl: String, table: String, keyCol: String,
     cfg: HttpRestConfig)
 
 final case class BtEndpoint(source: String, table: String, schema: StructType,
-    keyCol: String, spec: BtEndpointSpec)
+    keyCol: String, spec: BtEndpointSpec, fanout: Int = 1)
 
 object BtEndpoints {
   private val endpoints = TrieMap.empty[(String, String), BtEndpoint]
@@ -239,11 +258,33 @@ class BtScan(ep: BtEndpoint, required: StructType, rowSet: BtQuery.RowSet,
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
+  /** Range scans fan out along sampled key boundaries: the planner asks
+    * the service for `:sampleRowKeys` (the data API's split-point RPC —
+    * the same call the real BigTable parallel readers build their shard
+    * map from), thins the samples to the fan-out, and clamps the
+    * compiled row set to each boundary interval. Explicit-key reads stay
+    * one partition (a rowKeys get is already a point lookup batch). */
+  override def planInputPartitions(): Array[InputPartition] = {
     // a provably-empty row set reads nothing — zero partitions, no
     // request (an empty RowSet proto would mean full scan server-side)
-    if (rowSet == BtQuery.Empty) Array.empty
-    else Array(BtPartition(ep.spec, rowSet.ranges, rowSet.keys, limit, required.json))
+    if (rowSet == BtQuery.Empty) return Array.empty
+    def single = Array[InputPartition](
+      BtPartition(ep.spec, rowSet.ranges, rowSet.keys, limit, required.json))
+    val n = WireFanout.effective(ep.fanout)
+    if (n <= 1 || rowSet.keys.nonEmpty) return single
+    val samples =
+      try BtQuery.sampleRowKeys(ep.spec)
+      catch { case _: Exception => Nil } // planning survives a split-RPC hiccup
+    val pts = WireFanout.thin(samples.toIndexedSeq, n)
+    if (pts.isEmpty) return single
+    val parts = WireFanout.ranges(pts).flatMap { case (lo, hi) =>
+      val clamped = rowSet.ranges.flatMap(
+        BtQuery.clamp(_, lo.getOrElse(""), hi.getOrElse("")))
+      if (clamped.isEmpty) None
+      else Some(BtPartition(ep.spec, clamped, Nil, limit, required.json): InputPartition)
+    }
+    if (parts.isEmpty) Array.empty else parts.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = new BtReaderFactory
 }

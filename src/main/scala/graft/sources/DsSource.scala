@@ -259,7 +259,7 @@ object DsQuery {
 final case class DsEndpointSpec(baseUrl: String, kind: String, cfg: HttpRestConfig)
 
 final case class DsEndpoint(source: String, table: String, schema: StructType,
-    spec: DsEndpointSpec)
+    spec: DsEndpointSpec, splits: Option[WireSplits] = None)
 
 object DsEndpoints {
   private val endpoints = TrieMap.empty[(String, String), DsEndpoint]
@@ -361,8 +361,39 @@ class DsScan(ep: DsEndpoint, required: StructType, queryBody: String,
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(DsPartition(ep.spec, queryBody, required.json))
+  /** Key-range fan-out under Datastore's own constraints: each partition
+    * ANDs `key >= lo AND key < hi` property filters into its query (the
+    * classic scatter-key sharding recipe every parallel Datastore reader
+    * uses). Because the API allows inequality filters on only ONE
+    * property, a scan whose pushed filters already range over a
+    * different property — or that carries a pushed sort — cannot take
+    * range injection and stays a single cursor stream; the loopback
+    * service enforces that rule with a 400, so a violation here would
+    * fail loudly, not mis-answer. A final partition carries
+    * `key EQUAL null` so explicit-null keys survive the range tiling. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    def single = Array[InputPartition](DsPartition(ep.spec, queryBody, required.json))
+    val ws = ep.splits.getOrElse(return single)
+    if (orders.nonEmpty) return single
+    val foreignIneq = accepted.exists(p =>
+      p.op != "EQUAL" && !p.prop.equalsIgnoreCase(ws.key))
+    if (foreignIneq) return single
+    val n = WireFanout.effective(ws.points.size + 1)
+    val pts = WireFanout.thin(ws.points.toIndexedSeq, n)
+    if (pts.isEmpty) return single
+    val props =
+      if (required.fieldNames.sameElements(ep.schema.fieldNames)) Nil
+      else required.fieldNames.toSeq
+    def bodyFor(extra: Seq[DsQuery.PropFilter]) = DsQuery.queryJson(
+      ep.spec.kind, props, accepted ++ extra, orders, limit, "")
+    val ranges = WireFanout.ranges(pts).map { case (lo, hi) =>
+      bodyFor(lo.map(l => DsQuery.PropFilter(ws.key, "GREATER_THAN_OR_EQUAL", l)).toSeq ++
+        hi.map(h => DsQuery.PropFilter(ws.key, "LESS_THAN", h)).toSeq)
+    }
+    val nullArm = bodyFor(Seq(DsQuery.PropFilter(ws.key, "EQUAL", null)))
+    (ranges :+ nullArm)
+      .map(b => DsPartition(ep.spec, b, required.json): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = new DsReaderFactory
 }

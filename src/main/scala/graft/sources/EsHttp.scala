@@ -221,8 +221,11 @@ object EsDsl {
   }
 }
 
-/** Serializable ES endpoint pointer (executor JVMs rebuild the client). */
-final case class EsEndpointSpec(baseUrl: String, table: String, cfg: HttpRestConfig)
+/** Serializable ES endpoint pointer (executor JVMs rebuild the client).
+  * `slices` = default scan fan-out via ES's sliced-scroll parallel-read
+  * API (each task ships `"slice": {id, max}` with its requests). */
+final case class EsEndpointSpec(baseUrl: String, table: String, cfg: HttpRestConfig,
+    slices: Int = 1)
 
 final case class EsEndpoint(source: String, table: String, schema: StructType,
     spec: EsEndpointSpec)
@@ -413,9 +416,19 @@ class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(EsPartition(ep.spec, dslBody, ep.schema.json, required.json,
-      aggMode, aggKinds, groupCount, limit))
+  /** Hit scans fan out with ES's sliced scroll (`"slice": {id, max}` —
+    * the public parallel-read API; each slice is a disjoint, stable
+    * subset of the index, so the union of slices is exactly the hit
+    * set). Aggregation pushdown stays single-partition: ES cannot slice
+    * an aggs request, and the COMPLETE-agg result is metadata-sized. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = if (aggMode) 1 else WireFanout.effective(ep.spec.slices)
+    Array.tabulate(n) { i =>
+      EsPartition(ep.spec, dslBody, ep.schema.json, required.json,
+        aggMode, aggKinds, groupCount, limit,
+        sliceId = i, sliceMax = n)
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = new EsReaderFactory
 }
@@ -423,7 +436,7 @@ class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
 final case class EsPartition(spec: EsEndpointSpec, dslBody: String,
     fullSchemaJson: String, requiredSchemaJson: String,
     aggMode: Boolean, aggKinds: Seq[String], groupCount: Int,
-    limit: Int) extends InputPartition
+    limit: Int, sliceId: Int = 0, sliceMax: Int = 1) extends InputPartition
 
 class EsReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -481,6 +494,11 @@ class EsReaderFactory extends PartitionReaderFactory {
             val body = EsDsl.M.readTree(p.dslBody).asInstanceOf[ObjectNode]
             body.put("from", from)
             body.put("size", want)
+            if (p.sliceMax > 1) {
+              val sl = body.putObject("slice")
+              sl.put("id", p.sliceId)
+              sl.put("max", p.sliceMax)
+            }
             val resp = EsDsl.M.readTree(client.postJson(path, body.toString))
             val hits = resp.path("hits").path("hits")
             val srcs = hits.elements().asScala.map(h => h.path("_source").toString).toArray

@@ -162,7 +162,9 @@ object FedData {
         LoopbackRestServer.register("customer_es", customer.schema, rows.toSeq)
         val baseUrl = LoopbackRestServer.ensureStarted()
         EsEndpoints.register(EsEndpoint(EsSourceName, "customer_es", customer.schema,
-          EsEndpointSpec(baseUrl, "customer_es", HttpRestConfig(pageSize = 512))))
+          // slices=4: hit scans fan out 4-way via sliced scroll
+          EsEndpointSpec(baseUrl, "customer_es", HttpRestConfig(pageSize = 512),
+            slices = 4)))
       }
       // Mongo-protocol source: the orders table behind a loopback mongod
       // stand-in — WHERE compiles to a bson filter document and ships in
@@ -179,7 +181,12 @@ object FedData {
         val (host, port) = LoopbackMongoServer.ensureStarted()
         MongoEndpoints.register(MongoEndpoint(MongoSourceName, "orders_mongo",
           orders.schema, MongoEndpointSpec(host, port, LoopbackMongoServer.Db,
-            "orders_mongo", MongoClientConfig(batchSize = 512))))
+            "orders_mongo", MongoClientConfig(batchSize = 512)),
+          // partition metadata (the reference's Table.Partition analogue;
+          // a real deployment reads chunk boundaries from the config
+          // servers) — key quantiles => 4-way scan fan-out by default
+          splits = Some(WireSplits("o_orderkey",
+            quantileSplits(rows.toSeq, orders.schema, "o_orderkey", 4)))))
       }
       // CQL-protocol source: customer keyed (partition c_mktsegment,
       // clustering c_custkey) behind a loopback native-protocol-v4
@@ -200,7 +207,9 @@ object FedData {
         val (host, port) = LoopbackCqlServer.ensureStarted()
         CqlEndpoints.register(CqlEndpoint(CqlSourceName, "customer_cql",
           customer.schema, Seq("c_mktsegment"), Seq("c_custkey"),
-          CqlEndpointSpec(host, port, "customer_cql", CqlClientConfig(pageSize = 512))))
+          CqlEndpointSpec(host, port, "customer_cql", CqlClientConfig(pageSize = 512)),
+          // unrestricted scans fan out over 4 token ranges
+          fanout = 4))
       }
       // BigQuery-protocol source: full-statement passthrough over the
       // jobs.query REST shape — the pushed plan renders to SQL text,
@@ -213,7 +222,10 @@ object FedData {
         LoopbackRestServer.register("orders_bqw", orders.schema, rows.toSeq)
         val baseUrl = LoopbackRestServer.ensureStarted()
         BqEndpoints.register(BqEndpoint(BqSourceName, "orders_bqw", orders.schema,
-          BqEndpointSpec(baseUrl, "orders_bqw", HttpRestConfig(pageSize = 512))))
+          BqEndpointSpec(baseUrl, "orders_bqw", HttpRestConfig(pageSize = 512)),
+          // bare statements shard 4-way on the order-key column
+          splits = Some(WireSplits("o_orderkey",
+            quantileSplits(rows.toSeq, orders.schema, "o_orderkey", 4)))))
       }
       // Datastore-protocol source: the events stream behind the v1
       // :runQuery REST endpoint — property filters with the
@@ -230,7 +242,11 @@ object FedData {
         LoopbackRestServer.register("events_ds", events.schema, rows.toSeq)
         val baseUrl = LoopbackRestServer.ensureStarted()
         DsEndpoints.register(DsEndpoint(DsSourceName, "events_ds", events.schema,
-          DsEndpointSpec(baseUrl, "events_ds", HttpRestConfig(pageSize = 512))))
+          DsEndpointSpec(baseUrl, "events_ds", HttpRestConfig(pageSize = 512)),
+          // scatter-style key splits => 4-way fan-out when the query's
+          // single-inequality budget allows range injection
+          splits = Some(WireSplits("event_id",
+            quantileSplits(rows.toSeq, events.schema, "event_id", 4)))))
       }
       // BigTable-protocol source: customer keyed on c_name behind the
       // data API's :readRows shape — row-key equality/prefix/range
@@ -247,9 +263,25 @@ object FedData {
         BtEndpoints.register(BtEndpoint(BtSourceName, "customer_btw",
           customer.schema, "c_name",
           BtEndpointSpec(baseUrl, "customer_btw", "c_name",
-            HttpRestConfig(pageSize = 512))))
+            HttpRestConfig(pageSize = 512)),
+          // range scans shard 4-way along :sampleRowKeys boundaries
+          fanout = 4))
       }
     }
+  }
+
+  /** Interior key quantiles for wire-scan partition metadata: `parts`-way
+    * fan-out needs parts-1 split points. Fixture-bounded (operates on the
+    * rows already collected to seed the loopback server). */
+  private def quantileSplits(rows: Seq[Array[Any]],
+      schema: org.apache.spark.sql.types.StructType, key: String,
+      parts: Int): Seq[Any] = {
+    val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(key))
+    require(i >= 0, s"unknown split key $key")
+    val vals = rows.map(_(i)).filter(_ != null)
+      .sortWith((a, b) => FilterEval.cmp(a, b).exists(_ < 0))
+    if (vals.isEmpty) Nil
+    else (1 until parts).map(j => vals(j * vals.size / parts)).distinct
   }
 
   private def delete(f: File): Unit = {

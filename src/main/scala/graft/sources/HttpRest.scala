@@ -276,10 +276,25 @@ object LoopbackRestServer {
       case Some(TableData(schema, rows)) =>
         val body = M.readTree(ex.getRequestBody)
         lastBody.set(body.toString)
+        // sliced scroll: each slice is a stable, query-independent
+        // partition of the index (real ES hashes _id; here the doc's
+        // registration index), applied BEFORE the query filter so the
+        // union over id=0..max-1 is exactly the full hit set
+        val sliceNode = body.path("slice")
+        val sliced =
+          if (sliceNode.isMissingNode) rows
+          else {
+            val id = sliceNode.path("id").asInt()
+            val max = sliceNode.path("max").asInt()
+            if (max < 2 || id < 0 || id >= max)
+              throw new IllegalArgumentException(
+                s"slice id must be in [0, max) and max > 1: id=$id max=$max")
+            rows.zipWithIndex.collect { case (r, i) if i % max == id => r }
+          }
         val query = body.path("query")
         val matched =
-          if (query.isMissingNode) rows
-          else rows.filter(r => EsDsl.eval(query, r, schema))
+          if (query.isMissingNode) sliced
+          else sliced.filter(r => EsDsl.eval(query, r, schema))
         val resp = M.createObjectNode()
         resp.putObject("hits").putObject("total").put("value", matched.size)
         val aggsReq = body.path("aggs")
@@ -409,6 +424,27 @@ object LoopbackRestServer {
     }
     val M = EsDsl.M
     val path = ex.getRequestURI.getPath.stripPrefix("/bt/")
+    // :sampleRowKeys — the data API's split-point RPC: keys at roughly
+    // even intervals through the key-sorted table, exactly what a
+    // parallel reader uses to shard its rowRanges
+    if (path.endsWith(":sampleRowKeys")) {
+      val name = path.stripSuffix(":sampleRowKeys").toLowerCase
+      (tables.get(name), btKeyCols.get(name)) match {
+        case (Some(TableData(schema, rows)), Some(keyCol)) =>
+          val ki = schema.fieldNames.indexWhere(_.equalsIgnoreCase(keyCol))
+          val sortedKeys = rows.map(r => String.valueOf(r(ki))).sorted
+          val resp = M.createObjectNode()
+          val arr = resp.putArray("samples")
+          val b64 = (s: String) =>
+            java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+          val step = math.max(1, sortedKeys.size / 16)
+          sortedKeys.indices.by(step).drop(1).foreach(i =>
+            arr.addObject().put("rowKey", b64(sortedKeys(i))))
+          respond(ex, 200, resp.toString)
+        case _ => respond(ex, 404, s"no such table $name")
+      }
+      return
+    }
     if (!path.endsWith(":readRows")) { respond(ex, 400, "only :readRows is served"); return }
     val name = path.stripSuffix(":readRows").toLowerCase
     (tables.get(name), btKeyCols.get(name)) match {

@@ -600,7 +600,7 @@ final case class MongoEndpointSpec(host: String, port: Int, db: String,
     collection: String, cfg: MongoClientConfig)
 
 final case class MongoEndpoint(source: String, table: String, schema: StructType,
-    spec: MongoEndpointSpec)
+    spec: MongoEndpointSpec, splits: Option[WireSplits] = None)
 
 /** Driver-side Mongo endpoint registry (catalog resolution only). */
 object MongoEndpoints {
@@ -767,9 +767,38 @@ class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(MongoPartition(ep.spec, Bson.encode(filter),
-      projection.map(Bson.encode), sort.map(Bson.encode), limit, required.json))
+  /** One task per key range: each partition ANDs its `$gte/$lt` slice of
+    * the partition key into the shipped filter — the reference's exact
+    * distributed-scan recipe (`sql_to_mgo.go:189-210` injects the same
+    * partition-range document per worker). The first range also matches
+    * null/missing keys via `$or` (Mongo range operators type-bracket past
+    * null), so the union of partitions is exactly the collection. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    def part(f: BDoc) = MongoPartition(ep.spec, Bson.encode(f),
+      projection.map(Bson.encode), sort.map(Bson.encode), limit, required.json)
+    ep.splits match {
+      case Some(WireSplits(key, points)) if points.nonEmpty =>
+        val pts = WireFanout.thin(points.toIndexedSeq,
+          WireFanout.effective(points.size + 1))
+        if (pts.isEmpty) Array(part(filter))
+        else WireFanout.ranges(pts).map { case (lo, hi) =>
+          val range: Any = (lo, hi) match {
+            case (None, Some(h)) => // null/missing keys ride partition 0
+              BDoc(Seq("$or" -> Seq(
+                BDoc(Seq(key -> BDoc(Seq("$lt" -> h)))),
+                BDoc(Seq(key -> null)))))
+            case (Some(l), Some(h)) => BDoc(Seq(key -> BDoc(Seq("$gte" -> l, "$lt" -> h))))
+            case (Some(l), None) => BDoc(Seq(key -> BDoc(Seq("$gte" -> l))))
+            case (None, None) => BDoc.empty
+          }
+          val combined =
+            if (filter.fields.isEmpty) range.asInstanceOf[BDoc]
+            else BDoc(Seq("$and" -> Seq(range, filter)))
+          part(combined)
+        }.toArray
+      case _ => Array(part(filter))
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = new MongoReaderFactory
 }

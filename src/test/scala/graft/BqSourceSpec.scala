@@ -204,6 +204,44 @@ class BqSourceSpec extends AnyFunSuite {
     assert(spark.table(t).filter(col("seg").isNull).count() ==
       rows.count(_(1) == null))
   }
+
+  // ---- key-range fan-out -------------------------------------------------
+
+  private def fanTable(name: String, points: Seq[Any]): String = {
+    LoopbackRestServer.register(name, schema, rows)
+    val baseUrl = LoopbackRestServer.ensureStarted()
+    BqEndpoints.register(BqEndpoint("bqtest", name, schema,
+      BqEndpointSpec(baseUrl, name, HttpRestConfig(pageSize = 64, retryBackoffMs = 5)),
+      splits = Some(WireSplits("id", points))))
+    SourceRegistry.ensureCatalog(spark)
+    s"${SourceRegistry.CatalogName}.bqtest.$name"
+  }
+
+  test("bare statements shard into per-range statements, exactly-once") {
+    val t = fanTable("fanq1", Seq(100L, 200L, 300L))
+    val df = spark.table(t).filter(col("seg") === "A" || col("bal") > 500.0)
+    assert(df.rdd.getNumPartitions == 4, "3 split points => 4 statements")
+    val got = df.select("id").collect().map(_.getLong(0)).sorted
+    val want = rows.filter(r => r(1) == "A" || r(3).asInstanceOf[Double] > 500.0)
+      .map(_(0).asInstanceOf[Long]).sorted
+    assert(got.toSeq == want.toSeq, "the range conjuncts tile the key space")
+    assert(LoopbackRestServer.lastBqSql.get().contains("id >="),
+      "the shipped SQL carries the injected range")
+  }
+
+  test("consumed agg/sort/limit/offset statements stay ONE exact request") {
+    val t = fanTable("fanq2", Seq(100L, 200L, 300L))
+    // aggregate: re-running per shard would double-count
+    val agg = spark.table(t).groupBy("seg").agg(count(lit(1)).as("n"))
+    assert(agg.rdd.getNumPartitions == 1, "COMPLETE agg pushdown: one statement")
+    assert(agg.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap ==
+      rows.groupBy(r => Option(r(1).asInstanceOf[String]))
+        .map { case (k, g) => k -> g.size.toLong })
+    // offset: only a single statement can consume it exactly
+    val off = spark.table(t).orderBy(col("id")).offset(5).limit(3)
+    assert(off.rdd.getNumPartitions == 1)
+    assert(off.collect().map(_.getLong(0)).toSeq == Seq(5L, 6L, 7L))
+  }
 }
 
 /** Test-only access to the predicate sub-parser. */

@@ -159,4 +159,43 @@ class BtSourceSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).sorted
     assert(got.toSeq == (100L until 110L))
   }
+
+  // ---- sampled-key fan-out ----------------------------------------------
+
+  private def fanTable(name: String, fanout: Int): String = {
+    LoopbackRestServer.registerBt(name, schema, "k", rows)
+    val baseUrl = LoopbackRestServer.ensureStarted()
+    BtEndpoints.register(BtEndpoint("bttest", name, schema, "k",
+      BtEndpointSpec(baseUrl, name, "k",
+        HttpRestConfig(pageSize = 64, retryBackoffMs = 5)), fanout = fanout))
+    SourceRegistry.ensureCatalog(spark)
+    s"${SourceRegistry.CatalogName}.bttest.$name"
+  }
+
+  test(":sampleRowKeys shards full scans into disjoint row ranges") {
+    val t = fanTable("fan1", 4)
+    val df = spark.table(t)
+    assert(df.rdd.getNumPartitions == 4, "sampled boundaries => 4 scan tasks")
+    val got = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == rows.map(_(1).asInstanceOf[Long]).sorted,
+      "clamped ranges tile the key space: every row exactly once")
+    val perPart = df.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(perPart.count(_ > 0) == 4 && perPart.sum == rows.size, perPart.toSeq.toString)
+  }
+
+  test("a pushed key range clamps the shards; out-of-range shards drop") {
+    val t = fanTable("fan2", 4)
+    val df = spark.table(t)
+      .filter(col("k") >= "row#00100" && col("k") < "row#00110")
+    assert(df.rdd.getNumPartitions == 1,
+      "a 10-key range fits one sampled shard — the others are provably empty")
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq == (100L until 110L))
+  }
+
+  test("explicit-key reads stay one point-lookup batch") {
+    val t = fanTable("fan3", 4)
+    val df = spark.table(t).filter(col("k").isin("row#00007", "row#00familiar", "row#00399"))
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 399L))
+  }
 }

@@ -254,4 +254,89 @@ class CqlSourceSpec extends AnyFunSuite {
     assert(spark.table(t).filter(col("seg") === "A").limit(5).collect().length == 5)
     assert(LoopbackCqlServer.lastCql.get().contains("LIMIT 5"))
   }
+
+  // ---- token-range fan-out ----------------------------------------------
+
+  private def fanTable(name: String, fanout: Int): String = {
+    LoopbackCqlServer.register(name, schema, Seq("seg"), Seq("id"), rows)
+    val (host, port) = LoopbackCqlServer.ensureStarted()
+    CqlEndpoints.register(CqlEndpoint("cqltest", name, schema, Seq("seg"), Seq("id"),
+      CqlEndpointSpec(host, port, name, CqlClientConfig(pageSize = 64, retryBackoffMs = 5)),
+      fanout = fanout))
+    SourceRegistry.ensureCatalog(spark)
+    s"${SourceRegistry.CatalogName}.cqltest.$name"
+  }
+
+  test("unrestricted scans fan out over token ranges, exactly-once") {
+    val t = fanTable("tok1", 4)
+    val df = spark.table(t)
+    assert(df.rdd.getNumPartitions == 4, "4 token ranges => 4 scan tasks")
+    val got = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == rows.map(_(1).asInstanceOf[Long]).sorted,
+      "token ranges tile the ring: every row exactly once")
+    assert(LoopbackCqlServer.lastCql.get().contains("token(seg)"),
+      "the shipped CQL carries the token-range form")
+  }
+
+  test("a key-restricted query stays ONE targeted read (no token mixing)") {
+    val t = fanTable("tok2", 4)
+    val df = spark.table(t).filter(col("seg") === "A")
+    assert(df.rdd.getNumPartitions == 1,
+      "CQL forbids mixing token() and pk relations; a bound key is a single-replica read")
+    assert(df.count() == rows.count(_(0) == "A").toLong)
+  }
+
+  test("the ring bounds tile the Long space evenly") {
+    val bs = CqlToken.bounds(4)
+    assert(bs.size == 3)
+    assert(bs == bs.sorted && bs.distinct == bs)
+    // every token falls in exactly one range by construction (contiguous
+    // half-open ranges); spot-check the partitioner is deterministic
+    assert(CqlToken.of(Seq("A")) == CqlToken.of(Seq("A")))
+    assert(CqlToken.of(Seq("A")) != CqlToken.of(Seq("B")))
+  }
+
+  test("server: token() must cover the partition key and cannot mix with pk EQ") {
+    LoopbackCqlServer.register("tok3", schema, Seq("seg"), Seq("id"), rows)
+    val c = client()
+    // wrong argument column
+    val e1 = intercept[IOException](c.query("SELECT id FROM tok3 WHERE token(id) > 0").size)
+    assert(e1.getMessage.contains("partition key order"), e1.getMessage)
+    // mixing token range with a pk relation
+    val e2 = intercept[IOException](
+      c.query("SELECT id FROM tok3 WHERE token(seg) > 0 AND seg = 'A'").size)
+    assert(e2.getMessage.contains("token() relations"), e2.getMessage)
+    // a legal token range answers a subset, and the three ranges partition
+    val bs = CqlToken.bounds(3)
+    val counts = Seq(
+      c.query(s"SELECT id FROM tok3 WHERE token(seg) <= ${bs(0)}").size,
+      c.query(s"SELECT id FROM tok3 WHERE token(seg) > ${bs(0)} AND token(seg) <= ${bs(1)}").size,
+      c.query(s"SELECT id FROM tok3 WHERE token(seg) > ${bs(1)}").size)
+    assert(counts.sum == rows.size, s"ranges partition the table: $counts")
+    c.close()
+  }
+
+  test("server enforces the clustering-prefix rule (ranges only at the cut)") {
+    // two clustering columns so an out-of-prefix restriction is expressible
+    val s2 = StructType(Seq(
+      StructField("seg", StringType), StructField("id", LongType),
+      StructField("sub", LongType), StructField("bal", DoubleType)))
+    val r2: Seq[Array[Any]] = (0L until 60L).map(i =>
+      Array[Any]("A", i / 10, i % 10, i * 1.0))
+    LoopbackCqlServer.register("pfx1", s2, Seq("seg"), Seq("id", "sub"), r2)
+    val c = client()
+    // skipping the first clustering column: refused by the SERVER (the
+    // client-side split never generates this — direct statement)
+    val e1 = intercept[IOException](
+      c.query("SELECT sub FROM pfx1 WHERE seg = 'A' AND sub = 3").size)
+    assert(e1.getMessage.contains("cannot be restricted"), e1.getMessage)
+    // restricting past a range cut: refused
+    val e2 = intercept[IOException](
+      c.query("SELECT sub FROM pfx1 WHERE seg = 'A' AND id > 1 AND sub = 3").size)
+    assert(e2.getMessage.contains("cannot be restricted"), e2.getMessage)
+    // the legal shapes still answer
+    assert(c.query("SELECT sub FROM pfx1 WHERE seg = 'A' AND id = 2 AND sub > 3").size == 6)
+    assert(c.query("SELECT sub FROM pfx1 WHERE seg = 'A' AND id > 2").size == 30)
+    c.close()
+  }
 }

@@ -136,4 +136,40 @@ class DsSourceSpec extends AnyFunSuite {
     assert(spark.table(t).filter(col("seg").isNotNull).count() ==
       rows.count(_(1) != null))
   }
+
+  // ---- key-range fan-out -------------------------------------------------
+
+  private def fanTable(name: String, points: Seq[Any]): String = {
+    LoopbackRestServer.register(name, schema, rows)
+    val baseUrl = LoopbackRestServer.ensureStarted()
+    DsEndpoints.register(DsEndpoint("dstest", name, schema,
+      DsEndpointSpec(baseUrl, name, HttpRestConfig(pageSize = 64, retryBackoffMs = 5)),
+      splits = Some(WireSplits("id", points))))
+    SourceRegistry.ensureCatalog(spark)
+    s"${SourceRegistry.CatalogName}.dstest.$name"
+  }
+
+  test("key splits shard the scan; the null arm keeps explicit-null keys") {
+    val t = fanTable("fan1", Seq(100L, 200L, 300L))
+    val df = spark.table(t)
+    assert(df.rdd.getNumPartitions == 5, "4 ranges + the EQUAL-null arm")
+    val got = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == rows.map(_(0).asInstanceOf[Long]).sorted,
+      "range tiling is exactly-once")
+    // filters compose: equality on another property is legal in every arm
+    val a = df.filter(col("seg") === "A").count()
+    assert(a == rows.count(_(1) == "A").toLong)
+  }
+
+  test("an inequality on another property forfeits fan-out (the API's budget)") {
+    val t = fanTable("fan2", Seq(100L, 200L, 300L))
+    val df = spark.table(t).filter(col("bal") > 300.0)
+    assert(df.rdd.getNumPartitions == 1,
+      "bal ranges consume the single-inequality slot: no key injection")
+    assert(df.count() == rows.count(_(2).asInstanceOf[Double] > 300.0).toLong)
+    // but ranges on the SPLIT KEY itself coexist with the injected ranges
+    val k = spark.table(t).filter(col("id") < 150L)
+    assert(k.rdd.getNumPartitions == 5)
+    assert(k.count() == 150L)
+  }
 }

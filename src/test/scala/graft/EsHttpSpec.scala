@@ -169,6 +169,59 @@ class EsHttpSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  // ---- sliced-scroll fan-out --------------------------------------------
+
+  private def slicedTable(name: String, slices: Int): String = {
+    LoopbackRestServer.register(name, schema, rows)
+    val base = LoopbackRestServer.ensureStarted()
+    EsEndpoints.register(EsEndpoint("estest", name, schema,
+      EsEndpointSpec(base, name, HttpRestConfig(pageSize = 64, retryBackoffMs = 5),
+        slices = slices)))
+    if (SourceRegistry.get("estest").isEmpty)
+      SourceRegistry.register(SourceDef("estest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/estest").getPath,
+        "json", "es"))
+    SourceRegistry.ensureCatalog(spark)
+    s"${SourceRegistry.CatalogName}.estest.$name"
+  }
+
+  test("sliced scroll fans hit scans out; union of slices is exact") {
+    val t = slicedTable("sl1", 4)
+    val df = spark.table(t)
+    assert(df.rdd.getNumPartitions == 4, "4 slices => 4 scan tasks")
+    val got = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == rows.map(_(0).asInstanceOf[Long]).sorted,
+      "every doc exactly once across slices")
+    val perPart = df.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(perPart.count(_ > 0) == 4 && perPart.sum == rows.size,
+      s"all slices served rows: ${perPart.toSeq}")
+    // slices compose with a pushed filter
+    val f = spark.table(t).filter(col("seg") === "A").select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(f.toSeq == rows.filter(_(1) == "A").map(_(0).asInstanceOf[Long]).sorted)
+  }
+
+  test("aggregation pushdown stays single-partition (ES cannot slice aggs)") {
+    val t = slicedTable("sl2", 4)
+    val agg = spark.table(t).groupBy("seg").count()
+    assert(agg.queryExecution.executedPlan.collectLeaves()
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size }.forall(_ == 1),
+      "COMPLETE agg pushdown must not slice")
+    val got = agg.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == rows.groupBy(r => r(1).asInstanceOf[String])
+      .map { case (k, g) => k -> g.size.toLong })
+  }
+
+  test("the server rejects malformed slice requests") {
+    val name = "sl3"
+    LoopbackRestServer.register(name, schema, rows)
+    val base = LoopbackRestServer.ensureStarted()
+    val client = new HttpRestClient(base, HttpRestConfig(maxRetries = 0))
+    intercept[Exception](client.postJson(s"/es/$name/_search",
+      """{"slice":{"id":5,"max":4},"size":10}"""))
+  }
+
   test("injected 500s on _search retry and recover") {
     val t = table("kv5")
     LoopbackRestServer.failNext.set(2)

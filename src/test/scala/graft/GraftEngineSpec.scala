@@ -47,6 +47,56 @@ class GraftEngineSpec extends AnyFunSuite {
       .collect()(0).getInt(0) == 1)
   }
 
+  test("node_ct drives WIRE-SCAN fan-out, not just output partitions") {
+    // a Mongo wire table with range-split metadata, read through the
+    // engine under the distribution hint: the hint must reach
+    // planInputPartitions (sql_master.go:78-97 sizes the worker fleet
+    // from the same statement attribute)
+    import org.apache.spark.sql.types._
+    import graft.sources._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val rows: Seq[Array[Any]] = (0L until 300L).map(i => Array[Any](i, i * 2.0))
+    LoopbackMongoServer.register("hint_fan", schema, rows)
+    val (host, port) = LoopbackMongoServer.ensureStarted()
+    MongoEndpoints.register(MongoEndpoint("mongotest", "hint_fan", schema,
+      MongoEndpointSpec(host, port, LoopbackMongoServer.Db, "hint_fan",
+        MongoClientConfig(batchSize = 64, retryBackoffMs = 5)),
+      splits = Some(WireSplits("id", Seq(50L, 100L, 150L, 200L, 250L)))))
+    if (SourceRegistry.get("mongotest").isEmpty)
+      SourceRegistry.register(SourceDef("mongotest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/mongotest").getPath,
+        "json", "mongo"))
+    SourceRegistry.ensureCatalog(spark)
+    val t = s"${SourceRegistry.CatalogName}.mongotest.hint_fan"
+
+    def scanParts(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+          : org.apache.spark.sql.execution.SparkPlan = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      unwrap(df.queryExecution.executedPlan).collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }
+    }
+
+    val hinted = engine.sql(s"SELECT id FROM $t WITH distributed=true, node_ct=3")
+    assert(scanParts(hinted) == Seq(3),
+      "node_ct=3 must reach the wire scan's partition planning")
+    assert(hinted.collect().map(_.getLong(0)).sorted.toSeq == (0L until 300L),
+      "fan-out must not change the result")
+    // without the hint, the table's own metadata count applies (6 ranges)
+    val plain = engine.sql(s"SELECT id FROM $t")
+    assert(scanParts(plain) == Seq(6))
+    // the hint is statement-scoped: it must NOT leak into the next one
+    engine.sql(s"SELECT id FROM $t WITH distributed=true, node_ct=2")
+    val after = engine.sql(s"SELECT id FROM $t")
+    assert(scanParts(after) == Seq(6), "node_ct must not bleed across statements")
+  }
+
   test("SET @var evaluates expressions eagerly") {
     engine.sql("SET @two = 1 + 1")
     assert(engine.substitute("SELECT @two") == "SELECT 2")

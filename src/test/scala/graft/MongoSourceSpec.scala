@@ -56,6 +56,26 @@ class MongoSourceSpec extends AnyFunSuite {
     s"${SourceRegistry.CatalogName}.mongotest.$name"
   }
 
+  /** Like [[table]] but with range-partition metadata on `id` and two
+    * null-key rows appended — the wire-scan fan-out fixture. */
+  private def splitTable(name: String, splitPoints: Seq[Any]): (String, Seq[Array[Any]]) = {
+    val withNulls = rows ++ Seq(
+      Array[Any](null, "Z", "null_key_1", -1.0),
+      Array[Any](null, "Z", "null_key_2", -2.0))
+    LoopbackMongoServer.register(name, schema, withNulls)
+    val (host, port) = LoopbackMongoServer.ensureStarted()
+    MongoEndpoints.register(MongoEndpoint("mongotest", name, schema,
+      MongoEndpointSpec(host, port, LoopbackMongoServer.Db, name,
+        MongoClientConfig(batchSize = 64, retryBackoffMs = 5)),
+      splits = Some(WireSplits("id", splitPoints))))
+    if (SourceRegistry.get("mongotest").isEmpty)
+      SourceRegistry.register(SourceDef("mongotest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/mongotest").getPath,
+        "json", "mongo"))
+    SourceRegistry.ensureCatalog(spark)
+    (s"${SourceRegistry.CatalogName}.mongotest.$name", withNulls)
+  }
+
   // ---- BSON codec -------------------------------------------------------
 
   test("BSON documents round-trip every carried type") {
@@ -185,6 +205,50 @@ class MongoSourceSpec extends AnyFunSuite {
       c.find(LoopbackMongoServer.Db, "wire3", BDoc.empty).toSeq)
     LoopbackMongoServer.failNext.set(0)
     c.close()
+  }
+
+  // ---- partitioned scans (distributed fan-out) --------------------------
+
+  test("split metadata fans the scan into one task per key range, exactly-once") {
+    val (t, all) = splitTable("fan1", Seq(100L, 200L, 300L))
+    val ep = MongoEndpoints.get("mongotest", "fan1").get
+    val parts = new MongoScanBuilder(ep).build().toBatch.planInputPartitions()
+    assert(parts.length == 4, "3 split points => 4 range partitions")
+    val df = spark.table(t)
+    assert(df.rdd.getNumPartitions == 4)
+    // union of partitions == the collection: nothing lost, nothing doubled
+    // (the two null-key rows must ride partition 0 via the $or null carry)
+    assert(df.count() == all.size.toLong)
+    val names = df.select("name").collect().map(_.getString(0)).sorted
+    assert(names.toSeq == all.map(_(2).asInstanceOf[String]).sorted)
+    // each range really is served separately: per-partition row counts
+    val perPart = df.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(perPart.count(_ > 0) == 4, s"all ranges non-empty: ${perPart.toSeq}")
+    assert(perPart.sum == all.size)
+  }
+
+  test("pushed filters AND into every partition's range filter") {
+    val (t, all) = splitTable("fan2", Seq(100L, 200L, 300L))
+    val got = spark.table(t).filter(col("seg") === "A" && col("bal") < 300.0)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val want = all.filter(r => r(1) == "A" &&
+        r(3).asInstanceOf[Double] < 300.0 && r(0) != null)
+      .map(_(0).asInstanceOf[Long]).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("the node_ct session conf overrides the metadata partition count") {
+    val (_, _) = splitTable("fan3", Seq(100L, 200L, 300L))
+    val ep = MongoEndpoints.get("mongotest", "fan3").get
+    spark.conf.set(WireFanout.ConfKey, "2")
+    try {
+      val parts = new MongoScanBuilder(ep).build().toBatch.planInputPartitions()
+      assert(parts.length == 2, "node_ct=2 coalesces the ranges to 2")
+    } finally spark.conf.unset(WireFanout.ConfKey)
+    // and 1 collapses to the single-partition plan
+    spark.conf.set(WireFanout.ConfKey, "1")
+    try assert(new MongoScanBuilder(ep).build().toBatch.planInputPartitions().length == 1)
+    finally spark.conf.unset(WireFanout.ConfKey)
   }
 
   // ---- write commands over the wire -------------------------------------
