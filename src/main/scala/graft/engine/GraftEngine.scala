@@ -330,6 +330,26 @@ class GraftEngine(val spark: SparkSession) {
     graft.sources.MongoEndpoints.get(parts(1), parts(2)).foreach { ep =>
       return mongoWireUpdate(ep, sets, cond, tbl)
     }
+    // BQ-wire tables: UPDATE renders to ONE standard-SQL DML job
+    // (the service's own surface; WHERE must render exactly or abort).
+    graft.sources.BqEndpoints.get(parts(1), parts(2)).foreach { ep =>
+      return bqWireUpdate(ep, sets, cond, tbl)
+    }
+    // Datastore-wire tables: read-modify-write — fetch the matching
+    // entities, merge the SETs, re-Put as upsert mutations (the
+    // reference's exact UPDATE recipe, sql_to_datastore.go:258-278
+    // getEntity-then-Put).
+    graft.sources.DsEndpoints.get(parts(1), parts(2)).foreach { ep =>
+      return dsWireUpdate(ep, sets, cond, tbl)
+    }
+    // BigTable: the reference's mutator supports INSERT only
+    // (sql_to_bt.go:268-273 answers "not yet supported" for any other
+    // statement); mirror the refusal rather than invent semantics.
+    graft.sources.BtEndpoints.get(parts(1), parts(2)).foreach { ep =>
+      throw new IllegalArgumentException(
+        s"UPDATE $tbl: not supported on a BigTable backend " +
+          "(write the full row: INSERT is an upsert on the row key)")
+    }
     val src = graft.sources.SourceRegistry.get(parts(1))
       .getOrElse(throw new IllegalArgumentException(s"unknown source ${parts(1)}"))
     val table = graft.sources.FileTable.open(src, parts(2))
@@ -417,6 +437,98 @@ class GraftEngine(val spark: SparkSession) {
       finally client.close()
     import spark.implicits._
     Seq(n.toLong).toDF("affected_rows")
+  }
+
+  /** Parse `SET a = v, b = v` into (column, constant-folded typed value)
+    * pairs against a wire schema — shared by the wire-UPDATE paths.
+    * RHS are literal expressions only (the wires carry values, not
+    * row-referencing expressions); each is CAST to its column type. */
+  private def foldSets(sets: String, schema: StructType, tbl: String): Seq[(String, Any)] =
+    splitTopLevel(sets).map { assign =>
+      val Array(c, v) = assign.split("=", 2).map(_.trim)
+      val name = c.replace("`", "")
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(i >= 0, s"UPDATE $tbl: unknown column $name")
+      val value = spark.sql(
+        s"SELECT CAST((${substitute(v)}) AS ${schema.fields(i).dataType.sql})")
+        .collect()(0).get(0)
+      schema.fields(i).name -> value
+    }
+
+  /** UPDATE over the BQ wire: WHERE and SET render into ONE
+    * standard-SQL DML statement shipped as a job. Conjuncts without a
+    * rendered form ABORT (never a widened mutation). */
+  private def bqWireUpdate(ep: graft.sources.BqEndpoint,
+      sets: String, cond: String, tbl: String): DataFrame = {
+    import graft.sources.{BqSql, HttpRestClient, PartFileRewrite}
+    val filters = PartFileRewrite.condFiltersExact(spark, tbl, cond)
+      .getOrElse(throw new IllegalArgumentException(
+        s"UPDATE $tbl: WHERE is outside the wire filter surface: $cond"))
+    val preds = filters.map(BqSql.render)
+    require(!preds.exists(_.isEmpty),
+      s"UPDATE $tbl: WHERE is outside the wire filter surface: $cond")
+    val setSql = foldSets(sets, ep.schema, tbl).map { case (c, v) =>
+      val lit = if (v == null) Some("NULL") else BqSql.renderLit(v)
+      s"$c = ${lit.getOrElse(throw new IllegalArgumentException(
+        s"UPDATE $tbl: value $v has no SQL literal form"))}"
+    }.mkString(", ")
+    val whereSql = if (preds.isEmpty) "TRUE" else preds.flatten.mkString(" AND ")
+    val sql = s"UPDATE ${ep.spec.table} SET $setSql WHERE $whereSql"
+    val client = new HttpRestClient(ep.spec.baseUrl, ep.spec.cfg)
+    val resp = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      client.postJson(s"/bq/${ep.spec.table}/query",
+        new com.fasterxml.jackson.databind.ObjectMapper().createObjectNode()
+          .put("query", sql).toString))
+    import spark.implicits._
+    Seq(resp.path("numDmlAffectedRows").asText("0").toLong).toDF("affected_rows")
+  }
+
+  /** UPDATE over the Datastore wire: read-modify-write. The WHERE must
+    * compile exactly to property filters (abort otherwise); matching
+    * entities are fetched over `:runQuery`, merged with the SET values,
+    * and re-Put as ONE `:commit` of upserts — the reference's
+    * getEntity-then-Put recipe. Driver-bounded by the WHERE-matched
+    * set, the same set any UPDATE must materialize to rewrite. */
+  private def dsWireUpdate(ep: graft.sources.DsEndpoint,
+      sets: String, cond: String, tbl: String): DataFrame = {
+    import graft.sources.{DsQuery, HttpRestClient, PartFileRewrite}
+    val filters = PartFileRewrite.condFiltersExact(spark, tbl, cond)
+      .getOrElse(throw new IllegalArgumentException(
+        s"UPDATE $tbl: WHERE is outside the wire filter surface: $cond"))
+    val (accepted, declined) = DsQuery.split(filters)
+    require(declined.isEmpty,
+      s"UPDATE $tbl: WHERE is outside the wire filter surface: $cond")
+    val keyCol = ep.keyCol.getOrElse(throw new IllegalArgumentException(
+      s"UPDATE $tbl: needs a declared key property"))
+    val assigns = foldSets(sets, ep.schema, tbl)
+    require(!assigns.exists(_._1.equalsIgnoreCase(keyCol)),
+      s"UPDATE $tbl: cannot update the key property $keyCol")
+    // fetch matching entities THROUGH the wire (the same filters the
+    // read path ships; matched set is exactly what must be rewritten)
+    val matched = spark.table(tbl)
+      .where(if (cond.trim.isEmpty) org.apache.spark.sql.functions.lit(true)
+        else org.apache.spark.sql.functions.expr(substitute(cond)))
+      .collect()
+    if (matched.nonEmpty) {
+      val M = new com.fasterxml.jackson.databind.ObjectMapper()
+      val body = M.createObjectNode()
+      val muts = body.putArray("mutations")
+      matched.foreach { row =>
+        val props = muts.addObject().putObject("upsert").putObject("properties")
+        ep.schema.fields.zipWithIndex.foreach { case (f, i) =>
+          val v = assigns.collectFirst {
+            case (c, nv) if c.equalsIgnoreCase(f.name) => nv
+          }.getOrElse(if (row.isNullAt(i)) null else row.get(i))
+          props.set[com.fasterxml.jackson.databind.JsonNode](f.name,
+            DsQuery.valueNode(v).getOrElse(throw new IllegalArgumentException(
+              s"UPDATE $tbl: value $v has no datastore form")))
+        }
+      }
+      val client = new HttpRestClient(ep.spec.baseUrl, ep.spec.cfg)
+      client.postJson(s"/ds/${ep.spec.kind}:commit", body.toString)
+    }
+    import spark.implicits._
+    Seq(matched.length.toLong).toDF("affected_rows")
   }
 
   /** Split on commas not inside single-quoted strings or parens. */

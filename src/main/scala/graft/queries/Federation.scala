@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{GQuery, Tables}
 import graft.engine.GraftEngine
-import graft.sources.{CqlClientConfig, CqlEndpoint, CqlEndpointSpec,
-  CqlEndpoints, FedData, LoopbackCqlServer, LoopbackMongoServer,
-  MongoClientConfig, MongoEndpoint, MongoEndpointSpec, MongoEndpoints,
-  SourceRegistry}
+import graft.sources.{BqEndpoint, BqEndpointSpec, BqEndpoints,
+  BtEndpoint, BtEndpointSpec, BtEndpoints, CqlClientConfig, CqlEndpoint,
+  CqlEndpointSpec, CqlEndpoints, DsEndpoint, DsEndpointSpec, DsEndpoints,
+  FedData, HttpRestConfig, LoopbackCqlServer, LoopbackMongoServer,
+  LoopbackRestServer, MongoClientConfig, MongoEndpoint, MongoEndpointSpec,
+  MongoEndpoints, SourceRegistry}
 
 /** Federation surface: queries over the DSv2 file connector
   * (graft.sources.*) — the Spark-native equivalent of the reference's
@@ -23,6 +25,18 @@ object Federation {
 
   private def fed(s: SparkSession, d: String): Unit = FedData.ensure(s, d)
   private val C = SourceRegistry.CatalogName
+
+  /** The shared item_id/name/qty/price fixture schema of the DML gates. */
+  private def dmlSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("item_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("qty",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("price",
+        org.apache.spark.sql.types.DoubleType)))
 
   val queries: Seq[GQuery] = Seq(
 
@@ -704,6 +718,104 @@ object Federation {
       s.sql(s"INSERT INTO $t VALUES ('a', 2, 'beta2', 22)") // upsert on (a,2)
       s.sql(s"DELETE FROM $t WHERE seg = 'b' AND k = 3")
       s.table(t).orderBy("seg", "k")
+    },
+
+    // The DML lifecycle OVER THE BIGQUERY WIRE (reference: streaming
+    // insert Put, sql_to_bq.go:178-304; the reference never implemented
+    // BQ deletes — UPDATE/DELETE here follow the real service's
+    // standard-SQL DML surface instead): INSERT INTO streams task
+    // batches as tabledata insertAll, the engine's UPDATE renders ONE
+    // DML job, DELETE FROM renders one DELETE job — the warehouse
+    // answers both with numDmlAffectedRows.
+    GQuery(
+      "q_dml_bq",
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'alpha', CAST(10 AS BIGINT), CAST(1.5 AS DOUBLE)),
+        |  (CAST(3 AS BIGINT), 'gamma', CAST(99 AS BIGINT), CAST(3.5 AS DOUBLE)),
+        |  (CAST(5 AS BIGINT), 'epsilon', CAST(50 AS BIGINT), CAST(5.5 AS DOUBLE)))
+        |       AS t(item_id, name, qty, price)
+        |ORDER BY item_id""".stripMargin) { (s, d) =>
+      fed(s, d)
+      val eng = new GraftEngine(s)
+      val schema = dmlSchema
+      LoopbackRestServer.register("dml_bq", schema, Seq.empty)
+      val baseUrl = LoopbackRestServer.ensureStarted()
+      BqEndpoints.register(BqEndpoint(FedData.BqSourceName, "dml_bq", schema,
+        BqEndpointSpec(baseUrl, "dml_bq", HttpRestConfig())))
+      val t = s"$C.${FedData.BqSourceName}.dml_bq"
+      s.sql(s"INSERT INTO $t VALUES (1, 'alpha', 10, 1.5), (2, 'beta', 20, 0.5), " +
+        "(3, 'gamma', 30, 3.5)")
+      s.sql(s"INSERT INTO $t VALUES (4, 'delta', 40, 0.25), (5, 'epsilon', 50, 5.5)")
+      eng.sql(s"UPDATE $t SET qty = 99 WHERE name = 'gamma'")
+      s.sql(s"DELETE FROM $t WHERE price < 2.0 AND item_id <> 1")
+      s.table(t).orderBy("item_id")
+    },
+
+    // The DML lifecycle OVER THE DATASTORE WIRE (reference: Put upsert
+    // by entity key with getEntity-then-Put read-modify-write UPDATE,
+    // sql_to_datastore.go:218-360; delete by key via KeyFromWhere,
+    // :366-382): INSERT INTO streams :commit upsert batches, the
+    // engine's UPDATE fetches matching entities over :runQuery and
+    // re-Puts them merged, DELETE FROM ships delete mutations — and
+    // only a key-addressed WHERE is accepted for delete.
+    GQuery(
+      "q_dml_ds",
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'alpha', CAST(10 AS BIGINT), CAST(1.5 AS DOUBLE)),
+        |  (CAST(3 AS BIGINT), 'gamma', CAST(99 AS BIGINT), CAST(3.5 AS DOUBLE)),
+        |  (CAST(5 AS BIGINT), 'epsilon', CAST(50 AS BIGINT), CAST(5.5 AS DOUBLE)))
+        |       AS t(item_id, name, qty, price)
+        |ORDER BY item_id""".stripMargin) { (s, d) =>
+      fed(s, d)
+      val eng = new GraftEngine(s)
+      val schema = dmlSchema
+      LoopbackRestServer.registerDs("dml_ds", schema, "item_id", Seq.empty)
+      val baseUrl = LoopbackRestServer.ensureStarted()
+      DsEndpoints.register(DsEndpoint(FedData.DsSourceName, "dml_ds", schema,
+        DsEndpointSpec(baseUrl, "dml_ds", HttpRestConfig()),
+        keyCol = Some("item_id")))
+      val t = s"$C.${FedData.DsSourceName}.dml_ds"
+      s.sql(s"INSERT INTO $t VALUES (1, 'alpha', 10, 1.5), (2, 'beta', 20, 0.5), " +
+        "(3, 'gamma', 30, 3.5)")
+      s.sql(s"INSERT INTO $t VALUES (4, 'delta', 40, 0.25), (5, 'epsilon', 50, 5.5)")
+      eng.sql(s"UPDATE $t SET qty = 99 WHERE name = 'gamma'")
+      s.sql(s"DELETE FROM $t WHERE item_id IN (2, 4)") // key-addressed only
+      s.table(t).orderBy("item_id")
+    },
+
+    // The DML lifecycle OVER THE BIGTABLE WIRE (reference: Put =
+    // cell-set mutation, an UPSERT on the row key, sql_to_bt.go:242-300;
+    // delete = per-row DeleteRow mutation by key, :404-430; UPDATE is
+    // "not yet supported" — enforced, see BtSourceSpec): INSERT INTO
+    // streams :mutateRows batches; re-inserting key 'c' proves the
+    // upsert; DELETE FROM accepts only row-key equality/IN.
+    GQuery(
+      "q_dml_bt",
+      """SELECT * FROM (VALUES
+        |  ('a', 'alpha', CAST(10 AS BIGINT)),
+        |  ('c', 'gamma2', CAST(33 AS BIGINT)),
+        |  ('e', 'epsilon', CAST(50 AS BIGINT)))
+        |       AS t(k, name, qty)
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      fed(s, d)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("qty",
+          org.apache.spark.sql.types.LongType)))
+      LoopbackRestServer.registerBt("dml_bt", schema, "k", Seq.empty)
+      val baseUrl = LoopbackRestServer.ensureStarted()
+      BtEndpoints.register(BtEndpoint(FedData.BtSourceName, "dml_bt", schema, "k",
+        BtEndpointSpec(baseUrl, "dml_bt", "k", HttpRestConfig())))
+      val t = s"$C.${FedData.BtSourceName}.dml_bt"
+      s.sql(s"INSERT INTO $t VALUES ('a', 'alpha', 10), ('b', 'beta', 20), " +
+        "('c', 'gamma', 30)")
+      s.sql(s"INSERT INTO $t VALUES ('d', 'delta', 40), ('e', 'epsilon', 50)")
+      s.sql(s"INSERT INTO $t VALUES ('c', 'gamma2', 33)") // upsert on row key c
+      s.sql(s"DELETE FROM $t WHERE k IN ('b', 'd')")
+      s.table(t).orderBy("k")
     },
 
     // Writes through the keys (Cassandra) profile (reference: prepared

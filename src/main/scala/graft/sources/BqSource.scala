@@ -97,6 +97,19 @@ object BqSql {
 
   def parse(sql: String): Stmt = new Parser(sql).parseStmt()
 
+  /** A parsed DML statement (BigQuery standard-SQL DML; the service —
+    * unlike the reference, which never implemented BQ deletes — answers
+    * UPDATE/DELETE as jobs with `numDmlAffectedRows`). */
+  final case class Dml(kind: String, table: String,
+      sets: Seq[(String, Any)], where: Filter)
+
+  def isDml(sql: String): Boolean = {
+    val t = sql.trim.toUpperCase
+    t.startsWith("UPDATE") || t.startsWith("DELETE")
+  }
+
+  def parseDml(sql: String): Dml = new Parser(sql).parseDml()
+
   /** Recursive-descent parser for the rendered dialect — the warehouse's
     * front door. Grammar:
     *   SELECT item (, item)* FROM ident [WHERE pred] [GROUP BY ident*]
@@ -305,6 +318,76 @@ object BqSql {
         its.collect { case Right(a) => a },
         table, where, groupBy, orderBy, limit, offset)
     }
+
+    /** `UPDATE t SET c = lit, ... WHERE pred` / `DELETE FROM t WHERE
+      * pred`. WHERE is REQUIRED — the real service rejects DML without
+      * one (`WHERE TRUE` is the explicit opt-in to a full mutation). */
+    def parseDml(): Dml = {
+      if (eatWord("DELETE")) {
+        expectWord("FROM")
+        val table = ident()
+        if (!eatWord("WHERE"))
+          fail("DELETE must have a WHERE clause; use WHERE TRUE to delete all rows")
+        val w = pred()
+        ws(); if (i != s.length) fail("trailing input")
+        Dml("delete", table, Nil, w)
+      } else {
+        expectWord("UPDATE")
+        val table = ident()
+        expectWord("SET")
+        val sets = Seq.newBuilder[(String, Any)]
+        def one(): Unit = {
+          val c = ident()
+          if (!eatChar('=')) fail("expected =")
+          ws()
+          sets += (c -> (if (eatWord("NULL")) null else literal()))
+        }
+        one()
+        while (eatChar(',')) one()
+        if (!eatWord("WHERE"))
+          fail("UPDATE must have a WHERE clause; use WHERE TRUE to update all rows")
+        val w = pred()
+        ws(); if (i != s.length) fail("trailing input")
+        Dml("update", table, sets.result(), w)
+      }
+    }
+  }
+
+  /** Apply a DML statement; returns (new rows, affected count). */
+  def executeDml(dml: Dml, schema: StructType, rows: Seq[Array[Any]])
+      : (Seq[Array[Any]], Long) = {
+    val hit = (r: Array[Any]) => FilterEval.eval(dml.where, schema, r)
+    dml.kind match {
+      case "delete" =>
+        val kept = rows.filterNot(hit)
+        (kept, (rows.size - kept.size).toLong)
+      case "update" =>
+        val setIdx = dml.sets.map { case (c, v) =>
+          val k = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+          require(k >= 0, s"unknown column $c")
+          // literals arrive as Long/Double/String/Boolean/Timestamp —
+          // coerce integer literals into narrower integer columns
+          val coerced = (v, schema.fields(k).dataType) match {
+            case (l: java.lang.Long, IntegerType) => Int.box(l.toInt)
+            case (l: java.lang.Long, ShortType) => Short.box(l.toShort)
+            case (l: java.lang.Long, DoubleType) => Double.box(l.toDouble)
+            case (d: java.lang.Double, FloatType) => Float.box(d.toFloat)
+            case _ => v
+          }
+          k -> coerced
+        }
+        var n = 0L
+        val next = rows.map { r =>
+          if (!hit(r)) r
+          else {
+            n += 1
+            val copy = r.clone()
+            setIdx.foreach { case (k, v) => copy(k) = v }
+            copy
+          }
+        }
+        (next, n)
+    }
   }
 
   // ---- execution (the warehouse) ----------------------------------------
@@ -422,14 +505,89 @@ object BqEndpoints {
     endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
 }
 
-class BqTable(val ep: BqEndpoint) extends Table with SupportsRead {
+class BqTable(val ep: BqEndpoint) extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"${SourceRegistry.CatalogName}.${ep.source}.${ep.table}"
   override def schema(): StructType = ep.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.Set.of(TableCapability.BATCH_READ)
+    util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BqScanBuilder(ep)
+
+  /** INSERT INTO: every task streams its rows as tabledata `insertAll`
+    * batches (the reference's BQ Put sink is the same streaming-insert
+    * surface, `sql_to_bq.go:178-304`). */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new BqBatchWrite(ep)
+    }
+
+  /** DELETE FROM ... WHERE: renders to ONE standard-SQL DML statement
+    * and ships it as a job (`DELETE FROM t WHERE ...` — the service's
+    * own DML surface; the reference never implemented BQ deletes).
+    * Un-renderable predicates refuse so Spark reports the delete as
+    * unsupported instead of mutating the wrong set. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => BqSql.render(f).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val preds = filters.toSeq.flatMap(BqSql.render)
+    val whereSql = if (preds.isEmpty) "TRUE" else preds.mkString(" AND ")
+    val client = new HttpRestClient(ep.spec.baseUrl, ep.spec.cfg)
+    client.postJson(s"/bq/${ep.spec.table}/query",
+      EsDsl.M.createObjectNode()
+        .put("query", s"DELETE FROM ${ep.spec.table} WHERE $whereSql").toString)
+  }
+}
+
+class BqBatchWrite(ep: BqEndpoint)
+  extends org.apache.spark.sql.connector.write.Write
+  with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new BqWriterFactory(ep.spec, ep.schema.json)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class BqWriterFactory(spec: BqEndpointSpec, schemaJson: String)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write._
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val client = new HttpRestClient(spec.baseUrl, spec.cfg)
+    val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      private def flush(): Unit = if (buf.nonEmpty) {
+        val body = EsDsl.M.createObjectNode()
+        val arr = body.putArray("rows")
+        buf.foreach { row =>
+          val json = arr.addObject().putObject("json")
+          schema.fields.zipWithIndex.foreach { case (f, i) =>
+            if (!row.isNullAt(i)) json.put(f.name, LineCodec.render(row.get(i)))
+          }
+        }
+        client.postJson(s"/bq/${spec.table}/insertAll", body.toString)
+        buf.clear()
+      }
+      override def write(record: InternalRow): Unit = {
+        buf += toScala(record).asInstanceOf[Row]
+        if (buf.size >= 256) flush()
+      }
+      override def commit(): WriterCommitMessage = {
+        flush()
+        new WriterCommitMessage {}
+      }
+      override def abort(): Unit = buf.clear() // already-sent batches stay:
+      // streaming insert is at-least-once per batch, like the reference's Put
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Passthrough pushdown: the WHOLE statement renders to SQL — arbitrary

@@ -202,14 +202,112 @@ object BtEndpoints {
     endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
 }
 
-class BtTable(val ep: BtEndpoint) extends Table with SupportsRead {
+class BtTable(val ep: BtEndpoint) extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"${SourceRegistry.CatalogName}.${ep.source}.${ep.table}"
   override def schema(): StructType = ep.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.Set.of(TableCapability.BATCH_READ)
+    util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BtScanBuilder(ep)
+
+  /** INSERT INTO: tasks stream `:mutateRows` batches of cell-set
+    * mutations — a BigTable Put is an upsert on the row key
+    * (`sql_to_bt.go:242-300` builds the same per-column mutation). */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new BtBatchWrite(ep)
+    }
+
+  /** DELETE FROM ... WHERE: row keys only — a BigTable delete is a
+    * per-row DeleteRow mutation addressed by key
+    * (`sql_to_bt.go:404-430`); range/prefix deletes are an admin-API
+    * concern, so any other WHERE shape refuses. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall {
+      case EqualTo(a, v) => a.equalsIgnoreCase(ep.keyCol) && v.isInstanceOf[String]
+      case In(a, vs) => a.equalsIgnoreCase(ep.keyCol) && vs != null &&
+        vs.forall(_.isInstanceOf[String])
+      case IsNotNull(a) => a.equalsIgnoreCase(ep.keyCol)
+      case _ => false
+    }
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val keys = filters.toSeq.flatMap {
+      case EqualTo(_, v: String) => Seq(v)
+      case In(_, vs) => vs.toSeq.map(_.asInstanceOf[String])
+      case _ => Nil
+    }.distinct
+    val M = EsDsl.M
+    val body = M.createObjectNode()
+    val entries = body.putArray("entries")
+    val b64 = (x: String) =>
+      java.util.Base64.getEncoder.encodeToString(x.getBytes("UTF-8"))
+    keys.foreach { k =>
+      val e = entries.addObject()
+      e.put("rowKey", b64(k))
+      e.put("deleteFromRow", true)
+    }
+    val client = new HttpRestClient(ep.spec.baseUrl, ep.spec.cfg)
+    client.postJson(s"/bt/${ep.spec.table}:mutateRows", body.toString)
+  }
+}
+
+class BtBatchWrite(ep: BtEndpoint)
+  extends org.apache.spark.sql.connector.write.Write
+  with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new BtWriterFactory(ep.spec, ep.schema.json)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class BtWriterFactory(spec: BtEndpointSpec, schemaJson: String)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write._
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val client = new HttpRestClient(spec.baseUrl, spec.cfg)
+    val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+    val ki = schema.fieldNames.indexWhere(_.equalsIgnoreCase(spec.keyCol))
+    new DataWriter[InternalRow] {
+      private val M = EsDsl.M
+      private val b64 = (x: String) =>
+        java.util.Base64.getEncoder.encodeToString(x.getBytes("UTF-8"))
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      private def flush(): Unit = if (buf.nonEmpty) {
+        val body = M.createObjectNode()
+        val entries = body.putArray("entries")
+        buf.foreach { row =>
+          require(!row.isNullAt(ki), "row key must not be null")
+          val e = entries.addObject()
+          e.put("rowKey", b64(String.valueOf(row.get(ki))))
+          val cells = e.putObject("cells")
+          schema.fields.zipWithIndex.foreach { case (f, i) =>
+            if (i != ki && !row.isNullAt(i))
+              cells.put(f.name, b64(LineCodec.render(row.get(i))))
+          }
+        }
+        client.postJson(s"/bt/${spec.table}:mutateRows", body.toString)
+        buf.clear()
+      }
+      override def write(record: InternalRow): Unit = {
+        buf += toScala(record).asInstanceOf[org.apache.spark.sql.Row]
+        if (buf.size >= 256) flush()
+      }
+      override def commit(): WriterCommitMessage = {
+        flush()
+        new WriterCommitMessage {}
+      }
+      override def abort(): Unit = buf.clear() // at-least-once per batch
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class BtScanBuilder(ep: BtEndpoint) extends ScanBuilder

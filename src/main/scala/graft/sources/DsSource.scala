@@ -259,7 +259,8 @@ object DsQuery {
 final case class DsEndpointSpec(baseUrl: String, kind: String, cfg: HttpRestConfig)
 
 final case class DsEndpoint(source: String, table: String, schema: StructType,
-    spec: DsEndpointSpec, splits: Option[WireSplits] = None)
+    spec: DsEndpointSpec, splits: Option[WireSplits] = None,
+    keyCol: Option[String] = None)
 
 object DsEndpoints {
   private val endpoints = TrieMap.empty[(String, String), DsEndpoint]
@@ -270,14 +271,115 @@ object DsEndpoints {
     endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
 }
 
-class DsTable(val ep: DsEndpoint) extends Table with SupportsRead {
+class DsTable(val ep: DsEndpoint) extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"${SourceRegistry.CatalogName}.${ep.source}.${ep.table}"
   override def schema(): StructType = ep.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.Set.of(TableCapability.BATCH_READ)
+    util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DsScanBuilder(ep)
+
+  private def keyOrRefuse: String = ep.keyCol.getOrElse(
+    throw new IllegalArgumentException(
+      s"${ep.table}: writes need a declared key property"))
+
+  /** INSERT INTO: tasks stream `:commit` batches of upsert mutations
+    * keyed by the declared key property — Datastore Put semantics, an
+    * upsert on the entity key (`sql_to_datastore.go:218-360`). */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    keyOrRefuse
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new DsBatchWrite(ep)
+    }
+  }
+
+  /** DELETE FROM ... WHERE: only key equality / IN has a mutation form
+    * (the reference's `KeyFromWhere` contract,
+    * `sql_to_datastore.go:376-382` — anything else: "Could not delete
+    * with that where expression"). Ships ONE `:commit` of delete
+    * mutations. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    ep.keyCol.exists(k => filters.forall {
+      case EqualTo(a, v) => a.equalsIgnoreCase(k) && v != null
+      case In(a, vs) => a.equalsIgnoreCase(k) && vs != null &&
+        vs.forall(v => v != null && DsQuery.valueNode(v).isDefined)
+      case IsNotNull(a) => a.equalsIgnoreCase(k)
+      case _ => false
+    })
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val key = keyOrRefuse
+    val keys: Seq[Any] = filters.toSeq.flatMap {
+      case EqualTo(_, v) => Seq(v)
+      case In(_, vs) => vs.toSeq
+      case _ => Nil
+    }.distinct
+    val M = EsDsl.M
+    val body = M.createObjectNode()
+    val muts = body.putArray("mutations")
+    keys.foreach { k =>
+      val path = muts.addObject().putObject("delete").putArray("path")
+      val el = path.addObject()
+      el.put("kind", ep.spec.kind)
+      el.set[com.fasterxml.jackson.databind.JsonNode]("name", DsQuery.valueNode(k).get)
+    }
+    val client = new HttpRestClient(ep.spec.baseUrl, ep.spec.cfg)
+    client.postJson(s"/ds/${ep.spec.kind}:commit", body.toString)
+  }
+}
+
+class DsBatchWrite(ep: DsEndpoint)
+  extends org.apache.spark.sql.connector.write.Write
+  with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new DsWriterFactory(ep.spec, ep.schema.json)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class DsWriterFactory(spec: DsEndpointSpec, schemaJson: String)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write._
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val client = new HttpRestClient(spec.baseUrl, spec.cfg)
+    val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+    new DataWriter[InternalRow] {
+      private val M = EsDsl.M
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      private def flush(): Unit = if (buf.nonEmpty) {
+        val body = M.createObjectNode()
+        val muts = body.putArray("mutations")
+        buf.foreach { row =>
+          val props = muts.addObject().putObject("upsert").putObject("properties")
+          schema.fields.zipWithIndex.foreach { case (f, i) =>
+            val v = if (row.isNullAt(i)) null else row.get(i)
+            props.set[com.fasterxml.jackson.databind.JsonNode](f.name,
+              DsQuery.valueNode(v).getOrElse(throw new java.io.IOException(
+                s"value $v has no datastore form")))
+          }
+        }
+        client.postJson(s"/ds/${spec.kind}:commit", body.toString)
+        buf.clear()
+      }
+      override def write(record: InternalRow): Unit = {
+        buf += toScala(record).asInstanceOf[org.apache.spark.sql.Row]
+        if (buf.size >= 256) flush()
+      }
+      override def commit(): WriterCommitMessage = {
+        flush()
+        new WriterCommitMessage {}
+      }
+      override def abort(): Unit = buf.clear() // at-least-once per batch
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class DsScanBuilder(ep: DsEndpoint) extends ScanBuilder

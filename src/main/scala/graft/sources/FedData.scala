@@ -239,10 +239,11 @@ object FedData {
         val events = Tables.load(spark, sfDir, "events")
           .select("event_id", "ts", "user_id", "event_type", "value")
         val rows = events.collect().map(_.toSeq.toArray)
-        LoopbackRestServer.register("events_ds", events.schema, rows.toSeq)
+        LoopbackRestServer.registerDs("events_ds", events.schema, "event_id", rows.toSeq)
         val baseUrl = LoopbackRestServer.ensureStarted()
         DsEndpoints.register(DsEndpoint(DsSourceName, "events_ds", events.schema,
           DsEndpointSpec(baseUrl, "events_ds", HttpRestConfig(pageSize = 512)),
+          keyCol = Some("event_id"),
           // scatter-style key splits => 4-way fan-out when the query's
           // single-inequality budget allows range injection
           splits = Some(WireSplits("event_id",

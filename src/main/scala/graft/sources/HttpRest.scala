@@ -7,6 +7,7 @@ import java.time.Duration
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong, AtomicReference}
 
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
@@ -160,6 +161,28 @@ object LoopbackRestServer {
 
   def register(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit =
     tables.put(name.toLowerCase, TableData(schema, rows))
+
+  /** Atomic table mutation (write endpoints are hit concurrently by
+    * Spark tasks; a lost update would drop a batch). */
+  private val mutateLock = new Object
+  private def mutateTable(name: String)(
+      f: (StructType, Seq[Array[Any]]) => Seq[Array[Any]]): Int =
+    mutateLock.synchronized {
+      val t = tables.getOrElse(name,
+        throw new IllegalArgumentException(s"no such table $name"))
+      val next = f(t.schema, t.rows)
+      tables.put(name, TableData(t.schema, next))
+      next.size
+    }
+
+  /** Datastore kinds additionally declare their KEY property (the
+    * stand-in for the real entity key path) — writes address rows by it. */
+  private val dsKeyCols = TrieMap.empty[String, String]
+  def registerDs(name: String, schema: StructType, keyCol: String,
+      rows: Seq[Array[Any]]): Unit = {
+    register(name, schema, rows)
+    dsKeyCols.put(name.toLowerCase, keyCol)
+  }
 
   /** Start (once) and return the base URL. */
   def ensureStarted(): String = {
@@ -445,6 +468,46 @@ object LoopbackRestServer {
       }
       return
     }
+    // :mutateRows — the data API's batch write: upserts address rows by
+    // their key (BigTable Put = cell-set mutation, an upsert on the row
+    // key, sql_to_bt.go:242-300), deleteFromRow removes whole rows
+    if (path.endsWith(":mutateRows")) {
+      val name = path.stripSuffix(":mutateRows").toLowerCase
+      (tables.get(name), btKeyCols.get(name)) match {
+        case (Some(_), Some(keyCol)) =>
+          val body = M.readTree(ex.getRequestBody)
+          val entries = body.path("entries").elements().asScala.toSeq
+          mutateTable(name) { (schema, rows) =>
+            val ki = schema.fieldNames.indexWhere(_.equalsIgnoreCase(keyCol))
+            var cur = rows
+            entries.foreach { e =>
+              val rowKey = BtQuery.unb64(e.path("rowKey").asText())
+              if (e.path("deleteFromRow").asBoolean(false)) {
+                cur = cur.filterNot(r => String.valueOf(r(ki)) == rowKey)
+              } else {
+                val cells = e.path("cells")
+                val row = schema.fields.zipWithIndex.map { case (f, i) =>
+                  if (i == ki) LineCodec.parse(rowKey, f.dataType)
+                  else {
+                    val c = cells.path(f.name)
+                    if (c.isMissingNode || c.isNull) null
+                    else LineCodec.parse(BtQuery.unb64(c.asText()), f.dataType)
+                  }
+                }.toArray[Any]
+                cur = cur.filterNot(r => String.valueOf(r(ki)) == rowKey) :+ row
+              }
+            }
+            cur
+          }
+          val resp = M.createObjectNode()
+          val st = resp.putArray("entries")
+          entries.indices.foreach(i =>
+            st.addObject().put("index", i).putObject("status").put("code", 0))
+          respond(ex, 200, resp.toString)
+        case _ => respond(ex, 404, s"no such table $name")
+      }
+      return
+    }
     if (!path.endsWith(":readRows")) { respond(ex, 400, "only :readRows is served"); return }
     val name = path.stripSuffix(":readRows").toLowerCase
     (tables.get(name), btKeyCols.get(name)) match {
@@ -493,6 +556,49 @@ object LoopbackRestServer {
     }
     val M = EsDsl.M
     val path = ex.getRequestURI.getPath.stripPrefix("/ds/")
+    // v1 :commit — upsert/delete mutations addressed by the kind's key
+    // property (the loopback's stand-in for the entity key path; the
+    // reference writes through datastore.Put/Delete with NameKeys,
+    // sql_to_datastore.go:218-382)
+    if (path.endsWith(":commit")) {
+      val name = path.stripSuffix(":commit").toLowerCase
+      (tables.get(name), dsKeyCols.get(name)) match {
+        case (Some(_), Some(keyCol)) =>
+          val body = M.readTree(ex.getRequestBody)
+          var applied = 0
+          mutateTable(name) { (schema, rows) =>
+            val ki = schema.fieldNames.indexWhere(_.equalsIgnoreCase(keyCol))
+            var cur = rows
+            body.path("mutations").elements().asScala.foreach { m =>
+              if (m.has("upsert")) {
+                val props = m.path("upsert").path("properties")
+                val row = schema.fields.map(f =>
+                  DsQuery.valueOf(props.path(f.name), f.dataType)).toArray[Any]
+                require(row(ki) != null, "entity key property must not be null")
+                cur = cur.filterNot(r => r(ki) == row(ki)) :+ row
+                applied += 1
+              } else if (m.has("delete")) {
+                val keyNode = m.path("delete").path("path").elements().asScala
+                  .toSeq.lastOption.getOrElse(
+                    throw new IllegalArgumentException("delete needs a key path"))
+                val key = DsQuery.valueOfTyped(keyNode.path("name"), schema, keyCol)
+                val before = cur.size
+                cur = cur.filterNot(r => r(ki) == key)
+                applied += before - cur.size
+              } else throw new IllegalArgumentException(
+                s"unsupported mutation ${m.toString.take(80)}")
+            }
+            cur
+          }
+          val resp = M.createObjectNode()
+          resp.put("indexUpdates", applied)
+          resp.putArray("mutationResults")
+          respond(ex, 200, resp.toString)
+        case (Some(_), None) => respond(ex, 400, s"kind $name has no key property")
+        case _ => respond(ex, 404, s"no such kind $name")
+      }
+      return
+    }
     if (!path.endsWith(":runQuery")) { respond(ex, 400, "only :runQuery is served"); return }
     val name = path.stripSuffix(":runQuery").toLowerCase
     tables.get(name) match {
@@ -549,6 +655,29 @@ object LoopbackRestServer {
     }
     val M = EsDsl.M
     val path = ex.getRequestURI.getPath.stripPrefix("/bq/")
+    // tabledata streaming insert (the reference's Put sink shape,
+    // sql_to_bq.go:178-304 saves RowVals through the ValueSaver
+    // interface): rows arrive as {"rows":[{"json":{col: cell}}]},
+    // string-encoded like the query results
+    if (path.endsWith("/insertAll")) {
+      val name = path.stripSuffix("/insertAll").toLowerCase
+      tables.get(name) match {
+        case None => respond(ex, 404, s"no such dataset table $name"); case Some(_) =>
+          val body = M.readTree(ex.getRequestBody)
+          mutateTable(name) { (schema, rows) =>
+            rows ++ body.path("rows").elements().asScala.map { r =>
+              val json = r.path("json")
+              schema.fields.map { f =>
+                val c = json.path(f.name)
+                if (c.isMissingNode || c.isNull) null
+                else LineCodec.parse(c.asText(), f.dataType)
+              }.toArray[Any]
+            }.toSeq
+          }
+          respond(ex, 200, """{"kind":"bigquery#tableDataInsertAllResponse"}""")
+      }
+      return
+    }
     if (!path.endsWith("/query")) { respond(ex, 400, "only /query is served"); return }
     val name = path.stripSuffix("/query").toLowerCase
     tables.get(name) match {
@@ -557,6 +686,25 @@ object LoopbackRestServer {
         val req = M.readTree(ex.getRequestBody)
         val sql = req.path("query").asText()
         lastBqSql.set(sql)
+        // standard-SQL DML ships as a job like any query and answers
+        // numDmlAffectedRows (the real service's surface; the reference
+        // left BQ deletes ErrNotImplemented — this follows the service)
+        if (BqSql.isDml(sql)) {
+          val dml = BqSql.parseDml(sql)
+          var affected = 0L
+          mutateTable(name) { (sch, cur) =>
+            val (next, n) = BqSql.executeDml(dml, sch, cur)
+            affected = n
+            next
+          }
+          val resp = M.createObjectNode()
+          resp.put("numDmlAffectedRows", affected.toString)
+          resp.putObject("schema").putArray("fields")
+          resp.put("totalRows", "0")
+          resp.putArray("rows")
+          respond(ex, 200, resp.toString)
+          return
+        }
         val stmt = BqSql.parse(sql)
         val (names, types, out) = BqSql.execute(stmt, schema, rows)
         val offset = req.path("pageToken").asText("").toIntOption.getOrElse(0)

@@ -217,6 +217,61 @@ class BqSourceSpec extends AnyFunSuite {
     s"${SourceRegistry.CatalogName}.bqtest.$name"
   }
 
+  // ---- wire DML ----------------------------------------------------------
+
+  test("INSERT streams insertAll; UPDATE/DELETE ship as DML jobs") {
+    val name = "wrq1"
+    LoopbackRestServer.register(name, schema, Seq.empty)
+    val baseUrl = LoopbackRestServer.ensureStarted()
+    BqEndpoints.register(BqEndpoint("bqtest", name, schema,
+      BqEndpointSpec(baseUrl, name, HttpRestConfig(pageSize = 64, retryBackoffMs = 5))))
+    SourceRegistry.ensureCatalog(spark)
+    val t = s"${SourceRegistry.CatalogName}.bqtest.$name"
+    spark.sql(s"INSERT INTO $t VALUES (1, 'A', 'one', 1.0), (2, 'B', 'two', 2.0), " +
+      "(3, null, 'three', 3.0)")
+    assert(spark.table(t).count() == 3)
+    val eng = new graft.engine.GraftEngine(spark)
+    val n = eng.sql(s"UPDATE $t SET bal = 9.5 WHERE seg = 'A'")
+      .collect()(0).getLong(0)
+    assert(n == 1L)
+    assert(spark.table(t).filter(col("id") === 1L).collect()(0).getDouble(3) == 9.5)
+    spark.sql(s"DELETE FROM $t WHERE seg IS NULL")
+    assert(spark.table(t).count() == 2)
+    // unconditional delete maps to WHERE TRUE
+    spark.sql(s"DELETE FROM $t")
+    assert(spark.table(t).count() == 0)
+  }
+
+  test("the warehouse rejects DML without a WHERE clause") {
+    val name = "wrq2"
+    LoopbackRestServer.register(name, schema, rows.take(5))
+    val baseUrl = LoopbackRestServer.ensureStarted()
+    val client = new HttpRestClient(baseUrl, HttpRestConfig(maxRetries = 0))
+    intercept[Exception](client.postJson(s"/bq/$name/query",
+      """{"query":"DELETE FROM wrq2"}"""))
+    // the rows are untouched after the refused statement
+    assert(LoopbackRestServer.lastBqSql.get() != null)
+    val resp = client.postJson(s"/bq/$name/query",
+      """{"query":"SELECT count(*) AS n FROM wrq2"}""")
+    assert(resp.contains("\"5\""), resp)
+  }
+
+  test("an UPDATE whose WHERE cannot render ABORTS (no widened mutation)") {
+    val name = "wrq3"
+    LoopbackRestServer.register(name, schema, Seq.empty)
+    val baseUrl = LoopbackRestServer.ensureStarted()
+    BqEndpoints.register(BqEndpoint("bqtest", name, schema,
+      BqEndpointSpec(baseUrl, name, HttpRestConfig(pageSize = 64, retryBackoffMs = 5))))
+    SourceRegistry.ensureCatalog(spark)
+    val t = s"${SourceRegistry.CatalogName}.bqtest.$name"
+    spark.sql(s"INSERT INTO $t VALUES (1, 'A', 'one', 1.0)")
+    val eng = new graft.engine.GraftEngine(spark)
+    val e = intercept[Exception](
+      eng.sql(s"UPDATE $t SET bal = 0.0 WHERE length(name) > 100"))
+    assert(e.getMessage.contains("wire filter surface"), e.getMessage)
+    assert(spark.table(t).filter(col("bal") === 0.0).count() == 0)
+  }
+
   test("bare statements shard into per-range statements, exactly-once") {
     val t = fanTable("fanq1", Seq(100L, 200L, 300L))
     val df = spark.table(t).filter(col("seg") === "A" || col("bal") > 500.0)

@@ -160,6 +160,48 @@ class BtSourceSpec extends AnyFunSuite {
     assert(got.toSeq == (100L until 110L))
   }
 
+  // ---- wire DML ----------------------------------------------------------
+
+  private def writeTable(name: String): String = {
+    LoopbackRestServer.registerBt(name, schema, "k", Seq.empty)
+    val baseUrl = LoopbackRestServer.ensureStarted()
+    BtEndpoints.register(BtEndpoint("bttest", name, schema, "k",
+      BtEndpointSpec(baseUrl, name, "k",
+        HttpRestConfig(pageSize = 64, retryBackoffMs = 5))))
+    SourceRegistry.ensureCatalog(spark)
+    s"${SourceRegistry.CatalogName}.bttest.$name"
+  }
+
+  test("INSERT is an upsert on the row key via :mutateRows; DELETE by key only") {
+    val t = writeTable("wr1")
+    spark.sql(s"INSERT INTO $t VALUES ('r1', 1, 'A', 1.0), ('r2', 2, 'B', 2.0)")
+    assert(spark.table(t).count() == 2)
+    // same row key again: the Put replaces cells, never duplicates
+    spark.sql(s"INSERT INTO $t VALUES ('r1', 11, 'A2', 1.5)")
+    assert(spark.table(t).count() == 2)
+    assert(spark.table(t).filter(col("k") === "r1").collect()(0).getLong(1) == 11L)
+    // delete by explicit keys
+    spark.sql(s"DELETE FROM $t WHERE k IN ('r1', 'r2')")
+    assert(spark.table(t).count() == 0)
+  }
+
+  test("DELETE refuses ranges and non-key predicates (DeleteRow is key-addressed)") {
+    val t = writeTable("wr2")
+    spark.sql(s"INSERT INTO $t VALUES ('r1', 1, 'A', 1.0)")
+    intercept[Exception](spark.sql(s"DELETE FROM $t WHERE k >= 'r0'"))
+    intercept[Exception](spark.sql(s"DELETE FROM $t WHERE seg = 'A'"))
+    assert(spark.table(t).count() == 1, "refused deletes must not mutate")
+  }
+
+  test("UPDATE refuses on a BigTable backend (the reference's contract)") {
+    val t = writeTable("wr3")
+    spark.sql(s"INSERT INTO $t VALUES ('r1', 1, 'A', 1.0)")
+    val eng = new graft.engine.GraftEngine(spark)
+    val e = intercept[Exception](eng.sql(s"UPDATE $t SET bal = 9.0 WHERE k = 'r1'"))
+    assert(e.getMessage.contains("not supported on a BigTable"), e.getMessage)
+    assert(spark.table(t).filter(col("bal") === 9.0).count() == 0)
+  }
+
   // ---- sampled-key fan-out ----------------------------------------------
 
   private def fanTable(name: String, fanout: Int): String = {

@@ -137,6 +137,56 @@ class DsSourceSpec extends AnyFunSuite {
       rows.count(_(1) != null))
   }
 
+  // ---- wire DML ----------------------------------------------------------
+
+  private def writeTable(name: String): String = {
+    LoopbackRestServer.registerDs(name, schema, "id", Seq.empty)
+    val baseUrl = LoopbackRestServer.ensureStarted()
+    DsEndpoints.register(DsEndpoint("dstest", name, schema,
+      DsEndpointSpec(baseUrl, name, HttpRestConfig(pageSize = 64, retryBackoffMs = 5)),
+      keyCol = Some("id")))
+    SourceRegistry.ensureCatalog(spark)
+    s"${SourceRegistry.CatalogName}.dstest.$name"
+  }
+
+  test("INSERT upserts by entity key; UPDATE is read-modify-write; DELETE by key") {
+    val t = writeTable("wr1")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, 'A', 1.0, TIMESTAMP '2024-01-01 00:00:00'), " +
+      "(2, 'B', 2.0, TIMESTAMP '2024-01-02 00:00:00')")
+    assert(spark.table(t).count() == 2)
+    // re-insert key 1: Put semantics replace, not duplicate
+    spark.sql(s"INSERT INTO $t VALUES (1, 'A2', 1.5, TIMESTAMP '2024-01-03 00:00:00')")
+    assert(spark.table(t).count() == 2)
+    assert(spark.table(t).filter(col("id") === 1L).collect()(0).getString(1) == "A2")
+    // read-modify-write UPDATE through the engine
+    val eng = new graft.engine.GraftEngine(spark)
+    val n = eng.sql(s"UPDATE $t SET bal = 9.0 WHERE seg = 'B'").collect()(0).getLong(0)
+    assert(n == 1L)
+    assert(spark.table(t).filter(col("id") === 2L).collect()(0).getDouble(2) == 9.0)
+    // delete is key-addressed
+    spark.sql(s"DELETE FROM $t WHERE id IN (1, 2)")
+    assert(spark.table(t).count() == 0)
+  }
+
+  test("DELETE refuses a non-key WHERE (KeyFromWhere contract)") {
+    val t = writeTable("wr2")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'A', 1.0, TIMESTAMP '2024-01-01 00:00:00')")
+    intercept[Exception](spark.sql(s"DELETE FROM $t WHERE seg = 'A'"))
+    assert(spark.table(t).count() == 1, "the refused delete must not mutate")
+  }
+
+  test("an UPDATE whose WHERE has no property-filter form ABORTS") {
+    val t = writeTable("wr3")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'A', 1.0, TIMESTAMP '2024-01-01 00:00:00')")
+    val eng = new graft.engine.GraftEngine(spark)
+    // OR has no datastore composite form: must abort, never widen
+    val e = intercept[Exception](
+      eng.sql(s"UPDATE $t SET bal = 0.0 WHERE seg = 'A' OR seg = 'B'"))
+    assert(e.getMessage.contains("wire filter surface"), e.getMessage)
+    assert(spark.table(t).filter(col("bal") === 0.0).count() == 0)
+  }
+
   // ---- key-range fan-out -------------------------------------------------
 
   private def fanTable(name: String, points: Seq[Any]): String = {
