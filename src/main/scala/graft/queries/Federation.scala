@@ -276,6 +276,30 @@ object Federation {
         .orderBy("n_nationkey")
     },
 
+    // KUBERNETES-PROTOCOL scan (reference: _kube/source.go:180-340
+    // describes pods/nodes/services as typed tables; sql_to_kube.go
+    // splits WHERE into pushable/polyfill): the typed pods table is
+    // listed with `GET /api/v1/pods?fieldSelector=metadata.namespace=
+    // default,status.phase=Running` — both equalities ride the API's
+    // own selector surface (the server 400s unsupported selector keys)
+    // — and the nested {metadata,spec,status} items flatten back into
+    // columns. The cluster objects derive deterministically from
+    // `supplier`, so the oracle reproduces the listing in SQL.
+    GQuery(
+      "q_src_kube",
+      """SELECT 'pod-' || CAST(s_suppkey AS VARCHAR) AS name,
+        |       'default' AS namespace, 'Running' AS phase,
+        |       'node-' || CAST(s_nationkey AS VARCHAR) AS nodename
+        |FROM supplier
+        |WHERE s_nationkey % 2 = 0 AND s_suppkey % 3 = 0
+        |ORDER BY name""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.KubeSourceName}.pods")
+        .filter(col("namespace") === "default" && col("phase") === "Running")
+        .select("name", "namespace", "phase", "nodename")
+        .orderBy("name")
+    },
+
     // ES-PROTOCOL scan over a real socket (reference: sqltoes.go:112-279
     // compiles WHERE into bool/term/range/wildcard DSL JSON and POSTs it
     // to _search): the range + wildcard + OR tree all compile and ship
@@ -322,6 +346,47 @@ object Federation {
           sum("c_custkey").as("sum_key"),
           avg("c_custkey").as("avg_key"))
         .orderBy("c_mktsegment")
+    },
+
+    // ES cardinality pushdown (reference: sqltoes.go:599-611 maps
+    // cardinality() to the ES cardinality agg): COUNT(DISTINCT f) ships
+    // as a cardinality sub-agg per terms bucket with precision_threshold
+    // at its 40000 max — real ES is EXACT below the threshold (HLL
+    // engages only past it), so the gate is value-exact, same contract
+    // a real deployment gets for sub-40k-distinct groups.
+    GQuery(
+      "q_src_es_cardinality",
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.EsSourceName}.customer_es")
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ES terms per field (reference: sqltoes.go:612-634 compiles
+    // terms(field, n) into terms buckets; the result shape is (field,
+    // key, count) rows): one COMPLETE-pushed terms+count query per
+    // field, unioned — each scan returns final buckets, Spark plans no
+    // aggregate (plan-asserted in EsHttpSpec).
+    GQuery(
+      "q_src_es_terms",
+      """SELECT field, key, cnt FROM (
+        |  SELECT 'c_mktsegment' AS field, CAST(c_mktsegment AS VARCHAR) AS key,
+        |         count(*) AS cnt FROM customer GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'c_nationkey' AS field, CAST(c_nationkey AS VARCHAR) AS key,
+        |         count(*) AS cnt FROM customer GROUP BY 2
+        |) ORDER BY field, key""".stripMargin) { (s, d) =>
+      fed(s, d)
+      def top(f: String) =
+        s.table(s"$C.${FedData.EsSourceName}.customer_es")
+          .groupBy(f).agg(count(lit(1)).as("cnt"))
+          .select(lit(f).as("field"), col(f).cast("string").as("key"), col("cnt"))
+      top("c_mktsegment").unionAll(top("c_nationkey")).orderBy("field", "key")
     },
 
     // MONGO-PROTOCOL scan over a real socket (reference: sql_to_mgo.go:

@@ -299,6 +299,18 @@ class EsScanBuilder(ep: EsEndpoint) extends ScanBuilder
           case nr: NamedReference => fieldIdx(nr).map(("value_count", _, LongType))
           case _ => None
         }
+      // COUNT(DISTINCT f) -> the ES `cardinality` aggregation (the
+      // reference pushes its cardinality() the same way,
+      // sqltoes.go:599-611). Shipped with precision_threshold at its
+      // 40000 max: real ES cardinality is EXACT below the threshold
+      // (HLL engages only past it), so the pushed result is value-exact
+      // for any group under 40k distinct — and the loopback server
+      // computes the same exact count.
+      case c: Count if c.isDistinct =>
+        c.column() match {
+          case nr: NamedReference => fieldIdx(nr).map(("cardinality", _, LongType))
+          case _ => None
+        }
       // numeric-only: real ES min/max metrics are numeric aggregations
       case m: Min => m.column() match {
         case nr: NamedReference =>
@@ -366,7 +378,9 @@ class EsScanBuilder(ep: EsEndpoint) extends ScanBuilder
               case "sum_long" | "sum_double" => "sum"
               case other => other
             }
-            m.putObject(esKind).put("field", ep.schema.fields(idx).name)
+            val mo = m.putObject(esKind)
+            mo.put("field", ep.schema.fields(idx).name)
+            if (esKind == "cardinality") mo.put("precision_threshold", 40000)
             // ES sum over zero docs is 0.0, SQL SUM is NULL: a companion
             // value_count disambiguates (the reader nulls a 0-count sum)
             if (esKind == "sum")

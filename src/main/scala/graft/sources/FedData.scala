@@ -45,6 +45,9 @@ object FedData {
   val CqlSourceName = "cql"
   /** Datastore-protocol source: v1 `:runQuery` over the loopback socket. */
   val DsSourceName = "ds"
+  /** Kubernetes-protocol source: typed pods/nodes/services tables over
+    * the list API (`/api/v1/...` + fieldSelector) on the loopback socket. */
+  val KubeSourceName = "k8s"
 
   /** One staged table: (catalog table, format, parquet origin, part files,
     * declared key columns). Multi-file tables are the connector's scan
@@ -248,6 +251,57 @@ object FedData {
           // single-inequality budget allows range injection
           splits = Some(WireSplits("event_id",
             quantileSplits(rows.toSeq, events.schema, "event_id", 4)))))
+      }
+      // Kubernetes-protocol source: typed pods/nodes/services tables
+      // (the reference's _kube backend describes the same tables from
+      // the v1 API shapes, source.go:180-340). The cluster objects are
+      // DERIVED DETERMINISTICALLY from the testdata tables (pods from
+      // supplier, nodes from nation, services from region) so the
+      // DuckDB oracle can reproduce the listing in SQL — the kube gate
+      // is value-oracled like every other wire gate.
+      if (SourceRegistry.get(KubeSourceName).isEmpty)
+        SourceRegistry.register(SourceDef(
+          KubeSourceName, new File(base, KubeSourceName).getPath, "json", "kube"))
+      if (KubeEndpoints.get(KubeSourceName, "pods").isEmpty) {
+        val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+        val supplier = Tables.load(spark, sfDir, "supplier")
+          .select("s_suppkey", "s_nationkey").collect()
+        LoopbackKubeServer.register("pods", supplier.toSeq.map { r =>
+          val k = r.getAs[Number](0).longValue()
+          val n = r.getAs[Number](1).longValue()
+          val phase = (k % 3) match {
+            case 0 => "Running"; case 1 => "Pending"; case _ => "Succeeded"
+          }
+          Array[Any]("Pod", s"pod-$k",
+            if (n % 2 == 0) "default" else "kube-system",
+            s"uid-$k", s"""{"app":"app-${k % 4}"}""", t0,
+            phase, s"192.168.0.${n + 1}",
+            if (phase == "Pending") null else s"10.0.$n.${k % 250}",
+            s"node-$n", "Always", Boolean.box(k % 5 == 0))
+        })
+        val nation = Tables.load(spark, sfDir, "nation")
+          .select("n_nationkey", "n_regionkey").collect()
+        LoopbackKubeServer.register("nodes", nation.toSeq.map { r =>
+          val k = r.getAs[Number](0).longValue()
+          val g = r.getAs[Number](1).longValue()
+          Array[Any]("Node", s"node-$k", null, s"uid-n$k",
+            s"""{"region":"r$g"}""", t0,
+            Boolean.box(k % 7 == 0), s"10.$k.0.0/16", "amd64",
+            s"v1.28.${k % 3}")
+        })
+        val region = Tables.load(spark, sfDir, "region")
+          .select("r_regionkey").collect()
+        LoopbackKubeServer.register("services", region.toSeq.map { r =>
+          val k = r.getAs[Number](0).longValue()
+          Array[Any]("Service", s"svc-$k", "default", s"uid-s$k",
+            s"""{"tier":"t${k % 2}"}""", t0,
+            s"172.20.0.$k", if (k % 2 == 0) "ClusterIP" else "NodePort",
+            "None", null)
+        })
+        val baseUrl = LoopbackRestServer.ensureStarted()
+        Seq("pods", "nodes", "services").foreach(res =>
+          KubeEndpoints.register(KubeEndpoint(KubeSourceName, res,
+            KubeEndpointSpec(baseUrl, res, HttpRestConfig(pageSize = 512)))))
       }
       // BigTable-protocol source: customer keyed on c_name behind the
       // data API's :readRows shape — row-key equality/prefix/range

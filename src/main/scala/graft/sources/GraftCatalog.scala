@@ -98,7 +98,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     ((dirs ++ RestEndpoints.list(s.name) ++ EsEndpoints.list(s.name) ++
       MongoEndpoints.list(s.name) ++ CqlEndpoints.list(s.name) ++
       BqEndpoints.list(s.name) ++ DsEndpoints.list(s.name) ++
-      BtEndpoints.list(s.name)).sorted
+      BtEndpoints.list(s.name) ++ KubeEndpoints.list(s.name)).sorted
       :+ FilesMetaTable.Name)
       .map(Identifier.of(namespace, _))
   }
@@ -111,6 +111,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     BqEndpoints.get(s.name, ident.name()).foreach(ep => return new BqTable(ep))
     DsEndpoints.get(s.name, ident.name()).foreach(ep => return new DsTable(ep))
     BtEndpoints.get(s.name, ident.name()).foreach(ep => return new BtTable(ep))
+    KubeEndpoints.get(s.name, ident.name()).foreach(ep => return new KubeTable(ep))
     RestEndpoints.get(s.name, ident.name()) match {
       case Some(ep) => new RestTable(ep) // REST endpoints shadow nothing:
       // they live in sources without file tables of the same name

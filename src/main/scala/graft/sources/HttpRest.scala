@@ -198,6 +198,7 @@ object LoopbackRestServer {
     srv.createContext("/bq/", (ex: HttpExchange) => handleBq(ex))
     srv.createContext("/ds/", (ex: HttpExchange) => handleDs(ex))
     srv.createContext("/bt/", (ex: HttpExchange) => handleBt(ex))
+    srv.createContext("/k8s/", (ex: HttpExchange) => LoopbackKubeServer.handle(ex))
     // daemon workers: the loopback fixture must never keep a JVM alive
     srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-loopback-rest"); t.setDaemon(true); t
@@ -340,6 +341,9 @@ object LoopbackRestServer {
             }
             kind match {
               case "value_count" => o.put("value", vals.size.toLong)
+              // exact below precision_threshold — the contract the
+              // client relies on by shipping the 40000 maximum
+              case "cardinality" => o.put("value", vals.distinct.size.toLong)
               case "sum" =>
                 if (integral) o.put("value", vals.iterator.map(_.asInstanceOf[Number].longValue()).sum)
                 else o.put("value", vals.iterator.map(num).sum)

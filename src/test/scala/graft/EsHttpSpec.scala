@@ -153,6 +153,25 @@ class EsHttpSpec extends AnyFunSuite {
     assert(body.contains("\"terms\"") && body.contains("\"sum\""), body)
   }
 
+  test("COUNT(DISTINCT) pushes as a cardinality agg: COMPLETE, value-exact") {
+    val t = table("es_card")
+    val df = spark.table(t).groupBy("seg")
+      .agg(countDistinct(col("id")).as("n_ids"))
+    // COMPLETE pushdown: no Spark-side aggregate survives
+    val aggs = df.queryExecution.executedPlan.collect {
+      case h: HashAggregateExec => h: Any
+      case o: ObjectHashAggregateExec => o: Any
+      case s: SortAggregateExec => s: Any
+    }
+    assert(aggs.isEmpty, s"expected the cardinality agg to ship:\n${df.queryExecution}")
+    val got = df.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val want = rows.groupBy(r => Option(r(1).asInstanceOf[String]))
+      .map { case (k, g) => k -> g.map(_(0)).distinct.size.toLong }
+    assert(got == want)
+    val body = LoopbackRestServer.lastBody.get()
+    assert(body.contains("cardinality") && body.contains("precision_threshold"), body)
+  }
+
   test("global (ungrouped) stats aggregate through the wire") {
     val t = table("kv4")
     val r = spark.table(t).agg(count(lit(1)).as("n"), sum("id").as("s")).collect()(0)

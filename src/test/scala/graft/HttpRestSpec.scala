@@ -120,4 +120,87 @@ class HttpRestSpec extends AnyFunSuite {
     assert(seen.get("grp").contains("2"))
     assert(!seen.contains("score"))
   }
+
+  // ---- Kubernetes-shaped tables ------------------------------------------
+
+  private def kubeFixture(): String = {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    LoopbackKubeServer.register("pods", (0L until 30L).map { k =>
+      Array[Any]("Pod", s"pod-$k", if (k % 2 == 0) "default" else "prod",
+        s"uid-$k", s"""{"app":"app-${k % 3}"}""", t0,
+        if (k % 4 == 0) "Pending" else "Running", s"192.168.0.${k % 5}",
+        if (k % 4 == 0) null else s"10.0.0.$k", s"node-${k % 3}",
+        "Always", Boolean.box(k % 5 == 0))
+    })
+    LoopbackKubeServer.register("nodes", (0L until 3L).map { k =>
+      Array[Any]("Node", s"node-$k", null, s"uid-n$k", s"""{"region":"r0"}""",
+        t0, Boolean.box(false), s"10.$k.0.0/16", "amd64", "v1.28.0")
+    })
+    LoopbackKubeServer.register("services", (0L until 4L).map { k =>
+      Array[Any]("Service", s"svc-$k", "default", s"uid-s$k",
+        s"""{"tier":"t${k % 2}"}""", t0, s"172.20.0.$k",
+        if (k % 2 == 0) "ClusterIP" else "NodePort", "None", null)
+    })
+    val baseUrl = LoopbackRestServer.ensureStarted()
+    Seq("pods", "nodes", "services").foreach(res =>
+      KubeEndpoints.register(KubeEndpoint("k8stest", res,
+        KubeEndpointSpec(baseUrl, res, HttpRestConfig(retryBackoffMs = 5)))))
+    if (SourceRegistry.get("k8stest").isEmpty)
+      SourceRegistry.register(SourceDef("k8stest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/k8stest").getPath,
+        "json", "kube"))
+    SourceRegistry.ensureCatalog(spark)
+    s"${SourceRegistry.CatalogName}.k8stest"
+  }
+
+  test("pods list: fieldSelector pushdown, nested-document flattening") {
+    val ns = kubeFixture()
+    val df = spark.table(s"$ns.pods")
+      .filter(col("namespace") === "default" && col("phase") === "Running")
+      .select("name", "nodename", "podip")
+    val got = df.collect()
+    assert(got.length == (0L until 30L).count(k => k % 2 == 0 && k % 4 != 0))
+    assert(got.forall(r => r.getString(2) != null))
+    // both equalities rode the API's own selector surface
+    val sel = LoopbackRestServer.lastParams.get().getOrElse("fieldSelector", "")
+    assert(sel.contains("metadata.namespace=default") &&
+      sel.contains("status.phase=Running"), sel)
+  }
+
+  test("non-selector predicates polyfill; nodes and services read typed") {
+    val ns = kubeFixture()
+    // hostnetwork has no fieldSelector form: declined, Spark polyfills
+    val hn = spark.table(s"$ns.pods").filter(col("hostnetwork") === true)
+    assert(hn.count() == (0L until 30L).count(_ % 5 == 0))
+    assert(!LoopbackRestServer.lastParams.get().contains("fieldSelector"))
+    val nodes = spark.table(s"$ns.nodes").orderBy("name").collect()
+    assert(nodes.length == 3 && nodes(0).getAs[String]("podcidr") == "10.0.0.0/16")
+    val svc = spark.table(s"$ns.services").filter(col("type") === "NodePort")
+    assert(svc.count() == 2)
+  }
+
+  test("labels flatten to a JSON column; labelSelector filters server-side") {
+    val ns = kubeFixture()
+    val labeled = spark.table(s"$ns.pods")
+      .filter(col("labels").contains(""""app":"app-1"""")) // engine-side JSON poke
+    assert(labeled.count() == (0L until 30L).count(_ % 3 == 1))
+    // the server's own selector surface (what a deployment's controller
+    // sends): equality labelSelector filters before the response
+    val client = freshClient()
+    val resp = new com.fasterxml.jackson.databind.ObjectMapper().readTree(client.get("/k8s/api/v1/pods",
+      Map("labelSelector" -> "app=app-2")))
+    assert(resp.path("items").size() == (0L until 30L).count(_ % 3 == 2))
+  }
+
+  test("the API rejects unsupported fieldSelector keys with a 400") {
+    kubeFixture()
+    val client = freshClient()
+    val e = intercept[Exception](client.get("/k8s/api/v1/pods",
+      Map("fieldSelector" -> "spec.restartPolicy=Always")))
+    assert(e.getMessage.contains("field label not supported"), e.getMessage)
+    // and the limit parameter caps the listing (the real list API knob)
+    val resp = new com.fasterxml.jackson.databind.ObjectMapper().readTree(client.get("/k8s/api/v1/pods",
+      Map("limit" -> "7")))
+    assert(resp.path("items").size() == 7)
+  }
 }
