@@ -87,6 +87,27 @@ object Bench {
       // first spark.sql text parse initializes the ANTLR parser (~1s,
       // once per JVM) — session setup, not the first SQL query's cost
       spark.sql("SELECT md5('warmup') AS h, upper('x') AS u").collect()
+      // warm every loopback protocol server with one throwaway query per
+      // connector: server socket accept loops, HTTP dispatcher threads,
+      // and per-protocol codec classloading are backend spin-up, not the
+      // first wire-gate's cost (r9 spread_pct on 0.15s connector gates
+      // hit 100-450% because rep 1 paid the spin-up)
+      val C = graft.sources.SourceRegistry.CatalogName
+      Seq(
+        s"$C.${graft.sources.FedData.EsSourceName}.customer_es",
+        s"$C.${graft.sources.FedData.MongoSourceName}.orders_mongo",
+        s"$C.${graft.sources.FedData.CqlSourceName}.customer_cql",
+        s"$C.${graft.sources.FedData.BqSourceName}.orders_bqw",
+        s"$C.${graft.sources.FedData.DsSourceName}.events_ds",
+        s"$C.${graft.sources.FedData.BtSourceName}.customer_btw",
+        s"$C.${graft.sources.FedData.KubeSourceName}.pods",
+        s"$C.${graft.sources.FedData.RestSourceName}.nation_api")
+        .foreach { t =>
+          try spark.table(t).limit(1).collect()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] connector warmup $t failed: $e")
+          }
+        }
     } catch { case e: Throwable =>
       // a failed warmup silently shifts its cost into the first measured
       // queries — make it visible in the driver log

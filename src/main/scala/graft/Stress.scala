@@ -76,6 +76,64 @@ object Stress {
     def reset(): Unit = stages.clear()
   }
 
+  /** Per-range stride of the wire-scan stress op: partition count grows
+    * with the corpus while per-task rows stay ~WireStride. */
+  private val WireStride = 5000
+
+  /** Ops that exist only in the stress arm (not driver gates): the
+    * partitioned wire scan seeds a loopback Mongo collection from the
+    * staged corpus (once per dir — min-of-N reps drops the seeding rep)
+    * with range splits every [[WireStride]] docs, scans it through the
+    * DSv2 fan-out, and ASSERTS the flat-task contract before returning a
+    * one-row summary. */
+  private val wireSeeded = scala.collection.mutable.Set.empty[String]
+  private def stressOnlyOps: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "q_src_wire_scan" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      import graft.sources._
+      val coll = "stress_docs_" + new java.io.File(dir).getName
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_chars", LongType)))
+      wireSeeded.synchronized {
+        if (!wireSeeded.contains(coll)) {
+          // SERVER fixture seeding (driver-bounded: two longs per doc)
+          val seed = s.read.parquet(new java.io.File(dir, "documents.parquet").getPath)
+            .select(col("doc_id"), col("n_chars")).collect()
+            .map(r => Array[Any](r.getLong(0), r.getLong(1)))
+          LoopbackMongoServer.register(coll, schema, seed.toSeq)
+          val keys = seed.map(_(0).asInstanceOf[Long]).sorted
+          val pts: Seq[Any] = (WireStride until keys.length by WireStride)
+            .map(keys(_): Any)
+          val (h, p) = LoopbackMongoServer.ensureStarted()
+          MongoEndpoints.register(MongoEndpoint("stresswire", coll, schema,
+            MongoEndpointSpec(h, p, LoopbackMongoServer.Db, coll,
+              MongoClientConfig(batchSize = 1024)),
+            splits = Some(WireSplits("doc_id", pts))))
+          if (SourceRegistry.get("stresswire").isEmpty)
+            SourceRegistry.register(SourceDef("stresswire",
+              new java.io.File(sys.props("user.dir"),
+                "target/graft-stress/wire").getPath, "json", "mongo"))
+          SourceRegistry.ensureCatalog(s)
+          wireSeeded += coll
+        }
+      }
+      val t = s"${SourceRegistry.CatalogName}.stresswire.$coll"
+      val perPart = s.table(t).filter(col("n_chars") > 50)
+        .rdd.mapPartitions(it => Iterator.single(it.size.toLong)).collect()
+      // the flat-task contract, asserted loudly: the scan must fan out
+      // (never collapse to one task past one stride) and no range may
+      // balloon past ~2 strides (quantile splits tile evenly)
+      val total = perPart.sum
+      require(perPart.length >= math.max(1, (total / (2 * WireStride)).toInt),
+        s"wire scan under-partitioned: ${perPart.length} tasks for $total rows")
+      require(perPart.max <= 2L * WireStride,
+        s"wire partition hot spot: ${perPart.max} rows in one task " +
+          s"(stride $WireStride): ${perPart.toSeq}")
+      import s.implicits._
+      Seq((perPart.length.toLong, perPart.max, total))
+        .toDF("n_parts", "max_rows_per_part", "total_rows")
+    })
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val r = sys.env.getOrElse("SPARK_GRAFT_STRESS_X", "10").toInt
@@ -175,7 +233,9 @@ object Stress {
       "q_curation_bloom_decontam", "q_text_pmi", "q_cdc_snapshot_diff",
       // round-9 additions (second batch): chained-window funnel over
       // disjoint user replicas, SCD2 snapshot merge
-      "q_events_funnel", "q_cdc_scd2")
+      "q_events_funnel", "q_cdc_scd2",
+      // round-10: partitioned wire scan (flat per-task contract)
+      "q_src_wire_scan")
     // optional comma-separated subset for fast local iteration; the
     // driver never sets it → full sweep
     val ops = sys.env.get("SPARK_GRAFT_STRESS_OPS")
@@ -268,7 +328,13 @@ object Stress {
       "q_events_funnel" -> defB.copy(linearRows = false, corpusShuffle = true),
       // r9 batch 2: same join shape as the snapshot diff, history rows
       // scale with the corpus
-      "q_cdc_scd2" -> defB)
+      "q_cdc_scd2" -> defB,
+      // r10: partitioned wire scan — ranges tile the key space with a
+      // FIXED ~5k-docs-per-range stride, so partition count scales with
+      // the corpus and per-task rows stay FLAT (asserted inside the op:
+      // a collapse back to one task, or a ballooning range, throws).
+      // Wall time is linear work over growing parallelism; no shuffle.
+      "q_src_wire_scan" -> defB.copy(time = 6.0, linearRows = false))
 
     final case class Obs(sec: Double, rows: Long, maxInMb: Double, maxShMb: Double,
         top: Seq[(Int, String, Long, Long)])
@@ -277,7 +343,7 @@ object Stress {
       System.gc()
       listener.reset()
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, dir)
+      val df = SparkEntry.queries.getOrElse(name, stressOnlyOps(name))(spark, dir)
       // execute the physical plan AS PLANNED and count its rows: a
       // df.count() would let Catalyst prune every computed column out of
       // pure-projection operators (BPE encode would degrade to a parquet

@@ -128,6 +128,12 @@ object FedData {
       }
       src
     }.head.tap { _ =>
+      // Every collect() below seeds a loopback SERVER with its backend
+      // dataset — the stand-in for data that lives in the remote service,
+      // not a data-path collect. INVARIANT: wire-gate corpora stay
+      // fixture-sized (bounded by the SF tables staged here); growing one
+      // past driver heap means moving the backend out of process, never
+      // collecting more.
       // REST source over a REAL socket: the nation-dimension listing is
       // served by the loopback HTTP backend (25 rows at every SF —
       // metadata-sized, like the reference's Lytics segment API; the
