@@ -47,7 +47,7 @@ object FedData {
   val DsSourceName = "ds"
   /** Kubernetes-protocol source: typed pods/nodes/services tables over
     * the list API (`/api/v1/...` + fieldSelector) on the loopback socket. */
-  val KubeSourceName = "k8s"
+  val KubeSourceName = "kube"
 
   /** One staged table: (catalog table, format, parquet origin, part files,
     * declared key columns). Multi-file tables are the connector's scan
