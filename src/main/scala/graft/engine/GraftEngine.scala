@@ -74,10 +74,6 @@ class GraftEngine(val spark: SparkSession) {
   import GraftEngine._
 
   def sql(text0: String): DataFrame = {
-    // statement scoping for the distribution hint: a prior statement's
-    // node_ct must not bleed into this one (serial session model)
-    if (spark.conf.getOption(graft.sources.WireFanout.ConfKey).isDefined)
-      spark.conf.unset(graft.sources.WireFanout.ConfKey)
     val text = normalizeBrackets(text0); text match {
     // the reference's statement-level distribution hint: `SELECT ...
     // WITH distributed=true, node_ct=2` (planner/sql_master.go:63-98
@@ -93,12 +89,24 @@ class GraftEngine(val spark: SparkSession) {
       kvs.get("node_ct").map(_.toInt) match {
         case Some(n) if n > 0 =>
           // node_ct drives the SOURCE fan-out, not just the result's:
-          // wire-connector scans planned under this statement split into
-          // n key-range partitions (sql_master.go:78-97 derives the
-          // worker fleet the same way). Statement-scoped under the
-          // engine's serial execution: cleared at the next sql() entry.
-          spark.conf.set(graft.sources.WireFanout.ConfKey, n.toString)
-          df.repartition(n)
+          // wire-connector scans under this statement split into n
+          // key-range partitions (sql_master.go:78-97 derives the
+          // worker fleet the same way). The hint rides INSIDE the
+          // statement's plan as a per-relation read option, so it is
+          // truly statement-scoped: it survives the returned
+          // DataFrame's laziness and cannot bleed into scans planned
+          // by other statements (no session state involved).
+          import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          val hinted = df.queryExecution.analyzed.transform {
+            case r: DataSourceV2Relation
+                if r.table.isInstanceOf[graft.sources.WireScanTable] =>
+              val m = new java.util.HashMap[String, String](r.options)
+              m.put(graft.sources.WireFanout.OptionKey, n.toString)
+              r.copy(options =
+                new org.apache.spark.sql.util.CaseInsensitiveStringMap(m))
+          }
+          org.apache.spark.sql.graftbridge.PlanDataFrame.ofRows(spark, hinted)
+            .repartition(n)
         case _ => df
       }
 
@@ -149,7 +157,7 @@ class GraftEngine(val spark: SparkSession) {
     // {json}`, README.md:64-76, dispatched mysql_handler.go:253-260).
     // Accepted JSON keys: path (required), type ("csv"|"json", default csv).
     case CreateSource(name, json) =>
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val node = graft.sources.EsDsl.M.readTree(json)
       val path = Option(node.get("path")).map(_.asText())
         .getOrElse(throw new IllegalArgumentException(
           s"CREATE SOURCE $name: missing \"path\""))
@@ -475,9 +483,9 @@ class GraftEngine(val spark: SparkSession) {
     val whereSql = if (preds.isEmpty) "TRUE" else preds.flatten.mkString(" AND ")
     val sql = s"UPDATE ${ep.spec.table} SET $setSql WHERE $whereSql"
     val client = new HttpRestClient(ep.spec.baseUrl, ep.spec.cfg)
-    val resp = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+    val resp = graft.sources.EsDsl.M.readTree(
       client.postJson(s"/bq/${ep.spec.table}/query",
-        new com.fasterxml.jackson.databind.ObjectMapper().createObjectNode()
+        graft.sources.EsDsl.M.createObjectNode()
           .put("query", sql).toString))
     import spark.implicits._
     Seq(resp.path("numDmlAffectedRows").asText("0").toLong).toDF("affected_rows")
@@ -510,7 +518,7 @@ class GraftEngine(val spark: SparkSession) {
         else org.apache.spark.sql.functions.expr(substitute(cond)))
       .collect()
     if (matched.nonEmpty) {
-      val M = new com.fasterxml.jackson.databind.ObjectMapper()
+      val M = graft.sources.EsDsl.M
       val body = M.createObjectNode()
       val muts = body.putArray("mutations")
       matched.foreach { row =>

@@ -507,14 +507,15 @@ object BqEndpoints {
 
 class BqTable(val ep: BqEndpoint) extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with WireScanTable {
   override def name(): String =
     s"${SourceRegistry.CatalogName}.${ep.source}.${ep.table}"
   override def schema(): StructType = ep.schema
   override def capabilities(): util.Set[TableCapability] =
     util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BqScanBuilder(ep)
+    new BqScanBuilder(ep, WireFanout.hintFrom(options))
 
   /** INSERT INTO: every task streams its rows as tabledata `insertAll`
     * batches (the reference's BQ Put sink is the same streaming-insert
@@ -555,38 +556,19 @@ class BqBatchWrite(ep: BqEndpoint)
 }
 
 class BqWriterFactory(spec: BqEndpointSpec, schemaJson: String)
-  extends org.apache.spark.sql.connector.write.DataWriterFactory {
-  import org.apache.spark.sql.connector.write._
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val client = new HttpRestClient(spec.baseUrl, spec.cfg)
-    val toScala = CatalystTypeConverters.createToScalaConverter(schema)
-    new DataWriter[InternalRow] {
-      private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-      private def flush(): Unit = if (buf.nonEmpty) {
-        val body = EsDsl.M.createObjectNode()
-        val arr = body.putArray("rows")
-        buf.foreach { row =>
-          val json = arr.addObject().putObject("json")
-          schema.fields.zipWithIndex.foreach { case (f, i) =>
-            if (!row.isNullAt(i)) json.put(f.name, LineCodec.render(row.get(i)))
-          }
-        }
-        client.postJson(s"/bq/${spec.table}/insertAll", body.toString)
-        buf.clear()
+  extends HttpBatchWriterFactory(spec.baseUrl, spec.cfg, schemaJson) {
+  // streaming insert is at-least-once per batch, like the reference's Put
+  override protected def send(client: HttpRestClient, schema: StructType,
+      rows: Seq[Row]): Unit = {
+    val body = EsDsl.M.createObjectNode()
+    val arr = body.putArray("rows")
+    rows.foreach { row =>
+      val json = arr.addObject().putObject("json")
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (!row.isNullAt(i)) json.put(f.name, LineCodec.render(row.get(i)))
       }
-      override def write(record: InternalRow): Unit = {
-        buf += toScala(record).asInstanceOf[Row]
-        if (buf.size >= 256) flush()
-      }
-      override def commit(): WriterCommitMessage = {
-        flush()
-        new WriterCommitMessage {}
-      }
-      override def abort(): Unit = buf.clear() // already-sent batches stay:
-      // streaming insert is at-least-once per batch, like the reference's Put
-      override def close(): Unit = ()
     }
+    client.postJson(s"/bq/${spec.table}/insertAll", body.toString)
   }
 }
 
@@ -594,7 +576,7 @@ class BqWriterFactory(spec: BqEndpointSpec, schemaJson: String)
   * filter trees (incl. OR/NOT), COMPLETE aggregation, exact top-N /
   * limit / offset (`isPartiallyPushed` = false: the warehouse's answer
   * IS the final answer, Spark plans a bare scan). */
-class BqScanBuilder(ep: BqEndpoint) extends ScanBuilder
+class BqScanBuilder(ep: BqEndpoint, hint: Option[Int] = None) extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
@@ -733,13 +715,13 @@ class BqScanBuilder(ep: BqEndpoint) extends ScanBuilder
         val w = pushed.toSeq.flatMap(BqSql.render) :+ extra
         s"SELECT $selectSql FROM ${ep.table} WHERE ${w.mkString(" AND ")}"
       })
-    new BqScan(ep, outSchema, sql, sqlFor, pushed, agg.isDefined)
+    new BqScan(ep, outSchema, sql, sqlFor, pushed, agg.isDefined, hint)
   }
 }
 
 class BqScan(ep: BqEndpoint, out: StructType, sql: String,
     sqlFor: Option[String => String], pushed: Array[Filter],
-    aggMode: Boolean) extends Scan with Batch {
+    aggMode: Boolean, hint: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = out
 
@@ -764,7 +746,7 @@ class BqScan(ep: BqEndpoint, out: StructType, sql: String,
     def single = Array[InputPartition](BqPartition(ep.spec, sql, out.json))
     val render = sqlFor.getOrElse(return single)
     val ws = ep.splits.getOrElse(return single)
-    val n = WireFanout.effective(ws.points.size + 1)
+    val n = WireFanout.effective(ws.points.size + 1, hint)
     val pts = WireFanout.thin(ws.points.toIndexedSeq, n)
       .flatMap(BqSql.renderLit) // unrenderable split values => no fan-out
     if (pts.isEmpty) return single

@@ -204,14 +204,15 @@ object BtEndpoints {
 
 class BtTable(val ep: BtEndpoint) extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with WireScanTable {
   override def name(): String =
     s"${SourceRegistry.CatalogName}.${ep.source}.${ep.table}"
   override def schema(): StructType = ep.schema
   override def capabilities(): util.Set[TableCapability] =
     util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BtScanBuilder(ep)
+    new BtScanBuilder(ep, WireFanout.hintFrom(options))
 
   /** INSERT INTO: tasks stream `:mutateRows` batches of cell-set
     * mutations — a BigTable Put is an upsert on the row key
@@ -234,13 +235,21 @@ class BtTable(val ep: BtEndpoint) extends Table with SupportsRead
         vs.forall(_.isInstanceOf[String])
       case IsNotNull(a) => a.equalsIgnoreCase(ep.keyCol)
       case _ => false
+    } && filters.exists { // a bare IsNotNull pins no keys: refuse loudly
+      case _: EqualTo | _: In => true
+      case _ => false
     }
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val keys = filters.toSeq.flatMap {
-      case EqualTo(_, v: String) => Seq(v)
-      case In(_, vs) => vs.toSeq.map(_.asInstanceOf[String])
-      case _ => Nil
-    }.distinct
+    // the filters are a CONJUNCTION: intersect the key sets (k = 'a'
+    // AND k IN ('a','b') deletes only 'a'; a contradiction deletes
+    // nothing) — a union here would delete rows the WHERE never matched
+    val keySets = filters.toSeq.collect {
+      case EqualTo(_, v: String) => Set(v)
+      case In(_, vs) => vs.toSeq.map(_.asInstanceOf[String]).toSet
+    }
+    val keys = keySets.reduceOption(_ intersect _).getOrElse(Set.empty[String])
+      .toSeq.sorted
+    if (keys.isEmpty) return // provably-empty conjunction: no request
     val M = EsDsl.M
     val body = M.createObjectNode()
     val entries = body.putArray("entries")
@@ -268,49 +277,30 @@ class BtBatchWrite(ep: BtEndpoint)
 }
 
 class BtWriterFactory(spec: BtEndpointSpec, schemaJson: String)
-  extends org.apache.spark.sql.connector.write.DataWriterFactory {
-  import org.apache.spark.sql.connector.write._
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val client = new HttpRestClient(spec.baseUrl, spec.cfg)
-    val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+  extends HttpBatchWriterFactory(spec.baseUrl, spec.cfg, schemaJson) {
+  override protected def send(client: HttpRestClient, schema: StructType,
+      rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    val M = EsDsl.M
+    val b64 = (x: String) =>
+      java.util.Base64.getEncoder.encodeToString(x.getBytes("UTF-8"))
     val ki = schema.fieldNames.indexWhere(_.equalsIgnoreCase(spec.keyCol))
-    new DataWriter[InternalRow] {
-      private val M = EsDsl.M
-      private val b64 = (x: String) =>
-        java.util.Base64.getEncoder.encodeToString(x.getBytes("UTF-8"))
-      private val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-      private def flush(): Unit = if (buf.nonEmpty) {
-        val body = M.createObjectNode()
-        val entries = body.putArray("entries")
-        buf.foreach { row =>
-          require(!row.isNullAt(ki), "row key must not be null")
-          val e = entries.addObject()
-          e.put("rowKey", b64(String.valueOf(row.get(ki))))
-          val cells = e.putObject("cells")
-          schema.fields.zipWithIndex.foreach { case (f, i) =>
-            if (i != ki && !row.isNullAt(i))
-              cells.put(f.name, b64(LineCodec.render(row.get(i))))
-          }
-        }
-        client.postJson(s"/bt/${spec.table}:mutateRows", body.toString)
-        buf.clear()
+    val body = M.createObjectNode()
+    val entries = body.putArray("entries")
+    rows.foreach { row =>
+      require(!row.isNullAt(ki), "row key must not be null")
+      val e = entries.addObject()
+      e.put("rowKey", b64(String.valueOf(row.get(ki))))
+      val cells = e.putObject("cells")
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (i != ki && !row.isNullAt(i))
+          cells.put(f.name, b64(LineCodec.render(row.get(i))))
       }
-      override def write(record: InternalRow): Unit = {
-        buf += toScala(record).asInstanceOf[org.apache.spark.sql.Row]
-        if (buf.size >= 256) flush()
-      }
-      override def commit(): WriterCommitMessage = {
-        flush()
-        new WriterCommitMessage {}
-      }
-      override def abort(): Unit = buf.clear() // at-least-once per batch
-      override def close(): Unit = ()
     }
+    client.postJson(s"/bt/${spec.table}:mutateRows", body.toString)
   }
 }
 
-class BtScanBuilder(ep: BtEndpoint) extends ScanBuilder
+class BtScanBuilder(ep: BtEndpoint, hint: Option[Int] = None) extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit {
@@ -340,11 +330,11 @@ class BtScanBuilder(ep: BtEndpoint) extends ScanBuilder
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan =
-    new BtScan(ep, required, rowSet, limit, pushed)
+    new BtScan(ep, required, rowSet, limit, pushed, hint)
 }
 
 class BtScan(ep: BtEndpoint, required: StructType, rowSet: BtQuery.RowSet,
-    limit: Int, pushed: Array[Filter]) extends Scan with Batch {
+    limit: Int, pushed: Array[Filter], hint: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -368,7 +358,7 @@ class BtScan(ep: BtEndpoint, required: StructType, rowSet: BtQuery.RowSet,
     if (rowSet == BtQuery.Empty) return Array.empty
     def single = Array[InputPartition](
       BtPartition(ep.spec, rowSet.ranges, rowSet.keys, limit, required.json))
-    val n = WireFanout.effective(ep.fanout)
+    val n = WireFanout.effective(ep.fanout, hint)
     if (n <= 1 || rowSet.keys.nonEmpty) return single
     val samples =
       try BtQuery.sampleRowKeys(ep.spec)

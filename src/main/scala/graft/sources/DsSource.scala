@@ -273,14 +273,15 @@ object DsEndpoints {
 
 class DsTable(val ep: DsEndpoint) extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with WireScanTable {
   override def name(): String =
     s"${SourceRegistry.CatalogName}.${ep.source}.${ep.table}"
   override def schema(): StructType = ep.schema
   override def capabilities(): util.Set[TableCapability] =
     util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DsScanBuilder(ep)
+    new DsScanBuilder(ep, WireFanout.hintFrom(options))
 
   private def keyOrRefuse: String = ep.keyCol.getOrElse(
     throw new IllegalArgumentException(
@@ -310,14 +311,21 @@ class DsTable(val ep: DsEndpoint) extends Table with SupportsRead
         vs.forall(v => v != null && DsQuery.valueNode(v).isDefined)
       case IsNotNull(a) => a.equalsIgnoreCase(k)
       case _ => false
-    })
+    }) && filters.exists { // a bare IsNotNull pins no keys: refuse loudly
+      case _: EqualTo | _: In => true
+      case _ => false
+    }
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val key = keyOrRefuse
-    val keys: Seq[Any] = filters.toSeq.flatMap {
-      case EqualTo(_, v) => Seq(v)
-      case In(_, vs) => vs.toSeq
-      case _ => Nil
-    }.distinct
+    // conjunctive filters: INTERSECT the key sets (k = 2 AND k IN (4)
+    // is a contradiction and must delete nothing, never the union)
+    val keySets = filters.toSeq.collect {
+      case EqualTo(_, v) => Set(v)
+      case In(_, vs) => vs.toSet
+    }
+    val keys: Seq[Any] = keySets.reduceOption(_ intersect _)
+      .getOrElse(Set.empty[Any]).toSeq
+    if (keys.isEmpty) return // provably-empty conjunction: no request
     val M = EsDsl.M
     val body = M.createObjectNode()
     val muts = body.putArray("mutations")
@@ -344,45 +352,26 @@ class DsBatchWrite(ep: DsEndpoint)
 }
 
 class DsWriterFactory(spec: DsEndpointSpec, schemaJson: String)
-  extends org.apache.spark.sql.connector.write.DataWriterFactory {
-  import org.apache.spark.sql.connector.write._
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val client = new HttpRestClient(spec.baseUrl, spec.cfg)
-    val toScala = CatalystTypeConverters.createToScalaConverter(schema)
-    new DataWriter[InternalRow] {
-      private val M = EsDsl.M
-      private val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-      private def flush(): Unit = if (buf.nonEmpty) {
-        val body = M.createObjectNode()
-        val muts = body.putArray("mutations")
-        buf.foreach { row =>
-          val props = muts.addObject().putObject("upsert").putObject("properties")
-          schema.fields.zipWithIndex.foreach { case (f, i) =>
-            val v = if (row.isNullAt(i)) null else row.get(i)
-            props.set[com.fasterxml.jackson.databind.JsonNode](f.name,
-              DsQuery.valueNode(v).getOrElse(throw new java.io.IOException(
-                s"value $v has no datastore form")))
-          }
-        }
-        client.postJson(s"/ds/${spec.kind}:commit", body.toString)
-        buf.clear()
+  extends HttpBatchWriterFactory(spec.baseUrl, spec.cfg, schemaJson) {
+  override protected def send(client: HttpRestClient, schema: StructType,
+      rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    val M = EsDsl.M
+    val body = M.createObjectNode()
+    val muts = body.putArray("mutations")
+    rows.foreach { row =>
+      val props = muts.addObject().putObject("upsert").putObject("properties")
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val v = if (row.isNullAt(i)) null else row.get(i)
+        props.set[com.fasterxml.jackson.databind.JsonNode](f.name,
+          DsQuery.valueNode(v).getOrElse(throw new java.io.IOException(
+            s"value $v has no datastore form")))
       }
-      override def write(record: InternalRow): Unit = {
-        buf += toScala(record).asInstanceOf[org.apache.spark.sql.Row]
-        if (buf.size >= 256) flush()
-      }
-      override def commit(): WriterCommitMessage = {
-        flush()
-        new WriterCommitMessage {}
-      }
-      override def abort(): Unit = buf.clear() // at-least-once per batch
-      override def close(): Unit = ()
     }
+    client.postJson(s"/ds/${spec.kind}:commit", body.toString)
   }
 }
 
-class DsScanBuilder(ep: DsEndpoint) extends ScanBuilder
+class DsScanBuilder(ep: DsEndpoint, hint: Option[Int] = None) extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
@@ -446,13 +435,13 @@ class DsScanBuilder(ep: DsEndpoint) extends ScanBuilder
       else required.fieldNames.toSeq
     new DsScan(ep, required,
       DsQuery.queryJson(ep.spec.kind, props, accepted, orders, limit, ""),
-      accepted, orders, limit, pushed)
+      accepted, orders, limit, pushed, hint)
   }
 }
 
 class DsScan(ep: DsEndpoint, required: StructType, queryBody: String,
     accepted: Seq[DsQuery.PropFilter], orders: Seq[(String, Boolean)],
-    limit: Int, pushed: Array[Filter]) extends Scan with Batch {
+    limit: Int, pushed: Array[Filter], hint: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -480,7 +469,7 @@ class DsScan(ep: DsEndpoint, required: StructType, queryBody: String,
     val foreignIneq = accepted.exists(p =>
       p.op != "EQUAL" && !p.prop.equalsIgnoreCase(ws.key))
     if (foreignIneq) return single
-    val n = WireFanout.effective(ws.points.size + 1)
+    val n = WireFanout.effective(ws.points.size + 1, hint)
     val pts = WireFanout.thin(ws.points.toIndexedSeq, n)
     if (pts.isEmpty) return single
     val props =

@@ -44,13 +44,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * client — no driver-registry lookups ([[ClusterSmoke]] enforces this).
   *
   * 100 TB: pushed filters/aggs execute inside the backend (the point of
-  * the translation); un-aggregated hits stream back `from`/`size`-paged.
-  * A real deployment would add slice-scroll partitioning (ES's parallel
-  * scan); the single-stream page loop here matches the reference client.
+  * the translation). Un-aggregated hit scans fan out as N sliced-scroll
+  * partitions (ES's parallel-scan API — `slice` is only legal in a
+  * scroll context, so each task opens `?scroll=` and pages through
+  * `/_search/scroll`); a single-partition read pages `from`/`size`.
   */
 object EsDsl {
 
-  private[sources] val M = new ObjectMapper()
+  private[graft] val M = new ObjectMapper()
 
   /** Compile one Spark filter to a DSL node; None = not expressible. */
   def compile(f: Filter): Option[ObjectNode] = f match {
@@ -241,17 +242,17 @@ object EsEndpoints {
     endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
 }
 
-class EsTable(val ep: EsEndpoint) extends Table with SupportsRead {
+class EsTable(val ep: EsEndpoint) extends Table with SupportsRead with WireScanTable {
   override def name(): String =
     s"${SourceRegistry.CatalogName}.${ep.source}.${ep.table}"
   override def schema(): StructType = ep.schema
   override def capabilities(): util.Set[TableCapability] =
     util.Set.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EsScanBuilder(ep)
+    new EsScanBuilder(ep, WireFanout.hintFrom(options))
 }
 
-class EsScanBuilder(ep: EsEndpoint) extends ScanBuilder
+class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None) extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
@@ -407,19 +408,21 @@ class EsScanBuilder(ep: EsEndpoint) extends ScanBuilder
         }
         new EsScan(ep, required = outSchema, dslBody = body.toString,
           pushed = pushed, aggMode = true,
-          aggKinds = aggs.map(_._1), groupCount = groupIdx.size, limit = -1)
+          aggKinds = aggs.map(_._1), groupCount = groupIdx.size, limit = -1,
+          hint = hint)
       case None =>
         val body = EsDsl.M.createObjectNode()
         body.set[ObjectNode]("query", dsl)
         new EsScan(ep, required, body.toString, pushed,
-          aggMode = false, aggKinds = Nil, groupCount = 0, limit = limit)
+          aggMode = false, aggKinds = Nil, groupCount = 0, limit = limit,
+          hint = hint)
     }
   }
 }
 
 class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
     pushed: Array[Filter], aggMode: Boolean, aggKinds: Seq[String],
-    groupCount: Int, limit: Int) extends Scan with Batch {
+    groupCount: Int, limit: Int, hint: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -436,7 +439,7 @@ class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
     * set). Aggregation pushdown stays single-partition: ES cannot slice
     * an aggs request, and the COMPLETE-agg result is metadata-sized. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = if (aggMode) 1 else WireFanout.effective(ep.spec.slices)
+    val n = if (aggMode) 1 else WireFanout.effective(ep.spec.slices, hint)
     Array.tabulate(n) { i =>
       EsPartition(ep.spec, dslBody, ep.schema.json, required.json,
         aggMode, aggKinds, groupCount, limit,
@@ -492,36 +495,74 @@ class EsReaderFactory extends PartitionReaderFactory {
           }
         rows.map(conv(_).asInstanceOf[InternalRow])
       } else {
-        // hits stream back from/size-paged; a pushed limit caps the total
         val pageSize = math.max(1, math.min(p.spec.cfg.pageSize,
           if (p.limit > 0) p.limit else p.spec.cfg.pageSize))
         val outIdx = required.fieldNames.map(n =>
           full.fieldNames.indexWhere(_.equalsIgnoreCase(n)))
-        var from = 0L
         var done = false
         var yielded = 0L
-        val pages: Iterator[Iterator[String]] = new Iterator[Iterator[String]] {
-          override def hasNext: Boolean = !done && (p.limit < 0 || yielded < p.limit)
-          override def next(): Iterator[String] = {
-            val want = if (p.limit > 0) math.min(pageSize.toLong, p.limit - yielded)
-              else pageSize.toLong
-            val body = EsDsl.M.readTree(p.dslBody).asInstanceOf[ObjectNode]
-            body.put("from", from)
-            body.put("size", want)
-            if (p.sliceMax > 1) {
-              val sl = body.putObject("slice")
-              sl.put("id", p.sliceId)
-              sl.put("max", p.sliceMax)
+        val pages: Iterator[Iterator[String]] =
+          if (p.sliceMax > 1) new Iterator[Iterator[String]] {
+            // sliced scroll: `slice` is only legal in a scroll (or PIT)
+            // context — real ES 400s it in a plain from/size _search,
+            // and the loopback server enforces the same. Open with
+            // ?scroll= and page via /_search/scroll; no `from` anywhere
+            // (also refused in a scroll context).
+            private var scrollId: Option[String] = None
+            override def hasNext: Boolean = {
+              val more = !done && (p.limit < 0 || yielded < p.limit)
+              if (!more) scrollId.foreach { id =>
+                // early stop (pushed limit): free the server cursor
+                try client.deleteJson("/es/_search/scroll",
+                  s"""{"scroll_id":"$id"}""")
+                catch { case _: Exception => () } // best-effort clear
+                scrollId = None
+              }
+              more
             }
-            val resp = EsDsl.M.readTree(client.postJson(path, body.toString))
-            val hits = resp.path("hits").path("hits")
-            val srcs = hits.elements().asScala.map(h => h.path("_source").toString).toArray
-            from += want
-            yielded += srcs.length
-            if (srcs.length < want) done = true
-            srcs.iterator
+            override def next(): Iterator[String] = {
+              val resp = scrollId match {
+                case None =>
+                  val body = EsDsl.M.readTree(p.dslBody).asInstanceOf[ObjectNode]
+                  body.put("size", pageSize)
+                  val sl = body.putObject("slice")
+                  sl.put("id", p.sliceId)
+                  sl.put("max", p.sliceMax)
+                  EsDsl.M.readTree(client.postJson(path, body.toString,
+                    Map("scroll" -> "1m")))
+                case Some(id) =>
+                  EsDsl.M.readTree(client.postJson("/es/_search/scroll",
+                    s"""{"scroll":"1m","scroll_id":"$id"}"""))
+              }
+              scrollId = Option(resp.path("_scroll_id").asText(null)).filter(_.nonEmpty)
+              val hits = resp.path("hits").path("hits")
+              var srcs = hits.elements().asScala.map(h => h.path("_source").toString).toArray
+              if (p.limit > 0 && yielded + srcs.length > p.limit)
+                srcs = srcs.take((p.limit - yielded).toInt)
+              yielded += srcs.length
+              if (srcs.length < pageSize) done = true
+              srcs.iterator
+            }
+          } else new Iterator[Iterator[String]] {
+            // single-stream read: plain from/size paging (a pushed
+            // limit caps the total and stops fetching early)
+            private var from = 0L
+            override def hasNext: Boolean = !done && (p.limit < 0 || yielded < p.limit)
+            override def next(): Iterator[String] = {
+              val want = if (p.limit > 0) math.min(pageSize.toLong, p.limit - yielded)
+                else pageSize.toLong
+              val body = EsDsl.M.readTree(p.dslBody).asInstanceOf[ObjectNode]
+              body.put("from", from)
+              body.put("size", want)
+              val resp = EsDsl.M.readTree(client.postJson(path, body.toString))
+              val hits = resp.path("hits").path("hits")
+              val srcs = hits.elements().asScala.map(h => h.path("_source").toString).toArray
+              from += want
+              yielded += srcs.length
+              if (srcs.length < want) done = true
+              srcs.iterator
+            }
           }
-        }
         JsonCodec.lineRecords(pages.flatten, full).map { row =>
           conv(Row.fromSeq(outIdx.toSeq.map(i => if (i < 0) null else row(i))))
             .asInstanceOf[InternalRow]

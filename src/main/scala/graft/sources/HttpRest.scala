@@ -64,6 +64,18 @@ final class HttpRestClient(val baseUrl: String, val cfg: HttpRestConfig = HttpRe
   def postJson(path: String, body: String, params: Map[String, String] = Map.empty): String =
     exchange(path, params, Some(body))
 
+  /** DELETE with a JSON body — the ES clear-scroll request shape
+    * (`DELETE /_search/scroll {"scroll_id": ...}`). Best-effort: a
+    * cursor the server already dropped answers 404 and that is fine. */
+  def deleteJson(path: String, body: String): String = {
+    val req = HttpRequest.newBuilder(URI.create(baseUrl + path))
+      .timeout(Duration.ofMillis(cfg.requestTimeoutMs))
+      .header("Content-Type", "application/json")
+      .method("DELETE", HttpRequest.BodyPublishers.ofString(body)).build()
+    requests.incrementAndGet()
+    client.send(req, HttpResponse.BodyHandlers.ofString()).body()
+  }
+
   private def exchange(path: String, params: Map[String, String],
       body: Option[String]): String = {
     val qs = params.toSeq.sortBy(_._1)
@@ -158,6 +170,16 @@ object LoopbackRestServer {
   val served = new AtomicLong(0)
   /** The last query-string params seen (pushdown assertions). */
   val lastParams = new AtomicReference[Map[String, String]](Map.empty)
+
+  /** Live ES scroll cursors (sliced-scroll reads): id -> the matched
+    * rows not yet returned. Fixture-bounded (the registered tables live
+    * in memory anyway) and capped, so an abandoned cursor — a reader
+    * that stopped at a pushed LIMIT — cannot accumulate past the cap. */
+  private final case class EsScroll(schema: StructType, total: Int,
+      remaining: Seq[Array[Any]], size: Int)
+  private val esScrolls = TrieMap.empty[String, EsScroll]
+  private val esScrollSeq = new AtomicLong(0)
+  private val EsScrollCap = 256
 
   def register(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit =
     tables.put(name.toLowerCase, TableData(schema, rows))
@@ -293,6 +315,7 @@ object LoopbackRestServer {
     }
     val M = EsDsl.M
     val path = ex.getRequestURI.getPath.stripPrefix("/es/")
+    if (path == "_search/scroll") { handleEsScroll(ex); return }
     if (!path.endsWith("/_search")) { respond(ex, 400, "only _search is served"); return }
     val name = path.stripSuffix("/_search").toLowerCase
     tables.get(name) match {
@@ -300,11 +323,25 @@ object LoopbackRestServer {
       case Some(TableData(schema, rows)) =>
         val body = M.readTree(ex.getRequestBody)
         lastBody.set(body.toString)
+        val scrollTtl = parseQuery(ex.getRequestURI.getRawQuery).get("scroll")
         // sliced scroll: each slice is a stable, query-independent
         // partition of the index (real ES hashes _id; here the doc's
         // registration index), applied BEFORE the query filter so the
-        // union over id=0..max-1 is exactly the full hit set
+        // union over id=0..max-1 is exactly the full hit set. Real ES
+        // only accepts `slice` inside a scroll (or PIT) context and
+        // refuses `from` there — enforce both, so a client that pages
+        // sliced reads the lazy way breaks HERE, not only in production.
         val sliceNode = body.path("slice")
+        if (!sliceNode.isMissingNode && scrollTtl.isEmpty) {
+          respond(ex, 400, "{\"error\":{\"type\":\"action_request_validation_exception\"," +
+            "\"reason\":\"Validation Failed: 1: [slice] can only be used with [scroll] or [point-in-time] requests;\"}}")
+          return
+        }
+        if (scrollTtl.isDefined && body.path("from").asLong(0L) > 0L) {
+          respond(ex, 400, "{\"error\":{\"type\":\"action_request_validation_exception\"," +
+            "\"reason\":\"Validation Failed: 1: using [from] is not allowed in a scroll context;\"}}")
+          return
+        }
         val sliced =
           if (sliceNode.isMissingNode) rows
           else {
@@ -319,6 +356,16 @@ object LoopbackRestServer {
         val matched =
           if (query.isMissingNode) sliced
           else sliced.filter(r => EsDsl.eval(query, r, schema))
+        if (scrollTtl.isDefined) {
+          // scroll open: first page + a cursor for the rest
+          val size = math.max(1, body.path("size").asInt(10))
+          val id = s"graft-scroll-${esScrollSeq.incrementAndGet()}"
+          if (esScrolls.size >= EsScrollCap)
+            esScrolls.keys.toSeq.sorted.headOption.foreach(esScrolls.remove)
+          esScrolls.put(id, EsScroll(schema, matched.size, matched.drop(size), size))
+          respond(ex, 200, renderEsHits(schema, matched.take(size), matched.size, Some(id)))
+          return
+        }
         val resp = M.createObjectNode()
         resp.putObject("hits").putObject("total").put("value", matched.size)
         val aggsReq = body.path("aggs")
@@ -409,6 +456,52 @@ object LoopbackRestServer {
             "_source", M.readTree(w.toString))
         }
         respond(ex, 200, resp.toString)
+    }
+  } catch {
+    case e: Throwable => respond(ex, 500, s"server error: $e")
+  }
+
+  /** Render an ES hits response page ({_scroll_id}, hits.total, hits[]
+    * ._source) — shared by scroll-open and scroll-continuation. */
+  private def renderEsHits(schema: StructType, page: Seq[Array[Any]],
+      total: Int, scrollId: Option[String]): String = {
+    val M = EsDsl.M
+    val resp = M.createObjectNode()
+    scrollId.foreach(id => resp.put("_scroll_id", id))
+    val hits = resp.putObject("hits")
+    hits.putObject("total").put("value", total)
+    val arr = hits.putArray("hits")
+    page.foreach { row =>
+      val w = new java.io.StringWriter()
+      JsonCodec.write(w, row, schema)
+      arr.addObject().set[com.fasterxml.jackson.databind.JsonNode](
+        "_source", M.readTree(w.toString))
+    }
+    resp.toString
+  }
+
+  /** `/_search/scroll`: POST continues a cursor (next page, same size as
+    * at open — real scroll fixes the page size in the initial request);
+    * DELETE clears it. An unknown/expired id answers 404 exactly like a
+    * real cluster's missing search context. */
+  private def handleEsScroll(ex: HttpExchange): Unit = try {
+    val M = EsDsl.M
+    val body = M.readTree(ex.getRequestBody)
+    val id = body.path("scroll_id").asText("")
+    if (ex.getRequestMethod.equalsIgnoreCase("DELETE")) {
+      val freed = esScrolls.remove(id).isDefined
+      respond(ex, 200, s"{\"succeeded\":true,\"num_freed\":${if (freed) 1 else 0}}")
+      return
+    }
+    esScrolls.get(id) match {
+      case None => respond(ex, 404,
+        s"{\"error\":{\"type\":\"search_phase_execution_exception\"," +
+          s"\"reason\":\"No search context found for id [$id]\"}}")
+      case Some(st) =>
+        val page = st.remaining.take(st.size)
+        if (st.remaining.isEmpty) esScrolls.remove(id)
+        else esScrolls.put(id, st.copy(remaining = st.remaining.drop(st.size)))
+        respond(ex, 200, renderEsHits(st.schema, page, st.total, Some(id)))
     }
   } catch {
     case e: Throwable => respond(ex, 500, s"server error: $e")

@@ -133,10 +133,13 @@ object LoopbackKubeServer {
         LoopbackRestServer.lastParams.set(q)
         val fieldSel = q.get("fieldSelector").map(parseSelector).getOrElse(Nil)
         val labelSel = q.get("labelSelector").map(parseSelector).getOrElse(Nil)
-        // the real API rejects unsupported field selectors outright
-        fieldSel.find(s => !res.fieldSelectors.contains(s._1)).foreach { bad =>
+        // the real API rejects unsupported field selectors outright.
+        // (plain if, no return-from-closure: a NonLocalReturnControl
+        // would be swallowed by the catch-all below and double-respond)
+        val badSel = fieldSel.find(s => !res.fieldSelectors.contains(s._1))
+        if (badSel.isDefined) {
           respond(ex, 400,
-            s"""{"kind":"Status","code":400,"message":"field label not supported: ${bad._1}"}""")
+            s"""{"kind":"Status","code":400,"message":"field label not supported: ${badSel.get._1}"}""")
           return
         }
         val li = res.schema.fieldNames.indexWhere(_.equalsIgnoreCase("labels"))

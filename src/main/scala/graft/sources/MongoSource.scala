@@ -615,14 +615,15 @@ object MongoEndpoints {
 class MongoTable(val ep: MongoEndpoint) extends Table
   with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with WireScanTable {
   override def name(): String =
     s"${SourceRegistry.CatalogName}.${ep.source}.${ep.table}"
   override def schema(): StructType = ep.schema
   override def capabilities(): util.Set[TableCapability] =
     util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MongoScanBuilder(ep)
+    new MongoScanBuilder(ep, WireFanout.hintFrom(options))
 
   /** INSERT INTO: every task streams its rows as OP_MSG `insert`
     * batches (the reference's Put sink, row-at-a-time upserts over the
@@ -698,7 +699,7 @@ class MongoWriterFactory(spec: MongoEndpointSpec, schemaJson: String)
   * query). Sort+limit is partial — Spark merges per-partition candidates,
   * which also keeps the plan correct if a deployment splits one
   * collection across shard partitions. */
-class MongoScanBuilder(ep: MongoEndpoint) extends ScanBuilder
+class MongoScanBuilder(ep: MongoEndpoint, hint: Option[Int] = None) extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
@@ -749,13 +750,13 @@ class MongoScanBuilder(ep: MongoEndpoint) extends ScanBuilder
     val projection =
       if (required.fieldNames.sameElements(ep.schema.fieldNames)) None
       else Some(BDoc(required.fieldNames.toSeq.map(_ -> (1: Any))))
-    new MongoScan(ep, required, filter, projection, sortDoc, limit, pushed)
+    new MongoScan(ep, required, filter, projection, sortDoc, limit, pushed, hint)
   }
 }
 
 class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
     projection: Option[BDoc], sort: Option[BDoc], limit: Int,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], hint: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -779,7 +780,7 @@ class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
     ep.splits match {
       case Some(WireSplits(key, points)) if points.nonEmpty =>
         val pts = WireFanout.thin(points.toIndexedSeq,
-          WireFanout.effective(points.size + 1))
+          WireFanout.effective(points.size + 1, hint))
         if (pts.isEmpty) Array(part(filter))
         else WireFanout.ranges(pts).map { case (lo, hi) =>
           val range: Any = (lo, hi) match {

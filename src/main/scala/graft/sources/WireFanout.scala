@@ -25,18 +25,30 @@ package graft.sources
   */
 object WireFanout {
 
-  /** Session conf set by the engine's `node_ct` statement hint; wire
-    * scans planned while it is set fan out to that count. */
+  /** Session-level override (a tuning knob like
+    * spark.sql.shuffle.partitions): wire scans planned while it is set
+    * fan out to that count unless a statement hint overrides it. */
   val ConfKey = "spark.graft.wire.fanout"
 
-  /** Effective scan fan-out: the session hint (if any) wins over the
-    * endpoint default. Called on the driver in planInputPartitions. */
-  def effective(default: Int): Int = {
-    val hinted =
+  /** Per-relation read option carrying the statement-level `node_ct`
+    * hint. The engine injects it into the statement's own
+    * DataSourceV2Relation options (not the session conf), so the hint
+    * rides inside the plan: it survives the statement's laziness and
+    * cannot bleed into scans planned by other statements. */
+  val OptionKey = "graft.node_ct"
+
+  /** Statement hint carried in the relation's read options, if any. */
+  def hintFrom(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Option[Int] =
+    Option(options.get(OptionKey)).map(_.toInt)
+
+  /** Effective scan fan-out: statement hint > session conf > endpoint
+    * default. Called on the driver in planInputPartitions. */
+  def effective(default: Int, hint: Option[Int] = None): Int = {
+    val conf =
       try org.apache.spark.sql.SparkSession.active.conf.getOption(ConfKey)
         .map(_.toInt)
       catch { case _: Exception => None }
-    math.max(1, hinted.getOrElse(default))
+    math.max(1, hint.orElse(conf).getOrElse(default))
   }
 
   /** Thin a sorted split-point list to at most n-1 evenly-spread points
@@ -51,6 +63,10 @@ object WireFanout {
   def ranges[A](pts: Seq[A]): Seq[(Option[A], Option[A])] =
     (None +: pts.map(Some(_))).zip(pts.map(Some(_)) :+ None)
 }
+
+/** Marker for DSv2 tables whose scans honor the [[WireFanout.OptionKey]]
+  * read option — the engine's `node_ct` hint targets only these. */
+trait WireScanTable
 
 /** Range-partitioning metadata for a wire table: a partition key and
   * sorted interior split points (k points -> k+1 scan partitions). The

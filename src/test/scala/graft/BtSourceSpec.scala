@@ -193,6 +193,22 @@ class BtSourceSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 1, "refused deletes must not mutate")
   }
 
+  test("DELETE intersects ANDed key predicates; a contradiction deletes nothing") {
+    val t = writeTable("wr9")
+    spark.sql(s"INSERT INTO $t VALUES ('r1', 1, 'A', 1.0), ('r2', 2, 'B', 2.0), ('r3', 3, 'C', 3.0)")
+    // k = 'r1' AND k = 'r2' matches no row: the conjunction must delete none
+    spark.sql(s"DELETE FROM $t WHERE k = 'r1' AND k = 'r2'")
+    assert(spark.table(t).count() == 3, "a contradictory WHERE deletes nothing")
+    // k = 'r1' AND k IN ('r1','r2'): only the intersection ('r1') goes
+    spark.sql(s"DELETE FROM $t WHERE k = 'r1' AND k IN ('r1', 'r2')")
+    assert(spark.table(t).collect().map(_.getString(0)).sorted.toSeq == Seq("r2", "r3"),
+      "ANDed key predicates delete their intersection, never their union")
+    // a WHERE that pins no keys (bare IS NOT NULL) refuses loudly
+    // instead of silently deleting nothing
+    intercept[Exception](spark.sql(s"DELETE FROM $t WHERE k IS NOT NULL"))
+    assert(spark.table(t).count() == 2, "refused deletes must not mutate")
+  }
+
   test("UPDATE refuses on a BigTable backend (the reference's contract)") {
     val t = writeTable("wr3")
     spark.sql(s"INSERT INTO $t VALUES ('r1', 1, 'A', 1.0)")

@@ -176,6 +176,25 @@ class DsSourceSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 1, "the refused delete must not mutate")
   }
 
+  test("DELETE intersects ANDed key predicates; a contradiction deletes nothing") {
+    val t = writeTable("wr9")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, 'A', 1.0, TIMESTAMP '2024-01-01 00:00:00'), " +
+      "(2, 'B', 2.0, TIMESTAMP '2024-01-02 00:00:00'), " +
+      "(3, 'C', 3.0, TIMESTAMP '2024-01-03 00:00:00')")
+    // id = 2 AND id IN (4, 6) matches nothing: no mutations ship
+    spark.sql(s"DELETE FROM $t WHERE id = 2 AND id IN (4, 6)")
+    assert(spark.table(t).count() == 3, "a contradictory WHERE deletes nothing")
+    // id = 2 AND id IN (2, 3): the intersection (2) only
+    spark.sql(s"DELETE FROM $t WHERE id = 2 AND id IN (2, 3)")
+    assert(spark.table(t).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L),
+      "ANDed key predicates delete their intersection, never their union")
+    // a WHERE that pins no keys (bare IS NOT NULL) refuses loudly
+    // instead of silently deleting nothing
+    intercept[Exception](spark.sql(s"DELETE FROM $t WHERE id IS NOT NULL"))
+    assert(spark.table(t).count() == 2, "refused deletes must not mutate")
+  }
+
   test("an UPDATE whose WHERE has no property-filter form ABORTS") {
     val t = writeTable("wr3")
     spark.sql(s"INSERT INTO $t VALUES (1, 'A', 1.0, TIMESTAMP '2024-01-01 00:00:00')")

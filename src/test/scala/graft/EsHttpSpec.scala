@@ -241,6 +241,54 @@ class EsHttpSpec extends AnyFunSuite {
       """{"slice":{"id":5,"max":4},"size":10}"""))
   }
 
+  test("slice outside a scroll context is refused; sliced scroll pages exactly") {
+    import scala.jdk.CollectionConverters._
+    val name = "sl4"
+    LoopbackRestServer.register(name, schema, rows)
+    val base = LoopbackRestServer.ensureStarted()
+    val client = new HttpRestClient(base, HttpRestConfig(maxRetries = 0))
+    // real ES 400s `slice` in a plain from/size _search ...
+    val e = intercept[Exception](client.postJson(s"/es/$name/_search",
+      """{"slice":{"id":0,"max":2},"size":10}"""))
+    assert(e.getMessage.contains("[slice] can only be used with [scroll]"))
+    // ... and refuses `from` inside a scroll context
+    val e2 = intercept[Exception](client.postJson(s"/es/$name/_search",
+      """{"from":5,"size":10}""", Map("scroll" -> "1m")))
+    assert(e2.getMessage.contains("[from] is not allowed in a scroll context"))
+    // open a sliced scroll and walk the cursor: pages cover the slice
+    val M = EsDsl.M
+    var resp = M.readTree(client.postJson(s"/es/$name/_search",
+      """{"slice":{"id":0,"max":2},"size":64}""", Map("scroll" -> "1m")))
+    val sid = resp.path("_scroll_id").asText()
+    assert(sid.nonEmpty, "scroll open must return a cursor id")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def page(r: com.fasterxml.jackson.databind.JsonNode): Int = {
+      var n = 0
+      r.path("hits").path("hits").elements().asScala.foreach { h =>
+        seen += h.path("_source").path("id").asLong(); n += 1
+      }
+      n
+    }
+    var n = page(resp)
+    var pages = 1
+    while (n > 0) {
+      resp = M.readTree(client.postJson("/es/_search/scroll",
+        s"""{"scroll":"1m","scroll_id":"$sid"}"""))
+      n = page(resp); pages += 1
+    }
+    assert(pages > 2, "64-doc pages over a 200-doc slice must take several requests")
+    val want = rows.zipWithIndex.collect {
+      case (r, i) if i % 2 == 0 => r(0).asInstanceOf[Long] }.sorted
+    assert(seen.sorted.toSeq == want, "the cursor must walk slice 0 exactly once")
+    // the drained cursor is gone: continuation answers the real 404 shape
+    val e3 = intercept[Exception](client.postJson("/es/_search/scroll",
+      s"""{"scroll":"1m","scroll_id":"$sid"}"""))
+    assert(e3.getMessage.contains("No search context found"))
+    // clear-scroll on a missing id is a clean no-op
+    assert(client.deleteJson("/es/_search/scroll",
+      s"""{"scroll_id":"$sid"}""").contains("\"num_freed\":0"))
+  }
+
   test("injected 500s on _search retry and recover") {
     val t = table("kv5")
     LoopbackRestServer.failNext.set(2)

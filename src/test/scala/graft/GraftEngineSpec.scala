@@ -92,9 +92,17 @@ class GraftEngineSpec extends AnyFunSuite {
     val plain = engine.sql(s"SELECT id FROM $t")
     assert(scanParts(plain) == Seq(6))
     // the hint is statement-scoped: it must NOT leak into the next one
-    engine.sql(s"SELECT id FROM $t WITH distributed=true, node_ct=2")
+    val hinted2 = engine.sql(s"SELECT id FROM $t WITH distributed=true, node_ct=2")
     val after = engine.sql(s"SELECT id FROM $t")
     assert(scanParts(after) == Seq(6), "node_ct must not bleed across statements")
+    // ... nor into a scan planned OUTSIDE the engine (the hint rides in
+    // the statement's own plan, not in session state)
+    assert(scanParts(spark.table(t).select("id")) == Seq(6),
+      "a plain spark.table scan after a hinted statement keeps its own fan-out")
+    // and the hinted DataFrame keeps its fan-out even though other
+    // statements ran before it was planned — the hint survives laziness
+    assert(scanParts(hinted2) == Seq(2))
+    assert(hinted2.count() == 300L, "fan-out must not change the result")
   }
 
   test("SET @var evaluates expressions eagerly") {
