@@ -306,7 +306,8 @@ class DsTable(val ep: DsEndpoint) extends Table with SupportsRead
     * mutations. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     ep.keyCol.exists(k => filters.forall {
-      case EqualTo(a, v) => a.equalsIgnoreCase(k) && v != null
+      case EqualTo(a, v) => a.equalsIgnoreCase(k) && v != null &&
+        DsQuery.valueNode(v).isDefined // same renderability bar as In
       case In(a, vs) => a.equalsIgnoreCase(k) && vs != null &&
         vs.forall(v => v != null && DsQuery.valueNode(v).isDefined)
       case IsNotNull(a) => a.equalsIgnoreCase(k)
@@ -469,6 +470,10 @@ class DsScan(ep: DsEndpoint, required: StructType, queryBody: String,
     val foreignIneq = accepted.exists(p =>
       p.op != "EQUAL" && !p.prop.equalsIgnoreCase(ws.key))
     if (foreignIneq) return single
+    // an EQUAL on the split key pins the scan: one targeted request
+    // (range shards would all be provably empty but one)
+    if (accepted.exists(p => p.prop.equalsIgnoreCase(ws.key) && p.op == "EQUAL"))
+      return single
     val n = WireFanout.effective(ws.points.size + 1, hint)
     val pts = WireFanout.thin(ws.points.toIndexedSeq, n)
     if (pts.isEmpty) return single
@@ -481,9 +486,15 @@ class DsScan(ep: DsEndpoint, required: StructType, queryBody: String,
       bodyFor(lo.map(l => DsQuery.PropFilter(ws.key, "GREATER_THAN_OR_EQUAL", l)).toSeq ++
         hi.map(h => DsQuery.PropFilter(ws.key, "LESS_THAN", h)).toSeq)
     }
-    val nullArm = bodyFor(Seq(DsQuery.PropFilter(ws.key, "EQUAL", null)))
-    (ranges :+ nullArm)
-      .map(b => DsPartition(ep.spec, b, required.json): InputPartition).toArray
+    // the explicit-null arm is provably empty when an accepted filter
+    // already range-restricts the key (3VL: `key < v` never matches
+    // null), so skip the wasted request in that case
+    val keyRanged = accepted.exists(p =>
+      p.prop.equalsIgnoreCase(ws.key) && p.op != "EQUAL")
+    val arms =
+      if (keyRanged) ranges
+      else ranges :+ bodyFor(Seq(DsQuery.PropFilter(ws.key, "EQUAL", null)))
+    arms.map(b => DsPartition(ep.spec, b, required.json): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new DsReaderFactory

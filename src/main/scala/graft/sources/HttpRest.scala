@@ -238,7 +238,9 @@ object LoopbackRestServer {
     s"http://127.0.0.1:${srv.getAddress.getPort}"
   }
 
-  private def parseQuery(raw: String): Map[String, String] =
+  // shared with the kube handler mounted on this server (it answers
+  // application/json like the real API; the ndjson default is ours)
+  private[sources] def parseQuery(raw: String): Map[String, String] =
     Option(raw).filter(_.nonEmpty).map(_.split("&").toSeq.flatMap { kv =>
       kv.split("=", 2) match {
         case Array(k, v) => Some(URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8))
@@ -246,9 +248,10 @@ object LoopbackRestServer {
       }
     }.toMap).getOrElse(Map.empty)
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+  private[sources] def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/x-ndjson"): Unit = {
     val bytes = body.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
     if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
     ex.close()
@@ -361,7 +364,12 @@ object LoopbackRestServer {
           val size = math.max(1, body.path("size").asInt(10))
           val id = s"graft-scroll-${esScrollSeq.incrementAndGet()}"
           if (esScrolls.size >= EsScrollCap)
-            esScrolls.keys.toSeq.sorted.headOption.foreach(esScrolls.remove)
+            // evict the OLDEST (lowest seq) cursor — an abandoned one —
+            // never a live recent slice (lexicographic sort would put
+            // "...-1000" before "...-999" and kill a fresh cursor)
+            esScrolls.keys.toSeq
+              .sortBy(_.stripPrefix("graft-scroll-").toLong)
+              .headOption.foreach(esScrolls.remove)
           esScrolls.put(id, EsScroll(schema, matched.size, matched.drop(size), size))
           respond(ex, 200, renderEsHits(schema, matched.take(size), matched.size, Some(id)))
           return

@@ -194,31 +194,60 @@ object LoopbackKubeServer {
     o
   }
 
-  private def parseSelector(s: String): Seq[(String, String)] =
-    s.split(",").toSeq.filter(_.nonEmpty).map { term =>
-      term.split("=", 2) match {
-        case Array(k, v) => (k.trim, v.trim)
-        case _ => (term.trim, "")
-      }
+  /** Split a selector string on UNESCAPED commas and each term on its
+    * first unescaped '=', then unescape — the real API's selector
+    * grammar accepts `\,` `\=` `\\` inside values, so an equality on
+    * a value containing a comma survives the trip (the client escapes,
+    * this is the inverse). */
+  private def parseSelector(s: String): Seq[(String, String)] = {
+    val terms = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { cur.append(c).append(s.charAt(i + 1)); i += 2 }
+      else if (c == ',') { terms += cur.toString; cur.clear(); i += 1 }
+      else { cur.append(c); i += 1 }
     }
+    terms += cur.toString
+    def unesc(t: String): String = {
+      val b = new StringBuilder; var j = 0
+      while (j < t.length) {
+        if (t.charAt(j) == '\\' && j + 1 < t.length) { b.append(t.charAt(j + 1)); j += 2 }
+        else { b.append(t.charAt(j)); j += 1 }
+      }
+      b.toString
+    }
+    terms.toSeq.filter(_.nonEmpty).map { term =>
+      var j = 0; var cut = -1
+      while (j < term.length && cut < 0) {
+        if (term.charAt(j) == '\\') j += 2
+        else if (term.charAt(j) == '=') cut = j
+        else j += 1
+      }
+      if (cut < 0) (unesc(term).trim, "")
+      else (unesc(term.take(cut)).trim, unesc(term.drop(cut + 1)).trim)
+    }
+  }
 
   private def parseQuery(raw: String): Map[String, String] =
-    Option(raw).filter(_.nonEmpty).map(_.split("&").toSeq.flatMap { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) => Some(
-          java.net.URLDecoder.decode(k, "UTF-8") ->
-            java.net.URLDecoder.decode(v, "UTF-8"))
-        case _ => None
-      }
-    }.toMap).getOrElse(Map.empty)
+    LoopbackRestServer.parseQuery(raw)
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-    val bytes = body.getBytes("UTF-8")
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
-    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
-    ex.close()
-  }
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit =
+    LoopbackRestServer.respond(ex, code, body, contentType = "application/json")
+}
+
+/** Selector-value escaping shared by the scan description and the
+  * reader's request builder. */
+private[sources] object KubeSel {
+  /** Escape a fieldSelector VALUE the way the real API's selector
+    * grammar expects (`\,` `\=` `\\`); keys are plain dotted
+    * identifiers and never need escaping. */
+  def esc(v: String): String =
+    v.replace("\\", "\\\\").replace(",", "\\,").replace("=", "\\=")
+
+  def render(selectors: Seq[(String, String)]): String =
+    selectors.map(s => s"${s._1}=${esc(s._2)}").mkString(",")
 }
 
 /** Serializable kube endpoint pointer. */
@@ -301,7 +330,7 @@ class KubeScan(ep: KubeEndpoint, required: StructType,
 
   override def description(): String =
     s"GraftKubeScan endpoint=${ep.source}/${ep.table} " +
-      s"fieldSelector=[${selectors.map(s => s"${s._1}=${s._2}").mkString(",")}] " +
+      s"fieldSelector=[${KubeSel.render(selectors)}] " +
       s"limit=$limit PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
@@ -326,7 +355,7 @@ class KubeReaderFactory extends PartitionReaderFactory {
     val conv = CatalystTypeConverters.createToCatalystConverter(required)
     val params = Seq.newBuilder[(String, String)]
     if (p.selectors.nonEmpty)
-      params += "fieldSelector" -> p.selectors.map(s => s"${s._1}=${s._2}").mkString(",")
+      params += "fieldSelector" -> KubeSel.render(p.selectors)
     if (p.limit > 0) params += "limit" -> p.limit.toString
     val resp = EsDsl.M.readTree(
       client.get(s"/k8s/api/v1/${p.spec.resource}", params.result().toMap))

@@ -777,8 +777,19 @@ class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
   override def planInputPartitions(): Array[InputPartition] = {
     def part(f: BDoc) = MongoPartition(ep.spec, Bson.encode(f),
       projection.map(Bson.encode), sort.map(Bson.encode), limit, required.json)
+    // a pushed predicate that PINS the split key makes range tiling
+    // pointless: N-1 partitions would be provably empty, so a point
+    // lookup ships as ONE targeted find, not N sockets
+    def keyPinned(key: String): Boolean = pushed.exists {
+      case EqualTo(a, _) => a.equalsIgnoreCase(key)
+      case EqualNullSafe(a, _) => a.equalsIgnoreCase(key)
+      case In(a, _) => a.equalsIgnoreCase(key)
+      case IsNull(a) => a.equalsIgnoreCase(key)
+      case _ => false
+    }
     ep.splits match {
-      case Some(WireSplits(key, points)) if points.nonEmpty =>
+      case Some(WireSplits(key, points))
+          if points.nonEmpty && !keyPinned(key) =>
         val pts = WireFanout.thin(points.toIndexedSeq,
           WireFanout.effective(points.size + 1, hint))
         if (pts.isEmpty) Array(part(filter))

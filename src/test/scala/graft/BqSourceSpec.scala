@@ -284,6 +284,14 @@ class BqSourceSpec extends AnyFunSuite {
       "the shipped SQL carries the injected range")
   }
 
+  test("a pushed predicate pinning the split key stays ONE statement") {
+    val t = fanTable("fanq3", Seq(100L, 200L, 300L))
+    val pin = spark.table(t).filter(col("id") === 150L)
+    assert(pin.rdd.getNumPartitions == 1,
+      "a point lookup must not shard into provably-empty statements")
+    assert(pin.count() == rows.count(_(0) == 150L).toLong)
+  }
+
   test("consumed agg/sort/limit/offset statements stay ONE exact request") {
     val t = fanTable("fanq2", Seq(100L, 200L, 300L))
     // aggregate: re-running per shard would double-count

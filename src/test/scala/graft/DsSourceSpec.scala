@@ -236,9 +236,16 @@ class DsSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 1,
       "bal ranges consume the single-inequality slot: no key injection")
     assert(df.count() == rows.count(_(2).asInstanceOf[Double] > 300.0).toLong)
-    // but ranges on the SPLIT KEY itself coexist with the injected ranges
+    // but ranges on the SPLIT KEY itself coexist with the injected
+    // ranges — and a key-ranged scan provably excludes null keys, so
+    // the explicit-null arm is dropped (4 tiles, no wasted request)
     val k = spark.table(t).filter(col("id") < 150L)
-    assert(k.rdd.getNumPartitions == 5)
+    assert(k.rdd.getNumPartitions == 4)
     assert(k.count() == 150L)
+    // an EQUAL on the split key pins the scan to ONE targeted request
+    val pin = spark.table(t).filter(col("id") === 42L)
+    assert(pin.rdd.getNumPartitions == 1,
+      "a point lookup must not fan out into provably-empty shards")
+    assert(pin.count() == 1L)
   }
 }

@@ -192,6 +192,28 @@ class HttpRestSpec extends AnyFunSuite {
     assert(resp.path("items").size() == (0L until 30L).count(_ % 3 == 2))
   }
 
+  test("selector values containing commas/equals survive the wire (escaped)") {
+    val ns = kubeFixture()
+    // register a pod whose name contains selector metacharacters
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    LoopbackKubeServer.register("pods", Seq(
+      Array[Any]("Pod", "a,b=c", "default", "uid-x", "{}", t0,
+        "Running", "192.168.0.1", "10.0.0.1", "node-0", "Always",
+        Boolean.box(false)),
+      Array[Any]("Pod", "plain", "default", "uid-y", "{}", t0,
+        "Running", "192.168.0.2", "10.0.0.2", "node-0", "Always",
+        Boolean.box(false))))
+    // the real API escapes \, and \= in selector values; a naive comma
+    // join would make the server see a bogus term and answer 400
+    val got = spark.table(s"$ns.pods").filter(col("name") === "a,b=c")
+      .select("name", "podip").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a,b=c"))
+    val sel = LoopbackRestServer.lastParams.get().getOrElse("fieldSelector", "")
+    assert(sel.contains("metadata.name=a\\,b\\=c"), sel)
+    // and a value that matches nothing returns empty, not an error
+    assert(spark.table(s"$ns.pods").filter(col("name") === "x,y").count() == 0)
+  }
+
   test("the API rejects unsupported fieldSelector keys with a 400") {
     kubeFixture()
     val client = freshClient()

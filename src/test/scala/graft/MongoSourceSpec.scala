@@ -237,6 +237,17 @@ class MongoSourceSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("a pushed predicate pinning the split key collapses to ONE request") {
+    val (t, all) = splitTable("fanpin", Seq(100L, 200L, 300L))
+    val pin = spark.table(t).filter(col("id") === 150L)
+    assert(pin.rdd.getNumPartitions == 1,
+      "a point lookup must not fan out into provably-empty range shards")
+    assert(pin.count() == all.count(_(0) == 150L).toLong)
+    val inq = spark.table(t).filter(col("id").isin(50L, 250L))
+    assert(inq.rdd.getNumPartitions == 1)
+    assert(inq.count() == all.count(r => r(0) == 50L || r(0) == 250L).toLong)
+  }
+
   test("the node_ct session conf overrides the metadata partition count") {
     val (_, _) = splitTable("fan3", Seq(100L, 200L, 300L))
     val ep = MongoEndpoints.get("mongotest", "fan3").get
