@@ -28,7 +28,7 @@ object ClusterSmoke {
     // from the executor JVMs; csv/json exercise the file reader factory)
     "q_src_rest", "q_src_join_hetero", "q_src_csv_pushdown",
     "q_src_mongo_find", "q_src_cql_key", "q_src_bq_wire", "q_src_ds_query",
-    "q_src_bt_range",
+    "q_src_bt_range", "q_src_es_query", "q_src_kube",
     // scale family
     "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_incremental",
     "q_kmeans", "q_curation_domain_cap", "q_text_bpe_encode",

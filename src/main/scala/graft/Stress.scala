@@ -132,12 +132,55 @@ object Stress {
       import s.implicits._
       Seq((perPart.length.toLong, perPart.max, total))
         .toDF("n_parts", "max_rows_per_part", "total_rows")
+    },
+
+    // the same flat-task contract through the ES sliced-scroll path:
+    // slices grow with the corpus, every slice pages its own scroll
+    // cursor, and no slice may balloon (ES slices hash the _id space,
+    // here doc_id % max — near-uniform on a dense key)
+    "q_src_wire_es_scan" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      import graft.sources._
+      val idx = "stress_es_" + new java.io.File(dir).getName
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_chars", LongType)))
+      wireSeeded.synchronized {
+        if (!wireSeeded.contains(idx)) {
+          val seed = s.read.parquet(new java.io.File(dir, "documents.parquet").getPath)
+            .select(col("doc_id"), col("n_chars")).collect()
+            .map(r => Array[Any](r.getLong(0), r.getLong(1)))
+          LoopbackRestServer.register(idx, schema, seed.toSeq)
+          val base = LoopbackRestServer.ensureStarted()
+          val slices = math.max(1, seed.length / WireStride)
+          EsEndpoints.register(EsEndpoint("stresswirees", idx, schema,
+            EsEndpointSpec(base, idx,
+              HttpRestConfig(pageSize = 1024, retryBackoffMs = 5), slices = slices)))
+          if (SourceRegistry.get("stresswirees").isEmpty)
+            SourceRegistry.register(SourceDef("stresswirees",
+              new java.io.File(sys.props("user.dir"),
+                "target/graft-stress/wirees").getPath, "json", "es"))
+          SourceRegistry.ensureCatalog(s)
+          wireSeeded += idx
+        }
+      }
+      val t = s"${SourceRegistry.CatalogName}.stresswirees.$idx"
+      val perPart = s.table(t).filter(col("n_chars") > 50)
+        .rdd.mapPartitions(it => Iterator.single(it.size.toLong)).collect()
+      val total = perPart.sum
+      require(perPart.length >= math.max(1, (total / (2 * WireStride)).toInt),
+        s"es wire scan under-partitioned: ${perPart.length} tasks for $total rows")
+      require(perPart.max <= 2L * WireStride,
+        s"es slice hot spot: ${perPart.max} rows in one task " +
+          s"(stride $WireStride): ${perPart.toSeq}")
+      import s.implicits._
+      Seq((perPart.length.toLong, perPart.max, total))
+        .toDF("n_parts", "max_rows_per_part", "total_rows")
     })
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val r = sys.env.getOrElse("SPARK_GRAFT_STRESS_X", "10").toInt
-    val out = args.headOption.getOrElse("/root/repo/BENCH_STRESS_r09.json")
+    val out = args.headOption.getOrElse("/root/repo/BENCH_STRESS_r10.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -234,8 +277,8 @@ object Stress {
       // round-9 additions (second batch): chained-window funnel over
       // disjoint user replicas, SCD2 snapshot merge
       "q_events_funnel", "q_cdc_scd2",
-      // round-10: partitioned wire scan (flat per-task contract)
-      "q_src_wire_scan")
+      // round-10: partitioned wire scans (flat per-task contract)
+      "q_src_wire_scan", "q_src_wire_es_scan")
     // optional comma-separated subset for fast local iteration; the
     // driver never sets it → full sweep
     val ops = sys.env.get("SPARK_GRAFT_STRESS_OPS")
@@ -334,7 +377,10 @@ object Stress {
       // the corpus and per-task rows stay FLAT (asserted inside the op:
       // a collapse back to one task, or a ballooning range, throws).
       // Wall time is linear work over growing parallelism; no shuffle.
-      "q_src_wire_scan" -> defB.copy(time = 6.0, linearRows = false))
+      "q_src_wire_scan" -> defB.copy(time = 6.0, linearRows = false),
+      // r10: the same contract through ES sliced scroll — slice count
+      // scales with the corpus, each slice pages its own cursor
+      "q_src_wire_es_scan" -> defB.copy(time = 6.0, linearRows = false))
 
     final case class Obs(sec: Double, rows: Long, maxInMb: Double, maxShMb: Double,
         top: Seq[(Int, String, Long, Long)])
