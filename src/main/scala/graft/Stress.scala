@@ -87,25 +87,54 @@ object Stress {
     * DSv2 fan-out, and ASSERTS the flat-task contract before returning a
     * one-row summary. */
   private val wireSeeded = scala.collection.mutable.Set.empty[String]
+  private val wireSeedCache =
+    scala.collection.mutable.Map.empty[String, Array[Array[Any]]]
+
+  /** (doc_id, n_chars) seed rows for a corpus dir, collected ONCE and
+    * shared by both wire ops (driver-bounded: two longs per doc). */
+  private def wireSeedDocs(s: SparkSession, dir: String): Array[Array[Any]] =
+    wireSeedCache.getOrElseUpdate(dir,
+      s.read.parquet(new java.io.File(dir, "documents.parquet").getPath)
+        .select(col("doc_id"), col("n_chars")).collect()
+        .map(r => Array[Any](r.getLong(0), r.getLong(1))))
+
+  private val wireSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The flat-task contract, asserted loudly: the scan must fan out
+    * (never collapse to one task past one stride) and no range/slice
+    * may balloon past ~2 strides. Returns the one-row summary. */
+  private def assertFlatTasks(s: SparkSession, label: String, table: String)
+      : org.apache.spark.sql.DataFrame = {
+    val perPart = s.table(table).filter(col("n_chars") > 50)
+      .rdd.mapPartitions(it => Iterator.single(it.size.toLong)).collect()
+    val total = perPart.sum
+    require(perPart.length >= math.max(1, (total / (2 * WireStride)).toInt),
+      s"$label under-partitioned: ${perPart.length} tasks for $total rows")
+    require(perPart.max <= 2L * WireStride,
+      s"$label hot spot: ${perPart.max} rows in one task " +
+        s"(stride $WireStride): ${perPart.toSeq}")
+    import s.implicits._
+    Seq((perPart.length.toLong, perPart.max, total))
+      .toDF("n_parts", "max_rows_per_part", "total_rows")
+  }
+
   private def stressOnlyOps: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "q_src_wire_scan" -> { (s, dir) =>
-      import org.apache.spark.sql.types._
       import graft.sources._
       val coll = "stress_docs_" + new java.io.File(dir).getName
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("n_chars", LongType)))
       wireSeeded.synchronized {
         if (!wireSeeded.contains(coll)) {
-          // SERVER fixture seeding (driver-bounded: two longs per doc)
-          val seed = s.read.parquet(new java.io.File(dir, "documents.parquet").getPath)
-            .select(col("doc_id"), col("n_chars")).collect()
-            .map(r => Array[Any](r.getLong(0), r.getLong(1)))
-          LoopbackMongoServer.register(coll, schema, seed.toSeq)
+          val seed = wireSeedDocs(s, dir)
+          LoopbackMongoServer.register(coll, wireSchema, seed.toSeq)
           val keys = seed.map(_(0).asInstanceOf[Long]).sorted
           val pts: Seq[Any] = (WireStride until keys.length by WireStride)
             .map(keys(_): Any)
           val (h, p) = LoopbackMongoServer.ensureStarted()
-          MongoEndpoints.register(MongoEndpoint("stresswire", coll, schema,
+          MongoEndpoints.register(MongoEndpoint("stresswire", coll, wireSchema,
             MongoEndpointSpec(h, p, LoopbackMongoServer.Db, coll,
               MongoClientConfig(batchSize = 1024)),
             splits = Some(WireSplits("doc_id", pts))))
@@ -117,42 +146,24 @@ object Stress {
           wireSeeded += coll
         }
       }
-      val t = s"${SourceRegistry.CatalogName}.stresswire.$coll"
-      val perPart = s.table(t).filter(col("n_chars") > 50)
-        .rdd.mapPartitions(it => Iterator.single(it.size.toLong)).collect()
-      // the flat-task contract, asserted loudly: the scan must fan out
-      // (never collapse to one task past one stride) and no range may
-      // balloon past ~2 strides (quantile splits tile evenly)
-      val total = perPart.sum
-      require(perPart.length >= math.max(1, (total / (2 * WireStride)).toInt),
-        s"wire scan under-partitioned: ${perPart.length} tasks for $total rows")
-      require(perPart.max <= 2L * WireStride,
-        s"wire partition hot spot: ${perPart.max} rows in one task " +
-          s"(stride $WireStride): ${perPart.toSeq}")
-      import s.implicits._
-      Seq((perPart.length.toLong, perPart.max, total))
-        .toDF("n_parts", "max_rows_per_part", "total_rows")
+      assertFlatTasks(s, "mongo wire scan",
+        s"${SourceRegistry.CatalogName}.stresswire.$coll")
     },
 
     // the same flat-task contract through the ES sliced-scroll path:
     // slices grow with the corpus, every slice pages its own scroll
-    // cursor, and no slice may balloon (ES slices hash the _id space,
-    // here doc_id % max — near-uniform on a dense key)
+    // cursor, and no slice may balloon (slices stripe the row index,
+    // near-uniform by construction)
     "q_src_wire_es_scan" -> { (s, dir) =>
-      import org.apache.spark.sql.types._
       import graft.sources._
       val idx = "stress_es_" + new java.io.File(dir).getName
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("n_chars", LongType)))
       wireSeeded.synchronized {
         if (!wireSeeded.contains(idx)) {
-          val seed = s.read.parquet(new java.io.File(dir, "documents.parquet").getPath)
-            .select(col("doc_id"), col("n_chars")).collect()
-            .map(r => Array[Any](r.getLong(0), r.getLong(1)))
-          LoopbackRestServer.register(idx, schema, seed.toSeq)
+          val seed = wireSeedDocs(s, dir)
+          LoopbackRestServer.register(idx, wireSchema, seed.toSeq)
           val base = LoopbackRestServer.ensureStarted()
           val slices = math.max(1, seed.length / WireStride)
-          EsEndpoints.register(EsEndpoint("stresswirees", idx, schema,
+          EsEndpoints.register(EsEndpoint("stresswirees", idx, wireSchema,
             EsEndpointSpec(base, idx,
               HttpRestConfig(pageSize = 1024, retryBackoffMs = 5), slices = slices)))
           if (SourceRegistry.get("stresswirees").isEmpty)
@@ -163,18 +174,8 @@ object Stress {
           wireSeeded += idx
         }
       }
-      val t = s"${SourceRegistry.CatalogName}.stresswirees.$idx"
-      val perPart = s.table(t).filter(col("n_chars") > 50)
-        .rdd.mapPartitions(it => Iterator.single(it.size.toLong)).collect()
-      val total = perPart.sum
-      require(perPart.length >= math.max(1, (total / (2 * WireStride)).toInt),
-        s"es wire scan under-partitioned: ${perPart.length} tasks for $total rows")
-      require(perPart.max <= 2L * WireStride,
-        s"es slice hot spot: ${perPart.max} rows in one task " +
-          s"(stride $WireStride): ${perPart.toSeq}")
-      import s.implicits._
-      Seq((perPart.length.toLong, perPart.max, total))
-        .toDF("n_parts", "max_rows_per_part", "total_rows")
+      assertFlatTasks(s, "es sliced scroll",
+        s"${SourceRegistry.CatalogName}.stresswirees.$idx")
     })
 
   def main(args: Array[String]): Unit = {

@@ -22,7 +22,9 @@ import java.nio.charset.StandardCharsets.UTF_8
 object Bson {
 
   /** An ordered BSON document. Values: null, Boolean, Int, Long, Double,
-    * String, java.sql.Timestamp, BDoc, Seq[Any], BRegex. */
+    * String, java.sql.Timestamp (also accepts java.time
+    * LocalDateTime/Instant, normalized to BSON datetime), BDoc,
+    * Seq[Any], BRegex. */
   final case class BDoc(fields: Seq[(String, Any)]) {
     def get(key: String): Option[Any] = fields.collectFirst { case (`key`, v) => v }
     def render: String = fields.map { case (k, v) => s"$k: ${renderV(v)}" }
@@ -82,6 +84,11 @@ object Bson {
         // silently truncating sub-ms values (day-granular TPC-H is exact)
         require(t.getNanos % 1000000 == 0, s"sub-millisecond timestamp not BSON-exact: $t")
         header(0x09); writeInt64(out, t.getTime)
+      case t: java.time.LocalDateTime => // TIMESTAMP_NTZ: UTC wall clock
+        writeElement(out, name,
+          java.sql.Timestamp.from(t.toInstant(java.time.ZoneOffset.UTC)))
+      case i: java.time.Instant =>
+        writeElement(out, name, java.sql.Timestamp.from(i))
       case r: BRegex => header(0x0B); writeCString(out, r.pattern); writeCString(out, r.options)
       case i: java.lang.Integer => header(0x10); writeInt32(out, i)
       case s: java.lang.Short => header(0x10); writeInt32(out, s.intValue())

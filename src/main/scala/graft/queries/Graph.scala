@@ -127,13 +127,15 @@ object Graph {
         // (r9: checkpoint-every-round beat never-checkpointing 12.3 vs
         // 16-21s; this keeps the O(1)-depth property at half the
         // per-round job overhead, the residual cost at toy scale).
+        val perJob = sys.env.getOrElse("SPARK_GRAFT_PR_BATCH", "2").toInt.max(1)
         var ranks = nodes.select(col("node"), lit(R0).as("r")).localCheckpoint(true)
         var t = 1
         while (t <= PrIters) {
-          val once = round(ranks)
-          val batched = if (t + 1 <= PrIters) round(once) else once
-          ranks = batched.localCheckpoint(true)
-          t += 2
+          var step = ranks
+          var k = 0
+          while (k < perJob && t + k <= PrIters) { step = round(step); k += 1 }
+          ranks = step.localCheckpoint(true)
+          t += k
         }
         ranks
       } finally {

@@ -746,16 +746,9 @@ class BqScan(ep: BqEndpoint, out: StructType, sql: String,
     def single = Array[InputPartition](BqPartition(ep.spec, sql, out.json))
     val render = sqlFor.getOrElse(return single)
     val ws = ep.splits.getOrElse(return single)
-    // a pushed predicate pinning the split key answers in one request:
-    // range shards would be provably empty for all but one partition
-    val pinned = pushed.exists {
-      case EqualTo(a, _) => a.equalsIgnoreCase(ws.key)
-      case EqualNullSafe(a, _) => a.equalsIgnoreCase(ws.key)
-      case In(a, _) => a.equalsIgnoreCase(ws.key)
-      case IsNull(a) => a.equalsIgnoreCase(ws.key)
-      case _ => false
-    }
-    if (pinned) return single
+    // a key-pinning pushed predicate answers in ONE statement: range
+    // shards would be provably empty for all but one partition
+    if (WireFanout.pinsKey(pushed, ws.key)) return single
     val n = WireFanout.effective(ws.points.size + 1, hint)
     val pts = WireFanout.thin(ws.points.toIndexedSeq, n)
       .flatMap(BqSql.renderLit) // unrenderable split values => no fan-out

@@ -58,6 +58,9 @@ object DsQuery {
         o.put("timestampValue", LineCodec.render(t))
       case i: java.time.Instant =>
         o.put("timestampValue", LineCodec.render(java.sql.Timestamp.from(i)))
+      case t: java.time.LocalDateTime => // TIMESTAMP_NTZ: UTC wall clock
+        o.put("timestampValue", LineCodec.render(
+          java.sql.Timestamp.from(t.toInstant(java.time.ZoneOffset.UTC))))
       case _ => return None
     }
     Some(o)
@@ -75,6 +78,11 @@ object DsQuery {
       case StringType => node.path("stringValue").asText()
       case TimestampType =>
         LineCodec.parse(node.path("timestampValue").asText(), TimestampType)
+      case TimestampNTZType =>
+        java.time.LocalDateTime.ofInstant(
+          LineCodec.parse(node.path("timestampValue").asText(), TimestampType)
+            .asInstanceOf[java.sql.Timestamp].toInstant,
+          java.time.ZoneOffset.UTC)
       case other => throw new IllegalArgumentException(s"no datastore type for $other")
     }
   }

@@ -353,7 +353,11 @@ object LoopbackRestServer {
             if (max < 2 || id < 0 || id >= max)
               throw new IllegalArgumentException(
                 s"slice id must be in [0, max) and max > 1: id=$id max=$max")
-            rows.zipWithIndex.collect { case (r, i) if i % max == id => r }
+            // index-stepped: O(rows/max) per open, so the total slicing
+            // work across all N opens stays linear in the table (a
+            // zipWithIndex copy per open would make it N x rows)
+            val rv = rows.toIndexedSeq
+            (id until rv.length by max).map(rv)
           }
         val query = body.path("query")
         val matched =

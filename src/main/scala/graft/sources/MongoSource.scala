@@ -48,6 +48,11 @@ object MongoDsl {
       if (t.getNanos % 1000000 == 0) Some(t) else None // BSON datetime is ms
     case i: java.time.Instant =>
       if (i.getNano % 1000000 == 0) Some(java.sql.Timestamp.from(i)) else None
+    case t: java.time.LocalDateTime => // TIMESTAMP_NTZ: UTC wall clock,
+      // stored as a BSON datetime like the collection's own values
+      if (t.getNano % 1000000 == 0)
+        Some(java.sql.Timestamp.from(t.toInstant(java.time.ZoneOffset.UTC)))
+      else None
     case _ => None
   }
 
@@ -189,6 +194,9 @@ object MongoDsl {
     case (s: String, StringType) => s
     case (b: java.lang.Boolean, BooleanType) => b
     case (t: java.sql.Timestamp, TimestampType) => t
+    case (t: java.sql.Timestamp, TimestampNTZType) => // BSON datetime is
+      // epoch millis; NTZ reads back as the UTC wall clock it was stored as
+      java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
     case (other, t) => throw new java.io.IOException(
       s"BSON value ${other.getClass.getSimpleName} does not fit $t")
   }
@@ -421,8 +429,19 @@ object LoopbackMongoServer {
   /** The last `find` command seen, rendered (pushdown assertions). */
   val lastFind = new AtomicReference[String]("")
 
-  def register(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit =
-    collections.put(name.toLowerCase, new Collection(schema, rows))
+  def register(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit = {
+    // a real collection holds BSON datetimes (epoch millis) — Spark 4
+    // collects TIMESTAMP_NTZ columns as java.time.LocalDateTime, so
+    // normalize here exactly as a real ingest would (UTC wall clock);
+    // the scan reader coerces back per the declared schema
+    val norm = rows.map(_.map {
+      case t: java.time.LocalDateTime =>
+        java.sql.Timestamp.from(t.toInstant(java.time.ZoneOffset.UTC))
+      case i: java.time.Instant => java.sql.Timestamp.from(i)
+      case v => v
+    })
+    collections.put(name.toLowerCase, new Collection(schema, norm))
+  }
 
   /** Start (once); returns (host, port). */
   def ensureStarted(): (String, Int) = {
@@ -777,19 +796,11 @@ class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
   override def planInputPartitions(): Array[InputPartition] = {
     def part(f: BDoc) = MongoPartition(ep.spec, Bson.encode(f),
       projection.map(Bson.encode), sort.map(Bson.encode), limit, required.json)
-    // a pushed predicate that PINS the split key makes range tiling
-    // pointless: N-1 partitions would be provably empty, so a point
-    // lookup ships as ONE targeted find, not N sockets
-    def keyPinned(key: String): Boolean = pushed.exists {
-      case EqualTo(a, _) => a.equalsIgnoreCase(key)
-      case EqualNullSafe(a, _) => a.equalsIgnoreCase(key)
-      case In(a, _) => a.equalsIgnoreCase(key)
-      case IsNull(a) => a.equalsIgnoreCase(key)
-      case _ => false
-    }
+    // a key-pinning pushed predicate ships as ONE targeted find, not
+    // N sockets of which N-1 are provably empty (WireFanout.pinsKey)
     ep.splits match {
       case Some(WireSplits(key, points))
-          if points.nonEmpty && !keyPinned(key) =>
+          if points.nonEmpty && !WireFanout.pinsKey(pushed, key) =>
         val pts = WireFanout.thin(points.toIndexedSeq,
           WireFanout.effective(points.size + 1, hint))
         if (pts.isEmpty) Array(part(filter))

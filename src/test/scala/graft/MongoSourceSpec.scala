@@ -237,6 +237,36 @@ class MongoSourceSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("TIMESTAMP_NTZ columns round-trip the BSON wire (Spark 4 LocalDateTime)") {
+    // Spark 4 collects TIMESTAMP_NTZ as java.time.LocalDateTime — the
+    // fixture seeds those raw, the server normalizes them to BSON
+    // datetimes, and the scan coerces back per the declared schema
+    // (this is the exact shape that crashed the bench warmup's
+    // SELECT * over orders_mongo before the fix)
+    val ntzSchema = StructType(Seq(
+      StructField("id", LongType), StructField("d", TimestampNTZType)))
+    def ldt(day: Int) = java.time.LocalDateTime.of(2024, 1, day, 0, 0, 0)
+    val ntzRows: Seq[Array[Any]] = (1 to 28).map(i => Array[Any](i.toLong, ldt(i)))
+    LoopbackMongoServer.register("ntz1", ntzSchema, ntzRows)
+    val (host, port) = LoopbackMongoServer.ensureStarted()
+    MongoEndpoints.register(MongoEndpoint("mongotest", "ntz1", ntzSchema,
+      MongoEndpointSpec(host, port, LoopbackMongoServer.Db, "ntz1",
+        MongoClientConfig(batchSize = 64, retryBackoffMs = 5))))
+    SourceRegistry.ensureCatalog(spark)
+    val t = s"${SourceRegistry.CatalogName}.mongotest.ntz1"
+    // full-row read (the warmup shape): values come back as the same
+    // wall-clock LocalDateTime
+    val all = spark.table(t).collect()
+    assert(all.length == 28)
+    assert(all.map(_.getAs[java.time.LocalDateTime]("d")).toSet ==
+      (1 to 28).map(ldt).toSet)
+    // and an NTZ filter pushes through the BSON encode path
+    val feb = spark.table(t).filter(col("d") >= ldt(15))
+    assert(feb.count() == 14)
+    assert(LoopbackMongoServer.lastFind.get().contains("$gte"),
+      "the NTZ predicate must ride the wire, not polyfill")
+  }
+
   test("a pushed predicate pinning the split key collapses to ONE request") {
     val (t, all) = splitTable("fanpin", Seq(100L, 200L, 300L))
     val pin = spark.table(t).filter(col("id") === 150L)
