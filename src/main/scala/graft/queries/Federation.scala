@@ -348,12 +348,16 @@ object Federation {
         .orderBy("c_mktsegment")
     },
 
-    // ES cardinality pushdown (reference: sqltoes.go:599-611 maps
-    // cardinality() to the ES cardinality agg): COUNT(DISTINCT f) ships
-    // as a cardinality sub-agg per terms bucket with precision_threshold
-    // at its 40000 max — real ES is EXACT below the threshold (HLL
-    // engages only past it), so the gate is value-exact, same contract
-    // a real deployment gets for sub-40k-distinct groups.
+    // ES cardinality pushdown (reference: sqltoes.go:599-611 maps the
+    // dialect's EXPLICITLY-APPROXIMATE cardinality() function — never
+    // exact COUNT(DISTINCT) — to the ES cardinality agg): under the
+    // approx opt-in the distinct count ships as a cardinality sub-agg
+    // per terms bucket with precision_threshold at its 40000 max. ES
+    // cardinality is HLL++-backed (approximate past the threshold, so
+    // plain COUNT(DISTINCT) DECLINES and polyfills engine-side —
+    // EsHttpSpec proves both arms); the fixture's distinct counts sit
+    // far below the threshold, where the loopback answers exactly, so
+    // the gate stays value-oracled against SQL COUNT(DISTINCT).
     GQuery(
       "q_src_es_cardinality",
       """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations
@@ -361,7 +365,8 @@ object Federation {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
       fed(s, d)
-      s.table(s"$C.${FedData.EsSourceName}.customer_es")
+      s.read.option(graft.sources.EsTable.ApproxDistinctOption, "true")
+        .table(s"$C.${FedData.EsSourceName}.customer_es")
         .groupBy("c_mktsegment")
         .agg(countDistinct(col("c_nationkey")).as("n_nations"))
         .orderBy("c_mktsegment")

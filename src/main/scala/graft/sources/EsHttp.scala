@@ -224,9 +224,11 @@ object EsDsl {
 
 /** Serializable ES endpoint pointer (executor JVMs rebuild the client).
   * `slices` = default scan fan-out via ES's sliced-scroll parallel-read
-  * API (each task ships `"slice": {id, max}` with its requests). */
+  * API (each task ships `"slice": {id, max}` with its requests).
+  * `cardinalityThreshold` = the precision_threshold shipped with pushed
+  * cardinality aggregations (ES caps it at 40000). */
 final case class EsEndpointSpec(baseUrl: String, table: String, cfg: HttpRestConfig,
-    slices: Int = 1)
+    slices: Int = 1, cardinalityThreshold: Int = 40000)
 
 final case class EsEndpoint(source: String, table: String, schema: StructType,
     spec: EsEndpointSpec)
@@ -249,10 +251,20 @@ class EsTable(val ep: EsEndpoint) extends Table with SupportsRead with WireScanT
   override def capabilities(): util.Set[TableCapability] =
     util.Set.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EsScanBuilder(ep, WireFanout.hintFrom(options))
+    new EsScanBuilder(ep, WireFanout.hintFrom(options),
+      options.getBoolean(EsTable.ApproxDistinctOption, false))
 }
 
-class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None) extends ScanBuilder
+object EsTable {
+  /** Read option opting a scan into APPROXIMATE distinct-count pushdown
+    * (the dialect's explicitly-approximate `cardinality()` spelling —
+    * the reference maps only that function to the ES cardinality agg,
+    * sqltoes.go:599-611, never exact COUNT(DISTINCT)). */
+  val ApproxDistinctOption = "graft.approx_distinct"
+}
+
+class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
+    approxDistinct: Boolean = false) extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
@@ -300,15 +312,19 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None) extends ScanBuilde
           case nr: NamedReference => fieldIdx(nr).map(("value_count", _, LongType))
           case _ => None
         }
-      // COUNT(DISTINCT f) -> the ES `cardinality` aggregation (the
-      // reference pushes its cardinality() the same way,
-      // sqltoes.go:599-611). Shipped with precision_threshold at its
-      // 40000 max: real ES cardinality is EXACT below the threshold
-      // (HLL engages only past it), so the pushed result is value-exact
-      // for any group under 40k distinct — and the loopback server
-      // computes the same exact count.
+      // Distinct counts push as the ES `cardinality` aggregation ONLY
+      // under the explicit approx opt-in (the dialect's cardinality()/
+      // approx_count_distinct spelling — the reference maps exactly that
+      // function to the agg, sqltoes.go:599-611). ES cardinality is
+      // HLL++-backed: documented as "close to accurate" below
+      // precision_threshold and approximate beyond it — never a
+      // contractual exact count. SQL's exact COUNT(DISTINCT) therefore
+      // DECLINES here and polyfills engine-side over the hit scan; a
+      // silent approximation past 40k distincts per group is a
+      // scale-correctness bug this guard exists to prevent.
       case c: Count if c.isDistinct =>
-        c.column() match {
+        if (!approxDistinct) None
+        else c.column() match {
           case nr: NamedReference => fieldIdx(nr).map(("cardinality", _, LongType))
           case _ => None
         }
@@ -381,7 +397,8 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None) extends ScanBuilde
             }
             val mo = m.putObject(esKind)
             mo.put("field", ep.schema.fields(idx).name)
-            if (esKind == "cardinality") mo.put("precision_threshold", 40000)
+            if (esKind == "cardinality")
+              mo.put("precision_threshold", ep.spec.cardinalityThreshold)
             // ES sum over zero docs is 0.0, SQL SUM is NULL: a companion
             // value_count disambiguates (the reader nulls a 0-count sum)
             if (esKind == "sum")
@@ -531,16 +548,26 @@ class EsReaderFactory extends PartitionReaderFactory {
                   EsDsl.M.readTree(client.postJson(path, body.toString,
                     Map("scroll" -> "1m")))
                 case Some(id) =>
-                  EsDsl.M.readTree(client.postJson("/es/_search/scroll",
+                  // a scroll continuation is NOT idempotent (the server
+                  // advances the cursor): it must never ride the retrying
+                  // exchange — a retry after a lost response would skip a
+                  // page silently. Fail loudly; Spark re-runs the task
+                  // from a fresh scroll.
+                  EsDsl.M.readTree(client.postJsonOnce("/es/_search/scroll",
                     s"""{"scroll":"1m","scroll_id":"$id"}"""))
               }
               scrollId = Option(resp.path("_scroll_id").asText(null)).filter(_.nonEmpty)
               val hits = resp.path("hits").path("hits")
               var srcs = hits.elements().asScala.map(h => h.path("_source").toString).toArray
+              // the documented scroll contract: page until the hits array
+              // is EMPTY. A batch can legitimately come back short of
+              // `size` while more results remain (size applies per shard
+              // and shards drain unevenly) — stopping on a short page
+              // would silently drop rows against a real cluster.
+              if (srcs.isEmpty) done = true
               if (p.limit > 0 && yielded + srcs.length > p.limit)
                 srcs = srcs.take((p.limit - yielded).toInt)
               yielded += srcs.length
-              if (srcs.length < pageSize) done = true
               srcs.iterator
             }
           } else new Iterator[Iterator[String]] {

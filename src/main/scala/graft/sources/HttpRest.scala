@@ -64,6 +64,24 @@ final class HttpRestClient(val baseUrl: String, val cfg: HttpRestConfig = HttpRe
   def postJson(path: String, body: String, params: Map[String, String] = Map.empty): String =
     exchange(path, params, Some(body))
 
+  /** POST exactly once — NO retries. For non-idempotent continuations:
+    * an ES scroll continuation advances the server-side cursor, so a
+    * retry after a lost response would fetch the NEXT page and silently
+    * skip one page of hits. Failure here propagates loudly instead;
+    * Spark re-runs the task, which opens a fresh scroll from the start
+    * (at-least-once at the task level, never silent row loss). */
+  def postJsonOnce(path: String, body: String): String = {
+    val req = HttpRequest.newBuilder(URI.create(baseUrl + path))
+      .timeout(Duration.ofMillis(cfg.requestTimeoutMs))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    requests.incrementAndGet()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 == 2) resp.body()
+    else throw new java.io.IOException(
+      s"non-retryable request failed: HTTP ${resp.statusCode()} ${resp.body().take(200)}")
+  }
+
   /** DELETE with a JSON body — the ES clear-scroll request shape
     * (`DELETE /_search/scroll {"scroll_id": ...}`). Best-effort: a
     * cursor the server already dropped answers 404 and that is fine. */
@@ -180,6 +198,11 @@ object LoopbackRestServer {
   private val esScrolls = TrieMap.empty[String, EsScroll]
   private val esScrollSeq = new AtomicLong(0)
   private val EsScrollCap = 256
+  /** Fault knob: when set, scroll CONTINUATIONS return short (half-size)
+    * pages even though more results remain — the real cluster's uneven
+    * shard-drain shape. A client that stops paging on a short batch
+    * (instead of on the documented empty-hits signal) drops rows here. */
+  val esScrollShortPages = new AtomicInteger(0)
 
   def register(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit =
     tables.put(name.toLowerCase, TableData(schema, rows))
@@ -400,9 +423,17 @@ object LoopbackRestServer {
             }
             kind match {
               case "value_count" => o.put("value", vals.size.toLong)
-              // exact below precision_threshold — the contract the
-              // client relies on by shipping the 40000 maximum
-              case "cardinality" => o.put("value", vals.distinct.size.toLong)
+              // real ES cardinality is HLL++-backed: "close to accurate"
+              // below precision_threshold, approximate beyond it. The
+              // loopback makes the beyond-threshold regime VISIBLE by
+              // perturbing the count deterministically — a client that
+              // pushes cardinality only for explicitly-approximate
+              // spellings (the EsScanBuilder guard) never lets this
+              // perturbation reach an exact COUNT(DISTINCT) result.
+              case "cardinality" =>
+                val d = vals.distinct.size.toLong
+                val thr = ms.path("precision_threshold").asInt(3000) // ES default
+                o.put("value", if (d <= thr) d else d + math.max(1L, d / 64L))
               case "sum" =>
                 if (integral) o.put("value", vals.iterator.map(_.asInstanceOf[Number].longValue()).sum)
                 else o.put("value", vals.iterator.map(num).sum)
@@ -510,9 +541,12 @@ object LoopbackRestServer {
         s"{\"error\":{\"type\":\"search_phase_execution_exception\"," +
           s"\"reason\":\"No search context found for id [$id]\"}}")
       case Some(st) =>
-        val page = st.remaining.take(st.size)
+        // short-page injection: a real scroll batch can be smaller than
+        // `size` while results remain (size applies per shard)
+        val take = if (esScrollShortPages.get() > 0) math.max(1, st.size / 2) else st.size
+        val page = st.remaining.take(take)
         if (st.remaining.isEmpty) esScrolls.remove(id)
-        else esScrolls.put(id, st.copy(remaining = st.remaining.drop(st.size)))
+        else esScrolls.put(id, st.copy(remaining = st.remaining.drop(take)))
         respond(ex, 200, renderEsHits(st.schema, page, st.total, Some(id)))
     }
   } catch {

@@ -155,7 +155,19 @@ object LoopbackKubeServer {
             }
           }
         }
-        val limited = q.get("limit").map(_.toInt) match {
+        // the real API validates query params up front (a malformed
+        // `limit` answers 400 with a Status object, never a 500); also
+        // note the real list API treats `limit` as a PAGE size paired
+        // with a `continue` token — the loopback truncates instead (no
+        // continue token), a fixture simplification a future pagination
+        // gate must not assume.
+        val limitRaw = q.get("limit")
+        if (limitRaw.exists(_.toIntOption.isEmpty)) {
+          respond(ex, 400,
+            s"""{"kind":"Status","code":400,"message":"invalid value for limit: ${limitRaw.get}"}""")
+          return
+        }
+        val limited = limitRaw.flatMap(_.toIntOption) match {
           case Some(n) if n > 0 => matched.take(n)
           case _ => matched
         }

@@ -153,21 +153,70 @@ class EsHttpSpec extends AnyFunSuite {
     assert(body.contains("\"terms\"") && body.contains("\"sum\""), body)
   }
 
-  test("COUNT(DISTINCT) pushes as a cardinality agg: COMPLETE, value-exact") {
-    val t = table("es_card")
-    val df = spark.table(t).groupBy("seg")
-      .agg(countDistinct(col("id")).as("n_ids"))
-    // COMPLETE pushdown: no Spark-side aggregate survives
-    val aggs = df.queryExecution.executedPlan.collect {
+  private def aggNodes(df: org.apache.spark.sql.DataFrame): Seq[Any] = {
+    // unwrap AQE: AdaptiveSparkPlanExec hides its inner plan from collect
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect {
       case h: HashAggregateExec => h: Any
       case o: ObjectHashAggregateExec => o: Any
       case s: SortAggregateExec => s: Any
     }
-    assert(aggs.isEmpty, s"expected the cardinality agg to ship:\n${df.queryExecution}")
+  }
+
+  test("exact COUNT(DISTINCT) DECLINES cardinality pushdown and polyfills exactly") {
+    // endpoint whose precision_threshold is far BELOW the distinct counts:
+    // past the threshold the loopback perturbs the cardinality value (the
+    // stand-in for real ES's HLL regime). A correct guard never lets the
+    // perturbation reach an exact COUNT(DISTINCT).
+    LoopbackRestServer.register("es_card_ex", schema, rows)
+    val base = LoopbackRestServer.ensureStarted()
+    EsEndpoints.register(EsEndpoint("estest", "es_card_ex", schema,
+      EsEndpointSpec(base, "es_card_ex", HttpRestConfig(pageSize = 64, retryBackoffMs = 5),
+        cardinalityThreshold = 5)))
+    if (SourceRegistry.get("estest").isEmpty)
+      SourceRegistry.register(SourceDef("estest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/estest").getPath,
+        "json", "es"))
+    SourceRegistry.ensureCatalog(spark)
+    val t = s"${SourceRegistry.CatalogName}.estest.es_card_ex"
+    val df = spark.table(t).groupBy("seg")
+      .agg(countDistinct(col("id")).as("n_ids"))
+    // the exact spelling polyfills: a Spark-side aggregate MUST exist
+    assert(aggNodes(df).nonEmpty,
+      s"exact COUNT(DISTINCT) must NOT consume the approximate cardinality agg:\n${df.queryExecution}")
     val got = df.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     val want = rows.groupBy(r => Option(r(1).asInstanceOf[String]))
       .map { case (k, g) => k -> g.map(_(0)).distinct.size.toLong }
-    assert(got == want)
+    assert(got == want, "exact even though every group is past the endpoint's threshold")
+    assert(!LoopbackRestServer.lastBody.get().contains("cardinality"),
+      s"no cardinality agg may ship for the exact spelling: ${LoopbackRestServer.lastBody.get()}")
+
+    // ...and the approximate opt-in on the SAME endpoint sees the HLL
+    // regime: the pushed value is the server's perturbed count — visibly
+    // approximate, exactly the semantics the opt-in spelling requested
+    val approx = spark.read.option(EsTable.ApproxDistinctOption, "true").table(t)
+      .groupBy("seg").agg(countDistinct(col("id")).as("n_ids"))
+    assert(aggNodes(approx).isEmpty,
+      s"opt-in must push COMPLETE:\n${approx.queryExecution}")
+    val gotA = approx.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val wantA = want.map { case (k, d) => k -> (d + math.max(1L, d / 64L)) }
+    assert(gotA == wantA, "past the threshold the pushed value is approximate by construction")
+  }
+
+  test("opt-in cardinality pushes COMPLETE and is exact below the threshold") {
+    val t = table("es_card")
+    val df = spark.read.option(EsTable.ApproxDistinctOption, "true").table(t)
+      .groupBy("seg").agg(countDistinct(col("id")).as("n_ids"))
+    // COMPLETE pushdown: no Spark-side aggregate survives
+    assert(aggNodes(df).isEmpty,
+      s"expected the cardinality agg to ship:\n${df.queryExecution}")
+    val got = df.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val want = rows.groupBy(r => Option(r(1).asInstanceOf[String]))
+      .map { case (k, g) => k -> g.map(_(0)).distinct.size.toLong }
+    assert(got == want, "below precision_threshold the loopback answers exactly")
     val body = LoopbackRestServer.lastBody.get()
     assert(body.contains("cardinality") && body.contains("precision_threshold"), body)
   }
@@ -218,6 +267,18 @@ class EsHttpSpec extends AnyFunSuite {
     val f = spark.table(t).filter(col("seg") === "A").select("id")
       .collect().map(_.getLong(0)).sorted
     assert(f.toSeq == rows.filter(_(1) == "A").map(_(0).asInstanceOf[Long]).sorted)
+  }
+
+  test("scroll pages until EMPTY hits, not until a short page (uneven shard drain)") {
+    val t = slicedTable("sl_short", 2)
+    LoopbackRestServer.esScrollShortPages.set(1)
+    try {
+      // continuations now return half-size pages while rows remain — the
+      // documented scroll contract says keep paging until hits is empty
+      val got = spark.table(t).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == rows.map(_(0).asInstanceOf[Long]).sorted,
+        "a short (but non-empty) batch must not terminate the scroll")
+    } finally LoopbackRestServer.esScrollShortPages.set(0)
   }
 
   test("aggregation pushdown stays single-partition (ES cannot slice aggs)") {
