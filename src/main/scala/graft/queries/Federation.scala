@@ -394,6 +394,62 @@ object Federation {
       top("c_mktsegment").unionAll(top("c_nationkey")).orderBy("field", "key")
     },
 
+    // SCHEMA DISCOVERY, ES: the endpoint registered with NO declared
+    // schema — its StructType came off the wire (GET /{index}/_mapping,
+    // elasticsearch/source.go:154-255), with the index's nested objects
+    // walked into REAL struct columns (the reference flattens to dotted
+    // names; SURVEY §1.2's declared upgrade). The gate projects nested
+    // fields through the discovered structs and value-oracles against
+    // the flat parquet origin.
+    GQuery(
+      "q_src_discovery_es",
+      """SELECT c_custkey, c_name AS name, c_mktsegment AS segment,
+        |       c_acctbal AS balance
+        |FROM customer WHERE c_custkey % 7 = 0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.EsSourceName}.customer_esdoc")
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("profile.name").as("name"),
+          col("market.segment").as("segment"),
+          col("profile.balance").as("balance"))
+        .orderBy("c_custkey")
+    },
+
+    // SCHEMA DISCOVERY, Mongo: collection registered schema-less; field
+    // types inferred by sampling documents through a real OP_MSG `find`
+    // and switching on BSON runtime types (mgo_source.go:269-311). The
+    // pushed filter then compiles against the DISCOVERED types.
+    GQuery(
+      "q_src_discovery_mongo",
+      """SELECT p_partkey, p_name, p_size, p_retailprice FROM part
+        |WHERE p_size >= 40 AND p_brand = 'Brand#19'
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.MongoSourceName}.part_mongo")
+        .filter(col("p_size") >= 40 && col("p_brand") === "Brand#19")
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    },
+
+    // SCHEMA DISCOVERY, BigTable: column types GUESSED by scanning
+    // sampled cells (bigtable/source.go:193-251) — integer-looking cells
+    // discover as bigint (both arms cast), the key prefix still compiles
+    // into rowRanges against the discovered schema.
+    GQuery(
+      "q_src_discovery_bt",
+      """SELECT p_name, CAST(p_partkey AS BIGINT) AS partkey,
+        |       CAST(p_size AS BIGINT) AS size_b, p_retailprice
+        |FROM part WHERE p_name LIKE 's%' AND p_size >= 20
+        |ORDER BY p_name, partkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.BtSourceName}.part_btd")
+        .filter(col("p_name").startsWith("s") && col("p_size") >= 20)
+        .select(col("p_name"), col("p_partkey").cast("long").as("partkey"),
+          col("p_size").cast("long").as("size_b"), col("p_retailprice"))
+        .orderBy("p_name", "partkey")
+    },
+
     // MONGO-PROTOCOL scan over a real socket (reference: sql_to_mgo.go:
     // 441-637 compiles the WHERE tree into a bson filter document —
     // IN→$in, ranges→$gt/$lte, LIKE→regex, AND/OR→$and/$or — and ships

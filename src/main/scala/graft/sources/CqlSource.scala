@@ -474,9 +474,71 @@ object LoopbackCqlServer {
     }
   }
 
+  /** The CQL type NAME a real cluster's schema tables carry for each
+    * column type (system_schema.columns.type). */
+  private def cqlTypeName(dt: DataType): String = dt match {
+    case LongType => "bigint"
+    case IntegerType => "int"
+    case ShortType => "smallint"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case BooleanType => "boolean"
+    case TimestampType => "timestamp"
+    case _ => "text"
+  }
+
+  /** Schema discovery surface: the `system_schema.tables` /
+    * `system_schema.columns` virtual keyspace every real Cassandra
+    * serves over the SAME native protocol as data queries (the
+    * reference reads the equivalent gocql.TableMetadata,
+    * cassandra/source.go:185-239). Columns answer in the table's
+    * declared order with kind (partition_key | clustering | regular)
+    * and the position within their key. */
+  private val SysTablesRx =
+    """(?is)\s*SELECT\s+table_name\s+FROM\s+system_schema\.tables\s+WHERE\s+keyspace_name\s*=\s*'([^']*)'\s*;?\s*""".r
+  private val SysColumnsRx =
+    """(?is)\s*SELECT\s+column_name\s*,\s*kind\s*,\s*position\s*,\s*type\s+FROM\s+system_schema\.columns\s+WHERE\s+keyspace_name\s*=\s*'([^']*)'\s+AND\s+table_name\s*=\s*'([^']*)'\s*;?\s*""".r
+
+  private def systemSchemaQuery(f: Frame, cql: String): Option[Frame] = cql match {
+    case SysTablesRx(ks) =>
+      val names =
+        if (ks.equalsIgnoreCase(Keyspace)) tables.keys.toSeq.sorted else Nil
+      Some(Frame(Op.Result, f.stream, CqlWire.rowsBody(
+        "system_schema", "tables", Seq(("table_name", T.Varchar)),
+        names.map(n => Array(CqlWire.encodeValue(n, T.Varchar))), null)))
+    case SysColumnsRx(ks, tbl) =>
+      val cols = Seq(("column_name", T.Varchar), ("kind", T.Varchar),
+        ("position", T.Int), ("type", T.Varchar))
+      val rows: Seq[Array[Array[Byte]]] =
+        if (!ks.equalsIgnoreCase(Keyspace)) Nil
+        else tables.get(tbl.toLowerCase).toSeq.flatMap { t =>
+          val pk = t.partitionKeys.map(_.toLowerCase)
+          val ck = t.clusteringKeys.map(_.toLowerCase)
+          t.schema.fields.map { fld =>
+            val lc = fld.name.toLowerCase
+            val (kind, pos) =
+              if (pk.contains(lc)) ("partition_key", pk.indexOf(lc))
+              else if (ck.contains(lc)) ("clustering", ck.indexOf(lc))
+              else ("regular", -1)
+            Array(
+              CqlWire.encodeValue(fld.name, T.Varchar),
+              CqlWire.encodeValue(kind, T.Varchar),
+              CqlWire.encodeValue(Int.box(pos), T.Int),
+              CqlWire.encodeValue(cqlTypeName(fld.dataType), T.Varchar))
+          }
+        }
+      Some(Frame(Op.Result, f.stream,
+        CqlWire.rowsBody("system_schema", "columns", cols, rows, null)))
+    case _ => None
+  }
+
   private def runQuery(f: Frame): Frame = {
     val q = CqlWire.parseQueryBody(f.body)
     lastCql.set(q.cql)
+    systemSchemaQuery(f, q.cql) match {
+      case Some(reply) => return reply
+      case None => ()
+    }
     val upper = q.cql.trim.toUpperCase
     if (upper.startsWith("BEGIN") || upper.startsWith("INSERT") ||
         upper.startsWith("DELETE")) {

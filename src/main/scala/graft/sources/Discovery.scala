@@ -1,0 +1,312 @@
+package graft.sources
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+
+import org.apache.spark.sql.types._
+
+import graft.protocol.Bson.BDoc
+import graft.protocol.CqlWire
+
+/** Wire-side schema DISCOVERY — the reference's §1.1 identity ("schema is
+  * discovered, not declared"): every protocol connector can populate a
+  * table's StructType from the backend itself, over the same wire its
+  * scans use, so an endpoint is registrable WITHOUT a declared schema.
+  * Per-protocol mechanisms, each the real service's own discovery
+  * surface:
+  *
+  *   - Elasticsearch: tables from `GET /_aliases`, fields from
+  *     `GET /{index}/_mapping` (`elasticsearch/source.go:107-152,
+  *     154-255`) — the mapping is self-describing, no sampling needed.
+  *     Where the reference flattens nested objects into dotted column
+  *     names, nested `properties` walk into REAL StructType columns
+  *     (the declared upgrade, SURVEY §1.2).
+  *   - MongoDB: collections from `listCollections`, field types inferred
+  *     by SAMPLING documents and switching on BSON runtime types
+  *     (`mgo_source.go:269-311,335-360`), widened across the sample.
+  *   - Cassandra: `system_schema.{tables,columns}` read over the same
+  *     native protocol as data queries — column kinds/positions rebuild
+  *     the partition/clustering key lists (the reference reads the
+  *     equivalent `gocql.TableMetadata`, `cassandra/source.go:185-239`).
+  *   - BigTable: cell-value scanning with type detection over a sampled
+  *     `:readRows` page (`bigtable/source.go:193-251`) through the same
+  *     widen lattice as file inference.
+  *   - BigQuery / Datastore: `tables.get` schema resource / typed
+  *     entity-value sampling.
+  *
+  * 100 TB: discovery reads are metadata-sized (one mapping document, one
+  * bounded sample page) and run ONCE at registration on the driver —
+  * never in the scan path.
+  */
+object WireInference {
+
+  /** Widen two inferred types: numeric types promote (integer widths
+    * merge to the widest; any fractional side forces double — a `42` in
+    * one document and a `4.2` in another is one double column); structs
+    * merge fieldwise; arrays widen elementwise; any other conflict
+    * degrades to string (the reference's stable fallback). */
+  def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case (NullType, x) => x
+    case (x, NullType) => x
+    case (x, y) if x == y => x
+    case (x: StructType, y: StructType) => LineCodec.mergeSchemas(x, y)
+    case (ArrayType(x, _), ArrayType(y, _)) => ArrayType(widen(x, y), containsNull = true)
+    case (x: NumericType, y: NumericType) =>
+      def frac(t: DataType) = t == DoubleType || t == FloatType
+      if (frac(x) || frac(y)) DoubleType
+      else if (x == LongType || y == LongType) LongType
+      else if (x == IntegerType || y == IntegerType) IntegerType
+      else ShortType
+    case _ => StringType
+  }
+
+  /** Merge per-document (field, type) lists into one schema: union of
+    * fields in FIRST-SEEN order (deterministic for a given sample),
+    * same-named fields promoted through the widen lattice, everything
+    * nullable (a field absent from some documents is null there). A
+    * field that was null in every sampled document falls back to
+    * string. */
+  def inferFields(docs: Seq[Seq[(String, DataType)]]): StructType = {
+    val order = mutable.LinkedHashMap.empty[String, DataType]
+    docs.foreach(_.foreach { case (name, dt) =>
+      val key = order.keys.find(_.equalsIgnoreCase(name)).getOrElse(name)
+      order.put(key, widen(order.getOrElse(key, NullType), dt))
+    })
+    StructType(order.toSeq.map { case (n, dt) =>
+      StructField(n, if (dt == NullType) StringType else dt, nullable = true)
+    })
+  }
+}
+
+/** ES discovery: `_aliases` + `_mapping` (self-describing — no sampling). */
+object EsDiscovery {
+
+  /** Index names from `GET /_aliases` (the reference's table listing,
+    * elasticsearch/source.go:107-152). */
+  def listIndices(client: HttpRestClient): Seq[String] =
+    EsDsl.M.readTree(client.get("/es/_aliases", Map.empty))
+      .properties().asScala.map(_.getKey).toSeq.sorted
+
+  /** StructType from `GET /{index}/_mapping`: the mapping's `properties`
+    * walk recursively — nested objects become real struct columns. */
+  def mappingSchema(client: HttpRestClient, index: String): StructType = {
+    val root = EsDsl.M.readTree(client.get(s"/es/$index/_mapping", Map.empty))
+    // the response keys by the (single) index name
+    val mappings = root.properties().asScala.headOption
+      .map(_.getValue.path("mappings").path("properties"))
+      .getOrElse(throw new IllegalArgumentException(s"no mapping for index $index"))
+    require(mappings.isObject && mappings.properties().asScala.nonEmpty,
+      s"empty mapping for index $index")
+    walk(mappings)
+  }
+
+  private def walk(props: JsonNode): StructType = StructType(
+    props.properties().asScala.toSeq.map { e =>
+      val t = e.getValue
+      val dt: DataType =
+        if (t.has("properties")) walk(t.path("properties")) // object -> struct
+        else t.path("type").asText("") match {
+          case "long" => LongType
+          case "integer" => IntegerType
+          case "short" => ShortType
+          case "double" => DoubleType
+          case "float" => FloatType
+          case "boolean" => BooleanType
+          case "date" =>
+            if (t.path("format").asText("") == "yyyy-MM-dd") DateType
+            else TimestampType
+          case _ => StringType // keyword / text / anything unmapped
+        }
+      StructField(e.getKey, dt, nullable = true)
+    })
+
+  /** Register every index the cluster lists, each with its mapping-
+    * discovered schema — the CREATE SOURCE composition path. */
+  def registerAll(source: String, baseUrl: String,
+      cfg: HttpRestConfig = HttpRestConfig(), slices: Int = 1): Seq[String] = {
+    val client = new HttpRestClient(baseUrl, cfg)
+    val indices = listIndices(client)
+    indices.foreach { idx =>
+      EsEndpoints.register(EsEndpoint(source, idx, mappingSchema(client, idx),
+        EsEndpointSpec(baseUrl, idx, cfg, slices = slices)))
+    }
+    indices
+  }
+}
+
+/** Mongo discovery: listCollections + document-sampling inference. */
+object MongoDiscovery {
+
+  def listCollections(spec: MongoEndpointSpec): Seq[String] = {
+    val client = new MongoClientLite(spec.host, spec.port, spec.cfg)
+    try client.listCollections(spec.db)
+    finally client.close()
+  }
+
+  /** BSON runtime value -> inferred Spark type (the reference's sampled
+    * type switch, mgo_source.go:335-360). Sub-documents recurse into
+    * structs; arrays widen their element types. */
+  def bsonType(v: Any): DataType = v match {
+    case null => NullType
+    case _: java.lang.Integer => IntegerType
+    case _: java.lang.Long => LongType
+    case _: java.lang.Double => DoubleType
+    case _: java.lang.Boolean => BooleanType
+    case _: java.sql.Timestamp => TimestampType
+    case _: String => StringType
+    case d: BDoc => StructType(d.fields.map { case (k, v2) =>
+      StructField(k, bsonType(v2) match {
+        case NullType => StringType
+        case t => t
+      }, nullable = true)
+    })
+    case s: Seq[_] =>
+      val el = s.map(bsonType).foldLeft(NullType: DataType)(WireInference.widen)
+      ArrayType(if (el == NullType) StringType else el, containsNull = true)
+    case _ => StringType
+  }
+
+  /** Infer a collection's schema by sampling up to `sampleN` documents
+    * through a real `find` (limit rides the command, like any scan). */
+  def inferSchema(spec: MongoEndpointSpec, sampleN: Int = 64): StructType = {
+    val client = new MongoClientLite(spec.host, spec.port, spec.cfg)
+    try {
+      val docs = client.find(spec.db, spec.collection, BDoc.empty,
+        limit = sampleN, batchSize = sampleN).take(sampleN).toSeq
+      require(docs.nonEmpty,
+        s"cannot infer schema: collection ${spec.db}.${spec.collection} is empty")
+      WireInference.inferFields(docs.map(_.fields.map {
+        case (k, v) => (k, bsonType(v))
+      }))
+    } finally client.close()
+  }
+}
+
+/** Cassandra discovery: system_schema read over the native protocol. */
+object CqlDiscovery {
+
+  final case class TableMeta(schema: StructType,
+      partitionKeys: Seq[String], clusteringKeys: Seq[String])
+
+  def listTables(spec: CqlEndpointSpec, keyspace: String = "graft"): Seq[String] = {
+    val client = new CqlClientLite(spec.host, spec.port, spec.cfg)
+    try client.query(
+      s"SELECT table_name FROM system_schema.tables WHERE keyspace_name = '$keyspace'")
+      .map { case (cols, row) => CqlWire.decodeValue(row(0), cols(0)._2).toString }
+      .toSeq
+    finally client.close()
+  }
+
+  private def sparkType(cql: String): DataType = cql match {
+    case "bigint" => LongType
+    case "int" => IntegerType
+    case "smallint" => ShortType
+    case "double" => DoubleType
+    case "float" => FloatType
+    case "boolean" => BooleanType
+    case "timestamp" => TimestampType
+    case _ => StringType // text / varchar / anything unmapped
+  }
+
+  /** Table schema + key structure from system_schema.columns: column
+    * order is the server's declared order; partition/clustering key
+    * lists rebuild from (kind, position). */
+  def tableMeta(spec: CqlEndpointSpec, table: String,
+      keyspace: String = "graft"): TableMeta = {
+    val client = new CqlClientLite(spec.host, spec.port, spec.cfg)
+    try {
+      val rows = client.query(
+        s"SELECT column_name, kind, position, type FROM system_schema.columns " +
+          s"WHERE keyspace_name = '$keyspace' AND table_name = '$table'")
+        .map { case (cols, row) =>
+          (CqlWire.decodeValue(row(0), cols(0)._2).toString,
+            CqlWire.decodeValue(row(1), cols(1)._2).toString,
+            CqlWire.decodeValue(row(2), cols(2)._2).asInstanceOf[Number].intValue(),
+            CqlWire.decodeValue(row(3), cols(3)._2).toString)
+        }.toSeq
+      require(rows.nonEmpty, s"no columns in system_schema for table $table")
+      TableMeta(
+        schema = StructType(rows.map { case (n, _, _, t) =>
+          StructField(n, sparkType(t), nullable = true)
+        }),
+        partitionKeys = rows.filter(_._2 == "partition_key").sortBy(_._3).map(_._1),
+        clusteringKeys = rows.filter(_._2 == "clustering").sortBy(_._3).map(_._1))
+    } finally client.close()
+  }
+}
+
+/** BigTable discovery: cell-value scanning with type detection. */
+object BtDiscovery {
+
+  /** Guess a table's schema from one sampled `:readRows` page: each
+    * qualifier's cells run through the same text-cell widen lattice as
+    * file inference (long/double/boolean/timestamp/date detection, the
+    * reference's cell switch, bigtable/source.go:193-251); conflicts
+    * degrade to string. Qualifier order is first-seen. */
+  def inferSchema(spec: BtEndpointSpec): StructType = {
+    val client = new HttpRestClient(spec.baseUrl, spec.cfg)
+    val resp = EsDsl.M.readTree(
+      client.postJson(s"/bt/${spec.table}:readRows", "{}"))
+    val rows = resp.path("rows").elements().asScala.toSeq
+    require(rows.nonEmpty, s"cannot infer schema: table ${spec.table} is empty")
+    val cells = mutable.LinkedHashMap.empty[String, mutable.Buffer[String]]
+    rows.foreach { r =>
+      r.path("cells").properties().asScala.foreach { e =>
+        cells.getOrElseUpdate(e.getKey, mutable.Buffer.empty) +=
+          BtQuery.unb64(e.getValue.asText())
+      }
+    }
+    StructType(cells.toSeq.map { case (q, vs) =>
+      StructField(q, LineCodec.inferColumn(vs.toSeq), nullable = true)
+    })
+  }
+}
+
+/** Datastore discovery: typed entity-value sampling via `:runQuery`. */
+object DsDiscovery {
+
+  def inferSchema(spec: DsEndpointSpec, sampleN: Int = 64): StructType = {
+    val client = new HttpRestClient(spec.baseUrl, spec.cfg)
+    val resp = EsDsl.M.readTree(client.postJson(
+      s"/ds/${spec.kind}:runQuery", s"""{"query":{"limit":$sampleN}}"""))
+    val ents = resp.path("batch").path("entityResults").elements().asScala.toSeq
+    require(ents.nonEmpty, s"cannot infer schema: kind ${spec.kind} is empty")
+    WireInference.inferFields(ents.map { e =>
+      e.path("entity").path("properties").properties().asScala.toSeq.map { p =>
+        val v = p.getValue
+        val dt: DataType =
+          if (v.has("integerValue")) LongType // DS integers are int64
+          else if (v.has("doubleValue")) DoubleType
+          else if (v.has("booleanValue")) BooleanType
+          else if (v.has("timestampValue")) TimestampType
+          else if (v.has("stringValue")) StringType
+          else NullType
+        (p.getKey, dt)
+      }
+    })
+  }
+}
+
+/** BigQuery discovery: the tables.get schema resource. */
+object BqDiscovery {
+
+  def tableSchema(spec: BqEndpointSpec): StructType = {
+    val client = new HttpRestClient(spec.baseUrl, spec.cfg)
+    val resp = EsDsl.M.readTree(client.get(s"/bq/${spec.table}", Map.empty))
+    val fields = resp.path("schema").path("fields")
+    require(fields.isArray && fields.size() > 0,
+      s"no schema fields for table ${spec.table}")
+    StructType(fields.elements().asScala.toSeq.map { f =>
+      val dt: DataType = f.path("type").asText("") match {
+        case "INTEGER" => LongType // BQ has only INT64
+        case "FLOAT" => DoubleType // ... and FLOAT64
+        case "BOOLEAN" => BooleanType
+        case "TIMESTAMP" => TimestampType
+        case _ => StringType
+      }
+      StructField(f.path("name").asText(), dt, nullable = true)
+    })
+  }
+}

@@ -514,8 +514,6 @@ class EsReaderFactory extends PartitionReaderFactory {
       } else {
         val pageSize = math.max(1, math.min(p.spec.cfg.pageSize,
           if (p.limit > 0) p.limit else p.spec.cfg.pageSize))
-        val outIdx = required.fieldNames.map(n =>
-          full.fieldNames.indexWhere(_.equalsIgnoreCase(n)))
         var done = false
         var yielded = 0L
         val pages: Iterator[Iterator[String]] =
@@ -590,9 +588,13 @@ class EsReaderFactory extends PartitionReaderFactory {
               srcs.iterator
             }
           }
-        JsonCodec.lineRecords(pages.flatten, full).map { row =>
-          conv(Row.fromSeq(outIdx.toSeq.map(i => if (i < 0) null else row(i))))
-            .asInstanceOf[InternalRow]
+        // decode each _source document directly against the REQUIRED
+        // schema: nodeToValue pulls fields by name and recurses per
+        // struct, so top-level projection AND nested-column pruning both
+        // come out right (a pruned struct<segment> reads only segment
+        // from a {nationkey, segment} document)
+        JsonCodec.lineRecords(pages.flatten, required).map { row =>
+          conv(Row.fromSeq(row.toSeq)).asInstanceOf[InternalRow]
         }
       }
     new PartitionReader[InternalRow] {

@@ -168,9 +168,15 @@ object FedData {
         val customer = Tables.load(spark, sfDir, "customer")
           .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal")
         val rows = customer.collect().map(_.toSeq.toArray)
-        LoopbackRestServer.register("customer_es", customer.schema, rows.toSeq)
+        LoopbackRestServer.registerEs("customer_es", customer.schema, rows.toSeq)
         val baseUrl = LoopbackRestServer.ensureStarted()
-        EsEndpoints.register(EsEndpoint(EsSourceName, "customer_es", customer.schema,
+        // schema DISCOVERED off the wire (GET /{index}/_mapping walked
+        // into a StructType, elasticsearch/source.go:154-255) — the
+        // endpoint registers without a declared schema, so every ES gate
+        // downstream verifies the discovery round-trip
+        val discovered = EsDiscovery.mappingSchema(
+          new HttpRestClient(baseUrl), "customer_es")
+        EsEndpoints.register(EsEndpoint(EsSourceName, "customer_es", discovered,
           // slices=4: hit scans fan out 4-way via sliced scroll
           EsEndpointSpec(baseUrl, "customer_es", HttpRestConfig(pageSize = 512),
             slices = 4)))
@@ -188,14 +194,19 @@ object FedData {
         val rows = orders.collect().map(_.toSeq.toArray)
         LoopbackMongoServer.register("orders_mongo", orders.schema, rows.toSeq)
         val (host, port) = LoopbackMongoServer.ensureStarted()
+        val spec = MongoEndpointSpec(host, port, LoopbackMongoServer.Db,
+          "orders_mongo", MongoClientConfig(batchSize = 512))
+        // schema DISCOVERED by sampling documents through a real OP_MSG
+        // `find` and switching on BSON runtime types (mgo_source.go:
+        // 269-311) — no declared schema reaches the endpoint
+        val discovered = MongoDiscovery.inferSchema(spec)
         MongoEndpoints.register(MongoEndpoint(MongoSourceName, "orders_mongo",
-          orders.schema, MongoEndpointSpec(host, port, LoopbackMongoServer.Db,
-            "orders_mongo", MongoClientConfig(batchSize = 512)),
+          discovered, spec,
           // partition metadata (the reference's Table.Partition analogue;
           // a real deployment reads chunk boundaries from the config
           // servers) — key quantiles => 4-way scan fan-out by default
           splits = Some(WireSplits("o_orderkey",
-            quantileSplits(rows.toSeq, orders.schema, "o_orderkey", 4)))))
+            quantileSplits(rows.toSeq, discovered, "o_orderkey", 4)))))
       }
       // CQL-protocol source: customer keyed (partition c_mktsegment,
       // clustering c_custkey) behind a loopback native-protocol-v4
@@ -214,9 +225,14 @@ object FedData {
           partitionKeys = Seq("c_mktsegment"), clusteringKeys = Seq("c_custkey"),
           rows = rows.toSeq)
         val (host, port) = LoopbackCqlServer.ensureStarted()
+        val spec = CqlEndpointSpec(host, port, "customer_cql",
+          CqlClientConfig(pageSize = 512))
+        // schema + key structure DISCOVERED from system_schema.columns
+        // over the same native protocol as data queries (the reference
+        // reads gocql.TableMetadata, cassandra/source.go:185-239)
+        val meta = CqlDiscovery.tableMeta(spec, "customer_cql")
         CqlEndpoints.register(CqlEndpoint(CqlSourceName, "customer_cql",
-          customer.schema, Seq("c_mktsegment"), Seq("c_custkey"),
-          CqlEndpointSpec(host, port, "customer_cql", CqlClientConfig(pageSize = 512)),
+          meta.schema, meta.partitionKeys, meta.clusteringKeys, spec,
           // unrestricted scans fan out over 4 token ranges
           fanout = 4))
       }
@@ -230,11 +246,16 @@ object FedData {
         val rows = orders.collect().map(_.toSeq.toArray)
         LoopbackRestServer.register("orders_bqw", orders.schema, rows.toSeq)
         val baseUrl = LoopbackRestServer.ensureStarted()
-        BqEndpoints.register(BqEndpoint(BqSourceName, "orders_bqw", orders.schema,
-          BqEndpointSpec(baseUrl, "orders_bqw", HttpRestConfig(pageSize = 512)),
+        val spec = BqEndpointSpec(baseUrl, "orders_bqw", HttpRestConfig(pageSize = 512))
+        // schema DISCOVERED from the tables.get resource (the real
+        // service's schema surface); BQ's INT64-only integer vocabulary
+        // means integer columns discover as bigint — the service's truth
+        val discovered = BqDiscovery.tableSchema(spec)
+        BqEndpoints.register(BqEndpoint(BqSourceName, "orders_bqw", discovered,
+          spec,
           // bare statements shard 4-way on the order-key column
           splits = Some(WireSplits("o_orderkey",
-            quantileSplits(rows.toSeq, orders.schema, "o_orderkey", 4)))))
+            quantileSplits(rows.toSeq, discovered, "o_orderkey", 4)))))
       }
       // Datastore-protocol source: the events stream behind the v1
       // :runQuery REST endpoint — property filters with the
@@ -250,13 +271,18 @@ object FedData {
         val rows = events.collect().map(_.toSeq.toArray)
         LoopbackRestServer.registerDs("events_ds", events.schema, "event_id", rows.toSeq)
         val baseUrl = LoopbackRestServer.ensureStarted()
-        DsEndpoints.register(DsEndpoint(DsSourceName, "events_ds", events.schema,
-          DsEndpointSpec(baseUrl, "events_ds", HttpRestConfig(pageSize = 512)),
+        val spec = DsEndpointSpec(baseUrl, "events_ds", HttpRestConfig(pageSize = 512))
+        // schema DISCOVERED by sampling typed entity values through a
+        // real :runQuery (integerValue/doubleValue/timestampValue kinds
+        // map to types; DS integers are int64)
+        val discovered = DsDiscovery.inferSchema(spec)
+        DsEndpoints.register(DsEndpoint(DsSourceName, "events_ds", discovered,
+          spec,
           keyCol = Some("event_id"),
           // scatter-style key splits => 4-way fan-out when the query's
           // single-inequality budget allows range injection
           splits = Some(WireSplits("event_id",
-            quantileSplits(rows.toSeq, events.schema, "event_id", 4)))))
+            quantileSplits(rows.toSeq, discovered, "event_id", 4)))))
       }
       // Kubernetes-protocol source: typed pods/nodes/services tables
       // (the reference's _kube backend describes the same tables from
@@ -321,12 +347,60 @@ object FedData {
         LoopbackRestServer.registerBt("customer_btw", customer.schema, "c_name",
           rows.toSeq)
         val baseUrl = LoopbackRestServer.ensureStarted()
+        val spec = BtEndpointSpec(baseUrl, "customer_btw", "c_name",
+          HttpRestConfig(pageSize = 512))
+        // schema DISCOVERED by scanning sampled cells with type
+        // detection (bigtable/source.go:193-251): one :readRows page,
+        // each qualifier's cells through the text widen lattice
+        val discovered = BtDiscovery.inferSchema(spec)
         BtEndpoints.register(BtEndpoint(BtSourceName, "customer_btw",
-          customer.schema, "c_name",
-          BtEndpointSpec(baseUrl, "customer_btw", "c_name",
-            HttpRestConfig(pageSize = 512)),
+          discovered, "c_name", spec,
           // range scans shard 4-way along :sampleRowKeys boundaries
           fanout = 4))
+      }
+      // ---- discovery-first fixtures (q_src_discovery_* gates) ----------
+      // NESTED ES index: documents with sub-objects, schema discovered by
+      // walking GET /_mapping's nested `properties` into REAL struct
+      // columns (where the reference flattens to dotted names,
+      // elasticsearch/source.go:217-255 — SURVEY §1.2's declared upgrade)
+      if (EsEndpoints.get(EsSourceName, "customer_esdoc").isEmpty) {
+        val docs = nestedCustomer(Tables.load(spark, sfDir, "customer"))
+        val rows = docs.collect().map(_.toSeq.toArray)
+        LoopbackRestServer.registerEs("customer_esdoc", docs.schema, rows.toSeq)
+        val baseUrl = LoopbackRestServer.ensureStarted()
+        val discovered = EsDiscovery.mappingSchema(
+          new HttpRestClient(baseUrl), "customer_esdoc")
+        EsEndpoints.register(EsEndpoint(EsSourceName, "customer_esdoc", discovered,
+          EsEndpointSpec(baseUrl, "customer_esdoc", HttpRestConfig(pageSize = 512),
+            slices = 4)))
+      }
+      // Mongo collection registered with NO declared schema: field types
+      // inferred by sampling documents over the wire (mgo_source.go:269-311)
+      if (MongoEndpoints.get(MongoSourceName, "part_mongo").isEmpty) {
+        val part = Tables.load(spark, sfDir, "part")
+        val rows = part.collect().map(_.toSeq.toArray)
+        LoopbackMongoServer.register("part_mongo", part.schema, rows.toSeq)
+        val (host, port) = LoopbackMongoServer.ensureStarted()
+        val spec = MongoEndpointSpec(host, port, LoopbackMongoServer.Db,
+          "part_mongo", MongoClientConfig(batchSize = 512))
+        MongoEndpoints.register(MongoEndpoint(MongoSourceName, "part_mongo",
+          MongoDiscovery.inferSchema(spec), spec,
+          splits = Some(WireSplits("p_partkey",
+            quantileSplits(rows.toSeq, part.schema, "p_partkey", 4)))))
+      }
+      // BigTable table whose column types are GUESSED from sampled cell
+      // values (bigtable/source.go:193-251): integer-looking cells
+      // discover as bigint — the gate casts both arms accordingly
+      if (BtEndpoints.get(BtSourceName, "part_btd").isEmpty) {
+        val part = Tables.load(spark, sfDir, "part")
+          .select("p_name", "p_partkey", "p_brand", "p_size", "p_retailprice")
+        val rows = part.collect().map(_.toSeq.toArray)
+        LoopbackRestServer.registerBt("part_btd", part.schema, "p_name", rows.toSeq)
+        val baseUrl = LoopbackRestServer.ensureStarted()
+        val spec = BtEndpointSpec(baseUrl, "part_btd", "p_name",
+          HttpRestConfig(pageSize = 512))
+        BtEndpoints.register(BtEndpoint(BtSourceName, "part_btd",
+          BtDiscovery.inferSchema(spec), "p_name", spec, fanout = 4))
       }
     }
   }

@@ -207,6 +207,41 @@ object LoopbackRestServer {
   def register(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit =
     tables.put(name.toLowerCase, TableData(schema, rows))
 
+  /** ES indices (served by `_aliases` and `/{index}/_mapping`): the
+    * subset of registered tables that are Elasticsearch indices. */
+  private val esIndices = TrieMap.empty[String, Boolean]
+  def registerEs(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit = {
+    register(name, schema, rows)
+    esIndices.put(name.toLowerCase, true)
+  }
+
+  /** Render a Spark field type as the ES mapping `properties` entry the
+    * real cluster's GET /{index}/_mapping answers: scalar types map to
+    * ES field types (keyword/long/integer/short/double/float/boolean/
+    * date), struct columns render as nested `properties` objects. */
+  private def esMappingProps(schema: StructType): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val M = EsDsl.M
+    val props = M.createObjectNode()
+    schema.fields.foreach { f =>
+      val o = props.putObject(f.name)
+      f.dataType match {
+        case st: StructType =>
+          o.set[com.fasterxml.jackson.databind.JsonNode]("properties", esMappingProps(st))
+        case LongType => o.put("type", "long")
+        case IntegerType => o.put("type", "integer")
+        case ShortType => o.put("type", "short")
+        case org.apache.spark.sql.types.DoubleType => o.put("type", "double")
+        case org.apache.spark.sql.types.FloatType => o.put("type", "float")
+        case org.apache.spark.sql.types.BooleanType => o.put("type", "boolean")
+        case org.apache.spark.sql.types.TimestampType => o.put("type", "date")
+        case org.apache.spark.sql.types.DateType =>
+          o.put("type", "date"); o.put("format", "yyyy-MM-dd")
+        case _ => o.put("type", "keyword")
+      }
+    }
+    props
+  }
+
   /** Atomic table mutation (write endpoints are hit concurrently by
     * Spark tasks; a lost update would drop a batch). */
   private val mutateLock = new Object
@@ -342,6 +377,28 @@ object LoopbackRestServer {
     val M = EsDsl.M
     val path = ex.getRequestURI.getPath.stripPrefix("/es/")
     if (path == "_search/scroll") { handleEsScroll(ex); return }
+    // discovery surface (the reference reads tables from GET /_aliases
+    // and fields from GET /{index}/_mapping, elasticsearch/source.go:
+    // 107-152,154-255): indices list + per-index mapping document
+    if (path == "_aliases") {
+      val resp = M.createObjectNode()
+      esIndices.keys.toSeq.sorted.foreach(idx =>
+        resp.putObject(idx).putObject("aliases"))
+      respond(ex, 200, resp.toString, "application/json")
+      return
+    }
+    if (path.endsWith("/_mapping")) {
+      val name = path.stripSuffix("/_mapping").toLowerCase
+      tables.get(name).filter(_ => esIndices.contains(name)) match {
+        case None => respond(ex, 404, s"no such index $name")
+        case Some(TableData(schema, _)) =>
+          val resp = M.createObjectNode()
+          resp.putObject(name).putObject("mappings")
+            .set[com.fasterxml.jackson.databind.JsonNode]("properties", esMappingProps(schema))
+          respond(ex, 200, resp.toString, "application/json")
+      }
+      return
+    }
     if (!path.endsWith("/_search")) { respond(ex, 400, "only _search is served"); return }
     val name = path.stripSuffix("/_search").toLowerCase
     tables.get(name) match {
@@ -782,6 +839,17 @@ object LoopbackRestServer {
     case e: Throwable => respond(ex, 500, s"server error: $e")
   }
 
+  /** BigQuery's type vocabulary (one INT64/FLOAT64 per width class —
+    * the real service has no narrower integer types). */
+  private def bqTypeName(t: org.apache.spark.sql.types.DataType): String = t match {
+    case LongType | IntegerType | ShortType => "INTEGER"
+    case org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType => "FLOAT"
+    case org.apache.spark.sql.types.BooleanType => "BOOLEAN"
+    case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
+    case _ => "STRING"
+  }
+
   /** jobs.query-shaped endpoint (POST /bq/<table>/query): parses the
     * shipped SQL statement with [[BqSql.parse]], executes it over the
     * registered rows ([[BqSql.execute]] — 3VL filters, exact integer
@@ -798,6 +866,24 @@ object LoopbackRestServer {
     }
     val M = EsDsl.M
     val path = ex.getRequestURI.getPath.stripPrefix("/bq/")
+    // tables.get (the real service's schema-discovery surface: GET
+    // /bigquery/v2/projects/{p}/datasets/{d}/tables/{t} answers the
+    // table resource with `schema.fields`): GET /bq/<table> here
+    if (ex.getRequestMethod.equalsIgnoreCase("GET")) {
+      val name = path.toLowerCase
+      tables.get(name) match {
+        case None => respond(ex, 404, s"no such dataset table $name")
+        case Some(TableData(schema, rows)) =>
+          val resp = M.createObjectNode()
+          resp.put("kind", "bigquery#table")
+          val fields = resp.putObject("schema").putArray("fields")
+          schema.fields.foreach(f =>
+            fields.addObject().put("name", f.name).put("type", bqTypeName(f.dataType)))
+          resp.put("numRows", rows.size.toString)
+          respond(ex, 200, resp.toString, "application/json")
+      }
+      return
+    }
     // tabledata streaming insert (the reference's Put sink shape,
     // sql_to_bq.go:178-304 saves RowVals through the ValueSaver
     // interface): rows arrive as {"rows":[{"json":{col: cell}}]},
@@ -856,17 +942,7 @@ object LoopbackRestServer {
         val resp = M.createObjectNode()
         val fields = resp.putObject("schema").putArray("fields")
         names.zip(types).foreach { case (n, t) =>
-          val bq = t match {
-            case org.apache.spark.sql.types.LongType |
-                 org.apache.spark.sql.types.IntegerType |
-                 org.apache.spark.sql.types.ShortType => "INTEGER"
-            case org.apache.spark.sql.types.DoubleType |
-                 org.apache.spark.sql.types.FloatType => "FLOAT"
-            case org.apache.spark.sql.types.BooleanType => "BOOLEAN"
-            case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
-            case _ => "STRING"
-          }
-          fields.addObject().put("name", n).put("type", bq)
+          fields.addObject().put("name", n).put("type", bqTypeName(t))
         }
         resp.put("totalRows", out.size.toString)
         val rowsArr = resp.putArray("rows")

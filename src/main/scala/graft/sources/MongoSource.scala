@@ -325,6 +325,18 @@ final class MongoClientLite(host: String, port: Int,
     reply.get("n").map(_.asInstanceOf[Number].intValue()).getOrElse(0)
   }
 
+  /** List collection names — the discovery entry point (idempotent,
+    * so transient failures retry). */
+  def listCollections(db: String): Seq[String] = {
+    val reply = roundTripRetrying(BDoc(Seq(
+      "listCollections" -> (1: java.lang.Integer), "$db" -> (db: Any),
+      "nameOnly" -> (true: java.lang.Boolean))))
+    reply.get("cursor").map(_.asInstanceOf[BDoc])
+      .flatMap(_.get("firstBatch")).getOrElse(Seq.empty).asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[BDoc].get("name").map(_.toString).getOrElse(""))
+      .filter(_.nonEmpty)
+  }
+
   /** Run `find` and stream the cursor's documents. */
   def find(db: String, coll: String, filter: BDoc,
       projection: Option[BDoc] = None, sort: Option[BDoc] = None,
@@ -566,6 +578,16 @@ object LoopbackMongoServer {
       }
       BDoc(Seq("n" -> (n: java.lang.Integer), "ok" -> (1.0: java.lang.Double)))
     case Some(("ping", _)) => BDoc(Seq("ok" -> (1.0: java.lang.Double)))
+    // discovery surface: the real server's listCollections command (the
+    // reference enumerates tables with it before sampling documents)
+    case Some(("listCollections", _)) =>
+      BDoc(Seq(
+        "cursor" -> BDoc(Seq(
+          "id" -> (0L: java.lang.Long),
+          "ns" -> (Db + ".$cmd.listCollections"),
+          "firstBatch" -> collections.keys.toSeq.sorted.map(n =>
+            BDoc(Seq("name" -> (n: Any), "type" -> ("collection": Any)))))),
+        "ok" -> (1.0: java.lang.Double)))
     case Some((other, _)) => throw new IllegalArgumentException(s"unsupported command $other")
     case None => throw new IllegalArgumentException("empty command")
   }
