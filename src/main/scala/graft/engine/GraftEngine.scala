@@ -155,20 +155,47 @@ class GraftEngine(val spark: SparkSession) {
 
     // Runtime source registration (reference: `CREATE source ... WITH
     // {json}`, README.md:64-76, dispatched mysql_handler.go:253-260).
-    // Accepted JSON keys: path (required), type ("csv"|"json", default csv).
+    // Two shapes:
+    //  - file source: {"path": ..., "type": "csv"|"json"}
+    //  - WIRE source: {"protocol": "es"|"mongo"|"cassandra", ...conn props}
+    //    — the reference's runtime-registration flow (models/serverctx.go:
+    //    136-188): the backend registers, discovery runs over its own
+    //    protocol, and its tables APPEAR (schemas discovered, not
+    //    declared); SHOW TABLES thereafter lists live off the backend.
     case CreateSource(name, json) =>
+      import scala.jdk.CollectionConverters._
       val node = graft.sources.EsDsl.M.readTree(json)
-      val path = Option(node.get("path")).map(_.asText())
-        .getOrElse(throw new IllegalArgumentException(
-          s"CREATE SOURCE $name: missing \"path\""))
-      val fmt = Option(node.get("type")).map(_.asText().toLowerCase).getOrElse("csv")
-      val pd = Option(node.get("pushdown")).map(_.asText().toLowerCase).getOrElse("full")
-      graft.sources.SourceRegistry.ensureCatalog(spark)
-      graft.sources.SourceRegistry.register(
-        graft.sources.SourceDef(name, path, fmt, pd))
-      spark.emptyDataFrame
+      Option(node.get("protocol")).map(_.asText().toLowerCase) match {
+        case Some(p) if graft.sources.WireSources.Protocols(p) =>
+          graft.sources.SourceRegistry.ensureCatalog(spark)
+          val props = node.properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+          // namespace anchor (wire sources have no data directory)
+          graft.sources.SourceRegistry.register(graft.sources.SourceDef(
+            name, new java.io.File(sys.props("java.io.tmpdir"),
+              s"graft-wire/$name").getPath, "json", p))
+          val d = graft.sources.WireSourceDef(name, p, props)
+          graft.sources.WireSources.register(d)
+          graft.sources.WireSources.discoverAll(d)
+          spark.emptyDataFrame
+        case Some(other) =>
+          throw new IllegalArgumentException(
+            s"CREATE SOURCE $name: unknown protocol \"$other\" (supported: " +
+              graft.sources.WireSources.Protocols.toSeq.sorted.mkString(", ") + ")")
+        case None =>
+          val path = Option(node.get("path")).map(_.asText())
+            .getOrElse(throw new IllegalArgumentException(
+              s"CREATE SOURCE $name: missing \"path\""))
+          val fmt = Option(node.get("type")).map(_.asText().toLowerCase).getOrElse("csv")
+          val pd = Option(node.get("pushdown")).map(_.asText().toLowerCase).getOrElse("full")
+          graft.sources.SourceRegistry.ensureCatalog(spark)
+          graft.sources.SourceRegistry.register(
+            graft.sources.SourceDef(name, path, fmt, pd))
+          spark.emptyDataFrame
+      }
 
     case DropSource(name) =>
+      graft.sources.WireSources.drop(name)
       graft.sources.SourceRegistry.drop(name)
       spark.emptyDataFrame
 

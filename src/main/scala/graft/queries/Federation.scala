@@ -450,6 +450,32 @@ object Federation {
         .orderBy("p_name", "partkey")
     },
 
+    // CREATE SOURCE → LIVE DISCOVERY composition (the reference's runtime
+    // registration, models/serverctx.go:136-188 + mysql_handler.go:253-260):
+    // the statement registers an ES wire source by URL alone, discovery
+    // lists the cluster's indices and walks each mapping into a schema,
+    // and the table is queried — no schema ever declared anywhere.
+    GQuery(
+      "q_src_create_source",
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_acctbal > 1000.0
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      if (graft.sources.EsEndpoints.get("es_rt", "supplier_rt").isEmpty) {
+        val sup = Tables.load(s, d, "supplier")
+          .select("s_suppkey", "s_name", "s_acctbal")
+        LoopbackRestServer.registerEs("supplier_rt", sup.schema,
+          sup.collect().map(_.toSeq.toArray).toSeq)
+        val url = LoopbackRestServer.ensureStarted()
+        new GraftEngine(s).sql(
+          s"""CREATE SOURCE es_rt WITH {"protocol": "es", "url": "$url", "fanout": 4}""")
+      }
+      s.table(s"$C.es_rt.supplier_rt")
+        .filter(col("s_acctbal") > 1000.0)
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    },
+
     // MONGO-PROTOCOL scan over a real socket (reference: sql_to_mgo.go:
     // 441-637 compiles the WHERE tree into a bson filter document —
     // IN→$in, ranges→$gt/$lte, LIKE→regex, AND/OR→$and/$or — and ships

@@ -770,6 +770,8 @@ object CqlEndpoints {
     endpoints.get((source, table.toLowerCase))
   def list(source: String): Seq[String] =
     endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
+  def dropSource(source: String): Unit =
+    endpoints.keys.filter(_._1 == source).foreach(endpoints.remove)
 }
 
 class CqlTable(val ep: CqlEndpoint) extends Table

@@ -1,5 +1,6 @@
 package graft.sources
 
+import scala.collection.concurrent.TrieMap
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
@@ -51,7 +52,20 @@ object WireInference {
     case (NullType, x) => x
     case (x, NullType) => x
     case (x, y) if x == y => x
-    case (x: StructType, y: StructType) => LineCodec.mergeSchemas(x, y)
+    case (x: StructType, y: StructType) =>
+      // merge fieldwise through THIS lattice (LineCodec.mergeSchemas
+      // uses the narrower file lattice, which has no integer widths)
+      val names = x.fieldNames.toBuffer
+      y.fieldNames.foreach(n => if (!names.exists(_.equalsIgnoreCase(n))) names += n)
+      StructType(names.toSeq.map { n =>
+        val fa = x.fields.find(_.name.equalsIgnoreCase(n))
+        val fb = y.fields.find(_.name.equalsIgnoreCase(n))
+        (fa, fb) match {
+          case (Some(f), Some(g)) =>
+            StructField(f.name, widen(f.dataType, g.dataType), nullable = true)
+          case (some, none) => some.orElse(none).get.copy(nullable = true)
+        }
+      })
     case (ArrayType(x, _), ArrayType(y, _)) => ArrayType(widen(x, y), containsNull = true)
     case (x: NumericType, y: NumericType) =>
       def frac(t: DataType) = t == DoubleType || t == FloatType
@@ -287,6 +301,116 @@ object DsDiscovery {
       }
     })
   }
+}
+
+/** A runtime-registered WIRE source: protocol name + connection props
+  * (the reference's `CREATE source ... WITH {json}` registration,
+  * models/serverctx.go:136-188 — a backend registers and its tables
+  * APPEAR, schemas discovered rather than declared). */
+final case class WireSourceDef(name: String, protocol: String,
+    props: Map[String, String]) {
+  def prop(k: String): String = props.getOrElse(k,
+    throw new IllegalArgumentException(
+      s"CREATE SOURCE $name: protocol '$protocol' requires \"$k\""))
+  def intProp(k: String, default: Int): Int =
+    props.get(k).map(_.trim.toInt).getOrElse(default)
+}
+
+/** Registry + discovery composition for wire sources created at runtime:
+  * `SHOW TABLES` lists LIVE off the backend's own discovery surface, and
+  * a table resolved for the first time lazily discovers its schema and
+  * registers the endpoint — point the engine at an existing cluster and
+  * query, no schema ever written (the reference's §1.1 identity).
+  *
+  * 100 TB: all calls here are driver-side metadata round-trips (one
+  * listing document, one mapping/sample per table, once); scans never
+  * touch this registry. */
+object WireSources {
+
+  /** Protocols with a live discovery surface (listing + schema). */
+  val Protocols: Set[String] = Set("es", "mongo", "cassandra")
+
+  private val defs = TrieMap.empty[String, WireSourceDef]
+  def register(d: WireSourceDef): Unit = defs.put(d.name, d)
+  def get(name: String): Option[WireSourceDef] = defs.get(name)
+  def drop(name: String): Unit = {
+    defs.remove(name)
+    EsEndpoints.dropSource(name)
+    MongoEndpoints.dropSource(name)
+    CqlEndpoints.dropSource(name)
+  }
+
+  /** LIVE table listing over the protocol's discovery surface — a
+    * `SHOW TABLES` against the source reflects the backend's current
+    * state, not a registration snapshot. */
+  def listTables(d: WireSourceDef): Seq[String] = d.protocol match {
+    case "es" =>
+      EsDiscovery.listIndices(new HttpRestClient(d.prop("url"), restCfg(d)))
+    case "mongo" => MongoDiscovery.listCollections(mongoSpec(d, ""))
+    case "cassandra" =>
+      CqlDiscovery.listTables(cqlSpec(d, ""), d.props.getOrElse("keyspace", "graft"))
+    case other => throw new IllegalArgumentException(s"unknown protocol $other")
+  }
+
+  /** Discover `table`'s schema off the wire and register its endpoint.
+    * Returns false when the backend doesn't have the table. */
+  def discover(d: WireSourceDef, table: String): Boolean = d.protocol match {
+    case "es" =>
+      val client = new HttpRestClient(d.prop("url"), restCfg(d))
+      if (!EsDiscovery.listIndices(client).contains(table.toLowerCase)) false
+      else {
+        EsEndpoints.register(EsEndpoint(d.name, table,
+          EsDiscovery.mappingSchema(client, table),
+          EsEndpointSpec(d.prop("url"), table, restCfg(d),
+            slices = d.intProp("fanout", 1))))
+        true
+      }
+    case "mongo" =>
+      val spec = mongoSpec(d, table)
+      if (!MongoDiscovery.listCollections(spec).contains(table.toLowerCase)) false
+      else {
+        // no split metadata at runtime registration (a real deployment
+        // reads chunk boundaries from the config servers) — fan-out
+        // stays available through the node_ct hint once splits exist
+        MongoEndpoints.register(MongoEndpoint(d.name, table,
+          MongoDiscovery.inferSchema(spec), spec))
+        true
+      }
+    case "cassandra" =>
+      val ks = d.props.getOrElse("keyspace", "graft")
+      val spec = cqlSpec(d, table)
+      if (!CqlDiscovery.listTables(spec, ks).contains(table.toLowerCase)) false
+      else {
+        val meta = CqlDiscovery.tableMeta(spec, table, ks)
+        CqlEndpoints.register(CqlEndpoint(d.name, table, meta.schema,
+          meta.partitionKeys, meta.clusteringKeys, spec,
+          fanout = d.intProp("fanout", 1)))
+        true
+      }
+    case other => throw new IllegalArgumentException(s"unknown protocol $other")
+  }
+
+  /** Eager composition at CREATE SOURCE: list + discover every table.
+    * A table whose schema can't be discovered yet (e.g. an EMPTY Mongo
+    * collection — no documents to sample) is skipped here, not fatal to
+    * the registration: it still lists live, and its first resolution
+    * re-attempts discovery and surfaces the sampling error loudly. */
+  def discoverAll(d: WireSourceDef): Seq[String] = {
+    val tables = listTables(d)
+    tables.filter(t =>
+      try discover(d, t)
+      catch { case _: IllegalArgumentException => false })
+  }
+
+  private def restCfg(d: WireSourceDef) =
+    HttpRestConfig(pageSize = d.intProp("page_size", 512))
+  private def mongoSpec(d: WireSourceDef, coll: String) =
+    MongoEndpointSpec(d.prop("host"), d.intProp("port", 27017),
+      d.props.getOrElse("db", "graft"), coll,
+      MongoClientConfig(batchSize = d.intProp("page_size", 512)))
+  private def cqlSpec(d: WireSourceDef, table: String) =
+    CqlEndpointSpec(d.prop("host"), d.intProp("port", 9042), table,
+      CqlClientConfig(pageSize = d.intProp("page_size", 512)))
 }
 
 /** BigQuery discovery: the tables.get schema resource. */

@@ -242,6 +242,8 @@ object EsEndpoints {
     endpoints.get((source, table.toLowerCase))
   def list(source: String): Seq[String] =
     endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
+  def dropSource(source: String): Unit =
+    endpoints.keys.filter(_._1 == source).foreach(endpoints.remove)
 }
 
 class EsTable(val ep: EsEndpoint) extends Table with SupportsRead with WireScanTable {

@@ -95,16 +95,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dirs = Option(new java.io.File(s.path).listFiles())
       .getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName)
+    // a runtime-registered wire source lists LIVE off the backend's own
+    // discovery surface (ES GET /_aliases, Mongo listCollections, CQL
+    // system_schema.tables) — SHOW TABLES reflects the cluster's current
+    // state, not a registration snapshot
+    val live = WireSources.get(s.name).map(WireSources.listTables)
+      .getOrElse(Seq.empty)
     ((dirs ++ RestEndpoints.list(s.name) ++ EsEndpoints.list(s.name) ++
       MongoEndpoints.list(s.name) ++ CqlEndpoints.list(s.name) ++
       BqEndpoints.list(s.name) ++ DsEndpoints.list(s.name) ++
-      BtEndpoints.list(s.name) ++ KubeEndpoints.list(s.name)).sorted
+      BtEndpoints.list(s.name) ++ KubeEndpoints.list(s.name) ++ live)
+      .distinct.sorted
       :+ FilesMetaTable.Name)
       .map(Identifier.of(namespace, _))
   }
 
   override def loadTable(ident: Identifier): Table = {
     val s = source(ident.namespace())
+    // first resolution of a wire-source table discovers its schema off
+    // the backend and registers the endpoint lazily — query a table the
+    // cluster grew AFTER CREATE SOURCE without re-registering anything
+    WireSources.get(s.name).foreach { d =>
+      val registered = EsEndpoints.get(s.name, ident.name()).isDefined ||
+        MongoEndpoints.get(s.name, ident.name()).isDefined ||
+        CqlEndpoints.get(s.name, ident.name()).isDefined
+      if (!registered) WireSources.discover(d, ident.name())
+    }
     EsEndpoints.get(s.name, ident.name()).foreach(ep => return new EsTable(ep))
     MongoEndpoints.get(s.name, ident.name()).foreach(ep => return new MongoTable(ep))
     CqlEndpoints.get(s.name, ident.name()).foreach(ep => return new CqlTable(ep))

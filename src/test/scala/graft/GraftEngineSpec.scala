@@ -161,4 +161,84 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(r.getLong(0) == 42L && r.getBoolean(1) && r.getBoolean(2) &&
       r.getString(3) == "7")
   }
+
+  test("CREATE SOURCE over an ES wire endpoint: discovery populates, SHOW TABLES lists live") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    import graft.sources._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("bal", DoubleType)))
+    val rows = (0L until 100L).map(i => Array[Any](i, s"n$i", i * 1.5))
+    LoopbackRestServer.registerEs("cs_idx_a", schema, rows)
+    val url = LoopbackRestServer.ensureStarted()
+    // the reference's runtime-registration flow: the source registers,
+    // discovery runs, tables appear — no schema ever declared
+    engine.sql(s"""CREATE SOURCE es_live WITH {"protocol": "es", "url": "$url"}""")
+    def listed: Set[String] = engine.sql(
+      s"SHOW TABLES IN ${SourceRegistry.CatalogName}.es_live")
+      .collect().map(_.getString(1)).toSet
+    assert(listed.contains("cs_idx_a"))
+    val t = s"${SourceRegistry.CatalogName}.es_live.cs_idx_a"
+    val got = spark.table(t).filter(col("id") < 5)
+      .select("id", "name", "bal").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == (0L until 5L).map(i => (i, s"n$i", i * 1.5)))
+    // the cluster grows an index AFTER registration: SHOW TABLES must
+    // reflect it (live _aliases round-trip), and first resolution
+    // discovers its mapping lazily
+    LoopbackRestServer.registerEs("cs_idx_b", schema,
+      Seq(Array[Any](7L, "late", 9.0)))
+    assert(listed.contains("cs_idx_b"), "SHOW TABLES must list live")
+    val late = spark.table(s"${SourceRegistry.CatalogName}.es_live.cs_idx_b")
+      .collect()
+    assert(late.length == 1 && late(0).getLong(0) == 7L)
+    // DROP SOURCE unregisters the namespace and its endpoints
+    engine.sql("DROP SOURCE es_live")
+    assert(SourceRegistry.get("es_live").isEmpty)
+    assert(EsEndpoints.get("es_live", "cs_idx_a").isEmpty)
+  }
+
+  test("CREATE SOURCE cassandra: discovered keys compile pushdown; mongo: sampled types") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    import graft.sources._
+    // cassandra: key structure comes from system_schema, so a partition-
+    // key predicate compiles server-side against the discovered layout
+    val cschema = StructType(Seq(
+      StructField("seg", StringType), StructField("id", LongType),
+      StructField("v", DoubleType)))
+    val crows = (0L until 90L).map(i =>
+      Array[Any](if (i % 3 == 0) "A" else "B", i, i * 0.5))
+    LoopbackCqlServer.register("cs_cql_t", cschema, Seq("seg"), Seq("id"), crows)
+    val (chost, cport) = LoopbackCqlServer.ensureStarted()
+    engine.sql(s"""CREATE SOURCE cql_live WITH {"protocol": "cassandra",
+      "host": "$chost", "port": $cport}""")
+    val ct = s"${SourceRegistry.CatalogName}.cql_live.cs_cql_t"
+    val cgot = spark.table(ct).filter(col("seg") === "A")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(cgot == (0L until 90L).filter(_ % 3 == 0))
+    assert(CqlEndpoints.get("cql_live", "cs_cql_t")
+      .exists(e => e.partitionKeys == Seq("seg") && e.clusteringKeys == Seq("id")))
+    engine.sql("DROP SOURCE cql_live")
+    // mongo: types sampled off documents, pushed filter compiles on them
+    val mschema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType)))
+    LoopbackMongoServer.register("cs_mg_t", mschema,
+      (0L until 60L).map(i => Array[Any](i, i * 1.0)))
+    val (mhost, mport) = LoopbackMongoServer.ensureStarted()
+    engine.sql(s"""CREATE SOURCE mg_live WITH {"protocol": "mongo",
+      "host": "$mhost", "port": $mport, "db": "${LoopbackMongoServer.Db}"}""")
+    val mt = s"${SourceRegistry.CatalogName}.mg_live.cs_mg_t"
+    val mgot = spark.table(mt).filter(col("score") >= 55.0)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(mgot == (55L until 60L))
+    engine.sql("DROP SOURCE mg_live")
+  }
+
+  test("CREATE SOURCE with an unknown protocol fails loudly") {
+    val e = intercept[IllegalArgumentException](engine.sql(
+      """CREATE SOURCE bad_live WITH {"protocol": "gopher", "url": "x"}"""))
+    assert(e.getMessage.contains("unknown protocol"))
+  }
 }
