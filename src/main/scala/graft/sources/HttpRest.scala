@@ -164,6 +164,42 @@ final class HttpRestClient(val baseUrl: String, val cfg: HttpRestConfig = HttpRe
       }
     }.flatten
   }
+
+  /** Strided variant of [[pagedLines]] for scan fan-out: slice `slice`
+    * of `slices` reads the pages at offsets `(slice + k*slices) *
+    * pageSize`, k = 0,1,2,... — together the slices cover every row
+    * exactly once using nothing but the API's own from/size paging (the
+    * reference treats Lytics as a paged entity scan; this is that scan
+    * sharded). A short or empty page means the listing is exhausted. An
+    * API `limit` param caps THIS slice's rows (partial-pushed limits:
+    * Spark re-trims globally). */
+  def pagedLinesSliced(path: String, params: Map[String, String],
+      slice: Int, slices: Int): Iterator[String] = {
+    if (slices <= 1) return pagedLines(path, params)
+    val limit = params.get("limit").map(_.toLong)
+    val base = params - "limit"
+    // names chosen to not collide with Iterator's own slice/size members
+    val pageSz = cfg.pageSize.toLong
+    val sliceIdx = slice.toLong
+    var k = 0L
+    var yielded = 0L
+    var done = false
+    new Iterator[Iterator[String]] {
+      override def hasNext: Boolean = !done && limit.forall(yielded < _)
+      override def next(): Iterator[String] = {
+        val from = (sliceIdx + k * slices) * pageSz
+        val body = get(path, base ++ Map("from" -> from.toString, "size" -> pageSz.toString))
+        var lines = body.linesIterator.filter(_.nonEmpty).toArray
+        k += 1
+        if (lines.length < pageSz) done = true // short page = table exhausted
+        limit.foreach { n =>
+          if (yielded + lines.length >= n) { lines = lines.take((n - yielded).toInt); done = true }
+        }
+        yielded += lines.length
+        lines.iterator
+      }
+    }.flatten
+  }
 }
 
 /** In-process loopback HTTP backend for the sandbox: a real socket

@@ -52,7 +52,11 @@ final case class RestEndpoint(
     schema: StructType,
     params: Set[String],
     handler: Map[String, String] => Iterator[String],
-    httpSpec: Option[HttpEndpointSpec] = None)
+    httpSpec: Option[HttpEndpointSpec] = None,
+    // default scan fan-out: N partitions read the listing in parallel
+    // via strided from/size paging (HTTP-backed endpoints only — an
+    // in-memory handler has no offset vocabulary to shard on)
+    slices: Int = 1)
 
 /** JVM-global endpoint registry, the REST analogue of [[SourceRegistry]]
   * (driver-side metadata; executors in local mode share the JVM). */
@@ -104,16 +108,18 @@ object RestEndpoints {
   def registerHttp(
       source: String, table: String, params: Set[String],
       client: HttpRestClient, path: String,
-      schema: Option[StructType] = None): RestEndpoint = {
+      schema: Option[StructType] = None, slices: Int = 1): RestEndpoint = {
     val handler: Map[String, String] => Iterator[String] =
       q => client.pagedLines(path, q)
     val spec = Some(HttpEndpointSpec(client.baseUrl, path, client.cfg))
     schema match {
       case Some(sch) =>
-        val e = RestEndpoint(source, table, sch, params.map(_.toLowerCase), handler, spec)
+        val e = RestEndpoint(source, table, sch, params.map(_.toLowerCase), handler,
+          spec, slices)
         register(e); e
       case None =>
-        val e = registerSampled(source, table, params, handler).copy(httpSpec = spec)
+        val e = registerSampled(source, table, params, handler)
+          .copy(httpSpec = spec, slices = slices)
         register(e); e
     }
   }
@@ -150,7 +156,8 @@ object RestEndpoints {
   }
 }
 
-class RestTable(val endpoint: RestEndpoint) extends Table with SupportsRead {
+class RestTable(val endpoint: RestEndpoint) extends Table with SupportsRead
+  with WireScanTable {
 
   override def name(): String =
     s"${SourceRegistry.CatalogName}.${endpoint.source}.${endpoint.table}"
@@ -161,10 +168,10 @@ class RestTable(val endpoint: RestEndpoint) extends Table with SupportsRead {
     util.Set.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RestScanBuilder(endpoint)
+    new RestScanBuilder(endpoint, WireFanout.hintFrom(options))
 }
 
-class RestScanBuilder(ep: RestEndpoint) extends ScanBuilder
+class RestScanBuilder(ep: RestEndpoint, hint: Option[Int] = None) extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit {
@@ -198,14 +205,16 @@ class RestScanBuilder(ep: RestEndpoint) extends ScanBuilder
     val queryParams = pushed.collect {
       case EqualTo(a, v) => a.toLowerCase -> LineCodec.render(v)
     }.toMap ++ (if (limit >= 0) Map("limit" -> limit.toString) else Map.empty)
-    new RestScan(ep.source, ep.table, queryParams, ep.schema, required, pushed, ep.httpSpec)
+    new RestScan(ep.source, ep.table, queryParams, ep.schema, required, pushed,
+      ep.httpSpec, ep.slices, hint)
   }
 }
 
 class RestScan(
     source: String, table: String, params: Map[String, String],
     fullSchema: StructType, required: StructType,
-    pushed: Array[Filter], httpSpec: Option[HttpEndpointSpec] = None)
+    pushed: Array[Filter], httpSpec: Option[HttpEndpointSpec] = None,
+    defaultSlices: Int = 1, hint: Option[Int] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -218,10 +227,18 @@ class RestScan(
 
   override def toBatch: Batch = this
 
-  /** One partition: a REST response is a single stream (the reference
-    * reads Lytics segments the same way). */
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(RestPartition(source, table, params, fullSchema.json, required.json, httpSpec))
+  /** N partitions via strided from/size paging (the reference treats
+    * Lytics as a paged entity scan; slicing shards it the same way ES
+    * from/size does) — HTTP-backed endpoints only: an in-memory handler
+    * has no offset vocabulary, so it stays one stream. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = if (httpSpec.isDefined) WireFanout.effective(defaultSlices, hint) else 1
+    if (n <= 1)
+      Array(RestPartition(source, table, params, fullSchema.json, required.json, httpSpec))
+    else (0 until n).toArray.map(i =>
+      RestPartition(source, table, params, fullSchema.json, required.json,
+        httpSpec, slice = i, slices = n))
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RestReaderFactory
@@ -230,18 +247,26 @@ class RestScan(
 final case class RestPartition(
     source: String, table: String, params: Map[String, String],
     fullSchemaJson: String, requiredSchemaJson: String,
-    httpSpec: Option[HttpEndpointSpec] = None) extends InputPartition
+    httpSpec: Option[HttpEndpointSpec] = None,
+    slice: Int = 0, slices: Int = 1) extends InputPartition
 
 class RestReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RestPartition]
     val full = DataType.fromJson(p.fullSchemaJson).asInstanceOf[StructType]
     val required = DataType.fromJson(p.requiredSchemaJson).asInstanceOf[StructType]
-    // the driver-registry lookup serves same-JVM executors (local mode);
-    // a separate executor JVM reconstructs the HTTP handler from the
-    // partition's serialized endpoint spec and fetches over the socket
+    // a sliced partition MUST page over the socket (the stride rides in
+    // from/size requests); an unsliced one prefers the driver-registry
+    // handler (local mode), falling back to rebuilding an HTTP client
+    // from the partition's serialized spec in a separate executor JVM
     val handler: Map[String, String] => Iterator[String] =
-      RestEndpoints.get(p.source, p.table).map(_.handler)
+      if (p.slices > 1) {
+        val spec = p.httpSpec.getOrElse(throw new IllegalStateException(
+          s"sliced REST partition for ${p.source}/${p.table} without an HTTP spec"))
+        val client = new HttpRestClient(spec.baseUrl, spec.cfg)
+        (q: Map[String, String]) =>
+          client.pagedLinesSliced(spec.path, q, p.slice, p.slices)
+      } else RestEndpoints.get(p.source, p.table).map(_.handler)
         .orElse(p.httpSpec.map { spec =>
           val client = new HttpRestClient(spec.baseUrl, spec.cfg)
           (q: Map[String, String]) => client.pagedLines(spec.path, q)

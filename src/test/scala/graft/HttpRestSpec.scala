@@ -121,6 +121,60 @@ class HttpRestSpec extends AnyFunSuite {
     assert(!seen.contains("score"))
   }
 
+  test("sliced paging covers every row exactly once; limit caps per slice") {
+    val client = freshClient(HttpRestConfig(pageSize = 32))
+    // 300 rows over 4 strided slices of 32-row pages
+    val slices = (0 until 4).map(i =>
+      client.pagedLinesSliced("/t/items", Map.empty, i, 4).toSeq)
+    assert(slices.map(_.size).sum == 300)
+    val ids = slices.flatten.map(l =>
+      EsDsl.M.readTree(l).path("id").asLong()).sorted
+    assert(ids == (0L until 300L), "slices must tile the listing exactly once")
+    assert(slices.forall(_.nonEmpty), "a 300-row listing feeds all 4 slices")
+    // a pushed (partial) limit caps each slice independently
+    assert(client.pagedLinesSliced("/t/items", Map("limit" -> "10"), 1, 4).size == 10)
+  }
+
+  test("REST scan fan-out: slices tile the scan, node_ct hint overrides") {
+    val client = freshClient(HttpRestConfig(pageSize = 32))
+    LoopbackRestServer.register("kv_fan", schema, rows)
+    RestEndpoints.registerHttp("api_live", "kv_fan", Set("grp"),
+      client, "/t/kv_fan", Some(schema), slices = 3)
+    if (SourceRegistry.get("api_live").isEmpty)
+      SourceRegistry.register(SourceDef("api_live",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/api_live").getPath,
+        "json", "rest"))
+    SourceRegistry.ensureCatalog(spark)
+    val t = s"${SourceRegistry.CatalogName}.api_live.kv_fan"
+
+    def scanParts(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+          : org.apache.spark.sql.execution.SparkPlan = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      unwrap(df.queryExecution.executedPlan).collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }
+    }
+
+    val df = spark.table(t).select("id")
+    assert(scanParts(df) == Seq(3), "endpoint default slices plan 3 partitions")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (0L until 300L),
+      "fan-out must not change the result")
+    // a pushed equality still filters server-side in every slice
+    val filtered = spark.table(t).filter(col("grp") === 2).select("id")
+    assert(filtered.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 300L).filter(_ % 7 == 2))
+    // the statement-level node_ct hint (engine WITH clause) overrides
+    val hinted = spark.read.option(WireFanout.OptionKey, "5")
+      .table(t).select("id")
+    assert(scanParts(hinted) == Seq(5))
+    assert(hinted.count() == 300L)
+  }
+
   // ---- Kubernetes-shaped tables ------------------------------------------
 
   private def kubeFixture(): String = {
