@@ -163,6 +163,34 @@ object Bench {
     }
     // per-query median (of the successful reps) + relative spread
     def median(xs: List[Obs]): Obs = xs.sortBy(_.t).apply((xs.size - 1) / 2)
+    // ---- adaptive extra reps for sub-second queries ---------------------
+    // A 0.2s query's timing is constant-dominated: at reps=3 a single
+    // JIT/GC hiccup puts 50-100% spread on it and regression adjudication
+    // needs noise-class carve-outs (the round-10 complaint — 34 queries
+    // above 35%). Queries whose base-rep median lands under 1s get extra
+    // shuffled sweeps (cheap by construction: they are the fast ones) up
+    // to SPARK_GRAFT_BENCH_FAST_REPS total observations, and with n >= 5
+    // the spread drops the single worst observation (one trimmed outlier)
+    // — a documented, symmetric-enough guard against the one-off hiccup,
+    // while a real regression (all reps slow) still shows fully.
+    val fastReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_REPS", "7").toInt
+    val fastNames = names.filter(n =>
+      obs.get(n).exists(xs => xs.nonEmpty && median(xs).t < 1.0))
+    for (rep <- reps until fastReps; if fastNames.nonEmpty) {
+      val order = new scala.util.Random(seed + 500 + rep).shuffle(fastNames)
+      for (name <- order) {
+        val fn = SparkEntry.queries(name)
+        val gc0 = gcMillis
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          obs(name) = Obs(dt, gcMillis - gc0, usedHeapMb) :: obs.getOrElse(name, Nil)
+        } catch { case _: Throwable => () } // base reps already recorded it
+        spark.catalog.clearCache()
+        if (interQueryGc) System.gc()
+      }
+    }
     val results: Seq[(String, Double)] = names.map { name =>
       obs.get(name).filter(_.nonEmpty) match {
         case Some(xs) => name -> median(xs).t
@@ -171,7 +199,10 @@ object Bench {
     }
     val spreadPct: Seq[(String, Double)] = names.flatMap { name =>
       obs.get(name).filter(_.size >= 2).map { xs =>
-        val ts = xs.map(_.t)
+        // with n >= 5 observations, drop the single slowest (trimmed):
+        // the remaining range is the honest repeatability signal
+        val ts0 = xs.map(_.t).sorted
+        val ts = if (ts0.size >= 5) ts0.init else ts0
         val m = median(xs).t
         name -> (if (m > 0) math.round((ts.max - ts.min) / m * 1000) / 10.0 else 0.0)
       }
@@ -334,7 +365,7 @@ object Bench {
         jstr(k) + ":" + (math.round(v / base(k) * 100) / 100.0)
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"fast_reps":$fastReps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
     println(line)
     // truncation-proof copy: the stdout line is captured by a consumer that
     // has historically kept only a prefix; the file keeps every number
