@@ -503,6 +503,8 @@ object BqEndpoints {
     endpoints.get((source, table.toLowerCase))
   def list(source: String): Seq[String] =
     endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
+  def dropSource(source: String): Unit =
+    endpoints.keys.filter(_._1 == source).foreach(endpoints.remove)
 }
 
 class BqTable(val ep: BqEndpoint) extends Table with SupportsRead

@@ -200,6 +200,8 @@ object BtEndpoints {
     endpoints.get((source, table.toLowerCase))
   def list(source: String): Seq[String] =
     endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
+  def dropSource(source: String): Unit =
+    endpoints.keys.filter(_._1 == source).foreach(endpoints.remove)
 }
 
 class BtTable(val ep: BtEndpoint) extends Table with SupportsRead

@@ -254,6 +254,17 @@ object CqlDiscovery {
 /** BigTable discovery: cell-value scanning with type detection. */
 object BtDiscovery {
 
+  /** Tables (and each one's row-key qualifier) from the admin-shaped
+    * tables.list. Real BigTable row keys are positional; the qualifier
+    * mapping is connector metadata the fixture exports in the listing. */
+  def listTables(baseUrl: String, cfg: HttpRestConfig = HttpRestConfig())
+      : Seq[(String, String)] = {
+    val client = new HttpRestClient(baseUrl, cfg)
+    EsDsl.M.readTree(client.get("/bt/", Map.empty))
+      .path("tables").elements().asScala.toSeq
+      .map(t => (t.path("name").asText(), t.path("rowKey").asText()))
+  }
+
   /** Guess a table's schema from one sampled `:readRows` page: each
     * qualifier's cells run through the same text-cell widen lattice as
     * file inference (long/double/boolean/timestamp/date detection, the
@@ -280,6 +291,23 @@ object BtDiscovery {
 
 /** Datastore discovery: typed entity-value sampling via `:runQuery`. */
 object DsDiscovery {
+
+  /** Kinds (and each one's key property) from the `__kind__` pseudo-kind
+    * (the real service's metadata query). Real DS keys ride entity.key;
+    * which property models the key is connector metadata the fixture
+    * exports as `keyProperty`. */
+  def listKinds(baseUrl: String, cfg: HttpRestConfig = HttpRestConfig())
+      : Seq[(String, String)] = {
+    val client = new HttpRestClient(baseUrl, cfg)
+    val resp = EsDsl.M.readTree(
+      client.postJson("/ds/__kind__:runQuery", """{"query":{}}"""))
+    resp.path("batch").path("entityResults").elements().asScala.toSeq.map { e =>
+      val ent = e.path("entity")
+      (ent.path("key").path("path").elements().asScala.toSeq.head
+        .path("name").asText(),
+        ent.path("properties").path("keyProperty").path("stringValue").asText())
+    }
+  }
 
   def inferSchema(spec: DsEndpointSpec, sampleN: Int = 64): StructType = {
     val client = new HttpRestClient(spec.baseUrl, spec.cfg)
@@ -328,7 +356,8 @@ final case class WireSourceDef(name: String, protocol: String,
 object WireSources {
 
   /** Protocols with a live discovery surface (listing + schema). */
-  val Protocols: Set[String] = Set("es", "mongo", "cassandra")
+  val Protocols: Set[String] =
+    Set("es", "mongo", "cassandra", "bigquery", "datastore", "bigtable", "kube")
 
   private val defs = TrieMap.empty[String, WireSourceDef]
   def register(d: WireSourceDef): Unit = defs.put(d.name, d)
@@ -338,6 +367,10 @@ object WireSources {
     EsEndpoints.dropSource(name)
     MongoEndpoints.dropSource(name)
     CqlEndpoints.dropSource(name)
+    BqEndpoints.dropSource(name)
+    DsEndpoints.dropSource(name)
+    BtEndpoints.dropSource(name)
+    KubeEndpoints.dropSource(name)
   }
 
   /** LIVE table listing over the protocol's discovery surface — a
@@ -349,6 +382,10 @@ object WireSources {
     case "mongo" => MongoDiscovery.listCollections(mongoSpec(d, ""))
     case "cassandra" =>
       CqlDiscovery.listTables(cqlSpec(d, ""), d.props.getOrElse("keyspace", "graft"))
+    case "bigquery" => BqDiscovery.listTables(d.prop("url"), restCfg(d))
+    case "datastore" => DsDiscovery.listKinds(d.prop("url"), restCfg(d)).map(_._1)
+    case "bigtable" => BtDiscovery.listTables(d.prop("url"), restCfg(d)).map(_._1)
+    case "kube" => KubeTables.All.keys.toSeq.sorted // the API's fixed surface
     case other => throw new IllegalArgumentException(s"unknown protocol $other")
   }
 
@@ -387,6 +424,44 @@ object WireSources {
           fanout = d.intProp("fanout", 1)))
         true
       }
+    case "bigquery" =>
+      if (!BqDiscovery.listTables(d.prop("url"), restCfg(d))
+        .contains(table.toLowerCase)) false
+      else {
+        val spec = BqEndpointSpec(d.prop("url"), table, restCfg(d))
+        BqEndpoints.register(BqEndpoint(d.name, table,
+          BqDiscovery.tableSchema(spec), spec))
+        true
+      }
+    case "datastore" =>
+      DsDiscovery.listKinds(d.prop("url"), restCfg(d))
+        .find(_._1.equalsIgnoreCase(table)) match {
+        case None => false
+        case Some((kind, keyProp)) =>
+          val spec = DsEndpointSpec(d.prop("url"), kind, restCfg(d))
+          DsEndpoints.register(DsEndpoint(d.name, kind,
+            DsDiscovery.inferSchema(spec), spec,
+            keyCol = Some(keyProp).filter(_.nonEmpty)))
+          true
+      }
+    case "bigtable" =>
+      BtDiscovery.listTables(d.prop("url"), restCfg(d))
+        .find(_._1.equalsIgnoreCase(table)) match {
+        case None => false
+        case Some((name, rowKey)) =>
+          val spec = BtEndpointSpec(d.prop("url"), name, rowKey, restCfg(d))
+          BtEndpoints.register(BtEndpoint(d.name, name,
+            BtDiscovery.inferSchema(spec), rowKey, spec,
+            fanout = d.intProp("fanout", 1)))
+          true
+      }
+    case "kube" =>
+      if (!KubeTables.All.contains(table.toLowerCase)) false
+      else {
+        KubeEndpoints.register(KubeEndpoint(d.name, table.toLowerCase,
+          KubeEndpointSpec(d.prop("url"), table.toLowerCase, restCfg(d))))
+        true
+      }
     case other => throw new IllegalArgumentException(s"unknown protocol $other")
   }
 
@@ -415,6 +490,15 @@ object WireSources {
 
 /** BigQuery discovery: the tables.get schema resource. */
 object BqDiscovery {
+
+  /** Table ids from the tables.list resource. */
+  def listTables(baseUrl: String, cfg: HttpRestConfig = HttpRestConfig())
+      : Seq[String] = {
+    val client = new HttpRestClient(baseUrl, cfg)
+    EsDsl.M.readTree(client.get("/bq/", Map.empty))
+      .path("tables").elements().asScala.toSeq
+      .map(_.path("tableReference").path("tableId").asText())
+  }
 
   def tableSchema(spec: BqEndpointSpec): StructType = {
     val client = new HttpRestClient(spec.baseUrl, spec.cfg)

@@ -277,6 +277,8 @@ object DsEndpoints {
     endpoints.get((source, table.toLowerCase))
   def list(source: String): Seq[String] =
     endpoints.keys.collect { case (s, t) if s == source => t }.toSeq.sorted
+  def dropSource(source: String): Unit =
+    endpoints.keys.filter(_._1 == source).foreach(endpoints.remove)
 }
 
 class DsTable(val ep: DsEndpoint) extends Table with SupportsRead

@@ -244,7 +244,7 @@ object FedData {
       if (BqEndpoints.get(BqSourceName, "orders_bqw").isEmpty) {
         val orders = Tables.load(spark, sfDir, "orders")
         val rows = orders.collect().map(_.toSeq.toArray)
-        LoopbackRestServer.register("orders_bqw", orders.schema, rows.toSeq)
+        LoopbackRestServer.registerBq("orders_bqw", orders.schema, rows.toSeq)
         val baseUrl = LoopbackRestServer.ensureStarted()
         val spec = BqEndpointSpec(baseUrl, "orders_bqw", HttpRestConfig(pageSize = 512))
         // schema DISCOVERED from the tables.get resource (the real

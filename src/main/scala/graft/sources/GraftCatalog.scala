@@ -118,7 +118,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     WireSources.get(s.name).foreach { d =>
       val registered = EsEndpoints.get(s.name, ident.name()).isDefined ||
         MongoEndpoints.get(s.name, ident.name()).isDefined ||
-        CqlEndpoints.get(s.name, ident.name()).isDefined
+        CqlEndpoints.get(s.name, ident.name()).isDefined ||
+        BqEndpoints.get(s.name, ident.name()).isDefined ||
+        DsEndpoints.get(s.name, ident.name()).isDefined ||
+        BtEndpoints.get(s.name, ident.name()).isDefined ||
+        KubeEndpoints.get(s.name, ident.name()).isDefined
       if (!registered) WireSources.discover(d, ident.name())
     }
     EsEndpoints.get(s.name, ident.name()).foreach(ep => return new EsTable(ep))

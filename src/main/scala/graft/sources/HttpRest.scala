@@ -251,6 +251,14 @@ object LoopbackRestServer {
     esIndices.put(name.toLowerCase, true)
   }
 
+  /** BigQuery dataset tables (served by the tables.list/tables.get
+    * shaped GETs on /bq/): the subset that are BQ tables. */
+  private val bqDatasets = TrieMap.empty[String, Boolean]
+  def registerBq(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit = {
+    register(name, schema, rows)
+    bqDatasets.put(name.toLowerCase, true)
+  }
+
   /** Render a Spark field type as the ES mapping `properties` entry the
     * real cluster's GET /{index}/_mapping answers: scalar types map to
     * ES field types (keyword/long/integer/short/double/float/boolean/
@@ -683,6 +691,20 @@ object LoopbackRestServer {
     }
     val M = EsDsl.M
     val path = ex.getRequestURI.getPath.stripPrefix("/bt/")
+    // admin tables.list (the real admin API's GET /v2/.../tables): the
+    // discovery listing. Real BigTable row keys are positional (not a
+    // named column); mapping the key to a qualifier is the CONNECTOR's
+    // modeling, so the fixture exports that mapping here as `rowKey` —
+    // the stand-in for the metadata a deployment keeps beside the table
+    if (ex.getRequestMethod.equalsIgnoreCase("GET") && path.isEmpty) {
+      val resp = M.createObjectNode()
+      val arr = resp.putArray("tables")
+      btKeyCols.keys.toSeq.sorted.filter(tables.contains).foreach { n =>
+        arr.addObject().put("name", n).put("rowKey", btKeyCols(n))
+      }
+      respond(ex, 200, resp.toString, "application/json")
+      return
+    }
     // :sampleRowKeys — the data API's split-point RPC: keys at roughly
     // even intervals through the key-sorted table, exactly what a
     // parallel reader uses to shard its rowRanges
@@ -837,6 +859,22 @@ object LoopbackRestServer {
     }
     if (!path.endsWith(":runQuery")) { respond(ex, 400, "only :runQuery is served"); return }
     val name = path.stripSuffix(":runQuery").toLowerCase
+    // the real service's kind listing (a query against the __kind__
+    // pseudo-kind returns one key-only entity per kind). Real DS keys
+    // ride entity.key, not properties; which property models the key is
+    // connector metadata, so the fixture exports it as `keyProperty`
+    if (name == "__kind__") {
+      val resp = M.createObjectNode()
+      val results = resp.putObject("batch").putArray("entityResults")
+      dsKeyCols.keys.toSeq.sorted.filter(tables.contains).foreach { k =>
+        val e = results.addObject().putObject("entity")
+        e.putObject("key").putArray("path").addObject().put("name", k)
+        e.putObject("properties").putObject("keyProperty")
+          .put("stringValue", dsKeyCols(k))
+      }
+      respond(ex, 200, resp.toString)
+      return
+    }
     tables.get(name) match {
       case None => respond(ex, 404, s"no such kind $name")
       case Some(TableData(schema, rows)) =>
@@ -906,6 +944,16 @@ object LoopbackRestServer {
     // /bigquery/v2/projects/{p}/datasets/{d}/tables/{t} answers the
     // table resource with `schema.fields`): GET /bq/<table> here
     if (ex.getRequestMethod.equalsIgnoreCase("GET")) {
+      // tables.list (GET /bigquery/v2/.../tables): the dataset's tables
+      if (path.isEmpty) {
+        val resp = M.createObjectNode()
+        resp.put("kind", "bigquery#tableList")
+        val arr = resp.putArray("tables")
+        bqDatasets.keys.toSeq.sorted.filter(tables.contains).foreach(n =>
+          arr.addObject().putObject("tableReference").put("tableId", n))
+        respond(ex, 200, resp.toString, "application/json")
+        return
+      }
       val name = path.toLowerCase
       tables.get(name) match {
         case None => respond(ex, 404, s"no such dataset table $name")

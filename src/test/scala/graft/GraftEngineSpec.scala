@@ -236,6 +236,52 @@ class GraftEngineSpec extends AnyFunSuite {
     engine.sql("DROP SOURCE mg_live")
   }
 
+  test("CREATE SOURCE bigquery/datastore/bigtable/kube: all runtime-registrable") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    import graft.sources._
+    val url = LoopbackRestServer.ensureStarted()
+    // BigQuery: tables.list + tables.get discovery
+    val bschema = StructType(Seq(
+      StructField("id", LongType), StructField("amt", DoubleType)))
+    LoopbackRestServer.registerBq("cs_bq_t",
+      bschema, (0L until 40L).map(i => Array[Any](i, i * 2.0)))
+    engine.sql(s"""CREATE SOURCE bq_live WITH {"protocol": "bigquery", "url": "$url"}""")
+    val bq = spark.table(s"${SourceRegistry.CatalogName}.bq_live.cs_bq_t")
+      .filter(col("amt") >= 70.0).select("id").collect().map(_.getLong(0)).sorted
+    assert(bq.toSeq == (35L until 40L))
+    // Datastore: __kind__ listing carries the key property -> get-by-key
+    // stays available on a runtime-registered kind
+    val dschema = StructType(Seq(
+      StructField("ev", LongType), StructField("kind", StringType)))
+    LoopbackRestServer.registerDs("cs_ds_k", dschema, "ev",
+      (0L until 30L).map(i => Array[Any](i, s"k${i % 3}")))
+    engine.sql(s"""CREATE SOURCE ds_live WITH {"protocol": "datastore", "url": "$url"}""")
+    val ds = spark.table(s"${SourceRegistry.CatalogName}.ds_live.cs_ds_k")
+      .filter(col("kind") === "k1").select("ev").collect().map(_.getLong(0)).sorted
+    assert(ds.toSeq == (0L until 30L).filter(_ % 3 == 1))
+    assert(DsEndpoints.get("ds_live", "cs_ds_k").exists(_.keyCol.contains("ev")))
+    // BigTable: admin listing carries the row-key qualifier; cell types
+    // guessed -> the discovered key compiles a prefix range
+    val tschema = StructType(Seq(
+      StructField("name", StringType), StructField("qty", LongType)))
+    LoopbackRestServer.registerBt("cs_bt_t", tschema, "name",
+      (0L until 50L).map(i => Array[Any](f"row$i%03d", i)))
+    engine.sql(s"""CREATE SOURCE bt_live WITH {"protocol": "bigtable", "url": "$url"}""")
+    val bt = spark.table(s"${SourceRegistry.CatalogName}.bt_live.cs_bt_t")
+      .filter(col("name").startsWith("row04")).select("qty")
+      .collect().map(_.getLong(0)).sorted
+    assert(bt.toSeq == (40L until 50L))
+    assert(BtEndpoints.get("bt_live", "cs_bt_t").exists(_.keyCol == "name"))
+    // Kubernetes: the API's fixed typed-table surface registers whole
+    engine.sql(s"""CREATE SOURCE k8s_live WITH {"protocol": "kube", "url": "$url"}""")
+    assert(engine.sql(s"SHOW TABLES IN ${SourceRegistry.CatalogName}.k8s_live")
+      .collect().map(_.getString(1)).toSet
+      .intersect(Set("pods", "nodes", "services")).size == 3)
+    Seq("bq_live", "ds_live", "bt_live", "k8s_live")
+      .foreach(s => engine.sql(s"DROP SOURCE $s"))
+  }
+
   test("CREATE SOURCE with an unknown protocol fails loudly") {
     val e = intercept[IllegalArgumentException](engine.sql(
       """CREATE SOURCE bad_live WITH {"protocol": "gopher", "url": "x"}"""))
