@@ -137,29 +137,32 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     final case class Obs(t: Double, gc: Long, heap: Long)
     val obs = scala.collection.mutable.Map.empty[String, List[Obs]]
+    // one measured region, shared by the base and extra-rep loops so the
+    // measurement protocol cannot drift between them
+    def runOnce(name: String, recordError: Boolean): Unit = {
+      val fn = SparkEntry.queries(name)
+      val gc0 = gcMillis
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        obs(name) = Obs(dt, gcMillis - gc0, usedHeapMb) :: obs.getOrElse(name, Nil)
+      } catch {
+        case e: Throwable =>
+          if (recordError && !errors.exists(_._1 == name))
+            errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+      // release frames the query persisted for its own multi-pass plan —
+      // outside the measured region; without this, ~85 queries' caches
+      // (corpus embeddings, shingle indexes) accumulate across the run
+      spark.catalog.clearCache()
+      if (interQueryGc) System.gc()
+    }
     for (rep <- 0 until reps) {
       // a fresh shuffle per repetition: median-over-orders cancels the
       // "query N inherits query N-1's JIT/page-cache/GC state" bias
       val order = new scala.util.Random(seed + rep).shuffle(names)
-      for (name <- order) {
-        val fn = SparkEntry.queries(name)
-        val gc0 = gcMillis
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          val dt = (System.nanoTime() - t0) / 1e9
-          obs(name) = Obs(dt, gcMillis - gc0, usedHeapMb) :: obs.getOrElse(name, Nil)
-        } catch {
-          case e: Throwable =>
-            if (!errors.exists(_._1 == name))
-              errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName))
-        }
-        // release frames the query persisted for its own multi-pass plan —
-        // outside the measured region; without this, ~85 queries' caches
-        // (corpus embeddings, shingle indexes) accumulate across the run
-        spark.catalog.clearCache()
-        if (interQueryGc) System.gc()
-      }
+      order.foreach(runOnce(_, recordError = true))
     }
     // per-query median (of the successful reps) + relative spread
     def median(xs: List[Obs]): Obs = xs.sortBy(_.t).apply((xs.size - 1) / 2)
@@ -176,20 +179,10 @@ object Bench {
     val fastReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_REPS", "7").toInt
     val fastNames = names.filter(n =>
       obs.get(n).exists(xs => xs.nonEmpty && median(xs).t < 1.0))
+    val fastSet = fastNames.toSet
     for (rep <- reps until fastReps; if fastNames.nonEmpty) {
       val order = new scala.util.Random(seed + 500 + rep).shuffle(fastNames)
-      for (name <- order) {
-        val fn = SparkEntry.queries(name)
-        val gc0 = gcMillis
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          val dt = (System.nanoTime() - t0) / 1e9
-          obs(name) = Obs(dt, gcMillis - gc0, usedHeapMb) :: obs.getOrElse(name, Nil)
-        } catch { case _: Throwable => () } // base reps already recorded it
-        spark.catalog.clearCache()
-        if (interQueryGc) System.gc()
-      }
+      order.foreach(runOnce(_, recordError = false)) // base reps recorded errors
     }
     val results: Seq[(String, Double)] = names.map { name =>
       obs.get(name).filter(_.nonEmpty) match {
@@ -199,10 +192,12 @@ object Bench {
     }
     val spreadPct: Seq[(String, Double)] = names.flatMap { name =>
       obs.get(name).filter(_.size >= 2).map { xs =>
-        // with n >= 5 observations, drop the single slowest (trimmed):
-        // the remaining range is the honest repeatability signal
+        // ONLY the sub-second (extra-rep) queries drop their single
+        // slowest observation, and only at n >= 5: constant-dominated
+        // timings earn the one-hiccup trim; a slow query's intermittent
+        // regression must keep showing at full spread
         val ts0 = xs.map(_.t).sorted
-        val ts = if (ts0.size >= 5) ts0.init else ts0
+        val ts = if (fastSet.contains(name) && ts0.size >= 5) ts0.init else ts0
         val m = median(xs).t
         name -> (if (m > 0) math.round((ts.max - ts.min) / m * 1000) / 10.0 else 0.0)
       }

@@ -176,7 +176,15 @@ class GraftEngine(val spark: SparkSession) {
               s"graft-wire/$name").getPath, "json", p))
           val d = graft.sources.WireSourceDef(name, p, props)
           graft.sources.WireSources.register(d)
-          graft.sources.WireSources.discoverAll(d)
+          // a failed discovery must not leave a phantom namespace behind:
+          // roll the registration back and surface the failure AT the
+          // statement (the file branch validates before registering too)
+          try graft.sources.WireSources.discoverAll(d)
+          catch { case e: Throwable =>
+            graft.sources.WireSources.drop(name)
+            graft.sources.SourceRegistry.drop(name)
+            throw e
+          }
           spark.emptyDataFrame
         case Some(other) =>
           throw new IllegalArgumentException(

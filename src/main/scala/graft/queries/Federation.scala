@@ -434,8 +434,11 @@ object Federation {
 
     // SCHEMA DISCOVERY, BigTable: column types GUESSED by scanning
     // sampled cells (bigtable/source.go:193-251) — integer-looking cells
-    // discover as bigint (both arms cast), the key prefix still compiles
-    // into rowRanges against the discovered schema.
+    // discover as bigint (both arms cast). The fixture's composite row
+    // key (name#id — BT keys must be unique) keeps the name-prefix
+    // predicate compilable into a key rowRange against the discovered
+    // schema; it is semantically p_name LIKE 's%' because the key
+    // starts with the name.
     GQuery(
       "q_src_discovery_bt",
       """SELECT p_name, CAST(p_partkey AS BIGINT) AS partkey,
@@ -444,7 +447,7 @@ object Federation {
         |ORDER BY p_name, partkey""".stripMargin) { (s, d) =>
       fed(s, d)
       s.table(s"$C.${FedData.BtSourceName}.part_btd")
-        .filter(col("p_name").startsWith("s") && col("p_size") >= 20)
+        .filter(col("row_key").startsWith("s") && col("p_size") >= 20)
         .select(col("p_name"), col("p_partkey").cast("long").as("partkey"),
           col("p_size").cast("long").as("size_b"), col("p_retailprice"))
         .orderBy("p_name", "partkey")

@@ -41,6 +41,13 @@ import graft.protocol.CqlWire
   * bounded sample page) and run ONCE at registration on the driver —
   * never in the scan path.
   */
+/** A table the backend lists but whose schema cannot be discovered YET
+  * (an empty collection has no documents to sample). Eager CREATE SOURCE
+  * discovery skips exactly this — every other failure (bad config,
+  * unreachable backend, protocol error) stays loud. */
+final class UndiscoverableTableException(msg: String)
+  extends IllegalArgumentException(msg)
+
 object WireInference {
 
   /** Widen two inferred types: numeric types promote (integer widths
@@ -136,18 +143,6 @@ object EsDiscovery {
       StructField(e.getKey, dt, nullable = true)
     })
 
-  /** Register every index the cluster lists, each with its mapping-
-    * discovered schema — the CREATE SOURCE composition path. */
-  def registerAll(source: String, baseUrl: String,
-      cfg: HttpRestConfig = HttpRestConfig(), slices: Int = 1): Seq[String] = {
-    val client = new HttpRestClient(baseUrl, cfg)
-    val indices = listIndices(client)
-    indices.foreach { idx =>
-      EsEndpoints.register(EsEndpoint(source, idx, mappingSchema(client, idx),
-        EsEndpointSpec(baseUrl, idx, cfg, slices = slices)))
-    }
-    indices
-  }
 }
 
 /** Mongo discovery: listCollections + document-sampling inference. */
@@ -161,7 +156,13 @@ object MongoDiscovery {
 
   /** BSON runtime value -> inferred Spark type (the reference's sampled
     * type switch, mgo_source.go:335-360). Sub-documents recurse into
-    * structs; arrays widen their element types. */
+    * structs; arrays widen their element types.
+    *
+    * BSON datetime is epoch millis — an INSTANT; the wire carries no
+    * timezone-less variant, so it discovers as TimestampType. A column
+    * a writer declared TIMESTAMP_NTZ therefore discovers as TIMESTAMP:
+    * same instants, instant semantics — the wire's truth, and exactly
+    * what sampling a real deployment would conclude. */
   def bsonType(v: Any): DataType = v match {
     case null => NullType
     case _: java.lang.Integer => IntegerType
@@ -189,7 +190,7 @@ object MongoDiscovery {
     try {
       val docs = client.find(spec.db, spec.collection, BDoc.empty,
         limit = sampleN, batchSize = sampleN).take(sampleN).toSeq
-      require(docs.nonEmpty,
+      if (docs.isEmpty) throw new UndiscoverableTableException(
         s"cannot infer schema: collection ${spec.db}.${spec.collection} is empty")
       WireInference.inferFields(docs.map(_.fields.map {
         case (k, v) => (k, bsonType(v))
@@ -275,7 +276,8 @@ object BtDiscovery {
     val resp = EsDsl.M.readTree(
       client.postJson(s"/bt/${spec.table}:readRows", "{}"))
     val rows = resp.path("rows").elements().asScala.toSeq
-    require(rows.nonEmpty, s"cannot infer schema: table ${spec.table} is empty")
+    if (rows.isEmpty) throw new UndiscoverableTableException(
+      s"cannot infer schema: table ${spec.table} is empty")
     val cells = mutable.LinkedHashMap.empty[String, mutable.Buffer[String]]
     rows.foreach { r =>
       r.path("cells").properties().asScala.foreach { e =>
@@ -314,7 +316,8 @@ object DsDiscovery {
     val resp = EsDsl.M.readTree(client.postJson(
       s"/ds/${spec.kind}:runQuery", s"""{"query":{"limit":$sampleN}}"""))
     val ents = resp.path("batch").path("entityResults").elements().asScala.toSeq
-    require(ents.nonEmpty, s"cannot infer schema: kind ${spec.kind} is empty")
+    if (ents.isEmpty) throw new UndiscoverableTableException(
+      s"cannot infer schema: kind ${spec.kind} is empty")
     WireInference.inferFields(ents.map { e =>
       e.path("entity").path("properties").properties().asScala.toSeq.map { p =>
         val v = p.getValue
@@ -385,7 +388,11 @@ object WireSources {
     case "bigquery" => BqDiscovery.listTables(d.prop("url"), restCfg(d))
     case "datastore" => DsDiscovery.listKinds(d.prop("url"), restCfg(d)).map(_._1)
     case "bigtable" => BtDiscovery.listTables(d.prop("url"), restCfg(d)).map(_._1)
-    case "kube" => KubeTables.All.keys.toSeq.sorted // the API's fixed surface
+    case "kube" =>
+      // the typed-table surface is fixed, but a missing url must still
+      // fail AT the statement (it is needed by every later scan)
+      d.prop("url")
+      KubeTables.All.keys.toSeq.sorted
     case other => throw new IllegalArgumentException(s"unknown protocol $other")
   }
 
@@ -466,15 +473,17 @@ object WireSources {
   }
 
   /** Eager composition at CREATE SOURCE: list + discover every table.
-    * A table whose schema can't be discovered yet (e.g. an EMPTY Mongo
-    * collection — no documents to sample) is skipped here, not fatal to
-    * the registration: it still lists live, and its first resolution
-    * re-attempts discovery and surfaces the sampling error loudly. */
+    * ONLY a not-yet-discoverable table (empty — nothing to sample) is
+    * skipped: it still lists live, and its first resolution re-attempts
+    * discovery and surfaces the sampling error loudly. Config errors
+    * (bad fanout value, missing url) and backend failures propagate —
+    * a misconfigured CREATE SOURCE must fail AT the statement, not
+    * produce a silently-empty source. */
   def discoverAll(d: WireSourceDef): Seq[String] = {
     val tables = listTables(d)
     tables.filter(t =>
       try discover(d, t)
-      catch { case _: IllegalArgumentException => false })
+      catch { case _: UndiscoverableTableException => false })
   }
 
   private def restCfg(d: WireSourceDef) =

@@ -390,17 +390,23 @@ object FedData {
       }
       // BigTable table whose column types are GUESSED from sampled cell
       // values (bigtable/source.go:193-251): integer-looking cells
-      // discover as bigint — the gate casts both arms accordingly
+      // discover as bigint — the gate casts both arms accordingly.
+      // p_name is NOT unique, and BigTable row keys must be — so the
+      // fixture uses the classic composite-key design (name#id), which
+      // keeps name-prefix ranges compilable on the key
       if (BtEndpoints.get(BtSourceName, "part_btd").isEmpty) {
         val part = Tables.load(spark, sfDir, "part")
-          .select("p_name", "p_partkey", "p_brand", "p_size", "p_retailprice")
+          .select(
+            concat(col("p_name"), lit("#"), col("p_partkey")).as("row_key"),
+            col("p_name"), col("p_partkey"), col("p_brand"), col("p_size"),
+            col("p_retailprice"))
         val rows = part.collect().map(_.toSeq.toArray)
-        LoopbackRestServer.registerBt("part_btd", part.schema, "p_name", rows.toSeq)
+        LoopbackRestServer.registerBt("part_btd", part.schema, "row_key", rows.toSeq)
         val baseUrl = LoopbackRestServer.ensureStarted()
-        val spec = BtEndpointSpec(baseUrl, "part_btd", "p_name",
+        val spec = BtEndpointSpec(baseUrl, "part_btd", "row_key",
           HttpRestConfig(pageSize = 512))
         BtEndpoints.register(BtEndpoint(BtSourceName, "part_btd",
-          BtDiscovery.inferSchema(spec), "p_name", spec, fanout = 4))
+          BtDiscovery.inferSchema(spec), "row_key", spec, fanout = 4))
       }
     }
   }

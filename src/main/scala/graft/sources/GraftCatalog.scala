@@ -110,28 +110,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(Identifier.of(namespace, _))
   }
 
+  /** The ONE wire-endpoint resolution chain ([[listTables]] and
+    * [[loadTable]] both ride it — an eighth connector is added here
+    * once). */
+  private def wireTable(s: SourceDef, table: String): Option[Table] =
+    EsEndpoints.get(s.name, table).map(new EsTable(_))
+      .orElse(MongoEndpoints.get(s.name, table).map(new MongoTable(_)))
+      .orElse(CqlEndpoints.get(s.name, table).map(new CqlTable(_)))
+      .orElse(BqEndpoints.get(s.name, table).map(new BqTable(_)))
+      .orElse(DsEndpoints.get(s.name, table).map(new DsTable(_)))
+      .orElse(BtEndpoints.get(s.name, table).map(new BtTable(_)))
+      .orElse(KubeEndpoints.get(s.name, table).map(new KubeTable(_)))
+
   override def loadTable(ident: Identifier): Table = {
     val s = source(ident.namespace())
     // first resolution of a wire-source table discovers its schema off
     // the backend and registers the endpoint lazily — query a table the
-    // cluster grew AFTER CREATE SOURCE without re-registering anything
-    WireSources.get(s.name).foreach { d =>
-      val registered = EsEndpoints.get(s.name, ident.name()).isDefined ||
-        MongoEndpoints.get(s.name, ident.name()).isDefined ||
-        CqlEndpoints.get(s.name, ident.name()).isDefined ||
-        BqEndpoints.get(s.name, ident.name()).isDefined ||
-        DsEndpoints.get(s.name, ident.name()).isDefined ||
-        BtEndpoints.get(s.name, ident.name()).isDefined ||
-        KubeEndpoints.get(s.name, ident.name()).isDefined
-      if (!registered) WireSources.discover(d, ident.name())
-    }
-    EsEndpoints.get(s.name, ident.name()).foreach(ep => return new EsTable(ep))
-    MongoEndpoints.get(s.name, ident.name()).foreach(ep => return new MongoTable(ep))
-    CqlEndpoints.get(s.name, ident.name()).foreach(ep => return new CqlTable(ep))
-    BqEndpoints.get(s.name, ident.name()).foreach(ep => return new BqTable(ep))
-    DsEndpoints.get(s.name, ident.name()).foreach(ep => return new DsTable(ep))
-    BtEndpoints.get(s.name, ident.name()).foreach(ep => return new BtTable(ep))
-    KubeEndpoints.get(s.name, ident.name()).foreach(ep => return new KubeTable(ep))
+    // cluster grew AFTER CREATE SOURCE without re-registering anything.
+    // Only on a registry miss, and never for the files meta-table: a
+    // resolution that can be answered locally must not cost a backend
+    // round-trip
+    wireTable(s, ident.name()).foreach(t => return t)
+    if (ident.name() != FilesMetaTable.Name)
+      WireSources.get(s.name).foreach(d => WireSources.discover(d, ident.name()))
+    wireTable(s, ident.name()).foreach(t => return t)
     RestEndpoints.get(s.name, ident.name()) match {
       case Some(ep) => new RestTable(ep) // REST endpoints shadow nothing:
       // they live in sources without file tables of the same name

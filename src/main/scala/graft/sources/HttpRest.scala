@@ -143,7 +143,14 @@ final class HttpRestClient(val baseUrl: String, val cfg: HttpRestConfig = HttpRe
 
   /** Lazily page through `path`, yielding JSON lines. An API `limit`
     * param caps total rows (and stops fetching early); other params pass
-    * through to every page request. */
+    * through to every page request.
+    *
+    * The cursor advances by the RECEIVED row count, not the requested
+    * size, and only an EMPTY page terminates: a server that caps pages
+    * below the requested size (most real listing APIs do) just gets one
+    * more request from the right offset — never silent row loss. A full
+    * final page costs one extra (empty) probe request; correctness over
+    * one metadata-sized round-trip. */
   def pagedLines(path: String, params: Map[String, String]): Iterator[String] = {
     val limit = params.get("limit").map(_.toLong)
     val base = params - "limit"
@@ -157,9 +164,9 @@ final class HttpRestClient(val baseUrl: String, val cfg: HttpRestConfig = HttpRe
           limit.map(_ - yielded).getOrElse(cfg.pageSize.toLong))
         val body = get(path, base ++ Map("from" -> from.toString, "size" -> size.toString))
         val lines = body.linesIterator.filter(_.nonEmpty).toArray
-        from += size
+        from += lines.length
         yielded += lines.length
-        if (lines.length < size) done = true // short page = end of results
+        if (lines.isEmpty) done = true
         lines.iterator
       }
     }.flatten
@@ -170,9 +177,17 @@ final class HttpRestClient(val baseUrl: String, val cfg: HttpRestConfig = HttpRe
     * pageSize`, k = 0,1,2,... — together the slices cover every row
     * exactly once using nothing but the API's own from/size paging (the
     * reference treats Lytics as a paged entity scan; this is that scan
-    * sharded). A short or empty page means the listing is exhausted. An
-    * API `limit` param caps THIS slice's rows (partial-pushed limits:
-    * Spark re-trims globally). */
+    * sharded). An API `limit` param caps THIS slice's rows
+    * (partial-pushed limits: Spark re-trims globally).
+    *
+    * Exactly-once tiling REQUIRES full fixed-size pages, so a short page
+    * is only a valid terminator when the table really ends inside it. A
+    * server that silently caps pages below the requested size would
+    * otherwise lose the rest of every stride — the same silent-loss
+    * class as the ES short-scroll-page bug — so a short non-final page
+    * triggers a one-row PROBE just past the received rows: rows there
+    * mean the server ignored our page size, and the scan fails LOUDLY
+    * (lower pageSize below the server's cap) instead of dropping rows. */
   def pagedLinesSliced(path: String, params: Map[String, String],
       slice: Int, slices: Int): Iterator[String] = {
     if (slices <= 1) return pagedLines(path, params)
@@ -191,7 +206,17 @@ final class HttpRestClient(val baseUrl: String, val cfg: HttpRestConfig = HttpRe
         val body = get(path, base ++ Map("from" -> from.toString, "size" -> pageSz.toString))
         var lines = body.linesIterator.filter(_.nonEmpty).toArray
         k += 1
-        if (lines.length < pageSz) done = true // short page = table exhausted
+        if (lines.length < pageSz) {
+          done = true
+          val probe = get(path, base ++ Map(
+            "from" -> (from + lines.length).toString, "size" -> "1"))
+          if (probe.linesIterator.exists(_.nonEmpty))
+            throw new java.io.IOException(
+              s"$path returned a ${lines.length}-row page for a requested " +
+                s"size of $pageSz with more rows remaining: the server caps " +
+                "page sizes, which breaks strided slicing — set pageSize at " +
+                "or below the server's cap")
+        }
         limit.foreach { n =>
           if (yielded + lines.length >= n) { lines = lines.take((n - yielded).toInt); done = true }
         }
@@ -220,6 +245,10 @@ object LoopbackRestServer {
   val failNext = new AtomicInteger(0)
   /** Artificial per-request latency — drive client timeouts. */
   val delayMs = new AtomicInteger(0)
+  /** When > 0, the plain /t/ listing serves at most this many rows per
+    * request regardless of the requested `size` — models real APIs that
+    * cap page sizes (drives the clients' short-page contracts). */
+  val pageCap = new AtomicInteger(0)
   /** Requests served (including injected failures). */
   val served = new AtomicLong(0)
   /** The last query-string params seen (pushdown assertions). */
@@ -247,6 +276,7 @@ object LoopbackRestServer {
     * subset of registered tables that are Elasticsearch indices. */
   private val esIndices = TrieMap.empty[String, Boolean]
   def registerEs(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit = {
+    esMappingProps(schema) // every field must be mapping-representable — fail HERE
     register(name, schema, rows)
     esIndices.put(name.toLowerCase, true)
   }
@@ -276,11 +306,22 @@ object LoopbackRestServer {
         case ShortType => o.put("type", "short")
         case org.apache.spark.sql.types.DoubleType => o.put("type", "double")
         case org.apache.spark.sql.types.FloatType => o.put("type", "float")
+        // ES has no decimal field type: real clusters store these as
+        // double (scaled_float is still float-backed)
+        case _: org.apache.spark.sql.types.DecimalType => o.put("type", "double")
         case org.apache.spark.sql.types.BooleanType => o.put("type", "boolean")
-        case org.apache.spark.sql.types.TimestampType => o.put("type", "date")
+        // ES date is epoch millis — an instant; NTZ has no wire
+        // representation, so it maps (and discovers back) as date/
+        // TimestampType — the wire's truth, same as the Mongo arm
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => o.put("type", "date")
         case org.apache.spark.sql.types.DateType =>
           o.put("type", "date"); o.put("format", "yyyy-MM-dd")
-        case _ => o.put("type", "keyword")
+        case org.apache.spark.sql.types.StringType => o.put("type", "keyword")
+        case other => throw new IllegalArgumentException(
+          s"ES fixture field ${f.name}: no mapping representation for " +
+            s"$other — a silent keyword fallback would discover it as " +
+            "string and break every typed predicate on it")
       }
     }
     props
@@ -373,7 +414,9 @@ object LoopbackRestServer {
       case None => respond(ex, 404, s"no such table $name")
       case Some(TableData(schema, rows)) =>
         val from = q.get("from").map(_.toLong).getOrElse(0L)
-        val size = q.get("size").map(_.toLong).getOrElse(Long.MaxValue)
+        val cap = pageCap.get()
+        val size0 = q.get("size").map(_.toLong).getOrElse(Long.MaxValue)
+        val size = if (cap > 0) math.min(size0, cap.toLong) else size0
         val limit = q.get("limit").map(_.toLong)
         val reserved = Set("from", "size", "limit")
         var out = rows.iterator.filter { row =>
@@ -678,6 +721,15 @@ object LoopbackRestServer {
 
   def registerBt(name: String, schema: StructType, keyCol: String,
       rows: Seq[Array[Any]]): Unit = {
+    // real BigTable row keys are unique by definition (same-key writes
+    // are cell upserts on ONE row); a fixture with duplicate keys would
+    // silently lose rows to the startKeyOpen resume contract — refuse it
+    val ki = schema.fieldNames.indexWhere(_.equalsIgnoreCase(keyCol))
+    require(ki >= 0, s"BT key column $keyCol not in schema")
+    val keys = rows.map(r => String.valueOf(r(ki)))
+    require(keys.distinct.size == keys.size,
+      s"BT table $name: row keys must be unique ($keyCol has duplicates — " +
+        "use a composite key)")
     register(name, schema, rows)
     btKeyCols.put(name.toLowerCase, keyCol)
   }

@@ -163,6 +163,16 @@ class DiscoverySpec extends AnyFunSuite {
     assert(s("mixed").dataType == StringType) // 42 + not-a-number -> string
   }
 
+  test("BT: duplicate row keys are refused at fixture registration") {
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    val e = intercept[IllegalArgumentException] {
+      LoopbackRestServer.registerBt("disc_bt_dup", schema, "k",
+        Seq(Array[Any]("a", 1L), Array[Any]("a", 2L)))
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
   // ---- DS + BQ ---------------------------------------------------------------
 
   test("DS: typed entity-value sampling maps value kinds to types") {

@@ -287,4 +287,19 @@ class GraftEngineSpec extends AnyFunSuite {
       """CREATE SOURCE bad_live WITH {"protocol": "gopher", "url": "x"}"""))
     assert(e.getMessage.contains("unknown protocol"))
   }
+
+  test("CREATE SOURCE config errors fail AT the statement and roll back") {
+    import graft.sources._
+    val url = LoopbackRestServer.ensureStarted()
+    // a malformed fanout must not register a silently-empty source
+    intercept[IllegalArgumentException](engine.sql(
+      s"""CREATE SOURCE es_bad WITH {"protocol": "es", "url": "$url", "fanout": "four"}"""))
+    assert(SourceRegistry.get("es_bad").isEmpty, "no phantom namespace")
+    assert(WireSources.get("es_bad").isEmpty)
+    // kube's table surface is static, but a missing url must still fail
+    // at the statement (every later scan needs it)
+    intercept[IllegalArgumentException](engine.sql(
+      """CREATE SOURCE k8s_bad WITH {"protocol": "kube"}"""))
+    assert(SourceRegistry.get("k8s_bad").isEmpty)
+  }
 }

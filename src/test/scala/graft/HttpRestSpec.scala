@@ -30,6 +30,7 @@ class HttpRestSpec extends AnyFunSuite {
     val base = LoopbackRestServer.ensureStarted()
     LoopbackRestServer.failNext.set(0)
     LoopbackRestServer.delayMs.set(0)
+    LoopbackRestServer.pageCap.set(0)
     new HttpRestClient(base, cfg)
   }
 
@@ -133,6 +134,22 @@ class HttpRestSpec extends AnyFunSuite {
     assert(slices.forall(_.nonEmpty), "a 300-row listing feeds all 4 slices")
     // a pushed (partial) limit caps each slice independently
     assert(client.pagedLinesSliced("/t/items", Map("limit" -> "10"), 1, 4).size == 10)
+  }
+
+  test("server page caps: sequential paging resumes losslessly, sliced fails loudly") {
+    val client = freshClient(HttpRestConfig(pageSize = 32))
+    LoopbackRestServer.pageCap.set(10)
+    try {
+      // sequential paging advances by the RECEIVED count: a server that
+      // caps every page at 10 rows still yields all 300, never a loss
+      val lines = client.pagedLines("/t/items", Map.empty).toSeq
+      assert(lines.size == 300)
+      // strided slicing cannot tolerate capped pages (offsets would
+      // misalign) — it must detect the cap and fail loudly, not drop rows
+      val e = intercept[java.io.IOException](
+        client.pagedLinesSliced("/t/items", Map.empty, 0, 4).toSeq)
+      assert(e.getMessage.contains("caps page sizes"))
+    } finally LoopbackRestServer.pageCap.set(0)
   }
 
   test("REST scan fan-out: slices tile the scan, node_ct hint overrides") {
