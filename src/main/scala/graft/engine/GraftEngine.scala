@@ -170,19 +170,31 @@ class GraftEngine(val spark: SparkSession) {
           graft.sources.SourceRegistry.ensureCatalog(spark)
           val props = node.properties().asScala
             .map(e => e.getKey -> e.getValue.asText()).toMap
-          // namespace anchor (wire sources have no data directory)
-          graft.sources.SourceRegistry.register(graft.sources.SourceDef(
-            name, new java.io.File(sys.props("java.io.tmpdir"),
-              s"graft-wire/$name").getPath, "json", p))
           val d = graft.sources.WireSourceDef(name, p, props)
-          graft.sources.WireSources.register(d)
-          // a failed discovery must not leave a phantom namespace behind:
-          // roll the registration back and surface the failure AT the
-          // statement (the file branch validates before registering too)
-          try graft.sources.WireSources.discoverAll(d)
-          catch { case e: Throwable =>
+          // a failed registration must not leave a phantom namespace
+          // behind — and re-registering an EXISTING name with a broken
+          // definition must not destroy the working source it replaces:
+          // snapshot the prior defs BEFORE overwriting, and on failure
+          // drop the new state and reinstate them (prior endpoints
+          // re-discover from the prior, previously-working backend)
+          val prevWire = graft.sources.WireSources.get(name)
+          val prevSrc = graft.sources.SourceRegistry.get(name)
+          try {
+            graft.sources.WireSources.register(d) // validates every prop
+            // namespace anchor (wire sources have no data directory)
+            graft.sources.SourceRegistry.register(graft.sources.SourceDef(
+              name, new java.io.File(sys.props("java.io.tmpdir"),
+                s"graft-wire/$name").getPath, "json", p))
+            graft.sources.WireSources.discoverAll(d)
+          } catch { case e: Throwable =>
             graft.sources.WireSources.drop(name)
             graft.sources.SourceRegistry.drop(name)
+            prevWire.foreach { od =>
+              prevSrc.foreach(graft.sources.SourceRegistry.register)
+              graft.sources.WireSources.register(od)
+              try graft.sources.WireSources.discoverAll(od)
+              catch { case _: Throwable => () } // lazy resolution can recover
+            }
             throw e
           }
           spark.emptyDataFrame

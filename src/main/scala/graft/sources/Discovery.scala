@@ -118,8 +118,10 @@ object EsDiscovery {
     val mappings = root.properties().asScala.headOption
       .map(_.getValue.path("mappings").path("properties"))
       .getOrElse(throw new IllegalArgumentException(s"no mapping for index $index"))
-    require(mappings.isObject && mappings.properties().asScala.nonEmpty,
-      s"empty mapping for index $index")
+    // a freshly-created index has no field mappings yet — the ES twin of
+    // the empty-collection case, skippable at eager CREATE SOURCE time
+    if (!mappings.isObject || mappings.properties().asScala.isEmpty)
+      throw new UndiscoverableTableException(s"empty mapping for index $index")
     walk(mappings)
   }
 
@@ -363,7 +365,28 @@ object WireSources {
     Set("es", "mongo", "cassandra", "bigquery", "datastore", "bigtable", "kube")
 
   private val defs = TrieMap.empty[String, WireSourceDef]
-  def register(d: WireSourceDef): Unit = defs.put(d.name, d)
+
+  /** Parse EVERY connection prop at registration: a malformed value
+    * (fanout "four", missing url) must fail the CREATE SOURCE statement
+    * itself, even when the backend currently lists zero tables — never
+    * surface later at some table's first resolution. */
+  private def validate(d: WireSourceDef): Unit = {
+    d.intProp("page_size", 512)
+    d.protocol match {
+      case "es" | "bigtable" => d.prop("url"); d.intProp("fanout", 1)
+      case "bigquery" | "datastore" | "kube" => d.prop("url")
+      case "mongo" => d.prop("host"); d.intProp("port", 27017)
+      case "cassandra" =>
+        d.prop("host"); d.intProp("port", 9042); d.intProp("fanout", 1)
+      case other =>
+        throw new IllegalArgumentException(s"unknown protocol $other")
+    }
+  }
+
+  def register(d: WireSourceDef): Unit = {
+    validate(d)
+    defs.put(d.name, d)
+  }
   def get(name: String): Option[WireSourceDef] = defs.get(name)
   def drop(name: String): Unit = {
     defs.remove(name)
@@ -388,11 +411,8 @@ object WireSources {
     case "bigquery" => BqDiscovery.listTables(d.prop("url"), restCfg(d))
     case "datastore" => DsDiscovery.listKinds(d.prop("url"), restCfg(d)).map(_._1)
     case "bigtable" => BtDiscovery.listTables(d.prop("url"), restCfg(d)).map(_._1)
-    case "kube" =>
-      // the typed-table surface is fixed, but a missing url must still
-      // fail AT the statement (it is needed by every later scan)
-      d.prop("url")
-      KubeTables.All.keys.toSeq.sorted
+    case "kube" => KubeTables.All.keys.toSeq.sorted // fixed typed surface
+      // (url validated at registration like every connection prop)
     case other => throw new IllegalArgumentException(s"unknown protocol $other")
   }
 

@@ -206,8 +206,18 @@ final class HttpRestClient(val baseUrl: String, val cfg: HttpRestConfig = HttpRe
         val body = get(path, base ++ Map("from" -> from.toString, "size" -> pageSz.toString))
         var lines = body.linesIterator.filter(_.nonEmpty).toArray
         k += 1
-        if (lines.length < pageSz) {
-          done = true
+        var shortPage = lines.length < pageSz
+        if (shortPage) done = true
+        limit.foreach { n =>
+          if (yielded + lines.length >= n) {
+            lines = lines.take((n - yielded).toInt)
+            done = true
+            shortPage = false // limit satisfied: the short page is moot
+          }
+        }
+        // probe only when a short page is actually load-bearing (it is
+        // about to terminate an un-satisfied scan)
+        if (shortPage) {
           val probe = get(path, base ++ Map(
             "from" -> (from + lines.length).toString, "size" -> "1"))
           if (probe.linesIterator.exists(_.nonEmpty))
@@ -216,9 +226,6 @@ final class HttpRestClient(val baseUrl: String, val cfg: HttpRestConfig = HttpRe
                 s"size of $pageSz with more rows remaining: the server caps " +
                 "page sizes, which breaks strided slicing — set pageSize at " +
                 "or below the server's cap")
-        }
-        limit.foreach { n =>
-          if (yielded + lines.length >= n) { lines = lines.take((n - yielded).toInt); done = true }
         }
         yielded += lines.length
         lines.iterator

@@ -86,6 +86,16 @@ class DiscoverySpec extends AnyFunSuite {
     intercept[Exception] { EsDiscovery.mappingSchema(client, "no_such_index") }
   }
 
+  test("ES: a freshly-created empty index is skippable (not fatal) at eager discovery") {
+    LoopbackRestServer.registerEs("disc_es_empty", StructType(Seq.empty), Seq.empty)
+    val client = new HttpRestClient(LoopbackRestServer.ensureStarted())
+    // the typed exception discoverAll skips — an empty mapping is the ES
+    // twin of the empty-collection case
+    intercept[UndiscoverableTableException] {
+      EsDiscovery.mappingSchema(client, "disc_es_empty")
+    }
+  }
+
   // ---- Mongo: listCollections + sampling ----------------------------------
 
   test("Mongo: listCollections surfaces registered collections") {

@@ -302,4 +302,23 @@ class GraftEngineSpec extends AnyFunSuite {
       """CREATE SOURCE k8s_bad WITH {"protocol": "kube"}"""))
     assert(SourceRegistry.get("k8s_bad").isEmpty)
   }
+
+  test("re-registering an existing source with a broken definition restores it") {
+    import org.apache.spark.sql.types._
+    import graft.sources._
+    val schema = StructType(Seq(StructField("id", LongType)))
+    LoopbackRestServer.registerEs("cs_keep_idx", schema,
+      (0L until 20L).map(i => Array[Any](i)))
+    val url = LoopbackRestServer.ensureStarted()
+    engine.sql(s"""CREATE SOURCE es_keep WITH {"protocol": "es", "url": "$url"}""")
+    val t = s"${SourceRegistry.CatalogName}.es_keep.cs_keep_idx"
+    assert(spark.table(t).count() == 20L)
+    // the re-registration fails (malformed fanout) — the statement must
+    // error AND the previously working source must survive
+    intercept[IllegalArgumentException](engine.sql(
+      s"""CREATE SOURCE es_keep WITH {"protocol": "es", "url": "$url", "fanout": "four"}"""))
+    assert(WireSources.get("es_keep").isDefined, "prior definition reinstated")
+    assert(spark.table(t).count() == 20L, "prior source still queryable")
+    engine.sql("DROP SOURCE es_keep")
+  }
 }
