@@ -432,6 +432,27 @@ object Federation {
         .orderBy("p_partkey")
     },
 
+    // SCHEMA DISCOVERY, Mongo NESTED: a collection of sub-documents,
+    // types discovered by sampling (BDoc values recurse into REAL
+    // struct columns where the reference degrades them to strings,
+    // mgo_source.go:335-360); the top-level key predicate still pushes
+    // over the wire (nested references decline -> Spark polyfills),
+    // and the scan decodes sub-documents into struct rows.
+    GQuery(
+      "q_src_discovery_mongo_nested",
+      """SELECT c_custkey, c_name AS name, c_mktsegment AS segment,
+        |       c_acctbal AS balance
+        |FROM customer WHERE c_custkey % 5 = 0 AND c_mktsegment <> 'MACHINERY'
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.MongoSourceName}.customer_mgdoc")
+        .filter(col("c_custkey") % 5 === 0 && col("market.segment") =!= "MACHINERY")
+        .select(col("c_custkey"), col("profile.name").as("name"),
+          col("market.segment").as("segment"),
+          col("profile.balance").as("balance"))
+        .orderBy("c_custkey")
+    },
+
     // SCHEMA DISCOVERY, BigTable: column types GUESSED by scanning
     // sampled cells (bigtable/source.go:193-251) — integer-looking cells
     // discover as bigint (both arms cast). The fixture's composite row

@@ -104,11 +104,17 @@ object WireInference {
 /** ES discovery: `_aliases` + `_mapping` (self-describing — no sampling). */
 object EsDiscovery {
 
-  /** Index names from `GET /_aliases` (the reference's table listing,
-    * elasticsearch/source.go:107-152). */
+  /** Table names from `GET /_aliases` — the reference's exact listing
+    * rule (elasticsearch/source.go:107-152): an index that HAS aliases
+    * lists under its alias names (queries address the alias, like a
+    * versioned-index deployment); an index without aliases lists under
+    * its own name. */
   def listIndices(client: HttpRestClient): Seq[String] =
     EsDsl.M.readTree(client.get("/es/_aliases", Map.empty))
-      .properties().asScala.map(_.getKey).toSeq.sorted
+      .properties().asScala.toSeq.flatMap { e =>
+        val aliases = e.getValue.path("aliases").properties().asScala.toSeq
+        if (aliases.nonEmpty) aliases.map(_.getKey) else Seq(e.getKey)
+      }.distinct.sorted
 
   /** StructType from `GET /{index}/_mapping`: the mapping's `properties`
     * walk recursively — nested objects become real struct columns. */
@@ -401,8 +407,21 @@ object WireSources {
 
   /** LIVE table listing over the protocol's discovery surface — a
     * `SHOW TABLES` against the source reflects the backend's current
-    * state, not a registration snapshot. */
-  def listTables(d: WireSourceDef): Seq[String] = d.protocol match {
+    * state, not a registration snapshot. An optional `tables_to_load`
+    * prop (comma-separated) restricts the namespace to the named
+    * tables — the reference's `Conf.TablesToLoad` filter
+    * (elasticsearch/source.go:134-146). */
+  def listTables(d: WireSourceDef): Seq[String] = {
+    val all = listAll(d)
+    d.props.get("tables_to_load") match {
+      case None => all
+      case Some(keep) =>
+        val set = keep.split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+        all.filter(t => set.contains(t.toLowerCase))
+    }
+  }
+
+  private def listAll(d: WireSourceDef): Seq[String] = d.protocol match {
     case "es" =>
       EsDiscovery.listIndices(new HttpRestClient(d.prop("url"), restCfg(d)))
     case "mongo" => MongoDiscovery.listCollections(mongoSpec(d, ""))
@@ -417,79 +436,57 @@ object WireSources {
   }
 
   /** Discover `table`'s schema off the wire and register its endpoint.
-    * Returns false when the backend doesn't have the table. */
-  def discover(d: WireSourceDef, table: String): Boolean = d.protocol match {
-    case "es" =>
-      val client = new HttpRestClient(d.prop("url"), restCfg(d))
-      if (!EsDiscovery.listIndices(client).contains(table.toLowerCase)) false
-      else {
+    * Returns false when the backend doesn't have the table (or
+    * `tables_to_load` excludes it — a filtered-out table never lazily
+    * registers through resolution either). */
+  def discover(d: WireSourceDef, table: String): Boolean = {
+    if (!listTables(d).exists(_.equalsIgnoreCase(table))) return false
+    d.protocol match {
+      case "es" =>
+        val client = new HttpRestClient(d.prop("url"), restCfg(d))
         EsEndpoints.register(EsEndpoint(d.name, table,
           EsDiscovery.mappingSchema(client, table),
           EsEndpointSpec(d.prop("url"), table, restCfg(d),
             slices = d.intProp("fanout", 1))))
-        true
-      }
-    case "mongo" =>
-      val spec = mongoSpec(d, table)
-      if (!MongoDiscovery.listCollections(spec).contains(table.toLowerCase)) false
-      else {
+      case "mongo" =>
         // no split metadata at runtime registration (a real deployment
         // reads chunk boundaries from the config servers) — fan-out
         // stays available through the node_ct hint once splits exist
+        val spec = mongoSpec(d, table)
         MongoEndpoints.register(MongoEndpoint(d.name, table,
           MongoDiscovery.inferSchema(spec), spec))
-        true
-      }
-    case "cassandra" =>
-      val ks = d.props.getOrElse("keyspace", "graft")
-      val spec = cqlSpec(d, table)
-      if (!CqlDiscovery.listTables(spec, ks).contains(table.toLowerCase)) false
-      else {
+      case "cassandra" =>
+        val ks = d.props.getOrElse("keyspace", "graft")
+        val spec = cqlSpec(d, table)
         val meta = CqlDiscovery.tableMeta(spec, table, ks)
         CqlEndpoints.register(CqlEndpoint(d.name, table, meta.schema,
           meta.partitionKeys, meta.clusteringKeys, spec,
           fanout = d.intProp("fanout", 1)))
-        true
-      }
-    case "bigquery" =>
-      if (!BqDiscovery.listTables(d.prop("url"), restCfg(d))
-        .contains(table.toLowerCase)) false
-      else {
+      case "bigquery" =>
         val spec = BqEndpointSpec(d.prop("url"), table, restCfg(d))
         BqEndpoints.register(BqEndpoint(d.name, table,
           BqDiscovery.tableSchema(spec), spec))
-        true
-      }
-    case "datastore" =>
-      DsDiscovery.listKinds(d.prop("url"), restCfg(d))
-        .find(_._1.equalsIgnoreCase(table)) match {
-        case None => false
-        case Some((kind, keyProp)) =>
-          val spec = DsEndpointSpec(d.prop("url"), kind, restCfg(d))
-          DsEndpoints.register(DsEndpoint(d.name, kind,
-            DsDiscovery.inferSchema(spec), spec,
-            keyCol = Some(keyProp).filter(_.nonEmpty)))
-          true
-      }
-    case "bigtable" =>
-      BtDiscovery.listTables(d.prop("url"), restCfg(d))
-        .find(_._1.equalsIgnoreCase(table)) match {
-        case None => false
-        case Some((name, rowKey)) =>
-          val spec = BtEndpointSpec(d.prop("url"), name, rowKey, restCfg(d))
-          BtEndpoints.register(BtEndpoint(d.name, name,
-            BtDiscovery.inferSchema(spec), rowKey, spec,
-            fanout = d.intProp("fanout", 1)))
-          true
-      }
-    case "kube" =>
-      if (!KubeTables.All.contains(table.toLowerCase)) false
-      else {
+      case "datastore" =>
+        val keyProp = DsDiscovery.listKinds(d.prop("url"), restCfg(d))
+          .find(_._1.equalsIgnoreCase(table)).map(_._2).getOrElse("")
+        val spec = DsEndpointSpec(d.prop("url"), table.toLowerCase, restCfg(d))
+        DsEndpoints.register(DsEndpoint(d.name, table.toLowerCase,
+          DsDiscovery.inferSchema(spec), spec,
+          keyCol = Some(keyProp).filter(_.nonEmpty)))
+      case "bigtable" =>
+        val rowKey = BtDiscovery.listTables(d.prop("url"), restCfg(d))
+          .find(_._1.equalsIgnoreCase(table)).map(_._2)
+          .getOrElse(throw new IllegalStateException(s"listed BT table $table vanished"))
+        val spec = BtEndpointSpec(d.prop("url"), table.toLowerCase, rowKey, restCfg(d))
+        BtEndpoints.register(BtEndpoint(d.name, table.toLowerCase,
+          BtDiscovery.inferSchema(spec), rowKey, spec,
+          fanout = d.intProp("fanout", 1)))
+      case "kube" =>
         KubeEndpoints.register(KubeEndpoint(d.name, table.toLowerCase,
           KubeEndpointSpec(d.prop("url"), table.toLowerCase, restCfg(d))))
-        true
-      }
-    case other => throw new IllegalArgumentException(s"unknown protocol $other")
+      case other => throw new IllegalArgumentException(s"unknown protocol $other")
+    }
+    true
   }
 
   /** Eager composition at CREATE SOURCE: list + discover every table.

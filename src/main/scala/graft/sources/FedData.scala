@@ -388,6 +388,23 @@ object FedData {
           splits = Some(WireSplits("p_partkey",
             quantileSplits(rows.toSeq, part.schema, "p_partkey", 4)))))
       }
+      // NESTED Mongo collection: real collections hold sub-documents;
+      // sampling discovers them as REAL struct columns (BSON runtime
+      // switch recursing into BDoc — where the reference degrades
+      // sub-documents to strings, mgo_source.go:335-360), and the scan
+      // decodes them back into struct rows
+      if (MongoEndpoints.get(MongoSourceName, "customer_mgdoc").isEmpty) {
+        val docs = nestedCustomer(Tables.load(spark, sfDir, "customer"))
+        val rows = docs.collect().map(_.toSeq.toArray)
+        LoopbackMongoServer.register("customer_mgdoc", docs.schema, rows.toSeq)
+        val (host, port) = LoopbackMongoServer.ensureStarted()
+        val spec = MongoEndpointSpec(host, port, LoopbackMongoServer.Db,
+          "customer_mgdoc", MongoClientConfig(batchSize = 512))
+        MongoEndpoints.register(MongoEndpoint(MongoSourceName, "customer_mgdoc",
+          MongoDiscovery.inferSchema(spec), spec,
+          splits = Some(WireSplits("c_custkey",
+            quantileSplits(rows.toSeq, docs.schema, "c_custkey", 4)))))
+      }
       // BigTable table whose column types are GUESSED from sampled cell
       // values (bigtable/source.go:193-251): integer-looking cells
       // discover as bigint — the gate casts both arms accordingly.

@@ -288,6 +288,17 @@ object LoopbackRestServer {
     esIndices.put(name.toLowerCase, true)
   }
 
+  /** ES index ALIASES (alias -> index): served inside `_aliases`, and
+    * `/{alias}/_search` + `/{alias}/_mapping` resolve through them like
+    * a real cluster. */
+  private val esAliases = TrieMap.empty[String, String]
+  def registerEsAlias(alias: String, index: String): Unit = {
+    require(esIndices.contains(index.toLowerCase), s"no such index $index")
+    esAliases.put(alias.toLowerCase, index.toLowerCase)
+  }
+  private def esResolve(name: String): String =
+    esAliases.getOrElse(name.toLowerCase, name.toLowerCase)
+
   /** BigQuery dataset tables (served by the tables.list/tables.get
     * shaped GETs on /bq/): the subset that are BQ tables. */
   private val bqDatasets = TrieMap.empty[String, Boolean]
@@ -476,13 +487,17 @@ object LoopbackRestServer {
     // 107-152,154-255): indices list + per-index mapping document
     if (path == "_aliases") {
       val resp = M.createObjectNode()
-      esIndices.keys.toSeq.sorted.foreach(idx =>
-        resp.putObject(idx).putObject("aliases"))
+      esIndices.keys.toSeq.sorted.foreach { idx =>
+        val aliases = resp.putObject(idx).putObject("aliases")
+        esAliases.toSeq.filter(_._2 == idx).map(_._1).sorted
+          .foreach(aliases.putObject)
+      }
       respond(ex, 200, resp.toString, "application/json")
       return
     }
     if (path.endsWith("/_mapping")) {
-      val name = path.stripSuffix("/_mapping").toLowerCase
+      // aliases resolve; the response keys by the INDEX name (real ES)
+      val name = esResolve(path.stripSuffix("/_mapping"))
       tables.get(name).filter(_ => esIndices.contains(name)) match {
         case None => respond(ex, 404, s"no such index $name")
         case Some(TableData(schema, _)) =>
@@ -494,7 +509,7 @@ object LoopbackRestServer {
       return
     }
     if (!path.endsWith("/_search")) { respond(ex, 400, "only _search is served"); return }
-    val name = path.stripSuffix("/_search").toLowerCase
+    val name = esResolve(path.stripSuffix("/_search"))
     tables.get(name) match {
       case None => respond(ex, 404, s"no such index $name")
       case Some(TableData(schema, rows)) =>

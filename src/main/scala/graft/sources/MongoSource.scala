@@ -197,6 +197,15 @@ object MongoDsl {
     case (t: java.sql.Timestamp, TimestampNTZType) => // BSON datetime is
       // epoch millis; NTZ reads back as the UTC wall clock it was stored as
       java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
+    // sub-documents decode into REAL struct rows by the required struct's
+    // fields (nested-column pruning reads only the asked-for subfields;
+    // the reference degrades sub-documents to strings — SURVEY §1.2's
+    // declared upgrade, same as the ES mapping walk)
+    case (d: BDoc, st: StructType) =>
+      Row.fromSeq(st.fields.toSeq.map(f =>
+        d.get(f.name).map(coerce(_, f.dataType)).orNull))
+    case (s: Seq[_], org.apache.spark.sql.types.ArrayType(et, _)) =>
+      s.map(v => if (v == null) null else coerce(v, et))
     case (other, t) => throw new java.io.IOException(
       s"BSON value ${other.getClass.getSimpleName} does not fit $t")
   }
@@ -442,17 +451,21 @@ object LoopbackMongoServer {
   val lastFind = new AtomicReference[String]("")
 
   def register(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit = {
-    // a real collection holds BSON datetimes (epoch millis) — Spark 4
-    // collects TIMESTAMP_NTZ columns as java.time.LocalDateTime, so
-    // normalize here exactly as a real ingest would (UTC wall clock);
-    // the scan reader coerces back per the declared schema
-    val norm = rows.map(_.map {
+    // a real collection holds BSON values — normalize the collected
+    // Spark externals exactly as a real ingest would: TIMESTAMP_NTZ
+    // LocalDateTimes become BSON datetimes (UTC wall clock), struct Rows
+    // become sub-DOCUMENTS, arrays recurse; the scan reader coerces back
+    // per the (declared or discovered) schema
+    def norm(v: Any): Any = v match {
       case t: java.time.LocalDateTime =>
         java.sql.Timestamp.from(t.toInstant(java.time.ZoneOffset.UTC))
       case i: java.time.Instant => java.sql.Timestamp.from(i)
+      case r: Row =>
+        BDoc(r.schema.fields.toSeq.map(f => f.name -> norm(r.getAs[Any](f.name))))
+      case s: Seq[_] => s.map(norm)
       case v => v
-    })
-    collections.put(name.toLowerCase, new Collection(schema, norm))
+    }
+    collections.put(name.toLowerCase, new Collection(schema, rows.map(_.map(norm))))
   }
 
   /** Start (once); returns (host, port). */
@@ -754,7 +767,15 @@ class MongoScanBuilder(ep: MongoEndpoint, hint: Option[Int] = None) extends Scan
   private var sortDoc: Option[BDoc] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, declined) = filters.partition(f => MongoDsl.compile(f).isDefined)
+    // only TOP-LEVEL fields compile: a nested reference arrives as a
+    // dotted name ("profile.name") which would need Mongo dot-notation
+    // in the filter document AND dotted-path evaluation server-side —
+    // declined (Spark polyfills), like the reference's non-compilable
+    // WHERE arms
+    val top = ep.schema.fieldNames.map(_.toLowerCase).toSet
+    val (ok, declined) = filters.partition(f =>
+      f.references.forall(r => top.contains(r.toLowerCase)) &&
+        MongoDsl.compile(f).isDefined)
     pushed = ok
     declined
   }

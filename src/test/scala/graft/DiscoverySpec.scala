@@ -86,6 +86,24 @@ class DiscoverySpec extends AnyFunSuite {
     intercept[Exception] { EsDiscovery.mappingSchema(client, "no_such_index") }
   }
 
+  test("ES: an aliased index lists under its ALIAS; queries resolve through it") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    LoopbackRestServer.registerEs("disc_idx_v2", schema,
+      (0L until 30L).map(i => Array[Any](i, i * 0.5)))
+    LoopbackRestServer.registerEsAlias("disc_live", "disc_idx_v2")
+    val client = new HttpRestClient(LoopbackRestServer.ensureStarted())
+    val listed = EsDiscovery.listIndices(client)
+    // the reference's rule (source.go:121-132): the alias REPLACES the
+    // index in the listing — a versioned-index deployment addresses the
+    // alias, never the concrete index
+    assert(listed.contains("disc_live"))
+    assert(!listed.contains("disc_idx_v2"))
+    // the mapping resolves through the alias (response keys by index)
+    val s = EsDiscovery.mappingSchema(client, "disc_live")
+    assert(s("id").dataType == LongType && s("v").dataType == DoubleType)
+  }
+
   test("ES: a freshly-created empty index is skippable (not fatal) at eager discovery") {
     LoopbackRestServer.registerEs("disc_es_empty", StructType(Seq.empty), Seq.empty)
     val client = new HttpRestClient(LoopbackRestServer.ensureStarted())

@@ -303,6 +303,25 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(SourceRegistry.get("k8s_bad").isEmpty)
   }
 
+  test("CREATE SOURCE tables_to_load restricts the namespace (Conf.TablesToLoad)") {
+    import org.apache.spark.sql.types._
+    import graft.sources._
+    val schema = StructType(Seq(StructField("id", LongType)))
+    LoopbackRestServer.registerEs("cs_ttl_a", schema, Seq(Array[Any](1L)))
+    LoopbackRestServer.registerEs("cs_ttl_b", schema, Seq(Array[Any](2L)))
+    val url = LoopbackRestServer.ensureStarted()
+    engine.sql(s"""CREATE SOURCE es_ttl WITH {"protocol": "es", "url": "$url",
+      "tables_to_load": "cs_ttl_a"}""")
+    val listed = engine.sql(s"SHOW TABLES IN ${SourceRegistry.CatalogName}.es_ttl")
+      .collect().map(_.getString(1)).toSet
+    assert(listed.contains("cs_ttl_a") && !listed.contains("cs_ttl_b"))
+    // the filter also blocks LAZY registration through resolution
+    intercept[Exception](
+      spark.table(s"${SourceRegistry.CatalogName}.es_ttl.cs_ttl_b").collect())
+    assert(EsEndpoints.get("es_ttl", "cs_ttl_b").isEmpty)
+    engine.sql("DROP SOURCE es_ttl")
+  }
+
   test("re-registering an existing source with a broken definition restores it") {
     import org.apache.spark.sql.types._
     import graft.sources._

@@ -76,6 +76,50 @@ class MongoSourceSpec extends AnyFunSuite {
     (s"${SourceRegistry.CatalogName}.mongotest.$name", withNulls)
   }
 
+  test("nested sub-documents: struct decode, sampled discovery, nested-ref filters decline") {
+    val nested = StructType(Seq(
+      StructField("id", LongType),
+      StructField("profile", StructType(Seq(
+        StructField("name", StringType), StructField("bal", DoubleType)))),
+      StructField("tags", ArrayType(StringType))))
+    val profileSchema = nested.fields(1).dataType.asInstanceOf[StructType]
+    val nrows: Seq[Array[Any]] = (0L until 60L).map { i =>
+      Array[Any](i,
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](s"n$i", i * 1.5), profileSchema),
+        Seq(s"t${i % 3}", "all"))
+    }
+    LoopbackMongoServer.register("nested_docs", nested, nrows)
+    val (host, port) = LoopbackMongoServer.ensureStarted()
+    val spec = MongoEndpointSpec(host, port, LoopbackMongoServer.Db,
+      "nested_docs", MongoClientConfig(batchSize = 16, retryBackoffMs = 5))
+    // discovery recurses BDoc values into struct columns, arrays widen
+    val disc = MongoDiscovery.inferSchema(spec)
+    assert(disc("profile").dataType.asInstanceOf[StructType]("bal").dataType == DoubleType)
+    assert(disc("tags").dataType == ArrayType(StringType, containsNull = true))
+    MongoEndpoints.register(MongoEndpoint("mongotest", "nested_docs", disc, spec))
+    if (SourceRegistry.get("mongotest").isEmpty)
+      SourceRegistry.register(SourceDef("mongotest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/mongotest").getPath,
+        "json", "mongo"))
+    SourceRegistry.ensureCatalog(spark)
+    val t = s"${SourceRegistry.CatalogName}.mongotest.nested_docs"
+    // a top-level filter pushes; the nested reference declines (the
+    // filter document must not mention the dotted path) and polyfills
+    val df = spark.table(t)
+      .filter(col("id") < 30 && col("profile.name") === "n7")
+      .select(col("id"), col("profile.bal").as("bal"), col("tags"))
+    val got = df.collect()
+    assert(got.length == 1 && got(0).getLong(0) == 7L && got(0).getDouble(1) == 10.5)
+    assert(got(0).getSeq[String](2) == Seq("t1", "all"))
+    // the projection legitimately names the top-level "profile" field;
+    // the dotted path must never appear in the shipped filter document
+    assert(!LoopbackMongoServer.lastFind.get().contains("profile.name"),
+      "nested reference must not ride the wire filter")
+    assert(LoopbackMongoServer.lastFind.get().contains("$lt"),
+      "top-level predicate still pushes")
+  }
+
   // ---- BSON codec -------------------------------------------------------
 
   test("BSON documents round-trip every carried type") {
