@@ -42,6 +42,22 @@ object CqlWire {
     val Timestamp = 0x000B
     val Varchar = 0x000D
     val Smallint = 0x0013
+    // collection option ids (native protocol v3+): the metadata option
+    // carries the element type option(s) after the id
+    val List = 0x0020
+    val Map = 0x0021
+    val Set = 0x0022
+
+    /** Collection types ride as PACKED ints internally (the wire writes
+      * the real [option][element option...] sequence): base id in the
+      * high half, scalar element id(s) in the low bytes — matching the
+      * reference's scalar-element coverage (cassandra/source.go:202-255
+      * handles set<text>/set<int>/map<_, scalar>). */
+    def listOf(elem: Int): Int = (List << 16) | elem
+    def setOf(elem: Int): Int = (Set << 16) | elem
+    def mapOf(k: Int, v: Int): Int = (Map << 16) | (k << 8) | v
+    def baseOf(tid: Int): Int = tid >>> 16
+    def isCollection(tid: Int): Boolean = baseOf(tid) != 0
   }
 
   final case class Frame(opcode: Int, stream: Int, body: Array[Byte])
@@ -140,9 +156,40 @@ object CqlWire {
           require(t.getNanos % 1000000 == 0, s"sub-millisecond timestamp not CQL-exact: $t")
           ByteBuffer.allocate(8).putLong(t.getTime)
         case T.Varchar => return v.toString.getBytes(UTF_8)
+        // collection payloads (v3+): [int32 n] then each element as
+        // [bytes] (int32 length + payload); maps interleave key, value
+        case tid if T.baseOf(tid) == T.List || T.baseOf(tid) == T.Set =>
+          val elem = tid & 0xFFFF
+          // collected Spark arrays are mutable.ArraySeq — accept any Seq
+          val items = v.asInstanceOf[scala.collection.Seq[_]]
+          val parts = items.map(x => encodeValue(x, elem))
+          val out = ByteBuffer.allocate(4 + parts.map(p =>
+            4 + (if (p == null) 0 else p.length)).sum)
+          out.putInt(items.size)
+          parts.foreach { p =>
+            if (p == null) out.putInt(-1)
+            else { out.putInt(p.length); out.put(p) }
+          }
+          out
+        case tid if T.baseOf(tid) == T.Map =>
+          val (kt, vt) = ((tid >> 8) & 0xFF, tid & 0xFF)
+          val m = v.asInstanceOf[scala.collection.Map[_, _]].toSeq
+          val parts = m.flatMap { case (k, x) =>
+            Seq(encodeValue(k, kt), encodeValue(x, vt))
+          }
+          val out = ByteBuffer.allocate(4 + parts.map(p =>
+            4 + (if (p == null) 0 else p.length)).sum)
+          out.putInt(m.size)
+          parts.foreach { p =>
+            if (p == null) out.putInt(-1)
+            else { out.putInt(p.length); out.put(p) }
+          }
+          out
         case other => throw new IllegalArgumentException(f"unsupported CQL type 0x$other%04x")
       }
-      b.array()
+      val arr = new Array[Byte](b.position())
+      b.flip(); b.get(arr)
+      arr
   }
 
   /** Decode one CQL [bytes] payload to an external-typed value. */
@@ -158,6 +205,23 @@ object CqlWire {
       case T.Boolean => (buf.get() != 0): java.lang.Boolean
       case T.Timestamp => new java.sql.Timestamp(buf.getLong)
       case T.Varchar => new String(b, UTF_8)
+      case tid if T.baseOf(tid) == T.List || T.baseOf(tid) == T.Set =>
+        val elem = tid & 0xFFFF
+        val n = buf.getInt
+        (0 until n).map { _ =>
+          val len = buf.getInt
+          if (len < 0) null
+          else { val e = new Array[Byte](len); buf.get(e); decodeValue(e, elem) }
+        }
+      case tid if T.baseOf(tid) == T.Map =>
+        val (kt, vt) = ((tid >> 8) & 0xFF, tid & 0xFF)
+        val n = buf.getInt
+        def one(t: Int): Any = {
+          val len = buf.getInt
+          if (len < 0) null
+          else { val e = new Array[Byte](len); buf.get(e); decodeValue(e, t) }
+        }
+        (0 until n).map(_ => (one(kt), one(vt))).toMap
       case other => throw new IOException(f"unsupported CQL type 0x$other%04x")
     }
   }
@@ -203,7 +267,17 @@ object CqlWire {
     b.putInt(cols.size)
     if (morePagesState != null) b.putBytes(morePagesState)
     b.putString(keyspace).putString(table)
-    cols.foreach { case (name, tid) => b.putString(name); b.putShort(tid) }
+    cols.foreach { case (name, tid) =>
+      b.putString(name)
+      // collection options carry their element type option(s) after the
+      // id — the REAL v4 metadata shape; scalar elements only
+      T.baseOf(tid) match {
+        case 0 => b.putShort(tid)
+        case T.Map =>
+          b.putShort(T.Map); b.putShort((tid >> 8) & 0xFF); b.putShort(tid & 0xFF)
+        case base => b.putShort(base); b.putShort(tid & 0xFFFF)
+      }
+    }
     b.putInt(rows.size)
     rows.foreach(_.foreach(b.putBytes))
     b.bytes
@@ -225,7 +299,13 @@ object CqlWire {
       val name = in.getString
       val tid = in.getShort
       require(tid != 0x0000, "custom types not supported")
-      (name, tid)
+      val full = tid match {
+        case T.List => T.listOf(in.getShort)
+        case T.Set => T.setOf(in.getShort)
+        case T.Map => T.mapOf(in.getShort, in.getShort)
+        case prim => prim
+      }
+      (name, full)
     }
     val nRows = in.getInt
     val rows = (0 until nRows).map(_ => Array.fill(nCols)(in.getBytes))

@@ -432,6 +432,28 @@ object Federation {
         .orderBy("p_partkey")
     },
 
+    // CQL COLLECTION columns: list<text> and map<text,bigint> cells ride
+    // the real native-protocol v4 collection payloads, and their types
+    // DISCOVER from system_schema's "list<text>" type names (the
+    // reference's gocql.TableMetadata set/map arms, cassandra/
+    // source.go:202-255). The partition-key predicate still compiles
+    // server-side; the gate flattens the collections for the oracle.
+    GQuery(
+      "q_src_cql_collections",
+      """SELECT c_custkey,
+        |       c_mktsegment || '|' || substr(c_name, 1, 8) AS tags_s,
+        |       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.CqlSourceName}.customer_tags_cql")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"),
+          array_join(col("tags"), "|").as("tags_s"),
+          element_at(col("props"), "bal_cents").as("bal_cents"))
+        .orderBy("c_custkey")
+    },
+
     // SCHEMA DISCOVERY, Mongo NESTED: a collection of sub-documents,
     // types discovered by sampling (BDoc values recurse into REAL
     // struct columns where the reference degrades them to strings,

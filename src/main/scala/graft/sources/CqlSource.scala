@@ -133,6 +133,12 @@ object CqlGen {
     case BooleanType => T.Boolean
     case TimestampType => T.Timestamp
     case StringType => T.Varchar
+    // scalar-element collections (the reference's coverage,
+    // cassandra/source.go:202-255): Spark arrays ride as CQL lists
+    // (both ordered), maps as maps
+    case org.apache.spark.sql.types.ArrayType(et, _) => T.listOf(typeId(et))
+    case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+      T.mapOf(typeId(kt), typeId(vt))
     case other => throw new IllegalArgumentException(s"no CQL type for $other")
   }
 }
@@ -484,6 +490,9 @@ object LoopbackCqlServer {
     case FloatType => "float"
     case BooleanType => "boolean"
     case TimestampType => "timestamp"
+    case org.apache.spark.sql.types.ArrayType(et, _) => s"list<${cqlTypeName(et)}>"
+    case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+      s"map<${cqlTypeName(kt)}, ${cqlTypeName(vt)}>"
     case _ => "text"
   }
 

@@ -185,8 +185,8 @@ object MongoDiscovery {
         case t => t
       }, nullable = true)
     })
-    case s: Seq[_] =>
-      val el = s.map(bsonType).foldLeft(NullType: DataType)(WireInference.widen)
+    case s: scala.collection.Seq[_] =>
+      val el = s.toSeq.map(bsonType).foldLeft(NullType: DataType)(WireInference.widen)
       ArrayType(if (el == NullType) StringType else el, containsNull = true)
     case _ => StringType
   }
@@ -222,6 +222,9 @@ object CqlDiscovery {
     finally client.close()
   }
 
+  private val ListRx = """(?i)\s*(?:list|set)\s*<\s*([^>]+)\s*>\s*""".r
+  private val MapRx = """(?i)\s*map\s*<\s*([^,>]+)\s*,\s*([^>]+)\s*>\s*""".r
+
   private def sparkType(cql: String): DataType = cql match {
     case "bigint" => LongType
     case "int" => IntegerType
@@ -230,6 +233,11 @@ object CqlDiscovery {
     case "float" => FloatType
     case "boolean" => BooleanType
     case "timestamp" => TimestampType
+    // collection types rebuild like the reference's TableMetadata arms
+    // (cassandra/source.go:202-255): list/set<x> -> array, map -> map
+    case ListRx(et) => ArrayType(sparkType(et.trim), containsNull = true)
+    case MapRx(kt, vt) =>
+      MapType(sparkType(kt.trim), sparkType(vt.trim), valueContainsNull = true)
     case _ => StringType // text / varchar / anything unmapped
   }
 

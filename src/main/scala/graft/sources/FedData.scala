@@ -236,6 +236,28 @@ object FedData {
           // unrestricted scans fan out over 4 token ranges
           fanout = 4))
       }
+      // CQL table with COLLECTION columns (list<text>, map<text,bigint>
+      // — the reference's TableMetadata set/map arms, cassandra/
+      // source.go:202-255): types discover from system_schema's
+      // "list<text>" names, cells ride the real v4 collection payloads
+      if (CqlEndpoints.get(CqlSourceName, "customer_tags_cql").isEmpty) {
+        val customer = Tables.load(spark, sfDir, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"),
+            array(col("c_mktsegment"), substring(col("c_name"), 1, 8)).as("tags"),
+            map(lit("bal_cents"),
+              round(col("c_acctbal") * 100).cast("long")).as("props"))
+        val rows = customer.collect().map(_.toSeq.toArray)
+        LoopbackCqlServer.register("customer_tags_cql", customer.schema,
+          partitionKeys = Seq("c_mktsegment"), clusteringKeys = Seq("c_custkey"),
+          rows = rows.toSeq)
+        val (host, port) = LoopbackCqlServer.ensureStarted()
+        val spec = CqlEndpointSpec(host, port, "customer_tags_cql",
+          CqlClientConfig(pageSize = 512))
+        val meta = CqlDiscovery.tableMeta(spec, "customer_tags_cql")
+        CqlEndpoints.register(CqlEndpoint(CqlSourceName, "customer_tags_cql",
+          meta.schema, meta.partitionKeys, meta.clusteringKeys, spec,
+          fanout = 4))
+      }
       // BigQuery-protocol source: full-statement passthrough over the
       // jobs.query REST shape — the pushed plan renders to SQL text,
       // the loopback warehouse parses + executes it (sql_to_bq.go:72-104

@@ -462,7 +462,8 @@ object LoopbackMongoServer {
       case i: java.time.Instant => java.sql.Timestamp.from(i)
       case r: Row =>
         BDoc(r.schema.fields.toSeq.map(f => f.name -> norm(r.getAs[Any](f.name))))
-      case s: Seq[_] => s.map(norm)
+      // collected Spark arrays are mutable.ArraySeq, not immutable.Seq
+      case s: scala.collection.Seq[_] => s.toSeq.map(norm)
       case v => v
     }
     collections.put(name.toLowerCase, new Collection(schema, rows.map(_.map(norm))))

@@ -57,6 +57,57 @@ class CqlSourceSpec extends AnyFunSuite {
     s"${SourceRegistry.CatalogName}.cqltest.$name"
   }
 
+  test("collection codecs: list/set/map payloads round-trip the v4 wire shape") {
+    import graft.protocol.CqlWire
+    import graft.protocol.CqlWire.T
+    val lst = Seq("a", "b", null, "c")
+    val decL = CqlWire.decodeValue(
+      CqlWire.encodeValue(lst, T.listOf(T.Varchar)), T.listOf(T.Varchar))
+    assert(decL == lst)
+    val st = Seq(1L, 5L, 9L)
+    assert(CqlWire.decodeValue(
+      CqlWire.encodeValue(st, T.setOf(T.Bigint)), T.setOf(T.Bigint)) == st)
+    val mp = Map("x" -> 7L, "y" -> 9L)
+    assert(CqlWire.decodeValue(
+      CqlWire.encodeValue(mp, T.mapOf(T.Varchar, T.Bigint)),
+      T.mapOf(T.Varchar, T.Bigint)) == mp)
+  }
+
+  test("collection columns: discovery types from system_schema, scan round-trips") {
+    val cschema = StructType(Seq(
+      StructField("seg", StringType), StructField("id", LongType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("props", MapType(StringType, LongType))))
+    val crows: Seq[Array[Any]] = (0L until 90L).map { i =>
+      Array[Any](if (i % 2 == 0) "A" else "B", i,
+        Seq(s"t${i % 3}", "all"), Map("n" -> i * 10))
+    }
+    LoopbackCqlServer.register("coll_cql", cschema, Seq("seg"), Seq("id"), crows)
+    val (host, port) = LoopbackCqlServer.ensureStarted()
+    val spec = CqlEndpointSpec(host, port, "coll_cql",
+      CqlClientConfig(pageSize = 32, retryBackoffMs = 5))
+    // discovery parses "list<text>" / "map<text, bigint>" names
+    val meta = CqlDiscovery.tableMeta(spec, "coll_cql")
+    assert(meta.schema("tags").dataType ==
+      ArrayType(StringType, containsNull = true))
+    assert(meta.schema("props").dataType ==
+      MapType(StringType, LongType, valueContainsNull = true))
+    CqlEndpoints.register(CqlEndpoint("cqltest", "coll_cql", meta.schema,
+      meta.partitionKeys, meta.clusteringKeys, spec))
+    if (SourceRegistry.get("cqltest").isEmpty)
+      SourceRegistry.register(SourceDef("cqltest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/cqltest").getPath,
+        "json", "cql"))
+    SourceRegistry.ensureCatalog(spark)
+    val df = spark.table(s"${SourceRegistry.CatalogName}.cqltest.coll_cql")
+      .filter(col("seg") === "A" && col("id") < 10)
+      .select(col("id"), col("tags"), element_at(col("props"), "n").as("n"))
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getSeq[String](1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == (0L until 10L).filter(_ % 2 == 0).map(i =>
+      (i, Seq(s"t${i % 3}", "all"), i * 10)))
+  }
+
   // ---- wire codecs ------------------------------------------------------
 
   test("CQL values round-trip every carried type") {
