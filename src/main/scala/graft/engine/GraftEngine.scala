@@ -225,6 +225,14 @@ class GraftEngine(val spark: SparkSession) {
         .map(s => (s.name, s.path, s.format))
         .toDF("Source", "Location", "Format")
 
+    // MySQL clients enumerate databases on connect; the reference's
+    // proxy answers its registered source schemas. One `Database`
+    // column, MySQL's exact result shape.
+    case ShowDatabases() =>
+      import spark.implicits._
+      ("default" +: graft.sources.SourceRegistry.all.map(_.name))
+        .distinct.sorted.toDF("Database")
+
     // UPDATE on a connector table: read-modify-write rewrite (reference:
     // datastore read-modify-write UPDATE, backends/datastore/
     // datastore_test.go:398-486). The updated frame is staged into a
@@ -699,6 +707,7 @@ object GraftEngine {
   private[engine] val CreateSource = """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?SOURCE\s+(\w+)\s+WITH\s+(\{.*\})\s*;?\s*""".r
   private[engine] val DropSource = """(?is)\s*DROP\s+SOURCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private[engine] val ShowSources = """(?is)\s*SHOW\s+SOURCES\s*;?\s*""".r
+  private[engine] val ShowDatabases = """(?is)\s*SHOW\s+(?:DATABASES|SCHEMAS)\s*;?\s*""".r
   private[engine] val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+TABLE\s+([\w.`]+)(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""".r
   private[engine] val UpdateStmt = """(?is)\s*UPDATE\s+([\w.`]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
@@ -726,7 +735,7 @@ object GraftEngine {
     case SetVar(_, _) | TxnNoop(_) | ShowVars(_) | ShowCreate(_) |
          PrepareStmt(_, _) | ExecuteStmt(_, _) | DeallocStmt(_) |
          CreateSource(_, _) | DropSource(_) | ShowSources() |
-         ExplainTbl(_) => true
+         ShowDatabases() | ExplainTbl(_) => true
     case OptimizeStmt(t, _) => t.replace("`", "").startsWith("graft.")
     case UpdateStmt(t, _, _) => t.replace("`", "").startsWith("graft.")
     case UpsertStmt(t, _, _) => t.replace("`", "").startsWith("graft.")

@@ -137,6 +137,13 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(ddl.contains("`l_linenumber` int(11)"))
   }
 
+  test("SHOW DATABASES lists registered sources (the proxy's connect-time shape)") {
+    val dbs = engine.sql("SHOW DATABASES").collect().map(_.getString(0))
+    assert(dbs.contains("default"))
+    assert(dbs.sorted.toSeq == dbs.toSeq, "MySQL returns databases sorted")
+    assert(engine.sql("SHOW SCHEMAS").columns.toSeq == Seq("Database"))
+  }
+
   test("SHOW TABLES / DESCRIBE work natively") {
     val tables = engine.sql("SHOW TABLES").collect().map(_.getString(1)).toSet
     assert(Tables.all.toSet.subsetOf(tables))
