@@ -132,6 +132,41 @@ object Curation {
 
   val queries: Seq[GQuery] = Seq(
 
+    // Deterministic epoch shuffle: the global-shuffle step every training
+    // run needs — a seeded, reproducible permutation of the corpus into
+    // ordered shards. shard = first hex digit of md5("epoch<seed>:" ||
+    // doc_id) (16 shards here), position = the doc's rank within its
+    // shard by (hash, doc_id). Re-running with the same seed reproduces
+    // the exact order on any cluster size; bumping the seed is a fresh
+    // epoch permutation with zero state carried over.
+    //
+    // Scale: shard assignment is a pure codegen'd projection (no
+    // shuffle); the within-shard rank is a window PARTITIONED BY shard —
+    // 16 parallel sorts here, and at 100 TB you take 4 hex digits (65 536
+    // shards) so every partition stays executor-sized. No global
+    // single-task window anywhere.
+    GQuery(
+      "q_curation_epoch_shuffle",
+      """WITH h AS (
+        |  SELECT doc_id, md5('epoch7:' || doc_id) AS hash
+        |  FROM documents)
+        |SELECT doc_id, substr(hash, 1, 1) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY substr(hash, 1, 1)
+        |                               ORDER BY hash, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin) { (s, d) =>
+      val hash = md5(concat(lit("epoch7:"), col("doc_id").cast("string"))
+        .cast("binary"))
+      docs(s, d)
+        .select(col("doc_id"), hash.as("hash"))
+        .withColumn("shard", substring(col("hash"), 1, 1))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("shard").orderBy(col("hash"), col("doc_id")))
+          .cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    },
+
     // Pattern-scrub redaction: per-family hit counts + the scrubbed text's
     // length and hash (value-checking the rewrite itself, not just counts).
     GQuery(

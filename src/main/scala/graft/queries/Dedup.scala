@@ -362,6 +362,76 @@ object Dedup {
 
   val queries: Seq[GQuery] = Seq(
 
+    // URL canonicalization + keep-best dedup — the FIRST dedup stage of a
+    // web-crawl pipeline (upstream of any content hashing): messy crawl
+    // URLs (scheme case, www., trailing slash, tracking params in any
+    // order, fragments) are parsed and normalized to a canonical key, and
+    // per key the highest-n_chars document survives (ties -> lowest
+    // doc_id). The fixture builds each doc's messy URL deterministically
+    // from (source, doc_id) so the ORACLE can derive the canonical form
+    // INDEPENDENTLY from the parts — the Spark side must recover it by
+    // actually parsing the assembled string (parse_url HOST/PATH/QUERY,
+    // all codegen'd builtins).
+    //
+    // Scale: one parse/normalize projection (no shuffle) + one shuffle on
+    // the canonical key; the keep-best argmax is a per-key window — the
+    // same single-exchange layout as exact dedup. No pair enumeration.
+    GQuery(
+      "q_dedup_url",
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |         source || '.example.com/docs/' || (doc_id % 60) ||
+        |         CASE WHEN doc_id % 4 = 0 THEN ''
+        |              ELSE '?id=' || (doc_id % 60) END AS canonical_url
+        |  FROM documents)
+        |SELECT canonical_url, kept_doc, kept_chars, n_dups FROM (
+        |  SELECT canonical_url, doc_id AS kept_doc, n_chars AS kept_chars,
+        |         CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_dups,
+        |         row_number() OVER (PARTITION BY canonical_url
+        |                            ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM u) WHERE rn = 1
+        |ORDER BY canonical_url""".stripMargin) { (s, d) =>
+      val pid = (col("doc_id") % 60).cast("string")
+      // the messy crawl URL: scheme/www/slash/fragment variants and
+      // tracking params keyed off doc_id residues — every parse arm of
+      // the canonicalizer is exercised across the corpus
+      val messy = concat(
+        element_at(typedLit(Seq("http", "https", "HTTPS")),
+          (col("doc_id") % 3).cast("int") + 1),
+        lit("://"),
+        when(col("doc_id") % 2 === 0, "www.").otherwise(""),
+        col("source"), lit(".Example.COM/docs/"), pid,
+        when(col("doc_id") % 5 === 0, "/").otherwise(""),
+        element_at(typedLit(Seq("", "?id=", "?utm_source=feed&id=",
+          "?id=PID&utm_campaign=x&ref=tw")),
+          (col("doc_id") % 4).cast("int") + 1),
+        when(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2, pid).otherwise(""),
+        when(col("doc_id") % 7 === 0, "#section-2").otherwise(""))
+      // (the PID placeholder in arm 3 is substituted below — element_at
+      // over a const array keeps the arm table readable)
+      val url = regexp_replace(messy, lit("PID"), pid)
+      // the canonicalizer under test: lowercase host, strip www., strip
+      // the trailing slash, drop tracking params, sort what remains
+      val host = regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
+      val path = regexp_replace(parse_url(url, lit("PATH")), "/$", "")
+      val kept = array_join(array_sort(filter(
+        split(coalesce(parse_url(url, lit("QUERY")), lit("")), "&"),
+        p => p =!= "" && !p.startsWith("utm_") && !p.startsWith("ref=") &&
+          !p.startsWith("fbclid") && !p.startsWith("gclid"))), "&")
+      val canon = concat(host, path,
+        when(kept === "", "").otherwise(concat(lit("?"), kept)))
+      val w = Window.partitionBy("canonical_url")
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), canon.as("canonical_url"))
+        .withColumn("n_dups", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("n_chars").desc, col("doc_id"))))
+        .where(col("rn") === 1)
+        .select(col("canonical_url"), col("doc_id").as("kept_doc"),
+          col("n_chars").as("kept_chars"), col("n_dups"))
+        .orderBy("canonical_url")
+    },
+
     GQuery(
       "q_dedup_exact",
       """SELECT md5(text) AS text_md5, count(*) AS n_docs,

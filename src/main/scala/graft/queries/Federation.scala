@@ -348,6 +348,26 @@ object Federation {
         .orderBy("c_mktsegment")
     },
 
+    // ES DEEP pagination: a near-full-table hit scan over the orders
+    // fixture rides point-in-time + search_after (the documented deep-
+    // paging API; sliced 4-way, dozens of continuation requests per
+    // slice at sf0.1) — the regime where plain from/size paging would
+    // hit a real cluster's max_result_window cap (10 000 default) and a
+    // retried scroll continuation would skip a page. The PIT cursor is
+    // client-held, so continuations retry losslessly (EsHttpSpec proves
+    // the fault arm); values oracle exactly against the parquet truth.
+    GQuery(
+      "q_src_es_deep_page",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_totalprice > 1000.0
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.EsSourceName}.orders_es")
+        .filter(col("o_totalprice") > 1000.0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // ES cardinality pushdown (reference: sqltoes.go:599-611 maps the
     // dialect's EXPLICITLY-APPROXIMATE cardinality() function — never
     // exact COUNT(DISTINCT) — to the ES cardinality agg): under the

@@ -262,6 +262,63 @@ object TextAnalysis {
 
   val queries: Seq[GQuery] = Seq(
 
+    // Gopher-style RULE-BASED quality filter: where q_text_quality emits a
+    // composite score, this emits the per-rule boolean verdicts — the
+    // explainable-filtering shape real curation pipelines keep (every
+    // dropped doc records WHICH rule rejected it, so thresholds can be
+    // audited and tuned per corpus). Rules (the Gopher repetition/length
+    // family, integer-exact so both engines agree bit-for-bit):
+    //   words:    20 <= n_tokens <= 100000
+    //   wordlen:  mean token length in [3, 10]  (3n <= sum_len <= 10n)
+    //   stop:     >= 2 stopword occurrences (the EN profile)
+    //   distinct: distinct-token ratio >= 0.3  (10*n_distinct >= 3*n)
+    // Scale: one codegen'd projection, no shuffle but the presentation
+    // sort — the same one-pass layout as the other text operators.
+    GQuery(
+      "q_text_gopher_rules",
+      s"""WITH
+         |${OracleFragments.tok},
+         |st AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+         |         CAST(len(list_filter(toks,
+         |           x -> list_contains(${profileSql(Profiles(1)._2)}, x))) AS BIGINT) AS n_stop,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+         |  FROM tok)
+         |SELECT doc_id, n_tokens, sum_len, n_stop, n_distinct,
+         |       n_tokens BETWEEN 20 AND 100000 AS flag_words,
+         |       3*n_tokens <= sum_len AND sum_len <= 10*n_tokens AS flag_wordlen,
+         |       n_stop >= 2 AS flag_stop,
+         |       10*n_distinct >= 3*n_tokens AS flag_distinct,
+         |       (n_tokens BETWEEN 20 AND 100000)
+         |         AND 3*n_tokens <= sum_len AND sum_len <= 10*n_tokens
+         |         AND n_stop >= 2 AND 10*n_distinct >= 3*n_tokens AS passes
+         |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val en = typedLit(Profiles(1)._2)
+      docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          aggregate(transform(col("toks"), t => length(t)), lit(0),
+            (acc, x) => acc + x).cast("long").as("sum_len"),
+          size(filter(col("toks"), t => array_contains(en, t)))
+            .cast("long").as("n_stop"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+        .withColumn("flag_words",
+          col("n_tokens") >= 20 && col("n_tokens") <= 100000L)
+        .withColumn("flag_wordlen",
+          lit(3) * col("n_tokens") <= col("sum_len") &&
+            col("sum_len") <= lit(10) * col("n_tokens"))
+        .withColumn("flag_stop", col("n_stop") >= 2)
+        .withColumn("flag_distinct",
+          lit(10) * col("n_distinct") >= lit(3) * col("n_tokens"))
+        .withColumn("passes",
+          col("flag_words") && col("flag_wordlen") &&
+            col("flag_stop") && col("flag_distinct"))
+        .orderBy("doc_id")
+    },
+
     // BPE tokenizer training (byte-pair encoding merges): the canonical
     // subword-vocabulary trainer, run as a real distributed pipeline.
     //   - ONE corpus pass builds the weighted word vocabulary (clean

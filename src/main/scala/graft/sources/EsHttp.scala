@@ -223,12 +223,22 @@ object EsDsl {
 }
 
 /** Serializable ES endpoint pointer (executor JVMs rebuild the client).
-  * `slices` = default scan fan-out via ES's sliced-scroll parallel-read
-  * API (each task ships `"slice": {id, max}` with its requests).
+  * `slices` = default scan fan-out via ES's sliced parallel-read API
+  * (each task ships `"slice": {id, max}` with its requests).
   * `cardinalityThreshold` = the precision_threshold shipped with pushed
-  * cardinality aggregations (ES caps it at 40000). */
+  * cardinality aggregations (ES caps it at 40000).
+  * `paging` picks the hit-scan mechanism:
+  *   - `"pit"` (default): point-in-time + `search_after` — the documented
+  *     deep-pagination API. Stateless continuations (the sort cursor is
+  *     client-held), so a lost-response RETRY re-reads the same page —
+  *     safe where a scroll retry would skip one — and `from`'s
+  *     max_result_window cap (10 000 by default on a real cluster) never
+  *     applies. Slicing works the same as in a scroll context.
+  *   - `"scroll"`: the legacy sliced-scroll path (server-held cursor;
+  *     continuations must not retry) with from/size for single-stream
+  *     reads — kept for pre-PIT clusters (< ES 7.10). */
 final case class EsEndpointSpec(baseUrl: String, table: String, cfg: HttpRestConfig,
-    slices: Int = 1, cardinalityThreshold: Int = 40000)
+    slices: Int = 1, cardinalityThreshold: Int = 40000, paging: String = "pit")
 
 final case class EsEndpoint(source: String, table: String, schema: StructType,
     spec: EsEndpointSpec)
@@ -519,7 +529,72 @@ class EsReaderFactory extends PartitionReaderFactory {
         var done = false
         var yielded = 0L
         val pages: Iterator[Iterator[String]] =
-          if (p.sliceMax > 1) new Iterator[Iterator[String]] {
+          if (p.spec.paging == "pit") new Iterator[Iterator[String]] {
+            // point-in-time + search_after (the default): open a PIT —
+            // an immutable index snapshot — and page by the _shard_doc
+            // sort cursor. The server holds NO paging state, so every
+            // request here may ride the RETRYING exchange: a retried
+            // continuation names the same cursor and re-reads the same
+            // page (the scroll arm below must fail loudly instead).
+            // Slices are legal in a PIT context, so one mechanism serves
+            // both fanned-out and single-stream reads.
+            private var pitId: Option[String] = None
+            private var lastSort: Option[Long] = None
+            private def closePit(): Unit = pitId.foreach { id =>
+              try client.deleteJson("/es/_pit", s"""{"id":"$id"}""")
+              catch { case _: Exception => () } // best-effort; keep_alive expires it
+              pitId = None
+            }
+            override def hasNext: Boolean = {
+              val more = !done && (p.limit < 0 || yielded < p.limit)
+              if (!more) closePit()
+              more
+            }
+            override def next(): Iterator[String] = {
+              val id = pitId.getOrElse {
+                // a retried open can leak one server context at most —
+                // keep_alive bounds its lifetime, so opens retry freely
+                val opened = EsDsl.M.readTree(client.postJson(
+                  s"/es/${p.spec.table}/_pit", "",
+                  Map("keep_alive" -> "1m"))).path("id").asText()
+                pitId = Some(opened)
+                opened
+              }
+              val want = if (p.limit > 0) math.min(pageSize.toLong, p.limit - yielded)
+                else pageSize.toLong
+              val body = EsDsl.M.readTree(p.dslBody).asInstanceOf[ObjectNode]
+              body.put("size", want)
+              val pitNode = body.putObject("pit")
+              pitNode.put("id", id)
+              pitNode.put("keep_alive", "1m")
+              // _shard_doc: the PIT-scoped stable unique doc order — the
+              // cheapest sort a cluster can serve and the documented
+              // search_after cursor for full scans
+              body.putArray("sort").addObject().put("_shard_doc", "asc")
+              if (p.sliceMax > 1) {
+                val sl = body.putObject("slice")
+                sl.put("id", p.sliceId)
+                sl.put("max", p.sliceMax)
+              }
+              lastSort.foreach(s => body.putArray("search_after").add(s))
+              // PIT searches go to the INDEX-LESS /_search (the PIT id
+              // already pins the index — real ES refuses a path index)
+              val resp = EsDsl.M.readTree(client.postJson("/es/_search", body.toString))
+              val hits = resp.path("hits").path("hits").elements().asScala.toArray
+              hits.lastOption.foreach(h => lastSort = Some(h.path("sort").get(0).asLong()))
+              var srcs = hits.map(h => h.path("_source").toString)
+              // unlike a scroll batch, a coordinated search returns
+              // min(size, remaining) GLOBALLY — a short page means the
+              // stream is drained, so stopping here is lossless and
+              // saves the trailing empty-page round-trip
+              if (srcs.length < want) done = true
+              if (p.limit > 0 && yielded + srcs.length > p.limit)
+                srcs = srcs.take((p.limit - yielded).toInt)
+              yielded += srcs.length
+              srcs.iterator
+            }
+          }
+          else if (p.sliceMax > 1) new Iterator[Iterator[String]] {
             // sliced scroll: `slice` is only legal in a scroll (or PIT)
             // context — real ES 400s it in a plain from/size _search,
             // and the loopback server enforces the same. Open with

@@ -181,6 +181,24 @@ object FedData {
           EsEndpointSpec(baseUrl, "customer_es", HttpRestConfig(pageSize = 512),
             slices = 4)))
       }
+      // deep-pagination ES fixture: the ORDERS table (the biggest wire
+      // fixture) behind PIT + search_after paging with a page size small
+      // enough that every slice crosses MANY pages — the regime where
+      // from/size paging hits a real cluster's max_result_window cap
+      // (10 000 by default) and scroll retries can skip pages. The PIT
+      // path has neither failure mode (see EsEndpointSpec.paging).
+      if (EsEndpoints.get(EsSourceName, "orders_es").isEmpty) {
+        val orders = Tables.load(spark, sfDir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val rows = orders.collect().map(_.toSeq.toArray)
+        LoopbackRestServer.registerEs("orders_es", orders.schema, rows.toSeq)
+        val baseUrl = LoopbackRestServer.ensureStarted()
+        val discovered = EsDiscovery.mappingSchema(
+          new HttpRestClient(baseUrl), "orders_es")
+        EsEndpoints.register(EsEndpoint(EsSourceName, "orders_es", discovered,
+          EsEndpointSpec(baseUrl, "orders_es", HttpRestConfig(pageSize = 512),
+            slices = 4, paging = "pit")))
+      }
       // Mongo-protocol source: the orders table behind a loopback mongod
       // stand-in — WHERE compiles to a bson filter document and ships in
       // an OP_MSG `find` together with projection/sort/limit, the exact

@@ -276,6 +276,23 @@ object LoopbackRestServer {
     * (instead of on the documented empty-hits signal) drops rows here. */
   val esScrollShortPages = new AtomicInteger(0)
 
+  /** Live ES point-in-time contexts: id -> an immutable SNAPSHOT of the
+    * index taken at open (a real PIT pins the segments it was opened
+    * against, so a search through it never sees later writes). Unlike a
+    * scroll the server holds NO paging cursor — `search_after` is client
+    * state — so a retried continuation re-reads the same page and is
+    * safe by construction. Capped like scrolls. */
+  private final case class EsPit(index: String, schema: StructType,
+      rows: IndexedSeq[Array[Any]])
+  private val esPits = TrieMap.empty[String, EsPit]
+  private val esPitSeq = new AtomicLong(0)
+  private val EsPitCap = 256
+  /** Fault knob: the next N `_search` requests carrying a non-empty
+    * `search_after` answer 500 (one each). A client whose continuations
+    * ride the retrying exchange recovers losslessly — the retried
+    * request names the same page; the spec asserts value completeness. */
+  val esPitFailSearchAfter = new AtomicInteger(0)
+
   def register(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit =
     tables.put(name.toLowerCase, TableData(schema, rows))
 
@@ -482,6 +499,47 @@ object LoopbackRestServer {
     val M = EsDsl.M
     val path = ex.getRequestURI.getPath.stripPrefix("/es/")
     if (path == "_search/scroll") { handleEsScroll(ex); return }
+    // point-in-time surface: open (POST /{index}/_pit?keep_alive=...),
+    // close (DELETE /_pit {"id":...}), and the index-less POST /_search
+    // whose body names the PIT — the documented deep-pagination API
+    if (path == "_pit") {
+      val body = M.readTree(ex.getRequestBody)
+      if (!ex.getRequestMethod.equalsIgnoreCase("DELETE")) {
+        respond(ex, 400, "{\"error\":\"POST a pit open to /{index}/_pit; " +
+          "/_pit only serves DELETE\"}")
+        return
+      }
+      val freed = esPits.remove(body.path("id").asText("")).isDefined
+      respond(ex, 200,
+        s"""{"succeeded":true,"num_freed":${if (freed) 1 else 0}}""",
+        "application/json")
+      return
+    }
+    if (path.endsWith("/_pit")) {
+      val name = esResolve(path.stripSuffix("/_pit"))
+      // real ES requires keep_alive on open (it bounds the snapshot's
+      // server-side lifetime) — enforce, so a client that forgets it
+      // breaks here instead of leaking contexts in production
+      if (parseQuery(ex.getRequestURI.getRawQuery).get("keep_alive").isEmpty) {
+        respond(ex, 400, "{\"error\":{\"type\":\"action_request_validation_exception\"," +
+          "\"reason\":\"Validation Failed: 1: [keep_alive] is required;\"}}")
+        return
+      }
+      // any table _search serves is PIT-openable (esIndices gates only
+      // the discovery listing surface, not the data path)
+      tables.get(name) match {
+        case None => respond(ex, 404, s"no such index $name")
+        case Some(TableData(schema, rows)) =>
+          val id = s"graft-pit-${esPitSeq.incrementAndGet()}"
+          if (esPits.size >= EsPitCap)
+            esPits.keys.toSeq.sortBy(_.stripPrefix("graft-pit-").toLong)
+              .headOption.foreach(esPits.remove) // evict the OLDEST context
+          esPits.put(id, EsPit(name, schema, rows.toIndexedSeq))
+          respond(ex, 200, s"""{"id":"$id"}""", "application/json")
+      }
+      return
+    }
+    if (path == "_search") { handleEsPitSearch(ex, M.readTree(ex.getRequestBody)); return }
     // discovery surface (the reference reads tables from GET /_aliases
     // and fields from GET /{index}/_mapping, elasticsearch/source.go:
     // 107-152,154-255): indices list + per-index mapping document
@@ -687,6 +745,98 @@ object LoopbackRestServer {
         "_source", M.readTree(w.toString))
     }
     resp.toString
+  }
+
+  /** Index-less `POST /_search` carrying a `pit` body: the PIT +
+    * `search_after` deep-pagination contract. The snapshot's rows page in
+    * registration order — the loopback's `_shard_doc` analogue: a stable,
+    * query-independent, unique per-doc sort value — and every hit carries
+    * its sort values so the client can continue. Enforced real-cluster
+    * rules: a PIT search must NOT name an index in the path (the PIT
+    * already pins one), `search_after` requires an explicit `sort`, and
+    * `from` is illegal with `search_after`. */
+  private def handleEsPitSearch(ex: HttpExchange,
+      body: com.fasterxml.jackson.databind.JsonNode): Unit = try {
+    import scala.jdk.CollectionConverters._
+    val M = EsDsl.M
+    lastBody.set(body.toString)
+    val pitId = body.path("pit").path("id").asText("")
+    if (pitId.isEmpty) {
+      respond(ex, 400, "{\"error\":{\"type\":\"action_request_validation_exception\"," +
+        "\"reason\":\"Validation Failed: 1: [index] is missing; specify an index " +
+        "or a point in time;\"}}")
+      return
+    }
+    val sa = body.path("search_after")
+    val hasAfter = !sa.isMissingNode && !sa.isNull && sa.size() > 0
+    if (hasAfter && body.path("sort").isMissingNode) {
+      respond(ex, 400, "{\"error\":{\"type\":\"action_request_validation_exception\"," +
+        "\"reason\":\"Validation Failed: 1: [search_after] requires [sort];\"}}")
+      return
+    }
+    if (hasAfter && body.path("from").asLong(0L) > 0L) {
+      respond(ex, 400, "{\"error\":{\"type\":\"action_request_validation_exception\"," +
+        "\"reason\":\"Validation Failed: 1: [from] is not allowed with [search_after];\"}}")
+      return
+    }
+    if (hasAfter && esPitFailSearchAfter.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      respond(ex, 500, "injected failure")
+      return
+    }
+    esPits.get(pitId) match {
+      case None => respond(ex, 404,
+        s"{\"error\":{\"type\":\"search_phase_execution_exception\"," +
+          s"\"reason\":\"No search context found for id [$pitId]\"}}")
+      case Some(pit) =>
+        // the fixture serves the one sort the client ships: _shard_doc
+        // (real ES appends it as the tiebreak; a PIT scan sorts by it
+        // alone). Anything else is out of the loopback's scope — refuse
+        // loudly rather than answer a subtly different order.
+        val sortNode = body.path("sort")
+        if (!sortNode.isMissingNode && sortNode.elements().asScala.exists(s =>
+            !s.has("_shard_doc") && s.asText("") != "_shard_doc")) {
+          respond(ex, 400, "{\"error\":\"the loopback PIT search serves only " +
+            "the _shard_doc sort\"}")
+          return
+        }
+        // slice by snapshot position — stable and query-independent,
+        // the same tiling rule as the scroll arm, so slice unions are
+        // exactly the hit set
+        val withIdx = pit.rows.zipWithIndex
+        val sliceNode = body.path("slice")
+        val sliced =
+          if (sliceNode.isMissingNode) withIdx
+          else {
+            val id = sliceNode.path("id").asInt()
+            val max = sliceNode.path("max").asInt()
+            if (max < 2 || id < 0 || id >= max)
+              throw new IllegalArgumentException(
+                s"slice id must be in [0, max) and max > 1: id=$id max=$max")
+            withIdx.filter(_._2 % max == id)
+          }
+        val query = body.path("query")
+        val matched =
+          if (query.isMissingNode) sliced
+          else sliced.filter { case (r, _) => EsDsl.eval(query, r, pit.schema) }
+        val after = if (hasAfter) sa.get(0).asLong() else -1L
+        val size = math.max(1, body.path("size").asInt(10))
+        val page = matched.iterator.filter(_._2 > after).take(size).toSeq
+        val resp = M.createObjectNode()
+        resp.put("pit_id", pitId)
+        val hits = resp.putObject("hits")
+        hits.putObject("total").put("value", matched.size)
+        val arr = hits.putArray("hits")
+        page.foreach { case (row, idx) =>
+          val w = new java.io.StringWriter()
+          JsonCodec.write(w, row, pit.schema)
+          val h = arr.addObject()
+          h.set[com.fasterxml.jackson.databind.JsonNode]("_source", M.readTree(w.toString))
+          h.putArray("sort").add(idx.toLong)
+        }
+        respond(ex, 200, resp.toString)
+    }
+  } catch {
+    case e: Throwable => respond(ex, 500, s"server error: $e")
   }
 
   /** `/_search/scroll`: POST continues a cursor (next page, same size as

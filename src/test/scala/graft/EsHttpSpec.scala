@@ -239,12 +239,13 @@ class EsHttpSpec extends AnyFunSuite {
 
   // ---- sliced-scroll fan-out --------------------------------------------
 
-  private def slicedTable(name: String, slices: Int): String = {
+  private def slicedTable(name: String, slices: Int,
+      paging: String = "pit", pageSize: Int = 64): String = {
     LoopbackRestServer.register(name, schema, rows)
     val base = LoopbackRestServer.ensureStarted()
     EsEndpoints.register(EsEndpoint("estest", name, schema,
-      EsEndpointSpec(base, name, HttpRestConfig(pageSize = 64, retryBackoffMs = 5),
-        slices = slices)))
+      EsEndpointSpec(base, name, HttpRestConfig(pageSize = pageSize, retryBackoffMs = 5),
+        slices = slices, paging = paging)))
     if (SourceRegistry.get("estest").isEmpty)
       SourceRegistry.register(SourceDef("estest",
         new java.io.File(sys.props("user.dir"), "target/graft-test/estest").getPath,
@@ -254,7 +255,7 @@ class EsHttpSpec extends AnyFunSuite {
   }
 
   test("sliced scroll fans hit scans out; union of slices is exact") {
-    val t = slicedTable("sl1", 4)
+    val t = slicedTable("sl1", 4, paging = "scroll")
     val df = spark.table(t)
     assert(df.rdd.getNumPartitions == 4, "4 slices => 4 scan tasks")
     val got = df.select("id").collect().map(_.getLong(0)).sorted
@@ -270,7 +271,7 @@ class EsHttpSpec extends AnyFunSuite {
   }
 
   test("scroll pages until EMPTY hits, not until a short page (uneven shard drain)") {
-    val t = slicedTable("sl_short", 2)
+    val t = slicedTable("sl_short", 2, paging = "scroll")
     LoopbackRestServer.esScrollShortPages.set(1)
     try {
       // continuations now return half-size pages while rows remain — the
@@ -355,5 +356,98 @@ class EsHttpSpec extends AnyFunSuite {
     LoopbackRestServer.failNext.set(2)
     assert(spark.table(t).filter(col("seg") === "B").count() ==
       rows.count(_(1) == "B"))
+  }
+
+  // ---- point-in-time + search_after (the default paging) ----------------
+
+  test("PIT + search_after is the default hit-scan path and pages exactly") {
+    // tiny pages force many search_after continuations per slice
+    val t = slicedTable("pit1", 3, pageSize = 16)
+    val df = spark.table(t)
+    assert(df.rdd.getNumPartitions == 3, "3 slices => 3 scan tasks")
+    val got = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == rows.map(_(0).asInstanceOf[Long]).sorted,
+      "every doc exactly once across PIT slices")
+    // the continuation request shape: index-less /_search naming the PIT,
+    // a _shard_doc sort cursor, and NO from (deep from/size is capped at
+    // max_result_window on a real cluster — PIT paging never uses it)
+    val body = LoopbackRestServer.lastBody.get()
+    assert(body.contains("\"pit\""), s"search must ride the PIT: $body")
+    assert(body.contains("_shard_doc"), s"sort cursor missing: $body")
+    assert(!body.contains("\"from\""), s"PIT paging must not use from: $body")
+    // pushed filters compose with PIT paging
+    val f = spark.table(t).filter(col("seg") === "A").select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(f.toSeq == rows.filter(_(1) == "A").map(_(0).asInstanceOf[Long]).sorted)
+  }
+
+  test("a retried search_after continuation is lossless (stateless cursor)") {
+    val t = slicedTable("pit2", 1, pageSize = 16)
+    LoopbackRestServer.esPitFailSearchAfter.set(2)
+    try {
+      // two continuations answer 500 once each; the client's retry names
+      // the SAME search_after cursor, so nothing is skipped. (The scroll
+      // arm cannot do this: its continuation advances a server cursor,
+      // which is exactly why it must fail loudly instead of retrying.)
+      val got = spark.table(t).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == rows.map(_(0).asInstanceOf[Long]).sorted,
+        "a retried PIT continuation must not lose or duplicate a page")
+      assert(LoopbackRestServer.esPitFailSearchAfter.get() == 0,
+        "the fault knob must actually have fired")
+    } finally LoopbackRestServer.esPitFailSearchAfter.set(0)
+  }
+
+  test("a PIT is a snapshot: writes after open are invisible through it") {
+    val name = "pit_snap"
+    LoopbackRestServer.register(name, schema, rows)
+    val base = LoopbackRestServer.ensureStarted()
+    val client = new HttpRestClient(base, HttpRestConfig(maxRetries = 0))
+    val M = EsDsl.M
+    val pid = M.readTree(client.postJson(s"/es/$name/_pit", "",
+      Map("keep_alive" -> "1m"))).path("id").asText()
+    assert(pid.nonEmpty)
+    // the index grows AFTER the PIT opened
+    LoopbackRestServer.register(name, schema, rows ++ rows.take(10))
+    val viaPit = M.readTree(client.postJson("/es/_search",
+      s"""{"pit":{"id":"$pid","keep_alive":"1m"},"size":1}"""))
+      .path("hits").path("total").path("value").asInt()
+    assert(viaPit == rows.size, "the PIT search must see the open-time snapshot")
+    val live = M.readTree(client.postJson(s"/es/$name/_search", """{"size":1}"""))
+      .path("hits").path("total").path("value").asInt()
+    assert(live == rows.size + 10, "a plain search sees the live index")
+    // close: first delete frees it, the second is a clean no-op
+    assert(client.deleteJson("/es/_pit", s"""{"id":"$pid"}""")
+      .contains("\"num_freed\":1"))
+    assert(client.deleteJson("/es/_pit", s"""{"id":"$pid"}""")
+      .contains("\"num_freed\":0"))
+    // a closed context answers the real 404 shape
+    val e = intercept[Exception](client.postJson("/es/_search",
+      s"""{"pit":{"id":"$pid"},"size":1}"""))
+    assert(e.getMessage.contains("No search context found"))
+  }
+
+  test("the server enforces the real PIT request contract") {
+    val name = "pit_contract"
+    LoopbackRestServer.register(name, schema, rows)
+    val base = LoopbackRestServer.ensureStarted()
+    val client = new HttpRestClient(base, HttpRestConfig(maxRetries = 0))
+    val M = EsDsl.M
+    // open requires keep_alive
+    val e0 = intercept[Exception](client.postJson(s"/es/$name/_pit", ""))
+    assert(e0.getMessage.contains("[keep_alive] is required"))
+    val pid = M.readTree(client.postJson(s"/es/$name/_pit", "",
+      Map("keep_alive" -> "1m"))).path("id").asText()
+    // index-less _search without a pit body is refused
+    val e1 = intercept[Exception](client.postJson("/es/_search", """{"size":1}"""))
+    assert(e1.getMessage.contains("point in time"))
+    // search_after requires an explicit sort
+    val e2 = intercept[Exception](client.postJson("/es/_search",
+      s"""{"pit":{"id":"$pid"},"search_after":[3],"size":1}"""))
+    assert(e2.getMessage.contains("[search_after] requires [sort]"))
+    // from is illegal with search_after
+    val e3 = intercept[Exception](client.postJson("/es/_search",
+      s"""{"pit":{"id":"$pid"},"sort":[{"_shard_doc":"asc"}],"search_after":[3],"from":5,"size":1}"""))
+    assert(e3.getMessage.contains("[from] is not allowed with [search_after]"))
+    client.deleteJson("/es/_pit", s"""{"id":"$pid"}""")
   }
 }
