@@ -74,12 +74,13 @@ final class HttpRestClient(val baseUrl: String, val cfg: HttpRestConfig = HttpRe
     val req = HttpRequest.newBuilder(URI.create(baseUrl + path))
       .timeout(Duration.ofMillis(cfg.requestTimeoutMs))
       .header("Content-Type", "application/json")
+      .header("Accept-Encoding", "gzip")
       .POST(HttpRequest.BodyPublishers.ofString(body)).build()
     requests.incrementAndGet()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 == 2) resp.body()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() / 100 == 2) decode(resp)
     else throw new java.io.IOException(
-      s"non-retryable request failed: HTTP ${resp.statusCode()} ${resp.body().take(200)}")
+      s"non-retryable request failed: HTTP ${resp.statusCode()} ${decode(resp).take(200)}")
   }
 
   /** DELETE with a JSON body — the ES clear-scroll request shape
@@ -89,9 +90,27 @@ final class HttpRestClient(val baseUrl: String, val cfg: HttpRestConfig = HttpRe
     val req = HttpRequest.newBuilder(URI.create(baseUrl + path))
       .timeout(Duration.ofMillis(cfg.requestTimeoutMs))
       .header("Content-Type", "application/json")
+      .header("Accept-Encoding", "gzip")
       .method("DELETE", HttpRequest.BodyPublishers.ofString(body)).build()
     requests.incrementAndGet()
-    client.send(req, HttpResponse.BodyHandlers.ofString()).body()
+    decode(client.send(req, HttpResponse.BodyHandlers.ofByteArray()))
+  }
+
+  /** Decode a response body, inflating `Content-Encoding: gzip`. Every
+    * request advertises gzip: at 100 TB the dominant wire cost of a REST
+    * backend is the hits pages, and JSON compresses 5-10x — the same
+    * transparent content-encoding the reference's Go http.Transport
+    * negotiates. The JDK client does NOT auto-inflate, so decode here. */
+  private def decode(resp: HttpResponse[Array[Byte]]): String = {
+    val gz = resp.headers().firstValue("Content-Encoding").orElse("")
+      .toLowerCase.contains("gzip")
+    val bytes = resp.body()
+    if (!gz || bytes.isEmpty) new String(bytes, UTF_8)
+    else {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try new String(in.readAllBytes(), UTF_8) finally in.close()
+    }
   }
 
   private def exchange(path: String, params: Map[String, String],
@@ -101,6 +120,7 @@ final class HttpRestClient(val baseUrl: String, val cfg: HttpRestConfig = HttpRe
     val uri = URI.create(baseUrl + path + (if (qs.isEmpty) "" else "?" + qs))
     val b = HttpRequest.newBuilder(uri)
       .timeout(Duration.ofMillis(cfg.requestTimeoutMs))
+    b.header("Accept-Encoding", "gzip")
     val req = body match {
       case Some(json) => b.header("Content-Type", "application/json")
         .POST(HttpRequest.BodyPublishers.ofString(json)).build()
@@ -111,13 +131,13 @@ final class HttpRestClient(val baseUrl: String, val cfg: HttpRestConfig = HttpRe
       requests.incrementAndGet()
       val outcome: Either[String, String] =
         try {
-          val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-          if (resp.statusCode() / 100 == 2) return resp.body()
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+          if (resp.statusCode() / 100 == 2) return decode(resp)
           else if (resp.statusCode() / 100 == 5)
-            Left(s"HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+            Left(s"HTTP ${resp.statusCode()}: ${decode(resp).take(200)}")
           else // 4xx: the request itself is wrong — retrying cannot help
             throw new java.io.IOException(
-              s"REST endpoint rejected $uri: HTTP ${resp.statusCode()} ${resp.body().take(200)}")
+              s"REST endpoint rejected $uri: HTTP ${resp.statusCode()} ${decode(resp).take(200)}")
         } catch {
           case e: java.net.http.HttpTimeoutException => Left(s"timeout: $e")
           case e: java.net.ConnectException => Left(s"connect: $e")
@@ -426,10 +446,28 @@ object LoopbackRestServer {
       }
     }.toMap).getOrElse(Map.empty)
 
+  /** Responses above this size gzip when the request accepts it (tiny
+    * bodies don't repay the header+deflate cost — real servers set the
+    * same kind of floor). */
+  private val GzipFloor = 512
+  /** Gzipped responses served (spec assertions: the data path really
+    * rides compressed). */
+  val gzipServed = new AtomicLong(0)
+
   private[sources] def respond(ex: HttpExchange, code: Int, body: String,
       contentType: String = "application/x-ndjson"): Unit = {
-    val bytes = body.getBytes(UTF_8)
+    var bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", contentType)
+    val acceptsGzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.toLowerCase.contains("gzip"))
+    if (acceptsGzip && bytes.length >= GzipFloor) {
+      val bos = new java.io.ByteArrayOutputStream(bytes.length / 4 + 64)
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(bytes); gz.close()
+      bytes = bos.toByteArray
+      ex.getResponseHeaders.set("Content-Encoding", "gzip")
+      gzipServed.incrementAndGet()
+    }
     ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
     if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
     ex.close()

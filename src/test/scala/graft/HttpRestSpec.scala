@@ -44,6 +44,23 @@ class HttpRestSpec extends AnyFunSuite {
     assert(lines.head.contains("\"name\""))
   }
 
+  test("responses ride gzip when large; tiny bodies stay plain") {
+    val client = freshClient(HttpRestConfig(pageSize = 200))
+    val gz0 = LoopbackRestServer.gzipServed.get()
+    // a 200-row JSON page is far above the gzip floor: the server must
+    // compress it and the client must inflate it transparently
+    val lines = client.pagedLines("/t/items", Map.empty).toSeq
+    assert(lines.size == 300)
+    assert(lines.head.contains("\"name\""), "inflated content must be the JSON page")
+    assert(LoopbackRestServer.gzipServed.get() > gz0,
+      "a large page must actually have been served compressed")
+    // a 1-row response is under the floor: served uncompressed
+    val gz1 = LoopbackRestServer.gzipServed.get()
+    assert(client.pagedLines("/t/items", Map("limit" -> "1")).size == 1)
+    assert(LoopbackRestServer.gzipServed.get() == gz1,
+      "tiny bodies must not pay the gzip overhead")
+  }
+
   test("equality params filter server-side; limit stops fetching early") {
     val client = freshClient(HttpRestConfig(pageSize = 10))
     val lines = client.pagedLines("/t/items", Map("grp" -> "3")).toSeq
