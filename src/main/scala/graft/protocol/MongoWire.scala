@@ -160,25 +160,65 @@ object Bson {
 
 /** OP_MSG framing: standard 16-byte MsgHeader (length, requestID,
   * responseTo, opCode 2013) + uint32 flagBits + one kind-0 section
-  * carrying the command/reply document. */
+  * carrying the command/reply document.
+  *
+  * OP_COMPRESSED (opCode 2012) wraps an OP_MSG: after the header,
+  * int32 originalOpcode + int32 uncompressedSize + uint8 compressorId
+  * (2 = zlib) + the deflated original message body. BSON batches
+  * compress several-fold, so on a 100 TB federation the negotiated
+  * compressor is most of the wire budget; both directions here follow
+  * the public wire-compression spec (negotiated in `hello`, never
+  * applied to `hello` itself). */
 object OpMsg {
 
   val OpCode = 2013
+  val OpCompressed = 2012
+  /** zlib's compressorId in the OP_COMPRESSED spec (0 = noop, 1 =
+    * snappy, 2 = zlib, 3 = zstd; the JDK ships zlib). */
+  val Zlib: Byte = 2
 
-  def write(out: OutputStream, requestId: Int, responseTo: Int, doc: Bson.BDoc): Unit = {
+  def write(out: OutputStream, requestId: Int, responseTo: Int, doc: Bson.BDoc,
+      compress: Boolean = false): Unit = {
     val body = Bson.encode(doc)
-    val total = 16 + 4 + 1 + body.length
-    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
-    buf.putInt(total).putInt(requestId).putInt(responseTo).putInt(OpCode)
-    buf.putInt(0) // flagBits: no checksum, no moreToCome
-    buf.put(0.toByte) // section kind 0
-    buf.put(body)
+    val buf =
+      if (!compress) {
+        val total = 16 + 4 + 1 + body.length
+        val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+        b.putInt(total).putInt(requestId).putInt(responseTo).putInt(OpCode)
+        b.putInt(0) // flagBits: no checksum, no moreToCome
+        b.put(0.toByte) // section kind 0
+        b.put(body)
+        b
+      } else {
+        // the "original message body" is everything after the header:
+        // flagBits + section kind + BSON
+        val orig = ByteBuffer.allocate(4 + 1 + body.length)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        orig.putInt(0).put(0.toByte).put(body)
+        val deflated = zlibDeflate(orig.array())
+        val total = 16 + 4 + 4 + 1 + deflated.length
+        val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+        b.putInt(total).putInt(requestId).putInt(responseTo).putInt(OpCompressed)
+        b.putInt(OpCode)              // originalOpcode
+        b.putInt(orig.capacity())     // uncompressedSize
+        b.put(Zlib)                   // compressorId
+        b.put(deflated)
+        b
+      }
     out.write(buf.array())
     out.flush()
   }
 
   /** Read one OP_MSG; returns (requestId, command document). */
   def read(in: DataInputStream): (Int, Bson.BDoc) = {
+    val (rid, doc, _) = readEx(in)
+    (rid, doc)
+  }
+
+  /** Read one message, transparently inflating OP_COMPRESSED(zlib);
+    * returns (requestId, document, wasCompressed) so a server can mirror
+    * the sender's encoding on the reply. */
+  def readEx(in: DataInputStream): (Int, Bson.BDoc, Boolean) = {
     val header = new Array[Byte](16)
     in.readFully(header)
     val h = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN)
@@ -186,15 +226,61 @@ object OpMsg {
     val requestId = h.getInt
     h.getInt // responseTo
     val opCode = h.getInt
-    if (opCode != OpCode) throw new IOException(s"unsupported opcode $opCode")
-    val body = new Array[Byte](total - 16)
-    in.readFully(body)
+    val raw = new Array[Byte](total - 16)
+    in.readFully(raw)
+    val (body, compressed) = opCode match {
+      case OpCode => (raw, false)
+      case OpCompressed =>
+        val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        val origOp = b.getInt
+        if (origOp != OpCode)
+          throw new IOException(s"compressed originalOpcode $origOp unsupported")
+        val uncompressedSize = b.getInt
+        val compressorId = b.get()
+        val payload = new Array[Byte](raw.length - 9)
+        b.get(payload)
+        val inflated = compressorId match {
+          case Zlib => zlibInflate(payload, uncompressedSize)
+          case 0 => payload // noop compressor
+          case other => throw new IOException(s"unsupported compressorId $other")
+        }
+        if (inflated.length != uncompressedSize)
+          throw new IOException(s"inflated ${inflated.length} bytes, " +
+            s"frame declared $uncompressedSize")
+        (inflated, true)
+      case other => throw new IOException(s"unsupported opcode $other")
+    }
     val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
     b.getInt // flagBits
     val kind = b.get()
     if (kind != 0) throw new IOException(s"unsupported section kind $kind")
     val doc = new Array[Byte](body.length - 5)
     b.get(doc)
-    (requestId, Bson.decode(doc))
+    (requestId, Bson.decode(doc), compressed)
+  }
+
+  private def zlibDeflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 3 + 64)
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def zlibInflate(data: Array[Byte], sizeHint: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, sizeHint))
+    val buf = new Array[Byte](4096)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput())
+        throw new IOException("truncated zlib payload")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
   }
 }

@@ -247,7 +247,11 @@ final case class MongoClientConfig(
     soTimeoutMs: Int = 10000,
     maxRetries: Int = 3,
     retryBackoffMs: Int = 50,
-    batchSize: Int = 256)
+    batchSize: Int = 256,
+    // offer zlib wire compression in the connection handshake (the
+    // public OP_COMPRESSED negotiation); BSON batches compress
+    // several-fold, the dominant wire cost of remote scans at scale
+    compress: Boolean = true)
 
 final class MongoClientLite(host: String, port: Int,
     cfg: MongoClientConfig = MongoClientConfig()) {
@@ -258,6 +262,9 @@ final class MongoClientLite(host: String, port: Int,
   private val reqId = new AtomicInteger(1)
   private var socket: Socket = _
   private var in: DataInputStream = _
+  /** zlib granted by the server's hello reply — per-connection state,
+    * re-negotiated on every reconnect. */
+  private var compressionOn = false
 
   private def connect(): Unit = {
     close()
@@ -267,17 +274,30 @@ final class MongoClientLite(host: String, port: Int,
     s.setTcpNoDelay(true)
     socket = s
     in = new DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+    compressionOn = false
+    if (cfg.compress) {
+      // the handshake itself must NEVER be compressed (spec rule: hello
+      // rides plain so both ends can negotiate from zero state)
+      OpMsg.write(s.getOutputStream, reqId.getAndIncrement(), 0, BDoc(Seq(
+        "hello" -> (1: java.lang.Integer), "$db" -> ("admin": Any),
+        "compression" -> (Seq("zlib"): Any))))
+      val (_, hello) = OpMsg.read(in)
+      compressionOn = hello.get("ok").contains(1.0: java.lang.Double) &&
+        hello.get("compression").exists(
+          _.asInstanceOf[Seq[Any]].exists(_ == "zlib"))
+    }
   }
 
   def close(): Unit = {
     if (socket != null) { try socket.close() catch { case _: IOException => () } }
-    socket = null; in = null
+    socket = null; in = null; compressionOn = false
   }
 
   private def roundTrip(cmd: BDoc): BDoc = {
     if (socket == null || socket.isClosed) connect()
     requests.incrementAndGet()
-    OpMsg.write(socket.getOutputStream, reqId.getAndIncrement(), 0, cmd)
+    OpMsg.write(socket.getOutputStream, reqId.getAndIncrement(), 0, cmd,
+      compress = compressionOn)
     val (_, reply) = OpMsg.read(in)
     reply.get("ok") match {
       case Some(d: java.lang.Double) if d == 1.0 => reply
@@ -447,6 +467,9 @@ object LoopbackMongoServer {
   val delayMs = new AtomicInteger(0)
   /** Commands served (including injected failures). */
   val served = new AtomicLong(0)
+  /** Commands that arrived OP_COMPRESSED (spec assertions: the data
+    * path really negotiated and rode zlib). */
+  val compressedServed = new AtomicLong(0)
   /** The last `find` command seen, rendered (pushdown assertions). */
   val lastFind = new AtomicReference[String]("")
 
@@ -499,19 +522,32 @@ object LoopbackMongoServer {
       sock.setTcpNoDelay(true)
       val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
       while (!sock.isClosed) {
-        val (requestId, cmd) = OpMsg.read(in)
-        served.incrementAndGet()
-        val d = delayMs.get()
-        if (d > 0) Thread.sleep(d.toLong)
-        if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
-          sock.close() // injected failure: abort without a reply
-          return
+        val (requestId, cmd, wasCompressed) = OpMsg.readEx(in)
+        // the hello handshake is connection plumbing, not a data
+        // command: it doesn't count against `served` (request-count
+        // assertions mean data requests) and fault injection skips it
+        // (failNext targets the data path, as before compression)
+        val isHello = cmd.fields.headOption.exists(_._1 == "hello")
+        if (!isHello) {
+          served.incrementAndGet()
+          if (wasCompressed) compressedServed.incrementAndGet()
+          val d = delayMs.get()
+          if (d > 0) Thread.sleep(d.toLong)
+          if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+            sock.close() // injected failure: abort without a reply
+            return
+          }
         }
         val reply = try dispatch(cmd) catch {
           case e: Exception => BDoc(Seq(
             "ok" -> (0.0: java.lang.Double), "errmsg" -> e.getMessage, "code" -> (2: Any)))
         }
-        OpMsg.write(sock.getOutputStream, 0, requestId, reply)
+        // mirror the request's encoding: a client that negotiated zlib
+        // compresses every post-hello message, so mirroring equals the
+        // real server's compress-after-negotiation behavior — and hello
+        // replies stay plain for free
+        OpMsg.write(sock.getOutputStream, 0, requestId, reply,
+          compress = wasCompressed)
       }
     } catch {
       case _: java.io.EOFException => () // client hung up
@@ -592,6 +628,18 @@ object LoopbackMongoServer {
       }
       BDoc(Seq("n" -> (n: java.lang.Integer), "ok" -> (1.0: java.lang.Double)))
     case Some(("ping", _)) => BDoc(Seq("ok" -> (1.0: java.lang.Double)))
+    // connection handshake: grant the intersection of the client's
+    // offered compressors with what this server ships (zlib); the field
+    // is OMITTED when nothing was granted, like a real mongod
+    case Some(("hello", _)) =>
+      val offered = cmd.get("compression").map(_.asInstanceOf[Seq[Any]])
+        .getOrElse(Seq.empty).map(_.toString)
+      val granted = offered.filter(_ == "zlib")
+      BDoc(
+        Seq("ok" -> (1.0: java.lang.Double),
+          "maxWireVersion" -> (17: java.lang.Integer),
+          "minWireVersion" -> (0: java.lang.Integer)) ++
+          (if (granted.nonEmpty) Seq("compression" -> (granted: Any)) else Nil))
     // discovery surface: the real server's listCollections command (the
     // reference enumerates tables with it before sampling documents)
     case Some(("listCollections", _)) =>

@@ -76,6 +76,27 @@ class MongoSourceSpec extends AnyFunSuite {
     (s"${SourceRegistry.CatalogName}.mongotest.$name", withNulls)
   }
 
+  test("zlib wire compression: negotiated in hello, both directions ride OP_COMPRESSED") {
+    val name = "comp1"
+    LoopbackMongoServer.register(name, schema, rows)
+    val c = client() // compress = true by default
+    val comp0 = LoopbackMongoServer.compressedServed.get()
+    val got = c.find(LoopbackMongoServer.Db, name, graft.protocol.Bson.BDoc.empty,
+      batchSize = 64).toSeq
+    assert(got.size == rows.size, "compressed reads must be lossless")
+    assert(LoopbackMongoServer.compressedServed.get() > comp0,
+      "post-hello commands must actually arrive OP_COMPRESSED")
+    c.close()
+    // a client that does not offer compression stays plain end-to-end
+    val plain = client(MongoClientConfig(retryBackoffMs = 5, compress = false))
+    val comp1 = LoopbackMongoServer.compressedServed.get()
+    assert(plain.find(LoopbackMongoServer.Db, name,
+      graft.protocol.Bson.BDoc.empty).size == rows.size)
+    assert(LoopbackMongoServer.compressedServed.get() == comp1,
+      "an un-negotiated connection must never send compressed frames")
+    plain.close()
+  }
+
   test("nested sub-documents: struct decode, sampled discovery, nested-ref filters decline") {
     val nested = StructType(Seq(
       StructField("id", LongType),
