@@ -387,7 +387,16 @@ object WireSources {
   private def validate(d: WireSourceDef): Unit = {
     d.intProp("page_size", 512)
     d.protocol match {
-      case "es" | "bigtable" => d.prop("url"); d.intProp("fanout", 1)
+      case "es" =>
+        d.prop("url"); d.intProp("fanout", 1)
+        // paging: "pit" (default; deep-pagination, retry-safe) or
+        // "scroll" (the legacy arm for pre-7.10 clusters, which reject
+        // POST /{index}/_pit) — anything else is a config error HERE
+        val pg = d.props.getOrElse("paging", "pit")
+        if (pg != "pit" && pg != "scroll")
+          throw new IllegalArgumentException(
+            s"paging must be 'pit' or 'scroll', got '$pg'")
+      case "bigtable" => d.prop("url"); d.intProp("fanout", 1)
       case "bigquery" | "datastore" | "kube" => d.prop("url")
       case "mongo" => d.prop("host"); d.intProp("port", 27017)
       case "cassandra" =>
@@ -455,7 +464,8 @@ object WireSources {
         EsEndpoints.register(EsEndpoint(d.name, table,
           EsDiscovery.mappingSchema(client, table),
           EsEndpointSpec(d.prop("url"), table, restCfg(d),
-            slices = d.intProp("fanout", 1))))
+            slices = d.intProp("fanout", 1),
+            paging = d.props.getOrElse("paging", "pit"))))
       case "mongo" =>
         // no split metadata at runtime registration (a real deployment
         // reads chunk boundaries from the config servers) — fan-out

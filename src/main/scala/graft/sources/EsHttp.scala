@@ -238,7 +238,13 @@ object EsDsl {
   *     continuations must not retry) with from/size for single-stream
   *     reads — kept for pre-PIT clusters (< ES 7.10). */
 final case class EsEndpointSpec(baseUrl: String, table: String, cfg: HttpRestConfig,
-    slices: Int = 1, cardinalityThreshold: Int = 40000, paging: String = "pit")
+    slices: Int = 1, cardinalityThreshold: Int = 40000, paging: String = "pit") {
+  // stringly-typed discriminator: an unknown value would silently fall
+  // through to the legacy arms (and from/size would reintroduce the
+  // max_result_window cap on deep scans) — refuse at construction
+  require(paging == "pit" || paging == "scroll",
+    s"paging must be 'pit' or 'scroll', got '$paging'")
+}
 
 final case class EsEndpoint(source: String, table: String, schema: StructType,
     spec: EsEndpointSpec)
@@ -469,10 +475,27 @@ class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
     * an aggs request, and the COMPLETE-agg result is metadata-sized. */
   override def planInputPartitions(): Array[InputPartition] = {
     val n = if (aggMode) 1 else WireFanout.effective(ep.spec.slices, hint)
+    // PIT paging: open ONE point-in-time here on the driver and share its
+    // id across every slice task — the documented sliced-PIT usage. Each
+    // slice opening its own PIT would snapshot the index at a different
+    // instant, so the slice union would be a torn read on a live index.
+    // Nobody deletes it: tasks can die at any point and no DSv2 hook
+    // marks end-of-scan, so lifetime is keep_alive-bounded (each page
+    // request refreshes it) — the standard pattern for batch scans.
+    // (Spark may plan a batch more than once — AQE plan copies — which
+    // opens a surplus context that is never paged; it expires with its
+    // keep_alive, same as a context left by a killed task.)
+    val pitId: Option[String] =
+      if (!aggMode && ep.spec.paging == "pit") {
+        val client = new HttpRestClient(ep.spec.baseUrl, ep.spec.cfg)
+        Some(EsDsl.M.readTree(client.postJson(
+          s"/es/${ep.spec.table}/_pit", "",
+          Map("keep_alive" -> EsScan.PitKeepAlive))).path("id").asText())
+      } else None
     Array.tabulate(n) { i =>
       EsPartition(ep.spec, dslBody, ep.schema.json, required.json,
         aggMode, aggKinds, groupCount, limit,
-        sliceId = i, sliceMax = n)
+        sliceId = i, sliceMax = n, pitId = pitId)
     }
   }
 
@@ -482,7 +505,14 @@ class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
 final case class EsPartition(spec: EsEndpointSpec, dslBody: String,
     fullSchemaJson: String, requiredSchemaJson: String,
     aggMode: Boolean, aggKinds: Seq[String], groupCount: Int,
-    limit: Int, sliceId: Int = 0, sliceMax: Int = 1) extends InputPartition
+    limit: Int, sliceId: Int = 0, sliceMax: Int = 1,
+    pitId: Option[String] = None) extends InputPartition
+
+object EsScan {
+  /** PIT keep_alive: refreshed by every page request, so it only has to
+    * outlive the LONGEST GAP between pages of one scan, not the scan. */
+  val PitKeepAlive = "1m"
+}
 
 class EsReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -530,43 +560,28 @@ class EsReaderFactory extends PartitionReaderFactory {
         var yielded = 0L
         val pages: Iterator[Iterator[String]] =
           if (p.spec.paging == "pit") new Iterator[Iterator[String]] {
-            // point-in-time + search_after (the default): open a PIT —
-            // an immutable index snapshot — and page by the _shard_doc
-            // sort cursor. The server holds NO paging state, so every
-            // request here may ride the RETRYING exchange: a retried
-            // continuation names the same cursor and re-reads the same
-            // page (the scroll arm below must fail loudly instead).
-            // Slices are legal in a PIT context, so one mechanism serves
-            // both fanned-out and single-stream reads.
-            private var pitId: Option[String] = None
+            // point-in-time + search_after (the default): page the PIT —
+            // an immutable index snapshot, opened ONCE on the driver and
+            // shared by every slice (EsScan.planInputPartitions) — by the
+            // _shard_doc sort cursor. The server holds NO paging state,
+            // so every request here may ride the RETRYING exchange: a
+            // retried continuation names the same cursor and re-reads
+            // the same page (the scroll arm below must fail loudly
+            // instead). No task deletes the shared PIT (sibling slices
+            // may still be reading); keep_alive expires it server-side.
+            private var pitId: String = p.pitId.getOrElse(
+              throw new IllegalStateException("pit paging planned without a PIT id"))
             private var lastSort: Option[Long] = None
-            private def closePit(): Unit = pitId.foreach { id =>
-              try client.deleteJson("/es/_pit", s"""{"id":"$id"}""")
-              catch { case _: Exception => () } // best-effort; keep_alive expires it
-              pitId = None
-            }
-            override def hasNext: Boolean = {
-              val more = !done && (p.limit < 0 || yielded < p.limit)
-              if (!more) closePit()
-              more
-            }
+            override def hasNext: Boolean =
+              !done && (p.limit < 0 || yielded < p.limit)
             override def next(): Iterator[String] = {
-              val id = pitId.getOrElse {
-                // a retried open can leak one server context at most —
-                // keep_alive bounds its lifetime, so opens retry freely
-                val opened = EsDsl.M.readTree(client.postJson(
-                  s"/es/${p.spec.table}/_pit", "",
-                  Map("keep_alive" -> "1m"))).path("id").asText()
-                pitId = Some(opened)
-                opened
-              }
               val want = if (p.limit > 0) math.min(pageSize.toLong, p.limit - yielded)
                 else pageSize.toLong
               val body = EsDsl.M.readTree(p.dslBody).asInstanceOf[ObjectNode]
               body.put("size", want)
               val pitNode = body.putObject("pit")
-              pitNode.put("id", id)
-              pitNode.put("keep_alive", "1m")
+              pitNode.put("id", pitId)
+              pitNode.put("keep_alive", EsScan.PitKeepAlive)
               // _shard_doc: the PIT-scoped stable unique doc order — the
               // cheapest sort a cluster can serve and the documented
               // search_after cursor for full scans
@@ -580,6 +595,11 @@ class EsReaderFactory extends PartitionReaderFactory {
               // PIT searches go to the INDEX-LESS /_search (the PIT id
               // already pins the index — real ES refuses a path index)
               val resp = EsDsl.M.readTree(client.postJson("/es/_search", body.toString))
+              // the documented contract: every response MAY carry a
+              // renewed pit_id (shard relocation mid-scan) and clients
+              // must use the most recently returned id from then on
+              Option(resp.path("pit_id").asText(null)).filter(_.nonEmpty)
+                .foreach(pitId = _)
               val hits = resp.path("hits").path("hits").elements().asScala.toArray
               hits.lastOption.foreach(h => lastSort = Some(h.path("sort").get(0).asLong()))
               var srcs = hits.map(h => h.path("_source").toString)

@@ -301,17 +301,63 @@ object LoopbackRestServer {
     * against, so a search through it never sees later writes). Unlike a
     * scroll the server holds NO paging cursor — `search_after` is client
     * state — so a retried continuation re-reads the same page and is
-    * safe by construction. Capped like scrolls. */
+    * safe by construction.
+    *
+    * Lifetime is keep_alive-bounded like a real cluster's: clients that
+    * die mid-scan never clean up, so every open sweeps contexts whose
+    * keep_alive lapsed since their last touch (each search refreshes
+    * the deadline). The hard cap is a backstop only — expiry is the
+    * mechanism, so a live scan's context is never evicted by load.
+    *
+    * `matchedCache` memoizes the (slice, query)-filtered row list: the
+    * snapshot is immutable, so continuations are a positional drop on a
+    * precomputed vector instead of an O(snapshot) re-filter per page. */
   private final case class EsPit(index: String, schema: StructType,
-      rows: IndexedSeq[Array[Any]])
+      rows: IndexedSeq[Array[Any]], keepAliveMs: Long,
+      lastTouch: AtomicLong,
+      matchedCache: TrieMap[String, IndexedSeq[(Array[Any], Int)]] =
+        TrieMap.empty)
   private val esPits = TrieMap.empty[String, EsPit]
   private val esPitSeq = new AtomicLong(0)
-  private val EsPitCap = 256
+  private val EsPitCap = 1024
+  /** PIT opens served (spec assertions: a sliced scan shares ONE pit). */
+  val esPitOpens = new AtomicLong(0)
+  /** Distinct pit ids NAMED BY SEARCHES since the last reset (spec
+    * assertions: every slice task of one scan pages the same shared
+    * context — opens alone can't prove it, Spark may plan a batch more
+    * than once and the extra context is opened but never paged). */
+  val esPitSearchIds = new AtomicReference[Set[String]](Set.empty)
+
+  /** Parse ES duration literals ("30s", "1m", "100ms", "2h"). */
+  private def parseKeepAlive(s: String): Long = {
+    val m = "^(\\d+)(ms|s|m|h)$".r.findFirstMatchIn(s.trim).getOrElse(
+      throw new IllegalArgumentException(s"bad keep_alive '$s'"))
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "ms" => n
+      case "s" => n * 1000L
+      case "m" => n * 60000L
+      case "h" => n * 3600000L
+    }
+  }
+
+  private def sweepExpiredPits(): Unit = {
+    val now = System.currentTimeMillis()
+    esPits.foreach { case (id, pit) =>
+      if (now - pit.lastTouch.get() > pit.keepAliveMs) esPits.remove(id)
+    }
+  }
   /** Fault knob: the next N `_search` requests carrying a non-empty
     * `search_after` answer 500 (one each). A client whose continuations
     * ride the retrying exchange recovers losslessly — the retried
     * request names the same page; the spec asserts value completeness. */
   val esPitFailSearchAfter = new AtomicInteger(0)
+  /** Fault knob: the next N PIT searches RENEW the context id (the
+    * shard-relocation shape — the response's pit_id differs and the old
+    * id dies). The documented client contract is to use the most
+    * recently returned pit_id; a client that keeps the open-time id
+    * 404s on its next continuation. */
+  val esPitRenewIds = new AtomicInteger(0)
 
   def register(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit =
     tables.put(name.toLowerCase, TableData(schema, rows))
@@ -558,7 +604,8 @@ object LoopbackRestServer {
       // real ES requires keep_alive on open (it bounds the snapshot's
       // server-side lifetime) — enforce, so a client that forgets it
       // breaks here instead of leaking contexts in production
-      if (parseQuery(ex.getRequestURI.getRawQuery).get("keep_alive").isEmpty) {
+      val keepAlive = parseQuery(ex.getRequestURI.getRawQuery).get("keep_alive")
+      if (keepAlive.isEmpty) {
         respond(ex, 400, "{\"error\":{\"type\":\"action_request_validation_exception\"," +
           "\"reason\":\"Validation Failed: 1: [keep_alive] is required;\"}}")
         return
@@ -568,11 +615,17 @@ object LoopbackRestServer {
       tables.get(name) match {
         case None => respond(ex, 404, s"no such index $name")
         case Some(TableData(schema, rows)) =>
+          sweepExpiredPits() // expiry is the cleanup mechanism, not the cap
           val id = s"graft-pit-${esPitSeq.incrementAndGet()}"
           if (esPits.size >= EsPitCap)
-            esPits.keys.toSeq.sortBy(_.stripPrefix("graft-pit-").toLong)
-              .headOption.foreach(esPits.remove) // evict the OLDEST context
-          esPits.put(id, EsPit(name, schema, rows.toIndexedSeq))
+            // backstop only (possible in theory under cap-many CONCURRENT
+            // live scans): shed the longest-idle context
+            esPits.toSeq.sortBy(_._2.lastTouch.get()).headOption
+              .foreach(kv => esPits.remove(kv._1))
+          esPits.put(id, EsPit(name, schema, rows.toIndexedSeq,
+            parseKeepAlive(keepAlive.get),
+            new AtomicLong(System.currentTimeMillis())))
+          esPitOpens.incrementAndGet()
           respond(ex, 200, s"""{"id":"$id"}""", "application/json")
       }
       return
@@ -805,6 +858,7 @@ object LoopbackRestServer {
         "or a point in time;\"}}")
       return
     }
+    esPitSearchIds.updateAndGet(_ + pitId)
     val sa = body.path("search_after")
     val hasAfter = !sa.isMissingNode && !sa.isNull && sa.size() > 0
     if (hasAfter && body.path("sort").isMissingNode) {
@@ -821,11 +875,15 @@ object LoopbackRestServer {
       respond(ex, 500, "injected failure")
       return
     }
-    esPits.get(pitId) match {
+    // a context whose keep_alive lapsed answers exactly like a missing
+    // one (that IS how a real cluster expires them)
+    esPits.get(pitId).filter(p =>
+        System.currentTimeMillis() - p.lastTouch.get() <= p.keepAliveMs) match {
       case None => respond(ex, 404,
         s"{\"error\":{\"type\":\"search_phase_execution_exception\"," +
           s"\"reason\":\"No search context found for id [$pitId]\"}}")
       case Some(pit) =>
+        pit.lastTouch.set(System.currentTimeMillis()) // search refreshes keep_alive
         // the fixture serves the one sort the client ships: _shard_doc
         // (real ES appends it as the tiebreak; a PIT scan sorts by it
         // alone). Anything else is out of the loopback's scope — refuse
@@ -837,30 +895,57 @@ object LoopbackRestServer {
             "the _shard_doc sort\"}")
           return
         }
-        // slice by snapshot position — stable and query-independent,
-        // the same tiling rule as the scroll arm, so slice unions are
-        // exactly the hit set
-        val withIdx = pit.rows.zipWithIndex
         val sliceNode = body.path("slice")
-        val sliced =
-          if (sliceNode.isMissingNode) withIdx
-          else {
-            val id = sliceNode.path("id").asInt()
-            val max = sliceNode.path("max").asInt()
-            if (max < 2 || id < 0 || id >= max)
-              throw new IllegalArgumentException(
-                s"slice id must be in [0, max) and max > 1: id=$id max=$max")
-            withIdx.filter(_._2 % max == id)
-          }
+        if (!sliceNode.isMissingNode) {
+          val id = sliceNode.path("id").asInt()
+          val max = sliceNode.path("max").asInt()
+          if (max < 2 || id < 0 || id >= max)
+            throw new IllegalArgumentException(
+              s"slice id must be in [0, max) and max > 1: id=$id max=$max")
+        }
         val query = body.path("query")
-        val matched =
+        // the snapshot is immutable, so the (slice, query)-filtered row
+        // list is computed ONCE and every continuation is a positional
+        // drop on the cached vector — not an O(snapshot) re-filter per
+        // page (a deep scan makes hundreds of continuation requests).
+        // Slicing is by snapshot position — stable, query-independent,
+        // the same tiling rule as the scroll arm, so slice unions are
+        // exactly the hit set.
+        val cacheKey = s"${sliceNode.toString}|${query.toString}"
+        val matched = pit.matchedCache.getOrElseUpdate(cacheKey, {
+          val withIdx = pit.rows.zipWithIndex
+          val sliced =
+            if (sliceNode.isMissingNode) withIdx
+            else {
+              val max = sliceNode.path("max").asInt()
+              val id = sliceNode.path("id").asInt()
+              withIdx.filter(_._2 % max == id)
+            }
           if (query.isMissingNode) sliced
           else sliced.filter { case (r, _) => EsDsl.eval(query, r, pit.schema) }
+        })
         val after = if (hasAfter) sa.get(0).asLong() else -1L
         val size = math.max(1, body.path("size").asInt(10))
-        val page = matched.iterator.filter(_._2 > after).take(size).toSeq
+        // matched is ascending by snapshot position: binary-search the
+        // cursor so a continuation costs O(log n + page), not O(n)
+        var lo = 0
+        var hi = matched.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (matched(mid)._2 <= after) lo = mid + 1 else hi = mid
+        }
+        val page = matched.slice(lo, lo + size)
+        // injected shard relocation: the context migrates to a NEW id —
+        // the response carries it and the old id is dead from here on
+        val effectiveId =
+          if (esPitRenewIds.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+            val renewed = s"graft-pit-${esPitSeq.incrementAndGet()}"
+            esPits.put(renewed, pit)
+            esPits.remove(pitId)
+            renewed
+          } else pitId
         val resp = M.createObjectNode()
-        resp.put("pit_id", pitId)
+        resp.put("pit_id", effectiveId)
         val hits = resp.putObject("hits")
         hits.putObject("total").put("value", matched.size)
         val arr = hits.putArray("hits")

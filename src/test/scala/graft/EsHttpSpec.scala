@@ -426,6 +426,58 @@ class EsHttpSpec extends AnyFunSuite {
     assert(e.getMessage.contains("No search context found"))
   }
 
+  test("a sliced scan shares ONE point-in-time: the slice union is a snapshot") {
+    val t = slicedTable("pit_shared", 3, pageSize = 32)
+    LoopbackRestServer.esPitSearchIds.set(Set.empty)
+    val got = spark.table(t).select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == rows.map(_(0).asInstanceOf[Long]).sorted)
+    // opens alone can't prove sharing (Spark may plan the batch twice and
+    // the surplus context is never paged) — assert on the ids SEARCHED
+    assert(LoopbackRestServer.esPitSearchIds.get().size == 1,
+      "3 slice tasks must page ONE shared PIT (per-slice opens would " +
+        "snapshot the index at different instants — a torn read)")
+  }
+
+  test("the client adopts a renewed pit_id mid-scan (shard relocation)") {
+    val t = slicedTable("pit_renew", 1, pageSize = 16)
+    LoopbackRestServer.esPitRenewIds.set(3)
+    try {
+      // three continuations migrate the context to a fresh id each; a
+      // client still naming the open-time id would 404 on the next page
+      val got = spark.table(t).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == rows.map(_(0).asInstanceOf[Long]).sorted,
+        "the scan must follow the renewed ids losslessly")
+      assert(LoopbackRestServer.esPitRenewIds.get() == 0,
+        "the renewal knob must actually have fired")
+    } finally LoopbackRestServer.esPitRenewIds.set(0)
+  }
+
+  test("a PIT expires after keep_alive lapses; searches refresh the deadline") {
+    val name = "pit_ttl"
+    LoopbackRestServer.register(name, schema, rows)
+    val base = LoopbackRestServer.ensureStarted()
+    val client = new HttpRestClient(base, HttpRestConfig(maxRetries = 0))
+    val M = EsDsl.M
+    val pid = M.readTree(client.postJson(s"/es/$name/_pit", "",
+      Map("keep_alive" -> "150ms"))).path("id").asText()
+    // within keep_alive: alive (and the search refreshes the deadline)
+    assert(M.readTree(client.postJson("/es/_search",
+      s"""{"pit":{"id":"$pid"},"size":1}"""))
+      .path("hits").path("total").path("value").asInt() == rows.size)
+    Thread.sleep(300)
+    // lapsed: the context answers exactly like a missing one
+    val e = intercept[Exception](client.postJson("/es/_search",
+      s"""{"pit":{"id":"$pid"},"size":1}"""))
+    assert(e.getMessage.contains("No search context found"))
+  }
+
+  test("paging is validated at construction, not at first failing scan") {
+    val base = LoopbackRestServer.ensureStarted()
+    val e = intercept[IllegalArgumentException](
+      EsEndpointSpec(base, "whatever", HttpRestConfig(), paging = "PIT"))
+    assert(e.getMessage.contains("paging must be 'pit' or 'scroll'"))
+  }
+
   test("the server enforces the real PIT request contract") {
     val name = "pit_contract"
     LoopbackRestServer.register(name, schema, rows)
