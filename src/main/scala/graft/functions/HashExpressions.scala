@@ -85,6 +85,21 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_hashes"
 }
 
+/** deflate_len(string) → BIGINT: zlib-deflated byte length of the UTF-8
+  * text (level 6). The compressibility ratio deflate_len/octet_length is
+  * the Gopher/RefinedWeb-family repetition signal: templated or repeated
+  * text compresses far below natural prose. Codegen'd; the deflater is
+  * a per-thread native handle reused across rows. */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextHash.deflateLenU(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.deflateLenU($c)")
+  override protected def withNewChildInternal(c: Expression): DeflateLen = copy(c)
+  override def prettyName: String = "deflate_len"
+}
+
 /** Column-level API for the hash expressions.
   *
   * `ensure(spark)` registers the expressions in the session's
@@ -152,7 +167,8 @@ object HashFunctions {
       ShingleHashes(str(a.head), intArg(a(1), "shingle_hashes"))),
     "bloom_build" -> (a =>
       BloomBuildAgg(i64(a.head), longArg(a(1), "bloom_build"), intArg(a(2), "bloom_build"))),
-    "bloom_contains" -> (a => BloomMightContain(a.head, i64(a(1)))))
+    "bloom_contains" -> (a => BloomMightContain(a.head, i64(a(1)))),
+    "deflate_len" -> (a => DeflateLen(str(a.head))))
 
   def ensure(spark: SparkSession): Unit = if (ensured.add(spark)) {
     val reg = spark.sessionState.functionRegistry
@@ -195,4 +211,5 @@ object HashFunctions {
   def bloom_contains(bloom: Column, h: Column): Column = {
     ready(); call_function("bloom_contains", bloom, h)
   }
+  def deflate_len(c: Column): Column = { ready(); call_function("deflate_len", c) }
 }

@@ -127,6 +127,30 @@ object TextHash {
 
   def polyHashU(s: UTF8String): Long = polyHash(s.toString)
 
+  /** Per-thread reused zlib deflater (level 6, zlib framing): a Deflater
+    * holds native state and allocating one per row would dominate the
+    * hot path — reset() recycles it for the next row. */
+  private val deflaters = ThreadLocal.withInitial[java.util.zip.Deflater](
+    () => new java.util.zip.Deflater(6))
+
+  /** Deflated byte length of the UTF-8 text — the compressibility
+    * quality signal (highly compressible ⇒ repetitive/templated text;
+    * the Gopher/RefinedWeb-family "compression ratio" filter). Only the
+    * LENGTH is kept; the compressed bytes are thrown away as they
+    * stream out of the native deflater. */
+  def deflateLen(bytes: Array[Byte]): Long = {
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var total = 0L
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
+  def deflateLenU(s: UTF8String): Long = deflateLen(s.getBytes)
+
   def minHashSigU(s: UTF8String, k: Int, n: Int): ArrayData =
     new GenericArrayData(minHashSig(s.toString, k, n))
 

@@ -319,6 +319,33 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Compressibility quality signal (the Gopher/RefinedWeb-family
+    // "compression ratio" filter): zlib-deflate each document and keep
+    // the ratio — templated/repeated text compresses far below natural
+    // prose, so a low ratio flags boilerplate the n-gram rules miss.
+    // deflate_len is a native codegen'd expression (per-thread reused
+    // deflater, no UDF boxing); like q_cardinality, the zlib-dependent
+    // values verify as tolerance BOOLEANS the oracle pins to TRUE:
+    // ratio_ok bounds the length (zlib worst case is input + small
+    // overhead), repetition_responsive proves the per-row signal reacts
+    // to duplication (text||text must deflate well under 2x one copy).
+    // Scale: one codegen'd projection, no shuffle.
+    GQuery(
+      "q_text_compress_ratio",
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+        |       TRUE AS ratio_ok, TRUE AS repetition_responsive
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      HashFunctions.ensure(s)
+      val dl = HashFunctions.deflate_len(col("text"))
+      val dl2 = HashFunctions.deflate_len(concat(col("text"), col("text")))
+      docs(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          (dl > 0 && dl <= octet_length(col("text")) + 64).as("ratio_ok"),
+          (dl2 < dl * 2).as("repetition_responsive"))
+        .orderBy("doc_id")
+    },
+
     // BPE tokenizer training (byte-pair encoding merges): the canonical
     // subword-vocabulary trainer, run as a real distributed pipeline.
     //   - ONE corpus pass builds the weighted word vocabulary (clean
