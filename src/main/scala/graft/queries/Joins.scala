@@ -114,6 +114,41 @@ object Joins {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // TPC-H Q18 (large-volume customers): the agg-THEN-join stress shape —
+    // lineitem pre-aggregates per order (map-side-combined, one shuffle on
+    // l_orderkey), the HAVING filter shrinks the fact side to the rare
+    // heavy orders BEFORE any join, then orders joins on the same key
+    // (AQE re-plans the post-filter side to a broadcast) and the top-100
+    // lands as TakeOrdered, never a global sort. Aggregating after the
+    // 3-way join instead would shuffle the full lineitem x orders row set.
+    GQuery(
+      "q18_large_orders",
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |       o.o_totalprice, CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 250)
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      val l = Tables.load(s, d, "lineitem")
+      val heavy = l.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 250)
+      val o = Tables.load(s, d, "orders")
+      val c = Tables.load(s, d, "customer")
+      heavy
+        .join(o, heavy("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("total_qty").cast("long").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
     GQuery(
       "q_join_left",
       """SELECT n.n_name, count(s.s_suppkey) AS n_supp
