@@ -29,6 +29,11 @@ object ClusterSmoke {
     "q_src_rest", "q_src_join_hetero", "q_src_csv_pushdown",
     "q_src_mongo_find", "q_src_cql_key", "q_src_bq_wire", "q_src_ds_query",
     "q_src_bt_range", "q_src_es_query", "q_src_kube",
+    // r11: the PIT deep-page scan crosses REAL JVM boundaries here — the
+    // point-in-time is opened on the DRIVER and its id ships inside the
+    // serialized partitions to executor JVMs, which page it over TCP;
+    // Mongo rides OP_COMPRESSED from the executor side
+    "q_src_es_deep_page", "q18_large_orders",
     // scale family
     "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_incremental",
     "q_kmeans", "q_curation_domain_cap", "q_text_bpe_encode",
