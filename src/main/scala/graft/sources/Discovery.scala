@@ -391,11 +391,12 @@ object WireSources {
         d.prop("url"); d.intProp("fanout", 1)
         // paging: "pit" (default; deep-pagination, retry-safe) or
         // "scroll" (the legacy arm for pre-7.10 clusters, which reject
-        // POST /{index}/_pit) — anything else is a config error HERE
-        val pg = d.props.getOrElse("paging", "pit")
-        if (pg != "pit" && pg != "scroll")
+        // POST /{index}/_pit) — anything else is a config error HERE.
+        // One whitelist, shared with EsEndpointSpec's construction check.
+        val pg = d.props.getOrElse("paging", EsEndpointSpec.DefaultPaging)
+        if (!EsEndpointSpec.PagingModes.contains(pg))
           throw new IllegalArgumentException(
-            s"paging must be 'pit' or 'scroll', got '$pg'")
+            s"paging must be one of ${EsEndpointSpec.PagingModes.mkString("'", "'/'", "'")}, got '$pg'")
       case "bigtable" => d.prop("url"); d.intProp("fanout", 1)
       case "bigquery" | "datastore" | "kube" => d.prop("url")
       case "mongo" => d.prop("host"); d.intProp("port", 27017)
@@ -465,7 +466,7 @@ object WireSources {
           EsDiscovery.mappingSchema(client, table),
           EsEndpointSpec(d.prop("url"), table, restCfg(d),
             slices = d.intProp("fanout", 1),
-            paging = d.props.getOrElse("paging", "pit"))))
+            paging = d.props.getOrElse("paging", EsEndpointSpec.DefaultPaging))))
       case "mongo" =>
         // no split metadata at runtime registration (a real deployment
         // reads chunk boundaries from the config servers) — fan-out

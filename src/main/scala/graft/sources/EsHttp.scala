@@ -238,12 +238,20 @@ object EsDsl {
   *     continuations must not retry) with from/size for single-stream
   *     reads — kept for pre-PIT clusters (< ES 7.10). */
 final case class EsEndpointSpec(baseUrl: String, table: String, cfg: HttpRestConfig,
-    slices: Int = 1, cardinalityThreshold: Int = 40000, paging: String = "pit") {
+    slices: Int = 1, cardinalityThreshold: Int = 40000,
+    paging: String = EsEndpointSpec.DefaultPaging) {
   // stringly-typed discriminator: an unknown value would silently fall
   // through to the legacy arms (and from/size would reintroduce the
   // max_result_window cap on deep scans) — refuse at construction
-  require(paging == "pit" || paging == "scroll",
-    s"paging must be 'pit' or 'scroll', got '$paging'")
+  require(EsEndpointSpec.PagingModes.contains(paging),
+    s"paging must be one of ${EsEndpointSpec.PagingModes.mkString("'", "'/'", "'")}, " +
+      s"got '$paging'")
+}
+
+object EsEndpointSpec {
+  /** The one whitelist CREATE SOURCE validation and construction share. */
+  val PagingModes: Set[String] = Set("pit", "scroll")
+  val DefaultPaging = "pit"
 }
 
 final case class EsEndpoint(source: String, table: String, schema: StructType,
@@ -509,9 +517,14 @@ final case class EsPartition(spec: EsEndpointSpec, dslBody: String,
     pitId: Option[String] = None) extends InputPartition
 
 object EsScan {
-  /** PIT keep_alive: refreshed by every page request, so it only has to
-    * outlive the LONGEST GAP between pages of one scan, not the scan. */
-  val PitKeepAlive = "1m"
+  /** PIT keep_alive: refreshed by every page request, so it has to
+    * outlive the longest GAP between touches, not the scan — and the
+    * first gap is planning→first-task-launch (the PIT opens at
+    * planInputPartitions; on a queued cluster the scan stage may not
+    * start for a while). 5m covers realistic stage-queueing delay; a
+    * scan stalled longer fails with the real 404 (retries can't help —
+    * the snapshot is gone by definition) and the query re-runs. */
+  val PitKeepAlive = "5m"
 }
 
 class EsReaderFactory extends PartitionReaderFactory {

@@ -935,13 +935,17 @@ object LoopbackRestServer {
           if (matched(mid)._2 <= after) lo = mid + 1 else hi = mid
         }
         val page = matched.slice(lo, lo + size)
-        // injected shard relocation: the context migrates to a NEW id —
-        // the response carries it and the old id is dead from here on
+        // injected shard relocation: the context gets a NEW id carried in
+        // the response. The OLD id stays valid as an alias of the same
+        // context (both map to the same EsPit) — the real contract: a
+        // renewed id is the one to prefer for longevity, but sibling
+        // slices of a shared PIT may still hold an earlier generation
+        // and must not 404. The spec asserts the client ADOPTS the new
+        // id (lastBody), not that the old one dies instantly.
         val effectiveId =
           if (esPitRenewIds.getAndUpdate(n => math.max(0, n - 1)) > 0) {
             val renewed = s"graft-pit-${esPitSeq.incrementAndGet()}"
             esPits.put(renewed, pit)
-            esPits.remove(pitId)
             renewed
           } else pitId
         val resp = M.createObjectNode()

@@ -441,14 +441,34 @@ class EsHttpSpec extends AnyFunSuite {
   test("the client adopts a renewed pit_id mid-scan (shard relocation)") {
     val t = slicedTable("pit_renew", 1, pageSize = 16)
     LoopbackRestServer.esPitRenewIds.set(3)
+    LoopbackRestServer.esPitSearchIds.set(Set.empty)
     try {
-      // three continuations migrate the context to a fresh id each; a
-      // client still naming the open-time id would 404 on the next page
+      // three early responses renew the context id; the documented
+      // contract is to use the most recently returned id from then on
       val got = spark.table(t).select("id").collect().map(_.getLong(0)).sorted
       assert(got.toSeq == rows.map(_(0).asInstanceOf[Long]).sorted,
         "the scan must follow the renewed ids losslessly")
       assert(LoopbackRestServer.esPitRenewIds.get() == 0,
         "the renewal knob must actually have fired")
+      // adoption is visible in the ids the SEARCHES named: the open-time
+      // id plus each renewed generation (a client that ignored renewals
+      // would have used exactly one id for all 13 pages)
+      assert(LoopbackRestServer.esPitSearchIds.get().size == 4,
+        s"expected 4 id generations, saw ${LoopbackRestServer.esPitSearchIds.get()}")
+    } finally LoopbackRestServer.esPitRenewIds.set(0)
+  }
+
+  test("renewals under a SLICED scan: sibling slices on older ids survive") {
+    val t = slicedTable("pit_renew_sl", 3, pageSize = 16)
+    LoopbackRestServer.esPitRenewIds.set(2)
+    try {
+      // a renewal triggered by one slice must not kill the shared
+      // context under its siblings: the old id stays a valid alias of
+      // the same snapshot (the real contract — renewed ids are for
+      // longevity, earlier generations don't die instantly)
+      val got = spark.table(t).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == rows.map(_(0).asInstanceOf[Long]).sorted,
+        "slices holding pre-renewal ids must keep paging losslessly")
     } finally LoopbackRestServer.esPitRenewIds.set(0)
   }
 
@@ -458,13 +478,15 @@ class EsHttpSpec extends AnyFunSuite {
     val base = LoopbackRestServer.ensureStarted()
     val client = new HttpRestClient(base, HttpRestConfig(maxRetries = 0))
     val M = EsDsl.M
+    // 2s: wide enough that open->first-search can't spuriously lapse
+    // under CI load (GC/JIT pauses), short enough to test expiry fast
     val pid = M.readTree(client.postJson(s"/es/$name/_pit", "",
-      Map("keep_alive" -> "150ms"))).path("id").asText()
+      Map("keep_alive" -> "2s"))).path("id").asText()
     // within keep_alive: alive (and the search refreshes the deadline)
     assert(M.readTree(client.postJson("/es/_search",
       s"""{"pit":{"id":"$pid"},"size":1}"""))
       .path("hits").path("total").path("value").asInt() == rows.size)
-    Thread.sleep(300)
+    Thread.sleep(2600)
     // lapsed: the context answers exactly like a missing one
     val e = intercept[Exception](client.postJson("/es/_search",
       s"""{"pit":{"id":"$pid"},"size":1}"""))
@@ -475,7 +497,7 @@ class EsHttpSpec extends AnyFunSuite {
     val base = LoopbackRestServer.ensureStarted()
     val e = intercept[IllegalArgumentException](
       EsEndpointSpec(base, "whatever", HttpRestConfig(), paging = "PIT"))
-    assert(e.getMessage.contains("paging must be 'pit' or 'scroll'"))
+    assert(e.getMessage.contains("paging must be one of"))
   }
 
   test("the server enforces the real PIT request contract") {
