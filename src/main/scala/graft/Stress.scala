@@ -279,7 +279,11 @@ object Stress {
       // disjoint user replicas, SCD2 snapshot merge
       "q_events_funnel", "q_cdc_scd2",
       // round-10: partitioned wire scans (flat per-task contract)
-      "q_src_wire_scan", "q_src_wire_es_scan")
+      "q_src_wire_scan", "q_src_wire_es_scan",
+      // round-11: URL canonicalization dedup, epoch shuffle, and the two
+      // text quality signals (rule flags + zlib compressibility)
+      "q_dedup_url", "q_curation_epoch_shuffle",
+      "q_text_gopher_rules", "q_text_compress_ratio")
     // optional comma-separated subset for fast local iteration; the
     // driver never sets it → full sweep
     val ops = sys.env.get("SPARK_GRAFT_STRESS_OPS")
@@ -381,7 +385,26 @@ object Stress {
       "q_src_wire_scan" -> defB.copy(time = 6.0, linearRows = false),
       // r10: the same contract through ES sliced scroll — slice count
       // scales with the corpus, each slice pages its own cursor
-      "q_src_wire_es_scan" -> defB.copy(time = 6.0, linearRows = false))
+      "q_src_wire_es_scan" -> defB.copy(time = 6.0, linearRows = false),
+      // r11: canonical-URL groups are a FIXED key space (the key derives
+      // from doc_id residues the replica offsets permute within), so
+      // output rows are corpus-size-independent; the one exchange keys
+      // on the canonical value — metadata-sized next to the corpus
+      "q_dedup_url" -> defB.copy(linearRows = false),
+      // r11: shard assignment is a projection; the per-shard rank window
+      // exchanges (doc_id, hash, shard) triples ACROSS the whole corpus —
+      // a corpus-sized exchange BY DESIGN (measured 2.0x per task at 10x
+      // under the fixed 16-shard gate layout; shard count is the
+      // production scaling knob — 4 hex digits = 65 536 partitions keeps
+      // every shard executor-sized)
+      "q_curation_epoch_shuffle" -> defB.copy(corpusShuffle = true),
+      // r11: one-pass token projections over the replica payloads, which
+      // carry the ~1.5x char interleave inflation like lm_score/dsir —
+      // same declared headroom as those text ops
+      "q_text_gopher_rules" -> defB.copy(time = 8.0),
+      // r11: deflate is linear in input BYTES, so the interleave
+      // inflation applies directly; per-row zlib otherwise flat
+      "q_text_compress_ratio" -> defB.copy(time = 8.0))
 
     final case class Obs(sec: Double, rows: Long, maxInMb: Double, maxShMb: Double,
         top: Seq[(Int, String, Long, Long)])
