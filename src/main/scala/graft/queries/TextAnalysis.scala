@@ -352,6 +352,56 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Unigram token-distribution entropy — the vocabulary-diversity
+    // quality signal (low entropy = a few tokens dominate = templated/
+    // spammy text; complements the zlib ratio, which sees ORDER as well
+    // as distribution). Determinism across engines follows the
+    // q_text_lm_score recipe: each distinct token's ln(n/k) is rounded
+    // to integer MILLINATS first, the per-doc sum Σ k·m is then exact
+    // integer arithmetic, and the per-token mean rounds in integer
+    // space. Scale: one exchange on (doc_id, token) for the counts, a
+    // second metadata-sized one on doc_id for the roll-up.
+    GQuery(
+      "q_text_token_entropy",
+      s"""WITH
+         |${OracleFragments.tok},
+         |tc AS (
+         |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS k
+         |  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY 1, 2),
+         |tn AS (
+         |  SELECT doc_id, t, k, CAST(sum(k) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+         |  FROM tc),
+         |tm AS (
+         |  SELECT doc_id, n, k,
+         |         CAST(round(1000 * ln(CAST(n AS DOUBLE) / CAST(k AS DOUBLE)))
+         |              AS BIGINT) AS m
+         |  FROM tn)
+         |SELECT doc_id,
+         |       CAST(max(n) AS BIGINT) AS n_tokens,
+         |       CAST(count(*) AS BIGINT) AS n_distinct_toks,
+         |       CAST(sum(k * m) AS BIGINT) AS h_millinat_sum,
+         |       CAST(round(CAST(sum(k * m) AS DOUBLE) * 1000 / max(n)) AS BIGINT)
+         |         AS h_per_tok_micro
+         |FROM tm GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).cast("long").as("k"))
+      val withN = counts.withColumn("n",
+        sum(col("k")).over(Window.partitionBy("doc_id")).cast("long"))
+      withN
+        .withColumn("m",
+          round(lit(1000d) * log(col("n").cast("double") / col("k").cast("double")))
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(max(col("n")).cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("n_distinct_toks"),
+          sum(col("k") * col("m")).cast("long").as("h_millinat_sum"),
+          round(sum(col("k") * col("m")).cast("double") * lit(1000) / max(col("n")))
+            .cast("long").as("h_per_tok_micro"))
+        .orderBy("doc_id")
+    },
+
     // BPE tokenizer training (byte-pair encoding merges): the canonical
     // subword-vocabulary trainer, run as a real distributed pipeline.
     //   - ONE corpus pass builds the weighted word vocabulary (clean
