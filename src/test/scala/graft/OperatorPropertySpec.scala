@@ -157,4 +157,39 @@ class OperatorPropertySpec extends AnyFunSuite {
     val c = graft.queries.VectorOps.probeIterate(gm(10000000000L), bv(1000000000L), d)
     assert(a.toSeq == c.toSeq, s"${a.mkString(",")} vs ${c.mkString(",")}")
   }
+
+  // ---- r11: partition-layout invariance of the new shuffle-bearing ops.
+  // The DuckDB gate runs ONE partition layout; a result that depends on
+  // how rows happened to land in tasks (non-deterministic tie-breaks,
+  // per-partition state bleed) would still hash-match there. These pin
+  // layout-independence directly.
+
+  private def collectCanon(name: String, parts: Int): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("q_curation_epoch_shuffle: the permutation is layout-invariant") {
+    // the epoch shuffle's whole contract is seeded reproducibility — the
+    // same seed must yield the identical (doc -> shard, pos) assignment
+    // on ANY cluster size / shuffle-partition layout
+    assert(collectCanon("q_curation_epoch_shuffle", 1) ==
+      collectCanon("q_curation_epoch_shuffle", 13))
+  }
+
+  test("q_dedup_url: keep-best winners are layout-invariant (deterministic ties)") {
+    // the argmax tie-break is (n_chars DESC, doc_id ASC) — fully ordered,
+    // so the surviving doc per canonical URL cannot depend on which task
+    // saw which rows
+    assert(collectCanon("q_dedup_url", 1) == collectCanon("q_dedup_url", 13))
+  }
+
+  test("q_text_token_entropy: millinat sums are layout-invariant") {
+    // integer millinat terms summed with exact integer arithmetic — no
+    // float-order sensitivity may leak in from the aggregation layout
+    assert(collectCanon("q_text_token_entropy", 1) ==
+      collectCanon("q_text_token_entropy", 13))
+  }
 }
