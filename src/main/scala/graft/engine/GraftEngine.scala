@@ -189,8 +189,10 @@ class GraftEngine(val spark: SparkSession) {
           } catch { case e: Throwable =>
             graft.sources.WireSources.drop(name)
             graft.sources.SourceRegistry.drop(name)
+            // the prior source may have been a plain FILE source
+            // (prevWire=None) — its registry entry must come back either way
+            prevSrc.foreach(graft.sources.SourceRegistry.register)
             prevWire.foreach { od =>
-              prevSrc.foreach(graft.sources.SourceRegistry.register)
               graft.sources.WireSources.register(od)
               try graft.sources.WireSources.discoverAll(od)
               catch { case _: Throwable => () } // lazy resolution can recover

@@ -135,11 +135,26 @@ object CqlGen {
     case StringType => T.Varchar
     // scalar-element collections (the reference's coverage,
     // cassandra/source.go:202-255): Spark arrays ride as CQL lists
-    // (both ordered), maps as maps
-    case org.apache.spark.sql.types.ArrayType(et, _) => T.listOf(typeId(et))
+    // (both ordered), maps as maps. Element ids must fit the packed
+    // wire fields (16-bit list elem, 8-bit map key/value) — a nested
+    // collection would overflow them into corrupt metadata, so refuse
+    // loudly like every other unsupported type.
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      T.listOf(scalarId(et, dt))
     case org.apache.spark.sql.types.MapType(kt, vt, _) =>
-      T.mapOf(typeId(kt), typeId(vt))
+      T.mapOf(scalarId(kt, dt), scalarId(vt, dt))
     case other => throw new IllegalArgumentException(s"no CQL type for $other")
+  }
+
+  private def scalarId(et: DataType, whole: DataType): Int = et match {
+    case _: org.apache.spark.sql.types.ArrayType |
+         _: org.apache.spark.sql.types.MapType =>
+      throw new IllegalArgumentException(
+        s"nested CQL collections unsupported: $whole")
+    case dt =>
+      val id = typeId(dt)
+      require(id <= 0xFF, s"non-scalar CQL collection element in $whole")
+      id
   }
 }
 
@@ -504,18 +519,23 @@ object LoopbackCqlServer {
     * declared order with kind (partition_key | clustering | regular)
     * and the position within their key. */
   private val SysTablesRx =
-    """(?is)\s*SELECT\s+table_name\s+FROM\s+system_schema\.tables\s+WHERE\s+keyspace_name\s*=\s*'([^']*)'\s*;?\s*""".r
+    """(?is)\s*SELECT\s+table_name\s+FROM\s+system_schema\.tables\s+WHERE\s+keyspace_name\s*=\s*'((?:[^']|'')*)'\s*;?\s*""".r
   private val SysColumnsRx =
-    """(?is)\s*SELECT\s+column_name\s*,\s*kind\s*,\s*position\s*,\s*type\s+FROM\s+system_schema\.columns\s+WHERE\s+keyspace_name\s*=\s*'([^']*)'\s+AND\s+table_name\s*=\s*'([^']*)'\s*;?\s*""".r
+    """(?is)\s*SELECT\s+column_name\s*,\s*kind\s*,\s*position\s*,\s*type\s+FROM\s+system_schema\.columns\s+WHERE\s+keyspace_name\s*=\s*'((?:[^']|'')*)'\s+AND\s+table_name\s*=\s*'((?:[^']|'')*)'\s*;?\s*""".r
+
+  /** Undo the CQL '' string-literal escape a quote-scrupulous client sends. */
+  private def unq(lit: String): String = lit.replace("''", "'")
 
   private def systemSchemaQuery(f: Frame, cql: String): Option[Frame] = cql match {
-    case SysTablesRx(ks) =>
+    case SysTablesRx(ks0) =>
+      val ks = unq(ks0)
       val names =
         if (ks.equalsIgnoreCase(Keyspace)) tables.keys.toSeq.sorted else Nil
       Some(Frame(Op.Result, f.stream, CqlWire.rowsBody(
         "system_schema", "tables", Seq(("table_name", T.Varchar)),
         names.map(n => Array(CqlWire.encodeValue(n, T.Varchar))), null)))
-    case SysColumnsRx(ks, tbl) =>
+    case SysColumnsRx(ks0, tbl0) =>
+      val ks = unq(ks0); val tbl = unq(tbl0)
       val cols = Seq(("column_name", T.Varchar), ("kind", T.Varchar),
         ("position", T.Int), ("type", T.Varchar))
       val rows: Seq[Array[Array[Byte]]] =

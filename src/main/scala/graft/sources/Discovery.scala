@@ -213,10 +213,16 @@ object CqlDiscovery {
   final case class TableMeta(schema: StructType,
       partitionKeys: Seq[String], clusteringKeys: Seq[String])
 
+  /** CQL string-literal escape for identifiers interpolated into
+    * system_schema filters: names come from the server's own listing or
+    * user DDL, but discovery should be as quote-scrupulous as the scan
+    * path's conjunct splitter — double every single quote. */
+  private def q(s: String): String = s.replace("'", "''")
+
   def listTables(spec: CqlEndpointSpec, keyspace: String = "graft"): Seq[String] = {
     val client = new CqlClientLite(spec.host, spec.port, spec.cfg)
     try client.query(
-      s"SELECT table_name FROM system_schema.tables WHERE keyspace_name = '$keyspace'")
+      s"SELECT table_name FROM system_schema.tables WHERE keyspace_name = '${q(keyspace)}'")
       .map { case (cols, row) => CqlWire.decodeValue(row(0), cols(0)._2).toString }
       .toSeq
     finally client.close()
@@ -250,7 +256,7 @@ object CqlDiscovery {
     try {
       val rows = client.query(
         s"SELECT column_name, kind, position, type FROM system_schema.columns " +
-          s"WHERE keyspace_name = '$keyspace' AND table_name = '$table'")
+          s"WHERE keyspace_name = '${q(keyspace)}' AND table_name = '${q(table)}'")
         .map { case (cols, row) =>
           (CqlWire.decodeValue(row(0), cols(0)._2).toString,
             CqlWire.decodeValue(row(1), cols(1)._2).toString,

@@ -390,4 +390,21 @@ class CqlSourceSpec extends AnyFunSuite {
     assert(c.query("SELECT sub FROM pfx1 WHERE seg = 'A' AND id > 2").size == 30)
     c.close()
   }
+
+  test("typeId refuses nested collections instead of emitting corrupt ids") {
+    // scalar collections pack fine
+    assert(CqlWire.T.listOf(CqlGen.typeId(LongType)) ==
+      CqlGen.typeId(ArrayType(LongType)))
+    // nested collections would overflow the packed 16-bit/8-bit element
+    // fields — they must fail loudly, not silently corrupt wire metadata
+    val e1 = intercept[IllegalArgumentException](
+      CqlGen.typeId(ArrayType(ArrayType(LongType))))
+    assert(e1.getMessage.contains("nested CQL collections unsupported"))
+    val e2 = intercept[IllegalArgumentException](
+      CqlGen.typeId(MapType(StringType, ArrayType(LongType))))
+    assert(e2.getMessage.contains("nested CQL collections unsupported"))
+    val e3 = intercept[IllegalArgumentException](
+      CqlGen.typeId(ArrayType(MapType(StringType, LongType))))
+    assert(e3.getMessage.contains("nested CQL collections unsupported"))
+  }
 }

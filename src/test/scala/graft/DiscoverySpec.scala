@@ -171,6 +171,21 @@ class DiscoverySpec extends AnyFunSuite {
     assert(CqlDiscovery.listTables(spec, keyspace = "other_ks").isEmpty)
   }
 
+  test("CQL: identifiers with quotes survive system_schema interpolation") {
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    // a table name containing a single quote must round-trip through the
+    // discovery queries escaped ('' inside the literal), not break them
+    LoopbackCqlServer.register("disc'quoted", schema, Seq("k"), Nil,
+      Seq(Array[Any]("a", 1L)))
+    val (host, port) = LoopbackCqlServer.ensureStarted()
+    val spec = CqlEndpointSpec(host, port, "disc'quoted", CqlClientConfig(pageSize = 64))
+    assert(CqlDiscovery.listTables(spec).contains("disc'quoted"))
+    val meta = CqlDiscovery.tableMeta(spec, "disc'quoted")
+    assert(meta.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(meta.partitionKeys == Seq("k"))
+  }
+
   // ---- BT: cell guessing ----------------------------------------------------
 
   test("BT: cell scanning guesses long/double/bool and degrades mixed to string") {

@@ -347,4 +347,27 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 20L, "prior source still queryable")
     engine.sql("DROP SOURCE es_keep")
   }
+
+  test("failed wire CREATE SOURCE over an existing FILE source restores it") {
+    import graft.sources._
+    // the prior definition here is a plain file source (no wire def) —
+    // the rollback must reinstate its registry entry too, not just the
+    // wire->wire case
+    val p = new java.io.File(sys.props("user.dir"),
+      "target/graft-test/file-keep-src").getPath
+    engine.sql(s"""CREATE SOURCE file_keep WITH {"type": "csv", "path": "$p"}""")
+    val t = s"${SourceRegistry.CatalogName}.file_keep.kv"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a'), (2,'b')")
+    assert(spark.table(t).count() == 2L)
+    val url = LoopbackRestServer.ensureStarted()
+    intercept[IllegalArgumentException](engine.sql(
+      s"""CREATE SOURCE file_keep WITH {"protocol": "es", "url": "$url", "fanout": "four"}"""))
+    assert(SourceRegistry.get("file_keep").isDefined, "file source reinstated")
+    assert(WireSources.get("file_keep").isEmpty, "no phantom wire def")
+    assert(spark.table(t).count() == 2L, "prior file source still queryable")
+    spark.sql(s"DROP TABLE $t")
+    engine.sql("DROP SOURCE file_keep")
+  }
 }
