@@ -542,6 +542,35 @@ object Federation {
         .orderBy("s_suppkey")
     },
 
+    // CREATE SOURCE → REST discovery (the reference registers its Lytics
+    // backend through the SAME config/CREATE-source flow as every wire
+    // backend, models/config.go:34-49): the statement registers the API
+    // by URL alone, discovery reads the catalog route (listing names +
+    // each listing's declared filterable params), the schema live-samples
+    // through the widen lattice, and scans push param equalities as the
+    // query string. The OR tree here is outside the param surface, so it
+    // declines and Spark polyfills — the residual contract end-to-end
+    // against a runtime-registered endpoint.
+    GQuery(
+      "q_src_create_source_rest",
+      """SELECT r_regionkey, r_name FROM region
+        |WHERE r_regionkey = 2 OR r_regionkey = 0
+        |ORDER BY r_regionkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      if (graft.sources.RestEndpoints.get("rest_rt", "region_api").isEmpty) {
+        val reg = Tables.load(s, d, "region").select("r_regionkey", "r_name")
+        LoopbackRestServer.registerRestApi("region_api", reg.schema,
+          Set("r_regionkey"), reg.collect().map(_.toSeq.toArray).toSeq)
+        val url = LoopbackRestServer.ensureStarted()
+        new GraftEngine(s).sql(
+          s"""CREATE SOURCE rest_rt WITH {"protocol": "rest", "url": "$url"}""")
+      }
+      s.table(s"$C.rest_rt.region_api")
+        .filter(col("r_regionkey") === 2 || col("r_regionkey") === 0)
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+    },
+
     // MONGO-PROTOCOL scan over a real socket (reference: sql_to_mgo.go:
     // 441-637 compiles the WHERE tree into a bson filter document —
     // IN→$in, ranges→$gt/$lte, LIKE→regex, AND/OR→$and/$or — and ships

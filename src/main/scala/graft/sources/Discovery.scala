@@ -356,6 +356,31 @@ object DsDiscovery {
   }
 }
 
+/** REST discovery: the catalog route a Lytics-shaped listing API serves
+  * (`GET /t/` answers one JSON document per listing with its name and
+  * declared filterable params). The reference registers its Lytics
+  * backend through the same config/CREATE-source flow as every wire
+  * backend (`models/config.go:34-49`), and the filterable surface is the
+  * API's declared query params (`lytics/generator.go:96-111`) — so
+  * discovery here yields both the table list and each table's pushdown
+  * accept-list; schemas live-sample through the same widen lattice as
+  * Mongo ([[RestEndpoints.registerSampled]]). */
+object RestDiscovery {
+
+  /** (listing name, declared filterable params) per API. */
+  def listApis(client: HttpRestClient): Seq[(String, Set[String])] = {
+    val body = client.get("/t/", Map.empty)
+    body.linesIterator.filter(_.trim.nonEmpty).map { line =>
+      val n = EsDsl.M.readTree(line)
+      val name = Option(n.get("name")).map(_.asText()).getOrElse(
+        throw new IllegalArgumentException(s"REST listing entry without name: $line"))
+      val params = Option(n.get("params")).map(
+        _.elements().asScala.map(_.asText().toLowerCase).toSet).getOrElse(Set.empty)
+      (name, params)
+    }.toSeq
+  }
+}
+
 /** A runtime-registered WIRE source: protocol name + connection props
   * (the reference's `CREATE source ... WITH {json}` registration,
   * models/serverctx.go:136-188 — a backend registers and its tables
@@ -382,7 +407,8 @@ object WireSources {
 
   /** Protocols with a live discovery surface (listing + schema). */
   val Protocols: Set[String] =
-    Set("es", "mongo", "cassandra", "bigquery", "datastore", "bigtable", "kube")
+    Set("es", "mongo", "cassandra", "bigquery", "datastore", "bigtable",
+      "kube", "rest")
 
   private val defs = TrieMap.empty[String, WireSourceDef]
 
@@ -403,7 +429,7 @@ object WireSources {
         if (!EsEndpointSpec.PagingModes.contains(pg))
           throw new IllegalArgumentException(
             s"paging must be one of ${EsEndpointSpec.PagingModes.mkString("'", "'/'", "'")}, got '$pg'")
-      case "bigtable" => d.prop("url"); d.intProp("fanout", 1)
+      case "bigtable" | "rest" => d.prop("url"); d.intProp("fanout", 1)
       case "bigquery" | "datastore" | "kube" => d.prop("url")
       case "mongo" => d.prop("host"); d.intProp("port", 27017)
       case "cassandra" =>
@@ -420,6 +446,7 @@ object WireSources {
   def get(name: String): Option[WireSourceDef] = defs.get(name)
   def drop(name: String): Unit = {
     defs.remove(name)
+    RestEndpoints.dropSource(name)
     EsEndpoints.dropSource(name)
     MongoEndpoints.dropSource(name)
     CqlEndpoints.dropSource(name)
@@ -456,6 +483,9 @@ object WireSources {
     case "bigtable" => BtDiscovery.listTables(d.prop("url"), restCfg(d)).map(_._1)
     case "kube" => KubeTables.All.keys.toSeq.sorted // fixed typed surface
       // (url validated at registration like every connection prop)
+    case "rest" =>
+      RestDiscovery.listApis(new HttpRestClient(d.prop("url"), restCfg(d)))
+        .map(_._1)
     case other => throw new IllegalArgumentException(s"unknown protocol $other")
   }
 
@@ -509,6 +539,18 @@ object WireSources {
       case "kube" =>
         KubeEndpoints.register(KubeEndpoint(d.name, table.toLowerCase,
           KubeEndpointSpec(d.prop("url"), table.toLowerCase, restCfg(d))))
+      case "rest" =>
+        val client = new HttpRestClient(d.prop("url"), restCfg(d))
+        val params = RestDiscovery.listApis(client)
+          .find(_._1.equalsIgnoreCase(table)).map(_._2).getOrElse(Set.empty)
+        val path = s"/t/${table.toLowerCase}"
+        // schema live-samples the listing — an empty listing has nothing
+        // to sample yet and stays lazily discoverable, like Mongo
+        if (!client.pagedLines(path, Map("limit" -> "1")).hasNext)
+          throw new UndiscoverableTableException(
+            s"empty REST listing $table: no documents to sample")
+        RestEndpoints.registerHttp(d.name, table.toLowerCase, params, client,
+          path, schema = None, slices = d.intProp("fanout", 1))
       case other => throw new IllegalArgumentException(s"unknown protocol $other")
     }
     true

@@ -382,6 +382,18 @@ object LoopbackRestServer {
   private def esResolve(name: String): String =
     esAliases.getOrElse(name.toLowerCase, name.toLowerCase)
 
+  /** REST listing APIs (served by the catalog route `GET /t/`): the
+    * subset of registered tables that are REST-shaped listing APIs, each
+    * with its declared filterable params — the discovery surface a
+    * Lytics-shaped API exposes so a client can enumerate its listings
+    * and learn which query parameters each applies server-side. */
+  private val restApis = TrieMap.empty[String, Set[String]]
+  def registerRestApi(name: String, schema: StructType, params: Set[String],
+      rows: Seq[Array[Any]]): Unit = {
+    register(name, schema, rows)
+    restApis.put(name.toLowerCase, params.map(_.toLowerCase))
+  }
+
   /** BigQuery dataset tables (served by the tables.list/tables.get
     * shaped GETs on /bq/): the subset that are BQ tables. */
   private val bqDatasets = TrieMap.empty[String, Boolean]
@@ -529,6 +541,19 @@ object LoopbackRestServer {
     val name = ex.getRequestURI.getPath.stripPrefix("/t/").toLowerCase
     val q = parseQuery(ex.getRequestURI.getRawQuery)
     lastParams.set(q)
+    if (name.isEmpty) {
+      // catalog route: one JSON document per listing API with its name
+      // and declared filterable params (the discovery surface)
+      val M = EsDsl.M
+      val lines = restApis.toSeq.sortBy(_._1).map { case (n, ps) =>
+        val o = M.createObjectNode()
+        o.put("name", n)
+        val arr = o.putArray("params")
+        ps.toSeq.sorted.foreach(arr.add)
+        o.toString
+      }
+      respond(ex, 200, lines.mkString("\n")); return
+    }
     tables.get(name) match {
       case None => respond(ex, 404, s"no such table $name")
       case Some(TableData(schema, rows)) =>

@@ -76,6 +76,9 @@ object RestEndpoints {
   def drop(source: String, table: String): Boolean =
     endpoints.remove((source, table.toLowerCase)).isDefined
 
+  def dropSource(source: String): Unit =
+    endpoints.keys.filter(_._1 == source).foreach(endpoints.remove)
+
   /** Runtime schema inference by sampling the live endpoint (reference:
     * the Mongo backend guesses a table's schema from N sampled documents,
     * backends/mongo/mgo_source.go:269-311): pull up to `sampleN` rows

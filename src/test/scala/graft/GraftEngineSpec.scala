@@ -348,6 +348,34 @@ class GraftEngineSpec extends AnyFunSuite {
     engine.sql("DROP SOURCE es_keep")
   }
 
+  test("CREATE SOURCE rest: catalog-route discovery, sampled schema, param pushdown") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    import graft.sources._
+    val schema = StructType(Seq(
+      StructField("aid", LongType), StructField("seg", StringType)))
+    LoopbackRestServer.registerRestApi("cs_rest_api", schema, Set("seg"),
+      (0L until 40L).map(i => Array[Any](i, if (i % 2 == 0) "even" else "odd")))
+    val url = LoopbackRestServer.ensureStarted()
+    engine.sql(s"""CREATE SOURCE rest_cs WITH {"protocol": "rest", "url": "$url", "fanout": 2}""")
+    val listed = engine.sql(s"SHOW TABLES IN ${SourceRegistry.CatalogName}.rest_cs")
+      .collect().map(_.getString(1)).toSet
+    assert(listed.contains("cs_rest_api"), listed.toString)
+    // schema discovered by live-sampling the listing (no declared schema)
+    val ep = RestEndpoints.get("rest_cs", "cs_rest_api").get
+    assert(ep.schema("aid").dataType == LongType)
+    assert(ep.schema("seg").dataType == StringType)
+    assert(ep.slices == 2, "fanout prop flows into strided scan slices")
+    // the declared param ships as a query parameter the API applies
+    val df = spark.table(s"${SourceRegistry.CatalogName}.rest_cs.cs_rest_api")
+      .filter(col("seg") === "even")
+    assert(df.count() == 20L)
+    assert(LoopbackRestServer.lastParams.get().get("seg").contains("even"),
+      LoopbackRestServer.lastParams.get().toString)
+    engine.sql("DROP SOURCE rest_cs")
+    assert(RestEndpoints.get("rest_cs", "cs_rest_api").isEmpty, "DROP cleans endpoints")
+  }
+
   test("failed wire CREATE SOURCE over an existing FILE source restores it") {
     import graft.sources._
     // the prior definition here is a plain file source (no wire def) —
