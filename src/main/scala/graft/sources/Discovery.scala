@@ -205,6 +205,21 @@ object MongoDiscovery {
       }))
     } finally client.close()
   }
+
+  /** Scan fan-out metadata off the server itself: chunk boundaries over
+    * `key` from the splitVector command (the reference derives the same
+    * per-worker `$gte/$lt` partitions from declared table partition
+    * metadata, planner/sql_master.go:75-98 + sql_to_mgo.go:189-210).
+    * None when the server yields no interior points — a single-chunk
+    * collection scans as one partition, correctly. */
+  def splits(spec: MongoEndpointSpec, key: String,
+      chunkBytes: Long): Option[WireSplits] = {
+    val client = new MongoClientLite(spec.host, spec.port, spec.cfg)
+    try {
+      val pts = client.splitVector(spec.db, spec.collection, key, chunkBytes)
+      if (pts.isEmpty) None else Some(WireSplits(key, pts))
+    } finally client.close()
+  }
 }
 
 /** Cassandra discovery: system_schema read over the native protocol. */
@@ -431,7 +446,14 @@ object WireSources {
             s"paging must be one of ${EsEndpointSpec.PagingModes.mkString("'", "'/'", "'")}, got '$pg'")
       case "bigtable" | "rest" => d.prop("url"); d.intProp("fanout", 1)
       case "bigquery" | "datastore" | "kube" => d.prop("url")
-      case "mongo" => d.prop("host"); d.intProp("port", 27017)
+      case "mongo" =>
+        d.prop("host"); d.intProp("port", 27017); d.intProp("fanout", 0)
+        // split props parse HERE (a bad chunk size must fail the
+        // statement, not some table's first discovery)
+        d.props.get("split_chunk_bytes").foreach { v =>
+          if (v.trim.toLong <= 0) throw new IllegalArgumentException(
+            "split_chunk_bytes must be positive")
+        }
       case "cassandra" =>
         d.prop("host"); d.intProp("port", 9042); d.intProp("fanout", 1)
       case other =>
@@ -504,12 +526,25 @@ object WireSources {
             slices = d.intProp("fanout", 1),
             paging = d.props.getOrElse("paging", EsEndpointSpec.DefaultPaging))))
       case "mongo" =>
-        // no split metadata at runtime registration (a real deployment
-        // reads chunk boundaries from the config servers) — fan-out
-        // stays available through the node_ct hint once splits exist
         val spec = mongoSpec(d, table)
-        MongoEndpoints.register(MongoEndpoint(d.name, table,
-          MongoDiscovery.inferSchema(spec), spec))
+        val schema = MongoDiscovery.inferSchema(spec)
+        // scan fan-out needs split metadata: the split KEY is declared
+        // per-source (the reference's config declares partition columns
+        // the same way, models/config.go partitionct/partitions), and the
+        // chunk BOUNDARIES come off the server's own splitVector command
+        val splits = mongoSplitKey(d, table, schema).flatMap(k =>
+          MongoDiscovery.splits(spec, k,
+            d.props.get("split_chunk_bytes").map(_.trim.toLong)
+              .getOrElse(64L * 1024 * 1024)))
+          // a declared fanout right-sizes the DEFAULT partition count
+          // (one per server chunk otherwise); node_ct still overrides
+          .map(ws => d.props.get("fanout").map(_.trim.toInt) match {
+            case Some(n) if n > 0 =>
+              ws.copy(points = WireFanout.thin(ws.points.toIndexedSeq, n))
+            case _ => ws
+          })
+        MongoEndpoints.register(MongoEndpoint(d.name, table, schema, spec,
+          splits = splits))
       case "cassandra" =>
         val ks = d.props.getOrElse("keyspace", "graft")
         val spec = cqlSpec(d, table)
@@ -569,6 +604,24 @@ object WireSources {
       try discover(d, t)
       catch { case _: UndiscoverableTableException => false })
   }
+
+  /** Resolve the declared split key for a Mongo collection: the
+    * `split_key` prop is a comma-separated list of `collection:field`
+    * entries; a bare `field` entry applies to every collection carrying
+    * that field. A key not present in the discovered schema is ignored
+    * (the collection scans single-partition rather than failing). */
+  private def mongoSplitKey(d: WireSourceDef, table: String,
+      schema: StructType): Option[String] =
+    d.props.get("split_key").flatMap { raw =>
+      val entries = raw.split(',').map(_.trim).filter(_.nonEmpty)
+      val specific = entries.collectFirst {
+        case e if e.contains(":") &&
+            e.split(":", 2)(0).trim.equalsIgnoreCase(table) =>
+          e.split(":", 2)(1).trim
+      }
+      specific.orElse(entries.find(!_.contains(":")))
+        .filter(k => schema.fieldNames.exists(_.equalsIgnoreCase(k)))
+    }
 
   private def restCfg(d: WireSourceDef) =
     HttpRestConfig(pageSize = d.intProp("page_size", 512))

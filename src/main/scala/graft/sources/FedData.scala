@@ -423,10 +423,15 @@ object FedData {
         val (host, port) = LoopbackMongoServer.ensureStarted()
         val spec = MongoEndpointSpec(host, port, LoopbackMongoServer.Db,
           "part_mongo", MongoClientConfig(batchSize = 512))
+        // split metadata read off the SERVER's own splitVector command
+        // (not derived fixture-side) — the same path CREATE SOURCE
+        // discovery rides; chunk size small enough that every sf yields
+        // interior points and WireFanout.thin right-sizes them per hint
         MongoEndpoints.register(MongoEndpoint(MongoSourceName, "part_mongo",
           MongoDiscovery.inferSchema(spec), spec,
-          splits = Some(WireSplits("p_partkey",
-            quantileSplits(rows.toSeq, part.schema, "p_partkey", 4)))))
+          splits = MongoDiscovery.splits(spec, "p_partkey",
+            chunkBytes = 16L * 1024).map(ws => ws.copy(points =
+              WireFanout.thin(ws.points.toIndexedSeq, 4)))))
       }
       // NESTED Mongo collection: real collections hold sub-documents;
       // sampling discovers them as REAL struct columns (BSON runtime

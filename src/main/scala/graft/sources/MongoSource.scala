@@ -366,6 +366,20 @@ final class MongoClientLite(host: String, port: Int,
       .filter(_.nonEmpty)
   }
 
+  /** Chunk boundaries over `key` from the server's own splitVector
+    * command (the public manual-splitting surface): interior split
+    * points for ~maxChunkSizeBytes chunks, in key order. Idempotent →
+    * transient failures retry. */
+  def splitVector(db: String, coll: String, key: String,
+      maxChunkSizeBytes: Long): Seq[Any] = {
+    val reply = roundTripRetrying(BDoc(Seq(
+      "splitVector" -> (s"$db.$coll": Any), "$db" -> ("admin": Any),
+      "keyPattern" -> (BDoc(Seq(key -> (1: java.lang.Integer))): Any),
+      "maxChunkSizeBytes" -> (maxChunkSizeBytes: java.lang.Long))))
+    reply.get("splitKeys").getOrElse(Seq.empty).asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[BDoc].fields.head._2)
+  }
+
   /** Run `find` and stream the cursor's documents. */
   def find(db: String, coll: String, filter: BDoc,
       projection: Option[BDoc] = None, sort: Option[BDoc] = None,
@@ -649,6 +663,47 @@ object LoopbackMongoServer {
           "ns" -> (Db + ".$cmd.listCollections"),
           "firstBatch" -> collections.keys.toSeq.sorted.map(n =>
             BDoc(Seq("name" -> (n: Any), "type" -> ("collection": Any)))))),
+        "ok" -> (1.0: java.lang.Double)))
+    // the real server's splitVector command (the public manual-splitting
+    // surface bulk readers derive co-reading key ranges from): walk the
+    // collection in key order accumulating encoded document sizes, and
+    // emit the key value that begins each new chunk once the running
+    // chunk exceeds maxChunkSizeBytes. Points are distinct and non-null
+    // (a server cannot split inside one key value; null/missing keys
+    // sort lowest and ride the first chunk).
+    case Some(("splitVector", ns)) =>
+      val collName = ns.toString.split('.').last
+      val coll = collections.getOrElse(collName.toLowerCase,
+        throw new NoSuchElementException(s"ns not found: $ns"))
+      val keyPattern = cmd.get("keyPattern").map(_.asInstanceOf[BDoc]).getOrElse(
+        throw new IllegalArgumentException("splitVector requires keyPattern"))
+      require(keyPattern.fields.size == 1, "only single-field keyPattern supported")
+      val key = keyPattern.fields.head._1
+      val ki = coll.schema.fieldNames.indexWhere(_.equalsIgnoreCase(key))
+      if (ki < 0) throw new IllegalArgumentException(
+        s"couldn't find index over splitting key { $key: 1.0 }")
+      val maxBytes = cmd.get("maxChunkSizeBytes")
+        .map(_.asInstanceOf[Number].longValue()).getOrElse(
+          throw new IllegalArgumentException("splitVector requires maxChunkSizeBytes"))
+      require(maxBytes > 0, "maxChunkSizeBytes must be positive")
+      val ordered = coll.snapshot.sorted(MongoDsl.sortComparator(
+        BDoc(Seq(key -> (1: java.lang.Integer))), coll.schema))
+      val points = Seq.newBuilder[Any]
+      var acc = 0L
+      var last: Option[Any] = None
+      ordered.foreach { r =>
+        val sz = Bson.encode(BDoc(coll.schema.fields.toSeq.zipWithIndex.map {
+          case (f, i) => f.name -> r(i)
+        })).length.toLong
+        if (acc + sz > maxBytes && acc > 0L && r(ki) != null && !last.contains(r(ki))) {
+          points += r(ki)
+          last = Some(r(ki))
+          acc = 0L
+        }
+        acc += sz
+      }
+      BDoc(Seq(
+        "splitKeys" -> (points.result().map(v => BDoc(Seq(key -> v))): Any),
         "ok" -> (1.0: java.lang.Double)))
     case Some((other, _)) => throw new IllegalArgumentException(s"unsupported command $other")
     case None => throw new IllegalArgumentException("empty command")

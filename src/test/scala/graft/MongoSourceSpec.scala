@@ -292,6 +292,66 @@ class MongoSourceSpec extends AnyFunSuite {
     assert(perPart.sum == all.size)
   }
 
+  test("splitVector answers key-ordered distinct non-null points sized by chunk") {
+    val name = "sv1"
+    LoopbackMongoServer.register(name, schema,
+      rows ++ Seq(Array[Any](null, "Z", "null_key", -1.0)))
+    val c = client()
+    val pts = c.splitVector(LoopbackMongoServer.Db, name, "id", 2048)
+    assert(pts.nonEmpty, "tiny chunks must yield interior points")
+    assert(pts.forall(_ != null), "null keys never become split points")
+    val ids = pts.map(_.asInstanceOf[Long])
+    assert(ids == ids.sorted && ids.distinct == ids, ids.toString)
+    // a chunk size above the whole collection: no interior points
+    assert(c.splitVector(LoopbackMongoServer.Db, name, "id", 1L << 30).isEmpty)
+    // coarser chunks -> fewer points (size-responsive, not row-count)
+    assert(c.splitVector(LoopbackMongoServer.Db, name, "id", 8192).size < pts.size)
+    // splitting over an unknown key: the real server's loud refusal
+    val e = intercept[java.io.IOException](
+      c.splitVector(LoopbackMongoServer.Db, name, "nope", 2048))
+    assert(e.getMessage.contains("splitting key"), e.getMessage)
+    c.close()
+  }
+
+  test("CREATE SOURCE mongo with split_key fans out discovered scans exactly-once") {
+    import graft.engine.GraftEngine
+    val name = "sv_disc"
+    val withNulls = rows ++ Seq(
+      Array[Any](null, "Z", "null_key_1", -1.0),
+      Array[Any](null, "Z", "null_key_2", -2.0))
+    LoopbackMongoServer.register(name, schema, withNulls)
+    val (host, port) = LoopbackMongoServer.ensureStarted()
+    val eng = new GraftEngine(spark)
+    eng.sql(s"""CREATE SOURCE mg_split WITH {"protocol": "mongo",
+      "host": "$host", "port": "$port", "tables_to_load": "$name",
+      "split_key": "id", "split_chunk_bytes": "4096"}""")
+    val ep = MongoEndpoints.get("mg_split", name).get
+    assert(ep.splits.isDefined && ep.splits.get.points.nonEmpty,
+      "discovery populates split metadata off the server")
+    assert(ep.splits.get.key == "id")
+    val parts = new MongoScanBuilder(ep).build().toBatch.planInputPartitions()
+    assert(parts.length >= 2, s"multi-partition plan, got ${parts.length}")
+    val t = s"${SourceRegistry.CatalogName}.mg_split.$name"
+    val df = spark.table(t)
+    assert(df.rdd.getNumPartitions == parts.length)
+    // exactly-once tiling incl. the null-key rows riding partition 0
+    assert(df.count() == withNulls.size.toLong)
+    assert(df.filter(col("id").isNull).count() == 2L)
+    val ids = df.filter(col("id").isNotNull)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq ==
+      withNulls.filter(_(0) != null).map(_(0).asInstanceOf[Long]).sorted)
+    // a declared fanout right-sizes the default partition count
+    eng.sql("DROP SOURCE mg_split")
+    eng.sql(s"""CREATE SOURCE mg_split WITH {"protocol": "mongo",
+      "host": "$host", "port": "$port", "tables_to_load": "$name",
+      "split_key": "id", "split_chunk_bytes": "4096", "fanout": "3"}""")
+    val ep2 = MongoEndpoints.get("mg_split", name).get
+    assert(ep2.splits.get.points.size == 2, "fanout=3 -> 2 interior points")
+    assert(new MongoScanBuilder(ep2).build().toBatch.planInputPartitions().length == 3)
+    eng.sql("DROP SOURCE mg_split")
+  }
+
   test("pushed filters AND into every partition's range filter") {
     val (t, all) = splitTable("fan2", Seq(100L, 200L, 300L))
     val got = spark.table(t).filter(col("seg") === "A" && col("bal") < 300.0)
