@@ -929,6 +929,47 @@ object Federation {
       s.table(t).orderBy("item_id")
     },
 
+    // The FULL reference lifecycle in one statement sequence (README.md:
+    // 64-96: create source, query, mutate): CREATE SOURCE registers the
+    // backend at runtime, discovery samples the collection's schema OFF
+    // THE WIRE (never declared engine-side), and INSERT/UPDATE/DELETE
+    // then write back through the same discovered endpoint — the
+    // mutations compile against the sampled types.
+    GQuery(
+      "q_dml_discovered",
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'alpha', CAST(10 AS BIGINT), CAST(1.5 AS DOUBLE)),
+        |  (CAST(3 AS BIGINT), 'gamma', CAST(99 AS BIGINT), CAST(3.5 AS DOUBLE)),
+        |  (CAST(5 AS BIGINT), 'epsilon', CAST(50 AS BIGINT), CAST(5.5 AS DOUBLE)))
+        |       AS t(item_id, name, qty, price)
+        |ORDER BY item_id""".stripMargin) { (s, d) =>
+      fed(s, d)
+      val eng = new GraftEngine(s)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("qty",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("price",
+          org.apache.spark.sql.types.DoubleType)))
+      // the backend holds seed documents (discovery needs something to
+      // sample); re-registering resets the mutable collection each run
+      LoopbackMongoServer.register("dml_disc", schema, Seq(
+        Array[Any](1L, "alpha", 10L, 1.5),
+        Array[Any](2L, "beta", 20L, 0.5)))
+      val (host, port) = LoopbackMongoServer.ensureStarted()
+      eng.sql(s"""CREATE SOURCE mg_dml WITH {"protocol": "mongo",
+        "host": "$host", "port": "$port", "tables_to_load": "dml_disc"}""")
+      val t = s"$C.mg_dml.dml_disc"
+      s.sql(s"INSERT INTO $t VALUES (3, 'gamma', 30, 3.5), " +
+        "(4, 'delta', 40, 0.25), (5, 'epsilon', 50, 5.5)")
+      eng.sql(s"UPDATE $t SET qty = 99 WHERE name = 'gamma'")
+      s.sql(s"DELETE FROM $t WHERE price < 2.0 AND item_id <> 1")
+      s.table(t).orderBy("item_id")
+    },
+
     // The DML lifecycle OVER THE CQL WIRE (reference: prepared upserts
     // sql_to_cql.go:246-361, delete-by-key :368-394): INSERT INTO ships
     // task batches as BEGIN UNLOGGED BATCH of rendered INSERT statements
