@@ -8,7 +8,8 @@ import graft.engine.GraftEngine
 import graft.sources.{BqEndpoint, BqEndpointSpec, BqEndpoints,
   BtEndpoint, BtEndpointSpec, BtEndpoints, CqlClientConfig, CqlEndpoint,
   CqlEndpointSpec, CqlEndpoints, DsEndpoint, DsEndpointSpec, DsEndpoints,
-  FedData, HttpRestConfig, LoopbackCqlServer, LoopbackMongoServer,
+  EsDiscovery, EsEndpoint, EsEndpointSpec, EsEndpoints, FedData,
+  HttpRestClient, HttpRestConfig, LoopbackCqlServer, LoopbackMongoServer,
   LoopbackRestServer, MongoClientConfig, MongoEndpoint, MongoEndpointSpec,
   MongoEndpoints, SourceRegistry}
 
@@ -434,6 +435,40 @@ object Federation {
           col("market.segment").as("segment"),
           col("profile.balance").as("balance"))
         .orderBy("c_custkey")
+    },
+
+    // ES TEXT-vs-KEYWORD fidelity end-to-end (real ES disables fielddata
+    // on analyzed text fields: aggs/sorts on them 400, and term-level
+    // queries silently hit analyzed tokens): c_name maps as text WITH a
+    // .keyword multi-field — the LIKE prefix RETARGETS to it server-side;
+    // c_mktsegment maps as text with NO sub-field — the GROUP BY declines
+    // pushdown and Spark aggregates over the hit scan. Both the retarget
+    // map and the schema come off the discovery mapping walk.
+    GQuery(
+      "q_src_es_text",
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |       CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer WHERE c_name LIKE 'Customer#00000012%'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      fed(s, d)
+      if (graft.sources.EsEndpoints.get(FedData.EsSourceName, "customer_txt").isEmpty) {
+        val customer = Tables.load(s, d, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment")
+        LoopbackRestServer.registerEsText("customer_txt", customer.schema,
+          customer.collect().map(_.toSeq.toArray).toSeq,
+          Map("c_name" -> true, "c_mktsegment" -> false))
+        val url = LoopbackRestServer.ensureStarted()
+        val meta = EsDiscovery.mappingMeta(new HttpRestClient(url), "customer_txt")
+        EsEndpoints.register(EsEndpoint(FedData.EsSourceName, "customer_txt",
+          meta.schema, EsEndpointSpec(url, "customer_txt", HttpRestConfig()),
+          analyzed = meta.analyzed))
+      }
+      s.table(s"$C.${FedData.EsSourceName}.customer_txt")
+        .filter(col("c_name").startsWith("Customer#00000012"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), sum("c_custkey").as("sum_key"))
+        .orderBy("c_mktsegment")
     },
 
     // SCHEMA DISCOVERY, Mongo: collection registered schema-less; field

@@ -116,9 +116,23 @@ object EsDiscovery {
         if (aliases.nonEmpty) aliases.map(_.getKey) else Seq(e.getKey)
       }.distinct.sorted
 
+  /** Mapping walk result: the schema PLUS which top-level string columns
+    * are ANALYZED (`text`-typed — fielddata disabled, so sorts/aggs on
+    * them 400 on a real cluster and term-level queries hit analyzed
+    * tokens). `analyzed` maps the column (lowercase) to the `.keyword`
+    * multi-field path when the mapping declares one (the retarget every
+    * real client uses), or None (such operations must decline and
+    * polyfill engine-side). */
+  final case class EsMappingMeta(schema: StructType,
+      analyzed: Map[String, Option[String]])
+
   /** StructType from `GET /{index}/_mapping`: the mapping's `properties`
     * walk recursively — nested objects become real struct columns. */
-  def mappingSchema(client: HttpRestClient, index: String): StructType = {
+  def mappingSchema(client: HttpRestClient, index: String): StructType =
+    mappingMeta(client, index).schema
+
+  /** Schema + analyzed-field metadata from `GET /{index}/_mapping`. */
+  def mappingMeta(client: HttpRestClient, index: String): EsMappingMeta = {
     val root = EsDsl.M.readTree(client.get(s"/es/$index/_mapping", Map.empty))
     // the response keys by the (single) index name
     val mappings = root.properties().asScala.headOption
@@ -128,7 +142,14 @@ object EsDiscovery {
     // the empty-collection case, skippable at eager CREATE SOURCE time
     if (!mappings.isObject || mappings.properties().asScala.isEmpty)
       throw new UndiscoverableTableException(s"empty mapping for index $index")
-    walk(mappings)
+    val analyzed = mappings.properties().asScala.toSeq.collect {
+      case e if e.getValue.path("type").asText("") == "text" =>
+        val kw = e.getValue.path("fields").path("keyword")
+        e.getKey.toLowerCase -> (
+          if (kw.path("type").asText("") == "keyword")
+            Some(s"${e.getKey}.keyword") else None)
+    }.toMap
+    EsMappingMeta(walk(mappings), analyzed)
   }
 
   private def walk(props: JsonNode): StructType = StructType(
@@ -520,11 +541,12 @@ object WireSources {
     d.protocol match {
       case "es" =>
         val client = new HttpRestClient(d.prop("url"), restCfg(d))
-        EsEndpoints.register(EsEndpoint(d.name, table,
-          EsDiscovery.mappingSchema(client, table),
+        val meta = EsDiscovery.mappingMeta(client, table)
+        EsEndpoints.register(EsEndpoint(d.name, table, meta.schema,
           EsEndpointSpec(d.prop("url"), table, restCfg(d),
             slices = d.intProp("fanout", 1),
-            paging = d.props.getOrElse("paging", EsEndpointSpec.DefaultPaging))))
+            paging = d.props.getOrElse("paging", EsEndpointSpec.DefaultPaging)),
+          analyzed = meta.analyzed))
       case "mongo" =>
         val spec = mongoSpec(d, table)
         val schema = MongoDiscovery.inferSchema(spec)

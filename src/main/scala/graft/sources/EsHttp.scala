@@ -152,16 +152,38 @@ object EsDsl {
 
   /** Evaluate a query node against an external-typed row (the loopback
     * backend's executor — a real deployment's ES does this natively). */
-  def eval(node: JsonNode, row: Array[Any], schema: StructType): Boolean = {
-    def fieldIdx(name: String): Int =
-      schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
-    def value(name: String): Any = {
-      val i = fieldIdx(name); if (i < 0) null else row(i)
+  def eval(node: JsonNode, row: Array[Any], schema: StructType,
+      textFields: Map[String, Boolean] = Map.empty): Boolean = {
+    // a real index resolves `f.keyword` to the raw (un-analyzed) value
+    // when the text field f declares the keyword multi-field; a path
+    // with no mapping matches nothing (ES: unmapped field). A RAW
+    // reference to a text field hits the ANALYZED terms: term-level
+    // queries compare against lowercased whitespace tokens, never the
+    // original value — the silent-wrongness hazard the client-side
+    // decline/retarget guard exists for.
+    def resolve(name: String): (Int, Boolean) = { // (index | -1, analyzed)
+      val lc = name.toLowerCase
+      if (lc.endsWith(".keyword")) {
+        val base = lc.stripSuffix(".keyword")
+        if (textFields.get(base).contains(true))
+          (schema.fieldNames.indexWhere(_.equalsIgnoreCase(base)), false)
+        else (-1, false) // unmapped path: matches nothing
+      } else
+        (schema.fieldNames.indexWhere(_.equalsIgnoreCase(name)),
+          textFields.contains(lc))
     }
-    def cmpTo(name: String, jv: JsonNode): Option[Int] = {
-      val i = fieldIdx(name)
-      if (i < 0 || row(i) == null) None
-      else FilterEval.cmp(row(i), LineCodec.parse(jv.asText(), schema.fields(i).dataType))
+    def value(name: String): Any = {
+      val (i, _) = resolve(name); if (i < 0) null else row(i)
+    }
+    def tokens(v: Any): Seq[String] =
+      v.toString.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    def cmpAll(name: String, jv: JsonNode): Seq[Int] = {
+      val (i, analyzed) = resolve(name)
+      if (i < 0 || row(i) == null) Nil
+      else if (analyzed)
+        tokens(row(i)).flatMap(t => FilterEval.cmp(t, jv.asText()))
+      else FilterEval.cmp(row(i),
+        LineCodec.parse(jv.asText(), schema.fields(i).dataType)).toSeq
     }
     val it = node.properties().iterator()
     if (!it.hasNext) return true
@@ -170,14 +192,14 @@ object EsDsl {
       case "match_all" => true
       case "term" =>
         val f = e.getValue.properties().iterator().next()
-        cmpTo(f.getKey, f.getValue).contains(0)
+        cmpAll(f.getKey, f.getValue).contains(0)
       case "terms" =>
         val f = e.getValue.properties().iterator().next()
-        f.getValue.elements().asScala.exists(v => cmpTo(f.getKey, v).contains(0))
+        f.getValue.elements().asScala.exists(v => cmpAll(f.getKey, v).contains(0))
       case "range" =>
         val f = e.getValue.properties().iterator().next()
         f.getValue.properties().asScala.forall { b =>
-          cmpTo(f.getKey, b.getValue).exists { c =>
+          cmpAll(f.getKey, b.getValue).exists { c =>
             b.getKey match {
               case "gt" => c > 0; case "gte" => c >= 0
               case "lt" => c < 0; case "lte" => c <= 0
@@ -187,8 +209,12 @@ object EsDsl {
         }
       case "wildcard" =>
         val f = e.getValue.properties().iterator().next()
-        value(f.getKey) match {
-          case s: String => wildcardMatch(s, f.getValue.asText())
+        val (i, analyzed) = resolve(f.getKey)
+        if (i < 0 || row(i) == null) false
+        else row(i) match {
+          case s: String =>
+            if (analyzed) tokens(s).exists(wildcardMatch(_, f.getValue.asText()))
+            else wildcardMatch(s, f.getValue.asText())
           case _ => false
         }
       case "exists" => value(e.getValue.get("field").asText()) != null
@@ -196,9 +222,10 @@ object EsDsl {
         val b = e.getValue
         def arr(k: String): Seq[JsonNode] =
           Option(b.get(k)).map(_.elements().asScala.toSeq).getOrElse(Nil)
-        arr("must").forall(eval(_, row, schema)) &&
-          arr("must_not").forall(!eval(_, row, schema)) &&
-          (arr("should").isEmpty || arr("should").exists(eval(_, row, schema)))
+        arr("must").forall(eval(_, row, schema, textFields)) &&
+          arr("must_not").forall(!eval(_, row, schema, textFields)) &&
+          (arr("should").isEmpty ||
+            arr("should").exists(eval(_, row, schema, textFields)))
       case other => throw new IllegalArgumentException(s"unsupported query node: $other")
     }
   }
@@ -254,8 +281,14 @@ object EsEndpointSpec {
   val DefaultPaging = "pit"
 }
 
+/** `analyzed` = text-typed columns (lowercase) mapped to their `.keyword`
+  * retarget path when the mapping declares the multi-field, or None —
+  * operations needing exact values (term-level filters, terms buckets,
+  * value_count/cardinality) retarget through it or DECLINE (real ES
+  * disables fielddata on text: pushing anyway 400s or silently matches
+  * analyzed tokens). */
 final case class EsEndpoint(source: String, table: String, schema: StructType,
-    spec: EsEndpointSpec)
+    spec: EsEndpointSpec, analyzed: Map[String, Option[String]] = Map.empty)
 
 /** Driver-side ES endpoint registry (catalog resolution only — readers
   * never touch it). */
@@ -301,8 +334,45 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
   private var limit: Int = -1
   private var agg: Option[(Seq[Int], Seq[(String, Int, DataType)])] = None
 
+  /** The field name a server-side exact-value operation must target:
+    * analyzed (text) columns retarget to their `.keyword` multi-field;
+    * None when the column is text WITHOUT one — the operation must not
+    * push (real ES disables fielddata on text: aggs/sorts 400, and
+    * term-level queries silently match analyzed tokens, not the value). */
+  private def serverField(name: String): Option[String] =
+    ep.analyzed.get(name.toLowerCase) match {
+      case None => Some(name) // not analyzed: target the field itself
+      case Some(kw) => kw
+    }
+
+  /** Rewrite a filter tree's exact-value references through
+    * [[serverField]]; None when any reference lands on a text column
+    * with no keyword sub-field (the filter then declines and Spark
+    * polyfills it over the hit scan). exists/missing (IS [NOT] NULL)
+    * keep the raw field — real ES serves `exists` on text directly. */
+  private def retargetFilter(f: Filter): Option[Filter] = f match {
+    case EqualTo(a, v) => serverField(a).map(EqualTo(_, v))
+    case EqualNullSafe(a, v) => serverField(a).map(EqualNullSafe(_, v))
+    case In(a, vs) => serverField(a).map(In(_, vs))
+    case GreaterThan(a, v) => serverField(a).map(GreaterThan(_, v))
+    case GreaterThanOrEqual(a, v) => serverField(a).map(GreaterThanOrEqual(_, v))
+    case LessThan(a, v) => serverField(a).map(LessThan(_, v))
+    case LessThanOrEqual(a, v) => serverField(a).map(LessThanOrEqual(_, v))
+    case StringStartsWith(a, v) => serverField(a).map(StringStartsWith(_, v))
+    case StringEndsWith(a, v) => serverField(a).map(StringEndsWith(_, v))
+    case StringContains(a, v) => serverField(a).map(StringContains(_, v))
+    case IsNull(_) | IsNotNull(_) => Some(f)
+    case And(l, r) =>
+      for (rl <- retargetFilter(l); rr <- retargetFilter(r)) yield And(rl, rr)
+    case Or(l, r) =>
+      for (rl <- retargetFilter(l); rr <- retargetFilter(r)) yield Or(rl, rr)
+    case Not(c) => retargetFilter(c).map(Not(_))
+    case other => Some(other) // inexpressible shapes fail at compile anyway
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, declined) = filters.partition(f => EsDsl.compile(f).isDefined)
+    val (ok, declined) = filters.partition(f =>
+      retargetFilter(f).exists(rf => EsDsl.compile(rf).isDefined))
     pushed = ok
     declined
   }
@@ -324,9 +394,15 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
   private def numeric(i: Int): Boolean =
     ep.schema.fields(i).dataType.isInstanceOf[NumericType]
 
+  /** [[serverField]] by schema index (agg targets). */
+  private def serverFieldIdx(i: Int): Option[String] =
+    serverField(ep.schema.fields(i).name)
+
   private def translate(a: Aggregation): Option[(Seq[Int], Seq[(String, Int, DataType)])] = {
     val groups = a.groupByExpressions().toSeq.map {
-      case nr: NamedReference => fieldIdx(nr)
+      // a terms bucket needs per-document field data: text columns with
+      // no keyword sub-field decline (Spark plans the aggregate itself)
+      case nr: NamedReference => fieldIdx(nr).filter(serverFieldIdx(_).isDefined)
       case _ => None
     }
     // single terms bucket key or global stats (the non-composite surface)
@@ -335,7 +411,9 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
       case _: CountStar => Some(("doc_count", -1, LongType))
       case c: Count if !c.isDistinct =>
         c.column() match {
-          case nr: NamedReference => fieldIdx(nr).map(("value_count", _, LongType))
+          case nr: NamedReference =>
+            fieldIdx(nr).filter(serverFieldIdx(_).isDefined)
+              .map(("value_count", _, LongType))
           case _ => None
         }
       // Distinct counts push as the ES `cardinality` aggregation ONLY
@@ -351,7 +429,9 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
       case c: Count if c.isDistinct =>
         if (!approxDistinct) None
         else c.column() match {
-          case nr: NamedReference => fieldIdx(nr).map(("cardinality", _, LongType))
+          case nr: NamedReference =>
+            fieldIdx(nr).filter(serverFieldIdx(_).isDefined)
+              .map(("cardinality", _, LongType))
           case _ => None
         }
       // numeric-only: real ES min/max metrics are numeric aggregations
@@ -400,7 +480,7 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
 
   override def build(): Scan = {
     val dsl = EsDsl.compileAll(
-      pushed.toSeq.flatMap(EsDsl.compile) match {
+      pushed.toSeq.flatMap(f => retargetFilter(f)).flatMap(EsDsl.compile) match {
         case Nil => Seq({ val o = EsDsl.M.createObjectNode(); o.putObject("match_all"); o })
         case fs => fs
       })
@@ -422,28 +502,32 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
               case other => other
             }
             val mo = m.putObject(esKind)
-            mo.put("field", ep.schema.fields(idx).name)
+            // translate() only accepts columns with a server target
+            val target = serverFieldIdx(idx).get
+            mo.put("field", target)
             if (esKind == "cardinality")
               mo.put("precision_threshold", ep.spec.cardinalityThreshold)
             // ES sum over zero docs is 0.0, SQL SUM is NULL: a companion
             // value_count disambiguates (the reader nulls a 0-count sum)
             if (esKind == "sum")
               metrics.putObject(s"agg_${i}_n").putObject("value_count")
-                .put("field", ep.schema.fields(idx).name)
+                .put("field", target)
           }
         }
         val aggsNode = body.putObject("aggs")
         groupIdx.headOption match {
           case Some(g) =>
             val by = aggsNode.putObject("by")
-            by.putObject("terms").put("field", ep.schema.fields(g).name)
+            // translate() only accepts group keys with a server target
+            val groupTarget = serverFieldIdx(g).get
+            by.putObject("terms").put("field", groupTarget)
               .put("size", Int.MaxValue)
             if (!metrics.isEmpty) by.set[ObjectNode]("aggs", metrics)
             // SQL GROUP BY keeps the NULL group; ES terms buckets omit
             // docs missing the field — a sibling `missing` aggregation
             // (the real ES feature for exactly this) carries them
             val nulls = aggsNode.putObject("nulls")
-            nulls.putObject("missing").put("field", ep.schema.fields(g).name)
+            nulls.putObject("missing").put("field", groupTarget)
             if (!metrics.isEmpty) nulls.set[ObjectNode]("aggs", metrics)
           case None =>
             metrics.properties().asScala.foreach(e =>

@@ -365,10 +365,31 @@ object LoopbackRestServer {
   /** ES indices (served by `_aliases` and `/{index}/_mapping`): the
     * subset of registered tables that are Elasticsearch indices. */
   private val esIndices = TrieMap.empty[String, Boolean]
-  def registerEs(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit = {
-    esMappingProps(schema) // every field must be mapping-representable — fail HERE
+  /** Per-index ANALYZED (text-typed) string fields: field (lowercase) ->
+    * whether the mapping declares a `.keyword` multi-field. Real ES
+    * disables fielddata on text fields — sorts/aggs on them answer 400 —
+    * and term-level queries run against the ANALYZED tokens, not the raw
+    * value; the loopback models both so a client that fails to decline
+    * or retarget fails its spec, not production. */
+  private val esTextFields = TrieMap.empty[String, Map[String, Boolean]]
+  def registerEs(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit =
+    registerEsText(name, schema, rows, Map.empty)
+
+  /** Like [[registerEs]] with some string fields mapped as `text` (value
+    * = whether a `.keyword` sub-field rides along, the default-dynamic-
+    * mapping shape). */
+  def registerEsText(name: String, schema: StructType, rows: Seq[Array[Any]],
+      textFields: Map[String, Boolean]): Unit = {
+    val tf = textFields.map { case (k, v) => k.toLowerCase -> v }
+    tf.keys.foreach { f =>
+      val fld = schema.fields.find(_.name.equalsIgnoreCase(f))
+      require(fld.exists(_.dataType == org.apache.spark.sql.types.StringType),
+        s"text field $f must be a string column of $name")
+    }
+    esMappingProps(schema, tf) // every field must be mapping-representable — fail HERE
     register(name, schema, rows)
     esIndices.put(name.toLowerCase, true)
+    esTextFields.put(name.toLowerCase, tf)
   }
 
   /** ES index ALIASES (alias -> index): served inside `_aliases`, and
@@ -406,12 +427,19 @@ object LoopbackRestServer {
     * real cluster's GET /{index}/_mapping answers: scalar types map to
     * ES field types (keyword/long/integer/short/double/float/boolean/
     * date), struct columns render as nested `properties` objects. */
-  private def esMappingProps(schema: StructType): com.fasterxml.jackson.databind.node.ObjectNode = {
+  private def esMappingProps(schema: StructType,
+      textFields: Map[String, Boolean] = Map.empty): com.fasterxml.jackson.databind.node.ObjectNode = {
     val M = EsDsl.M
     val props = M.createObjectNode()
     schema.fields.foreach { f =>
       val o = props.putObject(f.name)
       f.dataType match {
+        case org.apache.spark.sql.types.StringType
+            if textFields.contains(f.name.toLowerCase) =>
+          o.put("type", "text")
+          if (textFields(f.name.toLowerCase))
+            o.putObject("fields").putObject("keyword")
+              .put("type", "keyword").put("ignore_above", 256)
         case st: StructType =>
           o.set[com.fasterxml.jackson.databind.JsonNode]("properties", esMappingProps(st))
         case LongType => o.put("type", "long")
@@ -677,7 +705,8 @@ object LoopbackRestServer {
         case Some(TableData(schema, _)) =>
           val resp = M.createObjectNode()
           resp.putObject(name).putObject("mappings")
-            .set[com.fasterxml.jackson.databind.JsonNode]("properties", esMappingProps(schema))
+            .set[com.fasterxml.jackson.databind.JsonNode]("properties",
+              esMappingProps(schema, esTextFields.getOrElse(name, Map.empty)))
           respond(ex, 200, resp.toString, "application/json")
       }
       return
@@ -689,6 +718,11 @@ object LoopbackRestServer {
       case Some(TableData(schema, rows)) =>
         val body = M.readTree(ex.getRequestBody)
         lastBody.set(body.toString)
+        val tf = esTextFields.getOrElse(name, Map.empty)
+        fielddataViolation(body, tf) match {
+          case Some(f) => respondFielddata400(ex, f); return
+          case None => ()
+        }
         val scrollTtl = parseQuery(ex.getRequestURI.getRawQuery).get("scroll")
         // sliced scroll: each slice is a stable, query-independent
         // partition of the index (real ES hashes _id; here the doc's
@@ -725,7 +759,7 @@ object LoopbackRestServer {
         val query = body.path("query")
         val matched =
           if (query.isMissingNode) sliced
-          else sliced.filter(r => EsDsl.eval(query, r, schema))
+          else sliced.filter(r => EsDsl.eval(query, r, schema, tf))
         if (scrollTtl.isDefined) {
           // scroll open: first page + a cursor for the rest
           val size = math.max(1, body.path("size").asInt(10))
@@ -746,7 +780,18 @@ object LoopbackRestServer {
         val aggsReq = body.path("aggs")
         if (!aggsReq.isMissingNode && !aggsReq.isNull && aggsReq.properties().asScala.nonEmpty) {
           val aggsOut = resp.putObject("aggregations")
-          def fieldIdx(f: String): Int = schema.fieldNames.indexWhere(_.equalsIgnoreCase(f))
+          // `f.keyword` resolves to the raw value of the text field f
+          // when the mapping declares the multi-field (fielddataViolation
+          // already refused raw text references above)
+          def fieldIdx(f: String): Int = {
+            val lc = f.toLowerCase
+            val target =
+              if (lc.endsWith(".keyword") &&
+                  tf.get(lc.stripSuffix(".keyword")).contains(true))
+                lc.stripSuffix(".keyword")
+              else f
+            schema.fieldNames.indexWhere(_.equalsIgnoreCase(target))
+          }
           def metric(out: com.fasterxml.jackson.databind.node.ObjectNode,
               mName: String, spec: com.fasterxml.jackson.databind.JsonNode,
               group: Seq[Array[Any]]): Unit = {
@@ -842,6 +887,43 @@ object LoopbackRestServer {
     }
   } catch {
     case e: Throwable => respond(ex, 500, s"server error: $e")
+  }
+
+  /** First agg/sort field in the request body that targets a RAW text
+    * field, if any. Real ES disables fielddata on text fields: any
+    * aggregation or sort naming one answers 400 (the `.keyword`
+    * sub-field is the supported target) — the loopback enforces the
+    * same refusal so a client that fails to decline or retarget fails
+    * its spec here, not in production. */
+  private def fielddataViolation(body: com.fasterxml.jackson.databind.JsonNode,
+      tf: Map[String, Boolean]): Option[String] = {
+    if (tf.isEmpty) return None
+    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walkAggs(n: com.fasterxml.jackson.databind.JsonNode): Unit = if (n.isObject)
+      n.properties().asScala.foreach { e =>
+        if (e.getKey == "field") {
+          if (e.getValue.isTextual) fields += e.getValue.asText()
+        } else walkAggs(e.getValue)
+      }
+    walkAggs(body.path("aggs"))
+    body.path("sort").elements().asScala.foreach { s =>
+      if (s.isObject) s.properties().asScala.foreach(e => fields += e.getKey)
+      else if (s.isTextual) fields += s.asText()
+    }
+    fields.find(f => tf.contains(f.toLowerCase))
+  }
+
+  /** Answer the real fielddata-disabled 400 for `field`. */
+  private def respondFielddata400(ex: HttpExchange, field: String): Unit = {
+    val M = EsDsl.M
+    val err = M.createObjectNode()
+    val eo = err.putObject("error")
+    eo.put("type", "illegal_argument_exception")
+    eo.put("reason", "Text fields are not optimised for operations that " +
+      "require per-document field data like aggregations and sorting, so " +
+      s"these operations are disabled by default. Set fielddata=true on " +
+      s"[$field] or use a keyword field instead.")
+    respond(ex, 400, err.toString, "application/json")
   }
 
   /** Render an ES hits response page ({_scroll_id}, hits.total, hits[]
@@ -947,7 +1029,9 @@ object LoopbackRestServer {
               withIdx.filter(_._2 % max == id)
             }
           if (query.isMissingNode) sliced
-          else sliced.filter { case (r, _) => EsDsl.eval(query, r, pit.schema) }
+          else sliced.filter { case (r, _) =>
+            EsDsl.eval(query, r, pit.schema,
+              esTextFields.getOrElse(pit.index, Map.empty)) }
         })
         val after = if (hasAfter) sa.get(0).asLong() else -1L
         val size = math.max(1, body.path("size").asInt(10))

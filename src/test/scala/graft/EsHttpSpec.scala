@@ -524,4 +524,117 @@ class EsHttpSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("[from] is not allowed with [search_after]"))
     client.deleteJson("/es/_pit", s"""{"id":"$pid"}""")
   }
+
+  // ---- text vs keyword (fielddata) ---------------------------------------
+
+  private val txtSchema = StructType(Seq(
+    StructField("id", LongType), StructField("title", StringType),
+    StructField("body", StringType), StructField("tag", StringType)))
+  /** Multi-word values: analyzed (tokenized, lowercased) matching and
+    * exact matching DIVERGE on every row, so a broken guard cannot pass
+    * by accident. */
+  private val txtRows: Seq[Array[Any]] = (0L until 60L).map { i =>
+    Array[Any](i, s"Title ${i % 5}", s"Body text ${i % 7}",
+      if (i % 2 == 0) "even" else "odd")
+  }
+
+  /** Index with `title` text + .keyword multi-field, `body` text with NO
+    * sub-field, `tag` plain keyword — endpoint registered through the
+    * DISCOVERY walk, so the analyzed metadata comes off the wire. */
+  private def textTable(name: String): String = {
+    LoopbackRestServer.registerEsText(name, txtSchema, txtRows,
+      Map("title" -> true, "body" -> false))
+    val base = LoopbackRestServer.ensureStarted()
+    val meta = EsDiscovery.mappingMeta(new HttpRestClient(base), name)
+    EsEndpoints.register(EsEndpoint("estest", name, meta.schema,
+      EsEndpointSpec(base, name, HttpRestConfig(pageSize = 64, retryBackoffMs = 5)),
+      analyzed = meta.analyzed))
+    if (SourceRegistry.get("estest").isEmpty)
+      SourceRegistry.register(SourceDef("estest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/estest").getPath,
+        "json", "es"))
+    SourceRegistry.ensureCatalog(spark)
+    s"${SourceRegistry.CatalogName}.estest.$name"
+  }
+
+  test("discovery records text vs keyword, incl. the .keyword multi-field") {
+    LoopbackRestServer.registerEsText("txt_meta", txtSchema, txtRows,
+      Map("title" -> true, "body" -> false))
+    val meta = EsDiscovery.mappingMeta(
+      new HttpRestClient(LoopbackRestServer.ensureStarted()), "txt_meta")
+    assert(meta.analyzed == Map(
+      "title" -> Some("title.keyword"), "body" -> None))
+    assert(meta.schema("title").dataType == StringType)
+    assert(meta.schema("body").dataType == StringType)
+    assert(meta.schema("tag").dataType == StringType)
+  }
+
+  test("equality on text-with-keyword retargets to .keyword server-side") {
+    val t = textTable("txt1")
+    val got = spark.table(t).filter(col("title") === "Title 3" && col("tag") === "even")
+      .select("id").collect().map(_.getLong(0)).sorted
+    val want = txtRows.filter(r => r(1) == "Title 3" && r(3) == "even")
+      .map(_(0).asInstanceOf[Long]).sorted
+    assert(got.toSeq == want && want.nonEmpty)
+    val body = LoopbackRestServer.lastBody.get()
+    assert(body.contains("title.keyword"),
+      s"the term query must target the keyword sub-field: $body")
+    assert(body.contains("\"tag\""), s"plain keyword fields target raw: $body")
+    // the hazard is REAL: the same term on the raw text field matches
+    // the analyzed tokens, not the value — zero rows, silently
+    val raw = EsDsl.M.readTree("""{"term":{"title":"Title 3"}}""")
+    assert(!txtRows.exists(r => EsDsl.eval(raw, r, txtSchema,
+      Map("title" -> true, "body" -> false))),
+      "an unretargeted term query would silently match nothing")
+  }
+
+  test("equality on text WITHOUT a sub-field declines and polyfills") {
+    val t = textTable("txt2")
+    val got = spark.table(t).filter(col("body") === "Body text 4")
+      .select("id").collect().map(_.getLong(0)).sorted
+    val want = txtRows.filter(_(1 + 1) == "Body text 4")
+      .map(_(0).asInstanceOf[Long]).sorted
+    assert(got.toSeq == want && want.nonEmpty)
+    assert(!LoopbackRestServer.lastBody.get().contains("Body text"),
+      s"the filter value must never ship: ${LoopbackRestServer.lastBody.get()}")
+  }
+
+  test("GROUP BY text-with-keyword pushes a terms agg on .keyword") {
+    val t = textTable("txt3")
+    val got = spark.table(t).groupBy("title").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = txtRows.groupBy(_(1)).map { case (k, g) => k -> g.size.toLong }
+    assert(got == want)
+    val body = LoopbackRestServer.lastBody.get()
+    assert(body.contains("\"terms\"") && body.contains("title.keyword"), body)
+  }
+
+  test("GROUP BY text without a sub-field declines the agg (engine polyfill)") {
+    val t = textTable("txt4")
+    val got = spark.table(t).groupBy("body").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = txtRows.groupBy(_(2)).map { case (k, g) => k -> g.size.toLong }
+    assert(got == want)
+    assert(!LoopbackRestServer.lastBody.get().contains("\"aggs\""),
+      s"no aggregation may ship for a raw text key: ${LoopbackRestServer.lastBody.get()}")
+  }
+
+  test("the server enforces the real fielddata 400 on text aggs") {
+    LoopbackRestServer.registerEsText("txt5", txtSchema, txtRows,
+      Map("title" -> true, "body" -> false))
+    val client = new HttpRestClient(LoopbackRestServer.ensureStarted(),
+      HttpRestConfig(maxRetries = 0))
+    val e = intercept[java.io.IOException](client.postJson("/es/txt5/_search",
+      """{"size":0,"aggs":{"by":{"terms":{"field":"body"}}}}"""))
+    assert(e.getMessage.contains("Text fields are not optimised"), e.getMessage)
+    // sorting on a text field is refused the same way
+    val e2 = intercept[java.io.IOException](client.postJson("/es/txt5/_search",
+      """{"size":1,"sort":[{"body":"asc"}]}"""))
+    assert(e2.getMessage.contains("Text fields are not optimised"), e2.getMessage)
+    // the .keyword sub-field is the supported target
+    val ok = client.postJson("/es/txt5/_search",
+      """{"size":0,"aggs":{"by":{"terms":{"field":"title.keyword"}}}}""")
+    assert(EsDsl.M.readTree(ok).path("aggregations").path("by")
+      .path("buckets").size() == 5)
+  }
 }
