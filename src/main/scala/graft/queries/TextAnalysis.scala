@@ -319,6 +319,80 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // HTML MAIN-CONTENT extraction (the boilerplate-removal step UPSTREAM
+    // of every text-quality signal; the trafilatura/jusText shape as
+    // deterministic rules): strip <head>/<script>/<style>, split the body
+    // into block elements, DROP blocks that are too short (< 10 chars —
+    // ads/chrome) or link-dense (anchor text > half the block — nav/
+    // footer), strip remaining tags, decode entities, and join what
+    // survives. The fixture assembles each doc's page deterministically
+    // from (text, doc_id, source) — inline <b>/<a> markup inside the main
+    // paragraph, an &amp; entity on doc_id%3==0, boilerplate nav/ad/
+    // footer — so the ORACLE derives the expected extraction
+    // INDEPENDENTLY from the parts and the Spark side must recover it by
+    // actually parsing the assembled HTML.
+    //
+    // Scale: one codegen'd projection (regexp + higher-order array
+    // functions), no shuffle except the presentation sort.
+    GQuery(
+      "q_text_extract_html",
+      """SELECT doc_id,
+        |       text ||
+        |       CASE WHEN doc_id % 3 = 0 THEN ' & more' ELSE '' END ||
+        |       ' Summary for doc ' || doc_id || ' from ' || source ||
+        |       ' count ' || n_chars || ' chars.' AS content
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val id = col("doc_id").cast("string")
+      val words = split(col("text"), " ")
+      val w1 = element_at(words, 1)
+      val w2 = element_at(words, 2)
+      val restAfter1 = col("text").substr(length(w1) + lit(2), length(col("text")))
+      val restAfter2 = col("text").substr(
+        length(w1) + length(w2) + lit(3), length(col("text")))
+      // main paragraph: first word bolded; on doc_id%5==0 the second word
+      // carries an inline anchor (link density stays LOW — the block must
+      // survive the density rule); doc_id%3==0 appends an &amp; entity
+      val mainP = concat(lit("<p><b>"), w1, lit("</b> "),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("<a href=\"#\">"), w2, lit("</a> "), restAfter2))
+          .otherwise(restAfter1),
+        when(col("doc_id") % 3 === 0, " &amp; more").otherwise(""),
+        lit("</p>"))
+      val html = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><style>.x{color:red}</style><script>var x=1;</script></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/d/"), id,
+        lit("\">Doc page</a></nav>"),
+        lit("<div>Ad "), (col("doc_id") % 10).cast("string"), lit("</div>"),
+        mainP,
+        lit("<p>Summary for doc "), id, lit(" from "), col("source"),
+        lit(" count "), col("n_chars").cast("string"), lit(" chars.</p>"),
+        lit("<footer><a href=\"/tos\">Terms of service</a> "),
+        lit("<a href=\"/p\">Privacy policy</a> (c) 2024</footer></body></html>"))
+      // ---- the extractor under test ----
+      val noHead = regexp_replace(html, "(?s)<head>.*?</head>", " ")
+      val clean = regexp_replace(noHead, "(?s)<(script|style)[^>]*>.*?</\\1>", " ")
+      val blocks = regexp_extract_all(clean,
+        lit("(?s)<(p|div|nav|footer|li|h[1-6])[^>]*>(.*?)</\\1>"), lit(2))
+      def stripText(b: Column): Column =
+        trim(regexp_replace(regexp_replace(b, lit("<[^>]*>"), lit(" ")),
+          lit("\\s+"), lit(" ")))
+      def anchorLen(b: Column): Column = length(regexp_replace(
+        array_join(regexp_extract_all(b, lit("(?s)<a[^>]*>(.*?)</a>"), lit(1)), ""),
+        lit("<[^>]*>"), lit("")))
+      val kept = filter(blocks, b =>
+        length(stripText(b)) >= 10 && anchorLen(b) * 2 <= length(stripText(b)))
+      val joined = array_join(transform(kept, b => stripText(b)), " ")
+      val decoded = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(joined,
+          lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+        lit("&amp;"), lit("&"))
+      docs(s, d)
+        .select(col("doc_id"), trim(decoded).as("content"))
+        .orderBy("doc_id")
+    },
+
     // Compressibility quality signal (the Gopher/RefinedWeb-family
     // "compression ratio" filter): zlib-deflate each document and keep
     // the ratio — templated/repeated text compresses far below natural
