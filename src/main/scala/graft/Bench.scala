@@ -37,6 +37,25 @@ import org.apache.spark.sql.SparkSession
   *
   * Failures are recorded explicitly (`"errors"` map, value -1 in the
   * timing map) instead of silently contributing a fake timing row.
+  *
+  * Round-12 measurement-protocol arms:
+  *   - ISOLATED heavy queries: any query whose in-suite median exceeds
+  *     `SPARK_GRAFT_BENCH_ISO_THRESHOLD` (default 5s) is re-measured in a
+  *     FRESH forked JVM (one per query, full warmup, reps medians) and
+  *     reported in a separate `"isolated"` block with the isolated/suite
+  *     ratio. A checkpoint/GC-heavy 15s query at position ~N of a 200-
+  *     query suite inherits the suite's heap state; the isolated number
+  *     is the adjudicable one (the round-10/11 PageRank builder/driver
+  *     divergence was exactly this).
+  *   - LOAD REFUSAL: if any sub-second query's spread exceeds
+  *     `SPARK_GRAFT_BENCH_SPREAD_CEILING` (default 50%), the run was
+  *     measured under load and the artifact is NOT committable: it is
+  *     written to `target/BENCH_REJECTED.json` instead of
+  *     `BENCH_FULL.json`, the violations are listed, and the exit code is
+  *     2 — a loaded run can no longer be committed silently.
+  *   - `spread_pct` keeps the documented one-outlier trim for sub-second
+  *     queries; `spread_untrimmed_pct` carries the untrimmed value for
+  *     every query so cross-round artifacts compare like-for-like.
   */
 object Bench {
   private def gcMillis: Long =
@@ -112,8 +131,14 @@ object Bench {
       // gates are 0.1-0.3s, so first-execution costs (connector codegen,
       // scroll-cursor JIT, DML table staging) dominate their rep-1
       // timing and inflate spread_pct past adjudicability
+      // in FILTERED mode (incl. the isolated heavy-query children) every
+      // selected query warms once untimed — a fresh JVM's first execution
+      // pays codegen/JIT that the in-suite protocol amortizes across reps
       graft.SparkEntry.queries.keys.toSeq.sorted
-        .filter(_.startsWith("q_src_")).foreach { n =>
+        .filter(n =>
+          if (args.nonEmpty) args(0).split(",").map(_.trim).contains(n)
+          else n.startsWith("q_src_"))
+        .foreach { n =>
           try graft.SparkEntry.queries(n)(spark, sfDir).queryExecution
             .toRdd.count()
           catch { case e: Throwable =>
@@ -190,18 +215,23 @@ object Bench {
         case None => name -> -1.0
       }
     }
-    val spreadPct: Seq[(String, Double)] = names.flatMap { name =>
+    def spreadOf(name: String, trim: Boolean): Option[(String, Double)] =
       obs.get(name).filter(_.size >= 2).map { xs =>
         // ONLY the sub-second (extra-rep) queries drop their single
         // slowest observation, and only at n >= 5: constant-dominated
         // timings earn the one-hiccup trim; a slow query's intermittent
         // regression must keep showing at full spread
         val ts0 = xs.map(_.t).sorted
-        val ts = if (fastSet.contains(name) && ts0.size >= 5) ts0.init else ts0
+        val ts = if (trim && fastSet.contains(name) && ts0.size >= 5) ts0.init else ts0
         val m = median(xs).t
         name -> (if (m > 0) math.round((ts.max - ts.min) / m * 1000) / 10.0 else 0.0)
       }
-    }
+    val spreadPct: Seq[(String, Double)] =
+      names.flatMap(spreadOf(_, trim = true))
+    // the untrimmed twin: adjudication compares like-for-like across
+    // rounds whose artifacts predate (or postdate) the trim
+    val spreadUntrimmed: Seq[(String, Double)] =
+      names.flatMap(spreadOf(_, trim = false))
     val gcMs: Seq[(String, Long)] =
       names.flatMap(n => obs.get(n).filter(_.nonEmpty).map(xs => n -> median(xs).gc))
     val heapMb: Seq[(String, Long)] =
@@ -286,6 +316,75 @@ object Bench {
       Nil
     }
 
+    // ---- isolated heavy-query block ------------------------------------
+    // Queries whose in-suite median exceeds the threshold re-measure in a
+    // FRESH JVM each (full warmup, same reps/median protocol, no sf0.3/
+    // cluster arms): a checkpoint/GC-heavy query measured mid-suite
+    // inherits ~200 queries' heap history, and two machines at different
+    // suite positions can disagree 2x on the same sound plan. The
+    // isolated number is the adjudicable one; the ratio vs the in-suite
+    // median quantifies how much suite state distorted it.
+    val isoThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_THRESHOLD", "5.0").toDouble
+    val isoEnabled = only.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "0") != "1" &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO", "1") == "1"
+    val heavyNames = results.collect {
+      case (n, t) if t > isoThreshold => n }.sorted
+    val isolated: Seq[(String, Double)] =
+      if (!isoEnabled || heavyNames.isEmpty) Nil
+      else {
+        val classes = new java.io.File(sys.props("user.dir"),
+          "target/scala-2.13/classes").getAbsolutePath
+        heavyNames.map { name =>
+          name -> (try {
+            val pb = new ProcessBuilder("java", "-Xmx16g", "-cp",
+              s"$classes:/opt/spark/jars/*", "graft.Bench", name)
+            pb.environment().put("SPARK_HOME", "/opt/spark")
+            pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+            pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+            pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+            pb.environment().put("SPARK_GRAFT_BENCH_ISOLATED", "1")
+            pb.environment().put("SPARK_GRAFT_BENCH_SF03", "0")
+            pb.environment().put("SPARK_GRAFT_BENCH_CLUSTER", "0")
+            // one query per JVM is cheap: 5 observations tighten the
+            // median a checkpoint-heavy query needs for adjudication
+            pb.environment().put("SPARK_GRAFT_BENCH_REPS",
+              math.max(reps, 5).toString)
+            pb.redirectErrorStream(true)
+            val proc = pb.start()
+            val lineRef = new java.util.concurrent.atomic.AtomicReference[String](null)
+            val drainer = new Thread(() => {
+              val it = new java.io.BufferedReader(
+                new java.io.InputStreamReader(proc.getInputStream))
+                .lines().iterator()
+              while (it.hasNext) {
+                val l = it.next()
+                if (l.startsWith("""{"metric":"total"""")) lineRef.set(l)
+              }
+            }, s"graft-bench-iso-$name")
+            drainer.setDaemon(true)
+            drainer.start()
+            val finished = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+            if (!finished) proc.destroyForcibly()
+            drainer.join(5000)
+            Option(lineRef.get()).flatMap { l =>
+              // the child's "queries" map holds exactly this one name
+              val rx = ("\"" + java.util.regex.Pattern.quote(name) +
+                "\":(-?[0-9.]+)").r
+              rx.findFirstMatchIn(l).map(_.group(1).toDouble)
+            }.getOrElse {
+              errors ::= (s"iso:$name" ->
+                (if (finished) "no bench line from isolated JVM"
+                 else "isolated JVM timed out after 15 minutes"))
+              -1.0
+            }
+          } catch { case e: Throwable =>
+            errors ::= (s"iso:$name" -> e.toString.take(200)); -1.0
+          })
+        }
+      }
+
     // ---- local-cluster smoke block -------------------------------------
     // Two REAL executor JVMs (local-cluster[2,16,4096]) over the smoke
     // query set — the arm that catches single-JVM assumptions (driver-
@@ -359,24 +458,52 @@ object Bench {
       case (k, v) if v > 0 && base.getOrElse(k, -1.0) > 0 =>
         jstr(k) + ":" + (math.round(v / base(k) * 100) / 100.0)
     }.mkString("{", ",", "}")
+    val spreadUntrimmedJson = spreadUntrimmed.sortBy(-_._2)
+      .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val isoJson = isolated.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val isoRatio = isolated.collect {
+      case (k, v) if v > 0 && base.getOrElse(k, -1.0) > 0 =>
+        jstr(k) + ":" + (math.round(v / base(k) * 100) / 100.0)
+    }.mkString("{", ",", "}")
+    // ---- load refusal ---------------------------------------------------
+    // A loaded machine shows as wide spread on constant-dominated queries:
+    // if any sub-second query (after the documented trim) exceeds the
+    // ceiling, this run is NOT a committable artifact.
+    val spreadCeiling =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_CEILING", "50.0").toDouble
+    val violations = spreadPct.collect {
+      case (n, s) if fastSet.contains(n) && s > spreadCeiling => n -> s }
+    val violJson = violations.sortBy(-_._2)
+      .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val rejected = only.isEmpty && violations.nonEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FORCE", "0") != "1"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"fast_reps":$fastReps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"fast_reps":$fastReps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"spread_untrimmed_pct":$spreadUntrimmedJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","isolated":$isoJson,"isolated_over_suite_ratio":$isoRatio,"iso_threshold_sec":$isoThreshold,"spread_ceiling_pct":$spreadCeiling,"spread_violations":$violJson,"rejected_for_load":$rejected,"sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
     println(line)
     // truncation-proof copy: the stdout line is captured by a consumer that
-    // has historically kept only a prefix; the file keeps every number
+    // has historically kept only a prefix; the file keeps every number.
+    // A load-rejected run is diverted to target/ so it can be inspected
+    // but never committed as the round artifact.
     try {
       java.nio.file.Files.write(
         // filtered A/B runs must not clobber the committed full snapshot
         java.nio.file.Paths.get(
-          if (only.isEmpty) "/root/repo/BENCH_FULL.json"
+          if (rejected) "/root/repo/target/BENCH_REJECTED.json"
+          else if (only.isEmpty) "/root/repo/BENCH_FULL.json"
           else "/root/repo/target/BENCH_FILTERED.json"),
         (line + "\n").getBytes("UTF-8"))
+      if (rejected) System.err.println(
+        s"[bench] REFUSED to write BENCH_FULL.json: ${violations.size} " +
+          s"sub-second queries exceed the ${spreadCeiling}% spread ceiling " +
+          s"(worst: ${violations.sortBy(-_._2).take(3).map { case (n, s) => s"$n=$s%" }.mkString(", ")}) " +
+          "— the machine was under load; re-run idle (SPARK_GRAFT_BENCH_FORCE=1 overrides)")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_FULL.json: $e")
     }
     spark.stop()
     // explicit exit either way: a leaked non-daemon thread (embedded
     // server dispatcher) must not stall the driver's bench collection
-    sys.exit(if (errors.nonEmpty) 1 else 0)
+    sys.exit(if (rejected) 2 else if (errors.nonEmpty) 1 else 0)
   }
 }
