@@ -393,6 +393,123 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // PII REDACTION (the C4/CCNet-family scrub stage every training
+    // pipeline runs before publishing text): detect emails, phone
+    // numbers, and IPv4 addresses by pattern and replace each with a
+    // typed sentinel, reporting per-type counts. The corpus text is pure
+    // [a-z ] (verified), so the fixture INJECTS PII deterministically
+    // from doc_id (email on %2, phone on %3, IP on %5 — docs carry 0-3
+    // hits in every combination) and the ORACLE composes the redacted
+    // form and counts independently from the arms; the Spark side must
+    // find and replace the actual patterns.
+    //
+    // Scale: one codegen'd projection (regexp_replace/regexp_count), no
+    // shuffle.
+    GQuery(
+      "q_text_pii_redact",
+      """SELECT doc_id,
+        |  text ||
+        |  CASE WHEN doc_id % 2 = 0 THEN ' contact <EMAIL>' ELSE '' END ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' call <PHONE>' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' host <IP>' ELSE '' END AS content,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_emails,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_phones,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_ips
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val withPii = concat(col("text"),
+        when(id % 2 === 0, concat(lit(" contact user"), ids,
+          lit("@mail"), (id % 5).cast("string"), lit(".example.com")))
+          .otherwise(""),
+        when(id % 3 === 0, concat(lit(" call +1-555-"),
+          (id % 900 + 100).cast("string"), lit("-"),
+          (id % 9000 + 1000).cast("string"))).otherwise(""),
+        when(id % 5 === 0, concat(lit(" host 192.168."),
+          (id % 256).cast("string"), lit("."),
+          (id % 254 + 1).cast("string"))).otherwise(""))
+      val emailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRx = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+      val ipRx = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+      docs(s, d).select(col("doc_id"), withPii.as("pii"))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("pii"),
+            lit(emailRx), lit("<EMAIL>")),
+            lit(phoneRx), lit("<PHONE>")),
+            lit(ipRx), lit("<IP>")).as("content"),
+          regexp_count(col("pii"), lit(emailRx)).cast("long").as("n_emails"),
+          regexp_count(col("pii"), lit(phoneRx)).cast("long").as("n_phones"),
+          // count IPs on the email-redacted text like the replace chain
+          // does (an email's host must never double-count as an address)
+          regexp_count(regexp_replace(col("pii"), lit(emailRx), lit("<EMAIL>")),
+            lit(ipRx)).cast("long").as("n_ips"))
+        .orderBy("doc_id")
+    },
+
+    // REPETITION signals (the two Gopher n-gram repetition rules the
+    // boolean rule-set above does not cover): the character coverage of
+    // the single most repeated 2-gram (templated text repeats one
+    // phrase) and the characters inside 3-grams occurring more than once
+    // (loops/boilerplate repeat longer spans). Both are integer-exact:
+    // cover = occurrences x gram length over the SAME whitespace tokens
+    // as every other text op, and the Gopher-threshold flags compare by
+    // integer cross-multiplication (top-2-gram <= 20% of token chars,
+    // duplicated-3-gram chars <= 18%).
+    //
+    // Scale: one projection with per-row higher-order array functions
+    // (O(distinct-grams x grams) per doc — docs are bounded, corpus is
+    // not; no shuffle).
+    GQuery(
+      "q_text_repetition",
+      s"""WITH ${OracleFragments.tok},
+         |g AS (
+         |  SELECT doc_id, toks,
+         |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+         |           AS tok_chars,
+         |         list_transform(range(1, len(toks)),
+         |           i -> toks[i] || ' ' || toks[i+1]) AS bg,
+         |         list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+         |  FROM tok),
+         |c AS (
+         |  SELECT doc_id, tok_chars,
+         |         CAST(coalesce(list_max(list_transform(list_distinct(bg),
+         |           x -> len(list_filter(bg, y -> y = x)) * length(x))), 0)
+         |           AS BIGINT) AS top2_cover,
+         |         CAST(coalesce(list_sum(list_transform(list_distinct(tg),
+         |           x -> CASE WHEN len(list_filter(tg, y -> y = x)) > 1
+         |                THEN len(list_filter(tg, y -> y = x)) * length(x)
+         |                ELSE 0 END)), 0) AS BIGINT) AS dup3_chars
+         |  FROM g)
+         |SELECT doc_id, tok_chars, top2_cover, dup3_chars,
+         |       top2_cover * 5 <= tok_chars AS flag_top2,
+         |       dup3_chars * 50 <= tok_chars * 9 AS flag_dup3
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      val n = size(toks)
+      val bg = transform(sequence(lit(1), n - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+      val tg = transform(sequence(lit(1), n - 2),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1),
+          lit(" "), element_at(toks, i + 2)))
+      docs(s, d)
+        .select(col("doc_id"), toks.as("toks"), bg.as("bg"), tg.as("tg"))
+        .select(col("doc_id"),
+          aggregate(transform(col("toks"), t => length(t)), lit(0),
+            (a, x) => a + x).cast("long").as("tok_chars"),
+          coalesce(array_max(transform(array_distinct(col("bg")),
+            x => size(filter(col("bg"), y => y === x)) * length(x))), lit(0))
+            .cast("long").as("top2_cover"),
+          coalesce(aggregate(transform(array_distinct(col("tg")),
+            x => when(size(filter(col("tg"), y => y === x)) > 1,
+              size(filter(col("tg"), y => y === x)) * length(x))
+              .otherwise(0)), lit(0), (a, x) => a + x), lit(0))
+            .cast("long").as("dup3_chars"))
+        .withColumn("flag_top2", col("top2_cover") * 5 <= col("tok_chars"))
+        .withColumn("flag_dup3", col("dup3_chars") * 50 <= col("tok_chars") * 9)
+        .orderBy("doc_id")
+    },
+
     // Compressibility quality signal (the Gopher/RefinedWeb-family
     // "compression ratio" filter): zlib-deflate each document and keep
     // the ratio — templated/repeated text compresses far below natural
