@@ -190,6 +190,54 @@ object Events {
         .filter(col("r").isNotNull)
         .select("r.doc_id", "r.h", "r.valid_from", "r.valid_to", "r.is_current")
         .orderBy("doc_id", "valid_from")
+    },
+
+    // Rolling z-score anomaly detection (the metrics/fraud pattern over a
+    // behavioral stream): each event compares its value against the mean
+    // and variance of that user's PREVIOUS ten events; it is anomalous
+    // when it sits more than three standard deviations out. Everything
+    // is integer-exact: values become cents, and the 3-sigma test
+    // cross-multiplies (n*x - s)^2 > 9 * (n*ss - s^2) so neither engine
+    // ever divides (mean = s/n and var = (n*ss - s^2)/n^2 never appear
+    // as doubles). Windows with fewer than five prior events abstain.
+    //
+    // Scale: ONE hash exchange on user_id, then a bounded ROWS-frame
+    // window (three running sums over the same sort) — no self-join, no
+    // per-user collect. Key cardinality grows with users, so the
+    // partitioning is skew-free at any corpus size.
+    GQuery(
+      "q_events_anomaly",
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, cents,
+        |         CAST(count(*) OVER win AS BIGINT) AS n,
+        |         CAST(coalesce(sum(cents) OVER win, 0) AS BIGINT) AS s,
+        |         CAST(coalesce(sum(cents * cents) OVER win, 0) AS BIGINT) AS ss
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, cents, n,
+        |       n >= 5 AND (n * cents - s) * (n * cents - s) > 9 * n * (n * ss - s * s)
+        |         AS is_anomaly
+        |FROM w ORDER BY event_id""".stripMargin) { (s, d) =>
+      val win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+      val cents = round(col("value") * 100).cast("long")
+      Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), cents.as("cents"))
+        .withColumn("n", count(lit(1)).over(win).cast("long"))
+        .withColumn("s", coalesce(sum("cents").over(win), lit(0)).cast("long"))
+        .withColumn("ss",
+          coalesce(sum(col("cents") * col("cents")).over(win), lit(0)).cast("long"))
+        .select(col("event_id"), col("user_id"), col("cents"), col("n"),
+          (col("n") >= 5 &&
+            (col("n") * col("cents") - col("s")) * (col("n") * col("cents") - col("s")) >
+              lit(9) * col("n") * (col("n") * col("ss") - col("s") * col("s")))
+            .as("is_anomaly"))
+        .orderBy("event_id")
     }
   )
 }

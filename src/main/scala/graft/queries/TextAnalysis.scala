@@ -1314,6 +1314,106 @@ object TextAnalysis {
         .agg(min("n").as("est_n"))
         .select(col("tok").as("token"), col("exact_n"), col("est_n"))
         .orderBy(col("exact_n").desc, col("token"))
+    },
+
+    // Hashed-feature linear classifier inference (the fastText/FineWeb-Edu
+    // quality-model scoring stage: every curation pipeline runs a cheap
+    // linear model over hashed bag-of-words features to score documents
+    // before the expensive stages). Feature id = md5-prefix bucket of the
+    // token (the hashing trick — fixed 4096-dim feature space regardless
+    // of vocabulary); the weight vector is a deterministic function of
+    // the bucket so the oracle reconstructs it without a model file (a
+    // real deployment broadcasts the trained weight array — same plan
+    // shape, the weights just arrive via broadcast instead of a closed
+    // form). Score = integer sum of per-token weights; label = score > 0.
+    //
+    // Scale: a pure one-pass codegen'd projection — per-row array
+    // transform + fold, ZERO shuffle. The model never leaves the
+    // executors; at 100 TB this is scan-bound.
+    GQuery(
+      "q_text_classifier",
+      s"""WITH ${OracleFragments.tok}
+         |SELECT doc_id,
+         |       CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(list_sum(list_transform(toks,
+         |         t -> ((('0x' || substr(md5(t), 1, 6))::BIGINT % 4096)
+         |               * 2654435761) % 2048 - 1024)), 0) AS BIGINT) AS score,
+         |       coalesce(list_sum(list_transform(toks,
+         |         t -> ((('0x' || substr(md5(t), 1, 6))::BIGINT % 4096)
+         |               * 2654435761) % 2048 - 1024)), 0) > 0 AS label
+         |FROM tok ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      def weight(t: Column): Column =
+        (conv(substring(md5(t.cast("binary")), 1, 6), 16, 10).cast("long")
+          % 4096 * 2654435761L) % 2048 - 1024
+      docs(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          aggregate(transform(col("toks"), weight(_)), lit(0L),
+            (a, x) => a + x).as("score"))
+        .withColumn("label", col("score") > 0)
+        .orderBy("doc_id")
+    },
+
+    // Per-document TF-IDF keyword extraction (top-3 terms per doc): the
+    // corpus-statistics stage behind tagging/routing/clustering-by-topic.
+    // idf is integer-millinat (round(1000*ln(N/df)) of identical integer
+    // operands on both engines); score = tf * idf_millinats stays pure
+    // integer; ties break on the term itself so top-3 is deterministic.
+    //
+    // Scale: term frequency is computed PER ROW with array functions (no
+    // corpus-wide explode-shuffle for tf); the only wide exchanges are
+    // (a) the document-frequency aggregate — vocabulary-sized with
+    // map-side combine — and (b) the per-doc top-k window keyed by
+    // doc_id, which is skew-free. df joins back via BROADCAST: after
+    // min-df pruning a real vocabulary fits executor memory at any
+    // corpus size.
+    GQuery(
+      "q_text_keywords",
+      s"""WITH ${OracleFragments.tok},
+         |tf AS (
+         |  SELECT doc_id, t.term, t.tf
+         |  FROM tok, LATERAL (
+         |    SELECT unnest(list_transform(list_distinct(toks),
+         |             x -> {'term': x,
+         |                   'tf': CAST(len(list_filter(toks, y -> y = x)) AS BIGINT)}),
+         |           recursive := true)) AS t),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |         tf.tf * CAST(round(1000 * ln(CAST(n.n AS DOUBLE)
+         |                                      / CAST(df.df AS DOUBLE))) AS BIGINT)
+         |           AS score_millinats
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |              ORDER BY score_millinats DESC, term) AS BIGINT) AS rk
+         |  FROM sc)
+         |SELECT doc_id, rk, term, tf, df, score_millinats
+         |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = tokens(col("text"))
+      val tf = docs(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), explode(transform(array_distinct(col("toks")),
+          x => struct(x.as("term"),
+            size(filter(col("toks"), y => y === x)).cast("long").as("tf"))))
+          .as("t"))
+        .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs(s, d).count()
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_millinats").desc, col("term"))
+      tf.join(broadcast(dfreq), Seq("term"))
+        .withColumn("score_millinats", col("tf") *
+          round(lit(1000d) * log(lit(n.toDouble) / col("df").cast("double")))
+            .cast("long"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "df", "score_millinats")
+        .orderBy("doc_id", "rk")
     }
   )
 }
