@@ -192,4 +192,125 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(collectCanon("q_text_token_entropy", 1) ==
       collectCanon("q_text_token_entropy", 13))
   }
+
+  // ---- r12 operators: semantic properties the cross-engine hash cannot
+  // establish (a defect present in BOTH arms still hash-matches).
+
+  test("q_text_pii_redact: redaction is idempotent and counts match sentinels") {
+    val rows = SparkEntry.queries("q_text_pii_redact")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val phone = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}".r
+    val ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b".r
+    def occurrences(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    rows.foreach { r =>
+      val c = r.getAs[String]("content")
+      // a second redaction pass must be a no-op: no live PII survives
+      assert(email.findFirstIn(c).isEmpty, s"residual email in: $c")
+      assert(phone.findFirstIn(c).isEmpty, s"residual phone in: $c")
+      assert(ip.findFirstIn(c).isEmpty, s"residual IP in: $c")
+      // the reported counts are exactly the sentinels actually emitted
+      assert(occurrences(c, "<EMAIL>") == r.getAs[Long]("n_emails"), c)
+      assert(occurrences(c, "<PHONE>") == r.getAs[Long]("n_phones"), c)
+      assert(occurrences(c, "<IP>") == r.getAs[Long]("n_ips"), c)
+    }
+  }
+
+  test("q_text_repetition: covers are consistent with the flags and token mass") {
+    val rows = SparkEntry.queries("q_text_repetition")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (chars, top2, dup3) = (r.getAs[Long]("tok_chars"),
+        r.getAs[Long]("top2_cover"), r.getAs[Long]("dup3_chars"))
+      // any >=2-token doc has at least one bigram, so its best bigram
+      // covers a positive number of characters
+      assert(top2 >= 0 && dup3 >= 0, r.toString)
+      if (chars > 1) assert(top2 > 0, s"doc with tokens but zero top-2-gram cover: $r")
+      // flags ARE the cross-multiplied Gopher thresholds, bit for bit
+      assert(r.getAs[Boolean]("flag_top2") == (top2 * 5 <= chars), r.toString)
+      assert(r.getAs[Boolean]("flag_dup3") == (dup3 * 50 <= chars * 9), r.toString)
+    }
+  }
+
+  test("q_text_classifier: scores are weight-bounded and layout-invariant") {
+    val rows = SparkEntry.queries("q_text_classifier")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sc) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("score"))
+      // each hashed feature's weight lives in [-1024, 1023]
+      assert(sc >= -1024 * n && sc <= 1023 * n, r.toString)
+      assert(r.getAs[Boolean]("label") == (sc > 0), r.toString)
+    }
+    assert(collectCanon("q_text_classifier", 1) ==
+      collectCanon("q_text_classifier", 13))
+  }
+
+  test("q_text_keywords: ranks are dense, scores non-increasing, terms real") {
+    val rows = SparkEntry.queries("q_text_keywords")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    val docText = spark.read.parquet(s"$sfDir/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split("\\s+").filter(_.nonEmpty).toSet)
+      .toMap
+    byDoc.foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to rs.length),
+        s"doc $id ranks not dense: ${sorted.mkString(";")}")
+      val scores = sorted.map(_.getAs[Long]("score_millinats"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $id scores increase down the ranks")
+      // every extracted keyword is an actual whitespace token of the doc
+      sorted.foreach { r =>
+        assert(docText(id).contains(r.getAs[String]("term")),
+          s"doc $id keyword '${r.getAs[String]("term")}' not in text")
+      }
+    }
+  }
+
+  test("q_events_anomaly: flags match an independent per-user replay") {
+    val rows = SparkEntry.queries("q_events_anomaly")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.exists(_.getAs[Boolean]("is_anomaly")),
+      "fixture must contain at least one anomaly for the gate to mean anything")
+    // replay the rolling 3-sigma rule in plain Scala off the raw table —
+    // a different formulation (explicit sliding buffer vs window frame)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_id", "user_id", "CAST(ts AS STRING) AS tsu",
+        "CAST(round(value * 100) AS LONG) AS cents")
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("tsu"), r.getAs[Long]("cents")))
+    val expect = raw.groupBy(_._2).iterator.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._1))
+      ordered.zipWithIndex.map { case ((id, _, _, x), i) =>
+        val prior = ordered.slice(math.max(0, i - 10), i).map(_._4)
+        val (n, s, ss) = (prior.length.toLong, prior.sum,
+          prior.map(v => v * v).sum)
+        id -> (n >= 5 && (n * x - s) * (n * x - s) > 9 * n * (n * ss - s * s))
+      }
+    }.toMap
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_anomaly") ==
+        expect(r.getAs[Long]("event_id")), r.toString)
+    }
+    assert(collectCanon("q_events_anomaly", 1) ==
+      collectCanon("q_events_anomaly", 13))
+  }
+
+  test("q_text_extract_html: extracted content is tag-free and entity-decoded") {
+    val rows = SparkEntry.queries("q_text_extract_html")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[String]("content")
+      // boilerplate stripping must leave no markup, raw entities, or
+      // script/style payload behind
+      assert(!c.contains("<") && !c.contains(">"), s"markup survived: $c")
+      assert(!c.contains("&amp;") && !c.contains("&#"), s"entity survived: $c")
+      assert(!c.contains("var x=1") && !c.contains("color:red"),
+        s"script/style payload survived: $c")
+      assert(!c.contains("Home") && !c.toLowerCase.startsWith("ad "),
+        s"nav/ad boilerplate survived: $c")
+    }
+  }
 }
