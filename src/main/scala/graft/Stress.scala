@@ -199,7 +199,8 @@ object Stress {
     val dR = new java.io.File(base, s"x$r")
     def stage(dir: java.io.File, reps: Int): Unit = {
       // v3: + events.parquet (user-offset replicas for the funnel arm)
-      val marker = new java.io.File(dir, "_STAGED_v3")
+      // v4: events also stage event_id/value (rolling-anomaly arm)
+      val marker = new java.io.File(dir, "_STAGED_v4")
       if (marker.isFile) return
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -253,9 +254,11 @@ object Stress {
       // partition sizes stay constant — the flat-shuffle-task ground
       // truth for the chained-window design.
       spark.read.parquet(s"$sfDir/events.parquet")
-        .select(col("ts"), col("user_id"), col("event_type"), repl)
-        .select(col("ts"), (col("user_id") + col("r") * 10000000L).as("user_id"),
-          col("event_type"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), repl)
+        .select((col("event_id") + col("r") * 1000000000L).as("event_id"),
+          col("ts"), (col("user_id") + col("r") * 10000000L).as("user_id"),
+          col("event_type"), col("value"))
         .repartition(32)
         .write.mode("overwrite").parquet(new java.io.File(dir, "events.parquet").getPath)
       marker.createNewFile()
@@ -283,7 +286,14 @@ object Stress {
       // round-11: URL canonicalization dedup, epoch shuffle, and the two
       // text quality signals (rule flags + zlib compressibility)
       "q_dedup_url", "q_curation_epoch_shuffle",
-      "q_text_gopher_rules", "q_text_compress_ratio")
+      "q_text_gopher_rules", "q_text_compress_ratio",
+      // round-12: hashed-feature classifier (pure projection), TF-IDF
+      // keywords (vocab agg + per-doc window), n-gram repetition
+      // (per-row quadratic-in-doc arrays — exactly the class the stress
+      // bounds exist to police), rolling anomaly (per-user window over
+      // the disjoint user replicas)
+      "q_text_classifier", "q_text_keywords",
+      "q_text_repetition", "q_events_anomaly")
     // optional comma-separated subset for fast local iteration; the
     // driver never sets it → full sweep
     val ops = sys.env.get("SPARK_GRAFT_STRESS_OPS")
@@ -404,7 +414,25 @@ object Stress {
       "q_text_gopher_rules" -> defB.copy(time = 8.0),
       // r11: deflate is linear in input BYTES, so the interleave
       // inflation applies directly; per-row zlib otherwise flat
-      "q_text_compress_ratio" -> defB.copy(time = 8.0))
+      "q_text_compress_ratio" -> defB.copy(time = 8.0),
+      // r12: hashed-feature scoring is one md5+fold pass over tokens —
+      // the interleave roughly doubles tokens per doc, so char-class
+      // headroom like the other text projections
+      "q_text_classifier" -> defB.copy(time = 8.0),
+      // r12: per-doc tf via array ops (the interleave doubles both
+      // tokens and distinct terms → ~4x per-row constant at any r), df
+      // agg is vocab-sized, and the top-k window exchanges (doc, term)
+      // pairs across the corpus BY DESIGN (WindowGroupLimit pre-prunes
+      // to <=3/doc/partition before the exchange)
+      "q_text_keywords" -> defB.copy(time = 8.0, corpusShuffle = true),
+      // r12: bigram/trigram cover is O(distinct-grams x grams) PER ROW
+      // with interleave-doubled grams (~4x per-row constant) — bounded
+      // per doc, linear across the corpus; the class these bounds police
+      "q_text_repetition" -> defB.copy(time = 8.0, corpusShuffle = true),
+      // r12: one user_id exchange of the events corpus BY DESIGN, then a
+      // bounded ROWS frame; disjoint user replicas keep per-task flat up
+      // to the r x corpus growth
+      "q_events_anomaly" -> defB.copy(linearRows = true, corpusShuffle = true))
 
     final case class Obs(sec: Double, rows: Long, maxInMb: Double, maxShMb: Double,
         top: Seq[(Int, String, Long, Long)])

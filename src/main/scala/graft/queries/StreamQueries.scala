@@ -37,8 +37,12 @@ object StreamQueries {
       val dupDir = new File(base, "events_dup")
       // marker written after ALL fixtures: checking the first directory's
       // _SUCCESS would latch a half-staged state if a run died mid-way
-      // (v2: adds the documents fixture for the streaming curation gate)
-      val marker = new File(base, "_STAGED_v2")
+      // (v2: adds the documents fixture for the streaming curation gate;
+      //  v3: adds the ascending time-slab fixture for the rolling-anomaly
+      //  gate — eight files whose ts ranges are disjoint and whose mtimes
+      //  ascend, so oldest-first admission replays the stream in event-
+      //  time order like a per-key-ordered kafka partition would)
+      val marker = new File(base, "_STAGED_v3")
       if (!marker.isFile) {
         val ev = Tables.load(s, sfDir, "events")
         ev.repartition(8).write.mode("overwrite").parquet(evDir.getPath)
@@ -50,10 +54,37 @@ object StreamQueries {
           .parquet(new File(base, "events_mini").getPath)
         Tables.load(s, sfDir, "documents").repartition(8)
           .write.mode("overwrite").parquet(new File(base, "documents").getPath)
+        // time slabs: ntile(8) over (ts, event_id), written SEQUENTIALLY
+        // so file modification times ascend with event time (staging-only
+        // global window — runs once per scale, not per query)
+        val byTime = new File(base, "events_bytime")
+        // append-mode slab writes: a half-staged prior attempt must not
+        // leave stale files behind the new ones
+        def rmrf(f: File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmrf)
+          f.delete(): Unit
+        }
+        if (byTime.exists()) rmrf(byTime)
+        byTime.mkdirs()
+        val slabbed = ev.withColumn("slab",
+          org.apache.spark.sql.functions.ntile(8).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("ts"), col("event_id"))))
+        (1 to 8).foreach { i =>
+          slabbed.filter(col("slab") === i).drop("slab").coalesce(1)
+            .write.mode("append").parquet(byTime.getPath)
+          Thread.sleep(15) // distinct mtimes: admission order is by mtime
+        }
         marker.createNewFile()
       }
       (evDir.getPath, dupDir.getPath)
     }
+
+  private def byTimeDir(s: SparkSession, sfDir: String): String = {
+    stage(s, sfDir)
+    new File(new File(new File(sys.props("user.dir"), "target/graft-stream"),
+      new File(sfDir).getName), "events_bytime").getPath
+  }
 
   private def docsDir(s: SparkSession, sfDir: String): String = {
     stage(s, sfDir)
@@ -477,6 +508,44 @@ object StreamQueries {
           round(sum(col("value").cast("decimal(18,2)")), 4)
             .cast("double").as("total_value"))
         .orderBy("event_type")
+    },
+
+    // Streaming rolling anomaly detection via flatMapGroupsWithState —
+    // the first gate through the CUSTOM-state escape hatch (sessionize's
+    // machinery, here with a bounded per-user buffer): each user's last
+    // ten values ride the state store across eight time-ordered
+    // micro-batches (one slab file per trigger), and the emitted flags
+    // must equal the batch q_events_anomaly window bit for bit. That
+    // equivalence is the contract that lets one anomaly rule serve both
+    // the backfill and the live feed.
+    GQuery(
+      "q_stream_anomaly",
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, cents,
+        |         CAST(count(*) OVER win AS BIGINT) AS n,
+        |         CAST(coalesce(sum(cents) OVER win, 0) AS BIGINT) AS s,
+        |         CAST(coalesce(sum(cents * cents) OVER win, 0) AS BIGINT) AS ss
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, cents, n,
+        |       n >= 5 AND (n * cents - s) * (n * cents - s) > 9 * n * (n * ss - s * s)
+        |         AS is_anomaly
+        |FROM w ORDER BY event_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dir = byTimeDir(s, d)
+      val schema = s.read.parquet(dir).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.Streams.Event]
+      drain(graft.streaming.Streams.rollingAnomaly(src).toDF(), "append")
+        .orderBy("event_id")
     },
 
     // Streaming ingest THROUGH the connector: foreachBatch appends each

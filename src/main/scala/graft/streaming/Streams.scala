@@ -30,6 +30,54 @@ object Streams {
       user_id: Long, n_events: Long, total_value: Double,
       first_ts: Timestamp, last_ts: Timestamp, closed: Boolean)
 
+  final case class AnomalyFlag(
+      event_id: Long, user_id: Long, cents: Long, n: Long, is_anomaly: Boolean)
+
+  final case class AnomalyState(recent: Array[Long])
+
+  /** Streaming rolling 3-sigma anomaly detection: each event compares its
+    * value (integer cents) against the mean/variance of that user's
+    * previous ten events, carried across micro-batches as keyed state —
+    * the live twin of the batch `q_events_anomaly` window. The test
+    * cross-multiplies (n·x − s)² > 9·n·(n·ss − s²) so no division ever
+    * happens; fewer than five priors abstains.
+    *
+    * Ordering contract: within a micro-batch the group's events sort by
+    * (ts, event_id); across batches the caller must feed time-ordered
+    * slabs (the gate stages ascending time-range files and admits one per
+    * trigger). That is the production shape — a kafka source partitioned
+    * by user key is per-key ordered already.
+    *
+    * Scale: state per user is a bounded 10-value buffer (a few hundred
+    * bytes), hash-partitioned by user_id across executors — O(active
+    * users), not O(history); no timeout needed because the buffer cannot
+    * grow. */
+  def rollingAnomaly(events: Dataset[Event]): Dataset[AnomalyFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomalyState, AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[AnomalyState]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var buf = state.getOption.map(_.recent).getOrElse(Array.empty[Long])
+          val out = evs.map { e =>
+            // positive-domain rounding: identical to SQL round() here
+            // (fixture values are positive; HALF_UP == math.round there)
+            val x = math.round(e.value * 100)
+            val n = buf.length.toLong
+            val s = buf.sum
+            val ss = buf.iterator.map(v => v * v).sum
+            val d = n * x - s
+            val flag = n >= 5 && d * d > 9 * n * (n * ss - s * s)
+            buf = (buf :+ x).takeRight(10)
+            AnomalyFlag(e.event_id, userId, x, n, flag)
+          }
+          state.update(AnomalyState(buf))
+          out.iterator
+      }
+  }
+
   /** Event-time tumbling-window counts per event type with a watermark:
     * late events beyond the delay are dropped and window state is evicted
     * once the watermark passes the window end. */

@@ -89,4 +89,34 @@ class StreamsSpec extends AnyFunSuite {
       assert(open.map(_.getAs[Double]("total_value")).max == 10.0)
     } finally q.stop()
   }
+
+  test("rollingAnomaly carries the 10-value buffer across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.rollingAnomaly(in.toDS())
+      .writeStream.format("memory").queryName("an").outputMode("append").start()
+    try {
+      // five steady 1.00-value priors arrive OUT OF ORDER in batch 1 —
+      // the per-batch (ts, event_id) sort must restore event-time order
+      in.addData(ev(3, 3), ev(1, 1), ev(5, 5), ev(2, 2), ev(4, 4))
+      q.processAllAvailable()
+      // batch 2: a 50.00 spike against the batch-1 state (zero variance
+      // baseline -> any deviation is anomalous), then a fresh 1.00
+      in.addData(ev(6, 6, v = 50.0), ev(7, 7))
+      q.processAllAvailable()
+      val rows = spark.table("an").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Long]("n"), r.getAs[Boolean]("is_anomaly"))).toMap
+      // priors: n grows 0..4, all abstain (n < 5)
+      (1L to 5L).foreach { id =>
+        assert(rows(id) == ((id - 1, false)), s"event $id: ${rows(id)}") }
+      // the spike sees the full 5-deep baseline carried from batch 1
+      assert(rows(6L) == ((5L, true)), s"spike: ${rows(6L)}")
+      // the follow-up 1.00 sits inside the (now spiked) spread:
+      // n=6, s=5*100+5000=5500, ss=4*10000+... variance dominated by the
+      // spike -> not anomalous
+      assert(rows(7L)._1 == 6L && !rows(7L)._2, s"follow-up: ${rows(7L)}")
+    } finally q.stop()
+  }
 }
