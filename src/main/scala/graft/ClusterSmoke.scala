@@ -34,6 +34,11 @@ object ClusterSmoke {
     // serialized partitions to executor JVMs, which page it over TCP;
     // Mongo rides OP_COMPRESSED from the executor side
     "q_src_es_deep_page", "q18_large_orders",
+    // r12: the streaming anomaly runs its RocksDB/HDFS-backed state store
+    // ON THE EXECUTORS — keyed state partitions live in executor JVMs and
+    // checkpoint under the driver's dir; keywords exercises the broadcast
+    // df join + WindowGroupLimit exchange across real JVM boundaries
+    "q_stream_anomaly", "q_text_keywords",
     // scale family
     "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_incremental",
     "q_kmeans", "q_curation_domain_cap", "q_text_bpe_encode",

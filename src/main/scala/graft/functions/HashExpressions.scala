@@ -100,6 +100,25 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
   override def prettyName: String = "deflate_len"
 }
 
+/** gram_covers(string) → struct<tok_chars, top2_cover, dup3_chars>
+  * (all BIGINT): one-pass n-gram repetition covers over the whitespace
+  * tokens — the Gopher top-2-gram coverage and duplicated-3-gram char
+  * mass. Codegen'd call into a tight hash-map loop (TextHash.gramCoversU);
+  * replaces an interpreter-bound higher-order-function formulation the
+  * 10× stress arm measured ~18× slower end to end. */
+case class GramCovers(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("tok_chars", LongType, nullable = false),
+    StructField("top2_cover", LongType, nullable = false),
+    StructField("dup3_chars", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    TextHash.gramCoversU(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.gramCoversU($c)")
+  override protected def withNewChildInternal(c: Expression): GramCovers = copy(c)
+  override def prettyName: String = "gram_covers"
+}
+
 /** Column-level API for the hash expressions.
   *
   * `ensure(spark)` registers the expressions in the session's
@@ -168,7 +187,8 @@ object HashFunctions {
     "bloom_build" -> (a =>
       BloomBuildAgg(i64(a.head), longArg(a(1), "bloom_build"), intArg(a(2), "bloom_build"))),
     "bloom_contains" -> (a => BloomMightContain(a.head, i64(a(1)))),
-    "deflate_len" -> (a => DeflateLen(str(a.head))))
+    "deflate_len" -> (a => DeflateLen(str(a.head))),
+    "gram_covers" -> (a => GramCovers(str(a.head))))
 
   def ensure(spark: SparkSession): Unit = if (ensured.add(spark)) {
     val reg = spark.sessionState.functionRegistry
@@ -212,4 +232,6 @@ object HashFunctions {
     ready(); call_function("bloom_contains", bloom, h)
   }
   def deflate_len(c: Column): Column = { ready(); call_function("deflate_len", c) }
+
+  def gram_covers(c: Column): Column = { ready(); call_function("gram_covers", c) }
 }

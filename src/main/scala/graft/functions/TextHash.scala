@@ -185,4 +185,54 @@ object TextHash {
     }
     a
   }
+
+  @inline private def cpLen(s: String): Long =
+    s.codePointCount(0, s.length).toLong
+
+  /** One-pass n-gram repetition covers (the Gopher rules' expensive
+    * half): over tokenize(text), returns
+    * (tok_chars, top2_cover, dup3_chars) where top2_cover is the char
+    * coverage (occurrences × gram length incl. joining spaces) of the
+    * single most repeated 2-gram and dup3_chars is the char mass of
+    * 3-grams occurring more than once. Hash-map run counting — O(grams)
+    * per row with two reused maps; the higher-order-function
+    * formulation this replaces was interpreter-bound (CodegenFallback)
+    * and ~40× slower per row. Lengths are code points, matching SQL
+    * length() on both engines. */
+  def gramCoversU(
+      s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokenize(s.toString)
+    var tokChars = 0L
+    var i = 0
+    while (i < toks.length) { tokChars += cpLen(toks(i)); i += 1 }
+    // bigrams: cover = count × length is monotone in count per gram, so
+    // the running max over increments equals the max over final counts
+    val big = new java.util.HashMap[String, Integer]()
+    var top2 = 0L
+    i = 0
+    while (i + 1 < toks.length) {
+      val g = toks(i) + " " + toks(i + 1)
+      val c = big.merge(g, Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      val cover = c.longValue * cpLen(g)
+      if (cover > top2) top2 = cover
+      i += 1
+    }
+    // trigrams: a count reaching 2 contributes both occurrences; each
+    // further occurrence adds one gram length
+    val tri = new java.util.HashMap[String, Integer]()
+    var dup3 = 0L
+    i = 0
+    while (i + 2 < toks.length) {
+      val g = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+      val c = tri.merge(g, Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      val L = cpLen(g)
+      if (c.intValue == 2) dup3 += 2 * L
+      else if (c.intValue > 2) dup3 += L
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](tokChars, top2, dup3))
+  }
 }

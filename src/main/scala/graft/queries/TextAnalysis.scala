@@ -456,9 +456,14 @@ object TextAnalysis {
     // integer cross-multiplication (top-2-gram <= 20% of token chars,
     // duplicated-3-gram chars <= 18%).
     //
-    // Scale: one projection with per-row higher-order array functions
-    // (O(distinct-grams x grams) per doc — docs are bounded, corpus is
-    // not; no shuffle).
+    // Scale: one codegen'd projection — gram_covers is a native Catalyst
+    // expression doing one O(grams) hash-map pass per row
+    // (TextHash.gramCoversU). Two interpreted formulations lost to it in
+    // the 10x stress arm: the O(distinct x g) higher-order rescan (21x
+    // wall growth) and a sorted-run fold (18x) — higher-order array
+    // functions are CodegenFallback, so per-row compute of this shape
+    // belongs in a native expression, the deflate_len precedent. No
+    // shuffle.
     GQuery(
       "q_text_repetition",
       s"""WITH ${OracleFragments.tok},
@@ -485,26 +490,12 @@ object TextAnalysis {
          |       top2_cover * 5 <= tok_chars AS flag_top2,
          |       dup3_chars * 50 <= tok_chars * 9 AS flag_dup3
          |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val toks = tokens(col("text"))
-      val n = size(toks)
-      val bg = transform(sequence(lit(1), n - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
-      val tg = transform(sequence(lit(1), n - 2),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1),
-          lit(" "), element_at(toks, i + 2)))
+      val gc = HashFunctions.gram_covers(col("text"))
       docs(s, d)
-        .select(col("doc_id"), toks.as("toks"), bg.as("bg"), tg.as("tg"))
-        .select(col("doc_id"),
-          aggregate(transform(col("toks"), t => length(t)), lit(0),
-            (a, x) => a + x).cast("long").as("tok_chars"),
-          coalesce(array_max(transform(array_distinct(col("bg")),
-            x => size(filter(col("bg"), y => y === x)) * length(x))), lit(0))
-            .cast("long").as("top2_cover"),
-          coalesce(aggregate(transform(array_distinct(col("tg")),
-            x => when(size(filter(col("tg"), y => y === x)) > 1,
-              size(filter(col("tg"), y => y === x)) * length(x))
-              .otherwise(0)), lit(0), (a, x) => a + x), lit(0))
-            .cast("long").as("dup3_chars"))
+        .select(col("doc_id"), gc.as("gc"))
+        .select(col("doc_id"), col("gc.tok_chars").as("tok_chars"),
+          col("gc.top2_cover").as("top2_cover"),
+          col("gc.dup3_chars").as("dup3_chars"))
         .withColumn("flag_top2", col("top2_cover") * 5 <= col("tok_chars"))
         .withColumn("flag_dup3", col("dup3_chars") * 50 <= col("tok_chars") * 9)
         .orderBy("doc_id")
