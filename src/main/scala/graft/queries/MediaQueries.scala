@@ -70,6 +70,52 @@ object MediaQueries {
         .select(col("media_id"), col("width"), col("height"),
           explode(col("frame_indices")).as("frame_idx"))
         .orderBy("media_id", "frame_idx")
+    },
+
+    // Media dedup (the image-corpus stage of SemDeDup): exact duplicates
+    // by payload fingerprint (md5 over the binary), near-duplicates by
+    // quantized feature bucket — floor(f_j·16) nibbles composed into one
+    // key, so visually-identical assets (identical stub features) land in
+    // one bucket and the keeper is the min media_id. The oracle recomputes
+    // both from the generating text: md5(text) IS the payload md5
+    // (payload = UTF-8 bytes), and the quantized nibbles are bit-slices
+    // of the same hash fold the decode stub exposes as features.
+    //
+    // Scale: decode is one narrow batched pass; the dedup is ONE exchange
+    // on the bucket key (map-side combined). The media_id join of the
+    // fingerprint and feature projections exists because the tested
+    // decode API drops payloads; a production pipeline folds md5 into the
+    // decode mapPartitions pass and the join disappears.
+    GQuery(
+      "q_multimodal_dedup",
+      s"""WITH hdoc AS (
+         |  SELECT doc_id, md5(text) AS pmd5,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(text)+1),
+         |                          i -> CAST(unicode(text[i]) AS BIGINT))),
+         |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
+         |  FROM documents)
+         |SELECT ((h >> 4) & 15) + 16 * ((h >> 12) & 15)
+         |         + 256 * ((h >> 20) & 15) + 4096 * ((h >> 28) & 15) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_media,
+         |       min(doc_id) AS keep_media,
+         |       CAST(count(DISTINCT pmd5) AS BIGINT) AS n_payloads
+         |FROM hdoc GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      val media = Multimodal.fromDocuments(Tables.load(s, d, "documents"))
+      val prints = media.toDF()
+        .select(col("media_id"), md5(col("payload")).as("pmd5"))
+      val bucket = (floor(col("features").getItem(0) * 16) +
+        floor(col("features").getItem(1) * 16) * 16 +
+        floor(col("features").getItem(2) * 16) * 256 +
+        floor(col("features").getItem(3) * 16) * 4096).cast("long")
+      Multimodal.decode(media).toDF()
+        .select(col("media_id"), bucket.as("bucket"))
+        .join(prints, "media_id")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_media"),
+          min("media_id").as("keep_media"),
+          countDistinct(col("pmd5")).as("n_payloads"))
+        .orderBy("bucket")
     }
   )
 }
