@@ -248,4 +248,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(same(Multimodal.decode(Seq(synth).toDS()).collect().head,
       Multimodal.stubDecode(synth)))
   }
+
+  test("q_multimodal_dedup: identical payloads share a bucket, keeper is the min") {
+    val rows = SparkEntry.queries("q_multimodal_dedup")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // identical payloads -> identical features -> one bucket: distinct
+    // payload count within a bucket can never exceed its media count,
+    // and a bucket holding one distinct payload with several media rows
+    // is the exact-duplicate case the stage exists to collapse
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_payloads") >= 1 &&
+        r.getAs[Long]("n_payloads") <= r.getAs[Long]("n_media"), r.toString)
+    }
+    // the keeper per bucket is the minimum media_id: re-derive from the
+    // decode path directly
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dec = graft.multimodal.Multimodal.decode(
+      graft.multimodal.Multimodal.fromDocuments(docs)).toDF()
+    val expect = dec.select(col("media_id"),
+      (floor(col("features").getItem(0) * 16) +
+        floor(col("features").getItem(1) * 16) * 16 +
+        floor(col("features").getItem(2) * 16) * 256 +
+        floor(col("features").getItem(3) * 16) * 4096).cast("long").as("bucket"))
+      .groupBy("bucket").agg(min("media_id").as("keep"))
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("keep")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keep_media") == expect(r.getAs[Long]("bucket")),
+        r.toString)
+    }
+  }
 }
