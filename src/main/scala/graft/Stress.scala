@@ -425,10 +425,11 @@ object Stress {
       // pairs across the corpus BY DESIGN (WindowGroupLimit pre-prunes
       // to <=3/doc/partition before the exchange)
       "q_text_keywords" -> defB.copy(time = 8.0, corpusShuffle = true),
-      // r12: bigram/trigram cover is O(distinct-grams x grams) PER ROW
-      // with interleave-doubled grams (~4x per-row constant) — bounded
-      // per doc, linear across the corpus; the class these bounds police
-      "q_text_repetition" -> defB.copy(time = 8.0, corpusShuffle = true),
+      // r12: gram covers are ONE native O(grams) hash-map pass per row
+      // (gram_covers expression) — a pure projection like the classifier,
+      // so it keeps the strict flat-shuffle default (measured 1.6x/1.0x
+      // at 10x); the interpreted formulations it replaced measured 21x
+      "q_text_repetition" -> defB.copy(time = 8.0),
       // r12: one user_id exchange of the events corpus BY DESIGN, then a
       // bounded ROWS frame; disjoint user replicas keep per-task flat up
       // to the r x corpus growth

@@ -195,7 +195,7 @@ object TextHash {
     * coverage (occurrences × gram length incl. joining spaces) of the
     * single most repeated 2-gram and dup3_chars is the char mass of
     * 3-grams occurring more than once. Hash-map run counting — O(grams)
-    * per row with two reused maps; the higher-order-function
+    * per row with two per-call maps; the higher-order-function
     * formulation this replaces was interpreter-bound (CodegenFallback)
     * and ~40× slower per row. Lengths are code points, matching SQL
     * length() on both engines. */

@@ -220,7 +220,7 @@ object Events {
         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
         |                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
         |SELECT event_id, user_id, cents, n,
-        |       n >= 5 AND (n * cents - s) * (n * cents - s) > 9 * n * (n * ss - s * s)
+        |       n >= 5 AND (n * cents - s) * (n * cents - s) > 9 * (n * ss - s * s)
         |         AS is_anomaly
         |FROM w ORDER BY event_id""".stripMargin) { (s, d) =>
       val win = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -235,7 +235,7 @@ object Events {
         .select(col("event_id"), col("user_id"), col("cents"), col("n"),
           (col("n") >= 5 &&
             (col("n") * col("cents") - col("s")) * (col("n") * col("cents") - col("s")) >
-              lit(9) * col("n") * (col("n") * col("ss") - col("s") * col("s")))
+              lit(9) * (col("n") * col("ss") - col("s") * col("s")))
             .as("is_anomaly"))
         .orderBy("event_id")
     }

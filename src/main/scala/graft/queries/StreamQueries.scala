@@ -70,10 +70,20 @@ object StreamQueries {
           org.apache.spark.sql.functions.ntile(8).over(
             org.apache.spark.sql.expressions.Window
               .orderBy(col("ts"), col("event_id"))))
+        // admission order is by file mtime: stamp each slab's files
+        // EXPLICITLY 2s apart rather than trusting write-time spacing —
+        // a second-granularity filesystem would otherwise tie several
+        // slabs and replay them in arbitrary path order
+        val stamped = scala.collection.mutable.Set.empty[String]
+        val t0 = ((System.currentTimeMillis() / 1000) - 60) * 1000
         (1 to 8).foreach { i =>
           slabbed.filter(col("slab") === i).drop("slab").coalesce(1)
             .write.mode("append").parquet(byTime.getPath)
-          Thread.sleep(15) // distinct mtimes: admission order is by mtime
+          byTime.listFiles().foreach { f =>
+            if (f.getName.endsWith(".parquet") && stamped.add(f.getName)) {
+              f.setLastModified(t0 + i * 2000L): Unit
+            }
+          }
         }
         marker.createNewFile()
       }
@@ -533,7 +543,7 @@ object StreamQueries {
         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
         |                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
         |SELECT event_id, user_id, cents, n,
-        |       n >= 5 AND (n * cents - s) * (n * cents - s) > 9 * n * (n * ss - s * s)
+        |       n >= 5 AND (n * cents - s) * (n * cents - s) > 9 * (n * ss - s * s)
         |         AS is_anomaly
         |FROM w ORDER BY event_id""".stripMargin) { (s, d) =>
       import s.implicits._

@@ -469,8 +469,8 @@ object TextAnalysis {
       s"""WITH ${OracleFragments.tok},
          |g AS (
          |  SELECT doc_id, toks,
-         |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
-         |           AS tok_chars,
+         |         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+         |           AS BIGINT) AS tok_chars,
          |         list_transform(range(1, len(toks)),
          |           i -> toks[i] || ' ' || toks[i+1]) AS bg,
          |         list_transform(range(1, len(toks) - 1),
@@ -1394,12 +1394,15 @@ object TextAnalysis {
           .as("t"))
         .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val n = docs(s, d).count()
+      // N rides the plan as a broadcast one-row cross join (the oracle's
+      // CROSS JOIN n shape) — no eager driver-side count job per build
+      val nDocs = docs(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score_millinats").desc, col("term"))
       tf.join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(nDocs))
         .withColumn("score_millinats", col("tf") *
-          round(lit(1000d) * log(lit(n.toDouble) / col("df").cast("double")))
+          round(lit(1000d) * log(col("n_docs") / col("df").cast("double")))
             .cast("long"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)

@@ -59,7 +59,14 @@ object Streams {
       .flatMapGroupsWithState[AnomalyState, AnomalyFlag](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[AnomalyState]) =>
-          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // full-precision event-time order: Timestamp.getTime truncates
+          // to millis, and two same-millisecond events with microsecond
+          // parts ordered opposite to event_id would replay swapped vs
+          // the batch window's (ts, event_id) sort
+          val evs = it.toSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts)
+            c < 0 || (c == 0 && a.event_id < b.event_id)
+          }
           var buf = state.getOption.map(_.recent).getOrElse(Array.empty[Long])
           val out = evs.map { e =>
             // positive-domain rounding: identical to SQL round() here
@@ -69,7 +76,7 @@ object Streams {
             val s = buf.sum
             val ss = buf.iterator.map(v => v * v).sum
             val d = n * x - s
-            val flag = n >= 5 && d * d > 9 * n * (n * ss - s * s)
+            val flag = n >= 5 && d * d > 9 * (n * ss - s * s)
             buf = (buf :+ x).takeRight(10)
             AnomalyFlag(e.event_id, userId, x, n, flag)
           }

@@ -287,7 +287,7 @@ class OperatorPropertySpec extends AnyFunSuite {
         val prior = ordered.slice(math.max(0, i - 10), i).map(_._4)
         val (n, s, ss) = (prior.length.toLong, prior.sum,
           prior.map(v => v * v).sum)
-        id -> (n >= 5 && (n * x - s) * (n * x - s) > 9 * n * (n * ss - s * s))
+        id -> (n >= 5 && (n * x - s) * (n * x - s) > 9 * (n * ss - s * s))
       }
     }.toMap
     rows.foreach { r =>
