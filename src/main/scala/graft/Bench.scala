@@ -469,17 +469,32 @@ object Bench {
     // ---- load refusal ---------------------------------------------------
     // A loaded machine shows as wide spread on constant-dominated queries:
     // if any sub-second query (after the documented trim) exceeds the
-    // ceiling, this run is NOT a committable artifact.
+    // ceiling, this run is NOT a committable artifact. The ceiling is
+    // gated by an ABSOLUTE range floor: a 0.1s query whose observations
+    // span 80ms reads as 80% spread yet is pure scheduler/GC jitter (an
+    // idle-machine calibration run showed 9 such), while genuine load
+    // inflates sub-second queries by multi-hundred-ms — only a wide
+    // RELATIVE spread with a material ABSOLUTE range is load evidence.
     val spreadCeiling =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_CEILING", "50.0").toDouble
+    val spreadFloorSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_FLOOR", "0.35").toDouble
+    val absRange: Map[String, Double] = names.flatMap { name =>
+      obs.get(name).filter(_.size >= 2).map { xs =>
+        val ts0 = xs.map(_.t).sorted
+        val ts = if (fastSet.contains(name) && ts0.size >= 5) ts0.init else ts0
+        name -> (ts.max - ts.min)
+      }
+    }.toMap
     val violations = spreadPct.collect {
-      case (n, s) if fastSet.contains(n) && s > spreadCeiling => n -> s }
+      case (n, s) if fastSet.contains(n) && s > spreadCeiling &&
+        absRange.getOrElse(n, 0.0) > spreadFloorSec => n -> s }
     val violJson = violations.sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val rejected = only.isEmpty && violations.nonEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FORCE", "0") != "1"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"fast_reps":$fastReps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"spread_untrimmed_pct":$spreadUntrimmedJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","isolated":$isoJson,"isolated_over_suite_ratio":$isoRatio,"iso_threshold_sec":$isoThreshold,"spread_ceiling_pct":$spreadCeiling,"spread_violations":$violJson,"rejected_for_load":$rejected,"sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"fast_reps":$fastReps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"spread_untrimmed_pct":$spreadUntrimmedJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","isolated":$isoJson,"isolated_over_suite_ratio":$isoRatio,"iso_threshold_sec":$isoThreshold,"spread_ceiling_pct":$spreadCeiling,"spread_floor_sec":$spreadFloorSec,"spread_violations":$violJson,"rejected_for_load":$rejected,"sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
     println(line)
     // truncation-proof copy: the stdout line is captured by a consumer that
     // has historically kept only a prefix; the file keeps every number.
