@@ -489,12 +489,21 @@ object Bench {
     val violations = spreadPct.collect {
       case (n, s) if fastSet.contains(n) && s > spreadCeiling &&
         absRange.getOrElse(n, 0.0) > spreadFloorSec => n -> s }
+    // Load is SYSTEMIC: a loaded machine inflates tens of sub-second
+    // queries at once (the round-10 loaded artifact had 29 over the
+    // ceiling), while a saturated-but-idle local[32] JVM endemically
+    // shows 1-3 borderline ~0.6s window queries with one straggler-task
+    // hiccup among their reps (two idle calibration runs: 3 and 0 past
+    // the floor). Reject only past the allowance; the violation list is
+    // still emitted either way so a borderline artifact shows its noise.
+    val violationAllowance =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_ALLOWANCE", "5").toInt
     val violJson = violations.sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val rejected = only.isEmpty && violations.nonEmpty &&
+    val rejected = only.isEmpty && violations.size >= violationAllowance &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FORCE", "0") != "1"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"fast_reps":$fastReps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"spread_untrimmed_pct":$spreadUntrimmedJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","isolated":$isoJson,"isolated_over_suite_ratio":$isoRatio,"iso_threshold_sec":$isoThreshold,"spread_ceiling_pct":$spreadCeiling,"spread_floor_sec":$spreadFloorSec,"spread_violations":$violJson,"rejected_for_load":$rejected,"sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"fast_reps":$fastReps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"spread_untrimmed_pct":$spreadUntrimmedJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","isolated":$isoJson,"isolated_over_suite_ratio":$isoRatio,"iso_threshold_sec":$isoThreshold,"spread_ceiling_pct":$spreadCeiling,"spread_floor_sec":$spreadFloorSec,"spread_violation_allowance":$violationAllowance,"spread_violations":$violJson,"rejected_for_load":$rejected,"sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
     println(line)
     // truncation-proof copy: the stdout line is captured by a consumer that
     // has historically kept only a prefix; the file keeps every number.
