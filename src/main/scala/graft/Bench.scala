@@ -37,6 +37,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Failures are recorded explicitly (`"errors"` map, value -1 in the
   * timing map) instead of silently contributing a fake timing row.
+  * Environment-portability failures of the OPTIONAL iso arm land in a
+  * separate `"warnings"` map that does not affect the exit code, and the
+  * artifact carries `loadavg_start`/`loadavg_end` as a direct
+  * machine-state fingerprint beside the inferred spread gate.
   *
   * Round-12 measurement-protocol arms:
   *   - ISOLATED heavy queries: any query whose in-suite median exceeds
@@ -70,6 +74,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // machine-state fingerprint: 1-min loadavg at suite start (and again
+    // at artifact time) — the direct evidence the spread-based load gate
+    // infers indirectly. -1.0 where the platform doesn't report it.
+    val loadavgStart =
+      ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Inter-query System.gc() (outside the measured region) isolates each
@@ -156,6 +165,11 @@ object Bench {
     }
 
     var errors = List.empty[(String, String)]
+    // Environment-portability failures (an iso child JVM that can't spawn
+    // on this machine's layout) — reported in the artifact but NOT exit-
+    // code-affecting: the in-suite measurements they would have refined
+    // are still valid.
+    var warnings = List.empty[(String, String)]
     // Optional args(0): comma-separated name filter for single-query A/B
     // timing runs (the driver invokes with no args — full suite unchanged).
     val only: Option[Set[String]] =
@@ -338,13 +352,36 @@ object Bench {
     val isolated: Seq[(String, Double)] =
       if (!isoEnabled || heavyNames.isEmpty) Nil
       else {
-        val classes = new java.io.File(sys.props("user.dir"),
-          "target/scala-2.13/classes").getAbsolutePath
+        // child inherits THIS JVM's classpath and heap ceiling — no
+        // hardcoded target/ layout or /opt/spark path, so the iso arm
+        // works from any launcher (sbt, spark-submit, a fat jar)
+        val childCp = sys.props("java.class.path")
+        val parentArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+        val childXmx = parentArgs.filter(_.startsWith("-Xmx"))
+          .lastOption.getOrElse("-Xmx16g")
+        // module opens + -D system props ride along (Spark-on-JDK17 needs
+        // the opens; spark.* -D flags keep child/parent configs equal).
+        // `--add-opens M/P=T` arrives as TWO argv tokens — keep the pair.
+        val childFlags = {
+          val out = Seq.newBuilder[String]
+          val it = parentArgs.iterator
+          while (it.hasNext) {
+            val a = it.next()
+            if ((a == "--add-opens" || a == "--add-exports") && it.hasNext) {
+              out += a; out += it.next()
+            } else if (a.startsWith("--add-opens") ||
+                a.startsWith("--add-exports") || a.startsWith("-D")) out += a
+          }
+          out.result()
+        }
+        val javaBin = new java.io.File(
+          new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
         heavyNames.map { name =>
           name -> (try {
-            val pb = new ProcessBuilder("java", "-Xmx16g", "-cp",
-              s"$classes:/opt/spark/jars/*", "graft.Bench", name)
-            pb.environment().put("SPARK_HOME", "/opt/spark")
+            val cmd = Seq(javaBin, childXmx) ++ childFlags ++
+              Seq("-cp", childCp, "graft.Bench", name)
+            val pb = new ProcessBuilder(cmd: _*)
+            sys.env.get("SPARK_HOME").foreach(pb.environment().put("SPARK_HOME", _))
             pb.environment().put("SPARK_SCALA_VERSION", "2.13")
             pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
             pb.environment().put("SPARK_GRAFT_CPUS", cpus)
@@ -378,13 +415,13 @@ object Bench {
                 "\":(-?[0-9.]+)").r
               rx.findFirstMatchIn(l).map(_.group(1).toDouble)
             }.getOrElse {
-              errors ::= (s"iso:$name" ->
+              warnings ::= (s"iso:$name" ->
                 (if (finished) "no bench line from isolated JVM"
                  else "isolated JVM timed out after 15 minutes"))
               -1.0
             }
           } catch { case e: Throwable =>
-            errors ::= (s"iso:$name" -> e.toString.take(200)); -1.0
+            warnings ::= (s"iso:$name" -> e.toString.take(200)); -1.0
           })
         }
       }
@@ -506,8 +543,12 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val rejected = only.isEmpty && violations.size >= violationAllowance &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FORCE", "0") != "1"
+    val warnJson = warnings.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val loadavgEnd =
+      ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"fast_reps":$fastReps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"spread_untrimmed_pct":$spreadUntrimmedJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","isolated":$isoJson,"isolated_over_suite_ratio":$isoRatio,"iso_threshold_sec":$isoThreshold,"spread_ceiling_pct":$spreadCeiling,"spread_floor_sec":$spreadFloorSec,"spread_violation_allowance":$violationAllowance,"spread_violations":$violJson,"rejected_for_load":$rejected,"sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"fast_reps":$fastReps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"spread_untrimmed_pct":$spreadUntrimmedJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"warnings":$warnJson,"loadavg_start":$loadavgStart,"loadavg_end":$loadavgEnd,"sf":"$sfDir","isolated":$isoJson,"isolated_over_suite_ratio":$isoRatio,"iso_threshold_sec":$isoThreshold,"spread_ceiling_pct":$spreadCeiling,"spread_floor_sec":$spreadFloorSec,"spread_violation_allowance":$violationAllowance,"spread_violations":$violJson,"rejected_for_load":$rejected,"sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
     println(line)
     // truncation-proof copy: the stdout line is captured by a consumer that
     // has historically kept only a prefix; the file keeps every number.

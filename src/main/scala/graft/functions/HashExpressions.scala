@@ -119,6 +119,24 @@ case class GramCovers(child: Expression) extends UnaryExpression {
   override def prettyName: String = "gram_covers"
 }
 
+/** term_freqs(string) → ARRAY<STRUCT<term STRING, tf BIGINT>>: per-document
+  * term frequencies over the whitespace tokens, one struct per distinct
+  * token. Codegen'd call into a single hash-map pass
+  * (TextHash.termFreqsU) — O(tokens) per row, vs the O(distinct × tokens)
+  * interpreter-bound `transform(array_distinct, x -> size(filter(...)))`
+  * formulation it replaces in the TF-IDF keyword gate. */
+case class TermFreqs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHash.termFreqsU(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.termFreqsU($c)")
+  override protected def withNewChildInternal(c: Expression): TermFreqs = copy(c)
+  override def prettyName: String = "term_freqs"
+}
+
 /** Column-level API for the hash expressions.
   *
   * `ensure(spark)` registers the expressions in the session's
@@ -188,7 +206,8 @@ object HashFunctions {
       BloomBuildAgg(i64(a.head), longArg(a(1), "bloom_build"), intArg(a(2), "bloom_build"))),
     "bloom_contains" -> (a => BloomMightContain(a.head, i64(a(1)))),
     "deflate_len" -> (a => DeflateLen(str(a.head))),
-    "gram_covers" -> (a => GramCovers(str(a.head))))
+    "gram_covers" -> (a => GramCovers(str(a.head))),
+    "term_freqs" -> (a => TermFreqs(str(a.head))))
 
   def ensure(spark: SparkSession): Unit = if (ensured.add(spark)) {
     val reg = spark.sessionState.functionRegistry
@@ -234,4 +253,6 @@ object HashFunctions {
   def deflate_len(c: Column): Column = { ready(); call_function("deflate_len", c) }
 
   def gram_covers(c: Column): Column = { ready(); call_function("gram_covers", c) }
+
+  def term_freqs(c: Column): Column = { ready(); call_function("term_freqs", c) }
 }

@@ -235,4 +235,35 @@ object TextHash {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](tokChars, top2, dup3))
   }
+
+  /** One-pass per-document term frequencies: over tokenize(text), returns
+    * an array of (term, tf) structs — one entry per DISTINCT token, tf =
+    * its occurrence count. Hash-map counting, O(tokens) per row; replaces
+    * the `transform(array_distinct(toks), x -> size(filter(toks, y -> y
+    * = x)))` formulation, which is both interpreter-bound
+    * (CodegenFallback higher-order functions) and O(distinct × tokens) —
+    * the same per-row-compute lesson as [[gramCoversU]]. Emission order
+    * is first-occurrence order; callers that need determinism sort
+    * downstream (the TF-IDF gate orders by score and term). */
+  def termFreqsU(s: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = tokenize(s.toString)
+    val counts = new java.util.LinkedHashMap[String, java.lang.Long]()
+    var i = 0
+    while (i < toks.length) {
+      val prev = counts.get(toks(i))
+      counts.put(toks(i), if (prev == null) 1L else prev.longValue + 1L)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -35,6 +35,11 @@ object TextAnalysis {
 
   private val W = 4 // winnowing window (shingle hashes per window)
 
+  /** Minimum document frequency for a term to be keyword-eligible: the
+    * vocabulary prune that bounds the broadcast side of the TF-IDF join
+    * (declared BEFORE `queries` — the oracle SQL interpolates it eagerly). */
+  private val KeywordMinDf = 2
+
   private def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
 
@@ -351,9 +356,12 @@ object TextAnalysis {
         length(w1) + length(w2) + lit(3), length(col("text")))
       // main paragraph: first word bolded; on doc_id%5==0 the second word
       // carries an inline anchor (link density stays LOW — the block must
-      // survive the density rule); doc_id%3==0 appends an &amp; entity
+      // survive the density rule); doc_id%3==0 appends an &amp; entity.
+      // The anchor arm needs a second word to exist: a single-word doc
+      // would make w2 null and null-propagate through the whole page, so
+      // it falls back to the plain branch (whose restAfter1 is "" there).
       val mainP = concat(lit("<p><b>"), w1, lit("</b> "),
-        when(col("doc_id") % 5 === 0,
+        when(col("doc_id") % 5 === 0 && size(words) >= 2,
           concat(lit("<a href=\"#\">"), w2, lit("</a> "), restAfter2))
           .otherwise(restAfter1),
         when(col("doc_id") % 3 === 0, " &amp; more").otherwise(""),
@@ -1352,14 +1360,21 @@ object TextAnalysis {
     // idf is integer-millinat (round(1000*ln(N/df)) of identical integer
     // operands on both engines); score = tf * idf_millinats stays pure
     // integer; ties break on the term itself so top-3 is deterministic.
+    // Keywords require corpus support: terms seen in fewer than MinDf
+    // documents are excluded — standard TF-IDF vocabulary pruning (hapax
+    // legomena are overwhelmingly typos/serials/hashes, and their inflated
+    // idf would otherwise crown every typo a keyword).
     //
-    // Scale: term frequency is computed PER ROW with array functions (no
-    // corpus-wide explode-shuffle for tf); the only wide exchanges are
-    // (a) the document-frequency aggregate — vocabulary-sized with
-    // map-side combine — and (b) the per-doc top-k window keyed by
-    // doc_id, which is skew-free. df joins back via BROADCAST: after
-    // min-df pruning a real vocabulary fits executor memory at any
-    // corpus size.
+    // Scale: term frequency is a NATIVE one-pass expression (term_freqs —
+    // one hash map per row inside codegen, not the O(distinct×tokens)
+    // interpreted HOF shape); the only wide exchanges are (a) the
+    // document-frequency aggregate — vocabulary-sized with map-side
+    // combine — and (b) the per-doc top-k window keyed by doc_id, which
+    // is skew-free. The df table joins back via BROADCAST and the min-df
+    // prune is IN THE PLAN before the exchange: what broadcasts is the
+    // multi-document vocabulary (Heaps'-law sublinear, overwhelmingly
+    // smaller than the raw distinct-token table whose long tail is
+    // single-document noise), not the unbounded hapax tail.
     GQuery(
       "q_text_keywords",
       s"""WITH ${OracleFragments.tok},
@@ -1370,7 +1385,8 @@ object TextAnalysis {
          |             x -> {'term': x,
          |                   'tf': CAST(len(list_filter(toks, y -> y = x)) AS BIGINT)}),
          |           recursive := true)) AS t),
-         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+         |       GROUP BY 1 HAVING count(*) >= ${KeywordMinDf}),
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
          |sc AS (
          |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
@@ -1385,15 +1401,12 @@ object TextAnalysis {
          |SELECT doc_id, rk, term, tf, df, score_millinats
          |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val toks = tokens(col("text"))
       val tf = docs(s, d)
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), explode(transform(array_distinct(col("toks")),
-          x => struct(x.as("term"),
-            size(filter(col("toks"), y => y === x)).cast("long").as("tf"))))
-          .as("t"))
+        .select(col("doc_id"),
+          explode(HashFunctions.term_freqs(col("text"))).as("t"))
         .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= KeywordMinDf) // min-df prune BEFORE the broadcast
       // N rides the plan as a broadcast one-row cross join (the oracle's
       // CROSS JOIN n shape) — no eager driver-side count job per build
       val nDocs = docs(s, d).agg(count(lit(1)).cast("double").as("n_docs"))

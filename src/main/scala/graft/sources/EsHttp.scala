@@ -198,15 +198,23 @@ object EsDsl {
         f.getValue.elements().asScala.exists(v => cmpAll(f.getKey, v).contains(0))
       case "range" =>
         val f = e.getValue.properties().iterator().next()
-        f.getValue.properties().asScala.forall { b =>
-          cmpAll(f.getKey, b.getValue).exists { c =>
-            b.getKey match {
-              case "gt" => c > 0; case "gte" => c >= 0
-              case "lt" => c < 0; case "lte" => c <= 0
-              case _ => false
-            }
-          }
+        val bounds = f.getValue.properties().asScala.toSeq
+        def sat(c: Int, k: String): Boolean = k match {
+          case "gt" => c > 0; case "gte" => c >= 0
+          case "lt" => c < 0; case "lte" => c <= 0
+          case _ => false
         }
+        val (i, analyzed) = resolve(f.getKey)
+        if (i < 0 || row(i) == null) false
+        else if (analyzed)
+          // Lucene evaluates a range against INDIVIDUAL terms: ONE token
+          // must satisfy every bound — per-bound independent matching
+          // (token A > gt, token B < lt) would admit docs real ES rejects
+          tokens(row(i)).exists(t => bounds.forall(b =>
+            FilterEval.cmp(t, b.getValue.asText()).exists(sat(_, b.getKey))))
+        else bounds.forall(b =>
+          FilterEval.cmp(row(i), LineCodec.parse(b.getValue.asText(),
+            schema.fields(i).dataType)).exists(sat(_, b.getKey)))
       case "wildcard" =>
         val f = e.getValue.properties().iterator().next()
         val (i, analyzed) = resolve(f.getKey)

@@ -39,7 +39,7 @@ object Streams {
     * value (integer cents) against the mean/variance of that user's
     * previous ten events, carried across micro-batches as keyed state —
     * the live twin of the batch `q_events_anomaly` window. The test
-    * cross-multiplies (n·x − s)² > 9·n·(n·ss − s²) so no division ever
+    * cross-multiplies (n·x − s)² > 9·(n·ss − s²) so no division ever
     * happens; fewer than five priors abstains.
     *
     * Ordering contract: within a micro-batch the group's events sort by

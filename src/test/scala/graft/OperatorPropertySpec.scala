@@ -220,13 +220,22 @@ class OperatorPropertySpec extends AnyFunSuite {
   test("q_text_repetition: covers are consistent with the flags and token mass") {
     val rows = SparkEntry.queries("q_text_repetition")(spark, sfDir).collect()
     assert(rows.nonEmpty)
+    // token counts come from the source docs — the operator invariant is
+    // about bigram EXISTENCE (>= 2 tokens), which tok_chars can't encode
+    // (a single long token has chars > 1 but no bigram)
+    val nToks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        graft.functions.TextHash.tokenize(r.getAs[String]("text")).length)
+      .toMap
     rows.foreach { r =>
       val (chars, top2, dup3) = (r.getAs[Long]("tok_chars"),
         r.getAs[Long]("top2_cover"), r.getAs[Long]("dup3_chars"))
       // any >=2-token doc has at least one bigram, so its best bigram
       // covers a positive number of characters
       assert(top2 >= 0 && dup3 >= 0, r.toString)
-      if (chars > 1) assert(top2 > 0, s"doc with tokens but zero top-2-gram cover: $r")
+      if (nToks(r.getAs[Long]("doc_id")) >= 2)
+        assert(top2 > 0, s"doc with >=2 tokens but zero top-2-gram cover: $r")
       // flags ARE the cross-multiplied Gopher thresholds, bit for bit
       assert(r.getAs[Boolean]("flag_top2") == (top2 * 5 <= chars), r.toString)
       assert(r.getAs[Boolean]("flag_dup3") == (dup3 * 50 <= chars * 9), r.toString)

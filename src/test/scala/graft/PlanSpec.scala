@@ -461,4 +461,26 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs.size == 2 && shuffles.size <= 2,
       s"confusion rollup must combine map-side: ${aggs.size} aggs / ${shuffles.size} shuffles")
   }
+
+  test("q_text_keywords: min-df prune is INSIDE the broadcast subtree; tf is native") {
+    val p = plan("q_text_keywords")
+    // what broadcasts must be the PRUNED vocabulary: a FilterExec on the
+    // df aggregate below the BroadcastExchange, not the raw distinct-token
+    // table (whose hapax tail is unbounded at corpus scale)
+    val bcasts = collectAll(p) { case b: BroadcastExchangeExec => b }
+    assert(bcasts.nonEmpty, "expected the document-frequency table to broadcast")
+    import org.apache.spark.sql.execution.FilterExec
+    val prunedBcast = bcasts.exists { b =>
+      collectAll(b) {
+        case f: FilterExec if f.condition.sql.contains(">= 2") &&
+          f.condition.references.exists(_.name == "df") => f
+      }.nonEmpty
+    }
+    assert(prunedBcast,
+      s"min-df filter must sit below the BroadcastExchange:\n${formatted("q_text_keywords")}")
+    // tf comes from the one-pass native expression, not the interpreted
+    // O(distinct×tokens) higher-order-function shape
+    assert(formatted("q_text_keywords").contains("term_freqs"),
+      "per-row tf must use the native term_freqs expression")
+  }
 }
