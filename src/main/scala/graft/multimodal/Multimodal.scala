@@ -34,10 +34,17 @@ object Multimodal {
   final case class MediaRow(
       media_id: Long, kind: String, mime: String, payload: Array[Byte])
 
-  /** Decoded metadata + a small feature vector. */
+  /** Decoded metadata + a small feature vector + the two dedup keys a
+    * production pipeline computes IN the decode pass (so no later join
+    * has to re-read payloads): `pmd5` — hex md5 of the raw payload bytes
+    * (exact dedup); `phash` — 63-bit perceptual hash (near dedup): the
+    * real DCT pHash for decodable images, the deterministic stub
+    * otherwise. Bit 63 is always 0 so the value is non-negative as a
+    * signed BIGINT on every engine (band arithmetic needs no unsigned
+    * shifts). */
   final case class DecodedMedia(
       media_id: Long, kind: String, width: Int, height: Int,
-      n_frames: Int, features: Array[Double])
+      n_frames: Int, features: Array[Double], pmd5: String, phash: Long)
 
   /** Batch size for per-partition processing (the `mapInPandas` batch
     * analogue: a real decoder would decode these BatchSize payloads as one
@@ -55,13 +62,119 @@ object Multimodal {
     val width = (h % 640 + 16).toInt
     val height = (h / 640 % 480 + 16).toInt
     val nFrames = if (m.kind == "image") 1 else (h % 24 + 1).toInt
-    DecodedMedia(m.media_id, m.kind, width, height, nFrames, stubFeatures(h))
+    DecodedMedia(m.media_id, m.kind, width, height, nFrames, stubFeatures(h),
+      "", stubPHash(h))
   }
 
   /** STUB — deterministic fake feature extractor: byte-slices of the hash
     * as dyadic rationals (exact in IEEE double on every engine). */
   def stubFeatures(h: Long): Array[Double] =
     Array.tabulate(FeatureDim)(j => ((h >> (8 * j)) & 255).toDouble / 256.0)
+
+  /** STUB — deterministic fake perceptual hash for payloads with no real
+    * pixel decode: four INDEPENDENT 16-bit slices (distinct multipliers
+    * mod the fold prime), so band-LSH over the stub spreads like a real
+    * hash instead of collapsing into the low bits. Top slice keeps 15
+    * bits — bit 63 stays 0 (same sign contract as [[pHash64]]). Every
+    * operand is integer and < 2^34, so a SQL oracle reproduces it
+    * exactly. */
+  def stubPHash(h: Long): Long =
+    ((h * 3 % TextHash.P) & 0xffffL) |
+      (((h * 5 % TextHash.P) & 0xffffL) << 16) |
+      (((h * 7 % TextHash.P) & 0xffffL) << 32) |
+      (((h * 9 % TextHash.P) & 0x7fffL) << 48)
+
+  private val PHashN = 32 // resample edge for the DCT input
+
+  /** cos((2x+1)·u·π/64) for x in [0,32), u in [0,8) — the only DCT
+    * factors the 8×8 low-frequency block ever reads. */
+  private lazy val DctCos: Array[Array[Double]] =
+    Array.tabulate(8, PHashN)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * PHashN)))
+
+  /** REAL perceptual hash (the classic DCT pHash): grayscale box-filter
+    * resample to 32×32 (deterministic integer luminance sums — no AWT
+    * scaler, whose filtering is platform-dependent), 2-D DCT-II, keep the
+    * 8×8 low-frequency block, threshold each of the 63 AC coefficients on
+    * their median. Bit k (k in [0,63)) is AC coefficient k in row-major
+    * (u,v) order skipping DC; bit 63 is always 0 (non-negative BIGINT).
+    * Near-identical images (re-encode, mild brightness/noise) agree on
+    * most bits — Hamming distance is the near-dup metric, band-LSH over
+    * 16-bit slices is the scale path (no pair enumeration). */
+  def pHash64(img: java.awt.image.BufferedImage): Long = {
+    val N = PHashN
+    val w = img.getWidth
+    val h = img.getHeight
+    // box-filter resample of integer luminance into N×N cells
+    val sums = Array.ofDim[Long](N, N)
+    val counts = Array.ofDim[Long](N, N)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      val ty = (y.toLong * N / h).toInt
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        val lum = (299 * ((p >> 16) & 255) + 587 * ((p >> 8) & 255) +
+          114 * (p & 255)) / 1000
+        val tx = (x.toLong * N / w).toInt
+        sums(ty)(tx) += lum
+        counts(ty)(tx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val g = Array.ofDim[Double](N, N)
+    var i = 0
+    while (i < N) {
+      var j = 0
+      while (j < N) {
+        g(i)(j) = if (counts(i)(j) == 0) 0.0
+          else sums(i)(j).toDouble / counts(i)(j)
+        j += 1
+      }
+      i += 1
+    }
+    // 8×8 low-frequency block of the 2-D DCT-II (normalization constants
+    // drop out — only the SIGN vs the median matters)
+    val ac = new Array[Double](63)
+    var u = 0
+    var k = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var s = 0.0
+          var x = 0
+          while (x < N) {
+            var yy = 0
+            var rowSum = 0.0
+            while (yy < N) {
+              rowSum += g(x)(yy) * DctCos(v)(yy)
+              yy += 1
+            }
+            s += rowSum * DctCos(u)(x)
+            x += 1
+          }
+          ac(k) = s
+          k += 1
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val median = {
+      val sorted = ac.clone(); java.util.Arrays.sort(sorted); sorted(31)
+    }
+    var bits = 0L
+    k = 0
+    while (k < 63) {
+      if (ac(k) > median) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
 
   /** True iff the payload starts with a container signature the JDK's
     * ImageIO ships readers for (PNG/BMP/GIF/JPEG) — the cheap sniff that
@@ -125,7 +238,7 @@ object Multimodal {
       }
       val n = 255.0 * (w.toLong * h)
       DecodedMedia(m.media_id, m.kind, w, h, 1,
-        Array(sa / n, sr / n, sg / n, sb / n))
+        Array(sa / n, sr / n, sg / n, sb / n), "", pHash64(img))
     }
   }
 
@@ -180,7 +293,9 @@ object Multimodal {
           fmt.getSampleRate.toInt, fmt.getChannels, frames.toInt,
           Array(sumAbs.toDouble / n / norm,
             math.sqrt(sumSq.toDouble / n) / norm,
-            mn / norm, mx / norm))
+            mn / norm, mx / norm),
+          "", stubPHash(TextHash.polyHash(new String(m.payload,
+            java.nio.charset.StandardCharsets.UTF_8))))
       }
     } catch { case _: Exception => stubDecode(m) }
   }
@@ -320,7 +435,7 @@ object Multimodal {
         val h = TextHash.polyHash(
           new String(m.payload, java.nio.charset.StandardCharsets.UTF_8))
         DecodedMedia(m.media_id, m.kind, width, height, frames.toInt,
-          stubFeatures(h))
+          stubFeatures(h), "", stubPHash(h))
       }
     } catch { case _: Exception => stubDecode(m) }
   }
@@ -344,6 +459,22 @@ object Multimodal {
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      // one digest per task, reset per payload — md5 is folded INTO the
+      // decode pass (the payload bytes are already in hand), so exact
+      // dedup downstream needs no second payload scan and no join
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5Hex(b: Array[Byte]): String = {
+        md.reset()
+        val d = md.digest(b)
+        val sb = new java.lang.StringBuilder(32)
+        var i = 0
+        while (i < d.length) {
+          sb.append(Character.forDigit((d(i) >> 4) & 15, 16))
+          sb.append(Character.forDigit(d(i) & 15, 16))
+          i += 1
+        }
+        sb.toString
+      }
       it.grouped(BatchSize).flatMap { batch =>
         // IMAGE rows with a real image signature go through ImageIO (true
         // pixel decode); audio/video (no codecs here) and unparseable
@@ -352,12 +483,15 @@ object Multimodal {
         // report its stub frame count, not n_frames=1
         batch.iterator
           .filter(m => m.payload != null && m.payload.nonEmpty)
-          .map(m =>
-            if (m.kind == "image" && looksLikeImage(m.payload)) imageDecode(m)
-            else if (m.kind == "audio" && looksLikeWav(m.payload)) audioDecode(m)
-            else if (m.kind == "video" &&
-              (looksLikeMp4(m.payload) || looksLikeAvi(m.payload))) videoDecode(m)
-            else stubDecode(m))
+          .map { m =>
+            val d =
+              if (m.kind == "image" && looksLikeImage(m.payload)) imageDecode(m)
+              else if (m.kind == "audio" && looksLikeWav(m.payload)) audioDecode(m)
+              else if (m.kind == "video" &&
+                (looksLikeMp4(m.payload) || looksLikeAvi(m.payload))) videoDecode(m)
+              else stubDecode(m)
+            d.copy(pmd5 = md5Hex(m.payload))
+          }
       }
     }
   }

@@ -81,11 +81,10 @@ object MediaQueries {
     // (payload = UTF-8 bytes), and the quantized nibbles are bit-slices
     // of the same hash fold the decode stub exposes as features.
     //
-    // Scale: decode is one narrow batched pass; the dedup is ONE exchange
-    // on the bucket key (map-side combined). The media_id join of the
-    // fingerprint and feature projections exists because the tested
-    // decode API drops payloads; a production pipeline folds md5 into the
-    // decode mapPartitions pass and the join disappears.
+    // Scale: decode is one narrow batched pass that carries BOTH dedup
+    // keys out with it (pmd5 + phash are computed while the payload bytes
+    // are in hand), so the whole dedup is ONE exchange on the bucket key
+    // (map-side combined) — no second payload scan, no media_id join.
     GQuery(
       "q_multimodal_dedup",
       s"""WITH hdoc AS (
@@ -102,20 +101,103 @@ object MediaQueries {
          |       CAST(count(DISTINCT pmd5) AS BIGINT) AS n_payloads
          |FROM hdoc GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
       val media = Multimodal.fromDocuments(Tables.load(s, d, "documents"))
-      val prints = media.toDF()
-        .select(col("media_id"), md5(col("payload")).as("pmd5"))
       val bucket = (floor(col("features").getItem(0) * 16) +
         floor(col("features").getItem(1) * 16) * 16 +
         floor(col("features").getItem(2) * 16) * 256 +
         floor(col("features").getItem(3) * 16) * 4096).cast("long")
       Multimodal.decode(media).toDF()
-        .select(col("media_id"), bucket.as("bucket"))
-        .join(prints, "media_id")
+        .select(col("media_id"), bucket.as("bucket"), col("pmd5"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_media"),
           min("media_id").as("keep_media"),
           countDistinct(col("pmd5")).as("n_payloads"))
         .orderBy("bucket")
+    },
+
+    // Perceptual-hash near-duplicate detection (the image twin of MinHash
+    // LSH): each media row carries the 63-bit pHash the decode pass
+    // computed (the REAL DCT pHash for decodable images — grayscale 32×32
+    // → 2-D DCT → median-thresholded 8×8 low-frequency block, exercised
+    // bit-for-bit in MultimodalSpec on actual PNG/BMP pixels; the
+    // deterministic stub for these text payloads, which is what keeps the
+    // gate value-oracled). Candidate pairs come from 16-bit BAND buckets:
+    // by pigeonhole, hashes within Hamming distance 3 MUST agree on one
+    // of the four bands; farther pairs surface with the usual LSH recall
+    // probability — the standard banding trade. The EXACT Hamming
+    // distance then verifies every candidate. The gate PLANTS twins:
+    // every 50th media gets a copy with ONE deterministically-chosen bit
+    // flipped (distance 1 — inside the guarantee), and the operator must
+    // recover exactly those pairs (plus any true near-collisions).
+    //
+    // Scale: no pair enumeration — the only exchanges are the band-bucket
+    // self-join (equi-join on (band_no, band)) and the output sort;
+    // verify is a per-pair bit_count, and the DISTINCT collapses pairs
+    // that agree on several bands before it runs. Band width is the
+    // corpus-size knob: 16-bit bands mean random same-band collisions
+    // grow ~n²/2^16 per band, fine at this corpus but quadratic at
+    // billions of images — there, two 31-bit composite bands (pigeonhole
+    // still exact for the d<=1 twins) or a per-bucket size cap (the
+    // q_dedup_blocks discipline) bound the candidate set.
+    GQuery(
+      "q_media_phash_neardup",
+      s"""WITH hdoc AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(text)+1),
+         |                          i -> CAST(unicode(text[i]) AS BIGINT))),
+         |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
+         |  FROM documents),
+         |ph AS (
+         |  SELECT doc_id AS media_id,
+         |         ((h*3 % ${OracleFragments.P}) & 65535)
+         |           | (((h*5 % ${OracleFragments.P}) & 65535) << 16)
+         |           | (((h*7 % ${OracleFragments.P}) & 65535) << 32)
+         |           | (((h*9 % ${OracleFragments.P}) & 32767) << 48) AS phash
+         |  FROM hdoc),
+         |all_media AS (
+         |  SELECT media_id, phash FROM ph
+         |  UNION ALL
+         |  SELECT media_id + 1000000000,
+         |         xor(phash, CAST(1 AS BIGINT) << CAST(phash % 63 AS INTEGER))
+         |  FROM ph WHERE media_id % 50 = 0),
+         |bands AS (
+         |  SELECT media_id, phash, r.j,
+         |         (phash >> CAST(16 * r.j AS INTEGER)) & 65535 AS band
+         |  FROM all_media CROSS JOIN range(4) r(j)),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         |         a.phash AS pa, b.phash AS pb
+         |  FROM bands a JOIN bands b
+         |    ON a.j = b.j AND a.band = b.band AND a.media_id < b.media_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(pa, pb)) <= 10
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val dec = Multimodal.decode(
+        Multimodal.fromDocuments(Tables.load(s, d, "documents"))).toDF()
+        .select(col("media_id"), col("phash"))
+      val twins = dec.filter(col("media_id") % 50 === 0)
+        .select((col("media_id") + 1000000000L).as("media_id"),
+          expr("phash ^ shiftleft(CAST(1 AS BIGINT), CAST(phash % 63 AS INT))")
+            .as("phash"))
+      val all = dec.unionAll(twins)
+      val bands = all
+        .select(col("media_id"), col("phash"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("band",
+          expr("shiftright(phash, CAST(16 * j AS INT)) & 65535"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.j") === col("b.j") && col("a.band") === col("b.band") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          col("a.phash").as("pa"), col("b.phash").as("pb"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+        .filter(col("hamming") <= 10)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
     }
   )
 }

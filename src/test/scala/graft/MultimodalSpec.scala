@@ -29,7 +29,8 @@ class MultimodalSpec extends AnyFunSuite {
   test("decode emits typed schema and deterministic values") {
     val out = Multimodal.decode(media(10))
     assert(out.schema.fieldNames.toSeq ==
-      Seq("media_id", "kind", "width", "height", "n_frames", "features"))
+      Seq("media_id", "kind", "width", "height", "n_frames", "features",
+        "pmd5", "phash"))
     val rows = out.collect().sortBy(_.media_id)
     assert(rows.length == 10)
     assert(rows.forall(r => r.width >= 16 && r.height >= 16 && r.n_frames == 1))
@@ -278,5 +279,87 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("keep_media") == expect(r.getAs[Long]("bucket")),
         r.toString)
     }
+  }
+
+  // ---- real DCT pHash --------------------------------------------------
+
+  private def patternImage(side: Int, f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until side; x <- 0 until side) img.setRGB(x, y, f(x, y))
+    img
+  }
+
+  private def encodeImg(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  private def gray(v: Int): Int = (v << 16) | (v << 8) | v
+
+  test("pHash: same pixels through PNG and BMP containers hash identically") {
+    val img = patternImage(64, (x, y) => gray((x * 3 + y * 2) % 200))
+    val viaPng = Multimodal.imageDecode(
+      MediaRow(1L, "image", "image/png", encodeImg(img, "png"))).phash
+    val viaBmp = Multimodal.imageDecode(
+      MediaRow(2L, "image", "image/bmp", encodeImg(img, "bmp"))).phash
+    assert(viaPng == viaBmp, "container re-encode changed the perceptual hash")
+    assert(viaPng >= 0, "pHash must be non-negative (bit 63 clear)")
+  }
+
+  test("pHash: the same pattern at 64x64 and 128x128 is a near-duplicate") {
+    def pat(side: Int) = patternImage(side,
+      (x, y) => gray(((x * 255 / side) + (y * 200 / side)) % 230))
+    val small = Multimodal.pHash64(pat(64))
+    val large = Multimodal.pHash64(pat(128))
+    assert(hamming(small, large) <= 8,
+      s"resized twin drifted ${hamming(small, large)} bits")
+  }
+
+  test("pHash: uniform brightness shift leaves the AC signature intact") {
+    val base = patternImage(64, (x, y) => gray(40 + (x * 2 + y) % 150))
+    val brighter = patternImage(64, (x, y) => gray(48 + (x * 2 + y) % 150))
+    val d = hamming(Multimodal.pHash64(base), Multimodal.pHash64(brighter))
+    // +8 luminance moves only the DC coefficient; every thresholded AC
+    // coefficient is shift-invariant (box filter is exact integer mean)
+    assert(d <= 2, s"brightness shift moved $d AC bits")
+  }
+
+  test("pHash: different content is far apart; stub path is deterministic") {
+    val gradient = patternImage(64, (x, y) => gray((x * 4) % 256))
+    val checker = patternImage(64,
+      (x, y) => gray(if (((x / 8) + (y / 8)) % 2 == 0) 30 else 220))
+    val d = hamming(Multimodal.pHash64(gradient), Multimodal.pHash64(checker))
+    assert(d >= 16, s"distinct content only $d bits apart")
+    // text payloads (no image signature) take the stub — equal to the
+    // documented arithmetic, non-negative, stable across calls
+    val m = MediaRow(7L, "image", "image/png", "hello world".getBytes("UTF-8"))
+    val h = graft.functions.TextHash.polyHash("hello world")
+    assert(Multimodal.stubDecode(m).phash == Multimodal.stubPHash(h))
+    assert(Multimodal.stubPHash(h) >= 0)
+  }
+
+  test("decode folds pmd5 and phash into the pass (no second payload scan)") {
+    import spark.implicits._
+    val text = "payload text for md5"
+    val bytes = text.getBytes("UTF-8")
+    val img = patternImage(32, (x, y) => gray((x * 7 + y * 5) % 256))
+    val png = encodeImg(img, "png")
+    val out = Multimodal.decode(Seq(
+      MediaRow(1L, "image", "image/png", bytes), // stub (no signature)
+      MediaRow(2L, "image", "image/png", png)    // real ImageIO decode
+    ).toDS()).collect().sortBy(_.media_id)
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    assert(out(0).pmd5 == md5hex(bytes))
+    assert(out(1).pmd5 == md5hex(png))
+    assert(out(0).phash ==
+      Multimodal.stubPHash(graft.functions.TextHash.polyHash(text)))
+    assert(out(1).phash == Multimodal.pHash64(img))
+    assert(out.forall(_.phash >= 0))
   }
 }
