@@ -277,6 +277,30 @@ object Federation {
         .orderBy("n_nationkey")
     },
 
+    // REST SegmentQL filter pushdown (reference: the Lytics backend
+    // compiles the ENTIRE WHERE tree into a FilterStatement and ships
+    // its text to the ad-hoc segment-scan API — generator.go:96-111 +
+    // resultreader.go PageAdHocSegment — not just param equalities):
+    // the IN list, the OR tree, the range and the anchored LIKE all
+    // render into ONE `filterql` statement the server parses, type-
+    // checks against the listing schema and applies with proper 3VL.
+    // Residual is EMPTY — nothing left for Spark to polyfill (asserted
+    // in HttpRestSpec), so only matching rows cross the wire.
+    GQuery(
+      "q_src_rest_filterql",
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        |WHERE (c_mktsegment IN ('BUILDING', 'MACHINERY') OR c_acctbal > 9500.0)
+        |  AND c_nationkey >= 10 AND c_name LIKE '%7'
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.RestSourceName}.segments_api")
+        .filter((col("c_mktsegment").isin("BUILDING", "MACHINERY") ||
+          col("c_acctbal") > 9500.0) &&
+          col("c_nationkey") >= 10 && col("c_name").endsWith("7"))
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
     // KUBERNETES-PROTOCOL scan (reference: _kube/source.go:180-340
     // describes pods/nodes/services as typed tables; sql_to_kube.go
     // splits WHERE into pushable/polyfill): the typed pods table is

@@ -403,8 +403,12 @@ object DsDiscovery {
   * Mongo ([[RestEndpoints.registerSampled]]). */
 object RestDiscovery {
 
-  /** (listing name, declared filterable params) per API. */
-  def listApis(client: HttpRestClient): Seq[(String, Set[String])] = {
+  /** (listing name, declared filterable params, accepts filterql) per
+    * API — `filterql: true` in a catalog entry advertises the SegmentQL
+    * ad-hoc filter-statement capability (the Lytics segment-scan shape),
+    * which upgrades pushdown from param equalities to full WHERE-tree
+    * compilation. */
+  def listApis(client: HttpRestClient): Seq[(String, Set[String], Boolean)] = {
     val body = client.get("/t/", Map.empty)
     body.linesIterator.filter(_.trim.nonEmpty).map { line =>
       val n = EsDsl.M.readTree(line)
@@ -412,7 +416,8 @@ object RestDiscovery {
         throw new IllegalArgumentException(s"REST listing entry without name: $line"))
       val params = Option(n.get("params")).map(
         _.elements().asScala.map(_.asText().toLowerCase).toSet).getOrElse(Set.empty)
-      (name, params)
+      val filterQl = Option(n.get("filterql")).exists(_.asBoolean(false))
+      (name, params, filterQl)
     }.toSeq
   }
 }
@@ -598,8 +603,10 @@ object WireSources {
           KubeEndpointSpec(d.prop("url"), table.toLowerCase, restCfg(d))))
       case "rest" =>
         val client = new HttpRestClient(d.prop("url"), restCfg(d))
-        val params = RestDiscovery.listApis(client)
-          .find(_._1.equalsIgnoreCase(table)).map(_._2).getOrElse(Set.empty)
+        val api = RestDiscovery.listApis(client)
+          .find(_._1.equalsIgnoreCase(table))
+        val params = api.map(_._2).getOrElse(Set.empty)
+        val filterQl = api.exists(_._3)
         val path = s"/t/${table.toLowerCase}"
         // schema live-samples the listing — an empty listing has nothing
         // to sample yet and stays lazily discoverable, like Mongo
@@ -607,7 +614,8 @@ object WireSources {
           throw new UndiscoverableTableException(
             s"empty REST listing $table: no documents to sample")
         RestEndpoints.registerHttp(d.name, table.toLowerCase, params, client,
-          path, schema = None, slices = d.intProp("fanout", 1))
+          path, schema = None, slices = d.intProp("fanout", 1),
+          filterQl = filterQl)
       case other => throw new IllegalArgumentException(s"unknown protocol $other")
     }
     true

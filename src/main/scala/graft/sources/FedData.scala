@@ -156,6 +156,24 @@ object FedData {
           Set("n_nationkey", "n_regionkey"),
           new HttpRestClient(baseUrl), "/t/nation_api", Some(nation.schema))
       }
+      // REST listing WITH the SegmentQL ad-hoc filter capability (the
+      // reference's actual Lytics surface: generator.go compiles the
+      // whole WHERE tree into a FilterStatement and resultreader.go
+      // ships its text to PageAdHocSegment) — ranges, IN, OR trees and
+      // edge-anchored LIKE all ride ONE `filterql` query param the
+      // server parses and applies with proper 3VL; only what the
+      // dialect can't carry polyfills.
+      if (RestEndpoints.get(RestSourceName, "segments_api").isEmpty) {
+        val cust = Tables.load(spark, sfDir, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal")
+        val rows = cust.collect().map(_.toSeq.toArray)
+        LoopbackRestServer.registerRestApi("segments_api", cust.schema,
+          Set.empty, rows.toSeq, filterQl = true)
+        val baseUrl = LoopbackRestServer.ensureStarted()
+        RestEndpoints.registerHttp(RestSourceName, "segments_api",
+          Set.empty, new HttpRestClient(baseUrl), "/t/segments_api",
+          Some(cust.schema), filterQl = true)
+      }
       // ES-protocol source: the customer table behind the `_search`
       // endpoint — WHERE compiles to bool/term/range/wildcard DSL and
       // aggregates to terms+stats aggs, both executed server-side over

@@ -11,6 +11,7 @@ import scala.jdk.CollectionConverters._
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StructType}
 
 /** A real socket-backed HTTP client for REST-profile sources.
@@ -409,10 +410,15 @@ object LoopbackRestServer {
     * Lytics-shaped API exposes so a client can enumerate its listings
     * and learn which query parameters each applies server-side. */
   private val restApis = TrieMap.empty[String, Set[String]]
+  /** Listings accepting a SegmentQL `filterql` statement (the Lytics
+    * ad-hoc segment scan shape) — advertised on the catalog route and
+    * ENFORCED: a malformed statement or unknown field answers 400. */
+  private val restFilterQl = TrieMap.empty[String, Boolean]
   def registerRestApi(name: String, schema: StructType, params: Set[String],
-      rows: Seq[Array[Any]]): Unit = {
+      rows: Seq[Array[Any]], filterQl: Boolean = false): Unit = {
     register(name, schema, rows)
     restApis.put(name.toLowerCase, params.map(_.toLowerCase))
+    restFilterQl.put(name.toLowerCase, filterQl)
   }
 
   /** BigQuery dataset tables (served by the tables.list/tables.get
@@ -578,6 +584,7 @@ object LoopbackRestServer {
         o.put("name", n)
         val arr = o.putArray("params")
         ps.toSeq.sorted.foreach(arr.add)
+        if (restFilterQl.getOrElse(n, false)) o.put("filterql", true)
         o.toString
       }
       respond(ex, 200, lines.mkString("\n")); return
@@ -590,8 +597,24 @@ object LoopbackRestServer {
         val size0 = q.get("size").map(_.toLong).getOrElse(Long.MaxValue)
         val size = if (cap > 0) math.min(size0, cap.toLong) else size0
         val limit = q.get("limit").map(_.toLong)
-        val reserved = Set("from", "size", "limit")
+        val reserved = Set("from", "size", "limit", "filterql")
+        // SegmentQL statement: parsed + applied SERVER-SIDE with proper
+        // 3VL — only on listings that declared the capability, and a
+        // statement the dialect rejects answers 400 (loud refusal, the
+        // same fail-to-the-client discipline as the ES text guard)
+        val ql: Option[Filter] = q.get("filterql") match {
+          case Some(stmt) =>
+            if (!restFilterQl.getOrElse(name, false)) {
+              respond(ex, 400, s"listing $name does not accept filterql"); return
+            }
+            try Some(SegmentQl.parse(stmt, schema))
+            catch { case e: IllegalArgumentException =>
+              respond(ex, 400, e.getMessage); return
+            }
+          case None => None
+        }
         var out = rows.iterator.filter { row =>
+          ql.forall(FilterEval.eval(_, schema, row)) &&
           q.forall { case (k, v) =>
             reserved(k) || {
               val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(k))

@@ -16,15 +16,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 /** REST-shaped source behind the same DSv2 Table/ScanBuilder contract as
   * the file connector — the connector framework is not file-bound.
   *
-  * Reference: the Lytics backend turns WHERE equality into API query
-  * params and streams JSON results (dataux backends/lytics/generator.go:
-  * 96-111); the Kubernetes backend is the same shape over the K8s REST API
-  * (backends/_kube/sql_to_kube.go). The accept-list is the endpoint's
-  * declared params: an equality on a param column ships as a query
-  * parameter the endpoint applies server-side, plus an integer `limit`;
-  * everything else (ranges, LIKE, OR trees, non-param columns) is declined
-  * and polyfilled by Spark — the residual contract, in a connector whose
-  * backend can express almost nothing.
+  * Reference: the Lytics backend compiles the WHERE expression tree into
+  * a FilterStatement and ships its rendered text to the ad-hoc
+  * segment-scan API (dataux backends/lytics/generator.go:96-111 +
+  * resultreader.go PageAdHocSegment); the Kubernetes backend is the
+  * param-selector shape over the K8s REST API
+  * (backends/_kube/sql_to_kube.go). Both API shapes live here:
+  *   - `filterQl` endpoints compile accepted conjuncts into ONE SegmentQL
+  *     statement ([[SegmentQl]]) — ranges, IN lists, LIKE, OR/NOT trees —
+  *     carried as the `filterql` query param;
+  *   - plain endpoints push `param = literal` equalities from the
+  *     declared accept-list, because a bare URL query string cannot
+  *     express more.
+  * Whatever can't ship is declined and polyfilled by Spark — the
+  * residual contract either way; an integer `limit` rides as a param.
   *
   * THE NETWORK SEAM: `RestEndpoint.handler` (params ⇒ line iterator) is
   * the exact surface a real client implements — an HTTP GET with the
@@ -56,7 +61,11 @@ final case class RestEndpoint(
     // default scan fan-out: N partitions read the listing in parallel
     // via strided from/size paging (HTTP-backed endpoints only — an
     // in-memory handler has no offset vocabulary to shard on)
-    slices: Int = 1)
+    slices: Int = 1,
+    // the API accepts a SegmentQL filter statement (the reference's
+    // Lytics ad-hoc segment scan): WHERE trees compile to a `filterql`
+    // query param instead of the param-equality accept-list
+    filterQl: Boolean = false)
 
 /** JVM-global endpoint registry, the REST analogue of [[SourceRegistry]]
   * (driver-side metadata; executors in local mode share the JVM). */
@@ -111,18 +120,19 @@ object RestEndpoints {
   def registerHttp(
       source: String, table: String, params: Set[String],
       client: HttpRestClient, path: String,
-      schema: Option[StructType] = None, slices: Int = 1): RestEndpoint = {
+      schema: Option[StructType] = None, slices: Int = 1,
+      filterQl: Boolean = false): RestEndpoint = {
     val handler: Map[String, String] => Iterator[String] =
       q => client.pagedLines(path, q)
     val spec = Some(HttpEndpointSpec(client.baseUrl, path, client.cfg))
     schema match {
       case Some(sch) =>
         val e = RestEndpoint(source, table, sch, params.map(_.toLowerCase), handler,
-          spec, slices)
+          spec, slices, filterQl)
         register(e); e
       case None =>
         val e = registerSampled(source, table, params, handler)
-          .copy(httpSpec = spec, slices = slices)
+          .copy(httpSpec = spec, slices = slices, filterQl = filterQl)
         register(e); e
     }
   }
@@ -183,13 +193,21 @@ class RestScanBuilder(ep: RestEndpoint, hint: Option[Int] = None) extends ScanBu
   private var required: StructType = ep.schema
   private var limit: Int = -1
 
-  /** API accept-list: only `param = literal` — a URL query string cannot
-    * express more (generator.go:96-111 builds exactly such params). */
+  /** Accept-list. Two API shapes:
+    *   - filterQl endpoints (the reference's Lytics ad-hoc segment scan,
+    *     generator.go:96-111 + resultreader.go PageAdHocSegment): every
+    *     conjunct the SegmentQL dialect can render ships as ONE
+    *     `filterql` statement — ranges, IN, LIKE, OR/NOT trees included;
+    *   - plain param endpoints: only `param = literal`, because a URL
+    *     query string cannot express more.
+    * Either way, what can't ship is declined and Spark polyfills. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, declined) = filters.partition {
-      case EqualTo(a, v) => v != null && ep.params.contains(a.toLowerCase)
-      case _ => false
-    }
+    val (ok, declined) =
+      if (ep.filterQl) filters.partition(f => SegmentQl.compile(f).isDefined)
+      else filters.partition {
+        case EqualTo(a, v) => v != null && ep.params.contains(a.toLowerCase)
+        case _ => false
+      }
     pushed = ok
     declined // Spark re-applies (residual polyfill)
   }
@@ -205,9 +223,15 @@ class RestScanBuilder(ep: RestEndpoint, hint: Option[Int] = None) extends ScanBu
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan = {
-    val queryParams = pushed.collect {
-      case EqualTo(a, v) => a.toLowerCase -> LineCodec.render(v)
-    }.toMap ++ (if (limit >= 0) Map("limit" -> limit.toString) else Map.empty)
+    val filterParams =
+      if (ep.filterQl)
+        if (pushed.isEmpty) Map.empty[String, String]
+        else Map("filterql" -> SegmentQl.render(pushed.toSeq.flatMap(SegmentQl.compile)))
+      else pushed.collect {
+        case EqualTo(a, v) => a.toLowerCase -> LineCodec.render(v)
+      }.toMap
+    val queryParams = filterParams ++
+      (if (limit >= 0) Map("limit" -> limit.toString) else Map.empty)
     new RestScan(ep.source, ep.table, queryParams, ep.schema, required, pushed,
       ep.httpSpec, ep.slices, hint)
   }

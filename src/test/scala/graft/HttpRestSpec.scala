@@ -139,6 +139,75 @@ class HttpRestSpec extends AnyFunSuite {
     assert(!seen.contains("score"))
   }
 
+  test("filterql endpoint: the WHOLE predicate tree ships; residual is empty") {
+    val client = freshClient()
+    LoopbackRestServer.registerRestApi("seg_items", schema, Set.empty,
+      rows, filterQl = true)
+    RestEndpoints.registerHttp("api_live", "seg_items", Set.empty,
+      client, "/t/seg_items", Some(schema), filterQl = true)
+    if (SourceRegistry.get("api_live").isEmpty)
+      SourceRegistry.register(SourceDef("api_live",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/api_live").getPath,
+        "json", "rest"))
+    SourceRegistry.ensureCatalog(spark)
+    val df = spark.table(s"${SourceRegistry.CatalogName}.api_live.seg_items")
+      .filter((col("grp").isin(2, 3) || col("score") > 140.0) &&
+        col("id") < 250 && col("name").endsWith("7"))
+      .select("id", "name", "score")
+    val got = df.collect()
+    val expect = rows.count { r =>
+      (Set(2L, 3L)(r(1).asInstanceOf[Long]) || r(3).asInstanceOf[Double] > 140.0) &&
+        r(0).asInstanceOf[Long] < 250 && r(2).asInstanceOf[String].endsWith("7")
+    }
+    assert(got.length == expect && expect > 0)
+    // the server applied it: one filterql statement arrived and held
+    // every conjunct — range, IN, OR tree, LIKE
+    val stmt = LoopbackRestServer.lastParams.get().getOrElse("filterql", "")
+    assert(stmt.contains("IN") && stmt.contains("OR") && stmt.contains("LIKE")
+      && stmt.contains("id < 250"), s"incomplete statement: $stmt")
+    // ...and Spark planned NO residual filter above the scan
+    val residual = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(residual.isEmpty,
+      s"residual filter survived full pushdown:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("filterql server enforces: 3VL on the wire, 400s on bad statements") {
+    val client = freshClient(HttpRestConfig(maxRetries = 1))
+    val nullable = StructType(Seq(
+      StructField("id", LongType), StructField("tag", StringType)))
+    val nrows: Seq[Array[Any]] = Seq(
+      Array[Any](1L, "x"), Array[Any](2L, "y"), Array[Any](3L, null))
+    LoopbackRestServer.registerRestApi("seg_null", nullable, Set.empty,
+      nrows, filterQl = true)
+    // NOT(tag = "x") under SQL 3VL: the NULL row stays UNKNOWN → dropped
+    val kept = client.pagedLines("/t/seg_null",
+      Map("filterql" -> """NOT ( tag = "x" )""")).toSeq
+    assert(kept.size == 1 && kept.head.contains("\"y\""),
+      s"3VL violated: $kept")
+    // malformed statement → 400, fail fast (no retry storm)
+    intercept[Exception](client.pagedLines("/t/seg_null",
+      Map("filterql" -> "tag == 5")).toSeq)
+    // unknown field → 400
+    intercept[Exception](client.pagedLines("/t/seg_null",
+      Map("filterql" -> "nope = 1")).toSeq)
+    // a listing that never declared the capability refuses it
+    intercept[Exception](client.pagedLines("/t/items",
+      Map("filterql" -> "id = 1")).toSeq)
+  }
+
+  test("catalog route advertises filterql; discovery carries it through") {
+    val client = freshClient()
+    LoopbackRestServer.registerRestApi("seg_items", schema, Set.empty,
+      rows, filterQl = true)
+    LoopbackRestServer.registerRestApi("plain_items", schema, Set("grp"), rows)
+    val apis = graft.sources.RestDiscovery.listApis(client)
+    assert(apis.exists(a => a._1 == "seg_items" && a._3),
+      s"seg_items must advertise filterql: $apis")
+    assert(apis.exists(a => a._1 == "plain_items" && !a._3 && a._2 == Set("grp")))
+  }
+
   test("sliced paging covers every row exactly once; limit caps per slice") {
     val client = freshClient(HttpRestConfig(pageSize = 32))
     // 300 rows over 4 strided slices of 32-row pages
