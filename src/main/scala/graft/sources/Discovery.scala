@@ -142,15 +142,28 @@ object EsDiscovery {
     // the empty-collection case, skippable at eager CREATE SOURCE time
     if (!mappings.isObject || mappings.properties().asScala.isEmpty)
       throw new UndiscoverableTableException(s"empty mapping for index $index")
-    val analyzed = mappings.properties().asScala.toSeq.collect {
-      case e if e.getValue.path("type").asText("") == "text" =>
-        val kw = e.getValue.path("fields").path("keyword")
-        e.getKey.toLowerCase -> (
-          if (kw.path("type").asText("") == "keyword")
-            Some(s"${e.getKey}.keyword") else None)
-    }.toMap
-    EsMappingMeta(walk(mappings), analyzed)
+    EsMappingMeta(walk(mappings), collectAnalyzed(mappings, ""))
   }
+
+  /** Recursive analyzed-field walk: a `text` mapping at ANY depth records
+    * its DOTTED path (the reference's own fixture shape has
+    * `repository.name`-style text subfields) — a top-level-only walk
+    * would let an exact-value filter on a nested text field push raw
+    * and silently match analyzed tokens instead of declining or
+    * retargeting to its `.keyword` multi-field. */
+  private def collectAnalyzed(props: JsonNode,
+      prefix: String): Map[String, Option[String]] =
+    props.properties().asScala.toSeq.flatMap { e =>
+      val path = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
+      val t = e.getValue
+      if (t.has("properties")) collectAnalyzed(t.path("properties"), path)
+      else if (t.path("type").asText("") == "text") {
+        val kw = t.path("fields").path("keyword")
+        Seq(path.toLowerCase -> (
+          if (kw.path("type").asText("") == "keyword")
+            Some(s"$path.keyword") else None))
+      } else Nil
+    }.toMap
 
   private def walk(props: JsonNode): StructType = StructType(
     props.properties().asScala.toSeq.map { e =>

@@ -161,29 +161,52 @@ object EsDsl {
     // queries compare against lowercased whitespace tokens, never the
     // original value — the silent-wrongness hazard the client-side
     // decline/retarget guard exists for.
-    def resolve(name: String): (Int, Boolean) = { // (index | -1, analyzed)
+    // dotted-path lookup through nested struct columns (the reference's
+    // own fixture shape has `repository.name`-style text subfields):
+    // (value — null if the row's struct chain is null —, declared type),
+    // or None for a path the mapping doesn't know
+    def fieldAt(path: String): Option[(Any, DataType)] = {
+      val parts = path.split('.')
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(parts(0)))
+      if (i < 0) return None
+      var cur: Any = row(i)
+      var dt: DataType = schema.fields(i).dataType
+      var k = 1
+      while (k < parts.length) {
+        dt match {
+          case st: StructType =>
+            val j = st.fieldNames.indexWhere(_.equalsIgnoreCase(parts(k)))
+            if (j < 0) return None
+            dt = st.fields(j).dataType
+            cur = cur match {
+              case r: org.apache.spark.sql.Row => r.get(j)
+              case _ => null // null struct up the chain: field exists, value null
+            }
+          case _ => return None // non-struct mid-path: unmapped
+        }
+        k += 1
+      }
+      Some((cur, dt))
+    }
+    def resolve(name: String): (Option[(Any, DataType)], Boolean) = {
       val lc = name.toLowerCase
       if (lc.endsWith(".keyword")) {
         val base = lc.stripSuffix(".keyword")
-        if (textFields.get(base).contains(true))
-          (schema.fieldNames.indexWhere(_.equalsIgnoreCase(base)), false)
-        else (-1, false) // unmapped path: matches nothing
-      } else
-        (schema.fieldNames.indexWhere(_.equalsIgnoreCase(name)),
-          textFields.contains(lc))
+        if (textFields.get(base).contains(true)) (fieldAt(base), false)
+        else (None, false) // unmapped path: matches nothing
+      } else (fieldAt(name), textFields.contains(lc))
     }
-    def value(name: String): Any = {
-      val (i, _) = resolve(name); if (i < 0) null else row(i)
-    }
+    def value(name: String): Any =
+      resolve(name)._1.map(_._1).orNull
     def tokens(v: Any): Seq[String] =
       v.toString.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
     def cmpAll(name: String, jv: JsonNode): Seq[Int] = {
-      val (i, analyzed) = resolve(name)
-      if (i < 0 || row(i) == null) Nil
-      else if (analyzed)
-        tokens(row(i)).flatMap(t => FilterEval.cmp(t, jv.asText()))
-      else FilterEval.cmp(row(i),
-        LineCodec.parse(jv.asText(), schema.fields(i).dataType)).toSeq
+      resolve(name) match {
+        case (Some((v, dt)), analyzed) if v != null =>
+          if (analyzed) tokens(v).flatMap(t => FilterEval.cmp(t, jv.asText()))
+          else FilterEval.cmp(v, LineCodec.parse(jv.asText(), dt)).toSeq
+        case _ => Nil
+      }
     }
     val it = node.properties().iterator()
     if (!it.hasNext) return true
@@ -204,23 +227,24 @@ object EsDsl {
           case "lt" => c < 0; case "lte" => c <= 0
           case _ => false
         }
-        val (i, analyzed) = resolve(f.getKey)
-        if (i < 0 || row(i) == null) false
-        else if (analyzed)
-          // Lucene evaluates a range against INDIVIDUAL terms: ONE token
-          // must satisfy every bound — per-bound independent matching
-          // (token A > gt, token B < lt) would admit docs real ES rejects
-          tokens(row(i)).exists(t => bounds.forall(b =>
-            FilterEval.cmp(t, b.getValue.asText()).exists(sat(_, b.getKey))))
-        else bounds.forall(b =>
-          FilterEval.cmp(row(i), LineCodec.parse(b.getValue.asText(),
-            schema.fields(i).dataType)).exists(sat(_, b.getKey)))
+        resolve(f.getKey) match {
+          case (Some((v, dt)), analyzed) if v != null =>
+            if (analyzed)
+              // Lucene evaluates a range against INDIVIDUAL terms: ONE
+              // token must satisfy every bound — per-bound independent
+              // matching (token A > gt, token B < lt) would admit docs
+              // real ES rejects
+              tokens(v).exists(t => bounds.forall(b =>
+                FilterEval.cmp(t, b.getValue.asText()).exists(sat(_, b.getKey))))
+            else bounds.forall(b =>
+              FilterEval.cmp(v, LineCodec.parse(b.getValue.asText(), dt))
+                .exists(sat(_, b.getKey)))
+          case _ => false
+        }
       case "wildcard" =>
         val f = e.getValue.properties().iterator().next()
-        val (i, analyzed) = resolve(f.getKey)
-        if (i < 0 || row(i) == null) false
-        else row(i) match {
-          case s: String =>
+        resolve(f.getKey) match {
+          case (Some((s: String, _)), analyzed) =>
             if (analyzed) tokens(s).exists(wildcardMatch(_, f.getValue.asText()))
             else wildcardMatch(s, f.getValue.asText())
           case _ => false

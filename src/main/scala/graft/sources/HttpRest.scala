@@ -383,9 +383,15 @@ object LoopbackRestServer {
       textFields: Map[String, Boolean]): Unit = {
     val tf = textFields.map { case (k, v) => k.toLowerCase -> v }
     tf.keys.foreach { f =>
-      val fld = schema.fields.find(_.name.equalsIgnoreCase(f))
-      require(fld.exists(_.dataType == org.apache.spark.sql.types.StringType),
-        s"text field $f must be a string column of $name")
+      // dotted paths address nested struct subfields (the reference's
+      // `repository.name` fixture shape)
+      val dt = f.split('.').foldLeft(Option(schema: org.apache.spark.sql.types.DataType)) {
+        case (Some(st: StructType), part) =>
+          st.fields.find(_.name.equalsIgnoreCase(part)).map(_.dataType)
+        case _ => None
+      }
+      require(dt.contains(org.apache.spark.sql.types.StringType),
+        s"text field $f must be a string column (or struct subfield) of $name")
     }
     esMappingProps(schema, tf) // every field must be mapping-representable — fail HERE
     register(name, schema, rows)
@@ -434,20 +440,24 @@ object LoopbackRestServer {
     * ES field types (keyword/long/integer/short/double/float/boolean/
     * date), struct columns render as nested `properties` objects. */
   private def esMappingProps(schema: StructType,
-      textFields: Map[String, Boolean] = Map.empty): com.fasterxml.jackson.databind.node.ObjectNode = {
+      textFields: Map[String, Boolean] = Map.empty,
+      prefix: String = ""): com.fasterxml.jackson.databind.node.ObjectNode = {
     val M = EsDsl.M
     val props = M.createObjectNode()
     schema.fields.foreach { f =>
       val o = props.putObject(f.name)
+      val path =
+        (if (prefix.isEmpty) f.name else s"$prefix.${f.name}").toLowerCase
       f.dataType match {
         case org.apache.spark.sql.types.StringType
-            if textFields.contains(f.name.toLowerCase) =>
+            if textFields.contains(path) =>
           o.put("type", "text")
-          if (textFields(f.name.toLowerCase))
+          if (textFields(path))
             o.putObject("fields").putObject("keyword")
               .put("type", "keyword").put("ignore_above", 256)
         case st: StructType =>
-          o.set[com.fasterxml.jackson.databind.JsonNode]("properties", esMappingProps(st))
+          o.set[com.fasterxml.jackson.databind.JsonNode]("properties",
+            esMappingProps(st, textFields, path))
         case LongType => o.put("type", "long")
         case IntegerType => o.put("type", "integer")
         case ShortType => o.put("type", "short")

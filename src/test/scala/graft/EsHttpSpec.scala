@@ -637,4 +637,81 @@ class EsHttpSpec extends AnyFunSuite {
     assert(EsDsl.M.readTree(ok).path("aggregations").path("by")
       .path("buckets").size() == 5)
   }
+
+  // ---- NESTED analyzed fields (repository.name-style text subfields) ----
+
+  private val nestSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("repo", StructType(Seq(
+      StructField("name", StringType), StructField("lang", StringType),
+      StructField("stars", LongType))))))
+  private val nestRows: Seq[Array[Any]] = (0L until 40L).map { i =>
+    Array[Any](i, org.apache.spark.sql.Row(
+      s"Project Alpha ${i % 4}", if (i % 2 == 0) "scala" else "go", i * 10))
+  }
+
+  test("discovery records analyzed NESTED text subfields by dotted path") {
+    LoopbackRestServer.registerEsText("nst_meta", nestSchema, nestRows,
+      Map("repo.name" -> true))
+    val meta = EsDiscovery.mappingMeta(
+      new HttpRestClient(LoopbackRestServer.ensureStarted()), "nst_meta")
+    assert(meta.analyzed == Map("repo.name" -> Some("repo.name.keyword")),
+      s"nested text subfield must surface with its dotted path: ${meta.analyzed}")
+    assert(meta.schema("repo").dataType.isInstanceOf[StructType])
+  }
+
+  test("server eval: nested text matches analyzed tokens raw, value via .keyword") {
+    val tf = Map("repo.name" -> true)
+    def n(s: String) = EsDsl.M.readTree(s)
+    // raw reference = analyzed terms: the exact value matches NOTHING...
+    assert(!nestRows.exists(r => EsDsl.eval(
+      n("""{"term":{"repo.name":"Project Alpha 1"}}"""), r, nestSchema, tf)))
+    // ...but a lowercased token matches every row (the silent hazard)
+    assert(nestRows.forall(r => EsDsl.eval(
+      n("""{"term":{"repo.name":"alpha"}}"""), r, nestSchema, tf)))
+    // the .keyword multi-field is the exact raw value
+    assert(nestRows.count(r => EsDsl.eval(
+      n("""{"term":{"repo.name.keyword":"Project Alpha 1"}}"""), r, nestSchema, tf))
+      == nestRows.count(_(1).asInstanceOf[org.apache.spark.sql.Row]
+        .getString(0) == "Project Alpha 1"))
+    // non-analyzed nested keyword subfield targets raw directly
+    assert(nestRows.count(r => EsDsl.eval(
+      n("""{"term":{"repo.lang":"scala"}}"""), r, nestSchema, tf)) == 20)
+    // nested numeric range resolves through the struct
+    assert(nestRows.count(r => EsDsl.eval(
+      n("""{"range":{"repo.stars":{"gte":100,"lt":200}}}"""), r, nestSchema, tf)) == 10)
+    // unmapped nested path matches nothing (no phantom .keyword)
+    assert(!nestRows.exists(r => EsDsl.eval(
+      n("""{"term":{"repo.lang.keyword":"scala"}}"""), r, nestSchema, tf)))
+  }
+
+  test("DSv2 scan: exact value on a nested analyzed field returns right rows") {
+    LoopbackRestServer.registerEsText("nst1", nestSchema, nestRows,
+      Map("repo.name" -> true))
+    val base = LoopbackRestServer.ensureStarted()
+    val meta = EsDiscovery.mappingMeta(new HttpRestClient(base), "nst1")
+    EsEndpoints.register(EsEndpoint("estest", "nst1", meta.schema,
+      EsEndpointSpec(base, "nst1", HttpRestConfig(pageSize = 64, retryBackoffMs = 5)),
+      analyzed = meta.analyzed))
+    if (SourceRegistry.get("estest").isEmpty)
+      SourceRegistry.register(SourceDef("estest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/estest").getPath,
+        "json", "es"))
+    SourceRegistry.ensureCatalog(spark)
+    val t = s"${SourceRegistry.CatalogName}.estest.nst1"
+    val got = spark.table(t)
+      .filter(col("repo.name") === "Project Alpha 1" && col("repo.stars") >= 100)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val want = nestRows.filter { r =>
+      val repo = r(1).asInstanceOf[org.apache.spark.sql.Row]
+      repo.getString(0) == "Project Alpha 1" && repo.getLong(2) >= 100
+    }.map(_(0).asInstanceOf[Long]).sorted
+    assert(got.toSeq == want.toSeq && want.nonEmpty)
+    // whether Spark pushed the nested predicate or polyfilled it, the
+    // exact VALUE must never ride a raw term on the analyzed path — that
+    // query matches analyzed tokens, not values
+    val body = LoopbackRestServer.lastBody.get()
+    assert(!body.contains(""""repo.name":"Project"""),
+      s"raw term on an analyzed nested field shipped: $body")
+  }
 }
