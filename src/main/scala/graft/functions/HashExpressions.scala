@@ -137,6 +137,22 @@ case class TermFreqs(child: Expression) extends UnaryExpression {
   override def prettyName: String = "term_freqs"
 }
 
+/** fix_text(string) → STRUCT<fixed STRING, was_mojibake BOOLEAN>: strict
+  * double-decode mojibake repair + Unicode NFC normalization in one
+  * codegen'd pass (TextFix.fixTextU) — the encoding hygiene step ahead of
+  * every dedup/tokenization signal. */
+case class FixText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("fixed", StringType, nullable = false),
+    StructField("was_mojibake", BooleanType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    TextFix.fixTextU(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextFix.fixTextU($c)")
+  override protected def withNewChildInternal(c: Expression): FixText = copy(c)
+  override def prettyName: String = "fix_text"
+}
+
 /** Column-level API for the hash expressions.
   *
   * `ensure(spark)` registers the expressions in the session's
@@ -207,7 +223,8 @@ object HashFunctions {
     "bloom_contains" -> (a => BloomMightContain(a.head, i64(a(1)))),
     "deflate_len" -> (a => DeflateLen(str(a.head))),
     "gram_covers" -> (a => GramCovers(str(a.head))),
-    "term_freqs" -> (a => TermFreqs(str(a.head))))
+    "term_freqs" -> (a => TermFreqs(str(a.head))),
+    "fix_text" -> (a => FixText(str(a.head))))
 
   def ensure(spark: SparkSession): Unit = if (ensured.add(spark)) {
     val reg = spark.sessionState.functionRegistry
@@ -255,4 +272,6 @@ object HashFunctions {
   def gram_covers(c: Column): Column = { ready(); call_function("gram_covers", c) }
 
   def term_freqs(c: Column): Column = { ready(); call_function("term_freqs", c) }
+
+  def fix_text(c: Column): Column = { ready(); call_function("fix_text", c) }
 }

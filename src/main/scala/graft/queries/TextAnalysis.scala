@@ -1355,6 +1355,37 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Encoding hygiene (the fix step ahead of every text signal —
+    // dedup shingles, language ID and tokenization all disagree across
+    // encoding variants of the SAME text): strict double-decode mojibake
+    // repair + Unicode NFC normalization as ONE native codegen'd pass
+    // (fix_text). The fixture MANGLES half the corpus in-query (UTF-8
+    // bytes re-read as Latin-1 — the classic "cafÃ©" shape) and appends
+    // a decomposed e+combining-acute, so the oracle derives the expected
+    // output INDEPENDENTLY: the repaired text must equal the original
+    // (which DuckDB can construct) and both engines' NFC must agree.
+    // The odd rows carry the combining mark (> 0xFF), proving the
+    // repair heuristic does NOT fire on clean non-Latin-1 text.
+    //
+    // Scale: one codegen'd projection, no shuffle except the
+    // presentation sort.
+    GQuery(
+      "q_text_fix_encoding",
+      s"""SELECT doc_id,
+         |       nfc_normalize(text || ' café über e' || chr(769)) AS fixed,
+         |       doc_id % 2 = 0 AS was_mojibake
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val original = concat(col("text"), lit(" café über é"))
+      val mangled = decode(encode(original, "UTF-8"), "ISO-8859-1")
+      val f = HashFunctions.fix_text(
+        when(col("doc_id") % 2 === 0, mangled).otherwise(original))
+      docs(s, d)
+        .select(col("doc_id"), f.as("f"))
+        .select(col("doc_id"), col("f.fixed").as("fixed"),
+          col("f.was_mojibake").as("was_mojibake"))
+        .orderBy("doc_id")
+    },
+
     // Per-document TF-IDF keyword extraction (top-3 terms per doc): the
     // corpus-statistics stage behind tagging/routing/clustering-by-topic.
     // idf is integer-millinat (round(1000*ln(N/df)) of identical integer
