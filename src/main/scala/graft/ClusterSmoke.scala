@@ -39,6 +39,13 @@ object ClusterSmoke {
     // checkpoint under the driver's dir; keywords exercises the broadcast
     // df join + WindowGroupLimit exchange across real JVM boundaries
     "q_stream_anomaly", "q_text_keywords",
+    // r13: the SegmentQL filterql statement compiles on the driver and
+    // ships inside serialized partitions to executor-side HTTP readers;
+    // phash near-dup runs its band self-join across real exchanges, with
+    // the decode (ImageIO/stub + md5 + phash) inside executor JVMs;
+    // fix_text exercises a round-13 native expression under codegen on
+    // executors
+    "q_src_rest_filterql", "q_media_phash_neardup", "q_text_fix_encoding",
     // scale family
     "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_incremental",
     "q_kmeans", "q_curation_domain_cap", "q_text_bpe_encode",

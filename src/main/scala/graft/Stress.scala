@@ -293,7 +293,11 @@ object Stress {
       // bounds exist to police), rolling anomaly (per-user window over
       // the disjoint user replicas)
       "q_text_classifier", "q_text_keywords",
-      "q_text_repetition", "q_events_anomaly")
+      "q_text_repetition", "q_events_anomaly",
+      // round-13: encoding repair (one native pass/row — the fix_text
+      // projection), under the same interleave-inflation headroom as the
+      // other per-char text projections
+      "q_text_fix_encoding")
     // optional comma-separated subset for fast local iteration; the
     // driver never sets it → full sweep
     val ops = sys.env.get("SPARK_GRAFT_STRESS_OPS")
@@ -419,11 +423,11 @@ object Stress {
       // the interleave roughly doubles tokens per doc, so char-class
       // headroom like the other text projections
       "q_text_classifier" -> defB.copy(time = 8.0),
-      // r12: per-doc tf via array ops (the interleave doubles both
-      // tokens and distinct terms → ~4x per-row constant at any r), df
-      // agg is vocab-sized, and the top-k window exchanges (doc, term)
-      // pairs across the corpus BY DESIGN (WindowGroupLimit pre-prunes
-      // to <=3/doc/partition before the exchange)
+      // r12 (reworked r13): per-doc tf is ONE native term_freqs pass per
+      // row; the df agg is vocab-sized and min-df-pruned before its
+      // broadcast, and the top-k window exchanges (doc, term) pairs
+      // across the corpus BY DESIGN (WindowGroupLimit pre-prunes to
+      // <=3/doc/partition before the exchange)
       "q_text_keywords" -> defB.copy(time = 8.0, corpusShuffle = true),
       // r12: gram covers are ONE native O(grams) hash-map pass per row
       // (gram_covers expression) — a pure projection like the classifier,
@@ -433,7 +437,10 @@ object Stress {
       // r12: one user_id exchange of the events corpus BY DESIGN, then a
       // bounded ROWS frame; disjoint user replicas keep per-task flat up
       // to the r x corpus growth
-      "q_events_anomaly" -> defB.copy(linearRows = true, corpusShuffle = true))
+      "q_events_anomaly" -> defB.copy(linearRows = true, corpusShuffle = true),
+      // r13: mojibake repair + NFC is linear in chars — the replica
+      // interleave inflation applies directly, like deflate/compress
+      "q_text_fix_encoding" -> defB.copy(time = 8.0))
 
     final case class Obs(sec: Double, rows: Long, maxInMb: Double, maxShMb: Double,
         top: Seq[(Int, String, Long, Long)])

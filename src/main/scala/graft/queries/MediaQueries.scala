@@ -172,9 +172,15 @@ object MediaQueries {
          |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(pa, pb)) <= 10
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      // decode ONCE: the twins arm and both band-join sides all read
+      // this cached (media_id, phash) projection — at corpus scale the
+      // pixel decode is the dominant cost and must never replan per
+      // branch (released by the harness clearCache, like the other
+      // multi-branch gates)
       val dec = Multimodal.decode(
         Multimodal.fromDocuments(Tables.load(s, d, "documents"))).toDF()
         .select(col("media_id"), col("phash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val twins = dec.filter(col("media_id") % 50 === 0)
         .select((col("media_id") + 1000000000L).as("media_id"),
           expr("phash ^ shiftleft(CAST(1 AS BIGINT), CAST(phash % 63 AS INT))")
