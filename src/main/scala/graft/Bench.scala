@@ -66,6 +66,31 @@ import org.apache.spark.sql.SparkSession
   *     every query so cross-round artifacts compare like-for-like.
   */
 object Bench {
+  /** Classpath for forked child JVMs (iso arm, cluster smoke): this
+    * class's own code-source prepended to the inherited java.class.path.
+    * Covers plain `java -cp` launches (the property is complete — a jar
+    * wildcard entry survives unexpanded for the child to re-expand) AND
+    * in-process `sbt run` (the property is only the sbt
+    * LAUNCHER jar; project classes live in sbt's internal classloader,
+    * so the directory this class actually loaded from is what the child
+    * needs). No launcher layout is hardcoded. */
+  private[graft] def childClasspath: String = {
+    val inherited = sys.props("java.class.path")
+    val self = try {
+      Option(Bench.getClass.getProtectionDomain.getCodeSource)
+        .map(cs => new java.io.File(cs.getLocation.toURI).getAbsolutePath)
+    } catch { case _: Exception => None }
+    self.filterNot(p =>
+      inherited.split(java.io.File.pathSeparator).contains(p))
+      .map(p => p + java.io.File.pathSeparator + inherited)
+      .getOrElse(inherited)
+  }
+
+  /** The running JVM's own java binary — forked children must not
+    * depend on PATH resolution. */
+  private[graft] def childJava: String = new java.io.File(
+    new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+
   private def gcMillis: Long =
     ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
   private def usedHeapMb: Long = {
@@ -354,8 +379,8 @@ object Bench {
       else {
         // child inherits THIS JVM's classpath and heap ceiling — no
         // hardcoded target/ layout or /opt/spark path, so the iso arm
-        // works from any launcher (sbt, spark-submit, a fat jar)
-        val childCp = sys.props("java.class.path")
+        // works from any launcher
+        val childCp = childClasspath
         val parentArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
         val childXmx = parentArgs.filter(_.startsWith("-Xmx"))
           .lastOption.getOrElse("-Xmx16g")
@@ -374,8 +399,7 @@ object Bench {
           }
           out.result()
         }
-        val javaBin = new java.io.File(
-          new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+        val javaBin = childJava
         heavyNames.map { name =>
           name -> (try {
             val cmd = Seq(javaBin, childXmx) ++ childFlags ++
@@ -435,11 +459,13 @@ object Bench {
     val clusterJson: String =
       if (only.nonEmpty || sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTER", "1") != "1") "null"
       else try {
-        val classes = new java.io.File(sys.props("user.dir"),
-          "target/scala-2.13/classes").getAbsolutePath
-        val pb = new ProcessBuilder("java", "-Xmx4g", "-cp",
-          s"$classes:/opt/spark/jars/*", "graft.ClusterSmoke")
-        pb.environment().put("SPARK_HOME", "/opt/spark")
+        // same launcher-portable child spawn as the iso arm; SPARK_HOME
+        // propagates when set (local-cluster executor launch needs it),
+        // with the historical default as the fallback
+        val pb = new ProcessBuilder(childJava, "-Xmx4g", "-cp",
+          childClasspath, "graft.ClusterSmoke")
+        pb.environment().put("SPARK_HOME",
+          sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
         pb.environment().put("SPARK_SCALA_VERSION", "2.13")
         pb.redirectErrorStream(true)
         val proc = pb.start()

@@ -61,7 +61,13 @@ object ClusterSmoke {
       .master(master)
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.executor.extraClassPath",
-        new java.io.File(sys.props("user.dir"), "target/scala-2.13/classes").getAbsolutePath)
+        // executors are separate JVMs: they need the graft classes from
+        // wherever THIS class actually loaded (works for a classes dir
+        // or a fat jar; no build layout hardcoded)
+        Option(ClusterSmoke.getClass.getProtectionDomain.getCodeSource)
+          .map(cs => new java.io.File(cs.getLocation.toURI).getAbsolutePath)
+          .getOrElse(new java.io.File(sys.props("user.dir"),
+            "target/scala-2.13/classes").getAbsolutePath))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -22,7 +22,7 @@ object MediaQueries {
          |           list_transform(range(1, length(text)+1),
          |                          i -> CAST(unicode(text[i]) AS BIGINT))),
          |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
-         |  FROM documents)
+         |  FROM documents WHERE text <> '')
          |SELECT doc_id AS media_id, 'image' AS kind,
          |       CAST(h % 640 + 16 AS INTEGER) AS width,
          |       CAST(h // 640 % 480 + 16 AS INTEGER) AS height,
@@ -55,7 +55,7 @@ object MediaQueries {
          |           list_transform(range(1, length(text)+1),
          |                          i -> CAST(unicode(text[i]) AS BIGINT))),
          |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
-         |  FROM documents WHERE doc_id < 200)
+         |  FROM documents WHERE doc_id < 200 AND text <> '')
          |SELECT DISTINCT doc_id AS media_id,
          |       CAST(224 AS INTEGER) AS width,
          |       CAST(224 AS INTEGER) AS height,
@@ -93,7 +93,7 @@ object MediaQueries {
          |           list_transform(range(1, length(text)+1),
          |                          i -> CAST(unicode(text[i]) AS BIGINT))),
          |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
-         |  FROM documents)
+         |  FROM documents WHERE text <> '')
          |SELECT ((h >> 4) & 15) + 16 * ((h >> 12) & 15)
          |         + 256 * ((h >> 20) & 15) + 4096 * ((h >> 28) & 15) AS bucket,
          |       CAST(count(*) AS BIGINT) AS n_media,
@@ -146,7 +146,7 @@ object MediaQueries {
          |           list_transform(range(1, length(text)+1),
          |                          i -> CAST(unicode(text[i]) AS BIGINT))),
          |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
-         |  FROM documents),
+         |  FROM documents WHERE text <> ''),
          |ph AS (
          |  SELECT doc_id AS media_id,
          |         ((h*3 % ${OracleFragments.P}) & 65535)

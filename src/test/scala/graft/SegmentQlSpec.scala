@@ -103,6 +103,23 @@ class SegmentQlSpec extends AnyFunSuite {
     bad("""EXISTS nope""")          // EXISTS must type-check the field
   }
 
+  test("whitespace is insignificant: spaces before commas and parens parse") {
+    assert(SegmentQl.parse("AND ( id = 1 , grp = 2 )", schema) ==
+      And(EqualTo("id", 1L), EqualTo("grp", 2L)))
+    // In holds an Array (reference equality) — compare by re-rendering
+    assert(SegmentQl.compile(SegmentQl.parse("id IN ( 1 , 2 , 3 )", schema)) ==
+      SegmentQl.compile(SegmentQl.parse("id IN (1,2,3)", schema)))
+    assert(SegmentQl.parse("OR ( id = 1 ,\n\tgrp = 2 )", schema) ==
+      Or(EqualTo("id", 1L), EqualTo("grp", 2L)))
+  }
+
+  test("non-finite double literals decline at compile (the parser rejects them)") {
+    assert(SegmentQl.compile(EqualTo("score", Double.PositiveInfinity)).isEmpty)
+    assert(SegmentQl.compile(GreaterThan("score", Double.NaN)).isEmpty)
+    assert(SegmentQl.compile(LessThan("score", Float.NegativeInfinity)).isEmpty)
+    assert(SegmentQl.compile(EqualTo("score", 1.5)).isDefined)
+  }
+
   test("parsed trees evaluate with SQL 3VL (null never flips under NOT)") {
     val f = SegmentQl.parse("""NOT ( name = "x" )""", schema)
     val nullRow: Array[Any] = Array(1L, 1, null, 1.0, true, null, null)
