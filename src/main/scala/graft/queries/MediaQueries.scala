@@ -13,6 +13,13 @@ import graft.multimodal.Multimodal
   */
 object MediaQueries {
 
+  /** Max members of one (band_no, band) bucket admitted to near-dup
+    * candidate generation: a bucket past this is a degenerate cluster
+    * (constant images, a collapsed band) whose exact duplicates the md5
+    * arm already catches — joining it would be quadratic in its size.
+    * Declared BEFORE `queries` (the oracle SQL interpolates it eagerly). */
+  val BandBucketCap = 64
+
   val queries: Seq[GQuery] = Seq(
     GQuery(
       "q_multimodal_decode",
@@ -132,12 +139,15 @@ object MediaQueries {
     // Scale: no pair enumeration — the only exchanges are the band-bucket
     // self-join (equi-join on (band_no, band)) and the output sort;
     // verify is a per-pair bit_count, and the DISTINCT collapses pairs
-    // that agree on several bands before it runs. Band width is the
-    // corpus-size knob: 16-bit bands mean random same-band collisions
-    // grow ~n²/2^16 per band, fine at this corpus but quadratic at
-    // billions of images — there, two 31-bit composite bands (pigeonhole
-    // still exact for the d<=1 twins) or a per-bucket size cap (the
-    // q_dedup_blocks discipline) bound the candidate set.
+    // that agree on several bands before it runs. Degenerate buckets are
+    // CAPPED IN THE PLAN (the q_dedup_blocks discipline): a bucket
+    // holding more than BandBucketCap members — a constant-image
+    // mega-cluster, or a band the hash family happens to collapse — is
+    // excluded from candidate generation (its true exact duplicates are
+    // the md5 arm's job), so no single bucket can go quadratic. The cap
+    // count rides a window over the SAME (band_no, band) key as the
+    // self-join — one exchange serves both. Band width stays the other
+    // corpus-size knob (wider bands shrink random collisions ~n²/2^w).
     GQuery(
       "q_media_phash_neardup",
       s"""WITH hdoc AS (
@@ -160,10 +170,15 @@ object MediaQueries {
          |  SELECT media_id + 1000000000,
          |         xor(phash, CAST(1 AS BIGINT) << CAST(phash % 63 AS INTEGER))
          |  FROM ph WHERE media_id % 50 = 0),
-         |bands AS (
+         |bands0 AS (
          |  SELECT media_id, phash, r.j,
          |         (phash >> CAST(16 * r.j AS INTEGER)) & 65535 AS band
          |  FROM all_media CROSS JOIN range(4) r(j)),
+         |bands AS (
+         |  SELECT media_id, phash, j, band
+         |  FROM (SELECT *, count(*) OVER (PARTITION BY j, band) AS bsz
+         |        FROM bands0)
+         |  WHERE bsz <= ${MediaQueries.BandBucketCap}),
          |cand AS (
          |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
          |         a.phash AS pa, b.phash AS pb
@@ -191,6 +206,13 @@ object MediaQueries {
           explode(sequence(lit(0), lit(3))).as("j"))
         .withColumn("band",
           expr("shiftright(phash, CAST(16 * j AS INT)) & 65535"))
+        // degenerate-bucket cap BEFORE candidate generation: the window
+        // partitions on the self-join's own key, so its exchange is the
+        // join's exchange — no extra shuffle for the guard
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("j", "band")))
+        .filter(col("bsz") <= MediaQueries.BandBucketCap)
+        .drop("bsz")
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.j") === col("b.j") && col("a.band") === col("b.band") &&
