@@ -462,6 +462,24 @@ class PlanSpec extends AnyFunSuite {
       s"confusion rollup must combine map-side: ${aggs.size} aggs / ${shuffles.size} shuffles")
   }
 
+  test("q_media_phash_neardup: bucket-cap window keys the band join; no cartesian") {
+    val p = plan("q_media_phash_neardup")
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the degenerate-bucket cap is IN THE PLAN (a count window on the
+    // join key), not just documented — the r12 keywords lesson
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.exists(_.partitionSpec.map(_.references.map(_.name).mkString)
+      .mkString.contains("band")),
+      s"expected the bucket-cap window partitioned on the band key:\n$p")
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      "band candidate generation must never plan a cartesian product")
+    // decode runs once: the persisted projection feeds every branch
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    assert(collectAll(p) { case s: InMemoryTableScanExec => s }.nonEmpty,
+      "the decoded (media_id, phash) projection must be cached, not replanned")
+  }
+
   test("q_text_keywords: min-df prune is INSIDE the broadcast subtree; tf is native") {
     val p = plan("q_text_keywords")
     // what broadcasts must be the PRUNED vocabulary: a FilterExec on the
