@@ -170,9 +170,12 @@ object FedData {
         LoopbackRestServer.registerRestApi("segments_api", cust.schema,
           Set.empty, rows.toSeq, filterQl = true)
         val baseUrl = LoopbackRestServer.ensureStarted()
+        // sliced: the filterql statement rides EVERY slice's page
+        // requests, so the strided from/size fan-out tiles the FILTERED
+        // listing — the same deep-scan shape as the ES sliced readers
         RestEndpoints.registerHttp(RestSourceName, "segments_api",
           Set.empty, new HttpRestClient(baseUrl), "/t/segments_api",
-          Some(cust.schema), filterQl = true)
+          Some(cust.schema), slices = 4, filterQl = true)
       }
       // ES-protocol source: the customer table behind the `_search`
       // endpoint — WHERE compiles to bool/term/range/wildcard DSL and

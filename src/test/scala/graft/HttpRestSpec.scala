@@ -197,6 +197,23 @@ class HttpRestSpec extends AnyFunSuite {
       Map("filterql" -> "id = 1")).toSeq)
   }
 
+  test("sliced scan over a filterql listing tiles the FILTERED rows exactly once") {
+    val client = freshClient(HttpRestConfig(pageSize = 16))
+    LoopbackRestServer.registerRestApi("seg_sliced", schema, Set.empty,
+      rows, filterQl = true)
+    val q = Map("filterql" -> """AND ( grp >= 2, grp <= 4, id < 200 )""")
+    val slices = (0 until 4).map(i =>
+      client.pagedLinesSliced("/t/seg_sliced", q, i, 4).toSeq)
+    val all = slices.flatten
+    val expect = rows.filter(r => r(1).asInstanceOf[Long] >= 2 &&
+      r(1).asInstanceOf[Long] <= 4 && r(0).asInstanceOf[Long] < 200)
+    assert(all.size == expect.size, s"${all.size} vs ${expect.size}")
+    // no row lost or duplicated across the stride
+    assert(all.distinct.size == all.size)
+    // every slice saw the same statement (the filter rides each request)
+    assert(LoopbackRestServer.lastParams.get().get("filterql").contains(q("filterql")))
+  }
+
   test("catalog route advertises filterql; discovery carries it through") {
     val client = freshClient()
     LoopbackRestServer.registerRestApi("seg_items", schema, Set.empty,
