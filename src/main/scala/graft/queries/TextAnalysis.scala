@@ -1401,11 +1401,16 @@ object TextAnalysis {
     // interpreted HOF shape); the only wide exchanges are (a) the
     // document-frequency aggregate — vocabulary-sized with map-side
     // combine — and (b) the per-doc top-k window keyed by doc_id, which
-    // is skew-free. The df table joins back via BROADCAST and the min-df
-    // prune is IN THE PLAN before the exchange: what broadcasts is the
-    // multi-document vocabulary (Heaps'-law sublinear, overwhelmingly
-    // smaller than the raw distinct-token table whose long tail is
-    // single-document noise), not the unbounded hapax tail.
+    // is skew-free. The min-df prune is IN THE PLAN before the df table
+    // joins back: what feeds the build side is the multi-document
+    // vocabulary (Heaps'-law sublinear, overwhelmingly smaller than the
+    // raw distinct-token table whose long tail is single-document
+    // noise), not the unbounded hapax tail. The join strategy is
+    // deliberately UNHINTED: AQE broadcasts when the measured pruned
+    // vocabulary is small (every tested scale) and degrades to a
+    // shuffled join instead of OOMing at the extreme design point
+    // (~10^13 tokens, where even a df>=2 vocabulary can reach 10^8
+    // terms) — an explicit broadcast() would disable that size check.
     GQuery(
       "q_text_keywords",
       s"""WITH ${OracleFragments.tok},
@@ -1443,7 +1448,7 @@ object TextAnalysis {
       val nDocs = docs(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score_millinats").desc, col("term"))
-      tf.join(broadcast(dfreq), Seq("term"))
+      tf.join(dfreq, Seq("term")) // unhinted: AQE governs (see header)
         .crossJoin(broadcast(nDocs))
         .withColumn("score_millinats", col("tf") *
           round(lit(1000d) * log(col("n_docs") / col("df").cast("double")))

@@ -607,22 +607,27 @@ object LoopbackRestServer {
         val size0 = q.get("size").map(_.toLong).getOrElse(Long.MaxValue)
         val size = if (cap > 0) math.min(size0, cap.toLong) else size0
         val limit = q.get("limit").map(_.toLong)
-        val reserved = Set("from", "size", "limit", "filterql")
+        // "filterql" is reserved ONLY on listings that declared the
+        // capability — elsewhere it stays an ordinary filterable param,
+        // so a listing with a genuine column named filterql keeps its
+        // param-equality meaning instead of a surprise 400 (r13 advice)
+        val qlCapable = restFilterQl.getOrElse(name, false)
+        val reserved =
+          if (qlCapable) Set("from", "size", "limit", "filterql")
+          else Set("from", "size", "limit")
         // SegmentQL statement: parsed + applied SERVER-SIDE with proper
-        // 3VL — only on listings that declared the capability, and a
-        // statement the dialect rejects answers 400 (loud refusal, the
-        // same fail-to-the-client discipline as the ES text guard)
-        val ql: Option[Filter] = q.get("filterql") match {
-          case Some(stmt) =>
-            if (!restFilterQl.getOrElse(name, false)) {
-              respond(ex, 400, s"listing $name does not accept filterql"); return
-            }
-            try Some(SegmentQl.parse(stmt, schema))
-            catch { case e: IllegalArgumentException =>
-              respond(ex, 400, e.getMessage); return
-            }
-          case None => None
-        }
+        // 3VL; a statement the dialect rejects answers 400 (loud refusal,
+        // the same fail-to-the-client discipline as the ES text guard)
+        val ql: Option[Filter] =
+          if (!qlCapable) None
+          else q.get("filterql") match {
+            case Some(stmt) =>
+              try Some(SegmentQl.parse(stmt, schema))
+              catch { case e: IllegalArgumentException =>
+                respond(ex, 400, e.getMessage); return
+              }
+            case None => None
+          }
         var out = rows.iterator.filter { row =>
           ql.forall(FilterEval.eval(_, schema, row)) &&
           q.forall { case (k, v) =>

@@ -172,7 +172,12 @@ object SegmentQl {
         tok.toLowerCase match {
           case "true" => Right(java.lang.Boolean.TRUE)
           case "false" => Right(java.lang.Boolean.FALSE)
-          case t if t.matches("[+-]?\\d+") => Right(java.lang.Long.valueOf(t))
+          case t if t.matches("[+-]?\\d+") =>
+            // digit strings beyond Long range (a scale-0 Decimal rendered
+            // via toPlainString) must still parse — the total-or-decline
+            // contract says everything compile() emits the server accepts
+            try Right(java.lang.Long.valueOf(t))
+            catch { case _: NumberFormatException => Right(new java.math.BigDecimal(t)) }
           case t =>
             try Right(java.lang.Double.valueOf(t))
             catch { case _: NumberFormatException => err(s"bad literal '$tok'") }
@@ -197,14 +202,30 @@ object SegmentQl {
 
     /** Literal coerced to the addressed column's declared type: quoted
       * text re-types through the same [[LineCodec.parse]] the param
-      * path uses; bare numbers/booleans keep their parsed type
-      * ([[FilterEval]] compares Long vs Double vs Decimal by value). */
+      * path uses; bare numerics re-type to the column's numeric family.
+      * Spark pushes DSv2 literals already cast to the column type, so a
+      * bare token is that type's own toString rendering — a Float
+      * rendered "0.1" must come back as 0.1f, NOT Double 0.1: their
+      * widened values differ (0.1 vs 0.100000001...) and an uncoerced
+      * parse would silently drop boundary/equality matches with no
+      * Spark residual to save the day. */
     private def typedLit(field: String): Any = {
       val dt = fieldType(field)
       rawLit() match {
         case Left(text) => dt match {
           case StringType => text
           case other => LineCodec.parse(text, other)
+        }
+        case Right(n: Number) => dt match {
+          case FloatType => java.lang.Float.valueOf(n.floatValue())
+          case DoubleType => java.lang.Double.valueOf(n.doubleValue())
+          case _: DecimalType => n match {
+            case bd: java.math.BigDecimal => bd
+            case l: java.lang.Long => java.math.BigDecimal.valueOf(l.longValue())
+            case d: java.lang.Double => new java.math.BigDecimal(d.toString)
+            case other => other
+          }
+          case _ => n // integral families: Long compares exactly
         }
         case Right(v) => v
       }

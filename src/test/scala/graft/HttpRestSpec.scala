@@ -192,9 +192,23 @@ class HttpRestSpec extends AnyFunSuite {
     // unknown field → 400
     intercept[Exception](client.pagedLines("/t/seg_null",
       Map("filterql" -> "nope = 1")).toSeq)
-    // a listing that never declared the capability refuses it
-    intercept[Exception](client.pagedLines("/t/items",
-      Map("filterql" -> "id = 1")).toSeq)
+    // a listing that never declared the capability treats "filterql" as
+    // an ordinary param (a genuine column of that name keeps its
+    // param-equality meaning — r13 advice); /t/items has no such column,
+    // so the param matches nothing rather than 400ing
+    assert(client.pagedLines("/t/items",
+      Map("filterql" -> "id = 1")).toSeq.isEmpty)
+    // and a plain listing WITH a column literally named "filterql" still
+    // filters on it as a param equality
+    val qlCol = StructType(Seq(
+      StructField("id", LongType), StructField("filterql", StringType)))
+    val qlRows: Seq[Array[Any]] =
+      Seq(Array[Any](1L, "keep"), Array[Any](2L, "drop"))
+    LoopbackRestServer.registerRestApi("seg_qlcol", qlCol, Set("filterql"),
+      qlRows)
+    val byCol = client.pagedLines("/t/seg_qlcol",
+      Map("filterql" -> "keep")).toSeq
+    assert(byCol.size == 1 && byCol.head.contains("\"keep\""), s"$byCol")
   }
 
   test("sliced scan over a filterql listing tiles the FILTERED rows exactly once") {

@@ -480,13 +480,29 @@ class PlanSpec extends AnyFunSuite {
       "the decoded (media_id, phash) projection must be cached, not replanned")
   }
 
-  test("q_text_keywords: min-df prune is INSIDE the broadcast subtree; tf is native") {
-    val p = plan("q_text_keywords")
-    // what broadcasts must be the PRUNED vocabulary: a FilterExec on the
-    // df aggregate below the BroadcastExchange, not the raw distinct-token
-    // table (whose hapax tail is unbounded at corpus scale)
+  test("q_text_keywords: unhinted term join (AQE governs); min-df prune below the build side") {
+    val df = SparkEntry.queries("q_text_keywords")(spark, sfDir)
+    // the vocabulary join must carry NO user strategy hint: AQE
+    // broadcasts when the measured pruned-df table is small and degrades
+    // to a shuffled join instead of OOMing when it is not — an explicit
+    // broadcast() would disable that size check (r13 polish item)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val termJoins = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "term")) => j
+    }
+    assert(termJoins.nonEmpty, "expected the tf-to-df equi-join on term")
+    assert(termJoins.forall(j => j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty),
+      s"the term join must not pin a strategy hint: ${termJoins.map(_.hint)}")
+    // materialize so AQE finalizes its stage decisions, then check it
+    // CHOSE broadcast at this scale (the pruned vocabulary measures
+    // small) with the min-df FilterExec below the build-side exchange:
+    // what ships is the PRUNED vocabulary, not the raw distinct-token
+    // table whose hapax tail is unbounded at corpus scale
+    df.collect()
+    val p = df.queryExecution.executedPlan
     val bcasts = collectAll(p) { case b: BroadcastExchangeExec => b }
-    assert(bcasts.nonEmpty, "expected the document-frequency table to broadcast")
+    assert(bcasts.nonEmpty,
+      "AQE should choose broadcast for the measured-small pruned vocabulary")
     import org.apache.spark.sql.execution.FilterExec
     val prunedBcast = bcasts.exists { b =>
       collectAll(b) {
@@ -495,7 +511,7 @@ class PlanSpec extends AnyFunSuite {
       }.nonEmpty
     }
     assert(prunedBcast,
-      s"min-df filter must sit below the BroadcastExchange:\n${formatted("q_text_keywords")}")
+      s"min-df filter must sit below the build-side exchange:\n${formatted("q_text_keywords")}")
     // tf comes from the one-pass native expression, not the interpreted
     // O(distinct×tokens) higher-order-function shape
     assert(formatted("q_text_keywords").contains("term_freqs"),

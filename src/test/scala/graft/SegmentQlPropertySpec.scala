@@ -19,7 +19,12 @@ class SegmentQlPropertySpec extends AnyFunSuite {
   private val schema = StructType(Seq(
     StructField("id", LongType), StructField("grp", IntegerType),
     StructField("name", StringType), StructField("score", DoubleType),
-    StructField("active", BooleanType), StructField("ts", TimestampType)))
+    StructField("active", BooleanType), StructField("ts", TimestampType),
+    // narrow/exact numeric families: a parser that keeps a Float's
+    // "0.1" rendering as Double 0.1 (instead of re-typing to 0.1f)
+    // drifts from the row's widened 0.100000001... and fails here
+    StructField("ratio", FloatType),
+    StructField("amt", DecimalType(38, 0))))
 
   private val rnd = new java.util.Random(20260815L)
 
@@ -27,6 +32,11 @@ class SegmentQlPropertySpec extends AnyFunSuite {
     "line\nbreak", "tab\there", "ümlaut é", "50% off")
   private val tss = Seq("2024-01-02 03:04:05", "2025-06-07 08:09:10")
     .map(java.sql.Timestamp.valueOf)
+  // decimal literals include values beyond Long range: toPlainString of
+  // a scale-0 Decimal(38,0) must survive the wire (rawLit overflow path)
+  private val decs = Seq("7", "12345", "-3", "123456789012345678901234567890",
+    "-99999999999999999999999999999999999999")
+    .map(new java.math.BigDecimal(_))
 
   private def literalFor(col: String): Any = col match {
     case "id" => java.lang.Long.valueOf(rnd.nextInt(100).toLong)
@@ -35,9 +45,14 @@ class SegmentQlPropertySpec extends AnyFunSuite {
     case "score" => java.lang.Double.valueOf(rnd.nextInt(400) / 4.0)
     case "active" => java.lang.Boolean.valueOf(rnd.nextBoolean())
     case "ts" => tss(rnd.nextInt(tss.length))
+    // 0.1f-grid values: most are inexact floats whose shortest repr
+    // re-parses as a DIFFERENT double than the widened float
+    case "ratio" => java.lang.Float.valueOf(rnd.nextInt(1000) / 10.0f)
+    case "amt" => decs(rnd.nextInt(decs.length))
   }
 
-  private val cols = Seq("id", "grp", "name", "score", "active", "ts")
+  private val cols =
+    Seq("id", "grp", "name", "score", "active", "ts", "ratio", "amt")
 
   private def leaf(): Filter = {
     val c = cols(rnd.nextInt(cols.length))
@@ -74,7 +89,9 @@ class SegmentQlPropertySpec extends AnyFunSuite {
     if (rnd.nextInt(5) == 0) null else strings(rnd.nextInt(strings.length)),
     if (rnd.nextInt(5) == 0) null else java.lang.Double.valueOf(rnd.nextInt(400) / 4.0),
     if (rnd.nextInt(5) == 0) null else java.lang.Boolean.valueOf(rnd.nextBoolean()),
-    if (rnd.nextInt(5) == 0) null else tss(rnd.nextInt(tss.length)))
+    if (rnd.nextInt(5) == 0) null else tss(rnd.nextInt(tss.length)),
+    if (rnd.nextInt(5) == 0) null else java.lang.Float.valueOf(rnd.nextInt(1000) / 10.0f),
+    if (rnd.nextInt(5) == 0) null else decs(rnd.nextInt(decs.length)))
 
   test("compiled filters survive the wire with identical 3VL on random rows") {
     var compiled = 0
