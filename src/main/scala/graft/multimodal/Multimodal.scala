@@ -242,6 +242,180 @@ object Multimodal {
     }
   }
 
+  // ---- gain-invariant audio fingerprint ---------------------------------
+
+  /** Time segments of the spectral fingerprint: the clip splits into
+    * AudioSegments equal windows; consecutive-window energy deltas give
+    * AudioSegments−1 bit rows. */
+  val AudioSegments = 9
+
+  /** Analysis bands as DFT-bin cycle counts PER SEGMENT WINDOW (not Hz):
+    * frequencies scale with the window, so a re-encode at a different
+    * sample rate — same content, different sample count — lands on the
+    * same bins and fingerprints identically. Distinct integer bins are
+    * exactly orthogonal over the window, so band energies don't bleed.
+    * AudioBands.length−1 band deltas × (AudioSegments−1) segment deltas
+    * = 64 cells; the last is dropped to keep bit 63 clear (the same
+    * non-negative-BIGINT contract as [[pHash64]]). */
+  val AudioBands: Array[Int] = Array(3, 5, 7, 9, 11, 13, 15, 17, 19)
+
+  /** Shortest per-segment window the fingerprint accepts: bins up to 19
+    * cycles need headroom below Nyquist (L/2), and shorter windows have
+    * too little energy for stable sign decisions. Clips shorter than
+    * AudioSegments·AudioMinSeg samples keep the stub hash. */
+  val AudioMinSeg = 64
+
+  /** REAL gain-invariant audio fingerprint (the classic spectral-band
+    * sign fingerprint — per-window energies in fixed bands, bits from
+    * the sign of the time×frequency energy delta, the Haitsma–Kalker
+    * shape): the mono PCM clip splits into [[AudioSegments]] windows of
+    * L = n/AudioSegments samples; E(m,b) is the Goertzel power at bin
+    * [[AudioBands]](b) over window m; bit (m−1)·8+b (m≥1, b<8) is
+    *
+    *   E(m,b) − E(m,b+1) − E(m−1,b) + E(m−1,b+1) > 0.
+    *
+    * A gain change scales EVERY energy by g², so each delta scales by
+    * g² > 0 and every bit is preserved EXACTLY — unlike the payload md5
+    * (different bytes) and amplitude statistics (scale with g), both of
+    * which a volume change defeats. Hamming distance over the 63 bits is
+    * the near-dup metric; band-LSH over 16-bit slices is the scale path
+    * (identical to the image pHash recipe — no pair enumeration).
+    * Returns −1 for clips shorter than the analysis floor (caller keeps
+    * the stub hash). */
+  def audioFp64(x: Array[Int]): Long = {
+    val s = AudioSegments
+    val l = x.length / s
+    if (l < AudioMinSeg) return -1L
+    val nb = AudioBands.length
+    val e = Array.ofDim[Double](s, nb)
+    var m = 0
+    while (m < s) {
+      var b = 0
+      while (b < nb) {
+        val c = 2.0 * math.cos(2.0 * math.Pi * AudioBands(b) / l)
+        var s1 = 0.0
+        var s2 = 0.0
+        var t = 0
+        val off = m * l
+        while (t < l) {
+          val s0 = x(off + t) + c * s1 - s2
+          s2 = s1
+          s1 = s0
+          t += 1
+        }
+        e(m)(b) = s1 * s1 + s2 * s2 - c * s1 * s2 // Goertzel power at the bin
+        b += 1
+      }
+      m += 1
+    }
+    var bits = 0L
+    var k = 0
+    m = 1
+    while (m < s) {
+      var b = 0
+      while (b < nb - 1 && k < 63) {
+        val dd = (e(m)(b) - e(m)(b + 1)) - (e(m - 1)(b) - e(m - 1)(b + 1))
+        if (dd > 0) bits |= 1L << k
+        k += 1
+        b += 1
+      }
+      m += 1
+    }
+    bits
+  }
+
+  /** Wrap mono PCM16 samples as a minimal RIFF/WAVE byte payload (the
+    * 44-byte canonical header + little-endian samples) — real container
+    * bytes [[audioDecode]] parses through javax.sound. */
+  def wavBytes(pcm: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = pcm.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(16).putShort(1).putShort(1).putInt(sampleRate)
+    bb.putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(dataLen)
+    var i = 0
+    while (i < pcm.length) { bb.putShort(pcm(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Synthesize a REAL PCM16 WAV whose [[audioFp64]] fingerprint is
+    * EXACTLY `pattern` — the audio twin of planting a known pHash. Each
+    * segment m carries every band b as a sine at bin [[AudioBands]](b)
+    * with energy level E(m,b) built so each fingerprint delta is ±1
+    * level by construction: F(m,b) walks ±1 per target bit
+    * (F(0,·) = 0), E(m,b) = 70 + Σ_{j≥b} F(m,j) ∈ [6,134] > 0, and
+    * amplitude(m,b) = amp·√E(m,b). Distinct integer bins are exactly
+    * orthogonal over the window, so the decoded Goertzel powers are
+    * amp²·L²/4·E(m,b)·(gain)² plus PCM rounding noise orders of
+    * magnitude below one level — every sign decision is unambiguous at
+    * ANY gain or segment length, which is precisely what lets the
+    * driver gate plant gain-shifted AND resampled twins whose
+    * fingerprints collide exactly while their md5 and amplitude
+    * statistics differ. Peak amplitude ≤ 9·amp·√134 must stay under
+    * 2^15 (amp ≤ ~280). */
+  // sin(2π·k_b·t/L) depends only on (L, b, t) — one table per segment
+  // length serves every synthesized clip (the per-doc cost drops to
+  // multiply-adds; the map stays 1–2 entries in practice)
+  private val SinTables =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+  private def sinTable(segLen: Int): Array[Array[Double]] =
+    SinTables.computeIfAbsent(segLen, l =>
+      Array.tabulate(AudioBands.length, l.intValue())((b, t) =>
+        math.sin(2.0 * math.Pi * AudioBands(b) * t / l.intValue())))
+
+  def synthWav(pattern: Long, segLen: Int, amp: Double, sampleRate: Int): Array[Byte] = {
+    val s = AudioSegments
+    val nb = AudioBands.length
+    val f = Array.ofDim[Int](s, nb - 1)
+    var k = 0
+    var m = 1
+    while (m < s) {
+      var b = 0
+      while (b < nb - 1) {
+        val step = if (k < 63 && ((pattern >> k) & 1L) == 1L) 1 else -1
+        f(m)(b) = f(m - 1)(b) + step
+        k += 1
+        b += 1
+      }
+      m += 1
+    }
+    val e = Array.ofDim[Int](s, nb)
+    m = 0
+    while (m < s) {
+      e(m)(nb - 1) = 70
+      var b = nb - 2
+      while (b >= 0) { e(m)(b) = e(m)(b + 1) + f(m)(b); b -= 1 }
+      m += 1
+    }
+    val pcm = new Array[Short](s * segLen)
+    val sines = sinTable(segLen)
+    m = 0
+    while (m < s) {
+      val a = Array.tabulate(nb)(b => amp * math.sqrt(e(m)(b).toDouble))
+      var t = 0
+      while (t < segLen) {
+        var v = 0.0
+        var b = 0
+        while (b < nb) {
+          v += a(b) * sines(b)(t)
+          b += 1
+        }
+        val r = math.rint(v)
+        pcm(m * segLen + t) =
+          math.max(-32768.0, math.min(32767.0, r)).toShort
+        t += 1
+      }
+      m += 1
+    }
+    wavBytes(pcm, sampleRate)
+  }
+
   /** True iff the payload is a RIFF/WAVE container — the audio format the
     * JDK's javax.sound.sampled decodes without external codecs. */
   def looksLikeWav(b: Array[Byte]): Boolean =
@@ -288,13 +462,34 @@ object Multimodal {
           if (s > mx) mx = s
           i += 2
         }
+        // gain-invariant spectral fingerprint over channel 0, computed
+        // IN the decode pass (the bytes are in hand — no second payload
+        // scan downstream, the same discipline as the image pHash);
+        // clips under the analysis floor keep the stub hash
+        val frameSize = fmt.getFrameSize
+        val nFrames = data.length / frameSize
+        val fp =
+          if (nFrames / AudioSegments >= AudioMinSeg) {
+            val ch0 = new Array[Int](nFrames)
+            var j = 0
+            while (j < nFrames) {
+              val o = j * frameSize
+              ch0(j) =
+                if (fmt.isBigEndian) (data(o) << 8) | (data(o + 1) & 0xff)
+                else (data(o + 1) << 8) | (data(o) & 0xff)
+              j += 1
+            }
+            audioFp64(ch0)
+          } else -1L
         val norm = 32768.0
         DecodedMedia(m.media_id, m.kind,
           fmt.getSampleRate.toInt, fmt.getChannels, frames.toInt,
           Array(sumAbs.toDouble / n / norm,
             math.sqrt(sumSq.toDouble / n) / norm,
             mn / norm, mx / norm),
-          "", stubPHash(TextHash.polyHash(new String(m.payload,
+          "",
+          if (fp >= 0L) fp
+          else stubPHash(TextHash.polyHash(new String(m.payload,
             java.nio.charset.StandardCharsets.UTF_8))))
       }
     } catch { case _: Exception => stubDecode(m) }

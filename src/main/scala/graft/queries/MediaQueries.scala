@@ -226,6 +226,124 @@ object MediaQueries {
         .filter(col("hamming") <= 10)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
+    },
+
+    // Audio perceptual near-duplicate detection over the REAL spectral
+    // fingerprint: each document synthesizes a REAL RIFF/WAVE PCM16
+    // payload (orthogonal DFT-bin sines) whose gain-invariant
+    // Haitsma-Kalker-style fingerprint — per-segment Goertzel band
+    // energies, bits from the sign of the time×frequency energy delta,
+    // computed IN the decode pass — encodes the cross-engine hash
+    // pattern EXACTLY (Multimodal.synthWav builds ±1-level energy
+    // staircases whose sign margins sit orders of magnitude above PCM
+    // rounding noise; MultimodalSpec proves the roundtrip bit-for-bit).
+    // Every 50th document plants a twin that is BOTH gain-shifted
+    // (0.55×) and re-encoded (12 kHz / 768-sample segments vs 8 kHz /
+    // 512): its payload md5 differs and every amplitude statistic
+    // scales with the gain — the two keys the old exact-dedup arm used
+    // — but the fingerprint is IDENTICAL, because a gain change scales
+    // every band energy by g² (sign-preserving) and the bands live at
+    // cycles-per-segment, not Hz (resample-invariant). The oracle
+    // recomputes the planted pattern in exact integer space, so the
+    // whole real-decode path (WAV container parse → PCM16 extraction →
+    // Goertzel → sign bits) is VALUE-ORACLED end to end: one flipped
+    // bit anywhere breaks the hash compare. Unlike the image gate,
+    // whose driver path rides the stub hash, this gate exercises the
+    // real spectral kernel on every row.
+    //
+    // Scale: identical shape to q_media_phash_neardup — synth+decode is
+    // one narrow batched pass carrying the fingerprint out with it; the
+    // only exchanges are the (band_no, band) self-join (which the
+    // degenerate-bucket cap's window shares) and the output sort; exact
+    // bit_count verifies every candidate; no pair enumeration anywhere.
+    GQuery(
+      "q_audio_fp_neardup",
+      s"""WITH hdoc AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(text)+1),
+         |                          i -> CAST(unicode(text[i]) AS BIGINT))),
+         |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
+         |  FROM documents WHERE text <> ''),
+         |fp AS (
+         |  SELECT doc_id AS media_id,
+         |         ((h*3 % ${OracleFragments.P}) & 65535)
+         |           | (((h*5 % ${OracleFragments.P}) & 65535) << 16)
+         |           | (((h*7 % ${OracleFragments.P}) & 65535) << 32)
+         |           | (((h*9 % ${OracleFragments.P}) & 32767) << 48) AS phash
+         |  FROM hdoc),
+         |all_media AS (
+         |  SELECT media_id, phash FROM fp
+         |  UNION ALL
+         |  -- the planted twin is gain-shifted AND resampled, which the
+         |  -- gain/rate-invariant fingerprint maps to the SAME value
+         |  SELECT media_id + 1000000000, phash
+         |  FROM fp WHERE media_id % 50 = 0),
+         |bands0 AS (
+         |  SELECT media_id, phash, r.j,
+         |         (phash >> CAST(16 * r.j AS INTEGER)) & 65535 AS band
+         |  FROM all_media CROSS JOIN range(4) r(j)),
+         |bands AS (
+         |  SELECT media_id, phash, j, band
+         |  FROM (SELECT *, count(*) OVER (PARTITION BY j, band) AS bsz
+         |        FROM bands0)
+         |  WHERE bsz <= ${MediaQueries.BandBucketCap}),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         |         a.phash AS pa, b.phash AS pb
+         |  FROM bands a JOIN bands b
+         |    ON a.j = b.j AND a.band = b.band AND a.media_id < b.media_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(pa, pb)) <= 10
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.TextHash
+      import graft.multimodal.Multimodal.MediaRow
+      val docs0 = Tables.load(s, d, "documents")
+        .filter(col("text") =!= "")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val media = docs0.mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val pattern = Multimodal.stubPHash(TextHash.polyHash(text))
+          val base = MediaRow(id, "audio", "audio/wav",
+            Multimodal.synthWav(pattern, 512, 250.0, 8000))
+          if (id % 50 == 0)
+            Iterator(base, MediaRow(id + 1000000000L, "audio", "audio/wav",
+              // gain 0.55× AND 12 kHz / 768-sample re-encode: md5 and
+              // amplitude stats both miss it, the fingerprint does not
+              Multimodal.synthWav(pattern, 768, 137.0, 12000)))
+          else Iterator.single(base)
+        }
+      }
+      // decode ONCE (real WAV parse + Goertzel fingerprint); both band
+      // self-join sides read this cached projection
+      val dec = Multimodal.decode(media).toDF()
+        .select(col("media_id"), col("phash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = dec
+        .select(col("media_id"), col("phash"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("band",
+          expr("shiftright(phash, CAST(16 * j AS INT)) & 65535"))
+        // degenerate-bucket cap IN THE PLAN, sharing the self-join's
+        // own (j, band) exchange — the q_media_phash_neardup discipline
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("j", "band")))
+        .filter(col("bsz") <= MediaQueries.BandBucketCap)
+        .drop("bsz")
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.j") === col("b.j") && col("a.band") === col("b.band") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          col("a.phash").as("pa"), col("b.phash").as("pb"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+        .filter(col("hamming") <= 10)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
     }
   )
 }

@@ -362,4 +362,90 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1).phash == Multimodal.pHash64(img))
     assert(out.forall(_.phash >= 0))
   }
+
+  // ---- gain-invariant audio fingerprint ----------------------------------
+
+  private def fpOf(wav: Array[Byte]): Long = {
+    import spark.implicits._
+    Multimodal.decode(
+      Seq(MediaRow(1L, "audio", "audio/wav", wav)).toDS()).collect().head.phash
+  }
+
+  private def pcm16Of(wav: Array[Byte]): Array[Short] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val data = ais.readAllBytes()
+    Array.tabulate(data.length / 2)(i =>
+      (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff))).toShort)
+  }
+
+  test("audioFp: synth → real WAV decode → Goertzel recovers the pattern EXACTLY") {
+    val rnd = new java.util.Random(7L)
+    (1 to 5).foreach { _ =>
+      val pattern = rnd.nextLong() & ((1L << 63) - 1)
+      assert(fpOf(Multimodal.synthWav(pattern, 512, 250.0, 8000)) == pattern)
+    }
+  }
+
+  test("audioFp: a PCM-domain gain change keeps every bit; md5 and amplitude stats miss it") {
+    import spark.implicits._
+    val pattern = 0x3a5c96e1f04b7d28L & ((1L << 63) - 1)
+    val wav = Multimodal.synthWav(pattern, 512, 250.0, 8000)
+    // apply gain 0.6 to the DECODED samples (a true volume change on the
+    // payload, not a re-synthesis) and re-wrap
+    val quiet = Multimodal.wavBytes(pcm16Of(wav).map(s =>
+      math.rint(s * 0.6).toShort), 8000)
+    val rows = Multimodal.decode(Seq(
+      MediaRow(1L, "audio", "audio/wav", wav),
+      MediaRow(2L, "audio", "audio/wav", quiet)).toDS())
+      .collect().sortBy(_.media_id)
+    assert(rows(0).phash == pattern && rows(1).phash == pattern,
+      s"gain change flipped bits: ${java.lang.Long.toBinaryString(rows(0).phash ^ rows(1).phash)}")
+    assert(rows(0).pmd5 != rows(1).pmd5, "exact md5 must miss a gain change")
+    // every amplitude statistic scales with the gain — the old stat
+    // buckets cannot catch this twin
+    assert(rows(0).features.zip(rows(1).features).forall { case (a, b) =>
+      math.abs(b) < math.abs(a) * 0.75 })
+  }
+
+  test("audioFp: a resampled re-encode (different rate + length) fingerprints identically") {
+    val pattern = 0x15f2c83b9ae06d47L & ((1L << 63) - 1)
+    val a = Multimodal.synthWav(pattern, 512, 250.0, 8000)
+    val b = Multimodal.synthWav(pattern, 768, 137.0, 12000) // new rate, length AND gain
+    assert(fpOf(a) == pattern && fpOf(b) == pattern)
+    // the envelope metadata differs (it IS a different encoding)
+    import spark.implicits._
+    val rows = Multimodal.decode(Seq(
+      MediaRow(1L, "audio", "audio/wav", a),
+      MediaRow(2L, "audio", "audio/wav", b)).toDS()).collect().sortBy(_.media_id)
+    assert(rows(0).width == 8000 && rows(1).width == 12000)
+    assert(rows(0).n_frames != rows(1).n_frames)
+  }
+
+  test("audioFp: small additive noise stays near; different content is far") {
+    val rnd = new java.util.Random(11L)
+    val pattern = rnd.nextLong() & ((1L << 63) - 1)
+    val wav = Multimodal.synthWav(pattern, 512, 250.0, 8000)
+    val noisy = Multimodal.wavBytes(pcm16Of(wav).map(s =>
+      (s + rnd.nextInt(17) - 8).toShort), 8000)
+    assert(java.lang.Long.bitCount(fpOf(noisy) ^ pattern) <= 2,
+      "±8 sample noise must not move the fingerprint")
+    val other = rnd.nextLong() & ((1L << 63) - 1)
+    val far = java.lang.Long.bitCount(
+      fpOf(Multimodal.synthWav(other, 512, 250.0, 8000)) ^ pattern)
+    assert(far == java.lang.Long.bitCount(other ^ pattern) && far >= 16,
+      s"different content must be far apart (got $far)")
+  }
+
+  test("audioFp: clips under the analysis floor keep the stub hash") {
+    import spark.implicits._
+    // 100 frames: 100/9 = 11 < AudioMinSeg → stub
+    val samples = Array.tabulate(100)(i => (300 * i - 15000).toShort)
+    val wav = Multimodal.wavBytes(samples, 8000)
+    val r = Multimodal.decode(
+      Seq(MediaRow(1L, "audio", "audio/wav", wav)).toDS()).collect().head
+    val expected = Multimodal.stubPHash(graft.functions.TextHash.polyHash(
+      new String(wav, java.nio.charset.StandardCharsets.UTF_8)))
+    assert(r.phash == expected)
+  }
 }

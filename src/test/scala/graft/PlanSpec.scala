@@ -480,6 +480,22 @@ class PlanSpec extends AnyFunSuite {
       "the decoded (media_id, phash) projection must be cached, not replanned")
   }
 
+  test("q_audio_fp_neardup: banded join is capped and cached like the image recipe") {
+    val p = plan("q_audio_fp_neardup")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.exists(_.partitionSpec.map(_.references.map(_.name).mkString)
+      .mkString.contains("band")),
+      s"expected the bucket-cap window partitioned on the band key:\n$p")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      "band candidate generation must never plan a cartesian product")
+    // synth + WAV decode + Goertzel run once: the persisted (media_id,
+    // phash) projection feeds both self-join sides
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    assert(collectAll(p) { case s: InMemoryTableScanExec => s }.nonEmpty,
+      "the decoded (media_id, phash) projection must be cached, not replanned")
+  }
+
   test("q_text_keywords: unhinted term join (AQE governs); min-df prune below the build side") {
     val df = SparkEntry.queries("q_text_keywords")(spark, sfDir)
     // the vocabulary join must carry NO user strategy hint: AQE
