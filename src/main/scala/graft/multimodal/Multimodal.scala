@@ -495,6 +495,84 @@ object Multimodal {
     } catch { case _: Exception => stubDecode(m) }
   }
 
+  /** True iff the payload is a GIF container — the one multi-frame
+    * format the JDK's ImageIO decodes frame-by-frame without external
+    * codecs (animated GIF: `getNumImages` > 1). */
+  def looksLikeGif(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 &&
+      b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
+
+  /** Deterministic per-slot stub frame hashes for payloads with no real
+    * multi-frame decode: slot i re-mixes the payload fold before the
+    * [[stubPHash]] slices, so the k sampled frames of one clip spread
+    * like independent hashes (SQL-exact: `(h*31 + i) % P` then the
+    * documented slice arithmetic). */
+  def stubFramePHashes(h: Long, k: Int): Array[Long] =
+    Array.tabulate(k)(i => stubPHash((h * 31 + i) % TextHash.P))
+
+  /** Per-sampled-frame perceptual hashes for multi-frame media: k evenly
+    * spaced frames (the [[frameSample]] arithmetic — slot i reads frame
+    * i·n/k) each hashed with the REAL DCT [[pHash64]] when the payload
+    * is a GIF the JDK can decode frame-by-frame; any other payload (or a
+    * decode failure / dimension-cap hit) takes the per-slot stub, so the
+    * synthetic-corpus gates keep their cross-engine value oracle. The
+    * slot-aligned hash sequence is the video near-dup key: a re-encode
+    * perturbs single frames a few bits, a truncation shifts which frames
+    * the slots sample — both stay near under a per-slot Hamming sum,
+    * while different content is far on every slot. */
+  def framePHashes(m: MediaRow, k: Int): Array[Long] = {
+    if (looksLikeGif(m.payload)) {
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); null }
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            val w = r.getWidth(0).toLong
+            val h = r.getHeight(0).toLong
+            if (n <= 0 || w <= 0 || h <= 0 || w * h > MaxPixels) null
+            else {
+              // evenly spaced sample indices, deduped (short clips
+              // repeat indices; hashing each frame once is enough)
+              val idx = (0 until k).map(i => (i.toLong * n / k).toInt).distinct
+              val hs = idx.map(i => pHash64(r.read(i)))
+              // re-expand to k slots so sequences stay slot-aligned
+              Array.tabulate(k)(i =>
+                hs(idx.indexOf((i.toLong * n / k).toInt)))
+            }
+          } finally { r.dispose(); iis.close() }
+        }
+      } catch { case _: Exception => null }
+    } else null
+  } match {
+    case null =>
+      stubFramePHashes(TextHash.polyHash(new String(m.payload,
+        java.nio.charset.StandardCharsets.UTF_8)), k)
+    case real => real
+  }
+
+  /** Batched per-frame hash extraction: one narrow pass emitting
+    * (media_id, slot, fhash) — k rows per clip, partitioning inherited
+    * from the scan, decode amortized per batch like [[decode]]. */
+  def decodeFrames(media: Dataset[MediaRow], k: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator
+          .filter(m => m.payload != null && m.payload.nonEmpty)
+          .flatMap { m =>
+            framePHashes(m, k).iterator.zipWithIndex.map {
+              case (fh, slot) => (m.media_id, slot, fh)
+            }
+          }
+      }
+    }.toDF("media_id", "slot", "fhash")
+  }
+
   /** True iff the payload is an ISO-BMFF container (MP4/MOV/M4A): a
     * top-level `ftyp` box leads the file. */
   def looksLikeMp4(b: Array[Byte]): Boolean =

@@ -228,6 +228,136 @@ object MediaQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Video near-duplicate detection over SAMPLED-FRAME perceptual
+    // hashes: each clip contributes k=4 evenly-sampled frame hashes
+    // (Multimodal.decodeFrames — the REAL per-frame DCT pHash for
+    // animated GIFs, the slot-mixed deterministic stub for these text
+    // payloads, which keeps the gate value-oracled; the real path is
+    // exercised frame-for-frame in MultimodalSpec on actual animated
+    // GIF bytes incl. a re-encode at another size and a truncated tail).
+    // Candidates come from 16-bit band buckets keyed by (slot, band_no,
+    // band): a pair is a candidate when ANY aligned sampled frame
+    // agrees on any band — per frame the usual pigeonhole guarantee
+    // (frame distance ≤3 must share a band). Verification is EXACT: the
+    // two slot-aligned hash sequences join on slot and the Hamming SUM
+    // over common slots decides (≤10 across ≥2 aligned frames). Planted
+    // twins: every 50th clip gets a "re-encode" twin (one bit of slot
+    // 0's hash flipped — codec noise on one frame), every 75th a
+    // "truncated" twin carrying only the first 3 of 4 slots (a cut-off
+    // tail: the surviving sampled slots coincide); both must surface,
+    // plus the re-encode×truncated pair where both exist (every 150th).
+    //
+    // Scale: no pair enumeration — candidate generation is an equi-join
+    // on (slot, band_no, band) with the degenerate-bucket cap sharing
+    // that same exchange; verify joins hash SEQUENCES (k rows per clip,
+    // metadata-sized) for candidate pairs only. Frame count per clip is
+    // bounded by k regardless of clip length — 100 TB of video stays
+    // k×8 bytes of hash state per clip.
+    GQuery(
+      "q_video_phash_neardup",
+      s"""WITH hdoc AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(text)+1),
+         |                          i -> CAST(unicode(text[i]) AS BIGINT))),
+         |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
+         |  FROM documents WHERE text <> ''),
+         |fr AS (
+         |  SELECT media_id, slot,
+         |         ((hh*3 % ${OracleFragments.P}) & 65535)
+         |           | (((hh*5 % ${OracleFragments.P}) & 65535) << 16)
+         |           | (((hh*7 % ${OracleFragments.P}) & 65535) << 32)
+         |           | (((hh*9 % ${OracleFragments.P}) & 32767) << 48) AS fhash
+         |  FROM (SELECT doc_id AS media_id, CAST(r.i AS INTEGER) AS slot,
+         |               (h*31 + r.i) % ${OracleFragments.P} AS hh
+         |        FROM hdoc CROSS JOIN range(4) r(i)) t),
+         |all_f AS (
+         |  SELECT media_id, slot, fhash FROM fr
+         |  UNION ALL
+         |  SELECT media_id + 1000000000, slot,
+         |         CASE WHEN slot = 0
+         |           THEN xor(fhash, CAST(1 AS BIGINT)
+         |                             << CAST(fhash % 63 AS INTEGER))
+         |           ELSE fhash END
+         |  FROM fr WHERE media_id % 50 = 0
+         |  UNION ALL
+         |  SELECT media_id + 2000000000, slot, fhash
+         |  FROM fr WHERE media_id % 75 = 0 AND slot < 3),
+         |bands0 AS (
+         |  SELECT media_id, slot, fhash, r.j,
+         |         (fhash >> CAST(16 * r.j AS INTEGER)) & 65535 AS band
+         |  FROM all_f CROSS JOIN range(4) r(j)),
+         |bands AS (
+         |  SELECT media_id, slot, j, band
+         |  FROM (SELECT *, count(*) OVER (PARTITION BY slot, j, band) AS bsz
+         |        FROM bands0)
+         |  WHERE bsz <= ${MediaQueries.BandBucketCap}),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.slot = b.slot AND a.j = b.j AND a.band = b.band
+         |       AND a.media_id < b.media_id),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b,
+         |         CAST(count(*) AS BIGINT) AS n_common,
+         |         CAST(sum(bit_count(xor(fa.fhash, fb.fhash))) AS BIGINT)
+         |           AS ham_sum
+         |  FROM cand c
+         |  JOIN all_f fa ON fa.media_id = c.id_a
+         |  JOIN all_f fb ON fb.media_id = c.id_b AND fb.slot = fa.slot
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common, ham_sum
+         |FROM pairs WHERE ham_sum <= 10 AND n_common >= 2
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val media = Multimodal.fromDocuments(
+        Tables.load(s, d, "documents"), kind = "video")
+      // one narrow frame-hash pass; every later branch (twin planting,
+      // both band-join sides, both verify sides) reads this cached
+      // k-rows-per-clip projection — at corpus scale the frame decode
+      // dominates and must never replan
+      val frames = Multimodal.decodeFrames(media, 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val twinsRe = frames.filter(col("media_id") % 50 === 0)
+        .select((col("media_id") + 1000000000L).as("media_id"), col("slot"),
+          when(col("slot") === 0,
+            expr("fhash ^ shiftleft(CAST(1 AS BIGINT), CAST(fhash % 63 AS INT))"))
+            .otherwise(col("fhash")).as("fhash"))
+      val twinsTr = frames.filter(col("media_id") % 75 === 0 && col("slot") < 3)
+        .select((col("media_id") + 2000000000L).as("media_id"),
+          col("slot"), col("fhash"))
+      val all = frames.unionAll(twinsRe).unionAll(twinsTr)
+      val bands = all
+        .select(col("media_id"), col("slot"), col("fhash"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("band",
+          expr("shiftright(fhash, CAST(16 * j AS INT)) & 65535"))
+        // degenerate-bucket cap on the self-join's own key — the
+        // window's exchange IS the join's exchange
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("slot", "j", "band")))
+        .filter(col("bsz") <= MediaQueries.BandBucketCap)
+        .drop("bsz", "fhash")
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.slot") === col("b.slot") && col("a.j") === col("b.j") &&
+            col("a.band") === col("b.band") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+        .distinct()
+      val fa = all.select(col("media_id").as("id_a"), col("slot"),
+        col("fhash").as("fa"))
+      val fb = all.select(col("media_id").as("id_b"), col("slot"),
+        col("fhash").as("fb"))
+      cand.join(fa, Seq("id_a")).join(fb, Seq("id_b", "slot"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_common"),
+          sum(bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+            .as("ham_sum"))
+        .filter(col("ham_sum") <= 10 && col("n_common") >= 2)
+        .select("id_a", "id_b", "n_common", "ham_sum")
+        .orderBy("id_a", "id_b")
+    },
+
     // Audio perceptual near-duplicate detection over the REAL spectral
     // fingerprint: each document synthesizes a REAL RIFF/WAVE PCM16
     // payload (orthogonal DFT-bin sines) whose gain-invariant

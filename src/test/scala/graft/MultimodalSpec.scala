@@ -437,6 +437,78 @@ class MultimodalSpec extends AnyFunSuite {
       s"different content must be far apart (got $far)")
   }
 
+  // ---- sampled-frame video hashes ----------------------------------------
+
+  private def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    frames.foreach(f =>
+      w.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    w.endWriteSequence(); w.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  // a slowly-varying scene: gradient morphing into a checkerboard
+  private def blendFrame(side: Int, t: Double): java.awt.image.BufferedImage =
+    patternImage(side, (x, y) => gray((
+      (1 - t) * ((x * 255 / side + y * 200 / side) % 230) +
+        t * (if (((x / 8) + (y / 8)) % 2 == 0) 30 else 220)).toInt))
+
+  test("framePHashes: animated GIF gets REAL per-frame hashes; a resize re-encode stays near") {
+    val n = 8
+    def gif(side: Int) = animatedGif((0 until n).map(f =>
+      blendFrame(side, f.toDouble / (n - 1))))
+    val a = Multimodal.framePHashes(
+      MediaRow(1L, "video", "image/gif", gif(64)), 4)
+    val b = Multimodal.framePHashes(
+      MediaRow(2L, "video", "image/gif", gif(96)), 4)
+    assert(a.length == 4 && b.length == 4)
+    assert(a.distinct.length >= 3, "frames vary, so slot hashes must vary")
+    val perSlot = a.zip(b).map { case (x, y) => hamming(x, y) }
+    assert(perSlot.forall(_ <= 10),
+      s"resize re-encode drifted per-slot: ${perSlot.mkString(",")}")
+    // different content (the morph played backwards) is far in the sum
+    val rev = Multimodal.framePHashes(
+      MediaRow(3L, "video", "image/gif",
+        animatedGif((0 until n).map(f =>
+          blendFrame(64, 1.0 - f.toDouble / (n - 1))))), 4)
+    val farSum = a.zip(rev).map { case (x, y) => hamming(x, y) }.sum
+    assert(farSum >= 30, s"reversed clip only $farSum bits from the original")
+  }
+
+  test("framePHashes: a truncated tail realigns onto nearby frames of a slow scene") {
+    val side = 64
+    val full = (0 until 12).map(f => blendFrame(side, f.toDouble / 11))
+    val a = Multimodal.framePHashes(
+      MediaRow(1L, "video", "image/gif", animatedGif(full)), 4)
+    val tr = Multimodal.framePHashes(
+      MediaRow(2L, "video", "image/gif", animatedGif(full.take(9))), 4)
+    val perSlot = a.zip(tr).map { case (x, y) => hamming(x, y) }
+    info(s"truncation per-slot hamming: ${perSlot.mkString(",")}")
+    assert(perSlot.sum <= 24,
+      s"truncated twin drifted ${perSlot.sum} bits: ${perSlot.mkString(",")}")
+  }
+
+  test("decodeFrames: k slot-aligned rows per clip; stub equals the documented arithmetic") {
+    import spark.implicits._
+    val text = "video payload text"
+    val rows = Multimodal.decodeFrames(Seq(
+      MediaRow(5L, "video", "video/mp4", text.getBytes("UTF-8"))).toDS(), 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._2)
+    val h = graft.functions.TextHash.polyHash(text)
+    val expected = Multimodal.stubFramePHashes(h, 4)
+    assert(rows.length == 4)
+    rows.foreach { case (id, slot, fh) =>
+      assert(id == 5L && fh == expected(slot) && fh >= 0)
+    }
+    // slot hashes of one clip spread (independent re-mixes, so band-LSH
+    // over the stub path doesn't collapse)
+    assert(expected.distinct.length == 4)
+  }
+
   test("audioFp: clips under the analysis floor keep the stub hash") {
     import spark.implicits._
     // 100 frames: 100/9 = 11 < AudioMinSeg → stub

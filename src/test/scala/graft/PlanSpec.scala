@@ -496,6 +496,21 @@ class PlanSpec extends AnyFunSuite {
       "the decoded (media_id, phash) projection must be cached, not replanned")
   }
 
+  test("q_video_phash_neardup: slot-keyed banded join, capped, cached, no cartesian") {
+    val p = plan("q_video_phash_neardup")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.exists { w =>
+      val keys = w.partitionSpec.map(_.references.map(_.name).mkString).mkString
+      keys.contains("band") && keys.contains("slot")
+    }, s"expected the bucket-cap window partitioned on (slot, j, band):\n$p")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      "band candidate generation must never plan a cartesian product")
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    assert(collectAll(p) { case s: InMemoryTableScanExec => s }.nonEmpty,
+      "the per-slot frame-hash projection must be cached, not replanned")
+  }
+
   test("q_text_keywords: unhinted term join (AQE governs); min-df prune below the build side") {
     val df = SparkEntry.queries("q_text_keywords")(spark, sfDir)
     // the vocabulary join must carry NO user strategy hint: AQE
