@@ -658,24 +658,31 @@ object Curation {
         .orderBy("lang")
     },
 
-    // End-to-end privacy/curation pipeline as ONE Spark plan: redact →
-    // repetition filter (on the redacted text) → decontamination against
-    // the eval slice (shingles of the redacted text) → per-language
-    // accounting of the surviving corpus. Composes the three operators
-    // above with all keep decisions in integer space.
+    // End-to-end privacy/curation pipeline as ONE Spark plan: encoding
+    // hygiene (stage 0 — the corpus is suffixed with non-ASCII and the
+    // even half MANGLED in-query, the q_text_fix_encoding fixture;
+    // fix_text repairs + NFC-normalizes before any signal runs, and the
+    // oracle reads only the CLEAN suffixed corpus, so a skipped repair
+    // breaks the hash compare) → redact → repetition filter (on the
+    // redacted text) → decontamination against the eval slice (shingles
+    // of the redacted text) → per-language accounting of the surviving
+    // corpus. Composes the operators above with all keep decisions in
+    // integer space.
     //
-    // Scale: the redacted projection is persisted so the regex scrub runs
-    // once for both consumers (feature pass + shingle pass); the only
-    // shuffles are the per-doc shared-shingle count and the final rollup.
+    // Scale: hygiene is one more codegen'd projection fused into the
+    // same persisted redaction pass — zero added shuffles; the only
+    // shuffles remain the per-doc shared-shingle count and the rollup.
     GQuery(
       "q_pipeline_privacy",
       s"""WITH
          |red AS (
          |  SELECT doc_id, lang,
-         |         lower(regexp_replace(regexp_replace(regexp_replace(lower(text),
+         |         lower(regexp_replace(regexp_replace(regexp_replace(
+         |           lower(nfc_normalize(text || ' café résumé')),
          |           '$EmailRe', '$Mask', 'g'), '$Ipv4Re', '$Mask', 'g'),
          |           '$BlockRe', '$Mask', 'g')) AS t,
-         |         CAST(len(regexp_extract_all(lower(text), '$BlockRe')) AS BIGINT) AS n_blocked
+         |         CAST(len(regexp_extract_all(lower(nfc_normalize(text || ' café résumé')), '$BlockRe'))
+         |           AS BIGINT) AS n_blocked
          |  FROM documents),
          |tokr AS (
          |  SELECT doc_id, lang, n_blocked,
@@ -719,7 +726,13 @@ object Curation {
          |       CAST(sum(nt) AS BIGINT) AS total_tokens
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       HashFunctions.ensure(s)
-      val (_, _, nb, scrubbed) = redact(col("text"))
+      // stage 0 — encoding hygiene ahead of the scrub (see header)
+      val suffixed = concat(col("text"), lit(" café résumé"))
+      val mangledIn = decode(encode(suffixed, "UTF-8"), "ISO-8859-1")
+      val fixedText = HashFunctions.fix_text(
+        when(col("doc_id") % 2 === 0, mangledIn).otherwise(suffixed))
+        .getField("fixed")
+      val (_, _, nb, scrubbed) = redact(fixedText)
       val red = docs(s, d)
         .select(col("doc_id"), col("lang"), scrubbed.as("t"),
           nb.as("n_blocked"))

@@ -23,13 +23,18 @@ object OracleFragments {
   val P = "1000000007"
   private val K = graft.functions.TextHash.SigK
 
-  /** tokenize: lower, split on \s+, drop empties (TextHash.tokenize). */
-  private[queries] val tok =
-    """tok AS (
-      |  SELECT doc_id,
-      |         list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-      |  FROM documents
-      |)""".stripMargin
+  /** tokenize: lower, split on \s+, drop empties (TextHash.tokenize) —
+    * over an arbitrary text expression, so pipeline gates can tokenize
+    * hygiene-stage output (e.g. the NFC-suffixed corpus) instead of the
+    * raw column. */
+  private[queries] def tokOf(textExpr: String): String =
+    s"""tok AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower($textExpr), '\\s+'), t -> t <> '') AS toks
+       |  FROM documents
+       |)""".stripMargin
+
+  private[queries] val tok = tokOf("text")
 
   /** 3-word shingles joined by ' '; whole token list when < 3 tokens
     * (TextHash.shingles, n = 3). */
@@ -110,9 +115,9 @@ object OracleFragments {
   private[queries] def minhashPerDoc: String =
     Seq(tok, shingle3, shingleHashes, minhashSig).mkString(",\n")
 
-  private def lshCtes(cap: Int): String =
-    Seq(tok, shingle3, shingleHashes, minhashSig, bands(cap), lshPairsBody)
-      .mkString(",\n")
+  private def lshCtes(cap: Int, textExpr: String = "text"): String =
+    Seq(tokOf(textExpr), shingle3, shingleHashes, minhashSig, bands(cap),
+      lshPairsBody).mkString(",\n")
 
   def minhashLshPairs(cap: Int): String =
     s"""WITH
@@ -126,8 +131,8 @@ object OracleFragments {
     * Spark side uses iterated hash-to-min label propagation. Callers must
     * open with WITH RECURSIVE. Shared by the cluster gate and the
     * curation pipeline. */
-  def minhashClusterCtes(cap: Int): String =
-    s"""${lshCtes(cap)},
+  def minhashClusterCtes(cap: Int, textExpr: String = "text"): String =
+    s"""${lshCtes(cap, textExpr)},
        |pairs AS (SELECT doc_a, doc_b FROM est WHERE est_j >= 0.5),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),

@@ -7,6 +7,15 @@ import graft.core.{GQuery, Tables}
 /** End-to-end corpus curation — the composition a training-data run
   * executes as ONE Spark plan over the `documents` table:
   *
+  *   0. encoding hygiene (stage-0 of every real crawl pipeline): the
+  *      fixture APPENDS a non-ASCII suffix and MANGLES the even half of
+  *      the corpus in-query (UTF-8 bytes re-read as Latin-1 — the
+  *      q_text_fix_encoding shape), then `fix_text` repairs + NFC
+  *      normalizes BEFORE any text signal runs. The oracle tokenizes
+  *      the CLEAN suffixed corpus — so the gate only matches if the
+  *      repair recovered every mangled row exactly: skip the hygiene
+  *      stage and the mojibake half tokenizes differently, shifting
+  *      quality features AND dedup shingles,
   *   1. near-duplicate cluster resolution (MinHash-LSH candidates →
   *      connected components; exact duplicates have identical signatures,
   *      so they collapse into the same cluster),
@@ -39,7 +48,8 @@ object Pipeline {
     GQuery(
       "q_pipeline_curate",
       s"""WITH RECURSIVE
-         |${OracleFragments.minhashClusterCtes(Dedup.CAP)},
+         |${OracleFragments.minhashClusterCtes(Dedup.CAP,
+            "nfc_normalize(text || ' café résumé')")},
          |reps AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
          |st AS (
          |  SELECT d.doc_id, d.lang,
@@ -55,9 +65,21 @@ object Pipeline {
          |SELECT lang, count(*) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-      val docs = Tables.load(s, d, "documents")
+      // stage 0 — encoding hygiene: suffix with non-ASCII, mangle the
+      // even half (the q_text_fix_encoding fixture), repair + NFC with
+      // the native fix_text expression; EVERYTHING downstream (dedup
+      // shingles, quality features) reads the repaired column. The
+      // oracle sees only the clean suffixed corpus — a skipped or
+      // broken repair changes tokenization on the mangled half and
+      // fails the hash compare.
+      val suffixed = concat(col("text"), lit(" café résumé"))
+      val mangled = decode(encode(suffixed, "UTF-8"), "ISO-8859-1")
+      val fixed = graft.functions.HashFunctions.fix_text(
+        when(col("doc_id") % 2 === 0, mangled).otherwise(suffixed))
+        .getField("fixed")
+      val docs = Tables.load(s, d, "documents").withColumn("text", fixed)
       // cluster representatives: min doc_id of each near-dup family
-      val reps = Dedup.connectedComponents(docs, Dedup.lshPairs(s, d))
+      val reps = Dedup.connectedComponents(docs, Dedup.lshPairsFor(s, docs))
         .filter(col("doc_id") === col("cluster_id"))
         .select("doc_id")
       val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")

@@ -480,6 +480,16 @@ class PlanSpec extends AnyFunSuite {
       "the decoded (media_id, phash) projection must be cached, not replanned")
   }
 
+  test("pipeline gates run the fix_text hygiene stage IN the plan") {
+    // stage-0 encoding hygiene must be part of the one composed plan,
+    // not a separate pass: the native fix_text expression shows up in
+    // the projection feeding every downstream text signal
+    for (name <- Seq("q_pipeline_curate", "q_pipeline_privacy")) {
+      assert(formatted(name).contains("fix_text"),
+        s"$name must thread fix_text ahead of its text stages")
+    }
+  }
+
   test("q_audio_fp_neardup: banded join is capped and cached like the image recipe") {
     val p = plan("q_audio_fp_neardup")
     import org.apache.spark.sql.execution.window.WindowExec
