@@ -132,8 +132,12 @@ object Clustering {
     * engines perform on identical doubles). The metadata a trained IVF
     * index is built from. */
   private[queries] def trainedCentroidVectors(
-      s: SparkSession, d: String, k: Int, rounds: Int): Seq[(Long, Seq[Double])] = {
-    val e = fixedPoint(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      s: SparkSession, d: String, k: Int, rounds: Int,
+      pred: Column = lit(true)): Seq[(Long, Seq[Double])] = {
+    // `pred` restricts the TRAINING corpus (the incremental-maintenance
+    // gate trains its stale index on the pre-batch slice only); seeds
+    // stay "the k lowest vec_ids" of whatever survives the predicate
+    val e = fixedPoint(s, d).filter(pred).persist(StorageLevel.MEMORY_AND_DISK)
     val cents = train(e, k, rounds)
     e.unpersist(blocking = false)
     cents.sortBy(_._1).map { case (cl, m) => (cl, m.map(_ / Scale).toSeq) }.toSeq
@@ -429,6 +433,81 @@ object Clustering {
         .select(col("query_id"), col("rnk").cast("long").as("rnk"),
           col("cand_id"), round(col("sim"), 4).as("sim"))
         .orderBy("query_id", "rnk")
+    },
+
+    // INCREMENTAL IVF index maintenance: real pipelines do not retrain
+    // the coarse quantizer per ingest batch — new vectors are ASSIGNED
+    // to the already-trained cells (a broadcast-centroid projection, the
+    // corpus never reshuffles) and a drift metric decides when a retrain
+    // is due. The gate stages exactly that: the STALE index trains on
+    // the pre-batch corpus (vec_id % 10 <> 9 — 90%), the new batch
+    // (every 10th vector) is folded in by assignment only, and retrieval
+    // over the incremental index is compared against a FULL RETRAIN
+    // (k-means over everything, the q_ann_ivf_trained index) via
+    // recall@5 per query — the q_ann_ivf_recall recipe with the
+    // retrained index as the reference. Everything is deterministic
+    // (fixed-point Lloyd round, argmax tie-breaks, identical folds), so
+    // the drift metric is value-exact, not a tolerance.
+    //
+    // Scale: both trainings are the established two-pass fixed-point
+    // k-means (centroids are driver metadata); BOTH retrievals are
+    // broadcast-literal cell assignments + probe joins — adding the new
+    // batch costs one narrow projection over it, no index rebuild, no
+    // extra exchange. The drift metric reads 2×(3 queries × 5 rows).
+    GQuery(
+      "q_ann_ivf_incremental",
+      s"""WITH
+         |ex AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           v -> CAST(floor(CAST(v AS DOUBLE) * $Scale) AS BIGINT)) AS x
+         |  FROM embeddings),
+         |exo AS (SELECT * FROM ex WHERE vec_id % 10 <> 9),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+         |         list_transform(x, v -> CAST(v AS DOUBLE)) AS m
+         |  FROM (SELECT * FROM exo ORDER BY vec_id LIMIT 16)),
+         |${roundSql(1, "c0", "exo")},
+         |c0r AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+         |         list_transform(x, v -> CAST(v AS DOUBLE)) AS m
+         |  FROM (SELECT * FROM ex ORDER BY vec_id LIMIT 16)),
+         |${roundSql(2, "c0r", "ex")},
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (
+         |  SELECT cl AS cid, list_transform(m, v -> v / $Scale) AS cv FROM c1),
+         |${Similarity.ivfRetrievalCtes()},
+         |cent_r AS (
+         |  SELECT cl AS cid, list_transform(m, v -> v / $Scale) AS cv FROM c2),
+         |${Similarity.ivfRetrievalCtes(sfx = "_r", centCte = "cent_r")},
+         |iv AS (SELECT query_id, cand_id FROM ranked WHERE rnk <= 5),
+         |bf AS (SELECT query_id, cand_id FROM ranked_r WHERE rnk <= 5)
+         |SELECT b.query_id,
+         |       CAST(count(i.cand_id) AS BIGINT) AS n_hit,
+         |       count(i.cand_id) / 5.0 AS recall_vs_retrain
+         |FROM bf b LEFT JOIN iv i USING (query_id, cand_id)
+         |GROUP BY b.query_id ORDER BY query_id""".stripMargin) { (s, d) =>
+      // stale index: trained before the batch arrived
+      val stale = trainedCentroidVectors(s, d, k = 16, rounds = 1,
+        pred = col("vec_id") % 10 =!= 9)
+      // full retrain: the reference the drift metric compares against
+      val retrained = trainedCentroidVectors(s, d, k = 16, rounds = 1)
+      // incremental index = stale centroids + assignment over the FULL
+      // corpus (old + new batch): ivfRankedWith's cell assignment IS the
+      // broadcast-centroid projection, so folding the batch in costs one
+      // narrow pass and zero retraining
+      val inc = Similarity.ivfRankedWith(s, d, stale)
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("cand_id")).withColumn("hit", lit(1L))
+      val ref = Similarity.ivfRankedWith(s, d, retrained)
+        .filter(col("rnk") <= 5)
+        .select("query_id", "cand_id")
+      ref.join(broadcast(inc), Seq("query_id", "cand_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hit"))
+        .select(col("query_id"), col("n_hit"),
+          (col("n_hit") / lit(5.0)).as("recall_vs_retrain"))
+        .orderBy("query_id")
     },
 
     // SemDeDup-shaped semantic dedup primitive: partition the corpus into

@@ -137,33 +137,38 @@ object Similarity {
 
   /** IVF retrieval CTEs `asn/probes/scored/ranked` given preceding CTEs
     * `e(vec_id, v)` and `cent(cid, cv)` — shared by the seed-centroid
-    * gates here and the k-means-trained gate (`Clustering.scala`). */
-  private[queries] def ivfRetrievalCtes(nProbe: Int = NProbe): String =
-    s"""asn AS (
+    * gates here and the k-means-trained gates (`Clustering.scala`).
+    * `sfx` suffixes every emitted CTE name and `centCte` picks the
+    * centroid table, so one statement can rank against TWO indexes
+    * (the incremental-maintenance gate compares a stale index with a
+    * full retrain). */
+  private[queries] def ivfRetrievalCtes(
+      nProbe: Int = NProbe, sfx: String = "", centCte: String = "cent"): String =
+    s"""asn$sfx AS (
        |  SELECT vec_id AS cand_id, v AS cv2, cid AS cell FROM (
        |    SELECT e.vec_id, e.v, c.cid,
        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |             list_dot_product(e.v, c.cv) /
        |               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
        |             c.cid) AS rn
-       |    FROM e CROSS JOIN cent c) x WHERE rn = 1),
-       |probes AS (
+       |    FROM e CROSS JOIN $centCte c) x WHERE rn = 1),
+       |probes$sfx AS (
        |  SELECT query_id, qv, cell FROM (
        |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid AS cell,
        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
        |             list_dot_product(q.v, c.cv) /
        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
        |             c.cid) AS rn
-       |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 3) y WHERE rn <= $nProbe),
-       |scored AS (
+       |    FROM e q CROSS JOIN $centCte c WHERE q.vec_id < 3) y WHERE rn <= $nProbe),
+       |scored$sfx AS (
        |  SELECT p.query_id, a.cand_id,
        |         list_dot_product(p.qv, a.cv2) /
        |           (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.cv2, a.cv2))) AS sim
-       |  FROM probes p JOIN asn a ON a.cell = p.cell AND a.cand_id <> p.query_id),
-       |ranked AS (
+       |  FROM probes$sfx p JOIN asn$sfx a ON a.cell = p.cell AND a.cand_id <> p.query_id),
+       |ranked$sfx AS (
        |  SELECT query_id, cand_id, sim,
        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
-       |  FROM scored)""".stripMargin
+       |  FROM scored$sfx)""".stripMargin
 
   /** Seed-centroid oracle CTE chain (lowest vec_ids as centroids). */
   private val ivfOracleCtes =
