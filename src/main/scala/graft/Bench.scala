@@ -64,6 +64,12 @@ import org.apache.spark.sql.SparkSession
   *   - `spread_pct` keeps the documented one-outlier trim for sub-second
   *     queries; `spread_untrimmed_pct` carries the untrimmed value for
   *     every query so cross-round artifacts compare like-for-like.
+  *
+  * Round-14 arm: the artifact carries a `regressions` map (query →
+  * ratio for every common-set query past 1.25× with a ≥0.15 s absolute
+  * delta) computed against the previous round's BENCH_FULL.json (or
+  * `SPARK_GRAFT_BENCH_PREV`), plus `prev_total` — the cross-round diff
+  * consumers previously recomputed by hand.
   */
 object Bench {
   /** Classpath for forked child JVMs (iso arm, cluster smoke): this
@@ -571,10 +577,39 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FORCE", "0") != "1"
     val warnJson = warnings.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    // ---- per-round regression diff --------------------------------------
+    // Emit the cross-round ratios directly instead of leaving every
+    // consumer to recompute the common set by hand: the PREVIOUS round's
+    // artifact (default: the committed BENCH_FULL.json this run is about
+    // to replace — read HERE, before the write below; override the path
+    // via SPARK_GRAFT_BENCH_PREV) contributes its per-query medians, and
+    // every query present in both runs whose ratio exceeds 1.25 WITH an
+    // absolute delta over 0.15 s (the sub-second-jitter floor — a 0.10 s
+    // query drifting to 0.14 s is scheduler noise, not a regression)
+    // lands in `regressions` (query → ratio, 2 dp). `prev_total` carries
+    // the prior suite total for context; both are null with no readable
+    // previous artifact.
+    val prevPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_PREV", "/root/repo/BENCH_FULL.json")
+    val (regressJson, prevTotalJson) =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(prevPath))
+        val pq = node.get("queries")
+        val regs = results.collect {
+          case (k, v) if v > 0 && pq != null && pq.has(k) &&
+            pq.get(k).asDouble(-1.0) > 0 &&
+            v / pq.get(k).asDouble > 1.25 &&
+            v - pq.get(k).asDouble > 0.15 =>
+            jstr(k) + ":" + (math.round(v / pq.get(k).asDouble * 100) / 100.0)
+        }
+        (regs.mkString("{", ",", "}"),
+          Option(node.get("value")).map(_.asDouble.toString).getOrElse("null"))
+      } catch { case _: Exception => ("null", "null") }
     val loadavgEnd =
       ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"fast_reps":$fastReps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"spread_untrimmed_pct":$spreadUntrimmedJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"warnings":$warnJson,"loadavg_start":$loadavgStart,"loadavg_end":$loadavgEnd,"sf":"$sfDir","isolated":$isoJson,"isolated_over_suite_ratio":$isoRatio,"iso_threshold_sec":$isoThreshold,"spread_ceiling_pct":$spreadCeiling,"spread_floor_sec":$spreadFloorSec,"spread_violation_allowance":$violationAllowance,"spread_violations":$violJson,"rejected_for_load":$rejected,"sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"fast_reps":$fastReps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"spread_untrimmed_pct":$spreadUntrimmedJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"warnings":$warnJson,"loadavg_start":$loadavgStart,"loadavg_end":$loadavgEnd,"sf":"$sfDir","isolated":$isoJson,"isolated_over_suite_ratio":$isoRatio,"iso_threshold_sec":$isoThreshold,"spread_ceiling_pct":$spreadCeiling,"spread_floor_sec":$spreadFloorSec,"spread_violation_allowance":$violationAllowance,"spread_violations":$violJson,"rejected_for_load":$rejected,"prev_total":$prevTotalJson,"regressions":$regressJson,"sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
     println(line)
     // truncation-proof copy: the stdout line is captured by a consumer that
     // has historically kept only a prefix; the file keeps every number.

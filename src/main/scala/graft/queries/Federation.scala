@@ -281,22 +281,35 @@ object Federation {
     // compiles the ENTIRE WHERE tree into a FilterStatement and ships
     // its text to the ad-hoc segment-scan API — generator.go:96-111 +
     // resultreader.go PageAdHocSegment — not just param equalities):
-    // the IN list, the OR tree, the range and the anchored LIKE all
-    // render into ONE `filterql` statement the server parses, type-
-    // checks against the listing schema and applies with proper 3VL.
-    // Residual is EMPTY — nothing left for Spark to polyfill (asserted
-    // in HttpRestSpec), so only matching rows cross the wire.
+    // the IN list, the OR tree, the range, the anchored LIKE AND the
+    // EXISTS/NOT pair over the null-bearing opt_tag column all render
+    // into ONE `filterql` statement the server parses, type-checks
+    // against the listing schema and applies with proper 3VL — on the
+    // NULL rows `NOT (opt_tag = ...)` stays UNKNOWN and the server must
+    // DROP them; a two-valued evaluator would return them and fail the
+    // oracle. (Catalyst also infers IsNotNull from the null-intolerant
+    // NOT-equality, so the shipped statement carries the EXISTS form
+    // too — see PLANS.md.) Residual is EMPTY — nothing left for Spark
+    // to polyfill (asserted in HttpRestSpec), so only matching rows
+    // cross the wire.
     GQuery(
       "q_src_rest_filterql",
-      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+      """WITH seg AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, c_nationkey, c_acctbal,
+        |         CASE WHEN c_custkey % 3 = 0 THEN NULL
+        |              ELSE 'tag-' || CAST(c_custkey % 7 AS VARCHAR) END AS opt_tag
+        |  FROM customer)
+        |SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM seg
         |WHERE (c_mktsegment IN ('BUILDING', 'MACHINERY') OR c_acctbal > 9500.0)
         |  AND c_nationkey >= 10 AND c_name LIKE '%7'
+        |  AND NOT (opt_tag = 'tag-3')
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
       fed(s, d)
       s.table(s"$C.${FedData.RestSourceName}.segments_api")
         .filter((col("c_mktsegment").isin("BUILDING", "MACHINERY") ||
           col("c_acctbal") > 9500.0) &&
-          col("c_nationkey") >= 10 && col("c_name").endsWith("7"))
+          col("c_nationkey") >= 10 && col("c_name").endsWith("7") &&
+          !(col("opt_tag") === "tag-3"))
         .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
         .orderBy("c_custkey")
     },

@@ -165,7 +165,15 @@ object FedData {
       // dialect can't carry polyfills.
       if (RestEndpoints.get(RestSourceName, "segments_api").isEmpty) {
         val cust = Tables.load(spark, sfDir, "customer")
-          .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            col("c_nationkey"), col("c_acctbal"),
+            // null-bearing column: every 3rd row carries NULL so the
+            // dialect's EXISTS / NOT forms get driver-gated with proper
+            // 3VL ON THE WIRE (NOT(opt_tag = x) must stay UNKNOWN on
+            // the null rows — a two-valued server would return them)
+            when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("tag-"),
+                (col("c_custkey") % 7).cast("string"))).as("opt_tag"))
         val rows = cust.collect().map(_.toSeq.toArray)
         LoopbackRestServer.registerRestApi("segments_api", cust.schema,
           Set.empty, rows.toSeq, filterQl = true)

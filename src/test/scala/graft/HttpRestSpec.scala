@@ -173,6 +173,41 @@ class HttpRestSpec extends AnyFunSuite {
       s"residual filter survived full pushdown:\n${df.queryExecution.executedPlan}")
   }
 
+  test("filterql: EXISTS + NOT ship through the DSv2 path with 3VL; residual empty") {
+    val client = freshClient()
+    val nschema = StructType(Seq(
+      StructField("id", LongType), StructField("tag", StringType)))
+    val nrows: Seq[Array[Any]] = (1L to 30L).map { i =>
+      Array[Any](i, if (i % 3 == 0) null else s"tag-${i % 7}")
+    }
+    LoopbackRestServer.registerRestApi("seg_opt", nschema, Set.empty,
+      nrows, filterQl = true)
+    RestEndpoints.registerHttp("api_live", "seg_opt", Set.empty,
+      client, "/t/seg_opt", Some(nschema), filterQl = true)
+    if (SourceRegistry.get("api_live").isEmpty)
+      SourceRegistry.register(SourceDef("api_live",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/api_live").getPath,
+        "json", "rest"))
+    SourceRegistry.ensureCatalog(spark)
+    val df = spark.table(s"${SourceRegistry.CatalogName}.api_live.seg_opt")
+      .filter(!(col("tag") === "tag-3") && col("id") <= 25)
+    val got = df.collect().map(_.getLong(0)).sorted.toSeq
+    // SQL 3VL on the wire: NULL-tag rows stay UNKNOWN under the NOT and
+    // are dropped by the SERVER; a two-valued evaluator would keep them
+    val expect = (1L to 25L).filter(i => i % 3 != 0 && i % 7 != 3)
+    assert(got == expect, s"3VL drift: got ${got.mkString(",")}")
+    val stmt = LoopbackRestServer.lastParams.get().getOrElse("filterql", "")
+    // Catalyst infers IsNotNull from the null-intolerant NOT-equality,
+    // so the statement carries BOTH dialect forms
+    assert(stmt.contains("EXISTS tag") && stmt.contains("NOT ("),
+      s"statement must carry EXISTS and NOT: $stmt")
+    val residual = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(residual.isEmpty,
+      s"residual filter survived full pushdown:\n${df.queryExecution.executedPlan}")
+  }
+
   test("filterql server enforces: 3VL on the wire, 400s on bad statements") {
     val client = freshClient(HttpRestConfig(maxRetries = 1))
     val nullable = StructType(Seq(
