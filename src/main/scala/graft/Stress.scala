@@ -297,7 +297,13 @@ object Stress {
       // round-13: encoding repair (one native pass/row — the fix_text
       // projection), under the same interleave-inflation headroom as the
       // other per-char text projections
-      "q_text_fix_encoding")
+      "q_text_fix_encoding",
+      // round-14: audio spectral fingerprint near-dup (synth + Goertzel
+      // are linear per row; the banded self-join is capped), sampled-
+      // frame video near-dup (k hashes per clip regardless of length),
+      // and incremental IVF maintenance (two trainings + two broadcast
+      // retrievals; output is fixed at the query count)
+      "q_audio_fp_neardup", "q_video_phash_neardup", "q_ann_ivf_incremental")
     // optional comma-separated subset for fast local iteration; the
     // driver never sets it → full sweep
     val ops = sys.env.get("SPARK_GRAFT_STRESS_OPS")
@@ -440,7 +446,19 @@ object Stress {
       "q_events_anomaly" -> defB.copy(linearRows = true, corpusShuffle = true),
       // r13: mojibake repair + NFC is linear in chars — the replica
       // interleave inflation applies directly, like deflate/compress
-      "q_text_fix_encoding" -> defB.copy(time = 8.0))
+      "q_text_fix_encoding" -> defB.copy(time = 8.0),
+      // banded near-dup arms: the (slot/band) exchange carries ~4 rows
+      // per clip — corpus-sized BY DESIGN, balanced growth ≤ r per task
+      // under the fixed 32-partition layout; pair output scales with the
+      // planted-twin density (~linear); synth/decode time rides the
+      // interleave-inflated payload chars like the other text ops
+      "q_audio_fp_neardup" -> defB.copy(time = 8.0, corpusShuffle = true),
+      "q_video_phash_neardup" -> defB.copy(time = 4.5, corpusShuffle = true),
+      // fixed 3-query output; the probe join materializes ~NProbe/KC of
+      // the corpus into the per-query ranking window — corpus-sized by
+      // design; two k-means trainings dominate wall time
+      "q_ann_ivf_incremental" -> defB.copy(time = 4.5, linearRows = false,
+        corpusShuffle = true))
 
     final case class Obs(sec: Double, rows: Long, maxInMb: Double, maxShMb: Double,
         top: Seq[(Int, String, Long, Long)])
