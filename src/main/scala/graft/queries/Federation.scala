@@ -701,6 +701,39 @@ object Federation {
         .orderBy("o_orderpriority")
     },
 
+    // Mongo aggregation-pipeline pushdown (beyond-ref: the reference's
+    // Mongo backend polyfills GROUP BY engine-side over the find stream;
+    // real MongoDB serves it natively via the public `aggregate`
+    // command): the WHERE compiles into a $match stage and the MULTI-KEY
+    // grouped aggregate into ONE $group stage (composite _id — beyond
+    // the ES connector's single-terms surface), shipped over the socket;
+    // the scan emits FINAL buckets, so Spark plans no aggregate at all
+    // (bare-scan plan + wire pipeline asserted in MongoSourceSpec).
+    // SUM's null-vs-0 and COUNT(col)'s non-null-only semantics ride
+    // companion $cond counts (MongoAgg's scaladoc).
+    GQuery(
+      "q_src_mongo_agg",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       avg(o_custkey) AS avg_cust
+        |FROM orders
+        |WHERE o_totalprice > 50000.0
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.MongoSourceName}.orders_mongo")
+        .filter(col("o_totalprice") > 50000.0)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_orderkey").as("min_key"),
+          max("o_totalprice").as("max_price"),
+          sum("o_custkey").as("sum_cust"),
+          avg("o_custkey").as("avg_cust"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
     // CQL-PROTOCOL scan over a real socket (reference: sql_to_cql.go:
     // 430-560 pushes only simple comparisons on partition/clustering key
     // columns — "MUST follow rules of partition keys" — and polyfills

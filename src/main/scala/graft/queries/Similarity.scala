@@ -182,17 +182,21 @@ object Similarity {
     * (centroids are collected index metadata, like the typedLit
     * hyperplanes); probes broadcast; the corpus never shuffles before the
     * per-query ranking window. */
+  /** IVF cell assignment as a PURE PROJECTION: argmax over the broadcast
+    * centroid metadata via max (cosine, -cid) structs ⇒ greatest cosine,
+    * smallest cid on ties — the oracle's ORDER BY sim DESC, cid picks the
+    * same centroid. Shared by batch retrieval ([[ivfRankedWith]]) and the
+    * streaming ingest arm (StreamQueries.q_stream_ivf_assign). */
+  private[queries] def cellOfWith(cents: Seq[(Long, Seq[Double])])(v: Column): Column =
+    -greatest(cents.map { case (cid, cv) =>
+      struct(cosine(v, typedLit(cv)).as("cs"), lit(-cid).as("ncid"))
+    }: _*).getField("ncid")
+
   private[queries] def ivfRankedWith(
       s: SparkSession, d: String,
       cents: Seq[(Long, Seq[Double])], nProbe: Int = NProbe): DataFrame = {
     val e = vecs(s, d)
-    // argmax over centroids as a projection: max (cosine, -cid) struct ⇒
-    // greatest cosine, smallest cid on ties — the oracle's
-    // ORDER BY sim DESC, cid picks the same centroid
-    def cellOf(v: Column): Column =
-      -greatest(cents.map { case (cid, cv) =>
-        struct(cosine(v, typedLit(cv)).as("cs"), lit(-cid).as("ncid"))
-      }: _*).getField("ncid")
+    val cellOf = cellOfWith(cents) _
     val asn = e.select(col("vec_id").as("cand_id"), col("v").as("cv2"),
       cellOf(col("v")).cast("long").as("cell"))
     // probe the nProbe nearest cells per query (query set: tiny); the
@@ -331,6 +335,92 @@ object Similarity {
         .select(col("query_id"), col("rnk").cast("long").as("rnk"),
           col("cand_id"), round(col("sim"), 4).as("sim"))
         .orderBy("query_id", "rnk")
+    },
+
+    // Hybrid retrieval with Reciprocal Rank Fusion — the RAG-serving and
+    // retrieval-audit shape: a LEXICAL ranking (BM25 over the fixed term
+    // query, TextAnalysis.bm25ScoreMicro — the q_text_bm25 recipe) and a
+    // DENSE ranking (cosine against document 0's embedding; doc_id and
+    // vec_id are the same identity in the corpus) each yield a top-50
+    // list, fused as Σ_arm 1/(60 + rank) — the classic public RRF
+    // constant. Scale design: each arm ends in TakeOrdered top-k (never a
+    // global sort), rank windows run over the k-row frames (metadata-
+    // sized), and the fusion is a full-outer join of two 50-row lists —
+    // the corpus is scanned once per arm and shuffled only by the BM25
+    // (doc, term) aggregation. Integer-micro RRF keeps the hash compare
+    // float-safe; ties break on doc_id.
+    GQuery(
+      "q_text_hybrid_rrf",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |           x -> x <> '') AS toks
+         |  FROM documents),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(len(toks)) AS BIGINT) AS tt FROM t),
+         |b AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok,
+         |         CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM t)
+         |  WHERE tok IN (${TextAnalysis.Bm25TermsSql})
+         |  GROUP BY 1, 2, 3),
+         |d AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |      FROM b GROUP BY 1),
+         |sc AS (
+         |  SELECT b.doc_id,
+         |         CAST(round(1000000 * ln(1.0 + (CAST(s.n - d.df AS DOUBLE) + 0.5)
+         |                                      / (CAST(d.df AS DOUBLE) + 0.5))
+         |              * (b.tf * 2.2)
+         |              / (b.tf + 0.3 + 0.9 * (CAST(b.dl * s.n AS DOUBLE)
+         |                                     / CAST(s.tt AS DOUBLE)))) AS BIGINT) AS c
+         |  FROM b JOIN d ON b.tok = d.tok CROSS JOIN s),
+         |bm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+         |       FROM sc GROUP BY doc_id),
+         |lex AS (SELECT doc_id,
+         |               CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+         |                    AS BIGINT) AS lex_rnk
+         |        FROM bm ORDER BY score_micro DESC, doc_id LIMIT 50),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |dn AS (
+         |  SELECT c.vec_id AS doc_id,
+         |         list_dot_product(q.qv, c.v) /
+         |           (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+         |  FROM e c CROSS JOIN q WHERE c.vec_id <> 0),
+         |dense AS (SELECT doc_id,
+         |                 CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+         |                      AS BIGINT) AS dense_rnk
+         |          FROM dn ORDER BY sim DESC, doc_id LIMIT 50),
+         |fused AS (
+         |  SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+         |         lex.lex_rnk, dense.dense_rnk,
+         |         CAST(round(1000000 * (COALESCE(1.0 / (60 + lex.lex_rnk), 0)
+         |                             + COALESCE(1.0 / (60 + dense.dense_rnk), 0)))
+         |              AS BIGINT) AS rrf_micro
+         |  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+         |SELECT doc_id, lex_rnk, dense_rnk, rrf_micro
+         |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      val lexW = Window.orderBy(col("score_micro").desc, col("doc_id"))
+      val lex = TextAnalysis.bm25ScoreMicro(s, d)
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
+        .withColumn("lex_rnk", row_number().over(lexW).cast("long"))
+        .select("doc_id", "lex_rnk")
+      val e = vecs(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val denseW = Window.orderBy(col("sim").desc, col("doc_id"))
+      val dense = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"), cosine(col("qv"), col("v")).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id")).limit(50)
+        .withColumn("dense_rnk", row_number().over(denseW).cast("long"))
+        .select("doc_id", "dense_rnk")
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rnk"), col("dense_rnk"),
+          round(lit(1000000d) *
+            (coalesce(lit(1.0) / (lit(60) + col("lex_rnk")), lit(0.0)) +
+             coalesce(lit(1.0) / (lit(60) + col("dense_rnk")), lit(0.0))))
+            .cast("long").as("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+        .limit(10)
     },
 
     // Hard-negative mining — the contrastive-training prep pass: for each

@@ -120,8 +120,39 @@ object TextAnalysis {
   private val CmsW = 64
 
   /** Fixed query-term set for the BM25 gate. */
-  private val Bm25Terms = Seq("spark", "hash", "merge", "window")
-  private val Bm25TermsSql = Bm25Terms.map(t => s"'$t'").mkString(", ")
+  private[queries] val Bm25Terms = Seq("spark", "hash", "merge", "window")
+  private[queries] val Bm25TermsSql = Bm25Terms.map(t => s"'$t'").mkString(", ")
+
+  /** Shared BM25 scorer over the fixed [[Bm25Terms]] query (k1=1.2-ish
+    * micro-integer contract of q_text_bm25): (doc_id, terms, score_micro)
+    * for every document containing ≥1 query term. Reused by the hybrid
+    * RRF gate (Similarity.q_text_hybrid_rrf) so both rankings share one
+    * plan recipe: corpus tokenized once, term-filtered token stream
+    * aggregated with map-side combine, df broadcast onto the tf rows. */
+  private[queries] def bm25ScoreMicro(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // stats collect + main pipeline; released by the harness clearCache
+    // N and total-token count: two scalars of driver metadata
+    val stats = t.agg(count(lit(1)), sum(size(col("toks")))).first()
+    val (n, tt) = (stats.getLong(0), stats.getLong(1))
+    val b = t
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val df = b.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val idf = log(lit(1.0) + ((lit(n) - col("df")).cast("double") + lit(0.5))
+      / (col("df").cast("double") + lit(0.5)))
+    val denom = col("tf") + lit(0.3) +
+      lit(0.9) * ((col("dl") * lit(n)).cast("double") / lit(tt.toDouble))
+    b.join(broadcast(df), "tok")
+      .select(col("doc_id"),
+        round(lit(1000000d) * idf * (col("tf") * lit(2.2)) / denom)
+          .cast("long").as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("terms"), sum("c").cast("long").as("score_micro"))
+  }
 
   /** The multi-query batch for q_text_bm25_multi: (query_id, term). */
   private val Bm25Queries: Seq[(Long, String)] = Seq(
@@ -691,28 +722,7 @@ object TextAnalysis {
          |       CAST(sum(c) AS BIGINT) AS score_micro
          |FROM sc GROUP BY doc_id
          |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-      import org.apache.spark.storage.StorageLevel
-      val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // stats collect + main pipeline; released by the harness clearCache
-      // N and total-token count: two scalars of driver metadata
-      val stats = t.agg(count(lit(1)), sum(size(col("toks")))).first()
-      val (n, tt) = (stats.getLong(0), stats.getLong(1))
-      val b = t
-        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-          explode(col("toks")).as("tok"))
-        .filter(col("tok").isin(Bm25Terms: _*))
-        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-      val df = b.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-      val idf = log(lit(1.0) + ((lit(n) - col("df")).cast("double") + lit(0.5))
-        / (col("df").cast("double") + lit(0.5)))
-      val denom = col("tf") + lit(0.3) +
-        lit(0.9) * ((col("dl") * lit(n)).cast("double") / lit(tt.toDouble))
-      b.join(broadcast(df), "tok")
-        .select(col("doc_id"),
-          round(lit(1000000d) * idf * (col("tf") * lit(2.2)) / denom)
-            .cast("long").as("c"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("terms"), sum("c").cast("long").as("score_micro"))
+      bm25ScoreMicro(s, d)
         .orderBy(col("score_micro").desc, col("doc_id"))
         .limit(20)
     },

@@ -127,12 +127,21 @@ object MongoDsl {
     * (Mongo's type bracketing), `{f: null}` matches null, `\$ne` matches
     * null rows for non-null arguments (two-valued — the compiled guards
     * above exist precisely because of this). */
-  def eval(q: BDoc, row: Array[Any], schema: StructType): Boolean = {
-    def value(name: String): Any = {
+  def eval(q: BDoc, row: Array[Any], schema: StructType): Boolean =
+    evalWith(q, name => {
       val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
       if (i < 0) null else row(i)
-    }
-    def sub(c: Any): Boolean = eval(c.asInstanceOf[BDoc], row, schema)
+    })
+
+  /** [[eval]] over a bare document (the aggregation pipeline's `$match`
+    * sees pipeline documents, not collection rows). */
+  def evalDoc(q: BDoc, doc: BDoc): Boolean =
+    evalWith(q, name =>
+      doc.get(name).orElse(
+        doc.fields.find(_._1.equalsIgnoreCase(name)).map(_._2)).getOrElse(null))
+
+  private def evalWith(q: BDoc, value: String => Any): Boolean = {
+    def sub(c: Any): Boolean = evalWith(c.asInstanceOf[BDoc], value)
     def cmp0(v: Any, arg: Any): Option[Int] = FilterEval.cmp(v, arg)
     def opMatch(v: Any, op: String, arg: Any): Boolean = op match {
       case "$eq" => if (arg == null) v == null else v != null && cmp0(v, arg).contains(0)
@@ -232,6 +241,240 @@ object MongoDsl {
         r = if (dir < 0) -c else c
       }
       r
+    }
+  }
+}
+
+/** SQL aggregate → Mongo aggregation-pipeline translation, and the
+  * loopback server's pipeline executor. The reference's Mongo backend
+  * never pushes aggregates (it polyfills GROUP BY engine-side over the
+  * `find` stream); real MongoDB serves them natively via `aggregate` —
+  * this closes the asymmetry with the ES backend's server-side aggs
+  * (`backends/elasticsearch/sqltoes.go:285-365`) using only the public
+  * pipeline surface: `[{$match: <filter>}, {$group: {_id, ...}}]`.
+  *
+  * Pushdown is COMPLETE-only: `$group` output is final (one document
+  * per key, computed server-side), so Spark plans no aggregate at all
+  * and the scan is single-partition — the result is metadata-sized
+  * (one row per group), which is exactly when collapsing fan-out is
+  * the scale-correct choice. Semantics guarded here:
+  *
+  *   - SQL SUM over zero non-null values is NULL; Mongo `$sum` is 0.
+  *     Every sum ships a companion non-null count (`$cond`-summed) and
+  *     the reader nulls a 0-count sum — the ES connector's same trick.
+  *   - COUNT(col) counts non-null only: `$sum` of a `$cond` on
+  *     `{$ne: [..., null]}` (Mongo `$count`-style shortcuts don't
+  *     distinguish null).
+  *   - `$min`/`$max`/`$avg` ignore null/missing (documented accumulator
+  *     behavior) — already SQL's semantics.
+  *   - COUNT(DISTINCT) DECLINES: the pipeline spelling is `$addToSet`,
+  *     whose state is the distinct set itself — memory-unbounded on a
+  *     real server. Spark polyfills it over the row scan instead.
+  */
+object MongoAgg {
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  /** One pushed aggregate: (kind, schema column index, output type).
+    * Kinds: count_star, count_field, min, max, sum_long, sum_double, avg. */
+  type Spec = (String, Int, DataType)
+
+  /** Wire-safe scalar types for group keys and min/max (the BSON subset
+    * the codec round-trips exactly; BSON binary UTF-8 string order ==
+    * Spark's, so min/max on strings agree). */
+  private def orderable(dt: DataType): Boolean = dt match {
+    case ShortType | IntegerType | LongType | FloatType | DoubleType |
+         StringType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  def translate(a: Aggregation, schema: StructType): Option[(Seq[Int], Seq[Spec])] = {
+    def fieldIdx(col: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
+      col match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          Some(schema.fieldNames.indexWhere(_.equalsIgnoreCase(nr.fieldNames()(0))))
+            .filter(_ >= 0)
+        case _ => None
+      }
+    val groups = a.groupByExpressions().toSeq.map(
+      fieldIdx(_).filter(i => orderable(schema.fields(i).dataType) ||
+        schema.fields(i).dataType == BooleanType))
+    if (groups.exists(_.isEmpty)) return None
+    val aggs: Seq[Option[Spec]] = a.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(("count_star", -1, LongType))
+      case c: Count if !c.isDistinct =>
+        fieldIdx(c.column()).map(("count_field", _, LongType))
+      case m: Min => fieldIdx(m.column())
+        .filter(i => orderable(schema.fields(i).dataType))
+        .map(i => ("min", i, schema.fields(i).dataType))
+      case m: Max => fieldIdx(m.column())
+        .filter(i => orderable(schema.fields(i).dataType))
+        .map(i => ("max", i, schema.fields(i).dataType))
+      case s: Sum if !s.isDistinct => fieldIdx(s.column()).flatMap { i =>
+        schema.fields(i).dataType match {
+          case ShortType | IntegerType | LongType => Some(("sum_long", i, LongType))
+          case FloatType | DoubleType => Some(("sum_double", i, DoubleType))
+          case _ => None
+        }
+      }
+      case av: Avg if !av.isDistinct => fieldIdx(av.column())
+        .filter(i => schema.fields(i).dataType.isInstanceOf[NumericType] &&
+          orderable(schema.fields(i).dataType))
+        .map(("avg", _, DoubleType))
+      case _ => None // COUNT(DISTINCT), general expressions: polyfill
+    }
+    if (aggs.exists(_.isEmpty)) None
+    else Some((groups.map(_.get), aggs.map(_.get)))
+  }
+
+  /** `{$sum: {$cond: [{$ne: ["$f", null]}, 1, 0]}}` — non-null count. */
+  private def nonNullCount(field: String): BDoc =
+    BDoc(Seq("$sum" -> BDoc(Seq("$cond" -> Seq(
+      BDoc(Seq("$ne" -> Seq(s"$$$field", null))),
+      1: java.lang.Integer, 0: java.lang.Integer)))))
+
+  /** Compile the pushed aggregate into pipeline stages. */
+  def pipeline(filter: BDoc, groups: Seq[String], aggs: Seq[(String, String)]): Seq[BDoc] = {
+    val id: Any =
+      if (groups.isEmpty) null
+      else BDoc(groups.map(g => g -> (s"$$$g": Any)))
+    val accs: Seq[(String, Any)] = aggs.zipWithIndex.flatMap { case ((kind, f), i) =>
+      val name = s"agg_$i"
+      kind match {
+        case "count_star" =>
+          Seq(name -> BDoc(Seq("$sum" -> (1: java.lang.Integer))))
+        case "count_field" => Seq(name -> nonNullCount(f))
+        case "min" => Seq(name -> BDoc(Seq("$min" -> s"$$$f")))
+        case "max" => Seq(name -> BDoc(Seq("$max" -> s"$$$f")))
+        case "avg" => Seq(name -> BDoc(Seq("$avg" -> s"$$$f")))
+        case "sum_long" | "sum_double" =>
+          Seq(name -> BDoc(Seq("$sum" -> s"$$$f")),
+            s"${name}_n" -> nonNullCount(f))
+        case other => throw new IllegalArgumentException(s"bad agg kind $other")
+      }
+    }
+    val group = BDoc(Seq("$group" -> BDoc(("_id" -> id) +: accs)))
+    if (filter.fields.isEmpty) Seq(group)
+    else Seq(BDoc(Seq("$match" -> filter)), group)
+  }
+
+  // ---- server-side pipeline execution (the loopback's `aggregate`
+  // command; a real mongod executes pipelines natively) -------------------
+
+  /** Aggregation-expression evaluator over one pipeline document: field
+    * paths (`"$f"`), literals, `$cond`, and two-arg `$eq`/`$ne` (the
+    * subset [[pipeline]] emits — anything else throws, so an unsupported
+    * shape fails loudly instead of mis-computing). */
+  def evalExpr(e: Any, doc: BDoc): Any = e match {
+    case s: String if s.startsWith("$") =>
+      doc.get(s.substring(1)).getOrElse(null)
+    case d: BDoc if d.fields.sizeIs == 1 && d.fields.head._1.startsWith("$") =>
+      val (op, arg) = d.fields.head
+      def two: (Any, Any) = {
+        val s = arg.asInstanceOf[Seq[Any]]
+        (evalExpr(s(0), doc), evalExpr(s(1), doc))
+      }
+      op match {
+        case "$cond" =>
+          val s = arg.asInstanceOf[Seq[Any]]
+          if (evalExpr(s(0), doc).asInstanceOf[Boolean]) evalExpr(s(1), doc)
+          else evalExpr(s(2), doc)
+        case "$eq" =>
+          val (a, b) = two
+          if (a == null || b == null) a == null && b == null
+          else FilterEval.cmp(a, b).contains(0)
+        case "$ne" =>
+          val (a, b) = two
+          if (a == null || b == null) !(a == null && b == null)
+          else !FilterEval.cmp(a, b).contains(0)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported agg expression $other")
+      }
+    case v => v
+  }
+
+  /** Execute a `$group` stage over pipeline documents. Group identity
+    * normalizes numerics (Mongo groups int 1 with double 1.0); the
+    * emitted `_id` keeps the first-seen original value. */
+  def runGroup(spec: BDoc, docs: Seq[BDoc]): Seq[BDoc] = {
+    val idSpec = spec.get("_id").getOrElse(
+      throw new IllegalArgumentException("$group requires _id"))
+    val accs = spec.fields.filter(_._1 != "_id")
+    def keyOf(doc: BDoc): (Seq[Any], Any) = idSpec match {
+      case null => (Seq(0), null)
+      case d: BDoc =>
+        val vals = d.fields.map { case (k, e) => k -> evalExpr(e, doc) }
+        (vals.map(v => norm(v._2)), BDoc(vals))
+      case e => val v = evalExpr(e, doc); (Seq(norm(v)), v)
+    }
+    val order = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val byKey = scala.collection.mutable.HashMap.empty[Seq[Any], (Any, scala.collection.mutable.ArrayBuffer[BDoc])]
+    docs.foreach { doc =>
+      val (k, idVal) = keyOf(doc)
+      byKey.getOrElseUpdate(k, { order += k; (idVal, scala.collection.mutable.ArrayBuffer.empty[BDoc]) })
+        ._2 += doc
+    }
+    order.toSeq.map { k =>
+      val (idVal, group) = byKey(k)
+      BDoc(("_id" -> idVal) +: accs.map { case (name, acc) =>
+        name -> runAccumulator(acc.asInstanceOf[BDoc], group.toSeq)
+      })
+    }
+  }
+
+  private def norm(v: Any): Any = v match {
+    case n: java.lang.Short => n.doubleValue(): java.lang.Double
+    case n: java.lang.Integer => n.doubleValue(): java.lang.Double
+    case n: java.lang.Long => n.doubleValue(): java.lang.Double
+    case n: java.lang.Float => n.doubleValue(): java.lang.Double
+    case v => v
+  }
+
+  private def runAccumulator(acc: BDoc, group: Seq[BDoc]): Any = {
+    require(acc.fields.sizeIs == 1, s"bad accumulator ${acc.render}")
+    val (op, arg) = acc.fields.head
+    op match {
+      case "$sum" =>
+        // integral accumulation until a double appears (Mongo's numeric
+        // widening); non-numeric/null contributions are skipped
+        var accL = 0L
+        var accD = 0.0
+        var isDouble = false
+        group.foreach { d =>
+          evalExpr(arg, d) match {
+            case n @ (_: java.lang.Double | _: java.lang.Float) =>
+              if (!isDouble) { accD = accL.toDouble; isDouble = true }
+              accD += n.asInstanceOf[Number].doubleValue()
+            case n: Number =>
+              if (isDouble) accD += n.doubleValue() else accL += n.longValue()
+            case _ => ()
+          }
+        }
+        if (isDouble) accD: java.lang.Double else accL: java.lang.Long
+      case "$avg" =>
+        var sum = 0.0
+        var n = 0L
+        group.foreach { d =>
+          evalExpr(arg, d) match {
+            case num: Number => sum += num.doubleValue(); n += 1
+            case _ => ()
+          }
+        }
+        if (n == 0) null else (sum / n): java.lang.Double
+      case "$min" | "$max" =>
+        val sign = if (op == "$min") -1 else 1
+        group.foldLeft(null: Any) { (best, d) =>
+          evalExpr(arg, d) match {
+            case null => best
+            case v =>
+              if (best == null) v
+              else if (FilterEval.cmp(v, best).exists(c => c * sign > 0)) v
+              else best
+          }
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported accumulator $other")
     }
   }
 }
@@ -393,7 +636,26 @@ final class MongoClientLite(host: String, port: Int,
       projection.map("projection" -> (_: Any)) ++
       sort.map("sort" -> (_: Any)) ++
       (if (limit > 0) Seq("limit" -> (limit: Any)) else Nil)
-    val first = roundTripRetrying(BDoc(base))
+    cursorIterator(roundTripRetrying(BDoc(base)), db, coll, bs)
+  }
+
+  /** Run an aggregation pipeline and stream the cursor's documents (the
+    * public `aggregate` command; opening is idempotent → retried). */
+  def aggregate(db: String, coll: String, pipeline: Seq[BDoc],
+      batchSize: Int = -1): Iterator[BDoc] = {
+    val bs = if (batchSize > 0) batchSize else cfg.batchSize
+    val first = roundTripRetrying(BDoc(Seq(
+      "aggregate" -> (coll: Any),
+      "$db" -> (db: Any),
+      "pipeline" -> (pipeline: Any),
+      "cursor" -> (BDoc(Seq("batchSize" -> (bs: java.lang.Integer))): Any))))
+    cursorIterator(first, db, coll, bs)
+  }
+
+  /** Page a command reply's cursor with `getMore` (shared by `find` and
+    * `aggregate` — both speak the same cursor sub-protocol). */
+  private def cursorIterator(first: BDoc, db: String, coll: String,
+      bs: Int): Iterator[BDoc] =
     new Iterator[BDoc] {
       private var cursor = first.get("cursor").get.asInstanceOf[BDoc]
       private var cursorId = cursor.get("id").get.asInstanceOf[java.lang.Long].longValue()
@@ -413,7 +675,6 @@ final class MongoClientLite(host: String, port: Int,
       }
       override def next(): BDoc = batch.next().asInstanceOf[BDoc]
     }
-  }
 }
 
 /** In-process loopback mongod stand-in: a real TCP listener speaking
@@ -486,6 +747,8 @@ object LoopbackMongoServer {
   val compressedServed = new AtomicLong(0)
   /** The last `find` command seen, rendered (pushdown assertions). */
   val lastFind = new AtomicReference[String]("")
+  /** The last `aggregate` command seen, rendered (pushdown assertions). */
+  val lastAggregate = new AtomicReference[String]("")
 
   def register(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit = {
     // a real collection holds BSON values — normalize the collected
@@ -582,6 +845,7 @@ object LoopbackMongoServer {
 
   private def dispatch(cmd: BDoc): BDoc = cmd.fields.headOption match {
     case Some(("find", collName)) => runFind(collName.toString, cmd)
+    case Some(("aggregate", collName)) => runAggregate(collName.toString, cmd)
     case Some(("getMore", id)) =>
       val cursorId = id.asInstanceOf[java.lang.Long].longValue()
       val (it, _) = cursors.getOrElse(cursorId,
@@ -707,6 +971,69 @@ object LoopbackMongoServer {
         "ok" -> (1.0: java.lang.Double)))
     case Some((other, _)) => throw new IllegalArgumentException(s"unsupported command $other")
     case None => throw new IllegalArgumentException("empty command")
+  }
+
+  /** The real server's `aggregate` command over the pipeline-stage
+    * subset the connector emits plus `$sort`/`$limit` ($match via the
+    * same matcher as `find`, $group via [[MongoAgg]]'s accumulator
+    * evaluator). Unknown stages throw → the command answers ok:0, so an
+    * unsupported client shape fails loudly instead of mis-computing. */
+  private def runAggregate(collName: String, cmd: BDoc): BDoc = {
+    val coll = collections.getOrElse(collName.toLowerCase,
+      throw new NoSuchElementException(s"ns not found: $Db.$collName"))
+    lastAggregate.set(cmd.render)
+    val stages = cmd.get("pipeline").getOrElse(Seq.empty)
+      .asInstanceOf[Seq[Any]].map(_.asInstanceOf[BDoc])
+    var docs: Seq[BDoc] = coll.snapshot.map(r =>
+      BDoc(coll.schema.fields.toSeq.zipWithIndex.map { case (f, i) => f.name -> r(i) }))
+    stages.foreach { st =>
+      st.fields.headOption match {
+        case Some(("$match", q: BDoc)) =>
+          docs = docs.filter(d => MongoDsl.evalDoc(q, d))
+        case Some(("$group", spec: BDoc)) =>
+          docs = MongoAgg.runGroup(spec, docs)
+        case Some(("$sort", s: BDoc)) =>
+          docs = docs.sortWith { (a, b) =>
+            var r = 0
+            val it = s.fields.iterator
+            while (r == 0 && it.hasNext) {
+              val (name, dir) = it.next()
+              val (va, vb) = (a.get(name).getOrElse(null), b.get(name).getOrElse(null))
+              val c = (va, vb) match {
+                case (null, null) => 0
+                case (null, _) => -1
+                case (_, null) => 1
+                case (x, y) => FilterEval.cmp(x, y).getOrElse(0)
+              }
+              r = if (dir.asInstanceOf[Number].intValue() < 0) -c else c
+            }
+            r < 0
+          }
+        case Some(("$limit", n)) =>
+          docs = docs.take(n.asInstanceOf[Number].intValue())
+        case Some((other, _)) =>
+          throw new IllegalArgumentException(s"unsupported pipeline stage $other")
+        case None =>
+          throw new IllegalArgumentException("empty pipeline stage")
+      }
+    }
+    val bs = cmd.get("cursor").collect { case c: BDoc => c }
+      .flatMap(_.get("batchSize")).map(_.asInstanceOf[Number].intValue()).getOrElse(101)
+    val it = docs.iterator
+    val first = drain(it, bs)
+    val live = it.hasNext
+    val id = if (live) {
+      val cid = nextCursor.getAndIncrement()
+      cursors.put(cid, (it, useStamp.incrementAndGet()))
+      evictOldCursors()
+      cid
+    } else 0L
+    BDoc(Seq(
+      "cursor" -> BDoc(Seq(
+        "id" -> (id: java.lang.Long),
+        "ns" -> (Db + "." + collName),
+        "firstBatch" -> first)),
+      "ok" -> (1.0: java.lang.Double)))
   }
 
   private def runFind(collName: String, cmd: BDoc): BDoc = {
@@ -863,12 +1190,14 @@ class MongoScanBuilder(ep: MongoEndpoint, hint: Option[Int] = None) extends Scan
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
-  with SupportsPushDownTopN {
+  with SupportsPushDownTopN
+  with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ep.schema
   private var limit: Int = -1
   private var sortDoc: Option[BDoc] = None
+  private var agg: Option[(Seq[Int], Seq[MongoAgg.Spec])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // only TOP-LEVEL fields compile: a nested reference arrives as a
@@ -913,24 +1242,56 @@ class MongoScanBuilder(ep: MongoEndpoint, hint: Option[Int] = None) extends Scan
     }
   }
 
+  /** `$group` output is FINAL buckets computed server-side — complete
+    * pushdown, the ES connector's same contract ([[MongoAgg]] for the
+    * semantic guards and the COUNT(DISTINCT) decline rationale). */
+  override def supportCompletePushDown(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    MongoAgg.translate(a, ep.schema).isDefined
+  override def pushAggregation(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    MongoAgg.translate(a, ep.schema) match {
+      case Some(t) => agg = Some(t); true
+      case None => false
+    }
+
   override def build(): Scan = {
     val filter = MongoDsl.compileAll(pushed.toSeq.flatMap(MongoDsl.compile))
-    val projection =
-      if (required.fieldNames.sameElements(ep.schema.fieldNames)) None
-      else Some(BDoc(required.fieldNames.toSeq.map(_ -> (1: Any))))
-    new MongoScan(ep, required, filter, projection, sortDoc, limit, pushed, hint)
+    agg match {
+      case Some((groupIdx, aggs)) =>
+        val groupNames = groupIdx.map(ep.schema.fields(_).name)
+        val outSchema = StructType(
+          groupIdx.map(i => ep.schema.fields(i)) ++
+            aggs.zipWithIndex.map { case ((_, _, dt), i) =>
+              StructField(s"agg_$i", dt, nullable = true) })
+        val stages = MongoAgg.pipeline(filter, groupNames,
+          aggs.map { case (kind, idx, _) =>
+            kind -> (if (idx < 0) "" else ep.schema.fields(idx).name) })
+        new MongoScan(ep, outSchema, filter, None, None, -1, pushed, hint,
+          aggPipeline = Some(stages), aggKinds = aggs.map(_._1),
+          groupFields = groupNames)
+      case None =>
+        val projection =
+          if (required.fieldNames.sameElements(ep.schema.fieldNames)) None
+          else Some(BDoc(required.fieldNames.toSeq.map(_ -> (1: Any))))
+        new MongoScan(ep, required, filter, projection, sortDoc, limit, pushed, hint)
+    }
   }
 }
 
 class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
     projection: Option[BDoc], sort: Option[BDoc], limit: Int,
-    pushed: Array[Filter], hint: Option[Int] = None) extends Scan with Batch {
+    pushed: Array[Filter], hint: Option[Int] = None,
+    aggPipeline: Option[Seq[BDoc]] = None, aggKinds: Seq[String] = Nil,
+    groupFields: Seq[String] = Nil) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"GraftMongoScan endpoint=${ep.source}/${ep.table} " +
-      s"filter=${filter.render} sort=${sort.map(_.render).getOrElse("none")} " +
+      aggPipeline.map(p => s"pipeline=[${p.map(_.render).mkString(", ")}] ")
+        .getOrElse(s"filter=${filter.render} ") +
+      s"sort=${sort.map(_.render).getOrElse("none")} " +
       s"limit=$limit PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
@@ -941,10 +1302,18 @@ class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
     * distributed-scan recipe (`sql_to_mgo.go:189-210` injects the same
     * partition-range document per worker). The first range also matches
     * null/missing keys via `$or` (Mongo range operators type-bracket past
-    * null), so the union of partitions is exactly the collection. */
+    * null), so the union of partitions is exactly the collection.
+    * Aggregation pushdown stays single-partition: `$group` is global
+    * server-side state and the COMPLETE-agg result is metadata-sized. */
   override def planInputPartitions(): Array[InputPartition] = {
     def part(f: BDoc) = MongoPartition(ep.spec, Bson.encode(f),
       projection.map(Bson.encode), sort.map(Bson.encode), limit, required.json)
+    aggPipeline.foreach { stages =>
+      return Array(MongoPartition(ep.spec, Bson.encode(filter), None, None, -1,
+        required.json,
+        pipelineBson = Some(Bson.encode(BDoc(Seq("pipeline" -> stages)))),
+        aggKinds = aggKinds, groupFields = groupFields))
+    }
     // a key-pinning pushed predicate ships as ONE targeted find, not
     // N sockets of which N-1 are provably empty (WireFanout.pinsKey)
     ep.splits match {
@@ -977,7 +1346,9 @@ class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
 
 final case class MongoPartition(spec: MongoEndpointSpec, filterBson: Array[Byte],
     projectionBson: Option[Array[Byte]], sortBson: Option[Array[Byte]],
-    limit: Int, requiredSchemaJson: String) extends InputPartition
+    limit: Int, requiredSchemaJson: String,
+    pipelineBson: Option[Array[Byte]] = None, aggKinds: Seq[String] = Nil,
+    groupFields: Seq[String] = Nil) extends InputPartition
 
 class MongoReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -985,12 +1356,68 @@ class MongoReaderFactory extends PartitionReaderFactory {
     val required = DataType.fromJson(p.requiredSchemaJson).asInstanceOf[StructType]
     val client = new MongoClientLite(p.spec.host, p.spec.port, p.spec.cfg)
     val conv = CatalystTypeConverters.createToCatalystConverter(required)
-    val docs = client.find(p.spec.db, p.spec.collection,
-      Bson.decode(p.filterBson),
-      p.projectionBson.map(Bson.decode),
-      p.sortBson.map(Bson.decode),
-      limit = p.limit)
-    val it = docs.map { doc =>
+    val docs = p.pipelineBson match {
+      case Some(pl) =>
+        val stages = Bson.decode(pl).get("pipeline").getOrElse(Seq.empty)
+          .asInstanceOf[Seq[Any]].map(_.asInstanceOf[BDoc])
+        val raw = client.aggregate(p.spec.db, p.spec.collection, stages)
+        // SQL's GLOBAL aggregate over zero input rows is ONE row
+        // (count 0, null sums); Mongo's $group over an empty stream
+        // emits NO document — synthesize the neutral row. Grouped
+        // aggregates correctly return zero rows on both sides.
+        if (p.groupFields.nonEmpty || raw.hasNext) raw
+        else Iterator.single(BDoc(
+          ("_id" -> (null: Any)) +: p.aggKinds.zipWithIndex.flatMap {
+            case (k, i) => k match {
+              case "count_star" | "count_field" =>
+                Seq(s"agg_$i" -> (0L: java.lang.Long): (String, Any))
+              case "sum_long" | "sum_double" =>
+                Seq(s"agg_$i" -> (0L: java.lang.Long): (String, Any),
+                  s"agg_${i}_n" -> (0L: java.lang.Long): (String, Any))
+              case _ => Seq(s"agg_$i" -> (null: Any): (String, Any))
+            }
+          }))
+      case None =>
+        client.find(p.spec.db, p.spec.collection,
+          Bson.decode(p.filterBson),
+          p.projectionBson.map(Bson.decode),
+          p.sortBson.map(Bson.decode),
+          limit = p.limit)
+    }
+    val it: Iterator[InternalRow] =
+      if (p.pipelineBson.isDefined) docs.map { doc =>
+        // `_id` carries the group-key values; agg_i the accumulators
+        val idDoc = doc.get("_id").getOrElse(null) match {
+          case d: BDoc => d
+          case _ => BDoc.empty
+        }
+        val groupVals = p.groupFields.zipWithIndex.map { case (g, i) =>
+          idDoc.get(g).map(coerce(_, required.fields(i).dataType)).orNull
+        }
+        val aggVals = p.aggKinds.zipWithIndex.map { case (kind, i) =>
+          val dt = required.fields(p.groupFields.size + i).dataType
+          val v = doc.get(s"agg_$i").getOrElse(null)
+          kind match {
+            case "count_star" | "count_field" =>
+              v.asInstanceOf[Number].longValue(): java.lang.Long
+            case "sum_long" | "sum_double" =>
+              // SQL SUM over zero non-null values is NULL, Mongo's is 0:
+              // the companion non-null count disambiguates
+              val n = doc.get(s"agg_${i}_n").map(_.asInstanceOf[Number].longValue())
+                .getOrElse(0L)
+              if (n == 0L) null
+              else if (kind == "sum_long") v.asInstanceOf[Number].longValue(): java.lang.Long
+              else v.asInstanceOf[Number].doubleValue(): java.lang.Double
+            case "avg" =>
+              if (v == null) null
+              else v.asInstanceOf[Number].doubleValue(): java.lang.Double
+            case _ => // min/max: the column's own type
+              if (v == null) null else coerce(v, dt)
+          }
+        }
+        conv(Row.fromSeq(groupVals ++ aggVals)).asInstanceOf[InternalRow]
+      }
+      else docs.map { doc =>
       conv(Row.fromSeq(required.fields.toSeq.map { f =>
         doc.get(f.name).map(coerce(_, f.dataType)).orNull
       })).asInstanceOf[InternalRow]

@@ -100,8 +100,10 @@ class JdbcEntrySpec extends AnyFunSuite {
             "WHERE o_orderstatus = 'F'")
         assert(rs2b.next() && rs2b.getLong(1) > 0)
         rs2b.close()
-        assert(graft.sources.LoopbackMongoServer.lastFind.get().contains("o_orderstatus"),
-          "the JDBC-issued WHERE must reach the Mongo server as a filter document")
+        // count(*)+WHERE ships as ONE aggregate pipeline (the r14 agg
+        // pushdown): the predicate rides the $match stage
+        assert(graft.sources.LoopbackMongoServer.lastAggregate.get().contains("o_orderstatus"),
+          "the JDBC-issued WHERE must reach the Mongo server in the pipeline's $match")
 
         // ---- the FULL dialect through the wire (parser extension) ------
         // The thrift session forked WITH GraftExtensions, so every

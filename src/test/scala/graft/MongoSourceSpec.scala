@@ -385,11 +385,16 @@ class MongoSourceSpec extends AnyFunSuite {
     assert(all.length == 28)
     assert(all.map(_.getAs[java.time.LocalDateTime]("d")).toSet ==
       (1 to 28).map(ldt).toSet)
-    // and an NTZ filter pushes through the BSON encode path
+    // and an NTZ filter pushes through the BSON encode path: the row
+    // read ships it in the find, the count in the pipeline's $match
+    // (count() rides the aggregate pushdown)
     val feb = spark.table(t).filter(col("d") >= ldt(15))
-    assert(feb.count() == 14)
+    assert(feb.select("id").collect().length == 14)
     assert(LoopbackMongoServer.lastFind.get().contains("$gte"),
       "the NTZ predicate must ride the wire, not polyfill")
+    assert(feb.count() == 14)
+    assert(LoopbackMongoServer.lastAggregate.get().contains("$gte"),
+      "a counted NTZ predicate must ride the pipeline's $match")
   }
 
   test("a pushed predicate pinning the split key collapses to ONE request") {
@@ -544,6 +549,94 @@ class MongoSourceSpec extends AnyFunSuite {
     val t = table("dsv4")
     assert(spark.table(t).limit(12).collect().length == 12)
     assert(LoopbackMongoServer.lastFind.get().contains("limit: 12"))
+  }
+
+  // ---- aggregation-pipeline pushdown --------------------------------------
+
+  test("grouped aggregates push as ONE aggregate pipeline: bare plan, final buckets") {
+    val t = table("agg1")
+    val served0 = LoopbackMongoServer.served.get()
+    val df = spark.table(t)
+      .filter(col("bal") > 30.0)
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("bal").as("max_bal"),
+        sum("id").as("sum_id"), min("name").as("min_name"))
+    val got = df.collect().map(r => (r.getAs[String]("seg"),
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getString(5)))).toMap
+    val kept = rows.filter(_(3).asInstanceOf[Double] > 30.0)
+    kept.groupBy(_(1).asInstanceOf[String]).foreach { case (seg, rs) =>
+      val want = (rs.size.toLong, rs.map(_(0).asInstanceOf[Long]).min,
+        rs.map(_(3).asInstanceOf[Double]).max, rs.map(_(0).asInstanceOf[Long]).sum,
+        rs.map(_(2).asInstanceOf[String]).min)
+      assert(got(seg) == want, s"group $seg")
+    }
+    assert(got.contains(null), "SQL GROUP BY keeps the NULL group")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"complete pushdown must leave NO engine aggregate:\n$plan")
+    assert(plan.contains("pipeline="), s"the scan must carry the pipeline:\n$plan")
+    assert(LoopbackMongoServer.served.get() - served0 == 1,
+      "a pushed aggregate must be one aggregate command")
+    val cmd = LoopbackMongoServer.lastAggregate.get()
+    assert(cmd.contains("$match") && cmd.contains("$group"), cmd)
+    assert(cmd.contains("$min") && cmd.contains("$max"), cmd)
+  }
+
+  test("SUM over zero non-null values is NULL; COUNT(col) counts non-null only") {
+    val s2 = StructType(Seq(StructField("seg", StringType),
+      StructField("v", LongType)))
+    val rs: Seq[Array[Any]] = Seq(
+      Array[Any]("A", 10L), Array[Any]("A", null), Array[Any]("A", 5L),
+      Array[Any]("B", null), Array[Any]("B", null))
+    LoopbackMongoServer.register("agg2", s2, rs)
+    val (host, port) = LoopbackMongoServer.ensureStarted()
+    MongoEndpoints.register(MongoEndpoint("mongotest", "agg2", s2,
+      MongoEndpointSpec(host, port, LoopbackMongoServer.Db, "agg2",
+        MongoClientConfig(retryBackoffMs = 5))))
+    SourceRegistry.ensureCatalog(spark)
+    val df = spark.table(s"${SourceRegistry.CatalogName}.mongotest.agg2")
+      .groupBy("seg")
+      .agg(sum("v").as("sum_v"), count("v").as("n_v"), count(lit(1)).as("n"),
+        avg("v").as("avg_v"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), s"must push complete:\n$plan")
+    val got = df.collect().map(r => r.getString(0) ->
+      ((if (r.isNullAt(1)) null else r.getLong(1)): Any, r.getLong(2), r.getLong(3),
+        (if (r.isNullAt(4)) null else r.getDouble(4)): Any)).toMap
+    assert(got("A") == ((15L, 2L, 3L, 7.5)), s"got ${got("A")}")
+    assert(got("B") == ((null, 0L, 2L, null)),
+      s"all-null group: SUM/AVG must be NULL, COUNT(v) 0 — got ${got("B")}")
+  }
+
+  test("COUNT(DISTINCT) declines: Spark plans the aggregate, values stay exact") {
+    val t = table("agg3")
+    val df = spark.table(t).agg(countDistinct("seg").as("n_seg"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Aggregate"),
+      s"distinct counts must NOT push ($$addToSet is memory-unbounded):\n$plan")
+    assert(df.collect().head.getLong(0) == 2L)
+  }
+
+  test("aggregate pushdown collapses split fan-out to one metadata-sized task") {
+    val (t, withNulls) = splitTable("agg4", Seq(100L, 200L, 300L))
+    val df = spark.table(t).groupBy("seg").agg(count(lit(1)).as("n"))
+    assert(df.queryExecution.executedPlan.toString.contains("pipeline="))
+    assert(df.rdd.getNumPartitions == 1,
+      "a COMPLETE agg result is metadata-sized — fan-out must collapse")
+    val got = df.collect().map(r => r.getAs[String]("seg") -> r.getLong(1)).toMap
+    val want = withNulls.groupBy(_(1).asInstanceOf[String]).view.mapValues(_.size.toLong)
+    want.foreach { case (k, v) => assert(got(k) == v, s"group $k") }
+  }
+
+  test("unsupported pipeline stages fail loudly server-side") {
+    LoopbackMongoServer.register("agg5", schema, rows)
+    val c = client()
+    val e = intercept[IOException] {
+      c.aggregate(LoopbackMongoServer.Db, "agg5",
+        Seq(BDoc(Seq("$lookup" -> BDoc.empty)))).toSeq
+    }
+    assert(e.getMessage.contains("unsupported pipeline stage"), e.getMessage)
+    c.close()
   }
 
   test("concurrent DSv2 scans share the listener without cross-talk") {

@@ -278,12 +278,13 @@ class MysqlWireSpec extends AnyFunSuite {
     val c = connect()
     try {
       // COM_QUERY -> GraftEngine -> catalog -> Mongo OP_MSG socket: the
-      // WHERE must reach the mongod as a filter document
+      // WHERE must reach the mongod; count(*)+WHERE now pushes as ONE
+      // aggregate pipeline (r14), so the predicate rides the $match stage
       val rs = c.select(
         "SELECT count(*) AS n FROM graft.mysqlmongo.wire_two WHERE seg = 'even'")
       assert(rs.rows(0)(0).contains("25"))
-      assert(graft.sources.LoopbackMongoServer.lastFind.get().contains("seg"),
-        "the MySQL-issued WHERE must ship in the find command")
+      assert(graft.sources.LoopbackMongoServer.lastAggregate.get().contains("seg"),
+        "the MySQL-issued WHERE must ship in the pipeline's $match")
     } finally c.close()
   }
 
