@@ -734,6 +734,33 @@ object Federation {
         .orderBy("o_orderstatus", "o_orderpriority")
     },
 
+    // Runtime semi-join reduction over the wire (beyond-ref; Trino's
+    // "dynamic filtering"): the broadcast dim side's distinct join keys
+    // flow back into the Mongo scan BEFORE partition planning and ship
+    // as a `$in` ANDed onto the find filter (SupportsRuntimeV2Filtering;
+    // wire-asserted in MongoSourceSpec) — at 100 TB this turns a full
+    // fact-collection stream into a dim-sized one. Correctness never
+    // depends on it: the join re-checks every key, and the scan declines
+    // non-wire-exact types or key sets beyond the 10k cap.
+    GQuery(
+      "q_src_join_dynfilter",
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name,
+        |       CAST(o.o_totalprice AS DOUBLE) AS price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'MACHINERY' AND c.c_acctbal > 9000
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      val dim = Tables.load(s, d, "customer")
+        .filter(col("c_mktsegment") === "MACHINERY" && col("c_acctbal") > 9000)
+        .select("c_custkey", "c_name")
+      s.table(s"$C.${FedData.MongoSourceName}.orders_mongo")
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("o_totalprice").cast("double").as("price"))
+        .orderBy("o_orderkey")
+    },
+
     // CQL-PROTOCOL scan over a real socket (reference: sql_to_cql.go:
     // 430-560 pushes only simple comparisons on partition/clustering key
     // columns — "MUST follow rules of partition keys" — and polyfills

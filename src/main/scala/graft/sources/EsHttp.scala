@@ -581,7 +581,8 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
 
 class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
     pushed: Array[Filter], aggMode: Boolean, aggKinds: Seq[String],
-    groupCount: Int, limit: Int, hint: Option[Int] = None) extends Scan with Batch {
+    groupCount: Int, limit: Int, hint: Option[Int] = None)
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
 
@@ -591,6 +592,101 @@ class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
       s"ReadSchema: ${required.catalogString}"
 
   override def toBatch: Batch = this
+
+  // ---- runtime semi-join reduction (dynamic filtering) --------------------
+  // Broadcast-join build-side keys flow back here before partition
+  // planning and AND onto the shipped query as a `terms` filter — the
+  // same contract as the Mongo connector's runtime `$in` (see
+  // MongoScan.filter): purely an optimization, the join re-checks every
+  // key, so declining (analyzed field without a keyword subfield,
+  // non-JSON-exact type, key set beyond the cap) is always safe. Under
+  // agg pushdown only GROUP-KEY pruning is offered (dropping whole
+  // buckets the join above would drop anyway).
+
+  private val RuntimeInCap = 10000
+
+  @volatile private var runtimeTerms: Seq[ObjectNode] = Nil
+
+  /** Last runtime terms filter compiled (rendered), for wire asserts. */
+  @volatile private[graft] var runtimeFilterDesc: String = ""
+
+  /** Exact-value server target: the field itself, its `.keyword`
+    * subfield for analyzed text, or None (decline — a terms filter on
+    * analyzed tokens would drop rows whose VALUE matches). */
+  private def serverTarget(name: String): Option[String] =
+    ep.analyzed.get(name.toLowerCase) match {
+      case None => Some(name)
+      case Some(kw) => kw
+    }
+
+  override def filterAttributes(): Array[NamedReference] = {
+    def jsonExact(dt: DataType): Boolean = dt match {
+      case ShortType | IntegerType | LongType | FloatType | DoubleType |
+           BooleanType | StringType => true
+      case _ => false
+    }
+    val candidates =
+      if (aggMode) required.fields.take(groupCount).toSeq else required.fields.toSeq
+    candidates
+      .filter(f => jsonExact(f.dataType) && serverTarget(f.name).isDefined)
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+      .toArray
+  }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val nodes = predicates.toSeq.flatMap { p =>
+      if (p.name() != "IN" || p.children().isEmpty) None
+      else p.children()(0) match {
+        case ref: NamedReference if ref.fieldNames().length == 1 =>
+          serverTarget(ref.fieldNames()(0)).flatMap { target =>
+            val vals = p.children().drop(1).toSeq.map {
+              case lv: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                try Some(CatalystTypeConverters.createToScalaConverter(
+                  lv.dataType)(lv.value))
+                catch { case scala.util.control.NonFatal(_) => None }
+              case _ => None
+            }
+            if (vals.size > RuntimeInCap || vals.exists(_.isEmpty)) None
+            else {
+              val o = EsDsl.M.createObjectNode()
+              val arr = o.putObject("terms").putArray(target)
+              // null keys never survive the equi-join above, so they are
+              // droppable here (and a terms filter can't carry null anyway)
+              vals.flatten.filter(_ != null).foreach {
+                case b: java.lang.Boolean => arr.add(b.booleanValue())
+                case i: java.lang.Integer => arr.add(i.intValue())
+                case l: java.lang.Long => arr.add(l.longValue())
+                case d: java.lang.Double => arr.add(d.doubleValue())
+                case f: java.lang.Float => arr.add(f.doubleValue())
+                case s: java.lang.Short => arr.add(s.intValue())
+                case s: String => arr.add(s)
+                case other => arr.add(other.toString)
+              }
+              Some(o)
+            }
+          }
+        case _ => None
+      }
+    }
+    if (nodes.nonEmpty) {
+      runtimeTerms = nodes
+      runtimeFilterDesc = nodes.map(_.toString).mkString(", ")
+    }
+  }
+
+  /** [[dslBody]] with any runtime terms ANDed onto its query. */
+  private def effectiveBody: String =
+    if (runtimeTerms.isEmpty) dslBody
+    else {
+      val body = EsDsl.M.readTree(dslBody).asInstanceOf[ObjectNode]
+      val wrapped = EsDsl.M.createObjectNode()
+      val must = wrapped.putObject("bool").putArray("must")
+      must.add(body.get("query"))
+      runtimeTerms.foreach(must.add)
+      body.set[ObjectNode]("query", wrapped)
+      body.toString
+    }
 
   /** Hit scans fan out with ES's sliced scroll (`"slice": {id, max}` —
     * the public parallel-read API; each slice is a disjoint, stable
@@ -616,8 +712,9 @@ class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
           s"/es/${ep.spec.table}/_pit", "",
           Map("keep_alive" -> EsScan.PitKeepAlive))).path("id").asText())
       } else None
+    val body = effectiveBody // static DSL ∧ runtime semi-join terms
     Array.tabulate(n) { i =>
-      EsPartition(ep.spec, dslBody, ep.schema.json, required.json,
+      EsPartition(ep.spec, body, ep.schema.json, required.json,
         aggMode, aggKinds, groupCount, limit,
         sliceId = i, sliceMax = n, pitId = pitId)
     }

@@ -39,7 +39,7 @@ object MongoDsl {
 
   /** A Spark filter literal as a BSON-encodable value; None = a type the
     * wire subset can't carry exactly (decimal, sub-millisecond time). */
-  private def lit(v: Any): Option[Any] = v match {
+  private[sources] def lit(v: Any): Option[Any] = v match {
     case null => Some(null)
     case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Double |
          _: java.lang.Boolean | _: String | _: java.lang.Short => Some(v)
@@ -1283,9 +1283,78 @@ class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
     projection: Option[BDoc], sort: Option[BDoc], limit: Int,
     pushed: Array[Filter], hint: Option[Int] = None,
     aggPipeline: Option[Seq[BDoc]] = None, aggKinds: Seq[String] = Nil,
-    groupFields: Seq[String] = Nil) extends Scan with Batch {
+    groupFields: Seq[String] = Nil)
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
+
+  // ---- runtime semi-join reduction (dynamic filtering) --------------------
+  // When this scan probes a broadcast equi-join, Spark's dynamic-pruning
+  // pass collects the BUILD side's distinct join-key values and hands them
+  // back here BEFORE partition planning; they compile into a `$in` ANDed
+  // onto the shipped filter, so the server only streams rows that can
+  // survive the join — Trino's "dynamic filtering" shape, and the lever
+  // that turns a 100 TB federated fact scan into a dim-sized one. Purely
+  // an optimization: the join re-checks every key, so declining (type not
+  // wire-exact, key set beyond the cap) is always safe; pruning is only
+  // applied with the EXACT key set, never approximated.
+
+  /** Beyond this many build-side keys the `$in` no longer pays for its
+    * request bloat (the classic dynamic-filter distinct-value cap). */
+  private val RuntimeInCap = 10000
+
+  @volatile private var runtimeFilter: BDoc = BDoc.empty
+
+  /** Last runtime predicate compiled (rendered), for plan/wire asserts. */
+  @volatile private[graft] var runtimeFilterDesc: String = ""
+
+  /** Under agg pushdown only GROUP-KEY pruning is sound (it removes whole
+    * groups the join would drop anyway); otherwise any wire-exact output
+    * column is fair game. */
+  override def filterAttributes(): Array[NamedReference] = {
+    def wireSafe(dt: DataType): Boolean = dt match {
+      case ShortType | IntegerType | LongType | FloatType | DoubleType |
+           BooleanType | StringType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val allowed: Set[String] =
+      if (aggPipeline.isDefined) groupFields.toSet else required.fieldNames.toSet
+    required.fields.toSeq
+      .filter(f => allowed.contains(f.name) && wireSafe(f.dataType))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+      .toArray
+  }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val docs = predicates.toSeq.flatMap { p =>
+      if (p.name() != "IN" || p.children().isEmpty) None
+      else p.children()(0) match {
+        case ref: NamedReference if ref.fieldNames().length == 1 =>
+          val name = ref.fieldNames()(0)
+          val vals = p.children().drop(1).toSeq.map {
+            case lv: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              // best-effort: ANY conversion surprise declines the predicate
+              // (the join re-checks every key, so declining is always safe)
+              try MongoDsl.lit(CatalystTypeConverters.createToScalaConverter(
+                lv.dataType)(lv.value))
+              catch { case scala.util.control.NonFatal(_) => None }
+            case _ => None
+          }
+          if (vals.size > RuntimeInCap || vals.exists(_.isEmpty)) None
+          else Some(BDoc(Seq(name -> BDoc(Seq("$in" -> vals.map(_.get))))))
+        case _ => None
+      }
+    }
+    if (docs.nonEmpty) {
+      runtimeFilter = MongoDsl.compileAll(docs)
+      runtimeFilterDesc = runtimeFilter.render
+    }
+  }
+
+  /** The static pushed filter ANDed with any runtime semi-join keys. */
+  private def effectiveFilter: BDoc =
+    MongoDsl.compileAll(Seq(filter, runtimeFilter).filter(_.fields.nonEmpty))
 
   override def description(): String =
     s"GraftMongoScan endpoint=${ep.source}/${ep.table} " +
@@ -1306,12 +1375,18 @@ class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
     * Aggregation pushdown stays single-partition: `$group` is global
     * server-side state and the COMPLETE-agg result is metadata-sized. */
   override def planInputPartitions(): Array[InputPartition] = {
+    val filter = effectiveFilter // static pushdown ∧ runtime semi-join keys
     def part(f: BDoc) = MongoPartition(ep.spec, Bson.encode(f),
       projection.map(Bson.encode), sort.map(Bson.encode), limit, required.json)
     aggPipeline.foreach { stages =>
-      return Array(MongoPartition(ep.spec, Bson.encode(filter), None, None, -1,
+      // runtime group-key pruning rides its own leading $match (group-key
+      // `$in` removes exactly the groups the join above would drop)
+      val staged =
+        if (runtimeFilter.fields.isEmpty) stages
+        else BDoc(Seq("$match" -> runtimeFilter)) +: stages
+      return Array(MongoPartition(ep.spec, Bson.encode(this.filter), None, None, -1,
         required.json,
-        pipelineBson = Some(Bson.encode(BDoc(Seq("pipeline" -> stages)))),
+        pipelineBson = Some(Bson.encode(BDoc(Seq("pipeline" -> staged)))),
         aggKinds = aggKinds, groupFields = groupFields))
     }
     // a key-pinning pushed predicate ships as ONE targeted find, not

@@ -714,4 +714,47 @@ class EsHttpSpec extends AnyFunSuite {
     assert(!body.contains(""""repo.name":"Project"""),
       s"raw term on an analyzed nested field shipped: $body")
   }
+
+  // ---- runtime semi-join reduction (dynamic filtering) ---------------------
+
+  test("a broadcast dim join ships the build-side keys as a runtime terms filter") {
+    val t = table("dyn_es1")
+    // range() keeps the selective Filter alive through optimization
+    // (Filter-over-LocalRelation folds away, and DPP needs it live)
+    val dim = spark.range(0, 31).filter(col("id").isin(5L, 10L, 20L))
+      .select(col("id").as("dim_id"))
+    val df = spark.table(t)
+      .join(broadcast(dim), col("id") === col("dim_id"))
+      .select("id", "seg")
+    val got = df.collect().map(_.getLong(0)).toSet
+    assert(got == Set(5L, 10L, 20L))
+    val body = LoopbackRestServer.lastBody.get()
+    assert(body.contains("\"terms\"") && body.contains("\"id\":[5,10,20]"),
+      s"the build-side keys must ship as a terms filter: $body")
+  }
+
+  test("runtime pruning on analyzed text retargets to .keyword; no-subfield text declines") {
+    val t = textTable("dyn_es2")
+    val dim = spark.range(0, 5).filter(col("id") === 3L)
+      .select(concat(lit("Title "), col("id").cast("string")).as("dtitle"))
+    val df = spark.table(t).join(broadcast(dim), col("title") === col("dtitle"))
+      .select("id")
+    val got = df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 60L).filter(_ % 5 == 3).toSeq)
+    val body = LoopbackRestServer.lastBody.get()
+    assert(body.contains("\"title.keyword\":[\"Title 3\"]"),
+      s"runtime terms on analyzed text must target the keyword subfield: $body")
+
+    // `body` has NO keyword subfield: the scan must decline the runtime
+    // filter (terms on the raw field would match analyzed tokens, not
+    // values — silently dropping every matching row) and stay correct
+    val dim2 = spark.range(0, 7).filter(col("id") === 4L)
+      .select(concat(lit("Body text "), col("id").cast("string")).as("dbody"))
+    val df2 = spark.table(t).join(broadcast(dim2), col("body") === col("dbody"))
+      .select("id")
+    val got2 = df2.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 == (0L until 60L).filter(_ % 7 == 4).toSeq)
+    assert(!LoopbackRestServer.lastBody.get().contains("Body text 4"),
+      s"a non-retargetable runtime key must never ship: ${LoopbackRestServer.lastBody.get()}")
+  }
 }

@@ -628,6 +628,78 @@ class MongoSourceSpec extends AnyFunSuite {
     want.foreach { case (k, v) => assert(got(k) == v, s"group $k") }
   }
 
+  // ---- runtime semi-join reduction (dynamic filtering) ---------------------
+
+  test("a broadcast dim join ships the build-side keys as a runtime $in") {
+    val t = table("dyn1")
+    // selective dim: 3 ids out of 400 — the classic fact⋈dim reduction.
+    // Built over range() so the selective Filter SURVIVES optimization
+    // (Filter-over-LocalRelation constant-folds away, and DPP requires a
+    // live selective predicate on the build side).
+    val dim = spark.range(0, 31)
+      .filter(col("id").isin(5L, 10L, 20L))
+      .select(col("id").as("dim_id"),
+        when(col("id") === 20L, "y").otherwise("x").as("cat"))
+    val df = spark.table(t)
+      .join(broadcast(dim), col("id") === col("dim_id"))
+      .select("id", "seg", "cat")
+    val got = df.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == Set((5L, "x"), (10L, "x"), (20L, "y")))
+    val find = LoopbackMongoServer.lastFind.get()
+    assert(find.contains("$in"),
+      s"the build-side keys must reach the wire as \\$$in: $find")
+    assert(find.contains("5") && find.contains("10") && find.contains("20"), find)
+    assert(!find.contains("30"),
+      s"a dim row the build filter dropped must not ship: $find")
+  }
+
+  test("runtime keys AND with the static pushed filter and the split ranges") {
+    val (t, _) = splitTable("dyn2", Seq(100L, 200L, 300L))
+    val dim = spark.range(0, 400)
+      .filter(col("id").isin(9L, 15L, 150L, 333L))
+      .select(col("id").as("dim_id"))
+    val df = spark.table(t)
+      .filter(col("bal") >= 0.0)
+      .join(broadcast(dim), col("id") === col("dim_id"))
+      .select("id", "bal")
+    val got = df.collect().map(_.getLong(0)).toSet
+    assert(got == Set(9L, 15L, 150L, 333L))
+    val find = LoopbackMongoServer.lastFind.get()
+    assert(find.contains("$in") && find.contains("$gte"),
+      s"runtime \\$$in must AND with the static filter and range slice: $find")
+  }
+
+  test("a pushed aggregate prunes whole groups via a leading runtime $match") {
+    val t = table("dyn3")
+    val dim = spark.range(0, 3)
+      .filter(col("id") === 0L)
+      .select(when(col("id") === 0L, "A").otherwise("B").as("dseg"))
+    val agg = spark.table(t).groupBy("seg").agg(count(lit(1)).as("n"))
+    val df = agg.join(broadcast(dim), col("seg") === col("dseg"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A" -> rows.count(_(1) == "A").toLong))
+    val cmd = LoopbackMongoServer.lastAggregate.get()
+    assert(!cmd.contains("$in") ||
+      (cmd.indexOf("$match") >= 0 && cmd.indexOf("$match") < cmd.indexOf("$group")),
+      s"group-key pruning must ride a \\$$match BEFORE the \\$$group: $cmd")
+  }
+
+  test("beyond the key cap or a non-wire-exact type the runtime filter declines") {
+    val t = table("dyn4")
+    // decimal literals aren't wire-exact: filter() must decline, join stays correct
+    val scan = new MongoScan(
+      MongoEndpoints.get("mongotest", "dyn4").get, schema, BDoc.empty,
+      None, None, -1, Array.empty)
+    val dec = org.apache.spark.sql.connector.expressions.Expressions.literal(
+      new java.math.BigDecimal("1.5"))
+    val ref = org.apache.spark.sql.connector.expressions.Expressions.column("bal")
+    scan.filter(Array(new org.apache.spark.sql.connector.expressions.filter.Predicate(
+      "IN", Array(ref, dec))))
+    assert(scan.runtimeFilterDesc.isEmpty,
+      "a non-wire-exact literal must decline the whole predicate")
+    assert(spark.table(t).count() == 400L)
+  }
+
   test("unsupported pipeline stages fail loudly server-side") {
     LoopbackMongoServer.register("agg5", schema, rows)
     val c = client()

@@ -558,4 +558,17 @@ class PlanSpec extends AnyFunSuite {
     assert(formatted("q_text_keywords").contains("term_freqs"),
       "per-row tf must use the native term_freqs expression")
   }
+
+  test("q_src_join_dynfilter: dim keys flow back into the Mongo scan as $in") {
+    val df = SparkEntry.queries("q_src_join_dynfilter")(spark, sfDir)
+    val n = df.collect().length
+    assert(n > 0, "gate must be non-empty at sf0.001")
+    // the physical plan carries the dynamic-pruning runtime filter on the
+    // wire scan, and the find that actually shipped ANDs the $in
+    assert(formatted("q_src_join_dynfilter").contains("dynamicpruning"),
+      s"runtime filter missing:\n${formatted("q_src_join_dynfilter")}")
+    val find = graft.sources.LoopbackMongoServer.lastFind.get()
+    assert(find.contains("$in"),
+      s"the broadcast dim's keys must reach the wire as \\$$in: $find")
+  }
 }
