@@ -761,6 +761,35 @@ object Federation {
         .orderBy("o_orderkey")
     },
 
+    // CQL aggregation pushdown (beyond-ref; real Cassandra GROUP BY,
+    // CASSANDRA-10707): groups on the partition key compile to `GROUP BY`
+    // in the shipped CQL with sums/avgs wrapped in cast(...) — CQL's
+    // native sum(int) WRAPS and avg(int) TRUNCATES, so the casts are
+    // correctness, not style. The grouped scan KEEPS the 4-way token
+    // fan-out: every group binds the full partition key, so each token
+    // range holds complete groups and the union is exact (CqlSourceSpec
+    // asserts the bare plan, the shipped GROUP BY text, and the fan-out).
+    GQuery(
+      "q_src_cql_agg",
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |       CAST(min(c_custkey) AS BIGINT) AS min_key,
+        |       CAST(max(c_acctbal) AS DOUBLE) AS max_bal,
+        |       CAST(sum(c_nationkey) AS BIGINT) AS sum_nat,
+        |       avg(c_nationkey) AS avg_nat
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.CqlSourceName}.customer_cql")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          min("c_custkey").as("min_key"),
+          max("c_acctbal").as("max_bal"),
+          sum("c_nationkey").as("sum_nat"),
+          avg("c_nationkey").as("avg_nat"))
+        .orderBy("c_mktsegment")
+    },
+
     // CQL-PROTOCOL scan over a real socket (reference: sql_to_cql.go:
     // 430-560 pushes only simple comparisons on partition/clustering key
     // columns — "MUST follow rules of partition keys" — and polyfills

@@ -189,10 +189,30 @@ object CqlToken {
 object CqlEval {
 
   final case class Stmt(cols: Seq[String], table: String,
-      where: Seq[(String, String, String)], limit: Int)
+      where: Seq[(String, String, String)], limit: Int,
+      groupBy: Seq[String] = Nil)
 
   private val SelectRe =
-    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\S+?)(?:\s+WHERE\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s*""".r
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\S+?)(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+([\w.,\s]+?))?(?:\s+LIMIT\s+(\d+))?\s*""".r
+
+  /** One parsed aggregate select item: `count(*)`, `count(c)`,
+    * `min/max/sum/avg(c)`, or the same over `cast(c as type)` (the CQL
+    * cast a type-honest client ships to avoid Cassandra's type-preserving
+    * sum/avg — `sum(int)` wraps at 2³¹ and `avg(int)` truncates). */
+  final case class AggItem(func: String, col: String, cast: Option[String])
+
+  private val AggRe =
+    """(?is)\s*(count|min|max|sum|avg)\s*\(\s*(?:(\*)|cast\s*\(\s*([\w.]+)\s+as\s+(\w+)\s*\)|([\w.]+))\s*\)\s*""".r
+
+  /** Parse a select item as an aggregate, or None for a plain column. */
+  def aggItem(s: String): Option[AggItem] = s match {
+    case AggRe(f, star, castCol, castTy, col) =>
+      if (star != null) {
+        if (f.equalsIgnoreCase("count")) Some(AggItem("count", "*", None)) else None
+      } else if (castCol != null) Some(AggItem(f.toLowerCase, castCol, Some(castTy.toLowerCase)))
+      else Some(AggItem(f.toLowerCase, col, None))
+    case _ => None
+  }
 
   /** Split a WHERE clause on top-level `AND` (any surrounding
     * whitespace, incl. newlines) — a quote-aware scan, because a string
@@ -230,7 +250,7 @@ object CqlEval {
   }
 
   def parse(cql: String): Stmt = cql match {
-    case SelectRe(cols, table, where, limit) =>
+    case SelectRe(cols, table, where, groupBy, limit) =>
       val conds = Option(where).map(w => splitConjuncts(w).map { c =>
         // LHS is a column name OR the token() function over the
         // partition key (Cassandra's parallel-full-scan surface)
@@ -241,7 +261,9 @@ object CqlEval {
         }
       }).getOrElse(Nil)
       Stmt(cols.split(",").map(_.trim).toSeq, table.trim,
-        conds, Option(limit).map(_.toInt).getOrElse(-1))
+        conds, Option(limit).map(_.toInt).getOrElse(-1),
+        Option(groupBy).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+          .getOrElse(Nil))
     case other => throw new IllegalArgumentException(s"cannot parse CQL: $other")
   }
 
@@ -662,29 +684,154 @@ object LoopbackCqlServer {
         }
       }
     }
-    val limited = if (stmt.limit > 0) matched.take(stmt.limit) else matched
-    val outIdx = stmt.cols.map { c =>
-      val i = fieldIdx(c)
-      require(i >= 0, s"undefined column name $c")
-      i
-    }
-    val cols = outIdx.map(i => (t.schema.fields(i).name,
-      CqlGen.typeId(t.schema.fields(i).dataType)))
+    val isAgg = stmt.groupBy.nonEmpty ||
+      stmt.cols.exists(c => CqlEval.aggItem(c).isDefined)
+    val (cols, encodedAll) =
+      if (isAgg) runAggregate(t, stmt, matched, fieldIdx)
+      else {
+        val limited = if (stmt.limit > 0) matched.take(stmt.limit) else matched
+        val outIdx = stmt.cols.map { c =>
+          val i = fieldIdx(c)
+          require(i >= 0, s"undefined column name $c")
+          i
+        }
+        (outIdx.map(i => (t.schema.fields(i).name,
+          CqlGen.typeId(t.schema.fields(i).dataType))),
+          limited.map(r => outIdx.map(i =>
+            CqlWire.encodeValue(r(i), CqlGen.typeId(t.schema.fields(i).dataType))).toArray))
+      }
 
     // paging: opaque state = row offset
     val offset = Option(q.pagingState)
       .map(s => java.nio.ByteBuffer.wrap(s).getLong.toInt).getOrElse(0)
     val pageSize = if (q.pageSize > 0) q.pageSize else Int.MaxValue
-    val page = limited.slice(offset, math.min(limited.size.toLong,
+    val page = encodedAll.slice(offset, math.min(encodedAll.size.toLong,
       offset.toLong + pageSize).toInt)
     val nextState =
-      if (offset + page.size < limited.size)
+      if (offset + page.size < encodedAll.size)
         java.nio.ByteBuffer.allocate(8).putLong((offset + page.size).toLong).array()
       else null
-    val encoded = page.map(r => outIdx.map(i =>
-      CqlWire.encodeValue(r(i), CqlGen.typeId(t.schema.fields(i).dataType))).toArray)
     Frame(Op.Result, f.stream,
-      CqlWire.rowsBody(Keyspace, stmt.table, cols, encoded, nextState))
+      CqlWire.rowsBody(Keyspace, stmt.table, cols, page, nextState))
+  }
+
+  /** Real-engine GROUP BY + aggregate execution (CASSANDRA-10707
+    * semantics): groups must be the primary-key columns, in key order,
+    * covering the whole partition key; `count` skips nulls; `sum`/`avg`
+    * PRESERVE the argument type (int sums wrap, int avg truncates) —
+    * which is exactly why the connector ships `cast(col as bigint|
+    * double)` inside them; `avg` over zero non-null values is 0, not
+    * NULL (the client's companion count disambiguates); min/max skip
+    * nulls; a global aggregate always returns exactly ONE row; LIMIT
+    * applies to the GROUPED rows. */
+  private def runAggregate(t: CqlTableData, stmt: CqlEval.Stmt,
+      matched: Seq[Array[Any]], fieldIdx: String => Int)
+      : (Seq[(String, Int)], Seq[Array[Array[Byte]]]) = {
+    val keys = (t.partitionKeys ++ t.clusteringKeys).map(_.toLowerCase)
+    val g = stmt.groupBy.map(_.toLowerCase)
+    if (g.nonEmpty) {
+      require(g == keys.take(g.size),
+        s"Group by is currently only supported on the columns of the PRIMARY KEY, " +
+          s"got ${stmt.groupBy.mkString(", ")}")
+      require(g.size >= t.partitionKeys.size,
+        "Group by is not supported on only a part of the partition key")
+    }
+    val items = stmt.cols.map { c =>
+      CqlEval.aggItem(c) match {
+        case Some(a) =>
+          if (a.col != "*") require(fieldIdx(a.col) >= 0, s"undefined column name ${a.col}")
+          Right(a)
+        case None =>
+          val i = fieldIdx(c)
+          require(i >= 0, s"undefined column name $c")
+          require(g.contains(c.toLowerCase),
+            s"cannot select non-grouped column $c in an aggregate with GROUP BY")
+          Left(i)
+      }
+    }
+    def castDt(a: CqlEval.AggItem): DataType = {
+      val base =
+        if (a.col == "*") LongType else t.schema.fields(fieldIdx(a.col)).dataType
+      a.cast match {
+        case Some("bigint") => LongType
+        case Some("double") => DoubleType
+        case Some("int") => IntegerType
+        case Some(other) => throw new IllegalArgumentException(s"unsupported cast target $other")
+        case None => base
+      }
+    }
+    def castVal(v: Any, a: CqlEval.AggItem): Any = (v, a.cast) match {
+      case (null, _) | (_, None) => v
+      case (n: Number, Some("bigint")) => n.longValue(): java.lang.Long
+      case (n: Number, Some("double")) => n.doubleValue(): java.lang.Double
+      case (n: Number, Some("int")) => n.intValue(): java.lang.Integer
+      case (other, Some(ty)) =>
+        throw new IllegalArgumentException(s"cannot cast $other to $ty")
+    }
+    def run(a: CqlEval.AggItem, grp: Seq[Array[Any]]): Any = {
+      val vals: Seq[Any] =
+        if (a.col == "*") grp.map(_ => 1L: java.lang.Long)
+        else grp.map(r => castVal(r(fieldIdx(a.col)), a)).filter(_ != null)
+      a.func match {
+        case "count" => vals.size.toLong: java.lang.Long
+        case "min" | "max" =>
+          val sign = if (a.func == "min") -1 else 1
+          vals.foldLeft(null: Any) { (best, v) =>
+            if (best == null) v
+            else if (FilterEval.cmp(v, best).exists(_ * sign > 0)) v else best
+          }
+        case "sum" | "avg" => castDt(a) match {
+          // type-preserving arithmetic, the real engine's (documented)
+          // sharp edge: int sums wrap, int avg truncates, empty is 0
+          case LongType | IntegerType =>
+            val s = vals.foldLeft(0L)(_ + _.asInstanceOf[Number].longValue())
+            val v = if (a.func == "sum") s
+              else if (vals.isEmpty) 0L else s / vals.size
+            if (castDt(a) == IntegerType) v.toInt: java.lang.Integer
+            else v: java.lang.Long
+          case DoubleType | FloatType =>
+            val s = vals.foldLeft(0.0)(_ + _.asInstanceOf[Number].doubleValue())
+            val v = if (a.func == "sum") s
+              else if (vals.isEmpty) 0.0 else s / vals.size
+            if (castDt(a) == FloatType) v.toFloat: java.lang.Float
+            else v: java.lang.Double
+          case other =>
+            throw new IllegalArgumentException(s"cannot ${a.func} a $other column")
+        }
+        case other => throw new IllegalArgumentException(s"unsupported aggregate $other")
+      }
+    }
+    val gIdx = g.map(fieldIdx(_))
+    val grouped: Seq[Seq[Array[Any]]] =
+      if (g.isEmpty) Seq(matched) // a global aggregate: ONE row, even empty
+      else {
+        val order = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+        val byKey = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], scala.collection.mutable.ArrayBuffer[Array[Any]]]
+        matched.foreach { r =>
+          val k = gIdx.map(r(_)).toSeq
+          byKey.getOrElseUpdate(k, { order += k; scala.collection.mutable.ArrayBuffer.empty }) += r
+        }
+        order.toSeq.map(k => byKey(k).toSeq)
+      }
+    val limited = if (stmt.limit > 0) grouped.take(stmt.limit) else grouped
+    val outCols: Seq[(String, Int)] = items.zip(stmt.cols).map {
+      case (Left(i), _) =>
+        (t.schema.fields(i).name, CqlGen.typeId(t.schema.fields(i).dataType))
+      case (Right(a), raw) =>
+        val dt = if (a.func == "count") LongType else castDt(a)
+        (s"system.${raw.toLowerCase}", CqlGen.typeId(dt))
+    }
+    val rows = limited.map { grp =>
+      items.zipWithIndex.map { case (item, ci) =>
+        val (v, tid) = item match {
+          case Left(i) =>
+            (grp.headOption.map(_(i)).orNull, CqlGen.typeId(t.schema.fields(i).dataType))
+          case Right(a) => (run(a, grp), outCols(ci)._2)
+        }
+        CqlWire.encodeValue(v, tid)
+      }.toArray
+    }
+    (outCols, rows)
   }
 }
 
@@ -898,14 +1045,98 @@ class CqlWriterFactory(spec: CqlEndpointSpec, schemaJson: String, table: String)
   * the SELECT list, LIMIT in the CQL. A production deployment splits the
   * token ring into one partition per range (gocql's session does this
   * implicitly); the loopback single-node serves one partition. */
+/** SQL aggregate → CQL translation under CASSANDRA-10707's rules: GROUP
+  * BY is legal only on primary-key columns in key order covering the
+  * whole partition key, so that is exactly the translatable surface.
+  * Sums and averages ship `cast(col as bigint|double)` inside the
+  * aggregate — Cassandra's native `sum(int)` is type-preserving (wraps
+  * at 2³¹) and `avg(int)` truncates, both of which would silently
+  * diverge from SQL. SUM/AVG over zero non-null values is NULL in SQL
+  * but 0 in CQL; a companion `count(col)` per sum/avg disambiguates
+  * (the reader nulls a 0-count value). COUNT(DISTINCT) has no CQL
+  * spelling — declined, Spark polyfills over the row scan. */
+object CqlAgg {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  /** (group cols in SPARK's output order, group cols in KEY order,
+    * select-item kinds). A kind is (cqlText, tag, outType) where tag ∈
+    * count|minmax|sum|avg; sum/avg carry a companion count(col). */
+  final case class Spec(groupOut: Seq[String], groupKeyOrder: Seq[String],
+      aggs: Seq[(String, String, DataType)])
+
+  private def orderable(dt: DataType): Boolean = dt match {
+    case ShortType | IntegerType | LongType | FloatType | DoubleType |
+         StringType | TimestampType | BooleanType => true
+    case _ => false
+  }
+
+  def translate(a: Aggregation, ep: CqlEndpoint): Option[Spec] = {
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+            if nr.fieldNames().length == 1 =>
+          ep.schema.fields.find(_.name.equalsIgnoreCase(nr.fieldNames()(0)))
+        case _ => None
+      }
+    val groups = a.groupByExpressions().toSeq.map(fieldOf)
+    if (groups.exists(_.isEmpty)) return None
+    val groupNames = groups.map(_.get.name)
+    // the key-prefix rule: group set == partition key + clustering prefix
+    val keys = ep.partitionKeys ++ ep.clusteringKeys
+    val keyOrder = keys.filter(k => groupNames.exists(_.equalsIgnoreCase(k)))
+    if (groupNames.size != keyOrder.size ||
+        keyOrder.map(_.toLowerCase) != keys.take(keyOrder.size).map(_.toLowerCase) ||
+        keyOrder.size < ep.partitionKeys.size)
+      return None
+    if (groups.exists(g => !orderable(g.get.dataType))) return None
+    val aggs: Seq[Option[(String, String, DataType)]] = a.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(("count(*)", "count", LongType))
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column()).map(f => (s"count(${f.name})", "count", LongType))
+      case m: Min => fieldOf(m.column()).filter(f => orderable(f.dataType))
+        .map(f => (s"min(${f.name})", "minmax", f.dataType))
+      case m: Max => fieldOf(m.column()).filter(f => orderable(f.dataType))
+        .map(f => (s"max(${f.name})", "minmax", f.dataType))
+      case s: Sum if !s.isDistinct => fieldOf(s.column()).flatMap { f =>
+        f.dataType match {
+          case ShortType | IntegerType | LongType =>
+            Some((s"sum(cast(${f.name} as bigint))", "sum", LongType))
+          case FloatType | DoubleType =>
+            Some((s"sum(cast(${f.name} as double))", "sum", DoubleType))
+          case _ => None
+        }
+      }
+      case av: Avg if !av.isDistinct => fieldOf(av.column())
+        .filter(f => f.dataType.isInstanceOf[NumericType] && orderable(f.dataType))
+        .map(f => (s"avg(cast(${f.name} as double))", "avg", DoubleType))
+      case _ => None // COUNT(DISTINCT), expressions: Spark polyfills
+    }
+    if (aggs.exists(_.isEmpty)) None
+    else Some(Spec(groupNames, keyOrder, aggs.map(_.get)))
+  }
+
+  /** The select list [[Spec]] compiles to: group columns (Spark order),
+    * then each aggregate followed by its companion count where needed. */
+  def selectList(spec: Spec): Seq[String] =
+    spec.groupOut ++ spec.aggs.flatMap { case (sql, tag, _) =>
+      if (tag == "sum" || tag == "avg") {
+        // the companion counts the SAME column the sum/avg casts
+        val col = sql.substring(sql.indexOf("cast(") + 5, sql.indexOf(" as "))
+        Seq(sql, s"count($col)")
+      } else Seq(sql)
+    }
+}
+
 class CqlScanBuilder(ep: CqlEndpoint, hint: Option[Int] = None) extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
 
   private var accepted: CqlGen.Accepted = CqlGen.Accepted(Nil, Nil)
   private var required: StructType = ep.schema
   private var limit: Int = -1
+  private var agg: Option[CqlAgg.Spec] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (acc, residual) = CqlGen.split(filters.toSeq,
@@ -921,23 +1152,47 @@ class CqlScanBuilder(ep: CqlEndpoint, hint: Option[Int] = None) extends ScanBuil
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan = {
-    val cols =
-      if (required.fields.isEmpty) Seq(ep.schema.fieldNames.head)
-      else required.fieldNames.toSeq
-    new CqlScan(ep, required, cols, accepted.where, limit, accepted.pushed.toArray, hint)
+  /** `$group`-style COMPLETE-only pushdown: the server's GROUP BY rows
+    * are final buckets ([[CqlAgg]] for the rule set and cast guards). */
+  override def supportCompletePushDown(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    CqlAgg.translate(a, ep).isDefined
+  override def pushAggregation(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    CqlAgg.translate(a, ep) match {
+      case Some(s) => agg = Some(s); true
+      case None => false
+    }
+
+  override def build(): Scan = agg match {
+    case Some(spec) =>
+      val outSchema = StructType(
+        spec.groupOut.map(g => ep.schema.fields(
+          ep.schema.fieldNames.indexWhere(_.equalsIgnoreCase(g)))) ++
+          spec.aggs.zipWithIndex.map { case ((_, _, dt), i) =>
+            StructField(s"agg_$i", dt, nullable = true) })
+      new CqlScan(ep, outSchema, CqlAgg.selectList(spec), accepted.where,
+        limit, accepted.pushed.toArray, hint,
+        groupBy = spec.groupKeyOrder, aggKinds = spec.aggs.map(_._2))
+    case None =>
+      val cols =
+        if (required.fields.isEmpty) Seq(ep.schema.fieldNames.head)
+        else required.fieldNames.toSeq
+      new CqlScan(ep, required, cols, accepted.where, limit, accepted.pushed.toArray, hint)
   }
 }
 
 class CqlScan(ep: CqlEndpoint, required: StructType, cols: Seq[String],
     where: Seq[String], limit: Int, pushed: Array[Filter],
-    hint: Option[Int] = None) extends Scan with Batch {
+    hint: Option[Int] = None, groupBy: Seq[String] = Nil,
+    aggKinds: Seq[String] = Nil) extends Scan with Batch {
 
   private def render(extra: Seq[String]): String = {
     val w = where ++ extra
     val sb = new StringBuilder("SELECT ")
     sb.append(cols.mkString(", ")).append(" FROM ").append(ep.table)
     if (w.nonEmpty) sb.append(" WHERE ").append(w.mkString(" AND "))
+    if (groupBy.nonEmpty) sb.append(" GROUP BY ").append(groupBy.mkString(", "))
     if (limit > 0) sb.append(" LIMIT ").append(limit)
     sb.toString
   }
@@ -959,15 +1214,23 @@ class CqlScan(ep: CqlEndpoint, required: StructType, cols: Seq[String],
     * token() and partition-key relations, and a bound partition key IS
     * the single-replica fast path. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = if (where.nonEmpty) 1 else WireFanout.effective(ep.fanout, hint)
-    if (n <= 1) Array(CqlPartition(ep.spec, render(Nil), required.json))
+    // Grouped aggregates may STILL fan out over token ranges: the group
+    // rule guarantees every group binds the full partition key, all of a
+    // group's rows share one token, so each token range holds complete
+    // groups and the union of ranges is exactly the grouped result. A
+    // GLOBAL aggregate (no GROUP BY) must stay one task — per-range
+    // results would be partials, but the scan's contract is final rows.
+    val n =
+      if (where.nonEmpty || (aggKinds.nonEmpty && groupBy.isEmpty)) 1
+      else WireFanout.effective(ep.fanout, hint)
+    if (n <= 1) Array(CqlPartition(ep.spec, render(Nil), required.json, aggKinds))
     else {
       val tok = s"token(${ep.partitionKeys.mkString(", ")})"
       val bs = CqlToken.bounds(n)
       Array.tabulate(n) { i =>
         val lo = if (i == 0) Nil else Seq(s"$tok > ${bs(i - 1)}")
         val hi = if (i == n - 1) Nil else Seq(s"$tok <= ${bs(i)}")
-        CqlPartition(ep.spec, render(lo ++ hi), required.json)
+        CqlPartition(ep.spec, render(lo ++ hi), required.json, aggKinds)
       }
     }
   }
@@ -976,7 +1239,7 @@ class CqlScan(ep: CqlEndpoint, required: StructType, cols: Seq[String],
 }
 
 final case class CqlPartition(spec: CqlEndpointSpec, cql: String,
-    requiredSchemaJson: String) extends InputPartition
+    requiredSchemaJson: String, aggKinds: Seq[String] = Nil) extends InputPartition
 
 class CqlReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -985,13 +1248,34 @@ class CqlReaderFactory extends PartitionReaderFactory {
     val client = new CqlClientLite(p.spec.host, p.spec.port, p.spec.cfg)
     val conv = CatalystTypeConverters.createToCatalystConverter(required)
     val it = client.query(p.cql).map { case (cols, cells) =>
-      val byName = cols.map(_._1.toLowerCase).zipWithIndex.toMap
-      conv(Row.fromSeq(required.fields.toSeq.map { f =>
-        byName.get(f.name.toLowerCase) match {
-          case Some(i) => CqlWire.decodeValue(cells(i), cols(i)._2)
-          case None => null
+      if (p.aggKinds.nonEmpty) {
+        // POSITIONAL agg decode: group columns, then per aggregate its
+        // value — sums/avgs followed by a companion count(col) that
+        // restores SQL's NULL over zero non-null values (CQL's is 0)
+        val groupCount = required.fields.length - p.aggKinds.size
+        val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var ci = 0
+        (0 until groupCount).foreach { _ =>
+          vals += CqlWire.decodeValue(cells(ci), cols(ci)._2); ci += 1
         }
-      })).asInstanceOf[InternalRow]
+        p.aggKinds.foreach { kind =>
+          val v = CqlWire.decodeValue(cells(ci), cols(ci)._2); ci += 1
+          if (kind == "sum" || kind == "avg") {
+            val n = CqlWire.decodeValue(cells(ci), cols(ci)._2)
+              .asInstanceOf[Number].longValue(); ci += 1
+            vals += (if (n == 0L) null else v)
+          } else vals += v
+        }
+        conv(Row.fromSeq(vals.toSeq)).asInstanceOf[InternalRow]
+      } else {
+        val byName = cols.map(_._1.toLowerCase).zipWithIndex.toMap
+        conv(Row.fromSeq(required.fields.toSeq.map { f =>
+          byName.get(f.name.toLowerCase) match {
+            case Some(i) => CqlWire.decodeValue(cells(i), cols(i)._2)
+            case None => null
+          }
+        })).asInstanceOf[InternalRow]
+      }
     }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _

@@ -407,4 +407,120 @@ class CqlSourceSpec extends AnyFunSuite {
       CqlGen.typeId(ArrayType(MapType(StringType, LongType))))
     assert(e3.getMessage.contains("nested CQL collections unsupported"))
   }
+
+  // ---- aggregation pushdown (GROUP BY under CASSANDRA-10707 rules) --------
+
+  test("grouped aggregates push as CQL GROUP BY with token fan-out: bare plan, exact union") {
+    LoopbackCqlServer.register("agg1", schema, Seq("seg"), Seq("id"), rows)
+    val (host, port) = LoopbackCqlServer.ensureStarted()
+    CqlEndpoints.register(CqlEndpoint("cqltest", "agg1", schema, Seq("seg"), Seq("id"),
+      CqlEndpointSpec(host, port, "agg1", CqlClientConfig(pageSize = 64, retryBackoffMs = 5)),
+      fanout = 4))
+    SourceRegistry.ensureCatalog(spark)
+    val df = spark.table(s"${SourceRegistry.CatalogName}.cqltest.agg1")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("bal").as("max_bal"),
+        sum("id").as("sum_id"), avg("id").as("avg_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"complete pushdown must leave NO engine aggregate:\n$plan")
+    assert(df.rdd.getNumPartitions == 4,
+      "full-partition-key groups live in ONE token range each — fan-out is sound")
+    val got = df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    rows.groupBy(_(0).asInstanceOf[String]).foreach { case (seg, rs) =>
+      val ids = rs.map(_(1).asInstanceOf[Long])
+      assert(got(seg) == ((rs.size.toLong, ids.min, rs.map(_(3).asInstanceOf[Double]).max,
+        ids.sum, ids.sum.toDouble / ids.size)), s"group $seg")
+    }
+    val cql = LoopbackCqlServer.lastCql.get()
+    assert(cql.contains("GROUP BY seg"), cql)
+    assert(cql.contains("sum(cast(id as bigint))") &&
+      cql.contains("avg(cast(id as double))"),
+      s"sums/avgs must cast — CQL's native ones wrap/truncate: $cql")
+    assert(cql.contains("count(id)"), s"companion counts must ship: $cql")
+    assert(cql.contains("token("), s"grouped aggs keep the token fan-out: $cql")
+  }
+
+  test("a GLOBAL aggregate collapses fan-out to one task (per-range rows would be partials)") {
+    LoopbackCqlServer.register("agg2", schema, Seq("seg"), Seq("id"), rows)
+    val (host, port) = LoopbackCqlServer.ensureStarted()
+    CqlEndpoints.register(CqlEndpoint("cqltest", "agg2", schema, Seq("seg"), Seq("id"),
+      CqlEndpointSpec(host, port, "agg2", CqlClientConfig(pageSize = 64, retryBackoffMs = 5)),
+      fanout = 4))
+    SourceRegistry.ensureCatalog(spark)
+    val df = spark.table(s"${SourceRegistry.CatalogName}.cqltest.agg2")
+      .agg(count(lit(1)).as("n"), sum("id").as("s"))
+    assert(df.rdd.getNumPartitions == 1)
+    val r = df.collect().head
+    assert(r.getLong(0) == 400L && r.getLong(1) == (0L until 400L).sum)
+  }
+
+  test("SUM/AVG over an all-null group is NULL; COUNT(col) counts non-null only") {
+    val s2 = StructType(Seq(StructField("seg", StringType),
+      StructField("id", LongType), StructField("v", LongType)))
+    val rs: Seq[Array[Any]] = Seq(
+      Array[Any]("A", 1L, 10L), Array[Any]("A", 2L, null), Array[Any]("A", 3L, 5L),
+      Array[Any]("B", 4L, null), Array[Any]("B", 5L, null))
+    LoopbackCqlServer.register("agg3", s2, Seq("seg"), Seq("id"), rs)
+    val (host, port) = LoopbackCqlServer.ensureStarted()
+    CqlEndpoints.register(CqlEndpoint("cqltest", "agg3", s2, Seq("seg"), Seq("id"),
+      CqlEndpointSpec(host, port, "agg3", CqlClientConfig(retryBackoffMs = 5))))
+    SourceRegistry.ensureCatalog(spark)
+    val df = spark.table(s"${SourceRegistry.CatalogName}.cqltest.agg3")
+      .groupBy("seg")
+      .agg(sum("v").as("sum_v"), count("v").as("n_v"), avg("v").as("avg_v"))
+    assert(!df.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    val got = df.collect().map(r => r.getString(0) ->
+      ((if (r.isNullAt(1)) null else r.getLong(1)): Any, r.getLong(2),
+        (if (r.isNullAt(3)) null else r.getDouble(3)): Any)).toMap
+    assert(got("A") == ((15L, 2L, 7.5)), s"got ${got("A")}")
+    assert(got("B") == ((null, 0L, null)),
+      s"CQL's 0-for-empty must read back as SQL NULL — got ${got("B")}")
+  }
+
+  test("clustering-prefix groups push; non-key and COUNT(DISTINCT) decline") {
+    val t = table("agg4")
+    // (seg, id) = full primary key: pushes
+    val fine = spark.table(t).groupBy("seg", "id").agg(count(lit(1)).as("n"))
+    assert(!fine.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(fine.collect().length == 400)
+    // name is not a key column: Cassandra refuses, Spark polyfills
+    val poly = spark.table(t).groupBy("name").agg(count(lit(1)).as("n"))
+    assert(poly.queryExecution.executedPlan.toString.contains("Aggregate"),
+      "non-key grouping must polyfill engine-side")
+    assert(poly.collect().length == 400)
+    // COUNT(DISTINCT) has no CQL spelling
+    val cd = spark.table(t).agg(countDistinct("seg").as("n"))
+    assert(cd.queryExecution.executedPlan.toString.contains("Aggregate"))
+    assert(cd.collect().head.getLong(0) == 3L)
+  }
+
+  test("the server enforces the real GROUP BY rules") {
+    LoopbackCqlServer.register("agg5", schema, Seq("seg"), Seq("id"), rows)
+    val c = client()
+    // non-primary-key grouping
+    val e1 = intercept[java.io.IOException](
+      c.query("SELECT name, count(*) FROM agg5 GROUP BY name").size)
+    assert(e1.getMessage.contains("only supported on the columns of the PRIMARY KEY"),
+      e1.getMessage)
+    // key columns out of order (clustering before partition)
+    val e2 = intercept[java.io.IOException](
+      c.query("SELECT count(*) FROM agg5 GROUP BY id").size)
+    assert(e2.getMessage.contains("PRIMARY KEY") ||
+      e2.getMessage.contains("partition key"), e2.getMessage)
+    // type-preserving native avg: avg(bigint) TRUNCATES — the sharp edge
+    // the connector's cast avoids (ids 0..3 in seg A are 0,3 -> avg 1)
+    val rows2 = c.query("SELECT seg, avg(id) FROM agg5 GROUP BY seg").toSeq
+    val decoded = rows2.map { case (cols, cells) =>
+      (CqlWire.decodeValue(cells(0), cols(0)._2).asInstanceOf[String],
+        CqlWire.decodeValue(cells(1), cols(1)._2).asInstanceOf[Long])
+    }.toMap
+    val want = rows.groupBy(_(0).asInstanceOf[String]).map { case (s, rs) =>
+      val ids = rs.map(_(1).asInstanceOf[Long])
+      s -> ids.sum / ids.size // integer division: the truncation is real
+    }
+    assert(decoded == want)
+    c.close()
+  }
 }
