@@ -761,6 +761,25 @@ object Federation {
         .orderBy("o_orderkey")
     },
 
+    // OFFSET pushdown over the Mongo wire (reference: sql_to_mgo.go:
+    // 220-245 passes filter/sort/limit/skip into one query): ORDER BY +
+    // LIMIT + OFFSET compile to sort+skip+limit in ONE find command —
+    // the keyset-less paging shape BI tools emit. A pushed offset is
+    // fully delegated (Spark drops its Offset node), so the scan only
+    // accepts it single-request: fanned-out scans decline and polyfill
+    // (MongoSourceSpec asserts both sides of that rule on the wire).
+    GQuery(
+      "q_src_mongo_skip",
+      """SELECT n_nationkey, n_name FROM nation
+        |ORDER BY n_nationkey LIMIT 10 OFFSET 5""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.MongoSourceName}.nation_mongo")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+        .offset(5)
+        .limit(10)
+    },
+
     // CQL aggregation pushdown (beyond-ref; real Cassandra GROUP BY,
     // CASSANDRA-10707): groups on the partition key compile to `GROUP BY`
     // in the shipped CQL with sums/avgs wrapped in cast(...) — CQL's

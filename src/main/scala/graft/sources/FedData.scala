@@ -445,6 +445,19 @@ object FedData {
       }
       // Mongo collection registered with NO declared schema: field types
       // inferred by sampling documents over the wire (mgo_source.go:269-311)
+      // small UNSPLIT Mongo collection (one chunk — under the splitVector
+      // threshold a real mongos reports no split points): the fixture for
+      // single-request paging pushdown (sort+skip+limit in ONE find)
+      if (MongoEndpoints.get(MongoSourceName, "nation_mongo").isEmpty) {
+        val nation = Tables.load(spark, sfDir, "nation")
+        val rows = nation.collect().map(_.toSeq.toArray)
+        LoopbackMongoServer.register("nation_mongo", nation.schema, rows.toSeq)
+        val (host, port) = LoopbackMongoServer.ensureStarted()
+        val spec = MongoEndpointSpec(host, port, LoopbackMongoServer.Db,
+          "nation_mongo", MongoClientConfig(batchSize = 512))
+        MongoEndpoints.register(MongoEndpoint(MongoSourceName, "nation_mongo",
+          MongoDiscovery.inferSchema(spec), spec))
+      }
       if (MongoEndpoints.get(MongoSourceName, "part_mongo").isEmpty) {
         val part = Tables.load(spark, sfDir, "part")
         val rows = part.collect().map(_.toSeq.toArray)

@@ -626,7 +626,7 @@ final class MongoClientLite(host: String, port: Int,
   /** Run `find` and stream the cursor's documents. */
   def find(db: String, coll: String, filter: BDoc,
       projection: Option[BDoc] = None, sort: Option[BDoc] = None,
-      limit: Int = -1, batchSize: Int = -1): Iterator[BDoc] = {
+      limit: Int = -1, batchSize: Int = -1, skip: Int = -1): Iterator[BDoc] = {
     val bs = if (batchSize > 0) batchSize else cfg.batchSize
     val base = Seq(
       "find" -> (coll: Any),
@@ -635,6 +635,7 @@ final class MongoClientLite(host: String, port: Int,
       "batchSize" -> (bs: Any)) ++
       projection.map("projection" -> (_: Any)) ++
       sort.map("sort" -> (_: Any)) ++
+      (if (skip > 0) Seq("skip" -> (skip: Any)) else Nil) ++
       (if (limit > 0) Seq("limit" -> (limit: Any)) else Nil)
     cursorIterator(roundTripRetrying(BDoc(base)), db, coll, bs)
   }
@@ -1044,10 +1045,13 @@ object LoopbackMongoServer {
     val projection = cmd.get("projection").map(_.asInstanceOf[BDoc])
     val sort = cmd.get("sort").map(_.asInstanceOf[BDoc])
     val limit = cmd.get("limit").map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+    val skip = cmd.get("skip").map(_.asInstanceOf[Number].intValue()).getOrElse(0)
     val bs = cmd.get("batchSize").map(_.asInstanceOf[Number].intValue()).getOrElse(101)
 
     var rows = coll.snapshot.filter(r => MongoDsl.eval(filter, r, coll.schema))
     sort.foreach(s => rows = rows.sorted(MongoDsl.sortComparator(s, coll.schema)))
+    // the real server's order: sort, then skip, then limit
+    if (skip > 0) rows = rows.drop(skip)
     if (limit > 0) rows = rows.take(limit)
 
     // projection: {f: 1, ...} keeps the listed fields (no _id here)
@@ -1191,13 +1195,25 @@ class MongoScanBuilder(ep: MongoEndpoint, hint: Option[Int] = None) extends Scan
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
   with SupportsPushDownTopN
+  with SupportsPushDownOffset
   with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ep.schema
   private var limit: Int = -1
+  private var skip: Int = -1
   private var sortDoc: Option[BDoc] = None
   private var agg: Option[(Seq[Int], Seq[MongoAgg.Spec])] = None
+
+  /** OFFSET ships as the find's `skip` (`sql_to_mgo.go:220-245` passes
+    * filter, sort, limit, skip into one query the same way). Unlike
+    * limit, a pushed offset is FULLY delegated — Spark removes its own
+    * Offset node — so it is only sound on a single-request scan: a
+    * fanned-out scan skipping `n` rows per slice would drop n×slices.
+    * Aggregated scans decline too (the pipeline has no skip stage). */
+  override def pushOffset(n: Int): Boolean =
+    if (agg.isDefined || fansOut) false
+    else { skip = n; true }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // only TOP-LEVEL fields compile: a nested reference arrives as a
@@ -1218,7 +1234,17 @@ class MongoScanBuilder(ep: MongoEndpoint, hint: Option[Int] = None) extends Scan
     required = requiredSchema
 
   override def pushLimit(n: Int): Boolean = { limit = n; true }
-  override def isPartiallyPushed(): Boolean = true
+
+  /** Will this scan fan out into per-range slices? (split metadata
+    * present and not collapsed by a key-pinning pushed predicate) */
+  private def fansOut: Boolean = ep.splits.exists(s =>
+    s.points.nonEmpty && !WireFanout.pinsKey(pushed, s.key))
+
+  /** A fanned-out scan serves limit/topN PER SLICE — partial, Spark
+    * re-applies. A single-request scan's server-side sort+limit is
+    * exact — fully pushed, which is also what lets Spark delegate
+    * OFFSET (it only pushes offset below a FULLY pushed limit). */
+  override def isPartiallyPushed(): Boolean = fansOut
 
   /** Mongo's null placement matches Spark's defaults (nulls lowest):
     * accept ASC+NULLS_FIRST and DESC+NULLS_LAST on top-level columns. */
@@ -1274,7 +1300,11 @@ class MongoScanBuilder(ep: MongoEndpoint, hint: Option[Int] = None) extends Scan
         val projection =
           if (required.fieldNames.sameElements(ep.schema.fieldNames)) None
           else Some(BDoc(required.fieldNames.toSeq.map(_ -> (1: Any))))
-        new MongoScan(ep, required, filter, projection, sortDoc, limit, pushed, hint)
+        // Spark pushes limit = (its limit + offset); the wire's limit
+        // counts AFTER skip, so a delegated offset comes off it again
+        val wireLimit = if (skip > 0 && limit > 0) limit - skip else limit
+        new MongoScan(ep, required, filter, projection, sortDoc, wireLimit, pushed,
+          hint, skip = skip)
     }
   }
 }
@@ -1283,7 +1313,7 @@ class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
     projection: Option[BDoc], sort: Option[BDoc], limit: Int,
     pushed: Array[Filter], hint: Option[Int] = None,
     aggPipeline: Option[Seq[BDoc]] = None, aggKinds: Seq[String] = Nil,
-    groupFields: Seq[String] = Nil)
+    groupFields: Seq[String] = Nil, skip: Int = -1)
   extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
@@ -1377,7 +1407,8 @@ class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
   override def planInputPartitions(): Array[InputPartition] = {
     val filter = effectiveFilter // static pushdown ∧ runtime semi-join keys
     def part(f: BDoc) = MongoPartition(ep.spec, Bson.encode(f),
-      projection.map(Bson.encode), sort.map(Bson.encode), limit, required.json)
+      projection.map(Bson.encode), sort.map(Bson.encode), limit, required.json,
+      skip = skip)
     aggPipeline.foreach { stages =>
       // runtime group-key pruning rides its own leading $match (group-key
       // `$in` removes exactly the groups the join above would drop)
@@ -1423,7 +1454,7 @@ final case class MongoPartition(spec: MongoEndpointSpec, filterBson: Array[Byte]
     projectionBson: Option[Array[Byte]], sortBson: Option[Array[Byte]],
     limit: Int, requiredSchemaJson: String,
     pipelineBson: Option[Array[Byte]] = None, aggKinds: Seq[String] = Nil,
-    groupFields: Seq[String] = Nil) extends InputPartition
+    groupFields: Seq[String] = Nil, skip: Int = -1) extends InputPartition
 
 class MongoReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -1457,7 +1488,7 @@ class MongoReaderFactory extends PartitionReaderFactory {
           Bson.decode(p.filterBson),
           p.projectionBson.map(Bson.decode),
           p.sortBson.map(Bson.decode),
-          limit = p.limit)
+          limit = p.limit, skip = p.skip)
     }
     val it: Iterator[InternalRow] =
       if (p.pipelineBson.isDefined) docs.map { doc =>

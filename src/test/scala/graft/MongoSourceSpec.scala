@@ -628,6 +628,30 @@ class MongoSourceSpec extends AnyFunSuite {
     want.foreach { case (k, v) => assert(got(k) == v, s"group $k") }
   }
 
+  // ---- OFFSET pushdown ($skip) ---------------------------------------------
+
+  test("ORDER BY + LIMIT + OFFSET ship as sort+skip+limit in ONE find") {
+    val t = table("skip1")
+    val df = spark.table(t).select("id", "name")
+      .orderBy(col("id").desc).offset(7).limit(5)
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got == (392L to 388L by -1L).toSeq, s"rows 7..12 of the desc order: $got")
+    val find = LoopbackMongoServer.lastFind.get()
+    assert(find.contains("skip: 7"), s"the offset must ride the wire: $find")
+    assert(find.contains("sort:"), s"the ordering must ride the same find: $find")
+  }
+
+  test("a fanned-out scan declines the offset (skipping per slice would drop rows)") {
+    val (t, withNulls) = splitTable("skip2", Seq(100L, 200L, 300L))
+    val df = spark.table(t).select("id").orderBy("id").offset(3).limit(4)
+    // nulls sort FIRST in Spark asc: offset 3 skips 2 nulls + id 0
+    val got = df.collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L), s"$got")
+    assert(!LoopbackMongoServer.lastFind.get().contains("skip:"),
+      s"per-slice skip would be wrong: ${LoopbackMongoServer.lastFind.get()}")
+    assert(withNulls.size == 402)
+  }
+
   // ---- runtime semi-join reduction (dynamic filtering) ---------------------
 
   test("a broadcast dim join ships the build-side keys as a runtime $in") {
