@@ -386,6 +386,32 @@ object Federation {
         .orderBy("c_mktsegment")
     },
 
+    // MULTI-KEY ES grouped aggregate (beyond-ref: the reference's single
+    // terms surface, sqltoes.go:285-365, caps at one bucket key): two
+    // group keys compile to the public COMPOSITE aggregation — one terms
+    // source per key, missing_bucket carrying the SQL NULL group, paged
+    // exhaustively by after_key so no single response caps the group
+    // count (EsHttpSpec drives the cursor loop at page size 2). The
+    // WHERE ships in the same request's query.
+    GQuery(
+      "q_src_es_agg_multi",
+      """SELECT o_orderstatus, o_custkey, count(*) AS n_orders,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders
+        |WHERE o_totalprice > 1000.0
+        |GROUP BY o_orderstatus, o_custkey
+        |ORDER BY o_orderstatus, o_custkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.EsSourceName}.orders_es")
+        .filter(col("o_totalprice") > 1000.0)
+        .groupBy("o_orderstatus", "o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_orderkey").as("min_key"),
+          sum("o_orderkey").as("sum_key"))
+        .orderBy("o_orderstatus", "o_custkey")
+    },
+
     // ES DEEP pagination: a near-full-table hit scan over the orders
     // fixture rides point-in-time + search_after (the documented deep-
     // paging API; sliced 4-way, dozens of continuation requests per

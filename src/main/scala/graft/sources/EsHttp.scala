@@ -298,7 +298,9 @@ object EsDsl {
   *     reads — kept for pre-PIT clusters (< ES 7.10). */
 final case class EsEndpointSpec(baseUrl: String, table: String, cfg: HttpRestConfig,
     slices: Int = 1, cardinalityThreshold: Int = 40000,
-    paging: String = EsEndpointSpec.DefaultPaging) {
+    paging: String = EsEndpointSpec.DefaultPaging,
+    /** Buckets per composite-aggregation page (after_key cursor). */
+    compositePageSize: Int = 1000) {
   // stringly-typed discriminator: an unknown value would silently fall
   // through to the legacy arms (and from/size would reintroduce the
   // max_result_window cap on deep scans) — refuse at construction
@@ -437,8 +439,9 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
       case nr: NamedReference => fieldIdx(nr).filter(serverFieldIdx(_).isDefined)
       case _ => None
     }
-    // single terms bucket key or global stats (the non-composite surface)
-    if (groups.exists(_.isEmpty) || groups.size > 1) return None
+    // one key -> terms buckets; two or more -> the composite aggregation
+    // (the public multi-source bucket API, paged by after_key)
+    if (groups.exists(_.isEmpty)) return None
     val aggs = a.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(("doc_count", -1, LongType))
       case c: Count if !c.isDistinct =>
@@ -547,8 +550,8 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
           }
         }
         val aggsNode = body.putObject("aggs")
-        groupIdx.headOption match {
-          case Some(g) =>
+        groupIdx match {
+          case Seq(g) =>
             val by = aggsNode.putObject("by")
             // translate() only accepts group keys with a server target
             val groupTarget = serverFieldIdx(g).get
@@ -561,9 +564,25 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
             val nulls = aggsNode.putObject("nulls")
             nulls.putObject("missing").put("field", groupTarget)
             if (!metrics.isEmpty) nulls.set[ObjectNode]("aggs", metrics)
-          case None =>
+          case Seq() =>
             metrics.properties().asScala.foreach(e =>
               aggsNode.set[JsonNode](e.getKey, e.getValue))
+          case multi =>
+            // MULTI-KEY groups ride the public composite aggregation:
+            // one terms source per key in group order, missing_bucket
+            // carrying the SQL NULL group natively, paged by after_key
+            // (the reader's cursor loop) so the bucket count is never
+            // capped by one response — the scale-correct multi-key shape
+            val by = aggsNode.putObject("by")
+            val comp = by.putObject("composite")
+            comp.put("size", ep.spec.compositePageSize)
+            val srcs = comp.putArray("sources")
+            multi.zipWithIndex.foreach { case (g, i) =>
+              val t = srcs.addObject().putObject(s"k$i").putObject("terms")
+              t.put("field", serverFieldIdx(g).get)
+              t.put("missing_bucket", true)
+            }
+            if (!metrics.isEmpty) by.set[ObjectNode]("aggs", metrics)
         }
         new EsScan(ep, required = outSchema, dslBody = body.toString,
           pushed = pushed, aggMode = true,
@@ -749,7 +768,48 @@ class EsReaderFactory extends PartitionReaderFactory {
     val path = s"/es/${p.spec.table}/_search"
     val conv = CatalystTypeConverters.createToCatalystConverter(required)
     val it: Iterator[InternalRow] =
-      if (p.aggMode) {
+      if (p.aggMode && p.groupCount >= 2) {
+        // composite aggregation: page buckets with the after_key cursor
+        // until a short page — the documented exhaustive-bucket protocol
+        // (one response never caps the group count)
+        val base = EsDsl.M.readTree(p.dslBody).asInstanceOf[ObjectNode]
+        val pageSize = base.path("aggs").path("by").path("composite")
+          .path("size").asInt(1000)
+        def decodeKey(v: JsonNode, dt: DataType): Any =
+          if (v.isNull || v.isMissingNode) null
+          else dt match {
+            case LongType => v.asLong()
+            case IntegerType => v.asInt()
+            case ShortType => v.asInt().toShort
+            case DoubleType => v.asDouble()
+            case FloatType => v.asDouble().toFloat
+            case BooleanType => v.asBoolean()
+            case StringType => v.asText()
+            case other => LineCodec.parse(v.asText(), other)
+          }
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var after: Option[JsonNode] = None
+        var done = false
+        while (!done) {
+          val body = base.deepCopy()
+          after.foreach(a => body.path("aggs").path("by").path("composite")
+            .asInstanceOf[ObjectNode].set[JsonNode]("after", a))
+          val resp = EsDsl.M.readTree(client.postJson(path, body.toString))
+          val byN = resp.path("aggregations").path("by")
+          val buckets = byN.path("buckets").elements().asScala.toSeq
+          buckets.foreach { b =>
+            val keyObj = b.path("key")
+            val keys = (0 until p.groupCount).map(i =>
+              decodeKey(keyObj.path(s"k$i"), required.fields(i).dataType))
+            out += Row.fromSeq(keys ++ p.aggKinds.zipWithIndex.map { case (kind, i) =>
+              metric(b, kind, i, required.fields(p.groupCount + i).dataType) })
+          }
+          val ak = byN.path("after_key")
+          if (buckets.size < pageSize || ak.isMissingNode || ak.isNull) done = true
+          else after = Some(ak)
+        }
+        out.iterator.map(conv(_).asInstanceOf[InternalRow])
+      } else if (p.aggMode) {
         val resp = EsDsl.M.readTree(client.postJson(path, p.dslBody))
         val rows: Iterator[Row] =
           if (p.groupCount == 1) {

@@ -12,7 +12,7 @@ import scala.jdk.CollectionConverters._
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
 /** A real socket-backed HTTP client for REST-profile sources.
   *
@@ -874,8 +874,85 @@ object LoopbackRestServer {
               case other => throw new IllegalArgumentException(s"unsupported metric $other")
             }
           }
+          // a bucket key value as its native JSON type (composite keys)
+          def setJson(o: com.fasterxml.jackson.databind.node.ObjectNode,
+              k: String, v: Any): Unit = v match {
+            case null => o.putNull(k)
+            case b: java.lang.Boolean => o.put(k, b.booleanValue())
+            case n: java.lang.Double => o.put(k, n.doubleValue())
+            case n: java.lang.Float => o.put(k, n.doubleValue())
+            case n: Number => o.put(k, n.longValue())
+            case other => o.put(k, other.toString)
+          }
           val byNode = aggsReq.path("by")
-          if (!byNode.isMissingNode && !byNode.path("terms").isMissingNode) {
+          val compNode = byNode.path("composite")
+          if (!compNode.isMissingNode) {
+            // the real composite aggregation: multi-source terms buckets
+            // in ascending key order (missing buckets FIRST — the
+            // default missing_order), paged by after/after_key
+            val sources = compNode.path("sources").elements().asScala.toSeq.map { s =>
+              val e = s.properties().asScala.head
+              val t = e.getValue.path("terms")
+              require(!t.isMissingNode, "composite sources must be terms")
+              (e.getKey, fieldIdx(t.path("field").asText()),
+                t.path("missing_bucket").asBoolean(false))
+            }
+            val size = compNode.path("size").asInt(10)
+            val rows2 = matched.filter(r =>
+              sources.forall { case (_, i, mb) => mb || r(i) != null })
+            def cmpKey(a: Seq[Any], b: Seq[Any]): Int = {
+              var r = 0
+              var i = 0
+              while (r == 0 && i < a.size) {
+                r = (a(i), b(i)) match {
+                  case (null, null) => 0
+                  case (null, _) => -1
+                  case (_, null) => 1
+                  case (x, y) => FilterEval.cmp(x, y).getOrElse(
+                    throw new IllegalArgumentException(s"incomparable key $x/$y"))
+                }
+                i += 1
+              }
+              r
+            }
+            val sorted = rows2.groupBy(r => sources.map(s => r(s._2)))
+              .toSeq.sortWith((x, y) => cmpKey(x._1, y._1) < 0)
+            val afterNode = compNode.path("after")
+            val remaining =
+              if (afterNode.isMissingNode || afterNode.isNull) sorted
+              else {
+                val after: Seq[Any] = sources.map { case (name, i, _) =>
+                  val v = afterNode.path(name)
+                  if (v.isNull || v.isMissingNode) null
+                  else schema.fields(i).dataType match {
+                    case LongType => v.asLong(): java.lang.Long
+                    case IntegerType => v.asInt(): java.lang.Integer
+                    case ShortType => v.asInt().toShort: java.lang.Short
+                    case DoubleType => v.asDouble(): java.lang.Double
+                    case FloatType => v.asDouble().toFloat: java.lang.Float
+                    case BooleanType => v.asBoolean(): java.lang.Boolean
+                    case _ => v.asText()
+                  }
+                }
+                sorted.dropWhile(g => cmpKey(g._1, after) <= 0)
+              }
+            val page = remaining.take(size)
+            val byOut = aggsOut.putObject("by")
+            page.lastOption.foreach { case (key, _) =>
+              val ak = byOut.putObject("after_key")
+              sources.zip(key).foreach { case ((name, _, _), v) => setJson(ak, name, v) }
+            }
+            val buckets = byOut.putArray("buckets")
+            val subAggs = byNode.path("aggs")
+            page.foreach { case (key, group) =>
+              val b = buckets.addObject()
+              val ko = b.putObject("key")
+              sources.zip(key).foreach { case ((name, _, _), v) => setJson(ko, name, v) }
+              b.put("doc_count", group.size.toLong)
+              if (!subAggs.isMissingNode)
+                subAggs.properties().asScala.foreach(e => metric(b, e.getKey, e.getValue, group))
+            }
+          } else if (!byNode.isMissingNode && !byNode.path("terms").isMissingNode) {
             val keyIdx = fieldIdx(byNode.path("terms").path("field").asText())
             val subAggs = byNode.path("aggs")
             val buckets = aggsOut.putObject("by").putArray("buckets")

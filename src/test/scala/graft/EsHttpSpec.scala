@@ -715,6 +715,68 @@ class EsHttpSpec extends AnyFunSuite {
       s"raw term on an analyzed nested field shipped: $body")
   }
 
+  // ---- multi-key grouped aggregation (composite) ----------------------------
+
+  test("multi-key GROUP BY pushes as a composite aggregation paged by after_key") {
+    val s2 = StructType(Seq(StructField("seg", StringType),
+      StructField("cat", StringType), StructField("v", LongType)))
+    val rs: Seq[Array[Any]] = (0L until 120L).map { i =>
+      Array[Any](
+        if (i % 3 == 0) "A" else if (i % 3 == 1) "B" else null,
+        if (i % 2 == 0) "x" else "y",
+        if (i % 10 == 9) null else i)
+    }
+    LoopbackRestServer.register("comp1", s2, rs)
+    val base = LoopbackRestServer.ensureStarted()
+    // page size 2 over 6 groups forces THREE after_key round-trips
+    EsEndpoints.register(EsEndpoint("estest", "comp1", s2,
+      EsEndpointSpec(base, "comp1", HttpRestConfig(retryBackoffMs = 5),
+        compositePageSize = 2)))
+    SourceRegistry.ensureCatalog(spark)
+    val served0 = LoopbackRestServer.served.get()
+    val df = spark.table(s"${SourceRegistry.CatalogName}.estest.comp1")
+      .groupBy("seg", "cat")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"), count("v").as("n_v"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"complete pushdown must leave NO engine aggregate:\n$plan")
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), if (r.isNullAt(3)) null else r.getLong(3), r.getLong(4)))).toMap
+    val want = rs.groupBy(r => (r(0).asInstanceOf[String], r(1).asInstanceOf[String]))
+    assert(got.size == want.size && want.size == 6)
+    want.foreach { case (k, grp) =>
+      val vs = grp.map(_(2)).filter(_ != null).map(_.asInstanceOf[Long])
+      val expSum: Any = if (vs.isEmpty) null else vs.sum
+      assert(got(k) == ((grp.size.toLong, expSum, vs.size.toLong)), s"group $k")
+    }
+    assert(got.keys.exists(_._1 == null),
+      "missing_bucket must carry the SQL NULL group")
+    assert(LoopbackRestServer.served.get() - served0 >= 3,
+      "6 groups at page size 2 must take multiple after_key pages")
+    val body = LoopbackRestServer.lastBody.get()
+    assert(body.contains("\"composite\"") && body.contains("\"after\""),
+      s"the last page must carry the after_key cursor: $body")
+    assert(body.contains("missing_bucket"), body)
+  }
+
+  test("composite group on analyzed text retargets to .keyword per source") {
+    val t = textTable("comp2")
+    val df = spark.table(t).groupBy("title", "tag")
+      .agg(count(lit(1)).as("n"))
+    assert(!df.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = txtRows.groupBy(r => (r(1).asInstanceOf[String], r(3).asInstanceOf[String]))
+      .view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    assert(LoopbackRestServer.lastBody.get().contains("title.keyword"),
+      s"analyzed sources must target the keyword subfield: ${LoopbackRestServer.lastBody.get()}")
+    // body has NO keyword subfield: the whole aggregate declines
+    val poly = spark.table(t).groupBy("body", "tag").agg(count(lit(1)).as("n"))
+    assert(poly.queryExecution.executedPlan.toString.contains("Aggregate"),
+      "grouping on unretargetable text must polyfill")
+    assert(poly.collect().length == 14) // 7 body values x 2 tags
+  }
+
   // ---- runtime semi-join reduction (dynamic filtering) ---------------------
 
   test("a broadcast dim join ships the build-side keys as a runtime terms filter") {
