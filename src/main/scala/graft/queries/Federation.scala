@@ -787,6 +787,35 @@ object Federation {
         .orderBy("o_orderkey")
     },
 
+    // SAME-SERVER join pushdown (beyond-ref; Spark 4.1's DSv2 join
+    // pushdown + MongoDB's public $lookup): an inner equi-join of two
+    // collections living on ONE mongod compiles to a single aggregate
+    // pipeline — $match {key != null} (SQL equality never matches null;
+    // Mongo's $lookup DOES match null-to-null, so the guard is
+    // correctness) → $lookup → $unwind → $project flattening both
+    // sides — ONE wire request instead of two scans + an engine
+    // shuffle. The left WHERE rides the leading $match; right-side
+    // predicates beyond inferred join-key constraints decline the push
+    // (MongoSourceSpec proves both the wire shape and the declines).
+    GQuery(
+      "q_src_join_lookup",
+      """SELECT o.o_orderkey, o.o_custkey,
+        |       CAST(o.o_totalprice AS DOUBLE) AS price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_totalprice > 150000.0
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+      s.table(s"$C.${FedData.MongoSourceName}.orders_mongo")
+        .filter(col("o_totalprice") > 150000.0)
+        .join(s.table(s"$C.${FedData.MongoSourceName}.customer_mgdoc"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("price"))
+        .orderBy("o_orderkey")
+    },
+
     // OFFSET pushdown over the Mongo wire (reference: sql_to_mgo.go:
     // 220-245 passes filter/sort/limit/skip into one query): ORDER BY +
     // LIMIT + OFFSET compile to sort+skip+limit in ONE find command —

@@ -1012,6 +1012,76 @@ object LoopbackMongoServer {
           }
         case Some(("$limit", n)) =>
           docs = docs.take(n.asInstanceOf[Number].intValue())
+        case Some(("$lookup", spec: BDoc)) =>
+          // the real basic-form $lookup: every local doc gains `as` = the
+          // ARRAY of foreign docs whose foreignField equals its
+          // localField — including Mongo's sharp edge that a null or
+          // MISSING local key matches null/missing foreign keys (clients
+          // wanting SQL equality must guard with $match {f: {$ne: null}})
+          def req(k: String): String = spec.get(k).getOrElse(
+            throw new IllegalArgumentException(
+              s"$$lookup requires from/localField/foreignField/as (missing $k)")).toString
+          val from = collections.getOrElse(req("from").toLowerCase,
+            throw new NoSuchElementException(s"ns not found: $Db.${req("from")}"))
+          val lf = req("localField")
+          val ff = req("foreignField")
+          val as = req("as")
+          val fdocs = from.snapshot.map(r => BDoc(
+            from.schema.fields.toSeq.zipWithIndex.map { case (f, i) => f.name -> r(i) }))
+          // hash-index the foreign side (a real mongod uses the index or
+          // builds one per $lookup) — the naive scan is O(local×foreign).
+          // Numbers key by exact decimal value so int 1 joins double 1.0
+          // (Mongo's type-bracketed numeric equality).
+          def joinKey(v: Any): Any = v match {
+            case n: Number =>
+              // NaN/Infinity have no decimal form; key them raw
+              try new java.math.BigDecimal(n.toString).stripTrailingZeros.toPlainString
+              catch { case _: NumberFormatException => n }
+            case other => other
+          }
+          val byKey = fdocs.groupBy(fd => joinKey(fd.get(ff).getOrElse(null)))
+          docs = docs.map { d =>
+            val lv = d.get(lf).getOrElse(null)
+            val hits = byKey.getOrElse(joinKey(lv), Nil)
+            BDoc(d.fields :+ (as -> (hits: Any)))
+          }
+        case Some(("$unwind", path)) =>
+          val (p, preserve) = path match {
+            case s: String => (s.stripPrefix("$"), false)
+            case d: BDoc => (d.get("path").get.toString.stripPrefix("$"),
+              d.get("preserveNullAndEmptyArrays").contains(true))
+            case other =>
+              throw new IllegalArgumentException(s"bad $$unwind $other")
+          }
+          docs = docs.flatMap { d =>
+            d.get(p).getOrElse(null) match {
+              case s: Seq[_] if s.nonEmpty =>
+                s.map(v => BDoc(d.fields.map { case (k, x) =>
+                  if (k == p) k -> v else k -> x }))
+              case _ if preserve => Seq(BDoc(d.fields.filterNot(_._1 == p)))
+              case _ => Nil // no match, no row — the inner-join arm
+            }
+          }
+        case Some(("$project", spec: BDoc)) =>
+          docs = docs.map { d =>
+            BDoc(spec.fields.flatMap {
+              case ("_id", v) if v.asInstanceOf[Number].intValue() == 0 => Nil
+              case (out, ref: String) if ref.startsWith("$") =>
+                // dotted paths walk into sub-documents ("$__j.profile")
+                var cur: Any = d
+                ref.substring(1).split("\\.").foreach { seg =>
+                  cur = cur match {
+                    case b: BDoc => b.get(seg).getOrElse(null)
+                    case _ => null
+                  }
+                }
+                Seq(out -> cur)
+              case (out, one: Number) if one.intValue() == 1 =>
+                Seq(out -> d.get(out).getOrElse(null))
+              case (out, other) =>
+                throw new IllegalArgumentException(s"unsupported projection $out: $other")
+            })
+          }
         case Some((other, _)) =>
           throw new IllegalArgumentException(s"unsupported pipeline stage $other")
         case None =>
@@ -1190,13 +1260,25 @@ class MongoWriterFactory(spec: MongoEndpointSpec, schemaJson: String)
   * query). Sort+limit is partial — Spark merges per-partition candidates,
   * which also keeps the plan correct if a deployment splits one
   * collection across shard partitions. */
-class MongoScanBuilder(ep: MongoEndpoint, hint: Option[Int] = None) extends ScanBuilder
+/** One pushed same-server equi-join, compiled into the public
+  * aggregation-pipeline join: `$match {local != null}` (SQL equality
+  * never matches null — Mongo's `$lookup` DOES match null local keys to
+  * null/missing foreign keys, so the guard is correctness, not polish)
+  * → `$lookup {from, localField, foreignField}` → `$unwind` (inner-join
+  * semantics: no match, no row) → `$project` flattening both sides into
+  * the join's aliased output columns. `cols` is the joined output in
+  * order: (outputName, fromLeftSide, sourceField, type). */
+final case class MongoJoinSpec(rightCollection: String, localField: String,
+    foreignField: String, cols: Seq[(String, Boolean, String, DataType)])
+
+class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
   with SupportsPushDownTopN
   with SupportsPushDownOffset
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates
+  with SupportsPushDownJoin {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ep.schema
@@ -1204,6 +1286,118 @@ class MongoScanBuilder(ep: MongoEndpoint, hint: Option[Int] = None) extends Scan
   private var skip: Int = -1
   private var sortDoc: Option[BDoc] = None
   private var agg: Option[(Seq[Int], Seq[MongoAgg.Spec])] = None
+  private var joinSpec: Option[MongoJoinSpec] = None
+
+  // ---- same-server join pushdown ($lookup) ---------------------------------
+  // Runs in the optimizer's join phase: both sides' filters are already
+  // pushed into their builders. The LEFT side's filter survives as a
+  // leading $match before the $lookup; a filtered RIGHT side declines
+  // (the basic $lookup form cannot filter the foreign collection — the
+  // pipeline+$expr form is the documented extension point), and Spark
+  // keeps the join engine-side, each scan with its own pushdown.
+
+  override def isOtherSideCompatibleForJoin(
+      other: SupportsPushDownJoin): Boolean = other match {
+    case o: MongoScanBuilder =>
+      // one $lookup per scan, both collections on ONE server+db
+      joinSpec.isEmpty && o.joinSpec.isEmpty &&
+        ep.spec.host == o.ep.spec.host && ep.spec.port == o.ep.spec.port &&
+        ep.spec.db == o.ep.spec.db
+    case _ => false
+  }
+
+  override def pushDownJoin(
+      other: SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftCols: Array[SupportsPushDownJoin.ColumnWithAlias],
+      rightCols: Array[SupportsPushDownJoin.ColumnWithAlias],
+      condition: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Boolean = {
+    // INNER only: the $match-null-guard + $unwind shape IS inner-join
+    // semantics; outer joins would need the null guard dropped, which
+    // re-admits Mongo's null==null $lookup matches — decline instead
+    if (joinType != org.apache.spark.sql.connector.join.JoinType.INNER_JOIN) return false
+    val o = other.asInstanceOf[MongoScanBuilder]
+    if (agg.isDefined || o.agg.isDefined ||
+      joinSpec.isDefined || o.joinSpec.isDefined) return false
+    def resolve(schema: StructType, wa: SupportsPushDownJoin.ColumnWithAlias)
+        : Option[(String, String, DataType)] =
+      schema.fields.find(_.name.equalsIgnoreCase(wa.colName()))
+        .map(f => (Option(wa.alias()).getOrElse(f.name), f.name, f.dataType))
+    val l = leftCols.toSeq.map(resolve(ep.schema, _))
+    val r = rightCols.toSeq.map(resolve(o.ep.schema, _))
+    if ((l ++ r).exists(_.isEmpty)) return false
+    val cols = l.map(x => (x.get._1, true, x.get._2, x.get._3)) ++
+      r.map(x => (x.get._1, false, x.get._2, x.get._3))
+    // single equi-key: `=` over one column per side, by OUTPUT name
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    val key: Option[(String, String)] =
+      if (condition == null || condition.name() != "=" ||
+        condition.children().length != 2) None
+      else (refName(condition.children()(0)), refName(condition.children()(1))) match {
+        case (Some(a), Some(b)) =>
+          def side(n: String): Option[(String, Boolean, String, DataType)] =
+            cols.find(_._1.equalsIgnoreCase(n))
+          (side(a), side(b)) match {
+            case (Some((_, true, lf, _)), Some((_, false, ff, _))) => Some((lf, ff))
+            case (Some((_, false, ff, _)), Some((_, true, lf, _))) => Some((lf, ff))
+            case _ => None
+          }
+        case _ => None
+      }
+    key match {
+      case Some((lf, ff)) =>
+        // The RIGHT side's pushed filters can't ride the basic $lookup.
+        // But any filter referencing ONLY the foreign key is sound to
+        // REWRITE onto the local key and apply BEFORE the lookup: every
+        // surviving pair has fv == lv, so P(fv) ⇔ P(lv) — this covers
+        // exactly the constraints Catalyst infers across the equality
+        // (IsNotNull, ranges, IN on the join key). Anything else (a
+        // predicate on a non-key right column) declines the whole push.
+        val rewritten: Seq[Option[Filter]] =
+          o.pushed.toSeq.map(f =>
+            if (f.references.forall(_.equalsIgnoreCase(ff))) renameRefs(f, ff, lf)
+            else None)
+        if (rewritten.exists(_.isEmpty)) return false
+        pushed = pushed ++ rewritten.flatten.filterNot(pushed.contains)
+        joinSpec = Some(MongoJoinSpec(o.ep.spec.collection, lf, ff, cols))
+        required = StructType(cols.map(c => StructField(c._1, c._4, nullable = true)))
+        true
+      case None => false
+    }
+  }
+
+  /** Rewrite every reference in a filter from one column name to
+    * another (the foreign-key → local-key transposition above); None
+    * for shapes outside the compilable subset. */
+  private def renameRefs(f: Filter, from: String, to: String): Option[Filter] = {
+    def col(a: String): String = if (a.equalsIgnoreCase(from)) to else a
+    f match {
+      case EqualTo(a, v) => Some(EqualTo(col(a), v))
+      case EqualNullSafe(a, v) => Some(EqualNullSafe(col(a), v))
+      case GreaterThan(a, v) => Some(GreaterThan(col(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(col(a), v))
+      case LessThan(a, v) => Some(LessThan(col(a), v))
+      case LessThanOrEqual(a, v) => Some(LessThanOrEqual(col(a), v))
+      case In(a, vs) => Some(In(col(a), vs))
+      case IsNull(a) => Some(IsNull(col(a)))
+      case IsNotNull(a) => Some(IsNotNull(col(a)))
+      case StringStartsWith(a, v) => Some(StringStartsWith(col(a), v))
+      case StringEndsWith(a, v) => Some(StringEndsWith(col(a), v))
+      case StringContains(a, v) => Some(StringContains(col(a), v))
+      case And(l, r) =>
+        for (a <- renameRefs(l, from, to); b <- renameRefs(r, from, to)) yield And(a, b)
+      case Or(l, r) =>
+        for (a <- renameRefs(l, from, to); b <- renameRefs(r, from, to)) yield Or(a, b)
+      case Not(c) => renameRefs(c, from, to).map(Not)
+      case _ => None
+    }
+  }
 
   /** OFFSET ships as the find's `skip` (`sql_to_mgo.go:220-245` passes
     * filter, sort, limit, skip into one query the same way). Unlike
@@ -1212,7 +1406,7 @@ class MongoScanBuilder(ep: MongoEndpoint, hint: Option[Int] = None) extends Scan
     * fanned-out scan skipping `n` rows per slice would drop n×slices.
     * Aggregated scans decline too (the pipeline has no skip stage). */
   override def pushOffset(n: Int): Boolean =
-    if (agg.isDefined || fansOut) false
+    if (agg.isDefined || joinSpec.isDefined || fansOut) false
     else { skip = n; true }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -1233,7 +1427,8 @@ class MongoScanBuilder(ep: MongoEndpoint, hint: Option[Int] = None) extends Scan
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def pushLimit(n: Int): Boolean =
+    if (joinSpec.isDefined) false else { limit = n; true }
 
   /** Will this scan fan out into per-range slices? (split metadata
     * present and not collapsed by a key-pinning pushed predicate) */
@@ -1249,6 +1444,7 @@ class MongoScanBuilder(ep: MongoEndpoint, hint: Option[Int] = None) extends Scan
   /** Mongo's null placement matches Spark's defaults (nulls lowest):
     * accept ASC+NULLS_FIRST and DESC+NULLS_LAST on top-level columns. */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (joinSpec.isDefined) return false // joined output names != ep schema
     val keys = orders.map { so =>
       so.expression() match {
         case nr: NamedReference if nr.fieldNames().length == 1 &&
@@ -1273,16 +1469,46 @@ class MongoScanBuilder(ep: MongoEndpoint, hint: Option[Int] = None) extends Scan
     * semantic guards and the COUNT(DISTINCT) decline rationale). */
   override def supportCompletePushDown(
       a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    MongoAgg.translate(a, ep.schema).isDefined
+    joinSpec.isEmpty && MongoAgg.translate(a, ep.schema).isDefined
   override def pushAggregation(
       a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    MongoAgg.translate(a, ep.schema) match {
+    if (joinSpec.isDefined) false // translate resolves against ep.schema
+    else MongoAgg.translate(a, ep.schema) match {
       case Some(t) => agg = Some(t); true
       case None => false
     }
 
   override def build(): Scan = {
     val filter = MongoDsl.compileAll(pushed.toSeq.flatMap(MongoDsl.compile))
+    joinSpec.foreach { j =>
+      // `required` was re-pruned over the JOINED output after the push
+      val out = required.fields.toSeq.map { f =>
+        val c = j.cols.find(_._1.equalsIgnoreCase(f.name)).getOrElse(
+          throw new IllegalStateException(s"unknown joined column ${f.name}"))
+        (c._1, c._2, c._3)
+      }
+      // the SQL null guard: usually already present via the engine's
+      // inferred IsNotNull in `pushed`; added explicitly when not
+      val hasGuard = pushed.exists {
+        case IsNotNull(a) => a.equalsIgnoreCase(j.localField)
+        case _ => false
+      }
+      val stages =
+        (if (hasGuard) Nil
+         else Seq(BDoc(Seq("$match" ->
+           BDoc(Seq(j.localField -> BDoc(Seq("$ne" -> null)))))))) ++
+          (if (filter.fields.nonEmpty) Seq(BDoc(Seq("$match" -> filter))) else Nil) ++
+          Seq(
+            BDoc(Seq("$lookup" -> BDoc(Seq(
+              "from" -> j.rightCollection, "localField" -> j.localField,
+              "foreignField" -> j.foreignField, "as" -> "__j")))),
+            BDoc(Seq("$unwind" -> "$__j")),
+            BDoc(Seq("$project" -> BDoc(("_id" -> (0: java.lang.Integer): (String, Any)) +:
+              out.map { case (name, left, src) =>
+                name -> ((if (left) s"$$$src" else s"$$__j.$src"): Any) }))))
+      return new MongoScan(ep, required, filter, None, None, -1, pushed, hint,
+        aggPipeline = Some(stages)) // aggKinds empty => plain row decode
+    }
     agg match {
       case Some((groupIdx, aggs)) =>
         val groupNames = groupIdx.map(ep.schema.fields(_).name)
@@ -1470,8 +1696,9 @@ class MongoReaderFactory extends PartitionReaderFactory {
         // SQL's GLOBAL aggregate over zero input rows is ONE row
         // (count 0, null sums); Mongo's $group over an empty stream
         // emits NO document — synthesize the neutral row. Grouped
-        // aggregates correctly return zero rows on both sides.
-        if (p.groupFields.nonEmpty || raw.hasNext) raw
+        // aggregates and join pipelines (no aggKinds) correctly
+        // return zero rows on both sides.
+        if (p.aggKinds.isEmpty || p.groupFields.nonEmpty || raw.hasNext) raw
         else Iterator.single(BDoc(
           ("_id" -> (null: Any)) +: p.aggKinds.zipWithIndex.flatMap {
             case (k, i) => k match {
@@ -1491,7 +1718,7 @@ class MongoReaderFactory extends PartitionReaderFactory {
           limit = p.limit, skip = p.skip)
     }
     val it: Iterator[InternalRow] =
-      if (p.pipelineBson.isDefined) docs.map { doc =>
+      if (p.pipelineBson.isDefined && p.aggKinds.nonEmpty) docs.map { doc =>
         // `_id` carries the group-key values; agg_i the accumulators
         val idDoc = doc.get("_id").getOrElse(null) match {
           case d: BDoc => d

@@ -724,14 +724,109 @@ class MongoSourceSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 400L)
   }
 
+  // ---- same-server join pushdown ($lookup) ---------------------------------
+
+  private def withJoinPushdown[A](body: => A): A = {
+    val key = "spark.sql.optimizer.datasourceV2JoinPushdown"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("a same-server inner equi-join pushes as ONE $lookup pipeline") {
+    val t1 = table("jl_left")
+    val s2 = StructType(Seq(StructField("dim_id", LongType),
+      StructField("label", StringType)))
+    val dimRows: Seq[Array[Any]] = Seq(
+      Array[Any](5L, "five"), Array[Any](10L, "ten"), Array[Any](400L, "none"),
+      Array[Any](null, "nullkey")) // must match NOTHING under SQL equality
+    LoopbackMongoServer.register("jl_right", s2, dimRows)
+    val (host, port) = LoopbackMongoServer.ensureStarted()
+    MongoEndpoints.register(MongoEndpoint("mongotest", "jl_right", s2,
+      MongoEndpointSpec(host, port, LoopbackMongoServer.Db, "jl_right",
+        MongoClientConfig(retryBackoffMs = 5))))
+    SourceRegistry.ensureCatalog(spark)
+    withJoinPushdown {
+      val served0 = LoopbackMongoServer.served.get()
+      val df = spark.table(t1)
+        .join(spark.table(s"${SourceRegistry.CatalogName}.mongotest.jl_right"),
+          col("id") === col("dim_id"))
+        .select("id", "name", "label")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"the join must be pushed off the engine:\n$plan")
+      val got = df.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(got == Set((5L, "five"), (10L, "ten")),
+        s"inner semantics incl. no null==null matches: $got")
+      assert(LoopbackMongoServer.served.get() - served0 == 1,
+        "a pushed join must be ONE wire request")
+      val cmd = LoopbackMongoServer.lastAggregate.get()
+      assert(cmd.contains("$lookup") && cmd.contains("$unwind") && cmd.contains("$project"), cmd)
+      assert(cmd.contains("$ne"), s"the SQL null guard must precede the lookup: $cmd")
+    }
+  }
+
+  test("the left side's pushed WHERE survives as a $match before the $lookup") {
+    val t1 = table("jl_left2")
+    LoopbackMongoServer.register("jl_right2", StructType(Seq(
+      StructField("dim_id", LongType), StructField("label", StringType))),
+      Seq(Array[Any](3L, "three"), Array[Any](9L, "nine"), Array[Any](300L, "big")))
+    val (host, port) = LoopbackMongoServer.ensureStarted()
+    MongoEndpoints.register(MongoEndpoint("mongotest", "jl_right2",
+      StructType(Seq(StructField("dim_id", LongType), StructField("label", StringType))),
+      MongoEndpointSpec(host, port, LoopbackMongoServer.Db, "jl_right2",
+        MongoClientConfig(retryBackoffMs = 5))))
+    SourceRegistry.ensureCatalog(spark)
+    withJoinPushdown {
+      val df = spark.table(t1)
+        .filter(col("id") < 100L)
+        .join(spark.table(s"${SourceRegistry.CatalogName}.mongotest.jl_right2"),
+          col("id") === col("dim_id"))
+        .select("id", "label")
+      val got = df.collect().map(_.getLong(0)).toSet
+      assert(got == Set(3L, 9L))
+      val cmd = LoopbackMongoServer.lastAggregate.get()
+      assert(cmd.contains("$lt") && cmd.indexOf("$lt") < cmd.indexOf("$lookup"),
+        s"the left WHERE must ride a $$match BEFORE the lookup: $cmd")
+    }
+  }
+
+  test("outer joins and right-filtered joins decline: the engine keeps the join") {
+    val t1 = table("jl_left3")
+    val t2 = table("jl_right3") // same fixture schema both sides
+    withJoinPushdown {
+      val left = spark.table(t1).select(col("id"), col("name").as("lname"))
+      val right = spark.table(t2).select(col("id").as("rid"), col("seg"))
+      val outer = left.join(right, col("id") === col("rid"), "left_outer")
+      assert(outer.queryExecution.executedPlan.toString.contains("Join"),
+        "outer joins must stay engine-side")
+      assert(outer.count() == 400L)
+      // a filtered RIGHT side declines (basic $lookup can't filter the
+      // foreign collection) — values stay exact through the engine join
+      val rf = left.join(right.filter(col("seg") === "A"), col("id") === col("rid"))
+      assert(rf.queryExecution.executedPlan.toString.contains("Join"),
+        "right-filtered joins must stay engine-side")
+      assert(rf.count() == rows.count(_(1) == "A").toLong)
+    }
+  }
+
   test("unsupported pipeline stages fail loudly server-side") {
     LoopbackMongoServer.register("agg5", schema, rows)
     val c = client()
     val e = intercept[IOException] {
       c.aggregate(LoopbackMongoServer.Db, "agg5",
-        Seq(BDoc(Seq("$lookup" -> BDoc.empty)))).toSeq
+        Seq(BDoc(Seq("$facet" -> BDoc.empty)))).toSeq
     }
     assert(e.getMessage.contains("unsupported pipeline stage"), e.getMessage)
+    // a malformed $lookup is loud too, not a silent None.get
+    val e2 = intercept[IOException] {
+      c.aggregate(LoopbackMongoServer.Db, "agg5",
+        Seq(BDoc(Seq("$lookup" -> BDoc.empty)))).toSeq
+    }
+    assert(e2.getMessage.contains("$lookup requires"), e2.getMessage)
     c.close()
   }
 

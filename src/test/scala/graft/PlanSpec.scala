@@ -559,6 +559,18 @@ class PlanSpec extends AnyFunSuite {
       "per-row tf must use the native term_freqs expression")
   }
 
+  test("q_src_join_lookup: the join leaves the engine — one $lookup pipeline") {
+    val df = SparkEntry.queries("q_src_join_lookup")(spark, sfDir)
+    assert(df.collect().length > 0, "gate must be non-empty at sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"the join must be pushed off the engine:\n$plan")
+    val cmd = graft.sources.LoopbackMongoServer.lastAggregate.get()
+    assert(cmd.contains("$lookup") && cmd.contains("$unwind"),
+      s"the join must ship as one lookup pipeline: $cmd")
+    assert(cmd.indexOf("$match") < cmd.indexOf("$lookup"),
+      s"the left WHERE + null guard must precede the lookup: $cmd")
+  }
+
   test("q_src_join_dynfilter: dim keys flow back into the Mongo scan as $in") {
     val df = SparkEntry.queries("q_src_join_dynfilter")(spark, sfDir)
     val n = df.collect().length
