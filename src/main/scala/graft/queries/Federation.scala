@@ -934,6 +934,30 @@ object Federation {
         .limit(3)
     },
 
+    // DATASTORE aggregation-query pushdown (beyond-ref; the public
+    // :runAggregationQuery API): global count(*)/sum/avg compile into
+    // ONE aggregation request with the WHERE riding the nested
+    // structured query. Semantic guards per the documented behavior:
+    // sums ship a companion avg of the same property (avg is documented
+    // NULL over zero valid values — disambiguating Datastore's 0-sum
+    // from SQL's NULL); an int64-overflow sum degraded to a double is
+    // refused loudly; GROUP BY / COUNT(col) / MIN/MAX have no API form
+    // and decline (DsSourceSpec proves all of it on the wire).
+    GQuery(
+      "q_src_ds_agg",
+      """SELECT count(*) AS n_events,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |       avg(user_id) AS avg_user
+        |FROM events
+        |WHERE event_type = 'click'""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.DsSourceName}.events_ds")
+        .filter(col("event_type") === "click")
+        .agg(count(lit(1)).as("n_events"),
+          sum("user_id").as("sum_user"),
+          avg("user_id").as("avg_user"))
+    },
+
     // DATASTORE-PROTOCOL scan over a real socket (reference:
     // sql_to_datastore.go:441-493 compiles WHERE into property-filter
     // chains; :70-150 adds Order + limit): the equality + the single

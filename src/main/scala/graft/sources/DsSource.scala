@@ -172,6 +172,58 @@ object DsQuery {
     root.toString
   }
 
+  /** Datastore's aggregation-query surface (the public
+    * `:runAggregationQuery` API): GLOBAL count/sum/avg only — no GROUP
+    * BY, no min/max — over a nested structured query, at most
+    * [[MaxAggregations]] aggregations per request (the documented cap).
+    * Semantic guards mirror the documented behavior:
+    *
+    *   - `count` counts ENTITIES (SQL count(*)); per-property non-null
+    *     counts have no API form — COUNT(col) declines.
+    *   - `sum` skips nulls and returns 0 over zero valid values where
+    *     SQL SUM is NULL; every sum ships a companion `avg` of the same
+    *     property, which IS documented to return NULL over zero valid
+    *     values — the reader nulls a 0-companion sum.
+    *   - integer `sum` that overflows int64 is documented to degrade to
+    *     a double; the reader REFUSES that silently-lossy answer loudly
+    *     instead of mis-reporting a long.
+    */
+  val MaxAggregations = 5
+
+  /** Compile a pushed global aggregate into the aggregation-query body.
+    * `aggs`: (kind ∈ count|sum_long|sum_double|avg, property). */
+  def aggregationJson(kind: String, props: Seq[String],
+      filters: Seq[PropFilter], aggs: Seq[(String, String)]): String = {
+    val root = M.createObjectNode()
+    val aq = root.putObject("aggregationQuery")
+    val nested = M.readTree(
+      queryJson(kind, Nil, filters, Nil, -1, "")).path("query")
+    aq.set[JsonNode]("nestedQuery", nested)
+    val arr = aq.putArray("aggregations")
+    aggs.zipWithIndex.foreach { case ((k, p), i) =>
+      def one(alias: String, fn: String, withProp: Boolean): Unit = {
+        val a = arr.addObject()
+        a.put("alias", alias)
+        val f = a.putObject(fn)
+        if (withProp) f.putObject("property").put("name", p)
+      }
+      k match {
+        case "count" => one(s"agg_$i", "count", withProp = false)
+        case "sum_long" | "sum_double" =>
+          one(s"agg_$i", "sum", withProp = true)
+          one(s"agg_${i}_n", "avg", withProp = true) // NULL ⇔ no valid values
+        case "avg" => one(s"agg_$i", "avg", withProp = true)
+        case other => throw new IllegalArgumentException(s"bad agg kind $other")
+      }
+    }
+    root.toString
+  }
+
+  /** Aggregation aliases a spec costs on the wire (sums ride a
+    * companion avg). */
+  def aliasCount(aggs: Seq[(String, String)]): Int =
+    aggs.map(a => if (a._1.startsWith("sum")) 2 else 1).sum
+
   // ---- server-side validation + evaluation ------------------------------
 
   /** Execute a runQuery body over registered rows, enforcing the real
@@ -386,13 +438,65 @@ class DsScanBuilder(ep: DsEndpoint, hint: Option[Int] = None) extends ScanBuilde
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
-  with SupportsPushDownTopN {
+  with SupportsPushDownTopN
+  with SupportsPushDownAggregates {
 
   private var accepted: Seq[DsQuery.PropFilter] = Nil
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ep.schema
   private var limit: Int = -1
   private var orders: Seq[(String, Boolean)] = Nil
+  private var agg: Option[Seq[(String, String, DataType)]] = None
+
+  /** GLOBAL count(*)/sum/avg translate to ONE `:runAggregationQuery`
+    * ([[DsQuery.aggregationJson]] for the semantic guards); Datastore
+    * has no GROUP BY, per-property counts, or min/max — those decline
+    * and Spark polyfills over the entity scan. */
+  private def translateAgg(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[(String, String, DataType)]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (a.groupByExpressions().nonEmpty) return None
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        ep.schema.fields.find(_.name.equalsIgnoreCase(nr.fieldNames()(0)))
+      case _ => None
+    }
+    val kinds: Seq[Option[(String, String, DataType)]] =
+      a.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(("count", "", LongType))
+        case s: Sum if !s.isDistinct => fieldOf(s.column()).flatMap { f =>
+          f.dataType match {
+            case ShortType | IntegerType | LongType =>
+              Some(("sum_long", f.name, LongType))
+            case FloatType | DoubleType =>
+              Some(("sum_double", f.name, DoubleType))
+            case _ => None
+          }
+        }
+        case av: Avg if !av.isDistinct => fieldOf(av.column())
+          .filter(_.dataType.isInstanceOf[NumericType])
+          .map(f => ("avg", f.name, DoubleType))
+        case _ => None // COUNT(col), COUNT(DISTINCT), MIN/MAX: no API form
+      }
+    if (kinds.exists(_.isEmpty)) return None
+    val spec = kinds.map(_.get)
+    // the documented per-request aggregation cap (companions included)
+    if (DsQuery.aliasCount(spec.map(k => (k._1, k._2))) > DsQuery.MaxAggregations)
+      None
+    else Some(spec)
+  }
+
+  override def supportCompletePushDown(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAgg(a).isDefined
+  override def pushAggregation(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAgg(a) match {
+      case Some(s) => agg = Some(s); true
+      case None => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (acc, residual0) = DsQuery.split(filters.toSeq)
@@ -440,19 +544,28 @@ class DsScanBuilder(ep: DsEndpoint, hint: Option[Int] = None) extends ScanBuilde
     true
   }
 
-  override def build(): Scan = {
-    val props =
-      if (required.fieldNames.sameElements(ep.schema.fieldNames)) Nil
-      else required.fieldNames.toSeq
-    new DsScan(ep, required,
-      DsQuery.queryJson(ep.spec.kind, props, accepted, orders, limit, ""),
-      accepted, orders, limit, pushed, hint)
+  override def build(): Scan = agg match {
+    case Some(spec) =>
+      val outSchema = StructType(spec.zipWithIndex.map { case ((_, _, dt), i) =>
+        StructField(s"agg_$i", dt, nullable = true) })
+      new DsScan(ep, outSchema,
+        DsQuery.aggregationJson(ep.spec.kind, Nil, accepted,
+          spec.map(k => (k._1, k._2))),
+        accepted, Nil, -1, pushed, hint, aggKinds = spec.map(_._1))
+    case None =>
+      val props =
+        if (required.fieldNames.sameElements(ep.schema.fieldNames)) Nil
+        else required.fieldNames.toSeq
+      new DsScan(ep, required,
+        DsQuery.queryJson(ep.spec.kind, props, accepted, orders, limit, ""),
+        accepted, orders, limit, pushed, hint)
   }
 }
 
 class DsScan(ep: DsEndpoint, required: StructType, queryBody: String,
     accepted: Seq[DsQuery.PropFilter], orders: Seq[(String, Boolean)],
-    limit: Int, pushed: Array[Filter], hint: Option[Int] = None) extends Scan with Batch {
+    limit: Int, pushed: Array[Filter], hint: Option[Int] = None,
+    aggKinds: Seq[String] = Nil) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -474,7 +587,10 @@ class DsScan(ep: DsEndpoint, required: StructType, queryBody: String,
     * fail loudly, not mis-answer. A final partition carries
     * `key EQUAL null` so explicit-null keys survive the range tiling. */
   override def planInputPartitions(): Array[InputPartition] = {
-    def single = Array[InputPartition](DsPartition(ep.spec, queryBody, required.json))
+    def single = Array[InputPartition](
+      DsPartition(ep.spec, queryBody, required.json, aggKinds))
+    // a global aggregation result is ONE row — never range-tiled
+    if (aggKinds.nonEmpty) return single
     val ws = ep.splits.getOrElse(return single)
     if (orders.nonEmpty) return single
     val foreignIneq = accepted.exists(p =>
@@ -511,13 +627,14 @@ class DsScan(ep: DsEndpoint, required: StructType, queryBody: String,
 }
 
 final case class DsPartition(spec: DsEndpointSpec, queryBody: String,
-    requiredSchemaJson: String) extends InputPartition
+    requiredSchemaJson: String, aggKinds: Seq[String] = Nil) extends InputPartition
 
 class DsReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DsPartition]
     val required = DataType.fromJson(p.requiredSchemaJson).asInstanceOf[StructType]
     val client = new HttpRestClient(p.spec.baseUrl, p.spec.cfg)
+    if (p.aggKinds.nonEmpty) return aggReader(p, required, client)
     val conv = CatalystTypeConverters.createToCatalystConverter(required)
     val M = EsDsl.M
     val pages: Iterator[Iterator[JsonNode]] = new Iterator[Iterator[JsonNode]] {
@@ -546,6 +663,50 @@ class DsReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean =
         if (it.hasNext) { current = it.next(); true } else false
       override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+
+  /** One `:runAggregationQuery` round trip → one final row.
+    * Documented-semantics decode: a sum's companion avg is NULL exactly
+    * when zero valid values contributed (SQL SUM → NULL, not 0); an
+    * integer sum answered as a double is the API's documented int64
+    * overflow degradation — REFUSED loudly rather than silently lossy. */
+  private def aggReader(p: DsPartition, required: StructType,
+      client: HttpRestClient): PartitionReader[InternalRow] = {
+    val M = EsDsl.M
+    val conv = CatalystTypeConverters.createToCatalystConverter(required)
+    val resp = M.readTree(client.postJson(
+      s"/ds/${p.spec.kind}:runAggregationQuery", p.queryBody))
+    val props = resp.path("batch").path("aggregationResults")
+      .path(0).path("aggregateProperties")
+    val vals: Seq[Any] = p.aggKinds.zipWithIndex.map { case (kind, i) =>
+      val v = props.path(s"agg_$i")
+      kind match {
+        case "count" => v.path("integerValue").asLong(): java.lang.Long
+        case "sum_long" | "sum_double" =>
+          val companionNull = props.path(s"agg_${i}_n").has("nullValue")
+          if (companionNull) null
+          else if (kind == "sum_long") {
+            if (v.has("doubleValue"))
+              throw new ArithmeticException(
+                "Datastore sum overflowed int64 and degraded to a double; " +
+                  "refusing the lossy answer")
+            v.path("integerValue").asLong(): java.lang.Long
+          } else if (v.has("integerValue"))
+            v.path("integerValue").asDouble(): java.lang.Double
+          else v.path("doubleValue").asDouble(): java.lang.Double
+        case "avg" =>
+          if (v.has("nullValue")) null
+          else v.path("doubleValue").asDouble(): java.lang.Double
+        case other => throw new IllegalArgumentException(s"bad agg kind $other")
+      }
+    }
+    val row = conv(Row.fromSeq(vals)).asInstanceOf[InternalRow]
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = if (served) false else { served = true; true }
+      override def get(): InternalRow = row
       override def close(): Unit = ()
     }
   }

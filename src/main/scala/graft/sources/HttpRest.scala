@@ -1380,6 +1380,14 @@ object LoopbackRestServer {
     * `endCursor`/`moreResults` paging. */
   private val DsBatchCap = 300
 
+  /** The real API's INVALID_ARGUMENT error shape. */
+  private def dsError(msg: String): String = {
+    val err = EsDsl.M.createObjectNode()
+    err.putObject("error").put("code", 400)
+      .put("status", "INVALID_ARGUMENT").put("message", msg)
+    err.toString
+  }
+
   private def handleDs(ex: HttpExchange): Unit = try {
     served.incrementAndGet()
     val d = delayMs.get()
@@ -1431,6 +1439,89 @@ object LoopbackRestServer {
         case _ => respond(ex, 404, s"no such kind $name")
       }
       return
+    }
+    if (path.endsWith(":runAggregationQuery")) {
+      val name = path.stripSuffix(":runAggregationQuery").toLowerCase
+      tables.get(name) match {
+        case None => respond(ex, 404, s"no such kind $name"); return
+        case Some(TableData(schema, rows)) =>
+          val body = M.readTree(ex.getRequestBody)
+          lastDsQuery.set(body.toString)
+          val aq = body.path("aggregationQuery")
+          val aggs = aq.path("aggregations").elements().asScala.toSeq
+          // the real service's documented per-request cap
+          if (aggs.size > graft.sources.DsQuery.MaxAggregations) {
+            respond(ex, 400, dsError(
+              s"a maximum of ${DsQuery.MaxAggregations} aggregations are " +
+                "allowed per aggregation query"), "application/json")
+            return
+          }
+          val nested = M.createObjectNode()
+          nested.set[com.fasterxml.jackson.databind.JsonNode](
+            "query", aq.path("nestedQuery"))
+          val (_, matched) =
+            try DsQuery.run(nested, schema, rows)
+            catch {
+              case e: IllegalArgumentException =>
+                respond(ex, 400, dsError(e.getMessage), "application/json")
+                return
+            }
+          def propIdx(a: com.fasterxml.jackson.databind.JsonNode): Int = {
+            val n = a.path("property").path("name").asText()
+            val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+            require(i >= 0, s"no matching index property $n")
+            i
+          }
+          val out = M.createObjectNode()
+          val ares = out.putObject("batch")
+          val props = ares.putArray("aggregationResults")
+            .addObject().putObject("aggregateProperties")
+          ares.put("moreResults", "NO_MORE_RESULTS")
+          aggs.foreach { a =>
+            val alias = a.path("alias").asText()
+            val o = props.putObject(alias)
+            if (a.has("count")) {
+              // count counts ENTITIES; upTo caps it (documented)
+              val upTo = a.path("count").path("upTo").asLong(Long.MaxValue)
+              o.put("integerValue", math.min(matched.size.toLong, upTo).toString)
+            } else if (a.has("sum")) {
+              val i = propIdx(a.path("sum"))
+              val vs = matched.iterator.map(_(i)).filter(_ != null).toSeq
+              val anyDouble = vs.exists(v =>
+                v.isInstanceOf[java.lang.Double] || v.isInstanceOf[java.lang.Float])
+              if (anyDouble)
+                o.put("doubleValue",
+                  vs.map(_.asInstanceOf[Number].doubleValue()).sum)
+              else {
+                // int64 accumulation; documented overflow → double
+                var acc = 0L
+                var overflow = false
+                vs.foreach { v =>
+                  if (!overflow)
+                    try acc = Math.addExact(acc, v.asInstanceOf[Number].longValue())
+                    catch { case _: ArithmeticException => overflow = true }
+                }
+                if (overflow)
+                  o.put("doubleValue",
+                    vs.map(_.asInstanceOf[Number].doubleValue()).sum)
+                else o.put("integerValue", acc.toString)
+              }
+            } else if (a.has("avg")) {
+              val i = propIdx(a.path("avg"))
+              val vs = matched.iterator.map(_(i)).filter(_ != null)
+                .map(_.asInstanceOf[Number].doubleValue()).toSeq
+              // documented: avg over zero valid values is NULL
+              if (vs.isEmpty) o.put("nullValue", "NULL_VALUE")
+              else o.put("doubleValue", vs.sum / vs.size)
+            } else {
+              respond(ex, 400, dsError(
+                s"unsupported aggregation ${a.toString.take(80)}"), "application/json")
+              return
+            }
+          }
+          respond(ex, 200, out.toString)
+          return
+      }
     }
     if (!path.endsWith(":runQuery")) { respond(ex, 400, "only :runQuery is served"); return }
     val name = path.stripSuffix(":runQuery").toLowerCase

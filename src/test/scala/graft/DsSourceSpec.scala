@@ -296,4 +296,72 @@ class DsSourceSpec extends AnyFunSuite {
       "a point lookup must not fan out into provably-empty shards")
     assert(pin.count() == 1L)
   }
+
+  // ---- aggregation-query pushdown (:runAggregationQuery) -------------------
+
+  test("global count/sum/avg push as ONE aggregation query; WHERE rides the nested query") {
+    val t = table("dsagg1")
+    val served0 = LoopbackRestServer.served.get()
+    val df = spark.table(t)
+      .filter(col("seg") === "A")
+      .agg(count(lit(1)).as("n"), sum("id").as("sum_id"), avg("bal").as("avg_bal"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"complete pushdown must leave NO engine aggregate:\n$plan")
+    val r = df.collect().head
+    val as = rows.filter(_(1) == "A")
+    assert(r.getLong(0) == as.size.toLong)
+    assert(r.getLong(1) == as.map(_(0).asInstanceOf[Long]).sum)
+    assert(math.abs(r.getDouble(2) -
+      as.map(_(2).asInstanceOf[Double]).sum / as.size) < 1e-9)
+    assert(LoopbackRestServer.served.get() - served0 == 1,
+      "a pushed aggregate must be one :runAggregationQuery round trip")
+    val q = LoopbackRestServer.lastDsQuery.get()
+    assert(q.contains("aggregationQuery") && q.contains("nestedQuery"), q)
+    assert(q.contains("propertyFilter"), s"the WHERE must ride the nested query: $q")
+  }
+
+  test("SUM over zero matching entities reads back as SQL NULL via the companion avg") {
+    val t = table("dsagg2")
+    val df = spark.table(t)
+      .filter(col("seg") === "NOPE")
+      .agg(count(lit(1)).as("n"), sum("id").as("sum_id"), avg("bal").as("avg_bal"))
+    assert(!df.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    val r = df.collect().head
+    assert(r.getLong(0) == 0L)
+    assert(r.isNullAt(1), "Datastore sum-over-empty is 0; SQL SUM must be NULL")
+    assert(r.isNullAt(2), "avg over zero valid values is NULL (documented)")
+  }
+
+  test("GROUP BY, COUNT(col), MIN/MAX and over-cap requests decline to the engine") {
+    val t = table("dsagg3")
+    // no GROUP BY in the aggregation API
+    val g = spark.table(t).groupBy("seg").agg(count(lit(1)).as("n"))
+    assert(g.queryExecution.executedPlan.toString.contains("Aggregate"))
+    assert(g.collect().length == 3)
+    // COUNT(col) has no per-property form
+    val cc = spark.table(t).agg(count(col("seg")).as("n"))
+    assert(cc.queryExecution.executedPlan.toString.contains("Aggregate"))
+    assert(cc.collect().head.getLong(0) == rows.count(_(1) != null).toLong)
+    // MIN/MAX have no aggregation form
+    val mm = spark.table(t).agg(min("id").as("mn"), max("id").as("mx"))
+    assert(mm.queryExecution.executedPlan.toString.contains("Aggregate"))
+    assert(mm.collect().head.getLong(0) == 0L)
+    // three sums cost 6 aliases (companion avgs) > the documented cap of 5
+    val over = spark.table(t).agg(sum("id").as("a"), sum("bal").as("b"),
+      sum(col("id") * 0 + col("id")).as("c"))
+    assert(over.queryExecution.executedPlan.toString.contains("Aggregate"))
+  }
+
+  test("the server enforces the aggregation cap with the real 400 shape") {
+    LoopbackRestServer.register("dsagg4", schema, rows)
+    val base = LoopbackRestServer.ensureStarted()
+    val c = new HttpRestClient(base, HttpRestConfig(retryBackoffMs = 5))
+    val aggs = (0 until 6).map(i => ("count", "")).toSeq
+    val body = DsQuery.aggregationJson("dsagg4", Nil, Nil,
+      Seq.fill(6)(("count", "")))
+    val e = intercept[java.io.IOException](
+      c.postJson("/ds/dsagg4:runAggregationQuery", body))
+    assert(e.getMessage.contains("maximum of 5 aggregations"), e.getMessage)
+  }
 }
