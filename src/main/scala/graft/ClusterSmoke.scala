@@ -46,6 +46,16 @@ object ClusterSmoke {
     // fix_text exercises a round-13 native expression under codegen on
     // executors
     "q_src_rest_filterql", "q_media_phash_neardup", "q_text_fix_encoding",
+    // r14: the wire-pushdown growth spurt across REAL JVM boundaries —
+    // runtime $in semi-join reduction (the dim's keys broadcast then
+    // flow back into executor-side Mongo readers), $lookup join and
+    // aggregate pipelines, composite after_key paging from executors,
+    // CQL GROUP BY over token-range fan-out, the Datastore aggregation
+    // query, skip-paged reads, and the audio/video perceptual near-dups
+    "q_src_join_dynfilter", "q_src_join_lookup", "q_src_mongo_agg",
+    "q_src_es_agg_multi", "q_src_cql_agg", "q_src_ds_agg",
+    "q_src_mongo_skip", "q_audio_fp_neardup", "q_video_phash_neardup",
+    "q_text_hybrid_rrf", "q_ann_ivf_incremental",
     // scale family
     "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_incremental",
     "q_kmeans", "q_curation_domain_cap", "q_text_bpe_encode",

@@ -303,7 +303,11 @@ object Stress {
       // frame video near-dup (k hashes per clip regardless of length),
       // and incremental IVF maintenance (two trainings + two broadcast
       // retrievals; output is fixed at the query count)
-      "q_audio_fp_neardup", "q_video_phash_neardup", "q_ann_ivf_incremental")
+      "q_audio_fp_neardup", "q_video_phash_neardup", "q_ann_ivf_incremental",
+      // round-14b: hybrid retrieval — both arms end in TakeOrdered
+      // top-50 and the fusion is a 50x50 outer join; wall time rides
+      // the two corpus scans (BM25 tokenize + dense cosine)
+      "q_text_hybrid_rrf")
     // optional comma-separated subset for fast local iteration; the
     // driver never sets it → full sweep
     val ops = sys.env.get("SPARK_GRAFT_STRESS_OPS")
@@ -458,6 +462,10 @@ object Stress {
       // the corpus into the per-query ranking window — corpus-sized by
       // design; two k-means trainings dominate wall time
       "q_ann_ivf_incremental" -> defB.copy(time = 4.5, linearRows = false,
+        corpusShuffle = true),
+      // output fixed at top-10 regardless of corpus; the BM25 (doc,term)
+      // aggregation is the only corpus-sized exchange
+      "q_text_hybrid_rrf" -> defB.copy(time = 5.0, linearRows = false,
         corpusShuffle = true))
 
     final case class Obs(sec: Double, rows: Long, maxInMb: Double, maxShMb: Double,

@@ -1617,7 +1617,7 @@ class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
       aggPipeline.map(p => s"pipeline=[${p.map(_.render).mkString(", ")}] ")
         .getOrElse(s"filter=${filter.render} ") +
       s"sort=${sort.map(_.render).getOrElse("none")} " +
-      s"limit=$limit PushedFilters: [${pushed.mkString(", ")}], " +
+      s"limit=$limit skip=$skip PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
   override def toBatch: Batch = this
