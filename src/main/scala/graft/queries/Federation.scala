@@ -399,12 +399,16 @@ object Federation {
         |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders
-        |WHERE o_totalprice > 1000.0
+        |WHERE o_custkey <= 1500
         |GROUP BY o_orderstatus, o_custkey
         |ORDER BY o_orderstatus, o_custkey""".stripMargin) { (s, d) =>
       fed(s, d)
+      // the range predicate rides the nested query, keeping the per-page
+      // server work proportional to the MATCHED rows (a composite page
+      // re-runs the query, exactly like real ES) while the ~4.4k
+      // surviving groups still take 5 after_key pages at size 1000
       s.table(s"$C.${FedData.EsSourceName}.orders_es")
-        .filter(col("o_totalprice") > 1000.0)
+        .filter(col("o_custkey") <= 1500)
         .groupBy("o_orderstatus", "o_custkey")
         .agg(count(lit(1)).as("n_orders"),
           min("o_orderkey").as("min_key"),
