@@ -78,11 +78,32 @@ object Multimodal {
     * bits — bit 63 stays 0 (same sign contract as [[pHash64]]). Every
     * operand is integer and < 2^34, so a SQL oracle reproduces it
     * exactly. */
-  def stubPHash(h: Long): Long =
-    ((h * 3 % TextHash.P) & 0xffffL) |
-      (((h * 5 % TextHash.P) & 0xffffL) << 16) |
-      (((h * 7 % TextHash.P) & 0xffffL) << 32) |
-      (((h * 9 % TextHash.P) & 0x7fffL) << 48)
+  def stubPHash(h: Long): Long = {
+    // INDEPENDENT bands via chained cubing mod P. Two hard-won lessons
+    // from the r14 stress sweep are baked in:
+    //   1. the bands must not be LINEAR in h — structured hash families
+    //      (the stress corpus's replica texts poly-hash to arithmetic
+    //      progressions mod P) flow straight through linear maps into
+    //      near-identical 16-bit bands. Cubing kills that (x³ is a
+    //      BIJECTION mod P: gcd(3, P−1)=1 — squaring is 2-to-1 and
+    //      manufactures h vs P−h pattern collisions);
+    //   2. the bands must not be linearly related to EACH OTHER — the
+    //      old (3q,5q,7q,9q) family let one lucky difference
+    //      dq ∈ 65536·Z collide ALL FOUR bands at once (~1.4k phantom
+    //      near-dup pairs at 10× corpus). Each band now truncates its
+    //      own cube-chain state, so a full-pattern collision needs four
+    //      independent 16-bit coincidences (~2⁻⁶³ per pair).
+    // h < P ≈ 2^30, so x·x < 2^60 and (x·x % P)·x < 2^60 stay exact in
+    // a Long (and in the oracle's BIGINT — the SQL mirrors chain the
+    // same cubes).
+    def cube(x: Long): Long = x * x % TextHash.P * x % TextHash.P
+    val q1 = cube(h)
+    val q2 = cube(q1 + 1)
+    val q3 = cube(q2 + 1)
+    val q4 = cube(q3 + 1)
+    (q1 & 0xffffL) | ((q2 & 0xffffL) << 16) |
+      ((q3 & 0xffffL) << 32) | ((q4 & 0x7fffL) << 48)
+  }
 
   private val PHashN = 32 // resample edge for the DCT input
 

@@ -131,7 +131,14 @@ object MediaQueries {
     // by pigeonhole, hashes within Hamming distance 3 MUST agree on one
     // of the four bands; farther pairs surface with the usual LSH recall
     // probability — the standard banding trade. The EXACT Hamming
-    // distance then verifies every candidate. The gate PLANTS twins:
+    // distance then verifies every candidate, and the ACCEPT threshold
+    // is the same d ≤ 3 the banding guarantees: accepting farther pairs
+    // would ship a recall hole (a d=9 pair may share NO band) AND an
+    // emission volume that grows with band-bucket DENSITY — at 10× the
+    // corpus each 16-bit bucket holds ~10× the members, so loose-
+    // threshold "near" pairs among band-colliders grow super-linearly
+    // (the round-14 stress sweep measured exactly that before this
+    // bound was aligned with the guarantee). The gate PLANTS twins:
     // every 50th media gets a copy with ONE deterministically-chosen bit
     // flipped (distance 1 — inside the guarantee), and the operator must
     // recover exactly those pairs (plus any true near-collisions).
@@ -158,12 +165,17 @@ object MediaQueries {
          |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
          |  FROM documents WHERE text <> ''),
          |ph AS (
-         |  SELECT doc_id AS media_id,
-         |         ((h*3 % ${OracleFragments.P}) & 65535)
-         |           | (((h*5 % ${OracleFragments.P}) & 65535) << 16)
-         |           | (((h*7 % ${OracleFragments.P}) & 65535) << 32)
-         |           | (((h*9 % ${OracleFragments.P}) & 32767) << 48) AS phash
-         |  FROM hdoc),
+         |  SELECT media_id,
+         |         (q1 & 65535) | ((q2 & 65535) << 16)
+         |           | ((q3 & 65535) << 32) | ((q4 & 32767) << 48) AS phash
+         |  FROM (SELECT media_id, q1, q2, q3,
+         |               ((q3+1)*(q3+1) % ${OracleFragments.P})*(q3+1) % ${OracleFragments.P} AS q4
+         |    FROM (SELECT media_id, q1, q2,
+         |                 ((q2+1)*(q2+1) % ${OracleFragments.P})*(q2+1) % ${OracleFragments.P} AS q3
+         |      FROM (SELECT media_id, q1,
+         |                   ((q1+1)*(q1+1) % ${OracleFragments.P})*(q1+1) % ${OracleFragments.P} AS q2
+         |        FROM (SELECT doc_id AS media_id,
+         |                     (h*h % ${OracleFragments.P})*h % ${OracleFragments.P} AS q1 FROM hdoc))))),
          |all_media AS (
          |  SELECT media_id, phash FROM ph
          |  UNION ALL
@@ -185,7 +197,7 @@ object MediaQueries {
          |  FROM bands a JOIN bands b
          |    ON a.j = b.j AND a.band = b.band AND a.media_id < b.media_id)
          |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(pa, pb)) <= 10
+         |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       // decode ONCE: the twins arm and both band-join sides all read
       // this cached (media_id, phash) projection — at corpus scale the
@@ -223,7 +235,7 @@ object MediaQueries {
       cand
         .withColumn("hamming",
           bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
-        .filter(col("hamming") <= 10)
+        .filter(col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     },
@@ -264,13 +276,18 @@ object MediaQueries {
          |  FROM documents WHERE text <> ''),
          |fr AS (
          |  SELECT media_id, slot,
-         |         ((hh*3 % ${OracleFragments.P}) & 65535)
-         |           | (((hh*5 % ${OracleFragments.P}) & 65535) << 16)
-         |           | (((hh*7 % ${OracleFragments.P}) & 65535) << 32)
-         |           | (((hh*9 % ${OracleFragments.P}) & 32767) << 48) AS fhash
-         |  FROM (SELECT doc_id AS media_id, CAST(r.i AS INTEGER) AS slot,
-         |               (h*31 + r.i) % ${OracleFragments.P} AS hh
-         |        FROM hdoc CROSS JOIN range(4) r(i)) t),
+         |         (q1 & 65535) | ((q2 & 65535) << 16)
+         |           | ((q3 & 65535) << 32) | ((q4 & 32767) << 48) AS fhash
+         |  FROM (SELECT media_id, slot, q1, q2, q3,
+         |               ((q3+1)*(q3+1) % ${OracleFragments.P})*(q3+1) % ${OracleFragments.P} AS q4
+         |    FROM (SELECT media_id, slot, q1, q2,
+         |                 ((q2+1)*(q2+1) % ${OracleFragments.P})*(q2+1) % ${OracleFragments.P} AS q3
+         |      FROM (SELECT media_id, slot, q1,
+         |                   ((q1+1)*(q1+1) % ${OracleFragments.P})*(q1+1) % ${OracleFragments.P} AS q2
+         |        FROM (SELECT media_id, slot, (hh*hh % ${OracleFragments.P})*hh % ${OracleFragments.P} AS q1
+         |          FROM (SELECT doc_id AS media_id, CAST(r.i AS INTEGER) AS slot,
+         |                       (h*31 + r.i) % ${OracleFragments.P} AS hh
+         |                FROM hdoc CROSS JOIN range(4) r(i)) t))))),
          |all_f AS (
          |  SELECT media_id, slot, fhash FROM fr
          |  UNION ALL
@@ -396,12 +413,17 @@ object MediaQueries {
          |           (a,cp) -> (a*31+cp) % ${OracleFragments.P}) AS h
          |  FROM documents WHERE text <> ''),
          |fp AS (
-         |  SELECT doc_id AS media_id,
-         |         ((h*3 % ${OracleFragments.P}) & 65535)
-         |           | (((h*5 % ${OracleFragments.P}) & 65535) << 16)
-         |           | (((h*7 % ${OracleFragments.P}) & 65535) << 32)
-         |           | (((h*9 % ${OracleFragments.P}) & 32767) << 48) AS phash
-         |  FROM hdoc),
+         |  SELECT media_id,
+         |         (q1 & 65535) | ((q2 & 65535) << 16)
+         |           | ((q3 & 65535) << 32) | ((q4 & 32767) << 48) AS phash
+         |  FROM (SELECT media_id, q1, q2, q3,
+         |               ((q3+1)*(q3+1) % ${OracleFragments.P})*(q3+1) % ${OracleFragments.P} AS q4
+         |    FROM (SELECT media_id, q1, q2,
+         |                 ((q2+1)*(q2+1) % ${OracleFragments.P})*(q2+1) % ${OracleFragments.P} AS q3
+         |      FROM (SELECT media_id, q1,
+         |                   ((q1+1)*(q1+1) % ${OracleFragments.P})*(q1+1) % ${OracleFragments.P} AS q2
+         |        FROM (SELECT doc_id AS media_id,
+         |                     (h*h % ${OracleFragments.P})*h % ${OracleFragments.P} AS q1 FROM hdoc))))),
          |all_media AS (
          |  SELECT media_id, phash FROM fp
          |  UNION ALL
@@ -424,7 +446,7 @@ object MediaQueries {
          |  FROM bands a JOIN bands b
          |    ON a.j = b.j AND a.band = b.band AND a.media_id < b.media_id)
          |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(pa, pb)) <= 10
+         |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       import s.implicits._
       import graft.functions.TextHash
@@ -471,7 +493,7 @@ object MediaQueries {
       cand
         .withColumn("hamming",
           bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
-        .filter(col("hamming") <= 10)
+        .filter(col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     }
