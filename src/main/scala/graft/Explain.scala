@@ -18,6 +18,11 @@ object Explain {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // DSv2 same-server join pushdown (Mongo $lookup, BQ statement render)
+      // is harness-level session config, not per-query mutation — set once
+      // here so query builders never leak plan-changing conf into the
+      // shared session (ADVICE r14)
+      .config("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

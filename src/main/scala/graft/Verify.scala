@@ -15,6 +15,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // DSv2 same-server join pushdown (Mongo $lookup, BQ statement render)
+      // is harness-level session config, not per-query mutation — set once
+      // here so query builders never leak plan-changing conf into the
+      // shared session (ADVICE r14)
+      .config("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

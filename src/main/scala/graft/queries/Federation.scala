@@ -809,8 +809,10 @@ object Federation {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE o.o_totalprice > 150000.0
         |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      // the datasourceV2JoinPushdown flag is harness session config
+      // (Verify/Bench builders), never mutated here: a builder-side
+      // s.conf.set would leak plan-changing state into every later query
       fed(s, d)
-      s.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
       s.table(s"$C.${FedData.MongoSourceName}.orders_mongo")
         .filter(col("o_totalprice") > 150000.0)
         .join(s.table(s"$C.${FedData.MongoSourceName}.customer_mgdoc"),

@@ -787,28 +787,35 @@ class EsReaderFactory extends PartitionReaderFactory {
             case StringType => v.asText()
             case other => LineCodec.parse(v.asText(), other)
           }
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        var after: Option[JsonNode] = None
-        var done = false
-        while (!done) {
-          val body = base.deepCopy()
-          after.foreach(a => body.path("aggs").path("by").path("composite")
-            .asInstanceOf[ObjectNode].set[JsonNode]("after", a))
-          val resp = EsDsl.M.readTree(client.postJson(path, body.toString))
-          val byN = resp.path("aggregations").path("by")
-          val buckets = byN.path("buckets").elements().asScala.toSeq
-          buckets.foreach { b =>
-            val keyObj = b.path("key")
-            val keys = (0 until p.groupCount).map(i =>
-              decodeKey(keyObj.path(s"k$i"), required.fields(i).dataType))
-            out += Row.fromSeq(keys ++ p.aggKinds.zipWithIndex.map { case (kind, i) =>
-              metric(b, kind, i, required.fields(p.groupCount + i).dataType) })
+        // stream page-by-page: the after_key protocol is already a cursor,
+        // so the reader holds exactly ONE page (≤ `size` buckets) in memory
+        // at a time — a high-cardinality multi-key GROUP BY never
+        // materializes the full grouped result in the executor
+        val pages: Iterator[Seq[Row]] = new Iterator[Seq[Row]] {
+          private var after: Option[JsonNode] = None
+          private var done = false
+          override def hasNext: Boolean = !done
+          override def next(): Seq[Row] = {
+            val body = base.deepCopy()
+            after.foreach(a => body.path("aggs").path("by").path("composite")
+              .asInstanceOf[ObjectNode].set[JsonNode]("after", a))
+            val resp = EsDsl.M.readTree(client.postJson(path, body.toString))
+            val byN = resp.path("aggregations").path("by")
+            val buckets = byN.path("buckets").elements().asScala.toSeq
+            val rows = buckets.map { b =>
+              val keyObj = b.path("key")
+              val keys = (0 until p.groupCount).map(i =>
+                decodeKey(keyObj.path(s"k$i"), required.fields(i).dataType))
+              Row.fromSeq(keys ++ p.aggKinds.zipWithIndex.map { case (kind, i) =>
+                metric(b, kind, i, required.fields(p.groupCount + i).dataType) })
+            }
+            val ak = byN.path("after_key")
+            if (buckets.size < pageSize || ak.isMissingNode || ak.isNull) done = true
+            else after = Some(ak)
+            rows
           }
-          val ak = byN.path("after_key")
-          if (buckets.size < pageSize || ak.isMissingNode || ak.isNull) done = true
-          else after = Some(ak)
         }
-        out.iterator.map(conv(_).asInstanceOf[InternalRow])
+        pages.flatten.map(conv(_).asInstanceOf[InternalRow])
       } else if (p.aggMode) {
         val resp = EsDsl.M.readTree(client.postJson(path, p.dslBody))
         val rows: Iterator[Row] =

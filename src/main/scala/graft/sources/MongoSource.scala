@@ -447,7 +447,14 @@ object MongoAgg {
               if (!isDouble) { accD = accL.toDouble; isDouble = true }
               accD += n.asInstanceOf[Number].doubleValue()
             case n: Number =>
-              if (isDouble) accD += n.doubleValue() else accL += n.longValue()
+              if (isDouble) accD += n.doubleValue()
+              else try accL = Math.addExact(accL, n.longValue())
+              catch { case _: ArithmeticException =>
+                // mongod's documented degradation: an int64-overflowing
+                // $sum promotes the accumulator to double (the reader
+                // REFUSES to decode that — spec'd)
+                accD = accL.toDouble + n.doubleValue(); isDouble = true
+              }
             case _ => ()
           }
         }
@@ -1566,8 +1573,18 @@ class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
 
   /** Under agg pushdown only GROUP-KEY pruning is sound (it removes whole
     * groups the join would drop anyway); otherwise any wire-exact output
-    * column is fair game. */
+    * column is fair game.
+    *
+    * EXCEPT under a delegated ordered window: a pushed TopN sort or a
+    * pushed OFFSET is fully delegated (Spark removed its own Sort/Limit/
+    * Offset nodes), and the runtime `$in` would be ANDed into the SAME
+    * find — the server would window the filtered subset instead of
+    * filtering the windowed result, admitting rows the true answer
+    * cannot contain. Decline runtime filtering entirely there. A plain
+    * LIMIT without sort stays eligible: any n qualifying rows is a valid
+    * LIMIT answer, so pre-filtering only changes WHICH valid answer. */
   override def filterAttributes(): Array[NamedReference] = {
+    if (sort.isDefined || skip >= 0) return Array.empty
     def wireSafe(dt: DataType): Boolean = dt match {
       case ShortType | IntegerType | LongType | FloatType | DoubleType |
            BooleanType | StringType | TimestampType | TimestampNTZType => true
@@ -1583,6 +1600,7 @@ class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    if (sort.isDefined || skip >= 0) return // defense in depth vs filterAttributes
     val docs = predicates.toSeq.flatMap { p =>
       if (p.name() != "IN" || p.children().isEmpty) None
       else p.children()(0) match {
@@ -1739,7 +1757,23 @@ class MongoReaderFactory extends PartitionReaderFactory {
               val n = doc.get(s"agg_${i}_n").map(_.asInstanceOf[Number].longValue())
                 .getOrElse(0L)
               if (n == 0L) null
-              else if (kind == "sum_long") v.asInstanceOf[Number].longValue(): java.lang.Long
+              else if (kind == "sum_long") v match {
+                // a real mongod promotes an int64-overflowing $sum to
+                // double — silently truncating that back to long would be
+                // a wrong answer; REFUSE loudly (DsSource aggReader's same
+                // contract for Datastore's documented degradation)
+                case d: java.lang.Double =>
+                  throw new IllegalStateException(
+                    s"Mongo $$sum over an integer column came back as a " +
+                      s"double ($d): the server-side sum overflowed int64 " +
+                      "and degraded; refusing to decode a truncated result. " +
+                      "Disable aggregate pushdown for this query.")
+                case f: java.lang.Float =>
+                  throw new IllegalStateException(
+                    s"Mongo $$sum over an integer column came back as a " +
+                      s"float ($f); refusing to decode a truncated result.")
+                case other => other.asInstanceOf[Number].longValue(): java.lang.Long
+              }
               else v.asInstanceOf[Number].doubleValue(): java.lang.Double
             case "avg" =>
               if (v == null) null

@@ -608,6 +608,32 @@ class MongoSourceSpec extends AnyFunSuite {
       s"all-null group: SUM/AVG must be NULL, COUNT(v) 0 — got ${got("B")}")
   }
 
+  test("an int64-overflowing pushed SUM refuses loudly instead of truncating") {
+    // a real mongod promotes an overflowing integer $sum to double; the
+    // loopback emulates that (Math.addExact → double). Decoding that back
+    // to long would silently corrupt the answer — the reader must throw.
+    val s2 = StructType(Seq(StructField("seg", StringType),
+      StructField("v", LongType)))
+    val rs: Seq[Array[Any]] = Seq(
+      Array[Any]("A", Long.MaxValue), Array[Any]("A", Long.MaxValue),
+      Array[Any]("A", 7L))
+    LoopbackMongoServer.register("aggovf", s2, rs)
+    val (host, port) = LoopbackMongoServer.ensureStarted()
+    MongoEndpoints.register(MongoEndpoint("mongotest", "aggovf", s2,
+      MongoEndpointSpec(host, port, LoopbackMongoServer.Db, "aggovf",
+        MongoClientConfig(retryBackoffMs = 5))))
+    SourceRegistry.ensureCatalog(spark)
+    val df = spark.table(s"${SourceRegistry.CatalogName}.mongotest.aggovf")
+      .groupBy("seg").agg(sum("v").as("sum_v"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), s"must push complete:\n$plan")
+    val e = intercept[org.apache.spark.SparkException](df.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("overflowed int64")),
+      s"the refusal must name the overflow degradation: ${msgs(e)}")
+  }
+
   test("COUNT(DISTINCT) declines: Spark plans the aggregate, values stay exact") {
     val t = table("agg3")
     val df = spark.table(t).agg(countDistinct("seg").as("n_seg"))
@@ -722,6 +748,38 @@ class MongoSourceSpec extends AnyFunSuite {
     assert(scan.runtimeFilterDesc.isEmpty,
       "a non-wire-exact literal must decline the whole predicate")
     assert(spark.table(t).count() == 400L)
+  }
+
+  test("a delegated TopN or OFFSET window declines runtime filtering (soundness)") {
+    // dim holds ONE key (5) that is NOT in the true top-10 by id desc. A
+    // runtime $in ANDed under the delegated sort+limit would make the
+    // server window the FILTERED subset — returning id=5, which survives
+    // the join's key re-check and mints a row the true result cannot
+    // contain. The scan must decline runtime filtering whenever the
+    // ordered window is delegated (sort pushed, or skip consumed).
+    val t = table("dyn5")
+    val dim = spark.range(0, 400)
+      .filter(col("id") === 5L)
+      .select(col("id").as("dim_id"))
+    val top = spark.table(t).select("id", "name")
+      .orderBy(col("id").desc).limit(10)
+    val joined = top.join(broadcast(dim), col("id") === col("dim_id"))
+    assert(joined.collect().isEmpty,
+      "id=5 is outside the true top-10: any output row IS the unsoundness")
+    val find = LoopbackMongoServer.lastFind.get()
+    assert(!find.contains("$in"),
+      s"no runtime \\$$in may ride a find that carries a delegated window: $find")
+
+    // same rule for a delegated OFFSET: skip 395 + limit 5 → true rows are
+    // ids 395..399; pre-filtering to {5} would skip past everything OR
+    // (with other caps) emit rows outside the true page
+    val paged = spark.table(t).select("id", "name")
+      .orderBy("id").offset(395).limit(5)
+    val joined2 = paged.join(broadcast(dim), col("id") === col("dim_id"))
+    assert(joined2.collect().isEmpty)
+    val find2 = LoopbackMongoServer.lastFind.get()
+    assert(!find2.contains("$in"),
+      s"no runtime \\$$in may ride a find that carries a delegated skip: $find2")
   }
 
   // ---- same-server join pushdown ($lookup) ---------------------------------
