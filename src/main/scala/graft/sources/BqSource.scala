@@ -91,9 +91,42 @@ object BqSql {
 
   final case class Agg(kind: String, col: String) // kind: count_star|count|min|max|sum|avg
   final case class Order(col: String, desc: Boolean, nullsFirst: Boolean)
+
+  /** One parsed two-table join (the full-statement passthrough identity:
+    * `sql_to_bq.go:72-104` re-renders whatever statement it gets, joins
+    * included). `leftKey`/`rightKey` are alias-qualified; `onExtra` is an
+    * optional extra conjunct in the ON clause — the null-extended side's
+    * pre-join filters ride there, because under an OUTER join a WHERE on
+    * that side would wrongly drop null-extended rows. */
+  final case class Join(kind: String, // inner|left|right
+      rightTable: String, leftAlias: String, rightAlias: String,
+      leftKey: String, rightKey: String, onExtra: Option[Filter])
+
   final case class Stmt(cols: Seq[String], aggs: Seq[(Agg, String)], table: String,
       where: Option[Filter], groupBy: Seq[String], orderBy: Seq[Order],
-      limit: Int, offset: Int)
+      limit: Int, offset: Int, join: Option[Join] = None)
+
+  /** Prefix every attribute reference with `q.` — rendering a side's
+    * pushed filters under that side's alias in a join statement. Only the
+    * renderable subset needs covering: anything else never pushed. */
+  def prefixRefs(f: Filter, q: String): Filter = f match {
+    case EqualTo(a, v) => EqualTo(s"$q.$a", v)
+    case EqualNullSafe(a, v) => EqualNullSafe(s"$q.$a", v)
+    case GreaterThan(a, v) => GreaterThan(s"$q.$a", v)
+    case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(s"$q.$a", v)
+    case LessThan(a, v) => LessThan(s"$q.$a", v)
+    case LessThanOrEqual(a, v) => LessThanOrEqual(s"$q.$a", v)
+    case In(a, vs) => In(s"$q.$a", vs)
+    case IsNull(a) => IsNull(s"$q.$a")
+    case IsNotNull(a) => IsNotNull(s"$q.$a")
+    case StringStartsWith(a, v) => StringStartsWith(s"$q.$a", v)
+    case StringEndsWith(a, v) => StringEndsWith(s"$q.$a", v)
+    case StringContains(a, v) => StringContains(s"$q.$a", v)
+    case And(l, r) => And(prefixRefs(l, q), prefixRefs(r, q))
+    case Or(l, r) => Or(prefixRefs(l, q), prefixRefs(r, q))
+    case Not(c) => Not(prefixRefs(c, q))
+    case other => other // AlwaysTrue/False carry no refs
+  }
 
   def parse(sql: String): Stmt = new Parser(sql).parseStmt()
 
@@ -142,6 +175,12 @@ object BqSql {
       ws(); val j = i
       while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
       if (i == j) fail("expected identifier")
+      // one optional qualifier dot: `alias.column` (join statements)
+      if (i < s.length && s.charAt(i) == '.' && i + 1 < s.length &&
+          (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '_')) {
+        i += 1
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+      }
       s.substring(j, i)
     }
 
@@ -286,6 +325,33 @@ object BqSql {
       while (eatChar(',')) items += selectItem()
       expectWord("FROM")
       val table = ident()
+      val keywords = Set("WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET",
+        "JOIN", "INNER", "LEFT", "RIGHT", "ON")
+      def maybeAlias(): Option[String] = {
+        val w = peekWord
+        if (w.isEmpty || keywords.contains(w.toUpperCase)) None
+        else { i += w.length; Some(w) }
+      }
+      val leftAlias = maybeAlias()
+      val join: Option[Join] = {
+        val kind =
+          if (eatWord("LEFT")) { eatWord("OUTER"); expectWord("JOIN"); Some("left") }
+          else if (eatWord("RIGHT")) { eatWord("OUTER"); expectWord("JOIN"); Some("right") }
+          else if (eatWord("INNER")) { expectWord("JOIN"); Some("inner") }
+          else if (eatWord("JOIN")) Some("inner")
+          else None
+        kind.map { k =>
+          val rt = ident()
+          val ra = maybeAlias().getOrElse(fail("join requires a right alias"))
+          expectWord("ON")
+          val lk = ident()
+          if (!eatChar('=')) fail("expected = in ON clause")
+          val rk = ident()
+          val extra = if (eatWord("AND")) Some(pred()) else None
+          Join(k, rt, leftAlias.getOrElse(fail("join requires a left alias")),
+            ra, lk, rk, extra)
+        }
+      }
       val where = if (eatWord("WHERE")) Some(pred()) else None
       val groupBy = if (eatWord("GROUP")) {
         expectWord("BY")
@@ -316,7 +382,7 @@ object BqSql {
       val its = items.result()
       Stmt(its.collect { case Left(c) => c },
         its.collect { case Right(a) => a },
-        table, where, groupBy, orderBy, limit, offset)
+        table, where, groupBy, orderBy, limit, offset, join)
     }
 
     /** `UPDATE t SET c = lit, ... WHERE pred` / `DELETE FROM t WHERE
@@ -488,6 +554,71 @@ object BqSql {
       if (stmt.limit >= 0) stmt.offset + stmt.limit else sorted.size)
     (names, types, windowed)
   }
+
+  /** Execute a two-table join statement: hash-join the registered rows
+    * (SQL key equality — null keys never match; the ON extra conjunct
+    * gates match candidacy, so a null-extended side's pre-join filters
+    * behave exactly like a filtered subquery), then run the remaining
+    * clauses over the joined virtual table whose columns carry their
+    * alias-qualified names. */
+  def executeJoin(stmt: Stmt, left: (StructType, Seq[Array[Any]]),
+      right: (StructType, Seq[Array[Any]]))
+      : (Seq[String], Seq[DataType], Seq[Seq[Any]]) = {
+    val j = stmt.join.get
+    val (ls, lr) = left
+    val (rs, rr) = right
+    val virt = StructType(
+      ls.fields.map(f => StructField(s"${j.leftAlias}.${f.name}", f.dataType, nullable = true)) ++
+        rs.fields.map(f => StructField(s"${j.rightAlias}.${f.name}", f.dataType, nullable = true)))
+    def local(schema: StructType, alias: String, q: String): Int = {
+      require(q.toLowerCase.startsWith(alias.toLowerCase + "."),
+        s"ON key $q is not under alias $alias")
+      val col = q.substring(alias.length + 1)
+      val k = schema.fieldNames.indexWhere(_.equalsIgnoreCase(col))
+      require(k >= 0, s"unknown join key $q")
+      k
+    }
+    // the ON clause may name the keys in either order
+    val (lq, rq) =
+      if (j.leftKey.toLowerCase.startsWith(j.leftAlias.toLowerCase + "."))
+        (j.leftKey, j.rightKey)
+      else (j.rightKey, j.leftKey)
+    val lk = local(ls, j.leftAlias, lq)
+    val rk = local(rs, j.rightAlias, rq)
+    // numeric keys hash by widened value so INT32/INT64 sides still meet
+    def norm(v: Any): Any = v match {
+      case n @ (_: java.lang.Short | _: java.lang.Integer | _: java.lang.Long) =>
+        n.asInstanceOf[Number].longValue(): java.lang.Long
+      case n @ (_: java.lang.Float | _: java.lang.Double) =>
+        n.asInstanceOf[Number].doubleValue(): java.lang.Double
+      case x => x
+    }
+    def accepts(row: Array[Any]): Boolean =
+      j.onExtra.forall(p => FilterEval.eval(p, virt, row))
+    val nullsL = Array.fill[Any](ls.fields.length)(null)
+    val nullsR = Array.fill[Any](rs.fields.length)(null)
+    val joined: Seq[Array[Any]] = j.kind match {
+      case "right" =>
+        val byKey = lr.filter(_(lk) != null).groupBy(r => norm(r(lk)))
+        rr.flatMap { r =>
+          val hits =
+            if (r(rk) == null) Nil
+            else byKey.getOrElse(norm(r(rk)), Nil).map(l => l ++ r).filter(accepts)
+          if (hits.nonEmpty) hits else Seq(nullsL ++ r)
+        }
+      case kind =>
+        val byKey = rr.filter(_(rk) != null).groupBy(r => norm(r(rk)))
+        lr.flatMap { l =>
+          val hits =
+            if (l(lk) == null) Nil
+            else byKey.getOrElse(norm(l(lk)), Nil).map(r => l ++ r).filter(accepts)
+          if (hits.nonEmpty) hits
+          else if (kind == "left") Seq(l ++ nullsR)
+          else Nil
+        }
+    }
+    execute(stmt.copy(join = None, table = "__joined"), virt, joined)
+  }
 }
 
 /** Serializable BQ endpoint pointer. */
@@ -578,13 +709,25 @@ class BqWriterFactory(spec: BqEndpointSpec, schemaJson: String)
   * filter trees (incl. OR/NOT), COMPLETE aggregation, exact top-N /
   * limit / offset (`isPartiallyPushed` = false: the warehouse's answer
   * IS the final answer, Spark plans a bare scan). */
-class BqScanBuilder(ep: BqEndpoint, hint: Option[Int] = None) extends ScanBuilder
+/** One pushed same-warehouse join, rendered into the single passthrough
+  * statement (the reference's BQ identity: `sql_to_bq.go:72-104`
+  * re-renders whatever statement it gets — joins included). `cols` is
+  * the joined output in order: (outputName, fromLeftSide, sourceField,
+  * type). The null-extended side's pre-join filters ride the ON clause
+  * (a WHERE there would wrongly drop null-extended rows); the preserved
+  * side's ride WHERE. */
+final case class BqJoinSpec(kind: String, rightTable: String,
+    cols: Seq[(String, Boolean, String, DataType)],
+    leftKeyCol: String, rightKeyCol: String, rightPushed: Array[Filter])
+
+class BqScanBuilder(private val ep: BqEndpoint, hint: Option[Int] = None) extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
   with SupportsPushDownOffset
   with SupportsPushDownTopN
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates
+  with SupportsPushDownJoin {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ep.schema
@@ -592,8 +735,84 @@ class BqScanBuilder(ep: BqEndpoint, hint: Option[Int] = None) extends ScanBuilde
   private var offset: Int = 0
   private var orders: Seq[BqSql.Order] = Nil
   private var agg: Option[(Seq[Int], Seq[(String, Int, DataType)])] = None
+  private var join: Option[BqJoinSpec] = None
+
+  // ---- same-warehouse join pushdown (full-statement render) ---------------
+  // INNER, LEFT OUTER and RIGHT OUTER all render exactly (the statement
+  // IS SQL — no semantic gap to bridge, unlike Mongo's $lookup). Runs in
+  // the optimizer's join phase: both sides' filters are already pushed
+  // into their builders and re-render under the side's alias.
+
+  override def isOtherSideCompatibleForJoin(
+      other: SupportsPushDownJoin): Boolean = other match {
+    case o: BqScanBuilder =>
+      // one join per statement; both tables on ONE warehouse; neither
+      // side already consumed an agg/sort/window (those never precede
+      // the join phase, but stay defensive)
+      join.isEmpty && o.join.isEmpty && agg.isEmpty && o.agg.isEmpty &&
+        orders.isEmpty && o.orders.isEmpty && limit < 0 && o.limit < 0 &&
+        offset == 0 && o.offset == 0 &&
+        ep.spec.baseUrl == o.ep.spec.baseUrl
+    case _ => false
+  }
+
+  override def pushDownJoin(
+      other: SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftCols: Array[SupportsPushDownJoin.ColumnWithAlias],
+      rightCols: Array[SupportsPushDownJoin.ColumnWithAlias],
+      condition: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Boolean = {
+    import org.apache.spark.sql.connector.join.{JoinType => JT}
+    val kind = joinType match {
+      case JT.INNER_JOIN => "inner"
+      case JT.LEFT_OUTER_JOIN => "left"
+      case JT.RIGHT_OUTER_JOIN => "right"
+      case _ => return false
+    }
+    val o = other.asInstanceOf[BqScanBuilder]
+    if (join.isDefined || o.join.isDefined || agg.isDefined || o.agg.isDefined)
+      return false
+    def resolve(schema: StructType, wa: SupportsPushDownJoin.ColumnWithAlias)
+        : Option[(String, String, DataType)] =
+      schema.fields.find(_.name.equalsIgnoreCase(wa.colName()))
+        .map(f => (Option(wa.alias()).getOrElse(f.name), f.name, f.dataType))
+    val l = leftCols.toSeq.map(resolve(ep.schema, _))
+    val r = rightCols.toSeq.map(resolve(o.ep.schema, _))
+    if ((l ++ r).exists(_.isEmpty)) return false
+    val cols = l.map(x => (x.get._1, true, x.get._2, x.get._3)) ++
+      r.map(x => (x.get._1, false, x.get._2, x.get._3))
+    // single equi-key: `=` over one column per side, by OUTPUT name
+    def refName(e: Expression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val key: Option[(String, String)] =
+      if (condition == null || condition.name() != "=" ||
+        condition.children().length != 2) None
+      else (refName(condition.children()(0)), refName(condition.children()(1))) match {
+        case (Some(a), Some(b)) =>
+          def side(n: String): Option[(String, Boolean, String, DataType)] =
+            cols.find(_._1.equalsIgnoreCase(n))
+          (side(a), side(b)) match {
+            case (Some((_, true, lf, _)), Some((_, false, ff, _))) => Some((lf, ff))
+            case (Some((_, false, ff, _)), Some((_, true, lf, _))) => Some((lf, ff))
+            case _ => None
+          }
+        case _ => None
+      }
+    key match {
+      case Some((lf, ff)) =>
+        join = Some(BqJoinSpec(kind, o.ep.table, cols, lf, ff, o.pushed))
+        required = StructType(cols.map(c => StructField(c._1, c._4, nullable = true)))
+        true
+      case None => false
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (join.isDefined) return filters // post-join refs are output names
     val (ok, declined) = filters.partition(f => BqSql.render(f).isDefined)
     pushed = ok
     declined
@@ -603,13 +822,19 @@ class BqScanBuilder(ep: BqEndpoint, hint: Option[Int] = None) extends ScanBuilde
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def pushLimit(n: Int): Boolean = { limit = n; true }
-  override def pushOffset(n: Int): Boolean = { offset = n; true }
+  // post-join window/agg pushdown declines: their refs are the joined
+  // OUTPUT names, and the unaliased positional render has no handle for
+  // them — Spark applies these engine-side over the joined scan
+  override def pushLimit(n: Int): Boolean =
+    if (join.isDefined) false else { limit = n; true }
+  override def pushOffset(n: Int): Boolean =
+    if (join.isDefined) false else { offset = n; true }
 
   private def sortSchema: StructType =
     if (agg.isDefined) aggOutSchema else ep.schema
 
   override def pushTopN(so: Array[SortOrder], n: Int): Boolean = {
+    if (join.isDefined) return false
     val ks = so.map { o =>
       o.expression() match {
         case nr: NamedReference if nr.fieldNames().length == 1 &&
@@ -658,11 +883,14 @@ class BqScanBuilder(ep: BqEndpoint, hint: Option[Int] = None) extends ScanBuilde
     if (aggs.exists(_.isEmpty)) None else Some((groups.map(_.get), aggs.map(_.get)))
   }
 
-  override def supportCompletePushDown(a: Aggregation): Boolean = translate(a).isDefined
-  override def pushAggregation(a: Aggregation): Boolean = translate(a) match {
-    case Some(t) => agg = Some(t); true
-    case None => false
-  }
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    join.isEmpty && translate(a).isDefined
+  override def pushAggregation(a: Aggregation): Boolean =
+    if (join.isDefined) false
+    else translate(a) match {
+      case Some(t) => agg = Some(t); true
+      case None => false
+    }
 
   private def aggOutSchema: StructType = agg match {
     case Some((gs, as)) => StructType(
@@ -673,6 +901,36 @@ class BqScanBuilder(ep: BqEndpoint, hint: Option[Int] = None) extends ScanBuilde
   }
 
   override def build(): Scan = {
+    join.foreach { j =>
+      // select items follow `required` (Spark may have pruned the joined
+      // output); decode is positional, so no aliases needed on the wire
+      val byOut = j.cols.map(c => c._1.toLowerCase -> c).toMap
+      val outCols = required.fieldNames.toSeq.map(n => byOut(n.toLowerCase))
+      val items = outCols.map { case (_, fromLeft, src, _) =>
+        if (fromLeft) s"t0.$src" else s"t1.$src" }
+      def rendered(fs: Array[Filter], alias: String): Seq[String] =
+        fs.toSeq.flatMap(f => BqSql.render(BqSql.prefixRefs(f, alias)))
+      // preserved side's pre-join filters → WHERE (equivalent pre/post);
+      // null-extended side's → ON (a WHERE would drop null-extended rows)
+      val (onSide, whereSide) = j.kind match {
+        case "left" => (rendered(j.rightPushed, "t1"), rendered(pushed, "t0"))
+        case "right" => (rendered(pushed, "t0"), rendered(j.rightPushed, "t1"))
+        case _ => (Nil, rendered(pushed, "t0") ++ rendered(j.rightPushed, "t1"))
+      }
+      val joinKw = j.kind match {
+        case "left" => "LEFT JOIN"
+        case "right" => "RIGHT JOIN"
+        case _ => "JOIN"
+      }
+      val onSql = (s"t0.${j.leftKeyCol} = t1.${j.rightKeyCol}" +: onSide)
+        .mkString(" AND ")
+      val whereSql = if (whereSide.isEmpty) "" else " WHERE " + whereSide.mkString(" AND ")
+      val sql = s"SELECT ${items.mkString(", ")} FROM ${ep.table} t0 " +
+        s"$joinKw ${j.rightTable} t1 ON $onSql$whereSql"
+      val outSchema = StructType(outCols.map(c =>
+        StructField(c._1, c._4, nullable = true)))
+      return new BqScan(ep, outSchema, sql, None, pushed, aggMode = false, hint)
+    }
     val whereSql = pushed.toSeq.flatMap(BqSql.render) match {
       case Nil => ""
       case ps => " WHERE " + ps.mkString(" AND ")

@@ -134,6 +134,11 @@ object FilterEval {
     * not flip to TRUE under two-valued negation. */
   def eval3(f: Filter, schema: StructType, row: Array[Any]): Option[Boolean] = {
     def v(attr: String): Any = {
+      // exact full-name match first: joined virtual tables carry alias-
+      // qualified TOP-LEVEL columns ("t0.bal") that must not be walked
+      // as nested struct paths
+      val exact = schema.fieldNames.indexWhere(_.equalsIgnoreCase(attr))
+      if (exact >= 0) return row(exact)
       val parts = attr.split('.')
       val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(parts(0)))
       if (i < 0) return null

@@ -1685,7 +1685,18 @@ object LoopbackRestServer {
           return
         }
         val stmt = BqSql.parse(sql)
-        val (names, types, out) = BqSql.execute(stmt, schema, rows)
+        // a join statement resolves its right table from the same dataset
+        // (the warehouse executes the WHOLE statement — the passthrough
+        // identity, joins included)
+        val (names, types, out) = stmt.join match {
+          case Some(j) => tables.get(j.rightTable.toLowerCase) match {
+            case None =>
+              respond(ex, 404, s"no such dataset table ${j.rightTable}"); return
+            case Some(TableData(rs, rr)) =>
+              BqSql.executeJoin(stmt, (schema, rows), (rs, rr))
+          }
+          case None => BqSql.execute(stmt, schema, rows)
+        }
         val offset = req.path("pageToken").asText("").toIntOption.getOrElse(0)
         val maxResults = req.path("maxResults").asInt(1000)
         val page = out.slice(offset, offset + maxResults)

@@ -305,6 +305,109 @@ class BqSourceSpec extends AnyFunSuite {
     assert(off.rdd.getNumPartitions == 1)
     assert(off.collect().map(_.getLong(0)).toSeq == Seq(5L, 6L, 7L))
   }
+
+  // ---- same-warehouse join pushdown (full-statement render) ---------------
+
+  private val dimSchema = StructType(Seq(
+    StructField("dim_id", LongType), StructField("label", StringType)))
+  private val dimRows: Seq[Array[Any]] = Seq(
+    Array[Any](5L, "five"), Array[Any](10L, "ten"), Array[Any](10L, "ten2"),
+    Array[Any](900L, "nohit"),
+    Array[Any](null, "nullkey")) // must match NOTHING under SQL equality
+
+  private def dimTable(name: String): String = {
+    LoopbackRestServer.register(name, dimSchema, dimRows)
+    val baseUrl = LoopbackRestServer.ensureStarted()
+    BqEndpoints.register(BqEndpoint("bqtest", name, dimSchema,
+      BqEndpointSpec(baseUrl, name, HttpRestConfig(pageSize = 64, retryBackoffMs = 5))))
+    SourceRegistry.ensureCatalog(spark)
+    s"${SourceRegistry.CatalogName}.bqtest.$name"
+  }
+
+  private def withJoinPushdown[A](body: => A): A = {
+    val key = "spark.sql.optimizer.datasourceV2JoinPushdown"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("a same-warehouse inner equi-join renders as ONE JOIN statement") {
+    val t = table("bqj1")
+    val d = dimTable("bqj1_dim")
+    withJoinPushdown {
+      val served0 = LoopbackRestServer.served.get()
+      val df = spark.table(t)
+        .filter(col("bal") < 100.0)
+        .join(spark.table(d), col("id") === col("dim_id"))
+        .select("id", "name", "label")
+      val got = df.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      // oracle: ids with bal<100 are 0..66; dim hits are 5, 10 (twice)
+      assert(got == Set((5L, "five"), (10L, "ten"), (10L, "ten2")), s"$got")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"the join must leave the engine:\n$plan")
+      assert(LoopbackRestServer.served.get() - served0 == 1,
+        "a pushed join must be one statement")
+      val sql = LoopbackRestServer.lastBqSql.get()
+      assert(sql.contains("JOIN bqj1_dim t1 ON t0.id = t1.dim_id"), sql)
+      assert(sql.contains("t0.bal < 100.0"), s"the left filter must render: $sql")
+    }
+  }
+
+  test("LEFT OUTER renders with the right side's filter in the ON clause") {
+    val t = table("bqj2")
+    val d = dimTable("bqj2_dim")
+    withJoinPushdown {
+      val df = spark.table(t)
+        .filter(col("id") < 12 && col("id") >= 4)
+        .join(spark.table(d).filter(col("label").startsWith("t")),
+          col("id") === col("dim_id"), "left")
+        .select("id", "label")
+      val got = df.collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+      // ids 4..11; only 10 matches a 't'-labelled dim row (ten, ten2);
+      // 5 matches dim_id=5 but label 'five' fails the right filter →
+      // the row must SURVIVE null-extended, not disappear
+      assert(got == Set((4L, null), (5L, null), (6L, null), (7L, null),
+        (8L, null), (9L, null), (10L, "ten"), (10L, "ten2"), (11L, null)), s"$got")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"the join must leave the engine:\n$plan")
+      val sql = LoopbackRestServer.lastBqSql.get()
+      assert(sql.contains("LEFT JOIN"), sql)
+      assert(sql.matches("(?s).*ON t0\\.id = t1\\.dim_id AND .*t1\\.label LIKE.*"),
+        s"the null-extended side's filter must ride ON, not WHERE: $sql")
+    }
+  }
+
+  test("RIGHT OUTER renders; a multi-key condition declines to the engine") {
+    val t = table("bqj3")
+    val d = dimTable("bqj3_dim")
+    withJoinPushdown {
+      val df = spark.table(t)
+        .filter(col("id") < 8)
+        .join(spark.table(d), col("id") === col("dim_id"), "right")
+        .select("label", "id")
+      val got = df.collect().map(r =>
+        (r.getString(0), if (r.isNullAt(1)) null else r.getLong(1))).toSet
+      assert(got == Set(("five", 5L), ("ten", null), ("ten2", null),
+        ("nohit", null), ("nullkey", null)), s"$got")
+      assert(!df.queryExecution.executedPlan.toString.contains("Join"))
+      assert(LoopbackRestServer.lastBqSql.get().contains("RIGHT JOIN"),
+        LoopbackRestServer.lastBqSql.get())
+
+      // decline: two-column condition → the engine keeps the join, each
+      // side still a filtered scan
+      val dfx = spark.table(t)
+        .join(spark.table(d),
+          col("id") === col("dim_id") && col("name") === col("label"))
+      assert(dfx.queryExecution.executedPlan.toString.contains("Join"),
+        "a multi-key condition must decline the push")
+      assert(dfx.collect().isEmpty) // no name ever equals a label
+    }
+  }
 }
 
 /** Test-only access to the predicate sub-parser. */
