@@ -1069,6 +1069,14 @@ object LoopbackMongoServer {
               case _ => Nil // no match, no row — the inner-join arm
             }
           }
+        case Some(("$addFields" | "$set", spec: BDoc)) =>
+          // aggregation-expression assignment (the LEFT-OUTER null-key
+          // guard rides this: __j reset to [] when the local key is null)
+          docs = docs.map { d =>
+            val updated = spec.fields.map { case (k, expr) =>
+              k -> MongoAgg.evalExpr(expr, d) }
+            BDoc(d.fields.filterNot(f => spec.fields.exists(_._1 == f._1)) ++ updated)
+          }
         case Some(("$project", spec: BDoc)) =>
           docs = docs.map { d =>
             BDoc(spec.fields.flatMap {
@@ -1276,7 +1284,13 @@ class MongoWriterFactory(spec: MongoEndpointSpec, schemaJson: String)
   * the join's aliased output columns. `cols` is the joined output in
   * order: (outputName, fromLeftSide, sourceField, type). */
 final case class MongoJoinSpec(rightCollection: String, localField: String,
-    foreignField: String, cols: Seq[(String, Boolean, String, DataType)])
+    foreignField: String, cols: Seq[(String, Boolean, String, DataType)],
+    leftOuter: Boolean = false) {
+  /** The joined output as a schema — the resolution surface for any
+    * aggregate pushed ON TOP of the join. */
+  def outSchema: StructType =
+    StructType(cols.map(c => StructField(c._1, c._4, nullable = true)))
+}
 
 class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) extends ScanBuilder
   with SupportsPushDownFilters
@@ -1320,10 +1334,18 @@ class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) 
       rightCols: Array[SupportsPushDownJoin.ColumnWithAlias],
       condition: org.apache.spark.sql.connector.expressions.filter.Predicate)
       : Boolean = {
-    // INNER only: the $match-null-guard + $unwind shape IS inner-join
-    // semantics; outer joins would need the null guard dropped, which
-    // re-admits Mongo's null==null $lookup matches — decline instead
-    if (joinType != org.apache.spark.sql.connector.join.JoinType.INNER_JOIN) return false
+    // INNER: $match-null-guard + bare $unwind. LEFT OUTER: $unwind with
+    // preserveNullAndEmptyArrays (the public SQL-LEFT-JOIN recipe) plus
+    // an $addFields null-key guard — Mongo's $lookup matches a null
+    // local key to null/missing foreign keys, so null-keyed left rows
+    // must have their match ARRAY reset to [] to null-extend instead.
+    // RIGHT OUTER has no $lookup form (the foreign side drives) — decline.
+    import org.apache.spark.sql.connector.join.{JoinType => JT}
+    val leftOuter = joinType match {
+      case JT.INNER_JOIN => false
+      case JT.LEFT_OUTER_JOIN => true
+      case _ => return false
+    }
     val o = other.asInstanceOf[MongoScanBuilder]
     if (agg.isDefined || o.agg.isDefined ||
       joinSpec.isDefined || o.joinSpec.isDefined) return false
@@ -1360,20 +1382,38 @@ class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) 
     key match {
       case Some((lf, ff)) =>
         // The RIGHT side's pushed filters can't ride the basic $lookup.
-        // But any filter referencing ONLY the foreign key is sound to
+        // INNER: any filter referencing ONLY the foreign key is sound to
         // REWRITE onto the local key and apply BEFORE the lookup: every
         // surviving pair has fv == lv, so P(fv) ⇔ P(lv) — this covers
         // exactly the constraints Catalyst infers across the equality
         // (IsNotNull, ranges, IN on the join key). Anything else (a
         // predicate on a non-key right column) declines the whole push.
+        // LEFT OUTER: NO right-side filter may move to the left (it
+        // would drop left rows the join must null-extend). But a right
+        // filter that is IMPLIED by the join anyway is sound to DROP
+        // entirely: IsNotNull(fk) (null keys never match under SQL
+        // equality — the $addFields guard already suppresses Mongo's
+        // null==null lookup matches), and any P(fk) whose fk→lk rename
+        // is ALREADY among the left side's pushed filters (matched pairs
+        // have fk = lk, so P holds for every row the filter could touch
+        // — exactly the constraints Catalyst propagates across the
+        // equality). Anything else — a genuine user pre-join filter on
+        // the foreign side — declines the push.
+        if (leftOuter && !o.pushed.forall { f =>
+          f.references.forall(_.equalsIgnoreCase(ff)) && (f match {
+            case IsNotNull(_) => true
+            case _ => renameRefs(f, ff, lf).exists(pushed.contains)
+          })
+        }) return false
         val rewritten: Seq[Option[Filter]] =
-          o.pushed.toSeq.map(f =>
+          if (leftOuter) Nil
+          else o.pushed.toSeq.map(f =>
             if (f.references.forall(_.equalsIgnoreCase(ff))) renameRefs(f, ff, lf)
             else None)
         if (rewritten.exists(_.isEmpty)) return false
         pushed = pushed ++ rewritten.flatten.filterNot(pushed.contains)
-        joinSpec = Some(MongoJoinSpec(o.ep.spec.collection, lf, ff, cols))
-        required = StructType(cols.map(c => StructField(c._1, c._4, nullable = true)))
+        joinSpec = Some(MongoJoinSpec(o.ep.spec.collection, lf, ff, cols, leftOuter))
+        required = joinSpec.get.outSchema
         true
       case None => false
     }
@@ -1473,14 +1513,18 @@ class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) 
 
   /** `$group` output is FINAL buckets computed server-side — complete
     * pushdown, the ES connector's same contract ([[MongoAgg]] for the
-    * semantic guards and the COUNT(DISTINCT) decline rationale). */
+    * semantic guards and the COUNT(DISTINCT) decline rationale). An
+    * aggregate arriving ON TOP of a pushed join resolves against the
+    * JOINED output schema and appends its $group after the $lookup
+    * pipeline — fact⨝dim→aggregate entirely server-side. */
+  private def aggResolveSchema: StructType =
+    joinSpec.map(_.outSchema).getOrElse(ep.schema)
   override def supportCompletePushDown(
       a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    joinSpec.isEmpty && MongoAgg.translate(a, ep.schema).isDefined
+    MongoAgg.translate(a, aggResolveSchema).isDefined
   override def pushAggregation(
       a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    if (joinSpec.isDefined) false // translate resolves against ep.schema
-    else MongoAgg.translate(a, ep.schema) match {
+    MongoAgg.translate(a, aggResolveSchema) match {
       case Some(t) => agg = Some(t); true
       case None => false
     }
@@ -1488,33 +1532,67 @@ class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) 
   override def build(): Scan = {
     val filter = MongoDsl.compileAll(pushed.toSeq.flatMap(MongoDsl.compile))
     joinSpec.foreach { j =>
-      // `required` was re-pruned over the JOINED output after the push
-      val out = required.fields.toSeq.map { f =>
-        val c = j.cols.find(_._1.equalsIgnoreCase(f.name)).getOrElse(
-          throw new IllegalStateException(s"unknown joined column ${f.name}"))
-        (c._1, c._2, c._3)
-      }
-      // the SQL null guard: usually already present via the engine's
-      // inferred IsNotNull in `pushed`; added explicitly when not
+      // the SQL null guard (INNER only): usually already present via the
+      // engine's inferred IsNotNull in `pushed`; added explicitly when not.
+      // LEFT OUTER keeps null-keyed left rows and guards via $addFields.
       val hasGuard = pushed.exists {
         case IsNotNull(a) => a.equalsIgnoreCase(j.localField)
         case _ => false
       }
-      val stages =
-        (if (hasGuard) Nil
+      val lookup = BDoc(Seq("$lookup" -> BDoc(Seq(
+        "from" -> j.rightCollection, "localField" -> j.localField,
+        "foreignField" -> j.foreignField, "as" -> "__j"))))
+      val unwind: Seq[BDoc] =
+        if (j.leftOuter) Seq(
+          // Mongo's $lookup matches a null/missing local key to null
+          // foreign keys; SQL LEFT JOIN must null-extend those rows —
+          // reset their match array to [] before the preserving unwind
+          BDoc(Seq("$addFields" -> BDoc(Seq("__j" -> BDoc(Seq("$cond" -> Seq(
+            BDoc(Seq("$eq" -> Seq(s"$$${j.localField}", null))),
+            Seq.empty[Any], s"$$__j"))))))),
+          BDoc(Seq("$unwind" -> BDoc(Seq(
+            "path" -> ("$__j": Any), "preserveNullAndEmptyArrays" -> (true: Any))))))
+        else Seq(BDoc(Seq("$unwind" -> "$__j")))
+      val joinStages: Seq[BDoc] =
+        (if (j.leftOuter || hasGuard) Nil
          else Seq(BDoc(Seq("$match" ->
            BDoc(Seq(j.localField -> BDoc(Seq("$ne" -> null)))))))) ++
           (if (filter.fields.nonEmpty) Seq(BDoc(Seq("$match" -> filter))) else Nil) ++
-          Seq(
-            BDoc(Seq("$lookup" -> BDoc(Seq(
-              "from" -> j.rightCollection, "localField" -> j.localField,
-              "foreignField" -> j.foreignField, "as" -> "__j")))),
-            BDoc(Seq("$unwind" -> "$__j")),
-            BDoc(Seq("$project" -> BDoc(("_id" -> (0: java.lang.Integer): (String, Any)) +:
-              out.map { case (name, left, src) =>
-                name -> ((if (left) s"$$$src" else s"$$__j.$src"): Any) }))))
-      return new MongoScan(ep, required, filter, None, None, -1, pushed, hint,
-        aggPipeline = Some(stages)) // aggKinds empty => plain row decode
+          (lookup +: unwind)
+      def projectStage(cols: Seq[(String, Boolean, String)]): BDoc =
+        BDoc(Seq("$project" -> BDoc(("_id" -> (0: java.lang.Integer): (String, Any)) +:
+          cols.map { case (name, left, src) =>
+            name -> ((if (left) s"$$$src" else s"$$__j.$src"): Any) })))
+      agg match {
+        case Some((groupIdx, aggs)) =>
+          // aggregate OVER the join: project the full joined output,
+          // then the single-table path's exact $group compiler — the
+          // classic fact⨝dim→aggregate shape runs WHOLLY server-side
+          // and ships back a group-count-sized answer
+          val outNames = j.outSchema.fieldNames.toSeq
+          val project = projectStage(j.cols.map(c => (c._1, c._2, c._3)))
+          val groupNames = groupIdx.map(outNames(_))
+          val outSchema = StructType(
+            groupIdx.map(i => j.outSchema.fields(i)) ++
+              aggs.zipWithIndex.map { case ((_, _, dt), i) =>
+                StructField(s"agg_$i", dt, nullable = true) })
+          val aggStages = MongoAgg.pipeline(BDoc.empty, groupNames,
+            aggs.map { case (kind, idx, _) =>
+              kind -> (if (idx < 0) "" else outNames(idx)) })
+          return new MongoScan(ep, outSchema, filter, None, None, -1, pushed, hint,
+            aggPipeline = Some((joinStages :+ project) ++ aggStages),
+            aggKinds = aggs.map(_._1), groupFields = groupNames, joined = true)
+        case None =>
+          // `required` was re-pruned over the JOINED output after the push
+          val out = required.fields.toSeq.map { f =>
+            val c = j.cols.find(_._1.equalsIgnoreCase(f.name)).getOrElse(
+              throw new IllegalStateException(s"unknown joined column ${f.name}"))
+            (c._1, c._2, c._3)
+          }
+          return new MongoScan(ep, required, filter, None, None, -1, pushed, hint,
+            aggPipeline = Some(joinStages :+ projectStage(out)),
+            joined = true) // aggKinds empty => plain row decode
+      }
     }
     agg match {
       case Some((groupIdx, aggs)) =>
@@ -1546,7 +1624,7 @@ class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
     projection: Option[BDoc], sort: Option[BDoc], limit: Int,
     pushed: Array[Filter], hint: Option[Int] = None,
     aggPipeline: Option[Seq[BDoc]] = None, aggKinds: Seq[String] = Nil,
-    groupFields: Seq[String] = Nil, skip: Int = -1)
+    groupFields: Seq[String] = Nil, skip: Int = -1, joined: Boolean = false)
   extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
@@ -1585,6 +1663,10 @@ class MongoScan(ep: MongoEndpoint, required: StructType, filter: BDoc,
     * LIMIT answer, so pre-filtering only changes WHICH valid answer. */
   override def filterAttributes(): Array[NamedReference] = {
     if (sort.isDefined || skip >= 0) return Array.empty
+    // a joined pipeline's output names only exist AFTER the $project —
+    // a leading runtime $match on them would match nothing and wrongly
+    // empty the scan; decline runtime filtering on joined pipelines
+    if (joined) return Array.empty
     def wireSafe(dt: DataType): Boolean = dt match {
       case ShortType | IntegerType | LongType | FloatType | DoubleType |
            BooleanType | StringType | TimestampType | TimestampNTZType => true

@@ -852,15 +852,16 @@ class MongoSourceSpec extends AnyFunSuite {
     }
   }
 
-  test("outer joins and right-filtered joins decline: the engine keeps the join") {
+  test("right-outer and right-filtered joins decline: the engine keeps the join") {
     val t1 = table("jl_left3")
     val t2 = table("jl_right3") // same fixture schema both sides
     withJoinPushdown {
       val left = spark.table(t1).select(col("id"), col("name").as("lname"))
       val right = spark.table(t2).select(col("id").as("rid"), col("seg"))
-      val outer = left.join(right, col("id") === col("rid"), "left_outer")
+      // RIGHT OUTER has no $lookup form (the foreign side drives)
+      val outer = left.join(right, col("id") === col("rid"), "right_outer")
       assert(outer.queryExecution.executedPlan.toString.contains("Join"),
-        "outer joins must stay engine-side")
+        "right-outer joins must stay engine-side")
       assert(outer.count() == 400L)
       // a filtered RIGHT side declines (basic $lookup can't filter the
       // foreign collection) — values stay exact through the engine join
@@ -868,6 +869,92 @@ class MongoSourceSpec extends AnyFunSuite {
       assert(rf.queryExecution.executedPlan.toString.contains("Join"),
         "right-filtered joins must stay engine-side")
       assert(rf.count() == rows.count(_(1) == "A").toLong)
+      // a filtered RIGHT side under LEFT OUTER declines too: rewriting
+      // its filter anywhere would drop rows the join must null-extend
+      val lof = left.join(right.filter(col("seg") === "A"),
+        col("id") === col("rid"), "left_outer")
+      assert(lof.queryExecution.executedPlan.toString.contains("Join"),
+        "left-outer with a filtered right side must stay engine-side")
+      assert(lof.count() == 400L)
+    }
+  }
+
+  test("LEFT OUTER pushes: preserving $unwind, null keys null-extend") {
+    val s1 = StructType(Seq(StructField("k", LongType), StructField("lv", StringType)))
+    val lrows: Seq[Array[Any]] = Seq(
+      Array[Any](1L, "a"), Array[Any](2L, "b"), Array[Any](null, "c"),
+      Array[Any](7L, "d"))
+    val s2 = StructType(Seq(StructField("fk", LongType), StructField("rv", StringType)))
+    val rrows: Seq[Array[Any]] = Seq(
+      Array[Any](1L, "one"), Array[Any](1L, "uno"),
+      Array[Any](null, "NULLMATCH")) // must never join under SQL equality
+    LoopbackMongoServer.register("jlo_left", s1, lrows)
+    LoopbackMongoServer.register("jlo_right", s2, rrows)
+    val (host, port) = LoopbackMongoServer.ensureStarted()
+    Seq(("jlo_left", s1), ("jlo_right", s2)).foreach { case (n, sch) =>
+      MongoEndpoints.register(MongoEndpoint("mongotest", n, sch,
+        MongoEndpointSpec(host, port, LoopbackMongoServer.Db, n,
+          MongoClientConfig(retryBackoffMs = 5))))
+    }
+    if (SourceRegistry.get("mongotest").isEmpty)
+      SourceRegistry.register(SourceDef("mongotest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/mongotest").getPath,
+        "json", "mongo"))
+    SourceRegistry.ensureCatalog(spark)
+    withJoinPushdown {
+      val df = spark.table(s"${SourceRegistry.CatalogName}.mongotest.jlo_left")
+        .join(spark.table(s"${SourceRegistry.CatalogName}.mongotest.jlo_right"),
+          col("k") === col("fk"), "left")
+        .select("k", "lv", "rv")
+      val got = df.collect().map(r => (
+        if (r.isNullAt(0)) null else r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+      assert(got == Set((1L, "a", "one"), (1L, "a", "uno"), (2L, "b", null),
+        (null, "c", null), (7L, "d", null)),
+        s"null-keyed left rows must null-extend, never match null fks: $got")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"the join must leave the engine:\n$plan")
+      val cmd = LoopbackMongoServer.lastAggregate.get()
+      assert(cmd.contains("preserveNullAndEmptyArrays"),
+        s"LEFT OUTER must unwind preserving: $cmd")
+      assert(cmd.contains("$addFields") || cmd.contains("$set"),
+        s"the null-key guard must reset the match array: $cmd")
+    }
+  }
+
+  test("an aggregate over a pushed join ships ONE pipeline, $group after $lookup") {
+    val t1 = table("jlagg_left")
+    val s2 = StructType(Seq(StructField("dim_id", LongType),
+      StructField("label", StringType)))
+    val dimRows: Seq[Array[Any]] = Seq(
+      Array[Any](5L, "five"), Array[Any](10L, "ten"), Array[Any](11L, "ten"),
+      Array[Any](null, "nullkey"))
+    LoopbackMongoServer.register("jlagg_right", s2, dimRows)
+    val (host, port) = LoopbackMongoServer.ensureStarted()
+    MongoEndpoints.register(MongoEndpoint("mongotest", "jlagg_right", s2,
+      MongoEndpointSpec(host, port, LoopbackMongoServer.Db, "jlagg_right",
+        MongoClientConfig(retryBackoffMs = 5))))
+    SourceRegistry.ensureCatalog(spark)
+    withJoinPushdown {
+      val served0 = LoopbackMongoServer.served.get()
+      val df = spark.table(t1)
+        .join(spark.table(s"${SourceRegistry.CatalogName}.mongotest.jlagg_right"),
+          col("id") === col("dim_id"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("bal").as("s"))
+      val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      // five: id 5 (bal 7.5); ten: ids 10, 11 (bal 15.0 + 16.5)
+      assert(got == Set(("five", 1L, 7.5), ("ten", 2L, 31.5)), s"$got")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join") && !plan.contains("HashAggregate") &&
+        !plan.contains("SortAggregate"),
+        s"join AND aggregate must both leave the engine:\n$plan")
+      assert(LoopbackMongoServer.served.get() - served0 == 1,
+        "fact⨝dim→aggregate must be one aggregate command")
+      val cmd = LoopbackMongoServer.lastAggregate.get()
+      assert(cmd.indexOf("$lookup") >= 0 && cmd.indexOf("$group") >= 0 &&
+        cmd.indexOf("$lookup") < cmd.indexOf("$group"),
+        s"the $$group must follow the $$lookup in one pipeline: $cmd")
     }
   }
 
