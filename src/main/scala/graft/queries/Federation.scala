@@ -822,6 +822,56 @@ object Federation {
         .orderBy("o_orderkey")
     },
 
+    // Mongo LEFT OUTER join pushdown (beyond-ref; the public $unwind
+    // preserveNullAndEmptyArrays recipe IS SQL LEFT JOIN): customers
+    // without a matching order survive null-extended, all computed by
+    // ONE aggregate pipeline. The $addFields null-key guard keeps
+    // Mongo's null==null $lookup matches out of the SQL answer
+    // (MongoSourceSpec proves the guard against planted null keys).
+    GQuery(
+      "q_src_join_lookup_left",
+      """SELECT c.c_custkey, o.o_orderkey
+        |FROM customer c
+        |LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |WHERE c.c_custkey <= 200
+        |ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.MongoSourceName}.customer_mgdoc")
+        .filter(col("c_custkey") <= 200)
+        .join(s.table(s"$C.${FedData.MongoSourceName}.orders_mongo"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+
+    // Aggregate OVER a pushed join (beyond-ref): the classic fact⨝dim→
+    // aggregate shape compiles to ONE pipeline — $match (fact WHERE) →
+    // $lookup → $unwind → $project → $group — and ships back a
+    // group-count-sized answer; the engine plans neither a Join nor an
+    // Aggregate node (MongoSourceSpec asserts the stage order and the
+    // single request).
+    GQuery(
+      "q_src_join_agg",
+      """SELECT c.c_custkey, count(*) AS n_orders,
+        |       CAST(min(o.o_orderkey) AS BIGINT) AS min_order,
+        |       CAST(sum(o.o_orderkey) AS BIGINT) AS sum_order
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY c.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.MongoSourceName}.orders_mongo")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .join(s.table(s"$C.${FedData.MongoSourceName}.customer_mgdoc"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_orderkey").as("min_order"),
+          sum("o_orderkey").as("sum_order"))
+        .orderBy("c_custkey")
+    },
+
     // OFFSET pushdown over the Mongo wire (reference: sql_to_mgo.go:
     // 220-245 passes filter/sort/limit/skip into one query): ORDER BY +
     // LIMIT + OFFSET compile to sort+skip+limit in ONE find command —
@@ -868,6 +918,49 @@ object Federation {
           sum("c_nationkey").as("sum_nat"),
           avg("c_nationkey").as("avg_nat"))
         .orderBy("c_mktsegment")
+    },
+
+    // CQL runtime semi-join reduction (beyond-ref; Trino's dynamic
+    // filtering shape on Cassandra's one legal IN surface): a broadcast
+    // dim's distinct join keys compile into `pk IN (...)` — ONE
+    // multi-partition read instead of a full token-ring sweep.
+    // Correctness never depends on it: the join re-checks every key,
+    // and the scan declines on multi-column partition keys, static key
+    // restrictions, or key sets beyond the 10k cap (CqlSourceSpec
+    // asserts the shipped IN text and the declines).
+    GQuery(
+      "q_src_cql_dynfilter",
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      val dim = Tables.load(s, d, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_mktsegment").as("seg")).distinct()
+      s.table(s"$C.${FedData.CqlSourceName}.customer_cql")
+        .join(broadcast(dim), col("c_mktsegment") === col("seg"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // BigTable runtime semi-join reduction (beyond-ref): the broadcast
+    // dim's join keys become an explicit rowKeys POINT-LOOKUP batch
+    // intersected with the statically-compiled row set — the service
+    // reads exactly the keys that can survive the join (BtSourceSpec
+    // asserts the shipped rowKeys and the intersection).
+    GQuery(
+      "q_src_bt_dynfilter",
+      """SELECT p_partkey, p_name, p_size FROM part
+        |WHERE p_size IN (1, 2)
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      val dim = Tables.load(s, d, "part")
+        .filter(col("p_size").isin(1, 2))
+        .select(concat(col("p_name"), lit("#"), col("p_partkey")).as("dk"))
+      s.table(s"$C.${FedData.BtSourceName}.part_btd")
+        .join(broadcast(dim), col("row_key") === col("dk"))
+        .select("p_partkey", "p_name", "p_size")
+        .orderBy("p_partkey")
     },
 
     // CQL-PROTOCOL scan over a real socket (reference: sql_to_cql.go:
@@ -938,6 +1031,54 @@ object Federation {
         .orderBy("o_orderpriority")
         .offset(1)
         .limit(3)
+    },
+
+    // BQ SAME-WAREHOUSE join pushdown (reference identity: sql_to_bq.go:
+    // 72-104 re-renders whatever statement it gets — joins included):
+    // two tables on one warehouse render as ONE JOIN statement via Spark
+    // 4.1's DSv2 join pushdown. Each side's pushed WHERE re-renders
+    // under its alias; the engine plans NO Join node (BqSourceSpec
+    // asserts the golden plan and the shipped JOIN text). At 100 TB the
+    // warehouse — not the engine — moves the data.
+    GQuery(
+      "q_src_join_bq",
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name,
+        |       CAST(o.o_totalprice AS DOUBLE) AS price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_totalprice > 400000.0
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.BqSourceName}.orders_bqw")
+        .filter(col("o_totalprice") > 400000.0)
+        .join(s.table(s"$C.${FedData.BqSourceName}.customer_bqw"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("o_totalprice").cast("double").as("price"))
+        .orderBy("o_orderkey")
+    },
+
+    // BQ LEFT OUTER join pushdown: the null-extended side's pre-join
+    // filter rides the ON clause of the rendered statement (a WHERE
+    // there would wrongly drop null-extended rows); customers with no
+    // qualifying order survive with NULL order columns — SQL LEFT JOIN
+    // exactly, executed wholly by the warehouse.
+    GQuery(
+      "q_src_join_bq_left",
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey
+        |FROM customer c
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
+        |  ON c.c_custkey = o.o_custkey
+        |WHERE c.c_custkey <= 300
+        |ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.BqSourceName}.customer_bqw")
+        .filter(col("c_custkey") <= 300)
+        .join(s.table(s"$C.${FedData.BqSourceName}.orders_bqw")
+            .filter(col("o_totalprice") > 450000.0),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
     },
 
     // DATASTORE aggregation-query pushdown (beyond-ref; the public

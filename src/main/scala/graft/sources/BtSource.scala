@@ -336,7 +336,71 @@ class BtScanBuilder(ep: BtEndpoint, hint: Option[Int] = None) extends ScanBuilde
 }
 
 class BtScan(ep: BtEndpoint, required: StructType, rowSet: BtQuery.RowSet,
-    limit: Int, pushed: Array[Filter], hint: Option[Int] = None) extends Scan with Batch {
+    limit: Int, pushed: Array[Filter], hint: Option[Int] = None)
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  // ---- runtime semi-join reduction (dynamic filtering) --------------------
+  // BigTable's explicit rowKeys row set IS the semi-join reducer: a
+  // broadcast dim's distinct join keys become one point-lookup batch
+  // instead of a sampled-range sweep. Only the ROW KEY column qualifies
+  // (everything else lives in cells the service cannot filter by), and
+  // the runtime keys INTERSECT the statically-compiled row set — a
+  // contradiction reads nothing at all. Purely an optimization: the
+  // join re-checks every key, so declining (non-key column, non-string
+  // literal, key set beyond the cap) is always safe. The pushed LIMIT
+  // is plain (no sort surface exists here) and partial — filtering
+  // first only changes WHICH valid LIMIT answer is returned.
+
+  private val RuntimeInCap = 10000
+
+  @volatile private var runtimeKeys: Option[Seq[String]] = None
+
+  /** Last runtime key set compiled (rendered), for plan/wire asserts. */
+  @volatile private[graft] var runtimeFilterDesc: String = ""
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.find(_.equalsIgnoreCase(ep.keyCol)) match {
+      case Some(n) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column(n))
+      case None => Array.empty
+    }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val keySets = predicates.toSeq.flatMap { p =>
+      if (p.name() != "IN" || p.children().isEmpty) None
+      else p.children()(0) match {
+        case ref: org.apache.spark.sql.connector.expressions.NamedReference
+            if ref.fieldNames().length == 1 &&
+              ref.fieldNames()(0).equalsIgnoreCase(ep.keyCol) =>
+          val ks = p.children().drop(1).toSeq.map {
+            case lv: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              try CatalystTypeConverters.createToScalaConverter(
+                lv.dataType)(lv.value) match {
+                case s: String => Some(s)
+                case _ => None
+              } catch { case scala.util.control.NonFatal(_) => None }
+            case _ => None
+          }
+          if (ks.size > RuntimeInCap || ks.exists(_.isEmpty)) None
+          else Some(ks.map(_.get).distinct.sorted)
+        case _ => None
+      }
+    }
+    if (keySets.nonEmpty) {
+      runtimeKeys = Some(keySets.head)
+      runtimeFilterDesc = s"rowKeys[${keySets.head.size}]"
+    }
+  }
+
+  /** The static row set intersected with any runtime semi-join keys. */
+  private def effectiveRowSet: BtQuery.RowSet = runtimeKeys match {
+    case Some(ks) => BtQuery.intersect(Seq(rowSet, BtQuery.RowSet(Nil, ks)))
+    case None => rowSet
+  }
 
   override def readSchema(): StructType = required
 
@@ -355,20 +419,21 @@ class BtScan(ep: BtEndpoint, required: StructType, rowSet: BtQuery.RowSet,
     * compiled row set to each boundary interval. Explicit-key reads stay
     * one partition (a rowKeys get is already a point lookup batch). */
   override def planInputPartitions(): Array[InputPartition] = {
+    val rs = effectiveRowSet // static pushdown ∩ runtime semi-join keys
     // a provably-empty row set reads nothing — zero partitions, no
     // request (an empty RowSet proto would mean full scan server-side)
-    if (rowSet == BtQuery.Empty) return Array.empty
+    if (rs == BtQuery.Empty) return Array.empty
     def single = Array[InputPartition](
-      BtPartition(ep.spec, rowSet.ranges, rowSet.keys, limit, required.json))
+      BtPartition(ep.spec, rs.ranges, rs.keys, limit, required.json))
     val n = WireFanout.effective(ep.fanout, hint)
-    if (n <= 1 || rowSet.keys.nonEmpty) return single
+    if (n <= 1 || rs.keys.nonEmpty) return single
     val samples =
       try BtQuery.sampleRowKeys(ep.spec)
       catch { case _: Exception => Nil } // planning survives a split-RPC hiccup
     val pts = WireFanout.thin(samples.toIndexedSeq, n)
     if (pts.isEmpty) return single
     val parts = WireFanout.ranges(pts).flatMap { case (lo, hi) =>
-      val clamped = rowSet.ranges.flatMap(
+      val clamped = rs.ranges.flatMap(
         BtQuery.clamp(_, lo.getOrElse(""), hi.getOrElse("")))
       if (clamped.isEmpty) None
       else Some(BtPartition(ep.spec, clamped, Nil, limit, required.json): InputPartition)

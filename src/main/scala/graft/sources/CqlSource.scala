@@ -74,12 +74,22 @@ object CqlGen {
     val ck = clusteringKeys.map(_.toLowerCase)
     val parsed = filters.map(f => f -> simple(f))
 
+    // IS NOT NULL on a PRIMARY KEY column is a server-guaranteed
+    // tautology — Cassandra partition/clustering keys cannot be null —
+    // so it ALWAYS absorbs (no WHERE text, no residual). Leaving it
+    // residual would plant a post-scan Filter that blocks aggregate
+    // pushdown whenever a join infers IsNotNull over the group key.
+    val keyNotNull = filters.collect {
+      case f @ IsNotNull(a) if pk(a.toLowerCase) || ck.contains(a.toLowerCase) =>
+        f: Filter
+    }
+
     val pkEq = parsed.collect {
       case (f, Some((a, "=", v))) if pk(a.toLowerCase) => (a.toLowerCase, f, s"$a = $v")
     }
     // rule 1: the FULL partition key must be equality-bound
     if (pkEq.map(_._1).toSet != pk)
-      return (Accepted(Nil, Nil), filters)
+      return (Accepted(Nil, keyNotNull), filters.filterNot(keyNotNull.contains))
 
     // rule 2: clustering prefix, ranges only at the cut
     val byCol = parsed.collect { case (f, Some(t)) => (f, t) }
@@ -115,9 +125,9 @@ object CqlGen {
     val constrained = (pkEq.map(_._1) ++ ckDone.collect {
       case (f, _) => simple(f).get._1.toLowerCase
     }).toSet
-    val implied = filters.collect {
+    val implied = (filters.collect {
       case f @ IsNotNull(a) if constrained(a.toLowerCase) => f: Filter
-    }
+    } ++ keyNotNull).distinct
     val acceptedFilters = pkEq.map(_._2) ++ ckDone.map(_._1) ++ implied
     val where = pkEq.map(_._3) ++ ckDone.map(_._2)
     val residual = filters.filterNot(acceptedFilters.contains)
@@ -249,14 +259,36 @@ object CqlEval {
     out.result()
   }
 
+  /** Quote-aware comma split for an IN value list (a string literal may
+    * itself contain commas). */
+  private[sources] def splitList(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        if (inQuote && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+          cur.append("''"); i += 2
+        } else { inQuote = !inQuote; cur.append(c); i += 1 }
+      } else if (!inQuote && c == ',') { out += cur.toString; cur.clear(); i += 1 }
+      else { cur.append(c); i += 1 }
+    }
+    out += cur.toString
+    out.result()
+  }
+
   def parse(cql: String): Stmt = cql match {
     case SelectRe(cols, table, where, groupBy, limit) =>
       val conds = Option(where).map(w => splitConjuncts(w).map { c =>
         // LHS is a column name OR the token() function over the
         // partition key (Cassandra's parallel-full-scan surface)
         val m = """\s*((?i:token)\s*\([^)]*\)|[\w.]+)\s*(=|<=|>=|<|>)\s*(.+?)\s*""".r
+        val mIn = """(?is)\s*([\w.]+)\s+IN\s*\((.+)\)\s*""".r
         c match {
           case m(a, op, v) => (a, op, v)
+          case mIn(a, list) => (a, "in", list)
           case other => throw new IllegalArgumentException(s"cannot parse predicate: $other")
         }
       }).getOrElse(Nil)
@@ -621,7 +653,8 @@ object LoopbackCqlServer {
         () // token equality is legal CQL; compared like any bound below
     }
     val pkBound = colConds.collect {
-      case (a, "=", _) if pk(a.toLowerCase) => a.toLowerCase
+      case (a, op, _) if (op == "=" || op == "in") && pk(a.toLowerCase) =>
+        a.toLowerCase
     }.toSet
     colConds.foreach { case (a, op, _) =>
       val al = a.toLowerCase
@@ -631,10 +664,13 @@ object LoopbackCqlServer {
             s"thus may have unpredictable performance. If you want to execute this " +
             s"query despite the performance unpredictability, use ALLOW FILTERING " +
             s"(non-key column $a)")
-      if (pk(al) && op != "=")
+      if (pk(al) && op != "=" && op != "in")
         throw new IllegalArgumentException(
           s"Only EQ and IN relation are supported on the partition key $a " +
             s"(unless you use the token() function)")
+      if (ck.contains(al) && op == "in")
+        throw new IllegalArgumentException(
+          s"IN on clustering column $a is not served here")
     }
     if (tokenConds.nonEmpty && pkBound.nonEmpty)
       throw new IllegalArgumentException(
@@ -673,13 +709,19 @@ object LoopbackCqlServer {
         }
       } && colConds.forall { case (a, op, raw) =>
         val i = fieldIdx(a)
-        val v = CqlEval.literal(raw, t.schema.fields(i).dataType)
-        val c = FilterEval.cmp(r(i), v)
-        r(i) != null && c.exists { x =>
-          op match {
-            case "=" => x == 0
-            case ">" => x > 0; case ">=" => x >= 0
-            case "<" => x < 0; case "<=" => x <= 0
+        if (op == "in") {
+          val vs = CqlEval.splitList(raw)
+            .map(s => CqlEval.literal(s.trim, t.schema.fields(i).dataType))
+          r(i) != null && vs.exists(v => FilterEval.cmp(r(i), v).contains(0))
+        } else {
+          val v = CqlEval.literal(raw, t.schema.fields(i).dataType)
+          val c = FilterEval.cmp(r(i), v)
+          r(i) != null && c.exists { x =>
+            op match {
+              case "=" => x == 0
+              case ">" => x > 0; case ">=" => x >= 0
+              case "<" => x < 0; case "<=" => x <= 0
+            }
           }
         }
       }
@@ -1185,7 +1227,71 @@ class CqlScanBuilder(ep: CqlEndpoint, hint: Option[Int] = None) extends ScanBuil
 class CqlScan(ep: CqlEndpoint, required: StructType, cols: Seq[String],
     where: Seq[String], limit: Int, pushed: Array[Filter],
     hint: Option[Int] = None, groupBy: Seq[String] = Nil,
-    aggKinds: Seq[String] = Nil) extends Scan with Batch {
+    aggKinds: Seq[String] = Nil)
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  // ---- runtime semi-join reduction (dynamic filtering) --------------------
+  // CQL's one legal IN shape — `pk IN (...)` on the full (single-column)
+  // partition key — is exactly the semi-join reducer: a broadcast dim's
+  // distinct join keys compile into one multi-partition read instead of
+  // a full token-ring sweep. Purely an optimization: the join re-checks
+  // every key, so declining (multi-column partition key, static key
+  // restriction already present, non-renderable literal, key set beyond
+  // the cap) is always safe. Under a grouped pushed aggregate the group
+  // rule guarantees the partition key IS a group column, so pruning
+  // partitions prunes exactly whole groups the join would drop.
+
+  private val RuntimeInCap = 10000
+
+  @volatile private var runtimeIn: Option[String] = None
+
+  /** Last runtime IN compiled (rendered), for plan/wire asserts. */
+  @volatile private[graft] var runtimeFilterDesc: String = ""
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // a static relation on the key already pins the scan (and CQL
+    // refuses a column restricted twice); a pushed plain LIMIT is safe
+    // (no sort exists on this surface — any n qualifying rows is a
+    // valid LIMIT answer)
+    if (where.nonEmpty || ep.partitionKeys.size != 1) return Array.empty
+    val pk = ep.partitionKeys.head
+    required.fieldNames.find(_.equalsIgnoreCase(pk)) match {
+      case Some(n) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column(n))
+      case None => Array.empty // pk not in output (e.g. global aggregate)
+    }
+  }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    if (where.nonEmpty || ep.partitionKeys.size != 1) return
+    val pk = ep.partitionKeys.head
+    val rendered = predicates.toSeq.flatMap { p =>
+      if (p.name() != "IN" || p.children().isEmpty) None
+      else p.children()(0) match {
+        case ref: org.apache.spark.sql.connector.expressions.NamedReference
+            if ref.fieldNames().length == 1 &&
+              ref.fieldNames()(0).equalsIgnoreCase(pk) =>
+          val ls = p.children().drop(1).toSeq.map {
+            case lv: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              try CqlGen.renderLiteral(CatalystTypeConverters
+                .createToScalaConverter(lv.dataType)(lv.value))
+              catch { case scala.util.control.NonFatal(_) => None }
+            case _ => None
+          }
+          if (ls.size > RuntimeInCap || ls.exists(_.isEmpty)) None
+          else Some(s"$pk IN (${ls.map(_.get).mkString(", ")})")
+        case _ => None
+      }
+    }
+    if (rendered.nonEmpty) {
+      runtimeIn = Some(rendered.head)
+      runtimeFilterDesc = rendered.head
+    }
+  }
 
   private def render(extra: Seq[String]): String = {
     val w = where ++ extra
@@ -1214,6 +1320,12 @@ class CqlScan(ep: CqlEndpoint, required: StructType, cols: Seq[String],
     * token() and partition-key relations, and a bound partition key IS
     * the single-replica fast path. */
   override def planInputPartitions(): Array[InputPartition] = {
+    // A runtime `pk IN (...)` pins its partitions in ONE request — CQL
+    // forbids mixing token() relations with key relations, and the IN
+    // read is the multi-partition fast path anyway.
+    runtimeIn.foreach { in =>
+      return Array(CqlPartition(ep.spec, render(Seq(in)), required.json, aggKinds))
+    }
     // Grouped aggregates may STILL fan out over token ranges: the group
     // rule guarantees every group binds the full partition key, all of a
     // group's rows share one token, so each token range holds complete

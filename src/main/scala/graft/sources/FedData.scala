@@ -326,6 +326,18 @@ object FedData {
           splits = Some(WireSplits("o_orderkey",
             quantileSplits(rows.toSeq, discovered, "o_orderkey", 4)))))
       }
+      // second table on the SAME warehouse: the same-server join gates
+      // (q_src_join_bq / q_src_join_bq_left) render customer⨝orders as
+      // ONE passthrough statement
+      if (BqEndpoints.get(BqSourceName, "customer_bqw").isEmpty) {
+        val customer = Tables.load(spark, sfDir, "customer")
+        val rows = customer.collect().map(_.toSeq.toArray)
+        LoopbackRestServer.registerBq("customer_bqw", customer.schema, rows.toSeq)
+        val baseUrl = LoopbackRestServer.ensureStarted()
+        val spec = BqEndpointSpec(baseUrl, "customer_bqw", HttpRestConfig(pageSize = 512))
+        val discovered = BqDiscovery.tableSchema(spec)
+        BqEndpoints.register(BqEndpoint(BqSourceName, "customer_bqw", discovered, spec))
+      }
       // Datastore-protocol source: the events stream behind the v1
       // :runQuery REST endpoint — property filters with the
       // single-inequality-property rule (sql_to_datastore.go:441-493

@@ -256,4 +256,54 @@ class BtSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 1)
     assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 399L))
   }
+
+  // ---- runtime semi-join reduction (dynamic filtering) ---------------------
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  test("a broadcast dim join ships the build-side keys as an explicit rowKeys batch") {
+    val t = table("dynb1")
+    val dim = spark.range(0, 400)
+      .filter(col("id").isin(5L, 10L, 20L))
+      .select(format_string("row#%05d", col("id")).as("dk"))
+    val df = spark.table(t)
+      .join(broadcast(dim), col("k") === col("dk"))
+      .select("k", "id")
+    val got = df.collect().map(_.getLong(1)).toSet
+    assert(got == Set(5L, 10L, 20L), s"$got")
+    val req = LoopbackRestServer.lastBtQuery.get()
+    assert(req.contains("rowKeys"), s"build keys must ship as a rowKeys batch: $req")
+    assert(req.contains(b64("row#00005")) && req.contains(b64("row#00020")), req)
+    assert(!req.contains(b64("row#00030")),
+      s"a key the build filter dropped must not ship: $req")
+  }
+
+  test("runtime keys INTERSECT the static row set; contradictions read nothing") {
+    val t = table("dynb2")
+    val served0 = LoopbackRestServer.served.get()
+    val dim = spark.range(0, 400)
+      .filter(col("id").isin(5L, 150L))
+      .select(format_string("row#%05d", col("id")).as("dk"))
+    val df = spark.table(t)
+      .filter(col("k") >= "row#00100") // static range: drops key 00005
+      .join(broadcast(dim), col("k") === col("dk"))
+      .select("id")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(150L))
+    val req = LoopbackRestServer.lastBtQuery.get()
+    assert(req.contains(b64("row#00150")) && !req.contains(b64("row#00005")),
+      s"only the intersection may ship: $req")
+
+    // full contradiction: the dim key lies outside the static range
+    val dim2 = spark.range(0, 400)
+      .filter(col("id") === 5L)
+      .select(format_string("row#%05d", col("id")).as("dk"))
+    val df2 = spark.table(t)
+      .filter(col("k") >= "row#00100")
+      .join(broadcast(dim2), col("k") === col("dk"))
+    assert(df2.collect().isEmpty)
+    assert(df2.rdd.getNumPartitions == 0 || df2.collect().isEmpty,
+      "a provably-empty intersection must plan zero read partitions")
+    assert(LoopbackRestServer.served.get() > served0, "sanity: the first read happened")
+  }
 }

@@ -523,4 +523,55 @@ class CqlSourceSpec extends AnyFunSuite {
     assert(decoded == want)
     c.close()
   }
+
+  // ---- runtime semi-join reduction (dynamic filtering) ---------------------
+
+  test("a broadcast dim join ships the build-side keys as partition-key IN") {
+    val t = table("dynq1")
+    // selective dim built over range() so the Filter survives optimization
+    val dim = spark.range(0, 3)
+      .filter(col("id") === 0L)
+      .select(when(col("id") === 0L, "A").otherwise("Z").as("dseg"))
+    val df = spark.table(t)
+      .join(broadcast(dim), col("seg") === col("dseg"))
+      .select("seg", "id")
+    val got = df.collect()
+    assert(got.length == rows.count(_(0) == "A"), s"${got.length}")
+    assert(got.forall(_.getString(0) == "A"))
+    val cql = LoopbackCqlServer.lastCql.get()
+    assert(cql.contains("seg IN ('A')"),
+      s"the build-side keys must reach the wire as IN: $cql")
+    assert(!cql.contains("token("),
+      s"an IN-pinned read must not token-fan-out: $cql")
+  }
+
+  test("a pushed CQL GROUP BY prunes whole groups via partition-key IN") {
+    val t = table("dynq2")
+    val dim = spark.range(0, 3)
+      .filter(col("id") === 1L)
+      .select(when(col("id") === 1L, "B").otherwise("Z").as("dseg"))
+    val agg = spark.table(t).groupBy("seg").agg(count(lit(1)).as("n"))
+    val df = agg.join(broadcast(dim), col("seg") === col("dseg"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("B" -> rows.count(_(0) == "B").toLong), s"$got")
+    val cql = LoopbackCqlServer.lastCql.get()
+    assert(cql.contains("GROUP BY"), cql)
+    assert(cql.contains("seg IN ('B')"),
+      s"group-key pruning must restrict the partitions read: $cql")
+  }
+
+  test("a static key restriction declines the runtime IN (no double restriction)") {
+    val t = table("dynq3")
+    val dim = spark.range(0, 2)
+      .filter(col("id") === 0L)
+      .select(when(col("id") === 0L, "A").otherwise("Z").as("dseg"))
+    val df = spark.table(t)
+      .filter(col("seg") === "A") // statically pins the partition key
+      .join(broadcast(dim), col("seg") === col("dseg"))
+      .select("id")
+    assert(df.collect().length == rows.count(_(0) == "A"))
+    val cql = LoopbackCqlServer.lastCql.get()
+    assert(!cql.contains(" IN ("),
+      s"CQL refuses a doubly-restricted key; the scan must decline: $cql")
+  }
 }

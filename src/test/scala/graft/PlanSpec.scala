@@ -559,16 +559,110 @@ class PlanSpec extends AnyFunSuite {
       "per-row tf must use the native term_freqs expression")
   }
 
+  /** The DSv2 join-pushdown flag is HARNESS session config (Verify/Bench
+    * builders); specs set/restore it at runtime because suites share one
+    * JVM-wide session. */
+  private def withJoinPushdown[A](body: => A): A = {
+    val key = "spark.sql.optimizer.datasourceV2JoinPushdown"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("q_src_join_lookup: the join leaves the engine — one $lookup pipeline") {
-    val df = SparkEntry.queries("q_src_join_lookup")(spark, sfDir)
+    withJoinPushdown {
+      val df = SparkEntry.queries("q_src_join_lookup")(spark, sfDir)
+      assert(df.collect().length > 0, "gate must be non-empty at sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"the join must be pushed off the engine:\n$plan")
+      val cmd = graft.sources.LoopbackMongoServer.lastAggregate.get()
+      assert(cmd.contains("$lookup") && cmd.contains("$unwind"),
+        s"the join must ship as one lookup pipeline: $cmd")
+      assert(cmd.indexOf("$match") < cmd.indexOf("$lookup"),
+        s"the left WHERE + null guard must precede the lookup: $cmd")
+    }
+  }
+
+  test("q_src_join_lookup_left: LEFT OUTER leaves the engine, preserving unwind") {
+    withJoinPushdown {
+      val df = SparkEntry.queries("q_src_join_lookup_left")(spark, sfDir)
+      val got = df.collect()
+      assert(got.length > 0, "gate must be non-empty at sf0.001")
+      // (null-extension itself is scale-dependent here — at sf0.001 every
+      // sampled customer has orders; MongoSourceSpec plants null keys and
+      // proves LEFT semantics, and the sf0.01 DuckDB oracle re-proves it)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"the join must be pushed off the engine:\n$plan")
+      val cmd = graft.sources.LoopbackMongoServer.lastAggregate.get()
+      assert(cmd.contains("preserveNullAndEmptyArrays"),
+        s"LEFT OUTER must unwind preserving: $cmd")
+    }
+  }
+
+  test("q_src_join_agg: fact⨝dim→aggregate is one pipeline, no engine operators") {
+    withJoinPushdown {
+      val df = SparkEntry.queries("q_src_join_agg")(spark, sfDir)
+      assert(df.collect().length > 0, "gate must be non-empty at sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join") && !plan.contains("HashAggregate") &&
+        !plan.contains("SortAggregate"),
+        s"join AND aggregate must both leave the engine:\n$plan")
+      val cmd = graft.sources.LoopbackMongoServer.lastAggregate.get()
+      assert(cmd.indexOf("$lookup") >= 0 && cmd.indexOf("$group") > cmd.indexOf("$lookup"),
+        s"the $$group must follow the $$lookup: $cmd")
+    }
+  }
+
+  test("q_src_join_bq: the join renders as ONE warehouse statement") {
+    withJoinPushdown {
+      val df = SparkEntry.queries("q_src_join_bq")(spark, sfDir)
+      assert(df.collect().length > 0, "gate must be non-empty at sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"the join must be pushed off the engine:\n$plan")
+      val sql = graft.sources.LoopbackRestServer.lastBqSql.get()
+      assert(sql.contains("JOIN customer_bqw t1 ON t0.o_custkey = t1.c_custkey"),
+        s"the join must ship as one statement: $sql")
+      assert(sql.contains("t0.o_totalprice > 400000.0"),
+        s"the left WHERE must re-render under its alias: $sql")
+    }
+  }
+
+  test("q_src_join_bq_left: LEFT OUTER ships with the right filter in ON") {
+    withJoinPushdown {
+      val df = SparkEntry.queries("q_src_join_bq_left")(spark, sfDir)
+      val got = df.collect()
+      assert(got.length > 0, "gate must be non-empty at sf0.001")
+      assert(got.exists(_.isNullAt(2)),
+        "some customer must survive null-extended (LEFT semantics)")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"the join must be pushed off the engine:\n$plan")
+      val sql = graft.sources.LoopbackRestServer.lastBqSql.get()
+      assert(sql.contains("LEFT JOIN"), sql)
+      assert(sql.matches("(?s).*ON [^W]*o_totalprice > 450000.*"),
+        s"the null-extended side's filter must ride ON, not WHERE: $sql")
+    }
+  }
+
+  test("q_src_cql_dynfilter: dim keys flow back into the CQL scan as partition-key IN") {
+    val df = SparkEntry.queries("q_src_cql_dynfilter")(spark, sfDir)
     assert(df.collect().length > 0, "gate must be non-empty at sf0.001")
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"), s"the join must be pushed off the engine:\n$plan")
-    val cmd = graft.sources.LoopbackMongoServer.lastAggregate.get()
-    assert(cmd.contains("$lookup") && cmd.contains("$unwind"),
-      s"the join must ship as one lookup pipeline: $cmd")
-    assert(cmd.indexOf("$match") < cmd.indexOf("$lookup"),
-      s"the left WHERE + null guard must precede the lookup: $cmd")
+    val cql = graft.sources.LoopbackCqlServer.lastCql.get()
+    assert(cql.contains(" IN ("),
+      s"the broadcast dim's keys must reach the wire as IN: $cql")
+    assert(!cql.contains("token("),
+      s"an IN-pinned read must not token-fan-out: $cql")
+  }
+
+  test("q_src_bt_dynfilter: dim keys flow back into the BigTable scan as rowKeys") {
+    val df = SparkEntry.queries("q_src_bt_dynfilter")(spark, sfDir)
+    assert(df.collect().length > 0, "gate must be non-empty at sf0.001")
+    val req = graft.sources.LoopbackRestServer.lastBtQuery.get()
+    assert(req.contains("rowKeys"),
+      s"the broadcast dim's keys must reach the wire as a rowKeys batch: $req")
   }
 
   test("q_src_join_dynfilter: dim keys flow back into the Mongo scan as $in") {
