@@ -437,6 +437,67 @@ object Multimodal {
     wavBytes(pcm, sampleRate)
   }
 
+  // ---- deterministic synthetic images / clips ----------------------------
+
+  /** splitmix-style per-cell value in [0,256) — deterministic across
+    * JVMs and partitions. */
+  private def cellGray(seed: Long, i: Int, j: Int, frame: Int): Int = {
+    var z = seed + i * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L +
+      frame * 0x2545F4914F6CDD1DL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    ((z ^ (z >>> 31)) >>> 24).toInt & 255
+  }
+
+  /** Deterministic grayscale frame: a seed-keyed 32×32 base grid
+    * rendered at any `side` by PIXEL REPLICATION (x → ⌊x·32/side⌋ — the
+    * same floor map [[pHash64]]'s box filter uses), so EVERY rendered
+    * size resamples back to the identical 32×32 luminance grid and the
+    * DCT hash is bit-for-bit EQUAL across sizes. That makes a re-encode
+    * at another resolution a near-dup twin with a PROVABLE hash
+    * relation (Hamming 0) — the handle that lets the driver gates run
+    * the real decode→hash path while staying value-oracled. */
+  def synthFrame(seed: Long, side: Int, frame: Int = 0): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < side) {
+      val j = (y.toLong * 32 / side).toInt
+      var x = 0
+      while (x < side) {
+        raster.setSample(x, y, 0, cellGray(seed, (x.toLong * 32 / side).toInt, j, frame))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** One-frame PNG (lossless — the exactness [[synthFrame]] promises
+    * survives the container). */
+  def synthPng(seed: Long, side: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(synthFrame(seed, side), "png", bos)
+    bos.toByteArray
+  }
+
+  /** Animated GIF of `frames` [[synthFrame]]s (GIF is the one multi-frame
+    * container the JDK reads; a 256-gray palette encodes TYPE_BYTE_GRAY
+    * exactly). */
+  def synthGif(seed: Long, frames: Int, side: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    (0 until frames).foreach(f =>
+      w.writeToSequence(
+        new javax.imageio.IIOImage(synthFrame(seed, side, f), null, null), null))
+    w.endWriteSequence(); w.dispose(); ios.close()
+    bos.toByteArray
+  }
+
   /** True iff the payload is a RIFF/WAVE container — the audio format the
     * JDK's javax.sound.sampled decodes without external codecs. */
   def looksLikeWav(b: Array[Byte]): Boolean =

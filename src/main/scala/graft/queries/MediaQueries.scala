@@ -195,20 +195,62 @@ object MediaQueries {
          |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
          |         a.phash AS pa, b.phash AS pb
          |  FROM bands a JOIN bands b
-         |    ON a.j = b.j AND a.band = b.band AND a.media_id < b.media_id)
-         |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+         |    ON a.j = b.j AND a.band = b.band AND a.media_id < b.media_id),
+         |-- REAL-decode arm: every 40th doc also ships two REAL PNGs —
+         |-- a seed-keyed 32x32 raster and its pixel-replicated 64x64
+         |-- re-encode, whose box-filter resample is IDENTICAL, so the
+         |-- real DCT pHash pair is provably Hamming 0 (equal seeds ==
+         |-- equal texts pair across docs too)
+         |rr AS (
+         |  SELECT h, doc_id + 3000000000 AS rid FROM hdoc WHERE doc_id % 40 = 0
+         |  UNION ALL
+         |  SELECT h, doc_id + 4000000000 FROM hdoc WHERE doc_id % 40 = 0)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+         |  FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+         |  UNION ALL
+         |  SELECT a.rid, b.rid, CAST(0 AS BIGINT)
+         |  FROM rr a JOIN rr b ON a.h = b.h AND a.rid < b.rid)
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.TextHash
+      import graft.multimodal.Multimodal.MediaRow
+      // Every 40th doc ADDS a real-decode pair: a deterministic PNG and
+      // its pixel-replicated 2x re-encode. Their REAL DCT pHashes are
+      // bit-for-bit equal (synthFrame's replication contract), so the
+      // pair must surface at Hamming 0 through the same band pipeline —
+      // the full decode→hash→band→verify path runs on REAL payloads
+      // while the corpus bulk keeps the stub's cross-engine oracle.
+      val docs0 = Tables.load(s, d, "documents")
+        .filter(col("text") =!= "")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val media = docs0.mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val base = MediaRow(id, "image", "image/png",
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (id % 40 == 0) {
+            val h = TextHash.polyHash(text)
+            Iterator(base,
+              MediaRow(id + 3000000000L, "image", "image/png",
+                Multimodal.synthPng(h, 32)),
+              MediaRow(id + 4000000000L, "image", "image/png",
+                Multimodal.synthPng(h, 64)))
+          } else Iterator.single(base)
+        }
+      }
       // decode ONCE: the twins arm and both band-join sides all read
       // this cached (media_id, phash) projection — at corpus scale the
       // pixel decode is the dominant cost and must never replan per
       // branch (released by the harness clearCache, like the other
       // multi-branch gates)
-      val dec = Multimodal.decode(
-        Multimodal.fromDocuments(Tables.load(s, d, "documents"))).toDF()
+      val dec = Multimodal.decode(media).toDF()
         .select(col("media_id"), col("phash"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val twins = dec.filter(col("media_id") % 50 === 0)
+      // bit-flip twins plant on the BASE corpus only (the real-decode
+      // ids are ≡0 mod 50 too — 3e9 % 50 = 0 — and twinning them would
+      // collide with the +4e9 id space)
+      val twins = dec.filter(col("media_id") % 50 === 0 &&
+          col("media_id") < 1000000000L)
         .select((col("media_id") + 1000000000L).as("media_id"),
           expr("phash ^ shiftleft(CAST(1 AS BIGINT), CAST(phash % 63 AS INT))")
             .as("phash"))
@@ -322,24 +364,65 @@ object MediaQueries {
          |  FROM cand c
          |  JOIN all_f fa ON fa.media_id = c.id_a
          |  JOIN all_f fb ON fb.media_id = c.id_b AND fb.slot = fa.slot
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, n_common, ham_sum
-         |FROM pairs WHERE ham_sum <= 10 AND n_common >= 2
+         |  GROUP BY 1, 2),
+         |-- REAL-decode arm: every 60th doc also ships two REAL animated
+         |-- GIFs (8 seed-keyed frames; the second is the pixel-replicated
+         |-- 64x64 re-encode) whose per-slot REAL DCT hashes are equal —
+         |-- the pair is provably (n_common 4, ham_sum 0)
+         |rrv AS (
+         |  SELECT h, doc_id + 3000000000 AS rid FROM hdoc WHERE doc_id % 60 = 0
+         |  UNION ALL
+         |  SELECT h, doc_id + 4000000000 FROM hdoc WHERE doc_id % 60 = 0)
+         |SELECT id_a, id_b, n_common, ham_sum FROM (
+         |  SELECT id_a, id_b, n_common, ham_sum
+         |  FROM pairs WHERE ham_sum <= 10 AND n_common >= 2
+         |  UNION ALL
+         |  SELECT a.rid, b.rid, CAST(4 AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM rrv a JOIN rrv b ON a.h = b.h AND a.rid < b.rid)
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      val media = Multimodal.fromDocuments(
-        Tables.load(s, d, "documents"), kind = "video")
+      import s.implicits._
+      import graft.functions.TextHash
+      import graft.multimodal.Multimodal.MediaRow
+      // Every 60th doc ADDS a real-decode pair: an 8-frame animated GIF
+      // and its pixel-replicated 2x re-encode, whose sampled-frame REAL
+      // DCT hashes agree slot-for-slot (ham_sum exactly 0 over 4 common
+      // slots) — the real multi-frame decode→hash→band→verify path runs
+      // inside the driver gate while the corpus bulk keeps the stub's
+      // cross-engine oracle.
+      val docs0 = Tables.load(s, d, "documents")
+        .filter(col("text") =!= "")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val media = docs0.mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val base = MediaRow(id, "video", "video/mp4",
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (id % 60 == 0) {
+            val h = TextHash.polyHash(text)
+            Iterator(base,
+              MediaRow(id + 3000000000L, "video", "image/gif",
+                Multimodal.synthGif(h, 8, 32)),
+              MediaRow(id + 4000000000L, "video", "image/gif",
+                Multimodal.synthGif(h, 8, 64)))
+          } else Iterator.single(base)
+        }
+      }
       // one narrow frame-hash pass; every later branch (twin planting,
       // both band-join sides, both verify sides) reads this cached
       // k-rows-per-clip projection — at corpus scale the frame decode
       // dominates and must never replan
       val frames = Multimodal.decodeFrames(media, 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val twinsRe = frames.filter(col("media_id") % 50 === 0)
+      // twin plants ride the BASE corpus only: 3e9 ≡ 0 mod both 50 and
+      // 75, so unguarded plants on the real-decode ids would collide
+      // with the +4e9 id space
+      val twinsRe = frames.filter(col("media_id") % 50 === 0 &&
+          col("media_id") < 1000000000L)
         .select((col("media_id") + 1000000000L).as("media_id"), col("slot"),
           when(col("slot") === 0,
             expr("fhash ^ shiftleft(CAST(1 AS BIGINT), CAST(fhash % 63 AS INT))"))
             .otherwise(col("fhash")).as("fhash"))
-      val twinsTr = frames.filter(col("media_id") % 75 === 0 && col("slot") < 3)
+      val twinsTr = frames.filter(col("media_id") % 75 === 0 &&
+          col("media_id") < 1000000000L && col("slot") < 3)
         .select((col("media_id") + 2000000000L).as("media_id"),
           col("slot"), col("fhash"))
       val all = frames.unionAll(twinsRe).unionAll(twinsTr)
