@@ -701,7 +701,10 @@ class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
       val body = EsDsl.M.readTree(dslBody).asInstanceOf[ObjectNode]
       val wrapped = EsDsl.M.createObjectNode()
       val must = wrapped.putObject("bool").putArray("must")
-      must.add(body.get("query"))
+      // a body with no query node is an implicit match_all — the terms
+      // alone become the query (adding a null node would be invalid DSL)
+      val q = body.get("query")
+      if (q != null && !q.isNull) must.add(q)
       runtimeTerms.foreach(must.add)
       body.set[ObjectNode]("query", wrapped)
       body.toString

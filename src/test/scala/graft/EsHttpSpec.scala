@@ -819,4 +819,24 @@ class EsHttpSpec extends AnyFunSuite {
     assert(!LoopbackRestServer.lastBody.get().contains("Body text 4"),
       s"a non-retargetable runtime key must never ship: ${LoopbackRestServer.lastBody.get()}")
   }
+
+  test("runtime terms AND into the composite multi-key aggregation body") {
+    val t = table("dyn_es3")
+    val dim = spark.range(0, 3).filter(col("id") === 0L)
+      .select(when(col("id") === 0L, "A").otherwise("Z").as("dseg"))
+    val agg = spark.table(t).groupBy("seg", "name").agg(count(lit(1)).as("n"))
+    val df = agg.join(broadcast(dim), col("seg") === col("dseg"))
+    val got = df.collect()
+    // every name is unique -> one group per qualifying row
+    assert(got.length == rows.count(_(1) == "A"), s"${got.length}")
+    assert(got.forall(_.getLong(2) == 1L))
+    val body = LoopbackRestServer.lastBody.get()
+    assert(body.contains("\"composite\""),
+      s"multi-key groups must ride the composite aggregation: $body")
+    assert(body.contains("\"terms\"") && body.contains("\"seg\":[\"A\"]"),
+      s"the runtime terms must AND into the composite body's query: $body")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"dynamic filtering must compose with COMPLETE composite pushdown:\n$plan")
+  }
 }
