@@ -1033,6 +1033,30 @@ object Federation {
         .limit(3)
     },
 
+    // BQ runtime semi-join reduction (beyond-ref): broadcast-dim join
+    // keys re-render as a SQL IN conjunct ANDed into the passthrough
+    // statement (and into every range-sharded statement) — the fifth
+    // wire backend with the Trino-style dynamic-filter reducer
+    // (BqSourceSpec asserts the shipped IN, the sharded composition,
+    // group-key pruning under COMPLETE agg pushdown, and the delegated-
+    // window soundness decline).
+    GQuery(
+      "q_src_bq_dynfilter",
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'HOUSEHOLD' AND c.c_acctbal > 9000
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      fed(s, d)
+      val dim = Tables.load(s, d, "customer")
+        .filter(col("c_mktsegment") === "HOUSEHOLD" && col("c_acctbal") > 9000)
+        .select("c_custkey", "c_name")
+      s.table(s"$C.${FedData.BqSourceName}.orders_bqw")
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+        .orderBy("o_orderkey")
+    },
+
     // BQ SAME-WAREHOUSE join pushdown (reference identity: sql_to_bq.go:
     // 72-104 re-renders whatever statement it gets — joins included):
     // two tables on one warehouse render as ONE JOIN statement via Spark

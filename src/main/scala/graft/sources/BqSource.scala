@@ -924,12 +924,25 @@ class BqScanBuilder(private val ep: BqEndpoint, hint: Option[Int] = None) extend
       }
       val onSql = (s"t0.${j.leftKeyCol} = t1.${j.rightKeyCol}" +: onSide)
         .mkString(" AND ")
-      val whereSql = if (whereSide.isEmpty) "" else " WHERE " + whereSide.mkString(" AND ")
-      val sql = s"SELECT ${items.mkString(", ")} FROM ${ep.table} t0 " +
-        s"$joinKw ${j.rightTable} t1 ON $onSql$whereSql"
+      val renderJoin: Seq[String] => String = extras => {
+        val w = whereSide ++ extras
+        val whereSql = if (w.isEmpty) "" else " WHERE " + w.mkString(" AND ")
+        s"SELECT ${items.mkString(", ")} FROM ${ep.table} t0 " +
+          s"$joinKw ${j.rightTable} t1 ON $onSql$whereSql"
+      }
       val outSchema = StructType(outCols.map(c =>
         StructField(c._1, c._4, nullable = true)))
-      return new BqScan(ep, outSchema, sql, None, pushed, aggMode = false, hint)
+      // runtime semi-join keys AND into the joined statement's WHERE —
+      // INNER only (under an outer join a WHERE on the null-extended
+      // side would drop rows the join must null-extend, and the
+      // preserved/extended split is not worth a second ON plumbing)
+      val rtCols: Seq[(String, String)] =
+        if (j.kind != "inner") Nil
+        else outCols.map { case (out, fromLeft, src, _) =>
+          (out, if (fromLeft) s"t0.$src" else s"t1.$src") }
+      return new BqScan(ep, outSchema, renderJoin(Nil), None, pushed,
+        aggMode = false, hint, extraRender = Some(renderJoin),
+        runtimeCols = rtCols)
     }
     val whereSql = pushed.toSeq.flatMap(BqSql.render) match {
       case Nil => ""
@@ -965,23 +978,95 @@ class BqScanBuilder(private val ep: BqEndpoint, hint: Option[Int] = None) extend
     val effLimit = if (limit >= 0) math.max(0, limit - offset) else -1
     val limitSql = if (effLimit >= 0) s" LIMIT $effLimit" else ""
     val offsetSql = if (offset > 0) s" OFFSET $offset" else ""
-    val sql = s"SELECT $selectSql FROM ${ep.table}$whereSql$groupSql$orderSql$limitSql$offsetSql"
+    val renderFull: Seq[String] => String = extras => {
+      val w = pushed.toSeq.flatMap(BqSql.render) ++ extras
+      val whereS = if (w.isEmpty) "" else " WHERE " + w.mkString(" AND ")
+      s"SELECT $selectSql FROM ${ep.table}$whereS$groupSql$orderSql$limitSql$offsetSql"
+    }
+    val sql = renderFull(Nil)
     // a "bare" statement (no agg/sort/limit/offset consumed) may shard:
     // per-partition statements append a key-range conjunct to the WHERE
     val bare = agg.isEmpty && orders.isEmpty && limit < 0 && offset == 0
-    val sqlFor: Option[String => String] =
+    val sqlFor: Option[Seq[String] => String] =
       if (!bare) None
-      else Some(extra => {
-        val w = pushed.toSeq.flatMap(BqSql.render) :+ extra
+      else Some(extras => {
+        val w = pushed.toSeq.flatMap(BqSql.render) ++ extras
         s"SELECT $selectSql FROM ${ep.table} WHERE ${w.mkString(" AND ")}"
       })
-    new BqScan(ep, outSchema, sql, sqlFor, pushed, agg.isDefined, hint)
+    // runtime semi-join eligibility: a delegated ORDERED window (sort or
+    // offset consumed — Spark removed its own operators) must never gain
+    // a filter beneath it (the server would window the filtered subset —
+    // wrong rows); a plain LIMIT is safe (any n qualifying rows is a
+    // valid answer). Under COMPLETE agg pushdown only GROUP-KEY pruning
+    // is sound (whole groups the join above drops anyway).
+    val rtCols: Seq[(String, String)] =
+      if (orders.nonEmpty || offset > 0) Nil
+      else agg match {
+        case Some((gs, _)) =>
+          gs.map(i => (ep.schema.fieldNames(i), ep.schema.fieldNames(i)))
+        case None => outSchema.fieldNames.toSeq.map(n => (n, n))
+      }
+    new BqScan(ep, outSchema, sql, sqlFor, pushed, agg.isDefined, hint,
+      extraRender = Some(renderFull), runtimeCols = rtCols)
   }
 }
 
 class BqScan(ep: BqEndpoint, out: StructType, sql: String,
-    sqlFor: Option[String => String], pushed: Array[Filter],
-    aggMode: Boolean, hint: Option[Int] = None) extends Scan with Batch {
+    sqlFor: Option[Seq[String] => String], pushed: Array[Filter],
+    aggMode: Boolean, hint: Option[Int] = None,
+    extraRender: Option[Seq[String] => String] = None,
+    runtimeCols: Seq[(String, String)] = Nil)
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  // ---- runtime semi-join reduction (dynamic filtering) --------------------
+  // A broadcast dim's distinct join keys re-render as a SQL `IN (...)`
+  // conjunct ANDed into the full passthrough statement before partition
+  // planning — same contract as the Mongo/ES/CQL/BT connectors: purely
+  // an optimization (the join re-checks every key), declining on
+  // non-renderable literals or key sets past the cap is always safe.
+  // Eligibility (ordered-window and group-key rules) is decided by the
+  // BUILDER via `runtimeCols` (output name → SQL reference, which under
+  // a pushed join is the alias-qualified source column).
+
+  private val RuntimeInCap = 10000
+
+  @volatile private var runtimeConjuncts: Seq[String] = Nil
+
+  /** Last runtime conjuncts compiled (rendered), for wire asserts. */
+  @volatile private[graft] var runtimeFilterDesc: String = ""
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (extraRender.isEmpty) Array.empty
+    else runtimeCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c._1)).toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val byOut = runtimeCols.map(c => c._1.toLowerCase -> c._2).toMap
+    val conjuncts = predicates.toSeq.flatMap { p =>
+      if (p.name() != "IN" || p.children().isEmpty) None
+      else p.children()(0) match {
+        case ref: NamedReference if ref.fieldNames().length == 1 &&
+            byOut.contains(ref.fieldNames()(0).toLowerCase) =>
+          val target = byOut(ref.fieldNames()(0).toLowerCase)
+          val ls = p.children().drop(1).toSeq.map {
+            case lv: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              try BqSql.renderLit(CatalystTypeConverters
+                .createToScalaConverter(lv.dataType)(lv.value))
+              catch { case scala.util.control.NonFatal(_) => None }
+            case _ => None
+          }
+          if (ls.size > RuntimeInCap || ls.exists(_.isEmpty)) None
+          else Some(s"$target IN (${ls.map(_.get).mkString(", ")})")
+        case _ => None
+      }
+    }
+    if (conjuncts.nonEmpty) {
+      runtimeConjuncts = conjuncts
+      runtimeFilterDesc = conjuncts.mkString(" AND ")
+    }
+  }
 
   override def readSchema(): StructType = out
 
@@ -1003,7 +1088,9 @@ class BqScan(ep: BqEndpoint, out: StructType, sql: String,
     * shard 0 via `OR key IS NULL` (range conjuncts are 3VL-false on
     * null). */
   override def planInputPartitions(): Array[InputPartition] = {
-    def single = Array[InputPartition](BqPartition(ep.spec, sql, out.json))
+    val rt = runtimeConjuncts // static statement ∧ runtime semi-join keys
+    def single = Array[InputPartition](BqPartition(ep.spec,
+      if (rt.isEmpty) sql else extraRender.get(rt), out.json))
     val render = sqlFor.getOrElse(return single)
     val ws = ep.splits.getOrElse(return single)
     // a key-pinning pushed predicate answers in ONE statement: range
@@ -1020,7 +1107,7 @@ class BqScan(ep: BqEndpoint, out: StructType, sql: String,
         case (Some(l), None) => s"${ws.key} >= $l"
         case (None, None) => "TRUE"
       }
-      BqPartition(ep.spec, render(conjunct), out.json): InputPartition
+      BqPartition(ep.spec, render(conjunct +: rt), out.json): InputPartition
     }.toArray
   }
 

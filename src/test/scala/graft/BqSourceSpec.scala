@@ -213,6 +213,10 @@ class BqSourceSpec extends AnyFunSuite {
     BqEndpoints.register(BqEndpoint("bqtest", name, schema,
       BqEndpointSpec(baseUrl, name, HttpRestConfig(pageSize = 64, retryBackoffMs = 5)),
       splits = Some(WireSplits("id", points))))
+    if (SourceRegistry.get("bqtest").isEmpty)
+      SourceRegistry.register(SourceDef("bqtest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/bqtest").getPath,
+        "json", "bq"))
     SourceRegistry.ensureCatalog(spark)
     s"${SourceRegistry.CatalogName}.bqtest.$name"
   }
@@ -408,6 +412,86 @@ class BqSourceSpec extends AnyFunSuite {
       assert(dfx.collect().isEmpty) // no name ever equals a label
     }
   }
+
+  // ---- runtime semi-join reduction (dynamic filtering) ---------------------
+
+  test("a broadcast dim join ships the build-side keys as a SQL IN conjunct") {
+    val t = fanTable("bqdyn1", Seq(100L, 200L, 300L))
+    // the build filter is a MODULO — a shape Catalyst cannot propagate
+    // statically across the equality, so the key set only exists at
+    // runtime (an isin build filter would static-push its own IN and pin
+    // the key before dynamic filtering ever ran)
+    val dim = spark.range(0, 400)
+      .filter(col("id") % 97 === 5)
+      .select(col("id").as("dim_id"))
+    val df = spark.table(t)
+      .join(broadcast(dim), col("id") === col("dim_id"))
+      .select("id", "seg")
+    val got = df.collect().map(_.getLong(0)).toSet
+    assert(got == Set(5L, 102L, 199L, 296L, 393L), s"$got")
+    val sql = LoopbackRestServer.lastBqSql.get()
+    assert(sql.contains("id IN (") && sql.contains("199"),
+      s"the build-side keys must re-render as IN: $sql")
+    assert(sql.contains(">=") || sql.contains("<"),
+      s"runtime keys must AND into the SHARDED statements too: $sql")
+  }
+
+  test("group-key pruning rides IN under a COMPLETE pushed aggregate") {
+    val t = table("bqdyn2")
+    val dim = spark.range(0, 3)
+      .filter(col("id") === 0L)
+      .select(when(col("id") === 0L, "A").otherwise("Z").as("dseg"))
+    val agg = spark.table(t).groupBy("seg").agg(count(lit(1)).as("n"))
+    val df = agg.join(broadcast(dim), col("seg") === col("dseg"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A" -> rows.count(_(1) == "A").toLong), s"$got")
+    val sql = LoopbackRestServer.lastBqSql.get()
+    assert(sql.contains("GROUP BY") && sql.contains("seg IN ('A')"),
+      s"group-key pruning must restrict the grouped statement: $sql")
+    assert(!df.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "dynamic filtering must compose with COMPLETE agg pushdown")
+  }
+
+  test("a delegated ordered window declines runtime filtering (soundness)") {
+    // dim holds ONE key (5) outside the true top-10 by id desc: an IN
+    // under the delegated ORDER BY + LIMIT would make the warehouse
+    // window the filtered subset — returning id=5, a row the true result
+    // cannot contain (it would survive the join's key re-check)
+    val t = table("bqdyn3")
+    val dim = spark.range(0, 400)
+      .filter(col("id") === 5L)
+      .select(col("id").as("dim_id"))
+    val top = spark.table(t).select("id", "name")
+      .orderBy(col("id").desc).limit(10)
+    val joined = top.join(broadcast(dim), col("id") === col("dim_id"))
+    assert(joined.collect().isEmpty,
+      "id=5 is outside the true top-10: any output row IS the unsoundness")
+    assert(!LoopbackRestServer.lastBqSql.get().contains(" IN ("),
+      s"no runtime IN may ride a delegated window: ${LoopbackRestServer.lastBqSql.get()}")
+  }
+
+  test("runtime keys AND into a PUSHED join's single statement") {
+    val t = table("bqdynj")
+    val d = dimTable("bqdynj_dim")
+    withJoinPushdown {
+      // a second, selective broadcast dim prunes the already-pushed
+      // fact⨝dim statement — two pushdown layers composing
+      val dim2 = spark.range(0, 400)
+        .filter(col("id") === 10L)
+        .select(col("id").as("k2"))
+      val df = spark.table(t)
+        .join(spark.table(d), col("id") === col("dim_id"))
+        .join(broadcast(dim2), col("id") === col("k2"))
+        .select("id", "label")
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((10L, "ten"), (10L, "ten2")), s"$got")
+      val sql = LoopbackRestServer.lastBqSql.get()
+      assert(sql.contains("JOIN") && sql.contains("t0.id IN (10)"),
+        s"runtime keys must AND into the joined statement under the alias: $sql")
+    }
+  }
+
+
 }
 
 /** Test-only access to the predicate sub-parser. */

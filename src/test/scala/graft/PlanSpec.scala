@@ -665,6 +665,14 @@ class PlanSpec extends AnyFunSuite {
       s"the broadcast dim's keys must reach the wire as a rowKeys batch: $req")
   }
 
+  test("q_src_bq_dynfilter: dim keys flow back into the BQ statement as SQL IN") {
+    val df = SparkEntry.queries("q_src_bq_dynfilter")(spark, sfDir)
+    assert(df.collect().length > 0, "gate must be non-empty at sf0.001")
+    val sql = graft.sources.LoopbackRestServer.lastBqSql.get()
+    assert(sql.contains(" IN ("),
+      s"the broadcast dim's keys must re-render as IN: $sql")
+  }
+
   test("q_src_join_dynfilter: dim keys flow back into the Mongo scan as $in") {
     val df = SparkEntry.queries("q_src_join_dynfilter")(spark, sfDir)
     val n = df.collect().length
