@@ -540,7 +540,8 @@ object Stress {
         s""""max_task_in_mb_1x":${o1.maxInMb},"max_task_in_mb_${r}x":${oR.maxInMb},""" +
         s""""max_task_sh_mb_1x":${o1.maxShMb},"max_task_sh_mb_${r}x":${oR.maxShMb},""" +
         s""""max_task_ratio":$inR,"max_shuffle_task_ratio":$shR,""" +
-        s""""time_bound":${b.time},"shuffle_bound":$shBound}"""
+        s""""time_bound":${b.time},"shuffle_bound":$shBound,""" +
+        s""""rows_bound":$rowsBound,"scan_split_bound":${1.5 * r}}"""
     }
     val line = s"""{"metric":"stress","replication":$r,"sf":"$sfDir",""" +
       s""""operators":{${rows.mkString(",")}},""" +

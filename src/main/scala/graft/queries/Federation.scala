@@ -844,6 +844,27 @@ object Federation {
         .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
     },
 
+    // Mongo RIGHT OUTER join pushdown (beyond-ref): the preserved side
+    // must DRIVE the $lookup, so the pipeline targets the right
+    // collection and looks up into the left one — same preserving
+    // $unwind + null-key guard, roles mirrored (MongoSourceSpec proves
+    // the drive swap and the null semantics on planted null keys).
+    GQuery(
+      "q_src_join_lookup_right",
+      """SELECT o.o_orderkey, c.c_custkey
+        |FROM orders o
+        |RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey <= 150
+        |ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.MongoSourceName}.orders_mongo")
+        .join(s.table(s"$C.${FedData.MongoSourceName}.customer_mgdoc")
+            .filter(col("c_custkey") <= 150),
+          col("o_custkey") === col("c_custkey"), "right")
+        .select(col("o_orderkey"), col("c_custkey"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+
     // Aggregate OVER a pushed join (beyond-ref): the classic fact⨝dim→
     // aggregate shape compiles to ONE pipeline — $match (fact WHERE) →
     // $lookup → $unwind → $project → $group — and ships back a

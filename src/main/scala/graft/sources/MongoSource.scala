@@ -1283,9 +1283,15 @@ class MongoWriterFactory(spec: MongoEndpointSpec, schemaJson: String)
   * semantics: no match, no row) → `$project` flattening both sides into
   * the join's aliased output columns. `cols` is the joined output in
   * order: (outputName, fromLeftSide, sourceField, type). */
-final case class MongoJoinSpec(rightCollection: String, localField: String,
-    foreignField: String, cols: Seq[(String, Boolean, String, DataType)],
-    leftOuter: Boolean = false) {
+final case class MongoJoinSpec(
+    lookupFrom: String,      // `$lookup.from` — the looked-up collection
+    driveCollection: String, // the collection the aggregate command targets
+    driveKey: String,        // localField, on the DRIVING documents
+    lookupKey: String,       // foreignField, on the looked-up documents
+    cols: Seq[(String, Boolean, String, DataType)], // (out, fromLeftTable, src, dt)
+    outer: Boolean = false,      // preserve the driving side (LEFT/RIGHT OUTER)
+    driveRight: Boolean = false, // RIGHT OUTER: the right table drives
+    driveFilter: Seq[Filter] = Nil) { // pre-join filters on the driving side
   /** The joined output as a schema — the resolution surface for any
     * aggregate pushed ON TOP of the join. */
   def outSchema: StructType =
@@ -1339,11 +1345,14 @@ class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) 
     // an $addFields null-key guard — Mongo's $lookup matches a null
     // local key to null/missing foreign keys, so null-keyed left rows
     // must have their match ARRAY reset to [] to null-extend instead.
-    // RIGHT OUTER has no $lookup form (the foreign side drives) — decline.
+    // RIGHT OUTER is the same pipeline DRIVEN FROM the right collection
+    // (the preserved side must drive the $lookup), with the sides'
+    // filter/guard roles mirrored.
     import org.apache.spark.sql.connector.join.{JoinType => JT}
-    val leftOuter = joinType match {
-      case JT.INNER_JOIN => false
-      case JT.LEFT_OUTER_JOIN => true
+    val (leftOuter, driveRight) = joinType match {
+      case JT.INNER_JOIN => (false, false)
+      case JT.LEFT_OUTER_JOIN => (true, false)
+      case JT.RIGHT_OUTER_JOIN => (true, true)
       case _ => return false
     }
     val o = other.asInstanceOf[MongoScanBuilder]
@@ -1381,38 +1390,54 @@ class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) 
       }
     key match {
       case Some((lf, ff)) =>
-        // The RIGHT side's pushed filters can't ride the basic $lookup.
-        // INNER: any filter referencing ONLY the foreign key is sound to
-        // REWRITE onto the local key and apply BEFORE the lookup: every
-        // surviving pair has fv == lv, so P(fv) ⇔ P(lv) — this covers
-        // exactly the constraints Catalyst infers across the equality
-        // (IsNotNull, ranges, IN on the join key). Anything else (a
-        // predicate on a non-key right column) declines the whole push.
-        // LEFT OUTER: NO right-side filter may move to the left (it
-        // would drop left rows the join must null-extend). But a right
+        // The LOOKED-UP side's pushed filters can't ride the basic
+        // $lookup. INNER: any filter referencing ONLY the foreign key is
+        // sound to REWRITE onto the local key and apply BEFORE the
+        // lookup: every surviving pair has fv == lv, so P(fv) ⇔ P(lv) —
+        // this covers exactly the constraints Catalyst infers across the
+        // equality (IsNotNull, ranges, IN on the join key). Anything
+        // else (a predicate on a non-key looked-up column) declines.
+        // OUTER: NO looked-up-side filter may move to the driving side
+        // (it would drop driving rows the join must null-extend). But a
         // filter that is IMPLIED by the join anyway is sound to DROP
-        // entirely: IsNotNull(fk) (null keys never match under SQL
+        // entirely: IsNotNull(key) (null keys never match under SQL
         // equality — the $addFields guard already suppresses Mongo's
-        // null==null lookup matches), and any P(fk) whose fk→lk rename
-        // is ALREADY among the left side's pushed filters (matched pairs
-        // have fk = lk, so P holds for every row the filter could touch
-        // — exactly the constraints Catalyst propagates across the
-        // equality). Anything else — a genuine user pre-join filter on
-        // the foreign side — declines the push.
-        if (leftOuter && !o.pushed.forall { f =>
-          f.references.forall(_.equalsIgnoreCase(ff)) && (f match {
-            case IsNotNull(_) => true
-            case _ => renameRefs(f, ff, lf).exists(pushed.contains)
-          })
-        }) return false
+        // null==null lookup matches), and any P(key) whose rename onto
+        // the other side's key is ALREADY among that side's pushed
+        // filters (matched pairs agree on the keys, so P holds for every
+        // row the filter could touch — exactly the constraints Catalyst
+        // propagates across the equality). Anything else — a genuine
+        // user pre-join filter on the looked-up side — declines.
+        def impliedOnly(fs: Array[Filter], keyOnThisSide: String,
+            keyOtherSide: String, otherPushed: Array[Filter]): Boolean =
+          fs.forall { f =>
+            f.references.forall(_.equalsIgnoreCase(keyOnThisSide)) && (f match {
+              case IsNotNull(_) => true
+              case _ => renameRefs(f, keyOnThisSide, keyOtherSide)
+                .exists(otherPushed.contains)
+            })
+          }
+        if (leftOuter && !driveRight &&
+          !impliedOnly(o.pushed, ff, lf, pushed)) return false
+        if (driveRight && !impliedOnly(pushed, lf, ff, o.pushed)) return false
         val rewritten: Seq[Option[Filter]] =
           if (leftOuter) Nil
           else o.pushed.toSeq.map(f =>
             if (f.references.forall(_.equalsIgnoreCase(ff))) renameRefs(f, ff, lf)
             else None)
         if (rewritten.exists(_.isEmpty)) return false
-        pushed = pushed ++ rewritten.flatten.filterNot(pushed.contains)
-        joinSpec = Some(MongoJoinSpec(o.ep.spec.collection, lf, ff, cols, leftOuter))
+        if (!driveRight) pushed = pushed ++ rewritten.flatten.filterNot(pushed.contains)
+        joinSpec = Some(
+          if (driveRight)
+            MongoJoinSpec(lookupFrom = ep.spec.collection,
+              driveCollection = o.ep.spec.collection,
+              driveKey = ff, lookupKey = lf, cols = cols,
+              outer = true, driveRight = true, driveFilter = o.pushed.toSeq)
+          else
+            MongoJoinSpec(lookupFrom = o.ep.spec.collection,
+              driveCollection = ep.spec.collection,
+              driveKey = lf, lookupKey = ff, cols = cols,
+              outer = leftOuter))
         required = joinSpec.get.outSchema
         true
       case None => false
@@ -1532,37 +1557,53 @@ class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) 
   override def build(): Scan = {
     val filter = MongoDsl.compileAll(pushed.toSeq.flatMap(MongoDsl.compile))
     joinSpec.foreach { j =>
+      // pre-join filters on the DRIVING side: the builder's own pushed
+      // filter for INNER/LEFT; the captured right-side filters when the
+      // right table drives (RIGHT OUTER)
+      val driveFilterDoc =
+        if (j.driveRight)
+          MongoDsl.compileAll(j.driveFilter.flatMap(MongoDsl.compile))
+        else filter
       // the SQL null guard (INNER only): usually already present via the
-      // engine's inferred IsNotNull in `pushed`; added explicitly when not.
-      // LEFT OUTER keeps null-keyed left rows and guards via $addFields.
-      val hasGuard = pushed.exists {
-        case IsNotNull(a) => a.equalsIgnoreCase(j.localField)
+      // engine's inferred IsNotNull on the driving key; added when not.
+      // OUTER joins keep null-keyed driving rows and guard via $addFields.
+      val hasGuard = (if (j.driveRight) j.driveFilter else pushed.toSeq).exists {
+        case IsNotNull(a) => a.equalsIgnoreCase(j.driveKey)
         case _ => false
       }
       val lookup = BDoc(Seq("$lookup" -> BDoc(Seq(
-        "from" -> j.rightCollection, "localField" -> j.localField,
-        "foreignField" -> j.foreignField, "as" -> "__j"))))
+        "from" -> j.lookupFrom, "localField" -> j.driveKey,
+        "foreignField" -> j.lookupKey, "as" -> "__j"))))
       val unwind: Seq[BDoc] =
-        if (j.leftOuter) Seq(
+        if (j.outer) Seq(
           // Mongo's $lookup matches a null/missing local key to null
-          // foreign keys; SQL LEFT JOIN must null-extend those rows —
+          // foreign keys; SQL OUTER JOIN must null-extend those rows —
           // reset their match array to [] before the preserving unwind
           BDoc(Seq("$addFields" -> BDoc(Seq("__j" -> BDoc(Seq("$cond" -> Seq(
-            BDoc(Seq("$eq" -> Seq(s"$$${j.localField}", null))),
+            BDoc(Seq("$eq" -> Seq(s"$$${j.driveKey}", null))),
             Seq.empty[Any], s"$$__j"))))))),
           BDoc(Seq("$unwind" -> BDoc(Seq(
             "path" -> ("$__j": Any), "preserveNullAndEmptyArrays" -> (true: Any))))))
         else Seq(BDoc(Seq("$unwind" -> "$__j")))
       val joinStages: Seq[BDoc] =
-        (if (j.leftOuter || hasGuard) Nil
+        (if (j.outer || hasGuard) Nil
          else Seq(BDoc(Seq("$match" ->
-           BDoc(Seq(j.localField -> BDoc(Seq("$ne" -> null)))))))) ++
-          (if (filter.fields.nonEmpty) Seq(BDoc(Seq("$match" -> filter))) else Nil) ++
+           BDoc(Seq(j.driveKey -> BDoc(Seq("$ne" -> null)))))))) ++
+          (if (driveFilterDoc.fields.nonEmpty)
+            Seq(BDoc(Seq("$match" -> driveFilterDoc))) else Nil) ++
           (lookup +: unwind)
+      // a column rides the ROOT document when its table IS the driving
+      // side; the looked-up side's columns live under __j
       def projectStage(cols: Seq[(String, Boolean, String)]): BDoc =
         BDoc(Seq("$project" -> BDoc(("_id" -> (0: java.lang.Integer): (String, Any)) +:
-          cols.map { case (name, left, src) =>
-            name -> ((if (left) s"$$$src" else s"$$__j.$src"): Any) })))
+          cols.map { case (name, fromLeftTable, src) =>
+            val root = fromLeftTable != j.driveRight
+            name -> ((if (root) s"$$$src" else s"$$__j.$src"): Any) })))
+      // the aggregate command targets the DRIVING collection (for RIGHT
+      // OUTER that is the right table; same server+db by the push rule)
+      val epScan =
+        if (j.driveCollection == ep.spec.collection) ep
+        else ep.copy(spec = ep.spec.copy(collection = j.driveCollection))
       agg match {
         case Some((groupIdx, aggs)) =>
           // aggregate OVER the join: project the full joined output,
@@ -1579,7 +1620,8 @@ class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) 
           val aggStages = MongoAgg.pipeline(BDoc.empty, groupNames,
             aggs.map { case (kind, idx, _) =>
               kind -> (if (idx < 0) "" else outNames(idx)) })
-          return new MongoScan(ep, outSchema, filter, None, None, -1, pushed, hint,
+          return new MongoScan(epScan, outSchema, driveFilterDoc, None, None, -1,
+            pushed, hint,
             aggPipeline = Some((joinStages :+ project) ++ aggStages),
             aggKinds = aggs.map(_._1), groupFields = groupNames, joined = true)
         case None =>
@@ -1589,7 +1631,8 @@ class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) 
               throw new IllegalStateException(s"unknown joined column ${f.name}"))
             (c._1, c._2, c._3)
           }
-          return new MongoScan(ep, required, filter, None, None, -1, pushed, hint,
+          return new MongoScan(epScan, required, driveFilterDoc, None, None, -1,
+            pushed, hint,
             aggPipeline = Some(joinStages :+ projectStage(out)),
             joined = true) // aggKinds empty => plain row decode
       }

@@ -852,19 +852,14 @@ class MongoSourceSpec extends AnyFunSuite {
     }
   }
 
-  test("right-outer and right-filtered joins decline: the engine keeps the join") {
+  test("null-extended-side filters decline outer-join pushes; engine stays exact") {
     val t1 = table("jl_left3")
     val t2 = table("jl_right3") // same fixture schema both sides
     withJoinPushdown {
       val left = spark.table(t1).select(col("id"), col("name").as("lname"))
       val right = spark.table(t2).select(col("id").as("rid"), col("seg"))
-      // RIGHT OUTER has no $lookup form (the foreign side drives)
-      val outer = left.join(right, col("id") === col("rid"), "right_outer")
-      assert(outer.queryExecution.executedPlan.toString.contains("Join"),
-        "right-outer joins must stay engine-side")
-      assert(outer.count() == 400L)
-      // a filtered RIGHT side declines (basic $lookup can't filter the
-      // foreign collection) — values stay exact through the engine join
+      // a filtered RIGHT side declines INNER (basic $lookup can't filter
+      // the foreign collection) — values stay exact through the engine
       val rf = left.join(right.filter(col("seg") === "A"), col("id") === col("rid"))
       assert(rf.queryExecution.executedPlan.toString.contains("Join"),
         "right-filtered joins must stay engine-side")
@@ -876,6 +871,58 @@ class MongoSourceSpec extends AnyFunSuite {
       assert(lof.queryExecution.executedPlan.toString.contains("Join"),
         "left-outer with a filtered right side must stay engine-side")
       assert(lof.count() == 400L)
+      // mirror image: a filtered LEFT side under RIGHT OUTER declines
+      val rof = left.filter(col("lname").startsWith("name_1"))
+        .join(right, col("id") === col("rid"), "right_outer")
+      assert(rof.queryExecution.executedPlan.toString.contains("Join"),
+        "right-outer with a filtered left side must stay engine-side")
+      assert(rof.count() == 400L)
+    }
+  }
+
+  test("RIGHT OUTER pushes: the right table DRIVES the $lookup") {
+    val s1 = StructType(Seq(StructField("k", LongType), StructField("lv", StringType)))
+    val lrows: Seq[Array[Any]] = Seq(
+      Array[Any](1L, "a"), Array[Any](1L, "a2"),
+      Array[Any](null, "NULLMATCH")) // must never join under SQL equality
+    val s2 = StructType(Seq(StructField("fk", LongType), StructField("rv", StringType)))
+    val rrows: Seq[Array[Any]] = Seq(
+      Array[Any](1L, "one"), Array[Any](2L, "two"), Array[Any](null, "nullkey"))
+    LoopbackMongoServer.register("jro_left", s1, lrows)
+    LoopbackMongoServer.register("jro_right", s2, rrows)
+    val (host, port) = LoopbackMongoServer.ensureStarted()
+    Seq(("jro_left", s1), ("jro_right", s2)).foreach { case (n, sch) =>
+      MongoEndpoints.register(MongoEndpoint("mongotest", n, sch,
+        MongoEndpointSpec(host, port, LoopbackMongoServer.Db, n,
+          MongoClientConfig(retryBackoffMs = 5))))
+    }
+    if (SourceRegistry.get("mongotest").isEmpty)
+      SourceRegistry.register(SourceDef("mongotest",
+        new java.io.File(sys.props("user.dir"), "target/graft-test/mongotest").getPath,
+        "json", "mongo"))
+    SourceRegistry.ensureCatalog(spark)
+    withJoinPushdown {
+      val df = spark.table(s"${SourceRegistry.CatalogName}.mongotest.jro_left")
+        .join(spark.table(s"${SourceRegistry.CatalogName}.mongotest.jro_right"),
+          col("k") === col("fk"), "right")
+        .select("lv", "fk", "rv")
+      val got = df.collect().map(r => (
+        if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) null else r.getLong(1), r.getString(2))).toSet
+      // fk=1 matches both left rows; fk=2 and fk=null null-extend —
+      // the null fk must NOT match the null-keyed left row
+      assert(got == Set(("a", 1L, "one"), ("a2", 1L, "one"),
+        (null, 2L, "two"), (null, null, "nullkey")), s"$got")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"the join must leave the engine:\n$plan")
+      val cmd = LoopbackMongoServer.lastAggregate.get()
+      assert(cmd.contains("\"aggregate\": \"jro_right\"") ||
+        cmd.contains("jro_right"),
+        s"the RIGHT collection must drive the pipeline: $cmd")
+      assert(cmd.contains("\"from\": \"jro_left\"") || cmd.contains("jro_left"),
+        s"the left collection must be the lookup target: $cmd")
+      assert(cmd.contains("preserveNullAndEmptyArrays"),
+        s"RIGHT OUTER must unwind preserving: $cmd")
     }
   }
 

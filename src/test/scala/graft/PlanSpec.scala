@@ -603,6 +603,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_src_join_lookup_right: the right table drives; no engine Join") {
+    withJoinPushdown {
+      val df = SparkEntry.queries("q_src_join_lookup_right")(spark, sfDir)
+      assert(df.collect().length > 0, "gate must be non-empty at sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"the join must be pushed off the engine:\n$plan")
+      val cmd = graft.sources.LoopbackMongoServer.lastAggregate.get()
+      assert(cmd.contains("preserveNullAndEmptyArrays") &&
+        cmd.contains("orders_mongo"),
+        s"the preserved side must drive and look up into orders: $cmd")
+    }
+  }
+
   test("q_src_join_agg: fact⨝dim→aggregate is one pipeline, no engine operators") {
     withJoinPushdown {
       val df = SparkEntry.queries("q_src_join_agg")(spark, sfDir)
