@@ -360,8 +360,23 @@ object LoopbackRestServer {
     * 404s on its next continuation. */
   val esPitRenewIds = new AtomicInteger(0)
 
-  def register(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit =
+  def register(name: String, schema: StructType, rows: Seq[Array[Any]]): Unit = {
+    tablesVersion.incrementAndGet()
     tables.put(name.toLowerCase, TableData(schema, rows))
+  }
+
+  /** Bumped on every table registration/mutation — the BQ job-result
+    * cache key component that keeps paged reads consistent with DML. */
+  private val tablesVersion = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** BigQuery jobs MATERIALIZE their result and `pageToken` pages the
+    * stored rows — re-executing the statement per page (the naive
+    * loopback shape) turns an N-page join read into N full joins. This
+    * small cache IS the service semantics: key = (statement, table
+    * version), capped and cleared wholesale when it grows past a test
+    * run's working set. */
+  private val bqJobCache = TrieMap.empty[(String, Long),
+    (Seq[String], Seq[org.apache.spark.sql.types.DataType], Seq[Seq[Any]])]
 
   /** ES indices (served by `_aliases` and `/{index}/_mapping`): the
     * subset of registered tables that are Elasticsearch indices. */
@@ -493,6 +508,7 @@ object LoopbackRestServer {
       val t = tables.getOrElse(name,
         throw new IllegalArgumentException(s"no such table $name"))
       val next = f(t.schema, t.rows)
+      tablesVersion.incrementAndGet() // stale job results must not page on
       tables.put(name, TableData(t.schema, next))
       next.size
     }
@@ -1687,16 +1703,21 @@ object LoopbackRestServer {
         val stmt = BqSql.parse(sql)
         // a join statement resolves its right table from the same dataset
         // (the warehouse executes the WHOLE statement — the passthrough
-        // identity, joins included)
-        val (names, types, out) = stmt.join match {
-          case Some(j) => tables.get(j.rightTable.toLowerCase) match {
-            case None =>
-              respond(ex, 404, s"no such dataset table ${j.rightTable}"); return
-            case Some(TableData(rs, rr)) =>
-              BqSql.executeJoin(stmt, (schema, rows), (rs, rr))
-          }
-          case None => BqSql.execute(stmt, schema, rows)
-        }
+        // identity, joins included). The result is MATERIALIZED per job
+        // and pageToken pages the stored rows — the jobs-API semantics
+        // (without the cache, an N-page join read re-joins N times).
+        if (bqJobCache.size > 64) bqJobCache.clear()
+        val (names, types, out) = bqJobCache.getOrElseUpdate(
+          (sql, tablesVersion.get()),
+          stmt.join match {
+            case Some(j) => tables.get(j.rightTable.toLowerCase) match {
+              case None =>
+                respond(ex, 404, s"no such dataset table ${j.rightTable}"); return
+              case Some(TableData(rs, rr)) =>
+                BqSql.executeJoin(stmt, (schema, rows), (rs, rr))
+            }
+            case None => BqSql.execute(stmt, schema, rows)
+          })
         val offset = req.path("pageToken").asText("").toIntOption.getOrElse(0)
         val maxResults = req.path("maxResults").asInt(1000)
         val page = out.slice(offset, offset + maxResults)
