@@ -893,6 +893,54 @@ object Federation {
         .orderBy("c_custkey")
     },
 
+    // TopN OVER a pushed join (r15): ORDER BY + LIMIT append as
+    // $sort/$limit stages after the $lookup pipeline's $project — the
+    // fact⨝dim→top-k shape ships ONE aggregate command and the server
+    // returns exactly k joined rows (MongoSourceSpec asserts stage order
+    // and the single request). The delegated ordered window makes the
+    // scan ineligible for runtime semi-join filters — same soundness
+    // rule as the find path.
+    GQuery(
+      "q_src_join_lookup_topn",
+      """SELECT o.o_orderkey, o.o_custkey,
+        |       CAST(o.o_totalprice AS DOUBLE) AS price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY price DESC, o.o_orderkey
+        |LIMIT 12""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.MongoSourceName}.orders_mongo")
+        .join(s.table(s"$C.${FedData.MongoSourceName}.customer_mgdoc"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(12)
+    },
+
+    // TopN OVER a pushed $group (r15): group-key sorts target `_id.<k>`
+    // in a trailing $sort + $limit — the grouped leaderboard ships whole.
+    // This gate exists because the naive accept here was a REAL silent
+    // wrong-window bug (sort keys resolve in the raw schema too, but the
+    // agg pipeline ignored the find-path sort state): MongoSourceSpec
+    // pins the delegation and the decline for sorts on aggregate outputs.
+    GQuery(
+      "q_src_mongo_agg_topn",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus DESC, o_orderpriority DESC
+        |LIMIT 5""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.MongoSourceName}.orders_mongo")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("o_custkey").as("sum_cust"))
+        .orderBy(col("o_orderstatus").desc, col("o_orderpriority").desc)
+        .limit(5)
+    },
+
     // OFFSET pushdown over the Mongo wire (reference: sql_to_mgo.go:
     // 220-245 passes filter/sort/limit/skip into one query): ORDER BY +
     // LIMIT + OFFSET compile to sort+skip+limit in ONE find command —
@@ -1124,6 +1172,59 @@ object Federation {
           col("c_custkey") === col("o_custkey"), "left")
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"))
         .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+
+    // BQ AGGREGATE over a pushed join (r15): the classic warehouse
+    // fact⨝dim→aggregate renders as ONE statement — JOIN + WHERE +
+    // side-qualified GROUP BY + agg items all consumed, the answer comes
+    // back group-count-sized. The engine plans neither a Join nor an
+    // Aggregate node (BqSourceSpec asserts the plan and the statement
+    // text). Exactness per the house agg rules: count/sum over INT64 are
+    // exact longs, max over a double has no accumulation error.
+    GQuery(
+      "q_src_join_bq_agg",
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(o.o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(max(o.o_totalprice) AS DOUBLE) AS max_price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.BqSourceName}.orders_bqw")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .join(s.table(s"$C.${FedData.BqSourceName}.customer_bqw"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("o_custkey").as("sum_cust"),
+          max("o_totalprice").as("max_price"))
+        .orderBy("c_mktsegment")
+    },
+
+    // BQ TOP-N over a pushed join (r15): ORDER BY + LIMIT append to the
+    // single joined statement (the warehouse sorts on the driving side's
+    // column pre-projection — SQL scoping); the engine reads exactly n
+    // rows and plans no Sort/TakeOrdered. The delegated ordered window
+    // makes the scan ineligible for runtime semi-join filters — the
+    // soundness rule BqSourceSpec proves with a planted excluded key.
+    GQuery(
+      "q_src_join_bq_topn",
+      """SELECT o.o_orderkey, c.c_name,
+        |       CAST(o.o_totalprice AS DOUBLE) AS price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY price DESC, o.o_orderkey
+        |LIMIT 15""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.BqSourceName}.orders_bqw")
+        .join(s.table(s"$C.${FedData.BqSourceName}.customer_bqw"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"),
+          col("o_totalprice").as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(15)
     },
 
     // DATASTORE aggregation-query pushdown (beyond-ref; the public

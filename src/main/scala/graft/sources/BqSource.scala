@@ -508,8 +508,35 @@ object BqSql {
         else (vs.map(_.asInstanceOf[Number].doubleValue()).sum / vs.size, DoubleType)
     }
 
+    // shared null-ordered multi-key comparator over indexed rows
+    def sortBy[R](rows: Seq[R], keyIdx: Seq[(Int, Order)], get: (R, Int) => Any): Seq[R] =
+      rows.sortWith { (a, b) =>
+        var r = 0
+        val it = keyIdx.iterator
+        while (r == 0 && it.hasNext) {
+          val (k, o) = it.next()
+          val c = (get(a, k), get(b, k)) match {
+            case (null, null) => 0
+            case (null, _) => if (o.nullsFirst) -1 else 1
+            case (_, null) => if (o.nullsFirst) 1 else -1
+            case (x, y) => FilterEval.cmp(x, y).getOrElse(0)
+          }
+          r = if (o.desc) -c else c
+        }
+        r < 0
+      }
+
+    val isAgg = stmt.aggs.nonEmpty || stmt.groupBy.nonEmpty
+    // non-agg ORDER BY resolves against the INPUT schema and sorts the
+    // rows BEFORE projection (SQL scoping — the key need not be
+    // projected; a pushed join's qualified `ORDER BY t0.x` rides here)
+    val preSorted =
+      if (isAgg || stmt.orderBy.isEmpty) filtered
+      else sortBy[Array[Any]](filtered,
+        stmt.orderBy.map(o => (idx(o.col), o)), (r, k) => r(k))
+
     val (names, types, out): (Seq[String], Seq[DataType], Seq[Seq[Any]]) =
-      if (stmt.aggs.nonEmpty || stmt.groupBy.nonEmpty) {
+      if (isAgg) {
         val gIdx = stmt.groupBy.map(idx)
         val groups: Seq[(Seq[Any], Seq[Array[Any]])] =
           if (gIdx.isEmpty) Seq((Nil, filtered))
@@ -524,31 +551,17 @@ object BqSql {
         val cIdx = stmt.cols.map(idx)
         (stmt.cols.map(c => schema.fieldNames(idx(c))),
           cIdx.map(schema.fields(_).dataType),
-          filtered.map(r => cIdx.map(r(_))))
+          preSorted.map(r => cIdx.map(r(_))))
       }
 
-    // ORDER BY over the OUTPUT columns
-    val sorted = if (stmt.orderBy.isEmpty) out else {
+    // agg ORDER BY (TopN over a pushed aggregate) names OUTPUT columns
+    val sorted = if (!isAgg || stmt.orderBy.isEmpty) out else {
       val keyIdx = stmt.orderBy.map(o => {
         val k = names.indexWhere(_.equalsIgnoreCase(o.col))
         require(k >= 0, s"ORDER BY references unknown output ${o.col}")
         (k, o)
       })
-      out.sortWith { (a, b) =>
-        var r = 0
-        val it = keyIdx.iterator
-        while (r == 0 && it.hasNext) {
-          val (k, o) = it.next()
-          val c = (a(k), b(k)) match {
-            case (null, null) => 0
-            case (null, _) => if (o.nullsFirst) -1 else 1
-            case (_, null) => if (o.nullsFirst) 1 else -1
-            case (x, y) => FilterEval.cmp(x, y).getOrElse(0)
-          }
-          r = if (o.desc) -c else c
-        }
-        r < 0
-      }
+      sortBy[Seq[Any]](out, keyIdx, (r, k) => r(k))
     }
     val windowed = sorted.slice(stmt.offset,
       if (stmt.limit >= 0) stmt.offset + stmt.limit else sorted.size)
@@ -822,26 +835,41 @@ class BqScanBuilder(private val ep: BqEndpoint, hint: Option[Int] = None) extend
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  // post-join window/agg pushdown declines: their refs are the joined
-  // OUTPUT names, and the unaliased positional render has no handle for
-  // them — Spark applies these engine-side over the joined scan
-  override def pushLimit(n: Int): Boolean =
-    if (join.isDefined) false else { limit = n; true }
-  override def pushOffset(n: Int): Boolean =
-    if (join.isDefined) false else { offset = n; true }
+  /** Resolution base for post-scan pushdowns: the JOINED output
+    * (name, SQL reference, type) when a join was pushed, else the raw
+    * table columns. The SQL reference carries the side alias under a
+    * join (`t0.x`) — the handle the rendered statement sorts/groups/
+    * aggregates by. */
+  private def resolveCols: Seq[(String, String, DataType)] = join match {
+    case Some(j) => j.cols.map { case (out, fromLeft, src, dt) =>
+      (out, if (fromLeft) s"t0.$src" else s"t1.$src", dt) }
+    case None => ep.schema.fields.toSeq.map(f => (f.name, f.name, f.dataType))
+  }
 
-  private def sortSchema: StructType =
-    if (agg.isDefined) aggOutSchema else ep.schema
+  // post-join limit/offset render into the single joined statement —
+  // the warehouse windows the joined rows, the engine reads n rows
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def pushOffset(n: Int): Boolean = { offset = n; true }
+
+  /** Sortable output: (output name, SQL reference) — the pushed
+    * aggregate's output when one was consumed (group keys by their
+    * qualified reference, `agg_i` by alias), else the scan columns. */
+  private def sortable: Seq[(String, String)] = agg match {
+    case Some((gs, as)) =>
+      gs.map(i => (resolveCols(i)._1, resolveCols(i)._2)) ++
+        as.indices.map(i => (s"agg_$i", s"agg_$i"))
+    case None => resolveCols.map(c => (c._1, c._2))
+  }
 
   override def pushTopN(so: Array[SortOrder], n: Int): Boolean = {
-    if (join.isDefined) return false
+    val base = sortable
     val ks = so.map { o =>
       o.expression() match {
-        case nr: NamedReference if nr.fieldNames().length == 1 &&
-            sortSchema.fieldNames.exists(_.equalsIgnoreCase(nr.fieldNames()(0))) =>
-          Some(BqSql.Order(nr.fieldNames()(0),
-            o.direction() == SortDirection.DESCENDING,
-            o.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          base.find(_._1.equalsIgnoreCase(nr.fieldNames()(0))).map(c =>
+            BqSql.Order(c._2,
+              o.direction() == SortDirection.DESCENDING,
+              o.nullOrdering() == NullOrdering.NULLS_FIRST))
         case _ => None
       }
     }
@@ -853,24 +881,28 @@ class BqScanBuilder(private val ep: BqEndpoint, hint: Option[Int] = None) extend
 
   private def fieldIdx(e: Expression): Option[Int] = e match {
     case nr: NamedReference if nr.fieldNames().length == 1 =>
-      Some(ep.schema.fieldNames.indexWhere(_.equalsIgnoreCase(nr.fieldNames()(0))))
+      Some(resolveCols.indexWhere(_._1.equalsIgnoreCase(nr.fieldNames()(0))))
         .filter(_ >= 0)
     case _ => None
   }
 
+  /** Translate an Aggregation against the scan's resolution base —
+    * the raw table, or the joined output when a join was pushed (the
+    * classic fact⨝dim→aggregate renders as ONE statement). */
   private def translate(a: Aggregation): Option[(Seq[Int], Seq[(String, Int, DataType)])] = {
+    val cols = resolveCols
     val groups = a.groupByExpressions().toSeq.map(fieldIdx)
     if (groups.exists(_.isEmpty)) return None
-    def numeric(i: Int) = ep.schema.fields(i).dataType.isInstanceOf[NumericType]
+    def numeric(i: Int) = cols(i)._3.isInstanceOf[NumericType]
     val aggs = a.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(("count_star", -1, LongType))
       case c: Count if !c.isDistinct => fieldIdx(c.column()).map(("count", _, LongType))
       case m: Min => fieldIdx(m.column()).filter(numeric)
-        .map(i => ("min", i, ep.schema.fields(i).dataType))
+        .map(i => ("min", i, cols(i)._3))
       case m: Max => fieldIdx(m.column()).filter(numeric)
-        .map(i => ("max", i, ep.schema.fields(i).dataType))
+        .map(i => ("max", i, cols(i)._3))
       case s: Sum if !s.isDistinct => fieldIdx(s.column()).flatMap { i =>
-        ep.schema.fields(i).dataType match {
+        cols(i)._3 match {
           case ShortType | IntegerType | LongType => Some(("sum", i, LongType))
           case FloatType | DoubleType => Some(("sum", i, DoubleType))
           case _ => None
@@ -884,30 +916,24 @@ class BqScanBuilder(private val ep: BqEndpoint, hint: Option[Int] = None) extend
   }
 
   override def supportCompletePushDown(a: Aggregation): Boolean =
-    join.isEmpty && translate(a).isDefined
+    translate(a).isDefined
   override def pushAggregation(a: Aggregation): Boolean =
-    if (join.isDefined) false
-    else translate(a) match {
+    translate(a) match {
       case Some(t) => agg = Some(t); true
       case None => false
     }
 
   private def aggOutSchema: StructType = agg match {
     case Some((gs, as)) => StructType(
-      gs.map(ep.schema.fields(_)) ++ as.zipWithIndex.map { case ((_, _, dt), i) =>
-        StructField(s"agg_$i", dt, nullable = true)
-      })
+      gs.map(i => StructField(resolveCols(i)._1, resolveCols(i)._3, nullable = true)) ++
+        as.zipWithIndex.map { case ((_, _, dt), i) =>
+          StructField(s"agg_$i", dt, nullable = true)
+        })
     case None => required
   }
 
   override def build(): Scan = {
     join.foreach { j =>
-      // select items follow `required` (Spark may have pruned the joined
-      // output); decode is positional, so no aliases needed on the wire
-      val byOut = j.cols.map(c => c._1.toLowerCase -> c).toMap
-      val outCols = required.fieldNames.toSeq.map(n => byOut(n.toLowerCase))
-      val items = outCols.map { case (_, fromLeft, src, _) =>
-        if (fromLeft) s"t0.$src" else s"t1.$src" }
       def rendered(fs: Array[Filter], alias: String): Seq[String] =
         fs.toSeq.flatMap(f => BqSql.render(BqSql.prefixRefs(f, alias)))
       // preserved side's pre-join filters → WHERE (equivalent pre/post);
@@ -924,24 +950,67 @@ class BqScanBuilder(private val ep: BqEndpoint, hint: Option[Int] = None) extend
       }
       val onSql = (s"t0.${j.leftKeyCol} = t1.${j.rightKeyCol}" +: onSide)
         .mkString(" AND ")
+      // select list + trailing clauses: an aggregate consumed ON TOP of
+      // the join renders as side-qualified GROUP BY + agg items — the
+      // classic fact⨝dim→aggregate shape answers group-count-sized from
+      // ONE warehouse statement; TopN/limit/offset append the same way
+      // they do on a single-table statement
+      val cols = resolveCols
+      val (items, groupSql, outSchema) = agg match {
+        case Some((gs, as)) =>
+          val its = gs.map(cols(_)._2) ++ as.zipWithIndex.map {
+            case ((kind, i, _), k) =>
+              val fn = if (kind == "count_star") "count(*)"
+                else s"$kind(${cols(i)._2})"
+              s"$fn AS agg_$k"
+          }
+          val grp = if (gs.isEmpty) ""
+            else " GROUP BY " + gs.map(cols(_)._2).mkString(", ")
+          (its, grp, aggOutSchema)
+        case None =>
+          // select items follow `required` (Spark may have pruned the
+          // joined output); decode is positional — no aliases needed
+          val byOut = cols.map(c => c._1.toLowerCase -> c).toMap
+          val outCols = required.fieldNames.toSeq.map(n => byOut(n.toLowerCase))
+          (outCols.map(_._2), "",
+            StructType(outCols.map(c => StructField(c._1, c._3, nullable = true))))
+      }
+      val orderSql =
+        if (orders.isEmpty) ""
+        else " ORDER BY " + orders.map { o =>
+          val dir = if (o.desc) " DESC" else " ASC"
+          val nulls = if (o.nullsFirst) " NULLS FIRST" else " NULLS LAST"
+          s"${o.col}$dir$nulls"
+        }.mkString(", ")
+      // Spark pushes limit INCLUSIVE of the offset; SQL's LIMIT counts
+      // post-OFFSET rows (same adjustment as the single-table render)
+      val effLimit = if (limit >= 0) math.max(0, limit - offset) else -1
+      val limitSql = if (effLimit >= 0) s" LIMIT $effLimit" else ""
+      val offsetSql = if (offset > 0) s" OFFSET $offset" else ""
       val renderJoin: Seq[String] => String = extras => {
         val w = whereSide ++ extras
         val whereSql = if (w.isEmpty) "" else " WHERE " + w.mkString(" AND ")
         s"SELECT ${items.mkString(", ")} FROM ${ep.table} t0 " +
-          s"$joinKw ${j.rightTable} t1 ON $onSql$whereSql"
+          s"$joinKw ${j.rightTable} t1 ON $onSql$whereSql$groupSql$orderSql$limitSql$offsetSql"
       }
-      val outSchema = StructType(outCols.map(c =>
-        StructField(c._1, c._4, nullable = true)))
       // runtime semi-join keys AND into the joined statement's WHERE —
       // INNER only (under an outer join a WHERE on the null-extended
       // side would drop rows the join must null-extend, and the
-      // preserved/extended split is not worth a second ON plumbing)
+      // preserved/extended split is not worth a second ON plumbing).
+      // A delegated ORDERED window (sort or offset consumed) must never
+      // gain a filter beneath it; under a consumed aggregate only
+      // GROUP-KEY pruning is sound — same rules as the bare statement.
       val rtCols: Seq[(String, String)] =
-        if (j.kind != "inner") Nil
-        else outCols.map { case (out, fromLeft, src, _) =>
-          (out, if (fromLeft) s"t0.$src" else s"t1.$src") }
+        if (j.kind != "inner" || orders.nonEmpty || offset > 0) Nil
+        else agg match {
+          case Some((gs, _)) => gs.map(i => (cols(i)._1, cols(i)._2))
+          case None => outSchema.fieldNames.toSeq.map { n =>
+            val c = cols.find(_._1.equalsIgnoreCase(n)).get
+            (c._1, c._2)
+          }
+        }
       return new BqScan(ep, outSchema, renderJoin(Nil), None, pushed,
-        aggMode = false, hint, extraRender = Some(renderJoin),
+        aggMode = agg.isDefined, hint, extraRender = Some(renderJoin),
         runtimeCols = rtCols)
     }
     val whereSql = pushed.toSeq.flatMap(BqSql.render) match {

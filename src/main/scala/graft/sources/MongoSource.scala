@@ -1001,12 +1001,24 @@ object LoopbackMongoServer {
         case Some(("$group", spec: BDoc)) =>
           docs = MongoAgg.runGroup(spec, docs)
         case Some(("$sort", s: BDoc)) =>
+          // dotted sort keys walk into sub-documents ("_id.seg" after a
+          // $group) — the real server's path resolution
+          def pathGet(d: BDoc, path: String): Any = {
+            var cur: Any = d
+            path.split("\\.").foreach { seg =>
+              cur = cur match {
+                case b: BDoc => b.get(seg).getOrElse(null)
+                case _ => null
+              }
+            }
+            cur
+          }
           docs = docs.sortWith { (a, b) =>
             var r = 0
             val it = s.fields.iterator
             while (r == 0 && it.hasNext) {
               val (name, dir) = it.next()
-              val (va, vb) = (a.get(name).getOrElse(null), b.get(name).getOrElse(null))
+              val (va, vb) = (pathGet(a, name), pathGet(b, name))
               val c = (va, vb) match {
                 case (null, null) => 0
                 case (null, _) => -1
@@ -1499,8 +1511,11 @@ class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def pushLimit(n: Int): Boolean =
-    if (joinSpec.isDefined) false else { limit = n; true }
+  /** A limit rides the find command, or — when a `$group`/`$lookup`
+    * pipeline was consumed — appends as a `$limit` stage after it. Under
+    * a partial push (fan-out) each slice caps at n and Spark re-limits;
+    * under full delegation the pipeline's answer IS the window. */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
 
   /** Will this scan fan out into per-range slices? (split metadata
     * present and not collapsed by a key-pinning pushed predicate) */
@@ -1514,17 +1529,33 @@ class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) 
   override def isPartiallyPushed(): Boolean = fansOut
 
   /** Mongo's null placement matches Spark's defaults (nulls lowest):
-    * accept ASC+NULLS_FIRST and DESC+NULLS_LAST on top-level columns. */
+    * accept ASC+NULLS_FIRST and DESC+NULLS_LAST. The sort target depends
+    * on what was already consumed: a raw document field for a find, the
+    * post-`$project` output name for a pushed `$lookup` join, and
+    * `_id.<key>` for a GROUP column under a pushed `$group` (agg outputs
+    * themselves never arrive as plain references — they decline, Spark
+    * sorts the group-count-sized answer). A sort key that is NOT in the
+    * resolvable set declines — accepting it against the raw schema while
+    * the pipeline ignores the sort was a silent wrong-window bug. */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
-    if (joinSpec.isDefined) return false // joined output names != ep schema
+    val outNames: Seq[String] =
+      joinSpec.map(_.outSchema.fieldNames.toSeq).getOrElse(ep.schema.fieldNames.toSeq)
+    // under a pushed $group only group columns are sortable, as _id.<k>
+    val targetFor: String => Option[String] = agg match {
+      case Some((groupIdx, _)) =>
+        val groups = groupIdx.map(outNames(_))
+        k => groups.find(_.equalsIgnoreCase(k)).map(g => s"_id.$g")
+      case None =>
+        k => outNames.find(_.equalsIgnoreCase(k))
+    }
     val keys = orders.map { so =>
       so.expression() match {
-        case nr: NamedReference if nr.fieldNames().length == 1 &&
-            ep.schema.fieldNames.exists(_.equalsIgnoreCase(nr.fieldNames()(0))) =>
-          val desc = so.direction() == SortDirection.DESCENDING
-          val nullsFirst = so.nullOrdering() == NullOrdering.NULLS_FIRST
-          if (desc != nullsFirst) Some(nr.fieldNames()(0) -> (if (desc) -1 else 1))
-          else None
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          targetFor(nr.fieldNames()(0)).flatMap { t =>
+            val desc = so.direction() == SortDirection.DESCENDING
+            val nullsFirst = so.nullOrdering() == NullOrdering.NULLS_FIRST
+            if (desc != nullsFirst) Some(t -> (if (desc) -1 else 1)) else None
+          }
         case _ => None
       }
     }
@@ -1556,6 +1587,12 @@ class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) 
 
   override def build(): Scan = {
     val filter = MongoDsl.compileAll(pushed.toSeq.flatMap(MongoDsl.compile))
+    // a consumed TopN/limit appends as trailing window stages on any
+    // pipeline-shaped scan; the $sort targets were resolved at push time
+    // (post-$project output names / `_id.<group key>`)
+    def windowStages: Seq[BDoc] =
+      sortDoc.map(sd => BDoc(Seq("$sort" -> sd))).toSeq ++
+        (if (limit >= 0) Seq(BDoc(Seq("$limit" -> (limit: java.lang.Integer)))) else Nil)
     joinSpec.foreach { j =>
       // pre-join filters on the DRIVING side: the builder's own pushed
       // filter for INNER/LEFT; the captured right-side filters when the
@@ -1620,9 +1657,9 @@ class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) 
           val aggStages = MongoAgg.pipeline(BDoc.empty, groupNames,
             aggs.map { case (kind, idx, _) =>
               kind -> (if (idx < 0) "" else outNames(idx)) })
-          return new MongoScan(epScan, outSchema, driveFilterDoc, None, None, -1,
+          return new MongoScan(epScan, outSchema, driveFilterDoc, None, sortDoc, limit,
             pushed, hint,
-            aggPipeline = Some((joinStages :+ project) ++ aggStages),
+            aggPipeline = Some(((joinStages :+ project) ++ aggStages) ++ windowStages),
             aggKinds = aggs.map(_._1), groupFields = groupNames, joined = true)
         case None =>
           // `required` was re-pruned over the JOINED output after the push
@@ -1631,9 +1668,9 @@ class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) 
               throw new IllegalStateException(s"unknown joined column ${f.name}"))
             (c._1, c._2, c._3)
           }
-          return new MongoScan(epScan, required, driveFilterDoc, None, None, -1,
+          return new MongoScan(epScan, required, driveFilterDoc, None, sortDoc, limit,
             pushed, hint,
-            aggPipeline = Some(joinStages :+ projectStage(out)),
+            aggPipeline = Some((joinStages :+ projectStage(out)) ++ windowStages),
             joined = true) // aggKinds empty => plain row decode
       }
     }
@@ -1647,8 +1684,8 @@ class MongoScanBuilder(private val ep: MongoEndpoint, hint: Option[Int] = None) 
         val stages = MongoAgg.pipeline(filter, groupNames,
           aggs.map { case (kind, idx, _) =>
             kind -> (if (idx < 0) "" else ep.schema.fields(idx).name) })
-        new MongoScan(ep, outSchema, filter, None, None, -1, pushed, hint,
-          aggPipeline = Some(stages), aggKinds = aggs.map(_._1),
+        new MongoScan(ep, outSchema, filter, None, sortDoc, limit, pushed, hint,
+          aggPipeline = Some(stages ++ windowStages), aggKinds = aggs.map(_._1),
           groupFields = groupNames)
       case None =>
         val projection =

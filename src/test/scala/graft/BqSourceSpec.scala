@@ -413,6 +413,82 @@ class BqSourceSpec extends AnyFunSuite {
     }
   }
 
+  private def noEngineOps(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan
+    val leftovers = plan.collect {
+      case h: HashAggregateExec => h: Any
+      case o: ObjectHashAggregateExec => o: Any
+      case s: SortAggregateExec => s: Any
+      case s: SortExec => s: Any
+      case t: TakeOrderedAndProjectExec => t: Any
+    }
+    assert(leftovers.isEmpty && !plan.toString.contains("Join"),
+      s"expected a bare passthrough scan:\n$plan")
+  }
+
+  test("an aggregate over a pushed join renders GROUP BY into the ONE statement") {
+    val t = table("bqj5")
+    val d = dimTable("bqj5_dim")
+    withJoinPushdown {
+      val served0 = LoopbackRestServer.served.get()
+      val df = spark.table(t)
+        .join(spark.table(d), col("id") === col("dim_id"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("bal").as("s"))
+      val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      // joined rows: id5⨝five (bal 7.5), id10⨝ten and ⨝ten2 (bal 15.0)
+      assert(got == Set(("five", 1L, 7.5), ("ten", 1L, 15.0), ("ten2", 1L, 15.0)), s"$got")
+      noEngineOps(df)
+      assert(LoopbackRestServer.served.get() - served0 == 1,
+        "fact⨝dim→aggregate must be ONE warehouse statement")
+      val sql = LoopbackRestServer.lastBqSql.get()
+      assert(sql.contains("GROUP BY t1.label") && sql.contains("JOIN") &&
+        sql.contains("sum(t0.bal) AS agg_"), sql)
+    }
+  }
+
+  test("TopN over a pushed join appends ORDER BY/LIMIT to the statement") {
+    val t = table("bqj6")
+    val d = dimTable("bqj6_dim")
+    withJoinPushdown {
+      val df = spark.table(t)
+        .join(spark.table(d), col("id") === col("dim_id"))
+        .select("id", "label", "bal")
+        .orderBy(col("bal").desc, col("label"))
+        .limit(2)
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      // bal: id10 → 15.0 (ten, ten2), id5 → 7.5; top-2 by bal desc,
+      // label asc tiebreak
+      assert(got == Seq((10L, "ten"), (10L, "ten2")), s"$got")
+      noEngineOps(df)
+      val sql = LoopbackRestServer.lastBqSql.get()
+      assert(sql.contains("ORDER BY t0.bal DESC") && sql.contains("LIMIT 2"), sql)
+      assert(!sql.contains(" IN ("),
+        s"a delegated ordered window must refuse runtime filters: $sql")
+    }
+  }
+
+  test("TopN over an aggregate over a pushed join: the triple composition") {
+    val t = table("bqj7")
+    val d = dimTable("bqj7_dim")
+    withJoinPushdown {
+      val served0 = LoopbackRestServer.served.get()
+      val df = spark.table(t)
+        .join(spark.table(d), col("id") === col("dim_id"))
+        .groupBy("label")
+        .agg(sum("bal").as("s"))
+        .orderBy(col("label").desc)
+        .limit(2)
+      val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == Seq(("ten2", 15.0), ("ten", 15.0)), s"$got")
+      noEngineOps(df)
+      assert(LoopbackRestServer.served.get() - served0 == 1)
+      val sql = LoopbackRestServer.lastBqSql.get()
+      assert(sql.contains("GROUP BY t1.label") &&
+        sql.contains("ORDER BY t1.label DESC") && sql.contains("LIMIT 2"), sql)
+    }
+  }
+
   // ---- runtime semi-join reduction (dynamic filtering) ---------------------
 
   test("a broadcast dim join ships the build-side keys as a SQL IN conjunct") {

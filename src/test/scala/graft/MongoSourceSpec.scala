@@ -643,6 +643,68 @@ class MongoSourceSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == 2L)
   }
 
+  test("TopN/limit above a pushed $group stays exact (no silent window drop)") {
+    // groups over rows: A=134, B=133, null=133. The sort keys live in
+    // ep.schema, so a naive TopN/limit accept above a consumed $group
+    // would set state the agg build path ignores — with
+    // isPartiallyPushed=false Spark removes its own operators and the
+    // answer silently widens to every group, unsorted. The fix DELEGATES:
+    // $sort on `_id.seg` + $limit append to the pipeline.
+    val t = table("aggtopn")
+    val top = spark.table(t)
+      .groupBy("seg").agg(count(lit(1)).as("n"))
+      .orderBy(col("seg").asc_nulls_first).limit(2)
+    val gotTop = top.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toSeq
+    assert(gotTop == Seq(None -> 133L, Some("A") -> 134L), s"$gotTop")
+    val cmd = LoopbackMongoServer.lastAggregate.get()
+    assert(cmd.contains("_id.seg") && cmd.contains("$sort") && cmd.contains("$limit"),
+      s"the window must ride the pipeline: $cmd")
+    val lim = spark.table(t)
+      .groupBy("seg").agg(count(lit(1)).as("n")).limit(1)
+    assert(lim.collect().length == 1, "LIMIT above a pushed $group must hold")
+    // sort on an AGGREGATE output (not a group key) must decline the
+    // push and stay exact engine-side
+    val byAgg = spark.table(t)
+      .groupBy("seg").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).limit(1)
+    assert(byAgg.collect().map(_.getLong(1)).toSeq == Seq(134L))
+  }
+
+  test("TopN over a pushed $lookup join appends $sort/$limit to the ONE pipeline") {
+    val t1 = table("jltopn_left")
+    val s2 = StructType(Seq(StructField("dim_id", LongType),
+      StructField("label", StringType)))
+    val dimRows: Seq[Array[Any]] = Seq(
+      Array[Any](5L, "five"), Array[Any](10L, "ten"), Array[Any](11L, "eleven"))
+    LoopbackMongoServer.register("jltopn_right", s2, dimRows)
+    val (host, port) = LoopbackMongoServer.ensureStarted()
+    MongoEndpoints.register(MongoEndpoint("mongotest", "jltopn_right", s2,
+      MongoEndpointSpec(host, port, LoopbackMongoServer.Db, "jltopn_right",
+        MongoClientConfig(retryBackoffMs = 5))))
+    SourceRegistry.ensureCatalog(spark)
+    withJoinPushdown {
+      val served0 = LoopbackMongoServer.served.get()
+      val df = spark.table(t1)
+        .join(spark.table(s"${SourceRegistry.CatalogName}.mongotest.jltopn_right"),
+          col("id") === col("dim_id"))
+        .select("id", "label", "bal")
+        .orderBy(col("bal").desc, col("label"))
+        .limit(2)
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      // joined rows: id5/five bal 7.5, id10/ten 15.0, id11/eleven 16.5
+      assert(got == Seq((11L, "eleven"), (10L, "ten")), s"$got")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join") && !plan.contains("TakeOrdered"),
+        s"join AND window must both leave the engine:\n$plan")
+      assert(LoopbackMongoServer.served.get() - served0 == 1,
+        "fact⨝dim→top-n must be one aggregate command")
+      val cmd = LoopbackMongoServer.lastAggregate.get()
+      assert(cmd.indexOf("$lookup") >= 0 && cmd.indexOf("$sort") > cmd.indexOf("$lookup") &&
+        cmd.indexOf("$limit") > cmd.indexOf("$sort"),
+        s"$$sort/$$limit must trail the join pipeline: $cmd")
+    }
+  }
+
   test("aggregate pushdown collapses split fan-out to one metadata-sized task") {
     val (t, withNulls) = splitTable("agg4", Seq(100L, 200L, 300L))
     val df = spark.table(t).groupBy("seg").agg(count(lit(1)).as("n"))
