@@ -436,6 +436,30 @@ object Federation {
         .orderBy("o_orderkey")
     },
 
+    // ES TopN pushdown (r15): ORDER BY + LIMIT ride the search body's
+    // `sort` array (explicit `missing` placement = exact Spark null
+    // ordering) with `size` = n — ONE coordinated search, because the
+    // cluster merges per-shard top-n itself; the 4-way PIT fan-out this
+    // fixture normally plans collapses to a single sorted request
+    // (EsHttpSpec asserts the body, the single request, no PIT open,
+    // and the runtime-filter soundness decline). Still partial: Spark
+    // re-sorts the n returned rows — correctness never hangs on server
+    // sort nuances. Windows beyond the 10k max_result_window decline.
+    GQuery(
+      "q_src_es_topn",
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders
+        |ORDER BY price DESC, o_orderkey
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.EsSourceName}.orders_es")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
     // ES cardinality pushdown (reference: sqltoes.go:599-611 maps the
     // dialect's EXPLICITLY-APPROXIMATE cardinality() function — never
     // exact COUNT(DISTINCT) — to the ES cardinality agg): under the

@@ -12,7 +12,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.aggregate._
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -354,6 +354,10 @@ object EsTable {
     * the reference maps only that function to the ES cardinality agg,
     * sqltoes.go:599-611, never exact COUNT(DISTINCT)). */
   val ApproxDistinctOption = "graft.approx_distinct"
+
+  /** The documented default `index.max_result_window`: a plain search
+    * refuses from+size beyond it, so a pushed sorted window must fit. */
+  val MaxResultWindow = 10000
 }
 
 class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
@@ -361,11 +365,13 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
+  with SupportsPushDownTopN
   with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ep.schema
   private var limit: Int = -1
+  private var orders: Seq[(String, Boolean, Boolean)] = Nil // (target, desc, missingFirst)
   private var agg: Option[(Seq[Int], Seq[(String, Int, DataType)])] = None
 
   /** The field name a server-side exact-value operation must target:
@@ -418,6 +424,35 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
   /** `size` caps the first page; partial — a real ES caps page sizes. */
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY + LIMIT rides the search body's `sort` array with an
+    * explicit `missing` placement (`_first`/`_last` gives EXACT Spark
+    * null ordering for any direction combo — the real default is
+    * `_last`). A sorted window is ONE coordinated search: the cluster
+    * merges per-shard top-n, so client-side fan-out would only re-read
+    * what the server already reduced — the scan collapses to a single
+    * plain request (EsScan.planInputPartitions) bounded by the
+    * documented 10k result window; larger windows decline and polyfill.
+    * Analyzed text retargets to `.keyword` or declines (fielddata is
+    * disabled on text — a raw-text sort answers 400). Still PARTIAL
+    * (Spark re-sorts the n returned rows): a real cluster caps page
+    * sizes, and correctness must never hang on server sort nuances. */
+  override def pushTopN(so: Array[SortOrder], n: Int): Boolean = {
+    if (agg.isDefined) return false // bucket responses carry no hit sort
+    if (n > EsTable.MaxResultWindow) return false
+    val ks = so.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          fieldIdx(nr).flatMap(serverFieldIdx).map { t =>
+            (t, o.direction() == SortDirection.DESCENDING,
+              o.nullOrdering() == NullOrdering.NULLS_FIRST)
+          }
+        case _ => None
+      }
+    }
+    if (ks.exists(_.isEmpty)) false
+    else { orders = ks.map(_.get).toSeq; limit = n; true }
+  }
 
   private def fieldIdx(col: NamedReference): Option[Int] = {
     val parts = col.fieldNames()
@@ -591,16 +626,25 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
       case None =>
         val body = EsDsl.M.createObjectNode()
         body.set[ObjectNode]("query", dsl)
+        if (orders.nonEmpty) {
+          val sortArr = body.putArray("sort")
+          orders.foreach { case (target, desc, missingFirst) =>
+            val o = sortArr.addObject().putObject(target)
+            o.put("order", if (desc) "desc" else "asc")
+            o.put("missing", if (missingFirst) "_first" else "_last")
+          }
+        }
         new EsScan(ep, required, body.toString, pushed,
           aggMode = false, aggKinds = Nil, groupCount = 0, limit = limit,
-          hint = hint)
+          hint = hint, sorted = orders.nonEmpty)
     }
   }
 }
 
 class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
     pushed: Array[Filter], aggMode: Boolean, aggKinds: Seq[String],
-    groupCount: Int, limit: Int, hint: Option[Int] = None)
+    groupCount: Int, limit: Int, hint: Option[Int] = None,
+    sorted: Boolean = false)
   extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
@@ -639,6 +683,11 @@ class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
     }
 
   override def filterAttributes(): Array[NamedReference] = {
+    // a pushed sorted window must never gain a filter beneath it: even
+    // under the PARTIAL contract Spark re-applies its Sort/Limit BELOW
+    // the join, so a runtime semi-join filter here would window the
+    // filtered subset — rows the true top-n excludes would join through
+    if (sorted) return Array.empty
     def jsonExact(dt: DataType): Boolean = dt match {
       case ShortType | IntegerType | LongType | FloatType | DoubleType |
            BooleanType | StringType => true
@@ -654,6 +703,7 @@ class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    if (sorted) return // defense in depth vs filterAttributes
     val nodes = predicates.toSeq.flatMap { p =>
       if (p.name() != "IN" || p.children().isEmpty) None
       else p.children()(0) match {
@@ -716,7 +766,9 @@ class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
     * set). Aggregation pushdown stays single-partition: ES cannot slice
     * an aggs request, and the COMPLETE-agg result is metadata-sized. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = if (aggMode) 1 else WireFanout.effective(ep.spec.slices, hint)
+    // a sorted window is one coordinated search (the cluster already
+    // merged per-shard top-n): single partition, plain paging, no PIT
+    val n = if (aggMode || sorted) 1 else WireFanout.effective(ep.spec.slices, hint)
     // PIT paging: open ONE point-in-time here on the driver and share its
     // id across every slice task — the documented sliced-PIT usage. Each
     // slice opening its own PIT would snapshot the index at a different
@@ -728,7 +780,7 @@ class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
     // opens a surplus context that is never paged; it expires with its
     // keep_alive, same as a context left by a killed task.)
     val pitId: Option[String] =
-      if (!aggMode && ep.spec.paging == "pit") {
+      if (!aggMode && !sorted && ep.spec.paging == "pit") {
         val client = new HttpRestClient(ep.spec.baseUrl, ep.spec.cfg)
         Some(EsDsl.M.readTree(client.postJson(
           s"/es/${ep.spec.table}/_pit", "",
@@ -738,7 +790,7 @@ class EsScan(ep: EsEndpoint, required: StructType, dslBody: String,
     Array.tabulate(n) { i =>
       EsPartition(ep.spec, body, ep.schema.json, required.json,
         aggMode, aggKinds, groupCount, limit,
-        sliceId = i, sliceMax = n, pitId = pitId)
+        sliceId = i, sliceMax = n, pitId = pitId, sorted = sorted)
     }
   }
 
@@ -749,7 +801,7 @@ final case class EsPartition(spec: EsEndpointSpec, dslBody: String,
     fullSchemaJson: String, requiredSchemaJson: String,
     aggMode: Boolean, aggKinds: Seq[String], groupCount: Int,
     limit: Int, sliceId: Int = 0, sliceMax: Int = 1,
-    pitId: Option[String] = None) extends InputPartition
+    pitId: Option[String] = None, sorted: Boolean = false) extends InputPartition
 
 object EsScan {
   /** PIT keep_alive: refreshed by every page request, so it has to
@@ -855,7 +907,10 @@ class EsReaderFactory extends PartitionReaderFactory {
         var done = false
         var yielded = 0L
         val pages: Iterator[Iterator[String]] =
-          if (p.spec.paging == "pit") new Iterator[Iterator[String]] {
+          // a sorted window always rides the plain arm: its body carries
+          // the custom `sort`, which the PIT arm's _shard_doc cursor and
+          // a scroll context would both clobber or refuse
+          if (p.spec.paging == "pit" && !p.sorted) new Iterator[Iterator[String]] {
             // point-in-time + search_after (the default): page the PIT —
             // an immutable index snapshot, opened ONCE on the driver and
             // shared by every slice (EsScan.planInputPartitions) — by the

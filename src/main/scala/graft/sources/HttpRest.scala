@@ -1004,11 +1004,51 @@ object LoopbackRestServer {
               metric(aggsOut, e.getKey, e.getValue, matched))
           }
         }
+        // "sort": [{f: {"order": asc|desc, "missing": "_first"|"_last"}}]
+        // applies to the matched hits BEFORE from/size windowing — the
+        // real coordinated-search sort (fielddataViolation already
+        // refused raw text fields; `.keyword` resolves like agg targets;
+        // the real default missing placement is `_last`)
+        val sortNode = body.path("sort")
+        val ordered =
+          if (sortNode.isMissingNode || !sortNode.isArray || sortNode.isEmpty) matched
+          else {
+            val keys = sortNode.elements().asScala.toSeq.map { s =>
+              val e = s.properties().asScala.head
+              val lc = e.getKey.toLowerCase
+              val target =
+                if (lc.endsWith(".keyword") &&
+                    tf.get(lc.stripSuffix(".keyword")).contains(true))
+                  lc.stripSuffix(".keyword")
+                else e.getKey
+              val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(target))
+              require(i >= 0, s"unknown sort field ${e.getKey}")
+              val desc = e.getValue.path("order").asText("asc") == "desc"
+              val missingFirst = e.getValue.path("missing").asText("_last") == "_first"
+              (i, desc, missingFirst)
+            }
+            matched.sortWith { (a, b) =>
+              var r = 0
+              val it = keys.iterator
+              while (r == 0 && it.hasNext) {
+                val (i, desc, mf) = it.next()
+                r = (a(i), b(i)) match {
+                  case (null, null) => 0
+                  case (null, _) => if (mf) -1 else 1
+                  case (_, null) => if (mf) 1 else -1
+                  case (x, y) =>
+                    val c = FilterEval.cmp(x, y).getOrElse(0)
+                    if (desc) -c else c
+                }
+              }
+              r < 0
+            }
+          }
         val from = body.path("from").asLong(0L)
         val size = body.path("size").asLong(10L)
         val hitsArr = resp.path("hits").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
           .putArray("hits")
-        matched.iterator.slice(from, from + size).foreach { row =>
+        ordered.iterator.slice(from, from + size).foreach { row =>
           val w = new java.io.StringWriter()
           JsonCodec.write(w, row, schema)
           hitsArr.addObject().set[com.fasterxml.jackson.databind.JsonNode](

@@ -839,4 +839,81 @@ class EsHttpSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
       s"dynamic filtering must compose with COMPLETE composite pushdown:\n$plan")
   }
+
+  // ---- TopN pushdown (sort + size in one coordinated search) --------------
+
+  test("ORDER BY + LIMIT pushes as the body sort with exact null placement") {
+    val t = table("topn1")
+    val pits0 = LoopbackRestServer.esPitOpens.get()
+    val served0 = LoopbackRestServer.served.get()
+    val df = spark.table(t).select("id", "bal")
+      .orderBy(col("bal").desc, col("id")).limit(3)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(399L, 398L, 397L))
+    assert(LoopbackRestServer.served.get() - served0 == 1,
+      "a sorted window is ONE coordinated search")
+    assert(LoopbackRestServer.esPitOpens.get() == pits0,
+      "no PIT context for a sorted window")
+    val body = LoopbackRestServer.lastBody.get()
+    assert(body.contains("\"sort\"") && body.contains("\"order\":\"desc\"") &&
+      body.contains("\"missing\":\"_last\""), body)
+    assert(df.rdd.getNumPartitions == 1, "fan-out collapses under a pushed sort")
+
+    // non-default null placement rides an explicit `missing: _first`;
+    // null segs are ids ≡ 2 (mod 3)
+    val nf = spark.table(t).select("id", "seg")
+      .orderBy(col("seg").desc_nulls_first, col("id")).limit(2)
+    assert(nf.collect().map(_.getLong(0)).toSeq == Seq(2L, 5L))
+    assert(LoopbackRestServer.lastBody.get().contains("\"missing\":\"_first\""),
+      LoopbackRestServer.lastBody.get())
+  }
+
+  test("text sorts retarget to .keyword; no sub-field or big windows decline") {
+    val t = textTable("topn_txt")
+    val df = spark.table(t).select("id", "title")
+      .orderBy(col("title"), col("id")).limit(2)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 5L))
+    assert(LoopbackRestServer.lastBody.get().contains("\"title.keyword\""),
+      s"a text sort must target the keyword sub-field: ${LoopbackRestServer.lastBody.get()}")
+
+    // `body` has no keyword sub-field -> decline, engine sorts the
+    // stream (the fallback's PIT cursor sort on _shard_doc is fine;
+    // a CUSTOM sort always carries the explicit `missing` placement)
+    val noKw = spark.table(t).select("id", "body")
+      .orderBy(col("body"), col("id")).limit(3)
+    assert(noKw.collect().map(_.getLong(0)).toSeq == Seq(0L, 7L, 14L))
+    assert(!LoopbackRestServer.lastBody.get().contains("\"missing\""),
+      "a raw-text sort must never ship (fielddata is disabled on text)")
+
+    // a window beyond index.max_result_window declines (from+size cap)
+    val big = spark.table(t).select("id").orderBy(col("id")).limit(10001)
+    assert(big.collect().length == 60)
+    assert(!LoopbackRestServer.lastBody.get().contains("\"missing\""),
+      "a 10k+ window must decline to the full-stream polyfill")
+  }
+
+  test("a pushed sorted window declines runtime semi-join filters (soundness)") {
+    val t = table("topn_dyn")
+    // the dim keys only the LOWEST-bal row: if the runtime terms leaked
+    // beneath the pushed sort, the server would answer top-3 OF THE
+    // FILTERED subset (row 0) and the join would emit a row the true
+    // top-3-then-join answer cannot contain
+    val dim = spark.range(0, 1).select(col("id").as("did"))
+    val top = spark.table(t).select("id", "bal")
+      .orderBy(col("bal").desc, col("id")).limit(3)
+    val joined = top.join(broadcast(dim), col("id") === col("did"))
+    assert(joined.collect().isEmpty,
+      "top-3 by bal desc excludes id 0 — the join must be empty")
+    assert(!LoopbackRestServer.lastBody.get().contains("\"id\":[0]"),
+      s"no runtime terms may ride a sorted window: ${LoopbackRestServer.lastBody.get()}")
+  }
+
+  test("TopN above a pushed aggregate declines and stays exact") {
+    val t = table("topn_agg")
+    val df = spark.table(t).groupBy("seg").agg(count(lit(1)).as("n"))
+      .orderBy(col("seg").asc_nulls_first).limit(2)
+    val got = df.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toSeq
+    assert(got == Seq(None -> 133L, Some("A") -> 134L), s"$got")
+    assert(!LoopbackRestServer.lastBody.get().contains("\"sort\""),
+      "bucket responses carry no hit sort — the window stays engine-side")
+  }
 }
