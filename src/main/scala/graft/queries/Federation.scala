@@ -1294,6 +1294,27 @@ object Federation {
         .select(col("event_id"), round(col("value"), 2).as("value"))
     },
 
+    // DATASTORE ordered window, FULLY delegated: ORDER BY + LIMIT +
+    // OFFSET compile into the one structured :runQuery (`order`,
+    // `limit`, `offset` — all public query fields); the ordered window
+    // collapses the key-range fan-out to a single cursor stream, so the
+    // delegation is exact and Spark plans no Sort/Limit/Offset of its
+    // own. At 100 TB the server skips/caps the window — the client
+    // reads 40 entities, not the kind.
+    GQuery(
+      "q_src_ds_window",
+      """SELECT event_id, round(value, 2) AS value_r FROM events
+        |WHERE event_type = 'view'
+        |ORDER BY events.value DESC, event_id LIMIT 40 OFFSET 15""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.DsSourceName}.events_ds")
+        .filter(col("event_type") === "view")
+        .orderBy(col("value").desc, col("event_id"))
+        .offset(15)
+        .limit(40)
+        .select(col("event_id"), round(col("value"), 2).as("value_r"))
+    },
+
     // Datastore's signature restriction, ENFORCED: ranges on a SECOND
     // property are illegal in the API (the loopback answers the real
     // 400 INVALID_ARGUMENT), so the ts range declines and Spark

@@ -135,7 +135,7 @@ object DsQuery {
 
   def queryJson(kind: String, props: Seq[String], filters: Seq[PropFilter],
       orders: Seq[(String, Boolean)], limit: Int,
-      startCursor: String): String = {
+      startCursor: String, offset: Int = -1): String = {
     val root = M.createObjectNode()
     val q = root.putObject("query")
     q.putArray("kind").addObject().put("name", kind)
@@ -167,6 +167,7 @@ object DsQuery {
         o.put("direction", if (desc) "DESCENDING" else "ASCENDING")
       }
     }
+    if (offset > 0) q.put("offset", offset)
     if (limit > 0) q.put("limit", limit)
     if (startCursor.nonEmpty) q.put("startCursor", startCursor)
     root.toString
@@ -304,8 +305,12 @@ object DsQuery {
         r < 0
       }
     }
+    // the documented evaluation order: sort, then skip `offset` results,
+    // then cap at `limit` (limit counts results AFTER the offset)
+    val offset = q.path("offset").asInt(0)
+    val skipped = if (offset > 0) matched.drop(offset) else matched
     val limit = q.path("limit").asInt(-1)
-    val capped = if (limit > 0) matched.take(limit) else matched
+    val capped = if (limit > 0) skipped.take(limit) else skipped
     val props = q.path("projection").elements().asScala
       .map(_.path("property").path("name").asText()).toSeq
     val names = if (props.nonEmpty) props else schema.fieldNames.toSeq
@@ -439,12 +444,14 @@ class DsScanBuilder(ep: DsEndpoint, hint: Option[Int] = None) extends ScanBuilde
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
   with SupportsPushDownTopN
+  with SupportsPushDownOffset
   with SupportsPushDownAggregates {
 
   private var accepted: Seq[DsQuery.PropFilter] = Nil
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ep.schema
   private var limit: Int = -1
+  private var skipN: Int = -1
   private var orders: Seq[(String, Boolean)] = Nil
   private var agg: Option[Seq[(String, String, DataType)]] = None
 
@@ -516,11 +523,41 @@ class DsScanBuilder(ep: DsEndpoint, hint: Option[Int] = None) extends ScanBuilde
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def pushLimit(n: Int): Boolean = { limit = n; true }
-  override def isPartiallyPushed(): Boolean = true
+  /** Will this scan fan out into key-range slices? Must agree EXACTLY
+    * with [[DsScan.planInputPartitions]]: when false the scan is one
+    * cursor stream and a pushed window (sort+limit+offset in the one
+    * runQuery) is exact — FULLY delegated, Spark removes its own
+    * Sort/Limit/Offset; when true every slice serves limit per range
+    * and the push is partial (Spark re-applies). */
+  private def fansOut: Boolean = ep.splits.exists { ws =>
+    orders.isEmpty &&
+      !accepted.exists(p => p.op != "EQUAL" && !p.prop.equalsIgnoreCase(ws.key)) &&
+      !accepted.exists(p => p.prop.equalsIgnoreCase(ws.key) && p.op == "EQUAL") &&
+      WireFanout.thin(ws.points.toIndexedSeq,
+        WireFanout.effective(ws.points.size + 1, hint)).nonEmpty
+  }
+
+  /** The aggregation query has no limit form — an aggregate's one-row
+    * (global-only) answer makes LIMIT n≥1 the identity anyway, but the
+    * clean contract is to decline and let Spark keep its node. */
+  override def pushLimit(n: Int): Boolean =
+    if (agg.isDefined) false else { limit = n; true }
+  override def isPartiallyPushed(): Boolean = fansOut
+
+  /** OFFSET rides the structured query's `offset` field (documented:
+    * results to skip, applied after sort and before `limit` — `limit`
+    * counts results AFTER the skip). A pushed offset is FULLY delegated
+    * — Spark removes its Offset node — so it is only sound on a
+    * single-stream scan: a fanned scan skipping n per range would drop
+    * n×slices rows. Spark only pushes offset below a fully-consumed
+    * limit, so `limit` already includes the offset here and the wire
+    * limit comes back off it in build(). */
+  override def pushOffset(n: Int): Boolean =
+    if (agg.isDefined || fansOut) false else { skipN = n; true }
 
   /** First sort key must be the inequality property (Datastore rule). */
   override def pushTopN(so: Array[SortOrder], n: Int): Boolean = {
+    if (agg.isDefined) return false // bucket-less one-row answer: no window
     val ks = so.map { o =>
       o.expression() match {
         case nr: NamedReference if nr.fieldNames().length == 1 &&
@@ -556,9 +593,13 @@ class DsScanBuilder(ep: DsEndpoint, hint: Option[Int] = None) extends ScanBuilde
       val props =
         if (required.fieldNames.sameElements(ep.schema.fieldNames)) Nil
         else required.fieldNames.toSeq
+      // Spark pushes limit+offset as one widened limit then the offset;
+      // the API's limit counts results AFTER the skip, so it comes off
+      val wireLimit = if (skipN > 0 && limit > 0) limit - skipN else limit
       new DsScan(ep, required,
-        DsQuery.queryJson(ep.spec.kind, props, accepted, orders, limit, ""),
-        accepted, orders, limit, pushed, hint)
+        DsQuery.queryJson(ep.spec.kind, props, accepted, orders, wireLimit,
+          "", skipN),
+        accepted, orders, wireLimit, pushed, hint)
   }
 }
 

@@ -112,6 +112,53 @@ class DsSourceSpec extends AnyFunSuite {
       q.contains("DESCENDING") && q.contains("\"limit\""), q)
   }
 
+  test("ORDER BY + LIMIT + OFFSET fully delegate: one runQuery, window collapsed") {
+    val t = table("dsoff1")
+    val df = spark.table(t)
+      .filter(col("seg") === "B")
+      .orderBy(col("bal").desc, col("id").desc)
+      .offset(15)
+      .limit(10)
+      .select("id", "bal")
+    val got = df.collect()
+    val want = rows.filter(_(1) == "B")
+      .sortBy(r => (-r(2).asInstanceOf[Double], -r(0).asInstanceOf[Long]))
+      .slice(15, 25)
+    assert(got.length == want.size)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w(0) && g.getDouble(1) == w(2))
+    }
+    // the single-stream scan consumed the whole window: Spark planned no
+    // Sort/Offset/Limit of its own — the server's answer IS the result
+    val opt = df.queryExecution.optimizedPlan
+    assert(!opt.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]),
+      opt.toString)
+    assert(!opt.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Offset]),
+      opt.toString)
+    assert(!opt.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.GlobalLimit]),
+      opt.toString)
+    val q = LoopbackRestServer.lastDsQuery.get()
+    // Spark pushes limit+offset widened (25) then the offset; the wire
+    // limit counts AFTER the skip, so the query carries the true window
+    assert(q.contains("\"offset\":15") && q.contains("\"limit\":10"), q)
+  }
+
+  test("OFFSET declines on a fanned scan and under a pushed aggregate") {
+    val t = fanTable("dsoff2", Seq(100L, 200L, 300L))
+    // fan-out: per-slice skipping would drop rows — Spark keeps its node
+    val df = spark.table(t).offset(3)
+    assert(df.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Offset]),
+      "a fanned scan must not consume OFFSET")
+    assert(df.count() == rows.size.toLong - 3)
+    assert(!LoopbackRestServer.lastDsQuery.get().contains("\"offset\""))
+    // aggregation queries have no offset form: the decline keeps the
+    // skip engine-side, which correctly empties the one-row answer
+    val ag = spark.table(t).agg(count(lit(1)).as("n")).offset(1)
+    assert(ag.collect().isEmpty)
+    assert(!LoopbackRestServer.lastDsQuery.get().contains("\"offset\""))
+  }
+
   test("second-property range declines through DSv2 and polyfills exactly") {
     val t = table("ds3")
     val cutoff = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
