@@ -1075,6 +1075,27 @@ object Federation {
         .orderBy("c_custkey")
     },
 
+    // CQL ordered window under Cassandra's own single-partition rule:
+    // the EQ-bound partition key makes ORDER BY legal, the sort keys are
+    // the clustering prefix (reverse direction), and the statement ships
+    // `... WHERE pk = ... ORDER BY ck DESC LIMIT n` — the server walks
+    // the clustering index backwards and returns n rows, not the
+    // partition. The push stays partial (Spark re-sorts n rows), and a
+    // sort outside the clustering prefix or without the bound key
+    // declines (CqlSourceSpec proves both on the wire).
+    GQuery(
+      "q_src_cql_topn",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_mktsegment = 'AUTOMOBILE'
+        |ORDER BY c_custkey DESC LIMIT 25""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.CqlSourceName}.customer_cql")
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .orderBy(col("c_custkey").desc)
+        .limit(25)
+        .select("c_custkey", "c_name")
+    },
+
     // CQL residual polyfill, ENFORCED server-side: the non-key c_acctbal
     // conjunct is outside Cassandra's WHERE rules — the loopback server
     // would refuse it (ALLOW FILTERING) — so the connector declines it
@@ -1352,6 +1373,25 @@ object Federation {
         .select(col("c_name"), col("c_custkey"),
           round(col("c_acctbal"), 2).as("acctbal"))
         .orderBy("c_name")
+    },
+
+    // BIGTABLE reversed-scan ordered window: the row key is the table's
+    // ONE server-side order, so ORDER BY key DESC LIMIT n rides the
+    // public ReadRowsRequest `reversed` flag + rowsLimit — each shard
+    // streams its LAST n keys instead of walking the table, and the
+    // prefix range composes (the window opens inside the pushed row
+    // range). Partial push: Spark re-sorts the n×shards survivors.
+    GQuery(
+      "q_src_bt_topn",
+      """SELECT c_name, c_custkey FROM customer
+        |WHERE c_name LIKE 'Customer#00000%'
+        |ORDER BY c_name DESC LIMIT 30""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.BtSourceName}.customer_btw")
+        .filter(col("c_name").startsWith("Customer#00000"))
+        .orderBy(col("c_name").desc)
+        .limit(30)
+        .select("c_name", "c_custkey")
     },
 
     // Two LIVE WIRE PROTOCOLS in one plan — the federated join the

@@ -12,6 +12,7 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -131,33 +132,60 @@ object BtQuery {
     }
   }
 
-  def requestJson(rs: RowSet, rowsLimit: Int, startKeyOpen: String): String = {
+  def requestJson(rs: RowSet, rowsLimit: Int, resumeKeyOpen: String,
+      reversed: Boolean = false): String = {
     val root = M.createObjectNode()
     val rows = root.putObject("rows")
     if (rs.keys.nonEmpty) {
       val arr = rows.putArray("rowKeys")
-      // resume for a keys request = drop keys at or below the last
-      // received (keys are served in sorted order)
-      rs.keys.sorted.filter(k => startKeyOpen.isEmpty || k > startKeyOpen)
-        .foreach(k => arr.add(b64(k)))
+      // resume for a keys request = drop keys already served (keys are
+      // served in key order — reversed scans serve them descending, so
+      // the consumed side flips)
+      rs.keys.sorted.filter { k =>
+        resumeKeyOpen.isEmpty ||
+          (if (reversed) k < resumeKeyOpen else k > resumeKeyOpen)
+      }.foreach(k => arr.add(b64(k)))
     } else {
       val arr = rows.putArray("rowRanges")
       rs.ranges.foreach { case (s, e) =>
-        val r = arr.addObject()
-        val effStart =
-          if (startKeyOpen.nonEmpty && (s.isEmpty || startKeyOpen >= s)) null else s
-        if (startKeyOpen.nonEmpty && effStart == null)
-          r.put("startKeyOpen", b64(startKeyOpen))
-        else if (s.nonEmpty) r.put("startKeyClosed", b64(s))
-        if (e.nonEmpty) r.put("endKeyOpen", b64(e))
+        if (reversed) {
+          // reversed resume (the real reversed-scan retry contract):
+          // the last received key caps the range's EXCLUSIVE END
+          val effEnd =
+            if (resumeKeyOpen.nonEmpty && (e.isEmpty || resumeKeyOpen < e))
+              resumeKeyOpen
+            else e
+          val r = arr.addObject()
+          if (effEnd.nonEmpty && s.nonEmpty && effEnd <= s) {
+            // range fully consumed: a PROVABLY-EMPTY range, never an
+            // empty rowRanges array (that would mean full-table scan)
+            r.put("startKeyClosed", b64(s))
+            r.put("endKeyOpen", b64(s))
+          } else {
+            if (s.nonEmpty) r.put("startKeyClosed", b64(s))
+            if (effEnd.nonEmpty) r.put("endKeyOpen", b64(effEnd))
+          }
+        } else {
+          val r = arr.addObject()
+          val effStart =
+            if (resumeKeyOpen.nonEmpty && (s.isEmpty || resumeKeyOpen >= s)) null
+            else s
+          if (resumeKeyOpen.nonEmpty && effStart == null)
+            r.put("startKeyOpen", b64(resumeKeyOpen))
+          else if (s.nonEmpty) r.put("startKeyClosed", b64(s))
+          if (e.nonEmpty) r.put("endKeyOpen", b64(e))
+        }
       }
     }
     if (rowsLimit > 0) root.put("rowsLimit", rowsLimit)
+    if (reversed) root.put("reversed", true)
     root.toString
   }
 
   /** Server side: select rows by the row set. Returns key-sorted rows
-    * (BigTable scans are key-ordered). */
+    * (BigTable scans are key-ordered; `reversed` scans — the public
+    * ReadRowsRequest.reversed flag — stream descending, and rowsLimit
+    * caps the stream in whichever direction it runs). */
   def select(body: JsonNode, keyOf: Array[Any] => String,
       rows: Seq[Array[Any]]): Seq[(String, Array[Any])] = {
     val sorted = rows.map(r => (keyOf(r), r)).sortBy(_._1)
@@ -181,8 +209,10 @@ object BtQuery {
           }
         }
       }
+    val ordered =
+      if (body.path("reversed").asBoolean(false)) selected.reverse else selected
     val limit = body.path("rowsLimit").asInt(-1)
-    if (limit > 0) selected.take(limit) else selected
+    if (limit > 0) ordered.take(limit) else ordered
   }
 }
 
@@ -305,12 +335,15 @@ class BtWriterFactory(spec: BtEndpointSpec, schemaJson: String)
 class BtScanBuilder(ep: BtEndpoint, hint: Option[Int] = None) extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with SupportsPushDownTopN {
 
   private var rowSet: BtQuery.RowSet = BtQuery.RowSet(Seq(("", "")), Nil)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ep.schema
   private var limit: Int = -1
+  private var reversed = false
+  private var sortedByKey = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val parsed = filters.map(f => f -> BtQuery.compileOne(f, ep.keyCol))
@@ -331,12 +364,36 @@ class BtScanBuilder(ep: BtEndpoint, hint: Option[Int] = None) extends ScanBuilde
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   override def isPartiallyPushed(): Boolean = true
 
+  /** BigTable's ONE ordering is the row key: scans stream key-sorted,
+    * and descending rides the public ReadRowsRequest `reversed` flag.
+    * Accept when the FIRST sort key is the key column — row keys are
+    * unique, so later sort keys are dead tiebreakers that can never
+    * fire, and null ordering is vacuous (keys are never null). String
+    * row keys compare byte-lexicographically in both engines (UTF-8 ==
+    * UTF8String order). PARTIAL: each slice answers its first/last n
+    * in key order and Spark re-sorts — at scale a top-n-by-key reads n
+    * rows per shard instead of the table. */
+  override def pushTopN(so: Array[SortOrder], n: Int): Boolean =
+    so.headOption.exists { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 &&
+            nr.fieldNames()(0).equalsIgnoreCase(ep.keyCol) =>
+          reversed = o.direction() == SortDirection.DESCENDING
+          sortedByKey = true
+          limit = n
+          true
+        case _ => false
+      }
+    }
+
   override def build(): Scan =
-    new BtScan(ep, required, rowSet, limit, pushed, hint)
+    new BtScan(ep, required, rowSet, limit, pushed, hint,
+      reversed = reversed, sorted = sortedByKey)
 }
 
 class BtScan(ep: BtEndpoint, required: StructType, rowSet: BtQuery.RowSet,
-    limit: Int, pushed: Array[Filter], hint: Option[Int] = None)
+    limit: Int, pushed: Array[Filter], hint: Option[Int] = None,
+    reversed: Boolean = false, sorted: Boolean = false)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -360,12 +417,18 @@ class BtScan(ep: BtEndpoint, required: StructType, rowSet: BtQuery.RowSet,
   @volatile private[graft] var runtimeFilterDesc: String = ""
 
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // the ordered-window soundness rule: a pushed key sort must never
+    // gain a filter beneath it — Spark re-applies its Sort/Limit BELOW
+    // the join, so a runtime key set here would window the filtered
+    // subset (rows the true top-n excludes would join through)
+    if (sorted) return Array.empty
     required.fieldNames.find(_.equalsIgnoreCase(ep.keyCol)) match {
       case Some(n) =>
         Array(org.apache.spark.sql.connector.expressions.Expressions.column(n))
       case None => Array.empty
     }
+  }
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
@@ -424,7 +487,7 @@ class BtScan(ep: BtEndpoint, required: StructType, rowSet: BtQuery.RowSet,
     // request (an empty RowSet proto would mean full scan server-side)
     if (rs == BtQuery.Empty) return Array.empty
     def single = Array[InputPartition](
-      BtPartition(ep.spec, rs.ranges, rs.keys, limit, required.json))
+      BtPartition(ep.spec, rs.ranges, rs.keys, limit, required.json, reversed))
     val n = WireFanout.effective(ep.fanout, hint)
     if (n <= 1 || rs.keys.nonEmpty) return single
     val samples =
@@ -436,7 +499,8 @@ class BtScan(ep: BtEndpoint, required: StructType, rowSet: BtQuery.RowSet,
       val clamped = rs.ranges.flatMap(
         BtQuery.clamp(_, lo.getOrElse(""), hi.getOrElse("")))
       if (clamped.isEmpty) None
-      else Some(BtPartition(ep.spec, clamped, Nil, limit, required.json): InputPartition)
+      else Some(BtPartition(ep.spec, clamped, Nil, limit, required.json,
+        reversed): InputPartition)
     }
     if (parts.isEmpty) Array.empty else parts.toArray
   }
@@ -445,7 +509,8 @@ class BtScan(ep: BtEndpoint, required: StructType, rowSet: BtQuery.RowSet,
 }
 
 final case class BtPartition(spec: BtEndpointSpec, ranges: Seq[(String, String)],
-    keys: Seq[String], limit: Int, requiredSchemaJson: String) extends InputPartition
+    keys: Seq[String], limit: Int, requiredSchemaJson: String,
+    reversed: Boolean = false) extends InputPartition
 
 class BtReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -464,7 +529,7 @@ class BtReaderFactory extends PartitionReaderFactory {
       override def hasNext: Boolean = !done && (p.limit < 0 || received < p.limit)
       override def next(): Iterator[JsonNode] = {
         val lim = if (p.limit > 0) p.limit - received else -1
-        val body = BtQuery.requestJson(rs, lim, resumeKey)
+        val body = BtQuery.requestJson(rs, lim, resumeKey, p.reversed)
         val resp = M.readTree(client.postJson(s"/bt/${p.spec.table}:readRows", body))
         val rows = resp.path("rows").elements().asScala.toSeq
         if (rows.isEmpty || resp.path("lastRowKey").asText("").isEmpty) done = true

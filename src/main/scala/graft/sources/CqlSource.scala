@@ -10,6 +10,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -200,10 +201,11 @@ object CqlEval {
 
   final case class Stmt(cols: Seq[String], table: String,
       where: Seq[(String, String, String)], limit: Int,
-      groupBy: Seq[String] = Nil)
+      groupBy: Seq[String] = Nil,
+      orderBy: Seq[(String, Boolean)] = Nil) // (column, desc)
 
   private val SelectRe =
-    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\S+?)(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+([\w.,\s]+?))?(?:\s+LIMIT\s+(\d+))?\s*""".r
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\S+?)(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+([\w.,\s]+?))?(?:\s+ORDER\s+BY\s+([\w.,\s]+?))?(?:\s+LIMIT\s+(\d+))?\s*""".r
 
   /** One parsed aggregate select item: `count(*)`, `count(c)`,
     * `min/max/sum/avg(c)`, or the same over `cast(c as type)` (the CQL
@@ -280,7 +282,7 @@ object CqlEval {
   }
 
   def parse(cql: String): Stmt = cql match {
-    case SelectRe(cols, table, where, groupBy, limit) =>
+    case SelectRe(cols, table, where, groupBy, orderBy, limit) =>
       val conds = Option(where).map(w => splitConjuncts(w).map { c =>
         // LHS is a column name OR the token() function over the
         // partition key (Cassandra's parallel-full-scan surface)
@@ -292,10 +294,20 @@ object CqlEval {
           case other => throw new IllegalArgumentException(s"cannot parse predicate: $other")
         }
       }).getOrElse(Nil)
+      val ords = Option(orderBy).map(_.split(",").map(_.trim).toSeq
+        .filter(_.nonEmpty).map { item =>
+          val parts = item.split("""\s+""").toSeq
+          val desc = parts.lastOption.exists(_.equalsIgnoreCase("DESC"))
+          val asc = parts.lastOption.exists(_.equalsIgnoreCase("ASC"))
+          if (parts.size > 2 || (parts.size == 2 && !desc && !asc))
+            throw new IllegalArgumentException(s"cannot parse ORDER BY item: $item")
+          (parts.head, desc)
+        }).getOrElse(Nil)
       Stmt(cols.split(",").map(_.trim).toSeq, table.trim,
         conds, Option(limit).map(_.toInt).getOrElse(-1),
         Option(groupBy).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
-          .getOrElse(Nil))
+          .getOrElse(Nil),
+        ords)
     case other => throw new IllegalArgumentException(s"cannot parse CQL: $other")
   }
 
@@ -679,6 +691,27 @@ object LoopbackCqlServer {
     if (colConds.nonEmpty && tokenConds.isEmpty && pkBound != pk)
       throw new IllegalArgumentException(
         s"Partition key parts ${(pk -- pkBound).mkString(",")} must be restricted")
+    // ORDER BY: the real engine's single-partition rule — legal only when
+    // the partition key is EQ/IN-restricted; order columns must follow
+    // the clustering declaration as a prefix, all one direction (the
+    // declared order or its full reverse)
+    if (stmt.orderBy.nonEmpty) {
+      if (stmt.groupBy.nonEmpty)
+        throw new IllegalArgumentException(
+          "ORDER BY with GROUP BY is not served here")
+      if (tokenConds.nonEmpty || pkBound != pk)
+        throw new IllegalArgumentException(
+          "ORDER BY is only supported when the partition key is restricted " +
+            "by an EQ or an IN.")
+      val names = stmt.orderBy.map(_._1.toLowerCase)
+      if (names != ck.take(names.size))
+        throw new IllegalArgumentException(
+          "Order by currently only supports the ordering of columns " +
+            "following their declared order in the PRIMARY KEY")
+      if (stmt.orderBy.map(_._2).distinct.size > 1)
+        throw new IllegalArgumentException(
+          "Unsupported order by relation")
+    }
     // clustering-prefix rule: walking the clustering order, every column
     // before a restricted one must be EQ-bound; past a range, nothing
     // more may be restricted (a real Cassandra refuses both shapes)
@@ -728,10 +761,27 @@ object LoopbackCqlServer {
     }
     val isAgg = stmt.groupBy.nonEmpty ||
       stmt.cols.exists(c => CqlEval.aggItem(c).isDefined)
+    // clustering sort within the one restricted partition (clustering
+    // columns are never null in Cassandra — no null arm needed)
+    val ordered =
+      if (stmt.orderBy.isEmpty) matched
+      else {
+        val keys = stmt.orderBy.map { case (c, desc) => (fieldIdx(c), desc) }
+        matched.sortWith { (a, b) =>
+          var r = 0
+          val it = keys.iterator
+          while (r == 0 && it.hasNext) {
+            val (i, desc) = it.next()
+            val c = FilterEval.cmp(a(i), b(i)).getOrElse(0)
+            r = if (desc) -c else c
+          }
+          r < 0
+        }
+      }
     val (cols, encodedAll) =
       if (isAgg) runAggregate(t, stmt, matched, fieldIdx)
       else {
-        val limited = if (stmt.limit > 0) matched.take(stmt.limit) else matched
+        val limited = if (stmt.limit > 0) ordered.take(stmt.limit) else ordered
         val outIdx = stmt.cols.map { c =>
           val i = fieldIdx(c)
           require(i >= 0, s"undefined column name $c")
@@ -1173,11 +1223,13 @@ class CqlScanBuilder(ep: CqlEndpoint, hint: Option[Int] = None) extends ScanBuil
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
+  with SupportsPushDownTopN
   with SupportsPushDownAggregates {
 
   private var accepted: CqlGen.Accepted = CqlGen.Accepted(Nil, Nil)
   private var required: StructType = ep.schema
   private var limit: Int = -1
+  private var orders: Seq[(String, Boolean)] = Nil // (column, desc)
   private var agg: Option[CqlAgg.Spec] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -1193,6 +1245,42 @@ class CqlScanBuilder(ep: CqlEndpoint, hint: Option[Int] = None) extends ScanBuil
 
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY + LIMIT rides the CQL statement under Cassandra's own
+    * single-partition rule: legal only when the accepted WHERE already
+    * EQ-binds the FULL partition key (one targeted partition read), the
+    * sort keys are a PREFIX of the clustering columns in declared
+    * order, and every direction agrees (the declared order or its full
+    * reverse — CQL has no mixed-direction ORDER BY over ASC-declared
+    * clustering). Clustering columns are never null in Cassandra, so
+    * any Spark null-ordering is vacuously satisfied. The push stays
+    * PARTIAL (Spark re-sorts the n rows): at scale the server walks the
+    * clustering index and returns n rows instead of the partition. */
+  override def pushTopN(so: Array[SortOrder], n: Int): Boolean = {
+    if (agg.isDefined) return false // grouped rows have no ORDER BY surface here
+    val pkEq = accepted.pushed.collect {
+      case EqualTo(a, _) => a.toLowerCase
+    }.toSet
+    if (!ep.partitionKeys.map(_.toLowerCase).forall(pkEq.contains)) return false
+    val ck = ep.clusteringKeys.map(_.toLowerCase)
+    val keys = so.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          val name = nr.fieldNames()(0).toLowerCase
+          if (ck.contains(name))
+            Some((name, o.direction() == SortDirection.DESCENDING))
+          else None
+        case _ => None
+      }
+    }
+    if (keys.exists(_.isEmpty)) return false
+    val flat = keys.map(_.get)
+    if (flat.map(_._1) != ck.take(flat.size)) return false // clustering prefix
+    if (flat.map(_._2).distinct.size > 1) return false // one direction
+    orders = flat
+    limit = n
+    true
+  }
 
   /** `$group`-style COMPLETE-only pushdown: the server's GROUP BY rows
     * are final buckets ([[CqlAgg]] for the rule set and cast guards). */
@@ -1220,14 +1308,15 @@ class CqlScanBuilder(ep: CqlEndpoint, hint: Option[Int] = None) extends ScanBuil
       val cols =
         if (required.fields.isEmpty) Seq(ep.schema.fieldNames.head)
         else required.fieldNames.toSeq
-      new CqlScan(ep, required, cols, accepted.where, limit, accepted.pushed.toArray, hint)
+      new CqlScan(ep, required, cols, accepted.where, limit,
+        accepted.pushed.toArray, hint, orderBy = orders)
   }
 }
 
 class CqlScan(ep: CqlEndpoint, required: StructType, cols: Seq[String],
     where: Seq[String], limit: Int, pushed: Array[Filter],
     hint: Option[Int] = None, groupBy: Seq[String] = Nil,
-    aggKinds: Seq[String] = Nil)
+    aggKinds: Seq[String] = Nil, orderBy: Seq[(String, Boolean)] = Nil)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -1254,8 +1343,12 @@ class CqlScan(ep: CqlEndpoint, required: StructType, cols: Seq[String],
     // a static relation on the key already pins the scan (and CQL
     // refuses a column restricted twice); a pushed plain LIMIT is safe
     // (no sort exists on this surface — any n qualifying rows is a
-    // valid LIMIT answer)
-    if (where.nonEmpty || ep.partitionKeys.size != 1) return Array.empty
+    // valid LIMIT answer). A pushed ORDER BY can never coexist with an
+    // unbound key (pushTopN requires the full pk EQ-bound ⇒ where is
+    // non-empty), but the guard is stated for the soundness rule: a
+    // sorted window must never gain a filter beneath it.
+    if (where.nonEmpty || orderBy.nonEmpty || ep.partitionKeys.size != 1)
+      return Array.empty
     val pk = ep.partitionKeys.head
     required.fieldNames.find(_.equalsIgnoreCase(pk)) match {
       case Some(n) =>
@@ -1267,7 +1360,7 @@ class CqlScan(ep: CqlEndpoint, required: StructType, cols: Seq[String],
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {
-    if (where.nonEmpty || ep.partitionKeys.size != 1) return
+    if (where.nonEmpty || orderBy.nonEmpty || ep.partitionKeys.size != 1) return
     val pk = ep.partitionKeys.head
     val rendered = predicates.toSeq.flatMap { p =>
       if (p.name() != "IN" || p.children().isEmpty) None
@@ -1299,6 +1392,9 @@ class CqlScan(ep: CqlEndpoint, required: StructType, cols: Seq[String],
     sb.append(cols.mkString(", ")).append(" FROM ").append(ep.table)
     if (w.nonEmpty) sb.append(" WHERE ").append(w.mkString(" AND "))
     if (groupBy.nonEmpty) sb.append(" GROUP BY ").append(groupBy.mkString(", "))
+    if (orderBy.nonEmpty) sb.append(" ORDER BY ").append(
+      orderBy.map { case (c, desc) => if (desc) s"$c DESC" else c }
+        .mkString(", "))
     if (limit > 0) sb.append(" LIMIT ").append(limit)
     sb.toString
   }

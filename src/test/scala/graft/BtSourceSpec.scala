@@ -257,6 +257,67 @@ class BtSourceSpec extends AnyFunSuite {
     assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 399L))
   }
 
+  // ---- row-key ordered windows (TopN + reversed scans) ---------------------
+
+  test("TopN on the row key rides rowsLimit; DESC rides the reversed scan") {
+    val t = table("topn1")
+    // ascending: the scan streams key-sorted — first n rows, one request
+    val asc = spark.table(t).orderBy(col("k")).limit(5).select("k")
+    assert(asc.collect().map(_.getString(0)).toSeq ==
+      (0 until 5).map(i => f"row#$i%05d"))
+    val q1 = LoopbackRestServer.lastBtQuery.get()
+    assert(q1.contains("\"rowsLimit\":5") && !q1.contains("reversed"), q1)
+    // descending: the public reversed flag — last n keys, no table walk
+    val desc = spark.table(t).orderBy(col("k").desc).limit(4).select("k", "id")
+    assert(desc.collect().map(_.getString(0)).toSeq ==
+      (399 to 396 by -1).map(i => f"row#$i%05d"))
+    val q2 = LoopbackRestServer.lastBtQuery.get()
+    assert(q2.contains("\"reversed\":true") && q2.contains("\"rowsLimit\":4"), q2)
+    // secondary sort keys are dead tiebreakers (row keys are unique) —
+    // the first-key window still pushes
+    val multi = spark.table(t).orderBy(col("k").desc, col("id")).limit(3).select("k")
+    assert(multi.collect().map(_.getString(0)).toSeq ==
+      (399 to 397 by -1).map(i => f"row#$i%05d"))
+    assert(LoopbackRestServer.lastBtQuery.get().contains("\"reversed\":true"))
+    // a non-key leading sort has no server order: declines, polyfills
+    val dec = spark.table(t).orderBy(col("bal").desc).limit(2).select("k", "bal")
+    assert(dec.collect().map(_.getString(0)).toSeq == Seq("row#00399", "row#00398"))
+    assert(!LoopbackRestServer.lastBtQuery.get().contains("reversed"))
+  }
+
+  test("reversed scans resume across the chunk cap and clamp to pushed ranges") {
+    val t = table("topn2")
+    // window larger than the 300-row service chunk cap: the reversed
+    // resume contract caps the range's exclusive END at the last key
+    val big = spark.table(t).orderBy(col("k").desc).limit(350).select("k")
+    assert(big.collect().map(_.getString(0)).toSeq ==
+      (399 to 50 by -1).map(i => f"row#$i%05d"))
+    assert(LoopbackRestServer.lastBtQuery.get().contains("endKeyOpen"),
+      "the resumed request must carry the reversed-resume end bound")
+    // reversed window composes with a pushed key range
+    val ranged = spark.table(t).filter(col("k") < "row#00100")
+      .orderBy(col("k").desc).limit(3).select("k")
+    assert(ranged.collect().map(_.getString(0)).toSeq ==
+      Seq("row#00099", "row#00098", "row#00097"))
+  }
+
+  test("a pushed key sort refuses runtime semi-join keys (ordered-window rule)") {
+    val t = table("topn3")
+    val dim = spark.range(0, 400)
+      .filter(col("id").isin(390L, 5L))
+      .select(format_string("row#%05d", col("id")).as("dk"))
+    // top-10 by key DESC below the join: filtering the scan by the build
+    // keys first would return {00390, 00005} — top-10-of-filtered — and
+    // 00005 would survive the join though the true top-10 excludes it
+    val df = spark.table(t).orderBy(col("k").desc).limit(10)
+      .join(broadcast(dim), col("k") === col("dk"))
+      .select("id")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(390L),
+      "row#00005 must NOT join through a filtered window")
+    assert(!LoopbackRestServer.lastBtQuery.get().contains("rowKeys"),
+      "no runtime key set may reach a sorted scan")
+  }
+
   // ---- runtime semi-join reduction (dynamic filtering) ---------------------
 
   private def b64(s: String): String =

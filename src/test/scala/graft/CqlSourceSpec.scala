@@ -212,6 +212,58 @@ class CqlSourceSpec extends AnyFunSuite {
     c.close()
   }
 
+  test("ORDER BY + LIMIT ride the CQL under the single-partition rule") {
+    val t = table("topn1")
+    val df = spark.table(t).filter(col("seg") === "B")
+      .orderBy(col("id").desc).limit(7).select("id", "name")
+    val got = df.collect()
+    val want = rows.filter(_(0) == "B")
+      .sortBy(r => -r(1).asInstanceOf[Long]).take(7)
+    assert(got.map(_.getLong(0)).toSeq == want.map(_(1)))
+    val cql = LoopbackCqlServer.lastCql.get()
+    assert(cql.contains("ORDER BY id DESC") && cql.contains("LIMIT 7"), cql)
+    // forward clustering order too
+    val asc = spark.table(t).filter(col("seg") === "B")
+      .orderBy(col("id")).limit(4).select("id")
+    assert(asc.collect().map(_.getLong(0)).toSeq ==
+      rows.filter(_(0) == "B").map(_(1).asInstanceOf[Long]).sorted.take(4))
+    assert(LoopbackCqlServer.lastCql.get().contains("ORDER BY id LIMIT 4"))
+  }
+
+  test("TopN declines without a fully bound partition key or off a clustering prefix") {
+    val t = table("topn2")
+    // unbound pk: Cassandra refuses ORDER BY — the sort stays engine-side
+    val df = spark.table(t).orderBy(col("id")).limit(5).select("id")
+    assert(df.collect().map(_.getLong(0)).toSeq == (0L until 5L))
+    assert(!LoopbackCqlServer.lastCql.get().contains("ORDER BY"))
+    // non-clustering sort column declines even with the pk bound
+    val df2 = spark.table(t).filter(col("seg") === "A")
+      .orderBy(col("bal").desc).limit(3).select("id", "bal")
+    val want2 = rows.filter(_(0) == "A")
+      .sortBy(r => -r(3).asInstanceOf[Double]).take(3)
+    assert(df2.collect().map(_.getLong(0)).toSeq == want2.map(_(1)))
+    assert(!LoopbackCqlServer.lastCql.get().contains("ORDER BY"))
+  }
+
+  test("server enforces ORDER BY's single-partition and declared-order rules") {
+    LoopbackCqlServer.register("ord1", schema, Seq("seg"), Seq("id"), rows)
+    val c = client()
+    val e1 = intercept[IOException](
+      c.query("SELECT id FROM ord1 ORDER BY id LIMIT 3").toSeq)
+    assert(e1.getMessage.contains("partition key is restricted"), e1.getMessage)
+    val e2 = intercept[IOException](
+      c.query("SELECT id FROM ord1 WHERE seg = 'A' ORDER BY bal LIMIT 3").toSeq)
+    assert(e2.getMessage.contains("declared order"), e2.getMessage)
+    // legal reverse-clustering read answers the exact window
+    val got = c.query("SELECT id FROM ord1 WHERE seg = 'A' ORDER BY id DESC LIMIT 3")
+      .map { case (cols, cells) =>
+        graft.protocol.CqlWire.decodeValue(cells(0), cols(0)._2).asInstanceOf[Long]
+      }.toSeq
+    assert(got == rows.filter(_(0) == "A").map(_(1).asInstanceOf[Long])
+      .sorted(Ordering[Long].reverse).take(3))
+    c.close()
+  }
+
   test("aborted connections retry the handshake+query; recovery is exact") {
     LoopbackCqlServer.register("wire3", schema, Seq("seg"), Seq("id"), rows)
     val c = client()
