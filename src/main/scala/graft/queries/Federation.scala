@@ -416,6 +416,31 @@ object Federation {
         .orderBy("o_orderstatus", "o_custkey")
     },
 
+    // ES grouped ORDERED WINDOW: TopN over the pushed aggregate rides
+    // the composite aggregation's per-source `order`/`missing_order`
+    // with the SOURCE ARRAY reordered so the sort keys lead (here
+    // o_custkey before o_orderstatus — the reverse of the group order),
+    // and the after_key cursor STOPS at the page that completes the
+    // window: 20 buckets cross the wire instead of the whole group
+    // space. Sorts on aggregate outputs decline (ES terms order-by-
+    // metric is per-shard approximate); runtime group pruning shuts off
+    // under the window (EsHttpSpec plants the excluded-group case).
+    GQuery(
+      "q_src_es_agg_topn",
+      """SELECT o_orderstatus, o_custkey, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders
+        |GROUP BY o_orderstatus, o_custkey
+        |ORDER BY o_custkey, o_orderstatus DESC LIMIT 20""".stripMargin) { (s, d) =>
+      fed(s, d)
+      s.table(s"$C.${FedData.EsSourceName}.orders_es")
+        .groupBy("o_orderstatus", "o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("o_orderkey").as("sum_key"))
+        .orderBy(col("o_custkey"), col("o_orderstatus").desc)
+        .limit(20)
+    },
+
     // ES DEEP pagination: a near-full-table hit scan over the orders
     // fixture rides point-in-time + search_after (the documented deep-
     // paging API; sliced 4-way, dozens of continuation requests per

@@ -373,6 +373,8 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
   private var limit: Int = -1
   private var orders: Seq[(String, Boolean, Boolean)] = Nil // (target, desc, missingFirst)
   private var agg: Option[(Seq[Int], Seq[(String, Int, DataType)])] = None
+  // TopN over a pushed aggregate: (group OUTPUT position, desc, nullsFirst)
+  private var aggOrders: Seq[(Int, Boolean, Boolean)] = Nil
 
   /** The field name a server-side exact-value operation must target:
     * analyzed (text) columns retarget to their `.keyword` multi-field;
@@ -438,7 +440,7 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
     * (Spark re-sorts the n returned rows): a real cluster caps page
     * sizes, and correctness must never hang on server sort nuances. */
   override def pushTopN(so: Array[SortOrder], n: Int): Boolean = {
-    if (agg.isDefined) return false // bucket responses carry no hit sort
+    if (agg.isDefined) return pushAggTopN(so, n)
     if (n > EsTable.MaxResultWindow) return false
     val ks = so.map { o =>
       o.expression() match {
@@ -452,6 +454,41 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
     }
     if (ks.exists(_.isEmpty)) false
     else { orders = ks.map(_.get).toSeq; limit = n; true }
+  }
+
+  /** TopN over a pushed aggregate: sort keys that are GROUP columns ride
+    * the composite aggregation's per-source `order`/`missing_order` (the
+    * public fields), with the SOURCE ARRAY reordered so the sort keys
+    * lead — composite pages stream in source order, so the reader can
+    * stop after the page that completes n buckets instead of paging the
+    * whole group space (the remaining group keys trail as ascending
+    * tiebreak sources, which only REFINES the requested order — the
+    * first n buckets still contain the true top-n). Sorts on aggregate
+    * OUTPUTS decline: the terms/composite `order: {agg: ...}` shape is
+    * per-shard approximate for metrics (doc_count_error_upper_bound is
+    * the documented admission), never a contractual exact window. The
+    * push stays PARTIAL (Spark re-sorts), and runtime group-key pruning
+    * shuts off under it (the ordered-window soundness rule). */
+  private def pushAggTopN(so: Array[SortOrder], n: Int): Boolean = {
+    val (groupIdx, _) = agg.get
+    if (groupIdx.isEmpty) return false // a global aggregate has no window
+    val groupNames = groupIdx.map(i => ep.schema.fields(i).name)
+    val ks = so.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          val pos = groupNames.indexWhere(_.equalsIgnoreCase(nr.fieldNames()(0)))
+          if (pos < 0) None
+          else Some((pos, o.direction() == SortDirection.DESCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (ks.exists(_.isEmpty)) return false
+    val flat = ks.map(_.get)
+    if (flat.map(_._1).distinct.size != flat.size) return false // dup sort key
+    aggOrders = flat
+    limit = n
+    true
   }
 
   private def fieldIdx(col: NamedReference): Option[Int] = {
@@ -586,7 +623,7 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
         }
         val aggsNode = body.putObject("aggs")
         groupIdx match {
-          case Seq(g) =>
+          case Seq(g) if aggOrders.isEmpty =>
             val by = aggsNode.putObject("by")
             // translate() only accepts group keys with a server target
             val groupTarget = serverFieldIdx(g).get
@@ -602,27 +639,44 @@ class EsScanBuilder(ep: EsEndpoint, hint: Option[Int] = None,
           case Seq() =>
             metrics.properties().asScala.foreach(e =>
               aggsNode.set[JsonNode](e.getKey, e.getValue))
-          case multi =>
-            // MULTI-KEY groups ride the public composite aggregation:
-            // one terms source per key in group order, missing_bucket
-            // carrying the SQL NULL group natively, paged by after_key
-            // (the reader's cursor loop) so the bucket count is never
-            // capped by one response — the scale-correct multi-key shape
+          case keys =>
+            // MULTI-KEY groups (and any ORDERED grouped window) ride the
+            // public composite aggregation: one terms source per key,
+            // missing_bucket carrying the SQL NULL group natively, paged
+            // by after_key (the reader's cursor loop) so the bucket
+            // count is never capped by one response. Under a pushed
+            // TopN the SOURCE ARRAY leads with the sort keys (composite
+            // pages stream in source order — the public per-source
+            // `order`/`missing_order` fields), the remaining group keys
+            // trail as ascending tiebreaks, and the page size caps at
+            // the window so the reader stops after ⌈n/size⌉ pages.
+            // Source NAMES stay bound to the OUTPUT position (k<pos>),
+            // so the reader's key decode is order-independent.
             val by = aggsNode.putObject("by")
             val comp = by.putObject("composite")
-            comp.put("size", ep.spec.compositePageSize)
+            val pageSize =
+              if (limit > 0) math.min(ep.spec.compositePageSize, limit)
+              else ep.spec.compositePageSize
+            comp.put("size", pageSize)
             val srcs = comp.putArray("sources")
-            multi.zipWithIndex.foreach { case (g, i) =>
-              val t = srcs.addObject().putObject(s"k$i").putObject("terms")
-              t.put("field", serverFieldIdx(g).get)
+            val lead = aggOrders.map(_._1)
+            val srcOrder = lead ++ keys.indices.filterNot(lead.contains)
+            srcOrder.foreach { outPos =>
+              val t = srcs.addObject().putObject(s"k$outPos").putObject("terms")
+              t.put("field", serverFieldIdx(keys(outPos)).get)
               t.put("missing_bucket", true)
+              aggOrders.find(_._1 == outPos).foreach { case (_, desc, nullsFirst) =>
+                t.put("order", if (desc) "desc" else "asc")
+                t.put("missing_order", if (nullsFirst) "first" else "last")
+              }
             }
             if (!metrics.isEmpty) by.set[ObjectNode]("aggs", metrics)
         }
         new EsScan(ep, required = outSchema, dslBody = body.toString,
           pushed = pushed, aggMode = true,
-          aggKinds = aggs.map(_._1), groupCount = groupIdx.size, limit = -1,
-          hint = hint)
+          aggKinds = aggs.map(_._1), groupCount = groupIdx.size,
+          limit = if (aggOrders.nonEmpty) limit else -1,
+          hint = hint, sorted = aggOrders.nonEmpty)
       case None =>
         val body = EsDsl.M.createObjectNode()
         body.set[ObjectNode]("query", dsl)
@@ -822,12 +876,18 @@ class EsReaderFactory extends PartitionReaderFactory {
     val client = new HttpRestClient(p.spec.baseUrl, p.spec.cfg)
     val path = s"/es/${p.spec.table}/_search"
     val conv = CatalystTypeConverters.createToCatalystConverter(required)
+    val baseBody = EsDsl.M.readTree(p.dslBody).asInstanceOf[ObjectNode]
+    val isComposite = p.aggMode &&
+      !baseBody.path("aggs").path("by").path("composite").isMissingNode
     val it: Iterator[InternalRow] =
-      if (p.aggMode && p.groupCount >= 2) {
+      if (isComposite) {
         // composite aggregation: page buckets with the after_key cursor
         // until a short page — the documented exhaustive-bucket protocol
-        // (one response never caps the group count)
-        val base = EsDsl.M.readTree(p.dslBody).asInstanceOf[ObjectNode]
+        // (one response never caps the group count). Under a pushed
+        // ordered window (p.limit > 0) the sources stream in the
+        // requested order, so paging stops at the page that completes
+        // the window — ⌈n/size⌉ pages instead of the whole group space.
+        val base = baseBody
         val pageSize = base.path("aggs").path("by").path("composite")
           .path("size").asInt(1000)
         def decodeKey(v: JsonNode, dt: DataType): Any =
@@ -849,7 +909,9 @@ class EsReaderFactory extends PartitionReaderFactory {
         val pages: Iterator[Seq[Row]] = new Iterator[Seq[Row]] {
           private var after: Option[JsonNode] = None
           private var done = false
-          override def hasNext: Boolean = !done
+          private var emitted = 0L
+          override def hasNext: Boolean =
+            !done && (p.limit < 0 || emitted < p.limit)
           override def next(): Seq[Row] = {
             val body = base.deepCopy()
             after.foreach(a => body.path("aggs").path("by").path("composite")
@@ -867,6 +929,7 @@ class EsReaderFactory extends PartitionReaderFactory {
             val ak = byN.path("after_key")
             if (buckets.size < pageSize || ak.isMissingNode || ak.isNull) done = true
             else after = Some(ak)
+            emitted += rows.size
             rows
           }
         }

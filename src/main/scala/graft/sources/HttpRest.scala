@@ -904,28 +904,39 @@ object LoopbackRestServer {
           val compNode = byNode.path("composite")
           if (!compNode.isMissingNode) {
             // the real composite aggregation: multi-source terms buckets
-            // in ascending key order (missing buckets FIRST — the
-            // default missing_order), paged by after/after_key
+            // in SOURCE order — each source's `order` (asc default) and
+            // `missing_order` (default: missing first under asc, last
+            // under desc — the documented placement) — paged by
+            // after/after_key
             val sources = compNode.path("sources").elements().asScala.toSeq.map { s =>
               val e = s.properties().asScala.head
               val t = e.getValue.path("terms")
               require(!t.isMissingNode, "composite sources must be terms")
+              val desc = t.path("order").asText("asc") == "desc"
+              val missingFirst = t.path("missing_order").asText("") match {
+                case "first" => true
+                case "last" => false
+                case _ => !desc // the documented default placement
+              }
               (e.getKey, fieldIdx(t.path("field").asText()),
-                t.path("missing_bucket").asBoolean(false))
+                t.path("missing_bucket").asBoolean(false), desc, missingFirst)
             }
             val size = compNode.path("size").asInt(10)
             val rows2 = matched.filter(r =>
-              sources.forall { case (_, i, mb) => mb || r(i) != null })
+              sources.forall { case (_, i, mb, _, _) => mb || r(i) != null })
             def cmpKey(a: Seq[Any], b: Seq[Any]): Int = {
               var r = 0
               var i = 0
               while (r == 0 && i < a.size) {
+                val (_, _, _, desc, missingFirst) = sources(i)
                 r = (a(i), b(i)) match {
                   case (null, null) => 0
-                  case (null, _) => -1
-                  case (_, null) => 1
-                  case (x, y) => FilterEval.cmp(x, y).getOrElse(
-                    throw new IllegalArgumentException(s"incomparable key $x/$y"))
+                  case (null, _) => if (missingFirst) -1 else 1
+                  case (_, null) => if (missingFirst) 1 else -1
+                  case (x, y) =>
+                    val c = FilterEval.cmp(x, y).getOrElse(
+                      throw new IllegalArgumentException(s"incomparable key $x/$y"))
+                    if (desc) -c else c
                 }
                 i += 1
               }
@@ -937,7 +948,7 @@ object LoopbackRestServer {
             val remaining =
               if (afterNode.isMissingNode || afterNode.isNull) sorted
               else {
-                val after: Seq[Any] = sources.map { case (name, i, _) =>
+                val after: Seq[Any] = sources.map { case (name, i, _, _, _) =>
                   val v = afterNode.path(name)
                   if (v.isNull || v.isMissingNode) null
                   else schema.fields(i).dataType match {
@@ -956,14 +967,14 @@ object LoopbackRestServer {
             val byOut = aggsOut.putObject("by")
             page.lastOption.foreach { case (key, _) =>
               val ak = byOut.putObject("after_key")
-              sources.zip(key).foreach { case ((name, _, _), v) => setJson(ak, name, v) }
+              sources.zip(key).foreach { case ((name, _, _, _, _), v) => setJson(ak, name, v) }
             }
             val buckets = byOut.putArray("buckets")
             val subAggs = byNode.path("aggs")
             page.foreach { case (key, group) =>
               val b = buckets.addObject()
               val ko = b.putObject("key")
-              sources.zip(key).foreach { case ((name, _, _), v) => setJson(ko, name, v) }
+              sources.zip(key).foreach { case ((name, _, _, _, _), v) => setJson(ko, name, v) }
               b.put("doc_count", group.size.toLong)
               if (!subAggs.isMissingNode)
                 subAggs.properties().asScala.foreach(e => metric(b, e.getKey, e.getValue, group))

@@ -777,6 +777,88 @@ class EsHttpSpec extends AnyFunSuite {
     assert(poly.collect().length == 14) // 7 body values x 2 tags
   }
 
+  // ---- TopN over pushed aggregates (ordered composite sources) -------------
+
+  test("TopN over a pushed aggregate rides ordered composite sources, early-terminated") {
+    val s2 = StructType(Seq(StructField("seg", StringType),
+      StructField("cat", StringType), StructField("v", LongType)))
+    val rs: Seq[Array[Any]] = (0L until 120L).map { i =>
+      Array[Any](
+        if (i % 3 == 0) "A" else if (i % 3 == 1) "B" else null,
+        if (i % 2 == 0) "x" else "y",
+        if (i % 10 == 9) null else i)
+    }
+    LoopbackRestServer.register("aggtopn1", s2, rs)
+    val base = LoopbackRestServer.ensureStarted()
+    EsEndpoints.register(EsEndpoint("estest", "aggtopn1", s2,
+      EsEndpointSpec(base, "aggtopn1", HttpRestConfig(retryBackoffMs = 5),
+        compositePageSize = 2)))
+    SourceRegistry.ensureCatalog(spark)
+    val served0 = LoopbackRestServer.served.get()
+    // 6 groups; window = top 2 by (seg DESC NULLS LAST, cat ASC)
+    val df = spark.table(s"${SourceRegistry.CatalogName}.estest.aggtopn1")
+      .groupBy("seg", "cat").agg(count(lit(1)).as("n"))
+      .orderBy(col("seg").desc, col("cat"))
+      .limit(2)
+    val wantCounts = rs.groupBy(r => (r(0), r(1))).view.mapValues(_.size.toLong)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("B", "x", wantCounts(("B", "x"))),
+      ("B", "y", wantCounts(("B", "y")))), got.mkString(", "))
+    // sources stream in the REQUESTED order and the window fits one page:
+    // exactly ONE composite request, not an exhaustive after_key walk
+    assert(LoopbackRestServer.served.get() - served0 == 1,
+      "a window that fits one page must stop the cursor")
+    val body = LoopbackRestServer.lastBody.get()
+    assert(body.contains("\"order\":\"desc\"") &&
+      body.contains("\"missing_order\":\"last\""), body)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"the grouped window must not resurrect an engine aggregate:\n$plan")
+  }
+
+  test("a single-key ordered grouped window routes through the composite") {
+    val t = table("aggtopn2")
+    val df = spark.table(t).groupBy("seg").agg(count(lit(1)).as("n"))
+      .orderBy(col("seg")) // ASC NULLS FIRST: the null group leads
+      .limit(2)
+    val want = rows.groupBy(_(1)).view.mapValues(_.size.toLong)
+    val got = df.collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+    assert(got.toSeq == Seq((None, want(null)), (Some("A"), want("A"))),
+      got.mkString(", "))
+    val body = LoopbackRestServer.lastBody.get()
+    assert(body.contains("\"composite\"") &&
+      body.contains("\"missing_order\":\"first\""), body)
+    assert(!df.queryExecution.executedPlan.toString.contains("HashAggregate"))
+  }
+
+  test("a sort on the aggregate OUTPUT declines (approximate terms order refused)") {
+    val t = table("aggtopn3")
+    val df = spark.table(t).groupBy("seg").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).limit(1)
+    val want = rows.groupBy(_(1)).view.mapValues(_.size.toLong).values.max
+    assert(df.collect().head.getLong(1) == want)
+    // the unordered terms body served it; no order ever reached the wire
+    assert(!LoopbackRestServer.lastBody.get().contains("\"order\""),
+      LoopbackRestServer.lastBody.get())
+  }
+
+  test("runtime group-key pruning shuts off under a pushed grouped window") {
+    val t = table("aggtopn4")
+    val dim = spark.range(0, 3).filter(col("id") === 0L)
+      .select(when(col("id") === 0L, "B").otherwise("Z").as("dseg"))
+    // the true top-1 group by seg ASC NULLS FIRST is the NULL group,
+    // which the equi-join then drops — nothing joins. A runtime seg
+    // filter below the window would window the FILTERED set, admit
+    // group B, and wrongly answer one row.
+    val win = spark.table(t).groupBy("seg").agg(count(lit(1)).as("n"))
+      .orderBy(col("seg")).limit(1)
+    val df = win.join(broadcast(dim), col("seg") === col("dseg"))
+    assert(df.collect().isEmpty,
+      "the true top-1 group is NULL — nothing may join through")
+    assert(!LoopbackRestServer.lastBody.get().contains("\"seg\":[\"B\"]"),
+      s"no runtime terms may reach a sorted grouped scan: ${LoopbackRestServer.lastBody.get()}")
+  }
+
   // ---- runtime semi-join reduction (dynamic filtering) ---------------------
 
   test("a broadcast dim join ships the build-side keys as a runtime terms filter") {
