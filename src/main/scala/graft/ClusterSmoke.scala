@@ -56,6 +56,15 @@ object ClusterSmoke {
     "q_src_es_agg_multi", "q_src_cql_agg", "q_src_ds_agg",
     "q_src_mongo_skip", "q_audio_fp_neardup", "q_video_phash_neardup",
     "q_text_hybrid_rrf", "q_ann_ivf_incremental",
+    // r15: the ordered-window matrix across real JVM boundaries — BQ
+    // joined statements paged from executor readers, Mongo outer
+    // $lookup, runtime reducers on CQL/BT, the Datastore fully-delegated
+    // window, the CQL single-partition ORDER BY, the BigTable reversed
+    // scan, and the ES early-terminated ordered composite
+    "q_src_join_bq", "q_src_join_bq_topn", "q_src_join_lookup_left",
+    "q_src_cql_dynfilter", "q_src_bt_dynfilter", "q_src_bq_dynfilter",
+    "q_src_ds_window", "q_src_cql_topn", "q_src_bt_topn",
+    "q_src_es_topn", "q_src_es_agg_topn",
     // scale family
     "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_incremental",
     "q_kmeans", "q_curation_domain_cap", "q_text_bpe_encode",
