@@ -72,7 +72,12 @@ import org.apache.spark.sql.SparkSession
   *     `regressions_suite_flagged` and the isolated medians in
   *     `regressions_adjudication` (a failed re-measure keeps the flag —
   *     adjudication exonerates, never hides). Disable with
-  *     SPARK_GRAFT_BENCH_ADJUDICATE=0; bounded at 8 children per run.
+  *     SPARK_GRAFT_BENCH_ADJUDICATE=0; child budget
+  *     SPARK_GRAFT_BENCH_ADJUDICATE_MAX (default 8). Flags beyond the
+  *     budget are NEVER confirmed by silence: they report under
+  *     `regressions_unadjudicated`, keeping `regressions` strictly
+  *     adjudicated (a noisy run can flag dozens — capped-out entries
+  *     masquerading as confirmed was the round-15 phantom class).
   *   - `loaded_run` is true when `loadavg_start` exceeds
   *     SPARK_GRAFT_BENCH_MAX_LOADAVG (default 4.0) — the direct
   *     machine-state gate beside the inferred spread gate, so a loaded
@@ -624,7 +629,7 @@ object Bench {
     // Bounded at 8 children per run (systemic load trips the spread
     // refusal long before 8 genuine regressions appear in one round).
     val isolatedMap = isolated.toMap
-    val (regressJson, suiteFlaggedJson, adjudicationJson, prevTotalJson) =
+    val (regressJson, unadjJson, suiteFlaggedJson, adjudicationJson, prevTotalJson) =
       try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(new java.io.File(prevPath))
@@ -639,25 +644,40 @@ object Bench {
         }.toSeq
         val adjudicate = only.isEmpty && isoEnabled &&
           sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJUDICATE", "1") == "1"
+        // child-JVM budget for adjudication (a systemically loaded run
+        // trips the spread refusal long before this many genuine
+        // regressions appear in one round, but a noisy run CAN flag
+        // more — capped-out entries must not masquerade as confirmed)
+        val adjMax = sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_ADJUDICATE_MAX", "8").toInt
+        // iso semantics: >0 measured; −1 = measure attempted and FAILED
+        // (kept conservatively as a confirmed flag — adjudication may
+        // only exonerate, never hide); −2 = beyond the child budget,
+        // NEVER measured — reported separately as unadjudicated, not
+        // as a confirmed regression (the round-15 phantom class).
         val adjudicated: Seq[(String, Double, Double, Double)] =
-          flagged.sortBy(-_._2).take(8).map { case (k, r, p) =>
+          flagged.sortBy(-_._2).take(adjMax).map { case (k, r, p) =>
             val iso =
               if (!adjudicate) -1.0
               else isolatedMap.getOrElse(k, isoMeasure(k))
             (k, r, p, iso)
-          } ++ flagged.sortBy(-_._2).drop(8).map { case (k, r, p) => (k, r, p, -1.0) }
+          } ++ flagged.sortBy(-_._2).drop(adjMax).map { case (k, r, p) =>
+            (k, r, p, -2.0)
+          }
         val confirmed = adjudicated.filter { case (_, _, p, iso) =>
-          iso <= 0 || (iso / p > 1.25 && iso - p > 0.15) // −1 = keep (conservative)
+          iso == -1.0 || (iso > 0 && iso / p > 1.25 && iso - p > 0.15)
         }
+        val unadjudicated = adjudicated.filter(_._4 == -2.0)
         def m(xs: Seq[(String, Double)]) =
           xs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-        (m(confirmed.map { case (k, _, p, iso) =>
-            k -> (if (iso > 0) math.round(iso / p * 100) / 100.0
-                  else adjudicated.find(_._1 == k).get._2) }),
+        (m(confirmed.map { case (k, r, p, iso) =>
+            k -> (if (iso > 0) math.round(iso / p * 100) / 100.0 else r) }),
+          m(unadjudicated.map { case (k, r, _, _) => k -> r }),
           m(flagged.map { case (k, r, _) => k -> r }),
           m(adjudicated.collect { case (k, _, _, iso) if iso > 0 => k -> iso }),
           Option(node.get("value")).map(_.asDouble.toString).getOrElse("null"))
-      } catch { case _: Exception => ("null", "null", "null", "null") }
+      } catch { case _: Exception =>
+        ("null", "null", "null", "null", "null") }
     val loadavgEnd =
       ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     // direct machine-state evidence beside the inferred spread gate: a
@@ -670,7 +690,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOADAVG", "4.0").toDouble
     val loadedRun = loadavgStart > maxLoadavg
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"fast_reps":$fastReps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"spread_untrimmed_pct":$spreadUntrimmedJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"warnings":$warnJson,"loadavg_start":$loadavgStart,"loadavg_end":$loadavgEnd,"sf":"$sfDir","isolated":$isoJson,"isolated_over_suite_ratio":$isoRatio,"iso_threshold_sec":$isoThreshold,"spread_ceiling_pct":$spreadCeiling,"spread_floor_sec":$spreadFloorSec,"spread_violation_allowance":$violationAllowance,"spread_violations":$violJson,"rejected_for_load":$rejected,"loaded_run":$loadedRun,"max_loadavg":$maxLoadavg,"prev_total":$prevTotalJson,"regressions":$regressJson,"regressions_suite_flagged":$suiteFlaggedJson,"regressions_adjudication":$adjudicationJson,"sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"fast_reps":$fastReps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"spread_untrimmed_pct":$spreadUntrimmedJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"warnings":$warnJson,"loadavg_start":$loadavgStart,"loadavg_end":$loadavgEnd,"sf":"$sfDir","isolated":$isoJson,"isolated_over_suite_ratio":$isoRatio,"iso_threshold_sec":$isoThreshold,"spread_ceiling_pct":$spreadCeiling,"spread_floor_sec":$spreadFloorSec,"spread_violation_allowance":$violationAllowance,"spread_violations":$violJson,"rejected_for_load":$rejected,"loaded_run":$loadedRun,"max_loadavg":$maxLoadavg,"prev_total":$prevTotalJson,"regressions":$regressJson,"regressions_unadjudicated":$unadjJson,"regressions_suite_flagged":$suiteFlaggedJson,"regressions_adjudication":$adjudicationJson,"sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
     println(line)
     // truncation-proof copy: the stdout line is captured by a consumer that
     // has historically kept only a prefix; the file keeps every number.
