@@ -648,8 +648,11 @@ object Bench {
         // trips the spread refusal long before this many genuine
         // regressions appear in one round, but a noisy run CAN flag
         // more — capped-out entries must not masquerade as confirmed)
-        val adjMax = sys.env.getOrElse(
-          "SPARK_GRAFT_BENCH_ADJUDICATE_MAX", "8").toInt
+        // toIntOption: a typo'd budget must fall back to the default, not
+        // collapse all five regression fields to null via the enclosing
+        // catch (ADVICE r15)
+        val adjMax = sys.env.get("SPARK_GRAFT_BENCH_ADJUDICATE_MAX")
+          .flatMap(_.toIntOption).getOrElse(8)
         // iso semantics: >0 measured; −1 = measure attempted and FAILED
         // (kept conservatively as a confirmed flag — adjudication may
         // only exonerate, never hide); −2 = beyond the child budget,

@@ -26,27 +26,29 @@ import org.apache.spark.storage.StorageLevel
   * `Window.partitionBy` / SQL GROUP BY semantics (the offset join is
   * null-safe).
   *
-  * Cache lifecycle: the range-partitioned input must be persisted so pass 2
+  * Cache lifecycle: the range-partitioned input must be pinned so pass 2
   * sees the exact partition ids pass 1's subtotals were keyed by (a
-  * recomputation would re-sample the range bounds). To avoid leaking that
-  * corpus-sized cache for the rest of the session, the result is
-  * materialized eagerly (localCheckpoint cuts the lineage) and the input
-  * cache is released before returning; the checkpoint blocks themselves are
-  * freed by the ContextCleaner once the returned frame becomes unreachable.
-  * On a real cluster, point `sparkContext.setCheckpointDir` at reliable
-  * storage and swap `localCheckpoint` for `checkpoint` if executor loss
-  * during the downstream consumption must be survivable.
+  * recomputation would re-sample the range bounds). The input is
+  * localCheckpoint-ed eagerly — one materialization serves both passes,
+  * lineage is cut, and the blocks are freed by the ContextCleaner once the
+  * returned frame becomes unreachable (r16: the earlier shape persisted the
+  * input AND checkpointed the result, a second corpus-sized write+read per
+  * call purely to release the cache handle). On a real cluster, point
+  * `sparkContext.setCheckpointDir` at reliable storage and swap
+  * `localCheckpoint` for `checkpoint` if executor loss during the
+  * downstream consumption must be survivable.
   */
 object GroupedPrefixSum {
 
   /** Adds `out` = running sum of `value` within `group` ordered by `order`
-    * (inclusive of the current row). Eager by default: the result is
-    * materialized before returning so the input cache can be released (see
-    * cache-lifecycle note above). `eager = false` is for PLAN INSPECTION
-    * ONLY (tests asserting the two-pass shape, which a checkpoint scan
-    * hides): the internally persisted range-partitioned input has no
-    * exposed handle and stays cached until the session's next
-    * clearCache — production callers must use the eager default. */
+    * (inclusive of the current row). Eager by default: the range-
+    * partitioned INPUT is checkpointed before returning (see cache-
+    * lifecycle note above); the returned join+window evaluates lazily over
+    * those fixed blocks. `eager = false` is for PLAN INSPECTION ONLY
+    * (tests asserting the two-pass shape, which a checkpoint scan hides):
+    * the internally persisted range-partitioned input has no exposed
+    * handle and stays cached until the session's next clearCache —
+    * production callers must use the eager default. */
   def runningSum(
       df: DataFrame,
       group: Seq[String],
@@ -61,11 +63,24 @@ object GroupedPrefixSum {
     val s = df.sparkSession
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val sortCols = group.map(col) ++ order
-    val ranged = df
+    val ranged0 = df
       .repartitionByRange(nPart, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_v", value)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE materialization (r16, guide §2.4/§5): the eager path pins the
+    // sampled range partitioning by localCheckpoint-ing the INPUT — pass 1
+    // (the subtotal collect) and pass 2 (the returned join+window) both
+    // read the same fixed _pid blocks, lineage is cut, and there is no
+    // corpus-sized cache handle to leak (blocks are freed by the
+    // ContextCleaner once the returned frame becomes unreachable). The
+    // pre-r16 shape persisted `ranged` AND localCheckpoint-ed the RESULT —
+    // a second corpus-sized write+read per call whose only purpose was
+    // releasing that cache before returning; with the checkpoint at the
+    // input there is nothing to release. The lazy (plan-inspection) path
+    // keeps the persist so the two-pass plan stays visible.
+    val ranged =
+      if (eager) ranged0.localCheckpoint(true)
+      else ranged0.persist(StorageLevel.MEMORY_AND_DISK)
     // pass 1: per-(partition, group) subtotals. BOUND: this collect is
     // O(partitions × groups-touching-a-partition-boundary) rows — with
     // range partitioning on (group, order) a group spans ≥2 partitions
@@ -113,15 +128,9 @@ object GroupedPrefixSum {
     val wLocal = Window.partitionBy(("_pid" +: group).map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val result = ranged.join(broadcast(offDf), joinCond)
+    ranged.join(broadcast(offDf), joinCond)
       .withColumn(out, col("_off") + sum(col("_v")).over(wLocal))
       .drop("_opid" +: group.indices.map(i => s"_g$i"): _*)
       .drop("_pid", "_v", "_off")
-    if (!eager) result
-    else {
-      val materialized = result.localCheckpoint(true)
-      ranged.unpersist(false)
-      materialized
-    }
   }
 }

@@ -117,6 +117,29 @@ object Curation {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
+  /** Shared-hash pair counts for the overlap matrices: per hash, the
+    * (distinct) source set is collected into one sorted array and every
+    * ordered pair (a < b) explodes from it — counting per pair then equals
+    * "number of distinct hashes both sources contain", exactly what the
+    * old hs⨝hs self-join on h counted, in ONE corpus shuffle instead of
+    * two join shuffles plus their sorts (r16, guide §2.4). Per-group state
+    * is bounded by the source-domain size. `dedup = false` skips the
+    * in-aggregate set dedup when the input is already (source, h)
+    * distinct. */
+  private def sourcePairCounts(sh: DataFrame, dedup: Boolean): DataFrame =
+    sh.groupBy(col("h"))
+      .agg((if (dedup) sort_array(collect_set(col("source")))
+            else sort_array(collect_list(col("source")))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (sa, i) ->
+          |  transform(slice(ss, i + 2, size(ss)),
+          |    sb -> struct(sa AS source_a, sb AS source_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+
   /** The redaction engine as a reusable column transform: count hits per
     * pattern family and rewrite the text with every family masked. */
   private[graft] def redact(text: Column): (Column, Column, Column, Column) = {
@@ -842,15 +865,19 @@ object Curation {
          |HAVING count(*) >= 5
          |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
       HashFunctions.ensure(s)
-      val hs = docs(s, d)
-        .select(col("source"),
-          explode(HashFunctions.shingle_hashes(col("text"), 3)).as("h"))
-        .distinct()
-      hs.toDF("source_a", "h")
-        .join(hs.toDF("source_b", "hb"),
-          col("h") === col("hb") && col("source_a") < col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(count(lit(1)).as("n_shared"))
+      // GROUP-PAIRS instead of a self-join (r16, guide §2.4): the old
+      // shape shuffled the distinct (source, h) frame TWICE into a
+      // sort-merge self-join on h; one groupBy(h) with a map-side-combined
+      // collect_set builds each hash's source set in a single corpus
+      // shuffle, and the ordered pairs explode from the sorted set —
+      // bounded by the source-domain size (the matrix is sources² by
+      // construction), so the per-group state is metadata at any scale.
+      // Identical output: a pair (a < b) is emitted once per shared hash
+      // either way.
+      sourcePairCounts(
+        docs(s, d).select(col("source"),
+          explode(HashFunctions.shingle_hashes(col("text"), 3)).as("h")),
+        dedup = true)
         .filter(col("n_shared") >= 5)
         .orderBy("source_a", "source_b")
     },
@@ -904,12 +931,11 @@ object Curation {
           explode(HashFunctions.shingle_hashes(col("text"), 3)).as("h"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // exact matrix (the reference answer both engines value-compare)
-      val exact = hs.toDF("source_a", "h")
-        .join(hs.toDF("source_b", "hb"),
-          col("h") === col("hb") && col("source_a") < col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(count(lit(1)).as("n_shared"))
+      // exact matrix (the reference answer both engines value-compare) —
+      // group-pairs off the persisted distinct frame (r16): one shuffle
+      // by h + the bounded pair explode, not a two-shuffle self-join (see
+      // sourcePairCounts; input already distinct, so no in-agg dedup)
+      val exact = sourcePairCounts(hs, dedup = false)
         .filter(col("n_shared") >= 5)
       // bottom-K KMV sketch per source + its theta
       val sk = graft.operators.GroupedTopN

@@ -78,10 +78,16 @@ object Graph {
         .select(col("o_orderkey"), col("o_custkey"))
       val li = Tables.load(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
+      // Persisted once (r16): the deduped pair list feeds FOUR consumers —
+      // the degree aggregation, both union arms of the edge list, and
+      // (transitively) the node table. Unpersisted, Catalyst re-executed
+      // the orders⨝lineitem⨝distinct subtree for each consumer because
+      // union arms and separate actions do not share plan fragments.
       val pairs = orders
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK) // released by the harness clearCache
       val e = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -89,7 +95,11 @@ object Graph {
       // (repartition before persist), so every round's rank join reuses
       // the cached hash(src) partitioning — the big edge side never
       // re-shuffles; only the node-sized rank table moves per round.
-      val ed = e.join(deg, "src")
+      // The degree attach is hinted SHUFFLE_HASH (guide §3.1): deg is
+      // node-sized (far smaller per partition than the edge stream), and
+      // a sort-merge join would sort the edge list for no benefit — the
+      // repartition right after establishes the layout anyway.
+      val ed = e.join(deg.hint("shuffle_hash"), "src")
         .repartition(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK) // 8 rank joins; released by the harness clearCache
       val nodes = deg.select(col("src").as("node"))
@@ -111,12 +121,20 @@ object Graph {
       s.conf.set("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_PR_PARTS", "8"))
       val finalRanks = try {
+        // Both per-round joins are hinted SHUFFLE_HASH (guide §3.1): the
+        // build sides (the rank table, the contribution aggregate) are
+        // node-sized, so a per-partition hash table always fits, while the
+        // default sort-merge join re-SORTED the cached edge partitions
+        // every round (the cache preserves hash(src) partitioning but not
+        // order) — 8 corpus-sized sorts bought nothing. Results identical;
+        // at 100× the rank table still never leaves the cluster.
         def round(r: org.apache.spark.sql.DataFrame) = {
           val contrib = ed
-            .join(r.withColumnRenamed("node", "src"), Seq("src"))
+            .join(r.withColumnRenamed("node", "src").hint("shuffle_hash"),
+              Seq("src"))
             .select(col("dst").as("node"), expr("r DIV deg").as("c"))
             .groupBy("node").agg(sum("c").as("s"))
-          nodes.join(contrib, Seq("node"), "left")
+          nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
             .select(col("node"),
               (lit(PrBase) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100"))
                 .as("r"))

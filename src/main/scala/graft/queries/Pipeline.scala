@@ -77,7 +77,15 @@ object Pipeline {
       val fixed = graft.functions.HashFunctions.fix_text(
         when(col("doc_id") % 2 === 0, mangled).otherwise(suffixed))
         .getField("fixed")
-      val docs = Tables.load(s, d, "documents").withColumn("text", fixed)
+      // repaired corpus persisted (r16, guide §5): THREE consumers read it
+      // — the LSH signature pass, the CC node list, and the quality
+      // features — so unpersisted the encode→mangle→fix_text→NFC repair
+      // (the most expensive per-row projection in this pipeline) ran three
+      // times; released by the harness clearCache. Only the columns the
+      // consumers need are cached.
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), fixed.as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // cluster representatives: min doc_id of each near-dup family
       val reps = Dedup.connectedComponents(docs, Dedup.lshPairsFor(s, docs))
         .filter(col("doc_id") === col("cluster_id"))

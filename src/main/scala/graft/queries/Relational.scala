@@ -336,14 +336,20 @@ object Relational {
           expr("(t % 100) DIV 25").as("m"))
         .withColumn("k_hi",
           col("k_lo") + when(col("m") > 0, 1L).otherwise(0L))
-      def probe(k: String, out: String): DataFrame =
-        cum.join(broadcast(ranks),
-          col("g") === col("rg") &&
-            col(k) >= col("prev") && col(k) < col("cum"))
-          .select(col("g"), col("q"), col("n"), col("m"),
-            col("v").as(out))
-      probe("k_lo", "v_lo")
-        .join(probe("k_hi", "v_hi").select("g", "q", "v_hi"), Seq("g", "q"))
+      // ONE probe pass (r16): both rank probes (k_lo, k_hi) ride a single
+      // broadcast join over the rank-range table — the earlier shape ran
+      // the join twice (two full passes over the |distinct (g, v)| table)
+      // and joined the two results back. A row matches when EITHER probe
+      // lands in its [prev, cum) range; the conditional max per (g, q)
+      // reassembles v_lo/v_hi (when k_lo = k_hi, m = 0 and one row serves
+      // both). Same broadcast-ranks, same exact-integer interpolation.
+      def hit(k: String): Column =
+        col(k) >= col("prev") && col(k) < col("cum")
+      cum.join(broadcast(ranks),
+          col("g") === col("rg") && (hit("k_lo") || hit("k_hi")))
+        .groupBy(col("g"), col("q"), col("n"), col("m"))
+        .agg(max(when(hit("k_lo"), col("v"))).as("v_lo"),
+          max(when(hit("k_hi"), col("v"))).as("v_hi"))
         .select(col("g"), col("n"), col("q"),
           (lit(4L) * col("v_lo") + col("m") * (col("v_hi") - col("v_lo")))
             .as("p_qc"))
@@ -489,17 +495,17 @@ object Relational {
           |ORDER BY c_custkey""".stripMargin)
     },
 
-    // One-pass table profiling — the ANALYZE/data-quality scan run before
-    // trusting a new 100 TB drop: per-column non-null count, null count,
-    // EXACT distinct count, min/max (rendered per type family AFTER the
+    // Table profiling — the ANALYZE/data-quality scan run before trusting
+    // a new 100 TB drop: per-column non-null count, null count, EXACT
+    // distinct count, min/max (rendered per type family AFTER the
     // aggregate, so numeric ordering is never string ordering), and total
-    // rendered length. ONE aggregate job over one scan: Spark plans the
-    // multi-column COUNT(DISTINCT) set as a single Expand (one row per
-    // distinct-aggregate group) feeding one partial+final hash aggregate —
-    // a fixed small multiple of one pass, vs one job per column for naive
-    // per-column ANALYZE. At petabyte scale the same shape swaps
-    // count_distinct for approx_count_distinct per column with no layout
-    // change (the q_cardinality tolerance-gate pattern).
+    // rendered length. Plain aggregates ride ONE pass; the five exact
+    // COUNT(DISTINCT)s run as five single-column two-stage aggregates
+    // overlapped on a small driver pool (r16 — the one-agg shape's 6-way
+    // Expand was 85% of the query, see the builder comment). At petabyte
+    // scale the same layout swaps count_distinct for
+    // approx_count_distinct, which folds back into the single pass (the
+    // q_cardinality tolerance-gate pattern).
     GQuery(
       "q_profile_stats", {
         def duck(c: String, render: String => String, lenExpr: String) =
@@ -531,17 +537,40 @@ object Relational {
       def rendered(e: Column, c: String): Column =
         if (c == "l_shipdate") date_format(e, "yyyy-MM-dd HH:mm:ss")
         else e.cast("string")
+      // EXACT distinct counts as five SINGLE-column two-stage aggregates
+      // overlapped on a small driver pool (r16, guide §2.6), instead of
+      // folding all five COUNT(DISTINCT)s into the one agg: that shape
+      // planned a 6-way Expand whose partial hash aggregate dragged every
+      // plain-agg buffer through each expanded group — measured 10.1 s at
+      // sf0.1 vs 1.8 s for the plain aggs alone; the five per-column
+      // aggregates (0.5 s overlapped) are partial-aggregated map-side
+      // over column-pruned scans, so nothing but distinct values
+      // shuffles. Five driver scalars, same exact values. At petabyte
+      // scale the documented swap to approx_count_distinct folds back
+      // into the single pass with no layout change.
+      val nd: Map[String, Long] = {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        try {
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          cols.map(c => c -> Future(
+              li(s, d).agg(countDistinct(col(c))).first().getLong(0)))
+            .map { case (c, f) => c -> Await.result(f, Duration.Inf) }
+            .toMap
+        } finally pool.shutdown()
+      }
       val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
         Seq(
           count(col(c)).as(s"nn_$c"),
-          countDistinct(col(c)).as(s"nd_$c"),
           rendered(min(col(c)), c).as(s"min_$c"),
           rendered(max(col(c)), c).as(s"max_$c"),
           sum(length(rendered(col(c), c))).as(s"len_$c"))
       }
       val one = li(s, d).agg(aggs.head, aggs.tail: _*)
       val stacked = cols
-        .map(c => s"'$c', nn_$c, nd_$c, min_$c, max_$c, len_$c")
+        .map(c => s"'$c', nn_$c, ${nd(c)}L, min_$c, max_$c, len_$c")
         .mkString(", ")
       one.select(col("n_rows"), expr(s"stack(${cols.size}, $stacked) as " +
           "(col_name, n_nonnull, n_distinct, min_v, max_v, total_len)"))
@@ -686,6 +715,11 @@ object Relational {
       val base = li(s, d)
         .select(col("l_partkey").as("a"), col("l_suppkey").as("b"),
           col("l_orderkey"), col("l_linenumber"))
+        // persisted (r16, guide §5): THREE consumers read this projection
+        // — the metadata job below and each layout arm's range shuffle —
+        // so unpersisted the parquet scan ran three times; released by
+        // the harness clearCache
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // one metadata job: row count (for the NTILE fill rule) + per-dim
       // maxima (for the grid normalization)
       val meta = base.agg(count(lit(1)), max("a"), max("b")).collect().head

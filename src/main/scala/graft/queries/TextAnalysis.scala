@@ -93,7 +93,12 @@ object TextAnalysis {
     import org.apache.spark.storage.StorageLevel
     val wl = filter(tokens(col("text")),
       w => w.rlike("^[a-z]+$") && length(w) <= 20)
+    // tokenized corpus persisted (r16): the vocabulary scalar and the
+    // bigram table both consume `t` — unpersisted, the regex tokenize ran
+    // twice over the corpus (the bm25ScoreMicro discipline, guide §2.4:
+    // don't recompute what two consumers share)
     val t = docs(s, d).select(col("doc_id"), wl.as("wl"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // released by the harness clearCache
     val k = t.filter(size(col("wl")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(wl) - 1), i -> struct(wl[i-1] AS w1, wl[i] AS w2))"))
@@ -106,10 +111,17 @@ object TextAnalysis {
     // V is one scalar of driver metadata (the vocabulary size)
     val vocabN = t.select(explode(col("wl")).as("w"))
       .agg(countDistinct(col("w"))).first().getLong(0)
-    k.join(cbg, Seq("w1", "w2")).join(cl, Seq("w1"))
-      .select(col("doc_id"), col("k"),
+    // model in BIGRAM space (r16, guide §2.3): m is a function of
+    // (w1, w2) alone, so the cbg⨝cl join runs over the distinct-bigram
+    // table and the doc-level k stream pays ONE (w1, w2) join instead of
+    // two (the old shape joined the doc-level stream by (w1, w2) and then
+    // re-shuffled that whole stream again by w1). m per bigram is the
+    // identical expression over identical inputs — scores unchanged.
+    val model = cbg.join(cl, Seq("w1"))
+      .select(col("w1"), col("w2"),
         round(lit(1000d) * log((col("cbg") + lit(1)).cast("double")
           / (col("cl") + lit(vocabN)).cast("double"))).cast("long").as("m"))
+    k.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(sum("k").cast("long").as("bigrams"),
         sum(col("m") * col("k")).cast("long").as("score_millinats"))
@@ -871,13 +883,17 @@ object TextAnalysis {
       val cnt = scored.groupBy("score_millinats").agg(count(lit(1)).as("c"))
       val cum = graft.operators.GroupedPrefixSum.runningSum(
         cnt, Seq.empty, Seq(col("score_millinats")), col("c"), "cum")
-      // n and the two thresholds are driver metadata (three scalars)
+      // n and the two thresholds are driver metadata (three scalars).
+      // r16: both thresholds probe in ONE job — two conditional mins over
+      // the same (checkpointed, score-distinct-sized) CDF instead of two
+      // separate filtered-agg jobs with identical scans.
       val n = cnt.agg(sum("c")).first().getLong(0)
-      def thresholdAt(target: Long): Long = cum
-        .filter(col("cum") >= target)
-        .agg(min("score_millinats")).first().getLong(0)
-      val lo = thresholdAt((n + 9) / 10)
-      val hi = thresholdAt((9 * n + 9) / 10)
+      val (loT, hiT) = ((n + 9) / 10, (9 * n + 9) / 10)
+      val thr = cum.agg(
+        min(when(col("cum") >= loT, col("score_millinats"))).as("lo"),
+        min(when(col("cum") >= hiT, col("score_millinats"))).as("hi")).first()
+      val lo = thr.getLong(0)
+      val hi = thr.getLong(1)
       scored.filter(col("score_millinats") >= lo && col("score_millinats") <= hi)
         .orderBy("doc_id")
     },
@@ -940,9 +956,12 @@ object TextAnalysis {
       import org.apache.spark.storage.StorageLevel
       val wl = filter(tokens(col("text")),
         w => w.rlike("^[a-z]+$") && length(w) <= 20)
+      // tokenized corpus persisted (r16): the vocab-pair scalar pass and
+      // the bigram table both consume `t` — see lmScores
       val t = docs(s, d).select(col("doc_id"),
         col("source").isin(DsirTargetSources: _*).cast("long").as("tgt"),
         wl.as("wl"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // released by the harness clearCache
       val k = t.filter(size(col("wl")) >= 2)
         .select(col("doc_id"), col("tgt"), explode(expr(
           "transform(sequence(1, size(wl) - 1), i -> struct(wl[i-1] AS w1, wl[i] AS w2))"))
@@ -965,9 +984,18 @@ object TextAnalysis {
         / (coalesce(col("cl_t"), lit(0L)) + lit(vt)).cast("double"))).cast("long")
       val mR = round(lit(1000d) * log((col("cbg_r") + lit(1)).cast("double")
         / (col("cl_r") + lit(vr)).cast("double"))).cast("long")
-      k.join(cbr, Seq("w1", "w2")).join(clr, Seq("w1"))
+      // model delta in BIGRAM space (r16, guide §2.3): the four model
+      // joins run over the distinct-bigram table (cbr anchors — it covers
+      // every bigram k contains, so the final inner join is lossless);
+      // the doc-level k stream then pays ONE (w1, w2) join instead of
+      // four shuffles (two of them re-keying the whole doc-level stream
+      // by w1). m per bigram is the identical expression — weights
+      // unchanged.
+      val model = cbr.join(clr, Seq("w1"))
         .join(cbt, Seq("w1", "w2"), "left").join(clt, Seq("w1"), "left")
-        .select(col("doc_id"), col("tgt"), col("k"), (mT - mR).as("m"))
+        .select(col("w1"), col("w2"), (mT - mR).as("m"))
+      k.join(model, Seq("w1", "w2"))
+        .select(col("doc_id"), col("tgt"), col("k"), col("m"))
         .groupBy("doc_id", "tgt")
         .agg(sum("k").cast("long").as("bigrams"),
           sum(col("m") * col("k")).cast("long").as("w_millinats"))

@@ -33,6 +33,26 @@ object VectorOps {
   private val E9 = 1000000000.0
 
   private val Dim = 64
+
+  /** Upper-triangle pair enumeration: 0-based linear position over
+    * i = 1..dim, j = i..dim — EXACTLY the order [[PairProductsSql]]'s
+    * flattened array emits, so a collected (pos → sum) row decodes to its
+    * (i, j) cell on the driver without shipping i/j through the shuffle.
+    * Pinned against the SQL flattening order by VectorMomentSpec. */
+  private[graft] def pairIndex(dim: Int): IndexedSeq[(Int, Int)] =
+    (1 to dim).flatMap(i => (i to dim).map(j => (i, j)))
+
+  /** Flattened upper-triangle products of the quantized vector `q` —
+    * ARRAY<BIGINT> of size D(D+1)/2 in [[pairIndex]] order. r16: the
+    * earlier shape exploded an array of (i, j, p) STRUCTS, allocating
+    * three fields per element (~6× the bytes) purely to carry indices
+    * that are a function of the position; positions are exploded instead
+    * and decoded via [[pairIndex]] (driver) or a broadcast lookup
+    * (distributed). The embeddings contract is fixed D = 64 (all scale
+    * factors; the driver-side moment arrays already assumed it). */
+  private[graft] val PairProductsSql: String =
+    "flatten(transform(sequence(1, size(q)), i -> " +
+      "transform(sequence(i, size(q)), j -> q[i-1] * q[j-1])))"
   private val PcaIters = 12
   private val PcaQ = 1000L      // fixed-point quantizer for the PCA pass
   private val PcaScale = 1000000L // per-step magnitude rescale target
@@ -301,14 +321,18 @@ object VectorOps {
         .select(transform(col("embedding").cast("array<double>"),
           x => floor(x * lit(1000000d) + lit(0.5)).cast("long")).as("q"))
         .persist(StorageLevel.MEMORY_AND_DISK) // two moment passes; released by the harness clearCache
+      // struct-free moment pass (r16, see PairProductsSql): positions
+      // aggregate (partial+final, map-side combined exactly as before)
+      // and the (i, j) labels re-attach from a D(D+1)/2-row broadcast
+      val ij = s.createDataFrame(
+        pairIndex(Dim).zipWithIndex
+          .map { case ((i, j), k) => (k, i.toLong, j.toLong) })
+        .toDF("pos", "i", "j")
       val g = q
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(q)), i ->
-            |  transform(sequence(i, size(q)), j ->
-            |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-            |           q[i-1] * q[j-1] AS p))))""".stripMargin)).as("e"))
-        .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-        .agg(count(lit(1)).as("n"), sum(col("e.p")).as("sum_qq"))
+        .select(posexplode(expr(PairProductsSql)).as(Seq("pos", "p")))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_qq"))
+        .join(broadcast(ij), "pos")
       val m = q
         .select(posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy((col("pos") + 1).cast("long").as("i"))
@@ -346,28 +370,31 @@ object VectorOps {
         .select(col("vec_id"), transform(col("embedding").cast("array<double>"),
           x => floor(x * lit(PcaQ.toDouble) + lit(0.5)).cast("long")).as("q"))
         .persist(StorageLevel.MEMORY_AND_DISK) // moments pass + projection pass
-      val n = q.count()
-      val pairRows = q
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(q)), i ->
-            |  transform(sequence(i, size(q)), j ->
-            |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-            |           q[i-1] * q[j-1] AS p))))""".stripMargin)).as("e"))
-        .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-        .agg(sum(col("e.p")).as("s"))
-        .collect() // D(D+1)/2 rows of metadata — the k-means-sums pattern
-      val margRows = q
-        .select(posexplode(col("q")).as(Seq("pos", "v")))
-        .groupBy((col("pos") + 1).cast("long").as("i"))
-        .agg(sum("v").as("s"))
-        .collect() // D rows
+      // ONE moments job (r16): the pair products, the marginals AND a
+      // count marker ride one flattened array — positions [0, P) are the
+      // upper-triangle products, [P, P+D) the elements themselves, and
+      // P+D a constant 1 whose sum is n. Replaces three separate jobs
+      // (count + pair collect + marginal collect) over the same cached
+      // frame; all sums stay exact BIGINT metadata (D(D+1)/2 + D + 1 rows).
+      val P = Dim * (Dim + 1) / 2
+      val momentRows = q
+        .select(posexplode(expr(
+          s"concat($PairProductsSql, q, array(CAST(1 AS BIGINT)))"))
+          .as(Seq("pos", "v")))
+        .groupBy(col("pos")).agg(sum("v").as("s"))
+        .collect() // D(D+1)/2 + D + 1 rows of metadata — the k-means-sums pattern
+      val idx = pairIndex(Dim)
       val sij = Array.ofDim[Long](Dim + 1, Dim + 1)
-      pairRows.foreach { r =>
-        val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
-        sij(i)(j) = r.getLong(2); sij(j)(i) = r.getLong(2)
-      }
       val si = Array.ofDim[Long](Dim + 1)
-      margRows.foreach(r => si(r.getLong(0).toInt) = r.getLong(1))
+      var n = 0L
+      momentRows.foreach { r =>
+        val (pos, sSum) = (r.getInt(0), r.getLong(1))
+        if (pos < P) {
+          val (i, j) = idx(pos)
+          sij(i)(j) = sSum; sij(j)(i) = sSum
+        } else if (pos < P + Dim) si(pos - P + 1) = sSum
+        else n = sSum
+      }
       val craw = Array.tabulate(Dim + 1, Dim + 1) { (i, j) =>
         if (i == 0 || j == 0) 0L else n * sij(i)(j) - si(i) * si(j)
       }
@@ -398,27 +425,25 @@ object VectorOps {
           transform(col("embedding").cast("array<double>"),
             x => floor(x * lit(PcaQ.toDouble) + lit(0.5)).cast("long")).as("q"))
         .persist(StorageLevel.MEMORY_AND_DISK) // moments pass + scoring pass
-      val pairRows = q
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(q)), i ->
-            |  transform(sequence(i, size(q)), j ->
-            |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-            |           q[i-1] * q[j-1] AS p))))""".stripMargin)).as("e"))
-        .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-        .agg(sum(col("e.p")).as("s"))
+      // ONE moments job (r16, the q_embed_pca shape): Gram products at
+      // positions [0, P), the class-weighted sums q[i]·yv at [P, P+D)
+      val P = Dim * (Dim + 1) / 2
+      val momentRows = q
+        .select(posexplode(expr(
+          s"concat($PairProductsSql, transform(q, x -> x * yv))"))
+          .as(Seq("pos", "v")))
+        .groupBy(col("pos")).agg(sum("v").as("s"))
         .collect()
-      val bRows = q
-        .select(posexplode(col("q")).as(Seq("pos", "v")), col("yv"))
-        .groupBy((col("pos") + 1).cast("long").as("i"))
-        .agg(sum(col("v") * col("yv")).as("s"))
-        .collect()
+      val idx = pairIndex(Dim)
       val gram = Array.ofDim[Long](Dim + 1, Dim + 1)
-      pairRows.foreach { r =>
-        val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
-        gram(i)(j) = r.getLong(2); gram(j)(i) = r.getLong(2)
-      }
       val b = Array.ofDim[Long](Dim + 1)
-      bRows.foreach(r => b(r.getLong(0).toInt) = r.getLong(1))
+      momentRows.foreach { r =>
+        val (pos, sSum) = (r.getInt(0), r.getLong(1))
+        if (pos < P) {
+          val (i, j) = idx(pos)
+          gram(i)(j) = sSum; gram(j)(i) = sSum
+        } else b(pos - P + 1) = sSum
+      }
       val w = probeIterate(gram, b, Dim)
       val wLit = typedLit((1 to Dim).map(w): IndexedSeq[Long])
       q.select(col("label"),

@@ -678,6 +678,16 @@ class DsReaderFactory extends PartitionReaderFactory {
     if (p.aggKinds.nonEmpty) return aggReader(p, required, client)
     val conv = CatalystTypeConverters.createToCatalystConverter(required)
     val M = EsDsl.M
+    // LOOPBACK CURSOR CONTRACT (ADVICE r15): each continuation re-sends
+    // the ORIGINAL query body — including any pushed offset/limit — with
+    // only startCursor added, and the loopback interprets the cursor as an
+    // index into the post-offset/post-limit result, so the window is never
+    // double-applied. Real Datastore applies offset AFTER the cursor; a
+    // deployment against the live API must zero the offset and decrement
+    // the limit by rows already received on each continuation. Currently
+    // latent by construction: the wire limit of every pushed window here
+    // is far below the loopback's 300-row batch cap, so a fully-delegated
+    // window never spans a continuation.
     val pages: Iterator[Iterator[JsonNode]] = new Iterator[Iterator[JsonNode]] {
       private var cursor = ""
       private var done = false
