@@ -65,14 +65,13 @@ object Dedup {
     * consecutive chain of their doc_id-sorted members. `rows` must have
     * columns (doc_id, k1, k2) where (k1, k2) is the bucket key. */
   private[graft] def cappedBucketPairs(rows: DataFrame, cap: Int): DataFrame = {
-    // persisted (r16): the cold-bucket arm and the hot-chain arm both
-    // consume the sized bucket table — unpersisted, the bucket-count
-    // window (and the band explode feeding it) executed twice, once per
-    // union arm. Bounded at corpus×bands rows; released by the harness
-    // clearCache like every other index-shaped cache here.
+    // NOT persisted (r16 A/B): both union arms consume the sized bucket
+    // table, but they share the (k1, k2) window's shuffle via Spark's
+    // ReusedExchange — an explicit persist replaced that nearly-free
+    // reuse with a cache materialization and measured 1.10–1.27×
+    // REGRESSIONS on q_dedup_minhash_lsh / q_dedup_simhash; reverted.
     val sized = rows.withColumn("bn",
       count(lit(1)).over(Window.partitionBy("k1", "k2")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val cold = sized.filter(col("bn") <= cap)
     val a = cold.select(col("k1"), col("k2"), col("doc_id").as("doc_a"))
     val b = cold.select(col("k1").as("k1b"), col("k2").as("k2b"),
@@ -157,24 +156,15 @@ object Dedup {
       .filter(col("df") <= MAX_DF).select("h")
     val inv2 = inv.join(rare, "h").persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = inv2.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // GROUP-PAIRS intersection counting (r16, guide §2.4): the old shape
-    // shuffled inv2 TWICE into a sort-merge self-join on h; grouping by h
-    // instead reuses the partitioning the inv⨝rare join already
-    // established (zero new exchange for the groupBy), collects each
-    // hash's doc list — bounded by the MAX_DF cutoff that already gated
-    // the join's blow-up — and explodes exactly the (doc_a < doc_b) pairs
-    // the join produced. The pair stream feeding the (doc_a, doc_b)
-    // aggregate is byte-identical to the join output, so n_inter is
-    // unchanged; two corpus-sized exchanges and both their sorts are gone.
-    val inter = inv2.groupBy("h")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ds, (da, i) ->
-          |  transform(slice(ds, i + 2, size(ds)),
-          |    db -> struct(da AS doc_a, db AS doc_b))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    // SELF-JOIN kept deliberately (r16 A/B): the two join inputs are the
+    // same cached frame, so the sort-merge join's both-side exchanges
+    // collapse into ONE via ReusedExchange — a groupBy(h)+collect_list+
+    // pair-explode rewrite (which wins for the broadcast-joined overlap
+    // matrices, where no exchange reuse can fire) measured 1.23× SLOWER
+    // here: it traded the reused shuffle for an ObjectHashAggregate.
+    val ai = inv2.toDF("h", "doc_a")
+    val bi = inv2.toDF("h2", "doc_b")
+    val inter = ai.join(bi, col("h") === col("h2") && col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
