@@ -259,22 +259,18 @@ object TextAnalysis {
        #FROM d$BpeSteps ORDER BY doc_id""".stripMargin('#')
   }
 
-  /** Trained-merge memo: the rules are deterministic driver metadata per
-    * corpus directory (the testdata is immutable), so the encode gate —
-    * and repeated bench runs — reuse the training gate's result instead
-    * of re-running [[BpeSteps]] argmax rounds. */
-  private val bpeMemo =
-    scala.collection.concurrent.TrieMap
-      .empty[String, Seq[(Long, String, String, String, Long)]]
-
   /** Shared BPE trainer: one corpus pass builds the weighted vocab, then
     * [[BpeSteps]] greedy merge rounds over the vocab table only (pair
     * explode → partial-combined argmax; ONE collected row per round, the
-    * k-means-centroid pattern). Returns the merge rules in order. */
-  private def trainBpe(s: SparkSession, d: String): Seq[(Long, String, String, String, Long)] =
-    bpeMemo.getOrElseUpdate(d, trainBpeUncached(s, d))
-
-  private def trainBpeUncached(s: SparkSession, d: String): Seq[(Long, String, String, String, Long)] = {
+    * k-means-centroid pattern). Returns the merge rules in order.
+    *
+    * Deliberately NOT memoized (r16): an earlier revision cached the
+    * trained rules in a module-level map keyed on the data directory, so
+    * within one bench JVM only the first repetition of q_text_bpe /
+    * q_text_bpe_encode actually trained — the reported median reflected
+    * rule reuse, not the query's cost from the parquet inputs. Every
+    * invocation now retrains; the rules stay driver metadata either way. */
+  private def trainBpe(s: SparkSession, d: String): Seq[(Long, String, String, String, Long)] = {
     import org.apache.spark.storage.StorageLevel
     val vocab = docs(s, d)
       .select(explode(tokens(col("text"))).as("word"))
