@@ -693,17 +693,68 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOADAVG", "4.0").toDouble
     val loadedRun = loadavgStart > maxLoadavg
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"fast_reps":$fastReps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"spread_untrimmed_pct":$spreadUntrimmedJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"warnings":$warnJson,"loadavg_start":$loadavgStart,"loadavg_end":$loadavgEnd,"sf":"$sfDir","isolated":$isoJson,"isolated_over_suite_ratio":$isoRatio,"iso_threshold_sec":$isoThreshold,"spread_ceiling_pct":$spreadCeiling,"spread_floor_sec":$spreadFloorSec,"spread_violation_allowance":$violationAllowance,"spread_violations":$violJson,"rejected_for_load":$rejected,"loaded_run":$loadedRun,"max_loadavg":$maxLoadavg,"prev_total":$prevTotalJson,"regressions":$regressJson,"regressions_unadjudicated":$unadjJson,"regressions_suite_flagged":$suiteFlaggedJson,"regressions_adjudication":$adjudicationJson,"sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"fast_reps":$fastReps,"seed":$seed,"queries":$qs,"spread_pct":$spreadJson,"spread_untrimmed_pct":$spreadUntrimmedJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"inter_query_gc":$interQueryGc,"aqe":$aqe,"errors":$errJson,"n_failed":${errors.size},"warnings":$warnJson,"loadavg_start":$loadavgStart,"loadavg_end":$loadavgEnd,"sf":"$sfDir","cpus":$cpus,"isolated":$isoJson,"isolated_over_suite_ratio":$isoRatio,"iso_threshold_sec":$isoThreshold,"spread_ceiling_pct":$spreadCeiling,"spread_floor_sec":$spreadFloorSec,"spread_violation_allowance":$violationAllowance,"spread_violations":$violJson,"rejected_for_load":$rejected,"loaded_run":$loadedRun,"max_loadavg":$maxLoadavg,"prev_total":$prevTotalJson,"regressions":$regressJson,"regressions_unadjudicated":$unadjJson,"regressions_suite_flagged":$suiteFlaggedJson,"regressions_adjudication":$adjudicationJson,"sf03_queries":$sf03Json,"sf03_over_sf01_ratio":$sf03Ratio,"cluster_smoke":$clusterJson}"""
     println(line)
+    // ---- compact driver-parseable FINAL line (round 17) ------------------
+    // The full line above is ~20 KB and the primary consumer keeps only a
+    // 2000-char stdout TAIL, which since r14 has landed inside the embedded
+    // cluster_smoke block — so the consumer's parse has been null and its
+    // per-query/scaling reports empty. This SECOND line is the last thing
+    // on stdout and is budgeted to always fit that tail whole: the same
+    // contract fields (metric/value/unit/queries/sf) plus cpus and
+    // n_failed, with `queries` carrying as many per-query medians as fit
+    // the byte budget in DESCENDING time order (the slow, interesting ones)
+    // and the omitted remainder COUNTED and SUMMED — never dropped
+    // silently. Every number also lives in the full artifact file.
+    val tailBudget = sys.env.get("SPARK_GRAFT_BENCH_TAIL_BYTES")
+      .flatMap(_.toIntOption).getOrElse(2000)
+    val compactLine = {
+      def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+      val sorted = results.sortBy(-_._2)
+      val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${jstr(sfDir)},"cpus":$cpus,"reps":$reps,"n_failed":${errors.size},"rejected_for_load":$rejected,"loadavg_start":${r3(loadavgStart)},"n_queries":${results.size},"full_artifact":"BENCH_FULL.json","compact":true"""
+      // worst-case fixed tail: two counters + closing braces
+      val reserve = 80
+      val entries = Seq.newBuilder[String]
+      var used = head.length + reserve + ""","queries":{}""".length
+      var shown = 0
+      var omittedSec = 0.0
+      sorted.foreach { case (k, v) =>
+        val e = jstr(k) + ":" + r3(v)
+        // -300: leave room for launcher trailer lines (sbt prints
+        // "[success] ..." after the program's stdout) inside the tail
+        if (used + e.length + 1 <= tailBudget - 300) {
+          entries += e; used += e.length + 1; shown += 1
+        } else omittedSec += math.max(v, 0.0)
+      }
+      head + s""","queries_omitted":${results.size - shown},"queries_omitted_sec":${r3(omittedSec)},"queries":${entries.result().mkString("{", ",", "}")}}"""
+    }
+    println(compactLine)
     // truncation-proof copy: the stdout line is captured by a consumer that
     // has historically kept only a prefix; the file keeps every number.
     // A load-rejected run is diverted to target/ so it can be inspected
-    // but never committed as the round artifact.
+    // but never committed as the round artifact. Round 17: a full run at a
+    // DIFFERENT core count than the committed artifact's `cpus` is diverted
+    // to target/ too — the r16 driver's 8-core re-run silently replaced the
+    // accepted 32-core snapshot, losing its per-query data.
     try {
+      val mainPath = java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")
+      val cpusClash = only.isEmpty && !rejected &&
+        java.nio.file.Files.exists(mainPath) && {
+          val prior = new String(
+            java.nio.file.Files.readAllBytes(mainPath), "UTF-8")
+          val rx = """"cpus":"?([0-9]+)"?""".r
+          // artifacts predating this field were all accepted at 32 cores
+          rx.findFirstMatchIn(prior).map(_.group(1)).getOrElse("32") != cpus
+        }
+      if (cpusClash) System.err.println(
+        s"[bench] BENCH_FULL.json was recorded at a different core count; " +
+          s"writing this cpus=$cpus run to target/BENCH_FULL_c$cpus.json " +
+          "instead (delete the committed artifact to replace it)")
       java.nio.file.Files.write(
         // filtered A/B runs must not clobber the committed full snapshot
         java.nio.file.Paths.get(
           if (rejected) "/root/repo/target/BENCH_REJECTED.json"
+          else if (cpusClash) s"/root/repo/target/BENCH_FULL_c$cpus.json"
           else if (only.isEmpty) "/root/repo/BENCH_FULL.json"
           else "/root/repo/target/BENCH_FILTERED.json"),
         (line + "\n").getBytes("UTF-8"))
