@@ -526,6 +526,17 @@ object LoopbackRestServer {
   def ensureStarted(): String = {
     val cur = serverRef.get()
     if (cur != null) return s"http://127.0.0.1:${cur.getAddress.getPort}"
+    // TCP_NODELAY on the fixture's response sockets, matching the
+    // setTcpNoDelay(true) every raw-socket loopback in this repo already
+    // sets (Mongo/CQL/MySQL servers and clients). com.sun.net.httpserver
+    // only exposes it through this property, read by its ServerConfig
+    // static init — set before the first create(). Without it, Nagle on
+    // the server side interacts with the client's delayed ACK to stall
+    // EVERY response ~40 ms on loopback (measured: a 1-row PIT page cost
+    // 45 ms, the same page 1.7 ms with nodelay), so paged wire scans
+    // were benchmarking a transport artifact instead of data movement —
+    // real HTTP servers (and real ES) disable Nagle.
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     if (!serverRef.compareAndSet(null, srv)) {
       srv.stop(0)
