@@ -102,9 +102,10 @@ object Graph {
       val ed = e.join(deg.hint("shuffle_hash"), "src")
         .repartition(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK) // 8 rank joins; released by the harness clearCache
+      // node table: only the r0 seed consumes it now (see the round
+      // function below — the per-round left join was removed r17), so it
+      // needs neither a persist nor a layout of its own
       val nodes = deg.select(col("src").as("node"))
-        .repartition(col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // 8 left joins; released by the harness clearCache
       // Eager localCheckpoint per round (the GraphX discipline): round
       // t+1 plans against a node-sized leaf instead of a t-round-deep
       // composed plan, keeping Catalyst planning/codegen O(1) per round
@@ -128,16 +129,22 @@ object Graph {
         // every round (the cache preserves hash(src) partitioning but not
         // order) — 8 corpus-sized sorts bought nothing. Results identical;
         // at 100× the rank table still never leaves the cluster.
+        // The oracle's per-round `n LEFT JOIN c_t` is an identity on THIS
+        // graph and is elided (r17): the edge list is symmetrized (both
+        // directions of every distinct pair ride `e`), so every node in n
+        // (out-degree >= 1 by construction) also has in-degree >= 1 and
+        // appears in every round's contribution aggregate — the left join
+        // never null-extends and coalesce(s, 0) never fires. Dropping it
+        // removes a node-sized join per round (8 total) and the node
+        // table's 8-consumer persist; values are bit-identical (oracle-
+        // checked) because the rank recurrence sees the same s per node.
         def round(r: org.apache.spark.sql.DataFrame) = {
-          val contrib = ed
-            .join(r.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          ed.join(r.withColumnRenamed("node", "src").hint("shuffle_hash"),
               Seq("src"))
             .select(col("dst").as("node"), expr("r DIV deg").as("c"))
             .groupBy("node").agg(sum("c").as("s"))
-          nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
             .select(col("node"),
-              (lit(PrBase) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100"))
-                .as("r"))
+              (lit(PrBase) + expr("(85 * s) DIV 100")).as("r"))
         }
         // TWO rounds compose lazily per eager localCheckpoint: half the
         // synchronous jobs (4 instead of 8) while the checkpointed leaf
