@@ -145,16 +145,19 @@ object Dedup {
     // distinct 3-gram shingle hashes per doc (compact long join keys)
     val sets = docs.select(col("doc_id"),
       array_distinct(HashFunctions.shingle_hashes(col("text"), 3)).as("hh"))
-    // the exploded index is consumed by the DF computation, the set
-    // sizes and both sides of the pair join — persist it so the
-    // corpus-wide shingle pass runs once, not four times
     val inv = sets.select(col("doc_id"), explode(col("hh")).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // document-frequency cutoff: hyper-common shingles are dropped from
-    // the index (and from set sizes) before the pair join
-    val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MAX_DF).select("h")
-    val inv2 = inv.join(rare, "h").persist(StorageLevel.MEMORY_AND_DISK)
+    // the index (and from set sizes) before the pair join. Computed as a
+    // WINDOW count over h (r17, guide §2.3/2.4): the former groupBy(h)
+    // agg + semi-join shape shuffled the exploded index twice (once into
+    // the agg, once into the join) and needed `inv` persisted for its two
+    // consumers; the window pays ONE hash(h) shuffle + sort, filters in
+    // place, and leaves the shingle pass single-consumer (no inv cache).
+    val inv2 = inv
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= MAX_DF)
+      .select(col("h"), col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = inv2.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // SELF-JOIN kept deliberately (r16 A/B): the two join inputs are the
     // same cached frame, so the sort-merge join's both-side exchanges
@@ -210,11 +213,14 @@ object Dedup {
     val docs = Tables.load(s, d, "documents")
     val inv = docs.select(col("doc_id"),
         explode(array_distinct(HashFunctions.shingle_hashes(col("text"), 3))).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val dfTab = inv.groupBy("h").agg(count(lit(1)).as("df"))
+    // per-doc token list in canonical (df asc, h asc) order + filtered
+    // size. The document frequency rides a WINDOW count over h (r17,
+    // guide §2.3/2.4) instead of a groupBy(h) agg + join back: one
+    // hash(h) shuffle instead of two over the exploded index, and the
+    // shingle pass becomes single-consumer (no inv persist).
+    val docToks = inv
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("df") <= MAX_DF)
-    // per-doc token list in canonical (df asc, h asc) order + filtered size
-    val docToks = inv.join(dfTab, "h")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ts"))
       .select(col("doc_id"),
@@ -225,6 +231,15 @@ object Dedup {
     val pre = docToks.select(col("doc_id"), col("sz"),
       posexplode(slice(col("arr"), lit(1),
         (col("sz") - ceil(col("sz") * lit(0.5)) + lit(1)).cast("int"))))
+    // SELF-JOIN kept deliberately (r17 A/B, the ngram_jaccard story again):
+    // a hybrid groupBy(h)+sorted-collect_list+pair-comprehension rewrite
+    // (≤K groups explode ordered pairs, >K fall back to this join) measured
+    // 1.75s → 4.94s (2.8× SLOWER) in alternating filtered A/B — the
+    // ObjectHashAggregate + per-pair struct allocation costs far more than
+    // the SMJ whose both-side exchanges ReusedExchange already collapses.
+    // Note the per-group state of THIS join is already bounded by
+    // construction: a prefix token's group size ≤ its document frequency
+    // ≤ MAX_DF (the cutoff runs before the prefix index is built).
     val pa = pre.toDF("doc_a", "sz_a", "pos_a", "h")
     val pb = pre.toDF("doc_b", "sz_b", "pos_b", "h2")
     val reqOverlap = ceil((col("sz_a") + col("sz_b")) * lit(0.5 / 1.5))
